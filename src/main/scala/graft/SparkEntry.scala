@@ -1,13 +1,649 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
+import graft.index.Indexer
+import graft.search.{BM25, Search}
+import graft.sources.CorpusSource
+import graft.streaming.EventStream
+import graft.text.{Stopwords, Tokenizer}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2 (+ the LLM-data-pipeline extension families), each with a
+  * DuckDB `oracleSql` mirror where the semantics are ANSI-SQL-expressible.
+  *
+  * Determinism rules applied uniformly so Spark output and DuckDB oracle
+  * hash-match (SURVEY.md §7.4 float-reproducibility note):
+  *  - every query ends in an ORDER BY over a unique key prefix;
+  *  - every floating-point output column is `round`-ed (identical rounding
+  *    applied in the SQL), integers/strings are preferred where possible;
+  *  - timestamps are exported as integer epoch micro/seconds;
+  *  - aggregates/window functions use explicit deterministic tie-breaks.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Full stemmed BM25 search with snippets over the documents corpus —
+    * the reference's reason to exist (`pyapp.py:89-121`), one plan.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Search.topKWithSnippet(
+      docs(spark, "/root/testdata/sf0.001"), "merge join table", k = 10, stem = true)
+
+  // ---------------------------------------------------------------------
+  // shared helpers
+  // ---------------------------------------------------------------------
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The driver's `events.parquet` carries TIMESTAMP(NANOS) which Spark's
+    * vectorized Parquet reader rejects; read the nanos as long (legacy
+    * conf) and rebuild a microsecond timestamp with integer `div` (exact
+    * floor — the same truncation DuckDB applies converting ns → its µs
+    * TIMESTAMP, so the oracle sees identical instants).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+
+  /** Fixed search terms for the oracle-checked (non-stemmed) BM25 queries. */
+  private val SearchTerms = Seq("merge", "join", "table", "scan")
+  private val SearchTermsSql = SearchTerms.map(t => s"'$t'").mkString(", ")
+
+  private val FixturePath = "/root/repo/src/main/resources/cap_fixture.jsonl"
+
+  // ---- shared DuckDB SQL fragments (must mirror the Scala semantics) ----
+
+  private val stopSql = Stopwords.sqlInList
+
+  /** Tokenize → flat → doc_lengths → TF → IDF → stats CTE chain over the
+    * `documents` table (non-stemmed tokenizer = lower → split [^a-z]+ →
+    * drop empties/stopwords, exactly [[Tokenizer.tokensCol]] with
+    * stem=false).
+    */
+  private val indexCtes: String =
+    s"""toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM documents),
+       |flat AS (SELECT doc_id, unnest(t) AS word FROM toks),
+       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_length FROM flat GROUP BY doc_id),
+       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS term_freq FROM flat GROUP BY doc_id, word),
+       |idf AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq, log10((SELECT count(*) FROM dl) * 1.0 / count(DISTINCT doc_id)) AS idf FROM flat GROUP BY word),
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, sum(doc_length) * 1.0 / count(*) AS avgdl FROM dl)""".stripMargin
+
+  /** BM25 scored CTE (k1=1.2, b=0.75 — `pyapp.py:65`): written as
+    * (1.2 + 1) and 0.25 to reproduce the exact double arithmetic of
+    * [[BM25.score]] (lit(k1+1.0), lit(1-b)).
+    */
+  private val bm25Ctes: String =
+    s"""$indexCtes,
+       |scored AS (
+       |  SELECT t.doc_id,
+       |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
+       |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+       |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+       |  WHERE t.word IN ($SearchTermsSql)
+       |  GROUP BY t.doc_id),
+       |top10 AS (SELECT doc_id, round(s, 4) AS score FROM scored ORDER BY round(s, 4) DESC, doc_id LIMIT 10)""".stripMargin
+
+  /** Spark-side BM25 top-10 with post-rounding deterministic order. */
+  private def bm25Top10(s: SparkSession, dir: String): DataFrame = {
+    val t = Indexer.build(docs(s, dir).select("doc_id", "text"), stem = false)
+    Search.scoreTerms(t, SearchTerms)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(10)
+  }
+
+  /** DuckDB literal for a hyperplane weight vector (sim_lsh_buckets). */
+  private def planeSql(j: Int): String =
+    Similarity.planeWeights(j, 64).mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  // ---------------------------------------------------------------------
+  // queries
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- core search-engine pipeline (SURVEY.md §2, over `documents`) ----
+    "tok_flat_words" -> ((s, dir) =>
+      Indexer.flatWords(docs(s, dir), stem = false).orderBy("doc_id", "word")),
+
+    "g2_doc_lengths" -> ((s, dir) =>
+      Indexer.docLengths(Indexer.flatWords(docs(s, dir), stem = false))
+        .orderBy("doc_id")),
+
+    "g3_term_frequencies" -> ((s, dir) =>
+      Indexer.termFrequencies(Indexer.flatWords(docs(s, dir), stem = false))
+        .orderBy("doc_id", "word")),
+
+    "g4_doc_freq_idf" -> ((s, dir) => {
+      val flat = Indexer.flatWords(docs(s, dir), stem = false)
+      val n = Indexer.docLengths(flat).count()
+      Indexer.docFreqIdf(flat, n)
+        .withColumn("idf", round(col("idf"), 6))
+        .orderBy("word")
+    }),
+
+    "g1_inverted_index" -> ((s, dir) =>
+      Indexer.invertedIndex(Indexer.flatWords(docs(s, dir), stem = false))
+        .orderBy("word")),
+
+    "g5_scoring_params" -> ((s, dir) =>
+      Indexer.docLengths(Indexer.flatWords(docs(s, dir), stem = false))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(sum("doc_length").cast("double") / count(lit(1)), 6).as("avgdl"))),
+
+    "bm25_search" -> ((s, dir) => bm25Top10(s, dir)),
+
+    "j3_sql_bm25" -> ((s, dir) => {
+      val t = Indexer.build(docs(s, dir).select("doc_id", "text"), stem = false)
+      t.termFrequencies.createOrReplaceTempView("term_frequencies")
+      t.docLengths.createOrReplaceTempView("document_lengths")
+      t.idfValues.createOrReplaceTempView("idf_values")
+      s.sql(
+        s"""SELECT t.doc_id,
+           |       round(SUM(i.idf * (t.term_freq * (1.2 + 1)) /
+           |                 (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / ${t.avgdl}))), 4) AS score
+           |FROM term_frequencies t
+           |JOIN document_lengths d ON t.doc_id = d.doc_id
+           |JOIN idf_values i ON t.word = i.word
+           |WHERE t.word IN ($SearchTermsSql)
+           |GROUP BY t.doc_id
+           |ORDER BY score DESC, t.doc_id ASC
+           |LIMIT 10""".stripMargin)
+    }),
+
+    "bm25_search_stemmed" -> ((s, dir) => {
+      // stemmed end-to-end path (PorterStemmer kernel); no SQL oracle —
+      // correctness pinned by ScalaTest goldens (SURVEY.md §5)
+      val t = Indexer.build(docs(s, dir).select("doc_id", "text"), stem = true)
+      val terms = Tokenizer.tokenize("sorted merges tables quickly", stem = true).distinct
+      Search.scoreTerms(t, terms)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
+    "t1_search_snippet" -> ((s, dir) => {
+      val d = docs(s, dir)
+      broadcast(bm25Top10(s, dir))
+        .join(d.select("doc_id", "text"), Seq("doc_id"))
+        .withColumn("snippet", Search.snippet(col("text"), 160))
+        .select("doc_id", "score", "snippet")
+        .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    // ---- relational coverage on the star schema (SURVEY.md §2.4-2.6) ----
+    "q1_pricing_summary" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "j1_broadcast_join" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand")),
+
+    "j2_star_join" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(tbl(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(tbl(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(tbl(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")),
+
+    "p4_in_filter" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_returnflag")),
+
+    "p5_point_lookup" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .filter(col("o_orderkey") === 42)
+        .select(
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast
+          // reads the same wall-clock instant DuckDB's epoch_us sees
+          unix_micros(col("o_orderdate").cast("timestamp")).as("o_date_us"),
+          col("o_orderpriority"))),
+
+    "p6_null_filter" -> ((s, dir) =>
+      docs(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
+    "t2_topk_orders" -> ((s, dir) =>
+      tbl(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))),
+
+    "s5_local_df" -> ((s, dir) => {
+      import s.implicits._
+      Seq((1, "alpha"), (2, "beta"), (3, "gamma")).toDF("k", "v").orderBy("k")
+    }),
+
+    "set_ops_custkeys" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val big = o.filter(col("o_totalprice") > 400000).select(col("o_custkey").as("custkey"))
+      val bld = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("custkey"))
+      val pend = o.filter(col("o_orderstatus") === "P").select(col("o_custkey").as("custkey"))
+      big.union(bld).distinct().except(pend).orderBy("custkey")
+    }),
+
+    "w1_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      tbl(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_custkey")
+    }),
+
+    "f7_highlight" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(substring(col("text"), 1, 80), "merge", "[merge]").as("hl"))
+        .orderBy("doc_id")),
+
+    // ---- event-time operators over `events` ----
+    "w2_running_sum" -> ((s, dir) =>
+      Sessions.runningSum(events(s, dir))
+        .select(col("event_id"), col("user_id"),
+          round(col("running_value"), 6).as("running_value"))
+        .orderBy("event_id")),
+
+    "events_tumbling" -> ((s, dir) =>
+      Sessions.tumbling(events(s, dir))
+        .select(col("bucket_start"), col("event_type"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("bucket_start", "event_type")),
+
+    "events_sessionize" -> ((s, dir) =>
+      Sessions.sessionize(events(s, dir))
+        .orderBy("user_id", "session_seq")),
+
+    "events_json_props" -> ((s, dir) =>
+      Sessions.jsonPropAgg(events(s, dir))
+        .orderBy("event_type")),
+
+    "stream_tumbling" -> ((s, dir) => {
+      val agg = EventStream.tumblingCounts(
+        EventStream.readEvents(s, dir, "events.parquet"))
+      EventStream.runToCompletion(s, agg, "stream_tumbling_sink")
+        .select(col("bucket_start"), col("event_type"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    }),
+
+    // ---- dedup extension family ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir)).orderBy("fingerprint")),
+
+    "dedup_jaccard_adjacent" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      Dedup.jaccardForPairs(d, pairs, 3)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy("doc_a")
+    }),
+
+    "dedup_minhash" -> ((s, dir) =>
+      // MinHash-LSH banded candidate generation + exact-Jaccard verify;
+      // no SQL oracle (signature permutations) — ScalaTest pins semantics
+      Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16)
+        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+        .limit(100)),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir)).orderBy("doc_id")),
+
+    // ---- similarity-search extension family (over `embeddings`) ----
+    "sim_knn" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.select("vec_id", "embedding"),
+        e.filter(col("vec_id") < 8).select("vec_id", "embedding"), k = 5)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "sim_lsh_buckets" -> ((s, dir) =>
+      Similarity.lshBuckets(tbl(s, dir, "embeddings"), planes = 8, dim = 64)
+        .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
+        .orderBy("bucket")),
+
+    "sim_neardup_pairs" -> ((s, dir) =>
+      // embedding-cosine near-dup inside LSH buckets; rows-only check
+      Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"), threshold = -1.0)
+        .withColumn("cos", round(col("cos"), 6))
+        .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
+        .limit(50)),
+
+    // ---- text-analysis extension family ----
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityMetrics(docs(s, dir))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("mean_token_len"), 6).as("mean_token_len"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          round(col("alpha_ratio"), 6).as("alpha_ratio"))
+        .orderBy("doc_id")),
+
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(docs(s, dir))
+        .select("doc_id", "lang", "pred_lang")
+        .orderBy("doc_id")),
+
+    "tok_token_counts" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).cast("long").as("ws_tokens"),
+        TextAnalysis.bpeishTokenCount(col("text")).cast("long").as("bpeish_tokens"))
+        .orderBy("doc_id")),
+
+    "fingerprint_rolling" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text"), 200).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- multimodal plumbing ----
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, dir)))
+        .select(col("media_id"), col("n_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"), col("width"), col("height"))
+        .orderBy("media_id")),
+
+    // ---- nested-corpus ingest (CAP fixture; SURVEY.md §2.3) ----
+    "s1_corpus_ingest" -> ((s, dir) =>
+      CorpusSource.explodeOpinions(CorpusSource.readJsonl(s, FixturePath))
+        .select(col("doc_id"), col("opinion_author"), col("opinion_type"),
+          length(col("opinion_text")).cast("long").as("opinion_len"))
+        .orderBy("doc_id", "opinion_author", "opinion_type", "opinion_len")),
+
+    "u4_concat_opinions" -> ((s, dir) =>
+      CorpusSource.concatOpinions(CorpusSource.readJsonl(s, FixturePath))
+        .orderBy("doc_id"))
+  )
+
+  // ---------------------------------------------------------------------
+  // oracle SQL (DuckDB) — one per query above, omitted only where the
+  // semantics are not ANSI-SQL-expressible (stemmer, minhash permutations)
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "tok_flat_words" ->
+      s"WITH $indexCtes SELECT doc_id, word FROM flat ORDER BY doc_id, word",
+
+    "g2_doc_lengths" ->
+      s"WITH $indexCtes SELECT doc_id, doc_length FROM dl ORDER BY doc_id",
+
+    "g3_term_frequencies" ->
+      s"WITH $indexCtes SELECT doc_id, word, term_freq FROM tf ORDER BY doc_id, word",
+
+    "g4_doc_freq_idf" ->
+      s"WITH $indexCtes SELECT word, doc_freq, round(idf, 6) AS idf FROM idf ORDER BY word",
+
+    "g1_inverted_index" ->
+      s"WITH $indexCtes SELECT word, list_sort(list(DISTINCT doc_id)) AS doc_ids FROM flat GROUP BY word ORDER BY word",
+
+    "g5_scoring_params" ->
+      s"WITH $indexCtes SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats",
+
+    "bm25_search" ->
+      s"WITH $bm25Ctes SELECT doc_id, score FROM top10",
+
+    "j3_sql_bm25" ->
+      s"WITH $bm25Ctes SELECT doc_id, score FROM top10",
+
+    "t1_search_snippet" ->
+      s"""WITH $bm25Ctes
+         |SELECT t.doc_id, t.score,
+         |       CASE WHEN len(d.text) > 160 THEN substr(d.text, 1, 160) || '...' ELSE d.text END AS snippet
+         |FROM top10 t JOIN documents d USING (doc_id)
+         |ORDER BY t.score DESC, t.doc_id""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "j1_broadcast_join" ->
+      """SELECT p_brand,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "j2_star_join" ->
+      """SELECT r_name, n_name,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "p4_in_filter" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "p5_point_lookup" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+        |       o_orderpriority
+        |FROM orders WHERE o_orderkey = 42""".stripMargin,
+
+    "p6_null_filter" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents WHERE text IS NOT NULL AND len(text) > 0
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t2_topk_orders" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "s5_local_df" ->
+      "SELECT k, v FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(k, v) ORDER BY k",
+
+    "set_ops_custkeys" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |  UNION
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |) ORDER BY custkey""".stripMargin,
+
+    "w1_window_rank" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "f7_highlight" ->
+      """SELECT doc_id, regexp_replace(substr(text, 1, 80), 'merge', '[merge]', 'g') AS hl
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "w2_running_sum" ->
+      """SELECT event_id, user_id,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "events_tumbling" ->
+      """SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS bucket_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |         FROM g)
+        |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(min(us) AS BIGINT) AS t_start, CAST(max(us) AS BIGINT) AS t_end
+        |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "events_json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "stream_tumbling" ->
+      """SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS bucket_start,
+        |       event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_doc_id
+        |FROM documents GROUP BY md5(text) ORDER BY fingerprint""".stripMargin,
+
+    "dedup_jaccard_adjacent" ->
+      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+         |       FROM toks WHERE len(t) >= 3)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
+         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         |ORDER BY doc_a""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM documents),
+         |flat AS (SELECT doc_id, unnest(t) AS word FROM toks),
+         |wh AS (SELECT word, list_reduce(list_transform(string_split(substr(md5(word), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+         |       FROM (SELECT DISTINCT word FROM flat)),
+         |contrib AS (SELECT f.doc_id, r.bit,
+         |                   CASE WHEN ((wh.h >> r.bit) & 1) = 1 THEN 1 ELSE -1 END AS c
+         |            FROM flat f JOIN wh ON f.word = wh.word
+         |            CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) r),
+         |bits AS (SELECT doc_id, bit, sum(c) AS sc FROM contrib GROUP BY doc_id, bit)
+         |SELECT doc_id, CAST(sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sim_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 8),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |sc AS (SELECT query_id, vec_id,
+        |              list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM q CROSS JOIN c WHERE vec_id <> query_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |      FROM sc)
+        |SELECT query_id, vec_id, round(cos, 6) AS cos, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "sim_lsh_buckets" -> {
+      val terms = (0 until 8).map { j =>
+        s"(CASE WHEN list_dot_product(e, ${planeSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM d)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    "text_quality" ->
+      s"""WITH q AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM documents)
+         |SELECT doc_id,
+         |       CAST(len(tk) AS BIGINT) AS n_tokens,
+         |       round(CASE WHEN len(tk) > 0 THEN CAST(list_aggregate(list_transform(tk, w -> len(w)), 'sum') AS DOUBLE) / len(tk) ELSE 0 END, 6) AS mean_token_len,
+         |       round(CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, w -> w IN $stopSql)) AS DOUBLE) / len(tk) ELSE 0 END, 6) AS stopword_ratio,
+         |       round(CASE WHEN len(text) > 0 THEN CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / len(text) ELSE 0 END, 6) AS alpha_ratio
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "lang_id" -> {
+      val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
+        lang -> ws.map(w => s"'$w'").mkString("(", ",", ")")
+      }
+      val counts = profiles.map { case (lang, inList) =>
+        s"len(list_filter(tk, w -> w IN $inList)) AS c_$lang"
+      }.mkString(",\n             ")
+      val langs = profiles.map(_._1)
+      val greatest = s"greatest(${langs.map("c_" + _).mkString(", ")})"
+      val cases = langs.map(l => s"WHEN c_$l = $greatest THEN '$l'").mkString(" ")
+      s"""WITH q AS (SELECT doc_id, lang, list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |             $counts
+         |       FROM q)
+         |SELECT doc_id, lang,
+         |       CASE WHEN $greatest = 0 THEN 'und' $cases ELSE 'und' END AS pred_lang
+         |FROM sc ORDER BY doc_id""".stripMargin
+    },
+
+    "tok_token_counts" ->
+      """SELECT doc_id,
+        |       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fingerprint_rolling" ->
+      """WITH p AS (SELECT doc_id, substr(text, 1, 200) AS pre FROM documents)
+        |SELECT doc_id,
+        |       CAST(list_reduce(list_transform(range(1, len(pre) + 1), i -> CAST(ascii(substr(pre, i, 1)) AS BIGINT)),
+        |                        (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS fp
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "multimodal_features" ->
+      """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        |w AS (SELECT *, greatest(1, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS wd FROM p)
+        |SELECT media_id,
+        |       CAST(n AS BIGINT) AS n_bytes,
+        |       round(CASE WHEN n = 0 THEN 0 ELSE CAST(list_aggregate(list_transform(range(1, len(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), 'sum') AS DOUBLE) / n END, 6) AS mean_byte,
+        |       CAST(wd AS INTEGER) AS width,
+        |       CAST(greatest(1, n // wd) AS INTEGER) AS height
+        |FROM w ORDER BY media_id""".stripMargin,
+
+    "s1_corpus_ingest" ->
+      s"""SELECT id AS doc_id, u.author AS opinion_author, u.type AS opinion_type, CAST(len(u.text) AS BIGINT) AS opinion_len
+         |FROM (SELECT id, unnest(casebody.data.opinions) AS u FROM read_json_auto('$FixturePath'))
+         |ORDER BY doc_id, opinion_author, opinion_type, opinion_len""".stripMargin,
+
+    "u4_concat_opinions" ->
+      s"""SELECT id AS doc_id, coalesce(array_to_string(list_transform(casebody.data.opinions, o -> o.text), ' '), '') AS full_text
+         |FROM read_json_auto('$FixturePath') ORDER BY doc_id""".stripMargin
+  )
 }

@@ -1,0 +1,189 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.text.Tokenizer
+
+/** Deduplication operators for large-scale training-data pipelines —
+  * extension family beyond the reference surface (builder brief; VERDICT.md
+  * "LLM-data-pipeline operators"). All operate on a (doc_id, text) corpus.
+  *
+  * Scale design (100 TB story):
+  *  - exact dedup is a hash aggregate on a 128-bit content fingerprint —
+  *    shuffles (fingerprint, doc_id) pairs only, never text;
+  *  - MinHash-LSH shuffles on band keys: candidate generation is a
+  *    self-equi-join per LSH bucket, NEVER an all-pairs cross join; the
+  *    within-bucket verify joins only the candidate pairs back to shingle
+  *    sets. Bucket skew (a degenerate band key shared by millions of docs)
+  *    is the known hot spot — AQE skew-join splitting handles moderate
+  *    skew, and the band width r trades recall vs bucket size;
+  *  - SimHash is two hash aggregates (doc×bit lattice), linear shuffle;
+  *  - n-gram Jaccard is only ever computed on candidate pairs (or an
+  *    explicitly bounded pair set), not the cross product.
+  *
+  * Hashing note: fingerprints use md5/conv — same value computable in
+  * DuckDB — so the exact/simhash paths are oracle-checkable. MinHash perm
+  * coefficients are fixed constants: results are deterministic run-to-run.
+  */
+object Dedup {
+
+  /** 60-bit integer hash of a string, identically computable in DuckDB
+    * (`conv(substr(md5(x),1,15),16,10)`): the first 15 hex digits of md5.
+    * Codegen-friendly (md5/conv are native expressions).
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** Exact duplicate groups: content fingerprint → group size + keeper
+    * (min doc_id). Output: (fingerprint, n_docs, keeper_doc_id).
+    */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .groupBy("fingerprint")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc_id"))
+
+  /** Word-level k-shingles of the tokenized text (distinct set). Documents
+    * with fewer than k tokens are dropped (they have no k-shingle).
+    */
+  def shingles(docs: DataFrame, k: Int = 3, stem: Boolean = false): DataFrame =
+    docs
+      .select(col("doc_id"), Tokenizer.tokensCol(col("text"), stem).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        array_distinct(
+          transform(sequence(lit(0), size(col("toks")) - k),
+            i => concat_ws(" ", (0 until k).map(o => element_at(col("toks"), i + o + 1)): _*)))
+          .as("shingles"))
+
+  // Fixed MinHash permutation family h_i(x) = (a_i * x + b_i) mod p —
+  // coefficients from a small deterministic LCG so runs are reproducible.
+  private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private def perms(n: Int): (Seq[Long], Seq[Long]) = {
+    var seed = 42L
+    def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; seed }
+    val as = Seq.fill(n)(1L + next() % (MinhashP - 1))
+    val bs = Seq.fill(n)(next() % MinhashP)
+    (as, bs)
+  }
+
+  /** MinHash signature column over a `shingles` array column: for each of
+    * `numHashes` permutations, min over shingles of (a*h(s)+b) mod p where
+    * h is [[md5Hash60]]. Pure nested higher-order functions — stays in
+    * codegen, no UDF, no shuffle (narrow per-row work).
+    */
+  def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column = {
+    val (as, bs) = perms(numHashes)
+    val aArr = array(as.map(lit): _*)
+    val bArr = array(bs.map(lit): _*)
+    val hashes = transform(shingleCol, s => pmod(md5Hash60(s), lit(MinhashP)))
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(hashes, h =>
+        pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(MinhashP)))))
+  }
+
+  /** MinHash-LSH candidate pairs with exact-Jaccard verification.
+    *
+    * Pipeline: shingles → signatures → explode into `bands` band keys →
+    * self-join on (band, key) with doc_a < doc_b → distinct candidate
+    * pairs → join shingle sets back → exact Jaccard → threshold filter.
+    *
+    * Output: (doc_a, doc_b, est_jaccard, jaccard) sorted for determinism.
+    */
+  def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
+      bands: Int = 16, threshold: Double = 0.0,
+      maxBucketSize: Int = 100): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sh = shingles(docs, k)
+    val sig = sh.select(col("doc_id"),
+      minhashSignature(col("shingles"), numHashes).as("sig"))
+
+    val banded = sig.select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .select(col("doc_id"), col("sig"), col("band"),
+        // band key = the r signature values of this band, string-joined
+        concat_ws(",", slice(col("sig"), col("band") * r + 1, lit(r)).cast("array<string>")).as("band_key"))
+
+    // Skew guard — the 100 TB essential: degenerate band keys (a minhash
+    // value shared by a huge fraction of the corpus) would make the
+    // self-join quadratic in the bucket size. Cap bucket membership; a
+    // production pipeline logs the dropped buckets.
+    val okBuckets = banded.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucketSize))
+
+    val pruned = banded.join(okBuckets, Seq("band", "band_key"))
+    val a = pruned.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sig").as("sig_a"))
+    val b = pruned.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sig").as("sig_b"))
+    val cand = a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / numHashes)
+      .select("doc_a", "doc_b", "est_jaccard")
+
+    val setA = sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val setB = sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    cand
+      .join(setA, Seq("doc_a")).join(setB, Seq("doc_b"))
+      .withColumn("jaccard", jaccardCol(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "est_jaccard", "jaccard")
+      .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
+  }
+
+  /** Exact Jaccard similarity of two array-set columns. */
+  def jaccardCol(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Exact n-gram Jaccard for an explicit pair set: joins `pairs`
+    * (doc_a, doc_b) to the shingle table twice — pair-bounded, never a
+    * cross join. Output: (doc_a, doc_b, jaccard).
+    */
+  def jaccardForPairs(docs: DataFrame, pairs: DataFrame, k: Int = 3): DataFrame = {
+    val sh = shingles(docs, k)
+    pairs
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), jaccardCol(col("sh_a"), col("sh_b")).as("jaccard"))
+  }
+
+  /** SimHash per document over md5-hashed tokens (each token occurrence
+    * contributes ±1 per bit — equivalent to tf-weighting). Computed as one
+    * NARROW nested higher-order expression per row: hash the token array
+    * once, then for each of the `bits` positions fold signed contributions
+    * and reassemble the fingerprint — no explode, no shuffle; at 100 TB
+    * this runs at scan speed. 60 usable bits (from [[md5Hash60]]).
+    * Output: (doc_id, simhash). Deterministic; oracle-computable.
+    */
+  def simhash(docs: DataFrame, bits: Int = 60, stem: Boolean = false): DataFrame = {
+    val usable = math.min(bits, 60)
+    // bit masks as an array literal: element_at(masks, j+1) = 2^j — avoids
+    // shift-by-column (functions.shiftleft only takes a literal count)
+    val masks = array((0 until usable).map(j => lit(1L << j)): _*)
+    val hashes = transform(Tokenizer.tokensCol(col("text"), stem), w => md5Hash60(w))
+    val fingerprint = aggregate(
+      transform(sequence(lit(0), lit(usable - 1)), j => {
+        val mask = element_at(masks, j + 1)
+        val signedSum = aggregate(col("hs"), lit(0L),
+          (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0, 1L).otherwise(-1L))
+        when(signedSum > 0, mask).otherwise(0L)
+      }),
+      lit(0L), (acc, x) => acc + x)
+    docs
+      .select(col("doc_id"), hashes.as("hs"))
+      .select(col("doc_id"), fingerprint.as("simhash"))
+  }
+
+  /** Hamming distance between two simhash longs (for near-dup banding). */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

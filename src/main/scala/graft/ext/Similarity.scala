@@ -1,0 +1,122 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) — extension
+  * family (builder brief). Operates on the driver's `embeddings` table
+  * (vec_id, embedding: array<float>, label — FIXTURES.md §A).
+  *
+  * All vector math is built from `zip_with` / `aggregate` higher-order
+  * functions — native Catalyst expressions, no UDF, codegen-friendly
+  * (builder brief: "functions.aggregate/zip_with for the dot product").
+  *
+  * Scale design (100 TB story):
+  *  - brute-force top-k broadcasts the (tiny) query set against the
+  *    distributed corpus: cost O(|corpus| × |queries| × dim), embarrassingly
+  *    parallel, top-k per query via window rank over the per-query partial
+  *    results (shuffle is (corpus × queries) rows of (id, id, score) — the
+  *    win is never shuffling the vectors themselves);
+  *  - the scale path is LSH bucketing (random-hyperplane signs): each
+  *    vector maps to a small bucket id; candidate generation joins on
+  *    bucket equality, turning the quadratic search into a per-bucket
+  *    problem (same banding idea as [[Dedup.minhashPairs]]). An IVF variant
+  *    would replace the hyperplanes with k-means centroids; the plumbing
+  *    (bucket column + equi-join) is identical.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two array<numeric> columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k neighbors for each query vector.
+    *
+    * @param corpus  (vec_id, embedding)
+    * @param queries (vec_id, embedding) — must be small (broadcast)
+    * @param k       neighbors per query (self-match excluded)
+    *
+    * Output: (query_id, vec_id, cos) with rank ≤ k per query,
+    * deterministically tie-broken by vec_id.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .select("query_id", "vec_id", "cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /** Deterministic pseudo-random hyperplane weight: small signed integer
+    * derived from (plane, dim) — identical formula is embeddable in a SQL
+    * oracle. w(j,d) = ((j*131 + d*31) mod 17) - 8 ∈ [-8, 8].
+    */
+  def planeWeights(plane: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => (((plane * 131 + d * 31) % 17) - 8).toDouble)
+
+  /** Random-hyperplane LSH bucket id (sign-bit concatenation) for each
+    * vector: bucket = Σⱼ [dot(v, planeⱼ) > 0] · 2ʲ. Output:
+    * (vec_id, label, bucket). The scale path for ANN: equality join on
+    * `bucket` replaces the cross join.
+    */
+  def lshBuckets(embeddings: DataFrame, planes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucket = (0 until planes).map { j =>
+      val w = array(planeWeights(j, dim).map(lit): _*)
+      when(dot(col("embedding"), w) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    embeddings.select(col("vec_id"), col("label"), bucket.as("bucket"))
+  }
+
+  /** Bucketed ANN top-k: same contract as [[bruteForceTopK]] but candidates
+    * are restricted to the query's LSH bucket — the 100 TB path. Recall is
+    * traded for the elimination of the cross join.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      planes: Int = 8, dim: Int = 64): DataFrame = {
+    val cb = lshBuckets(corpus, planes, dim)
+      .join(corpus, Seq("vec_id"))
+    val qb = broadcast(lshBuckets(queries, planes, dim)
+      .join(queries, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("bucket")))
+    val scored = cb.join(qb, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .select("query_id", "vec_id", "cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs within LSH buckets: all pairs
+    * sharing a bucket with cosine ≥ threshold. Bucket-bounded (no global
+    * cross join). Output: (vec_a, vec_b, cos).
+    */
+  def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
+      planes: Int = 8, dim: Int = 64): DataFrame = {
+    val b = lshBuckets(embeddings, planes, dim).join(embeddings, Seq("vec_id"))
+    val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+      .dropDuplicates("vec_a", "vec_b")
+      .orderBy(col("vec_a").asc, col("vec_b").asc)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.Stopwords
+
+/** Text-analysis operators for training-data pipelines — extension family
+  * (builder brief): language ID, quality scoring, token counting, document
+  * fingerprinting. Everything is native Column expressions (no UDF): the
+  * whole family is narrow per-row work, fully codegen'd, shuffle-free —
+  * at 100 TB these run at scan speed.
+  */
+object TextAnalysis {
+
+  /** Lowercase alphabetic tokens (pre-stopword-removal) — the raw token
+    * stream quality metrics are computed over.
+    */
+  def rawTokens(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), w => length(w) > 0)
+
+  // ---- token counting -----------------------------------------------------
+
+  /** Whitespace token count. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), w => length(w) > 0))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and single
+    * non-alphanumeric non-space characters each count as one token — a
+    * cheap proxy for byte-pair-encoded token counts.
+    */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  // ---- quality scoring ----------------------------------------------------
+
+  private val stopArr: Column = array(Stopwords.alphaOnly.map(lit): _*)
+
+  /** Per-document quality metrics: n_tokens, mean token length, stopword
+    * ratio, alpha character ratio. A pipeline filters on these (e.g.
+    * stopword_ratio too low → not natural language).
+    * Output columns: doc key cols + (n_tokens, mean_token_len,
+    * stopword_ratio, alpha_ratio).
+    */
+  def qualityMetrics(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = rawTokens(col(textCol))
+    docs
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("mean_token_len",
+        when(size(toks) > 0,
+          aggregate(toks, lit(0L), (acc, w) => acc + length(w)).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+      .withColumn("stopword_ratio",
+        when(size(toks) > 0,
+          size(filter(toks, w => array_contains(stopArr, w))).cast("double") / size(toks))
+          .otherwise(lit(0.0)))
+      .withColumn("alpha_ratio",
+        when(length(col(textCol)) > 0,
+          (length(col(textCol)) - length(regexp_replace(col(textCol), "[A-Za-z]", "")))
+            .cast("double") / length(col(textCol)))
+          .otherwise(lit(0.0)))
+  }
+
+  // ---- language identification -------------------------------------------
+
+  /** Marker-word profiles for the n-gram/stopword language-ID heuristic.
+    * Tiny closed-class word sets per language; the predicted language is
+    * the profile with the highest hit count in the document's token set
+    * (ties → lexicographically first language; no hits → "und").
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "ich"),
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "una"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "une", "est"))
+
+  /** Predicted language code per document. Output: docs + (pred_lang).
+    * At scale: pure per-row expression work; the profiles are literals in
+    * the plan.
+    */
+  def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = array_distinct(rawTokens(col(textCol)))
+    val scores = langProfiles.map { case (lang, words) =>
+      val wArr = array(words.map(lit): _*)
+      lang -> size(filter(toks, w => array_contains(wArr, w)))
+    }
+    // argmax with deterministic lexicographic tie-break: fold over profiles
+    val (bestLang, bestScore) = scores.tail.foldLeft(
+      (lit(scores.head._1), scores.head._2)) { case ((bl, bs), (lang, sc)) =>
+      (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    docs.withColumn("pred_lang", when(bestScore > 0, bestLang).otherwise(lit("und")))
+  }
+
+  // ---- fingerprinting -----------------------------------------------------
+
+  /** Polynomial rolling-hash fingerprint of the first `maxChars` characters:
+    * h = fold(h * 131 + ascii(char)) mod 1e9+7. Deterministic, identically
+    * computable in a SQL oracle; used for cheap content bucketing.
+    */
+  def rollingFingerprint(text: Column, maxChars: Int = 200): Column = {
+    val prefix = substring(text, 1, maxChars)
+    aggregate(
+      transform(sequence(lit(1), length(prefix)),
+        i => ascii(expr_substr(prefix, i)).cast("long")),
+      lit(0L),
+      (acc, c) => (acc * 131L + c) % 1000000007L)
+  }
+
+  /** substring(s, i, 1) with a Column position (functions.substring only
+    * takes Int positions; the SQL form accepts expressions).
+    */
+  private def expr_substr(s: Column, i: Column): Column =
+    substr(s, i, lit(1))
+}

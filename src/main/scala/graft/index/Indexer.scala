@@ -1,0 +1,112 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.text.Tokenizer
+
+/** Offline indexing pipeline — the Scala/Spark re-expression of
+  * `searchenginespark.py:74-208` (SURVEY.md §3.2). Produces the reference's
+  * seven index artifacts (SURVEY.md §1.1 / FIXTURES.md §B):
+  * flat_words, inverted_index, doc_lengths, term_frequencies, idf_values,
+  * scoring_params, plus the corpus text table.
+  *
+  * Scale design (100 TB story):
+  *  - `flatWords` is a narrow map (tokenize + explode), no shuffle; it is
+  *    persisted ONCE and feeds all four aggregations — the reference
+  *    re-executed its Python-UDF lineage per branch (SURVEY.md §3.2).
+  *  - Every aggregation is a hash aggregate with map-side partial
+  *    aggregation; Spark shuffles only the partially-combined (key, count)
+  *    pairs, not raw tokens. No `repartition(8, …)` — the reference's manual
+  *    repartitioning (`searchenginespark.py:140,160`) is subsumed by
+  *    `spark.sql.shuffle.partitions` + AQE coalescing (SURVEY.md §2.9 R1/R2).
+  *  - `docFreq` uses exact `count_distinct` for BM25 parity; at 100 TB the
+  *    (word, doc_id) input to it is already deduplicated via the TF table
+  *    (see [[docFreqIdf]]) so the distinct expansion never sees raw tokens.
+  *  - `invertedIndex` posting lists are `array_sort`-determinized
+  *    (`collect_list` order is partition-dependent; SURVEY.md §2.5 G1).
+  *    At extreme posting-list sizes (stopword-like terms at 100 TB) the
+  *    list for one key must fit in one task — real deployments cap or
+  *    bucket posting lists; the engine keeps the reference's semantics.
+  */
+object Indexer {
+
+  /** Corpus → (doc_id, word) pairs; one row per token occurrence.
+    * Reference: explode + UDF at `searchenginespark.py:74-101`.
+    */
+  def flatWords(docs: DataFrame, stem: Boolean = true): DataFrame =
+    docs
+      .select(col("doc_id"), Tokenizer.tokensCol(col("text"), stem).as("words"))
+      .select(col("doc_id"), explode(col("words")).as("word"))
+
+  /** doc_id → token count. Reference: `searchenginespark.py:125`. */
+  def docLengths(flat: DataFrame): DataFrame =
+    flat.groupBy("doc_id").agg(count(lit(1)).as("doc_length"))
+
+  /** (doc_id, word) → term frequency. Reference: `searchenginespark.py:143`. */
+  def termFrequencies(flat: DataFrame): DataFrame =
+    flat.groupBy("doc_id", "word").agg(count(lit(1)).as("term_freq"))
+
+  /** word → sorted posting list. Reference: `searchenginespark.py:114`. */
+  def invertedIndex(flat: DataFrame): DataFrame =
+    flat.groupBy("word")
+      .agg(array_sort(collect_set("doc_id")).as("doc_ids"))
+
+  /** word → (doc_freq, idf = log10(N / doc_freq)).
+    * Reference: `searchenginespark.py:160-166`.
+    * Computed from the distinct (doc_id, word) projection so the
+    * count-distinct expansion aggregates pre-deduplicated pairs — at scale
+    * this is the same two-shuffle shape Catalyst plans for
+    * `countDistinct`, made explicit.
+    */
+  def docFreqIdf(flat: DataFrame, nDocs: Long): DataFrame =
+    flat.select("word", "doc_id").distinct()
+      .groupBy("word").agg(count(lit(1)).as("doc_freq"))
+      .withColumn("idf", log10(lit(nDocs.toDouble) / col("doc_freq")))
+
+  /** All index artifacts for a corpus, with the flat-words lineage persisted
+    * once (the §3.2 fix). `docs` must have columns (doc_id, text).
+    */
+  def build(docs: DataFrame, stem: Boolean = true): IndexTables = {
+    val flat = flatWords(docs, stem).persist(StorageLevel.MEMORY_AND_DISK)
+    val dl = docLengths(flat)
+    val n = dl.count()
+    val sumDl = dl.agg(sum("doc_length")).head.getLong(0)
+    val avgdl = sumDl.toDouble / n
+    IndexTables(
+      flatWords = flat,
+      docLengths = dl,
+      termFrequencies = termFrequencies(flat),
+      idfValues = docFreqIdf(flat, n),
+      invertedIndex = invertedIndex(flat),
+      nDocs = n,
+      avgdl = avgdl)
+  }
+
+  /** Persist every artifact as Parquet (reference artifact layout,
+    * SURVEY.md §1.1; S3 sink op). scoring_params is the reference's 1-row
+    * table (`scoring_params.parquet`, avgdl only).
+    */
+  def writeArtifacts(spark: SparkSession, t: IndexTables, outDir: String): Unit = {
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    w(t.flatWords, "flat_words")
+    w(t.docLengths, "doc_lengths")
+    w(t.termFrequencies, "term_frequencies")
+    w(t.idfValues, "idf_values")
+    w(t.invertedIndex, "inverted_index")
+    import spark.implicits._
+    w(Seq(t.avgdl).toDF("avgdl"), "scoring_params")
+  }
+}
+
+/** The in-memory handle on a built index (SURVEY.md §1.1 artifact set). */
+final case class IndexTables(
+    flatWords: DataFrame,
+    docLengths: DataFrame,
+    termFrequencies: DataFrame,
+    idfValues: DataFrame,
+    invertedIndex: DataFrame,
+    nDocs: Long,
+    avgdl: Double)

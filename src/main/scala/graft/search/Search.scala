@@ -1,0 +1,101 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.index.{IndexTables, Indexer}
+import graft.text.Tokenizer
+
+/** Online query path — the single-plan re-expression of the reference's
+  * serving pipeline (`pyapp.py:89-121`, traced in SURVEY.md §3.1):
+  *
+  *   query → tokenize (driver-side) → TF filtered to query terms
+  *         → ⋈ IDF (broadcast) → ⋈ doc_lengths → BM25 column arithmetic
+  *         → sum per doc → top-k → (optionally) ⋈ text for snippets
+  *
+  * Fixes over the reference, per SURVEY.md §3.1:
+  *  - the N+1 text lookup (`pyapp.py:110-114` runs one filter+collect job
+  *    per result row) becomes ONE broadcast join of the top-k rows against
+  *    the corpus in the same plan;
+  *  - snippet truncation is a native expression (F6), not driver string
+  *    code;
+  *  - top-k goes through `orderBy(desc).limit(k)` which Catalyst plans as
+  *    `TakeOrderedAndProject` — a true distributed top-k, no full sort.
+  *
+  * Scale notes (100 TB): the IDF side is filtered to |query| rows before
+  * joining — explicitly `broadcast()`. The TF table is the big side and is
+  * filtered by an IN-list on `word` that pushes down to the Parquet scan.
+  * doc_lengths at 100 TB has one row per document and co-shuffles with the
+  * filtered TF on doc_id (both sides tiny after term filtering); AQE picks
+  * broadcast when the filtered TF side fits.
+  */
+object Search {
+
+  /** Score all docs matching `terms`, descending. Output: (doc_id, score).
+    * Deterministic: ties broken by doc_id ascending.
+    */
+  def scoreTerms(t: IndexTables, terms: Seq[String], k1: Double = BM25.DefaultK1,
+      b: Double = BM25.DefaultB): DataFrame = {
+    val tfq = t.termFrequencies.filter(col("word").isin(terms: _*))
+    tfq
+      .join(broadcast(t.idfValues.filter(col("word").isin(terms: _*))), Seq("word"))
+      .join(t.docLengths, Seq("doc_id"))
+      .withColumn("partial",
+        BM25.score(col("term_freq"), col("doc_length"), col("idf"), lit(t.avgdl), k1, b))
+      .groupBy("doc_id")
+      .agg(sum("partial").as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  /** Top-k (doc_id, score) for a free-text query over a (doc_id, text)
+    * corpus. Builds the index in-plan (batch engine, no serving state).
+    */
+  def topK(docs: DataFrame, query: String, k: Int = 10, stem: Boolean = true): DataFrame = {
+    val t = Indexer.build(docs, stem)
+    val terms = Tokenizer.tokenize(query, stem).distinct
+    scoreTerms(t, terms).limit(k)
+  }
+
+  /** Top-k with text snippet — the fixed serving path (one plan, broadcast
+    * join of the k result rows back to the corpus). Output:
+    * (doc_id, score, snippet).
+    */
+  def topKWithSnippet(docs: DataFrame, query: String, k: Int = 10,
+      stem: Boolean = true, maxLen: Int = 160): DataFrame = {
+    val top = topK(docs, query, k, stem)
+    broadcast(top)
+      .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      .withColumn("snippet", snippet(col("text"), maxLen))
+      .select("doc_id", "score", "snippet")
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
+  /** F6: truncate-with-ellipsis, native expressions (`pyapp.py:116-117`). */
+  def snippet(text: Column, maxLen: Int): Column =
+    when(length(text) > maxLen, concat(substring(text, 1, maxLen), lit("...")))
+      .otherwise(text)
+
+  /** The SQL entry point done right (SURVEY.md §3.3a): the reference
+    * string-formats avgdl and the term list into SQL over temp views it
+    * never registers (`searchenginespark.py:214-235`). We register the
+    * views, escape the literals, and keep k1/b as real parameters.
+    */
+  def sqlSearch(spark: SparkSession, t: IndexTables, terms: Seq[String],
+      k: Int = 10, k1: Double = BM25.DefaultK1, b: Double = BM25.DefaultB): DataFrame = {
+    t.termFrequencies.createOrReplaceTempView("term_frequencies")
+    t.docLengths.createOrReplaceTempView("document_lengths")
+    t.idfValues.createOrReplaceTempView("idf_values")
+    val termList = terms.map(s => "'" + s.replace("'", "''") + "'").mkString(", ")
+    spark.sql(
+      s"""SELECT t.doc_id,
+         |       SUM(i.idf * (t.term_freq * (${k1} + 1)) /
+         |           (t.term_freq + ${k1} * (1 - ${b} + ${b} * d.doc_length / ${t.avgdl}))) AS score
+         |FROM term_frequencies t
+         |JOIN document_lengths d ON t.doc_id = d.doc_id
+         |JOIN idf_values i ON t.word = i.word
+         |WHERE t.word IN ($termList)
+         |GROUP BY t.doc_id
+         |ORDER BY score DESC, doc_id ASC
+         |LIMIT $k""".stripMargin)
+  }
+}

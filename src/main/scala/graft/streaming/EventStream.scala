@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured-Streaming equivalents of the batch event operators in
+  * [[graft.ext.Sessions]] — extension family (the reference has no
+  * streaming surface, SURVEY.md §2.10). `readStream` → event-time windowed
+  * aggregation with watermarking → `writeStream`.
+  *
+  * Scale design: windowed streaming aggregation shuffles on
+  * (window, event_type) with state kept per group in the state store;
+  * the watermark bounds state size. File-source streaming scales by
+  * `maxFilesPerTrigger`; a production deployment swaps the source for
+  * Kafka with identical downstream plan.
+  */
+object EventStream {
+
+  /** On-disk schema: `ts` is TIMESTAMP(NANOS) which Spark reads as long
+    * under `spark.sql.legacy.parquet.nanosAsLong` (see
+    * [[readEvents]] — it rebuilds a µs timestamp column).
+    */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based event stream over the Parquet files matching `glob` in
+    * `dir` (the file source requires a directory path).
+    */
+  def readEvents(spark: SparkSession, dir: String,
+      glob: String = "events.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", glob)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window aggregation with a watermark: counts and value sums
+    * per (window, event_type). Works on any streaming events DataFrame.
+    * Output: (bucket_start: epoch long, event_type, n_events, sum_value).
+    */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Run a streaming aggregation over a (bounded) file source to
+    * completion using Trigger.AvailableNow and return the final result
+    * from the in-memory sink — gives batch/stream parity checks a single
+    * call. The result of a completed AvailableNow run over a static
+    * directory equals the batch aggregation over the same files.
+    */
+  def runToCompletion(spark: SparkSession, streaming: DataFrame,
+      sinkName: String): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis chain replacing the reference's NLTK Python UDFs
+  * (`preprocess_text_udf` at `searchenginespark.py:57-65`, query-side
+  * variant at `pyapp.py:55-61`).
+  *
+  * Design (SURVEY.md §7.2): everything except stemming is *native Column
+  * expressions* — `lower` → `split("[^a-z]+")` → higher-order `filter` —
+  * so the whole chain stays inside WholeStageCodegen; the reference's
+  * Python-UDF boundary (pickling every opinion text, SURVEY.md §4) simply
+  * does not exist here. Stemming is the one custom kernel: a Scala UDF over
+  * the token array ([[PorterStemmer]]); it is applied as the *last* step so
+  * the codegen'd part of the chain has already shrunk the data.
+  *
+  * Tokenizer semantics (documented divergence from NLTK, SURVEY.md §7.4):
+  * splitting on `[^a-z]+` after lowercasing subsumes the reference's
+  * `isalpha` filter (`searchenginespark.py:61`) — every emitted token is
+  * alphabetic by construction. Contractions differ ("don't" → NLTK+isalpha
+  * gives ["do"]; we give ["don","t"], both of which are NLTK stopwords, so
+  * the observable output agrees). The reference's query path omits the
+  * isalpha filter (`pyapp.py:55-61` vs `:44-52`); with a `[^a-z]+` splitter
+  * that asymmetry is a no-op, which we document rather than emulate.
+  *
+  * 100 TB note: tokenization is embarrassingly parallel (narrow, no
+  * shuffle); cost is linear in input bytes and fully distributed. The
+  * stopword list is a 179-element literal array compiled into the plan —
+  * no broadcast join needed at any scale.
+  */
+object Tokenizer {
+
+  /** Stopword set as an array literal usable inside codegen'd lambdas. */
+  private val stopArray: Column = array(Stopwords.alphaOnly.map(lit): _*)
+
+  private val stemSeqUdf =
+    udf((ws: Seq[String]) => if (ws == null) null else ws.map(PorterStemmer.stem))
+
+  /** `text` → array of lowercase alphabetic non-stopword tokens.
+    * @param stem apply Porter stemming (the reference's document path does;
+    *             oracle-checked queries use stem=false so the DuckDB oracle
+    *             never needs a stemmer, SURVEY.md §5)
+    */
+  def tokensCol(text: Column, stem: Boolean = true): Column = {
+    val raw = split(lower(text), "[^a-z]+")
+    val kept = filter(raw, w =>
+      length(w) > 0 && !array_contains(stopArray, w))
+    if (stem) stemSeqUdf(kept) else kept
+  }
+
+  /** Driver-side tokenizer for short query strings (`pyapp.py:55-61` runs
+    * its query preprocessing driver-side too — a one-line query needs no
+    * distribution). Identical semantics to [[tokensCol]].
+    */
+  def tokenize(text: String, stem: Boolean = true): Seq[String] = {
+    val kept = text.toLowerCase
+      .split("[^a-z]+").toSeq
+      .filter(w => w.nonEmpty && !Stopwords.englishSet.contains(w))
+    if (stem) kept.map(PorterStemmer.stem) else kept
+  }
+}
