@@ -69,15 +69,15 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket id (sign-bit concatenation) for each
     * vector: bucket = Σⱼ [dot(v, planeⱼ) > 0] · 2ʲ. Output:
-    * (vec_id, label, bucket). The scale path for ANN: equality join on
-    * `bucket` replaces the cross join.
+    * (vec_id, bucket). The scale path for ANN: equality join on `bucket`
+    * replaces the cross join.
     */
   def lshBuckets(embeddings: DataFrame, planes: Int = 8, dim: Int = 64): DataFrame = {
     val bucket = (0 until planes).map { j =>
       val w = array(planeWeights(j, dim).map(lit): _*)
       when(dot(col("embedding"), w) > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
-    embeddings.select(col("vec_id"), col("label"), bucket.as("bucket"))
+    embeddings.select(col("vec_id"), bucket.as("bucket"))
   }
 
   /** Bucketed ANN top-k: same contract as [[bruteForceTopK]] but candidates

@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = "spark query engine runs distributed table scans with hash " +
+      "joins and sort merge aggregation over columnar storage files"
+    val nearDup = base.replace("columnar", "rowwise") // one word differs
+    Seq(
+      (1L, base),
+      (2L, nearDup),
+      (3L, base), // exact duplicate of 1
+      (4L, "completely different text about cooking pasta with tomato sauce basil")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact duplicate groups") {
+    import spark.implicits._
+    val g = Dedup.exactGroups(docs)
+      .as[(String, Long, Long)].collect()
+      .map { case (_, n, keeper) => (n, keeper) }.toSet
+    assert(g.contains((2L, 1L))) // docs 1 & 3 share a fingerprint, keeper=1
+    assert(g.count(_._1 == 1L) == 2) // docs 2 and 4 unique
+  }
+
+  test("minhash-LSH finds planted near-duplicates, not unrelated docs") {
+    import spark.implicits._
+    val pairs = Dedup.minhashPairs(docs, k = 3, numHashes = 32, bands = 16)
+      .as[(Long, Long, Double, Double)].collect()
+      .map(p => (p._1, p._2) -> (p._3, p._4)).toMap
+    // exact dup pair (1,3): jaccard 1.0, est 1.0
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs((1L, 3L))._2 == 1.0)
+    // near dup pairs with doc 2: high exact jaccard
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs((1L, 2L))._2 > 0.5)
+    // unrelated doc 4 never appears
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("exact jaccard for explicit pairs") {
+    import spark.implicits._
+    val pairs = Seq((1L, 3L), (1L, 4L)).toDF("doc_a", "doc_b")
+    val j = Dedup.jaccardForPairs(docs, pairs, k = 3)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(j((1L, 3L)) == 1.0)
+    assert(j((1L, 4L)) == 0.0)
+  }
+
+  test("minhash estimate approximates true jaccard for identical sets") {
+    import spark.implicits._
+    val sig = Dedup.shingles(docs, 3)
+      .select(col("doc_id"), Dedup.minhashSignature(col("shingles"), 32).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) == sig(3L)) // identical shingle sets -> identical signature
+    assert(sig(1L) != sig(4L))
+    assert(sig(1L).length == 32)
+  }
+
+  test("simhash: identical docs equal, near-dups close, unrelated far") {
+    import spark.implicits._
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(3L))
+    assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("hamming column matches bitCount") {
+    import spark.implicits._
+    val df = Seq((0xFFL, 0x0FL)).toDF("a", "b")
+    val got = df.select(Dedup.hamming(col("a"), col("b"))).as[Int].head()
+    assert(got == 4)
+  }
+}

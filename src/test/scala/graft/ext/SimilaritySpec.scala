@@ -1,0 +1,80 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+
+  test("dot / norm / cosine on known vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 1.0f)),
+      (Seq(3.0f, 4.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[(Double, Double)].collect()
+    assert(got(0) == (0.0, 0.0))
+    assert(math.abs(got(1)._2 - 1.0) < 1e-12)
+    assert(got(2)._1 == 25.0)
+    assert(math.abs(got(2)._2 - 1.0) < 1e-12)
+  }
+
+  private lazy val vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f, 0.0f), 1),
+      (3L, Seq(0.0f, 0.95f, 0.05f), 1),
+      (4L, Seq(0.0f, 0.0f, 1.0f), 2)).toDF("vec_id", "embedding", "label")
+  }
+
+  test("brute-force top-k ranks the nearest vector first") {
+    import spark.implicits._
+    val knn = Similarity.bruteForceTopK(
+      vecs.select("vec_id", "embedding"),
+      vecs.filter(col("vec_id") === 0).select("vec_id", "embedding"), k = 2)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(knn.length == 2)
+    assert(knn(0)._2 == 1L && knn(0)._4 == 1) // vec 1 is closest to vec 0
+    assert(knn(0)._3 > 0.99)
+  }
+
+  test("LSH bucket ids are deterministic and bounded") {
+    import spark.implicits._
+    val b1 = Similarity.lshBuckets(vecs, planes = 8, dim = 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val b2 = Similarity.lshBuckets(vecs, planes = 8, dim = 3)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall(r => r._2 >= 0 && r._2 < 256))
+  }
+
+  test("bucketed near-dup pairs only emit same-bucket pairs with cos >= threshold") {
+    import spark.implicits._
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.9, planes = 4, dim = 3)
+      .as[(Long, Long, Double)].collect()
+    pairs.foreach { case (a, b, c) => assert(a < b && c >= 0.9) }
+    // the planted near pairs have cos > 0.99; if LSH put them in one
+    // bucket they must be found — verify no false positives at least
+    assert(!pairs.exists { case (a, b, _) => (a, b) == (0L, 4L) })
+  }
+
+  test("lshTopK returns a subset of brute-force candidates with correct scores") {
+    import spark.implicits._
+    val brute = Similarity.bruteForceTopK(
+      vecs.select("vec_id", "embedding"),
+      vecs.select("vec_id", "embedding"), k = 4)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.lshTopK(
+      vecs.select("vec_id", "embedding"),
+      vecs.select("vec_id", "embedding"), k = 4, planes = 2, dim = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    lsh.foreach { case (q, v, c, _) =>
+      assert(math.abs(brute((q, v)) - c) < 1e-12) // same score as brute force
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft.search
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.index.Indexer
+
+class SearchSpec extends SparkSpec {
+
+  test("BM25 point value (FIXTURES.md §D)") {
+    import spark.implicits._
+    // tf=2, dl=100, avgdl=100, idf=0.5 -> 0.5 * (2*2.2) / (2 + 1.2) = 0.6875
+    val df = Seq((2L, 100L, 0.5)).toDF("tf", "dl", "idf")
+    val got = df.select(
+      BM25.score(col("tf"), col("dl"), col("idf"), lit(100.0)).as("s"))
+      .as[Double].head()
+    assert(math.abs(got - 0.6875) < 1e-12)
+  }
+
+  test("b=0 removes length normalization") {
+    import spark.implicits._
+    val df = Seq((3L, 10L, 1.0), (3L, 1000L, 1.0)).toDF("tf", "dl", "idf")
+    val s = df.select(
+      BM25.score(col("tf"), col("dl"), col("idf"), lit(100.0), b = 0.0).as("s"))
+      .as[Double].collect()
+    assert(s(0) == s(1)) // same tf, same idf -> same score regardless of dl
+  }
+
+  private lazy val corpus = {
+    import spark.implicits._
+    Seq(
+      (1L, "merge sort merge sort merge the fast algorithm"),
+      (2L, "hash join hash join hash join and merge"),
+      (3L, "table scan table scan full table"),
+      (4L, "btree index lookup random access")).toDF("doc_id", "text")
+  }
+
+  test("topK ranks docs with more matching terms higher") {
+    import spark.implicits._
+    val top = Search.topK(corpus, "merge sort", k = 4, stem = false)
+      .select("doc_id").as[Long].collect()
+    assert(top.head == 1L) // doc 1 has both terms, high tf
+    assert(top.toSet.contains(2L)) // doc 2 matches "merge" only
+    assert(!top.toSet.contains(3L) && !top.toSet.contains(4L))
+  }
+
+  test("scores agree between DataFrame path and SQL entry point") {
+    val t = Indexer.build(corpus, stem = false)
+    val terms = Seq("merge", "join")
+    import spark.implicits._
+    val a = Search.scoreTerms(t, terms)
+      .select(col("doc_id"), round(col("score"), 9).as("score"))
+      .as[(Long, Double)].collect().toMap
+    val b = Search.sqlSearch(spark, t, terms, k = 10)
+      .select(col("doc_id"), round(col("score"), 9).as("score"))
+      .as[(Long, Double)].collect().toMap
+    assert(a == b)
+  }
+
+  test("snippet truncation") {
+    import spark.implicits._
+    val df = Seq("short", "x" * 200).toDF("text")
+    val got = df.select(Search.snippet(col("text"), 10).as("s")).as[String].collect()
+    assert(got(0) == "short")
+    assert(got(1) == "x" * 10 + "...")
+  }
+
+  test("topKWithSnippet returns text for each hit in one plan") {
+    import spark.implicits._
+    val got = Search.topKWithSnippet(corpus, "scan", k = 3, stem = false)
+      .as[(Long, Double, String)].collect()
+    assert(got.map(_._1).toSeq == Seq(3L))
+    assert(got.head._3.startsWith("table scan"))
+  }
+}
