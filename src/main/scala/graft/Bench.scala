@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the JVM (codegen, parquet reader) and page cache once so each
+    // query's number measures the query, not first-touch session costs.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Seq("lineitem", "orders", "customer", "part", "nation", "region",
+      "documents", "embeddings", "events").foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

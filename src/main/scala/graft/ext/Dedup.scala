@@ -1,8 +1,10 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.storage.StorageLevel
 
 import graft.text.Tokenizer
 
@@ -45,18 +47,39 @@ object Dedup {
       .groupBy("fingerprint")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc_id"))
 
-  /** Word-level k-shingles of the tokenized text (distinct set). Documents
-    * with fewer than k tokens are dropped (they have no k-shingle).
+  /** One row per (doc_id, distinct word-level k-shingle). Built
+    * relationally — posexplode tokens, codegen'd stopword InSet filter,
+    * window `lead` to stitch k consecutive kept tokens — because the
+    * array-lambda formulation runs interpreted and costs ~30× more (see
+    * [[graft.index.Indexer.flatWords]]). Documents with fewer than k
+    * tokens produce no rows. Scale: one shuffle on doc_id (window sort),
+    * then a distinct hash-aggregate; all codegen.
+    */
+  def shingleRows(docs: DataFrame, k: Int = 3, stem: Boolean = false): DataFrame = {
+    val raw = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0 &&
+        !col("w").isin(graft.text.Stopwords.alphaOnly: _*))
+    val toks = if (stem) raw.withColumn("w", Tokenizer.stemWordUdf(col("w"))) else raw
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val withNext = (1 until k).foldLeft(toks) { (df, o) =>
+      df.withColumn(s"w$o", lead(col("w"), o).over(win))
+    }
+    val parts = col("w") +: (1 until k).map(o => col(s"w$o"))
+    withNext
+      .filter(col(s"w${k - 1}").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
+      .distinct()
+  }
+
+  /** Distinct k-shingle set per document as an array column (for
+    * set-algebra Jaccard); array order is nondeterministic — treat as a
+    * set (intersect/union only).
     */
   def shingles(docs: DataFrame, k: Int = 3, stem: Boolean = false): DataFrame =
-    docs
-      .select(col("doc_id"), Tokenizer.tokensCol(col("text"), stem).as("toks"))
-      .filter(size(col("toks")) >= k)
-      .select(col("doc_id"),
-        array_distinct(
-          transform(sequence(lit(0), size(col("toks")) - k),
-            i => concat_ws(" ", (0 until k).map(o => element_at(col("toks"), i + o + 1)): _*)))
-          .as("shingles"))
+    shingleRows(docs, k, stem)
+      .groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
 
   // Fixed MinHash permutation family h_i(x) = (a_i * x + b_i) mod p —
   // coefficients from a small deterministic LCG so runs are reproducible.
@@ -71,17 +94,40 @@ object Dedup {
 
   /** MinHash signature column over a `shingles` array column: for each of
     * `numHashes` permutations, min over shingles of (a*h(s)+b) mod p where
-    * h is [[md5Hash60]]. Pure nested higher-order functions — stays in
-    * codegen, no UDF, no shuffle (narrow per-row work).
+    * h is `xxhash64` (native codegen'd hash — Catalyst's project collapsing
+    * inlines the base-hash expression into every permutation's lambda, so
+    * the per-shingle hash must be cheap; an md5-based hash here cost 10×
+    * the whole query). Pure higher-order functions — no UDF, no shuffle.
     */
   def minhashSignature(shingleCol: Column, numHashes: Int = 32): Column = {
     val (as, bs) = perms(numHashes)
     val aArr = array(as.map(lit): _*)
     val bArr = array(bs.map(lit): _*)
-    val hashes = transform(shingleCol, s => pmod(md5Hash60(s), lit(MinhashP)))
+    val hashes = transform(shingleCol, s => pmod(xxhash64(s), lit(MinhashP)))
     transform(sequence(lit(0), lit(numHashes - 1)), i =>
       array_min(transform(hashes, h =>
         pmod(element_at(aArr, i + 1) * h + element_at(bArr, i + 1), lit(MinhashP)))))
+  }
+
+  /** Same signature family as [[minhashSignature]] but computed over
+    * (doc_id, shingle) ROWS as `numHashes` codegen'd min-aggregates →
+    * array reassembly. Higher-order lambdas are interpreted (no
+    * whole-stage codegen) and cost ~µs per element; the aggregate form
+    * runs ~10× faster and is the right shape at 100 TB anyway: one
+    * hash-aggregate shuffle of (doc, 32 longs) with map-side partials.
+    * Input: [[shingleRows]] output; output: (doc_id, sig).
+    */
+  def minhashSignatures(shingleRows: DataFrame, numHashes: Int = 32): DataFrame = {
+    val (as, bs) = perms(numHashes)
+    val mins = (0 until numHashes).map { i =>
+      min(pmod(lit(as(i)) * col("h") + lit(bs(i)), lit(MinhashP))).as(s"m$i")
+    }
+    shingleRows
+      .withColumn("h", pmod(xxhash64(col("shingle")), lit(MinhashP)))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until numHashes).map(i => col(s"m$i")): _*).as("sig"))
   }
 
   /** MinHash-LSH candidate pairs with exact-Jaccard verification.
@@ -97,9 +143,15 @@ object Dedup {
       maxBucketSize: Int = 100): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sh = shingles(docs, k)
-    val sig = sh.select(col("doc_id"),
-      minhashSignature(col("shingles"), numHashes).as("sig"))
+    // shingle rows and signatures feed multiple branches (both join sides,
+    // bucket-size counts, exact verify) — persist once instead of
+    // recomputing the tokenize→window pipeline per branch (SURVEY.md §3.2
+    // lesson applied here; these tables are small relative to the corpus)
+    val shr = shingleRows(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val sh = shr.groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = minhashSignatures(shr, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val banded = sig.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))

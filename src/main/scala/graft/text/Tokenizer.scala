@@ -49,6 +49,11 @@ object Tokenizer {
     if (stem) stemSeqUdf(kept) else kept
   }
 
+  /** Single-word Porter stem as a scalar UDF (for post-explode row
+    * pipelines — see [[graft.index.Indexer.flatWords]]).
+    */
+  val stemWordUdf = udf((w: String) => if (w == null) null else PorterStemmer.stem(w))
+
   /** Driver-side tokenizer for short query strings (`pyapp.py:55-61` runs
     * its query preprocessing driver-side too — a one-line query needs no
     * distribution). Identical semantics to [[tokensCol]].
