@@ -237,6 +237,17 @@ object SparkEntry {
         .groupBy("lang").agg(count(lit(1)).as("n_docs"))
         .orderBy("lang")),
 
+    "t3_slice_sample" -> ((s, dir) => {
+      // SURVEY §2.6 T2: down-sample by keeping the upper half of the
+      // corpus key range (reference: `nltksearchv1.py:41`); the max is a
+      // driver-side scalar (S4 collect), re-entering the plan as a literal
+      val d = docs(s, dir)
+      val mx = d.agg(max("doc_id")).head.getLong(0)
+      d.filter(col("doc_id") >= mx / 2)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "t2_topk_orders" -> ((s, dir) =>
       tbl(s, dir, "orders")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -480,6 +491,11 @@ object SparkEntry {
     "t2_topk_orders" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "t3_slice_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id >= (SELECT max(doc_id) // 2 FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "s5_local_df" ->
       "SELECT k, v FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(k, v) ORDER BY k",

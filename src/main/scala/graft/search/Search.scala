@@ -37,9 +37,13 @@ object Search {
   def scoreTerms(t: IndexTables, terms: Seq[String], k1: Double = BM25.DefaultK1,
       b: Double = BM25.DefaultB): DataFrame = {
     val tfq = t.termFrequencies.filter(col("word").isin(terms: _*))
+    // left joins for fidelity with `pyapp.py:94-95`; on a consistent index
+    // they never produce nulls (every indexed word has an IDF row, every
+    // doc a length row — SURVEY.md §2.4 note), so the optimizer's plan
+    // matches the inner-join one
     tfq
-      .join(broadcast(t.idfValues.filter(col("word").isin(terms: _*))), Seq("word"))
-      .join(t.docLengths, Seq("doc_id"))
+      .join(broadcast(t.idfValues.filter(col("word").isin(terms: _*))), Seq("word"), "left")
+      .join(t.docLengths, Seq("doc_id"), "left")
       .withColumn("partial",
         BM25.score(col("term_freq"), col("doc_length"), col("idf"), lit(t.avgdl), k1, b))
       .groupBy("doc_id")
