@@ -161,6 +161,24 @@ object SparkEntry {
            |LIMIT 10""".stripMargin)
     }),
 
+    "bm25_okapi_variant" -> ((s, dir) => {
+      // the reference's second scoring semantics (rank_bm25 BM25Okapi via
+      // `app.py`/`nltksearchv1.py` — SURVEY.md §3.3b): k1=1.5, natural-log
+      // idf = ln((N-df+0.5)/(df+0.5)) with negatives floored to
+      // 0.25 × average raw idf. Same engine, different (k1, idf) inputs.
+      val t = Indexer.build(docs(s, dir).select("doc_id", "text"), stem = false)
+      val raw = t.idfValues.withColumn("raw",
+        log((lit(t.nDocs.toDouble) - col("doc_freq") + 0.5) / (col("doc_freq") + 0.5)))
+      val avgIdf = raw.agg(avg("raw")).head.getDouble(0)
+      val okapiIdf = raw
+        .select(col("word"),
+          when(col("raw") < 0, lit(0.25 * avgIdf)).otherwise(col("raw")).as("idf"))
+      Search.scoreTerms(t.copy(idfValues = okapiIdf), SearchTerms, k1 = 1.5, b = 0.75)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     "bm25_search_stemmed" -> ((s, dir) => {
       // stemmed end-to-end path (PorterStemmer kernel); no SQL oracle —
       // correctness pinned by ScalaTest goldens (SURVEY.md §5)
@@ -436,6 +454,20 @@ object SparkEntry {
 
     "j3_sql_bm25" ->
       s"WITH $bm25Ctes SELECT doc_id, score FROM top10",
+
+    "bm25_okapi_variant" ->
+      s"""WITH $indexCtes,
+         |rawidf AS (SELECT word, ln(((SELECT count(*) FROM dl) - doc_freq + 0.5) / (doc_freq + 0.5)) AS raw FROM idf),
+         |oka AS (SELECT word, CASE WHEN raw < 0 THEN 0.25 * (SELECT avg(raw) FROM rawidf) ELSE raw END AS idf FROM rawidf),
+         |scored2 AS (
+         |  SELECT t.doc_id,
+         |         sum(o.idf * (t.term_freq * (1.5 + 1)) /
+         |             (t.term_freq + 1.5 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf t JOIN oka o USING (word) JOIN dl d USING (doc_id)
+         |  WHERE t.word IN ($SearchTermsSql)
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, round(s, 4) AS score FROM scored2
+         |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
 
     "t1_search_snippet" ->
       s"""WITH $bm25Ctes

@@ -61,7 +61,9 @@ object Dedup {
         posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("pos", "w")))
       .filter(length(col("w")) > 0 &&
         !col("w").isin(graft.text.Stopwords.alphaOnly: _*))
-    val toks = if (stem) raw.withColumn("w", Tokenizer.stemWordUdf(col("w"))) else raw
+    val toks =
+      if (stem) raw.withColumn("w", graft.functions.PorterStem.stem(col("w")))
+      else raw
     val win = Window.partitionBy("doc_id").orderBy("pos")
     val withNext = (1 until k).foldLeft(toks) { (df, o) =>
       df.withColumn(s"w$o", lead(col("w"), o).over(win))

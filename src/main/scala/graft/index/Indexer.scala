@@ -46,7 +46,8 @@ object Indexer {
       .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("word"))
       .filter(length(col("word")) > 0 &&
         !col("word").isin(graft.text.Stopwords.alphaOnly: _*))
-    if (stem) raw.withColumn("word", Tokenizer.stemWordUdf(col("word"))) else raw
+    if (stem) raw.withColumn("word", graft.functions.PorterStem.stem(col("word")))
+    else raw
   }
 
   /** doc_id → token count. Reference: `searchenginespark.py:125`. */

@@ -1,0 +1,28 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.PorterStem
+
+/** SparkSessionExtensions entry point: registers the engine's custom
+  * expressions as SQL functions so `spark.sql("SELECT porter_stem(w) …")`
+  * works next to the Column API. Activate with:
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   // or: .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("porter_stem"),
+      new ExpressionInfo(classOf[PorterStem].getName, "porter_stem"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "porter_stem takes exactly one argument")
+        PorterStem(children.head)
+      }))
+  }
+}

@@ -11,9 +11,10 @@ import org.apache.spark.sql.functions._
   * expressions* — `lower` → `split("[^a-z]+")` → higher-order `filter` —
   * so the whole chain stays inside WholeStageCodegen; the reference's
   * Python-UDF boundary (pickling every opinion text, SURVEY.md §4) simply
-  * does not exist here. Stemming is the one custom kernel: a Scala UDF over
-  * the token array ([[PorterStemmer]]); it is applied as the *last* step so
-  * the codegen'd part of the chain has already shrunk the data.
+  * does not exist here. Stemming is the one custom kernel — a native
+  * Catalyst expression with codegen ([[graft.functions.PorterStem]] over
+  * [[PorterStemmer]]) — applied as the *last* step so the earlier chain
+  * has already shrunk the data.
   *
   * Tokenizer semantics (documented divergence from NLTK, SURVEY.md §7.4):
   * splitting on `[^a-z]+` after lowercasing subsumes the reference's
@@ -34,8 +35,8 @@ object Tokenizer {
   /** Stopword set as an array literal usable inside codegen'd lambdas. */
   private val stopArray: Column = array(Stopwords.alphaOnly.map(lit): _*)
 
-  private val stemSeqUdf =
-    udf((ws: Seq[String]) => if (ws == null) null else ws.map(PorterStemmer.stem))
+  private def stemAll(ws: Column): Column =
+    transform(ws, w => graft.functions.PorterStem.stem(w))
 
   /** `text` → array of lowercase alphabetic non-stopword tokens.
     * @param stem apply Porter stemming (the reference's document path does;
@@ -46,13 +47,8 @@ object Tokenizer {
     val raw = split(lower(text), "[^a-z]+")
     val kept = filter(raw, w =>
       length(w) > 0 && !array_contains(stopArray, w))
-    if (stem) stemSeqUdf(kept) else kept
+    if (stem) stemAll(kept) else kept
   }
-
-  /** Single-word Porter stem as a scalar UDF (for post-explode row
-    * pipelines — see [[graft.index.Indexer.flatWords]]).
-    */
-  val stemWordUdf = udf((w: String) => if (w == null) null else PorterStemmer.stem(w))
 
   /** Driver-side tokenizer for short query strings (`pyapp.py:55-61` runs
     * its query preprocessing driver-side too — a one-line query needs no
