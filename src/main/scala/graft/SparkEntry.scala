@@ -210,6 +210,13 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    "q2_rollup" -> ((s, dir) =>
+      // grouping-sets coverage: subtotals + grand total via ROLLUP
+      tbl(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
     "j1_broadcast_join" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
@@ -484,6 +491,11 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_rollup" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "j1_broadcast_join" ->
       """SELECT p_brand,

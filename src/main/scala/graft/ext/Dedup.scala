@@ -203,7 +203,9 @@ object Dedup {
     * cross join. Output: (doc_a, doc_b, jaccard).
     */
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame, k: Int = 3): DataFrame = {
-    val sh = shingles(docs, k)
+    // referenced by both join sides — persist to avoid rebuilding the
+    // tokenize→window shingle pipeline twice
+    val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
