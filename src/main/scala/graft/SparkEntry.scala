@@ -71,7 +71,7 @@ object SparkEntry {
     * stem=false).
     */
   private val indexCtes: String =
-    s"""toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM documents),
+    s"""toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
        |flat AS (SELECT doc_id, unnest(t) AS word FROM toks),
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_length FROM flat GROUP BY doc_id),
        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS term_freq FROM flat GROUP BY doc_id, word),
@@ -238,6 +238,23 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")),
 
+    "j4_semi_join" -> ((s, dir) =>
+      // left-semi: customers having a high-value order (the join flavor
+      // the serving-path text lookup uses at scale — SURVEY §2.4 note)
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders").filter(col("o_totalprice") > 400000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    "j5_anti_join" -> ((s, dir) =>
+      // left-anti: customers with no pending ('P') order
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")),
+
     "p4_in_filter" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .filter(col("l_returnflag").isin("A", "R"))
@@ -374,6 +391,11 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "sim_ivf_assign" -> ((s, dir) =>
+      Similarity.ivfAssign(tbl(s, dir, "embeddings").select("vec_id", "embedding"),
+        nCentroids = 8)
+        .orderBy("vec_id")),
+
     "sim_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(tbl(s, dir, "embeddings"), planes = 8, dim = 64)
         .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
@@ -480,7 +502,7 @@ object SparkEntry {
       s"""WITH $bm25Ctes
          |SELECT t.doc_id, t.score,
          |       CASE WHEN len(d.text) > 160 THEN substr(d.text, 1, 160) || '...' ELSE d.text END AS snippet
-         |FROM top10 t JOIN documents d USING (doc_id)
+         |FROM top10 t JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
          |ORDER BY t.score DESC, t.doc_id""".stripMargin,
 
     "q1_pricing_summary" ->
@@ -515,6 +537,18 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
 
+    "j4_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j5_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+
     "p4_in_filter" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem WHERE l_returnflag IN ('A', 'R')
@@ -529,7 +563,7 @@ object SparkEntry {
 
     "p6_null_filter" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-        |FROM documents WHERE text IS NOT NULL AND len(text) > 0
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') WHERE text IS NOT NULL AND len(text) > 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "t2_topk_orders" ->
@@ -537,8 +571,8 @@ object SparkEntry {
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
 
     "t3_slice_sample" ->
-      """SELECT doc_id, lang, source FROM documents
-        |WHERE doc_id >= (SELECT max(doc_id) // 2 FROM documents)
+      """SELECT doc_id, lang, source FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |WHERE doc_id >= (SELECT max(doc_id) // 2 FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
         |ORDER BY doc_id""".stripMargin,
 
     "s5_local_df" ->
@@ -561,7 +595,7 @@ object SparkEntry {
 
     "f7_highlight" ->
       """SELECT doc_id, regexp_replace(substr(text, 1, 80), 'merge', '[merge]', 'g') AS hl
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id""".stripMargin,
 
     "w2_running_sum" ->
       """SELECT event_id, user_id,
@@ -601,10 +635,10 @@ object SparkEntry {
 
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_doc_id
-        |FROM documents GROUP BY md5(text) ORDER BY fingerprint""".stripMargin,
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY md5(text) ORDER BY fingerprint""".stripMargin,
 
     "dedup_jaccard_adjacent" ->
-      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
          |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
          |       FROM toks WHERE len(t) >= 3)
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -613,7 +647,7 @@ object SparkEntry {
          |ORDER BY doc_a""".stripMargin,
 
     "dedup_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM documents),
+      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
          |flat AS (SELECT doc_id, unnest(t) AS word FROM toks),
          |wh AS (SELECT word, list_reduce(list_transform(string_split(substr(md5(word), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
          |       FROM (SELECT DISTINCT word FROM flat)),
@@ -626,8 +660,8 @@ object SparkEntry {
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "sim_knn" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM embeddings WHERE vec_id < 8),
-        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id < 8),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
         |sc AS (SELECT query_id, vec_id,
         |              list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
         |       FROM q CROSS JOIN c WHERE vec_id <> query_id),
@@ -637,17 +671,28 @@ object SparkEntry {
         |SELECT query_id, vec_id, round(cos, 6) AS cos, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "sim_ivf_assign" ->
+      """WITH c AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id < 8),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |s AS (SELECT vec_id, cent_id,
+        |             list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |      FROM v CROSS JOIN c),
+        |r AS (SELECT vec_id, cent_id,
+        |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        |      FROM s)
+        |SELECT vec_id, cent_id AS cluster FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
     "sim_lsh_buckets" -> {
       val terms = (0 until 8).map { j =>
         s"(CASE WHEN list_dot_product(e, ${planeSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
-      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
          |b AS (SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM d)
          |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
     },
 
     "text_quality" ->
-      s"""WITH q AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM documents)
+      s"""WITH q AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
          |SELECT doc_id,
          |       CAST(len(tk) AS BIGINT) AS n_tokens,
          |       round(CASE WHEN len(tk) > 0 THEN CAST(list_aggregate(list_transform(tk, w -> len(w)), 'sum') AS DOUBLE) / len(tk) ELSE 0 END, 6) AS mean_token_len,
@@ -665,7 +710,7 @@ object SparkEntry {
       val langs = profiles.map(_._1)
       val greatest = s"greatest(${langs.map("c_" + _).mkString(", ")})"
       val cases = langs.map(l => s"WHEN c_$l = $greatest THEN '$l'").mkString(" ")
-      s"""WITH q AS (SELECT doc_id, lang, list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS tk FROM documents),
+      s"""WITH q AS (SELECT doc_id, lang, list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
          |sc AS (SELECT doc_id, lang,
          |             $counts
          |       FROM q)
@@ -678,17 +723,17 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS ws_tokens,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id""".stripMargin,
 
     "fingerprint_rolling" ->
-      """WITH p AS (SELECT doc_id, substr(text, 1, 200) AS pre FROM documents)
+      """WITH p AS (SELECT doc_id, substr(text, 1, 200) AS pre FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
         |SELECT doc_id,
         |       CAST(list_reduce(list_transform(range(1, len(pre) + 1), i -> CAST(ascii(substr(pre, i, 1)) AS BIGINT)),
         |                        (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS fp
         |FROM p ORDER BY doc_id""".stripMargin,
 
     "multimodal_features" ->
-      """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+      """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
         |w AS (SELECT *, greatest(1, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS wd FROM p)
         |SELECT media_id,
         |       CAST(n AS BIGINT) AS n_bytes,

@@ -102,6 +102,52 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** IVF (inverted-file) cluster assignment — the other scale path for
+    * ANN from the builder brief. Deterministic "centroids" = the
+    * embeddings of the `nCentroids` lowest vec_ids (a k-means iteration
+    * would refine them; assignment plumbing is identical). Each vector
+    * goes to the centroid with the highest cosine (tie → lowest centroid
+    * id). Output: (vec_id, cluster).
+    *
+    * Scale: centroids broadcast; assignment is narrow O(|corpus|·C·dim);
+    * the ANN query then probes only the query's cluster — an equi-join on
+    * `cluster` exactly like the LSH bucket join.
+    */
+  def ivfAssign(embeddings: DataFrame, nCentroids: Int = 8): DataFrame = {
+    val cents = broadcast(embeddings
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
+    val scored = embeddings.select(col("vec_id"), col("embedding"))
+      .crossJoin(cents)
+      .withColumn("cos", cosine(col("embedding"), col("cent")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cent_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cluster"))
+  }
+
+  /** IVF top-k: probe only the query's cluster (nprobe=1). Same contract
+    * as [[bruteForceTopK]]; recall traded for the cluster-bounded join.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 8): DataFrame = {
+    val assigned = ivfAssign(corpus, nCentroids)
+    val cb = assigned.join(corpus, Seq("vec_id"))
+    val qb = broadcast(ivfAssign(queries, nCentroids)
+      .join(queries, Seq("vec_id"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cluster")))
+    val scored = cb.join(qb, Seq("cluster"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .select("query_id", "vec_id", "cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "vec_id", "cos", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets: all pairs
     * sharing a bucket with cosine ≥ threshold. Bucket-bounded (no global
     * cross join). Output: (vec_a, vec_b, cos).

@@ -62,6 +62,21 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.exists { case (a, b, _) => (a, b) == (0L, 4L) })
   }
 
+  test("ivfAssign puts each centroid in its own cluster; ivfTopK scores match brute force") {
+    import spark.implicits._
+    val assign = Similarity.ivfAssign(vecs.select("vec_id", "embedding"), nCentroids = 3)
+      .as[(Long, Long)].collect().toMap
+    (0L to 2L).foreach(c => assert(assign(c) == c)) // a centroid's nearest centroid is itself
+    assert(assign(3L) == 2L) // vec 3 is closest to centroid 2 (both y-dominant)
+    val brute = Similarity.bruteForceTopK(
+      vecs.select("vec_id", "embedding"), vecs.select("vec_id", "embedding"), k = 4)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val ivf = Similarity.ivfTopK(
+      vecs.select("vec_id", "embedding"), vecs.select("vec_id", "embedding"),
+      k = 4, nCentroids = 3).as[(Long, Long, Double, Int)].collect()
+    ivf.foreach { case (q, v, c, _) => assert(math.abs(brute((q, v)) - c) < 1e-12) }
+  }
+
   test("lshTopK returns a subset of brute-force candidates with correct scores") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(
