@@ -321,6 +321,36 @@ object SparkEntry {
         .orderBy("o_custkey")
     }),
 
+    "w3_ntile" -> ((s, dir) => {
+      // quartile bucketing of customers by total spend (ntile window fn)
+      val spend = tbl(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("spend"))
+      val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+      spend.withColumn("quartile", ntile(4).over(w))
+        .orderBy("o_custkey")
+    }),
+
+    "d1_monthly_orders" -> ((s, dir) =>
+      // calendar bucketing: month truncation (UTC) via date_trunc
+      tbl(s, dir, "orders")
+        .withColumn("month_start",
+          unix_micros(date_trunc("month", col("o_orderdate").cast("timestamp"))))
+        .groupBy("month_start")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("month_start")),
+
+    "g6_pivot" -> ((s, dir) => {
+      // pivot event_type counts into columns per user
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      types.foldLeft(p)((df, t) => df.withColumn(t, coalesce(col(t), lit(0L))))
+        .orderBy("user_id")
+    }),
+
     "f7_highlight" -> ((s, dir) =>
       docs(s, dir)
         .select(col("doc_id"),
@@ -592,6 +622,28 @@ object SparkEntry {
         |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders)
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "w3_ntile" ->
+      """WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+        |               FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, spend,
+        |       CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS INTEGER) AS quartile
+        |FROM spend ORDER BY o_custkey""".stripMargin,
+
+    "d1_monthly_orders" ->
+      """SELECT CAST(epoch_us(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "g6_pivot" ->
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "f7_highlight" ->
       """SELECT doc_id, regexp_replace(substr(text, 1, 80), 'merge', '[merge]', 'g') AS hl
