@@ -387,6 +387,34 @@ object SparkEntry {
         .orderBy("bucket_start", "event_type")
     }),
 
+    "stream_dedup_users" -> ((s, dir) => {
+      // streaming stateful dedup (dropDuplicates over the state store),
+      // then distinct-user counts from the drained sink — a streaming
+      // dedup op with a batch-equivalent oracle
+      val dedup = EventStream.dedupUsers(
+        EventStream.readEvents(s, dir, "events.parquet"))
+      EventStream.runToCompletion(s, dedup, "stream_dedup_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    "q3_shipping_priority" -> ((s, dir) =>
+      // TPC-H Q3 shape: selective dims, 3-way join, agg, top-k
+      tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(tbl(s, dir, "orders")
+          .filter(col("o_orderdate").cast("timestamp") < lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(tbl(s, dir, "lineitem")
+          .filter(col("l_shipdate").cast("timestamp") > lit("1998-01-01").cast("timestamp")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)),
+
     // ---- dedup extension family ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir)).orderBy("fingerprint")),
@@ -684,6 +712,24 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_dedup_users" ->
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY o_orderkey
+        |ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_doc_id

@@ -64,14 +64,23 @@ object EventStream {
     * directory equals the batch aggregation over the same files.
     */
   def runToCompletion(spark: SparkSession, streaming: DataFrame,
-      sinkName: String): DataFrame = {
+      sinkName: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = streaming.writeStream
       .format("memory")
       .queryName(sinkName)
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(sinkName)
   }
+
+  /** Streaming exact dedup: first event per (event_type, user_id) key —
+    * `dropDuplicates` backed by the state store, state bounded by the
+    * watermark. The streaming face of [[graft.ext.Dedup.exactGroups]].
+    */
+  def dedupUsers(events: DataFrame, watermark: String = "10 days"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates("event_type", "user_id")
 }
