@@ -169,7 +169,7 @@ object SparkEntry {
       val t = Indexer.build(docs(s, dir).select("doc_id", "text"), stem = false)
       val raw = t.idfValues.withColumn("raw",
         log((lit(t.nDocs.toDouble) - col("doc_freq") + 0.5) / (col("doc_freq") + 0.5)))
-      val avgIdf = raw.agg(avg("raw")).head.getDouble(0)
+      val avgIdf = raw.agg(avg("raw")).head().getDouble(0)
       val okapiIdf = raw
         .select(col("word"),
           when(col("raw") < 0, lit(0.25 * avgIdf)).otherwise(col("raw")).as("idf"))
@@ -284,7 +284,7 @@ object SparkEntry {
       // corpus key range (reference: `nltksearchv1.py:41`); the max is a
       // driver-side scalar (S4 collect), re-entering the plan as a literal
       val d = docs(s, dir)
-      val mx = d.agg(max("doc_id")).head.getLong(0)
+      val mx = d.agg(max("doc_id")).head().getLong(0)
       d.filter(col("doc_id") >= mx / 2)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
@@ -499,6 +499,11 @@ object SparkEntry {
         .select(col("media_id"), col("n_bytes"),
           round(col("mean_byte"), 6).as("mean_byte"), col("width"), col("height"))
         .orderBy("media_id")),
+
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asMediaTable(docs(s, dir)), nFrames = 4)
+        .withColumn("frame_mean", round(col("frame_mean"), 6))
+        .orderBy("media_id", "frame_idx")),
 
     // ---- nested-corpus ingest (CAP fixture; SURVEY.md §2.3) ----
     "s1_corpus_ingest" -> ((s, dir) =>
@@ -839,6 +844,17 @@ object SparkEntry {
         |       CAST(wd AS INTEGER) AS width,
         |       CAST(greatest(1, n // wd) AS INTEGER) AS height
         |FROM w ORDER BY media_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |f AS (SELECT media_id, text, n, n // 4 AS flen, unnest(range(0, 4)) AS frame_idx
+        |      FROM p WHERE n >= 4),
+        |fr AS (SELECT media_id, frame_idx, substr(text, frame_idx * flen + 1, flen) AS frame FROM f)
+        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |       CAST(len(frame) AS BIGINT) AS n_frame_bytes,
+        |       round(CAST(list_aggregate(list_transform(range(1, len(frame) + 1), i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT)), 'sum') AS DOUBLE) / len(frame), 6) AS frame_mean
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
 
     "s1_corpus_ingest" ->
       s"""SELECT id AS doc_id, u.author AS opinion_author, u.type AS opinion_type, CAST(len(u.text) AS BIGINT) AS opinion_len

@@ -71,6 +71,33 @@ object Multimodal {
     }
   }
 
+  /** Frame sampling: split each payload into `nFrames` fixed-length byte
+    * windows (the video/audio "sample every k-th frame" batch shape) and
+    * emit per-frame stats. Pure codegen expressions — `substring` works on
+    * binary — so sampling runs at scan speed; a real decoder would replace
+    * the byte-window arithmetic with codec frame indices.
+    * Output: (media_id, frame_idx, n_frame_bytes, frame_mean).
+    */
+  def sampleFrames(media: DataFrame, nFrames: Int = 4): DataFrame = {
+    val n = octet_length(col("payload"))
+    val flen = expr(s"octet_length(payload) div $nFrames")
+    media
+      .filter(n >= nFrames)
+      .select(col("media_id"), col("payload"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
+      .withColumn("frame", expr(
+        s"substring(payload, frame_idx * (octet_length(payload) div $nFrames) + 1, " +
+          s"octet_length(payload) div $nFrames)"))
+      .select(
+        col("media_id"), col("frame_idx"),
+        octet_length(col("frame")).cast("long").as("n_frame_bytes"),
+        (aggregate(
+          transform(sequence(lit(1), octet_length(col("frame"))),
+            i => ascii(substr(col("frame").cast("string"), i, lit(1))).cast("long")),
+          lit(0L), (acc, x) => acc + x).cast("double") /
+          octet_length(col("frame"))).as("frame_mean"))
+  }
+
   /** Feature extraction over the media table via `mapPartitions` — the
     * batch-per-partition shape a real decoder needs (codec init once per
     * partition, then stream the rows).

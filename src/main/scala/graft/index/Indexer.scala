@@ -82,7 +82,7 @@ object Indexer {
     val flat = flatWords(docs, stem).persist(StorageLevel.MEMORY_AND_DISK)
     val dl = docLengths(flat)
     val n = dl.count()
-    val sumDl = dl.agg(sum("doc_length")).head.getLong(0)
+    val sumDl = dl.agg(sum("doc_length")).head().getLong(0)
     val avgdl = sumDl.toDouble / n
     IndexTables(
       flatWords = flat,
