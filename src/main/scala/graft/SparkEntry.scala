@@ -434,6 +434,16 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir)).orderBy("fingerprint")),
 
+    "dedup_keep_first" -> ((s, dir) => {
+      // the dedup RESULT: corpus filtered to each content group's keeper
+      // (min doc_id) via a broadcast-able semi-join on the fingerprint
+      val d = docs(s, dir)
+      val keepers = Dedup.exactGroups(d).select(col("keeper_doc_id").as("doc_id"))
+      d.join(keepers, Seq("doc_id"), "left_semi")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "dedup_jaccard_adjacent" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = d.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
@@ -754,6 +764,11 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_doc_id
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY md5(text) ORDER BY fingerprint""".stripMargin,
+
+    "dedup_keep_first" ->
+      """SELECT doc_id, lang, source FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |WHERE doc_id IN (SELECT min(doc_id) FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY md5(text))
+        |ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_adjacent" ->
       s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),

@@ -14,10 +14,13 @@ import graft.text.Stopwords
 object TextAnalysis {
 
   /** Lowercase alphabetic tokens (pre-stopword-removal) — the raw token
-    * stream quality metrics are computed over.
+    * stream quality metrics are computed over. Null text yields an empty
+    * array (not null), so downstream `size(...)` is 0, never -1.
     */
   def rawTokens(text: Column): Column =
-    filter(split(lower(text), "[^a-z]+"), w => length(w) > 0)
+    coalesce(
+      filter(split(lower(text), "[^a-z]+"), w => length(w) > 0),
+      typedlit(Seq.empty[String]))
 
   // ---- token counting -----------------------------------------------------
 

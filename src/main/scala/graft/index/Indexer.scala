@@ -111,6 +111,14 @@ object Indexer {
   }
 }
 
+/** Typed rows for the index artifacts (SURVEY.md §1.1) — `Dataset[T]`
+  * views where compile-time safety helps callers (builder brief).
+  */
+final case class Posting(word: String, doc_ids: Seq[Long])
+final case class DocStat(doc_id: Long, doc_length: Long)
+final case class TermFreq(doc_id: Long, word: String, term_freq: Long)
+final case class IdfRow(word: String, doc_freq: Long, idf: Double)
+
 /** The in-memory handle on a built index (SURVEY.md §1.1 artifact set). */
 final case class IndexTables(
     flatWords: DataFrame,
@@ -119,4 +127,23 @@ final case class IndexTables(
     idfValues: DataFrame,
     invertedIndex: DataFrame,
     nDocs: Long,
-    avgdl: Double)
+    avgdl: Double) {
+  import org.apache.spark.sql.Dataset
+
+  def typedDocLengths: Dataset[DocStat] = {
+    val s = docLengths.sparkSession; import s.implicits._
+    docLengths.as[DocStat]
+  }
+  def typedTermFrequencies: Dataset[TermFreq] = {
+    val s = termFrequencies.sparkSession; import s.implicits._
+    termFrequencies.as[TermFreq]
+  }
+  def typedIdfValues: Dataset[IdfRow] = {
+    val s = idfValues.sparkSession; import s.implicits._
+    idfValues.as[IdfRow]
+  }
+  def typedInvertedIndex: Dataset[Posting] = {
+    val s = invertedIndex.sparkSession; import s.implicits._
+    invertedIndex.as[Posting]
+  }
+}

@@ -18,13 +18,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(m._4 == 16.0 / 21) // 16 letters of 21 chars
   }
 
-  test("empty text yields zeroed metrics") {
+  test("empty and null text yield zeroed metrics and 'und' language") {
     import spark.implicits._
-    val df = Seq((1L, "")).toDF("doc_id", "text")
+    val df = Seq((1L, Some("")), (2L, None))
+      .toDF("doc_id", "text")
     val m = TextAnalysis.qualityMetrics(df)
-      .select("n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio")
-      .as[(Long, Double, Double, Double)].head()
-    assert(m == ((0L, 0.0, 0.0, 0.0)))
+      .select("doc_id", "n_tokens", "mean_token_len", "stopword_ratio", "alpha_ratio")
+      .as[(Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(m(1L) == ((0L, 0.0, 0.0, 0.0)))
+    assert(m(2L) == ((0L, 0.0, 0.0, 0.0)))
+    val langs = TextAnalysis.languageId(df)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(langs(1L) == "und" && langs(2L) == "und")
   }
 
   test("language id picks the profile with most marker hits") {

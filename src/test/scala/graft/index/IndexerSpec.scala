@@ -57,6 +57,15 @@ class IndexerSpec extends SparkSpec {
     assert(math.abs(idf("scan")._3 - math.log10(3.0)) < 1e-12)
   }
 
+  test("typed Dataset views expose the artifact rows") {
+    val t = Indexer.build(corpus, stem = false)
+    val postings = t.typedInvertedIndex.collect().map(p => p.word -> p.doc_ids).toMap
+    assert(postings("sort") == Seq(1L, 2L))
+    assert(t.typedDocLengths.collect().map(_.doc_length).sum == 11)
+    assert(t.typedTermFrequencies.collect().forall(_.term_freq >= 1))
+    assert(t.typedIdfValues.collect().forall(r => r.doc_freq >= 1 && r.doc_freq <= 3))
+  }
+
   test("inverted index posting lists sorted") {
     import spark.implicits._
     val inv = Indexer.invertedIndex(Indexer.flatWords(corpus, stem = false))

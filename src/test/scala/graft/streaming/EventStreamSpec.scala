@@ -36,4 +36,51 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed.nonEmpty)
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("watermark drops late events across micro-batches (append mode)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft-late").toString
+    // sink + checkpoint OUTSIDE the watched source dir (the file source
+    // lists recursively — a sink inside would be re-read as input)
+    val outDir = Files.createTempDirectory("graft-late-out").toString
+    def write(name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.map { case (id, sec) =>
+        (id, sec * 1000000000L, 1L, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    def agg() = spark.readStream.schema(EventStream.eventSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("bucket"), col("n"))
+    def run(): Unit = {
+      // memory sink cannot recover from a checkpoint; a parquet sink can
+      val q = agg().writeStream
+        .format("parquet")
+        .option("path", s"$outDir/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$outDir/ckpt") // shared across runs
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // run 1: events at t=1h and t=10h -> watermark checkpointed at 8h
+    write("a", Seq((1L, 3600L), (2L, 36000L)))
+    run()
+    // run 2 (restart from checkpoint): a 9h-late event back at t=1h plus
+    // a fresh event at t=20h (advancing the watermark to 18h, which
+    // flushes the finalized windows)
+    write("b", Seq((3L, 3600L), (4L, 72000L)))
+    run()
+    // cumulative parquet output across both runs: the t=1h window
+    // finalized ONCE with only event 1 — the late event was dropped by
+    // the 2h watermark and never re-opened the window
+    val out = spark.read.parquet(s"$outDir/out").as[(Long, Long)].collect().toSeq
+    assert(out.filter(_._1 == 3600L) == Seq((3600L, 1L)))
+  }
 }
