@@ -270,6 +270,34 @@ object SparkEntry {
         .select("c_custkey")
         .orderBy("c_custkey")),
 
+    "j6_outer_counts" -> ((s, dir) =>
+      // left-outer with null-aware count: customers keep a 0 row when
+      // they have no orders
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total"))
+        .orderBy("c_custkey")),
+
+    "g7_string_agg" -> ((s, dir) =>
+      // ordered distinct string aggregation per group
+      docs(s, dir)
+        .groupBy("lang")
+        .agg(array_join(array_sort(collect_set("source")), ",").as("sources"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")),
+
+    "a5_percentiles" -> ((s, dir) =>
+      // exact interpolated percentiles (median/p90) per segment
+      tbl(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+          round(expr("percentile(c_acctbal, 0.5)"), 6).as("p50"),
+          round(expr("percentile(c_acctbal, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
     "p4_in_filter" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .filter(col("l_returnflag").isin("A", "R"))
@@ -636,6 +664,26 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+
+    "j6_outer_counts" ->
+      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+        |       round(coalesce(sum(o_totalprice), 0.0), 2) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "g7_string_agg" ->
+      """SELECT lang,
+        |       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "a5_percentiles" ->
+      """SELECT c_mktsegment,
+        |       round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
+        |       round(quantile_cont(c_acctbal, 0.9), 6) AS p90,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "p4_in_filter" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
