@@ -546,6 +546,19 @@ object SparkEntry {
         TextAnalysis.rollingFingerprint(col("text"), 200).as("fp"))
         .orderBy("doc_id")),
 
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      // the composed training-data pipeline: quality-gate the corpus,
+      // then keep one doc per exact-content group — the operators above
+      // used the way a 100 TB data-cleaning job chains them
+      val d = docs(s, dir)
+      val quality = TextAnalysis.qualityMetrics(d)
+        .filter(col("n_tokens") >= 20 && col("stopword_ratio") < 0.5)
+      val keepers = Dedup.exactGroups(d).select(col("keeper_doc_id").as("doc_id"))
+      quality.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
     // ---- multimodal plumbing ----
     "multimodal_features" -> ((s, dir) =>
       Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, dir)))
@@ -922,6 +935,23 @@ object SparkEntry {
         |       CAST(wd AS INTEGER) AS width,
         |       CAST(greatest(1, n // wd) AS INTEGER) AS height
         |FROM w ORDER BY media_id""".stripMargin,
+
+    "pipeline_clean_corpus" -> (
+      """WITH d AS (SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |q AS (SELECT doc_id, lang,
+        |             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+        |             CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) > 0
+        |                  THEN CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0), w -> w IN """.stripMargin +
+      Stopwords.sqlInList +
+      """)) AS DOUBLE) / len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0))
+        |                  ELSE 0 END AS stopword_ratio
+        |      FROM d),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text))
+        |SELECT q.doc_id, q.lang, q.n_tokens
+        |FROM q
+        |WHERE q.n_tokens >= 20 AND q.stopword_ratio < 0.5
+        |  AND q.doc_id IN (SELECT doc_id FROM keepers)
+        |ORDER BY q.doc_id""".stripMargin),
 
     "multimodal_frames" ->
       """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n
