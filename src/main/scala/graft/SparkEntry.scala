@@ -61,6 +61,24 @@ object SparkEntry {
 
   private val FixturePath = "/root/repo/src/main/resources/cap_fixture.jsonl"
 
+  /** Scratch dir for query-produced fixtures/artifacts that oracle SQL
+    * must read back (pre-stemmed token fixture, serving artifacts). The
+    * producing query writes here FIRST, then both engines read the same
+    * files — so the oracle tracks whatever sfDir the gate ran, with no
+    * hardcoded scale factor in the derived data.
+    */
+  private val WorkDir = "/root/repo/work"
+  private val StemmedFlatPath = s"$WorkDir/stemmed_flat.parquet"
+  private val ArtifactsPath = s"$WorkDir/artifacts"
+
+  /** Query terms for the stemmed BM25 path, stemmed ONCE driver-side (the
+    * oracle never stems — SURVEY.md §5: it scores the pre-stemmed fixture
+    * with these literals embedded).
+    */
+  private val StemmedTerms: Seq[String] =
+    Tokenizer.tokenize("sorted merges tables quickly", stem = true).distinct
+  private val StemmedTermsSql = StemmedTerms.map(t => s"'$t'").mkString(", ")
+
   // ---- shared DuckDB SQL fragments (must mirror the Scala semantics) ----
 
   private val stopSql = Stopwords.sqlInList
@@ -100,11 +118,26 @@ object SparkEntry {
     * (g1–g5, tok_*) deliberately do NOT use this cache: they measure the
     * indexing pipeline itself.
     */
+  private val MaxCachedIndexes = 4
   private val indexCache =
-    scala.collection.mutable.Map.empty[(String, Boolean), graft.index.IndexTables]
+    scala.collection.mutable.LinkedHashMap.empty[(String, String, Boolean), graft.index.IndexTables]
   private def builtIndex(s: SparkSession, dir: String, stem: Boolean): graft.index.IndexTables =
     indexCache.synchronized {
-      indexCache.getOrElseUpdate((dir, stem),
+      // key includes the owning session (r2 ADVICE): a restarted session
+      // must not be served tables bound to a stopped one. Bounded FIFO —
+      // evicted entries unpersist their flat-words cache so a long-lived
+      // session does not leak persisted RDDs.
+      val sessionKey = System.identityHashCode(s).toString
+      indexCache.filterInPlace { case ((sk, _, _), t) =>
+        sk == sessionKey || { t.flatWords.unpersist(false); false }
+      }
+      val key = (sessionKey, dir, stem)
+      if (!indexCache.contains(key) && indexCache.size >= MaxCachedIndexes) {
+        val (oldKey, old) = indexCache.head
+        old.flatWords.unpersist(false)
+        indexCache.remove(oldKey)
+      }
+      indexCache.getOrElseUpdate(key,
         Indexer.build(docs(s, dir).select("doc_id", "text"), stem))
     }
 
@@ -120,6 +153,23 @@ object SparkEntry {
   /** DuckDB literal for a hyperplane weight vector (sim_lsh_buckets). */
   private def planeSql(j: Int): String =
     Similarity.planeWeights(j, 64).mkString("CAST([", ", ", "] AS DOUBLE[])")
+
+  /** DuckDB mirror of [[Dedup.md5Hash60]]: first 15 hex digits of md5 as a
+    * BIGINT (same trick the dedup_simhash oracle uses — DuckDB has no
+    * `conv`, so fold the hex chars).
+    */
+  private def md5Hash60Sql(e: String): String =
+    s"list_reduce(list_transform(string_split(substr(md5($e), 1, 15), ''), " +
+      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+
+  /** Hashed 3-shingle sets per doc — mirrors `Dedup.shingleRows(k=3,
+    * hashed=true)` → `collect_list`: tokenize, stitch 3-grams, md5Hash60
+    * each, distinct per doc.
+    */
+  private val hashedShingleCtes: String =
+    s"""toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+       |shr AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g FROM toks WHERE len(t) >= 3),
+       |sh AS (SELECT doc_id, list(DISTINCT ${md5Hash60Sql("g")}) AS s FROM shr GROUP BY doc_id)""".stripMargin
 
   // ---------------------------------------------------------------------
   // queries
@@ -147,7 +197,12 @@ object SparkEntry {
     }),
 
     "g1_inverted_index" -> ((s, dir) =>
+      // posting list exported as a comma-joined string: the driver's
+      // pandas comparator cannot hash array cells (r2's only red row);
+      // array_join/array_to_string are order-preserving so the sorted
+      // posting list semantics are unchanged
       Indexer.invertedIndex(Indexer.flatWords(docs(s, dir), stem = false))
+        .select(col("word"), array_join(col("doc_ids"), ",").as("doc_ids"))
         .orderBy("word")),
 
     "g5_scoring_params" -> ((s, dir) =>
@@ -195,11 +250,15 @@ object SparkEntry {
     }),
 
     "bm25_search_stemmed" -> ((s, dir) => {
-      // stemmed end-to-end path (PorterStemmer kernel); no SQL oracle —
-      // correctness pinned by ScalaTest goldens (SURVEY.md §5)
-      val t = builtIndex(s, dir, stem = true)
-      val terms = Tokenizer.tokenize("sorted merges tables quickly", stem = true).distinct
-      Search.scoreTerms(t, terms)
+      // stemmed end-to-end path (PorterStem codegen kernel). The oracle
+      // cannot stem, so — SURVEY.md §5's pre-tokenized-fixture plan — the
+      // stemmer runs once here, the flat (doc_id, word) table is exported
+      // to Parquet, and BOTH engines build index + BM25 from those same
+      // rows (query terms pre-stemmed driver-side on both sides too).
+      Indexer.flatWords(docs(s, dir).select("doc_id", "text"), stem = true)
+        .write.mode("overwrite").parquet(StemmedFlatPath)
+      val t = Indexer.buildFromFlat(s.read.parquet(StemmedFlatPath))
+      Search.scoreTerms(t, StemmedTerms)
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(10)
@@ -481,13 +540,17 @@ object SparkEntry {
     }),
 
     "dedup_minhash" -> ((s, dir) =>
-      // MinHash-LSH banded candidate generation + exact-Jaccard verify;
-      // no SQL oracle (signature permutations) — ScalaTest pins semantics
-      Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16)
-        .withColumn("est_jaccard", round(col("est_jaccard"), 6))
-        .withColumn("jaccard", round(col("jaccard"), 6))
-        .orderBy(col("jaccard").desc, col("doc_a").asc, col("doc_b").asc)
-        .limit(100)),
+      // MinHash-LSH banded candidate generation + exact-Jaccard verify at
+      // threshold 0.8. Fully oracle-checked (r2 VERDICT item 4): with
+      // (bands=16, r=2) recall at j≥0.8 is 1-(1-j²)^16 ≈ 1-8e-8 and the
+      // permutations are fixed constants, so the verified pair set
+      // deterministically equals the exact all-pairs j≥0.8 set — which is
+      // what the DuckDB oracle computes (500 docs at gate scale). The
+      // signature-internal est_jaccard is pinned by DedupSpec instead.
+      Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16,
+          threshold = 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir)).orderBy("doc_id")),
@@ -503,8 +566,12 @@ object SparkEntry {
     }),
 
     "sim_ivf_assign" -> ((s, dir) =>
+      // real IVF (r2 VERDICT item 8): seed centroids refined by one Lloyd
+      // iteration (assign → per-cluster means, rounded 6dp for
+      // cross-engine determinism → reassign); oracle mirrors the same
+      // fixed iteration
       Similarity.ivfAssign(tbl(s, dir, "embeddings").select("vec_id", "embedding"),
-        nCentroids = 8)
+        nCentroids = 8, lloydIters = 1)
         .orderBy("vec_id")),
 
     "sim_lsh_buckets" -> ((s, dir) =>
@@ -513,11 +580,16 @@ object SparkEntry {
         .orderBy("bucket")),
 
     "sim_neardup_pairs" -> ((s, dir) =>
-      // embedding-cosine near-dup inside LSH buckets; rows-only check
-      Similarity.cosineNearDupPairs(tbl(s, dir, "embeddings"), threshold = -1.0)
+      // embedding-cosine near-dup pairs inside capped LSH buckets, fully
+      // oracle-checked (r2 VERDICT item 3). The synthetic embeddings are
+      // random — max ALL-pairs cosine ≈ 0.51 at sf0.01 — so the demo
+      // threshold sits in the observed upper tail (≥ 0.35 → 13 rows);
+      // real corpora with planted near-dups would run ≥ 0.8.
+      Similarity.cosineNearDupPairs(
+          tbl(s, dir, "embeddings").select("vec_id", "embedding"),
+          threshold = 0.35)
         .withColumn("cos", round(col("cos"), 6))
-        .orderBy(col("cos").desc, col("vec_a").asc, col("vec_b").asc)
-        .limit(50)),
+        .orderBy("vec_a", "vec_b")),
 
     // ---- text-analysis extension family ----
     "text_quality" -> ((s, dir) =>
@@ -580,7 +652,37 @@ object SparkEntry {
 
     "u4_concat_opinions" -> ((s, dir) =>
       CorpusSource.concatOpinions(CorpusSource.readJsonl(s, FixturePath))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    "opinion_text_first" -> ((s, dir) =>
+      // the reference's seventh artifact (opinion_text.parquet,
+      // pyapp.py:37,114): deterministic per-case display text — first
+      // opinion by array position (r2 VERDICT "What's missing" #1)
+      CorpusSource.firstOpinionText(CorpusSource.readJsonl(s, FixturePath))
+        .orderBy("doc_id")),
+
+    "serve_from_artifacts" -> ((s, dir) => {
+      // the reference's ACTUAL serving mode (pyapp.py:30-37): artifacts
+      // prebuilt on disk, the app loads them and never re-indexes. Write
+      // all seven artifacts (incl. the display-text table), load them
+      // back, score, and join snippets from the LOADED text artifact —
+      // result must be bitwise-identical to the build-then-search path,
+      // so the oracle is the t1_search_snippet SQL.
+      val t = builtIndex(s, dir, stem = false)
+      Indexer.writeArtifacts(s, t, ArtifactsPath,
+        opinionText = Some(docs(s, dir)
+          .select(col("doc_id"), col("text").as("opinion_text"))))
+      val loaded = Indexer.loadArtifacts(s, ArtifactsPath)
+      val top = Search.scoreTerms(loaded, SearchTerms)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+      broadcast(top)
+        .join(s.read.parquet(s"$ArtifactsPath/opinion_text.parquet"), Seq("doc_id"))
+        .withColumn("snippet", Search.snippet(col("opinion_text"), 160))
+        .select("doc_id", "score", "snippet")
+        .orderBy(col("score").desc, col("doc_id").asc)
+    })
   )
 
   // ---------------------------------------------------------------------
@@ -602,7 +704,7 @@ object SparkEntry {
       s"WITH $indexCtes SELECT word, doc_freq, round(idf, 6) AS idf FROM idf ORDER BY word",
 
     "g1_inverted_index" ->
-      s"WITH $indexCtes SELECT word, list_sort(list(DISTINCT doc_id)) AS doc_ids FROM flat GROUP BY word ORDER BY word",
+      s"WITH $indexCtes SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids FROM flat GROUP BY word ORDER BY word",
 
     "g5_scoring_params" ->
       s"WITH $indexCtes SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats",
@@ -625,6 +727,25 @@ object SparkEntry {
          |  WHERE t.word IN ($SearchTermsSql)
          |  GROUP BY t.doc_id)
          |SELECT doc_id, round(s, 4) AS score FROM scored2
+         |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
+
+    "bm25_search_stemmed" ->
+      // scores the pre-stemmed fixture the Spark query exported (SURVEY §5)
+      // — same CTE shapes as bm25Ctes, but `flat` comes from the fixture
+      // and the IN-list is the pre-stemmed terms; the oracle never stems
+      s"""WITH flat AS (SELECT doc_id, word FROM read_parquet('$StemmedFlatPath/*.parquet')),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_length FROM flat GROUP BY doc_id),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS term_freq FROM flat GROUP BY doc_id, word),
+         |idf AS (SELECT word, log10((SELECT count(*) FROM dl) * 1.0 / count(DISTINCT doc_id)) AS idf FROM flat GROUP BY word),
+         |stats AS (SELECT sum(doc_length) * 1.0 / count(*) AS avgdl FROM dl),
+         |scored AS (
+         |  SELECT t.doc_id,
+         |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
+         |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+         |  WHERE t.word IN ($StemmedTermsSql)
+         |  GROUP BY t.doc_id)
+         |SELECT doc_id, round(s, 4) AS score FROM scored
          |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
 
     "t1_search_snippet" ->
@@ -832,13 +953,23 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "dedup_jaccard_adjacent" ->
-      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-         |       FROM toks WHERE len(t) >= 3)
+      // shingles md5Hash60-hashed on BOTH sides (r2 bench hotspot fix):
+      // identical Jaccard, but set-ops move 8-byte values
+      s"""WITH $hashedShingleCtes
          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
          |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          |ORDER BY doc_a""".stripMargin,
+
+    "dedup_minhash" ->
+      // exact all-pairs Jaccard ≥ 0.8 over hashed shingle sets — equals
+      // the LSH-verified pair set (recall 1-(1-j²)^16 at the 500-doc gate)
+      s"""WITH $hashedShingleCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
@@ -866,15 +997,43 @@ object SparkEntry {
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_ivf_assign" ->
-      """WITH c AS (SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS ce FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id < 8),
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
-        |s AS (SELECT vec_id, cent_id,
-        |             list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
-        |      FROM v CROSS JOIN c),
-        |r AS (SELECT vec_id, cent_id,
-        |             row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
-        |      FROM s)
-        |SELECT vec_id, cent_id AS cluster FROM r WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+      // one Lloyd iteration mirrored: seed assign → per-cluster per-dim
+      // means rounded to 6dp (kills distributed-vs-single-node double
+      // summation-order ulps) → final assign
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
+        |s0 AS (SELECT vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM v CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |comp AS (SELECT a0.cluster AS cent_id, r.i AS pos, round(avg(v.ve[r.i]), 6) AS m
+        |         FROM a0 JOIN v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+        |         GROUP BY a0.cluster, r.i),
+        |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp GROUP BY cent_id),
+        |s1 AS (SELECT vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM v CROSS JOIN c1),
+        |r1 AS (SELECT vec_id, cent_id,
+        |              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        |       FROM s1)
+        |SELECT vec_id, cent_id AS cluster FROM r1 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "sim_neardup_pairs" -> {
+      val terms = (0 until 8).map { j =>
+        s"(CASE WHEN list_dot_product(e, ${planeSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+         |b AS (SELECT vec_id, e, CAST($terms AS BIGINT) AS bucket FROM d),
+         |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) BETWEEN 2 AND 1000),
+         |p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         |             list_dot_product(x.e, y.e) / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos
+         |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+         |      WHERE x.bucket IN (SELECT bucket FROM ok))
+         |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.35
+         |ORDER BY vec_a, vec_b""".stripMargin
+    },
 
     "sim_lsh_buckets" -> {
       val terms = (0 until 8).map { j =>
@@ -971,6 +1130,21 @@ object SparkEntry {
 
     "u4_concat_opinions" ->
       s"""SELECT id AS doc_id, coalesce(array_to_string(list_transform(casebody.data.opinions, o -> o.text), ' '), '') AS full_text
-         |FROM read_json_auto('$FixturePath') ORDER BY doc_id""".stripMargin
+         |FROM read_json_auto('$FixturePath') ORDER BY doc_id""".stripMargin,
+
+    "opinion_text_first" ->
+      s"""SELECT id AS doc_id, casebody.data.opinions[1].text AS opinion_text
+         |FROM read_json_auto('$FixturePath')
+         |WHERE len(casebody.data.opinions) > 0
+         |ORDER BY doc_id""".stripMargin,
+
+    "serve_from_artifacts" ->
+      // identical to t1_search_snippet: loading artifacts must not change
+      // a single bit of the search result
+      s"""WITH $bm25Ctes
+         |SELECT t.doc_id, t.score,
+         |       CASE WHEN len(d.text) > 160 THEN substr(d.text, 1, 160) || '...' ELSE d.text END AS snippet
+         |FROM top10 t JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
+         |ORDER BY t.score DESC, t.doc_id""".stripMargin
   )
 }

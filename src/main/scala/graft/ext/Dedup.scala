@@ -54,8 +54,18 @@ object Dedup {
     * [[graft.index.Indexer.flatWords]]). Documents with fewer than k
     * tokens produce no rows. Scale: one shuffle on doc_id (window sort),
     * then a distinct hash-aggregate; all codegen.
+    *
+    * With `hashed = true` each shingle is reduced to its [[md5Hash60]]
+    * long IMMEDIATELY after assembly, so the distinct aggregate — and
+    * every downstream shuffle / collect_list / set operation — moves
+    * 8-byte values instead of multi-word strings. Jaccard over hashed
+    * shingles equals Jaccard over the strings mod negligible 60-bit
+    * collisions, and the identical hash is computable in DuckDB, so
+    * oracles stay exact. This was the r2 bench's #1 hotspot (VERDICT.md:
+    * `dedup_jaccard_adjacent` shuffled raw 3-gram strings twice).
     */
-  def shingleRows(docs: DataFrame, k: Int = 3, stem: Boolean = false): DataFrame = {
+  def shingleRows(docs: DataFrame, k: Int = 3, stem: Boolean = false,
+      hashed: Boolean = false): DataFrame = {
     val raw = docs
       .select(col("doc_id"),
         posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("pos", "w")))
@@ -69,18 +79,22 @@ object Dedup {
       df.withColumn(s"w$o", lead(col("w"), o).over(win))
     }
     val parts = col("w") +: (1 until k).map(o => col(s"w$o"))
-    withNext
+    val assembled = withNext
       .filter(col(s"w${k - 1}").isNotNull)
       .select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"))
-      .distinct()
+    val narrow =
+      if (hashed) assembled.select(col("doc_id"), md5Hash60(col("shingle")).as("shingle"))
+      else assembled
+    narrow.distinct()
   }
 
   /** Distinct k-shingle set per document as an array column (for
     * set-algebra Jaccard); array order is nondeterministic — treat as a
     * set (intersect/union only).
     */
-  def shingles(docs: DataFrame, k: Int = 3, stem: Boolean = false): DataFrame =
-    shingleRows(docs, k, stem)
+  def shingles(docs: DataFrame, k: Int = 3, stem: Boolean = false,
+      hashed: Boolean = false): DataFrame =
+    shingleRows(docs, k, stem, hashed)
       .groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
 
   // Fixed MinHash permutation family h_i(x) = (a_i * x + b_i) mod p —
@@ -148,12 +162,14 @@ object Dedup {
     // shingle rows and signatures feed multiple branches (both join sides,
     // bucket-size counts, exact verify) — persist once instead of
     // recomputing the tokenize→window pipeline per branch (SURVEY.md §3.2
-    // lesson applied here; these tables are small relative to the corpus)
-    val shr = shingleRows(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
-    val sh = shr.groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val sig = minhashSignatures(shr, numHashes)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // lesson applied here; these tables are small relative to the corpus).
+    // Persists go through the Caches registry so the harness can unpersist
+    // after each query (r2 VERDICT "cache hygiene"). Shingles are hashed to
+    // longs up front — every downstream shuffle/set-op moves 8-byte values.
+    val shr = graft.Caches.persist(shingleRows(docs, k, hashed = true))
+    val sh = graft.Caches.persist(
+      shr.groupBy("doc_id").agg(collect_list("shingle").as("shingles")))
+    val sig = graft.Caches.persist(minhashSignatures(shr, numHashes))
 
     val banded = sig.select(col("doc_id"), col("sig"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
@@ -200,12 +216,16 @@ object Dedup {
 
   /** Exact n-gram Jaccard for an explicit pair set: joins `pairs`
     * (doc_a, doc_b) to the shingle table twice — pair-bounded, never a
-    * cross join. Output: (doc_a, doc_b, jaccard).
+    * cross join. Shingles are md5Hash60-hashed by default (see
+    * [[shingleRows]]): set-ops over long arrays instead of string arrays,
+    * same Jaccard mod negligible collisions, DuckDB-mirrorable exactly.
+    * Output: (doc_a, doc_b, jaccard).
     */
-  def jaccardForPairs(docs: DataFrame, pairs: DataFrame, k: Int = 3): DataFrame = {
-    // referenced by both join sides — persist to avoid rebuilding the
-    // tokenize→window shingle pipeline twice
-    val sh = shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+  def jaccardForPairs(docs: DataFrame, pairs: DataFrame, k: Int = 3,
+      hashed: Boolean = true): DataFrame = {
+    // referenced by both join sides — persist (registry-tracked) to avoid
+    // rebuilding the tokenize→window shingle pipeline twice
+    val sh = graft.Caches.persist(shingles(docs, k, hashed = hashed))
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))

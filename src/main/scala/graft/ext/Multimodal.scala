@@ -77,6 +77,14 @@ object Multimodal {
     * binary — so sampling runs at scan speed; a real decoder would replace
     * the byte-window arithmetic with codec frame indices.
     * Output: (media_id, frame_idx, n_frame_bytes, frame_mean).
+    *
+    * CONTRACT (r2 ADVICE): `frame_mean` assumes ASCII payloads — the
+    * windows are sliced by BYTE, but the mean is computed by casting the
+    * window to string and reading character codes, which diverges from the
+    * true byte mean when a window splits a multibyte UTF-8 sequence. The
+    * stub media fixtures are ASCII by construction ([[asMediaTable]] over
+    * the synthetic corpus); a real decoder replaces this stat with decoded
+    * frame features, so the byte/char distinction dies with the stub.
     */
   def sampleFrames(media: DataFrame, nFrames: Int = 4): DataFrame = {
     val n = octet_length(col("payload"))

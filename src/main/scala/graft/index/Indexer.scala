@@ -58,7 +58,18 @@ object Indexer {
   def termFrequencies(flat: DataFrame): DataFrame =
     flat.groupBy("doc_id", "word").agg(count(lit(1)).as("term_freq"))
 
-  /** word → sorted posting list. Reference: `searchenginespark.py:114`. */
+  /** word → sorted posting list. Reference: `searchenginespark.py:114`.
+    *
+    * Content note (r2 ADVICE): the reference builds this artifact with
+    * `collect_list` — duplicate doc_id per occurrence, partition-dependent
+    * order. We deliberately emit `array_sort(collect_set(...))`: postings
+    * are deduplicated and sorted, which is (a) deterministic run-to-run
+    * and (b) the shape every consumer here wants (membership, merge-join).
+    * Per-occurrence multiplicity is not lost — it lives in
+    * [[termFrequencies]], which is where the reference itself reads TF
+    * from (`pyapp.py:94`). So the artifact differs from the reference's
+    * bytes but not from its information content.
+    */
   def invertedIndex(flat: DataFrame): DataFrame =
     flat.groupBy("word")
       .agg(array_sort(collect_set("doc_id")).as("doc_ids"))
@@ -94,11 +105,35 @@ object Indexer {
       avgdl = avgdl)
   }
 
+  /** Build an index from an ALREADY-TOKENIZED (doc_id, word) table — the
+    * pre-stemmed-fixture path (SURVEY.md §5): the stemmer runs once to
+    * produce the flat table (e.g. written to Parquet), and both this
+    * engine and a SQL oracle that cannot stem score from the same rows.
+    */
+  def buildFromFlat(flat: DataFrame): IndexTables = {
+    val f = graft.Caches.persist(flat)
+    val dl = docLengths(f)
+    val n = dl.count()
+    val sumDl = dl.agg(sum("doc_length")).head().getLong(0)
+    IndexTables(
+      flatWords = f,
+      docLengths = dl,
+      termFrequencies = termFrequencies(f),
+      idfValues = docFreqIdf(f, n),
+      invertedIndex = invertedIndex(f),
+      nDocs = n,
+      avgdl = sumDl.toDouble / n)
+  }
+
   /** Persist every artifact as Parquet (reference artifact layout,
     * SURVEY.md §1.1; S3 sink op). scoring_params is the reference's 1-row
-    * table (`scoring_params.parquet`, avgdl only).
+    * table (`scoring_params.parquet`, avgdl only). `opinionText`, when
+    * given, is the reference's seventh artifact — the per-document display
+    * text the serving app joins search hits against
+    * (`opinion_text.parquet`, `pyapp.py:37,114`).
     */
-  def writeArtifacts(spark: SparkSession, t: IndexTables, outDir: String): Unit = {
+  def writeArtifacts(spark: SparkSession, t: IndexTables, outDir: String,
+      opinionText: Option[DataFrame] = None): Unit = {
     def w(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     w(t.flatWords, "flat_words")
@@ -108,6 +143,26 @@ object Indexer {
     w(t.invertedIndex, "inverted_index")
     import spark.implicits._
     w(Seq(t.avgdl).toDF("avgdl"), "scoring_params")
+    opinionText.foreach(w(_, "opinion_text"))
+  }
+
+  /** The reference's serving mode (`pyapp.py:30-37`): load the prebuilt
+    * on-disk artifacts — never re-index. avgdl comes from the 1-row
+    * scoring_params table; nDocs is one count over the (tiny) doc_lengths
+    * artifact. The idf doubles round-trip Parquet exactly, so scores from
+    * a loaded index are bitwise equal to scores from the built one.
+    */
+  def loadArtifacts(spark: SparkSession, dir: String): IndexTables = {
+    def r(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+    val dl = r("doc_lengths")
+    IndexTables(
+      flatWords = r("flat_words"),
+      docLengths = dl,
+      termFrequencies = r("term_frequencies"),
+      idfValues = r("idf_values"),
+      invertedIndex = r("inverted_index"),
+      nDocs = dl.count(),
+      avgdl = r("scoring_params").head().getDouble(0))
   }
 }
 

@@ -41,7 +41,12 @@ object StreamingSessionizer {
         out += SessionOut(userId, cur.sessionSeq, cur.nEvents, cur.tStart, cur.tEnd)
         cur = SessionState(cur.sessionSeq + 1, 1L, e.us, e.us)
       } else {
-        cur = cur.copy(nEvents = cur.nEvents + 1, tEnd = e.us)
+        // clamp with min/max: an event from a LATER micro-batch can be
+        // late-but-within-gap (us < tEnd) — naive assignment would shrink
+        // the session bounds (r2 ADVICE; latent under single-batch runs)
+        cur = cur.copy(nEvents = cur.nEvents + 1,
+          tStart = math.min(cur.tStart, e.us),
+          tEnd = math.max(cur.tEnd, e.us))
       }
     }
     if (cur != null) state.update(cur)
