@@ -18,6 +18,19 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
+    // JIT/codegen warmup: one full pass over every query at the smallest
+    // scale factor (JMH-style warmup iteration). First executions are
+    // dominated by one-time Janino compilation of each operator's
+    // generated code + JIT of the interpreter paths — fixed session costs
+    // a long-lived engine pays once, not per query. The timed sf runs
+    // below then measure the plans themselves. All warmup caches are
+    // dropped so the timed runs do their own (sf-correct) work.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+      Caches.clearPersisted()
+    }
+    spark.catalog.clearCache()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -193,12 +193,16 @@ object Similarity {
     */
   def cosineNearDupPairs(embeddings: DataFrame, threshold: Double,
       planes: Int = 8, dim: Int = 64, maxBucketSize: Int = 1000): DataFrame = {
-    val bk = lshBuckets(embeddings, planes, dim)
+    // persist (registry-tracked): the bucket table feeds the size filter
+    // and both self-join sides — without it the `planes` interpreted
+    // hyperplane dots would re-run once per branch
+    val bk = graft.Caches.persist(lshBuckets(embeddings, planes, dim))
     val okBuckets = bk.groupBy("bucket")
       .agg(count(lit(1)).as("bucket_n"))
       .filter(col("bucket_n").between(2, maxBucketSize))
       .select("bucket")
-    val b = bk.join(okBuckets, Seq("bucket")).join(embeddings, Seq("vec_id"))
+    val b = graft.Caches.persist(
+      bk.join(okBuckets, Seq("bucket")).join(embeddings, Seq("vec_id")))
     val l = b.select(col("bucket"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val r = b.select(col("bucket"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     l.join(r, Seq("bucket"))

@@ -77,6 +77,67 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, v, c, _) => assert(math.abs(brute((q, v)) - c) < 1e-12) }
   }
 
+  test("cosineNearDupPairs drops degenerate buckets beyond maxBucketSize") {
+    import spark.implicits._
+    // plane 0 weights for dim=3 are (-8, 6, 3): every vector below has a
+    // positive dot product, so all five share one bucket of size 5
+    val crowd = Seq(
+      (0L, Seq(0.0f, 1.0f, 0.0f)),
+      (1L, Seq(0.0f, 0.9f, 0.1f)),
+      (2L, Seq(0.0f, 0.8f, 0.2f)),
+      (3L, Seq(0.0f, 1.0f, 1.0f)),
+      (4L, Seq(0.0f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val capped = Similarity.cosineNearDupPairs(crowd, threshold = -1.0,
+      planes = 1, dim = 3, maxBucketSize = 4)
+    assert(capped.count() == 0) // bucket of 5 exceeds the cap -> dropped
+    val uncapped = Similarity.cosineNearDupPairs(crowd, threshold = -1.0,
+      planes = 1, dim = 3, maxBucketSize = 10)
+    assert(uncapped.count() == 10) // C(5,2) pairs, each met exactly once
+  }
+
+  test("one Lloyd iteration refines centroids; separated data is a fixed point") {
+    import spark.implicits._
+    // exactly one vector per seed cluster: means == the seeds, so one
+    // iteration must not change the assignment
+    val axes = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val a0 = Similarity.ivfAssign(axes, nCentroids = 3, lloydIters = 0)
+      .as[(Long, Long)].collect().toMap
+    val a1 = Similarity.ivfAssign(axes, nCentroids = 3, lloydIters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(a0 == a1)
+    // on the mixed set the y-dominant vectors (2, 3) must stay co-clustered
+    // after refinement (their cluster's mean is still y-dominant)
+    val refined = Similarity.ivfAssign(vecs.select("vec_id", "embedding"),
+      nCentroids = 3, lloydIters = 1).as[(Long, Long)].collect().toMap
+    assert(refined.size == 5)
+    assert(refined(2L) == refined(3L))
+  }
+
+  test("ivfTopK recall vs brute force on separated clusters") {
+    import spark.implicits._
+    // 60 vectors in 3 well-separated axis clusters (vec i -> axis i%3, so
+    // the seed centroids 0,1,2 land one per cluster); nprobe=1 IVF should
+    // recover nearly all true neighbors
+    val dim = 6
+    val data = (0 until 60).map { i =>
+      val axis = i % 3
+      val emb = (0 until dim).map { d =>
+        (if (d == axis) 1.0f else 0.0f) + ((i * 7 + d * 3) % 11) / 50.0f
+      }
+      (i.toLong, emb)
+    }.toDF("vec_id", "embedding")
+    val queries = data.filter(col("vec_id") < 6)
+    val brute = Similarity.bruteForceTopK(data, queries, k = 3)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    val ivf = Similarity.ivfTopK(data, queries, k = 3, nCentroids = 3)
+      .as[(Long, Long, Double, Int)].collect().map(r => (r._1, r._2)).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall; brute=$brute ivf=$ivf")
+  }
+
   test("lshTopK returns a subset of brute-force candidates with correct scores") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(

@@ -8,14 +8,15 @@ import graft.SparkSpec
   */
 class ArtifactsSpec extends SparkSpec {
 
-  test("writeArtifacts round-trips the seven artifact tables") {
+  test("writeArtifacts round-trips all seven artifact tables") {
     import spark.implicits._
     val corpus = Seq(
       (1L, "merge sort merge"),
       (2L, "hash join sort")).toDF("doc_id", "text")
     val t = Indexer.build(corpus, stem = false)
     val dir = Files.createTempDirectory("graft-artifacts").toString
-    Indexer.writeArtifacts(spark, t, dir)
+    Indexer.writeArtifacts(spark, t, dir, opinionText = Some(
+      corpus.select($"doc_id", $"text".as("opinion_text"))))
 
     def n(name: String): Long = spark.read.parquet(s"$dir/$name.parquet").count()
     assert(n("flat_words") == 6)
@@ -23,8 +24,28 @@ class ArtifactsSpec extends SparkSpec {
     assert(n("term_frequencies") == 5)
     assert(n("idf_values") == 4)
     assert(n("inverted_index") == 4)
+    assert(n("opinion_text") == 2) // the reference's seventh artifact
     val params = spark.read.parquet(s"$dir/scoring_params.parquet")
       .as[Double].collect()
     assert(params.toSeq == Seq(3.0)) // avgdl = (3 + 3) / 2
+  }
+
+  test("loadArtifacts serves an index identical to the built one") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "merge sort merge table scan"),
+      (2L, "hash join sort table"),
+      (3L, "scan scan merge")).toDF("doc_id", "text")
+    val built = Indexer.build(corpus, stem = false)
+    val dir = Files.createTempDirectory("graft-serve").toString
+    Indexer.writeArtifacts(spark, built, dir)
+    val loaded = Indexer.loadArtifacts(spark, dir)
+
+    assert(loaded.nDocs == built.nDocs)
+    assert(loaded.avgdl == built.avgdl) // double round-trips parquet exactly
+    def score(t: IndexTables) = graft.search.Search
+      .scoreTerms(t, Seq("merge", "scan"))
+      .as[(Long, Double)].collect().toSeq
+    assert(score(loaded) == score(built)) // bitwise-equal scores
   }
 }
