@@ -4,11 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
+import graft.ext.{AsOfJoin, Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
 import graft.index.Indexer
 import graft.search.{BM25, Search}
 import graft.sources.CorpusSource
-import graft.streaming.EventStream
+import graft.streaming.{EventStream, StreamingSessionizer}
 import graft.text.{Stopwords, Tokenizer}
 
 /** Driver contract — one `queries` entry per implemented operator from
@@ -161,6 +161,24 @@ object SparkEntry {
   private def md5Hash60Sql(e: String): String =
     s"list_reduce(list_transform(string_split(substr(md5($e), 1, 15), ''), " +
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+
+  /** SimHash fingerprints per doc (shv CTE) — mirrors [[Dedup.simhash]]:
+    * md5Hash60 per distinct token, tf-weighted ±1 per bit, 60-bit
+    * reassembly. Shared by the dedup_simhash and dedup_simhash_near
+    * oracles.
+    */
+  private val simhashCtes: String =
+    s"""toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+       |flat AS (SELECT doc_id, unnest(t) AS word FROM toks),
+       |wh AS (SELECT word, list_reduce(list_transform(string_split(substr(md5(word), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
+       |       FROM (SELECT DISTINCT word FROM flat)),
+       |contrib AS (SELECT f.doc_id, r.bit,
+       |                   CASE WHEN ((wh.h >> r.bit) & 1) = 1 THEN 1 ELSE -1 END AS c
+       |            FROM flat f JOIN wh ON f.word = wh.word
+       |            CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) r),
+       |bits AS (SELECT doc_id, bit, sum(c) AS sc FROM contrib GROUP BY doc_id, bit),
+       |shv AS (SELECT doc_id, CAST(sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+       |        FROM bits GROUP BY doc_id)""".stripMargin
 
   /** Hashed 3-shingle sets per doc — mirrors `Dedup.shingleRows(k=3,
     * hashed=true)` → `collect_list`: tokenize, stitch 3-grams, md5Hash60
@@ -480,6 +498,38 @@ object SparkEntry {
       Sessions.jsonPropAgg(events(s, dir))
         .orderBy("event_type")),
 
+    "asof_latest_order" -> ((s, dir) => {
+      // point-in-time enrichment: each event carries the user's most
+      // recent order at-or-before the event (kdb/pandas/DuckDB "ASOF"),
+      // composed as union + one window pass — no range cross-join. The
+      // right side is pre-deduped per (key, time) with max(o_orderkey) so
+      // both engines pick deterministically among equal-time orders.
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ets"))
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+          col("o_orderkey"))
+        .groupBy("user_id", "ots")
+        .agg(max("o_orderkey").as("last_orderkey"))
+      AsOfJoin.backward(e, o, key = "user_id",
+          leftTime = "ets", rightTime = "ots", carry = Seq("last_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ets"),
+          col("last_orderkey"), (col("ets") - col("asof_time")).as("us_since_order"))
+        .orderBy("event_id")
+    }),
+
+    "stream_sessionize" -> ((s, dir) => {
+      // stateful streaming sessionizer (flatMapGroupsWithState) run to
+      // completion; emits CLOSED sessions only, so the batch oracle is
+      // the gaps-and-islands sessionization minus each user's final
+      // (still-open) session
+      val sess = StreamingSessionizer.sessionize(
+        EventStream.readEvents(s, dir, "events.parquet"))
+      StreamingSessionizer.runToCompletion(s, sess, "stream_sessionize_sink")
+        .orderBy("user_id", "session_seq")
+    }),
+
     "stream_tumbling" -> ((s, dir) => {
       val agg = EventStream.tumblingCounts(
         EventStream.readEvents(s, dir, "events.parquet"))
@@ -555,6 +605,12 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir)).orderBy("doc_id")),
 
+    "dedup_simhash_near" -> ((s, dir) =>
+      // SimHash near-dup pairs via Hamming banding (Manku et al. WWW'07):
+      // 4 bands × 15 bits, capped equality self-join, verify hamming ≤ 3
+      Dedup.simhashNearDup(docs(s, dir), bands = 4, bits = 60, maxHamming = 3)
+        .orderBy("doc_a", "doc_b")),
+
     // ---- similarity-search extension family (over `embeddings`) ----
     "sim_knn" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
@@ -578,6 +634,18 @@ object SparkEntry {
       Similarity.lshBuckets(tbl(s, dir, "embeddings"), planes = 8, dim = 64)
         .groupBy("bucket").agg(count(lit(1)).as("n_vecs"))
         .orderBy("bucket")),
+
+    "sim_lsh_topk" -> ((s, dir) => {
+      // bucketed ANN top-k — the 100 TB path: candidates restricted to
+      // the query's LSH bucket (equi-join), recall traded for the
+      // elimination of the cross join; deterministic planes → full oracle
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5,
+          planes = 8, dim = 64)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
 
     "sim_neardup_pairs" -> ((s, dir) =>
       // embedding-cosine near-dup pairs inside capped LSH buckets, fully
@@ -617,6 +685,25 @@ object SparkEntry {
         col("doc_id"),
         TextAnalysis.rollingFingerprint(col("text"), 200).as("fp"))
         .orderBy("doc_id")),
+
+    "tfidf_top_terms" -> ((s, dir) => {
+      // top-3 characteristic terms per document by tf·idf — window rank
+      // over the TF ⋈ IDF join (serving-index tables). No forced
+      // broadcast: unlike the |query|-row IDF side in search, this joins
+      // the WHOLE vocabulary — AQE picks broadcast while it fits and
+      // falls back to a shuffle join at real-corpus vocab sizes.
+      val t = builtIndex(s, dir, stem = false)
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("word").asc)
+      t.termFrequencies
+        .join(t.idfValues.select("word", "idf"), Seq("word"))
+        .withColumn("tfidf", col("term_freq") * col("idf"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("word"),
+          round(col("tfidf"), 6).as("tfidf"), col("rank"))
+        .orderBy("doc_id", "rank")
+    }),
 
     "pipeline_clean_corpus" -> ((s, dir) => {
       // the composed training-data pipeline: quality-gate the corpus,
@@ -918,6 +1005,35 @@ object SparkEntry {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "asof_latest_order" ->
+      // DuckDB's native ASOF JOIN is the oracle for the union+window
+      // composition; right side pre-deduped identically
+      """WITH e AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ets FROM events),
+        |o AS (SELECT o_custkey AS user_id, CAST(epoch_us(o_orderdate) AS BIGINT) AS ots,
+        |             max(o_orderkey) AS last_orderkey
+        |      FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.ets, o.last_orderkey,
+        |       e.ets - o.ots AS us_since_order
+        |FROM e ASOF JOIN o ON e.user_id = o.user_id AND e.ets >= o.ots
+        |ORDER BY e.event_id""".stripMargin,
+
+    "stream_sessionize" ->
+      // batch gaps-and-islands sessionization MINUS each user's final
+      // session (the streaming run emits only gap-CLOSED sessions; the
+      // last one per user is still open in state)
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |         FROM g),
+        |agg AS (SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+        |               CAST(min(us) AS BIGINT) AS t_start, CAST(max(us) AS BIGINT) AS t_end
+        |        FROM sess GROUP BY user_id, session_seq)
+        |SELECT user_id, session_seq, n_events, t_start, t_end FROM agg
+        |QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
+        |ORDER BY user_id, session_seq""".stripMargin,
+
     "stream_tumbling" ->
       """SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS bucket_start,
         |       event_type,
@@ -972,17 +1088,21 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
 
     "dedup_simhash" ->
-      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-         |flat AS (SELECT doc_id, unnest(t) AS word FROM toks),
-         |wh AS (SELECT word, list_reduce(list_transform(string_split(substr(md5(word), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
-         |       FROM (SELECT DISTINCT word FROM flat)),
-         |contrib AS (SELECT f.doc_id, r.bit,
-         |                   CASE WHEN ((wh.h >> r.bit) & 1) = 1 THEN 1 ELSE -1 END AS c
-         |            FROM flat f JOIN wh ON f.word = wh.word
-         |            CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) r),
-         |bits AS (SELECT doc_id, bit, sum(c) AS sc FROM contrib GROUP BY doc_id, bit)
-         |SELECT doc_id, CAST(sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"WITH $simhashCtes SELECT doc_id, simhash FROM shv ORDER BY doc_id",
+
+    "dedup_simhash_near" ->
+      // Hamming banding mirrored: 4 bands × 15 bits, bucket-capped
+      // equality self-join, full-fingerprint verify at hamming ≤ 3
+      s"""WITH $simhashCtes,
+         |bands AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM shv),
+         |bk AS (SELECT doc_id, simhash, band, (simhash >> CAST(band * 15 AS BIGINT)) & 32767 AS bkey FROM bands),
+         |ok AS (SELECT band, bkey FROM bk GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |         FROM bk a JOIN ok ON a.band = ok.band AND a.bkey = ok.bkey
+         |         JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "sim_knn" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id < 8),
@@ -1019,6 +1139,23 @@ object SparkEntry {
         |              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
         |       FROM s1)
         |SELECT vec_id, cent_id AS cluster FROM r1 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "sim_lsh_topk" -> {
+      val terms = (0 until 8).map { j =>
+        s"(CASE WHEN list_dot_product(e, ${planeSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+         |b AS (SELECT vec_id, e, CAST($terms AS BIGINT) AS bucket FROM d),
+         |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 8),
+         |sc AS (SELECT q.query_id, c.vec_id,
+         |              list_dot_product(q.qe, c.e) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))) AS cos
+         |       FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
+         |r AS (SELECT query_id, vec_id, cos,
+         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         |      FROM sc)
+         |SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "sim_neardup_pairs" -> {
       val terms = (0 until 8).map { j =>
@@ -1077,6 +1214,15 @@ object SparkEntry {
         |       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS ws_tokens,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    "tfidf_top_terms" ->
+      s"""WITH $indexCtes,
+         |x AS (SELECT t.doc_id, t.word, t.term_freq * i.idf AS tfidf FROM tf t JOIN idf i USING (word)),
+         |r AS (SELECT doc_id, word, tfidf,
+         |             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INTEGER) AS rank
+         |      FROM x)
+         |SELECT doc_id, word, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
 
     "fingerprint_rolling" ->
       """WITH p AS (SELECT doc_id, substr(text, 1, 200) AS pre FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))

@@ -262,4 +262,46 @@ object Dedup {
   /** Hamming distance between two simhash longs (for near-dup banding). */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs via Hamming banding — the classic
+    * pigeonhole trick (Manku et al., WWW'07 "Detecting Near-Duplicates
+    * for Web Crawling"): split the `bits`-bit fingerprint into `bands`
+    * contiguous slices; any pair within Hamming distance < `bands` must
+    * agree EXACTLY on at least one slice, so candidates come from
+    * per-band equality self-joins (never an all-pairs scan), then the
+    * full-fingerprint Hamming check verifies. Same banded-equi-join shape
+    * as [[minhashPairs]], including the degenerate-bucket cap.
+    * Output: (doc_a, doc_b, hamming) with hamming ≤ maxHamming.
+    */
+  def simhashNearDup(docs: DataFrame, bands: Int = 4, bits: Int = 60,
+      maxHamming: Int = 3, maxBucketSize: Int = 1000,
+      stem: Boolean = false): DataFrame = {
+    require(bits % bands == 0, "bits must divide into bands")
+    require(maxHamming < bands,
+      "pigeonhole guarantee needs maxHamming < bands (else recall drops)")
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    val sh = graft.Caches.persist(simhash(docs, bits, stem))
+    // band keys as an array of codegen shift/mask expressions (shiftright
+    // takes a literal count), exploded to (doc_id, simhash, band, bkey)
+    val keys = array((0 until bands).map(b =>
+      shiftright(col("simhash"), b * width).bitwiseAND(lit(mask))): _*)
+    val banded = sh.select(col("doc_id"), col("simhash"),
+      posexplode(keys).as(Seq("band", "bkey")))
+    val okBuckets = banded.groupBy("band", "bkey")
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n").between(2, maxBucketSize))
+      .select("band", "bkey")
+    val pruned = banded.join(okBuckets, Seq("band", "bkey"))
+    val a = pruned.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
+    val b = pruned.select(col("band"), col("bkey"),
+      col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", hamming(col("sim_a"), col("sim_b")).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
 }

@@ -69,6 +69,18 @@ class DedupSpec extends SparkSpec {
     assert(ham(sh(1L), sh(2L)) < ham(sh(1L), sh(4L)))
   }
 
+  test("simhash near-dup banding finds the exact-dup pair, not unrelated docs") {
+    import spark.implicits._
+    val pairs = Dedup.simhashNearDup(docs, bands = 4, bits = 60, maxHamming = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    // docs 1 and 3 are identical -> identical fingerprints -> hamming 0,
+    // and every band bucket matches
+    assert(pairs((1L, 3L)) == 0L)
+    // unrelated doc 4 never survives the hamming verify
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("hamming column matches bitCount") {
     import spark.implicits._
     val df = Seq((0xFFL, 0x0FL)).toDF("a", "b")
