@@ -214,6 +214,42 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "index_incremental_idf" -> ((s, dir) => {
+      // incremental index maintenance via MERGEABLE aggregate state: the
+      // corpus arrives in two batches; per-batch doc-frequency partials
+      // are summed (valid — the halves' doc_id sets are disjoint) instead
+      // of re-scanning the old corpus. Must equal the batch-built IDF
+      // table, so the oracle is g4's SQL. At 100 TB this is the shape of
+      // a daily index update: new partition's partials + stored partials.
+      val d = docs(s, dir)
+      val oldFlat = Indexer.flatWords(d.filter(col("doc_id") < 250), stem = false)
+      val newFlat = Indexer.flatWords(d.filter(col("doc_id") >= 250), stem = false)
+      def partial(flat: DataFrame) = flat.select("word", "doc_id").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      val nDocs = Indexer.docLengths(oldFlat).count() +
+        Indexer.docLengths(newFlat).count()
+      partial(oldFlat).unionByName(partial(newFlat))
+        .groupBy("word").agg(sum("df").as("doc_freq"))
+        .withColumn("idf",
+          round(log10(lit(nDocs.toDouble) / col("doc_freq")), 6))
+        .orderBy("word")
+    }),
+
+    "sink_partitioned_read" -> ((s, dir) => {
+      // partitioned parquet sink + partition-pruned scan: write the
+      // corpus partitioned by lang, read ONE partition back — the scan
+      // prunes at file listing (PartitionFilters; asserted in
+      // PartitionPruneSpec), so at 100 TB the job reads 1/N-th of the
+      // files, not all of them plus a filter
+      val out = s"$WorkDir/docs_by_lang.parquet"
+      docs(s, dir).select("doc_id", "lang", "source")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     "g1_inverted_index" -> ((s, dir) =>
       // posting list exported as a comma-joined string: the driver's
       // pandas comparator cannot hash array cells (r2's only red row);
@@ -307,6 +343,13 @@ object SparkEntry {
       tbl(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+
+    "q4_cube" -> ((s, dir) =>
+      // full grouping-sets lattice (CUBE): every (flag, status) subset
+      tbl(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("sum_price"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
 
     "j1_broadcast_join" -> ((s, dir) =>
@@ -855,6 +898,19 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q4_cube" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "index_incremental_idf" ->
+      // identical to g4: merged per-batch partials must equal batch build
+      s"WITH $indexCtes SELECT word, doc_freq, round(idf, 6) AS idf FROM idf ORDER BY word",
+
+    "sink_partitioned_read" ->
+      """SELECT doc_id, lang, source FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
 
     "j1_broadcast_join" ->
       """SELECT p_brand,

@@ -233,30 +233,33 @@ object Dedup {
   }
 
   /** SimHash per document over md5-hashed tokens (each token occurrence
-    * contributes ±1 per bit — equivalent to tf-weighting). Computed as one
-    * NARROW nested higher-order expression per row: hash the token array
-    * once, then for each of the `bits` positions fold signed contributions
-    * and reassemble the fingerprint — no explode, no shuffle; at 100 TB
-    * this runs at scan speed. 60 usable bits (from [[md5Hash60]]).
+    * contributes ±1 per bit — equivalent to tf-weighting).
+    *
+    * Shape (r3 rewrite): exploded token rows → one md5Hash60 per
+    * OCCURRENCE → `bits` codegen'd conditional-sum aggregates per doc →
+    * bit reassembly from the signs. One hash-aggregate shuffle of
+    * (doc, 60 longs) with map-side partials — the [[minhashSignatures]]
+    * pattern. The previous per-row nested higher-order fold ran
+    * interpreted and re-evaluated the token-hash array per bit: ~40 s at
+    * sf0.1 vs well under a second for this plan (the SCALE.md per-token
+    * rule: exploded rows + codegen expressions, never array lambdas).
+    * Token-less documents produce no row (matching the SQL oracle's
+    * semantics). 60 usable bits (from [[md5Hash60]]).
     * Output: (doc_id, simhash). Deterministic; oracle-computable.
     */
   def simhash(docs: DataFrame, bits: Int = 60, stem: Boolean = false): DataFrame = {
     val usable = math.min(bits, 60)
-    // bit masks as an array literal: element_at(masks, j+1) = 2^j — avoids
-    // shift-by-column (functions.shiftleft only takes a literal count)
-    val masks = array((0 until usable).map(j => lit(1L << j)): _*)
-    val hashes = transform(Tokenizer.tokensCol(col("text"), stem), w => md5Hash60(w))
-    val fingerprint = aggregate(
-      transform(sequence(lit(0), lit(usable - 1)), j => {
-        val mask = element_at(masks, j + 1)
-        val signedSum = aggregate(col("hs"), lit(0L),
-          (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0, 1L).otherwise(-1L))
-        when(signedSum > 0, mask).otherwise(0L)
-      }),
-      lit(0L), (acc, x) => acc + x)
-    docs
-      .select(col("doc_id"), hashes.as("hs"))
-      .select(col("doc_id"), fingerprint.as("simhash"))
+    val flat = graft.index.Indexer.flatWords(docs, stem)
+      .withColumn("h", md5Hash60(col("word")))
+    val signSums = (0 until usable).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === lit(1L), lit(1L))
+        .otherwise(lit(-1L))).as(s"b$b")
+    }
+    flat.groupBy("doc_id").agg(signSums.head, signSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until usable).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
   }
 
   /** Hamming distance between two simhash longs (for near-dup banding). */
