@@ -533,6 +533,16 @@ object SparkEntry {
           round(col("sum_value"), 6).as("sum_value"))
         .orderBy("bucket_start", "event_type")),
 
+    "events_sliding" -> ((s, dir) =>
+      // native sliding windows (1h width, 30min slide — every event lands
+      // in exactly two windows); oracle enumerates the two aligned starts
+      events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("bucket_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("bucket_start", "event_type")),
+
     "events_sessionize" -> ((s, dir) =>
       Sessions.sessionize(events(s, dir))
         .orderBy("user_id", "session_seq")),
@@ -594,6 +604,66 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_users"))
         .orderBy("event_type")
     }),
+
+    "stream_enrich_segment" -> ((s, dir) => {
+      // stream-static join: streaming events enriched per micro-batch
+      // against the static customer dimension, aggregated by segment;
+      // batch-equivalence oracle
+      val dim = tbl(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val enriched = EventStream.enrichedSegmentCounts(
+        EventStream.readEvents(s, dir, "events.parquet"), dim)
+      EventStream.runToCompletion(s, enriched, "stream_enrich_sink")
+        .select(col("c_mktsegment"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "fuzzy_levenshtein" -> ((s, dir) => {
+      // bounded edit-distance similarity on adjacent doc pairs (prefix-
+      // capped at 40 chars — levenshtein is O(m·n) per pair; a real
+      // fuzzy-dedup pass runs it only on banding candidates)
+      val d = docs(s, dir)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("pre"))
+      val a = d.select(col("doc_id").as("doc_a"), col("pre").as("pre_a"))
+      val b = d.select(col("doc_id").as("doc_b"), col("pre").as("pre_b"))
+      a.join(b, col("doc_b") === col("doc_a") + 1)
+        .select(col("doc_a"),
+          levenshtein(col("pre_a"), col("pre_b")).cast("long").as("edit_dist"))
+        .orderBy("doc_a")
+    }),
+
+    "q6_forecast_revenue" -> ((s, dir) =>
+      // TPC-H Q6 shape: tight multi-predicate scan + global agg — the
+      // pushdown showcase (all four predicates reach the parquet scan)
+      tbl(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate").cast("timestamp") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate").cast("timestamp") < lit("1998-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    "q17_small_qty" -> ((s, dir) => {
+      // TPC-H Q17 shape: correlated scalar subquery (per-part average
+      // quantity) decorrelated into a groupBy + equi-join — exact
+      // cross-engine because integer-valued quantities sum exactly
+      val li = tbl(s, dir, "lineitem")
+      val avgq = li.groupBy("l_partkey").agg(avg("l_quantity").as("avg_qty"))
+      li.join(avgq, Seq("l_partkey"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(round(sum("l_extendedprice") / 7.0, 2).as("avg_yearly"),
+          count(lit(1)).as("n"))
+    }),
+
+    "agg_variance" -> ((s, dir) =>
+      // higher-moment aggregates per group (sample variance / stddev)
+      tbl(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(round(var_samp("c_acctbal"), 2).as("var_bal"),
+          round(stddev_samp("c_acctbal"), 4).as("sd_bal"),
+          count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
 
     "q3_shipping_priority" -> ((s, dir) =>
       // TPC-H Q3 shape: selective dims, 3-way join, agg, top-k
@@ -1044,6 +1114,48 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_events,
         |       round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sliding" ->
+      // every event lands in exactly two 30min-aligned hour windows:
+      // floor-to-30min and that minus 1800s
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) // 1000000 AS sec FROM events),
+        |w AS (SELECT event_type, value, (sec // 1800 - i.i) * 1800 AS bucket_start
+        |      FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS i) i)
+        |SELECT CAST(bucket_start AS BIGINT) AS bucket_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_enrich_segment" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 6) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "fuzzy_levenshtein" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS pre FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |SELECT a.doc_id AS doc_a, CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
+        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |ORDER BY doc_a""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q17_small_qty" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem l
+        |WHERE l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
+        |                          WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
+
+    "agg_variance" ->
+      """SELECT c_mktsegment, round(var_samp(c_acctbal), 2) AS var_bal,
+        |       round(stddev_samp(c_acctbal), 4) AS sd_bal,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),

@@ -83,4 +83,17 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicates("event_type", "user_id")
+
+  /** Stream-static enrichment: the event stream joined per micro-batch to
+    * a STATIC dimension (no state, no watermark needed for the join —
+    * Spark re-plans the static side each batch, broadcast while it fits),
+    * then aggregated by a dimension attribute. The canonical "enrich
+    * events with a slowly-changing lookup" streaming shape.
+    * Output: (segment, n_events, sum_value).
+    */
+  def enrichedSegmentCounts(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .join(dim, Seq("user_id"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
 }
