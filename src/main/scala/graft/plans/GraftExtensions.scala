@@ -24,5 +24,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "porter_stem takes exactly one argument")
         PorterStem(children.head)
       }))
+    // custom optimizer rule (builder brief path (c)): cheap length guard
+    // in front of levenshtein threshold filters
+    ext.injectOptimizerRule(_ => LevenshteinPrefilter)
   }
 }

@@ -54,6 +54,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT porter_stem(w) AS st FROM VALUES ('oscillators'), ('happy') AS t(w) ORDER BY st")
         .collect().map(_.getString(0)).toSeq
       assert(got == Seq("happi", "oscil"))
+
+      // LevenshteinPrefilter: the threshold filter gains a length guard.
+      // Inputs derive from range() so constant folding cannot pre-evaluate
+      // the predicate at plan time.
+      val pairs = s.range(6)
+        .selectExpr("concat('kit', repeat('x', CAST(id AS INT))) AS a", "'kite' AS b")
+      val filtered = pairs.where("levenshtein(a, b) <= 2")
+      val optimized = filtered.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(optimized.contains("abs("), optimized) // the injected guard
+      // …and converges (a non-idempotent rule would stack guards)
+      assert("abs\\(".r.findAllIn(optimized).length == 1, optimized)
+      // results unchanged: matches an unfiltered recomputation
+      val expected = pairs.selectExpr("levenshtein(a, b) AS d")
+        .collect().count(_.getInt(0) <= 2)
+      assert(expected > 0 && filtered.count() == expected)
     } finally {
       SparkSession.setDefaultSession(shared)
       SparkSession.setActiveSession(shared)
