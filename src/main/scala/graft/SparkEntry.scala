@@ -665,6 +665,25 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("c_mktsegment")),
 
+    "agg_max_by" -> ((s, dir) =>
+      // argmax per group, tie-broken deterministically: max over the
+      // (value, key) struct orders lexicographically, so equal balances
+      // resolve by highest custkey — one hash aggregate, no window
+      tbl(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(max(struct(col("c_acctbal"), col("c_custkey"))).as("m"))
+        .select(col("c_mktsegment"),
+          col("m.c_custkey").as("top_custkey"),
+          round(col("m.c_acctbal"), 2).as("top_acctbal"))
+        .orderBy("c_mktsegment")),
+
+    "hist_doc_lengths" -> ((s, dir) =>
+      // histogram binning: corpus length distribution in 200-char buckets
+      docs(s, dir)
+        .groupBy((floor(col("n_chars") / 200) * 200).as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket_lo")),
+
     "q3_shipping_priority" -> ((s, dir) =>
       // TPC-H Q3 shape: selective dims, 3-way join, agg, top-k
       tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -1156,6 +1175,21 @@ object SparkEntry {
         |       round(stddev_samp(c_acctbal), 4) AS sd_bal,
         |       CAST(count(*) AS BIGINT) AS n
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_max_by" ->
+      // same argmax via a window (mechanism-free oracle; (acctbal,
+      // custkey) is a unique sort key so both engines agree)
+      """SELECT c_mktsegment, c_custkey AS top_custkey, round(c_acctbal, 2) AS top_acctbal
+        |FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+        |                                   ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+        |      FROM customer)
+        |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+
+    "hist_doc_lengths" ->
+      """SELECT CAST(floor(n_chars / 200) * 200 AS BIGINT) AS bucket_lo,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "events_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
