@@ -547,6 +547,19 @@ object SparkEntry {
       Sessions.sessionize(events(s, dir))
         .orderBy("user_id", "session_seq")),
 
+    "events_session_window" -> ((s, dir) =>
+      // Spark's NATIVE session windows (third sessionization face, next
+      // to gaps-and-islands and the stateful streaming one): window end
+      // is defined as last-event + gap, mirrored in the oracle
+      events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("t_start"),
+          unix_micros(col("session_window.end")).as("t_end"),
+          col("n_events"))
+        .orderBy("user_id", "t_start")),
+
     "events_json_props" -> ((s, dir) =>
       Sessions.jsonPropAgg(events(s, dir))
         .orderBy("event_type")),
@@ -1201,6 +1214,20 @@ object SparkEntry {
         |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(min(us) AS BIGINT) AS t_start, CAST(max(us) AS BIGINT) AS t_end
         |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "events_session_window" ->
+      // same gaps-and-islands CTEs as events_sessionize; session end =
+      // last event + the 30-minute gap (session_window semantics)
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |         FROM g)
+        |SELECT user_id, CAST(min(us) AS BIGINT) AS t_start,
+        |       CAST(max(us) + 1800000000 AS BIGINT) AS t_end,
+        |       CAST(count(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, t_start""".stripMargin,
 
     "events_json_props" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
