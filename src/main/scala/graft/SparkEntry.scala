@@ -473,6 +473,19 @@ object SparkEntry {
       big.union(bld).distinct().except(pend).orderBy("custkey")
     }),
 
+    "topk_per_key" -> ((s, dir) => {
+      // the custom whole-operator path in the gate: k best orders per
+      // customer via graft.plans.TopKPerKey (bounded per-key heaps,
+      // partial before the key shuffle — no window, no partition sort);
+      // rounding applied before selection on both sides so ties are
+      // identical, tie-broken by orderkey for a total order
+      val o = tbl(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      graft.ops.TopK.perKey(o, Seq("o_custkey"),
+          Seq(("o_totalprice", true), ("o_orderkey", false)), k = 2)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    }),
+
     "w1_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1101,6 +1114,14 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
         |) ORDER BY custkey""".stripMargin,
+
+    "topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
 
     "w1_window_rank" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice

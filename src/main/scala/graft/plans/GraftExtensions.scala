@@ -27,5 +27,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // custom optimizer rule (builder brief path (c)): cheap length guard
     // in front of levenshtein threshold filters
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+    // custom whole-operator path (c): top-k per key without a full sort
+    ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
   }
 }

@@ -13,4 +13,28 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object ColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a custom LogicalPlan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — needed to hand plans containing custom logical
+    * nodes (e.g. `graft.plans.TopKPerKey`) back to the public API.
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (`queryExecution` is
+    * classic-only in Spark 4's split API).
+    */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Idempotently add a planner strategy to a LIVE session (the
+    * runtime-registration face of `injectPlannerStrategy`, for sessions
+    * built without extensions — e.g. the driver's harness session).
+    */
+  def addStrategy(spark: SparkSession,
+      s: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
+  }
 }
