@@ -400,6 +400,32 @@ object SparkEntry {
           round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total"))
         .orderBy("c_custkey")),
 
+    "skew_salted_agg" -> ((s, dir) =>
+      // the skewed-aggregation scale path in the gate: each key spread
+      // over 8 salt subkeys in the partial shuffle, partials merged —
+      // semantically identical to the direct aggregate, which IS the
+      // oracle (l_returnflag has only 3 values: maximal hot-key skew)
+      graft.ext.Skew.saltedSumCount(tbl(s, dir, "lineitem"),
+          key = "l_returnflag", valueCol = "l_quantity", salts = 8)
+        .select(col("l_returnflag"),
+          round(col("sum_value"), 2).as("sum_qty"), col("n_rows"))
+        .orderBy("l_returnflag")),
+
+    "dim_upsert" -> ((s, dir) => {
+      // SCD-1 dimension upsert (the MERGE INTO shape without a table
+      // format): updates override current rows on the key, inserts pass
+      // through — one full-outer join + coalesce. "Updates" = customers
+      // with even custkey, marked by an upper-cased segment.
+      val cur = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val upd = cur.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), upper(col("c_mktsegment")).as("u_seg"))
+      cur.join(upd, Seq("c_custkey"), "full_outer")
+        .select(col("c_custkey"),
+          coalesce(col("u_seg"), col("c_mktsegment")).as("segment"))
+        .orderBy("c_custkey")
+    }),
+
     "g7_string_agg" -> ((s, dir) =>
       // ordered distinct string aggregation per group
       docs(s, dir)
@@ -1062,6 +1088,17 @@ object SparkEntry {
         |       round(coalesce(sum(o_totalprice), 0.0), 2) AS total
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+
+    "skew_salted_agg" ->
+      // oracle = the DIRECT aggregate the salted two-phase must equal
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "dim_upsert" ->
+      """SELECT c.c_custkey,
+        |       CASE WHEN c.c_custkey % 2 = 0 THEN upper(c.c_mktsegment) ELSE c.c_mktsegment END AS segment
+        |FROM customer c ORDER BY c_custkey""".stripMargin,
 
     "g7_string_agg" ->
       """SELECT lang,
