@@ -512,6 +512,50 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
     }),
 
+    "set_ops_intersect" -> ((s, dir) => {
+      val big = tbl(s, dir, "orders").filter(col("o_totalprice") > 400000)
+        .select(col("o_custkey").as("custkey"))
+      val bld = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("custkey"))
+      big.intersect(bld).orderBy("custkey")
+    }),
+
+    "g8_unpivot" -> ((s, dir) => {
+      // melt: the pivot's inverse (wide per-type counts back to long
+      // form) via the native unpivot operator
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      val filled = types.foldLeft(p)((df, t) =>
+        df.withColumn(t, coalesce(col(t), lit(0L))))
+      filled.unpivot(Array(col("user_id")), types.map(col).toArray, "event_type", "n")
+        .orderBy("user_id", "event_type")
+    }),
+
+    "d2_ship_latency" -> ((s, dir) =>
+      // calendar arithmetic: average order→ship latency in days per
+      // return flag (datediff of DATE casts; integer days, so the avg is
+      // an exact integer-sum ratio on both engines)
+      tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          round(avg(datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date"))), 6).as("avg_days"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    "agg_corr" -> ((s, dir) =>
+      // bivariate aggregates: correlation + sample covariance per group
+      tbl(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+          round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_qty_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
     "w1_window_rank" -> ((s, dir) => {
       val w = Window.partitionBy("o_custkey")
         .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
@@ -1159,6 +1203,35 @@ object SparkEntry {
         |                            ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
         |  FROM orders)
         |WHERE rn <= 2 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
+
+    "set_ops_intersect" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        |  INTERSECT
+        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |) ORDER BY custkey""".stripMargin,
+
+    "g8_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
+        |c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS n
+        |FROM u CROSS JOIN t LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+        |ORDER BY u.user_id, t.event_type""".stripMargin,
+
+    "d2_ship_latency" ->
+      """SELECT l_returnflag,
+        |       round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 6) AS avg_days,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "agg_corr" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "w1_window_rank" ->
       """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
