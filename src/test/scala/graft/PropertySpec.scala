@@ -73,4 +73,60 @@ class PropertySpec extends SparkSpec {
       assert(ids(6).take(a.length) == a, s"seed $i")
     }
   }
+
+  test("as-of join matches a brute-force scan on random tables") {
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 50L)
+    } yield (k, t)
+    (30 to 32).foreach { i =>
+      val ls = sample(Gen.listOfN(60, rowGen), i).zipWithIndex
+        .map { case ((k, t), id) => (k, t, id.toLong) }
+      val rsRaw = sample(Gen.listOfN(25, rowGen), i + 100).zipWithIndex
+        .map { case ((k, t), id) => (k, t, (1000 + id).toLong) }
+      // contract: one right row per (key, time) — keep max id
+      val rs = rsRaw.groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+      val got = graft.ext.AsOfJoin.backward(
+        ls.toDF("k", "lt", "id"), rs.toDF("k", "rt", "v"),
+        "k", "lt", "rt", Seq("v"))
+        .select("id", "v").as[(Long, Long)].collect().toMap
+      val want = ls.flatMap { case (k, lt, id) =>
+        val m = rs.filter(r => r._1 == k && r._2 <= lt)
+        if (m.isEmpty) None else Some(id -> m.maxBy(r => (r._2, r._3))._3)
+      }.toMap
+      assert(got == want, s"seed $i")
+    }
+  }
+
+  test("TopKPerKey equals the window idiom on random tables (incl. k > group size)") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rowGen = for {
+      k <- Gen.chooseNum(0L, 5L); v <- Gen.chooseNum(-100, 100)
+    } yield (k, v.toDouble)
+    (40 to 42).foreach { i =>
+      val rows = sample(Gen.listOfN(80, rowGen), i).zipWithIndex
+        .map { case ((k, v), id) => (k, id.toLong, v) }
+      val df = rows.toDF("k", "id", "v").repartition(5)
+      val got = graft.ops.TopK.perKey(df, Seq("k"), Seq(("v", true), ("id", false)), 4)
+        .select("k", "id").as[(Long, Long)].collect().toSet
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("id").asc)
+      val want = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 4)
+        .select("k", "id").as[(Long, Long)].collect().toSet
+      assert(got == want, s"seed $i")
+    }
+  }
+
+  test("hashed and unhashed shingle Jaccard agree on random corpora") {
+    import spark.implicits._
+    (50 to 51).foreach { i =>
+      val d = toDf(sample(corpusGen, i))
+      val pairs = d.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+      def jac(hashed: Boolean): Map[(Long, Long), Double] =
+        graft.ext.Dedup.jaccardForPairs(d, pairs, 3, hashed = hashed)
+          .as[(Long, Long, Double)].collect()
+          .map(r => (r._1, r._2) -> r._3).toMap
+      assert(jac(true) == jac(false), s"seed $i")
+    }
+  }
 }
