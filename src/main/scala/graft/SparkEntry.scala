@@ -250,6 +250,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "sink_csv_roundtrip" -> ((s, dir) => {
+      // CSV sink + schema'd CSV scan (no inference pass — SURVEY S1 rule
+      // applies to every text format): write, read back, aggregate; the
+      // oracle runs the same aggregate on the parquet source directly
+      val out = s"$WorkDir/docs_csv"
+      docs(s, dir).select("doc_id", "lang", "source")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = "doc_id LONG, lang STRING, source STRING"
+      s.read.schema(schema).option("header", "true").csv(out)
+        .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "source")
+    }),
+
+    "sink_orc_roundtrip" -> ((s, dir) => {
+      // ORC sink + scan (the second columnar format Spark ships) — same
+      // aggregate contract as the CSV roundtrip
+      val out = s"$WorkDir/docs_orc"
+      docs(s, dir).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+        .orderBy("lang")
+    }),
+
     "g1_inverted_index" -> ((s, dir) =>
       // posting list exported as a comma-joined string: the driver's
       // pandas comparator cannot hash array cells (r2's only red row);
@@ -1096,6 +1121,16 @@ object SparkEntry {
     "sink_partitioned_read" ->
       """SELECT doc_id, lang, source FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
         |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
+
+    "sink_csv_roundtrip" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+
+    "sink_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     "j1_broadcast_join" ->
       """SELECT p_brand,
