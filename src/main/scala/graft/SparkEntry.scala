@@ -858,6 +858,30 @@ object SparkEntry {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir)).orderBy("doc_id")),
 
+    "dedup_components" -> ((s, dir) =>
+      // near-dup pairs → connected components (iterative min-label
+      // propagation): the cluster ids a keep-one-per-cluster pass needs;
+      // oracle = DuckDB recursive-CTE transitive closure
+      graft.ext.Graph.connectedComponents(
+        Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16,
+            threshold = 0.8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .select(col("node").as("doc_id"), col("component"))
+        .orderBy("doc_id")),
+
+    "pipeline_dedup_near" -> ((s, dir) => {
+      // corpus with near-duplicates REMOVED (keep the lowest doc_id of
+      // each pair; greedy doc_b removal — deterministic and mirrored in
+      // SQL): the pipeline stage that follows candidate generation
+      val d = docs(s, dir)
+      val losers = Dedup.minhashPairs(d, k = 3, numHashes = 32, bands = 16,
+          threshold = 0.8)
+        .select(col("doc_b").as("doc_id")).distinct()
+      d.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash_near" -> ((s, dir) =>
       // SimHash near-dup pairs via Hamming banding (Manku et al. WWW'07):
       // 4 bands × 15 bits, capped equality self-join, verify hamming ≤ 3
@@ -1484,6 +1508,29 @@ object SparkEntry {
 
     "dedup_simhash" ->
       s"WITH $simhashCtes SELECT doc_id, simhash FROM shv ORDER BY doc_id",
+
+    "dedup_components" ->
+      s"""WITH RECURSIVE $hashedShingleCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r)
+         |SELECT node AS doc_id, min(r) AS component FROM reach
+         |GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "pipeline_dedup_near" ->
+      s"""WITH $hashedShingleCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8)
+         |SELECT doc_id, lang FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+         |WHERE doc_id NOT IN (SELECT doc_b FROM p)
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash_near" ->
       // Hamming banding mirrored: 4 bands × 15 bits, bucket-capped

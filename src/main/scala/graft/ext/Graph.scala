@@ -1,0 +1,58 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Minimal distributed graph ops for dedup clustering — at corpus scale,
+  * near-duplicate pairs form components ("this article and its 40
+  * syndicated copies"), and the keep-one-per-cluster decision needs the
+  * component, not just the pairwise edges.
+  *
+  * [[connectedComponents]] is min-label propagation (the simplest member
+  * of the Pregel family; cf. the small-star/large-star formulation of
+  * Kiveris et al., "Connected Components in MapReduce and Beyond",
+  * SoCC'14): every node starts labeled with itself; each round joins
+  * labels across edges and keeps the minimum; convergence when no label
+  * changes. Each round is one equi-join + one hash aggregate — all
+  * shuffles on node ids, nothing quadratic — and the round count is the
+  * component diameter (tiny for dedup clusters). The driver-side loop is
+  * inherent to iterative algorithms (it is exactly GraphX/Pregel's
+  * superstep loop); per-round DataFrames are persisted through
+  * [[graft.Caches]] and the loop materializes only a changed-row COUNT.
+  */
+object Graph {
+
+  /** Connected components of an undirected edge list.
+    *
+    * @param edges (src, dst) pairs; direction ignored, self-loops fine
+    * @return (node, component) where component = min node id reachable
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = graft.Caches.persist(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = graft.Caches.persist(
+      sym.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = sym
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min("label").as("nbr_min"))
+      val next = graft.Caches.persist(
+        labels.join(nbrMin, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .filter(col("label") =!= col("prev"))
+        .count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+}
