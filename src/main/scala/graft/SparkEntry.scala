@@ -1002,6 +1002,10 @@ object SparkEntry {
           round(col("mean_byte"), 6).as("mean_byte"), col("width"), col("height"))
         .orderBy("media_id")),
 
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeStride(Multimodal.asMediaTable(docs(s, dir)), stride = 4)
+        .orderBy("media_id")),
+
     "multimodal_frames" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.asMediaTable(docs(s, dir)), nFrames = 4)
         .withColumn("frame_mean", round(col("frame_mean"), 6))
@@ -1699,6 +1703,17 @@ object SparkEntry {
         |WHERE q.n_tokens >= 20 AND q.stopword_ratio < 0.5
         |  AND q.doc_id IN (SELECT doc_id FROM keepers)
         |ORDER BY q.doc_id""".stripMargin),
+
+    "multimodal_resize" ->
+      """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |r AS (SELECT media_id, n,
+        |             list_transform(range(1, n // 4 + 1), i -> CAST(ascii(substr(text, CAST((i - 1) * 4 + 1 AS INT), 1)) AS BIGINT)) AS picks
+        |      FROM p)
+        |SELECT media_id, CAST(n AS BIGINT) AS orig_bytes,
+        |       CAST(len(picks) AS BIGINT) AS resized_bytes,
+        |       round(CAST(coalesce(list_aggregate(picks, 'sum'), 0) AS DOUBLE) / greatest(len(picks), 1), 6) AS resized_mean
+        |FROM r ORDER BY media_id""".stripMargin,
 
     "multimodal_frames" ->
       """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n

@@ -106,6 +106,29 @@ object Multimodal {
           octet_length(col("frame"))).as("frame_mean"))
   }
 
+  /** Resize STUB: stride decimation — keep every `stride`-th byte and
+    * emit size/mean stats of the "resized" payload (a real implementation
+    * replaces the byte picks with decoded-raster interpolation; the
+    * Spark-side shape — narrow per-row expressions over binary, scalar
+    * stats out — is what survives the swap). Same ASCII contract as
+    * [[sampleFrames]]. Output: (media_id, orig_bytes, resized_bytes,
+    * resized_mean).
+    */
+  def resizeStride(media: DataFrame, stride: Int = 4): DataFrame = {
+    val n = octet_length(col("payload"))
+    val txt = col("payload").cast("string")
+    val picks = transform(
+      sequence(lit(1), (n / lit(stride)).cast("int")),
+      i => ascii(substr(txt, (i - 1) * stride + 1, lit(1))).cast("long"))
+    media.select(
+      col("media_id"),
+      n.cast("long").as("orig_bytes"),
+      size(picks).cast("long").as("resized_bytes"),
+      round(
+        aggregate(picks, lit(0L), (a, x) => a + x).cast("double") /
+          greatest(size(picks), lit(1)), 6).as("resized_mean"))
+  }
+
   /** Feature extraction over the media table via `mapPartitions` — the
     * batch-per-partition shape a real decoder needs (codec init once per
     * partition, then stream the rows).
