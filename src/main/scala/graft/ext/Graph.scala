@@ -24,30 +24,49 @@ object Graph {
 
   /** Connected components of an undirected edge list.
     *
+    * Iteration state is `localCheckpoint`-ed (eager), not merely
+    * persisted: a persisted DataFrame still CARRIES its whole logical
+    * lineage, so after n rounds Catalyst would re-analyze a plan that
+    * grew with every iteration — measured as ~68 s of pure planning at
+    * sf0.1 before the fix. Truncating lineage each superstep (exactly
+    * what GraphX's Pregel loop does with materialize+unpersist) keeps
+    * per-round cost flat.
+    *
     * @param edges (src, dst) pairs; direction ignored, self-loops fine
     * @return (node, component) where component = min node id reachable
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = graft.Caches.persist(
-      edges.select(col("src"), col("dst"))
-        .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
-    var labels = graft.Caches.persist(
-      sym.select(col("src").as("node")).distinct()
-        .withColumn("label", col("node")))
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
+      // neighbor minimum (the propagation step) …
       val nbrMin = sym
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min("label").as("nbr_min"))
-      val next = graft.Caches.persist(
-        labels.join(nbrMin, Seq("node"), "left")
-          .select(col("node"),
-            least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label")))
+      // … plus pointer jumping (path compression): label(label(v)).
+      // Propagation alone needs O(diameter) rounds — a 1000-doc
+      // syndication chain is 1000 rounds; jumping halves paths every
+      // round, so convergence is O(log diameter) (Kiveris et al.).
+      val lbl2 = labels
+        .select(col("node").as("label"), col("label").as("jump"))
+      val next = labels
+        .join(lbl2, Seq("label"), "left")
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"),
+            coalesce(col("jump"), col("label")),
+            coalesce(col("nbr_min"), col("label"))).as("label"))
+        .localCheckpoint(true)
       changed = next
-        .join(labels.withColumnRenamed("label", "prev"), Seq("node"))
+        .join(labels.select(col("node"), col("label").as("prev")), Seq("node"))
         .filter(col("label") =!= col("prev"))
         .count()
       labels = next
