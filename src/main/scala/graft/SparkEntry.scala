@@ -726,6 +726,21 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "stream_term_counts" -> ((s, dir) => {
+      // the INDEXING pipeline as a stream: corpus files stream in and
+      // global term counts are maintained incrementally (Complete mode)
+      // — streaming index maintenance, with a batch-equivalence oracle.
+      // Same tokenizer lineage as the batch indexer (flatWords).
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val counts = Indexer.flatWords(
+          docsStream.select("doc_id", "text"), stem = false)
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      EventStream.runToCompletion(s, counts, "stream_term_sink")
+        .orderBy("word")
+    }),
+
     "stream_enrich_segment" -> ((s, dir) => {
       // stream-static join: streaming events enriched per micro-batch
       // against the static customer dimension, aggregated by segment;
@@ -1350,6 +1365,9 @@ object SparkEntry {
         |SELECT CAST(bucket_start AS BIGINT) AS bucket_start, event_type,
         |       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_term_counts" ->
+      s"WITH $indexCtes SELECT word, CAST(count(*) AS BIGINT) AS n FROM flat GROUP BY word ORDER BY word",
 
     "stream_enrich_segment" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
