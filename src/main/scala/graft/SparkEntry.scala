@@ -415,6 +415,40 @@ object SparkEntry {
         .select("c_custkey")
         .orderBy("c_custkey")),
 
+    "j7_range_join" -> ((s, dir) => {
+      // non-equi (range) join: orders classified into price bands via a
+      // broadcast of the tiny bands table — the BroadcastNestedLoopJoin
+      // is the INTENDED plan for a 4-row band side (at scale the band
+      // table stays small; the fact side never shuffles)
+      import s.implicits._
+      val bands = Seq(
+        ("low", 0.0, 100000.0), ("mid", 100000.0, 300000.0),
+        ("high", 300000.0, 500000.0), ("top", 500000.0, 1e18))
+        .toDF("band", "lo", "hi")
+      tbl(s, dir, "orders")
+        .join(broadcast(bands),
+          col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("band")
+    }),
+
+    "w4_order_gaps" -> ((s, dir) => {
+      // explicit lag(): average days between a customer's consecutive
+      // orders (integer day diffs -> exact cross-engine average)
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      tbl(s, dir, "orders")
+        .withColumn("prev", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap_days",
+          datediff(col("o_orderdate").cast("date"), col("prev").cast("date")))
+        .groupBy("o_custkey")
+        .agg(round(avg("gap_days"), 6).as("avg_gap_days"),
+          count(lit(1)).as("n_gaps"))
+        .orderBy("o_custkey")
+    }),
+
     "j6_outer_counts" -> ((s, dir) =>
       // left-outer with null-aware count: customers keep a 0 row when
       // they have no orders
@@ -1204,6 +1238,23 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         |ORDER BY c_custkey""".stripMargin,
+
+    "j7_range_join" ->
+      """WITH bands(band, lo, hi) AS (VALUES
+        |  ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0),
+        |  ('high', 300000.0, 500000.0), ('top', 500000.0, 1e18))
+        |SELECT band, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "w4_order_gaps" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |         date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS gap_days
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+        |SELECT o_custkey, round(avg(gap_days), 6) AS avg_gap_days, CAST(count(*) AS BIGINT) AS n_gaps
+        |FROM g WHERE gap_days IS NOT NULL
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     "j6_outer_counts" ->
       """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
