@@ -1012,6 +1012,27 @@ object SparkEntry {
         TextAnalysis.rollingFingerprint(col("text"), 200).as("fp"))
         .orderBy("doc_id")),
 
+    "text_bigram_counts" -> ((s, dir) =>
+      // corpus-wide n-gram language-model statistics: top-20 bigrams by
+      // frequency (shingle machinery with k=2, UNhashed — the strings
+      // are the output here; per-doc distinct like all shingle ops)
+      Dedup.shingleRows(docs(s, dir), k = 2)
+        .groupBy(col("shingle").as("bigram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("bigram").asc)
+        .limit(20)),
+
+    "doc_embedding_norms" -> ((s, dir) =>
+      // the text↔vector linkage a multimodal training pipeline relies
+      // on: documents joined to their embedding row (doc_id = vec_id in
+      // the driver's fixtures), emitting the L2 norm per doc
+      docs(s, dir).select(col("doc_id"), col("lang"))
+        .join(tbl(s, dir, "embeddings")
+          .select(col("vec_id").as("doc_id"), col("embedding")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"),
+          round(Similarity.norm(col("embedding")), 6).as("l2_norm"))
+        .orderBy("doc_id")),
+
     "tfidf_top_terms" -> ((s, dir) => {
       // top-3 characteristic terms per document by tf·idf — window rank
       // over the TF ⋈ IDF join (serving-index tables). No forced
@@ -1729,6 +1750,20 @@ object SparkEntry {
         |       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS ws_tokens,
         |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id""".stripMargin,
+
+    "text_bigram_counts" ->
+      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+         |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS bigram
+         |       FROM toks WHERE len(t) >= 2)
+         |SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs FROM bg
+         |GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin,
+
+    "doc_embedding_norms" ->
+      """SELECT d.doc_id, d.lang,
+        |       round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 6) AS l2_norm
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') d
+        |JOIN read_parquet('/root/testdata/sf0.01/embeddings.parquet') e ON e.vec_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
 
     "tfidf_top_terms" ->
       s"""WITH $indexCtes,
