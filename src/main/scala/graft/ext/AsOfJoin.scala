@@ -45,6 +45,13 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, carry: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // fail fast: a carried column shadowing a left column would silently
+    // null the left values during union padding
+    val clash = carry.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"carry columns ${clash.mkString(", ")} collide with left columns — rename first")
+    require(!carry.contains("asof_time") && !leftCols.contains("asof_time"),
+      "asof_time is a reserved output column")
     val l = left
       .withColumn("__t", col(leftTime).cast("long"))
       .withColumn("__side", lit(1))
