@@ -854,6 +854,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("bucket_lo")),
 
+    "q19_disjunctive" -> ((s, dir) =>
+      // TPC-H Q19 shape: OR-of-ANDs selection — exercises disjunctive
+      // predicate handling (CNF conversion / partial pushdown)
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+          (col("p_size").between(16, 35) && col("l_quantity").between(21, 35)) ||
+          (col("p_size").between(36, 50) && col("l_quantity").between(36, 50)))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    "w5_trailing_hour" -> ((s, dir) => {
+      // RANGE window frame (value-based, vs w2's ROWS frame): events in
+      // the user's trailing hour, inclusive of the current instant
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("n_trailing_hour", count(lit(1)).over(w))
+        .select("event_id", "user_id", "us", "n_trailing_hour")
+        .orderBy("event_id")
+    }),
+
     "q3_shipping_priority" -> ((s, dir) =>
       // TPC-H Q3 shape: selective dims, 3-way join, agg, top-k
       tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
@@ -1557,6 +1581,20 @@ object SparkEntry {
     "stream_dedup_users" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_size BETWEEN 16 AND 35 AND l_quantity BETWEEN 21 AND 35)
+        |   OR (p_size BETWEEN 36 AND 50 AND l_quantity BETWEEN 36 AND 50)""".stripMargin,
+
+    "w5_trailing_hour" ->
+      """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+        |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_hour
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT o_orderkey,
