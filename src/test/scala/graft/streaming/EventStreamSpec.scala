@@ -83,4 +83,45 @@ class EventStreamSpec extends SparkSpec {
     val out = spark.read.parquet(s"$outDir/out").as[(Long, Long)].collect().toSeq
     assert(out.filter(_._1 == 3600L) == Seq((3600L, 1L)))
   }
+
+  test("foreachBatch parquet sink accumulates batches equal to the batch result") {
+    import spark.implicits._
+    // the production sink shape: foreachBatch gives each micro-batch as a
+    // regular DataFrame for arbitrary writers (upserts, multi-sink fanout)
+    val dir = Files.createTempDirectory("graft-feb").toString
+    val outDir = Files.createTempDirectory("graft-feb-out").toString
+    (0 until 300).map { i =>
+      (i.toLong, (i * 61000000L) * 1000L, (i % 7).toLong,
+        if (i % 3 == 0) "click" else "view", i * 1.5, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val stream = EventStream.readEvents(spark, s"$dir/events.parquet", "*.parquet")
+      .select("event_id", "user_id", "event_type")
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(s"$outDir/rows")
+      }
+      .option("checkpointLocation", s"$outDir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.read.parquet(s"$outDir/rows")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+      .select("event_id", "user_id", "event_type")
+      .as[(Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(streamed == batch && streamed.size == 300)
+  }
+
+  test("approx_count_distinct tracks the exact distinct count within its rsd") {
+    import spark.implicits._
+    val df = (0 until 20000).map(i => (i % 1337).toLong).toDF("v")
+    val approx = df.agg(approx_count_distinct("v", rsd = 0.02)).as[Long].head()
+    val exact = df.agg(countDistinct("v")).as[Long].head()
+    assert(exact == 1337L)
+    assert(math.abs(approx - exact).toDouble / exact < 0.06,
+      s"approx=$approx exact=$exact") // 3x the requested rsd as the bound
+  }
 }
