@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark (driver contract): runs every gate query on
+  * SPARK_GRAFT_SF_DIR and prints machine-parseable JSON.
+  *
+  * Evidence shape (r3 VERDICT "Next round" #1): the per-query dict is a
+  * LONG line, and the driver's tail capture truncates long lines as the
+  * query count grows — r3's headline total was unrecoverable from the
+  * artifact. So the total is now printed LAST, on its own short line,
+  * after the per-query line; and each query's number is the MEDIAN of
+  * three timed repetitions (the machine is documented noisy: unchanged
+  * plans swung >3x between rounds — single samples are not evidence).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -31,19 +44,26 @@ object Bench {
       Caches.clearPersisted()
     }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // cache hygiene: each query pays for (and then releases) its own
+      // cache hygiene: each rep pays for (and then releases) its own
       // scoped persists; the serving index cache is bounded separately
       Caches.clearPersisted()
-      name -> dt
+      dt
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val samples = (1 to reps).map(_ => timeOnce(fn)).sorted
+      name -> samples(samples.size / 2) // median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Long line first (full contract incl. per-query medians), short
+    // total line LAST so a tail capture always retains a parseable total.
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"value":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -127,14 +127,19 @@ object SparkEntry {
       // must not be served tables bound to a stopped one. Bounded FIFO —
       // evicted entries unpersist their flat-words cache so a long-lived
       // session does not leak persisted RDDs.
+      // unpersist may throw against an already-stopped SparkContext (r3
+      // ADVICE) — exactly the restart scenario the session key guards, so
+      // eviction must never fail the NEW session's build
+      def safeUnpersist(t: graft.index.IndexTables): Unit =
+        try t.flatWords.unpersist(false) catch { case _: Throwable => () }
       val sessionKey = System.identityHashCode(s).toString
       indexCache.filterInPlace { case ((sk, _, _), t) =>
-        sk == sessionKey || { t.flatWords.unpersist(false); false }
+        sk == sessionKey || { safeUnpersist(t); false }
       }
       val key = (sessionKey, dir, stem)
       if (!indexCache.contains(key) && indexCache.size >= MaxCachedIndexes) {
         val (oldKey, old) = indexCache.head
-        old.flatWords.unpersist(false)
+        safeUnpersist(old)
         indexCache.remove(oldKey)
       }
       indexCache.getOrElseUpdate(key,
@@ -470,6 +475,15 @@ object SparkEntry {
           round(col("sum_value"), 2).as("sum_qty"), col("n_rows"))
         .orderBy("l_returnflag")),
 
+    "skew_salted_distinct" -> ((s, dir) =>
+      // salted exact count-distinct (r3 VERDICT #7): the value hash picks
+      // the salt so identical values co-locate and dedupe in the partial
+      // phase; semantically identical to count(DISTINCT …), which IS the
+      // oracle. event_type has 5 values — maximal hot-key skew.
+      graft.ext.Skew.saltedCountDistinct(events(s, dir),
+          key = "event_type", valueCol = "user_id", salts = 8)
+        .orderBy("event_type")),
+
     "dim_upsert" -> ((s, dir) => {
       // SCD-1 dimension upsert (the MERGE INTO shape without a table
       // format): updates override current rows on the key, inserts pass
@@ -627,12 +641,26 @@ object SparkEntry {
     }),
 
     "w3_ntile" -> ((s, dir) => {
-      // quartile bucketing of customers by total spend (ntile window fn)
+      // quartile bucketing of customers by total spend — scale-safe shape
+      // (r3 VERDICT #4): the previous ntile(4) OVER (ORDER BY spend) ran
+      // a GLOBAL unpartitioned window (all customers through one task).
+      // Instead: three cut values from ONE percentile aggregate (driver
+      // materializes 3 doubles — the S4 scalar pattern), then a codegen
+      // when-chain assigns buckets; no global sort anywhere. Cuts are
+      // 6dp-rounded on both sides so the engines' interpolated quantiles
+      // agree; quartile 1 = top spenders, matching the old DESC ntile.
       val spend = tbl(s, dir, "orders")
         .groupBy("o_custkey")
         .agg(round(sum("o_totalprice"), 2).as("spend"))
-      val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
-      spend.withColumn("quartile", ntile(4).over(w))
+      val cuts = spend.agg(
+        round(percentile(col("spend"), lit(0.75)), 6).as("p75"),
+        round(percentile(col("spend"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("spend"), lit(0.25)), 6).as("p25")).head()
+      spend.withColumn("quartile",
+        when(col("spend") >= cuts.getDouble(0), 1)
+          .when(col("spend") >= cuts.getDouble(1), 2)
+          .when(col("spend") >= cuts.getDouble(2), 3)
+          .otherwise(4))
         .orderBy("o_custkey")
     }),
 
@@ -724,6 +752,29 @@ object SparkEntry {
           leftTime = "ets", rightTime = "ots", carry = Seq("last_orderkey"))
         .select(col("event_id"), col("user_id"), col("ets"),
           col("last_orderkey"), (col("ets") - col("asof_time")).as("us_since_order"))
+        .orderBy("event_id")
+    }),
+
+    "asof_forward_tol" -> ((s, dir) => {
+      // forward as-of WITH tolerance (r3 VERDICT #9 — the two parameters
+      // every production as-of API has), as the classic funnel join:
+      // each view event attaches the same user's NEXT purchase event
+      // at-or-after it, but only within 1 hour (the tolerance drops
+      // nearest-matches farther out). Same union + one-window-pass plan
+      // as the backward direction; purchases pre-deduped per (user, ts)
+      // with max event_id for cross-engine determinism.
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ets"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pts"), col("event_id").as("pe"))
+        .groupBy("user_id", "pts")
+        .agg(max("pe").as("purchase_event"))
+      AsOfJoin.forward(views, buys, key = "user_id",
+          leftTime = "ets", rightTime = "pts", carry = Seq("purchase_event"),
+          tolerance = Some(3600L * 1000000L))
+        .select(col("event_id"), col("user_id"), col("ets"),
+          col("purchase_event"), (col("asof_time") - col("ets")).as("us_to_purchase"))
         .orderBy("event_id")
     }),
 
@@ -955,6 +1006,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_dedup_components" -> ((s, dir) => {
+      // component-based keepers (r3 VERDICT #5): the pair-based doc_b
+      // removal above is correct for a transitive cluster {1,2,3} with
+      // edges (1,2),(2,3) only by accident of pair orientation; the
+      // semantically right stage keeps the MIN doc_id per CONNECTED
+      // COMPONENT of the near-dup graph and drops everything else.
+      // Chains the existing pieces: minhash pairs → connected components
+      // → anti-join. The component label IS the min reachable node id,
+      // so losers are simply nodes whose label differs from themselves.
+      val d = docs(s, dir)
+      val losers = graft.ext.Graph.connectedComponents(
+        Dedup.minhashPairs(d, k = 3, numHashes = 32, bands = 16,
+            threshold = 0.8)
+          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      d.join(losers, Seq("doc_id"), "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash_near" -> ((s, dir) =>
       // SimHash near-dup pairs via Hamming banding (Manku et al. WWW'07):
       // 4 bands × 15 bits, capped equality self-join, verify hamming ≤ 3
@@ -992,6 +1064,18 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       Similarity.lshTopK(e, e.filter(col("vec_id") < 8), k = 5,
           planes = 8, dim = 64)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "sim_ivf_topk" -> ((s, dir) => {
+      // IVF ANN with nprobe=1 (r3 VERDICT #6): candidates restricted to
+      // the query's centroid cluster — the equi-join scale path, like
+      // sim_lsh_topk but with data-dependent (seed) centroids instead of
+      // hyperplanes. Deterministic seed assignment → full oracle.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5, nCentroids = 8)
         .select(col("query_id"), col("vec_id"),
           round(col("cos"), 6).as("cos"), col("rank"))
         .orderBy("query_id", "rank")
@@ -1126,14 +1210,16 @@ object SparkEntry {
     "serve_from_artifacts" -> ((s, dir) => {
       // the reference's ACTUAL serving mode (pyapp.py:30-37): artifacts
       // prebuilt on disk, the app loads them and never re-indexes. Write
-      // all seven artifacts (incl. the display-text table), load them
+      // all eight artifacts (incl. the display-text table and the
+      // preprocessed corpus, searchenginespark.py:74-77), load them
       // back, score, and join snippets from the LOADED text artifact —
       // result must be bitwise-identical to the build-then-search path,
       // so the oracle is the t1_search_snippet SQL.
       val t = builtIndex(s, dir, stem = false)
       Indexer.writeArtifacts(s, t, ArtifactsPath,
         opinionText = Some(docs(s, dir)
-          .select(col("doc_id"), col("text").as("opinion_text"))))
+          .select(col("doc_id"), col("text").as("opinion_text"))),
+        preprocessedDocs = Some(Indexer.preprocessedDocs(docs(s, dir), stem = false)))
       val loaded = Indexer.loadArtifacts(s, ArtifactsPath)
       val top = Search.scoreTerms(loaded, SearchTerms)
         .withColumn("score", round(col("score"), 4))
@@ -1313,6 +1399,25 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "skew_salted_distinct" ->
+      // oracle = the DIRECT count-distinct the salted two-phase must equal
+      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "asof_forward_tol" ->
+      // DuckDB ASOF with the mirrored (<=) inequality picks the nearest
+      // later purchase; the tolerance is a post-filter on the matched
+      // distance in BOTH engines (a view whose nearest purchase is >1h
+      // away drops — not "any purchase within 1h")
+      """WITH v AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ets FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS pts, max(event_id) AS purchase_event
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT v.event_id, v.user_id, v.ets, p.purchase_event,
+        |       p.pts - v.ets AS us_to_purchase
+        |FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ets <= p.pts
+        |WHERE p.pts - v.ets <= 3600000000
+        |ORDER BY v.event_id""".stripMargin,
+
     "dim_upsert" ->
       """SELECT c.c_custkey,
         |       CASE WHEN c.c_custkey % 2 = 0 THEN upper(c.c_mktsegment) ELSE c.c_mktsegment END AS segment
@@ -1414,11 +1519,21 @@ object SparkEntry {
         |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
 
     "w3_ntile" ->
+      // percentile-cut quartiles mirrored: DuckDB quantile_cont and Spark
+      // percentile both linearly interpolate at exact dyadic fractions of
+      // 2dp-rounded spends; cuts rounded to 6dp on both sides
       """WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
-        |               FROM orders GROUP BY o_custkey)
+        |               FROM orders GROUP BY o_custkey),
+        |cuts AS (SELECT round(quantile_cont(spend, 0.75), 6) AS p75,
+        |                round(quantile_cont(spend, 0.5), 6) AS p50,
+        |                round(quantile_cont(spend, 0.25), 6) AS p25
+        |         FROM spend)
         |SELECT o_custkey, spend,
-        |       CAST(ntile(4) OVER (ORDER BY spend DESC, o_custkey) AS INTEGER) AS quartile
-        |FROM spend ORDER BY o_custkey""".stripMargin,
+        |       CAST(CASE WHEN spend >= p75 THEN 1
+        |                 WHEN spend >= p50 THEN 2
+        |                 WHEN spend >= p25 THEN 3
+        |                 ELSE 4 END AS INTEGER) AS quartile
+        |FROM spend, cuts ORDER BY o_custkey""".stripMargin,
 
     "d1_monthly_orders" ->
       """SELECT CAST(epoch_us(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start,
@@ -1525,9 +1640,14 @@ object SparkEntry {
 
     "events_session_window" ->
       // same gaps-and-islands CTEs as events_sessionize; session end =
-      // last event + the 30-minute gap (session_window semantics)
+      // last event + the 30-minute gap (session_window semantics). The
+      // new-session predicate is `>=` here (NOT the `>` of the
+      // gaps-and-islands queries, which define their own convention):
+      // Spark's native session_window is end-EXCLUSIVE, so an event at
+      // exactly prev_ts + gap starts a new session (r3 ADVICE — the `>`
+      // variant passed only because no exact 30-min gap existed).
       """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
-        |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_session
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
@@ -1664,6 +1784,24 @@ object SparkEntry {
          |WHERE doc_id NOT IN (SELECT doc_b FROM p)
          |ORDER BY doc_id""".stripMargin,
 
+    "pipeline_dedup_components" ->
+      // transitive closure (as in dedup_components) → keeper = min node
+      // per component → losers are nodes above their component minimum
+      s"""WITH RECURSIVE $hashedShingleCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         |SELECT doc_id, lang FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_simhash_near" ->
       // Hamming banding mirrored: 4 bands × 15 bits, bucket-capped
       // equality self-join, full-fingerprint verify at hamming ≤ 3
@@ -1713,6 +1851,32 @@ object SparkEntry {
         |              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
         |       FROM s1)
         |SELECT vec_id, cent_id AS cluster FROM r1 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "sim_ivf_topk" ->
+      // seed-centroid assignment (the a0 CTE of sim_ivf_assign, no Lloyd
+      // refinement — ivfTopK probes the deterministic seed clusters),
+      // then candidates = cluster-mates only, ranked per query. The
+      // queries (vec_id < 8) ARE the seed set, so their assignment is a0
+      // restricted to vec_id < 8 — the identical computation ivfAssign
+      // runs on the query side.
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
+        |s0 AS (SELECT vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM v CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |c AS (SELECT a.vec_id, a.cluster, v.ve AS ce FROM a0 a JOIN v USING (vec_id)),
+        |q AS (SELECT a.vec_id AS query_id, a.cluster, v.ve AS qe FROM a0 a JOIN v USING (vec_id) WHERE a.vec_id < 8),
+        |sc AS (SELECT q.query_id, c.vec_id,
+        |              list_dot_product(q.qe, c.ce) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+        |       FROM c JOIN q ON c.cluster = q.cluster AND c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |      FROM sc)
+        |SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "sim_lsh_topk" -> {
       val terms = (0 until 8).map { j =>

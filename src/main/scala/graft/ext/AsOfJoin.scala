@@ -7,18 +7,29 @@ import org.apache.spark.sql.functions._
 /** As-of (point-in-time) join — an operator Spark has no built-in for
   * (builder brief: "when the reference has an operator Spark lacks …
   * compose existing ops if semantics allow"). For every left row, attach
-  * the single most recent right row with the same key and
-  * `rightTime <= leftTime` (the "backward" as-of of kdb/pandas/DuckDB).
+  * the single nearest right row with the same key: the latest one with
+  * `rightTime <= leftTime` ([[backward]] — the kdb/pandas/DuckDB default)
+  * or the earliest one with `rightTime >= leftTime` ([[forward]]), with
+  * an optional `tolerance` bound on the time distance — the two
+  * parameters every production as-of API exposes (pandas `merge_asof`
+  * direction/tolerance; DuckDB ASOF accepts either inequality).
   *
   * Implementation — the scalable composition, NOT a range cross-join:
   * tag both inputs, UNION them, and run one window pass per key ordered
-  * by (time, side): `last(..., ignoreNulls)` carries the most recent
-  * right-side attributes forward onto each left row. Cost is ONE shuffle
+  * by (time, side): `last(..., ignoreNulls)` carries the nearest
+  * right-side row forward onto each left row. Cost is ONE shuffle
   * on the key plus a codegen'd window sort — the same shape as a sessionize,
   * and the standard big-data as-of plan (a banded/range join would shuffle
   * twice and still need per-band sorts). At equal timestamps the right row
   * is visible to the left row (ties sort right-before-left), matching the
-  * `>=` as-of convention.
+  * `>=`/`<=` as-of conventions.
+  *
+  * Row integrity (r3 ADVICE): ALL carried columns plus `asof_time` travel
+  * as ONE struct through a single `last(ignoreNulls)` — carrying each
+  * column independently would let a right row with a NULL in one carried
+  * column produce an output row stitched from DIFFERENT right rows,
+  * diverging from pandas/DuckDB semantics (which attach the whole matched
+  * row, nulls included).
   *
   * Determinism: callers must ensure at most one right row per
   * (key, rightTime) — pre-aggregate otherwise (see the asof_latest_order
@@ -32,18 +43,35 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Latest right row at-or-before each left time. See [[asof]]. */
+  def backward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, carry: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, key, leftTime, rightTime, carry, forward = false, tolerance)
+
+  /** Earliest right row at-or-after each left time. See [[asof]]. */
+  def forward(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, carry: Seq[String],
+      tolerance: Option[Long] = None): DataFrame =
+    asof(left, right, key, leftTime, rightTime, carry, forward = true, tolerance)
+
   /** @param left       left rows; all its columns are preserved
     * @param right      right rows; only `key`, `rightTime`, `carry` move
     * @param key        equi-join key column name (same name both sides)
     * @param leftTime   epoch-comparable (numeric) time column on `left`
     * @param rightTime  epoch-comparable (numeric) time column on `right`
     * @param carry      right columns to attach to each left row
+    * @param forward    false → latest right at-or-before (backward);
+    *                   true → earliest right at-or-after
+    * @param tolerance  max |leftTime - asof_time| (same units as the time
+    *                   columns); matches farther away are dropped (inner)
     * @return left rows (inner: only those with a match) plus, per carried
-    *         column `c`, `c` from the latest right row at-or-before
-    *         `leftTime`, and `asof_time` = that row's `rightTime`
+    *         column `c`, `c` from the matched right row, and `asof_time`
+    *         = that row's `rightTime`
     */
-  def backward(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, carry: Seq[String]): DataFrame = {
+  private def asof(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, carry: Seq[String],
+      forward: Boolean, tolerance: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
     // fail fast: a carried column shadowing a left column would silently
     // null the left values during union padding
@@ -52,32 +80,54 @@ object AsOfJoin {
       s"carry columns ${clash.mkString(", ")} collide with left columns — rename first")
     require(!carry.contains("asof_time") && !leftCols.contains("asof_time"),
       "asof_time is a reserved output column")
+    // … and the internal working names are reserved too (r3 ADVICE): a
+    // pre-existing __t/__side/__payload would be silently overwritten and
+    // corrupt the union/window pass rather than failing visibly
+    val reserved = Seq("__t", "__side", "__payload")
+    val reservedHit = (leftCols ++ right.columns ++ carry).filter(reserved.contains)
+    require(reservedHit.isEmpty,
+      s"columns ${reservedHit.distinct.mkString(", ")} collide with as-of internals — rename first")
+
+    // the matched right row travels as ONE struct: (rightTime, carry…)
     val l = left
       .withColumn("__t", col(leftTime).cast("long"))
       .withColumn("__side", lit(1))
-      .withColumn("asof_time", lit(null).cast("long"))
-    val lPadded = carry.foldLeft(l)((df, c) =>
-      df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+      .withColumn("__payload",
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructField("asof_time",
+            org.apache.spark.sql.types.LongType) +:
+            carry.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))))
     val r0 = right
-      .withColumnRenamed(rightTime, "__rt")
-      .withColumn("__t", col("__rt").cast("long"))
+      .withColumn("__t", col(rightTime).cast("long"))
       .withColumn("__side", lit(0))
-      .withColumn("asof_time", col("__t"))
-      .select((key +: "__t" +: "__side" +: "asof_time" +: carry).map(col): _*)
-    val rPadded = leftCols.filterNot(c => c == key || carry.contains(c))
+      .withColumn("__payload",
+        struct((col("__t").as("asof_time") +: carry.map(col)): _*))
+      .select(col(key), col("__t"), col("__side"), col("__payload"))
+    val rPadded = leftCols.filterNot(_ == key)
       .foldLeft(r0)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
 
-    val cols = (leftCols :+ "__t" :+ "__side" :+ "asof_time").distinct ++
-      carry.filterNot(leftCols.contains)
-    val unioned = lPadded.select(cols.map(col): _*)
+    val cols = leftCols :+ "__t" :+ "__side" :+ "__payload"
+    val unioned = l.select(cols.map(col): _*)
       .unionByName(rPadded.select(cols.map(col): _*))
 
-    val w = Window.partitionBy(key).orderBy(col("__t").asc, col("__side").asc)
+    // backward scans time ascending; forward scans descending — either
+    // way the nearest right row is the last non-null payload seen, and at
+    // equal times the right row sorts before the left row (>=/<= conventions)
+    val tOrder = if (forward) col("__t").desc else col("__t").asc
+    val w = Window.partitionBy(key).orderBy(tOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (carry :+ "asof_time").foldLeft(unioned)((df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
-    carried
-      .filter(col("__side") === 1 && col("asof_time").isNotNull)
-      .select((leftCols ++ carry :+ "asof_time").map(col): _*)
+    val matched = unioned
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__payload").isNotNull)
+    val bounded = tolerance match {
+      case Some(tol) =>
+        val dist = if (forward) col("__payload")("asof_time") - col("__t")
+        else col("__t") - col("__payload")("asof_time")
+        matched.filter(dist <= tol)
+      case None => matched
+    }
+    bounded.select(
+      (leftCols.map(col) ++ carry.map(c => col("__payload")(c).as(c))
+        :+ col("__payload")("asof_time").as("asof_time")): _*)
   }
 }

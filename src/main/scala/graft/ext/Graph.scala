@@ -32,6 +32,13 @@ object Graph {
     * what GraphX's Pregel loop does with materialize+unpersist) keeps
     * per-round cost flat.
     *
+    * Block hygiene (r3 ADVICE): each superstep's localCheckpoint persists
+    * one RDD; the superseded labels RDD is unpersisted as soon as the
+    * next round's state is materialized (GraphX Pregel's own
+    * materialize+unpersist pattern), so storage stays O(1) in rounds.
+    * Non-convergence within `maxIter` fails fast instead of silently
+    * returning partially-propagated labels.
+    *
     * @param edges (src, dst) pairs; direction ignored, self-loops fine
     * @return (node, component) where component = min node id reachable
     */
@@ -69,9 +76,16 @@ object Graph {
         .join(labels.select(col("node"), col("label").as("prev")), Seq("node"))
         .filter(col("label") =!= col("prev"))
         .count()
+      // prev state is dead once `next` (already eagerly materialized) and
+      // the change count no longer read it — free its checkpoint blocks
+      org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint(labels)
       labels = next
       iter += 1
     }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(labels still changing) — raise maxIter; returning partial labels would be silently wrong")
+    org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint(sym)
     labels.select(col("node"), col("label").as("component"))
   }
 }

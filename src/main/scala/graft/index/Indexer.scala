@@ -130,10 +130,16 @@ object Indexer {
     * table (`scoring_params.parquet`, avgdl only). `opinionText`, when
     * given, is the reference's seventh artifact — the per-document display
     * text the serving app joins search hits against
-    * (`opinion_text.parquet`, `pyapp.py:37,114`).
+    * (`opinion_text.parquet`, `pyapp.py:37,114`). `preprocessedDocs`, when
+    * given, is the reference's FIRST persisted table (raw doc columns +
+    * `words:array<string>`, `searchenginespark.py:74-77` — SURVEY §1.1
+    * row 2; r3 VERDICT "What's missing" #1): nothing downstream reads it,
+    * but it completes the artifact snapshot. Build one with
+    * [[preprocessedDocs]].
     */
   def writeArtifacts(spark: SparkSession, t: IndexTables, outDir: String,
-      opinionText: Option[DataFrame] = None): Unit = {
+      opinionText: Option[DataFrame] = None,
+      preprocessedDocs: Option[DataFrame] = None): Unit = {
     def w(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
     w(t.flatWords, "flat_words")
@@ -144,7 +150,15 @@ object Indexer {
     import spark.implicits._
     w(Seq(t.avgdl).toDF("avgdl"), "scoring_params")
     opinionText.foreach(w(_, "opinion_text"))
+    preprocessedDocs.foreach(w(_, "preprocessed_docs"))
   }
+
+  /** The reference's `preprocessed_docs` table: every input column plus
+    * the tokenizer output as `words:array<string>`
+    * (`searchenginespark.py:74-77`). Narrow map — no shuffle at any scale.
+    */
+  def preprocessedDocs(docs: DataFrame, stem: Boolean = true): DataFrame =
+    docs.withColumn("words", Tokenizer.tokensCol(col("text"), stem))
 
   /** The reference's serving mode (`pyapp.py:30-37`): load the prebuilt
     * on-disk artifacts — never re-index. avgdl comes from the 1-row

@@ -28,6 +28,22 @@ object ColumnShim {
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * DataFrame: its analyzed plan is a `LogicalRDD` over the persisted
+    * checkpoint RDD, which `Dataset.unpersist` cannot reach (the dataset
+    * is not catalog-cached). No-op for any other plan shape; never
+    * throws (a stopped context makes this best-effort cleanup moot).
+    * Needed by iterative algorithms ([[graft.ext.Graph]]) that would
+    * otherwise leak one persisted RDD per superstep.
+    */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    try {
+      logicalPlan(df) match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+        case _ => ()
+      }
+    } catch { case _: Throwable => () }
+
   /** Idempotently add a planner strategy to a LIVE session (the
     * runtime-registration face of `injectPlannerStrategy`, for sessions
     * built without extensions — e.g. the driver's harness session).

@@ -24,7 +24,61 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.size == 2)
   }
 
-  test("as-of result matches a per-row scan on random-ish data") {
+  test("forward as-of attaches the earliest right row at-or-after; tolerance bounds the distance") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, "e1"), (1L, 16L, "e2"), (2L, 5L, "e3"))
+      .toDF("k", "lt", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 101L), (1L, 40L, 102L))
+      .toDF("k", "rt", "v")
+    val fwd = AsOfJoin.forward(left, right, "k", "lt", "rt", Seq("v"))
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => r._3 -> (r._4, r._5)).toMap
+    // equal timestamps visible (<= semantics); else the earliest later row
+    assert(fwd("e1") == (100L, 10L))
+    assert(fwd("e2") == (102L, 40L))
+    assert(!fwd.contains("e3") && fwd.size == 2)
+    // tolerance: e2's nearest-after is 24 ticks away — beyond tol=10 it drops
+    val tol = AsOfJoin.forward(left, right, "k", "lt", "rt", Seq("v"), tolerance = Some(10L))
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => r._3 -> (r._4, r._5)).toMap
+    assert(tol == Map("e1" -> ((100L, 10L))))
+    // backward tolerance mirrors: at lt=16 the match rt=15 is within 10
+    val btol = AsOfJoin.backward(left, right, "k", "lt", "rt", Seq("v"), tolerance = Some(10L))
+      .as[(Long, Long, String, Long, Long)].collect()
+      .map(r => r._3 -> (r._4, r._5)).toMap
+    assert(btol == Map("e1" -> ((100L, 10L)), "e2" -> ((101L, 15L))))
+  }
+
+  test("carried columns all come from the SAME matched right row, nulls included") {
+    import spark.implicits._
+    // the r3 ADVICE scenario: the latest right row has a NULL in one
+    // carried column — per-column carry would stitch v1 from an OLDER row
+    // onto the newer row's asof_time; whole-row carry must keep the null
+    val left = Seq((1L, 20L, "e1")).toDF("k", "lt", "tag")
+    val right = Seq(
+      (1L, 10L, Option(100L), Option("old")),
+      (1L, 15L, Option.empty[Long], Option("new")))
+      .toDF("k", "rt", "v1", "v2")
+    val got = AsOfJoin.backward(left, right, "k", "lt", "rt", Seq("v1", "v2"))
+      .select("tag", "v1", "v2", "asof_time")
+      .as[(String, Option[Long], String, Long)].collect()
+    assert(got.toSeq == Seq(("e1", None, "new", 15L)))
+  }
+
+  test("reserved internal column names fail fast") {
+    import spark.implicits._
+    val right = Seq((1L, 10L, 100L)).toDF("k", "rt", "v")
+    val badLeft = Seq((1L, 10L, 0L)).toDF("k", "lt", "__t")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(badLeft, right, "k", "lt", "rt", Seq("v"))
+    }
+    val badRight = Seq((1L, 10L, 100L, 0)).toDF("k", "rt", "v", "__side")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(Seq((1L, 10L)).toDF("k", "lt"), badRight, "k", "lt", "rt", Seq("v"))
+    }
+  }
+
+  test("as-of (both directions, with/without tolerance) matches a per-row scan on random-ish data") {
     import spark.implicits._
     // deterministic pseudo-random fixture; verify against a brute-force
     // driver-side reimplementation
@@ -34,17 +88,22 @@ class AsOfJoinSpec extends SparkSpec {
       .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
     val l = lrows.toDF("k", "lt", "id")
     val r = rrows.toDF("k", "rt", "v")
-    val got = AsOfJoin.backward(l, r, "k", "lt", "rt", Seq("v"))
-      .as[(Long, Long, Long, Long, Long)].collect()
-      .map(x => x._3 -> (x._4, x._5)).toMap
-    val want = lrows.flatMap { case (k, lt, id) =>
-      val matches = rrows.filter(rr => rr._1 == k && rr._2 <= lt)
-      if (matches.isEmpty) None
-      else {
-        val m = matches.maxBy(rr => (rr._2, rr._3))
-        Some(id -> (m._3, m._2))
-      }
-    }.toMap
-    assert(got == want)
+    for (fwd <- Seq(false, true); tol <- Seq(None, Some(15L))) {
+      val dir = if (fwd) AsOfJoin.forward _ else AsOfJoin.backward _
+      val got = dir(l, r, "k", "lt", "rt", Seq("v"), tol)
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(x => x._3 -> (x._4, x._5)).toMap
+      val want = lrows.flatMap { case (k, lt, id) =>
+        val matches = rrows.filter(rr => rr._1 == k &&
+          (if (fwd) rr._2 >= lt else rr._2 <= lt))
+        if (matches.isEmpty) None
+        else {
+          val m = if (fwd) matches.minBy(_._2) else matches.maxBy(_._2)
+          val dist = if (fwd) m._2 - lt else lt - m._2
+          if (tol.exists(dist > _)) None else Some(id -> (m._3, m._2))
+        }
+      }.toMap
+      assert(got == want, s"forward=$fwd tol=$tol")
+    }
   }
 }

@@ -8,15 +8,16 @@ import graft.SparkSpec
   */
 class ArtifactsSpec extends SparkSpec {
 
-  test("writeArtifacts round-trips all seven artifact tables") {
+  test("writeArtifacts round-trips all eight artifact tables") {
     import spark.implicits._
     val corpus = Seq(
       (1L, "merge sort merge"),
       (2L, "hash join sort")).toDF("doc_id", "text")
     val t = Indexer.build(corpus, stem = false)
     val dir = Files.createTempDirectory("graft-artifacts").toString
-    Indexer.writeArtifacts(spark, t, dir, opinionText = Some(
-      corpus.select($"doc_id", $"text".as("opinion_text"))))
+    Indexer.writeArtifacts(spark, t, dir,
+      opinionText = Some(corpus.select($"doc_id", $"text".as("opinion_text"))),
+      preprocessedDocs = Some(Indexer.preprocessedDocs(corpus, stem = false)))
 
     def n(name: String): Long = spark.read.parquet(s"$dir/$name.parquet").count()
     assert(n("flat_words") == 6)
@@ -28,6 +29,18 @@ class ArtifactsSpec extends SparkSpec {
     val params = spark.read.parquet(s"$dir/scoring_params.parquet")
       .as[Double].collect()
     assert(params.toSeq == Seq(3.0)) // avgdl = (3 + 3) / 2
+
+    // the reference's FIRST persisted table (searchenginespark.py:74-77):
+    // raw columns preserved + words:array<string>, schema round-trips
+    val pre = spark.read.parquet(s"$dir/preprocessed_docs.parquet")
+    assert(pre.columns.toSeq == Seq("doc_id", "text", "words"))
+    assert(pre.schema("words").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType]
+      .elementType == org.apache.spark.sql.types.StringType)
+    val words = pre.select($"doc_id", $"words").as[(Long, Seq[String])]
+      .collect().toMap
+    assert(words(1L) == Seq("merge", "sort", "merge"))
+    assert(words(2L) == Seq("hash", "join", "sort"))
   }
 
   test("loadArtifacts serves an index identical to the built one") {

@@ -1,0 +1,44 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Automated plan-smell audit over the whole gate (r3 VERDICT #4 asked to
+  * lock the manual docs/PLANS.md grep into a failing check):
+  *
+  *  - NO unpartitioned window: `Window.orderBy` without `partitionBy`
+  *    funnels every row through ONE task — correct at sf0.1, a
+  *    single-task scale-killer at 100× (the old w3_ntile shape).
+  *  - NO ScalaUDF: every scalar kernel must be a native/codegen
+  *    expression (the repo rule; PorterStem is a Catalyst Expression).
+  *
+  * Checked on the ANALYZED logical plan at sf0.001 — plan shape, not
+  * execution. `stream_*` entries are skipped: building them runs a full
+  * streaming query whose result is a batch sink read (their stateful
+  * plans are asserted by the streaming specs instead).
+  */
+class PlanSmellSpec extends SparkSpec {
+
+  test("no gate query plans an unpartitioned window or a ScalaUDF") {
+    val dir = "/root/testdata/sf0.001"
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!name.startsWith("stream_")) {
+        val plan = org.apache.spark.sql.graftshim.ColumnShim
+          .logicalPlan(fn(spark, dir))
+        val globalWindows = plan.collect {
+          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        }
+        if (globalWindows.nonEmpty) offenders += s"$name: unpartitioned Window"
+        val udfs = plan.collect {
+          case p if p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) => p
+        }
+        if (udfs.nonEmpty) offenders += s"$name: ScalaUDF"
+        graft.Caches.clearPersisted()
+      }
+    }
+    assert(offenders.isEmpty, s"plan smells: ${offenders.mkString("; ")}")
+  }
+}
