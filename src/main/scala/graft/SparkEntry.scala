@@ -1130,6 +1130,49 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("bigram").asc)
         .limit(20)),
 
+    "sample_hash_bucket" -> ((s, dir) =>
+      // reproducible down-sampling — the training-data op behind data
+      // versioning and held-out splits: bucket = 60-bit md5 of the doc
+      // id, mod 10; keep buckets 0-2 (a 30% sample). NOT rand()/
+      // TABLESAMPLE: the same rows are kept on any engine, cluster
+      // size, partitioning, or rerun. Narrow, scan-speed at any scale.
+      docs(s, dir)
+        .withColumn("bucket",
+          pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(10L)))
+        .filter(col("bucket") < 3)
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")),
+
+    "text_lm_score" -> ((s, dir) => {
+      // LM-based quality scoring (the CCNet-style filter an LLM data
+      // pipeline runs after dedup): score every document by the average
+      // log10 probability of its bigrams under the corpus's own
+      // add-one-smoothed bigram model. All counts are hash aggregates
+      // over compact token keys; the scoring join is bigram-string
+      // equi-join (AQE broadcasts the LM table while it fits); the one
+      // window (bigram formation via lead) is partitioned by doc_id.
+      val toks = docs(s, dir).select(col("doc_id"),
+        posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val big = graft.Caches.persist(
+        toks.withColumn("w2", lead("w", 1).over(w))
+          .filter(col("w2").isNotNull)
+          .withColumn("bg", concat(col("w"), lit(" "), col("w2"))))
+      val c2 = big.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy("w").agg(count(lit(1)).as("c1"))
+      // vocabulary size over ALL token occurrences (scalar materialize,
+      // the S4 pattern) — the add-one denominator
+      val vocab = toks.select("w").distinct().count()
+      big
+        .join(c2, Seq("bg"))
+        .join(c1, Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(log10((col("c2") + 1).cast("double") / (col("c1") + vocab))), 6)
+            .as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
     "doc_embedding_norms" -> ((s, dir) =>
       // the text↔vector linkage a multimodal training pipeline relies
       // on: documents joined to their embedding row (doc_id = vec_id in
@@ -1959,6 +2002,30 @@ object SparkEntry {
          |       FROM toks WHERE len(t) >= 2)
          |SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs FROM bg
          |GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin,
+
+    "sample_hash_bucket" ->
+      // identical md5-fold bucket on both sides (the dedup_simhash
+      // md5Hash60 mirror) — the sample is engine-independent by design
+      s"""WITH b AS (SELECT doc_id, lang, ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+         |SELECT doc_id, lang, bucket FROM b WHERE bucket < 3 ORDER BY doc_id""".stripMargin,
+
+    "text_lm_score" ->
+      // occurrence-level bigram/unigram counts + add-one smoothing,
+      // mirrored; per-bigram log-probs are identical integers-in,
+      // doubles-out on both engines, and the per-doc average is
+      // 6dp-rounded (the repo's distributed-vs-single-node float rule)
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |t AS (SELECT doc_id, unnest(tk) AS w FROM d),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM d WHERE len(tk) >= 2),
+        |bw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w FROM b),
+        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY bg),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM bw GROUP BY w),
+        |v AS (SELECT count(DISTINCT w) AS vocab FROM t),
+        |s AS (SELECT bw.doc_id, log10(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.vocab)) AS lp
+        |      FROM bw JOIN c2 USING (bg) JOIN c1 USING (w) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 6) AS lm_score
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_embedding_norms" ->
       """SELECT d.doc_id, d.lang,
