@@ -193,7 +193,9 @@ object Dedup {
       .select("doc_a", "doc_b", "sig_a", "sig_b")
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+        // codegen signature-agreement count (was an interpreted
+        // zip_with+filter over the 32-slot sigs — the last non-stub HOF)
+        graft.functions.ArrayEqCount.count(col("sig_a"), col("sig_b"))
           .cast("double") / numHashes)
       .select("doc_a", "doc_b", "est_jaccard")
 

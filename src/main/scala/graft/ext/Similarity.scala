@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   * family (builder brief). Operates on the driver's `embeddings` table
   * (vec_id, embedding: array<float>, label — FIXTURES.md §A).
   *
-  * All vector math is built from `zip_with` / `aggregate` higher-order
-  * functions — native Catalyst expressions, no UDF, codegen-friendly
-  * (builder brief: "functions.aggregate/zip_with for the dot product").
+  * All vector math routes through [[graft.functions.DotProduct]] — a
+  * custom Catalyst expression with `doGenCode` (builder brief: "or a
+  * custom Expression" for the dot product). The earlier
+  * `aggregate(zip_with(...))` higher-order form was interpreted per
+  * element (r4 VERDICT #1: 8 planes × 64 dims = 512 interpreted lambda
+  * steps per row in [[lshBuckets]]); the expression compiles to one fused
+  * Java loop inside WholeStageCodegen with identical double arithmetic.
   *
   * Scale design (100 TB story):
   *  - brute-force top-k broadcasts the (tiny) query set against the
@@ -27,10 +31,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two array<numeric> columns, computed in double. */
+  /** Σ aᵢ·bᵢ over two array<numeric> columns, computed in double —
+    * codegen fused loop, left-to-right accumulation (bitwise-identical
+    * to the former `aggregate(zip_with(...))` fold).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

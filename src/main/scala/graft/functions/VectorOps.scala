@@ -1,0 +1,190 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+/** Fused dot-product kernel Σ aᵢ·bᵢ as a native Catalyst expression WITH
+  * code generation — the 100 TB hot path of the similarity family.
+  *
+  * Why not `aggregate(zip_with(a, b, _*_), 0d, _+_)`: Catalyst evaluates
+  * `ArrayAggregate`/`ZipWith` lambda bodies INTERPRETED (one
+  * `InterpretedEvaluator` dispatch per element), the exact per-element tax
+  * this repo measured at ~10-30× and purged from simhash/shingles/
+  * qualityMetrics (docs/SCALE.md rule; r4 VERDICT #1 flagged the vector
+  * kernel as the last holdout). This expression compiles to ONE Java loop
+  * over the two array buffers inside WholeStageCodegen — no per-element
+  * virtual calls, no intermediate product array allocation.
+  *
+  * Numeric contract (must stay bitwise-identical to the HOF form so every
+  * `sim_*`/`doc_embedding_norms` oracle keeps hash-matching): each element
+  * is widened to double, products are accumulated LEFT-TO-RIGHT in a
+  * double — the same fold order and arithmetic as
+  * `aggregate(zip_with(...))`. Mismatched lengths or a null element yield
+  * NULL (zip_with pads with null → null product → null fold), and a null
+  * input array yields NULL.
+  *
+  * Registered as the SQL function `vec_dot` by
+  * [[graft.plans.GraftExtensions]].
+  */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(et, _) => et.isInstanceOf[NumericType]
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires two array<numeric> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  private def toDouble(a: ArrayData, i: Int, dt: DataType): Double = dt match {
+    case FloatType => a.getFloat(i).toDouble
+    case DoubleType => a.getDouble(i)
+    case IntegerType => a.getInt(i).toDouble
+    case LongType => a.getLong(i).toDouble
+    case ShortType => a.getShort(i).toDouble
+    case ByteType => a.getByte(i).toDouble
+    case d: DecimalType => a.get(i, d).asInstanceOf[Decimal].toDouble
+    case other => throw new IllegalStateException(s"unsupported element type $other")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    val (lt, rt) = (elemType(left), elemType(right))
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += toDouble(a, i, lt) * toDouble(b, i, rt)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val la = CodeGenerator.getValue(a, elemType(left), i)
+      val rb = CodeGenerator.getValue(b, elemType(right), i)
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) ($la)) * ((double) ($rb));
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "vec_dot"
+}
+
+object DotProduct {
+  /** Column-API form: `dot(col("a"), col("b"))`. */
+  def dot(a: Column, b: Column): Column =
+    ColumnShim.column(DotProduct(ColumnShim.expression(a), ColumnShim.expression(b)))
+}
+
+/** Number of positions where two integral arrays agree — the minhash
+  * signature-agreement kernel (est_jaccard numerator in
+  * [[graft.ext.Dedup.minhashPairs]]), as one generated loop.
+  *
+  * Mirrors `size(filter(zip_with(a, b, _ === _), identity))` exactly:
+  * positions beyond the shorter array (zip_with's null padding) and
+  * null elements compare to null and are dropped by the filter, so the
+  * count runs over min-length positions with both sides non-null; a null
+  * input array yields NULL (`size(null)` under the non-legacy default).
+  */
+case class ArrayEqCount(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(et, _) => et == LongType || et == IntegerType
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType) && elemType(left) == elemType(right))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"array_eq_count requires two arrays of the same integral type, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    val isLong = elemType(left) == LongType
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i)) {
+        val eq = if (isLong) a.getLong(i) == b.getLong(i) else a.getInt(i) == b.getInt(i)
+        if (eq) cnt += 1
+      }
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val cnt = ctx.freshName("cnt")
+      val la = CodeGenerator.getValue(a, elemType(left), i)
+      val rb = CodeGenerator.getValue(b, elemType(right), i)
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $cnt = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) && ($la) == ($rb)) $cnt++;
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayEqCount =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "array_eq_count"
+}
+
+object ArrayEqCount {
+  /** Column-API form. */
+  def count(a: Column, b: Column): Column =
+    ColumnShim.column(ArrayEqCount(ColumnShim.expression(a), ColumnShim.expression(b)))
+}

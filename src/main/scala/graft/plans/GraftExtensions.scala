@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "porter_stem takes exactly one argument")
         PorterStem(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "vec_dot takes exactly two arguments")
+        graft.functions.DotProduct(children(0), children(1))
+      }))
     // custom optimizer rule (builder brief path (c)): cheap length guard
     // in front of levenshtein threshold filters
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)

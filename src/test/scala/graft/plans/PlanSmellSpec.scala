@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate, ScalaUDF, ZipWith}
 import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
 
 import graft.{SparkEntry, SparkSpec}
@@ -13,6 +13,12 @@ import graft.{SparkEntry, SparkSpec}
   *    single-task scale-killer at 100× (the old w3_ntile shape).
   *  - NO ScalaUDF: every scalar kernel must be a native/codegen
   *    expression (the repo rule; PorterStem is a Catalyst Expression).
+  *  - NO interpreted fold HOFs (`ArrayAggregate`/`ZipWith`): Catalyst
+  *    evaluates their lambdas interpreted — the ~10-30× per-element tax
+  *    docs/SCALE.md documents (r4 VERDICT #1/#6; the vector and
+  *    fingerprint kernels are codegen Expressions now). Allowlisted:
+  *    the `multimodal_*` stub decode path, whose per-row-bounded byte
+  *    folds stand in for a real codec (r4 VERDICT adjudication).
   *
   * Checked on the ANALYZED logical plan at sf0.001 — plan shape, not
   * execution. `stream_*` entries are skipped: building them runs a full
@@ -36,6 +42,13 @@ class PlanSmellSpec extends SparkSpec {
           case p if p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) => p
         }
         if (udfs.nonEmpty) offenders += s"$name: ScalaUDF"
+        if (!name.startsWith("multimodal_")) {
+          val hofFolds = plan.collect {
+            case p if p.expressions.exists(_.exists(e =>
+              e.isInstanceOf[ArrayAggregate] || e.isInstanceOf[ZipWith])) => p
+          }
+          if (hofFolds.nonEmpty) offenders += s"$name: interpreted ArrayAggregate/ZipWith"
+        }
         graft.Caches.clearPersisted()
       }
     }
