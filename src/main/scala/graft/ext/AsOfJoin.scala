@@ -38,8 +38,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes (100 TB): the shuffle moves (key, time, carried-cols) only;
   * heavily hot keys (one user with millions of events) skew the window
-  * sort — the salt-by-(key, day) precondition documented for
-  * [[Sessions.sessionize]] applies identically here.
+  * sort — [[backwardSalted]] removes that with a (key, time-bucket)
+  * pre-pass + seed merge and is the shape to reach for when key
+  * cardinality is low or skewed.
   */
 object AsOfJoin {
 
@@ -124,6 +125,116 @@ object AsOfJoin {
         val dist = if (forward) col("__payload")("asof_time") - col("__t")
         else col("__t") - col("__payload")("asof_time")
         matched.filter(dist <= tol)
+      case None => matched
+    }
+    bounded.select(
+      (leftCols.map(col) ++ carry.map(c => col("__payload")(c).as(c))
+        :+ col("__payload")("asof_time").as("asof_time")): _*)
+  }
+
+  /** Hot-key-safe backward as-of: identical output to [[backward]], but
+    * no window ever partitions by `key` alone over ROW-scale data — the
+    * salt-by-(key, time-bucket) pre-pass + merge this file's scaladoc
+    * used to defer to the Sessions precondition (r4 VERDICT #5).
+    *
+    * Decomposition (`bucket = floor(time / bucketWidth)`):
+    *
+    *  1. SEED pass — per (key, right-bucket) the latest right payload
+    *     (`max_by`, a hash aggregate); then ONE window per key over the
+    *     union of right-bucket summaries and distinct left buckets —
+    *     O(time-range / bucketWidth) rows per key, independent of row
+    *     count — carries the latest summary STRICTLY before each left
+    *     bucket (the left marker sorts before same-bucket summaries, so
+    *     in-bucket right rows are never double-seeded).
+    *  2. WITHIN-BUCKET pass — the [[backward]] union+window shape, but
+    *     partitioned by (key, bucket): each left bucket unions its own
+    *     right rows plus its seed row (injected at the seed's REAL
+    *     time, which precedes the bucket start), so `last(payload)`
+    *     over (time, side) sees exactly the candidates `backward` sees.
+    *
+    * The match for any left row is the latest of {right rows in its own
+    * bucket at-or-before t} ∪ {latest right row of any earlier bucket} —
+    * by construction the same row [[backward]] attaches.
+    *
+    * @param bucketWidth bucket width in the time columns' units (e.g.
+    *        epoch-micros → 86400e6 for daily); correctness never depends
+    *        on it, only the summary-row count does
+    */
+  def backwardSalted(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, carry: Seq[String],
+      bucketWidth: Long, tolerance: Option[Long] = None): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val clash = carry.filter(leftCols.contains)
+    require(clash.isEmpty,
+      s"carry columns ${clash.mkString(", ")} collide with left columns — rename first")
+    require(!carry.contains("asof_time") && !leftCols.contains("asof_time"),
+      "asof_time is a reserved output column")
+    val reserved = Seq("__t", "__b", "__side", "__payload", "__seed")
+    val reservedHit = (leftCols ++ right.columns ++ carry).filter(reserved.contains)
+    require(reservedHit.isEmpty,
+      s"columns ${reservedHit.distinct.mkString(", ")} collide with as-of internals — rename first")
+    require(bucketWidth > 0, "bucketWidth must be positive")
+
+    def bucketOf(t: Column): Column =
+      ((t - pmod(t, lit(bucketWidth))) / bucketWidth).cast("long")
+
+    val payloadType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("asof_time",
+        org.apache.spark.sql.types.LongType) +:
+        carry.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType)))
+
+    val r0 = right
+      .withColumn("__t", col(rightTime).cast("long"))
+      .withColumn("__b", bucketOf(col("__t")))
+      .withColumn("__payload",
+        struct((col("__t").as("asof_time") +: carry.map(col)): _*))
+      .select(col(key), col("__t"), col("__b"), col("__payload"))
+    val l0 = left
+      .withColumn("__t", col(leftTime).cast("long"))
+      .withColumn("__b", bucketOf(col("__t")))
+
+    // ---- seed pass: latest right payload strictly before each left bucket
+    val rsum = r0.groupBy(col(key), col("__b"))
+      .agg(max_by(col("__payload"), col("__t")).as("__payload"))
+      .withColumn("__side", lit(1))
+    val lmark = l0.select(col(key), col("__b")).distinct()
+      .withColumn("__payload", lit(null).cast(payloadType))
+      .withColumn("__side", lit(0))
+    val ws = Window.partitionBy(key)
+      .orderBy(col("__b").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val seeds = lmark.unionByName(rsum.select(lmark.columns.map(col): _*))
+      .withColumn("__seed", last(col("__payload"), ignoreNulls = true).over(ws))
+      .filter(col("__side") === 0 && col("__seed").isNotNull)
+      .select(col(key), col("__b"), col("__seed"))
+
+    // ---- within-bucket pass: backward()'s union+window, salted by bucket
+    val lu = l0
+      .withColumn("__side", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType))
+    val ruPadded = leftCols.filterNot(_ == key)
+      .foldLeft(r0.withColumn("__side", lit(0)))(
+        (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val seedRows = leftCols.filterNot(_ == key)
+      .foldLeft(seeds
+        .withColumn("__t", col("__seed")("asof_time").cast("long"))
+        .withColumn("__side", lit(0))
+        .withColumn("__payload", col("__seed").cast(payloadType)))(
+        (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val cols = leftCols :+ "__t" :+ "__b" :+ "__side" :+ "__payload"
+    val unioned = lu.select(cols.map(col): _*)
+      .unionByName(ruPadded.select(cols.map(col): _*))
+      .unionByName(seedRows.select(cols.map(col): _*))
+
+    val w = Window.partitionBy(key, "__b")
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__payload", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1 && col("__payload").isNotNull)
+    val bounded = tolerance match {
+      case Some(tol) => matched.filter(col("__t") - col("__payload")("asof_time") <= tol)
       case None => matched
     }
     bounded.select(

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * (bucket, type) with map-side partials. Sessionization shuffles once on
   * user_id; within each user partition the gaps-and-islands pass is a sort
   * + two window functions — per-user data must fit a task's sort spill
-  * budget, which holds whenever single-user event counts are bounded
-  * (salt by (user, day) first if not). The streaming equivalents live in
-  * [[graft.streaming.EventStream]].
+  * budget, which holds whenever single-user event counts are bounded;
+  * [[sessionizeSalted]] removes that precondition with a (user,
+  * time-bucket) pre-pass + stitch merge. The streaming equivalents live
+  * in [[graft.streaming.EventStream]].
   */
 object Sessions {
 
@@ -54,6 +55,78 @@ object Sessions {
         count(lit(1)).as("n_events"),
         min("us").as("t_start"),
         max("us").as("t_end"))
+  }
+
+  /** Hot-key-safe sessionization: identical output to [[sessionize]], but
+    * no window ever partitions by `user_id` alone over EVENT-scale data —
+    * the salt-by-(key, time-bucket) pre-pass + merge that [[sessionize]]'s
+    * scaladoc used to defer to a "documented precondition" (r4 VERDICT #5).
+    *
+    * Two-phase gaps-and-islands:
+    *
+    *  1. WITHIN-BUCKET pass — windows partition by (user, bucket) where
+    *     bucket = floor(us / bucketSec·10⁶): per-task rows are bounded by
+    *     one user's events per bucket, however hot the user. Events
+    *     collapse to ISLANDS (maximal runs with gaps ≤ gapSec), one row
+    *     per island: (island_idx, n_events, t_start, t_end).
+    *  2. STITCH pass — windows partition by user over BUCKET SUMMARIES
+    *     (one row per non-empty (user, bucket)): per-task rows are
+    *     O(time-range / bucketSec), independent of event count. A
+    *     bucket's first island merges with the previous non-empty
+    *     bucket's last island iff its first event is within gapSec of
+    *     that bucket's last event (first/last islands are the only ones
+    *     that can cross a bucket edge; interior islands are already
+    *     final). Global session numbering is hierarchical: a running sum
+    *     of (islands − mergeFlag) per bucket gives each bucket's base
+    *     seq; island i of a bucket lands in session base + i − mergeFlag,
+    *     so chained merges across consecutive buckets collapse into one
+    *     seq, and a final (user, session_seq) aggregate folds merged
+    *     islands' (n, min, max) together.
+    *
+    * Choose bucketSec ≫ gapSec (default 24 h vs the 30 min gap) so
+    * bucket summaries stay few; correctness does not depend on the ratio.
+    */
+  def sessionizeSalted(events: DataFrame, gapSec: Long = 1800L,
+      bucketSec: Long = 86400L): DataFrame = {
+    val gapUs = gapSec * 1000000L
+    val bUs = bucketSec * 1000000L
+    val wb = Window.partitionBy("user_id", "__b").orderBy(col("ts"), col("event_id"))
+    val withIsl = events
+      .withColumn("us", unix_micros(col("ts")))
+      // floor division (pmod keeps it exact for negative epochs too)
+      .withColumn("__b", ((col("us") - pmod(col("us"), lit(bUs))) / bUs).cast("long"))
+      .withColumn("prev_us", lag(col("us"), 1).over(wb))
+      .withColumn("new_isl",
+        when(col("prev_us").isNull || col("us") - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("isl", sum("new_isl").over(
+        wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val islands = withIsl.groupBy("user_id", "__b", "isl")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("t_start"), max("us").as("t_end"))
+
+    // bucket summaries: island count + boundary event times
+    val buckets = islands.groupBy("user_id", "__b")
+      .agg(max("isl").as("n_isl"),
+        min("t_start").as("first_us"), max("t_end").as("last_us"))
+    val wu = Window.partitionBy("user_id").orderBy("__b")
+    val stitched = buckets
+      .withColumn("prev_last", lag(col("last_us"), 1).over(wu))
+      .withColumn("merge",
+        when(col("prev_last").isNotNull &&
+          col("first_us") - col("prev_last") <= gapUs, 1L).otherwise(0L))
+      .withColumn("base",
+        coalesce(sum(col("n_isl") - col("merge")).over(
+          wu.rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)), lit(0L)))
+      .select("user_id", "__b", "merge", "base")
+
+    islands.join(stitched, Seq("user_id", "__b"))
+      // merging island 1 backward shifts the WHOLE bucket's numbering
+      // down by one, so the merge flag applies to every island
+      .withColumn("session_seq", col("base") + col("isl") - col("merge"))
+      .groupBy("user_id", "session_seq")
+      .agg(sum("n_events").as("n_events"),
+        min("t_start").as("t_start"), max("t_end").as("t_end"))
   }
 
   /** Running (cumulative) sum of `value` per user in event-time order.

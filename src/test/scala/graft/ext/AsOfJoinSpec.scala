@@ -106,4 +106,56 @@ class AsOfJoinSpec extends SparkSpec {
       assert(got == want, s"forward=$fwd tol=$tol")
     }
   }
+
+  test("salted backward as-of equals backward across bucket widths and tolerances") {
+    import spark.implicits._
+    // times spread over many buckets; some (key, bucket) cells have left
+    // rows but no right rows (seed-only matches), some the reverse
+    val lrows = (0 until 200).map(i => ((i % 7).toLong, (i * 97L) % 3000L, i.toLong))
+    val rrows = (0 until 60).map(i => ((i % 7).toLong, (i * 131L) % 2500L, (1000 + i).toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val l = lrows.toDF("k", "lt", "id")
+    val r = rrows.toDF("k", "rt", "v")
+    for (bw <- Seq(10L, 100L, 5000L); tol <- Seq(None, Some(40L))) {
+      val plain = AsOfJoin.backward(l, r, "k", "lt", "rt", Seq("v"), tol)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val salted = AsOfJoin.backwardSalted(l, r, "k", "lt", "rt", Seq("v"),
+          bucketWidth = bw, tolerance = tol)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(salted == plain, s"bucketWidth=$bw tol=$tol")
+    }
+  }
+
+  test("salted backward as-of: planted hot key; windows are (key, bucket)-partitioned") {
+    import spark.implicits._
+    // one key with 20k left rows across ~20 buckets of width 1000; right
+    // rows sparse (some buckets empty → multi-bucket seed carries)
+    val l = (0 until 20000).map(i => (1L, i.toLong, i.toLong)).toDF("k", "lt", "id")
+    val r = (0 until 10).map(i => (1L, i * 1700L, (1000 + i).toLong)).toDF("k", "rt", "v")
+    val plain = AsOfJoin.backward(l, r, "k", "lt", "rt", Seq("v"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val salted = AsOfJoin.backwardSalted(l, r, "k", "lt", "rt", Seq("v"), 1000L)
+    assert(salted.as[(Long, Long, Long, Long, Long)].collect().toSet == plain)
+    val windows = org.apache.spark.sql.graftshim.ColumnShim.logicalPlan(salted)
+      .collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    // the row-scale window is salted; the key-only window runs over
+    // bucket summaries (an Aggregate/Distinct below it), never raw rows
+    assert(windows.count(_.partitionSpec.length == 2) >= 1)
+    windows.filter(_.partitionSpec.length == 1).foreach { w =>
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case d: org.apache.spark.sql.catalyst.plans.logical.Distinct => d
+      }.nonEmpty, "key-only window must sit above bucket summaries")
+    }
+  }
+
+  test("salted backward rejects reserved internal column names") {
+    import spark.implicits._
+    val l = Seq((1L, 1L, 2L)).toDF("k", "lt", "__b")
+    val r = Seq((1L, 1L, 2L)).toDF("k", "rt", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backwardSalted(l, r, "k", "lt", "rt", Seq("v"), 10L)
+    }
+    assert(e.getMessage.contains("__b"))
+  }
 }

@@ -59,4 +59,74 @@ class SessionsSpec extends SparkSpec {
     assert(j("view") == ((2L, 8L)))
     assert(j("purchase") == ((1L, 5L)))
   }
+
+  private def sessionSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Long, Long)] = {
+    import df.sparkSession.implicits._
+    df.select("user_id", "session_seq", "n_events", "t_start", "t_end")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("salted sessionize equals the plain one on the real events table") {
+    val ev = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    }
+    // bucket (1h) deliberately comparable to the gap (30min) so sessions
+    // REGULARLY straddle bucket edges and the stitch path is exercised
+    assert(sessionSet(Sessions.sessionizeSalted(ev, 1800, bucketSec = 3600)) ==
+      sessionSet(Sessions.sessionize(ev, 1800)))
+    // and a day-bucket (the default recommendation)
+    assert(sessionSet(Sessions.sessionizeSalted(ev, 1800)) ==
+      sessionSet(Sessions.sessionize(ev, 1800)))
+  }
+
+  test("salted sessionize: planted hot key, chained cross-bucket merges, empty buckets") {
+    import spark.implicits._
+    // one user with 20k events every 10 min (gap 30 min → ONE session
+    // spanning ~139 daily buckets; every bucket edge is a chained merge),
+    // plus planted multi-hour holes that split sessions mid- and
+    // at-bucket-edge, plus a quiet user in a far bucket
+    val stride = 600L
+    val hot = (0 until 20000).map { i =>
+      val base = i.toLong * stride +
+        (if (i >= 15000) 50000L else 0L) + // hole > gap inside a bucket
+        (if (i >= 18000) 200000L else 0L)  // hole spanning empty buckets
+      (i.toLong, ts(base), 1L, "click", 1.0, "{}")
+    }
+    val quiet = Seq((90000L, ts(30000000L), 2L, "view", 1.0, "{}"))
+    val ev = (hot ++ quiet)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(8)
+    val plain = sessionSet(Sessions.sessionize(ev, 1800))
+    for (bucketSec <- Seq(3600L, 86400L)) {
+      assert(sessionSet(Sessions.sessionizeSalted(ev, 1800, bucketSec)) == plain,
+        s"bucketSec=$bucketSec")
+    }
+    assert(plain.map(_._1) == Set(1L, 2L) && plain.count(_._1 == 1L) == 3)
+  }
+
+  test("salted sessionize plan: event-scale windows are (user, bucket)-partitioned") {
+    import spark.implicits._
+    val ev = Seq((1L, ts(0), 7L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val plan = org.apache.spark.sql.graftshim.ColumnShim
+      .logicalPlan(Sessions.sessionizeSalted(ev, 1800))
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    // the two event-scale windows (lag + island running sum) carry the
+    // bucket salt; the two user-only windows run over bucket SUMMARIES
+    // (post-aggregate) — assert both shapes are present and no user-only
+    // window sits directly over raw events (no Aggregate below it)
+    assert(windows.count(_.partitionSpec.length == 2) >= 1)
+    val userOnly = windows.filter(_.partitionSpec.length == 1)
+    assert(userOnly.nonEmpty)
+    userOnly.foreach { w =>
+      assert(w.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.nonEmpty, "user-only window must sit above the island/bucket aggregate")
+    }
+  }
 }
