@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-curve evidence harness (r4 VERDICT #7): the 100 TB story needs
+  * MEASURED growth ratios, not design prose. Synthesizes a `factor`×
+  * blow-up of the sf0.1 `documents` / `events` / `orders` tables into
+  * scratch sfDir-shaped directories, then times the heaviest gate queries
+  * on 1× vs factor× and prints per-query wall-time ratios — near-linear
+  * ratios (≈ factor with fixed parallelism) are the pass criterion;
+  * super-linear ones get diagnosed in docs/SCALE.md.
+  *
+  * Synthesis keeps each replica DISJOINT (suffixed vocabulary, shifted
+  * ids/users) so the blow-up scales the data's shape — more docs, more
+  * vocabulary, more users — without planting cross-replica near-dups
+  * that would make candidate-pair counts quadratic in `factor` (that
+  * would measure an artifact of copying, not scaling). Generation cost
+  * is excluded from every timing.
+  *
+  * One-off evidence tool — NOT part of the driver contract (the driver
+  * runs Verify/Bench only); results are committed in docs/SCALE.md.
+  */
+object ScaleBench {
+
+  private def synth(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    val reps = spark.range(factor).select(col("id").cast("int").as("__r"))
+
+    val docs = spark.read.parquet(s"$srcDir/documents.parquet")
+    docs.crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("__r").cast("long") * 10000000L)
+      // replica-suffixed vocabulary → replicas are disjoint corpora of
+      // identical shape (suffix only for r>0 keeps replica 0 pristine)
+      .withColumn("text",
+        when(col("__r") === 0, col("text")).otherwise(
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit("x"), col("__r").cast("string"))), " ")))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$srcDir/events.parquet")
+    events.crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("__r").cast("long") * 1000000000L)
+      .withColumn("user_id", col("user_id") + col("__r").cast("long") * 10000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+
+    val orders = spark.read.parquet(s"$srcDir/orders.parquet")
+    orders.crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("__r").cast("long") * 1000000000L)
+      .withColumn("o_custkey", col("o_custkey") + col("__r").cast("long") * 10000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+  }
+
+  /** The heaviest gate queries by BENCH_r04 — the five op families the
+    * verdict names (minhash, CC, lm_score, sessionize, asof) plus their
+    * salted twins, timed through the gate entries themselves.
+    */
+  private val Heavy = Seq(
+    "dedup_minhash", "dedup_components", "text_lm_score",
+    "events_sessionize", "events_sessionize_salted",
+    "asof_latest_order", "asof_salted_order")
+
+  def main(args: Array[String]): Unit = {
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val scratch = s"${SparkEntry.WorkDir}/scale"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    println(s"[scale] synthesizing 1x and ${factor}x from $base …")
+    synth(spark, base, s"$scratch/x1", 1)
+    synth(spark, base, s"$scratch/x$factor", factor)
+
+    // JIT/codegen warmup on the small real sf (same rationale as Bench)
+    Heavy.foreach { q =>
+      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+      Caches.clearPersisted()
+    }
+
+    def time(q: String, dir: String): Double = {
+      val samples = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(q)(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        Caches.clearPersisted()
+        SparkEntry.resetSharedCaches() // reps must pay the real CC cost
+        dt
+      }.sorted
+      samples(samples.size / 2)
+    }
+
+    val rows = Heavy.map { q =>
+      val t1 = time(q, s"$scratch/x1")
+      val tf = time(q, s"$scratch/x$factor")
+      println(f"[scale] $q%-28s 1x=$t1%7.2fs  ${factor}x=$tf%7.2fs  ratio=${tf / t1}%5.2f")
+      (q, t1, tf, tf / t1)
+    }
+    val qs = rows.map { case (q, t1, tf, r) =>
+      s"""\"$q\":{\"t1\":$t1,\"t$factor\":$tf,\"ratio\":$r}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_curve","factor":$factor,"reps":$reps,"queries":$qs}""")
+    spark.stop()
+  }
+}

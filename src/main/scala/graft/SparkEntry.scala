@@ -56,10 +56,10 @@ object SparkEntry {
     tbl(s, dir, "documents")
 
   /** Fixed search terms for the oracle-checked (non-stemmed) BM25 queries. */
-  private val SearchTerms = Seq("merge", "join", "table", "scan")
-  private val SearchTermsSql = SearchTerms.map(t => s"'$t'").mkString(", ")
+  private[graft] val SearchTerms = Seq("merge", "join", "table", "scan")
+  private[graft] val SearchTermsSql = SearchTerms.map(t => s"'$t'").mkString(", ")
 
-  private val FixturePath = "/root/repo/src/main/resources/cap_fixture.jsonl"
+  private[graft] val FixturePath = "/root/repo/src/main/resources/cap_fixture.jsonl"
 
   /** Scratch dir for query-produced fixtures/artifacts that oracle SQL
     * must read back (pre-stemmed token fixture, serving artifacts). The
@@ -67,49 +67,17 @@ object SparkEntry {
     * files — so the oracle tracks whatever sfDir the gate ran, with no
     * hardcoded scale factor in the derived data.
     */
-  private val WorkDir = "/root/repo/work"
-  private val StemmedFlatPath = s"$WorkDir/stemmed_flat.parquet"
-  private val ArtifactsPath = s"$WorkDir/artifacts"
+  private[graft] val WorkDir = "/root/repo/work"
+  private[graft] val StemmedFlatPath = s"$WorkDir/stemmed_flat.parquet"
+  private[graft] val ArtifactsPath = s"$WorkDir/artifacts"
 
   /** Query terms for the stemmed BM25 path, stemmed ONCE driver-side (the
     * oracle never stems — SURVEY.md §5: it scores the pre-stemmed fixture
     * with these literals embedded).
     */
-  private val StemmedTerms: Seq[String] =
+  private[graft] val StemmedTerms: Seq[String] =
     Tokenizer.tokenize("sorted merges tables quickly", stem = true).distinct
-  private val StemmedTermsSql = StemmedTerms.map(t => s"'$t'").mkString(", ")
-
-  // ---- shared DuckDB SQL fragments (must mirror the Scala semantics) ----
-
-  private val stopSql = Stopwords.sqlInList
-
-  /** Tokenize → flat → doc_lengths → TF → IDF → stats CTE chain over the
-    * `documents` table (non-stemmed tokenizer = lower → split [^a-z]+ →
-    * drop empties/stopwords, exactly [[Tokenizer.tokensCol]] with
-    * stem=false).
-    */
-  private val indexCtes: String =
-    s"""toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-       |flat AS (SELECT doc_id, unnest(t) AS word FROM toks),
-       |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_length FROM flat GROUP BY doc_id),
-       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS term_freq FROM flat GROUP BY doc_id, word),
-       |idf AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq, log10((SELECT count(*) FROM dl) * 1.0 / count(DISTINCT doc_id)) AS idf FROM flat GROUP BY word),
-       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, sum(doc_length) * 1.0 / count(*) AS avgdl FROM dl)""".stripMargin
-
-  /** BM25 scored CTE (k1=1.2, b=0.75 — `pyapp.py:65`): written as
-    * (1.2 + 1) and 0.25 to reproduce the exact double arithmetic of
-    * [[BM25.score]] (lit(k1+1.0), lit(1-b)).
-    */
-  private val bm25Ctes: String =
-    s"""$indexCtes,
-       |scored AS (
-       |  SELECT t.doc_id,
-       |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
-       |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
-       |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
-       |  WHERE t.word IN ($SearchTermsSql)
-       |  GROUP BY t.doc_id),
-       |top10 AS (SELECT doc_id, round(s, 4) AS score FROM scored ORDER BY round(s, 4) DESC, doc_id LIMIT 10)""".stripMargin
+  private[graft] val StemmedTermsSql = StemmedTerms.map(t => s"'$t'").mkString(", ")
 
   /** Serving-path index, built once per (sfDir, stem) and reused by the
     * query-path entries — faithful to the reference, whose app loads
@@ -161,13 +129,29 @@ object SparkEntry {
   private def nearDupComponents(s: SparkSession, dir: String): DataFrame =
     ccCache.synchronized {
       val sessionKey = System.identityHashCode(s).toString
-      ccCache.filterInPlace { case ((sk, _), _) => sk == sessionKey }
+      // stale-session entries are dropped AND their checkpoint blocks
+      // freed (unpersistCheckpoint never throws on a stopped context)
+      ccCache.filterInPlace { case ((sk, _), df) =>
+        sk == sessionKey || {
+          org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint(df); false
+        }
+      }
       ccCache.getOrElseUpdate((sessionKey, dir),
         graft.ext.Graph.connectedComponents(
           Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16,
               threshold = 0.8)
             .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
     }
+
+  /** Drop the shared serve-once caches (CC memo), freeing their
+    * checkpoint blocks — for harnesses ([[ScaleBench]]) that must time
+    * the REAL per-run cost instead of the serving path.
+    */
+  private[graft] def resetSharedCaches(): Unit = ccCache.synchronized {
+    ccCache.values.foreach(
+      org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint)
+    ccCache.clear()
+  }
 
   /** Driver-side mirror of Spark's `round(col, 6)` (HALF_UP over
     * `BigDecimal.valueOf`) for S4-materialized scalar cuts — both engines
@@ -186,44 +170,6 @@ object SparkEntry {
       .limit(10)
   }
 
-  /** DuckDB literal for a hyperplane weight vector (sim_lsh_buckets). */
-  private def planeSql(j: Int): String =
-    Similarity.planeWeights(j, 64).mkString("CAST([", ", ", "] AS DOUBLE[])")
-
-  /** DuckDB mirror of [[Dedup.md5Hash60]]: first 15 hex digits of md5 as a
-    * BIGINT (same trick the dedup_simhash oracle uses — DuckDB has no
-    * `conv`, so fold the hex chars).
-    */
-  private def md5Hash60Sql(e: String): String =
-    s"list_reduce(list_transform(string_split(substr(md5($e), 1, 15), ''), " +
-      "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
-
-  /** SimHash fingerprints per doc (shv CTE) — mirrors [[Dedup.simhash]]:
-    * md5Hash60 per distinct token, tf-weighted ±1 per bit, 60-bit
-    * reassembly. Shared by the dedup_simhash and dedup_simhash_near
-    * oracles.
-    */
-  private val simhashCtes: String =
-    s"""toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-       |flat AS (SELECT doc_id, unnest(t) AS word FROM toks),
-       |wh AS (SELECT word, list_reduce(list_transform(string_split(substr(md5(word), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) AS h
-       |       FROM (SELECT DISTINCT word FROM flat)),
-       |contrib AS (SELECT f.doc_id, r.bit,
-       |                   CASE WHEN ((wh.h >> r.bit) & 1) = 1 THEN 1 ELSE -1 END AS c
-       |            FROM flat f JOIN wh ON f.word = wh.word
-       |            CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) r),
-       |bits AS (SELECT doc_id, bit, sum(c) AS sc FROM contrib GROUP BY doc_id, bit),
-       |shv AS (SELECT doc_id, CAST(sum(CASE WHEN sc > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-       |        FROM bits GROUP BY doc_id)""".stripMargin
-
-  /** Hashed 3-shingle sets per doc — mirrors `Dedup.shingleRows(k=3,
-    * hashed=true)` → `collect_list`: tokenize, stitch 3-grams, md5Hash60
-    * each, distinct per doc.
-    */
-  private val hashedShingleCtes: String =
-    s"""toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-       |shr AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g FROM toks WHERE len(t) >= 3),
-       |sh AS (SELECT doc_id, list(DISTINCT ${md5Hash60Sql("g")}) AS s FROM shr GROUP BY doc_id)""".stripMargin
 
   // ---------------------------------------------------------------------
   // queries
@@ -760,6 +706,15 @@ object SparkEntry {
       Sessions.sessionize(events(s, dir))
         .orderBy("user_id", "session_seq")),
 
+    "events_sessionize_salted" -> ((s, dir) =>
+      // identical sessions via the hot-key-safe two-phase decomposition
+      // (r4 VERDICT #5): within-(user, day) islands + bucket-summary
+      // stitch — no window partitions by user alone over event rows.
+      // Same oracle as events_sessionize (equal output by construction;
+      // SessionsSpec proves it on planted hot keys and edge merges).
+      Sessions.sessionizeSalted(events(s, dir))
+        .orderBy("user_id", "session_seq")),
+
     "events_session_window" -> ((s, dir) =>
       // Spark's NATIVE session windows (third sessionization face, next
       // to gaps-and-islands and the stateful streaming one): window end
@@ -793,6 +748,29 @@ object SparkEntry {
         .agg(max("o_orderkey").as("last_orderkey"))
       AsOfJoin.backward(e, o, key = "user_id",
           leftTime = "ets", rightTime = "ots", carry = Seq("last_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ets"),
+          col("last_orderkey"), (col("ets") - col("asof_time")).as("us_since_order"))
+        .orderBy("event_id")
+    }),
+
+    "asof_salted_order" -> ((s, dir) => {
+      // the SAME point-in-time enrichment through the hot-key-safe
+      // salted decomposition (r4 VERDICT #5): per-(user, week) windows +
+      // a bucket-summary seed pass — no window partitions by user alone
+      // over event-scale rows. Same oracle as asof_latest_order: the
+      // outputs are identical by construction (AsOfJoinSpec proves it on
+      // planted hot keys; the gate proves it against DuckDB ASOF).
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ets"))
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+          col("o_orderkey"))
+        .groupBy("user_id", "ots")
+        .agg(max("o_orderkey").as("last_orderkey"))
+      AsOfJoin.backwardSalted(e, o, key = "user_id",
+          leftTime = "ets", rightTime = "ots", carry = Seq("last_orderkey"),
+          bucketWidth = 7L * 86400000000L)
         .select(col("event_id"), col("user_id"), col("ets"),
           col("last_orderkey"), (col("ets") - col("asof_time")).as("us_since_order"))
         .orderBy("event_id")
@@ -1319,846 +1297,7 @@ object SparkEntry {
   // semantics are not ANSI-SQL-expressible (stemmer, minhash permutations)
   // ---------------------------------------------------------------------
 
-  def oracleSql: Map[String, String] = Map(
-    "tok_flat_words" ->
-      s"WITH $indexCtes SELECT doc_id, word FROM flat ORDER BY doc_id, word",
+  /** DuckDB mirrors — one per `queries` entry; see [[OracleSql]]. */
+  def oracleSql: Map[String, String] = OracleSql.sql
 
-    "g2_doc_lengths" ->
-      s"WITH $indexCtes SELECT doc_id, doc_length FROM dl ORDER BY doc_id",
-
-    "g3_term_frequencies" ->
-      s"WITH $indexCtes SELECT doc_id, word, term_freq FROM tf ORDER BY doc_id, word",
-
-    "g4_doc_freq_idf" ->
-      s"WITH $indexCtes SELECT word, doc_freq, round(idf, 6) AS idf FROM idf ORDER BY word",
-
-    "g1_inverted_index" ->
-      s"WITH $indexCtes SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids FROM flat GROUP BY word ORDER BY word",
-
-    "g5_scoring_params" ->
-      s"WITH $indexCtes SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats",
-
-    "bm25_search" ->
-      s"WITH $bm25Ctes SELECT doc_id, score FROM top10",
-
-    "j3_sql_bm25" ->
-      s"WITH $bm25Ctes SELECT doc_id, score FROM top10",
-
-    "bm25_okapi_variant" ->
-      s"""WITH $indexCtes,
-         |rawidf AS (SELECT word, ln(((SELECT count(*) FROM dl) - doc_freq + 0.5) / (doc_freq + 0.5)) AS raw FROM idf),
-         |oka AS (SELECT word, CASE WHEN raw < 0 THEN 0.25 * (SELECT avg(raw) FROM rawidf) ELSE raw END AS idf FROM rawidf),
-         |scored2 AS (
-         |  SELECT t.doc_id,
-         |         sum(o.idf * (t.term_freq * (1.5 + 1)) /
-         |             (t.term_freq + 1.5 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
-         |  FROM tf t JOIN oka o USING (word) JOIN dl d USING (doc_id)
-         |  WHERE t.word IN ($SearchTermsSql)
-         |  GROUP BY t.doc_id)
-         |SELECT doc_id, round(s, 4) AS score FROM scored2
-         |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
-
-    "bm25_search_stemmed" ->
-      // scores the pre-stemmed fixture the Spark query exported (SURVEY §5)
-      // — same CTE shapes as bm25Ctes, but `flat` comes from the fixture
-      // and the IN-list is the pre-stemmed terms; the oracle never stems
-      s"""WITH flat AS (SELECT doc_id, word FROM read_parquet('$StemmedFlatPath/*.parquet')),
-         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_length FROM flat GROUP BY doc_id),
-         |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS term_freq FROM flat GROUP BY doc_id, word),
-         |idf AS (SELECT word, log10((SELECT count(*) FROM dl) * 1.0 / count(DISTINCT doc_id)) AS idf FROM flat GROUP BY word),
-         |stats AS (SELECT sum(doc_length) * 1.0 / count(*) AS avgdl FROM dl),
-         |scored AS (
-         |  SELECT t.doc_id,
-         |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
-         |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
-         |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
-         |  WHERE t.word IN ($StemmedTermsSql)
-         |  GROUP BY t.doc_id)
-         |SELECT doc_id, round(s, 4) AS score FROM scored
-         |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
-
-    "t1_search_snippet" ->
-      s"""WITH $bm25Ctes
-         |SELECT t.doc_id, t.score,
-         |       CASE WHEN len(d.text) > 160 THEN substr(d.text, 1, 160) || '...' ELSE d.text END AS snippet
-         |FROM top10 t JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
-         |ORDER BY t.score DESC, t.doc_id""".stripMargin,
-
-    "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_price,
-        |       round(avg(l_discount), 6) AS avg_disc,
-        |       CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q2_rollup" ->
-      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
-
-    "q4_cube" ->
-      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n, round(sum(l_extendedprice), 2) AS sum_price
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
-
-    "index_incremental_idf" ->
-      // identical to g4: merged per-batch partials must equal batch build
-      s"WITH $indexCtes SELECT word, doc_freq, round(idf, 6) AS idf FROM idf ORDER BY word",
-
-    "sink_partitioned_read" ->
-      """SELECT doc_id, lang, source FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
-        |WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
-
-    "sink_csv_roundtrip" ->
-      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n
-        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
-        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
-
-    "sink_orc_roundtrip" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
-        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "j1_broadcast_join" ->
-      """SELECT p_brand,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |       CAST(count(*) AS BIGINT) AS n_items
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
-
-    "j2_star_join" ->
-      """SELECT r_name, n_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |       CAST(count(*) AS BIGINT) AS n_items
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
-
-    "j4_semi_join" ->
-      """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE EXISTS (SELECT 1 FROM orders
-        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
-        |ORDER BY c_custkey""".stripMargin,
-
-    "j5_anti_join" ->
-      """SELECT c_custkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
-        |ORDER BY c_custkey""".stripMargin,
-
-    "j7_range_join" ->
-      """WITH bands(band, lo, hi) AS (VALUES
-        |  ('low', 0.0, 100000.0), ('mid', 100000.0, 300000.0),
-        |  ('high', 300000.0, 500000.0), ('top', 500000.0, 1e18))
-        |SELECT band, CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 2) AS total
-        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
-        |GROUP BY band ORDER BY band""".stripMargin,
-
-    "w4_order_gaps" ->
-      """WITH g AS (
-        |  SELECT o_custkey,
-        |         date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS gap_days
-        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
-        |SELECT o_custkey, round(avg(gap_days), 6) AS avg_gap_days, CAST(count(*) AS BIGINT) AS n_gaps
-        |FROM g WHERE gap_days IS NOT NULL
-        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
-
-    "j6_outer_counts" ->
-      """SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders,
-        |       round(coalesce(sum(o_totalprice), 0.0), 2) AS total
-        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
-
-    "skew_salted_agg" ->
-      // oracle = the DIRECT aggregate the salted two-phase must equal
-      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
-        |       CAST(count(*) AS BIGINT) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "skew_salted_distinct" ->
-      // oracle = the DIRECT count-distinct the salted two-phase must equal
-      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "asof_forward_tol" ->
-      // DuckDB ASOF with the mirrored (<=) inequality picks the nearest
-      // later purchase; the tolerance is a post-filter on the matched
-      // distance in BOTH engines (a view whose nearest purchase is >1h
-      // away drops — not "any purchase within 1h")
-      """WITH v AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ets FROM events WHERE event_type = 'view'),
-        |p AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS pts, max(event_id) AS purchase_event
-        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT v.event_id, v.user_id, v.ets, p.purchase_event,
-        |       p.pts - v.ets AS us_to_purchase
-        |FROM v ASOF JOIN p ON v.user_id = p.user_id AND v.ets <= p.pts
-        |WHERE p.pts - v.ets <= 3600000000
-        |ORDER BY v.event_id""".stripMargin,
-
-    "dim_upsert" ->
-      """SELECT c.c_custkey,
-        |       CASE WHEN c.c_custkey % 2 = 0 THEN upper(c.c_mktsegment) ELSE c.c_mktsegment END AS segment
-        |FROM customer c ORDER BY c_custkey""".stripMargin,
-
-    "g7_string_agg" ->
-      """SELECT lang,
-        |       array_to_string(list_sort(list(DISTINCT source)), ',') AS sources,
-        |       CAST(count(*) AS BIGINT) AS n_docs
-        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "a5_percentiles" ->
-      """SELECT c_mktsegment,
-        |       round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
-        |       round(quantile_cont(c_acctbal, 0.9), 6) AS p90,
-        |       CAST(count(*) AS BIGINT) AS n
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-
-    "p4_in_filter" ->
-      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, round(sum(l_quantity), 2) AS sum_qty
-        |FROM lineitem WHERE l_returnflag IN ('A', 'R')
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "p5_point_lookup" ->
-      """SELECT o_orderkey, o_custkey, o_orderstatus,
-        |       round(o_totalprice, 2) AS o_totalprice,
-        |       CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
-        |       o_orderpriority
-        |FROM orders WHERE o_orderkey = 42""".stripMargin,
-
-    "p6_null_filter" ->
-      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
-        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') WHERE text IS NOT NULL AND len(text) > 0
-        |GROUP BY lang ORDER BY lang""".stripMargin,
-
-    "t2_topk_orders" ->
-      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice
-        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
-
-    "t3_slice_sample" ->
-      """SELECT doc_id, lang, source FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
-        |WHERE doc_id >= (SELECT max(doc_id) // 2 FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
-        |ORDER BY doc_id""".stripMargin,
-
-    "s5_local_df" ->
-      "SELECT k, v FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(k, v) ORDER BY k",
-
-    "set_ops_custkeys" ->
-      """SELECT custkey FROM (
-        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
-        |  UNION
-        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        |  EXCEPT
-        |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
-        |) ORDER BY custkey""".stripMargin,
-
-    "topk_per_key" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
-        |  SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
-        |         row_number() OVER (PARTITION BY o_custkey
-        |                            ORDER BY round(o_totalprice, 2) DESC, o_orderkey) AS rn
-        |  FROM orders)
-        |WHERE rn <= 2 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
-
-    "set_ops_intersect" ->
-      """SELECT custkey FROM (
-        |  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
-        |  INTERSECT
-        |  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
-        |) ORDER BY custkey""".stripMargin,
-
-    "g8_unpivot" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |t AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),
-        |c AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2)
-        |SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS n
-        |FROM u CROSS JOIN t LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
-        |ORDER BY u.user_id, t.event_type""".stripMargin,
-
-    "d2_ship_latency" ->
-      """SELECT l_returnflag,
-        |       round(avg(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))), 6) AS avg_days,
-        |       CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "agg_corr" ->
-      """SELECT l_returnflag,
-        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        |       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-        |       CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "w1_window_rank" ->
-      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice
-        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        |      FROM orders)
-        |WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
-
-    "w3_ntile" ->
-      // percentile-cut quartiles mirrored: DuckDB quantile_cont and Spark
-      // percentile both linearly interpolate at exact dyadic fractions of
-      // 2dp-rounded spends; cuts rounded to 6dp on both sides
-      """WITH spend AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
-        |               FROM orders GROUP BY o_custkey),
-        |cuts AS (SELECT round(quantile_cont(spend, 0.75), 6) AS p75,
-        |                round(quantile_cont(spend, 0.5), 6) AS p50,
-        |                round(quantile_cont(spend, 0.25), 6) AS p25
-        |         FROM spend)
-        |SELECT o_custkey, spend,
-        |       CAST(CASE WHEN spend >= p75 THEN 1
-        |                 WHEN spend >= p50 THEN 2
-        |                 WHEN spend >= p25 THEN 3
-        |                 ELSE 4 END AS INTEGER) AS quartile
-        |FROM spend, cuts ORDER BY o_custkey""".stripMargin,
-
-    "d1_monthly_orders" ->
-      """SELECT CAST(epoch_us(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start,
-        |       CAST(count(*) AS BIGINT) AS n_orders,
-        |       round(sum(o_totalprice), 2) AS total
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "g6_pivot" ->
-      """SELECT user_id,
-        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
-        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
-        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
-        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
-        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "f7_highlight" ->
-      """SELECT doc_id, regexp_replace(substr(text, 1, 80), 'merge', '[merge]', 'g') AS hl
-        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id""".stripMargin,
-
-    "w2_running_sum" ->
-      """SELECT event_id, user_id,
-        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "events_tumbling" ->
-      """SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS bucket_start,
-        |       event_type,
-        |       CAST(count(*) AS BIGINT) AS n_events,
-        |       round(sum(value), 6) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "events_sliding" ->
-      // every event lands in exactly two 30min-aligned hour windows:
-      // floor-to-30min and that minus 1800s
-      """WITH e AS (SELECT event_type, value, epoch_us(ts) // 1000000 AS sec FROM events),
-        |w AS (SELECT event_type, value, (sec // 1800 - i.i) * 1800 AS bucket_start
-        |      FROM e CROSS JOIN (SELECT unnest(range(0, 2)) AS i) i)
-        |SELECT CAST(bucket_start AS BIGINT) AS bucket_start, event_type,
-        |       CAST(count(*) AS BIGINT) AS n_events, round(sum(value), 6) AS sum_value
-        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "stream_term_counts" ->
-      s"WITH $indexCtes SELECT word, CAST(count(*) AS BIGINT) AS n FROM flat GROUP BY word ORDER BY word",
-
-    "stream_enrich_segment" ->
-      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_events,
-        |       round(sum(value), 6) AS sum_value
-        |FROM events JOIN customer ON user_id = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-
-    "fuzzy_levenshtein" ->
-      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS pre FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
-        |SELECT a.doc_id AS doc_a, CAST(levenshtein(a.pre, b.pre) AS BIGINT) AS edit_dist
-        |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
-        |ORDER BY doc_a""".stripMargin,
-
-    "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
-        |       CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
-
-    "q17_small_qty" ->
-      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
-        |       CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem l
-        |WHERE l_quantity < 0.5 * (SELECT avg(l2.l_quantity) FROM lineitem l2
-        |                          WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
-
-    "agg_variance" ->
-      """SELECT c_mktsegment, round(var_samp(c_acctbal), 2) AS var_bal,
-        |       round(stddev_samp(c_acctbal), 4) AS sd_bal,
-        |       CAST(count(*) AS BIGINT) AS n
-        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-
-    "agg_max_by" ->
-      // same argmax via a window (mechanism-free oracle; (acctbal,
-      // custkey) is a unique sort key so both engines agree)
-      """SELECT c_mktsegment, c_custkey AS top_custkey, round(c_acctbal, 2) AS top_acctbal
-        |FROM (SELECT *, row_number() OVER (PARTITION BY c_mktsegment
-        |                                   ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
-        |      FROM customer)
-        |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
-
-    "hist_doc_lengths" ->
-      """SELECT CAST(floor(n_chars / 200) * 200 AS BIGINT) AS bucket_lo,
-        |       CAST(count(*) AS BIGINT) AS n_docs
-        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "events_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
-        |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |         FROM g)
-        |SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(min(us) AS BIGINT) AS t_start, CAST(max(us) AS BIGINT) AS t_end
-        |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
-
-    "events_session_window" ->
-      // same gaps-and-islands CTEs as events_sessionize; session end =
-      // last event + the 30-minute gap (session_window semantics). The
-      // new-session predicate is `>=` here (NOT the `>` of the
-      // gaps-and-islands queries, which define their own convention):
-      // Spark's native session_window is end-EXCLUSIVE, so an event at
-      // exactly prev_ts + gap starts a new session (r3 ADVICE — the `>`
-      // variant passed only because no exact 30-min gap existed).
-      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
-        |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_session
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
-        |         FROM g)
-        |SELECT user_id, CAST(min(us) AS BIGINT) AS t_start,
-        |       CAST(max(us) + 1800000000 AS BIGINT) AS t_end,
-        |       CAST(count(*) AS BIGINT) AS n_events
-        |FROM sess GROUP BY user_id, session_seq ORDER BY user_id, t_start""".stripMargin,
-
-    "events_json_props" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "asof_latest_order" ->
-      // DuckDB's native ASOF JOIN is the oracle for the union+window
-      // composition; right side pre-deduped identically
-      """WITH e AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ets FROM events),
-        |o AS (SELECT o_custkey AS user_id, CAST(epoch_us(o_orderdate) AS BIGINT) AS ots,
-        |             max(o_orderkey) AS last_orderkey
-        |      FROM orders GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id, e.ets, o.last_orderkey,
-        |       e.ets - o.ots AS us_since_order
-        |FROM e ASOF JOIN o ON e.user_id = o.user_id AND e.ets >= o.ots
-        |ORDER BY e.event_id""".stripMargin,
-
-    "stream_sessionize" ->
-      // batch gaps-and-islands sessionization MINUS each user's final
-      // session (the streaming run emits only gap-CLOSED sessions; the
-      // last one per user is still open in state)
-      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
-        |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-        |sess AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
-        |         FROM g),
-        |agg AS (SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
-        |               CAST(min(us) AS BIGINT) AS t_start, CAST(max(us) AS BIGINT) AS t_end
-        |        FROM sess GROUP BY user_id, session_seq)
-        |SELECT user_id, session_seq, n_events, t_start, t_end FROM agg
-        |QUALIFY session_seq < max(session_seq) OVER (PARTITION BY user_id)
-        |ORDER BY user_id, session_seq""".stripMargin,
-
-    "stream_tumbling" ->
-      """SELECT CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS bucket_start,
-        |       event_type,
-        |       CAST(count(*) AS BIGINT) AS n_events,
-        |       round(sum(value), 6) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-
-    "stream_dedup_users" ->
-      """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-
-    "q19_disjunctive" ->
-      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |       CAST(count(*) AS BIGINT) AS n
-        |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |WHERE (p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
-        |   OR (p_size BETWEEN 16 AND 35 AND l_quantity BETWEEN 21 AND 35)
-        |   OR (p_size BETWEEN 36 AND 50 AND l_quantity BETWEEN 36 AND 50)""".stripMargin,
-
-    "w5_trailing_hour" ->
-      """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
-        |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
-        |                           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_trailing_hour
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q3_shipping_priority" ->
-      """SELECT o_orderkey,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-        |       CAST(count(*) AS BIGINT) AS n_items
-        |FROM customer
-        |JOIN orders ON c_custkey = o_custkey
-        |JOIN lineitem ON o_orderkey = l_orderkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |  AND o_orderdate < TIMESTAMP '1998-01-01'
-        |  AND l_shipdate > TIMESTAMP '1998-01-01'
-        |GROUP BY o_orderkey
-        |ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, o_orderkey
-        |LIMIT 10""".stripMargin,
-
-    "dedup_exact" ->
-      """SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_doc_id
-        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY md5(text) ORDER BY fingerprint""".stripMargin,
-
-    "dedup_keep_first" ->
-      """SELECT doc_id, lang, source FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
-        |WHERE doc_id IN (SELECT min(doc_id) FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY md5(text))
-        |ORDER BY doc_id""".stripMargin,
-
-    "dedup_jaccard_adjacent" ->
-      // shingles md5Hash60-hashed on BOTH sides (r2 bench hotspot fix):
-      // identical Jaccard, but set-ops move 8-byte values
-      s"""WITH $hashedShingleCtes
-         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |       round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS jaccard
-         |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-         |ORDER BY doc_a""".stripMargin,
-
-    "dedup_minhash" ->
-      // exact all-pairs Jaccard ≥ 0.8 over hashed shingle sets — equals
-      // the LSH-verified pair set (recall 1-(1-j²)^16 at the 500-doc gate)
-      s"""WITH $hashedShingleCtes,
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8
-         |ORDER BY doc_a, doc_b""".stripMargin,
-
-    "dedup_simhash" ->
-      s"WITH $simhashCtes SELECT doc_id, simhash FROM shv ORDER BY doc_id",
-
-    "dedup_components" ->
-      s"""WITH RECURSIVE $hashedShingleCtes,
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
-         |n AS (SELECT DISTINCT src AS node FROM e),
-         |reach(node, r) AS (
-         |  SELECT node, node FROM n
-         |  UNION
-         |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r)
-         |SELECT node AS doc_id, min(r) AS component FROM reach
-         |GROUP BY node ORDER BY doc_id""".stripMargin,
-
-    "pipeline_dedup_near" ->
-      s"""WITH $hashedShingleCtes,
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8)
-         |SELECT doc_id, lang FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
-         |WHERE doc_id NOT IN (SELECT doc_b FROM p)
-         |ORDER BY doc_id""".stripMargin,
-
-    "pipeline_dedup_components" ->
-      // transitive closure (as in dedup_components) → keeper = min node
-      // per component → losers are nodes above their component minimum
-      s"""WITH RECURSIVE $hashedShingleCtes,
-         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
-         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
-         |n AS (SELECT DISTINCT src AS node FROM e),
-         |reach(node, r) AS (
-         |  SELECT node, node FROM n
-         |  UNION
-         |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r),
-         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
-         |SELECT doc_id, lang FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
-         |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
-         |ORDER BY doc_id""".stripMargin,
-
-    "dedup_simhash_near" ->
-      // Hamming banding mirrored: 4 bands × 15 bits, bucket-capped
-      // equality self-join, full-fingerprint verify at hamming ≤ 3
-      s"""WITH $simhashCtes,
-         |bands AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM shv),
-         |bk AS (SELECT doc_id, simhash, band, (simhash >> CAST(band * 15 AS BIGINT)) & 32767 AS bkey FROM bands),
-         |ok AS (SELECT band, bkey FROM bk GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |                CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-         |         FROM bk a JOIN ok ON a.band = ok.band AND a.bkey = ok.bkey
-         |         JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= 3
-         |ORDER BY doc_a, doc_b""".stripMargin,
-
-    "sim_knn" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet') WHERE vec_id < 8),
-        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
-        |sc AS (SELECT query_id, vec_id,
-        |              list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
-        |       FROM q CROSS JOIN c WHERE vec_id <> query_id),
-        |r AS (SELECT query_id, vec_id, cos,
-        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
-        |      FROM sc)
-        |SELECT query_id, vec_id, round(cos, 6) AS cos, rank
-        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    "sim_ivf_assign" ->
-      // one Lloyd iteration mirrored: seed assign → per-cluster per-dim
-      // means rounded to 6dp (kills distributed-vs-single-node double
-      // summation-order ulps) → final assign
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
-        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
-        |s0 AS (SELECT vec_id, cent_id,
-        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
-        |       FROM v CROSS JOIN c0),
-        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
-        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
-        |       WHERE rn = 1),
-        |comp AS (SELECT a0.cluster AS cent_id, r.i AS pos, round(avg(v.ve[r.i]), 6) AS m
-        |         FROM a0 JOIN v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
-        |         GROUP BY a0.cluster, r.i),
-        |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp GROUP BY cent_id),
-        |s1 AS (SELECT vec_id, cent_id,
-        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
-        |       FROM v CROSS JOIN c1),
-        |r1 AS (SELECT vec_id, cent_id,
-        |              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
-        |       FROM s1)
-        |SELECT vec_id, cent_id AS cluster FROM r1 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
-
-    "sim_ivf_topk" ->
-      // seed-centroid assignment (the a0 CTE of sim_ivf_assign, no Lloyd
-      // refinement — ivfTopK probes the deterministic seed clusters),
-      // then candidates = cluster-mates only, ranked per query. The
-      // queries (vec_id < 8) ARE the seed set, so their assignment is a0
-      // restricted to vec_id < 8 — the identical computation ivfAssign
-      // runs on the query side.
-      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
-        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
-        |s0 AS (SELECT vec_id, cent_id,
-        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
-        |       FROM v CROSS JOIN c0),
-        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
-        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
-        |       WHERE rn = 1),
-        |c AS (SELECT a.vec_id, a.cluster, v.ve AS ce FROM a0 a JOIN v USING (vec_id)),
-        |q AS (SELECT a.vec_id AS query_id, a.cluster, v.ve AS qe FROM a0 a JOIN v USING (vec_id) WHERE a.vec_id < 8),
-        |sc AS (SELECT q.query_id, c.vec_id,
-        |              list_dot_product(q.qe, c.ce) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
-        |       FROM c JOIN q ON c.cluster = q.cluster AND c.vec_id <> q.query_id),
-        |r AS (SELECT query_id, vec_id, cos,
-        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
-        |      FROM sc)
-        |SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin,
-
-    "sim_lsh_topk" -> {
-      val terms = (0 until 8).map { j =>
-        s"(CASE WHEN list_dot_product(e, ${planeSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
-         |b AS (SELECT vec_id, e, CAST($terms AS BIGINT) AS bucket FROM d),
-         |q AS (SELECT vec_id AS query_id, e AS qe, bucket FROM b WHERE vec_id < 8),
-         |sc AS (SELECT q.query_id, c.vec_id,
-         |              list_dot_product(q.qe, c.e) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.e, c.e))) AS cos
-         |       FROM b c JOIN q ON c.bucket = q.bucket AND c.vec_id <> q.query_id),
-         |r AS (SELECT query_id, vec_id, cos,
-         |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
-         |      FROM sc)
-         |SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
-         |ORDER BY query_id, rank""".stripMargin
-    },
-
-    "sim_neardup_pairs" -> {
-      val terms = (0 until 8).map { j =>
-        s"(CASE WHEN list_dot_product(e, ${planeSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
-         |b AS (SELECT vec_id, e, CAST($terms AS BIGINT) AS bucket FROM d),
-         |ok AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) BETWEEN 2 AND 1000),
-         |p AS (SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
-         |             list_dot_product(x.e, y.e) / (sqrt(list_dot_product(x.e, x.e)) * sqrt(list_dot_product(y.e, y.e))) AS cos
-         |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-         |      WHERE x.bucket IN (SELECT bucket FROM ok))
-         |SELECT vec_a, vec_b, round(cos, 6) AS cos FROM p WHERE cos >= 0.35
-         |ORDER BY vec_a, vec_b""".stripMargin
-    },
-
-    "sim_lsh_buckets" -> {
-      val terms = (0 until 8).map { j =>
-        s"(CASE WHEN list_dot_product(e, ${planeSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      s"""WITH d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
-         |b AS (SELECT vec_id, CAST($terms AS BIGINT) AS bucket FROM d)
-         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
-    },
-
-    "text_quality" ->
-      s"""WITH q AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
-         |SELECT doc_id,
-         |       CAST(len(tk) AS BIGINT) AS n_tokens,
-         |       round(CASE WHEN len(tk) > 0 THEN CAST(list_aggregate(list_transform(tk, w -> len(w)), 'sum') AS DOUBLE) / len(tk) ELSE 0 END, 6) AS mean_token_len,
-         |       round(CASE WHEN len(tk) > 0 THEN CAST(len(list_filter(tk, w -> w IN $stopSql)) AS DOUBLE) / len(tk) ELSE 0 END, 6) AS stopword_ratio,
-         |       round(CASE WHEN len(text) > 0 THEN CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / len(text) ELSE 0 END, 6) AS alpha_ratio
-         |FROM q ORDER BY doc_id""".stripMargin,
-
-    "lang_id" -> {
-      val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
-        lang -> ws.map(w => s"'$w'").mkString("(", ",", ")")
-      }
-      val counts = profiles.map { case (lang, inList) =>
-        s"len(list_filter(tk, w -> w IN $inList)) AS c_$lang"
-      }.mkString(",\n             ")
-      val langs = profiles.map(_._1)
-      val greatest = s"greatest(${langs.map("c_" + _).mkString(", ")})"
-      val cases = langs.map(l => s"WHEN c_$l = $greatest THEN '$l'").mkString(" ")
-      s"""WITH q AS (SELECT doc_id, lang, list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-         |sc AS (SELECT doc_id, lang,
-         |             $counts
-         |       FROM q)
-         |SELECT doc_id, lang,
-         |       CASE WHEN $greatest = 0 THEN 'und' $cases ELSE 'und' END AS pred_lang
-         |FROM sc ORDER BY doc_id""".stripMargin
-    },
-
-    "tok_token_counts" ->
-      """SELECT doc_id,
-        |       CAST(len(list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0)) AS BIGINT) AS ws_tokens,
-        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpeish_tokens
-        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') ORDER BY doc_id""".stripMargin,
-
-    "text_bigram_counts" ->
-      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-         |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS bigram
-         |       FROM toks WHERE len(t) >= 2)
-         |SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs FROM bg
-         |GROUP BY bigram ORDER BY n_docs DESC, bigram LIMIT 20""".stripMargin,
-
-    "sample_hash_bucket" ->
-      // identical md5-fold bucket on both sides (the dedup_simhash
-      // md5Hash60 mirror) — the sample is engine-independent by design
-      s"""WITH b AS (SELECT doc_id, lang, ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
-         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
-         |SELECT doc_id, lang, bucket FROM b WHERE bucket < 3 ORDER BY doc_id""".stripMargin,
-
-    "text_lm_score" ->
-      // occurrence-level bigram/unigram counts + add-one smoothing,
-      // mirrored; per-bigram log-probs are identical integers-in,
-      // doubles-out on both engines, and the per-doc average is
-      // 6dp-rounded (the repo's distributed-vs-single-node float rule)
-      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |t AS (SELECT doc_id, unnest(tk) AS w FROM d),
-        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM d WHERE len(tk) >= 2),
-        |bw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w FROM b),
-        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY bg),
-        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM bw GROUP BY w),
-        |v AS (SELECT count(DISTINCT w) AS vocab FROM t),
-        |s AS (SELECT bw.doc_id, log10(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.vocab)) AS lp
-        |      FROM bw JOIN c2 USING (bg) JOIN c1 USING (w) CROSS JOIN v)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 6) AS lm_score
-        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    "doc_embedding_norms" ->
-      """SELECT d.doc_id, d.lang,
-        |       round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 6) AS l2_norm
-        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') d
-        |JOIN read_parquet('/root/testdata/sf0.01/embeddings.parquet') e ON e.vec_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    "tfidf_top_terms" ->
-      s"""WITH $indexCtes,
-         |x AS (SELECT t.doc_id, t.word, t.term_freq * i.idf AS tfidf FROM tf t JOIN idf i USING (word)),
-         |r AS (SELECT doc_id, word, tfidf,
-         |             CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS INTEGER) AS rank
-         |      FROM x)
-         |SELECT doc_id, word, round(tfidf, 6) AS tfidf, rank FROM r WHERE rank <= 3
-         |ORDER BY doc_id, rank""".stripMargin,
-
-    "fingerprint_rolling" ->
-      """WITH p AS (SELECT doc_id, substr(text, 1, 200) AS pre FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
-        |SELECT doc_id,
-        |       CAST(list_reduce(list_transform(range(1, len(pre) + 1), i -> CAST(ascii(substr(pre, i, 1)) AS BIGINT)),
-        |                        (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS fp
-        |FROM p ORDER BY doc_id""".stripMargin,
-
-    "multimodal_features" ->
-      """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |w AS (SELECT *, greatest(1, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS wd FROM p)
-        |SELECT media_id,
-        |       CAST(n AS BIGINT) AS n_bytes,
-        |       round(CASE WHEN n = 0 THEN 0 ELSE CAST(list_aggregate(list_transform(range(1, len(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), 'sum') AS DOUBLE) / n END, 6) AS mean_byte,
-        |       CAST(wd AS INTEGER) AS width,
-        |       CAST(greatest(1, n // wd) AS INTEGER) AS height
-        |FROM w ORDER BY media_id""".stripMargin,
-
-    "pipeline_clean_corpus" -> (
-      """WITH d AS (SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |q AS (SELECT doc_id, lang,
-        |             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_tokens,
-        |             CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) > 0
-        |                  THEN CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0), w -> w IN """.stripMargin +
-      Stopwords.sqlInList +
-      """)) AS DOUBLE) / len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0))
-        |                  ELSE 0 END AS stopword_ratio
-        |      FROM d),
-        |keepers AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text))
-        |SELECT q.doc_id, q.lang, q.n_tokens
-        |FROM q
-        |WHERE q.n_tokens >= 20 AND q.stopword_ratio < 0.5
-        |  AND q.doc_id IN (SELECT doc_id FROM keepers)
-        |ORDER BY q.doc_id""".stripMargin),
-
-    "multimodal_resize" ->
-      """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n
-        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |r AS (SELECT media_id, n,
-        |             list_transform(range(1, n // 4 + 1), i -> CAST(ascii(substr(text, CAST((i - 1) * 4 + 1 AS INT), 1)) AS BIGINT)) AS picks
-        |      FROM p)
-        |SELECT media_id, CAST(n AS BIGINT) AS orig_bytes,
-        |       CAST(len(picks) AS BIGINT) AS resized_bytes,
-        |       round(CAST(coalesce(list_aggregate(picks, 'sum'), 0) AS DOUBLE) / greatest(len(picks), 1), 6) AS resized_mean
-        |FROM r ORDER BY media_id""".stripMargin,
-
-    "multimodal_frames" ->
-      """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n
-        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |f AS (SELECT media_id, text, n, n // 4 AS flen, unnest(range(0, 4)) AS frame_idx
-        |      FROM p WHERE n >= 4),
-        |fr AS (SELECT media_id, frame_idx, substr(text, frame_idx * flen + 1, flen) AS frame FROM f)
-        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-        |       CAST(len(frame) AS BIGINT) AS n_frame_bytes,
-        |       round(CAST(list_aggregate(list_transform(range(1, len(frame) + 1), i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT)), 'sum') AS DOUBLE) / len(frame), 6) AS frame_mean
-        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
-
-    "s1_corpus_ingest" ->
-      s"""SELECT id AS doc_id, u.author AS opinion_author, u.type AS opinion_type, CAST(len(u.text) AS BIGINT) AS opinion_len
-         |FROM (SELECT id, unnest(casebody.data.opinions) AS u FROM read_json_auto('$FixturePath'))
-         |ORDER BY doc_id, opinion_author, opinion_type, opinion_len""".stripMargin,
-
-    "u4_concat_opinions" ->
-      s"""SELECT id AS doc_id, coalesce(array_to_string(list_transform(casebody.data.opinions, o -> o.text), ' '), '') AS full_text
-         |FROM read_json_auto('$FixturePath') ORDER BY doc_id""".stripMargin,
-
-    "opinion_text_first" ->
-      s"""SELECT id AS doc_id, casebody.data.opinions[1].text AS opinion_text
-         |FROM read_json_auto('$FixturePath')
-         |WHERE len(casebody.data.opinions) > 0
-         |ORDER BY doc_id""".stripMargin,
-
-    "serve_from_artifacts" ->
-      // identical to t1_search_snippet: loading artifacts must not change
-      // a single bit of the search result
-      s"""WITH $bm25Ctes
-         |SELECT t.doc_id, t.score,
-         |       CASE WHEN len(d.text) > 160 THEN substr(d.text, 1, 160) || '...' ELSE d.text END AS snippet
-         |FROM top10 t JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
-         |ORDER BY t.score DESC, t.doc_id""".stripMargin
-  )
 }
