@@ -656,6 +656,34 @@ private[graft] object OracleSql {
          |WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
          |ORDER BY doc_id""".stripMargin,
 
+    "pipeline_dedup_best" ->
+      // same closure, but keeper = HIGHEST-token-count doc per component
+      // (tie → lowest doc_id); singletons are their own component
+      s"""WITH RECURSIVE $hashedShingleCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |dt AS (SELECT doc_id, lang,
+         |              CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_tokens
+         |       FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+         |wc AS (SELECT dt.*, coalesce(c.component, dt.doc_id) AS component
+         |       FROM dt LEFT JOIN comp c ON c.node = dt.doc_id)
+         |SELECT doc_id, lang, n_tokens FROM wc
+         |QUALIFY row_number() OVER (PARTITION BY component ORDER BY n_tokens DESC, doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    "sim_sql_norms" ->
+      """SELECT vec_id, round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+        |FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')
+        |ORDER BY vec_id""".stripMargin,
+
     "dedup_simhash_near" ->
       // Hamming banding mirrored: 4 bands × 15 bits, bucket-capped
       // equality self-join, full-fingerprint verify at hamming ≤ 3
@@ -837,6 +865,22 @@ private[graft] object OracleSql {
         |      FROM bw JOIN c2 USING (bg) JOIN c1 USING (w) CROSS JOIN v)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 6) AS lm_score
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      // Gopher-style repetition mirrored: duplicate-trigram fraction +
+      // top-bigram mass over the raw (non-stopword-filtered) tokens,
+      // zeroed for docs too short to form the n-gram
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |tri AS (SELECT doc_id, unnest(list_transform(range(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS tg FROM d WHERE len(tk) >= 3),
+        |ta AS (SELECT doc_id, count(*) AS n_tri, count(DISTINCT tg) AS d_tri FROM tri GROUP BY doc_id),
+        |bi AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM d WHERE len(tk) >= 2),
+        |bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg),
+        |ba AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi FROM bc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       round(coalesce((ta.n_tri - ta.d_tri) * 1.0 / ta.n_tri, 0), 6) AS dup_trigram_frac,
+        |       round(coalesce(ba.top_bi * 1.0 / ba.n_bi, 0), 6) AS top_bigram_frac
+        |FROM d LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "doc_embedding_norms" ->
       """SELECT d.doc_id, d.lang,

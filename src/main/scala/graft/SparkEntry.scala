@@ -1043,6 +1043,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "pipeline_dedup_best" -> ((s, dir) => {
+      // keep-BEST-per-cluster (what production pipelines actually do —
+      // CCNet/Gopher keep the highest-quality copy, not the lowest id):
+      // near-dup components → per component keep the doc with the most
+      // tokens (tie → lowest doc_id). Shares the memoized CC run; the
+      // window partitions by component (bucket-capped cluster sizes).
+      val d = docs(s, dir)
+        .withColumn("n_tokens",
+          size(TextAnalysis.rawTokens(col("text"))).cast("long"))
+      val cc = nearDupComponents(s, dir)
+        .select(col("node").as("doc_id"), col("component"))
+      val withComp = d.join(cc, Seq("doc_id"), "left")
+        .withColumn("component", coalesce(col("component"), col("doc_id")))
+      val w = Window.partitionBy("component")
+        .orderBy(col("n_tokens").desc, col("doc_id").asc)
+      withComp.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "n_tokens")
+        .orderBy("doc_id")
+    }),
+
     "dedup_simhash_near" -> ((s, dir) =>
       // SimHash near-dup pairs via Hamming banding (Manku et al. WWW'07):
       // 4 bands × 15 bits, capped equality self-join, verify hamming ≤ 3
@@ -1067,6 +1088,21 @@ object SparkEntry {
       Similarity.ivfAssign(tbl(s, dir, "embeddings").select("vec_id", "embedding"),
         nCentroids = 8, lloydIters = 1)
         .orderBy("vec_id")),
+
+    "sim_sql_norms" -> ((s, dir) => {
+      // the J3 pattern for the CUSTOM expression surface: vec_dot (the
+      // codegen DotProduct) registered on the driver's LIVE session at
+      // runtime (ColumnShim.addFunction — the injectFunction face for
+      // sessions built without extensions), then pure SQL over a view
+      org.apache.spark.sql.graftshim.ColumnShim.addFunction(s, "vec_dot",
+        children => {
+          require(children.length == 2, "vec_dot takes exactly two arguments")
+          graft.functions.DotProduct(children(0), children(1))
+        })
+      tbl(s, dir, "embeddings").createOrReplaceTempView("embeddings_sql")
+      s.sql("""SELECT vec_id, round(sqrt(vec_dot(embedding, embedding)), 6) AS l2_norm
+              |FROM embeddings_sql ORDER BY vec_id""".stripMargin)
+    }),
 
     "sim_lsh_buckets" -> ((s, dir) =>
       Similarity.lshBuckets(tbl(s, dir, "embeddings"), planes = 8, dim = 64)
@@ -1186,6 +1222,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_bigrams"),
           round(avg(log10((col("c2") + 1).cast("double") / (col("c1") + vocab))), 6)
             .as("lm_score"))
+        .orderBy("doc_id")
+    }),
+
+    "text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
+      // quality filters an LLM pipeline applies AFTER language ID —
+      // duplicate-trigram fraction and most-frequent-bigram mass per
+      // doc. Same plan family as text_lm_score: one posexplode pass,
+      // per-doc windows for n-gram formation, hash aggregates only;
+      // n-grams never shuffle beyond their (doc_id, gram) counts.
+      val toks = docs(s, dir).select(col("doc_id"),
+        posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val grams = graft.Caches.persist(toks
+        .withColumn("w2", lead("w", 1).over(w))
+        .withColumn("w3", lead("w", 2).over(w)))
+      val tri = grams.filter(col("w3").isNotNull)
+        .select(col("doc_id"),
+          concat_ws(" ", col("w"), col("w2"), col("w3")).as("tg"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"), countDistinct(col("tg")).as("d_tri"))
+      val bi = grams.filter(col("w2").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("w"), col("w2")).as("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_bi"), max("c").as("top_bi"))
+      docs(s, dir).select("doc_id")
+        .join(tri, Seq("doc_id"), "left")
+        .join(bi, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          round(coalesce((col("n_tri") - col("d_tri")).cast("double") / col("n_tri"),
+            lit(0.0)), 6).as("dup_trigram_frac"),
+          round(coalesce(col("top_bi").cast("double") / col("n_bi"),
+            lit(0.0)), 6).as("top_bigram_frac"))
         .orderBy("doc_id")
     }),
 

@@ -53,4 +53,17 @@ object ColumnShim {
     val exp = spark.asInstanceOf[classic.SparkSession].experimental
     if (!exp.extraStrategies.contains(s)) exp.extraStrategies = exp.extraStrategies :+ s
   }
+
+  /** Register a custom-Expression SQL function on a LIVE session (the
+    * runtime face of `injectFunction`, for sessions built without
+    * extensions — e.g. the driver's harness session). Idempotent:
+    * re-registration overwrites with the same builder.
+    */
+  def addFunction(spark: SparkSession, name: String,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+    val registry = spark.asInstanceOf[classic.SparkSession]
+      .sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(name, builder, "scala_udf")
+  }
 }
