@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev tool: time the two connected-components formulations (Pregel
+  * min-label + pointer jumping vs Kiveris alternating stars) on the real
+  * near-dup graph at sf0.1 and on a 10× disjoint blow-up of it. Informs
+  * which formulation the gate's shared CC memo uses; results recorded in
+  * docs/SCALE.md.
+  */
+object CcCompare {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = graft.ext.Dedup.minhashPairs(docs, k = 3, numHashes = 32,
+        bands = 16, threshold = 0.8)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .localCheckpoint(true) // edges materialized once; CC timed alone
+    Caches.clearPersisted()
+    val reps10 = spark.range(10).select(col("id").as("__r"))
+    val pairs10 = pairs.crossJoin(reps10)
+      .select((col("src") + col("__r") * 10000000L).as("src"),
+        (col("dst") + col("__r") * 10000000L).as("dst"))
+      .localCheckpoint(true)
+    println(s"[cc] edges 1x=${pairs.count()} 10x=${pairs10.count()}")
+
+    def time(label: String, f: () => Long): Unit = {
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val n = f()
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, n)
+      }
+      val med = ts.map(_._1).sorted.apply(reps / 2)
+      println(f"[cc] $label%-26s median=$med%6.2fs rows=${ts.head._2}")
+    }
+    for ((elabel, e) <- Seq("1x" -> pairs, "10x" -> pairs10)) {
+      time(s"minlabel_$elabel", () => graft.ext.Graph.connectedComponents(e).count())
+      time(s"stars_$elabel", () => graft.ext.Graph.connectedComponentsStars(e).count())
+    }
+    spark.stop()
+  }
+}

@@ -88,4 +88,77 @@ object Graph {
     org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint(sym)
     labels.select(col("node"), col("label").as("component"))
   }
+
+  /** Connected components via the ALTERNATING large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14 — the formulation the r4 VERDICT named as the
+    * Pregel loop's alternative). Same contract as
+    * [[connectedComponents]]: (node, component = min reachable id).
+    *
+    *  - large-star: per node u with symmetric neighborhood Γ(u), connect
+    *    every strictly-larger neighbor to m = min(Γ(u) ∪ {u}) — one
+    *    min-aggregate + one join, emits edges directed larger→smaller;
+    *  - small-star: per node u over its smaller neighbors N = Γ<(u),
+    *    connect N ∪ {u} to min(N) — same shape;
+    *  - repeat until the directed edge set is a fixed point (checked
+    *    with an exact anti-join count, not a checksum); the fixed point
+    *    is a star forest rooted at each component's minimum.
+    *
+    * Scale shape per round: two min-aggregates + two joins on node ids
+    * (no labels table to carry), edge count monotically non-increasing
+    * after the first rounds; O(log² n) worst-case rounds, ~2-4 in
+    * practice on dedup graphs. Same localCheckpoint lineage truncation
+    * and O(1) block storage as the Pregel loop. Nodes whose edges are
+    * only self-loops keep themselves (seeded from the input node set).
+    */
+  def connectedComponentsStars(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    // start from larger→smaller directed pairs; self-loops drop (they
+    // carry no connectivity) and re-enter via the node seed at the end
+    var e = edges
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var stable = false
+    var iter = 0
+    while (!stable && iter < maxIter) {
+      // large-star over the symmetrized adjacency
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u")
+        .agg(least(min("v"), col("u")).as("m"))
+      val ls = sym.join(lsMin, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star over the (now all larger→smaller) edges
+      val ssMin = ls.groupBy("u").agg(min("v").as("m"))
+      val joined = ls.join(ssMin, Seq("u"))
+      val next = joined.filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // exact fixed-point check: symmetric difference must be empty
+      val grew = next.join(e, Seq("u", "v"), "left_anti").count()
+      val shrank = e.join(next, Seq("u", "v"), "left_anti").count()
+      stable = grew == 0 && shrank == 0
+      shim.unpersistCheckpoint(e)
+      e = next
+      iter += 1
+    }
+    require(stable,
+      s"connectedComponentsStars did not reach a fixed point in $maxIter rounds")
+    // nodes/e stay persisted: the returned (lazy) labels plan reads both;
+    // callers drop the blocks with the session or via unpersistCheckpoint
+    nodes
+      .join(e.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
 }
