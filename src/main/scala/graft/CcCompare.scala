@@ -35,14 +35,9 @@ object CcCompare {
     println(s"[cc] edges 1x=${pairs.count()} 10x=${pairs10.count()}")
 
     def time(label: String, f: () => Long): Unit = {
-      val ts = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        val n = f()
-        val dt = (System.nanoTime() - t0) / 1e9
-        (dt, n)
-      }
-      val med = ts.map(_._1).sorted.apply(reps / 2)
-      println(f"[cc] $label%-26s median=$med%6.2fs rows=${ts.head._2}")
+      var rows = 0L
+      val med = BenchUtil.medianTimeSec(reps)(() => rows = f())
+      println(f"[cc] $label%-26s median=$med%6.2fs rows=$rows")
     }
     for ((elabel, e) <- Seq("1x" -> pairs, "10x" -> pairs10)) {
       time(s"minlabel_$elabel", () => graft.ext.Graph.connectedComponents(e).count())

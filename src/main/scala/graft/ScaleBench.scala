@@ -89,17 +89,11 @@ object ScaleBench {
       Caches.clearPersisted()
     }
 
-    def time(q: String, dir: String): Double = {
-      val samples = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        SparkEntry.queries(q)(spark, dir).count()
-        val dt = (System.nanoTime() - t0) / 1e9
+    def time(q: String, dir: String): Double =
+      BenchUtil.medianTimeSec(reps, after = () => {
         Caches.clearPersisted()
         SparkEntry.resetSharedCaches() // reps must pay the real CC cost
-        dt
-      }.sorted
-      samples(samples.size / 2)
-    }
+      })(() => SparkEntry.queries(q)(spark, dir).count())
 
     val rows = Heavy.map { q =>
       val t1 = time(q, s"$scratch/x1")

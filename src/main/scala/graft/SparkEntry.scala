@@ -125,31 +125,37 @@ object SparkEntry {
     * must not read blocks of a stopped context); one entry per sfDir.
     */
   private val ccCache =
-    scala.collection.mutable.LinkedHashMap.empty[(String, String), DataFrame]
+    scala.collection.mutable.LinkedHashMap.empty[String, (SparkSession, DataFrame)]
   private def nearDupComponents(s: SparkSession, dir: String): DataFrame =
     ccCache.synchronized {
-      val sessionKey = System.identityHashCode(s).toString
-      // stale-session entries are dropped AND their checkpoint blocks
-      // freed (unpersistCheckpoint never throws on a stopped context)
-      ccCache.filterInPlace { case ((sk, _), df) =>
-        sk == sessionKey || {
-          org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint(df); false
-        }
+      // entries of STOPPED sessions are dropped without unpersist (their
+      // blocks died with the context); entries of other LIVE sessions
+      // are never unpersisted out from under already-handed-out
+      // DataFrames — localCheckpoint-ed labels cannot be recomputed. An
+      // entry is served only to the exact session object that built it
+      // (reference equality — no identityHashCode collisions).
+      ccCache.filterInPlace { case (_, (owner, _)) => !owner.sparkContext.isStopped }
+      ccCache.get(dir) match {
+        case Some((owner, df)) if owner eq s => df
+        case _ =>
+          val df = graft.ext.Graph.connectedComponents(
+            Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16,
+                threshold = 0.8)
+              .select(col("doc_a").as("src"), col("doc_b").as("dst")))
+          ccCache.put(dir, (s, df))
+          df
       }
-      ccCache.getOrElseUpdate((sessionKey, dir),
-        graft.ext.Graph.connectedComponents(
-          Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16,
-              threshold = 0.8)
-            .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
     }
 
   /** Drop the shared serve-once caches (CC memo), freeing their
-    * checkpoint blocks — for harnesses ([[ScaleBench]]) that must time
-    * the REAL per-run cost instead of the serving path.
+    * checkpoint blocks — ONLY for harnesses ([[ScaleBench]]) that must
+    * time the REAL per-run cost and guarantee no returned frame is
+    * reused after the reset.
     */
   private[graft] def resetSharedCaches(): Unit = ccCache.synchronized {
-    ccCache.values.foreach(
-      org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint)
+    ccCache.values.foreach { case (_, df) =>
+      org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint(df)
+    }
     ccCache.clear()
   }
 

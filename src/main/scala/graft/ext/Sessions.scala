@@ -118,9 +118,16 @@ object Sessions {
       .withColumn("base",
         coalesce(sum(col("n_isl") - col("merge")).over(
           wu.rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)), lit(0L)))
-      .select("user_id", "__b", "merge", "base")
+      .select(col("user_id").as("__su"), col("__b").as("__sb"),
+        col("merge"), col("base"))
 
-    islands.join(stitched, Seq("user_id", "__b"))
+    // null-safe join: windows/groupBy treat a NULL user_id (or NULL ts →
+    // NULL bucket) as a group of its own, so the stitch join must too —
+    // a null-unsafe equi-join would silently drop those sessions and
+    // break the "identical output to sessionize" contract
+    islands.join(stitched,
+        islands("user_id") <=> col("__su") && islands("__b") <=> col("__sb"))
+      .drop("__su", "__sb")
       // merging island 1 backward shifts the WHOLE bucket's numbering
       // down by one, so the merge flag applies to every island
       .withColumn("session_seq", col("base") + col("isl") - col("merge"))

@@ -40,13 +40,17 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     e.dataType.asInstanceOf[ArrayType].elementType
 
   override def checkInputDataTypes(): TypeCheckResult = {
+    // fixed-width numerics only: DecimalType would satisfy NumericType
+    // but the generated `(double)(element)` cast is invalid Java for a
+    // Decimal object — reject it at analysis instead of at Janino time
     def ok(dt: DataType): Boolean = dt match {
-      case ArrayType(et, _) => et.isInstanceOf[NumericType]
+      case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                     ShortType | ByteType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"vec_dot requires two array<numeric> arguments, got " +
+      s"vec_dot requires two array<float|double|int|long|short|byte> arguments, got " +
         s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
   }
 
@@ -57,7 +61,6 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     case LongType => a.getLong(i).toDouble
     case ShortType => a.getShort(i).toDouble
     case ByteType => a.getByte(i).toDouble
-    case d: DecimalType => a.get(i, d).asInstanceOf[Decimal].toDouble
     case other => throw new IllegalStateException(s"unsupported element type $other")
   }
 

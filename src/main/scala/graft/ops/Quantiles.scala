@@ -123,9 +123,19 @@ object Quantiles {
         j.isNull || (bkt(lo, w) === j)
       }.foldLeft(lit(true))(_ && _)
 
+    // state tables carry the group key under renamed columns (__k0…) and
+    // join back NULL-SAFELY: groupBy keeps a NULL group-key as a group of
+    // its own, so the histogram/gather joins must match it too — a
+    // null-unsafe equi-join would strand the NULL group's states
+    def joinStates(sdf: DataFrame): DataFrame =
+      base.join(broadcast(sdf),
+        gcols.zipWithIndex.map { case (g, i) => col(g) <=> col(s"__k$i") }
+          .reduce(_ && _))
+
     def statesDf(ss: Seq[State], withHist: Boolean): (DataFrame, Int) = {
       val depth = ss.map(_.chain.length).max
-      val fields = keySchema.fields.toSeq ++
+      val fields = keySchema.fields.toSeq.zipWithIndex
+        .map { case (f, i) => StructField(s"__k$i", f.dataType, f.nullable) } ++
         Seq(StructField("__sid", IntegerType)) ++
         (0 until depth).flatMap(i => Seq(
           StructField(s"__lo$i", DoubleType), StructField(s"__w$i", DoubleType),
@@ -163,7 +173,7 @@ object Quantiles {
       val live = active.filter(_.resolved.isEmpty)
       if (live.nonEmpty) {
         val (sdf, depth) = statesDf(live, withHist = true)
-        val hist = base.join(broadcast(sdf), gcols)
+        val hist = joinStates(sdf)
           .filter(memberChain(depth))
           .groupBy(col("__sid"), bkt(col("__hlo"), col("__hw")).as("__b"))
           .agg(count(lit(1)).as("__c"), min("__v").as("__bmin"), max("__v").as("__bmax"))
@@ -200,7 +210,7 @@ object Quantiles {
     val toGather = states.filter(_.resolved.isEmpty).toList
     if (toGather.nonEmpty) {
       val (sdf, depth) = statesDf(toGather, withHist = false)
-      val vals = base.join(broadcast(sdf), gcols)
+      val vals = joinStates(sdf)
         .filter(memberChain(depth))
         .select(col("__sid"), col("__v"))
         .collect()

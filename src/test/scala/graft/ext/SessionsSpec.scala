@@ -107,6 +107,25 @@ class SessionsSpec extends SparkSpec {
     assert(plain.map(_._1) == Set(1L, 2L) && plain.count(_._1 == 1L) == 3)
   }
 
+  test("salted sessionize keeps NULL-user events (null-safe stitch join)") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts(0), Some(7L), "click", 1.0, "{}"),
+      (2L, ts(600), Some(7L), "view", 1.0, "{}"),
+      (3L, ts(100), None, "view", 1.0, "{}"),
+      (4L, ts(90000), None, "click", 1.0, "{}"), // next day → stitch row
+      (5L, ts(90300), None, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def sessions(df: org.apache.spark.sql.DataFrame) = {
+      import spark.implicits._
+      df.select("user_id", "session_seq", "n_events", "t_start", "t_end")
+        .as[(Option[Long], Long, Long, Long, Long)].collect().toSet
+    }
+    val plain = sessions(Sessions.sessionize(ev, 1800))
+    assert(sessions(Sessions.sessionizeSalted(ev, 1800)) == plain)
+    assert(plain.count(_._1.isEmpty) == 2) // the NULL user's two sessions survive
+  }
+
   test("salted sessionize plan: event-scale windows are (user, bucket)-partitioned") {
     import spark.implicits._
     val ev = Seq((1L, ts(0), 7L, "click", 1.0, "{}"))

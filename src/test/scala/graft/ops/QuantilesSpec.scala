@@ -77,4 +77,19 @@ class QuantilesSpec extends SparkSpec {
     val res = Quantiles.exact(df, "v", Seq(0.5), Seq("g"))
     assert(res(Seq("d")).n == 1L) // null dropped from the count too
   }
+
+  test("NULL group key is a group of its own (null-safe state joins)") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 20.0), (None, 30.0), (None, 40.0))
+      .toDF("g", "v")
+    // gather path AND forced histogram path must both see the NULL group
+    for (thr <- Seq(8192L, 1L)) {
+      val res = Quantiles.exact(df, "v", Seq(0.5), Seq("g"),
+        buckets = 4, gatherThreshold = thr)
+      assert(res(Seq(null)).n == 4L && res(Seq(null)).quantiles == Seq(25.0),
+        s"gatherThreshold=$thr")
+      assert(res(Seq("a")).quantiles == Seq(2.0))
+    }
+  }
 }
