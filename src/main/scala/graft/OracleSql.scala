@@ -57,6 +57,29 @@ private[graft] object OracleSql {
     s"list_reduce(list_transform(string_split(substr(md5($e), 1, 15), ''), " +
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
+  /** PQ code CTEs — mirrors [[graft.ext.Similarity.pqCodes]] (m=4 k=4
+    * dim=64): seed centroids = subvectors of vec_ids 0-3, squared-L2
+    * argmin per 16-dim slice with the identical ‖x‖² − 2x·c + ‖c‖²
+    * expression shape (same double summation order), tie → lowest cid.
+    */
+  private val pqCtes: String =
+    """d AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+      |cent AS (SELECT vec_id AS cid, e AS ce FROM d WHERE vec_id < 4),
+      |sd AS (SELECT d.vec_id, c.cid, j.j,
+      |              list_dot_product(list_slice(d.e, j.j*16+1, (j.j+1)*16), list_slice(d.e, j.j*16+1, (j.j+1)*16))
+      |              - 2 * list_dot_product(list_slice(d.e, j.j*16+1, (j.j+1)*16), list_slice(c.ce, j.j*16+1, (j.j+1)*16))
+      |              + list_dot_product(list_slice(c.ce, j.j*16+1, (j.j+1)*16), list_slice(c.ce, j.j*16+1, (j.j+1)*16)) AS dist
+      |       FROM d CROSS JOIN cent c CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+      |best AS (SELECT vec_id, j, cid
+      |         FROM (SELECT sd.*, row_number() OVER (PARTITION BY vec_id, j ORDER BY dist, cid) AS rn FROM sd)
+      |         WHERE rn = 1),
+      |codes AS (SELECT vec_id,
+      |                 CAST(max(CASE WHEN j = 0 THEN cid END) AS INTEGER) AS c0,
+      |                 CAST(max(CASE WHEN j = 1 THEN cid END) AS INTEGER) AS c1,
+      |                 CAST(max(CASE WHEN j = 2 THEN cid END) AS INTEGER) AS c2,
+      |                 CAST(max(CASE WHEN j = 3 THEN cid END) AS INTEGER) AS c3
+      |          FROM best GROUP BY vec_id)""".stripMargin
+
   /** SimHash fingerprints per doc (shv CTE) — mirrors [[Dedup.simhash]]:
     * md5Hash60 per distinct token, tf-weighted ±1 per bit, 60-bit
     * reassembly. Shared by the dedup_simhash and dedup_simhash_near
@@ -865,6 +888,35 @@ private[graft] object OracleSql {
         |      FROM bw JOIN c2 USING (bg) JOIN c1 USING (w) CROSS JOIN v)
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 6) AS lm_score
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sim_pq_codes" ->
+      s"""WITH $pqCtes
+         |SELECT vec_id, c0, c1, c2, c3 FROM codes ORDER BY vec_id""".stripMargin,
+
+    "sim_pq_topk" ->
+      // ADC: per-query distance tables joined against corpus codes; the
+      // four per-subspace lookups add LEFT-TO-RIGHT (same fixed order as
+      // the Spark reduce) and round to 6dp before ranking
+      s"""WITH $pqCtes,
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 8),
+         |dt AS (SELECT q.query_id, j.j, c.cid,
+         |              list_dot_product(list_slice(q.qe, j.j*16+1, (j.j+1)*16), list_slice(q.qe, j.j*16+1, (j.j+1)*16))
+         |              - 2 * list_dot_product(list_slice(q.qe, j.j*16+1, (j.j+1)*16), list_slice(c.ce, j.j*16+1, (j.j+1)*16))
+         |              + list_dot_product(list_slice(c.ce, j.j*16+1, (j.j+1)*16), list_slice(c.ce, j.j*16+1, (j.j+1)*16)) AS dist
+         |       FROM q CROSS JOIN cent c CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+         |a AS (SELECT dt0.query_id, codes.vec_id,
+         |             round(dt0.dist + dt1.dist + dt2.dist + dt3.dist, 6) AS adist
+         |      FROM codes
+         |      JOIN dt dt0 ON dt0.j = 0 AND dt0.cid = codes.c0
+         |      JOIN dt dt1 ON dt1.query_id = dt0.query_id AND dt1.j = 1 AND dt1.cid = codes.c1
+         |      JOIN dt dt2 ON dt2.query_id = dt0.query_id AND dt2.j = 2 AND dt2.cid = codes.c2
+         |      JOIN dt dt3 ON dt3.query_id = dt0.query_id AND dt3.j = 3 AND dt3.cid = codes.c3
+         |      WHERE codes.vec_id <> dt0.query_id)
+         |SELECT query_id, vec_id, adist,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INTEGER) AS rank
+         |FROM a
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "text_repetition" ->
       // Gopher-style repetition mirrored: duplicate-trigram fraction +

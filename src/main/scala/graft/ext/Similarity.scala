@@ -185,6 +185,119 @@ object Similarity {
       .select("query_id", "vec_id", "cos", "rank")
   }
 
+  /** Product-quantization codebooks: the embedding space splits into `m`
+    * contiguous subspaces of dim/m dims; each subspace gets `k` seed
+    * centroids (the subvectors of the k lowest vec_ids — deterministic,
+    * so a SQL oracle can rebuild them), and every vector is coded by its
+    * nearest centroid per subspace (squared-L2, tie → lowest centroid).
+    *
+    * This is the storage half of IVF-PQ (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI'11) — THE 100 TB
+    * ANN layout: a dim-64 float vector (256 B) compresses to m codes
+    * (m bytes); the corpus scan in [[pqTopK]] then reads codes, never
+    * vectors. Centroids are driver-materialized literals (the S4
+    * broadcast-scalar pattern, k·dim doubles); per-row work is m·k
+    * codegen dot-products via [[graft.functions.DotProduct]] — narrow,
+    * scan-speed, no shuffle.
+    *
+    * Output: (vec_id, c0 … c{m-1}) with code ∈ [0, k).
+    */
+  def pqCodes(embeddings: DataFrame, m: Int = 4, k: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val cents = pqCentroids(embeddings, m, k, dim)
+    val codeCols = (0 until m).map { j =>
+      pqArgmin(pqDists(col("embedding"), cents(j), j, dim / m)).as(s"c$j")
+    }
+    embeddings.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** Seed centroid subvectors per subspace: centroids(j)(c) is the j-th
+    * slice of the c-th lowest vec_id's embedding, widened to double
+    * exactly as the SQL `CAST(embedding AS DOUBLE[])` mirror does.
+    */
+  private def pqCentroids(embeddings: DataFrame, m: Int, k: Int,
+      dim: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val sub = dim / m
+    val seeds = embeddings.filter(col("vec_id") < k)
+      .select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+    require(seeds.length == k, s"need vec_ids 0..${k - 1} as PQ seeds")
+    (0 until m).map { j =>
+      (0 until k).map { c =>
+        seeds(c).getSeq[Float](1).slice(j * sub, (j + 1) * sub)
+          .map(_.toDouble).toSeq
+      }
+    }
+  }
+
+  /** Squared-L2 distances of a vector's j-th slice to each centroid:
+    * ‖x‖² − 2·x·c + ‖c‖², with ‖c‖² a driver constant — the identical
+    * expression shape (and double summation order) as the SQL oracle.
+    */
+  private def pqDists(emb: Column, cents: IndexedSeq[Seq[Double]], j: Int,
+      sub: Int): IndexedSeq[Column] = {
+    val x = slice(emb, j * sub + 1, sub)
+    cents.map { cvec =>
+      val cl = array(cvec.map(lit): _*)
+      val cc = cvec.foldLeft(0.0)((a, v) => a + v * v)
+      dot(x, x) - lit(2.0) * dot(x, cl) + lit(cc)
+    }
+  }
+
+  /** Argmin over the distance columns, tie → lowest index (matches a
+    * `row_number() OVER (ORDER BY dist, cid)` oracle).
+    */
+  private def pqArgmin(dists: IndexedSeq[Column]): Column =
+    dists.zipWithIndex.tail.foldLeft((lit(0), dists(0))) {
+      case ((bc, bd), (d, c)) =>
+        (when(d < bd, lit(c)).otherwise(bc), when(d < bd, d).otherwise(bd))
+    }._1
+
+  /** PQ top-k by asymmetric distance (ADC): each query precomputes its
+    * per-subspace distance table to the codebooks (m·k doubles,
+    * driver-materialized — queries are few and tiny); corpus vectors are
+    * scanned as CODES ONLY, approx distance = Σⱼ tableⱼ[codeⱼ] with a
+    * FIXED left-to-right addition order (no distributed float
+    * reassociation), 6dp-rounded before ranking so both engines rank
+    * identical values. Same contract as [[bruteForceTopK]]; recall
+    * traded for the 64× payload compression. Output:
+    * (query_id, vec_id, adist, rank).
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
+      m: Int = 4, k: Int = 4, dim: Int = 64): DataFrame = {
+    val sub = dim / m
+    val cents = pqCentroids(corpus, m, k, dim)
+    val codes = pqCodes(corpus, m, k, dim)
+    val qRows = queries.select("vec_id", "embedding").collect()
+      .sortBy(_.getLong(0))
+    // per query: m arrays of k distances, as one literal row
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tbl = qRows.map { r =>
+      val qv = r.getSeq[Float](1).map(_.toDouble)
+      val tables = (0 until m).map { j =>
+        val x = qv.slice(j * sub, (j + 1) * sub)
+        val xx = x.foldLeft(0.0)((a, v) => a + v * v)
+        cents(j).map { c =>
+          val xc = x.zip(c).foldLeft(0.0)((a, p) => a + p._1 * p._2)
+          val cc = c.foldLeft(0.0)((a, v) => a + v * v)
+          xx - 2.0 * xc + cc
+        }.toSeq
+      }
+      (r.getLong(0), tables)
+    }.toSeq.toDF("query_id", "tables")
+    val adist = (0 until m).map(j =>
+        element_at(element_at(col("tables"), j + 1), col(s"c$j") + 1))
+      .reduce(_ + _) // left fold — fixed addition order on both engines
+    codes.crossJoin(broadcast(tbl))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", round(adist, 6))
+      .select("query_id", "vec_id", "adist")
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rank") <= topK)
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets: all pairs
     * sharing a bucket with cosine ≥ threshold. Bucket-bounded (no global
     * cross join), and — the 100 TB essential (r2 VERDICT "What's wrong"

@@ -153,4 +153,38 @@ class SimilaritySpec extends SparkSpec {
       assert(math.abs(brute((q, v)) - c) < 1e-12) // same score as brute force
     }
   }
+
+  test("pqCodes matches a driver-side reimplementation on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val (m, k, dim) = (4, 4, 64)
+    val sub = dim / m
+    val rows = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val seeds = rows.sortBy(_._1).take(k).map(_._2)
+    def code(v: Seq[Double], j: Int): Int = {
+      val x = v.slice(j * sub, (j + 1) * sub)
+      val dists = (0 until k).map { c =>
+        val cv = seeds(c).slice(j * sub, (j + 1) * sub)
+        x.zip(cv).map { case (a, b) => (a - b) * (a - b) }.sum
+      }
+      dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+    }
+    val want = rows.map { case (id, v) => id -> (0 until m).map(code(v, _)) }.toMap
+    val got = Similarity.pqCodes(e, m, k, dim).collect()
+      .map(r => r.getLong(0) -> (1 to m).map(r.getInt)).toMap
+    assert(got == want)
+  }
+
+  test("pqTopK ranks by summed table lookups; rank-1 is a plausible neighbor") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val out = Similarity.pqTopK(e, e.filter(col("vec_id") < 2), topK = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L))
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.sortBy(_._4).map(_._3).toSeq == g.map(_._3).sorted.toSeq) // rank follows adist
+      assert(g.forall(r => r._2 != r._1)) // self excluded
+    }
+  }
 }
