@@ -203,8 +203,11 @@ object Similarity {
     * Output: (vec_id, c0 … c{m-1}) with code ∈ [0, k).
     */
   def pqCodes(embeddings: DataFrame, m: Int = 4, k: Int = 4,
-      dim: Int = 64): DataFrame = {
-    val cents = pqCentroids(embeddings, m, k, dim)
+      dim: Int = 64): DataFrame =
+    pqCodesWith(embeddings, pqCentroids(embeddings, m, k, dim), m, dim)
+
+  private def pqCodesWith(embeddings: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Seq[Double]]], m: Int, dim: Int): DataFrame = {
     val codeCols = (0 until m).map { j =>
       pqArgmin(pqDists(col("embedding"), cents(j), j, dim / m)).as(s"c$j")
     }
@@ -266,8 +269,8 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
       m: Int = 4, k: Int = 4, dim: Int = 64): DataFrame = {
     val sub = dim / m
-    val cents = pqCentroids(corpus, m, k, dim)
-    val codes = pqCodes(corpus, m, k, dim)
+    val cents = pqCentroids(corpus, m, k, dim) // ONE seed collect, shared
+    val codes = pqCodesWith(corpus, cents, m, dim)
     val qRows = queries.select("vec_id", "embedding").collect()
       .sortBy(_.getLong(0))
     // per query: m arrays of k distances, as one literal row
