@@ -872,6 +872,24 @@ private[graft] object OracleSql {
          |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
          |SELECT doc_id, lang, bucket FROM b WHERE bucket < 3 ORDER BY doc_id""".stripMargin,
 
+    "sample_split" ->
+      s"""WITH b AS (SELECT doc_id, lang, ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+         |s AS (SELECT lang, CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split FROM b)
+         |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "emb_outliers" ->
+      // mean/σ rounded to 6dp on both sides (the S4 scalar rule) before
+      // the z-score, which is itself 6dp-rounded; mean component = v·1⃗/64
+      """WITH n AS (SELECT vec_id, round(list_dot_product(CAST(embedding AS DOUBLE[]), [1.0 for x in range(64)]) / 64.0, 6) AS mc
+        |           FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |st AS (SELECT round(avg(mc), 6) AS m, round(stddev_samp(mc), 6) AS sd FROM n)
+        |SELECT vec_id, mc, round((mc - st.m) / st.sd, 6) AS z
+        |FROM n CROSS JOIN st
+        |WHERE abs(round((mc - st.m) / st.sd, 6)) > 2.0
+        |ORDER BY vec_id""".stripMargin,
+
     "text_lm_score" ->
       // occurrence-level bigram/unigram counts + add-one smoothing,
       // mirrored; per-bigram log-probs are identical integers-in,

@@ -1218,6 +1218,43 @@ object SparkEntry {
         .select("doc_id", "lang", "bucket")
         .orderBy("doc_id")),
 
+    "sample_split" -> ((s, dir) =>
+      // deterministic train/val/test assignment — the dataset-versioning
+      // op behind reproducible held-out splits: md5-fold bucket per doc
+      // (engine/partitioning/rerun-independent), 80/10/10 by bucket,
+      // summarized per (lang, split). Narrow + one partial-agg shuffle.
+      docs(s, dir)
+        .withColumn("bucket",
+          pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(10L)))
+        .withColumn("split",
+          when(col("bucket") < 8, "train")
+            .when(col("bucket") === 8, "val")
+            .otherwise("test"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "split")),
+
+    "emb_outliers" -> ((s, dir) => {
+      // embedding-quality gate: flag vectors whose MEAN COMPONENT
+      // z-score sits beyond ±2σ (a biased/broken encoder shifts
+      // component means; norms are useless here — the fixture vectors
+      // are unit-normalized, σ(‖v‖) = 0). Mean component = v·1⃗/dim via
+      // the codegen vec_dot kernel; corpus mean/σ are S4 driver
+      // scalars, 6dp-rounded on BOTH engine sides.
+      val ones = array(Seq.fill(64)(lit(1.0)): _*)
+      val e = graft.Caches.persist(
+        tbl(s, dir, "embeddings").select(col("vec_id"),
+          round(Similarity.dot(col("embedding"), ones) / 64.0, 6).as("mc")))
+      val st = e.agg(
+        round(avg("mc"), 6).as("m"),
+        round(stddev_samp("mc"), 6).as("sd")).head()
+      val (m, sd) = (st.getDouble(0), st.getDouble(1))
+      e.withColumn("z", round((col("mc") - m) / sd, 6))
+        .filter(abs(col("z")) > 2.0)
+        .select("vec_id", "mc", "z")
+        .orderBy("vec_id")
+    }),
+
     "text_lm_score" -> ((s, dir) => {
       // LM-based quality scoring (the CCNet-style filter an LLM data
       // pipeline runs after dedup): score every document by the average
