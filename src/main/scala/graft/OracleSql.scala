@@ -733,6 +733,20 @@ private[graft] object OracleSql {
         |SELECT query_id, vec_id, round(cos, 6) AS cos, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "sim_sq_topk" ->
+      // int8 quantization mirrored as floor(c·127 + 0.5) clamped — floor
+      // (not round) so there is no half-case dialect divergence; the
+      // integer dot (≤ 64·127², exact in double) casts to BIGINT on both
+      // sides, so ranking needs no float rounding contract
+      """WITH d AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), c -> greatest(-127, least(127, floor(c * 127 + 0.5)))) AS q FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |qs AS (SELECT vec_id AS query_id, q AS qq FROM d WHERE vec_id < 8),
+        |sc AS (SELECT query_id, d.vec_id, CAST(list_dot_product(d.q, qq) AS BIGINT) AS dot_i8
+        |       FROM d CROSS JOIN qs WHERE d.vec_id <> query_id),
+        |r AS (SELECT query_id, vec_id, dot_i8,
+        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot_i8 DESC, vec_id) AS INTEGER) AS rank
+        |      FROM sc)
+        |SELECT query_id, vec_id, dot_i8, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "sim_ivf_assign" ->
       // one Lloyd iteration mirrored: seed assign → per-cluster per-dim
       // means rounded to 6dp (kills distributed-vs-single-node double
@@ -878,6 +892,85 @@ private[graft] object OracleSql {
          |s AS (SELECT lang, CASE WHEN bucket < 8 THEN 'train' WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split FROM b)
          |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+
+    "decon_ngram" ->
+      // same split as sample_split (md5 buckets; 8-9 = benchmark side);
+      // hashed-shingle semantics mirror Dedup.shingleRows(k=3,
+      // hashed=true): list_distinct on strings, DISTINCT again after the
+      // md5 fold (Spark distincts the hashed rows). The contaminated
+      // flag compares the UNrounded ratio, like the Spark side.
+      s"""WITH b AS (SELECT doc_id, text, ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+         |toks AS (SELECT doc_id, bucket, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM b),
+         |shr AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g FROM toks WHERE len(t) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, bucket, ${md5Hash60Sql("g")} AS shingle FROM shr),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE bucket >= 8),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM sh WHERE bucket < 8 GROUP BY doc_id),
+         |hit AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap FROM sh s JOIN bench USING (shingle) WHERE s.bucket < 8 GROUP BY s.doc_id)
+         |SELECT t.doc_id, n_grams, COALESCE(n_overlap, 0) AS n_overlap,
+         |       round(COALESCE(n_overlap, 0) * 1.0 / n_grams, 6) AS overlap_frac,
+         |       CAST(CASE WHEN COALESCE(n_overlap, 0) * 1.0 / n_grams > 0.2 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |FROM tot t LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "dedup_span_chunks" ->
+      // aligned 10-token chunks over the RAW token stream (no stopword
+      // filter — TextAnalysis.rawTokens); fingerprint = position-weighted
+      // sum of md5-fold token hashes, HAVING exactly 10 tokens keeps only
+      // full chunks on both engines
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |p AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+        |ch AS (SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS chunk_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |              sum((list_reduce(list_transform(string_split(substr(md5(t[i]), 1, 15), ''), c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b) % 1000000007) * (((i - 1) % 10) + 1)) AS fp
+        |       FROM p GROUP BY doc_id, chunk_id HAVING count(*) = 10),
+        |dup AS (SELECT fp FROM (SELECT fp, count(DISTINCT doc_id) AS nd FROM ch GROUP BY fp) WHERE nd > 1),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks FROM ch JOIN dup USING (fp) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id)
+        |SELECT t.doc_id, n_chunks, COALESCE(n_dup_chunks, 0) AS n_dup_chunks,
+        |       round(COALESCE(n_dup_chunks, 0) * 1.0 / n_chunks, 6) AS dup_frac
+        |FROM tot t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "chunk_tokens" ->
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |p AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks)
+        |SELECT doc_id, CAST((i - 1) // 32 AS BIGINT) AS chunk_id,
+        |       CAST(count(*) AS BIGINT) AS n_in_chunk,
+        |       arg_min(t[i], i) AS first_word
+        |FROM p GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "pack_sequences" ->
+      // per-(lang, shard) greedy packing: cumulative start offset via the
+      // same ROWS-frame window, bin = start_off div 512
+      s"""WITH l AS (SELECT doc_id, lang, ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 16 AS shard,
+         |                  len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS n_tokens
+         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+         |o AS (SELECT lang, shard, n_tokens,
+         |             COALESCE(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+         |      FROM l)
+         |SELECT lang, CAST(shard AS BIGINT) AS shard, CAST(start_off // 512 AS BIGINT) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM o GROUP BY lang, shard, bin ORDER BY lang, shard, bin""".stripMargin,
+
+    "pii_redact" ->
+      // identical deterministic injection, then the same chained
+      // redaction; DuckDB regexp_replace needs the 'g' flag to match
+      // Spark's replace-all semantics
+      """WITH d AS (SELECT doc_id,
+        |                  substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-01' || CAST(doc_id AS VARCHAR) AS dirty
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(dirty, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(dirty, '[0-9]{3}-[0-9]+')) AS BIGINT) AS n_phones,
+        |       regexp_replace(regexp_replace(dirty, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'), '[0-9]{3}-[0-9]+', '<PHONE>', 'g') AS clean
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "text_entropy" ->
+      // H = log2(n) − Σc·log2(c)/n over per-doc raw-token counts — the
+      // identical two-aggregate formula, 6dp-rounded on both sides
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS w FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |c AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_distinct,
+        |       round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 6) AS entropy_bits
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "emb_outliers" ->
       // mean/σ rounded to 6dp on both sides (the S4 scalar rule) before

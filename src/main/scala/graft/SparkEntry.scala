@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOfJoin, Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
+import graft.ext.{AsOfJoin, Contamination, Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
 import graft.index.Indexer
 import graft.search.{BM25, Search}
 import graft.sources.CorpusSource
@@ -114,6 +114,57 @@ object SparkEntry {
         Indexer.build(docs(s, dir).select("doc_id", "text"), stem))
     }
 
+  /** Serve-once memo for a `localCheckpoint`-ed DataFrame built per
+    * (session, sfDir) — the pattern [[builtIndex]] established, factored
+    * out (r5 grew three users): entries of STOPPED sessions are dropped
+    * without unpersist (their blocks died with the context); entries of
+    * other LIVE sessions are never unpersisted out from under
+    * already-handed-out DataFrames — checkpointed frames cannot be
+    * recomputed. An entry is served only to the exact session object that
+    * built it (reference equality — no identityHashCode collisions).
+    */
+  private final class DirMemo(build: (SparkSession, String) => DataFrame) {
+    private val cache =
+      scala.collection.mutable.LinkedHashMap.empty[String, (SparkSession, DataFrame)]
+    def apply(s: SparkSession, dir: String): DataFrame = synchronized {
+      cache.filterInPlace { case (_, (owner, _)) => !owner.sparkContext.isStopped }
+      cache.get(dir) match {
+        case Some((owner, df)) if owner eq s => df
+        case _ =>
+          val df = build(s, dir)
+          cache.put(dir, (s, df))
+          df
+      }
+    }
+    def reset(): Unit = synchronized {
+      cache.values.foreach { case (_, df) =>
+        org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint(df)
+      }
+      cache.clear()
+    }
+  }
+
+  /** Hashed 3-shingle rows (doc_id, shingle) over the corpus, shared by
+    * the whole dedup family (minhash pairs, adjacent-pair Jaccard): the
+    * tokenize → window-stitch → md5-fold pipeline is identical in all of
+    * them, so it runs once per (session, sfDir) and is localCheckpoint-ed
+    * (eager, lineage-free — a few MB of 8-byte shingle hashes).
+    */
+  private val sharedShingleRows = new DirMemo((s, dir) =>
+    Dedup.shingleRows(docs(s, dir), k = 3, hashed = true).localCheckpoint())
+
+  /** MinHash-LSH verified near-dup pairs at the gate's standard
+    * parameters (k=3, 32 hashes, 16 bands, j ≥ 0.8), shared by
+    * `dedup_minhash`, `pipeline_dedup_near`, and the CC memo below —
+    * three queries that each re-ran the full shingle → signature → band →
+    * verify pipeline before r6. The pair set is tiny (near-dup pairs);
+    * checkpointing it costs KBs.
+    */
+  private val sharedMinhashPairs = new DirMemo((s, dir) =>
+    Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16,
+        threshold = 0.8, preShingleRows = Some(sharedShingleRows(s, dir)))
+      .localCheckpoint())
+
   /** Near-dup connected components, built ONCE per (session, sfDir) and
     * shared by `dedup_components` and `pipeline_dedup_components` (r4
     * VERDICT #4: the two CC-bearing queries were 16% of the bench, each
@@ -121,42 +172,24 @@ object SparkEntry {
     * supersteps). [[graft.ext.Graph.connectedComponents]] returns
     * `localCheckpoint`-ed (eager, lineage-free) labels, so reuse costs a
     * block-manager read, not a recompute — the same serve-once pattern as
-    * [[builtIndex]]. Session-keyed like builtIndex (a restarted session
-    * must not read blocks of a stopped context); one entry per sfDir.
+    * [[builtIndex]].
     */
-  private val ccCache =
-    scala.collection.mutable.LinkedHashMap.empty[String, (SparkSession, DataFrame)]
+  private val ccMemo = new DirMemo((s, dir) =>
+    graft.ext.Graph.connectedComponents(
+      sharedMinhashPairs(s, dir)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))))
   private def nearDupComponents(s: SparkSession, dir: String): DataFrame =
-    ccCache.synchronized {
-      // entries of STOPPED sessions are dropped without unpersist (their
-      // blocks died with the context); entries of other LIVE sessions
-      // are never unpersisted out from under already-handed-out
-      // DataFrames — localCheckpoint-ed labels cannot be recomputed. An
-      // entry is served only to the exact session object that built it
-      // (reference equality — no identityHashCode collisions).
-      ccCache.filterInPlace { case (_, (owner, _)) => !owner.sparkContext.isStopped }
-      ccCache.get(dir) match {
-        case Some((owner, df)) if owner eq s => df
-        case _ =>
-          val df = graft.ext.Graph.connectedComponents(
-            Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16,
-                threshold = 0.8)
-              .select(col("doc_a").as("src"), col("doc_b").as("dst")))
-          ccCache.put(dir, (s, df))
-          df
-      }
-    }
+    ccMemo(s, dir)
 
-  /** Drop the shared serve-once caches (CC memo), freeing their
-    * checkpoint blocks — ONLY for harnesses ([[ScaleBench]]) that must
-    * time the REAL per-run cost and guarantee no returned frame is
-    * reused after the reset.
+  /** Drop the shared serve-once caches (CC, minhash pairs, shingle rows),
+    * freeing their checkpoint blocks — ONLY for harnesses ([[ScaleBench]])
+    * that must time the REAL per-run cost and guarantee no returned frame
+    * is reused after the reset.
     */
-  private[graft] def resetSharedCaches(): Unit = ccCache.synchronized {
-    ccCache.values.foreach { case (_, df) =>
-      org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint(df)
-    }
-    ccCache.clear()
+  private[graft] def resetSharedCaches(): Unit = {
+    ccMemo.reset()
+    sharedMinhashPairs.reset()
+    sharedShingleRows.reset()
   }
 
   /** Driver-side mirror of Spark's `round(col, 6)` (HALF_UP over
@@ -988,7 +1021,8 @@ object SparkEntry {
     "dedup_jaccard_adjacent" -> ((s, dir) => {
       val d = docs(s, dir)
       val pairs = d.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
-      Dedup.jaccardForPairs(d, pairs, 3)
+      Dedup.jaccardForPairs(d, pairs, 3,
+          preShingleRows = Some(sharedShingleRows(s, dir)))
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a")
     }),
@@ -1001,8 +1035,7 @@ object SparkEntry {
       // deterministically equals the exact all-pairs j≥0.8 set — which is
       // what the DuckDB oracle computes (500 docs at gate scale). The
       // signature-internal est_jaccard is pinned by DedupSpec instead.
-      Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16,
-          threshold = 0.8)
+      sharedMinhashPairs(s, dir)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
@@ -1023,8 +1056,7 @@ object SparkEntry {
       // each pair; greedy doc_b removal — deterministic and mirrored in
       // SQL): the pipeline stage that follows candidate generation
       val d = docs(s, dir)
-      val losers = Dedup.minhashPairs(d, k = 3, numHashes = 32, bands = 16,
-          threshold = 0.8)
+      val losers = sharedMinhashPairs(s, dir)
         .select(col("doc_b").as("doc_id")).distinct()
       d.join(losers, Seq("doc_id"), "left_anti")
         .select("doc_id", "lang")
@@ -1156,6 +1188,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "sim_sq_topk" -> ((s, dir) => {
+      // int8 scalar-quantized brute-force top-k (faiss SQ8-flat layout):
+      // vectors compress 4× via the codegen vec_quantize_i8 kernel and
+      // ranking runs on the EXACT integer dot of the codes — no float
+      // rounding contract needed (see Similarity.sqTopK scaladoc).
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.sqTopK(e, e.filter(col("vec_id") < 8), k = 5)
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_neardup_pairs" -> ((s, dir) =>
       // embedding-cosine near-dup pairs inside capped LSH buckets, fully
       // oracle-checked (r2 VERDICT item 3). The synthetic embeddings are
@@ -1233,6 +1275,137 @@ object SparkEntry {
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")),
+
+    "decon_ngram" -> ((s, dir) => {
+      // benchmark decontamination (the GPT-3 appendix-C / PaLM §6.1
+      // hygiene pass): the held-out buckets of sample_split's md5 split
+      // (8-9) act as the eval set; every train-split doc reports how many
+      // of its distinct hashed 3-grams appear anywhere in it, plus a
+      // contamination verdict at >20% overlap. The benchmark n-gram set
+      // is broadcast-small by nature (eval sets are MBs); the candidate
+      // side is one linear shingle pass + per-doc hash agg
+      // ([[graft.ext.Contamination]] scale notes). The flag compares the
+      // UNrounded ratio on both engines (identical double division).
+      val d = docs(s, dir).withColumn("bucket",
+        pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(10L)))
+      val train = d.filter(col("bucket") < 8).drop("bucket")
+      val bench = d.filter(col("bucket") >= 8).drop("bucket")
+      Contamination.ngramOverlap(train, bench, k = 3)
+        .withColumn("overlap_frac",
+          round(col("n_overlap").cast("double") / col("n_grams"), 6))
+        .withColumn("contaminated",
+          when(col("n_overlap").cast("double") / col("n_grams") > 0.2, 1L)
+            .otherwise(0L))
+        .orderBy("doc_id")
+    }),
+
+    "dedup_span_chunks" -> ((s, dir) => {
+      // C4/RefinedWeb-style SPAN dedup at 10-token granularity: every
+      // full aligned 10-token chunk gets an order-sensitive fingerprint
+      // (position-weighted sum of per-token 60-bit md5 folds — cheap,
+      // deterministic, oracle-mirrorable; a production pass would hash
+      // the normalized span bytes), chunks whose fingerprint appears in
+      // >1 doc are "duplicated spans", and each doc reports its
+      // duplicated-span fraction. Plan: posexplode (pos from array
+      // position — NO window), one (doc, chunk) hash agg, one fp hash
+      // agg over 8-byte keys; nothing shuffles text. At 100 TB this is
+      // the linear-cost span-level complement to document-level minhash.
+      val toks = docs(s, dir).select(col("doc_id"),
+        posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
+      val chunks = graft.Caches.persist(toks
+        .groupBy(col("doc_id"), floor(col("pos") / 10).cast("long").as("chunk_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          sum(pmod(Dedup.md5Hash60(col("w")), lit(1000000007L)) *
+            (pmod(col("pos"), lit(10)) + 1)).as("fp"))
+        .filter(col("n_toks") === 10))
+      val dupFps = chunks.groupBy("fp")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") > 1)
+        .select("fp")
+      val perDoc = chunks.join(dupFps, Seq("fp"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_dup_chunks"))
+      chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
+        .withColumn("dup_frac",
+          round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+        .orderBy("doc_id")
+    }),
+
+    "chunk_tokens" -> ((s, dir) => {
+      // fixed-size token chunking (the RAG / embedding-pipeline
+      // primitive): each doc splits into aligned 32-token chunks; one
+      // row per chunk with its size and leading token. pos comes from
+      // the array position (posexplode) — no window anywhere; one
+      // (doc, chunk) hash agg. Narrow and linear at any scale.
+      val toks = docs(s, dir).select(col("doc_id"),
+        posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
+      toks.groupBy(col("doc_id"), floor(col("pos") / 32).cast("long").as("chunk_id"))
+        .agg(count(lit(1)).as("n_in_chunk"),
+          min_by(col("w"), col("pos")).as("first_word"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "pack_sequences" -> ((s, dir) => {
+      // greedy sequence packing into 512-token bins — the batch-
+      // construction op between a cleaned corpus and an LLM trainer.
+      // Packing is inherently sequential, so it runs per (lang, shard)
+      // — shard = md5 bucket of doc_id, 16-way — exactly how a
+      // distributed pipeline packs (per-worker shards); a GLOBAL greedy
+      // pack would serialize the corpus through one task (the banned
+      // unpartitioned-window shape). Bin = cumulative start offset
+      // div 512 within the shard (doc order by doc_id, deterministic).
+      val lens = docs(s, dir).select(col("doc_id"), col("lang"),
+        pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(16L)).as("shard"),
+        size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      lens.withColumn("start_off", coalesce(sum("n_tokens").over(w), lit(0L)))
+        .withColumn("bin", floor(col("start_off") / 512).cast("long"))
+        .groupBy("lang", "shard", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"))
+        .orderBy("lang", "shard", "bin")
+    }),
+
+    "pii_redact" -> ((s, dir) => {
+      // PII redaction — the compliance pass every training corpus gets.
+      // The sandbox corpus carries no real PII, so each doc is first
+      // given a DETERMINISTIC synthetic contact line (email + phone
+      // derived from doc_id — injection is part of the query, identical
+      // in the oracle); the operator under test is the redaction scan:
+      // regexp_count + chained regexp_replace, pure per-row codegen
+      // expressions, scan-speed at any scale.
+      val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val phoneRe = "[0-9]{3}-[0-9]+"
+      val dirty = concat(substring(col("text"), 1, 40),
+        lit(" contact user"), col("doc_id"), lit("@example.com or 555-01"),
+        col("doc_id"))
+      docs(s, dir).select(col("doc_id"),
+          regexp_count(dirty, lit(emailRe)).cast("long").as("n_emails"),
+          regexp_count(dirty, lit(phoneRe)).cast("long").as("n_phones"),
+          regexp_replace(regexp_replace(dirty, emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    "text_entropy" -> ((s, dir) => {
+      // unigram Shannon entropy + distinct-token count per doc — the
+      // lexical-diversity quality signal (low entropy = repetitive/
+      // boilerplate text; complements text_repetition's Gopher n-gram
+      // fractions). H = log2(n) − Σc·log2(c)/n over per-doc token
+      // counts — two hash aggregates, no window; ~1e-13 summation
+      // wobble is absorbed by the 6dp rounding both engines apply.
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.rawTokens(col("text"))).as("w"))
+      toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          round(log2(sum("c")) -
+            sum(col("c") * log2(col("c"))) / sum("c"), 6).as("entropy_bits"))
+        .orderBy("doc_id")
+    }),
 
     "emb_outliers" -> ((s, dir) => {
       // embedding-quality gate: flag vectors whose MEAN COMPONENT

@@ -154,7 +154,8 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
       bands: Int = 16, threshold: Double = 0.0,
-      maxBucketSize: Int = 100): DataFrame = {
+      maxBucketSize: Int = 100,
+      preShingleRows: Option[DataFrame] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     // shingle rows and signatures feed multiple branches (both join sides,
@@ -164,7 +165,11 @@ object Dedup {
     // Persists go through the Caches registry so the harness can unpersist
     // after each query (r2 VERDICT "cache hygiene"). Shingles are hashed to
     // longs up front — every downstream shuffle/set-op moves 8-byte values.
-    val shr = graft.Caches.persist(shingleRows(docs, k, hashed = true))
+    // `preShingleRows` lets a caller supply an already-materialized
+    // (checkpointed) hashed-shingle table — the SparkEntry dedup family
+    // shares one — which is used as-is, no second persist.
+    val shr = preShingleRows.getOrElse(
+      graft.Caches.persist(shingleRows(docs, k, hashed = true)))
     val sh = graft.Caches.persist(
       shr.groupBy("doc_id").agg(collect_list("shingle").as("shingles")))
     val sig = graft.Caches.persist(minhashSignatures(shr, numHashes))
@@ -222,10 +227,17 @@ object Dedup {
     * Output: (doc_a, doc_b, jaccard).
     */
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame, k: Int = 3,
-      hashed: Boolean = true): DataFrame = {
+      hashed: Boolean = true,
+      preShingleRows: Option[DataFrame] = None): DataFrame = {
     // referenced by both join sides — persist (registry-tracked) to avoid
-    // rebuilding the tokenize→window shingle pipeline twice
-    val sh = graft.Caches.persist(shingles(docs, k, hashed = hashed))
+    // rebuilding the tokenize→window shingle pipeline twice; a caller-
+    // supplied checkpointed shingle-row table (the SparkEntry shared memo)
+    // skips even the first build
+    val sh = preShingleRows match {
+      case Some(shr) => graft.Caches.persist(
+        shr.groupBy("doc_id").agg(collect_list("shingle").as("shingles")))
+      case None => graft.Caches.persist(shingles(docs, k, hashed = hashed))
+    }
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))

@@ -301,6 +301,42 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Scalar-quantized (int8) brute-force top-k — the faiss `SQ8 Flat`
+    * layout: every vector compresses to dim signed bytes via
+    * [[graft.functions.QuantizeInt8]] (floor(c·127 + 0.5), clamped), and
+    * ranking runs on the EXACT integer dot product of the codes — a
+    * 4× payload cut vs float32 with zero float-reassociation risk (the
+    * quantized dot is an integer ≤ dim·127², so ranking is
+    * engine-independent without any rounding contract — unlike the cosine
+    * paths, which need 6dp rounding to agree cross-engine).
+    *
+    * Same broadcast shape as [[bruteForceTopK]]: the tiny query set
+    * broadcasts, the corpus scan is narrow codegen work (quantize + one
+    * fused dot loop), and only (id, id, long) rows reach the top-k
+    * window. At 100 TB the quantized codes would be the STORED layout
+    * (written once by the ingest pipeline) and this becomes a scan over
+    * int8 columns — the query path stays identical.
+    *
+    * Output: (query_id, vec_id, dot_i8, rank ≤ k), self-match excluded,
+    * ties → lowest vec_id.
+    */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      scale: Int = 127): DataFrame = {
+    import graft.functions.QuantizeInt8.quantize
+    val q = broadcast(queries
+      .select(col("vec_id").as("query_id"), quantize(col("embedding"), scale).as("q_code")))
+    val scored = corpus
+      .select(col("vec_id"), quantize(col("embedding"), scale).as("c_code"))
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dot_i8", dot(col("c_code"), col("q_code")).cast("long"))
+      .select("query_id", "vec_id", "dot_i8")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dot_i8").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs within LSH buckets: all pairs
     * sharing a bucket with cosine ≥ threshold. Bucket-bounded (no global
     * cross join), and — the 100 TB essential (r2 VERDICT "What's wrong"

@@ -191,3 +191,97 @@ object ArrayEqCount {
   def count(a: Column, b: Column): Column =
     ColumnShim.column(ArrayEqCount(ColumnShim.expression(a), ColumnShim.expression(b)))
 }
+
+/** Symmetric int8 scalar quantization of a numeric vector — the faiss
+  * `SQ8`-style compression step (each component → one signed byte): the
+  * storage half of quantized ANN, where a dim-64 float vector (256 B)
+  * becomes 64 bytes and the scan-side dot product runs in exact integer
+  * arithmetic.
+  *
+  * qᵢ = clamp(floor(cᵢ · scale + 0.5), −scale, scale), emitted as
+  * array<int>. `floor(x + 0.5)` — NOT round-half-even or half-away — is
+  * chosen because `floor` is bitwise-identical across engines (the DuckDB
+  * oracle mirrors it verbatim as `floor(c * 127 + 0.5)`), with no
+  * half-case dialect divergence. The clamp bounds the code so a
+  * k-component dot is ≤ k·scale², exactly representable in both double
+  * and BIGINT.
+  *
+  * One generated Java loop per row (same codegen doctrine as
+  * [[DotProduct]] — docs/SCALE.md bans interpreted `transform` lambdas in
+  * the similarity family). Null input array → NULL; a null ELEMENT →
+  * NULL result (matching [[DotProduct]]'s all-or-nothing contract).
+  *
+  * Registered as the SQL function `vec_quantize_i8` by
+  * [[graft.plans.GraftExtensions]].
+  */
+case class QuantizeInt8(child: Expression, scale: Int = 127)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType | IntegerType | LongType |
+                   ShortType | ByteType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_quantize_i8 requires an array<numeric> argument, got ${other.catalogString}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val d = elemType match {
+        case FloatType => a.getFloat(i).toDouble
+        case DoubleType => a.getDouble(i)
+        case IntegerType => a.getInt(i).toDouble
+        case LongType => a.getLong(i).toDouble
+        case ShortType => a.getShort(i).toDouble
+        case ByteType => a.getByte(i).toDouble
+        case other => throw new IllegalStateException(s"unsupported element type $other")
+      }
+      val q = math.floor(d * scale + 0.5)
+      out(i) = math.max(-scale, math.min(scale, q)).toInt
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val q = ctx.freshName("q")
+      val elem = CodeGenerator.getValue(a, elemType, i)
+      s"""
+         |final int $n = $a.numElements();
+         |final int[] $out = new int[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  final double $q = java.lang.Math.floor(((double) ($elem)) * $scale + 0.5);
+         |  $out[$i] = (int) java.lang.Math.max(-$scale, java.lang.Math.min($scale, $q));
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8 =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_quantize_i8"
+}
+
+object QuantizeInt8 {
+  /** Column-API form: `quantize(col("embedding"))`. */
+  def quantize(a: Column, scale: Int = 127): Column =
+    ColumnShim.column(QuantizeInt8(ColumnShim.expression(a), scale))
+}

@@ -31,6 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "vec_dot takes exactly two arguments")
         graft.functions.DotProduct(children(0), children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("vec_quantize_i8"),
+      new ExpressionInfo(classOf[graft.functions.QuantizeInt8].getName, "vec_quantize_i8"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "vec_quantize_i8 takes exactly one argument")
+        graft.functions.QuantizeInt8(children.head)
+      }))
     // custom optimizer rule (builder brief path (c)): cheap length guard
     // in front of levenshtein threshold filters
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
