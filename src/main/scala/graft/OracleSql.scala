@@ -733,6 +733,68 @@ private[graft] object OracleSql {
         |SELECT query_id, vec_id, round(cos, 6) AS cos, rank
         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "sim_ivfpq_topk" ->
+      // IVF seed-cluster routing (the sim_ivf_topk a0 CTE) composed with
+      // the PQ ADC tables (the sim_pq_topk dt CTE): candidates =
+      // cluster-mates, distance = code lookups, fixed addition order,
+      // 6dp rounding before ranking
+      s"""WITH $pqCtes,
+         |c0s AS (SELECT vec_id AS cent_id, e AS ce2 FROM d WHERE vec_id < 8),
+         |s0 AS (SELECT d.vec_id, cent_id,
+         |              list_dot_product(e, ce2) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce2, ce2))) AS cos
+         |       FROM d CROSS JOIN c0s),
+         |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+         |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+         |       WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 8),
+         |dt AS (SELECT q.query_id, j.j, c.cid,
+         |              list_dot_product(list_slice(q.qe, j.j*16+1, (j.j+1)*16), list_slice(q.qe, j.j*16+1, (j.j+1)*16))
+         |              - 2 * list_dot_product(list_slice(q.qe, j.j*16+1, (j.j+1)*16), list_slice(c.ce, j.j*16+1, (j.j+1)*16))
+         |              + list_dot_product(list_slice(c.ce, j.j*16+1, (j.j+1)*16), list_slice(c.ce, j.j*16+1, (j.j+1)*16)) AS dist
+         |       FROM q CROSS JOIN cent c CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+         |a AS (SELECT dt0.query_id, codes.vec_id,
+         |             round(dt0.dist + dt1.dist + dt2.dist + dt3.dist, 6) AS adist
+         |      FROM codes
+         |      JOIN dt dt0 ON dt0.j = 0 AND dt0.cid = codes.c0
+         |      JOIN dt dt1 ON dt1.query_id = dt0.query_id AND dt1.j = 1 AND dt1.cid = codes.c1
+         |      JOIN dt dt2 ON dt2.query_id = dt0.query_id AND dt2.j = 2 AND dt2.cid = codes.c2
+         |      JOIN dt dt3 ON dt3.query_id = dt0.query_id AND dt3.j = 3 AND dt3.cid = codes.c3
+         |      JOIN a0 ca ON ca.vec_id = codes.vec_id
+         |      JOIN a0 qa ON qa.vec_id = dt0.query_id AND qa.cluster = ca.cluster
+         |      WHERE codes.vec_id <> dt0.query_id)
+         |SELECT query_id, vec_id, adist,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INTEGER) AS rank
+         |FROM a
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "text_rank_keywords" ->
+      // 3 unrolled power iterations; float literals are CAST(… AS
+      // DOUBLE) and the damping terms written as (1.0 − 0.85) so both
+      // engines use bit-identical constants (Scala computes 1.0-0.85 =
+      // 0.15000000000000002, NOT decimal 0.15)
+      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+         |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS s FROM toks WHERE len(t) >= 2),
+         |bw AS (SELECT split_part(s, ' ', 1) AS u, split_part(s, ' ', 2) AS v, CAST(count(*) AS BIGINT) AS w FROM bg GROUP BY s),
+         |e0 AS (SELECT u, v, w FROM bw WHERE u <> v),
+         |edges AS (SELECT u, v, CAST(sum(w) AS BIGINT) AS w
+         |          FROM (SELECT u, v, w FROM e0 UNION ALL SELECT v AS u, u AS v, w FROM e0)
+         |          GROUP BY u, v),
+         |wdeg AS (SELECT u, CAST(sum(w) AS BIGINT) AS wdeg FROM edges GROUP BY u),
+         |nn AS (SELECT count(*) AS n FROM wdeg),
+         |pr0 AS (SELECT u AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS pr FROM wdeg),
+         |pr1 AS (SELECT e.v AS node,
+         |               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn) + CAST(0.85 AS DOUBLE) * sum(e.w * p.pr / d.wdeg) AS pr
+         |        FROM edges e JOIN wdeg d ON e.u = d.u JOIN pr0 p ON p.node = e.u GROUP BY e.v),
+         |pr2 AS (SELECT e.v AS node,
+         |               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn) + CAST(0.85 AS DOUBLE) * sum(e.w * p.pr / d.wdeg) AS pr
+         |        FROM edges e JOIN wdeg d ON e.u = d.u JOIN pr1 p ON p.node = e.u GROUP BY e.v),
+         |pr3 AS (SELECT e.v AS node,
+         |               (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn) + CAST(0.85 AS DOUBLE) * sum(e.w * p.pr / d.wdeg) AS pr
+         |        FROM edges e JOIN wdeg d ON e.u = d.u JOIN pr2 p ON p.node = e.u GROUP BY e.v)
+         |SELECT node AS word, round(pr, 6) AS tr_score FROM pr3
+         |ORDER BY tr_score DESC, word LIMIT 20""".stripMargin,
+
     "sim_sq_topk" ->
       // int8 quantization mirrored as floor(c·127 + 0.5) clamped — floor
       // (not round) so there is no half-case dialect divergence; the

@@ -1188,6 +1188,25 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      // IVF-PQ (Jégou TPAMI'11 §IV IVFADC minus residuals): coarse IVF
+      // routing to the query's cluster, PQ asymmetric distance over
+      // codes within it — the combined 100 TB ANN read path (the corpus
+      // is stored clustered with m-byte codes; a query reads ONE cell's
+      // codes and never touches a vector). See Similarity.ivfPqTopK.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), topK = 5)
+        .orderBy("query_id", "rank")
+    }),
+
+    "text_rank_keywords" -> ((s, dir) =>
+      // TextRank (Mihalcea & Tarau EMNLP'04) corpus keywords: 3 fixed
+      // power iterations of weighted PageRank over the word
+      // co-occurrence graph — vocabulary-bounded work at any corpus
+      // size (ext/TextRank scale notes); oracle = the same 3 iterations
+      // unrolled as SQL CTEs
+      graft.ext.TextRank.keywords(docs(s, dir), iters = 3, topK = 20)),
+
     "sim_sq_topk" -> ((s, dir) => {
       // int8 scalar-quantized brute-force top-k (faiss SQ8-flat layout):
       // vectors compress 4× via the codegen vec_quantize_i8 kernel and

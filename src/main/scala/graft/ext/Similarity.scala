@@ -268,15 +268,29 @@ object Similarity {
     */
   def pqTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
       m: Int = 4, k: Int = 4, dim: Int = 64): DataFrame = {
-    val sub = dim / m
     val cents = pqCentroids(corpus, m, k, dim) // ONE seed collect, shared
     val codes = pqCodesWith(corpus, cents, m, dim)
+    codes.crossJoin(broadcast(pqQueryTables(queries, cents, m, dim)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adist", round(pqAdist(m), 6))
+      .select("query_id", "vec_id", "adist")
+      .withColumn("rank", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Per-query ADC distance tables as one literal row each:
+    * (query_id, tables) with tables(j)(c) = ‖xⱼ‖² − 2·xⱼ·cⱼ꜀ + ‖cⱼ꜀‖²
+    * (driver-computed — queries are few and tiny, the S4 pattern).
+    */
+  private def pqQueryTables(queries: DataFrame,
+      cents: IndexedSeq[IndexedSeq[Seq[Double]]], m: Int, dim: Int): DataFrame = {
+    val sub = dim / m
     val qRows = queries.select("vec_id", "embedding").collect()
       .sortBy(_.getLong(0))
-    // per query: m arrays of k distances, as one literal row
-    val spark = corpus.sparkSession
+    val spark = queries.sparkSession
     import spark.implicits._
-    val tbl = qRows.map { r =>
+    qRows.map { r =>
       val qv = r.getSeq[Float](1).map(_.toDouble)
       val tables = (0 until m).map { j =>
         val x = qv.slice(j * sub, (j + 1) * sub)
@@ -289,12 +303,39 @@ object Similarity {
       }
       (r.getLong(0), tables)
     }.toSeq.toDF("query_id", "tables")
-    val adist = (0 until m).map(j =>
-        element_at(element_at(col("tables"), j + 1), col(s"c$j") + 1))
-      .reduce(_ + _) // left fold — fixed addition order on both engines
-    codes.crossJoin(broadcast(tbl))
+  }
+
+  /** Σⱼ tablesⱼ[codeⱼ] with a FIXED left-to-right addition order (no
+    * distributed float reassociation) — the ADC lookup shared by
+    * [[pqTopK]] and [[ivfPqTopK]].
+    */
+  private def pqAdist(m: Int): Column =
+    (0 until m).map(j =>
+      element_at(element_at(col("tables"), j + 1), col(s"c$j") + 1))
+      .reduce(_ + _)
+
+  /** IVF-PQ top-k — the combined layout Jégou et al. TPAMI'11 §IV ship
+    * as `IVFADC` (minus the residual encoding, which would break the
+    * exact-oracle contract): the IVF seed clusters route each query to
+    * its cluster-mates only (nprobe=1, the [[ivfTopK]] equi-join — never
+    * a cross join), and WITHIN the cluster candidates are ranked by PQ
+    * asymmetric distance over codes alone. At 100 TB this is THE ANN
+    * read path: the corpus is stored clustered by IVF cell with m-byte
+    * codes, a query reads one cell's codes and never touches a vector.
+    * Same determinism contract as [[pqTopK]] (fixed addition order, 6dp
+    * rounding before ranking). Output: (query_id, vec_id, adist, rank).
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
+      nCentroids: Int = 8, m: Int = 4, k: Int = 4, dim: Int = 64): DataFrame = {
+    val cents = pqCentroids(corpus, m, k, dim)
+    val codes = pqCodesWith(corpus, cents, m, dim)
+      .join(ivfAssign(corpus, nCentroids), Seq("vec_id"))
+    val qTables = pqQueryTables(queries, cents, m, dim)
+      .join(ivfAssign(queries, nCentroids)
+        .select(col("vec_id").as("query_id"), col("cluster")), Seq("query_id"))
+    codes.join(broadcast(qTables), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adist", round(adist, 6))
+      .withColumn("adist", round(pqAdist(m), 6))
       .select("query_id", "vec_id", "adist")
       .withColumn("rank", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("adist").asc, col("vec_id").asc)))
