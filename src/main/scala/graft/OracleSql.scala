@@ -587,6 +587,38 @@ private[graft] object OracleSql {
         |   OR (p_size BETWEEN 16 AND 35 AND l_quantity BETWEEN 21 AND 35)
         |   OR (p_size BETWEEN 36 AND 50 AND l_quantity BETWEEN 36 AND 50)""".stripMargin,
 
+    "events_funnel" ->
+      // NULL stage times fall out of the CASE comparisons on both
+      // engines (Spark's null && / null >= conditions count nothing)
+      """WITH f AS (SELECT user_id,
+        |                  min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS t_signup,
+        |                  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+        |                  min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+        |                  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+        |           FROM events GROUP BY user_id)
+        |SELECT CAST(count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS BIGINT) AS n_signup,
+        |       CAST(count(CASE WHEN t_signup IS NOT NULL AND t_view >= t_signup THEN 1 END) AS BIGINT) AS n_viewed,
+        |       CAST(count(CASE WHEN t_signup IS NOT NULL AND t_view >= t_signup AND t_click >= t_view THEN 1 END) AS BIGINT) AS n_clicked,
+        |       CAST(count(CASE WHEN t_signup IS NOT NULL AND t_view >= t_signup AND t_click >= t_view AND t_purchase >= t_click THEN 1 END) AS BIGINT) AS n_purchased
+        |FROM f""".stripMargin,
+
+    "orders_retention" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate AS d FROM orders),
+        |f AS (SELECT o_custkey, min(date_trunc('month', d)) AS cohort FROM o GROUP BY o_custkey)
+        |SELECT CAST(epoch_us(cohort) AS BIGINT) AS cohort_month,
+        |       CAST((year(d) * 12 + month(d)) - (year(cohort) * 12 + month(cohort)) AS INTEGER) AS k,
+        |       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY cohort_month, k ORDER BY cohort_month, k""".stripMargin,
+
+    "w6_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
     "w5_trailing_hour" ->
       """SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS us,
         |       CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)

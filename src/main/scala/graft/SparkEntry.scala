@@ -771,6 +771,65 @@ object SparkEntry {
       Sessions.jsonPropAgg(events(s, dir))
         .orderBy("event_type")),
 
+    "events_funnel" -> ((s, dir) => {
+      // first-touch funnel analysis (signup → view → click → purchase):
+      // per-user FIRST occurrence time of each stage from ONE
+      // conditional-aggregation pass (no window, no self-joins — the
+      // classic funnel rewrite), then one global count of users whose
+      // stage times are monotonically ordered. Two hash aggs total;
+      // shuffles (user, 4 longs). Linear at any event volume.
+      val f = events(s, dir)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "signup", col("us"))).as("t_signup"),
+          min(when(col("event_type") === "view", col("us"))).as("t_view"),
+          min(when(col("event_type") === "click", col("us"))).as("t_click"),
+          min(when(col("event_type") === "purchase", col("us"))).as("t_purchase"))
+      val s1 = col("t_signup").isNotNull
+      val s2 = s1 && col("t_view") >= col("t_signup")
+      val s3 = s2 && col("t_click") >= col("t_view")
+      val s4 = s3 && col("t_purchase") >= col("t_click")
+      f.agg(
+        count(when(s1, 1)).as("n_signup"),
+        count(when(s2, 1)).as("n_viewed"),
+        count(when(s3, 1)).as("n_clicked"),
+        count(when(s4, 1)).as("n_purchased"))
+    }),
+
+    "orders_retention" -> ((s, dir) => {
+      // cohort retention — the analytics staple: customers grouped by
+      // first-order month, activity counted per months-since-cohort.
+      // First-order month is a groupBy min (no window); month distance
+      // is exact integer (year·12+month) arithmetic; one countDistinct
+      // per (cohort, k) cell. All hash aggs.
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("d"))
+      val first = o.groupBy("o_custkey")
+        .agg(min(date_trunc("month", col("d"))).as("cohort"))
+      o.join(first, Seq("o_custkey"))
+        .withColumn("k",
+          (year(col("d")) * 12 + month(col("d"))) -
+          (year(col("cohort")) * 12 + month(col("cohort"))))
+        .groupBy(unix_micros(col("cohort")).as("cohort_month"), col("k"))
+        .agg(countDistinct("o_custkey").as("n_active"))
+        .orderBy("cohort_month", "k")
+    }),
+
+    "w6_percent_rank" -> ((s, dir) => {
+      // percent_rank + cume_dist (the remaining ranking-window faces
+      // next to w1's row_number and w3's quartiles), partitioned per
+      // segment with a unique total order so both engines rank
+      // identically
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("c_custkey")
+    }),
+
     "asof_latest_order" -> ((s, dir) => {
       // point-in-time enrichment: each event carries the user's most
       // recent order at-or-before the event (kdb/pandas/DuckDB "ASOF"),

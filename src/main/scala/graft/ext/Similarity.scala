@@ -208,10 +208,30 @@ object Similarity {
 
   private def pqCodesWith(embeddings: DataFrame,
       cents: IndexedSeq[IndexedSeq[Seq[Double]]], m: Int, dim: Int): DataFrame = {
+    // two-stage argmin (r6 perf fix): the old single-expression fold
+    // `(when(d < bd, …))` DUPLICATED each distance subtree (3 vec_dot
+    // calls each) exponentially in k — the generated code blew past the
+    // codegen budget and the whole chain re-evaluated per comparison,
+    // ~2 s at sf0.1 for what is microseconds of arithmetic. Stage 1
+    // names each of the m·k distances ONCE; stage 2 argmins over the
+    // ATTRIBUTES with least() + a first-match when-chain (linear size;
+    // CollapseProject keeps non-cheap multi-referenced aliases
+    // un-inlined, so the dots stay single-evaluation). Tie → lowest
+    // centroid id (least returns an operand; the first equal branch
+    // wins), identical to the row_number ORDER BY dist, cid oracle.
+    val distAliases = for {
+      j <- 0 until m
+      (d, c) <- pqDists(col("embedding"), cents(j), j, dim / m).zipWithIndex
+    } yield d.as(s"__d${j}_$c")
+    val withDists = embeddings.select(col("vec_id") +: distAliases: _*)
     val codeCols = (0 until m).map { j =>
-      pqArgmin(pqDists(col("embedding"), cents(j), j, dim / m)).as(s"c$j")
+      val ds = cents(j).indices.map(c => col(s"__d${j}_$c"))
+      val mn = least(ds: _*)
+      ds.zipWithIndex.tail.foldLeft(when(ds(0) === mn, 0)) {
+        case (acc, (d, c)) => acc.when(d === mn, c)
+      }.as(s"c$j") // no otherwise: least() always equals one operand
     }
-    embeddings.select(col("vec_id") +: codeCols: _*)
+    withDists.select(col("vec_id") +: codeCols: _*)
   }
 
   /** Seed centroid subvectors per subspace: centroids(j)(c) is the j-th
@@ -246,15 +266,6 @@ object Similarity {
       dot(x, x) - lit(2.0) * dot(x, cl) + lit(cc)
     }
   }
-
-  /** Argmin over the distance columns, tie → lowest index (matches a
-    * `row_number() OVER (ORDER BY dist, cid)` oracle).
-    */
-  private def pqArgmin(dists: IndexedSeq[Column]): Column =
-    dists.zipWithIndex.tail.foldLeft((lit(0), dists(0))) {
-      case ((bc, bd), (d, c)) =>
-        (when(d < bd, lit(c)).otherwise(bc), when(d < bd, d).otherwise(bd))
-    }._1
 
   /** PQ top-k by asymmetric distance (ADC): each query precomputes its
     * per-subspace distance table to the codebooks (m·k doubles,
