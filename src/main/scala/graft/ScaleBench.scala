@@ -62,7 +62,13 @@ object ScaleBench {
   private val Heavy = Seq(
     "dedup_minhash", "dedup_components", "text_lm_score",
     "events_sessionize", "events_sessionize_salted",
-    "asof_latest_order", "asof_salted_order")
+    "asof_latest_order", "asof_salted_order",
+    // r6 additions (documents-family only — the scale synth does not
+    // replicate embeddings): span dedup and decontamination scale with
+    // corpus tokens; TextRank with VOCABULARY (the suffixed replicas
+    // grow vocab by `factor`, so its ratio tests the vocabulary-bounded
+    // claim directly)
+    "dedup_span_chunks", "decon_ngram", "text_rank_keywords")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
