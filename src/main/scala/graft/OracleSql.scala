@@ -831,8 +831,12 @@ private[graft] object OracleSql {
       // int8 quantization mirrored as floor(c·127 + 0.5) clamped — floor
       // (not round) so there is no half-case dialect divergence; the
       // integer dot (≤ 64·127², exact in double) casts to BIGINT on both
-      // sides, so ranking needs no float rounding contract
-      """WITH d AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), c -> greatest(-127, least(127, floor(c * 127 + 0.5)))) AS q FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+      // sides, so ranking needs no float rounding contract. NaN → 0 is
+      // written out explicitly on BOTH sides (r6 ADVICE): DuckDB's
+      // greatest/least would clamp NaN to +127 while Java's
+      // (int) clamp(NaN) yields 0 — the CASE pins the engines to the
+      // QuantizeInt8 contract instead of their comparison semantics.
+      """WITH d AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), c -> CASE WHEN isnan(c) THEN 0 ELSE greatest(-127, least(127, floor(c * 127 + 0.5))) END) AS q FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
         |qs AS (SELECT vec_id AS query_id, q AS qq FROM d WHERE vec_id < 8),
         |sc AS (SELECT query_id, d.vec_id, CAST(list_dot_product(d.q, qq) AS BIGINT) AS dot_i8
         |       FROM d CROSS JOIN qs WHERE d.vec_id <> query_id),

@@ -121,23 +121,23 @@ object SparkEntry {
     * other LIVE sessions are never unpersisted out from under
     * already-handed-out DataFrames — checkpointed frames cannot be
     * recomputed. An entry is served only to the exact session object that
-    * built it (reference equality — no identityHashCode collisions).
+    * built it (keys use SparkSession's default reference equality — no
+    * identityHashCode collisions), and the cache is keyed by
+    * (session, dir) — r6 ADVICE: a dir-only key held ONE entry per dir,
+    * so a second live session requesting the same dir evicted the first
+    * session's entry without unpersist, leaking its localCheckpoint
+    * blocks until that session stopped. Now concurrent live sessions
+    * each hold their own entry and never evict each other's.
     */
-  private final class DirMemo(build: (SparkSession, String) => DataFrame) {
+  private[graft] final class DirMemo(build: (SparkSession, String) => DataFrame) {
     private val cache =
-      scala.collection.mutable.LinkedHashMap.empty[String, (SparkSession, DataFrame)]
+      scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), DataFrame]
     def apply(s: SparkSession, dir: String): DataFrame = synchronized {
-      cache.filterInPlace { case (_, (owner, _)) => !owner.sparkContext.isStopped }
-      cache.get(dir) match {
-        case Some((owner, df)) if owner eq s => df
-        case _ =>
-          val df = build(s, dir)
-          cache.put(dir, (s, df))
-          df
-      }
+      cache.filterInPlace { case ((owner, _), _) => !owner.sparkContext.isStopped }
+      cache.getOrElseUpdate((s, dir), build(s, dir))
     }
     def reset(): Unit = synchronized {
-      cache.values.foreach { case (_, df) =>
+      cache.values.foreach { df =>
         org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint(df)
       }
       cache.clear()
@@ -152,6 +152,12 @@ object SparkEntry {
     */
   private val sharedShingleRows = new DirMemo((s, dir) =>
     Dedup.shingleRows(docs(s, dir), k = 3, hashed = true).localCheckpoint())
+  /** The memo above wrapped in its build-parameter tag — consumers
+    * `require` the (k, hashed) to match their own arguments (r6 ADVICE;
+    * see [[Dedup.ShingledRows]]).
+    */
+  private def sharedShingled(s: SparkSession, dir: String): Dedup.ShingledRows =
+    Dedup.ShingledRows(sharedShingleRows(s, dir), k = 3, hashed = true)
 
   /** MinHash-LSH verified near-dup pairs at the gate's standard
     * parameters (k=3, 32 hashes, 16 bands, j ≥ 0.8), shared by
@@ -162,7 +168,7 @@ object SparkEntry {
     */
   private val sharedMinhashPairs = new DirMemo((s, dir) =>
     Dedup.minhashPairs(docs(s, dir), k = 3, numHashes = 32, bands = 16,
-        threshold = 0.8, preShingleRows = Some(sharedShingleRows(s, dir)))
+        threshold = 0.8, preShingleRows = Some(sharedShingled(s, dir)))
       .localCheckpoint())
 
   /** Near-dup connected components, built ONCE per (session, sfDir) and
@@ -1081,7 +1087,7 @@ object SparkEntry {
       val d = docs(s, dir)
       val pairs = d.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
       Dedup.jaccardForPairs(d, pairs, 3,
-          preShingleRows = Some(sharedShingleRows(s, dir)))
+          preShingleRows = Some(sharedShingled(s, dir)))
         .withColumn("jaccard", round(col("jaccard"), 6))
         .orderBy("doc_a")
     }),

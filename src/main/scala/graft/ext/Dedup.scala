@@ -95,6 +95,23 @@ object Dedup {
     shingleRows(docs, k, stem, hashed)
       .groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
 
+  /** A pre-materialized [[shingleRows]] table TAGGED with the parameters
+    * it was built with (r6 ADVICE): a bare DataFrame handed into
+    * [[minhashPairs]]/[[jaccardForPairs]] silently overrode those
+    * functions' `k`/`hashed` arguments — a memo built at a different k
+    * (or over unhashed shingles) produced plausible but wrong Jaccard
+    * values with no error. Consumers now `require` the tag to match
+    * their own parameters, so a mismatch fails loudly at plan time.
+    */
+  final case class ShingledRows(rows: DataFrame, k: Int, hashed: Boolean) {
+    def requireMatches(k: Int, hashed: Boolean): Unit = {
+      require(this.k == k,
+        s"preShingleRows was built with k=${this.k} but the caller asked for k=$k")
+      require(this.hashed == hashed,
+        s"preShingleRows was built with hashed=${this.hashed} but the caller asked for hashed=$hashed")
+    }
+  }
+
   // Fixed MinHash permutation family h_i(x) = (a_i * x + b_i) mod p —
   // coefficients from a small deterministic LCG so runs are reproducible.
   private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
@@ -155,8 +172,9 @@ object Dedup {
   def minhashPairs(docs: DataFrame, k: Int = 3, numHashes: Int = 32,
       bands: Int = 16, threshold: Double = 0.0,
       maxBucketSize: Int = 100,
-      preShingleRows: Option[DataFrame] = None): DataFrame = {
+      preShingleRows: Option[ShingledRows] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
+    preShingleRows.foreach(_.requireMatches(k, hashed = true))
     val r = numHashes / bands
     // shingle rows and signatures feed multiple branches (both join sides,
     // bucket-size counts, exact verify) — persist once instead of
@@ -168,7 +186,7 @@ object Dedup {
     // `preShingleRows` lets a caller supply an already-materialized
     // (checkpointed) hashed-shingle table — the SparkEntry dedup family
     // shares one — which is used as-is, no second persist.
-    val shr = preShingleRows.getOrElse(
+    val shr = preShingleRows.map(_.rows).getOrElse(
       graft.Caches.persist(shingleRows(docs, k, hashed = true)))
     val sh = graft.Caches.persist(
       shr.groupBy("doc_id").agg(collect_list("shingle").as("shingles")))
@@ -228,14 +246,15 @@ object Dedup {
     */
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame, k: Int = 3,
       hashed: Boolean = true,
-      preShingleRows: Option[DataFrame] = None): DataFrame = {
+      preShingleRows: Option[ShingledRows] = None): DataFrame = {
+    preShingleRows.foreach(_.requireMatches(k, hashed))
     // referenced by both join sides — persist (registry-tracked) to avoid
     // rebuilding the tokenize→window shingle pipeline twice; a caller-
     // supplied checkpointed shingle-row table (the SparkEntry shared memo)
     // skips even the first build
     val sh = preShingleRows match {
       case Some(shr) => graft.Caches.persist(
-        shr.groupBy("doc_id").agg(collect_list("shingle").as("shingles")))
+        shr.rows.groupBy("doc_id").agg(collect_list("shingle").as("shingles")))
       case None => graft.Caches.persist(shingles(docs, k, hashed = hashed))
     }
     pairs

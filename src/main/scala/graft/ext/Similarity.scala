@@ -145,8 +145,21 @@ object Similarity {
     * LSH bucket join.
     */
   def ivfAssign(embeddings: DataFrame, nCentroids: Int = 8,
+      lloydIters: Int = 0): DataFrame =
+    ivfAssignWith(embeddings, ivfCentroids(embeddings, nCentroids, lloydIters))
+
+  /** The centroid table (cent_id, cent) [[ivfAssign]] assigns against:
+    * seeds = embeddings of the `nCentroids` lowest vec_ids, optionally
+    * refined by `lloydIters` k-means iterations. Factored out (r6 ADVICE)
+    * so ANN query paths can compute the centroid set ONCE from the CORPUS
+    * and route both corpus and queries against it — assigning queries via
+    * `ivfAssign(queries)` would seed a DIFFERENT centroid space from the
+    * queries' own low vec_ids, silently routing them to wrong cells
+    * whenever the query set isn't exactly the corpus seed set.
+    */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int = 8,
       lloydIters: Int = 0): DataFrame = {
-    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val vecs = corpus.select(col("vec_id"), col("embedding"))
     var cents = vecs
       .filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
@@ -161,17 +174,29 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s("m")).as("cent"))
     }
-    assignNearest(vecs, cents)
+    cents
   }
+
+  /** Assign each embedding to its nearest centroid in an EXPLICIT
+    * centroid table (from [[ivfCentroids]]) — the query-side routing
+    * face: corpus and queries must be assigned against the SAME centroid
+    * set for cluster ids to be comparable. Output: (vec_id, cluster).
+    */
+  def ivfAssignWith(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    assignNearest(embeddings.select(col("vec_id"), col("embedding")), cents)
 
   /** IVF top-k: probe only the query's cluster (nprobe=1). Same contract
     * as [[bruteForceTopK]]; recall traded for the cluster-bounded join.
+    * Centroids come from the CORPUS alone; queries are routed against
+    * that same set (r6 ADVICE — a query set disjoint from the corpus
+    * seeds still lands in the right cells).
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 8): DataFrame = {
-    val assigned = ivfAssign(corpus, nCentroids)
+    val cents = ivfCentroids(corpus, nCentroids)
+    val assigned = ivfAssignWith(corpus, cents)
     val cb = assigned.join(corpus, Seq("vec_id"))
-    val qb = broadcast(ivfAssign(queries, nCentroids)
+    val qb = broadcast(ivfAssignWith(queries, cents)
       .join(queries, Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cluster")))
     val scored = cb.join(qb, Seq("cluster"))
@@ -339,10 +364,13 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, topK: Int = 5,
       nCentroids: Int = 8, m: Int = 4, k: Int = 4, dim: Int = 64): DataFrame = {
     val cents = pqCentroids(corpus, m, k, dim)
+    // coarse centroids from the CORPUS alone; both sides routed against
+    // them (r6 ADVICE — same fix as ivfTopK)
+    val ivfCents = ivfCentroids(corpus, nCentroids)
     val codes = pqCodesWith(corpus, cents, m, dim)
-      .join(ivfAssign(corpus, nCentroids), Seq("vec_id"))
+      .join(ivfAssignWith(corpus, ivfCents), Seq("vec_id"))
     val qTables = pqQueryTables(queries, cents, m, dim)
-      .join(ivfAssign(queries, nCentroids)
+      .join(ivfAssignWith(queries, ivfCents)
         .select(col("vec_id").as("query_id"), col("cluster")), Seq("query_id"))
     codes.join(broadcast(qTables), Seq("cluster"))
       .filter(col("vec_id") =!= col("query_id"))

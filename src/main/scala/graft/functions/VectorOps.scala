@@ -211,6 +211,15 @@ object ArrayEqCount {
   * the similarity family). Null input array → NULL; a null ELEMENT →
   * NULL result (matching [[DotProduct]]'s all-or-nothing contract).
   *
+  * NaN is PINNED to code 0 explicitly (r6 ADVICE): before this was pinned
+  * it fell out of Java's NaN-propagating Math.min/max plus `(int) NaN ==
+  * 0` — while DuckDB's `greatest`/`least` treat NaN as the largest value
+  * and would clamp it to +scale, a silent cross-engine divergence. The
+  * oracle SQL mirrors the explicit rule (`CASE WHEN isnan(c) THEN 0`), so
+  * the contract no longer depends on either engine's NaN comparison
+  * semantics. 0 (not ±scale) because a non-signal component should not
+  * contribute magnitude to the integer dot.
+  *
   * Registered as the SQL function `vec_quantize_i8` by
   * [[graft.plans.GraftExtensions]].
   */
@@ -247,7 +256,7 @@ case class QuantizeInt8(child: Expression, scale: Int = 127)
         case other => throw new IllegalStateException(s"unsupported element type $other")
       }
       val q = math.floor(d * scale + 0.5)
-      out(i) = math.max(-scale, math.min(scale, q)).toInt
+      out(i) = if (q.isNaN) 0 else math.max(-scale, math.min(scale, q)).toInt
       i += 1
     }
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
@@ -266,7 +275,8 @@ case class QuantizeInt8(child: Expression, scale: Int = 127)
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final double $q = java.lang.Math.floor(((double) ($elem)) * $scale + 0.5);
-         |  $out[$i] = (int) java.lang.Math.max(-$scale, java.lang.Math.min($scale, $q));
+         |  $out[$i] = java.lang.Double.isNaN($q) ? 0
+         |    : (int) java.lang.Math.max(-$scale, java.lang.Math.min($scale, $q));
          |}
          |if (!${ev.isNull}) {
          |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);

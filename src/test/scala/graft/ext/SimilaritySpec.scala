@@ -77,6 +77,35 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, v, c, _) => assert(math.abs(brute((q, v)) - c) < 1e-12) }
   }
 
+  test("ivfTopK routes queries against CORPUS centroids (r6 ADVICE)") {
+    import spark.implicits._
+    // queries whose vec_ids are all >= nCentroids: seeding centroids from
+    // the query set (the pre-fix behavior) would yield an EMPTY seed set
+    // and an empty result; routing against the corpus centroids must
+    // return each query's cluster-mates
+    val queries = vecs.filter(col("vec_id") >= 3).select("vec_id", "embedding")
+    val got = Similarity.ivfTopK(
+      vecs.select("vec_id", "embedding"), queries, k = 4, nCentroids = 3)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    // vec 3 (y-dominant) lives in centroid 2's cluster with vec 2; its
+    // candidates must be exactly its corpus-cluster-mates
+    val corpusCluster = Similarity.ivfAssign(
+      vecs.select("vec_id", "embedding"), nCentroids = 3)
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (q, v, _, _) =>
+      assert(corpusCluster(v) == corpusCluster(q),
+        s"candidate $v for query $q crossed clusters")
+    }
+    assert(got.filter(_._1 == 3L).map(_._2).toSet == Set(2L))
+    // ivfPqTopK shares the routing: same disjoint query set must produce
+    // rows for every query (pre-fix: empty)
+    val pq = Similarity.ivfPqTopK(
+      vecs.select("vec_id", "embedding"), queries, topK = 2,
+      nCentroids = 3, m = 3, k = 3, dim = 3)
+    assert(pq.select("query_id").distinct().count() == 2)
+  }
+
   test("cosineNearDupPairs drops degenerate buckets beyond maxBucketSize") {
     import spark.implicits._
     // plane 0 weights for dim=3 are (-8, 6, 3): every vector below has a

@@ -50,6 +50,22 @@ class QuantizeInt8Spec extends SparkSpec {
     assert(interp == viaDf)
   }
 
+  test("NaN component is pinned to code 0 on both eval paths (r6 ADVICE)") {
+    import spark.implicits._
+    // codegen path
+    val viaDf = Seq(Seq(Float.NaN, 1.0f, -0.5f)).toDF("v")
+      .select(QuantizeInt8.quantize(col("v"))).as[Seq[Int]].head()
+    assert(viaDf == Seq(0, 127, -63))
+    // interpreted path
+    val expr = QuantizeInt8(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(Float.NaN, 1.0f, -0.5f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val interp = expr.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray().toSeq
+    assert(interp == Seq(0, 127, -63))
+  }
+
   test("quantized dot product is exact integer arithmetic (sqTopK invariant)") {
     import spark.implicits._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
