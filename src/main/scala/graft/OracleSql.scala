@@ -991,6 +991,77 @@ private[graft] object OracleSql {
          |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
+    "sample_stratified" ->
+      // same md5-fold bucket as sample_hash_bucket; per-language keep
+      // rates (en 3/10, tail 8/10) mirrored as a plain predicate
+      s"""WITH b AS (SELECT doc_id, lang, ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+         |SELECT doc_id, lang, bucket FROM b
+         |WHERE (lang = 'en' AND bucket < 3) OR (lang <> 'en' AND bucket < 8)
+         |ORDER BY doc_id""".stripMargin,
+
+    "curate_cap_per_source" ->
+      s"""WITH r AS (SELECT doc_id, source, n_chars,
+         |           CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INTEGER) AS rn
+         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+         |SELECT doc_id, source, n_chars, rn FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
+
+    "dedup_containment" ->
+      // df-capped containment: both engines drop shingles with df > 100
+      // BEFORE numerator and denominator (the documented capped-space
+      // semantics), threshold on the UNROUNDED ratio, then round 6dp
+      s"""WITH $hashedShingleCtes,
+         |hs AS (SELECT DISTINCT doc_id, ${md5Hash60Sql("g")} AS h FROM shr),
+         |dfc AS (SELECT h, count(*) AS df FROM hs GROUP BY h),
+         |rare AS (SELECT hs.doc_id, hs.h FROM hs JOIN dfc USING (h) WHERE dfc.df <= 100),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM rare GROUP BY doc_id),
+         |sp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |       GROUP BY a.doc_id, b.doc_id)
+         |SELECT doc_a, doc_b, round(CAST(n_shared AS DOUBLE) / sz.sz, 6) AS containment
+         |FROM sp JOIN sz ON sz.doc_id = sp.doc_a
+         |WHERE CAST(n_shared AS DOUBLE) / sz.sz >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "dedup_audit" ->
+      // the dedup_components transitive closure, then the component-size
+      // spectrum: sizes → how many components of each size
+      s"""WITH RECURSIVE $hashedShingleCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |reach(node, r) AS (
+         |  SELECT node, node FROM n
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS sz FROM comp GROUP BY component)
+         |SELECT sz, CAST(count(*) AS BIGINT) AS n_components FROM cs
+         |GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "zipf_fit" ->
+      // rank = row_number over (freq desc, word) — identical to the
+      // Spark side's windowless two-level rank; regr_slope/regr_r2 are
+      // the same covar_pop/var_pop ratios in both engines, rounded 6dp
+      s"""WITH $indexCtes,
+         |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM flat GROUP BY word),
+         |r AS (SELECT word, freq, CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank FROM wf)
+         |SELECT CAST(count(*) AS BIGINT) AS n_vocab,
+         |       round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+         |       round(regr_r2(ln(freq), ln(rank)), 6) AS zipf_r2
+         |FROM r""".stripMargin,
+
+    "agg_topk_sketch" ->
+      // capacity ≥ vocabulary ⇒ the Space-Saving sketch is exact, so the
+      // oracle is the plain per-language count + rank
+      s"""WITH toks AS (SELECT lang, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+         |fl AS (SELECT lang, unnest(t) AS word FROM toks),
+         |c AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS est_count FROM fl GROUP BY lang, word),
+         |r AS (SELECT lang, word, est_count, CAST(row_number() OVER (PARTITION BY lang ORDER BY est_count DESC, word) AS INTEGER) AS rank FROM c)
+         |SELECT lang, rank, word, est_count FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
     "decon_ngram" ->
       // same split as sample_split (md5 buckets; 8-9 = benchmark side);
       // hashed-shingle semantics mirror Dedup.shingleRows(k=3,

@@ -1654,6 +1654,105 @@ object SparkEntry {
       CorpusSource.firstOpinionText(CorpusSource.readJsonl(s, FixturePath))
         .orderBy("doc_id")),
 
+    // ---- round-7 curation additions ----
+    "curate_cap_per_source" -> ((s, dir) => {
+      // per-source document caps — the C4/RefinedWeb domain-balancing op:
+      // no single source (domain/crawl host) may contribute more than N
+      // docs, keeping the N "best" by a quality key (n_chars desc, doc_id
+      // asc — a unique total order, so both engines keep identical rows).
+      // Scale: the window partitions by source — state is one counter per
+      // source partition, and a source with millions of docs is exactly
+      // the case the cap exists for; a skewed mega-source is bounded by
+      // the top-N heap the TopKPerKey strategy plans for rank filters.
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rn"))
+        .orderBy("doc_id")
+    }),
+
+    "sample_stratified" -> ((s, dir) =>
+      // language-rebalancing sampler — the low-resource-upweighting pass
+      // of multilingual corpus curation: the head language (en, ~44% of
+      // the synthetic corpus) keeps 3 of 10 md5 buckets, every tail
+      // language keeps 8 of 10. Same determinism contract as
+      // sample_hash_bucket: md5-fold buckets, engine/partition/rerun
+      // independent; narrow scan-speed work at any scale.
+      docs(s, dir)
+        .withColumn("bucket",
+          pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(10L)))
+        .filter(when(col("lang") === "en", col("bucket") < 3)
+          .otherwise(col("bucket") < 8))
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id")),
+
+    "dedup_containment" -> ((s, dir) =>
+      // asymmetric shingle containment C(A→B) = |A∩B|/|A| — catches
+      // subset-duplicates (excerpts, quoted boilerplate) that Jaccard
+      // scores near 0; candidates from a df-capped inverted shingle
+      // index, never an all-pairs join (Dedup.containmentPairs scale
+      // notes). Shares the gate's checkpointed shingle memo.
+      Dedup.containmentPairs(docs(s, dir), k = 3, threshold = 0.5,
+          maxDf = 100, preShingleRows = Some(sharedShingled(s, dir)))
+        .withColumn("containment", round(col("containment"), 6))
+        .orderBy("doc_a", "doc_b")),
+
+    "dedup_audit" -> ((s, dir) =>
+      // dedup observability: the component-size spectrum (how many
+      // near-dup clusters of each size) — the number a curation run
+      // reports before destructive removal. Rides the shared CC memo;
+      // the histogram itself is two vocabulary-sized hash aggregates.
+      nearDupComponents(s, dir)
+        .groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_components"))
+        .orderBy("sz")),
+
+    "zipf_fit" -> ((s, dir) => {
+      // corpus-statistics fit: slope/R² of log(freq) on log(rank) — the
+      // Zipf diagnostic curation dashboards track (a healthy natural
+      // corpus fits slope ≈ −1; synthetic or template-heavy slices
+      // don't). Global rank WITHOUT a global window (PlanSmellSpec):
+      // rank(w) = |words with higher freq| + row_number within the
+      // word's own freq class — the offset table is a non-equi join over
+      // DISTINCT FREQUENCY VALUES only (O(√tokens) rows by Zipf, tiny at
+      // any corpus size), and the row_number window partitions by freq.
+      val freqs = Indexer.flatWords(docs(s, dir), stem = false)
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val byFreq = freqs.groupBy("freq").agg(count(lit(1)).as("nw"))
+      val higher = byFreq.as("a")
+        .join(byFreq.as("b"), col("b.freq") > col("a.freq"), "left")
+        .groupBy(col("a.freq"))
+        .agg(coalesce(sum(col("b.nw")), lit(0L)).as("n_higher"))
+      val wr = Window.partitionBy("freq").orderBy(col("word").asc)
+      freqs.join(higher, Seq("freq"))
+        .withColumn("rank", col("n_higher") + row_number().over(wr))
+        .agg(count(lit(1)).as("n_vocab"),
+          round(regr_slope(log(col("freq")), log(col("rank"))), 6).as("zipf_slope"),
+          round(regr_r2(log(col("freq")), log(col("rank"))), 6).as("zipf_r2"))
+    }),
+
+    "agg_topk_sketch" -> ((s, dir) =>
+      // per-language top-5 words via the Space-Saving sketch
+      // (functions.SpaceSavingTopK — TypedImperativeAggregate with
+      // binary partial-state merge): capacity 1024 ≥ the synthetic
+      // vocabulary, so the sketch is exact and the oracle is a plain
+      // GROUP BY count — while the same plan at 100 TB bounds per-group
+      // state at 1024 counters no matter the true key cardinality.
+      docs(s, dir)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0 &&
+          !col("word").isin(graft.text.Stopwords.alphaOnly: _*))
+        .groupBy("lang")
+        .agg(graft.functions.SpaceSavingTopK.topk(col("word"), k = 5,
+          capacity = 1024).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("lang"), (col("i") + 1).cast("int").as("rank"),
+          col("t.item").as("word"), col("t.est_count").as("est_count"))
+        .orderBy("lang", "rank")),
+
     "serve_from_artifacts" -> ((s, dir) => {
       // the reference's ACTUAL serving mode (pyapp.py:30-37): artifacts
       // prebuilt on disk, the app loads them and never re-indexes. Write

@@ -297,6 +297,52 @@ object Dedup {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Shingle-containment near-duplicate pairs — the ASYMMETRIC companion
+    * to Jaccard: C(A→B) = |S(A) ∩ S(B)| / |S(A)| over hashed k-shingle
+    * sets. Jaccard misses subset-duplicates (a short doc wholly contained
+    * in a much longer one scores |A|/|B| ≈ 0), which is exactly the
+    * quote/boilerplate/excerpt case a curation pipeline needs to catch;
+    * containment scores it 1.0 regardless of the size ratio.
+    *
+    * Candidate generation is an inverted shingle index (shingle →
+    * posting list of doc_ids) self-joined per shingle — the sparse
+    * "join on shared features" shape, NEVER an all-pairs cross join —
+    * with a DOCUMENT-FREQUENCY CAP: shingles appearing in more than
+    * `maxDf` documents are dropped from the index before the join, which
+    * bounds every posting-list self-join at maxDf² pairs. That is the
+    * standard scale lever (stop-shingle removal): df-heavy shingles are
+    * boilerplate n-grams that contribute candidates quadratically while
+    * carrying no near-dup signal. The resulting containment is therefore
+    * computed over the DF-CAPPED shingle space on BOTH numerator and
+    * denominator — a documented, oracle-mirrored semantics, not a silent
+    * approximation.
+    *
+    * Output: directed pairs (doc_a, doc_b, containment) with
+    * containment = C(doc_a → doc_b) ≥ threshold, doc_a ≠ doc_b.
+    */
+  def containmentPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 100,
+      preShingleRows: Option[ShingledRows] = None): DataFrame = {
+    preShingleRows.foreach(_.requireMatches(k, hashed = true))
+    val shr = preShingleRows.map(_.rows).getOrElse(
+      graft.Caches.persist(shingleRows(docs, k, hashed = true)))
+    // df-capped postings: one hash agg for df, then drop stop-shingles
+    val rare = graft.Caches.persist(
+      shr.join(shr.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf), Seq("shingle")))
+    // |S(A)| over the same capped space (the denominator contract above)
+    val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = rare.select(col("shingle"), col("doc_id").as("doc_a"))
+      .join(rare.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .withColumn("containment", col("n_shared").cast("double") / col("sz_a"))
+      .filter(col("containment") >= threshold)
+      .select("doc_a", "doc_b", "containment")
+  }
+
   /** SimHash near-duplicate pairs via Hamming banding — the classic
     * pigeonhole trick (Manku et al., WWW'07 "Detecting Near-Duplicates
     * for Web Crawling"): split the `bits`-bit fingerprint into `bands`
