@@ -991,6 +991,42 @@ private[graft] object OracleSql {
          |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
+    "text_pmi_collocations" ->
+      // identical operand shapes: (cuv/NB) / ((cu/NT)·(cv/NT)), natural
+      // log, 6dp; ties on rounded pmi break by (u, v)
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |t AS (SELECT doc_id, unnest(tk) AS w FROM d),
+        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM d WHERE len(tk) >= 2),
+        |c2 AS (SELECT string_split(bg, ' ')[1] AS u, string_split(bg, ' ')[2] AS v, CAST(count(*) AS BIGINT) AS n_uv FROM b GROUP BY bg),
+        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS cw FROM t GROUP BY w),
+        |nt AS (SELECT count(*) AS n FROM t),
+        |nb AS (SELECT count(*) AS n FROM b),
+        |p AS (SELECT u, v, n_uv,
+        |             round(ln((CAST(n_uv AS DOUBLE) / nb.n) / ((CAST(cu.cw AS DOUBLE) / nt.n) * (CAST(cv.cw AS DOUBLE) / nt.n))), 6) AS pmi
+        |      FROM c2 JOIN c1 cu ON cu.w = c2.u JOIN c1 cv ON cv.w = c2.v
+        |      CROSS JOIN nt CROSS JOIN nb
+        |      WHERE n_uv >= 5)
+        |SELECT u, v, n_uv, pmi FROM p ORDER BY pmi DESC, u, v LIMIT 30""".stripMargin,
+
+    "tfidf_cosine_pairs" ->
+      // relative df cap (df·4 ≤ N) applied to weights AND norms on both
+      // engines; threshold on the unrounded cosine, then 6dp
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |flat AS (SELECT doc_id, unnest(t) AS word FROM toks),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM flat GROUP BY doc_id, word),
+        |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        |w AS (SELECT tf.doc_id, tf.word, tf.tf * log10(nd.n * 1.0 / dfreq.df) AS wt
+        |      FROM tf JOIN dfreq USING (word) CROSS JOIN nd WHERE dfreq.df * 4 <= nd.n),
+        |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nr FROM w GROUP BY doc_id),
+        |dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt * b.wt) AS d
+        |       FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id),
+        |c AS (SELECT doc_a, doc_b, d / (na.nr * nb.nr) AS cos FROM dt
+        |      JOIN nrm na ON na.doc_id = dt.doc_a JOIN nrm nb ON nb.doc_id = dt.doc_b)
+        |SELECT doc_a, doc_b, round(cos, 6) AS cos FROM c
+        |WHERE cos >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+
     "sample_stratified" ->
       // same md5-fold bucket as sample_hash_bucket; per-language keep
       // rates (en 3/10, tail 8/10) mirrored as a plain predicate

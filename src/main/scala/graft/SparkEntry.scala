@@ -1655,6 +1655,70 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // ---- round-7 curation additions ----
+    "text_pmi_collocations" -> ((s, dir) => {
+      // collocation mining (Church & Hanks, CL'90): pointwise mutual
+      // information ln(p(uv) / (p(u)p(v))) over adjacent token pairs,
+      // min support 5 — the phrase-detection pass (word2vec-style
+      // phrase joining, NER gazetteer seeding) a text pipeline runs
+      // corpus-wide. Same plan family as text_lm_score: one posexplode,
+      // a doc_id-partitioned lead window for pair formation, then
+      // vocabulary-bounded hash aggregates; the totals are S4 scalars.
+      val toks = docs(s, dir).select(col("doc_id"),
+        posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val big = graft.Caches.persist(
+        toks.withColumn("w2", lead("w", 1).over(win))
+          .filter(col("w2").isNotNull))
+      val nTok = toks.count() // S4 scalars: total token / bigram mass
+      val nBig = big.count()
+      val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+      big.groupBy("w", "w2").agg(count(lit(1)).as("cuv"))
+        .filter(col("cuv") >= 5)
+        .join(uni.select(col("w"), col("cw").as("cu")), Seq("w"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("cv")), Seq("w2"))
+        .withColumn("pmi", round(log(
+          (col("cuv").cast("double") / nBig) /
+            ((col("cu").cast("double") / nTok) * (col("cv").cast("double") / nTok))), 6))
+        .select(col("w").as("u"), col("w2").as("v"),
+          col("cuv").as("n_uv"), col("pmi"))
+        .orderBy(col("pmi").desc, col("u").asc, col("v").asc)
+        .limit(30)
+    }),
+
+    "tfidf_cosine_pairs" -> ((s, dir) => {
+      // SPARSE-vector document similarity — the bag-of-words companion
+      // to the dense-embedding sim_* family: tf·idf weights, candidates
+      // from the inverted word index (join on shared words — never an
+      // all-pairs product), with a RELATIVE df cap (df ≤ N/4, the
+      // sklearn max_df idiom): head words are dropped from numerator
+      // AND norms, bounding every posting self-join while removing
+      // dimensions that carry no discrimination. On the synthetic
+      // 31-word corpus the surviving rare-word space is 1-dimensional
+      // per doc, so matched pairs score exactly 1.0 (real corpora
+      // spread); the pair SET is the signal the gate checks.
+      val flat = docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.rawTokens(col("text"))).as("word"))
+      val tf = graft.Caches.persist(
+        flat.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
+      val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
+      val nDocs = tf.select("doc_id").distinct().count() // S4 scalar
+      val wts = graft.Caches.persist(
+        tf.join(dfreq.filter(col("df") * 4 <= nDocs), Seq("word"))
+          .withColumn("wt", col("tf") * log10(lit(nDocs * 1.0) / col("df"))))
+      val nrm = wts.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("nr"))
+      wts.select(col("word"), col("doc_id").as("doc_a"), col("wt").as("wa"))
+        .join(wts.select(col("word"), col("doc_id").as("doc_b"), col("wt").as("wb")),
+          Seq("word"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b").agg(sum(col("wa") * col("wb")).as("d"))
+        .join(nrm.select(col("doc_id").as("doc_a"), col("nr").as("na")), Seq("doc_a"))
+        .join(nrm.select(col("doc_id").as("doc_b"), col("nr").as("nb")), Seq("doc_b"))
+        .withColumn("cos", col("d") / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.8)
+        .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
     "curate_cap_per_source" -> ((s, dir) => {
       // per-source document caps — the C4/RefinedWeb domain-balancing op:
       // no single source (domain/crawl host) may contribute more than N
