@@ -991,6 +991,24 @@ private[graft] object OracleSql {
          |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
+    "sink_bucketed_join" ->
+      // the bucketed tables hold exactly the raw parquet rows, so the
+      // oracle joins the originals; revenue rounded 2dp (money rule)
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM read_parquet('/root/testdata/sf0.01/lineitem.parquet') l
+        |JOIN read_parquet('/root/testdata/sf0.01/orders.parquet') o
+        |  ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "stream_topk_words" ->
+      // exact-regime sketch ⇒ batch top-5 words; rank via the same
+      // (count desc, word asc) total order the sketch eval uses
+      s"""WITH $indexCtes,
+         |c AS (SELECT word, CAST(count(*) AS BIGINT) AS est_count FROM flat GROUP BY word),
+         |r AS (SELECT word, est_count, CAST(row_number() OVER (ORDER BY est_count DESC, word) AS INTEGER) AS rank FROM c)
+         |SELECT rank, word, est_count FROM r WHERE rank <= 5 ORDER BY rank""".stripMargin,
+
     "text_pmi_collocations" ->
       // identical operand shapes: (cuv/NB) / ((cu/NT)·(cv/NT)), natural
       // log, 6dp; ties on rounded pmi break by (u, v)

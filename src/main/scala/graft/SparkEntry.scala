@@ -951,6 +951,28 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "stream_topk_words" -> ((s, dir) => {
+      // the Space-Saving sketch running INSIDE Structured Streaming: the
+      // corpus streams in and one bounded-state sketch (capacity 1024
+      // counters, whatever the true cardinality) maintains the global
+      // top-5 words across micro-batches — TypedImperativeAggregate
+      // partial states merge through the streaming state store exactly
+      // as they merge map-side in batch. Complete-mode single-row state;
+      // exact at gate vocabulary, so the oracle is the batch top-5.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val docsStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val sketch = Indexer.flatWords(
+          docsStream.select("doc_id", "text"), stem = false)
+        .agg(graft.functions.SpaceSavingTopK.topk(col("word"), k = 5,
+          capacity = 1024).as("top"))
+      EventStream.runToCompletion(s, sketch, "stream_topk_sink")
+        .select(posexplode(col("top")).as(Seq("i", "t")))
+        .select((col("i") + 1).cast("int").as("rank"),
+          col("t.item").as("word"), col("t.est_count").as("est_count"))
+        .orderBy("rank")
+    }),
+
     "stream_enrich_segment" -> ((s, dir) => {
       // stream-static join: streaming events enriched per micro-batch
       // against the static customer dimension, aggregated by segment;
@@ -1717,6 +1739,42 @@ object SparkEntry {
         .filter(col("cos") >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    "sink_bucketed_join" -> ((s, dir) => {
+      // BUCKETED co-located join — the storage-level shuffle elimination
+      // lever (Hive/Spark bucketing): both fact tables are written
+      // bucketed 8-ways on their join key (bucketBy requires the table
+      // catalog, hence saveAsTable over an explicit WorkDir path), and
+      // the join of the two bucketed scans then needs NO Exchange on
+      // either side — at 100 TB this is THE pattern for a fact-fact join
+      // that recurs daily: pay the shuffle once at write time, never at
+      // read time. BucketedJoinSpec asserts the exchange-free plan; the
+      // oracle is the same join from the raw parquet.
+      val cat = s.catalog
+      def bucketed(src: DataFrame, name: String, key: String): DataFrame = {
+        src.write.mode("overwrite").format("parquet")
+          .bucketBy(8, key).sortBy(key)
+          .option("path", s"$WorkDir/bucketed/$name")
+          .saveAsTable(name)
+        cat.refreshTable(name)
+        s.table(name)
+      }
+      val li = bucketed(tbl(s, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        "lineitem_bkt", "l_orderkey")
+      val ord = bucketed(tbl(s, dir, "orders")
+          .select("o_orderkey", "o_orderpriority"),
+        "orders_bkt", "o_orderkey")
+      // merge hint: keep the sort-merge path so the bucketed layout (not
+      // a broadcast) carries the join at every scale factor
+      li.hint("merge")
+        .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
     }),
 
     "curate_cap_per_source" -> ((s, dir) => {

@@ -28,6 +28,20 @@ object ColumnShim {
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** The EXECUTED physical plan of a DataFrame (post-AQE when adaptive
+    * is on) — for plan-shape assertions (e.g. exchange counting in
+    * [[graft.plans]] specs]]); collect the frame first so AQE has
+    * finalized.
+    */
+  def executedPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan = {
+    val qe = df.asInstanceOf[classic.Dataset[Row]].queryExecution
+    qe.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+
   /** Release the block-manager storage behind a `localCheckpoint`ed
     * DataFrame: its analyzed plan is a `LogicalRDD` over the persisted
     * checkpoint RDD, which `Dataset.unpersist` cannot reach (the dataset
