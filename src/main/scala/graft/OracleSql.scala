@@ -991,6 +991,32 @@ private[graft] object OracleSql {
          |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
+    "asof_nearest_order" ->
+      // no native nearest-ASOF in DuckDB: per-user candidate join +
+      // (distance, direction) arbitration — dir 0 = at-or-before, the
+      // tie-winner, identical to the Spark union+rank composition
+      """WITH e AS (SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ets FROM events),
+        |o AS (SELECT o_custkey AS user_id, CAST(epoch_us(o_orderdate) AS BIGINT) AS ots,
+        |             max(o_orderkey) AS nearest_orderkey
+        |      FROM orders GROUP BY 1, 2),
+        |c AS (SELECT e.event_id, e.user_id, e.ets, o.nearest_orderkey, o.ots,
+        |             abs(e.ets - o.ots) AS dist,
+        |             CASE WHEN o.ots <= e.ets THEN 0 ELSE 1 END AS dir
+        |      FROM e JOIN o USING (user_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY dist, dir) AS rn FROM c)
+        |SELECT event_id, user_id, ets, nearest_orderkey, ets - ots AS us_gap
+        |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "typed_cogroup" ->
+      // the cogroup lambda's relational mirror; price_gap rounded 2dp
+      // (money rule — gaps are near-multiples of 0.01, far from the
+      // half boundary)
+      """SELECT o.o_orderkey, CAST(count(l.l_orderkey) AS BIGINT) AS n_items,
+        |       round(o.o_totalprice - coalesce(sum(l.l_extendedprice), 0), 2) AS price_gap
+        |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderkey, o.o_totalprice
+        |ORDER BY o.o_orderkey""".stripMargin,
+
     "sink_bucketed_join" ->
       // the bucketed tables hold exactly the raw parquet rows, so the
       // oracle joins the originals; revenue rounded 2dp (money rule)

@@ -1741,6 +1741,57 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "asof_nearest_order" -> ((s, dir) => {
+      // nearest-in-time enrichment (pandas merge_asof direction=
+      // 'nearest'): each event carries the user's CLOSEST order in
+      // either direction — sensor/clickstream alignment where the
+      // relevant order may precede or follow. Tie → the earlier order
+      // (backward), pandas' rule; right side pre-deduped per (key, time)
+      // like asof_latest_order so both engines arbitrate identically.
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ets"))
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("ots"),
+          col("o_orderkey"))
+        .groupBy("user_id", "ots")
+        .agg(max("o_orderkey").as("nearest_orderkey"))
+      AsOfJoin.nearest(e, o, key = "user_id", leftId = "event_id",
+          leftTime = "ets", rightTime = "ots", carry = Seq("nearest_orderkey"))
+        .select(col("event_id"), col("user_id"), col("ets"),
+          col("nearest_orderkey"), (col("ets") - col("asof_time")).as("us_gap"))
+        .orderBy("event_id")
+    }),
+
+    "typed_cogroup" -> ((s, dir) => {
+      // the TYPED distributed-collection face (Dataset / KeyValueGrouped
+      // Dataset.cogroup — builder-brief surface the relational ops don't
+      // exercise): per-order invoice reconciliation written as imperative
+      // per-key logic over both groups' iterators. One co-partitioned
+      // shuffle of each side on the key, groups stream through the
+      // lambda — the escape hatch for sequential per-group algorithms;
+      // used HERE on logic SQL can also express, which is exactly what
+      // makes it oracle-checkable (the LEFT JOIN + GROUP BY mirror).
+      import s.implicits._
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)]
+      val items = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice")).as[(Long, Double)]
+      orders.groupByKey(_._1).cogroup(items.groupByKey(_._1)) { (k, os, is) =>
+        val oList = os.toList
+        if (oList.isEmpty) Iterator.empty
+        else {
+          var n = 0L
+          var sum = 0.0
+          is.foreach { i => n += 1; sum += i._2 }
+          Iterator((k, n, oList.head._2 - sum))
+        }
+      }.toDF("o_orderkey", "n_items", "gap")
+        .select(col("o_orderkey"), col("n_items"),
+          round(col("gap"), 2).as("price_gap"))
+        .orderBy("o_orderkey")
+    }),
+
     "sink_bucketed_join" -> ((s, dir) => {
       // BUCKETED co-located join — the storage-level shuffle elimination
       // lever (Hive/Spark bucketing): both fact tables are written

@@ -56,6 +56,33 @@ object AsOfJoin {
       tolerance: Option[Long] = None): DataFrame =
     asof(left, right, key, leftTime, rightTime, carry, forward = true, tolerance)
 
+  /** Nearest right row in EITHER direction (pandas
+    * `merge_asof(direction='nearest')`, kdb `aj` nearest variants): the
+    * backward and forward passes run independently (each the one-shuffle
+    * union+window composition) and a final `leftId`-partitioned rank
+    * keeps the closer match — tie at equal distance → the BACKWARD
+    * (at-or-before) row, pandas' documented rule. `leftId` must uniquely
+    * identify left rows (it partitions the arbitration window; per-id
+    * state is ≤ 2 rows, so no hot-key concern regardless of key skew).
+    * Inner semantics like [[backward]]/[[forward]]: left rows with no
+    * match within tolerance in either direction are dropped.
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String, leftId: String,
+      leftTime: String, rightTime: String, carry: Seq[String],
+      tolerance: Option[Long] = None): DataFrame = {
+    val b = backward(left, right, key, leftTime, rightTime, carry, tolerance)
+      .withColumn("asof_dir", lit(0))
+    val f = forward(left, right, key, leftTime, rightTime, carry, tolerance)
+      .withColumn("asof_dir", lit(1))
+    val w = Window.partitionBy(leftId)
+      .orderBy(col("asof_dist").asc, col("asof_dir").asc)
+    b.unionByName(f)
+      .withColumn("asof_dist", abs(col(leftTime) - col("asof_time")))
+      .withColumn("asof_rn", row_number().over(w))
+      .filter(col("asof_rn") === 1)
+      .drop("asof_rn", "asof_dist", "asof_dir")
+  }
+
   /** @param left       left rows; all its columns are preserved
     * @param right      right rows; only `key`, `rightTime`, `carry` move
     * @param key        equi-join key column name (same name both sides)

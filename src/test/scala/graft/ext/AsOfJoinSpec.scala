@@ -107,6 +107,46 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("nearest as-of picks the closer side; equal distance -> backward (pandas rule)") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 1L), (1L, 13L, 2L), (2L, 50L, 3L), (3L, 7L, 4L))
+      .toDF("k", "lt", "id")
+    val right = Seq((1L, 8L, 100L), (1L, 16L, 101L), (2L, 44L, 200L), (2L, 56L, 201L))
+      .toDF("k", "rt", "v")
+    val got = AsOfJoin.nearest(left, right, "k", "id", "lt", "rt", Seq("v"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._3 -> (x._4, x._5)).toMap
+    assert(got(1L) == (100L, 8L))  // dist 2 back vs 6 fwd
+    assert(got(2L) == (101L, 16L)) // dist 5 back vs 3 fwd
+    assert(got(3L) == (200L, 44L)) // EQUAL dist 6 both ways -> backward
+    assert(!got.contains(4L))      // key absent from right: dropped
+    // tolerance applies per direction before arbitration
+    val tol = AsOfJoin.nearest(left, right, "k", "id", "lt", "rt", Seq("v"),
+      tolerance = Some(2L))
+      .as[(Long, Long, Long, Long, Long)].collect().map(_._3).toSet
+    assert(tol == Set(1L)) // only id 1 has a match within 2 ticks
+  }
+
+  test("nearest as-of matches a per-row scan on random-ish data") {
+    import spark.implicits._
+    val lrows = (0 until 80).map(i => ((i % 5).toLong, (i * 37 % 100).toLong, i.toLong))
+    val rrows = (0 until 30).map(i => ((i % 5).toLong, (i * 23 % 90).toLong, (1000 + i).toLong))
+      .groupBy(r => (r._1, r._2)).map(_._2.maxBy(_._3)).toSeq
+    val got = AsOfJoin.nearest(lrows.toDF("k", "lt", "id"),
+        rrows.toDF("k", "rt", "v"), "k", "id", "lt", "rt", Seq("v"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(x => x._3 -> (x._4, x._5)).toMap
+    val want = lrows.flatMap { case (k, lt, id) =>
+      val ms = rrows.filter(_._1 == k)
+      if (ms.isEmpty) None
+      else Some(id -> {
+        val m = ms.minBy(r => (math.abs(r._2 - lt), if (r._2 <= lt) 0 else 1))
+        (m._3, m._2)
+      })
+    }.toMap
+    assert(got == want)
+  }
+
   test("salted backward as-of equals backward across bucket widths and tolerances") {
     import spark.implicits._
     // times spread over many buckets; some (key, bucket) cells have left
