@@ -1061,7 +1061,7 @@ private[graft] object OracleSql {
         |dfreq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word),
         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
         |w AS (SELECT tf.doc_id, tf.word, tf.tf * log10(nd.n * 1.0 / dfreq.df) AS wt
-        |      FROM tf JOIN dfreq USING (word) CROSS JOIN nd WHERE dfreq.df * 4 <= nd.n),
+        |      FROM tf JOIN dfreq USING (word) CROSS JOIN nd WHERE dfreq.df * 4 <= nd.n AND dfreq.df <= 1000),
         |nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nr FROM w GROUP BY doc_id),
         |dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.wt * b.wt) AS d
         |       FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id

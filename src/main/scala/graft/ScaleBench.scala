@@ -68,7 +68,11 @@ object ScaleBench {
     // corpus tokens; TextRank with VOCABULARY (the suffixed replicas
     // grow vocab by `factor`, so its ratio tests the vocabulary-bounded
     // claim directly)
-    "dedup_span_chunks", "decon_ngram", "text_rank_keywords")
+    "dedup_span_chunks", "decon_ngram", "text_rank_keywords",
+    // r7 additions: the two df-capped inverted-index candidate joins
+    // (their caps are what should keep the posting self-joins linear in
+    // the corpus — the ratio tests exactly that claim) and the PMI pass
+    "dedup_containment", "tfidf_cosine_pairs", "text_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt

@@ -1685,8 +1685,8 @@ object SparkEntry {
       // corpus-wide. Same plan family as text_lm_score: one posexplode,
       // a doc_id-partitioned lead window for pair formation, then
       // vocabulary-bounded hash aggregates; the totals are S4 scalars.
-      val toks = docs(s, dir).select(col("doc_id"),
-        posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
+      val toks = graft.Caches.persist(docs(s, dir).select(col("doc_id"),
+        posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w"))))
       val win = Window.partitionBy("doc_id").orderBy("pos")
       val big = graft.Caches.persist(
         toks.withColumn("w2", lead("w", 1).over(win))
@@ -1712,9 +1712,10 @@ object SparkEntry {
       // to the dense-embedding sim_* family: tf·idf weights, candidates
       // from the inverted word index (join on shared words — never an
       // all-pairs product), with a RELATIVE df cap (df ≤ N/4, the
-      // sklearn max_df idiom): head words are dropped from numerator
-      // AND norms, bounding every posting self-join while removing
-      // dimensions that carry no discrimination. On the synthetic
+      // sklearn max_df idiom) plus an ABSOLUTE posting cap (df ≤ 1000):
+      // head words are dropped from numerator AND norms, bounding every
+      // posting self-join while removing dimensions that carry no
+      // discrimination. On the synthetic
       // 31-word corpus the surviving rare-word space is 1-dimensional
       // per doc, so matched pairs score exactly 1.0 (real corpora
       // spread); the pair SET is the signal the gate checks.
@@ -1724,8 +1725,13 @@ object SparkEntry {
         flat.groupBy("doc_id", "word").agg(count(lit(1)).as("tf")))
       val dfreq = tf.groupBy("word").agg(count(lit(1)).as("df"))
       val nDocs = tf.select("doc_id").distinct().count() // S4 scalar
+      // BOTH caps: relative (semantics — drop undiscriminating head
+      // words) AND absolute df ≤ 1000 (cost — bounds every posting
+      // self-join at 1e6 pairs regardless of corpus size; the 10× scale
+      // curve showed the relative cap ALONE goes super-linear when
+      // per-word df grows slower than N)
       val wts = graft.Caches.persist(
-        tf.join(dfreq.filter(col("df") * 4 <= nDocs), Seq("word"))
+        tf.join(dfreq.filter(col("df") * 4 <= nDocs && col("df") <= 1000), Seq("word"))
           .withColumn("wt", col("tf") * log10(lit(nDocs * 1.0) / col("df"))))
       val nrm = wts.groupBy("doc_id").agg(sqrt(sum(col("wt") * col("wt"))).as("nr"))
       wts.select(col("word"), col("doc_id").as("doc_a"), col("wt").as("wa"))
@@ -1803,6 +1809,12 @@ object SparkEntry {
       // read time. BucketedJoinSpec asserts the exchange-free plan; the
       // oracle is the same join from the raw parquet.
       val cat = s.catalog
+      // table names and paths are unique per (session, sfDir): fixed
+      // names would let concurrent live sessions (which the DirMemo
+      // family explicitly supports) overwrite each other's tables
+      // mid-scan
+      val suffix = s"${System.identityHashCode(s).toHexString}_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
       def bucketed(src: DataFrame, name: String, key: String): DataFrame = {
         src.write.mode("overwrite").format("parquet")
           .bucketBy(8, key).sortBy(key)
@@ -1813,10 +1825,10 @@ object SparkEntry {
       }
       val li = bucketed(tbl(s, dir, "lineitem")
           .select("l_orderkey", "l_extendedprice", "l_discount"),
-        "lineitem_bkt", "l_orderkey")
+        s"lineitem_bkt_$suffix", "l_orderkey")
       val ord = bucketed(tbl(s, dir, "orders")
           .select("o_orderkey", "o_orderpriority"),
-        "orders_bkt", "o_orderkey")
+        s"orders_bkt_$suffix", "o_orderkey")
       // merge hint: keep the sort-merge path so the bucketed layout (not
       // a broadcast) carries the join at every scale factor
       li.hint("merge")

@@ -70,6 +70,13 @@ object AsOfJoin {
   def nearest(left: DataFrame, right: DataFrame, key: String, leftId: String,
       leftTime: String, rightTime: String, carry: Seq[String],
       tolerance: Option[Long] = None): DataFrame = {
+    // same fail-visibly rule as asof()'s __t/__side guards: the
+    // arbitration working columns must not silently clobber caller data
+    val reserved = Seq("asof_dir", "asof_dist", "asof_rn")
+    val colliding = (left.columns ++ carry).filter(reserved.contains)
+    require(colliding.isEmpty,
+      s"nearest() reserves ${reserved.mkString("/")} internally; " +
+        s"rename colliding column(s): ${colliding.mkString(", ")}")
     val b = backward(left, right, key, leftTime, rightTime, carry, tolerance)
       .withColumn("asof_dir", lit(0))
     val f = forward(left, right, key, leftTime, rightTime, carry, tolerance)

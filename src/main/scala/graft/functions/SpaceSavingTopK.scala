@@ -33,11 +33,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * plain exact GROUP BY count), while the same plan at 100 TB caps state
   * at `capacity` counters per group no matter how large the key space.
   *
-  * Merge is the pointwise-sum merge of Agarwal et al. (PODS'12,
-  * "Mergeable Summaries"): est/err add where both sides monitor the item,
-  * then the combined table truncates back to the `capacity` largest
-  * counters. Associative and commutative, so Spark may combine partial
-  * states in any order — required of every aggregate buffer.
+  * Merge follows Agarwal et al. (PODS'12, "Mergeable Summaries"): where
+  * both sides monitor an item, est/err add pointwise; an item monitored
+  * by only ONE side additionally inherits the OTHER side's eviction
+  * floor (its minimum counter when at capacity, 0 otherwise) as both
+  * count and error — that side may have seen up to floor occurrences of
+  * the item before evicting it, so the floor is exactly what preserves
+  * `true ≤ est ≤ true + err` across the merge. The combined table then
+  * truncates back to the `capacity` largest counters. In the exact
+  * regime (never at capacity) both floors are 0 and the merge reduces
+  * to the plain pointwise sum.
   *
   * Output: array<struct<item, est_count, max_err>> sorted by
   * (est_count desc, item asc), truncated to `k` — deterministic for the
@@ -59,6 +64,12 @@ case class SpaceSavingTopK(
   require(k > 0, "k must be positive")
   require(capacity >= k, "capacity must be >= k")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topk_sketch requires a string item column, got ${other.catalogString}")
+    }
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -75,7 +86,9 @@ case class SpaceSavingTopK(
     var victim: String = null
     var vCount = Long.MaxValue
     buf.foreach { case (item, (c, _)) =>
-      if (c < vCount || (c == vCount && item < victim)) { victim = item; vCount = c }
+      if (c < vCount || (c == vCount && (victim == null || item < victim))) {
+        victim = item; vCount = c
+      }
     }
     buf.remove(victim)
     (victim, vCount)
@@ -97,13 +110,26 @@ case class SpaceSavingTopK(
     buf
   }
 
+  private def floor(buf: mutable.HashMap[String, (Long, Long)]): Long =
+    if (buf.size < capacity) 0L
+    else buf.valuesIterator.map(_._1).min
+
   override def merge(a: mutable.HashMap[String, (Long, Long)],
       b: mutable.HashMap[String, (Long, Long)]): mutable.HashMap[String, (Long, Long)] = {
+    // eviction floors BEFORE mutation: an item absent from a side may
+    // have been seen up to floor times there before being evicted
+    val fa = floor(a)
+    val fb = floor(b)
+    val onlyA = a.keysIterator.filterNot(b.contains).toList
     b.foreach { case (item, (c, e)) =>
       a.get(item) match {
         case Some((c0, e0)) => a.update(item, (c0 + c, e0 + e))
-        case None => a.update(item, (c, e))
+        case None => a.update(item, (c + fa, e + fa))
       }
+    }
+    onlyA.foreach { item =>
+      val (c, e) = a(item)
+      if (fb > 0) a.update(item, (c + fb, e + fb))
     }
     if (a.size > capacity) {
       // truncate to the capacity largest (count desc, item asc) counters
@@ -126,7 +152,13 @@ case class SpaceSavingTopK(
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.foreach { case (item, (c, e)) =>
-      out.writeUTF(item); out.writeLong(c); out.writeLong(e)
+      // length-prefixed raw UTF-8, NOT writeUTF: writeUTF caps entries at
+      // 64 KiB and this is a general-purpose SQL aggregate — a long item
+      // (e.g. a full document string) must round-trip, not kill the stage
+      val bytesItem = item.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytesItem.length)
+      out.write(bytesItem)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush()
     bos.toByteArray
@@ -138,7 +170,10 @@ case class SpaceSavingTopK(
     val buf = mutable.HashMap.empty[String, (Long, Long)]
     var i = 0
     while (i < n) {
-      val item = in.readUTF()
+      val len = in.readInt()
+      val itemBytes = new Array[Byte](len)
+      in.readFully(itemBytes)
+      val item = new String(itemBytes, java.nio.charset.StandardCharsets.UTF_8)
       buf.update(item, (in.readLong(), in.readLong()))
       i += 1
     }
@@ -161,4 +196,21 @@ object SpaceSavingTopK {
   def topk(item: Column, k: Int, capacity: Int): Column =
     ColumnShim.column(SpaceSavingTopK(ColumnShim.expression(item), k, capacity)
       .toAggregateExpression())
+
+  /** The SQL-registration builder (`topk_sketch(item, k, capacity)`),
+    * shared by [[graft.plans.GraftExtensions]] and runtime
+    * `ColumnShim.addFunction` callers so both paths enforce the same
+    * integer-literal contract for k/capacity.
+    */
+  def fromChildren(children: Seq[Expression]): SpaceSavingTopK = {
+    require(children.length == 3,
+      "topk_sketch takes (item, k, capacity) — k and capacity must be integer literals")
+    def intLit(e: Expression, name: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"topk_sketch $name must be an integer literal, got $other")
+    }
+    SpaceSavingTopK(children.head,
+      intLit(children(1), "k"), intLit(children(2), "capacity"))
+  }
 }

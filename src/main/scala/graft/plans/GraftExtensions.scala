@@ -41,18 +41,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("topk_sketch"),
       new ExpressionInfo(classOf[graft.functions.SpaceSavingTopK].getName, "topk_sketch"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 3,
-          "topk_sketch takes (item, k, capacity) — k and capacity must be integer literals")
-        def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression, name: String): Int =
-          e match {
-            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-            case other => throw new IllegalArgumentException(
-              s"topk_sketch $name must be an integer literal, got $other")
-          }
-        graft.functions.SpaceSavingTopK(children.head,
-          intLit(children(1), "k"), intLit(children(2), "capacity"))
-      }))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SpaceSavingTopK.fromChildren(children)))
     // custom optimizer rule (builder brief path (c)): cheap length guard
     // in front of levenshtein threshold filters
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)

@@ -29,9 +29,12 @@ object ColumnShim {
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
   /** The EXECUTED physical plan of a DataFrame (post-AQE when adaptive
-    * is on) — for plan-shape assertions (e.g. exchange counting in
-    * [[graft.plans]] specs]]); collect the frame first so AQE has
-    * finalized.
+    * is on); collect the frame first so AQE has finalized. CAVEAT for
+    * plan assertions: under AQE the finalized exchanges are wrapped in
+    * `ShuffleQueryStageExec` LEAF nodes — `plan.collect` cannot see
+    * through them, so count exchanges in the plan RENDERING (see
+    * `BucketingSpec.shuffles`), never via `collect { case e:
+    * ShuffleExchangeExec => }`.
     */
   def executedPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan = {
     val qe = df.asInstanceOf[classic.Dataset[Row]].queryExecution

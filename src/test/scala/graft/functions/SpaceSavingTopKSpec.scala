@@ -45,24 +45,54 @@ class SpaceSavingTopKSpec extends SparkSpec {
     // over-estimate guarantee: true(z)=1 ≤ est(z)=2 ≤ true(z)+err(z)=2
   }
 
-  test("merge is pointwise sum then capacity truncation (unit-level)") {
+  test("merge sums both-sided items and adds the other side's eviction floor to one-sided ones") {
     val a = agg(2)
     var b1 = a.createAggregationBuffer()
     Seq("x", "x", "y").foreach(s => b1 = a.update(b1, row(s)))
     var b2 = a.createAggregationBuffer()
     Seq("x", "z", "z", "z").foreach(s => b2 = a.update(b2, row(s)))
+    // b1 = {x:(2,0), y:(1,0)} (floor 1), b2 = {x:(1,0), z:(3,1)} (floor 1
+    // — z evicted x's first count... actually z arrives with buffer
+    // {x:1} not yet full, so b2 = {x:(1,0), z:(3,0)}, floor 1)
     val m = a.merge(b1, a.deserialize(a.serialize(b2))) // exercise the wire format
-    // x: 2+1, z: 3, y: 1 → capacity 2 keeps (x,3) and (z,3); y truncated
-    assert(m("x") == ((3L, 0L)) && m("z") == ((3L, 0L)) && m.size == 2)
+    // x in both: (2+1, 0); y only in b1: + b2's floor 1 → (2,1);
+    // z only in b2: + b1's floor 1 → (4,1); capacity 2 keeps z(4), x(3)
+    assert(m("z") == ((4L, 1L)) && m("x") == ((3L, 0L)) && m.size == 2)
+    // over-estimate guarantee held: true(z)=3 ≤ est 4 ≤ true+err = 4
   }
 
-  test("SQL registration via GraftExtensions") {
-    // runtime registration on the shared test session (the sim_sql_norms
-    // pattern — extensions face for sessions built without them)
+  test("merge floor preserves true <= est for items evicted on one side") {
+    val a = agg(2)
+    // partition A sees [x, y, z]: x evicted by z → A = {y or x…}: build it
+    var bufA = a.createAggregationBuffer()
+    Seq("x", "y", "z").foreach(s => bufA = a.update(bufA, row(s)))
+    // A full at {x:(1,0), y:(1,0)}; z evicts min (x,1) → {y:(1,0), z:(2,1)}
+    assert(!bufA.contains("x"))
+    // partition B sees [x]
+    var bufB = a.createAggregationBuffer()
+    bufB = a.update(bufB, row("x"))
+    val m = a.merge(bufB, bufA)
+    // true(x) = 2; without A's floor the merge would report (1,0) and
+    // UNDER-estimate; with it x = (1 + floor(A)=1, 0 + 1) = (2,1)
+    assert(m("x") == ((2L, 1L)))
+  }
+
+  test("serialize round-trips items longer than the 64 KiB writeUTF cap") {
+    val a = agg(4)
+    val longItem = "m" * 100000 // > 65535 UTF-8 bytes
+    var buf = a.createAggregationBuffer()
+    buf = a.update(buf, row(longItem))
+    buf = a.update(buf, row("short"))
+    val rt = a.deserialize(a.serialize(buf))
+    assert(rt(longItem) == ((1L, 0L)) && rt("short") == ((1L, 0L)))
+  }
+
+  test("SQL registration uses the SHARED fromChildren builder (GraftExtensions path)") {
+    // runtime registration with the SAME builder GraftExtensions injects
+    // (the sim_sql_norms pattern), so the literal-matching contract the
+    // extension enforces is what this test exercises
     org.apache.spark.sql.graftshim.ColumnShim.addFunction(spark, "topk_sketch",
-      children => SpaceSavingTopK(children.head,
-        k = children(1).eval().asInstanceOf[Int],
-        capacity = children(2).eval().asInstanceOf[Int]))
+      children => SpaceSavingTopK.fromChildren(children))
     import spark.implicits._
     Seq("a", "b", "a").toDF("w").createOrReplaceTempView("tks")
     val got = spark.sql(
@@ -70,5 +100,23 @@ class SpaceSavingTopKSpec extends SparkSpec {
         |FROM (SELECT explode(topk_sketch(w, 1, 8)) AS x FROM tks)""".stripMargin)
       .as[(String, Long)].collect()
     assert(got.toSeq == Seq(("a", 2L)))
+    // non-literal k rejected by the shared builder
+    val err = intercept[Exception] {
+      spark.sql("SELECT topk_sketch(w, 1 + 1, 8) FROM tks").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      Option(err.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
+  test("fromChildren builds from parser-produced integer literals; rejects others") {
+    import org.apache.spark.sql.catalyst.expressions.{Add, Literal}
+    val built = SpaceSavingTopK.fromChildren(Seq(
+      BoundReference(0, StringType, nullable = true), Literal(3), Literal(16)))
+    assert(built.k == 3 && built.capacity == 16)
+    intercept[IllegalArgumentException] {
+      SpaceSavingTopK.fromChildren(Seq(
+        BoundReference(0, StringType, nullable = true),
+        Add(Literal(1), Literal(2)), Literal(16)))
+    }
   }
 }
