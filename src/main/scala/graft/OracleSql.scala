@@ -991,6 +991,25 @@ private[graft] object OracleSql {
          |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
+    "j8_bloom_semi" ->
+      // the bloom prefilter is correctness-invisible (false positives
+      // die in the exact semi-join) — the oracle is the plain semi-join
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "stream_stream_join" ->
+      // batch equivalence of the completed append-mode run: every
+      // view→purchase match within the hour emits exactly once
+      """WITH e AS (SELECT event_id, user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |v AS (SELECT event_id AS view_id, user_id, us AS view_us FROM e WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, us AS purchase_us FROM e WHERE event_type = 'purchase')
+        |SELECT v.view_id, p.purchase_id, v.user_id, v.view_us, p.purchase_us
+        |FROM v JOIN p ON v.user_id = p.user_id
+        |             AND p.purchase_us >= v.view_us
+        |             AND p.purchase_us <= v.view_us + 3600000000
+        |ORDER BY view_id, purchase_id""".stripMargin,
+
     "asof_nearest_order" ->
       // no native nearest-ASOF in DuckDB: per-user candidate join +
       // (distance, direction) arbitration — dir 0 = at-or-before, the

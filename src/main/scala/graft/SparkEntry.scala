@@ -923,6 +923,31 @@ object SparkEntry {
         .orderBy("bucket_start", "event_type")
     }),
 
+    "stream_stream_join" -> ((s, dir) => {
+      // watermarked STREAM-STREAM join (the face stream_enrich_segment's
+      // stream-static join doesn't cover): views ⋈ purchases of the same
+      // user within 1 h, append mode — state bounded by watermark +
+      // range condition; completed AvailableNow run ≡ the batch join.
+      val ev = EventStream.readEvents(s, dir, "events.parquet")
+      val joined = EventStream.viewToPurchase(
+        ev.filter(col("event_type") === "view"),
+        EventStream.readEvents(s, dir, "events.parquet")
+          .filter(col("event_type") === "purchase"))
+      // a stream-stream join keeps TWO state stores; every (partition ×
+      // micro-batch) pays a state-store checkpoint write, so oversized
+      // shuffle partitions are pure overhead at this volume — scope a
+      // smaller state partitioning to THIS run and restore (state
+      // sizing is a per-stream choice, not a session-wide one)
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val drained =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          EventStream.runToCompletion(s, joined, "stream_ssj_sink",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      drained.orderBy("view_id", "purchase_id")
+    }),
+
     "stream_dedup_users" -> ((s, dir) => {
       // streaming stateful dedup (dropDuplicates over the state store),
       // then distinct-user counts from the drained sink — a streaming
@@ -1745,6 +1770,37 @@ object SparkEntry {
         .filter(col("cos") >= 0.8)
         .select(col("doc_a"), col("doc_b"), round(col("cos"), 6).as("cos"))
         .orderBy("doc_a", "doc_b")
+    }),
+
+    "j8_bloom_semi" -> ((s, dir) => {
+      // the RUNTIME-FILTER pattern (Spark's InjectRuntimeFilter,
+      // hand-rolled through the same internal machinery): a bloom filter
+      // built over the build side's join keys (BloomFilterAggregate over
+      // xxhash64) prefilters the probe side's SCAN — before any shuffle
+      // — and the exact left-semi join afterward removes the bloom's
+      // false positives, so the result EQUALS the plain semi-join (the
+      // oracle) while the probe shuffle carries only might-contain
+      // survivors. At 100 TB this is THE fact-table prefilter: the bloom
+      // is MBs (driver-materialized here, broadcast in plan terms), the
+      // avoided shuffle is the fact table.
+      val shim = org.apache.spark.sql.graftshim.ColumnShim
+      import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+      val orders = tbl(s, dir, "orders")
+      val bloomBytes = orders
+        .select(shim.column(
+          new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+            shim.expression(xxhash64(col("o_custkey"))))
+            .toAggregateExpression()).as("bf"))
+        .head().getAs[Array[Byte]](0)
+      val prefiltered = tbl(s, dir, "customer")
+        .filter(shim.column(new BloomFilterMightContain(
+          Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+          shim.expression(xxhash64(col("c_custkey"))))))
+      prefiltered
+        .join(orders.select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
     }),
 
     "asof_nearest_order" -> ((s, dir) => {

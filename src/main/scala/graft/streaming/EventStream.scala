@@ -75,6 +75,34 @@ object EventStream {
     spark.table(sinkName)
   }
 
+  /** STREAM-STREAM inner join with watermarks + a time-range condition —
+    * the remaining Structured Streaming join face (the gate's other
+    * streaming joins are stream-static): views joined to the same user's
+    * purchases within `withinUs` microseconds AFTER the view. Both sides
+    * carry watermarks and the range condition bounds the state Spark
+    * must hold (view state expires once no purchase can still match it —
+    * the watermark + range arithmetic in SPARK-26187's join state
+    * manager). Append-mode output: every match emits exactly once, so a
+    * completed AvailableNow run equals the batch join.
+    * Output: (view_id, purchase_id, user_id, view_us, purchase_us).
+    */
+  def viewToPurchase(views: DataFrame, purchases: DataFrame,
+      withinUs: Long = 3600000000L, watermark: String = "2 hours"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+    v.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL ${withinUs / 1000000} SECONDS"))
+      .select(col("view_id"), col("purchase_id"), col("user_id"),
+        unix_micros(col("view_ts")).as("view_us"),
+        unix_micros(col("purchase_ts")).as("purchase_us"))
+  }
+
   /** Streaming exact dedup: first event per (event_type, user_id) key —
     * `dropDuplicates` backed by the state store, state bounded by the
     * watermark. The streaming face of [[graft.ext.Dedup.exactGroups]].
