@@ -991,6 +991,12 @@ private[graft] object OracleSql {
          |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
+    "observe_metrics" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |       round(sum(l_extendedprice), 2) AS sum_price,
+        |       CAST(count(CASE WHEN l_discount > 0.05 THEN 1 END) AS BIGINT) AS n_discounted
+        |FROM lineitem""".stripMargin,
+
     "j8_bloom_semi" ->
       // the bloom prefilter is correctness-invisible (false positives
       // die in the exact semi-join) — the oracle is the plain semi-join

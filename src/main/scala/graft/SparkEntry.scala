@@ -1772,6 +1772,30 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "observe_metrics" -> ((s, dir) => {
+      // pipeline observability via Dataset.observe (the Observation
+      // API): data-quality metrics computed as accumulator-style
+      // observed aggregates ON the existing pass — at 100 TB the whole
+      // point is that telemetry (row counts, sums, null/violation
+      // tallies a curation job must report) piggybacks on a scan the
+      // job already does, instead of paying a second one. The query
+      // drives ONE action and returns the observed metrics as a row;
+      // the oracle recomputes them relationally.
+      val obs = org.apache.spark.sql.Observation()
+      tbl(s, dir, "lineitem")
+        .observe(obs,
+          count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(when(col("l_discount") > 0.05, 1)).as("n_discounted"))
+        .filter(col("l_quantity") > 0).count()
+      val m = obs.get
+      import s.implicits._
+      Seq((m("n_rows").asInstanceOf[Long],
+        m("sum_price").asInstanceOf[Double],
+        m("n_discounted").asInstanceOf[Long]))
+        .toDF("n_rows", "sum_price", "n_discounted")
+    }),
+
     "j8_bloom_semi" -> ((s, dir) => {
       // the RUNTIME-FILTER pattern (Spark's InjectRuntimeFilter,
       // hand-rolled through the same internal machinery): a bloom filter
