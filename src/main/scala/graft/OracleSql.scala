@@ -991,6 +991,61 @@ private[graft] object OracleSql {
          |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
+    "search_hybrid_rrf" ->
+      // both legs' top-50 use a (rounded score, doc_id) total order, so
+      // row_number here equals the Spark side's count-of-better rank;
+      // the two 1/(60+r) terms add in the same coalesce(b)+coalesce(v)
+      // order before the 6dp round
+      s"""WITH $indexCtes,
+         |scored AS (
+         |  SELECT t.doc_id,
+         |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
+         |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+         |  WHERE t.word IN ($SearchTermsSql)
+         |  GROUP BY t.doc_id),
+         |bt AS (SELECT doc_id, round(s, 4) AS score FROM scored ORDER BY round(s, 4) DESC, doc_id LIMIT 50),
+         |br AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_bm25 FROM bt),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+         |qv AS (SELECT ve AS qe FROM emb WHERE vec_id = 0),
+         |vt AS (SELECT vec_id AS doc_id,
+         |              round(list_dot_product(ve, qe) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS cos
+         |       FROM emb CROSS JOIN qv WHERE vec_id <> 0
+         |       ORDER BY cos DESC, doc_id LIMIT 50),
+         |vr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_vec FROM vt),
+         |f AS (SELECT coalesce(br.doc_id, vr.doc_id) AS doc_id,
+         |             round(coalesce(1.0 / (60 + br.r_bm25), 0) + coalesce(1.0 / (60 + vr.r_vec), 0), 6) AS rrf
+         |      FROM br FULL OUTER JOIN vr ON br.doc_id = vr.doc_id)
+         |SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    "sim_pq_rerank" ->
+      // stage 1: the sim_pq_topk ADC CTEs at top-50 for queries
+      // vec_id < 4; stage 2: exact cosine on the 50 survivors only
+      s"""WITH $pqCtes,
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 4),
+         |dt AS (SELECT q.query_id, j.j, c.cid,
+         |              list_dot_product(list_slice(q.qe, j.j*16+1, (j.j+1)*16), list_slice(q.qe, j.j*16+1, (j.j+1)*16))
+         |              - 2 * list_dot_product(list_slice(q.qe, j.j*16+1, (j.j+1)*16), list_slice(c.ce, j.j*16+1, (j.j+1)*16))
+         |              + list_dot_product(list_slice(c.ce, j.j*16+1, (j.j+1)*16), list_slice(c.ce, j.j*16+1, (j.j+1)*16)) AS dist
+         |       FROM q CROSS JOIN cent c CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+         |a AS (SELECT dt0.query_id, codes.vec_id,
+         |             round(dt0.dist + dt1.dist + dt2.dist + dt3.dist, 6) AS adist
+         |      FROM codes
+         |      JOIN dt dt0 ON dt0.j = 0 AND dt0.cid = codes.c0
+         |      JOIN dt dt1 ON dt1.query_id = dt0.query_id AND dt1.j = 1 AND dt1.cid = codes.c1
+         |      JOIN dt dt2 ON dt2.query_id = dt0.query_id AND dt2.j = 2 AND dt2.cid = codes.c2
+         |      JOIN dt dt3 ON dt3.query_id = dt0.query_id AND dt3.j = 3 AND dt3.cid = codes.c3
+         |      WHERE codes.vec_id <> dt0.query_id),
+         |cand AS (SELECT query_id, vec_id FROM
+         |           (SELECT a.*, row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS rn FROM a)
+         |         WHERE rn <= 50),
+         |rr AS (SELECT c.query_id, c.vec_id,
+         |              round(list_dot_product(dq.e, dv.e) / (sqrt(list_dot_product(dq.e, dq.e)) * sqrt(list_dot_product(dv.e, dv.e))), 6) AS cos
+         |       FROM cand c JOIN d dq ON dq.vec_id = c.query_id JOIN d dv ON dv.vec_id = c.vec_id)
+         |SELECT query_id, vec_id, cos,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+         |FROM rr QUALIFY rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "observe_metrics" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |       round(sum(l_extendedprice), 2) AS sum_price,

@@ -1772,6 +1772,71 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "search_hybrid_rrf" -> ((s, dir) => {
+      // HYBRID retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+      // Büttcher SIGIR'09): the BM25 lexical top-50 and the
+      // embedding-cosine top-50 fuse as Σ 1/(60 + rank) — rank fusion
+      // needs no score normalization across heterogeneous scorers,
+      // which is why RRF is the production hybrid-search default.
+      // Each leg's global rank is computed WITHOUT a global window
+      // (PlanSmellSpec): the legs are already top-50 (TakeOrdered), so
+      // rank = 1 + count-of-better over the 50-row set — a bounded
+      // non-equi self-join, the zipf_fit trick at retrieval size.
+      def rankSmall(top: DataFrame, scoreCol: String): DataFrame = {
+        val a = top.select(col("doc_id"), col(scoreCol))
+        a.as("x").join(a.as("y"),
+            col(s"y.$scoreCol") > col(s"x.$scoreCol") ||
+              (col(s"y.$scoreCol") === col(s"x.$scoreCol") &&
+                col("y.doc_id") < col("x.doc_id")), "left")
+          .groupBy(col("x.doc_id").as("doc_id"))
+          .agg((count(col("y.doc_id")) + 1).as("r"))
+      }
+      val t = builtIndex(s, dir, stem = false)
+      val bmTop = Search.scoreTerms(t, SearchTerms)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val vecTop = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id").as("doc_id"),
+          round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+        .orderBy(col("cos").desc, col("doc_id").asc).limit(50)
+      rankSmall(bmTop, "score").withColumnRenamed("r", "r_bm25")
+        .join(rankSmall(vecTop, "cos").withColumnRenamed("r", "r_vec"),
+          Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
+        .select("doc_id", "rrf")
+        .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+    }),
+
+    "sim_pq_rerank" -> ((s, dir) => {
+      // the two-stage ANN serving shape (retrieve-then-rerank — the
+      // production IVF/PQ read path): stage 1 ranks by CHEAP asymmetric
+      // distance over 4-byte codes (the corpus scan never touches a
+      // vector) and keeps 50 candidates; stage 2 re-scores ONLY those
+      // 50 with the exact cosine and keeps 10. At 100 TB stage 1 is the
+      // code-column scan, stage 2 fetches 50 vectors per query — the
+      // full-precision read amplification is 50 rows, not the corpus.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 4)
+      val cand = Similarity.pqTopK(e, q, topK = 50)
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      cand.select("query_id", "vec_id")
+        .join(e.select(col("vec_id"), col("embedding").as("c_emb")), Seq("vec_id"))
+        .join(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))), Seq("query_id"))
+        .withColumn("cos", round(Similarity.cosine(col("q_emb"), col("c_emb")), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select("query_id", "vec_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
     "observe_metrics" -> ((s, dir) => {
       // pipeline observability via Dataset.observe (the Observation
       // API): data-quality metrics computed as accumulator-style
