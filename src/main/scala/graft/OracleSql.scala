@@ -991,6 +991,15 @@ private[graft] object OracleSql {
          |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
+    "stream_upsert_users" ->
+      // final upsert state = last event per user; event_id is unique so
+      // (us DESC, event_id DESC) mirrors the max(struct) lexicographic
+      // pick exactly
+      """WITH e AS (SELECT user_id, event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY us DESC, event_id DESC) AS rn FROM e)
+        |SELECT user_id, event_id, event_type, us FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
     "search_hybrid_rrf" ->
       // both legs' top-50 use a (rounded score, doc_id) total order, so
       // row_number here equals the Spark side's count-of-better rank;

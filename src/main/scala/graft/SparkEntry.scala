@@ -948,6 +948,57 @@ object SparkEntry {
       drained.orderBy("view_id", "purchase_id")
     }),
 
+    "stream_upsert_users" -> ((s, dir) => {
+      // streaming UPSERT sink (foreachBatch): each micro-batch merges
+      // its per-user latest event into a keyed parquet state table —
+      // the production "stream MERGEs into a dimension" shape (Delta
+      // MERGE stood in by union + max(struct) keyed reduce on plain
+      // parquet, written tmp-then-swap because a parquet path cannot be
+      // read and overwritten in one job). State after the run = last
+      // event per user, the batch oracle. Exactly-once here comes from
+      // the merge being IDEMPOTENT (re-merging a batch changes
+      // nothing), which is the real-world contract foreachBatch sinks
+      // must provide since batches may be replayed on failure.
+      val stateDir = s"$WorkDir/stream_upsert/" +
+        s"${System.identityHashCode(s).toHexString}_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(java.nio.file.Paths.get(stateDir)) // fresh run, fresh state
+      val cur = s"$stateDir/cur"
+      val ev = EventStream.readEvents(s, dir, "events.parquet")
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val q = ev.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val latest = batch
+            .groupBy("user_id")
+            .agg(max(struct(col("us"), col("event_id"), col("event_type"))).as("m"))
+          val merged =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(cur)))
+              s.read.parquet(cur).unionByName(latest)
+                .groupBy("user_id").agg(max(col("m")).as("m"))
+            else latest
+          val next = s"$stateDir/next"
+          merged.write.mode("overwrite").parquet(next)
+          rmTree(java.nio.file.Paths.get(cur))
+          java.nio.file.Files.move(java.nio.file.Paths.get(next),
+            java.nio.file.Paths.get(cur))
+          ()
+        }
+        .option("checkpointLocation", s"$stateDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(cur)
+        .select(col("user_id"), col("m.event_id").as("event_id"),
+          col("m.event_type").as("event_type"), col("m.us").as("us"))
+        .orderBy("user_id")
+    }),
+
     "stream_dedup_users" -> ((s, dir) => {
       // streaming stateful dedup (dropDuplicates over the state store),
       // then distinct-user counts from the drained sink — a streaming
