@@ -991,6 +991,29 @@ private[graft] object OracleSql {
          |SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
          |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
 
+    "events_anomaly_zscore" ->
+      // identical hour alignment (epoch-hour floor = Spark's window()),
+      // identical trailing-24h-excluding-now RANGE frame; z rounded 6dp
+      // BEFORE the > 3 flag on both engines
+      """WITH e AS (SELECT CAST(epoch_us(ts) AS BIGINT) AS us, event_type FROM events),
+        |h AS (SELECT (us // 3600000000) * 3600 AS h, event_type, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1, 2),
+        |b AS (SELECT *, avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd FROM h
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY h RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+        |SELECT h, event_type, n, round((n - mu) / sd, 6) AS z,
+        |       (round((n - mu) / sd, 6) > 3) AS anomaly
+        |FROM b WHERE sd IS NOT NULL AND sd > 0
+        |ORDER BY h, event_type""".stripMargin,
+
+    "g9_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+
     "stream_upsert_users" ->
       // final upsert state = last event per user; event_id is unique so
       // (us DESC, event_id DESC) mirrors the max(struct) lexicographic

@@ -747,6 +747,47 @@ object SparkEntry {
           col("event_type"), col("n_events"), col("sum_value"))
         .orderBy("bucket_start", "event_type")),
 
+    "events_anomaly_zscore" -> ((s, dir) => {
+      // sliding-baseline anomaly detection — the ops-analytics face a
+      // monitoring pipeline runs over event rates: hourly counts per
+      // event_type, each hour z-scored against its own type's TRAILING
+      // 24-hour baseline (RANGE window, partitioned by type — bounded
+      // state per partition; the baseline never sees the current hour).
+      // Hours with z > 3 flag. sample-stddev guarded against the
+      // first-window null/zero cases.
+      val hourly = events(s, dir)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("h"),
+          col("event_type"), col("n"))
+      val w = Window.partitionBy("event_type").orderBy(col("h"))
+        .rangeBetween(-24L * 3600, -3600) // trailing 24h, EXCLUDING now
+      hourly
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("sd", stddev_samp(col("n")).over(w))
+        .filter(col("sd").isNotNull && col("sd") > 0)
+        .withColumn("z", round((col("n") - col("mu")) / col("sd"), 6))
+        .select(col("h"), col("event_type"), col("n"), col("z"),
+          (col("z") > 3).as("anomaly"))
+        .orderBy("h", "event_type")
+    }),
+
+    "g9_grouping_sets" -> ((s, dir) => {
+      // explicit GROUPING SETS (the face q2_rollup/q4_cube don't cover:
+      // an ARBITRARY set list, not a hierarchy or powerset) + GROUPING()
+      // to disambiguate real NULLs from subtotal rows
+      tbl(s, dir, "orders").createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+          |       CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+          |       count(*) AS n_orders,
+          |       round(sum(o_totalprice), 2) AS revenue
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin)
+    }),
+
     "events_sessionize" -> ((s, dir) =>
       Sessions.sessionize(events(s, dir))
         .orderBy("user_id", "session_seq")),
