@@ -1009,34 +1009,10 @@ object SparkEntry {
             .forEach(f => java.nio.file.Files.delete(f))
         }
       rmTree(java.nio.file.Paths.get(stateDir)) // fresh run, fresh state
-      val cur = s"$stateDir/cur"
       val ev = EventStream.readEvents(s, dir, "events.parquet")
         .select(col("user_id"), col("event_id"), col("event_type"),
           unix_micros(col("ts")).as("us"))
-      val q = ev.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val latest = batch
-            .groupBy("user_id")
-            .agg(max(struct(col("us"), col("event_id"), col("event_type"))).as("m"))
-          val merged =
-            if (java.nio.file.Files.exists(java.nio.file.Paths.get(cur)))
-              s.read.parquet(cur).unionByName(latest)
-                .groupBy("user_id").agg(max(col("m")).as("m"))
-            else latest
-          val next = s"$stateDir/next"
-          merged.write.mode("overwrite").parquet(next)
-          rmTree(java.nio.file.Paths.get(cur))
-          java.nio.file.Files.move(java.nio.file.Paths.get(next),
-            java.nio.file.Paths.get(cur))
-          ()
-        }
-        .option("checkpointLocation", s"$stateDir/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(cur)
-        .select(col("user_id"), col("m.event_id").as("event_id"),
-          col("m.event_type").as("event_type"), col("m.us").as("us"))
+      EventStream.upsertLatestPerUser(s, ev, stateDir)
         .orderBy("user_id")
     }),
 
@@ -1875,7 +1851,10 @@ object SparkEntry {
       // rank = 1 + count-of-better over the 50-row set — a bounded
       // non-equi self-join, the zipf_fit trick at retrieval size.
       def rankSmall(top: DataFrame, scoreCol: String): DataFrame = {
-        val a = top.select(col("doc_id"), col(scoreCol))
+        // persist the ≤50-row leg: it feeds BOTH sides of the non-equi
+        // self-join, and un-materialized each side would re-run the
+        // whole scored-corpus TakeOrdered pipeline
+        val a = graft.Caches.persist(top.select(col("doc_id"), col(scoreCol)))
         a.as("x").join(a.as("y"),
             col(s"y.$scoreCol") > col(s"x.$scoreCol") ||
               (col(s"y.$scoreCol") === col(s"x.$scoreCol") &&

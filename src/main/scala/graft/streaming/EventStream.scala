@@ -97,10 +97,55 @@ object EventStream {
     v.join(p,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("view_ts") &&
-        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL ${withinUs / 1000000} SECONDS"))
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $withinUs MICROSECOND"))
       .select(col("view_id"), col("purchase_id"), col("user_id"),
         unix_micros(col("view_ts")).as("view_us"),
         unix_micros(col("purchase_ts")).as("purchase_us"))
+  }
+
+  /** Streaming UPSERT sink (foreachBatch): each micro-batch merges its
+    * per-user latest row into a keyed parquet state table at
+    * `stateDir/cur` — union + max(struct) keyed reduce, written
+    * tmp-then-swap because a parquet path cannot be read and overwritten
+    * in one job. The merge is IDEMPOTENT (re-merging a batch changes
+    * nothing), which is the real-world contract foreachBatch sinks must
+    * provide since batches may be replayed on failure; the multi-batch
+    * and replay paths are pinned by `EventStreamSpec`. Expects columns
+    * (user_id, event_id, event_type, us); returns the drained final
+    * state. Caller owns `stateDir` lifecycle (cleanup / uniqueness).
+    */
+  def upsertLatestPerUser(spark: SparkSession, stream: DataFrame,
+      stateDir: String): DataFrame = {
+    val cur = s"$stateDir/cur"
+    def rmTree(p: java.nio.file.Path): Unit =
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val latest = batch
+          .groupBy("user_id")
+          .agg(max(struct(col("us"), col("event_id"), col("event_type"))).as("m"))
+        val merged =
+          if (java.nio.file.Files.exists(java.nio.file.Paths.get(cur)))
+            spark.read.parquet(cur).unionByName(latest)
+              .groupBy("user_id").agg(max(col("m")).as("m"))
+          else latest
+        val next = s"$stateDir/next"
+        merged.write.mode("overwrite").parquet(next)
+        rmTree(java.nio.file.Paths.get(cur))
+        java.nio.file.Files.move(java.nio.file.Paths.get(next),
+          java.nio.file.Paths.get(cur))
+        ()
+      }
+      .option("checkpointLocation", s"$stateDir/ckpt_${System.nanoTime()}")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(cur)
+      .select(col("user_id"), col("m.event_id").as("event_id"),
+        col("m.event_type").as("event_type"), col("m.us").as("us"))
   }
 
   /** Streaming exact dedup: first event per (event_type, user_id) key —

@@ -115,6 +115,92 @@ class EventStreamSpec extends SparkSpec {
     assert(streamed == batch && streamed.size == 300)
   }
 
+  test("upsert sink merges across micro-batches and replays are idempotent") {
+    import spark.implicits._
+    // THREE files + maxFilesPerTrigger=1 → three micro-batches: the
+    // merge-with-existing-state branch runs twice (it never runs in the
+    // single-file gate query — this spec is its coverage)
+    val dir = Files.createTempDirectory("graft-upsert-src").toString
+    val stateDir = Files.createTempDirectory("graft-upsert-state").toString
+    (0 until 3).foreach { f =>
+      (0 until 40).map { i =>
+        val id = f * 100 + i
+        (id.toLong, (id * 61000000L) * 1000L, (i % 7).toLong,
+          if (i % 3 == 0) "click" else "view", i * 1.5, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/f$f.parquet")
+    }
+    def stream() = spark.readStream
+      .schema(spark.read.parquet(s"$dir/f0.parquet").schema) // raw long-nanos ts
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val got = EventStream.upsertLatestPerUser(spark, stream(), stateDir)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    val want = spark.read.parquet(s"$dir/f0.parquet", s"$dir/f1.parquet", s"$dir/f2.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("us").desc, col("event_id").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want && got.size == 7)
+    // REPLAY: a fresh run (new checkpoint) over the same files re-merges
+    // every batch into the EXISTING state — idempotent, state unchanged
+    val replayed = EventStream.upsertLatestPerUser(spark, stream(), stateDir)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(replayed == want)
+  }
+
+  test("stream-stream join holds state across micro-batches (views and purchases in separate files)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-ssj-src").toString
+    // file A: all views; file B: all purchases ≤ 30 min later — with
+    // maxFilesPerTrigger=1 the join sides arrive in DIFFERENT batches,
+    // so every match requires buffered state from the earlier batch
+    def write(name: String, tpe: String, base: Long): Unit =
+      (0 until 30).map { i =>
+        (base + i, (3600000000L + i * 60000000L + (if (tpe == "purchase") 1800000000L else 0L)) * 1000L,
+          (i % 5).toLong, tpe, 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    write("a_views", "view", 0L)
+    write("b_purch", "purchase", 1000L)
+    def side(tpe: String) = spark.readStream
+      .schema(spark.read.parquet(s"$dir/a_views.parquet").schema) // raw long-nanos ts
+      .option("pathGlobFilter", "*.parquet")
+      .option("recursiveFileLookup", "true")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_type") === tpe)
+    val streamed = EventStream.runToCompletion(spark,
+      EventStream.viewToPurchase(side("view"), side("purchase")),
+      "ssj_state_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val batch = spark.read.parquet(s"$dir/a_views.parquet", s"$dir/b_purch.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val v = batch.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        unix_micros(col("ts")).as("view_us"))
+    val p = batch.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        unix_micros(col("ts")).as("purchase_us"))
+    val want = v.join(p, col("user_id") === col("p_user") &&
+        col("purchase_us") >= col("view_us") &&
+        col("purchase_us") <= col("view_us") + 3600000000L)
+      .select("view_id", "purchase_id", "user_id", "view_us", "purchase_us")
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(want.nonEmpty, "fixture must produce matches")
+    assert(streamed == want)
+  }
+
   test("approx_count_distinct tracks the exact distinct count within its rsd") {
     import spark.implicits._
     val df = (0 until 20000).map(i => (i % 1337).toLong).toDF("v")
