@@ -28,6 +28,13 @@ object ColumnShim {
   def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 
+  /** The INITIAL physical plan (pre-AQE, planning only — nothing runs):
+    * cheap whole-gate physical assertions (e.g. the CartesianProduct ban
+    * in `PlanSmellSpec`) without executing a single job.
+    */
+  def sparkPlan(df: DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.sparkPlan
+
   /** The EXECUTED physical plan of a DataFrame (post-AQE when adaptive
     * is on); collect the frame first so AQE has finalized. CAVEAT for
     * plan assertions: under AQE the finalized exchanges are wrapped in

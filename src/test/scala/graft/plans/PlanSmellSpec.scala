@@ -32,8 +32,10 @@ class PlanSmellSpec extends SparkSpec {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (!name.startsWith("stream_")) {
-        val plan = org.apache.spark.sql.graftshim.ColumnShim
-          .logicalPlan(fn(spark, dir))
+        // build ONCE and derive both plans from it — several sink queries
+        // do eager writes when their DataFrame is built
+        val df = fn(spark, dir)
+        val plan = org.apache.spark.sql.graftshim.ColumnShim.logicalPlan(df)
         val globalWindows = plan.collect {
           case w: LogicalWindow if w.partitionSpec.isEmpty => w
         }
@@ -49,6 +51,15 @@ class PlanSmellSpec extends SparkSpec {
           }
           if (hofFolds.nonEmpty) offenders += s"$name: interpreted ArrayAggregate/ZipWith"
         }
+        // physical (pre-AQE, planning only): a CartesianProductExec means
+        // two NON-broadcast sides cross-joined — quadratic shuffle work
+        // at scale. Intentional tiny-side crosses plan as
+        // BroadcastNestedLoopJoin, which stays allowed.
+        val physical = org.apache.spark.sql.graftshim.ColumnShim.sparkPlan(df)
+        val cartesian = physical.collect {
+          case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        }
+        if (cartesian.nonEmpty) offenders += s"$name: CartesianProductExec"
         graft.Caches.clearPersisted()
       }
     }
