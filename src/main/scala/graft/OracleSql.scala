@@ -1023,6 +1023,24 @@ private[graft] object OracleSql {
         |SELECT user_id, event_id, event_type, us FROM r WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
 
+    "tok_bpe_pairs" ->
+      // same per-word adjacent-symbol pairs: list_transform over
+      // range(1, len), substr(word, i, 2)
+      """WITH w AS (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> len(x) >= 2)) AS word
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |p AS (SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pair FROM w)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "curate_mix_weights" ->
+      """WITH t AS (SELECT lang, source, CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |c AS (SELECT lang, source, CAST(sum(n_toks) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM t GROUP BY lang, source)
+        |SELECT lang, source, n_tokens, n_docs,
+        |       round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM c), 6) AS share
+        |FROM c ORDER BY lang, source""".stripMargin,
+
     "search_hybrid_rrf" ->
       // both legs' top-50 use a (rounded score, doc_id) total order, so
       // row_number here equals the Spark side's count-of-better rank;

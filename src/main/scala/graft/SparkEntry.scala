@@ -1840,6 +1840,42 @@ object SparkEntry {
         .orderBy("doc_a", "doc_b")
     }),
 
+    "tok_bpe_pairs" -> ((s, dir) => {
+      // the FIRST iteration of BPE tokenizer training (Sennrich et al.
+      // ACL'16): corpus-wide counts of adjacent symbol pairs inside
+      // words — the statistic each merge step maximizes. Pairs form as
+      // a per-word array expression (transform over a sequence — no
+      // per-character explode rows until after the array is built), so
+      // the shuffle moves (pair, count) partials only. Top-20 by count,
+      // pair asc — the first merge the trainer would pick is row 1.
+      docs(s, dir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)
+    }),
+
+    "curate_mix_weights" -> ((s, dir) => {
+      // the data-mixture table every training run reports: token counts
+      // and corpus share per (lang, source) — the weights a sampler
+      // consumes. One tokenize pass → one hash agg; the total is an S4
+      // scalar so the share division is a broadcast constant, not a
+      // second aggregation over the corpus.
+      val counts = docs(s, dir)
+        .select(col("lang"), col("source"),
+          size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy("lang", "source")
+        .agg(sum("n_toks").as("n_tokens"), count(lit(1)).as("n_docs"))
+      val total = counts.agg(sum("n_tokens")).head().getLong(0)
+      counts
+        .withColumn("share", round(col("n_tokens").cast("double") / total, 6))
+        .orderBy("lang", "source")
+    }),
+
     "search_hybrid_rrf" -> ((s, dir) => {
       // HYBRID retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
       // Büttcher SIGIR'09): the BM25 lexical top-50 and the
