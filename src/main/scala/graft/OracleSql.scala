@@ -45,6 +45,34 @@ private[graft] object OracleSql {
        |  GROUP BY t.doc_id),
        |top10 AS (SELECT doc_id, round(s, 4) AS score FROM scored ORDER BY round(s, 4) DESC, doc_id LIMIT 10)""".stripMargin
 
+  /** IVF k-means assignment after ONE Lloyd iteration over the
+    * embeddings table — seed centroids = vec_id < 8, per-cluster
+    * per-dim means rounded to 6dp, final nearest-centroid (cosine)
+    * assignment in `a1 (vec_id, cluster)`. Mirrors
+    * [[graft.ext.Similarity.ivfCentroids]] + `ivfAssignWith`; shared by
+    * the `sim_ivf_assign` and `dedup_semantic` oracles.
+    */
+  private val ivfLloyd1Ctes: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+      |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
+      |s0 AS (SELECT vec_id, cent_id,
+      |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+      |       FROM v CROSS JOIN c0),
+      |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+      |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+      |       WHERE rn = 1),
+      |comp AS (SELECT a0.cluster AS cent_id, r.i AS pos, round(avg(v.ve[r.i]), 6) AS m
+      |         FROM a0 JOIN v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+      |         GROUP BY a0.cluster, r.i),
+      |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp GROUP BY cent_id),
+      |s1 AS (SELECT vec_id, cent_id,
+      |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+      |       FROM v CROSS JOIN c1),
+      |r1 AS (SELECT vec_id, cent_id,
+      |              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+      |       FROM s1),
+      |a1 AS (SELECT vec_id, cent_id AS cluster FROM r1 WHERE rn = 1)""".stripMargin
+
   /** DuckDB literal for a hyperplane weight vector (sim_lsh_buckets). */
   private def planeSql(j: Int): String =
     Similarity.planeWeights(j, 64).mkString("CAST([", ", ", "] AS DOUBLE[])")
@@ -848,26 +876,39 @@ private[graft] object OracleSql {
     "sim_ivf_assign" ->
       // one Lloyd iteration mirrored: seed assign → per-cluster per-dim
       // means rounded to 6dp (kills distributed-vs-single-node double
-      // summation-order ulps) → final assign
+      // summation-order ulps) → final assign (shared chain, also the
+      // dedup_semantic cluster space)
+      s"""WITH $ivfLloyd1Ctes
+        |SELECT vec_id, cluster FROM a1 ORDER BY vec_id""".stripMargin,
+
+    "dedup_semantic" ->
+      // SemDeDup mirror: the sim_ivf_assign Lloyd-1 assignment (a1) →
+      // within-cluster τ-pairs (exact cosine, same sequential-double
+      // dot product both engines) → transitive closure via recursive
+      // reach (the dedup_components pattern) → rows above their
+      // component minimum, labeled with keeper and cluster.
+      s"""WITH RECURSIVE $ivfLloyd1Ctes,
+        |m AS (SELECT a1.vec_id, a1.cluster, v.ve FROM a1 JOIN v USING (vec_id)),
+        |p AS (SELECT a.vec_id AS src, b.vec_id AS dst
+        |      FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |      WHERE list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.35),
+        |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r),
+        |ccmp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        |SELECT c.node AS vec_id, m.cluster, c.component AS dup_of
+        |FROM ccmp c JOIN m ON m.vec_id = c.node
+        |WHERE c.node > c.component ORDER BY vec_id""".stripMargin,
+
+    "emb_dim_stats" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
-        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
-        |s0 AS (SELECT vec_id, cent_id,
-        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
-        |       FROM v CROSS JOIN c0),
-        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
-        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
-        |       WHERE rn = 1),
-        |comp AS (SELECT a0.cluster AS cent_id, r.i AS pos, round(avg(v.ve[r.i]), 6) AS m
-        |         FROM a0 JOIN v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
-        |         GROUP BY a0.cluster, r.i),
-        |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp GROUP BY cent_id),
-        |s1 AS (SELECT vec_id, cent_id,
-        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
-        |       FROM v CROSS JOIN c1),
-        |r1 AS (SELECT vec_id, cent_id,
-        |              row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
-        |       FROM s1)
-        |SELECT vec_id, cent_id AS cluster FROM r1 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+        |x AS (SELECT r.i - 1 AS dim, ve[r.i] AS x
+        |      FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r)
+        |SELECT dim, round(avg(x), 6) AS mean, round(stddev_pop(x), 6) AS sd
+        |FROM x GROUP BY dim ORDER BY dim""".stripMargin,
 
     "sim_ivf_topk" ->
       // seed-centroid assignment (the a0 CTE of sim_ivf_assign, no Lloyd

@@ -1409,6 +1409,30 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_a", "vec_b")),
 
+    "dedup_semantic" -> ((s, dir) =>
+      // SemDeDup: IVF-cluster the embeddings (the sim_ivf_assign space),
+      // τ-connect cluster-mates, transitive-close, drop everything above
+      // its component keeper. Threshold sits in the random-fixture upper
+      // tail (all-pairs max cos ≈ 0.51 at sf0.01), like sim_neardup_pairs.
+      Similarity.semanticDupDrops(
+          tbl(s, dir, "embeddings").select("vec_id", "embedding"),
+          threshold = 0.35)
+        .orderBy("vec_id")),
+
+    "emb_dim_stats" -> ((s, dir) =>
+      // per-dimension mean/σ over embedding components — the whitening /
+      // normalization statistics a vector pipeline computes before PQ or
+      // outlier gating. posexplode → ONE hash agg of 64 groups with
+      // map-side partials; the 64·N exploded rows carry (dim, x) pairs
+      // only, never vectors.
+      tbl(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+        .groupBy("dim")
+        .agg(round(avg("x"), 6).as("mean"),
+          round(stddev_pop(col("x")), 6).as("sd"))
+        .orderBy("dim")),
+
     // ---- text-analysis extension family ----
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityMetrics(docs(s, dir))

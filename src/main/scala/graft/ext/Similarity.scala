@@ -449,4 +449,61 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    * near-duplicate REMOVAL, the semantic member of the dedup family.
+    * The published recipe: (1) k-means-cluster the embeddings so cosine
+    * is only ever computed between cluster-mates, (2) inside each
+    * cluster connect pairs whose cosine clears `threshold`, (3) keep ONE
+    * representative per duplicate group. Groups are closed transitively
+    * with [[Graph.connectedComponents]] — pair-loser removal drops a
+    * whole chain when only adjacent links are similar (the r3
+    * pipeline_dedup lesson); keeper = the component's minimum vec_id.
+    *
+    * Clusters come from [[ivfCentroids]] (corpus-seeded, `lloydIters`
+    * k-means refinements) — the exact `sim_ivf_assign` space, so the
+    * oracle shares that query's CTE chain.
+    *
+    * Output: one row per DROPPED vector — (vec_id, cluster, dup_of)
+    * where dup_of is its group's keeper; anti-join against the corpus
+    * for the surviving set.
+    *
+    * Scale: the cluster bound is the whole trick — the quadratic
+    * pairwise join runs per cluster only, and a production run scales
+    * the centroid count with the corpus (SemDeDup uses C ≈ O(√N)),
+    * holding expected occupancy constant. Degenerate clusters above
+    * `maxClusterSize` are dropped outright (same guard as
+    * [[cosineNearDupPairs]] / [[Dedup.minhashPairs]]). CC runs on the
+    * tiny τ-pair graph, never the corpus; no raw vector ever shuffles —
+    * the pair join moves (cluster, id, vector) once, bucketed by
+    * cluster.
+    */
+  def semanticDupDrops(embeddings: DataFrame, threshold: Double,
+      nCentroids: Int = 8, lloydIters: Int = 1,
+      maxClusterSize: Int = 10000): DataFrame = {
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val cents = ivfCentroids(emb, nCentroids, lloydIters)
+    // persist (registry-tracked): the assignment feeds the size guard,
+    // both pair-join sides, and the final cluster lookup
+    val assigned = graft.Caches.persist(
+      ivfAssignWith(emb, cents).join(emb, Seq("vec_id")))
+    val ok = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("cluster_n"))
+      .filter(col("cluster_n").between(2, maxClusterSize))
+      .select("cluster")
+    val b = graft.Caches.persist(assigned.join(ok, Seq("cluster")))
+    val l = b.select(col("cluster"), col("vec_id").as("src"),
+      col("embedding").as("emb_a"))
+    val r = b.select(col("cluster"), col("vec_id").as("dst"),
+      col("embedding").as("emb_b"))
+    val pairs = l.join(r, Seq("cluster"))
+      .filter(col("src") < col("dst"))
+      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+      .select("src", "dst")
+    Graph.connectedComponents(pairs)
+      .filter(col("node") > col("component"))
+      .join(assigned.select(col("vec_id"), col("cluster")),
+        col("node") === col("vec_id"))
+      .select(col("vec_id"), col("cluster"), col("component").as("dup_of"))
+  }
 }

@@ -204,6 +204,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("semanticDupDrops closes duplicate groups transitively within clusters") {
+    import spark.implicits._
+    // cluster 0 (seed vec 0): 2 is τ-similar to 0, 3 is τ-similar ONLY
+    // to 2 (cos(0,3) ≈ 0.80 < 0.9) — the transitive closure must still
+    // drop 3 with keeper 0, not keep it because its only similar mate
+    // was itself dropped. 1 seeds the other cluster; 4 is isolated.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (2L, Seq(0.95f, 0.3122f, 0.0f)),
+      (3L, Seq(0.8049f, 0.5934f, 0.0f)),
+      (4L, Seq(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val drops = Similarity.semanticDupDrops(emb, threshold = 0.9,
+      nCentroids = 2, lloydIters = 0)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(drops == Seq((2L, 0L, 0L), (3L, 0L, 0L)))
+  }
+
   test("pqTopK ranks by summed table lookups; rank-1 is a plausible neighbor") {
     import spark.implicits._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
