@@ -1073,6 +1073,40 @@ private[graft] object OracleSql {
         |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
+    "tok_bpe_apply" ->
+      // iteration-1 winner (count desc, pair asc) applied via replace
+      // (leftmost non-overlapping in both engines), '0' carries the
+      // merged symbol, spelled back out in the final projection
+      """WITH allw AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        |             FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |p1 AS (SELECT pr, count(*) AS n FROM
+        |         (SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pr
+        |          FROM allw WHERE len(word) >= 2)
+        |       GROUP BY pr),
+        |top1 AS (SELECT pr FROM p1 ORDER BY n DESC, pr LIMIT 1),
+        |rw AS (SELECT replace(word, (SELECT pr FROM top1), '0') AS rword FROM allw),
+        |p2 AS (SELECT unnest(list_transform(range(1, len(rword)), i -> substr(rword, i, 2))) AS pr
+        |       FROM rw WHERE len(rword) >= 2)
+        |SELECT replace(pr, '0', (SELECT pr FROM top1)) AS pair, CAST(count(*) AS BIGINT) AS n
+        |FROM p2 GROUP BY pr ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "text_ngram_novelty" ->
+      s"""WITH $hashedShingleCtes,
+        |d AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |f AS (SELECT shingle, count(*) AS df FROM d GROUP BY shingle)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+        |FROM d JOIN f USING (shingle)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "quality_classifier" ->
+      s"""WITH f AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS word
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |s AS (SELECT doc_id, (((${md5Hash60Sql("word")} % 64) * 2654435761) % 1001) / 500.0 - 1.0 AS w FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(avg(w), 6) AS score, round(avg(w), 6) > 0 AS keep
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "curate_mix_weights" ->
       """WITH t AS (SELECT lang, source, CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks
         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),

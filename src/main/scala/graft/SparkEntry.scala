@@ -1883,6 +1883,79 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "tok_bpe_apply" -> ((s, dir) => {
+      // the SECOND iteration of BPE training: apply the winning merge
+      // from iteration 1 (an S4 scalar — count desc, pair asc) to every
+      // word, then re-count adjacent pairs over the rewritten symbol
+      // streams. The merged symbol is carried as a single out-of-
+      // alphabet char ('0' — the tokenizer splits on [^a-z]+, so it can
+      // never occur in a word) and spelled back out in the output;
+      // `replace` is leftmost non-overlapping in BOTH engines, which is
+      // exactly BPE's merge order. Same per-word array-expression pair
+      // formation as tok_bpe_pairs — the corpus never explodes to
+      // per-character rows.
+      val words = docs(s, dir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      val top = words.filter(length(col("word")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pr"))
+        .groupBy("pr").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pr").asc)
+        .limit(1).head().getString(0)
+      words
+        .select(replace(col("word"), lit(top), lit("0")).as("rword"))
+        .filter(length(col("rword")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("rword")) - 1),
+          i => col("rword").substr(i, lit(2)))).as("pr"))
+        .groupBy("pr").agg(count(lit(1)).as("n"))
+        .select(replace(col("pr"), lit("0"), lit(top)).as("pair"), col("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(20)
+    }),
+
+    "text_ngram_novelty" -> ((s, dir) => {
+      // corpus-novelty score: the fraction of a doc's DISTINCT hashed
+      // 3-gram shingles that appear in NO other document (df == 1) —
+      // the boilerplate/template detector curation runs next to
+      // near-dedup (a low-novelty doc is mostly shared n-grams even
+      // when no single partner clears a Jaccard threshold). Shingles
+      // are the 8-byte md5-fold hashes (shuffles never carry text);
+      // df is one hash agg; the join back moves (hash, df) pairs.
+      val sh = graft.Caches.persist(
+        graft.ext.Dedup.shingleRows(docs(s, dir), k = 3, hashed = true))
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      sh.join(df, Seq("shingle"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          round(sum(when(col("df") === 1, 1).otherwise(0)).cast("double")
+            / count(lit(1)), 6).as("novelty"))
+        .orderBy("doc_id")
+    }),
+
+    "quality_classifier" -> ((s, dir) => {
+      // the hashing-trick linear scorer (the fastText classifier
+      // shape): token → one of 64 feature buckets via the md5-fold
+      // hash, bucket → weight via a fixed multiplicative-hash formula
+      // (a deterministic surrogate for trained weights — the OPERATOR
+      // is the shape: hashed features, mean pooling, threshold gate),
+      // doc score = mean weight. One explode + one hash agg, all
+      // codegen expressions — model scoring with no model object and
+      // no UDF; swapping real weights in is a broadcast array lookup.
+      val b = pmod(graft.ext.Dedup.md5Hash60(col("word")), lit(64L))
+      val w = pmod(b * lit(2654435761L), lit(1001L)) / lit(500.0) - lit(1.0)
+      docs(s, dir)
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .select(col("doc_id"), w.as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), round(avg("w"), 6).as("score"))
+        .withColumn("keep", col("score") > 0)
+        .orderBy("doc_id")
+    }),
+
     "curate_mix_weights" -> ((s, dir) => {
       // the data-mixture table every training run reports: token counts
       // and corpus share per (lang, source) — the weights a sampler
