@@ -1532,6 +1532,56 @@ private[graft] object OracleSql {
         |       CAST(greatest(1, n // wd) AS INTEGER) AS height
         |FROM w ORDER BY media_id""".stripMargin,
 
+    "j9_interval_overlap" ->
+      // mechanism-free oracle: the overlap SEMANTICS as a direct
+      // non-equi self-join over the sessionize CTEs (the Spark side's
+      // hour-bin equi-join + distinct is pure mechanism)
+      """WITH e AS (SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events WHERE user_id < 300),
+        |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |         FROM g),
+        |sv AS (SELECT user_id, session_seq,
+        |              CAST(min(us) AS BIGINT) AS t_start, CAST(max(us) AS BIGINT) AS t_end
+        |       FROM sess GROUP BY user_id, session_seq HAVING count(*) >= 2)
+        |SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |       CAST(count(*) AS BIGINT) AS n_overlaps,
+        |       CAST(sum(least(a.t_end, b.t_end) - greatest(a.t_start, b.t_start)) AS BIGINT) AS overlap_us
+        |FROM sv a JOIN sv b
+        |  ON a.user_id < b.user_id AND a.t_start <= b.t_end AND b.t_start <= a.t_end
+        |GROUP BY a.user_id, b.user_id ORDER BY user_a, user_b""".stripMargin,
+
+    "curate_quality_funnel" ->
+      s"""WITH RECURSIVE $hashedShingleCtes,
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |d AS (SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |q AS (SELECT doc_id,
+        |             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+        |             CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) > 0
+        |                  THEN CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0), w -> w IN $stopSql)) AS DOUBLE) / len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0))
+        |                  ELSE 0 END AS stopword_ratio
+        |      FROM d),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+        |s1 AS (SELECT doc_id FROM q WHERE n_tokens >= 20 AND stopword_ratio < 0.5),
+        |s2 AS (SELECT doc_id FROM s1 WHERE doc_id IN (SELECT doc_id FROM keepers)),
+        |s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT node FROM comp WHERE node <> component))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'total' AS stage_name, CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs
+        |  UNION ALL SELECT 2, 'quality_gate', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 3, 'exact_dedup', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM s3))
+        |ORDER BY stage""".stripMargin,
+
     "pipeline_clean_corpus" -> (
       """WITH d AS (SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
         |q AS (SELECT doc_id, lang,

@@ -1746,6 +1746,72 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
+    "j9_interval_overlap" -> ((s, dir) => {
+      // interval-overlap join via TIME BINNING — the standard way to
+      // run a range join at scale without a cartesian product: explode
+      // each session interval to the hour bins it covers, equi-join on
+      // bin (co-partitioned, AQE-skew-splittable), de-dup pairs that
+      // met in several bins, then verify the exact overlap predicate.
+      // Any overlapping pair shares the bin of its intersection point,
+      // so binning loses nothing; bin width is tuned to the median
+      // interval length (sessions here are minutes-scale). The oracle
+      // states the SEMANTICS as a direct non-equi join — the bins are
+      // pure mechanism. Output: concurrent-session counts and summed
+      // overlap per cross-user pair (user_id < 300, ≥2-event sessions
+      // bound the demo output).
+      val binUs = 3600L * 1000000L
+      val sv = graft.Caches.persist(
+        ext.Sessions.sessionize(events(s, dir).filter(col("user_id") < 300))
+          .filter(col("n_events") >= 2))
+      val binned = sv.select(col("user_id"), col("session_seq"),
+        col("t_start"), col("t_end"),
+        explode(sequence(
+          ((col("t_start") - pmod(col("t_start"), lit(binUs))) / binUs).cast("long"),
+          ((col("t_end") - pmod(col("t_end"), lit(binUs))) / binUs).cast("long"))).as("bin"))
+      val a = binned.select(col("bin"), col("user_id").as("user_a"),
+        col("session_seq").as("seq_a"), col("t_start").as("s_a"), col("t_end").as("e_a"))
+      val b = binned.select(col("bin"), col("user_id").as("user_b"),
+        col("session_seq").as("seq_b"), col("t_start").as("s_b"), col("t_end").as("e_b"))
+      a.join(b, Seq("bin"))
+        .filter(col("user_a") < col("user_b") &&
+          col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+        .select("user_a", "seq_a", "s_a", "e_a", "user_b", "seq_b", "s_b", "e_b")
+        .distinct()
+        .groupBy("user_a", "user_b")
+        .agg(count(lit(1)).as("n_overlaps"),
+          sum(least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+            .as("overlap_us"))
+        .orderBy("user_a", "user_b")
+    }),
+
+    "curate_quality_funnel" -> ((s, dir) => {
+      // pipeline observability: docs surviving each curation stage —
+      // the per-batch funnel a production cleaning job logs. ONE plan
+      // of four 1-row aggregates unioned (no driver collect); the
+      // quality gate and exact-keeper stages are persisted because each
+      // later stage builds on the previous, and the near-dup component
+      // labels come from the shared per-dir CC memo.
+      val d = docs(s, dir)
+      val s1 = graft.Caches.persist(
+        TextAnalysis.qualityMetrics(d)
+          .filter(col("n_tokens") >= 20 && col("stopword_ratio") < 0.5)
+          .select("doc_id"))
+      val exactKeep = Dedup.exactGroups(d).select(col("keeper_doc_id").as("doc_id"))
+      val s2 = graft.Caches.persist(s1.join(exactKeep, Seq("doc_id"), "left_semi"))
+      val losers = nearDupComponents(s, dir)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val s3 = s2.join(losers, Seq("doc_id"), "left_anti")
+      def stage(n: Long, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"))
+          .select(lit(n).as("stage"), lit(name).as("stage_name"), col("n_docs"))
+      stage(1, "total", d)
+        .unionAll(stage(2, "quality_gate", s1))
+        .unionAll(stage(3, "exact_dedup", s2))
+        .unionAll(stage(4, "near_dedup", s3))
+        .orderBy("stage")
+    }),
+
     "pipeline_clean_corpus" -> ((s, dir) => {
       // the composed training-data pipeline: quality-gate the corpus,
       // then keep one doc per exact-content group — the operators above
