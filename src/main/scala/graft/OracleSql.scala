@@ -73,6 +73,22 @@ private[graft] object OracleSql {
       |       FROM s1),
       |a1 AS (SELECT vec_id, cent_id AS cluster FROM r1 WHERE rn = 1)""".stripMargin
 
+  /** Corpus bigram-LM CTE chain (mirrors [[graft.SparkEntry]]'s
+    * `lmScores`): raw tokens → bigrams → add-one-smoothed log10 probs in
+    * `s (doc_id, lp)`. Shared by `text_lm_score` and
+    * `sample_by_perplexity`.
+    */
+  private val lmCtes: String =
+    """d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+      |t AS (SELECT doc_id, unnest(tk) AS w FROM d),
+      |b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM d WHERE len(tk) >= 2),
+      |bw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w FROM b),
+      |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY bg),
+      |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM bw GROUP BY w),
+      |v AS (SELECT count(DISTINCT w) AS vocab FROM t),
+      |s AS (SELECT bw.doc_id, log10(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.vocab)) AS lp
+      |      FROM bw JOIN c2 USING (bg) JOIN c1 USING (w) CROSS JOIN v)""".stripMargin
+
   /** DuckDB literal for a hyperplane weight vector (sim_lsh_buckets). */
   private def planeSql(j: Int): String =
     Similarity.planeWeights(j, 64).mkString("CAST([", ", ", "] AS DOUBLE[])")
@@ -1442,17 +1458,56 @@ private[graft] object OracleSql {
       // mirrored; per-bigram log-probs are identical integers-in,
       // doubles-out on both engines, and the per-doc average is
       // 6dp-rounded (the repo's distributed-vs-single-node float rule)
-      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |t AS (SELECT doc_id, unnest(tk) AS w FROM d),
-        |b AS (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg FROM d WHERE len(tk) >= 2),
-        |bw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w FROM b),
-        |c2 AS (SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM b GROUP BY bg),
-        |c1 AS (SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM bw GROUP BY w),
-        |v AS (SELECT count(DISTINCT w) AS vocab FROM t),
-        |s AS (SELECT bw.doc_id, log10(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.vocab)) AS lp
-        |      FROM bw JOIN c2 USING (bg) JOIN c1 USING (w) CROSS JOIN v)
+      s"""WITH $lmCtes
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 6) AS lm_score
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "sample_by_perplexity" ->
+      // stratified at the 6dp-rounded mean score; identical md5-fold
+      // bucket as sample_hash_bucket — 80% of the hi stratum, 20% of lo
+      s"""WITH $lmCtes,
+        |sc AS (SELECT doc_id, round(avg(lp), 6) AS lm_score FROM s GROUP BY doc_id),
+        |cut AS (SELECT round(avg(lm_score), 6) AS c FROM sc)
+        |SELECT doc_id, lm_score,
+        |       CASE WHEN lm_score >= (SELECT c FROM cut) THEN 'hi' ELSE 'lo' END AS stratum
+        |FROM sc
+        |WHERE (lm_score >= (SELECT c FROM cut) AND ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 8)
+        |   OR (lm_score < (SELECT c FROM cut) AND ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 2)
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_graph_degrees" ->
+      s"""WITH $hashedShingleCtes,
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+        |deg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+        |          (SELECT doc_a AS doc_id FROM p UNION ALL SELECT doc_b FROM p)
+        |        GROUP BY doc_id)
+        |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-10-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "sim_pq_codes" ->
       s"""WITH $pqCtes

@@ -206,6 +206,38 @@ object SparkEntry {
     java.math.BigDecimal.valueOf(v)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
+  /** LM-based quality scoring (the CCNet-style filter an LLM data
+    * pipeline runs after dedup): every document scored by the average
+    * log10 probability of its bigrams under the corpus's own
+    * add-one-smoothed bigram model. All counts are hash aggregates over
+    * compact token keys; the scoring join is a bigram-string equi-join
+    * (AQE broadcasts the LM table while it fits); the one window (bigram
+    * formation via lead) is partitioned by doc_id. Output: (doc_id,
+    * n_bigrams, lm_score rounded 6dp) — shared by `text_lm_score` and
+    * `sample_by_perplexity`.
+    */
+  private def lmScores(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("doc_id"),
+      posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val big = graft.Caches.persist(
+      toks.withColumn("w2", lead("w", 1).over(w))
+        .filter(col("w2").isNotNull)
+        .withColumn("bg", concat(col("w"), lit(" "), col("w2"))))
+    val c2 = big.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy("w").agg(count(lit(1)).as("c1"))
+    // vocabulary size over ALL token occurrences (scalar materialize,
+    // the S4 pattern) — the add-one denominator
+    val vocab = toks.select("w").distinct().count()
+    big
+      .join(c2, Seq("bg"))
+      .join(c1, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log10((col("c2") + 1).cast("double") / (col("c1") + vocab))), 6)
+          .as("lm_score"))
+  }
+
   /** Spark-side BM25 top-10 with post-rounding deterministic order. */
   private def bm25Top10(s: SparkSession, dir: String): DataFrame = {
     val t = builtIndex(s, dir, stem = false)
@@ -1184,6 +1216,51 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)),
 
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      // TPC-H Q5 shape: the 6-table snowflake join with the same-nation
+      // (customer = supplier) condition. region→nation collapse to one
+      // broadcast dim; supplier broadcasts at test scale and AQE flips
+      // it to shuffle when it stops fitting; the fact-side
+      // orders⋈lineitem join shuffles on orderkey only.
+      val asiaNations = tbl(s, dir, "nation")
+        .join(tbl(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders")
+          .filter(col("o_orderdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate").cast("timestamp") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(tbl(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .join(tbl(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
+    "q10_returned_items" -> ((s, dir) =>
+      // TPC-H Q10 shape: returned-lineitem revenue per customer over a
+      // quarter — selective fact filter, 3 joins (nation broadcast),
+      // hash agg, top-20 via TakeOrderedAndProject.
+      tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders")
+          .filter(col("o_orderdate").cast("timestamp") >= lit("1996-10-01").cast("timestamp") &&
+            col("o_orderdate").cast("timestamp") < lit("1997-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(tbl(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(tbl(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)),
+
     // ---- dedup extension family ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir)).orderBy("fingerprint")),
@@ -1470,6 +1547,41 @@ object SparkEntry {
         .orderBy(col("n_docs").desc, col("bigram").asc)
         .limit(20)),
 
+    "dedup_graph_degrees" -> ((s, dir) => {
+      // audit of the near-dup graph the CC stage consumes: node-degree
+      // histogram. Degree-1 dominance means isolated pairs; a heavy
+      // tail is the template/boilerplate hub that motivates bucket caps
+      // and salting. Reuses the shared verified-pair memo — two tiny
+      // hash aggs over the pair set, nothing recomputed.
+      val p = sharedMinhashPairs(s, dir)
+      p.select(col("doc_a").as("doc_id"))
+        .unionAll(p.select(col("doc_b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
+    "sample_by_perplexity" -> ((s, dir) => {
+      // perplexity-stratified sampling (the CCNet recipe): split the
+      // corpus at the mean LM score (S4 scalar, 6dp-rounded on both
+      // engines), then hash-sample per stratum — keep 80% of the
+      // above-mean half and 20% of the tail. Reproducible on any
+      // engine/partitioning (md5-fold bucket, never rand()); the mean
+      // is one partial-merge aggregate, scale-safe where an exact
+      // median would not be.
+      val scored = graft.Caches.persist(lmScores(s, dir))
+      val cut = round6(scored.agg(avg("lm_score")).head().getDouble(0))
+      scored
+        .withColumn("stratum",
+          when(col("lm_score") >= cut, lit("hi")).otherwise(lit("lo")))
+        .withColumn("bucket",
+          pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(10L)))
+        .filter((col("stratum") === "hi" && col("bucket") < 8) ||
+          (col("stratum") === "lo" && col("bucket") < 2))
+        .select("doc_id", "lm_score", "stratum")
+        .orderBy("doc_id")
+    }),
+
     "sample_hash_bucket" -> ((s, dir) =>
       // reproducible down-sampling — the training-data op behind data
       // versioning and held-out splits: bucket = 60-bit md5 of the doc
@@ -1651,35 +1763,7 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
-    "text_lm_score" -> ((s, dir) => {
-      // LM-based quality scoring (the CCNet-style filter an LLM data
-      // pipeline runs after dedup): score every document by the average
-      // log10 probability of its bigrams under the corpus's own
-      // add-one-smoothed bigram model. All counts are hash aggregates
-      // over compact token keys; the scoring join is bigram-string
-      // equi-join (AQE broadcasts the LM table while it fits); the one
-      // window (bigram formation via lead) is partitioned by doc_id.
-      val toks = docs(s, dir).select(col("doc_id"),
-        posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val big = graft.Caches.persist(
-        toks.withColumn("w2", lead("w", 1).over(w))
-          .filter(col("w2").isNotNull)
-          .withColumn("bg", concat(col("w"), lit(" "), col("w2"))))
-      val c2 = big.groupBy("bg").agg(count(lit(1)).as("c2"))
-      val c1 = big.groupBy("w").agg(count(lit(1)).as("c1"))
-      // vocabulary size over ALL token occurrences (scalar materialize,
-      // the S4 pattern) — the add-one denominator
-      val vocab = toks.select("w").distinct().count()
-      big
-        .join(c2, Seq("bg"))
-        .join(c1, Seq("w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(log10((col("c2") + 1).cast("double") / (col("c1") + vocab))), 6)
-            .as("lm_score"))
-        .orderBy("doc_id")
-    }),
+    "text_lm_score" -> ((s, dir) => lmScores(s, dir).orderBy("doc_id")),
 
     "text_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
