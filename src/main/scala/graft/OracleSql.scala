@@ -1475,6 +1475,48 @@ private[graft] object OracleSql {
         |   OR (lm_score < (SELECT c FROM cut) AND ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 < 2)
         |ORDER BY doc_id""".stripMargin,
 
+    "emb_pca_power" ->
+      // per-dim means and covariance entries 6dp-rounded on both sides;
+      // the three power iterations are unrolled CTEs (v0 = 1/sqrt(64))
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |x AS (SELECT vec_id, r.i AS i, ve[r.i] AS x FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r),
+        |m AS (SELECT i, round(avg(x), 6) AS m FROM x GROUP BY i),
+        |c AS (SELECT x.vec_id, x.i, x.x - m.m AS xc FROM x JOIN m USING (i)),
+        |cov AS (SELECT a.i AS i, b.i AS j, round(sum(a.xc * b.xc) / ((SELECT count(*) FROM v) - 1.0), 6) AS c
+        |        FROM c a JOIN c b ON a.vec_id = b.vec_id GROUP BY a.i, b.i),
+        |v0 AS (SELECT unnest(range(1, 65)) AS i, 1.0 / sqrt(64.0) AS val),
+        |p1 AS (SELECT cov.i, sum(cov.c * v0.val) AS w FROM cov JOIN v0 ON cov.j = v0.i GROUP BY cov.i),
+        |n1 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM p1) AS val FROM p1),
+        |p2 AS (SELECT cov.i, sum(cov.c * n1.val) AS w FROM cov JOIN n1 ON cov.j = n1.i GROUP BY cov.i),
+        |n2 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM p2) AS val FROM p2),
+        |p3 AS (SELECT cov.i, sum(cov.c * n2.val) AS w FROM cov JOIN n2 ON cov.j = n2.i GROUP BY cov.i),
+        |n3 AS (SELECT i, w / (SELECT sqrt(sum(w * w)) FROM p3) AS val FROM p3)
+        |SELECT i - 1 AS dim, round(val, 6) AS loading FROM n3 ORDER BY dim""".stripMargin,
+
+    "curate_dedup_rate_by_source" ->
+      s"""WITH RECURSIVE $hashedShingleCtes,
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |losers AS (SELECT node AS doc_id FROM comp WHERE node <> component)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |       round(CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "sink_json_roundtrip" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "dedup_graph_degrees" ->
       s"""WITH $hashedShingleCtes,
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

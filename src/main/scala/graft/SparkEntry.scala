@@ -322,6 +322,20 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    "sink_json_roundtrip" -> ((s, dir) => {
+      // JSON-lines sink + schema'd scan (completes the sink family:
+      // csv, orc, jsonl, partitioned/bucketed parquet). No inference
+      // pass on read-back — the SURVEY S1 explicit-schema rule applies
+      // to every text format.
+      val out = s"$WorkDir/docs_jsonl"
+      docs(s, dir).select("doc_id", "source", "n_chars")
+        .write.mode("overwrite").json(out)
+      s.read.schema("doc_id LONG, source STRING, n_chars LONG").json(out)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("total_chars"))
+        .orderBy("source")
+    }),
+
     "sink_orc_roundtrip" -> ((s, dir) => {
       // ORC sink + scan (the second columnar format Spark ships) — same
       // aggregate contract as the CSV roundtrip
@@ -1546,6 +1560,32 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("n_docs").desc, col("bigram").asc)
         .limit(20)),
+
+    "emb_pca_power" -> ((s, dir) =>
+      // top principal component via distributed Gramian + driver power
+      // iteration — see Similarity.pcaTopComponent for the scale split
+      // (N·d² narrow rows, one d²-group shuffle, fixed-size collect)
+      Similarity.pcaTopComponent(
+          tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+        .orderBy("dim")),
+
+    "curate_dedup_rate_by_source" -> ((s, dir) => {
+      // which sources pollute the corpus: per-source near-dup LOSER
+      // share — the audit that steers crawl budget. Joins the shared CC
+      // memo (tiny pair-graph labels) against doc metadata; one hash
+      // agg per source.
+      val losers = nearDupComponents(s, dir)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"), lit(1L).as("is_loser"))
+      docs(s, dir).select("doc_id", "source")
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("is_loser"), lit(0L))).as("n_dups"),
+          round(sum(coalesce(col("is_loser"), lit(0L))).cast("double")
+            / count(lit(1)), 6).as("dup_rate"))
+        .orderBy("source")
+    }),
 
     "dedup_graph_degrees" -> ((s, dir) => {
       // audit of the near-dup graph the CC stage consumes: node-degree

@@ -478,6 +478,63 @@ object Similarity {
     * the pair join moves (cluster, id, vector) once, bucketed by
     * cluster.
     */
+  /** Top principal component of the embedding cloud by POWER ITERATION —
+    * the canonical distributed-PCA split for tall-skinny data: the d×d
+    * Gramian is computed on the cluster, the d-sized eigen step on the
+    * driver.
+    *
+    *  - Per-dim means (6dp-rounded, broadcast) center the data.
+    *  - The covariance entries come from a DOUBLE posexplode (no
+    *    self-join: the second explode carries the row's own array), so
+    *    the N·d² product rows are NARROW; the only shuffle is the
+    *    (i, j) hash aggregate — d² groups with map-side partials, i.e.
+    *    4096 keys per partition regardless of N. A BLAS outer-product
+    *    `mapPartitions` would cut the narrow row blowup too, at the cost
+    *    of leaving Catalyst; at d=64 the relational form wins on
+    *    simplicity and stays in codegen.
+    *  - cov entries are 6dp-rounded on BOTH engines (kills summation-
+    *    order ulps), then collected — d² values, a FIXED-size driver
+    *    materialization independent of corpus size (the S4 scalar rule,
+    *    d² wide).
+    *  - `iters` power iterations v ← C·v / ‖C·v‖ run on the driver from
+    *    v₀ = 1⃗/√d; deterministic, mirrored unrolled in the oracle.
+    *
+    * Output: (dim, loading) — the unit eigenvector estimate, 6dp.
+    */
+  def pcaTopComponent(embeddings: DataFrame, dim: Int = 64,
+      iters: Int = 3): DataFrame = {
+    val spark = embeddings.sparkSession
+    val n = embeddings.count()
+    val m = embeddings
+      .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .groupBy("pos").agg(round(avg(col("xf").cast("double")), 6).as("m"))
+    val e1 = embeddings.select(col("vec_id"), col("embedding").as("emb"),
+      posexplode(col("embedding")).as(Seq("i", "xif")))
+    val e2 = e1.select(col("vec_id"), col("i"),
+      col("xif").cast("double").as("xi"),
+      posexplode(col("emb")).as(Seq("j", "xjf")))
+    val centered = e2
+      .join(broadcast(m.select(col("pos").as("i"), col("m").as("mi"))), Seq("i"))
+      .join(broadcast(m.select(col("pos").as("j"), col("m").as("mj"))), Seq("j"))
+      .select(col("i"), col("j"),
+        ((col("xi") - col("mi")) * (col("xjf").cast("double") - col("mj"))).as("p"))
+    val cov = centered.groupBy("i", "j")
+      .agg(round(sum("p") / (n - 1.0), 6).as("c"))
+    val C = Array.ofDim[Double](dim, dim)
+    cov.collect().foreach(r => C(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+    var v = Array.fill(dim)(1.0 / math.sqrt(dim.toDouble))
+    for (_ <- 0 until iters) {
+      val w = Array.tabulate(dim)(i => (0 until dim).map(j => C(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(t => t * t).sum)
+      v = w.map(_ / nrm)
+    }
+    import spark.implicits._
+    v.toSeq.zipWithIndex.map { case (l, i) =>
+      (i.toLong, java.math.BigDecimal.valueOf(l)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }.toDF("dim", "loading")
+  }
+
   def semanticDupDrops(embeddings: DataFrame, threshold: Double,
       nCentroids: Int = 8, lloydIters: Int = 1,
       maxClusterSize: Int = 10000): DataFrame = {

@@ -223,6 +223,25 @@ class SimilaritySpec extends SparkSpec {
     assert(drops == Seq((2L, 0L, 0L), (3L, 0L, 0L)))
   }
 
+  test("pcaTopComponent recovers a planted principal axis") {
+    import spark.implicits._
+    // all variance lies along (1,1,0): the rank-1 covariance's top
+    // eigenvector is (1,1,0)/√2, and power iteration from the uniform
+    // start must land on it (positive orientation) in one step
+    val emb = Seq(
+      (0L, Seq(1.0f, 1.0f, 0.0f)),
+      (1L, Seq(2.0f, 2.0f, 0.0f)),
+      (2L, Seq(3.0f, 3.0f, 0.0f)),
+      (3L, Seq(4.0f, 4.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.pcaTopComponent(emb, dim = 3)
+      .orderBy("dim").as[(Long, Double)].collect().toSeq
+    val want = Seq(0.707107, 0.707107, 0.0)
+    assert(got.map(_._1) == Seq(0L, 1L, 2L))
+    got.map(_._2).zip(want).foreach { case (g, w) =>
+      assert(math.abs(g - w) < 1e-5, s"loading $g vs $w")
+    }
+  }
+
   test("pqTopK ranks by summed table lookups; rank-1 is a plausible neighbor") {
     import spark.implicits._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
