@@ -553,11 +553,17 @@ object Similarity {
       col("embedding").as("emb_a"))
     val r = b.select(col("cluster"), col("vec_id").as("dst"),
       col("embedding").as("emb_b"))
-    val pairs = l.join(r, Seq("cluster"))
-      .filter(col("src") < col("dst"))
-      .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
-      .select("src", "dst")
-    Graph.connectedComponents(pairs)
+    // persist: the closure reads the pair set several times (the
+    // symmetrization union alone scans it twice), and τ-chains inside
+    // fixed-occupancy clusters run long — the alternating star
+    // formulation closes them in 2-4 rounds where min-label+pointer-
+    // jumping needed ~15 (measured 6 s vs 24 s on the sf0.1 graph)
+    val pairs = graft.Caches.persist(
+      l.join(r, Seq("cluster"))
+        .filter(col("src") < col("dst"))
+        .filter(cosine(col("emb_a"), col("emb_b")) >= threshold)
+        .select("src", "dst"))
+    Graph.connectedComponentsStars(pairs)
       .filter(col("node") > col("component"))
       .join(assigned.select(col("vec_id"), col("cluster")),
         col("node") === col("vec_id"))
