@@ -1407,6 +1407,34 @@ private[graft] object OracleSql {
         |       arg_min(t[i], i) AS first_word
         |FROM p GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin,
 
+    "chunk_sliding" ->
+      // width 32 = 2 x stride 16: every position belongs to windows
+      // (i-1)//16 and its predecessor — mirrored as a 2-element unnest
+      """WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |p AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks),
+        |m AS (SELECT doc_id, i, t[i] AS w, unnest([(i - 1) // 16, (i - 1) // 16 - 1]) AS chunk_id FROM p)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(count(*) AS BIGINT) AS n_in_chunk,
+        |       arg_min(w, i) AS first_word
+        |FROM m WHERE chunk_id >= 0
+        |GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "w7_first_last" ->
+      """SELECT o_orderkey, o_custkey,
+        |       first_value(o_totalprice) OVER w AS first_price,
+        |       last_value(o_totalprice) OVER w AS last_price,
+        |       nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q14_promo_effect" ->
+      """SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-06-01' AND l_shipdate < TIMESTAMP '1996-07-01'""".stripMargin,
+
     "pack_sequences" ->
       // per-(lang, shard) greedy packing: cumulative start offset via the
       // same ROWS-frame window, bin = start_off div 512

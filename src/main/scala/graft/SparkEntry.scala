@@ -923,6 +923,36 @@ object SparkEntry {
         .orderBy("c_custkey")
     }),
 
+    "w7_first_last" -> ((s, dir) => {
+      // first_value / last_value / nth_value with an explicit
+      // unbounded-both frame (the value-window faces the gate was
+      // missing next to w1-w6's rank family), partitioned per customer
+      // with a unique (date, orderkey) order so both engines agree
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q14_promo_effect" -> ((s, dir) =>
+      // TPC-H Q14 shape: promo revenue share over a month — broadcast
+      // part join + one conditional aggregate, the ratio formed from
+      // two sums in a single pass
+      tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("timestamp") >= lit("1996-06-01").cast("timestamp") &&
+          col("l_shipdate").cast("timestamp") < lit("1996-07-01").cast("timestamp"))
+        .join(broadcast(tbl(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .agg(round(lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0.0))) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("promo_revenue_pct"))),
+
     "asof_latest_order" -> ((s, dir) => {
       // point-in-time enrichment: each event carries the user's most
       // recent order at-or-before the event (kdb/pandas/DuckDB "ASOF"),
@@ -1717,6 +1747,26 @@ object SparkEntry {
       val toks = docs(s, dir).select(col("doc_id"),
         posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
       toks.groupBy(col("doc_id"), floor(col("pos") / 32).cast("long").as("chunk_id"))
+        .agg(count(lit(1)).as("n_in_chunk"),
+          min_by(col("w"), col("pos")).as("first_word"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    "chunk_sliding" -> ((s, dir) => {
+      // sliding-window chunking (width 32, stride 16 — 50% overlap),
+      // the RAG variant where boundary context matters. With width =
+      // 2·stride every token lands in exactly two windows (ids
+      // floor(pos/16) and its predecessor), so chunk membership is a
+      // 2-element array explode — no window function, no self-join; one
+      // (doc, chunk) hash agg. Narrow and linear like chunk_tokens.
+      val toks = docs(s, dir).select(col("doc_id"),
+        posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
+      toks
+        .select(col("doc_id"), col("pos"), col("w"),
+          explode(array(floor(col("pos") / 16).cast("long"),
+            floor(col("pos") / 16).cast("long") - 1)).as("chunk_id"))
+        .filter(col("chunk_id") >= 0)
+        .groupBy("doc_id", "chunk_id")
         .agg(count(lit(1)).as("n_in_chunk"),
           min_by(col("w"), col("pos")).as("first_word"))
         .orderBy("doc_id", "chunk_id")
