@@ -1407,6 +1407,73 @@ private[graft] object OracleSql {
         |       arg_min(t[i], i) AS first_word
         |FROM p GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin,
 
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |             FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+        |       round(o_totalprice, 2) AS o_totalprice, total_qty
+        |FROM orders JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q22_sales_opportunity" ->
+      // threshold = 6dp-rounded positive-average balance on both sides
+      """WITH a AS (SELECT round(avg(c_acctbal), 6) AS ab FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT ab FROM a)
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "agg_hll_distinct" ->
+      // the registers themselves are mirrored (identical md5-fold hash,
+      // identical rho), so the estimate matches to the last bit before
+      // the 4dp round; alpha written in the same operation order
+      s"""WITH $indexCtes,
+        |hh AS (SELECT ${md5Hash60Sql("word")} AS h FROM flat),
+        |hb AS (SELECT h % 1024 AS b, h // 1024 AS rest FROM hh),
+        |r AS (SELECT b, max(CASE WHEN rest = 0 THEN 51 ELSE 51 - len(bin(rest)) END) AS m FROM hb GROUP BY b),
+        |e AS (SELECT sum(power(2.0, -m)) AS s_present, count(*) AS n_present FROM r),
+        |f AS (SELECT (SELECT CAST(count(DISTINCT word) AS BIGINT) FROM flat) AS n_exact,
+        |             round(0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 / (s_present + (1024 - n_present)), 4) AS n_hll
+        |      FROM e)
+        |SELECT n_exact, n_hll, round(abs(n_hll - n_exact) / n_exact, 4) AS rel_err FROM f""".stripMargin,
+
+    "events_transition_matrix" ->
+      """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events),
+        |g AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM e),
+        |p AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |      FROM g WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total FROM p GROUP BY event_type)
+        |SELECT p.event_type, p.next_type, p.n, round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p
+        |FROM p JOIN t USING (event_type) ORDER BY p.event_type, p.next_type""".stripMargin,
+
+    "events_user_profiles" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |       round(sum(value), 6) AS total_value, round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "orders_rfm" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS d FROM orders),
+        |r AS (SELECT o_custkey,
+        |             CAST(date_diff('day', max(CAST(o_orderdate AS DATE)), (SELECT d FROM mx)) AS BIGINT) AS r_days,
+        |             CAST(count(*) AS BIGINT) AS frequency,
+        |             round(sum(o_totalprice), 2) AS monetary
+        |      FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, r_days, frequency, monetary,
+        |       CASE WHEN r_days <= 90 AND frequency >= 12 THEN 'champion'
+        |            WHEN r_days <= 180 AND frequency >= 10 THEN 'loyal'
+        |            WHEN r_days > 365 THEN 'lapsed'
+        |            ELSE 'regular' END AS segment
+        |FROM r ORDER BY o_custkey""".stripMargin,
+
     "chunk_sliding" ->
       // width 32 = 2 x stride 16: every position belongs to windows
       // (i-1)//16 and its predecessor — mirrored as a 2-element unnest

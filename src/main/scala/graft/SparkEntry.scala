@@ -1305,6 +1305,47 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)),
 
+    "q18_large_orders" -> ((s, dir) => {
+      // TPC-H Q18 shape: aggregate-then-semi-join — order keys whose
+      // total lineitem quantity clears a threshold (a HAVING over the
+      // fact table), then the order/customer detail for just those
+      // keys. The heavy agg runs FIRST and the tiny survivor set
+      // broadcasts back against the facts.
+      val big = tbl(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("total_qty"))
+        .filter(col("total_qty") > 200)
+      tbl(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderdate").cast("date").cast("string").as("o_date"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    "q22_sales_opportunity" -> ((s, dir) => {
+      // TPC-H Q22 shape: scalar-subquery threshold (positive average
+      // balance, an S4 scalar) + anti-join (customers with no RECENT
+      // orders — every customer here has some order, so the classic
+      // no-orders form would be vacuously empty) + per-group agg — the
+      // exists/not-exists face.
+      val cust = tbl(s, dir, "customer")
+      val avgBal = round6(cust.filter(col("c_acctbal") > 0)
+        .agg(avg("c_acctbal")).head().getDouble(0))
+      val recent = tbl(s, dir, "orders")
+        .filter(col("o_orderdate").cast("timestamp") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey").as("c_custkey"))
+      cust.filter(col("c_acctbal") > avgBal)
+        .join(recent, Seq("c_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum("c_acctbal"), 2).as("total_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
     // ---- dedup extension family ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir)).orderBy("fingerprint")),
@@ -2505,6 +2546,90 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vocab"),
           round(regr_slope(log(col("freq")), log(col("rank"))), 6).as("zipf_slope"),
           round(regr_r2(log(col("freq")), log(col("rank"))), 6).as("zipf_r2"))
+    }),
+
+    "agg_hll_distinct" -> ((s, dir) => {
+      // HyperLogLog (Flajolet et al. 2007) built RELATIONALLY: the 1024
+      // registers are one hash aggregate over token hashes — the
+      // shuffle carries (bucket, max-rho) registers, never tokens, the
+      // exact shape a 100 TB distinct-count runs. The md5-fold hash
+      // makes the SKETCH itself engine-identical (registers mirror
+      // bitwise, not just the answer); exact distinct is computed
+      // alongside for the relative error. No small-range correction:
+      // vocab ≫ 2.5·m here (documented precondition).
+      val flat = Indexer.flatWords(docs(s, dir), stem = false).select("word")
+      val h = flat.select(Dedup.md5Hash60(col("word")).as("h"))
+        .select(pmod(col("h"), lit(1024L)).as("b"),
+          expr("h div 1024").as("rest"))
+        .withColumn("rho",
+          when(col("rest") === 0, lit(51L))
+            .otherwise(lit(51L) - length(bin(col("rest")))))
+      val regs = h.groupBy("b").agg(max("rho").as("m"))
+      val alpha = 0.7213 / (1.0 + 1.079 / 1024.0)
+      val est = regs.agg(
+        sum(pow(lit(2.0), -col("m"))).as("s_present"),
+        count(lit(1)).as("n_present"))
+        .select(round(lit(alpha * 1024.0 * 1024.0) /
+          (col("s_present") + (lit(1024L) - col("n_present")).cast("double")), 4)
+          .as("n_hll"))
+      val exact = flat.agg(countDistinct("word").as("n_exact"))
+      exact.crossJoin(est)
+        .withColumn("rel_err",
+          round(abs(col("n_hll") - col("n_exact")) / col("n_exact"), 4))
+    }),
+
+    "events_transition_matrix" -> ((s, dir) => {
+      // first-order Markov transitions between event types along each
+      // user's timeline (the session-model statistic): one lead window
+      // partitioned by user (the lm-bigram shape on events), then a
+      // 25-cell hash agg; row-normalized via a broadcast totals join.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("event_type").agg(sum("n").as("row_total"))
+      pairs.join(broadcast(totals), Seq("event_type"))
+        .select(col("event_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("row_total"), 6).as("p"))
+        .orderBy("event_type", "next_type")
+    }),
+
+    "events_user_profiles" -> ((s, dir) =>
+      // feature engineering: the per-user behavioral profile a
+      // downstream model consumes — typed event counts (a fixed pivot
+      // as conditional aggregates, no Pivot operator's value-discovery
+      // pass) + value stats; ONE shuffle on user_id with map-side
+      // partials.
+      events(s, dir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+          round(sum("value"), 6).as("total_value"),
+          round(avg("value"), 6).as("avg_value"))
+        .orderBy("user_id")),
+
+    "orders_rfm" -> ((s, dir) => {
+      // RFM segmentation: recency vs the corpus max date (an S4
+      // scalar), frequency, monetary — then fixed business rules label
+      // the segments; one shuffle on custkey. Thresholds sit at the
+      // observed quartiles so every segment is populated.
+      val o = tbl(s, dir, "orders")
+      val maxDate = o.agg(max(col("o_orderdate").cast("date"))).head().getDate(0)
+      val rfm = o.groupBy("o_custkey")
+        .agg(datediff(lit(maxDate), max(col("o_orderdate").cast("date"))).cast("long").as("r_days"),
+          count(lit(1)).as("frequency"),
+          round(sum("o_totalprice"), 2).as("monetary"))
+      rfm.withColumn("segment",
+          when(col("r_days") <= 90 && col("frequency") >= 12, "champion")
+            .when(col("r_days") <= 180 && col("frequency") >= 10, "loyal")
+            .when(col("r_days") > 365, "lapsed")
+            .otherwise("regular"))
+        .orderBy("o_custkey")
     }),
 
     "agg_topk_sketch" -> ((s, dir) =>
