@@ -1427,6 +1427,51 @@ private[graft] object OracleSql {
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "agg_countmin" ->
+      // every cell mirrors bitwise (same md5-fold row hashes), so the
+      // point estimates and their overcounts match exactly
+      s"""WITH $indexCtes,
+        |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM flat GROUP BY word),
+        |j AS (SELECT unnest(range(0, 4)) AS j),
+        |cells AS (SELECT j, ${md5Hash60Sql("word || '#' || CAST(j AS VARCHAR)")} % 256 AS ccol,
+        |                 CAST(sum(n) AS BIGINT) AS cell
+        |          FROM wc CROSS JOIN j GROUP BY 1, 2),
+        |top AS (SELECT word, n FROM wc ORDER BY n DESC, word LIMIT 10),
+        |est AS (SELECT t.word, t.n, min(c.cell) AS cm_est
+        |        FROM top t CROSS JOIN j
+        |        JOIN cells c ON c.j = j.j
+        |         AND c.ccol = ${md5Hash60Sql("t.word || '#' || CAST(j.j AS VARCHAR)")} % 256
+        |        GROUP BY t.word, t.n)
+        |SELECT word, n AS exact_n, cm_est, cm_est - n AS overcount
+        |FROM est ORDER BY exact_n DESC, word""".stripMargin,
+
+    "text_idf_drift" ->
+      s"""WITH $indexCtes,
+        |d AS (SELECT DISTINCT doc_id, word, doc_id % 2 AS half FROM flat),
+        |nh AS (SELECT half, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM d GROUP BY half),
+        |i AS (SELECT half, word, log10(CAST(n_docs AS DOUBLE) / count(*)) AS idf
+        |      FROM d JOIN nh USING (half) GROUP BY half, word, n_docs),
+        |a AS (SELECT word, idf AS idf_a FROM i WHERE half = 0),
+        |b AS (SELECT word, idf AS idf_b FROM i WHERE half = 1)
+        |SELECT word, round(idf_a, 6) AS idf_a, round(idf_b, 6) AS idf_b,
+        |       round(abs(idf_a - idf_b), 6) AS drift
+        |FROM a JOIN b USING (word)
+        |ORDER BY round(abs(idf_a - idf_b), 6) DESC, word LIMIT 20""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
     "agg_hll_distinct" ->
       // the registers themselves are mirrored (identical md5-fold hash,
       // identical rho), so the estimate matches to the last bit before

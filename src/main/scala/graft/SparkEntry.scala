@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -2564,6 +2564,82 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_vocab"),
           round(regr_slope(log(col("freq")), log(col("rank"))), 6).as("zipf_slope"),
           round(regr_r2(log(col("freq")), log(col("rank"))), 6).as("zipf_r2"))
+    }),
+
+    "agg_countmin" -> ((s, dir) => {
+      // Count-Min sketch (Cormode & Muthukrishnan 2005) built
+      // RELATIONALLY, completing the sketch triad next to Space-Saving
+      // (agg_topk_sketch) and HyperLogLog (agg_hll_distinct): a 4×256
+      // cell table as ONE hash aggregate over (row, hashed-column)
+      // keys; point estimates = min over the 4 rows. The md5-fold row
+      // hashes make every cell engine-identical, so the estimates (and
+      // their overcounts — the sketch's defining error) mirror exactly.
+      val wc = graft.Caches.persist(
+        Indexer.flatWords(docs(s, dir), stem = false)
+          .groupBy("word").agg(count(lit(1)).as("n")))
+      val js = explode(array((0 until 4).map(j => lit(j)): _*)).as("j")
+      def ccol(w: Column, j: Column): Column =
+        pmod(Dedup.md5Hash60(concat(w, lit("#"), j.cast("string"))), lit(256L))
+      val cells = wc.select(col("word"), col("n"), js)
+        .select(col("j"), ccol(col("word"), col("j")).as("ccol"), col("n"))
+        .groupBy("j", "ccol").agg(sum("n").as("cell"))
+      wc.orderBy(col("n").desc, col("word").asc).limit(10)
+        .select(col("word"), col("n"), js)
+        .withColumn("ccol", ccol(col("word"), col("j")))
+        .join(cells, Seq("j", "ccol"))
+        .groupBy("word", "n").agg(min("cell").as("cm_est"))
+        .select(col("word"), col("n").as("exact_n"), col("cm_est"),
+          (col("cm_est") - col("n")).as("overcount"))
+        .orderBy(col("exact_n").desc, col("word").asc)
+    }),
+
+    "text_idf_drift" -> ((s, dir) => {
+      // batch-drift monitor: split the corpus into two deterministic
+      // halves (doc_id parity — in production, two ingest batches) and
+      // rank words by |IDF shift| between halves. The detector a
+      // pipeline runs before mixing a new crawl into training data.
+      // All hash aggs over (half, word); per-half doc counts broadcast.
+      val d = graft.Caches.persist(
+        Indexer.flatWords(docs(s, dir), stem = false)
+          .select("doc_id", "word").distinct()
+          .withColumn("half", pmod(col("doc_id"), lit(2L))))
+      val nh = d.select("doc_id", "half").distinct()
+        .groupBy("half").agg(count(lit(1)).as("n_docs"))
+      val idf = d.groupBy("half", "word").agg(count(lit(1)).as("df"))
+        .join(broadcast(nh), Seq("half"))
+        .select(col("half"), col("word"),
+          log10(col("n_docs").cast("double") / col("df")).as("idf"))
+      idf.filter(col("half") === 0).select(col("word"), col("idf").as("idf_a"))
+        .join(idf.filter(col("half") === 1).select(col("word"), col("idf").as("idf_b")),
+          Seq("word"))
+        .select(col("word"), round(col("idf_a"), 6).as("idf_a"),
+          round(col("idf_b"), 6).as("idf_b"),
+          round(abs(col("idf_a") - col("idf_b")), 6).as("drift"))
+        .orderBy(col("drift").desc, col("word").asc)
+        .limit(20)
+    }),
+
+    "q7_nation_volume" -> ((s, dir) => {
+      // TPC-H Q7 shape: bidirectional two-nation trade flow — the
+      // disjunctive cross-nation predicate over a 6-table join, yearly
+      // rollup. Both nation dims broadcast.
+      val n1 = tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = tbl(s, dir, "nation")
+        .select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      tbl(s, dir, "supplier")
+        .join(tbl(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(tbl(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(tbl(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate").cast("timestamp")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
     }),
 
     "agg_hll_distinct" -> ((s, dir) => {
