@@ -1445,6 +1445,30 @@ private[graft] object OracleSql {
         |SELECT word, n AS exact_n, cm_est, cm_est - n AS overcount
         |FROM est ORDER BY exact_n DESC, word""".stripMargin,
 
+    "text_gopher_rules" ->
+      s"""WITH d AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |t AS (SELECT doc_id, unnest(tk) AS w FROM d),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |              round(avg(len(w)), 6) AS mean_word_len,
+        |              CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that','have','with') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        |       FROM t GROUP BY doc_id),
+        |sy AS (SELECT doc_id, CAST(len(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) AS n_sym FROM d)
+        |SELECT st.doc_id, n_words, mean_word_len, stop_hits,
+        |       round(n_sym / n_words, 6) AS symbol_ratio,
+        |       n_words BETWEEN 50 AND 100000 AS ok_count,
+        |       mean_word_len BETWEEN 3.0 AND 10.0 AS ok_len,
+        |       round(n_sym / n_words, 6) <= 0.1 AS ok_symbols,
+        |       stop_hits >= 2 AS ok_stop,
+        |       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |         AND (round(n_sym / n_words, 6) <= 0.1) AND (stop_hits >= 2) AS keep
+        |FROM st JOIN sy USING (doc_id) ORDER BY st.doc_id""".stripMargin,
+
+    "sink_compaction" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(32 AS BIGINT) AS files_before, CAST(2 AS BIGINT) AS files_after
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "text_idf_drift" ->
       s"""WITH $indexCtes,
         |d AS (SELECT DISTINCT doc_id, word, doc_id % 2 AS half FROM flat),

@@ -2593,6 +2593,55 @@ object SparkEntry {
         .orderBy(col("exact_n").desc, col("word").asc)
     }),
 
+    "text_gopher_rules" -> ((s, dir) => {
+      // the Gopher quality-rule battery (Rae et al. 2021 §A1.1), the
+      // canonical pre-training document gate: word-count bounds, mean
+      // word length bounds, symbol-to-word ratio, minimum stopword
+      // hits. One tokenize-explode + hash agg computes every token
+      // statistic; the symbol count is a narrow length-difference on
+      // the raw text. Per-rule flags are kept (the audit needs to know
+      // WHY a doc dropped), `keep` is their conjunction.
+      val stop8 = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("text"),
+          explode(TextAnalysis.rawTokens(col("text"))).as("w"))
+      val st = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          round(avg(length(col("w"))), 6).as("mean_word_len"),
+          sum(when(col("w").isin(stop8: _*), 1L).otherwise(0L)).as("stop_hits"),
+          first(col("text")).as("text"))
+      st.select(col("doc_id"), col("n_words"), col("mean_word_len"), col("stop_hits"),
+          round(length(regexp_replace(col("text"), "[a-z ]", "")).cast("double")
+            / col("n_words"), 6).as("symbol_ratio"))
+        .withColumn("ok_count", col("n_words").between(50, 100000))
+        .withColumn("ok_len", col("mean_word_len").between(3.0, 10.0))
+        .withColumn("ok_symbols", col("symbol_ratio") <= 0.1)
+        .withColumn("ok_stop", col("stop_hits") >= 2)
+        .withColumn("keep",
+          col("ok_count") && col("ok_len") && col("ok_symbols") && col("ok_stop"))
+        .orderBy("doc_id")
+    }),
+
+    "sink_compaction" -> ((s, dir) => {
+      // the small-files remedy — THE table-maintenance op at 100 TB: a
+      // fragmented write (32 shards of a tiny table, the pathology) is
+      // compacted by explicit repartition + rewrite; file counts from
+      // the FS prove the compaction, the re-read aggregate proves
+      // losslessness.
+      val frag = s"$WorkDir/docs_frag"
+      val comp = s"$WorkDir/docs_compact"
+      docs(s, dir).select("doc_id", "lang").repartition(32)
+        .write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).repartition(2)
+        .write.mode("overwrite").parquet(comp)
+      def nFiles(p: String): Long = new java.io.File(p).listFiles()
+        .count(_.getName.endsWith(".parquet")).toLong
+      s.read.parquet(comp).groupBy("lang").agg(count(lit(1)).as("n"))
+        .withColumn("files_before", lit(nFiles(frag)))
+        .withColumn("files_after", lit(nFiles(comp)))
+        .orderBy("lang")
+    }),
+
     "text_idf_drift" -> ((s, dir) => {
       // batch-drift monitor: split the corpus into two deterministic
       // halves (doc_id parity — in production, two ingest batches) and

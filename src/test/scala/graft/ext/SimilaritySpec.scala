@@ -223,6 +223,43 @@ class SimilaritySpec extends SparkSpec {
     assert(drops == Seq((2L, 0L, 0L), (3L, 0L, 0L)))
   }
 
+  test("hierarchical assignment (C > FlatAssignMax) is deterministic, valid, cell-consistent") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(e, nCentroids = 20)
+    val a1 = Similarity.ivfAssignWith(e, cents)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val a2 = Similarity.ivfAssignWith(e, cents)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(a1 == a2) // deterministic
+    val n = e.count()
+    assert(a1.map(_._1) == (0L until n).toSeq) // every vector exactly once
+    assert(a1.forall(p => p._2 >= 0 && p._2 < 20)) // clusters are centroid ids
+    // routing consistency: the assigned centroid must live in the same
+    // coarse cell the vector routed to — the defining invariant of the
+    // two-level path (flat assignment could pick any centroid)
+    val q = math.ceil(math.sqrt(20.0)).toInt
+    val coarse = cents.orderBy("cent_id").limit(q)
+      .select(col("cent_id").as("cell"), col("cent").as("cv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val centVecs = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val vecMap = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def cellOf(v: Seq[Double]): Long =
+      coarse.map { case (id, cv) => (cos(v, cv), -id) }.max match {
+        case (_, nid) => -nid
+      }
+    a1.foreach { case (vid, cluster) =>
+      assert(cellOf(vecMap(vid)) == cellOf(centVecs(cluster)),
+        s"vec $vid assigned to centroid $cluster outside its coarse cell")
+    }
+  }
+
   test("pcaTopComponent recovers a planted principal axis") {
     import spark.implicits._
     // all variance lies along (1,1,0): the rank-1 covariance's top
