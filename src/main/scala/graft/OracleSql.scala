@@ -1123,6 +1123,26 @@ private[graft] object OracleSql {
         |       round(avg(w), 6) AS score, round(avg(w), 6) > 0 AS keep
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "curate_dataset_card" ->
+      """WITH t AS (SELECT doc_id, lang, source, md5(text) AS fp,
+        |                  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |       round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS exact_dup_rate,
+        |       round(avg(CAST(n_toks AS DOUBLE)), 6) AS mean_doc_tokens
+        |FROM t""".stripMargin,
+
+    "events_dau_wau" ->
+      """WITH du AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
+        |w AS (SELECT user_id, day + o.o AS day FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o),
+        |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM w GROUP BY day)
+        |SELECT day, dau, wau, round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
+
     "curate_mix_weights" ->
       """WITH t AS (SELECT lang, source, CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks
         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),

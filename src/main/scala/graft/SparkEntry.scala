@@ -2255,6 +2255,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "curate_dataset_card" -> ((s, dir) => {
+      // the one-row dataset card a released corpus ships: sizes,
+      // diversity, token budget, exact-dup rate, mean doc length. One
+      // tokenize pass + one global aggregate; the dup rate reuses the
+      // md5 fingerprint groups (distinct fingerprints / docs).
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("fp"),
+          size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n_toks"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          countDistinct("lang").as("n_langs"),
+          countDistinct("source").as("n_sources"),
+          round(lit(1.0) - countDistinct("fp").cast("double") / count(lit(1)), 6)
+            .as("exact_dup_rate"),
+          round(avg("n_toks"), 6).as("mean_doc_tokens"))
+    }),
+
+    "events_dau_wau" -> ((s, dir) => {
+      // DAU / trailing-7-day WAU / stickiness — the product-analytics
+      // distinct-user window. Distinct counts don't compose across
+      // windows, so WAU is computed exactly: distinct (day, user)
+      // pairs exploded to the ≤7 trailing days they serve (a bounded
+      // 7× row blowup of USER IDS only), then one distinct-agg per
+      // day. DAU is the plain per-day distinct.
+      val du = graft.Caches.persist(
+        events(s, dir)
+          .select(col("user_id"),
+            floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+          .distinct())
+      val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+      val wau = du
+        .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+        .groupBy("day").agg(countDistinct("user_id").as("wau"))
+      // only days that actually occur (the explode also lands on the 6
+      // days after the last event — the semi-join drops them)
+      dau.join(wau, Seq("day"))
+        .select(col("day"), col("dau"), col("wau"),
+          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+        .orderBy("day")
+    }),
+
     "curate_mix_weights" -> ((s, dir) => {
       // the data-mixture table every training run reports: token counts
       // and corpus share per (lang, source) — the weights a sampler
