@@ -60,13 +60,18 @@ object ScaleBench {
     // pairs, which copying verbatim would create and which would make
     // semantic-dedup pair counts an artifact of the synth, not the op)
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    // shift amount wraps in [1, 63] for r > 0: a raw shift of 64 (dim)
+    // would reproduce replica 0 verbatim — planting the cos=1 pairs
+    // this perturbation exists to prevent — and > 64 would make slice's
+    // length negative
     emb.crossJoin(reps)
       .withColumn("vec_id", col("vec_id") + col("__r").cast("long") * 10000000L)
+      .withColumn("__s", pmod(col("__r") - 1, lit(63)) + 1)
       .withColumn("embedding",
         when(col("__r") === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), col("__r") + 1, size(col("embedding")) - col("__r")),
-          slice(col("embedding"), lit(1), col("__r")))))
-      .drop("__r")
+          slice(col("embedding"), col("__s") + 1, size(col("embedding")) - col("__s")),
+          slice(col("embedding"), lit(1), col("__s")))))
+      .drop("__r", "__s")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
@@ -97,7 +102,11 @@ object ScaleBench {
 
   def main(args: Array[String]): Unit = {
     // optional args: subset of Heavy to time (new ops without re-running
-    // the whole committed table)
+    // the whole committed table); fail fast on typos BEFORE paying for
+    // the two-dataset synthesis
+    val unknown = args.filterNot(Heavy.contains)
+    require(unknown.isEmpty,
+      s"not in Heavy: ${unknown.mkString(", ")} (choose from ${Heavy.mkString(", ")})")
     val selected = if (args.nonEmpty) Heavy.filter(args.contains) else Heavy
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt

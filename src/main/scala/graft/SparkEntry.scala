@@ -195,8 +195,10 @@ object SparkEntry {
     */
   private val semanticDropsMemo = new DirMemo((s, dir) => {
     val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
-    val c = math.max(8, math.ceil(emb.count() / 64.0).toInt)
-    graft.ext.Similarity.semanticDupDrops(emb, threshold = 0.35, nCentroids = c)
+    val n = emb.count()
+    val c = math.max(8, math.ceil(n / 64.0).toInt)
+    graft.ext.Similarity.semanticDupDrops(emb, threshold = 0.35, nCentroids = c,
+        corpusCount = Some(n))
       .localCheckpoint()
   })
 
@@ -2193,8 +2195,11 @@ object SparkEntry {
       // exactly BPE's merge order. Same per-word array-expression pair
       // formation as tok_bpe_pairs — the corpus never explodes to
       // per-character rows.
-      val words = docs(s, dir)
-        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      // persisted: the frame feeds BOTH the driver-side top-1 action
+      // and the rewrite plan — unpersisted it would tokenize the
+      // corpus twice
+      val words = graft.Caches.persist(docs(s, dir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word")))
       val top = words.filter(length(col("word")) >= 2)
         .select(explode(transform(
           sequence(lit(1), length(col("word")) - 1),
@@ -2222,8 +2227,9 @@ object SparkEntry {
       // when no single partner clears a Jaccard threshold). Shingles
       // are the 8-byte md5-fold hashes (shuffles never carry text);
       // df is one hash agg; the join back moves (hash, df) pairs.
-      val sh = graft.Caches.persist(
-        graft.ext.Dedup.shingleRows(docs(s, dir), k = 3, hashed = true))
+      // the shared per-(session, dir) shingle memo — same (k=3, hashed)
+      // parameters as the whole dedup family; no rebuild
+      val sh = sharedShingleRows(s, dir)
       val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       sh.join(df, Seq("shingle"))
         .groupBy("doc_id")
@@ -2644,17 +2650,20 @@ object SparkEntry {
       // the raw text. Per-rule flags are kept (the audit needs to know
       // WHY a doc dropped), `keep` is their conjunction.
       val stop8 = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      val toks = docs(s, dir)
-        .select(col("doc_id"), col("text"),
-          explode(TextAnalysis.rawTokens(col("text"))).as("w"))
-      val st = toks.groupBy("doc_id")
+      // token stats never carry text through the shuffle (the
+      // qualityMetrics rule): the narrow per-doc symbol count joins
+      // back AFTER the aggregate
+      val st = docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.rawTokens(col("text"))).as("w"))
+        .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
           round(avg(length(col("w"))), 6).as("mean_word_len"),
-          sum(when(col("w").isin(stop8: _*), 1L).otherwise(0L)).as("stop_hits"),
-          first(col("text")).as("text"))
-      st.select(col("doc_id"), col("n_words"), col("mean_word_len"), col("stop_hits"),
-          round(length(regexp_replace(col("text"), "[a-z ]", "")).cast("double")
-            / col("n_words"), 6).as("symbol_ratio"))
+          sum(when(col("w").isin(stop8: _*), 1L).otherwise(0L)).as("stop_hits"))
+      val sy = docs(s, dir).select(col("doc_id"),
+        length(regexp_replace(col("text"), "[a-z ]", "")).cast("double").as("n_sym"))
+      st.join(sy, Seq("doc_id"))
+        .select(col("doc_id"), col("n_words"), col("mean_word_len"), col("stop_hits"),
+          round(col("n_sym") / col("n_words"), 6).as("symbol_ratio"))
         .withColumn("ok_count", col("n_words").between(50, 100000))
         .withColumn("ok_len", col("mean_word_len").between(3.0, 10.0))
         .withColumn("ok_symbols", col("symbol_ratio") <= 0.1)

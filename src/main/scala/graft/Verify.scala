@@ -12,6 +12,8 @@ object Verify {
     // (and the only oracles written) — the driver passes exactly two
     // args, so its full-gate behavior is unchanged
     val only = args.drop(2).toSet
+    val unknown = only.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val selected =
       if (only.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(only).toMap

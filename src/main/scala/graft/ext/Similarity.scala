@@ -159,7 +159,8 @@ object Similarity {
     * whenever the query set isn't exactly the corpus seed set.
     */
   def ivfCentroids(corpus: DataFrame, nCentroids: Int = 8,
-      lloydIters: Int = 0, maxLloydSample: Int = 4096): DataFrame = {
+      lloydIters: Int = 0, maxLloydSample: Int = 4096,
+      knownCount: Option[Long] = None): DataFrame = {
     val vecs = corpus.select(col("vec_id"), col("embedding"))
     var cents = vecs
       .filter(col("vec_id") < nCentroids)
@@ -172,7 +173,7 @@ object Similarity {
       // md5-fold bucket sample, seeds force-included so no cluster can
       // go empty (its seed is its own nearest centroid). The gate's
       // oracle scale (500 vectors ≤ the cap) always takes the full set.
-      val n = vecs.count()
+      val n = knownCount.getOrElse(vecs.count())
       val train =
         if (n <= maxLloydSample) vecs
         else {
@@ -224,7 +225,10 @@ object Similarity {
     else {
       val q = math.ceil(math.sqrt(c.toDouble)).toInt
       // coarse cells = the q lowest-id centroids (deterministic, tiny)
-      val coarse = broadcast(cents.orderBy("cent_id").limit(q)
+      val coarseIds = cents.select("cent_id").orderBy("cent_id").limit(q)
+        .collect().map(_.getLong(0)).toSeq
+      val coarse = broadcast(cents
+        .filter(col("cent_id").isin(coarseIds: _*))
         .select(col("cent_id").as("cell"), col("cent").as("cell_vec")))
       // argmax via max_by hash aggs throughout (see assignNearest);
       // any_value carries the vector — every row in a group holds the
@@ -236,8 +240,19 @@ object Similarity {
           .agg(max_by(col("cell"), struct(col("cos"), (-col("cell")).as("nid")))
             .as("cell"),
             any_value(col(vecCol)).as(vecCol))
+      // a coarse seed centroid is PINNED to its own cell, making the
+      // no-empty-cell invariant EXPLICIT instead of emergent: with
+      // duplicate centroid vectors (dedup's expected input) the
+      // (cos, -id) tie-break routes a cell's own seed into a lower-id
+      // twin's cell — vectors then tie the same way so the empty cell
+      // is unreachable, but any perturbation of that symmetry (NaN
+      // components, future tie-break edits) would turn the inner cell
+      // join below into silent vector loss
       val centsInCell = broadcast(
-        toCell(cents.select(col("cent_id"), col("cent")), "cent_id", "cent"))
+        toCell(cents.select(col("cent_id"), col("cent")), "cent_id", "cent")
+          .withColumn("cell",
+            when(col("cent_id").isin(coarseIds: _*), col("cent_id"))
+              .otherwise(col("cell"))))
       toCell(vecs, "vec_id", "embedding")
         .join(centsInCell, Seq("cell"))
         .withColumn("cos", cosine(col("embedding"), col("cent")))
@@ -512,34 +527,6 @@ object Similarity {
       .select("vec_a", "vec_b", "cos")
   }
 
-  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
-    * near-duplicate REMOVAL, the semantic member of the dedup family.
-    * The published recipe: (1) k-means-cluster the embeddings so cosine
-    * is only ever computed between cluster-mates, (2) inside each
-    * cluster connect pairs whose cosine clears `threshold`, (3) keep ONE
-    * representative per duplicate group. Groups are closed transitively
-    * with [[Graph.connectedComponents]] — pair-loser removal drops a
-    * whole chain when only adjacent links are similar (the r3
-    * pipeline_dedup lesson); keeper = the component's minimum vec_id.
-    *
-    * Clusters come from [[ivfCentroids]] (corpus-seeded, `lloydIters`
-    * k-means refinements) — the exact `sim_ivf_assign` space, so the
-    * oracle shares that query's CTE chain.
-    *
-    * Output: one row per DROPPED vector — (vec_id, cluster, dup_of)
-    * where dup_of is its group's keeper; anti-join against the corpus
-    * for the surviving set.
-    *
-    * Scale: the cluster bound is the whole trick — the quadratic
-    * pairwise join runs per cluster only, and a production run scales
-    * the centroid count with the corpus (SemDeDup uses C ≈ O(√N)),
-    * holding expected occupancy constant. Degenerate clusters above
-    * `maxClusterSize` are dropped outright (same guard as
-    * [[cosineNearDupPairs]] / [[Dedup.minhashPairs]]). CC runs on the
-    * tiny τ-pair graph, never the corpus; no raw vector ever shuffles —
-    * the pair join moves (cluster, id, vector) once, bucketed by
-    * cluster.
-    */
   /** Top principal component of the embedding cloud by POWER ITERATION —
     * the canonical distributed-PCA split for tall-skinny data: the d×d
     * Gramian is computed on the cluster, the d-sized eigen step on the
@@ -597,11 +584,47 @@ object Similarity {
     }.toDF("dim", "loading")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    * near-duplicate REMOVAL, the semantic member of the dedup family.
+    * The published recipe: (1) k-means-cluster the embeddings so cosine
+    * is only ever computed between cluster-mates, (2) inside each
+    * cluster connect pairs whose cosine clears `threshold`, (3) keep ONE
+    * representative per duplicate group. Groups are closed transitively
+    * with [[Graph.connectedComponentsStars]] — pair-loser removal drops
+    * a whole chain when only adjacent links are similar (the r3
+    * pipeline_dedup lesson); keeper = the component's minimum vec_id.
+    *
+    * Clusters come from [[ivfCentroids]] (corpus-seeded, `lloydIters`
+    * k-means refinements) — the exact `sim_ivf_assign` space, so the
+    * oracle shares that query's CTE chain.
+    *
+    * Output: one row per DROPPED vector — (vec_id, cluster, dup_of)
+    * where dup_of is its group's keeper; anti-join against the corpus
+    * for the surviving set.
+    *
+    * Scale: the cluster bound is the whole trick — the quadratic
+    * pairwise join runs per cluster only, and a production run scales
+    * the centroid count with the corpus (C ∝ N at fixed occupancy),
+    * holding expected pair fan-out constant. Degenerate clusters above
+    * `maxClusterSize` are dropped outright (same guard as
+    * [[cosineNearDupPairs]] / [[Dedup.minhashPairs]]). CC runs on the
+    * tiny τ-pair graph, never the corpus; no raw vector ever shuffles —
+    * the pair join moves (cluster, id, vector) once, bucketed by
+    * cluster.
+    *
+    * @param corpusCount caller-known |corpus| (skips a count job —
+    *                    forwarded to [[ivfCentroids]]'s Lloyd sampler)
+    */
   def semanticDupDrops(embeddings: DataFrame, threshold: Double,
       nCentroids: Int = 8, lloydIters: Int = 1,
-      maxClusterSize: Int = 10000): DataFrame = {
+      maxClusterSize: Int = 10000,
+      corpusCount: Option[Long] = None): DataFrame = {
     val emb = embeddings.select(col("vec_id"), col("embedding"))
-    val cents = ivfCentroids(emb, nCentroids, lloydIters)
+    // persist (registry-tracked): the centroid table feeds the
+    // cardinality check and every assignment branch in ivfAssignWith —
+    // unpersisted, each would replay the whole Lloyd pipeline
+    val cents = graft.Caches.persist(
+      ivfCentroids(emb, nCentroids, lloydIters, knownCount = corpusCount))
     // persist (registry-tracked): the assignment feeds the size guard,
     // both pair-join sides, and the final cluster lookup
     val assigned = graft.Caches.persist(
