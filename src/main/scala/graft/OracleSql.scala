@@ -1539,6 +1539,68 @@ private[graft] object OracleSql {
         |SELECT p.event_type, p.next_type, p.n, round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p
         |FROM p JOIN t USING (event_type) ORDER BY p.event_type, p.next_type""".stripMargin,
 
+    "events_heatmap" ->
+      """SELECT CAST(epoch_us(ts) // 86400000000 % 7 AS BIGINT) AS dow,
+        |       CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS hour,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY dow, hour""".stripMargin,
+
+    "w8_dense_rank" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       CAST(floor(c_acctbal / 100) * 100 AS BIGINT) AS bal_bucket,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY CAST(floor(c_acctbal / 100) * 100 AS BIGINT) DESC)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "agg_moments" ->
+      // explicit power sums so no engine's sample/population skewness
+      // convention is involved; identical formula text on both sides
+      """WITH s AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |                  sum(c_acctbal) AS s1,
+        |                  sum(c_acctbal * c_acctbal) AS s2,
+        |                  sum(c_acctbal * c_acctbal * c_acctbal) AS s3
+        |           FROM customer GROUP BY c_mktsegment)
+        |SELECT c_mktsegment, n,
+        |       round(s1 / n, 6) AS mean,
+        |       round(s2 / n - (s1 / n) ^ 2, 4) AS m2,
+        |       round((s3 / n - 3 * (s1 / n) * (s2 / n - (s1 / n) ^ 2) - (s1 / n) ^ 3)
+        |             / (s2 / n - (s1 / n) ^ 2) ^ 1.5, 4) AS skew
+        |FROM s ORDER BY c_mktsegment""".stripMargin,
+
+    "pipeline_curate_full" ->
+      s"""WITH RECURSIVE $hashedShingleCtes,
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |$lmCtes,
+        |sc AS (SELECT doc_id, round(avg(lp), 6) AS lm_score FROM s GROUP BY doc_id),
+        |cut AS (SELECT round(avg(lm_score), 6) AS c FROM sc),
+        |dd AS (SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |q AS (SELECT doc_id, lang,
+        |             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+        |             CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) > 0
+        |                  THEN CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0), w -> w IN $stopSql)) AS DOUBLE) / len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0))
+        |                  ELSE 0 END AS stopword_ratio
+        |      FROM dd),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM dd GROUP BY md5(text))
+        |SELECT q.doc_id, q.lang, q.n_tokens, sc.lm_score
+        |FROM q JOIN sc USING (doc_id)
+        |WHERE q.n_tokens >= 20 AND q.stopword_ratio < 0.5
+        |  AND q.doc_id IN (SELECT doc_id FROM keepers)
+        |  AND q.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+        |  AND sc.lm_score >= (SELECT c FROM cut)
+        |ORDER BY q.doc_id""".stripMargin,
+
     "events_user_profiles" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,

@@ -969,6 +969,41 @@ object SparkEntry {
           sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
           .as("promo_revenue_pct"))),
 
+    "w8_dense_rank" -> ((s, dir) => {
+      // rank() vs dense_rank() over REAL ties (prices bucketed to
+      // hundreds force them) — the gap-vs-no-gap ranking faces next to
+      // w1's row_number; partitioned per segment.
+      val w = Window.partitionBy("c_mktsegment")
+        .orderBy((floor(col("c_acctbal") / 100) * 100).cast("long").desc)
+      tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (floor(col("c_acctbal") / 100) * 100).cast("long").as("bal_bucket"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"))
+        .orderBy("c_custkey")
+    }),
+
+    "agg_moments" -> ((s, dir) =>
+      // statistical profiling via EXPLICIT power sums (Σx, Σx², Σx³) —
+      // skewness from named formulas instead of engine aggregates whose
+      // sample/population conventions differ between engines; every
+      // step is the identical double arithmetic on both sides.
+      tbl(s, dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal")).as("s1"),
+          sum(col("c_acctbal") * col("c_acctbal")).as("s2"),
+          sum(col("c_acctbal") * col("c_acctbal") * col("c_acctbal")).as("s3"))
+        .select(col("c_mktsegment"), col("n"),
+          round(col("s1") / col("n"), 6).as("mean"),
+          round(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 4).as("m2"),
+          round((col("s3") / col("n")
+            - lit(3) * (col("s1") / col("n")) * (col("s2") / col("n") - pow(col("s1") / col("n"), 2))
+            - pow(col("s1") / col("n"), 3))
+            / pow(col("s2") / col("n") - pow(col("s1") / col("n"), 2), 1.5), 4)
+            .as("skew"))
+        .orderBy("c_mktsegment")),
+
     "asof_latest_order" -> ((s, dir) => {
       // point-in-time enrichment: each event carries the user's most
       // recent order at-or-before the event (kdb/pandas/DuckDB "ASOF"),
@@ -2047,6 +2082,31 @@ object SparkEntry {
         .orderBy("stage")
     }),
 
+    "pipeline_curate_full" -> ((s, dir) => {
+      // the END-TO-END curation pipeline as ONE declarative plan — the
+      // composition a production cleaning job ships: quality gate ∧
+      // exact-dedup keepers ∧ transitive near-dup keepers ∧ above-mean
+      // LM score. The dedup stages come from the shared memos, the LM
+      // cut is an S4 scalar; everything else is semi/anti joins Catalyst
+      // is free to reorder.
+      val d = docs(s, dir)
+      val quality = TextAnalysis.qualityMetrics(d)
+        .filter(col("n_tokens") >= 20 && col("stopword_ratio") < 0.5)
+        .select("doc_id", "lang", "n_tokens")
+      val exactKeep = Dedup.exactGroups(d).select(col("keeper_doc_id").as("doc_id"))
+      val nearLosers = nearDupComponents(s, dir)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"))
+      val scored = graft.Caches.persist(lmScores(s, dir))
+      val cut = round6(scored.agg(avg("lm_score")).head().getDouble(0))
+      quality
+        .join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(nearLosers, Seq("doc_id"), "left_anti")
+        .join(scored.filter(col("lm_score") >= cut).select("doc_id", "lm_score"),
+          Seq("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "pipeline_clean_corpus" -> ((s, dir) => {
       // the composed training-data pipeline: quality-gate the corpus,
       // then keep one doc per exact-content group — the operators above
@@ -2788,6 +2848,21 @@ object SparkEntry {
           round(col("n").cast("double") / col("row_total"), 6).as("p"))
         .orderBy("event_type", "next_type")
     }),
+
+    "events_heatmap" -> ((s, dir) =>
+      // the ops-dashboard activity matrix: hour-of-day × day-of-week
+      // event counts + mean value. Pure epoch arithmetic (no timezone
+      // functions — both engines see the same UTC micros), one 168-cell
+      // hash agg.
+      events(s, dir)
+        .select((floor(unix_micros(col("ts")) / lit(3600000000L)) % 24).cast("long").as("hour"),
+          // epoch day 0 (1970-01-01) was a Thursday → dow 0 = Thursday;
+          // a fixed, engine-neutral convention
+          (floor(unix_micros(col("ts")) / lit(86400000000L)) % 7).cast("long").as("dow"),
+          col("value"))
+        .groupBy("dow", "hour")
+        .agg(count(lit(1)).as("n_events"), round(avg("value"), 6).as("avg_value"))
+        .orderBy("dow", "hour")),
 
     "events_user_profiles" -> ((s, dir) =>
       // feature engineering: the per-user behavioral profile a
