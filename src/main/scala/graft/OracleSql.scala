@@ -1763,6 +1763,27 @@ private[graft] object OracleSql {
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
         |GROUP BY source ORDER BY source""".stripMargin,
 
+    "dedup_incremental_batch" ->
+      // same md5-fold batch split; candidates = new×old pairs sharing a
+      // shingle; exact Jaccard over the per-doc shingle sets
+      s"""WITH $hashedShingleCtes,
+        |b AS (SELECT doc_id, s, ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket FROM sh),
+        |pr AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |              CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b2.s))) AS DOUBLE) AS j
+        |       FROM b a JOIN b b2
+        |         ON a.bucket = 0 AND b2.bucket <> 0
+        |        AND len(list_intersect(a.s, b2.s)) > 0)
+        |SELECT doc_a AS new_doc_id, CAST(min(doc_b) AS BIGINT) AS dup_of_existing,
+        |       CAST(count(*) AS BIGINT) AS n_partners
+        |FROM pr WHERE j >= 0.8
+        |GROUP BY doc_a ORDER BY new_doc_id""".stripMargin,
+
+    "source_corrupt_jsonl" ->
+      // the two planted bad lines are constants of the fixture the
+      // query itself writes; good rows = every document
+      """SELECT CAST(count(*) AS BIGINT) AS n_good, CAST(2 AS BIGINT) AS n_corrupt
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')""".stripMargin,
+
     "dedup_graph_degrees" ->
       s"""WITH $hashedShingleCtes,
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

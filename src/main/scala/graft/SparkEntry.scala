@@ -1713,6 +1713,53 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "dedup_incremental_batch" -> ((s, dir) => {
+      // INCREMENTAL dedup — the shape a production pipeline actually
+      // runs: a NEW ingest batch (deterministic 10% md5-fold split) is
+      // checked against the EXISTING corpus only, so the candidate join
+      // costs batch × corpus-postings, never corpus² (at 100 TB the
+      // batch side is the only thing that grows per run). Candidates
+      // come from the shared-shingle posting join restricted to
+      // new×old; exact Jaccard verifies; keeper = the lowest-id
+      // existing partner.
+      val bucket = pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(10L))
+      val sh = sharedShingleRows(s, dir)
+      val newSh = sh.filter(bucket === 0)
+      val oldSh = sh.filter(bucket =!= 0)
+      val cand = newSh.select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(oldSh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        .select("doc_a", "doc_b").distinct()
+      Dedup.jaccardForPairs(docs(s, dir), cand,
+          preShingleRows = Some(sharedShingled(s, dir)))
+        .filter(col("jaccard") >= 0.8)
+        .groupBy(col("doc_a").as("new_doc_id"))
+        .agg(min("doc_b").as("dup_of_existing"), count(lit(1)).as("n_partners"))
+        .orderBy("new_doc_id")
+    }),
+
+    "source_corrupt_jsonl" -> ((s, dir) => {
+      // malformed-input handling (the face every real ingest needs):
+      // a query-written JSONL fixture with two planted bad lines, read
+      // back PERMISSIVE with a corrupt-record column — good rows parse,
+      // bad rows are captured and counted, nothing throws.
+      import s.implicits._
+      val fix = s"$WorkDir/corrupt_jsonl"
+      docs(s, dir).select(to_json(struct(col("doc_id"), col("lang"))).as("value"))
+        .unionAll(Seq("{\"doc_id\": oops", "not json at all").toDF("value"))
+        .coalesce(1).write.mode("overwrite").text(fix)
+      // persisted first: Spark (correctly) refuses plans over raw JSON
+      // that reference ONLY the internal corrupt-record column — the
+      // documented pattern is to materialize the parse, then inspect
+      val parsed = graft.Caches.persist(s.read
+        .schema("doc_id LONG, lang STRING, _corrupt_record STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(fix))
+      parsed
+        .agg(sum(when(col("_corrupt_record").isNull, 1L).otherwise(0L)).as("n_good"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+    }),
+
     "dedup_graph_degrees" -> ((s, dir) => {
       // audit of the near-dup graph the CC stage consumes: node-degree
       // histogram. Degree-1 dominance means isolated pairs; a heavy
