@@ -1765,14 +1765,18 @@ private[graft] object OracleSql {
 
     "dedup_incremental_batch" ->
       // same md5-fold batch split; candidates = new×old pairs sharing a
-      // shingle; exact Jaccard over the per-doc shingle sets
+      // df≤1000 shingle (the capped posting join, mirrored); exact
+      // Jaccard over the FULL per-doc shingle sets
       s"""WITH $hashedShingleCtes,
         |b AS (SELECT doc_id, s, ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket FROM sh),
-        |pr AS (SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-        |              CAST(len(list_intersect(a.s, b2.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b2.s))) AS DOUBLE) AS j
-        |       FROM b a JOIN b b2
-        |         ON a.bucket = 0 AND b2.bucket <> 0
-        |        AND len(list_intersect(a.s, b2.s)) > 0)
+        |d2 AS (SELECT doc_id, bucket, unnest(s) AS h FROM b),
+        |ok AS (SELECT h FROM (SELECT h, count(*) AS df FROM d2 GROUP BY h) WHERE df <= 1000),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, o.doc_id AS doc_b
+        |         FROM d2 a JOIN d2 o ON a.h = o.h
+        |         WHERE a.bucket = 0 AND o.bucket <> 0 AND a.h IN (SELECT h FROM ok)),
+        |pr AS (SELECT c.doc_a, c.doc_b,
+        |              CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) AS j
+        |       FROM cand c JOIN b x ON x.doc_id = c.doc_a JOIN b y ON y.doc_id = c.doc_b)
         |SELECT doc_a AS new_doc_id, CAST(min(doc_b) AS BIGINT) AS dup_of_existing,
         |       CAST(count(*) AS BIGINT) AS n_partners
         |FROM pr WHERE j >= 0.8

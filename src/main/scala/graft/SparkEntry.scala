@@ -187,6 +187,15 @@ object SparkEntry {
   private def nearDupComponents(s: SparkSession, dir: String): DataFrame =
     ccMemo(s, dir)
 
+  /** Corpus bigram-LM document scores, built ONCE per (session, sfDir)
+    * and shared by `text_lm_score`, `sample_by_perplexity`, and
+    * `pipeline_curate_full` — the same serve-once economics as the
+    * dedup memos: the bigram-count chain is deterministic per dir and
+    * its result is one small row per document.
+    */
+  private val lmScoresMemo = new DirMemo((s, dir) =>
+    lmScores(s, dir).localCheckpoint())
+
   /** SemDeDup drop set (embedding-space near-dup losers), built ONCE per
     * (session, sfDir) — the same serve-once economics as [[ccMemo]]: the
     * cluster → τ-pair → connected-components chain is deterministic for
@@ -212,6 +221,7 @@ object SparkEntry {
     sharedMinhashPairs.reset()
     sharedShingleRows.reset()
     semanticDropsMemo.reset()
+    lmScoresMemo.reset()
   }
 
   /** Driver-side mirror of Spark's `round(col, 6)` (HALF_UP over
@@ -1724,8 +1734,16 @@ object SparkEntry {
       // existing partner.
       val bucket = pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(10L))
       val sh = sharedShingleRows(s, dir)
-      val newSh = sh.filter(bucket === 0)
-      val oldSh = sh.filter(bucket =!= 0)
+      // absolute df cap on the posting join (the tfidf_cosine_pairs
+      // lesson, docs/SCALE.md): a boilerplate shingle shared by
+      // thousands of docs would make candidate fan-out quadratic; pairs
+      // that are real near-dups still meet through their rarer shared
+      // shingles, and the Jaccard verify below uses FULL sets
+      val okSh = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 1000).select("shingle")
+      val capped = sh.join(okSh, Seq("shingle"))
+      val newSh = capped.filter(bucket === 0)
+      val oldSh = capped.filter(bucket =!= 0)
       val cand = newSh.select(col("doc_id").as("doc_a"), col("shingle"))
         .join(oldSh.select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
         .select("doc_a", "doc_b").distinct()
@@ -1782,7 +1800,7 @@ object SparkEntry {
       // engine/partitioning (md5-fold bucket, never rand()); the mean
       // is one partial-merge aggregate, scale-safe where an exact
       // median would not be.
-      val scored = graft.Caches.persist(lmScores(s, dir))
+      val scored = lmScoresMemo(s, dir)
       val cut = round6(scored.agg(avg("lm_score")).head().getDouble(0))
       scored
         .withColumn("stratum",
@@ -1996,7 +2014,7 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
-    "text_lm_score" -> ((s, dir) => lmScores(s, dir).orderBy("doc_id")),
+    "text_lm_score" -> ((s, dir) => lmScoresMemo(s, dir).orderBy("doc_id")),
 
     "text_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
@@ -2144,7 +2162,7 @@ object SparkEntry {
       val nearLosers = nearDupComponents(s, dir)
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
-      val scored = graft.Caches.persist(lmScores(s, dir))
+      val scored = lmScoresMemo(s, dir)
       val cut = round6(scored.agg(avg("lm_score")).head().getDouble(0))
       quality
         .join(exactKeep, Seq("doc_id"), "left_semi")
