@@ -60,18 +60,18 @@ object ScaleBench {
     // pairs, which copying verbatim would create and which would make
     // semantic-dedup pair counts an artifact of the synth, not the op)
     val emb = spark.read.parquet(s"$srcDir/embeddings.parquet")
-    // shift amount wraps in [1, 63] for r > 0: a raw shift of 64 (dim)
-    // would reproduce replica 0 verbatim — planting the cos=1 pairs
-    // this perturbation exists to prevent — and > 64 would make slice's
-    // length negative
+    // only 63 distinct non-identity rotations exist for dim 64, so the
+    // disjointness invariant (no cross-replica cos=1 pairs) holds only
+    // up to 64 replicas — fail fast rather than silently plant dups
+    require(factor <= 64,
+      s"embeddings synth supports factor <= 64 (63 distinct rotations); got $factor")
     emb.crossJoin(reps)
       .withColumn("vec_id", col("vec_id") + col("__r").cast("long") * 10000000L)
-      .withColumn("__s", pmod(col("__r") - 1, lit(63)) + 1)
       .withColumn("embedding",
         when(col("__r") === 0, col("embedding")).otherwise(concat(
-          slice(col("embedding"), col("__s") + 1, size(col("embedding")) - col("__s")),
-          slice(col("embedding"), lit(1), col("__s")))))
-      .drop("__r", "__s")
+          slice(col("embedding"), col("__r") + 1, size(col("embedding")) - col("__r")),
+          slice(col("embedding"), lit(1), col("__r")))))
+      .drop("__r")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
@@ -83,10 +83,9 @@ object ScaleBench {
     "dedup_minhash", "dedup_components", "text_lm_score",
     "events_sessionize", "events_sessionize_salted",
     "asof_latest_order", "asof_salted_order",
-    // r6 additions (documents-family only — the scale synth does not
-    // replicate embeddings): span dedup and decontamination scale with
-    // corpus tokens; TextRank with VOCABULARY (the suffixed replicas
-    // grow vocab by `factor`, so its ratio tests the vocabulary-bounded
+    // r6 additions: span dedup and decontamination scale with corpus
+    // tokens; TextRank with VOCABULARY (the suffixed replicas grow
+    // vocab by `factor`, so its ratio tests the vocabulary-bounded
     // claim directly)
     "dedup_span_chunks", "decon_ngram", "text_rank_keywords",
     // r7 additions: the two df-capped inverted-index candidate joins

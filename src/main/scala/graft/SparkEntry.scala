@@ -196,6 +196,14 @@ object SparkEntry {
   private val lmScoresMemo = new DirMemo((s, dir) =>
     lmScores(s, dir).localCheckpoint())
 
+  /** The 6dp-rounded mean LM score — the stratification / gate cut
+    * shared by `sample_by_perplexity` and `pipeline_curate_full` (an S4
+    * scalar; HALF_UP rounding mirrors the DuckDB oracles' round(avg, 6)
+    * in exactly one place).
+    */
+  private def lmCut(s: SparkSession, dir: String): Double =
+    round6(lmScoresMemo(s, dir).agg(avg("lm_score")).head().getDouble(0))
+
   /** SemDeDup drop set (embedding-space near-dup losers), built ONCE per
     * (session, sfDir) — the same serve-once economics as [[ccMemo]]: the
     * cluster → τ-pair → connected-components chain is deterministic for
@@ -1733,15 +1741,11 @@ object SparkEntry {
       // new×old; exact Jaccard verifies; keeper = the lowest-id
       // existing partner.
       val bucket = pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(10L))
-      val sh = sharedShingleRows(s, dir)
-      // absolute df cap on the posting join (the tfidf_cosine_pairs
-      // lesson, docs/SCALE.md): a boilerplate shingle shared by
-      // thousands of docs would make candidate fan-out quadratic; pairs
-      // that are real near-dups still meet through their rarer shared
-      // shingles, and the Jaccard verify below uses FULL sets
-      val okSh = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= 1000).select("shingle")
-      val capped = sh.join(okSh, Seq("shingle"))
+      // the family's shared df-capped posting table (one definition,
+      // oracle-mirrored — see Dedup.cappedPostings); pairs that are
+      // real near-dups still meet through their rarer shared shingles,
+      // and the Jaccard verify below uses FULL sets
+      val capped = Dedup.cappedPostings(sharedShingleRows(s, dir), maxDf = 1000)
       val newSh = capped.filter(bucket === 0)
       val oldSh = capped.filter(bucket =!= 0)
       val cand = newSh.select(col("doc_id").as("doc_a"), col("shingle"))
@@ -1801,7 +1805,7 @@ object SparkEntry {
       // is one partial-merge aggregate, scale-safe where an exact
       // median would not be.
       val scored = lmScoresMemo(s, dir)
-      val cut = round6(scored.agg(avg("lm_score")).head().getDouble(0))
+      val cut = lmCut(s, dir)
       scored
         .withColumn("stratum",
           when(col("lm_score") >= cut, lit("hi")).otherwise(lit("lo")))
@@ -2163,7 +2167,7 @@ object SparkEntry {
         .filter(col("node") =!= col("component"))
         .select(col("node").as("doc_id"))
       val scored = lmScoresMemo(s, dir)
-      val cut = round6(scored.agg(avg("lm_score")).head().getDouble(0))
+      val cut = lmCut(s, dir)
       quality
         .join(exactKeep, Seq("doc_id"), "left_semi")
         .join(nearLosers, Seq("doc_id"), "left_anti")

@@ -320,16 +320,30 @@ object Dedup {
     * Output: directed pairs (doc_a, doc_b, containment) with
     * containment = C(doc_a → doc_b) ≥ threshold, doc_a ≠ doc_b.
     */
+  /** The df-capped posting table: `shingleRows` restricted to shingles
+    * whose document frequency is ≤ `maxDf` — one hash agg for df, one
+    * join back (result persisted, registry-tracked). THE
+    * candidate-generation cap of the family (the tfidf_cosine_pairs
+    * scale lesson, docs/SCALE.md): a boilerplate shingle shared by
+    * thousands of docs makes posting self-joins quadratic while
+    * carrying no near-dup signal. Shared by [[containmentPairs]] and
+    * the incremental-dedup gate query so the cap SEMANTICS (df counted
+    * over distinct docs, ≤ comparison) live in exactly one place —
+    * both have DuckDB mirrors of this definition.
+    */
+  def cappedPostings(shingleRows: DataFrame, maxDf: Int): DataFrame =
+    graft.Caches.persist(
+      shingleRows.join(shingleRows.groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf), Seq("shingle")))
+
   def containmentPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 100,
       preShingleRows: Option[ShingledRows] = None): DataFrame = {
     preShingleRows.foreach(_.requireMatches(k, hashed = true))
     val shr = preShingleRows.map(_.rows).getOrElse(
       graft.Caches.persist(shingleRows(docs, k, hashed = true)))
-    // df-capped postings: one hash agg for df, then drop stop-shingles
-    val rare = graft.Caches.persist(
-      shr.join(shr.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDf), Seq("shingle")))
+    val rare = cappedPostings(shr, maxDf)
     // |S(A)| over the same capped space (the denominator contract above)
     val sizes = rare.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val shared = rare.select(col("shingle"), col("doc_id").as("doc_a"))
