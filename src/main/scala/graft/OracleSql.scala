@@ -1519,15 +1519,22 @@ private[graft] object OracleSql {
     "agg_hll_distinct" ->
       // the registers themselves are mirrored (identical md5-fold hash,
       // identical rho), so the estimate matches to the last bit before
-      // the 4dp round; alpha written in the same operation order
+      // the 4dp round; alpha and the small-range linear-counting branch
+      // written in the same operation order
       s"""WITH $indexCtes,
         |hh AS (SELECT ${md5Hash60Sql("word")} AS h FROM flat),
         |hb AS (SELECT h % 1024 AS b, h // 1024 AS rest FROM hh),
         |r AS (SELECT b, max(CASE WHEN rest = 0 THEN 51 ELSE 51 - len(bin(rest)) END) AS m FROM hb GROUP BY b),
-        |e AS (SELECT sum(power(2.0, -m)) AS s_present, count(*) AS n_present FROM r),
+        |e AS (SELECT sum(power(2.0, -m)) AS s_present, count(*) AS n_present,
+        |             sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS n_pos
+        |      FROM r),
+        |g AS (SELECT 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 / (s_present + (1024 - n_present)) AS raw,
+        |             CAST(1024 - n_pos AS DOUBLE) AS zeros
+        |      FROM e),
         |f AS (SELECT (SELECT CAST(count(DISTINCT word) AS BIGINT) FROM flat) AS n_exact,
-        |             round(0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 / (s_present + (1024 - n_present)), 4) AS n_hll
-        |      FROM e)
+        |             round(CASE WHEN raw <= 2.5 * 1024.0 AND zeros > 0
+        |                        THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END, 4) AS n_hll
+        |      FROM g)
         |SELECT n_exact, n_hll, round(abs(n_hll - n_exact) / n_exact, 4) AS rel_err FROM f""".stripMargin,
 
     "events_transition_matrix" ->

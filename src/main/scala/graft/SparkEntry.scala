@@ -2878,8 +2878,11 @@ object SparkEntry {
       // exact shape a 100 TB distinct-count runs. The md5-fold hash
       // makes the SKETCH itself engine-identical (registers mirror
       // bitwise, not just the answer); exact distinct is computed
-      // alongside for the relative error. No small-range correction:
-      // vocab ≫ 2.5·m here (documented precondition).
+      // alongside for the relative error. The SMALL-RANGE linear-
+      // counting correction (E ≤ 2.5m with empty registers → m·ln(m/V))
+      // is live here: the synthetic corpus vocabulary is far below the
+      // register count, exactly the regime where the raw estimator is
+      // known-biased.
       val flat = Indexer.flatWords(docs(s, dir), stem = false).select("word")
       val h = flat.select(Dedup.md5Hash60(col("word")).as("h"))
         .select(pmod(col("h"), lit(1024L)).as("b"),
@@ -2891,10 +2894,17 @@ object SparkEntry {
       val alpha = 0.7213 / (1.0 + 1.079 / 1024.0)
       val est = regs.agg(
         sum(pow(lit(2.0), -col("m"))).as("s_present"),
-        count(lit(1)).as("n_present"))
-        .select(round(lit(alpha * 1024.0 * 1024.0) /
-          (col("s_present") + (lit(1024L) - col("n_present")).cast("double")), 4)
-          .as("n_hll"))
+        count(lit(1)).as("n_present"),
+        sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_pos"))
+        .select(
+          (lit(alpha * 1024.0 * 1024.0) /
+            (col("s_present") + (lit(1024L) - col("n_present")).cast("double")))
+            .as("raw"),
+          (lit(1024L) - col("n_pos")).cast("double").as("zeros"))
+        .select(round(
+          when(col("raw") <= 2.5 * 1024.0 && col("zeros") > 0,
+            lit(1024.0) * log(lit(1024.0) / col("zeros")))
+            .otherwise(col("raw")), 4).as("n_hll"))
       val exact = flat.agg(countDistinct("word").as("n_exact"))
       exact.crossJoin(est)
         .withColumn("rel_err",
