@@ -1806,6 +1806,14 @@ private[graft] object OracleSql {
         |SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM deg GROUP BY degree ORDER BY degree""".stripMargin,
 
+    "j10_join_hint_smj" ->
+      // strategy hints don't change semantics: the oracle is the plain
+      // join-aggregate
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "q5_local_supplier_volume" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM customer

@@ -1329,6 +1329,21 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)),
 
+    "j10_join_hint_smj" -> ((s, dir) =>
+      // explicit join-strategy HINT (the physical-control surface next
+      // to R1/R2's partitioning control): force sort-merge where the
+      // planner would broadcast the small side. Result is
+      // strategy-invariant (the oracle is the plain join); the
+      // JoinHintSpec asserts the hint actually changed the physical
+      // plan — at 100 TB this is the knob for the broadcast-OOM class
+      // of incidents.
+      tbl(s, dir, "customer").hint("SHUFFLE_MERGE")
+        .join(tbl(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment")),
+
     "q5_local_supplier_volume" -> ((s, dir) => {
       // TPC-H Q5 shape: the 6-table snowflake join with the same-nation
       // (customer = supplier) condition. region→nation collapse to one
