@@ -1370,6 +1370,43 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    "q8_market_share" -> ((s, dir) => {
+      // TPC-H Q8 shape: the 8-table market-share join — a supplier
+      // nation's share of PROMO-part revenue sold into ASIA per year.
+      // The widest join in the gate: three broadcast dims (part filter,
+      // both nation legs, region), facts shuffle on their keys only;
+      // the share is a conditional-sum ratio in one aggregate.
+      val asiaCust = tbl(s, dir, "customer")
+        .join(broadcast(tbl(s, dir, "nation")
+          .join(tbl(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cn_key"))),
+          col("c_nationkey") === col("cn_key"))
+        .select("c_custkey")
+      val suppNation = tbl(s, dir, "supplier")
+        .join(broadcast(tbl(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+      tbl(s, dir, "lineitem")
+        .join(broadcast(tbl(s, dir, "part").filter(col("p_type") === "PROMO")
+          .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(tbl(s, dir, "orders")
+          .filter(col("o_orderdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate").cast("timestamp") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .select(year(col("o_orderdate").cast("timestamp")).cast("long").as("o_year"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("volume"),
+          col("supp_nation"))
+        .groupBy("o_year")
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("volume")).otherwise(lit(0.0)))
+            / sum(col("volume")), 6).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+
     "q10_returned_items" -> ((s, dir) =>
       // TPC-H Q10 shape: returned-lineitem revenue per customer over a
       // quarter — selective fact filter, 3 joins (nation broadcast),
