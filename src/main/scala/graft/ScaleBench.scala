@@ -97,7 +97,10 @@ object ScaleBench {
     // within-cluster pair join linear), the Gramian/PCA split, the
     // binned interval join, and the shingle-df novelty join
     "dedup_semantic", "emb_pca_power", "j9_interval_overlap",
-    "text_ngram_novelty")
+    "text_ngram_novelty",
+    // cost ∝ batch is the op's defining claim — the 10× corpus carries
+    // a 10× batch, so near-linear is the pass bar
+    "dedup_incremental_batch")
 
   def main(args: Array[String]): Unit = {
     // optional args: subset of Heavy to time (new ops without re-running
