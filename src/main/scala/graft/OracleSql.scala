@@ -1123,6 +1123,36 @@ private[graft] object OracleSql {
         |       round(avg(w), 6) AS score, round(avg(w), 6) > 0 AS keep
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "orders_copurchase_lift" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |n AS (SELECT count(*) AS n_orders FROM orders),
+        |marg AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n_a FROM ob GROUP BY p_brand),
+        |pairs AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, CAST(count(*) AS BIGINT) AS n_ab
+        |          FROM ob a JOIN ob b ON a.okey = b.okey AND a.p_brand < b.p_brand
+        |          GROUP BY 1, 2 HAVING count(*) >= 10)
+        |SELECT brand_a, brand_b, n_ab,
+        |       round((CAST(n_ab AS DOUBLE) / n.n_orders)
+        |             / ((CAST(ma.n_a AS DOUBLE) / n.n_orders) * (CAST(mb.n_a AS DOUBLE) / n.n_orders)), 6) AS lift
+        |FROM pairs
+        |JOIN marg ma ON ma.p_brand = brand_a
+        |JOIN marg mb ON mb.p_brand = brand_b
+        |CROSS JOIN n
+        |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin,
+
+    "curate_rebalance_langs" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+        |                  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |b AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS lang_tokens FROM t GROUP BY lang),
+        |r AS (SELECT lang, round(CAST((SELECT min(lang_tokens) FROM b) AS DOUBLE) / lang_tokens, 6) AS keep_rate FROM b)
+        |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_docs_kept,
+        |       CAST(sum(t.n_toks) AS BIGINT) AS tokens_kept,
+        |       round(avg(r.keep_rate), 6) AS keep_rate
+        |FROM t JOIN r USING (lang)
+        |WHERE CAST(${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS DOUBLE) / 1000.0 < r.keep_rate
+        |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
+
     "curate_dataset_card" ->
       """WITH t AS (SELECT doc_id, lang, source, md5(text) AS fp,
         |                  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks

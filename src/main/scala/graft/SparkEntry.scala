@@ -2442,6 +2442,64 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "orders_copurchase_lift" -> ((s, dir) => {
+      // association-rule mining (the market-basket face): brand pairs
+      // co-occurring in an order, with support and LIFT =
+      // P(ab)/(P(a)·P(b)). The pair join is per-order bounded (~7
+      // lineitems → ~21 pairs), so it scales with orders, never
+      // orders²; brand marginals are a broadcast dim; N is an S4
+      // scalar. Top-20 by lift (ties → pair) over pairs seen in ≥ 10
+      // orders.
+      val ob = graft.Caches.persist(
+        tbl(s, dir, "lineitem")
+          .join(broadcast(tbl(s, dir, "part").select("p_partkey", "p_brand")),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("l_orderkey").as("okey"), col("p_brand"))
+          .distinct())
+      val nOrders = tbl(s, dir, "orders").count()
+      val marg = ob.groupBy("p_brand").agg(count(lit(1)).as("n_a"))
+      val pairs = ob.select(col("okey"), col("p_brand").as("brand_a"))
+        .join(ob.select(col("okey"), col("p_brand").as("brand_b")), Seq("okey"))
+        .filter(col("brand_a") < col("brand_b"))
+        .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 10)
+      pairs
+        .join(broadcast(marg.select(col("p_brand").as("brand_a"), col("n_a"))), Seq("brand_a"))
+        .join(broadcast(marg.select(col("p_brand").as("brand_b"), col("n_a").as("n_b"))), Seq("brand_b"))
+        .select(col("brand_a"), col("brand_b"), col("n_ab"),
+          round((col("n_ab").cast("double") / nOrders) /
+            ((col("n_a").cast("double") / nOrders) * (col("n_b").cast("double") / nOrders)), 6)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("brand_a").asc, col("brand_b").asc)
+        .limit(20)
+    }),
+
+    "curate_rebalance_langs" -> ((s, dir) => {
+      // the data-mixing SAMPLER that consumes the mix-weights table:
+      // rebalance to uniform language shares by down-sampling every
+      // language to the smallest language's token budget. Per-lang
+      // keep-rates are a broadcast dim off one aggregate; the sample
+      // itself is the md5-fold bucket rule (reproducible on any
+      // engine/partitioning); output proves the post-sample shares.
+      val toks = graft.Caches.persist(docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n_toks")))
+      val budgets = toks.groupBy("lang").agg(sum("n_toks").as("lang_tokens"))
+      val minBudget = budgets.agg(min("lang_tokens")).head().getLong(0)
+      val rates = budgets.select(col("lang"),
+        round(lit(minBudget).cast("double") / col("lang_tokens"), 6).as("keep_rate"))
+      toks
+        .join(broadcast(rates), Seq("lang"))
+        // bucket ∈ [0, 1) with 3-digit resolution — kept iff below rate
+        .filter(pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(1000L))
+          .cast("double") / 1000.0 < col("keep_rate"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum("n_toks").as("tokens_kept"),
+          round(avg("keep_rate"), 6).as("keep_rate"))
+        .orderBy("lang")
+    }),
+
     "curate_dataset_card" -> ((s, dir) => {
       // the one-row dataset card a released corpus ships: sizes,
       // diversity, token budget, exact-dup rate, mean doc length. One
