@@ -2458,9 +2458,14 @@ object SparkEntry {
           .distinct())
       val nOrders = tbl(s, dir, "orders").count()
       val marg = ob.groupBy("p_brand").agg(count(lit(1)).as("n_a"))
-      val pairs = ob.select(col("okey"), col("p_brand").as("brand_a"))
-        .join(ob.select(col("okey"), col("p_brand").as("brand_b")), Seq("okey"))
-        .filter(col("brand_a") < col("brand_b"))
+      // pair formation via ONE okey shuffle + narrow double-posexplode
+      // over the per-order brand set (≤ ~7 brands — the PCA e1/e2
+      // pattern, no self-join shuffle round, no lambdas)
+      val sets = ob.groupBy("okey").agg(sort_array(collect_set("p_brand")).as("bs"))
+      val e1 = sets.select(col("bs"), posexplode(col("bs")).as(Seq("i", "brand_a")))
+      val pairs = e1
+        .select(col("brand_a"), col("i"), posexplode(col("bs")).as(Seq("j", "brand_b")))
+        .filter(col("j") > col("i"))
         .groupBy("brand_a", "brand_b").agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 10)
       pairs
