@@ -1519,6 +1519,25 @@ private[graft] object OracleSql {
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "text_source_divergence" ->
+      """WITH f AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS w
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet') WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT w) AS vocab FROM c),
+        |ta AS (SELECT sum(c) AS t FROM c WHERE source = 'src0'),
+        |tb AS (SELECT sum(c) AS t FROM c WHERE source = 'src1'),
+        |j AS (SELECT coalesce(a.c, 0) AS ca, coalesce(b.c, 0) AS cb
+        |      FROM (SELECT w, c FROM c WHERE source = 'src0') a
+        |      FULL OUTER JOIN (SELECT w, c FROM c WHERE source = 'src1') b USING (w)),
+        |pq AS (SELECT CAST(ca + 1 AS DOUBLE) / ((SELECT t FROM ta) + (SELECT vocab FROM v)) AS p,
+        |              CAST(cb + 1 AS DOUBLE) / ((SELECT t FROM tb) + (SELECT vocab FROM v)) AS q
+        |       FROM j),
+        |x AS (SELECT p, q, (p + q) / 2 AS m FROM pq)
+        |SELECT 'src0' AS source_a, 'src1' AS source_b,
+        |       round(sum(p * ln(p / m)) * 0.5 + sum(q * ln(q / m)) * 0.5, 6) AS js_divergence,
+        |       CAST(count(*) AS BIGINT) AS union_vocab
+        |FROM x""".stripMargin,
+
     "text_idf_drift" ->
       s"""WITH $indexCtes,
         |d AS (SELECT DISTINCT doc_id, word, doc_id % 2 AS half FROM flat),

@@ -2937,6 +2937,38 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "text_source_divergence" -> ((s, dir) => {
+      // Jensen-Shannon divergence between two sources' unigram
+      // distributions — the distribution-distance a mixing pipeline
+      // checks before blending corpora (0 = identical, ln 2 = disjoint).
+      // Add-one smoothing over the union vocabulary; all hash aggs on
+      // (source, word); the final sum is one partial-merge aggregate.
+      // Everything is identical double arithmetic on both engines.
+      val f = docs(s, dir)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(TextAnalysis.rawTokens(col("text"))).as("w"))
+      val counts = graft.Caches.persist(
+        f.groupBy("source", "w").agg(count(lit(1)).as("c")))
+      val vocab = counts.select("w").distinct().count()
+      val totals = counts.groupBy("source").agg(sum("c").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val a = counts.filter(col("source") === "src0").select(col("w"), col("c").as("ca"))
+      val b = counts.filter(col("source") === "src1").select(col("w"), col("c").as("cb"))
+      val joined = a.join(b, Seq("w"), "full_outer")
+        .select(
+          ((coalesce(col("ca"), lit(0L)) + 1).cast("double")
+            / (totals("src0") + vocab).toDouble).as("p"),
+          ((coalesce(col("cb"), lit(0L)) + 1).cast("double")
+            / (totals("src1") + vocab).toDouble).as("q"))
+        .withColumn("m", (col("p") + col("q")) / 2)
+      joined.agg(
+          round((sum(col("p") * log(col("p") / col("m"))) * 0.5
+            + sum(col("q") * log(col("q") / col("m"))) * 0.5), 6).as("js_divergence"),
+          count(lit(1)).as("union_vocab"))
+        .select(lit("src0").as("source_a"), lit("src1").as("source_b"),
+          col("js_divergence"), col("union_vocab"))
+    }),
+
     "text_idf_drift" -> ((s, dir) => {
       // batch-drift monitor: split the corpus into two deterministic
       // halves (doc_id parity — in production, two ingest batches) and
