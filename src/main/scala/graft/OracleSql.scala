@@ -1574,11 +1574,9 @@ private[graft] object OracleSql {
         |hh AS (SELECT ${md5Hash60Sql("word")} AS h FROM flat),
         |hb AS (SELECT h % 1024 AS b, h // 1024 AS rest FROM hh),
         |r AS (SELECT b, max(CASE WHEN rest = 0 THEN 51 ELSE 51 - len(bin(rest)) END) AS m FROM hb GROUP BY b),
-        |e AS (SELECT sum(power(2.0, -m)) AS s_present, count(*) AS n_present,
-        |             sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS n_pos
-        |      FROM r),
+        |e AS (SELECT sum(power(2.0, -m)) AS s_present, count(*) AS n_present FROM r),
         |g AS (SELECT 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 / (s_present + (1024 - n_present)) AS raw,
-        |             CAST(1024 - n_pos AS DOUBLE) AS zeros
+        |             CAST(1024 - n_present AS DOUBLE) AS zeros
         |      FROM e),
         |f AS (SELECT (SELECT CAST(count(DISTINCT word) AS BIGINT) FROM flat) AS n_exact,
         |             round(CASE WHEN raw <= 2.5 * 1024.0 AND zeros > 0

@@ -2950,8 +2950,11 @@ object SparkEntry {
       val counts = graft.Caches.persist(
         f.groupBy("source", "w").agg(count(lit(1)).as("c")))
       val vocab = counts.select("w").distinct().count()
+      // getOrElse: a dir missing one source must degrade (the oracle
+      // yields a NULL row there), not abort the whole gate build
       val totals = counts.groupBy("source").agg(sum("c").as("t"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
       val a = counts.filter(col("source") === "src0").select(col("w"), col("c").as("ca"))
       val b = counts.filter(col("source") === "src1").select(col("w"), col("c").as("cb"))
       val joined = a.join(b, Seq("w"), "full_outer")
@@ -3039,15 +3042,16 @@ object SparkEntry {
             .otherwise(lit(51L) - length(bin(col("rest")))))
       val regs = h.groupBy("b").agg(max("rho").as("m"))
       val alpha = 0.7213 / (1.0 + 1.079 / 1024.0)
+      // a present register always holds m ≥ 1 (rest < 2^50 → rho ≥ 1),
+      // so zero registers = the absent buckets
       val est = regs.agg(
         sum(pow(lit(2.0), -col("m"))).as("s_present"),
-        count(lit(1)).as("n_present"),
-        sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_pos"))
+        count(lit(1)).as("n_present"))
         .select(
           (lit(alpha * 1024.0 * 1024.0) /
             (col("s_present") + (lit(1024L) - col("n_present")).cast("double")))
             .as("raw"),
-          (lit(1024L) - col("n_pos")).cast("double").as("zeros"))
+          (lit(1024L) - col("n_present")).cast("double").as("zeros"))
         .select(round(
           when(col("raw") <= 2.5 * 1024.0 && col("zeros") > 0,
             lit(1024.0) * log(lit(1024.0) / col("zeros")))

@@ -36,7 +36,11 @@ class SketchInvariantsSpec extends SparkSpec {
   }
 
   test("incremental batch dedup only reports new-batch docs with existing keepers") {
-    val rows = SparkEntry.queries("dedup_incremental_batch")(spark, dir).collect()
+    // sf0.01: the sf0.001 fixture has near-dup pairs but none crossing
+    // the 10% md5 split, which would make every assertion vacuous
+    val rows = SparkEntry.queries("dedup_incremental_batch")(spark, "/root/testdata/sf0.01")
+      .collect()
+    assert(rows.nonEmpty, "fixture must contain cross-split near-dups")
     rows.foreach { r =>
       // the split rule: new batch = md5-fold bucket 0; partners must be
       // outside it
