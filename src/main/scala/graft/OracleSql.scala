@@ -1968,15 +1968,61 @@ private[graft] object OracleSql {
         |                        (a, b) -> (a * 131 + b) % 1000000007) AS BIGINT) AS fp
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // The multimodal oracles recompute expected stats from the SAME
+    // closed-form fixture formulas as graft.ext.MediaCodecs — they never
+    // see the payload bytes, so the Spark side's encode→parse→decode of
+    // real BMP/WAV/PPM bytes is checked end-to-end (bottom-up rows, junk
+    // padding, and junk RIFF chunks included). Formulas here and in
+    // MediaCodecs must change together.
     "multimodal_features" ->
-      """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |w AS (SELECT *, greatest(1, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS wd FROM p)
+      """WITH d AS (SELECT doc_id AS media_id,
+        |                  CAST(4 + doc_id % 13 AS INTEGER) AS w,
+        |                  CAST(3 + doc_id % 11 AS INTEGER) AS h
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |m AS (SELECT media_id, w, h,
+        |             list_aggregate(list_transform(range(0, 3 * w * h),
+        |               i -> (media_id * 7 + ((i // 3) // w) * 31 + ((i // 3) % w) * 3 + (i % 3) * 11) % 256), 'sum') AS s
+        |      FROM d)
+        |SELECT media_id,
+        |       CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+        |       w AS width, h AS height,
+        |       round(CAST(s AS DOUBLE) / (3 * w * h), 6) AS mean_px
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "multimodal_wav_stats" ->
+      """WITH d AS (SELECT doc_id AS media_id, 32 + doc_id % 33 AS n
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |s AS (SELECT media_id, n,
+        |             list_transform(range(0, n), i -> (media_id * 13 + i * 97) % 2001 - 1000) AS sm
+        |      FROM d)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        |       CAST(8000 AS INTEGER) AS sample_rate,
+        |       round(sqrt(CAST(list_aggregate(list_transform(sm, v -> v * v), 'sum') AS DOUBLE) / n), 6) AS rms,
+        |       CAST(list_aggregate(list_transform(sm, v -> abs(v)), 'max') AS BIGINT) AS peak
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    "multimodal_decode_ppm" ->
+      """WITH d AS (SELECT doc_id AS media_id,
+        |                  CAST(3 + doc_id % 14 AS INTEGER) AS w,
+        |                  CAST(2 + doc_id % 9 AS INTEGER) AS h
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |m AS (SELECT media_id, w, h,
+        |             list_aggregate(list_transform(range(0, w * h), i -> (media_id * 5 + (i // w) * 17 + (i % w) * 7) % 256), 'sum') AS sr,
+        |             list_aggregate(list_transform(range(0, w * h), i -> (media_id * 5 + (i // w) * 17 + (i % w) * 7 + 29) % 256), 'sum') AS sg,
+        |             list_aggregate(list_transform(range(0, w * h), i -> (media_id * 5 + (i // w) * 17 + (i % w) * 7 + 58) % 256), 'sum') AS sb
+        |      FROM d)
+        |SELECT media_id, w AS width, h AS height,
+        |       round(CAST(sr AS DOUBLE) / (w * h), 6) AS mean_r,
+        |       round(CAST(sg AS DOUBLE) / (w * h), 6) AS mean_g,
+        |       round(CAST(sb AS DOUBLE) / (w * h), 6) AS mean_b
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "multimodal_byte_stats" ->
+      """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
         |SELECT media_id,
         |       CAST(n AS BIGINT) AS n_bytes,
-        |       round(CASE WHEN n = 0 THEN 0 ELSE CAST(list_aggregate(list_transform(range(1, len(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), 'sum') AS DOUBLE) / n END, 6) AS mean_byte,
-        |       CAST(wd AS INTEGER) AS width,
-        |       CAST(greatest(1, n // wd) AS INTEGER) AS height
-        |FROM w ORDER BY media_id""".stripMargin,
+        |       round(CASE WHEN n = 0 THEN 0 ELSE CAST(list_aggregate(list_transform(range(1, len(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)), 'sum') AS DOUBLE) / n END, 6) AS mean_byte
+        |FROM p ORDER BY media_id""".stripMargin,
 
     "j9_interval_overlap" ->
       // mechanism-free oracle: the overlap SEMANTICS as a direct
@@ -2046,26 +2092,36 @@ private[graft] object OracleSql {
         |ORDER BY q.doc_id""".stripMargin),
 
     "multimodal_resize" ->
-      """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n
+      // nearest-neighbour ×2 downscale keeps image pixels with even x,y —
+      // stated here in IMAGE coordinates; the Spark side must undo BMP's
+      // bottom-up row storage to agree
+      """WITH d AS (SELECT doc_id AS media_id,
+        |                  CAST(4 + doc_id % 13 AS INTEGER) AS w,
+        |                  CAST(3 + doc_id % 11 AS INTEGER) AS h
         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |r AS (SELECT media_id, n,
-        |             list_transform(range(1, n // 4 + 1), i -> CAST(ascii(substr(text, CAST((i - 1) * 4 + 1 AS INT), 1)) AS BIGINT)) AS picks
-        |      FROM p)
-        |SELECT media_id, CAST(n AS BIGINT) AS orig_bytes,
-        |       CAST(len(picks) AS BIGINT) AS resized_bytes,
-        |       round(CAST(coalesce(list_aggregate(picks, 'sum'), 0) AS DOUBLE) / greatest(len(picks), 1), 6) AS resized_mean
-        |FROM r ORDER BY media_id""".stripMargin,
+        |n AS (SELECT media_id, w, h,
+        |             CAST((w + 1) // 2 AS INTEGER) AS nw,
+        |             CAST((h + 1) // 2 AS INTEGER) AS nh
+        |      FROM d),
+        |m AS (SELECT media_id, w, h, nw, nh,
+        |             list_aggregate(list_transform(range(0, 3 * nw * nh),
+        |               i -> (media_id * 7 + (2 * ((i // 3) // nw)) * 31 + (2 * ((i // 3) % nw)) * 3 + (i % 3) * 11) % 256), 'sum') AS s
+        |      FROM n)
+        |SELECT media_id, w AS orig_w, h AS orig_h, nw AS new_w, nh AS new_h,
+        |       round(CAST(s AS DOUBLE) / (3 * nw * nh), 6) AS resized_mean
+        |FROM m ORDER BY media_id""".stripMargin,
 
     "multimodal_frames" ->
-      """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n
+      """WITH d AS (SELECT doc_id AS media_id, 32 + doc_id % 33 AS n
         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |f AS (SELECT media_id, text, n, n // 4 AS flen, unnest(range(0, 4)) AS frame_idx
-        |      FROM p WHERE n >= 4),
-        |fr AS (SELECT media_id, frame_idx, substr(text, frame_idx * flen + 1, flen) AS frame FROM f)
-        |SELECT media_id, CAST(frame_idx AS INTEGER) AS frame_idx,
-        |       CAST(len(frame) AS BIGINT) AS n_frame_bytes,
-        |       round(CAST(list_aggregate(list_transform(range(1, len(frame) + 1), i -> CAST(ascii(substr(frame, i, 1)) AS BIGINT)), 'sum') AS DOUBLE) / len(frame), 6) AS frame_mean
-        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
+        |f AS (SELECT media_id, n, n // 4 AS flen, unnest(range(0, 4)) AS w FROM d),
+        |s AS (SELECT media_id, CAST(w AS INTEGER) AS frame_idx, flen,
+        |             list_transform(range(w * flen, (w + 1) * flen), i -> (media_id * 13 + i * 97) % 2001 - 1000) AS sm
+        |      FROM f)
+        |SELECT media_id, frame_idx,
+        |       CAST(flen AS BIGINT) AS n_frame_samples,
+        |       round(sqrt(CAST(list_aggregate(list_transform(sm, v -> v * v), 'sum') AS DOUBLE) / flen), 6) AS frame_rms
+        |FROM s ORDER BY media_id, frame_idx""".stripMargin,
 
     "s1_corpus_ingest" ->
       s"""SELECT id AS doc_id, u.author AS opinion_author, u.type AS opinion_type, CAST(len(u.text) AS BIGINT) AS opinion_len

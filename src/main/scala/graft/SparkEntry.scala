@@ -2137,43 +2137,17 @@ object SparkEntry {
         .orderBy("doc_id", "rank")
     }),
 
-    "j9_interval_overlap" -> ((s, dir) => {
-      // interval-overlap join via TIME BINNING — the standard way to
-      // run a range join at scale without a cartesian product: explode
-      // each session interval to the hour bins it covers, equi-join on
-      // bin (co-partitioned, AQE-skew-splittable), de-dup pairs that
-      // met in several bins, then verify the exact overlap predicate.
-      // Any overlapping pair shares the bin of its intersection point,
-      // so binning loses nothing; bin width is tuned to the median
-      // interval length (sessions here are minutes-scale). The oracle
-      // states the SEMANTICS as a direct non-equi join — the bins are
-      // pure mechanism. Output: concurrent-session counts and summed
-      // overlap per cross-user pair (user_id < 300, ≥2-event sessions
-      // bound the demo output).
-      val binUs = 3600L * 1000000L
-      val sv = graft.Caches.persist(
+    "j9_interval_overlap" -> ((s, dir) =>
+      // binned interval-overlap join (mechanism + scale notes:
+      // ext.Sessions.intervalOverlap). The oracle states the SEMANTICS
+      // as a direct non-equi join — the bins are pure mechanism.
+      // Output: concurrent-session counts and summed overlap per
+      // cross-user pair (user_id < 300, ≥2-event sessions bound the
+      // demo output; ScaleBench measures the unbounded mechanism on a
+      // time-extended synth — docs/SCALE.md).
+      ext.Sessions.intervalOverlap(graft.Caches.persist(
         ext.Sessions.sessionize(events(s, dir).filter(col("user_id") < 300))
-          .filter(col("n_events") >= 2))
-      val binned = sv.select(col("user_id"), col("session_seq"),
-        col("t_start"), col("t_end"),
-        explode(sequence(
-          ((col("t_start") - pmod(col("t_start"), lit(binUs))) / binUs).cast("long"),
-          ((col("t_end") - pmod(col("t_end"), lit(binUs))) / binUs).cast("long"))).as("bin"))
-      val a = binned.select(col("bin"), col("user_id").as("user_a"),
-        col("session_seq").as("seq_a"), col("t_start").as("s_a"), col("t_end").as("e_a"))
-      val b = binned.select(col("bin"), col("user_id").as("user_b"),
-        col("session_seq").as("seq_b"), col("t_start").as("s_b"), col("t_end").as("e_b"))
-      a.join(b, Seq("bin"))
-        .filter(col("user_a") < col("user_b") &&
-          col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
-        .select("user_a", "seq_a", "s_a", "e_a", "user_b", "seq_b", "s_b", "e_b")
-        .distinct()
-        .groupBy("user_a", "user_b")
-        .agg(count(lit(1)).as("n_overlaps"),
-          sum(least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
-            .as("overlap_us"))
-        .orderBy("user_a", "user_b")
-    }),
+          .filter(col("n_events") >= 2)))),
 
     "curate_quality_funnel" -> ((s, dir) => {
       // pipeline observability: docs surviving each curation stage —
@@ -2241,21 +2215,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- multimodal plumbing ----
+    // ---- multimodal decode (real formats — MediaCodecs) ----
+    // Fixtures are REAL format bytes (24-bit BMP / PCM16 WAV / P6 PPM)
+    // synthesized per doc_id from closed-form formulas; the oracles
+    // recompute the expected stats from the same formulas WITHOUT seeing
+    // the bytes, so encode→decode runs end-to-end under the gate — and
+    // the encoders plant the formats' decode traps (bottom-up rows, junk
+    // padding, junk RIFF chunks) so a sloppy decoder hash-mismatches.
     "multimodal_features" -> ((s, dir) =>
-      Multimodal.extractFeatures(Multimodal.asMediaTable(docs(s, dir)))
-        .select(col("media_id"), col("n_bytes"),
-          round(col("mean_byte"), 6).as("mean_byte"), col("width"), col("height"))
+      Multimodal.extractImageFeatures(Multimodal.bmpTable(docs(s, dir)))
+        .withColumn("mean_px", round(col("mean_px"), 6))
         .orderBy("media_id")),
 
     "multimodal_resize" -> ((s, dir) =>
-      Multimodal.resizeStride(Multimodal.asMediaTable(docs(s, dir)), stride = 4)
+      Multimodal.resizeHalf(Multimodal.bmpTable(docs(s, dir)))
+        .withColumn("resized_mean", round(col("resized_mean"), 6))
         .orderBy("media_id")),
 
     "multimodal_frames" -> ((s, dir) =>
-      Multimodal.sampleFrames(Multimodal.asMediaTable(docs(s, dir)), nFrames = 4)
-        .withColumn("frame_mean", round(col("frame_mean"), 6))
+      Multimodal.sampleFrames(Multimodal.wavTable(docs(s, dir)), nFrames = 4)
+        .withColumn("frame_rms", round(col("frame_rms"), 6))
         .orderBy("media_id", "frame_idx")),
+
+    "multimodal_wav_stats" -> ((s, dir) =>
+      Multimodal.extractAudioFeatures(Multimodal.wavTable(docs(s, dir)))
+        .withColumn("rms", round(col("rms"), 6))
+        .orderBy("media_id")),
+
+    "multimodal_decode_ppm" -> ((s, dir) =>
+      Multimodal.extractChannelMeans(Multimodal.ppmTable(docs(s, dir)))
+        .withColumn("mean_r", round(col("mean_r"), 6))
+        .withColumn("mean_g", round(col("mean_g"), 6))
+        .withColumn("mean_b", round(col("mean_b"), 6))
+        .orderBy("media_id")),
+
+    "multimodal_byte_stats" -> ((s, dir) =>
+      // text-modality member: byte stats straight off the binary column
+      // via the codegen byte_mean kernel — no decode, no interpreted HOF
+      Multimodal.asMediaTable(docs(s, dir))
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          round(graft.functions.ByteMean.mean(col("payload")), 6).as("mean_byte"))
+        .orderBy("media_id")),
 
     // ---- nested-corpus ingest (CAP fixture; SURVEY.md §2.3) ----
     "s1_corpus_ingest" -> ((s, dir) =>

@@ -4,21 +4,22 @@ import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing — extension family (builder brief): treat
-  * image/audio/video payloads as opaque `binary` columns with typed
-  * metadata, and run decode / feature-extraction as imperative
-  * per-partition batch work.
+/** Multimodal-column operators — extension family (builder brief): treat
+  * image/audio payloads as opaque `binary` columns with typed metadata,
+  * and run encode / decode / feature-extraction as imperative
+  * per-partition batch work over REAL formats (24-bit BMP, P6 PPM, PCM16
+  * WAV — [[MediaCodecs]]; r7 VERDICT #4 retired the `FakeDecoder` stub).
   *
-  * The actual media decode is STUBBED (this container has no image/audio
-  * libraries — builder brief): [[FakeDecoder.decode]] is a clearly-marked
-  * deterministic fake. Everything Spark-side is real and tested: the
-  * binary+metadata schema, the `mapPartitions` batch shape (the Scala
-  * analogue of `mapInPandas` — one iterator per partition, so a real
-  * decoder would amortize model/codec init per partition, not per row),
-  * and the feature schema that comes back out.
+  * Shape: every decode runs through `mapPartitions` — the Scala analogue
+  * of `mapInPandas`: one iterator per partition, so codec/model state
+  * initializes once per partition, not per row. The fixtures are
+  * synthesized from closed-form formulas the DuckDB oracles re-evaluate
+  * independently, and the encoders plant real decode traps (bottom-up BMP
+  * rows, junk row padding, junk RIFF chunks) so a sloppy decoder fails
+  * the gate rather than passing vacuously.
   *
-  * Scale design: decode is narrow per-partition work — no shuffle; the
-  * binary payloads never move except at scan. Partition sizing is
+  * Scale design: encode/decode is narrow per-partition work — no shuffle;
+  * the binary payloads never move except at scan. Partition sizing is
   * controlled upstream by `spark.sql.files.maxPartitionBytes` so a
   * partition of blobs fits executor memory.
   */
@@ -33,17 +34,51 @@ object Multimodal {
       StructField("n_bytes", LongType),
       StructField("source", StringType))))))
 
-  /** Features produced by the (stubbed) decoder. */
-  val featureSchema: StructType = StructType(Seq(
+  /** Raster features: header dims + pixel stats. */
+  val imageFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType),
     StructField("n_bytes", LongType),
-    StructField("mean_byte", DoubleType),
     StructField("width", IntegerType),
-    StructField("height", IntegerType)))
+    StructField("height", IntegerType),
+    StructField("mean_px", DoubleType)))
+
+  /** Nearest-neighbour downscale output. */
+  val resizeSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("orig_w", IntegerType),
+    StructField("orig_h", IntegerType),
+    StructField("new_w", IntegerType),
+    StructField("new_h", IntegerType),
+    StructField("resized_mean", DoubleType)))
+
+  /** PCM stream stats. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_samples", LongType),
+    StructField("sample_rate", IntegerType),
+    StructField("rms", DoubleType),
+    StructField("peak", LongType)))
+
+  /** Per-frame PCM window stats. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("n_frame_samples", LongType),
+    StructField("frame_rms", DoubleType)))
+
+  /** Per-channel raster means (PPM's R/G/B order). */
+  val channelSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("mean_r", DoubleType),
+    StructField("mean_g", DoubleType),
+    StructField("mean_b", DoubleType)))
 
   /** Wrap a (doc_id, text) corpus as a media table: payload = UTF-8 bytes,
-    * metadata struct populated. Stands in for an image/audio scan whose
-    * payload column is `binary` with the same plumbing.
+    * metadata struct populated. The text-modality member of the family —
+    * its byte stats run as a codegen expression
+    * ([[graft.functions.ByteMean]]), no decode needed.
     */
   def asMediaTable(docs: DataFrame): DataFrame =
     docs.select(
@@ -54,93 +89,109 @@ object Multimodal {
         octet_length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
         col("source").as("source")).as("meta"))
 
-  /** STUB decoder — deterministic fake in place of a real codec (no media
-    * libs in this container; builder brief). A real implementation would
-    * decode `payload` per its `mime` and emit genuine features. The fake
-    * derives: byte count, mean byte value, and fake "dimensions" from the
-    * payload length — all deterministic, so the pipeline is testable.
+  /** Media table whose payloads are real format bytes synthesized per
+    * doc_id (deterministic — the oracle recomputes expected stats from
+    * the same formulas without ever seeing the bytes).
     */
-  object FakeDecoder {
-    def decode(mediaId: Long, payload: Array[Byte]): Row = {
-      val n = payload.length.toLong
-      val mean = if (n == 0) 0.0 else payload.map(b => (b & 0xff).toLong).sum.toDouble / n
-      // fake dims: pretend the payload is a square-ish raster
-      val w = math.max(1, math.sqrt(n.toDouble).toInt)
-      val h = math.max(1, (n / math.max(1, w)).toInt)
-      Row(mediaId, n, mean, w, h)
-    }
+  private def mediaTableOf(docs: DataFrame, mime: String,
+      enc: Long => Array[Byte]): DataFrame = {
+    val rowEnc = Encoders.row(mediaSchema)
+    docs.select(col("doc_id"), col("source")).mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = enc(id)
+        Row(id, payload, Row(mime, payload.length.toLong, r.getString(1)))
+      }
+    }(rowEnc)
   }
 
-  /** Frame sampling: split each payload into `nFrames` fixed-length byte
-    * windows (the video/audio "sample every k-th frame" batch shape) and
-    * emit per-frame stats. Pure codegen expressions — `substring` works on
-    * binary — so sampling runs at scan speed; a real decoder would replace
-    * the byte-window arithmetic with codec frame indices.
-    * Output: (media_id, frame_idx, n_frame_bytes, frame_mean).
-    *
-    * CONTRACT (r2 ADVICE): `frame_mean` assumes ASCII payloads — the
-    * windows are sliced by BYTE, but the mean is computed by casting the
-    * window to string and reading character codes, which diverges from the
-    * true byte mean when a window splits a multibyte UTF-8 sequence. The
-    * stub media fixtures are ASCII by construction ([[asMediaTable]] over
-    * the synthetic corpus); a real decoder replaces this stat with decoded
-    * frame features, so the byte/char distinction dies with the stub.
+  def bmpTable(docs: DataFrame): DataFrame =
+    mediaTableOf(docs, "image/bmp", MediaCodecs.encodeBmp)
+
+  def wavTable(docs: DataFrame): DataFrame =
+    mediaTableOf(docs, "audio/wav", MediaCodecs.encodeWav)
+
+  def ppmTable(docs: DataFrame): DataFrame =
+    mediaTableOf(docs, "image/x-portable-pixmap", MediaCodecs.encodePpm)
+
+  /** Mime-dispatched raster decode — BMP and PPM payloads in the same
+    * table decode through their own codecs.
+    */
+  private def decodeRaster(mime: String, payload: Array[Byte]): MediaCodecs.Raster =
+    mime match {
+      case "image/bmp" => MediaCodecs.decodeBmp(payload)
+      case "image/x-portable-pixmap" => MediaCodecs.decodePpm(payload)
+      case other => throw new IllegalArgumentException(s"no raster codec for mime $other")
+    }
+
+  /** Raster feature extraction: decode each payload (header-true width /
+    * height, padding-skipping pixel mean) per partition.
+    */
+  def extractImageFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(imageFeatureSchema)
+    media.select(col("media_id"), col("payload"), col("meta.mime")).mapPartitions { rows =>
+      // a heavier codec would init once per partition HERE
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](1)
+        val raster = decodeRaster(r.getString(2), p)
+        Row(r.getLong(0), p.length.toLong, raster.width, raster.height, raster.meanAll)
+      }
+    }(enc)
+  }
+
+  /** Real resize: decode, nearest-neighbour ×2 downscale in image
+    * coordinates ([[MediaCodecs.downscale2]]), stats of the result.
+    */
+  def resizeHalf(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(resizeSchema)
+    media.select(col("media_id"), col("payload"), col("meta.mime")).mapPartitions { rows =>
+      rows.map { r =>
+        val raster = decodeRaster(r.getString(2), r.getAs[Array[Byte]](1))
+        val small = MediaCodecs.downscale2(raster)
+        Row(r.getLong(0), raster.width, raster.height,
+          small.width, small.height, small.meanAll)
+      }
+    }(enc)
+  }
+
+  /** Per-channel raster means (R/G/B). */
+  def extractChannelMeans(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(channelSchema)
+    media.select(col("media_id"), col("payload"), col("meta.mime")).mapPartitions { rows =>
+      rows.map { r =>
+        val raster = decodeRaster(r.getString(2), r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), raster.width, raster.height,
+          raster.meanChannel(0), raster.meanChannel(1), raster.meanChannel(2))
+      }
+    }(enc)
+  }
+
+  /** PCM stream stats: RIFF chunk walk, 16-bit sample decode, RMS/peak. */
+  def extractAudioFeatures(media: DataFrame): DataFrame = {
+    val enc = Encoders.row(audioFeatureSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val pcm = MediaCodecs.decodeWav(r.getAs[Array[Byte]](1))
+        Row(r.getLong(0), pcm.samples.length.toLong, pcm.sampleRate,
+          pcm.rms, pcm.peak)
+      }
+    }(enc)
+  }
+
+  /** Frame sampling over decoded PCM: `nFrames` equal sample windows,
+    * per-window RMS — the "sample every k-th frame" batch shape running
+    * on real decoded samples.
     */
   def sampleFrames(media: DataFrame, nFrames: Int = 4): DataFrame = {
-    val n = octet_length(col("payload"))
-    val flen = expr(s"octet_length(payload) div $nFrames")
-    media
-      .filter(n >= nFrames)
-      .select(col("media_id"), col("payload"),
-        explode(sequence(lit(0), lit(nFrames - 1))).as("frame_idx"))
-      .withColumn("frame", expr(
-        s"substring(payload, frame_idx * (octet_length(payload) div $nFrames) + 1, " +
-          s"octet_length(payload) div $nFrames)"))
-      .select(
-        col("media_id"), col("frame_idx"),
-        octet_length(col("frame")).cast("long").as("n_frame_bytes"),
-        (aggregate(
-          transform(sequence(lit(1), octet_length(col("frame"))),
-            i => ascii(substr(col("frame").cast("string"), i, lit(1))).cast("long")),
-          lit(0L), (acc, x) => acc + x).cast("double") /
-          octet_length(col("frame"))).as("frame_mean"))
-  }
-
-  /** Resize STUB: stride decimation — keep every `stride`-th byte and
-    * emit size/mean stats of the "resized" payload (a real implementation
-    * replaces the byte picks with decoded-raster interpolation; the
-    * Spark-side shape — narrow per-row expressions over binary, scalar
-    * stats out — is what survives the swap). Same ASCII contract as
-    * [[sampleFrames]]. Output: (media_id, orig_bytes, resized_bytes,
-    * resized_mean).
-    */
-  def resizeStride(media: DataFrame, stride: Int = 4): DataFrame = {
-    val n = octet_length(col("payload"))
-    val txt = col("payload").cast("string")
-    val picks = transform(
-      sequence(lit(1), (n / lit(stride)).cast("int")),
-      i => ascii(substr(txt, (i - 1) * stride + 1, lit(1))).cast("long"))
-    media.select(
-      col("media_id"),
-      n.cast("long").as("orig_bytes"),
-      size(picks).cast("long").as("resized_bytes"),
-      round(
-        aggregate(picks, lit(0L), (a, x) => a + x).cast("double") /
-          greatest(size(picks), lit(1)), 6).as("resized_mean"))
-  }
-
-  /** Feature extraction over the media table via `mapPartitions` — the
-    * batch-per-partition shape a real decoder needs (codec init once per
-    * partition, then stream the rows).
-    */
-  def extractFeatures(media: DataFrame): DataFrame = {
-    val enc = Encoders.row(featureSchema)
-    media.select("media_id", "payload")
-      .mapPartitions { rows =>
-        // real decoder would init codec/model HERE, once per partition
-        rows.map { r =>
-          FakeDecoder.decode(r.getLong(0), r.getAs[Array[Byte]](1))
+    val enc = Encoders.row(frameSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val pcm = MediaCodecs.decodeWav(r.getAs[Array[Byte]](1))
+        MediaCodecs.pcmFrames(pcm, nFrames).map { case (idx, n, rms) =>
+          Row(id, idx, n, rms)
         }
-      }(enc)
+      }
+    }(enc)
   }
 }

@@ -153,4 +153,42 @@ object Sessions {
       .withColumn("k", get_json_object(col("props"), s"$$.$key").cast("long"))
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"), sum("k").as("sum_k"))
+
+  /** Interval-overlap join via TIME BINNING — the standard way to run a
+    * range join at scale without a cartesian product: explode each
+    * session interval to the `binUs`-wide bins it covers, equi-join on
+    * bin (co-partitioned, AQE-skew-splittable), de-dup pairs that met in
+    * several bins, then verify the exact overlap predicate. Any
+    * overlapping pair shares the bin of its intersection point, so
+    * binning loses nothing; bin width is tuned to the median interval
+    * length. Output size is inherently quadratic in CONCURRENCY (it is
+    * the set of overlapping cross-user pairs), so input growth that adds
+    * history scales linearly while growth that adds concurrent users
+    * grows the OUTPUT itself — see docs/SCALE.md's j9 row.
+    *
+    * Input: [[sessionize]] output (user_id, session_seq, t_start, t_end);
+    * output: per cross-user pair, concurrent-session count and summed
+    * overlap micros.
+    */
+  def intervalOverlap(sessions: DataFrame, binUs: Long = 3600L * 1000000L): DataFrame = {
+    val binned = sessions.select(col("user_id"), col("session_seq"),
+      col("t_start"), col("t_end"),
+      explode(sequence(
+        ((col("t_start") - pmod(col("t_start"), lit(binUs))) / binUs).cast("long"),
+        ((col("t_end") - pmod(col("t_end"), lit(binUs))) / binUs).cast("long"))).as("bin"))
+    val a = binned.select(col("bin"), col("user_id").as("user_a"),
+      col("session_seq").as("seq_a"), col("t_start").as("s_a"), col("t_end").as("e_a"))
+    val b = binned.select(col("bin"), col("user_id").as("user_b"),
+      col("session_seq").as("seq_b"), col("t_start").as("s_b"), col("t_end").as("e_b"))
+    a.join(b, Seq("bin"))
+      .filter(col("user_a") < col("user_b") &&
+        col("s_a") <= col("e_b") && col("s_b") <= col("e_a"))
+      .select("user_a", "seq_a", "s_a", "e_a", "user_b", "seq_b", "s_b", "e_b")
+      .distinct()
+      .groupBy("user_a", "user_b")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("e_a"), col("e_b")) - greatest(col("s_a"), col("s_b")))
+          .as("overlap_us"))
+      .orderBy("user_a", "user_b")
+  }
 }

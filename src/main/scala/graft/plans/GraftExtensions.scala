@@ -39,6 +39,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.QuantizeInt8(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("byte_mean"),
+      new ExpressionInfo(classOf[graft.functions.ByteMean].getName, "byte_mean"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "byte_mean takes exactly one argument")
+        graft.functions.ByteMean(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("topk_sketch"),
       new ExpressionInfo(classOf[graft.functions.SpaceSavingTopK].getName, "topk_sketch"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -16,9 +16,10 @@ import graft.{SparkEntry, SparkSpec}
   *  - NO interpreted fold HOFs (`ArrayAggregate`/`ZipWith`): Catalyst
   *    evaluates their lambdas interpreted — the ~10-30× per-element tax
   *    docs/SCALE.md documents (r4 VERDICT #1/#6; the vector and
-  *    fingerprint kernels are codegen Expressions now). Allowlisted:
-  *    the `multimodal_*` stub decode path, whose per-row-bounded byte
-  *    folds stand in for a real codec (r4 VERDICT adjudication).
+  *    fingerprint kernels are codegen Expressions now). No exemptions:
+  *    the former `multimodal_*` allowance died with the stub decoder
+  *    (r7 VERDICT #4 — real codecs run in mapPartitions, and the text
+  *    byte stat is the codegen `byte_mean` kernel).
   *
   * Checked on the ANALYZED logical plan at sf0.001 — plan shape, not
   * execution. `stream_*` entries are skipped: building them runs a full
@@ -44,13 +45,11 @@ class PlanSmellSpec extends SparkSpec {
           case p if p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) => p
         }
         if (udfs.nonEmpty) offenders += s"$name: ScalaUDF"
-        if (!name.startsWith("multimodal_")) {
-          val hofFolds = plan.collect {
-            case p if p.expressions.exists(_.exists(e =>
-              e.isInstanceOf[ArrayAggregate] || e.isInstanceOf[ZipWith])) => p
-          }
-          if (hofFolds.nonEmpty) offenders += s"$name: interpreted ArrayAggregate/ZipWith"
+        val hofFolds = plan.collect {
+          case p if p.expressions.exists(_.exists(e =>
+            e.isInstanceOf[ArrayAggregate] || e.isInstanceOf[ZipWith])) => p
         }
+        if (hofFolds.nonEmpty) offenders += s"$name: interpreted ArrayAggregate/ZipWith"
         // physical (pre-AQE, planning only): a CartesianProductExec means
         // two NON-broadcast sides cross-joined — quadratic shuffle work
         // at scale. Intentional tiny-side crosses plan as
