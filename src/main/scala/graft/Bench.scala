@@ -60,6 +60,21 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Full per-query audit trail on disk (r7 VERDICT #3): the driver's
+    // tail capture keeps only the last 2000 chars of stdout, which at
+    // 185+ queries truncates the per-query dict to a ~third — making
+    // cross-round regressions unauditable. The file always holds every
+    // entry; sorted by name so round-over-round diffs are line-stable.
+    val perQueryJson = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""  "$k": $v""" }
+      .mkString(s"""{\n  "_sf": "$sfDir",\n  "_reps": $reps,\n  "_total_sec": $total,\n""", ",\n", "\n}\n")
+    try {
+      val out = java.nio.file.Paths.get("work/bench_per_query.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, perQueryJson.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"bench_per_query.json write failed: $e")
+    }
     // Long line first (full contract incl. per-query medians), short
     // total line LAST so a tail capture always retains a parseable total.
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"value":$total}""")

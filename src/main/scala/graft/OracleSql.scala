@@ -902,12 +902,17 @@ private[graft] object OracleSql {
       // within-cluster τ-pairs (exact cosine, same sequential-double
       // dot product both engines) → transitive closure via recursive
       // reach (the dedup_components pattern) → rows above their
-      // component minimum, labeled with keeper and cluster.
+      // component minimum, labeled with keeper and cluster. The okc CTE
+      // mirrors semanticDupDrops' degenerate-cluster band (size in
+      // [2, 10000]) so the oracle stays in lockstep if a fixture ever
+      // grows a cluster past maxClusterSize (r7 ADVICE).
       s"""WITH RECURSIVE $ivfLloyd1Ctes,
         |m AS (SELECT a1.vec_id, a1.cluster, v.ve FROM a1 JOIN v USING (vec_id)),
+        |okc AS (SELECT cluster FROM a1 GROUP BY cluster HAVING count(*) BETWEEN 2 AND 10000),
         |p AS (SELECT a.vec_id AS src, b.vec_id AS dst
         |      FROM m a JOIN m b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-        |      WHERE list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.35),
+        |      WHERE a.cluster IN (SELECT cluster FROM okc)
+        |        AND list_dot_product(a.ve, b.ve) / (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))) >= 0.35),
         |e AS (SELECT src, dst FROM p UNION SELECT dst, src FROM p),
         |n AS (SELECT DISTINCT src AS node FROM e),
         |reach(node, r) AS (
@@ -918,6 +923,48 @@ private[graft] object OracleSql {
         |SELECT c.node AS vec_id, m.cluster, c.component AS dup_of
         |FROM ccmp c JOIN m ON m.vec_id = c.node
         |WHERE c.node > c.component ORDER BY vec_id""".stripMargin,
+
+    "dedup_semantic_incremental" ->
+      // incremental SemDeDup mirror: md5-fold 10-bucket split (batch =
+      // bucket 0, corpus = rest — the dedup_incremental_batch
+      // convention), centroids from the CORPUS ALONE (seeds = corpus
+      // vec_id < 8, one Lloyd pass, 6dp-rounded means — the frozen
+      // index), both sides flat-assigned against those centroids, then
+      // batch × corpus pairs within a cell: τ-filter on the unrounded
+      // cosine, rank on the 6dp-rounded value (cos desc, old id asc),
+      // n_partners = all τ-mates of the batch vector
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |bk AS (SELECT vec_id, ve, ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % 10 AS bucket FROM v),
+        |corp AS (SELECT vec_id, ve FROM bk WHERE bucket <> 0),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM corp WHERE vec_id < 8),
+        |s0 AS (SELECT corp.vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM corp CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |comp AS (SELECT a0.cluster AS cent_id, r.i AS pos, round(avg(corp.ve[r.i]), 6) AS m
+        |         FROM a0 JOIN corp USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+        |         GROUP BY a0.cluster, r.i),
+        |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp GROUP BY cent_id),
+        |s1 AS (SELECT bk.vec_id, bk.bucket, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM bk CROSS JOIN c1),
+        |aa AS (SELECT vec_id, bucket, cent_id AS cluster FROM
+        |         (SELECT vec_id, bucket, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s1)
+        |       WHERE rn = 1),
+        |m AS (SELECT aa.vec_id, aa.bucket, aa.cluster, bk.ve FROM aa JOIN bk USING (vec_id)),
+        |pr AS (SELECT b.vec_id AS new_vec_id, o.vec_id AS old_id,
+        |              list_dot_product(b.ve, o.ve) / (sqrt(list_dot_product(b.ve, b.ve)) * sqrt(list_dot_product(o.ve, o.ve))) AS raw
+        |       FROM m b JOIN m o ON b.cluster = o.cluster
+        |       WHERE b.bucket = 0 AND o.bucket <> 0),
+        |f AS (SELECT new_vec_id, old_id, round(raw, 6) AS cos FROM pr WHERE raw >= 0.3),
+        |r AS (SELECT new_vec_id, old_id, cos,
+        |             row_number() OVER (PARTITION BY new_vec_id ORDER BY cos DESC, old_id) AS rn,
+        |             CAST(count(*) OVER (PARTITION BY new_vec_id) AS BIGINT) AS n_partners
+        |      FROM f)
+        |SELECT new_vec_id, old_id AS dup_of_existing, cos AS best_cos, n_partners
+        |FROM r WHERE rn = 1 ORDER BY new_vec_id""".stripMargin,
 
     "emb_dim_stats" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),

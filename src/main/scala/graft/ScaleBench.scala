@@ -108,7 +108,10 @@ object ScaleBench {
     "text_ngram_novelty",
     // cost ∝ batch is the op's defining claim — the 10× corpus carries
     // a 10× batch, so near-linear is the pass bar
-    "dedup_incremental_batch")
+    "dedup_incremental_batch",
+    // r8 addition: the semantic incremental twin (frozen-IVF batch
+    // routing; occupancy-scaled override below)
+    "dedup_semantic_incremental")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE
@@ -137,8 +140,33 @@ object ScaleBench {
       graft.ext.Sessions.sessionize(ev).filter(col("n_events") >= 2)))
   }
 
+  /** Scale-measurement override for `dedup_semantic_incremental`. The
+    * gate query pins C=8 centroids (keeps the DuckDB oracle's recursive
+    * mirror reviewable); at a fixed C a 10× corpus puts 10× vectors in
+    * every cell and the batch×corpus cell join grows ∝ factor² — an
+    * artifact of the fixture bound, not the mechanism. The standing
+    * index at scale follows the same occupancy rule as
+    * `dedup_semantic` (C = ⌈|corpus|/64⌉ → cell size ≈ constant), so
+    * the scale row measures THAT shape: centroid count grows with the
+    * corpus, cell population stays ~64, and the batch-side pair work
+    * stays ∝ batch. Near-linear wall growth is the pass bar.
+    */
+  private def semIncScaleVariant(spark: SparkSession, dir: String): DataFrame = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val bucket = pmod(graft.ext.Dedup.md5Hash60(col("vec_id").cast("string")),
+      lit(10L))
+    val corpus = emb.filter(bucket =!= 0)
+    val n = corpus.count()
+    graft.ext.Similarity.semanticDupIncremental(
+      corpus, emb.filter(bucket === 0), threshold = 0.3,
+      nCentroids = math.max(8, math.ceil(n / 64.0).toInt),
+      corpusCount = Some(n))
+  }
+
   private val Overrides: Map[String, (SparkSession, String) => DataFrame] =
-    Map("j9_interval_overlap" -> (j9ScaleVariant _))
+    Map("j9_interval_overlap" -> (j9ScaleVariant _),
+      "dedup_semantic_incremental" -> (semIncScaleVariant _))
 
   private def queryFor(q: String): (SparkSession, String) => DataFrame =
     Overrides.getOrElse(q, SparkEntry.queries(q))

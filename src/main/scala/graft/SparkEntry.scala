@@ -1706,6 +1706,23 @@ object SparkEntry {
       semanticDropsMemo(s, dir).orderBy("vec_id")
     }),
 
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      // INCREMENTAL SemDeDup (r7 VERDICT #7): a new ingest batch
+      // (deterministic 10% md5-fold split on vec_id — the
+      // dedup_incremental_batch convention) dedups against the EXISTING
+      // corpus through a FROZEN IVF index built from the corpus alone;
+      // per-run cost ∝ batch. τ sits in the random-fixture upper tail
+      // like dedup_semantic; C=8 here — at scale the occupancy rule
+      // (C ∝ |corpus|/64) applies to the standing index, not per run.
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val bucket = pmod(Dedup.md5Hash60(col("vec_id").cast("string")), lit(10L))
+      Similarity.semanticDupIncremental(
+          corpus = emb.filter(bucket =!= 0),
+          batch = emb.filter(bucket === 0),
+          threshold = 0.3)
+        .orderBy("new_vec_id")
+    }),
+
     "emb_dim_stats" -> ((s, dir) =>
       // per-dimension mean/σ over embedding components — the whitening /
       // normalization statistics a vector pipeline computes before PQ or
@@ -2931,9 +2948,20 @@ object SparkEntry {
         .write.mode("overwrite").parquet(comp)
       def nFiles(p: String): Long = new java.io.File(p).listFiles()
         .count(_.getName.endsWith(".parquet")).toLong
+      // The oracle hardcodes 32 → 2; that holds only while every
+      // repartition target gets ≥1 row (Spark writes no file for an
+      // empty partition) and the writer emits one file per task. Assert
+      // it HERE so a sub-32-row fixture or writer change fails with a
+      // readable message instead of a confusing oracle hash mismatch
+      // (r7 ADVICE).
+      val (before, after) = (nFiles(frag), nFiles(comp))
+      require(before == 32L && after == 2L,
+        s"sink_compaction file-layout invariant broke: $before -> $after " +
+          "(expected 32 -> 2; oracle hardcodes these — fixture too small " +
+          "or parquet writer task layout changed)")
       s.read.parquet(comp).groupBy("lang").agg(count(lit(1)).as("n"))
-        .withColumn("files_before", lit(nFiles(frag)))
-        .withColumn("files_after", lit(nFiles(comp)))
+        .withColumn("files_before", lit(before))
+        .withColumn("files_after", lit(after))
         .orderBy("lang")
     }),
 
@@ -2950,8 +2978,13 @@ object SparkEntry {
       val counts = graft.Caches.persist(
         f.groupBy("source", "w").agg(count(lit(1)).as("c")))
       val vocab = counts.select("w").distinct().count()
-      // getOrElse: a dir missing one source must degrade (the oracle
-      // yields a NULL row there), not abort the whole gate build
+      // withDefaultValue(0L): a dir missing one source must degrade,
+      // not abort the whole gate build. Parity with the oracle's NULL
+      // (its scalar total subquery yields NULL there, which propagates
+      // through q → m → the sums) is restored by the explicit NULL
+      // short-circuit below — a smoothed-uniform JS against a source
+      // with zero mass would be a number the oracle never emits
+      // (r7 ADVICE).
       val totals = counts.groupBy("source").agg(sum("c").as("t"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         .withDefaultValue(0L)
@@ -2964,10 +2997,13 @@ object SparkEntry {
           ((coalesce(col("cb"), lit(0L)) + 1).cast("double")
             / (totals("src1") + vocab).toDouble).as("q"))
         .withColumn("m", (col("p") + col("q")) / 2)
-      joined.agg(
+      val js =
+        if (totals("src0") == 0L || totals("src1") == 0L)
+          lit(null).cast("double").as("js_divergence")
+        else
           round((sum(col("p") * log(col("p") / col("m"))) * 0.5
-            + sum(col("q") * log(col("q") / col("m"))) * 0.5), 6).as("js_divergence"),
-          count(lit(1)).as("union_vocab"))
+            + sum(col("q") * log(col("q") / col("m"))) * 0.5), 6).as("js_divergence")
+      joined.agg(js, count(lit(1)).as("union_vocab"))
         .select(lit("src0").as("source_a"), lit("src1").as("source_b"),
           col("js_divergence"), col("union_vocab"))
     }),
