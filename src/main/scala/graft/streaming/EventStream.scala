@@ -57,6 +57,26 @@ object EventStream {
         unix_timestamp(col("window.start")).as("bucket_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Scope a smaller state partitioning to ONE streaming run and restore
+    * the session conf after. `spark.sql.shuffle.partitions` is read when
+    * a streaming query STARTS and pins the state-store partition count
+    * for its lifetime, and every (partition × micro-batch) pays a
+    * state-store checkpoint commit — so a session-wide setting sized for
+    * batch shuffles is pure per-batch overhead on a low-cardinality
+    * stream (measured on the gate: 32 → 8 partitions cut streaming-dedup
+    * wall time ~2.4×). State sizing is a PER-STREAM choice: size to the
+    * stream's key cardinality (the gate streams hold 10²–10⁴ keys →
+    * 8 partitions), not to the session's batch width; a production
+    * deployment re-sizes by checkpoint-restart with its own cardinality.
+    */
+  def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+      body
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Run a streaming aggregation over a (bounded) file source to
     * completion using Trigger.AvailableNow and return the final result
     * from the in-memory sink — gives batch/stream parity checks a single
