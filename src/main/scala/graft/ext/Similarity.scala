@@ -147,7 +147,13 @@ object Similarity {
     */
   def ivfAssign(embeddings: DataFrame, nCentroids: Int = 8,
       lloydIters: Int = 0): DataFrame =
-    ivfAssignWith(embeddings, ivfCentroids(embeddings, nCentroids, lloydIters))
+    // knownCents: the post-Lloyd centroid table has exactly nCentroids
+    // rows (seeds are force-included in the train sample and each seed
+    // is its own nearest centroid, so no cluster goes empty) — without
+    // it, ivfAssignWith's count() re-executes the whole un-persisted
+    // centroid pipeline once for the count and again for the assignment
+    ivfAssignWith(embeddings, ivfCentroids(embeddings, nCentroids, lloydIters),
+      knownCents = Some(nCentroids.toLong))
 
   /** The centroid table (cent_id, cent) [[ivfAssign]] assigns against:
     * seeds = embeddings of the `nCentroids` lowest vec_ids, optionally
