@@ -157,7 +157,12 @@ private[graft] object OracleSql {
     // gate then proves salted == DuckDB independently of the Scala
     // equality specs
     "events_sessionize_salted" -> oracleSqlBase("events_sessionize"),
-    "asof_salted_order" -> oracleSqlBase("asof_latest_order"))
+    "asof_salted_order" -> oracleSqlBase("asof_latest_order"),
+    // streaming ingest face of the incremental semantic dedup: the
+    // completed AvailableNow run equals the batch query (per-vector
+    // output is batching-independent), so it proves stream == DuckDB
+    // against the same mirror
+    "stream_semantic_dedup" -> oracleSqlBase("dedup_semantic_incremental"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "tok_flat_words" ->
@@ -966,6 +971,27 @@ private[graft] object OracleSql {
         |SELECT new_vec_id, old_id AS dup_of_existing, cos AS best_cos, n_partners
         |FROM r WHERE rn = 1 ORDER BY new_vec_id""".stripMargin,
 
+    // streaming ingest face of the query above: per-batch-vector output
+    // is batching-independent (rank partitions by new_vec_id only), so a
+    // completed AvailableNow run over the same file equals the batch
+    // query — the oracle is resolved to the same SQL in `sql` below
+    // (see the map post-processing at the bottom of this object)
+
+    "sim_random_projection" ->
+      // JL ±1 projection mirror: sign(pos, dim) from the shared md5-fold
+      // (Achlioptas family), sum over the 64 input dims / √16, rounded
+      // 6dp on both engines (sum addend order differs; the
+      // emb_dim_stats convention)
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |x AS (SELECT vec_id, r.i - 1 AS pos, ve[r.i] AS x
+        |      FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r),
+        |d AS (SELECT unnest(range(0, 16)) AS dim),
+        |sgn AS (SELECT vec_id, dim,
+        |               x * (CAST(${md5Hash60Sql("CAST(pos AS VARCHAR) || '#' || CAST(dim AS VARCHAR)")} % 2 AS DOUBLE) * 2 - 1) AS t
+        |        FROM x CROSS JOIN d)
+        |SELECT vec_id, CAST(dim AS INT) AS dim, round(sum(t) / sqrt(16.0), 6) AS value
+        |FROM sgn GROUP BY vec_id, dim ORDER BY vec_id, dim""".stripMargin,
+
     "emb_dim_stats" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
         |x AS (SELECT r.i - 1 AS dim, ve[r.i] AS x
@@ -1523,6 +1549,48 @@ private[graft] object OracleSql {
         |WHERE c_acctbal > (SELECT ab FROM a)
         |  AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """WITH oc AS (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |            GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM oc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q15_top_supplier" ->
+      // 2dp rounding BEFORE max/equality on both sides (sum addend order
+      // differs between engines; rounding absorbs the last-bit noise)
+      """WITH rev AS (SELECT l_suppkey,
+        |                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |             FROM lineitem
+        |             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |               AND l_shipdate < TIMESTAMP '1996-04-01'
+        |             GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q11_important_parts" ->
+      // threshold = 6dp-rounded AVERAGE part value × 1.5 (scale-free
+      // form of the spec's 0.0001/SF fraction; q22 S4-scalar
+      // determinism pattern) — unrounded values compared, 2dp on output
+      """WITH pv AS (SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS v
+        |            FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT round(avg(v), 6) * 1.5 AS thr FROM pv)
+        |SELECT l_partkey, round(v, 2) AS part_value
+        |FROM pv, t WHERE v > thr
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT l_partkey, l_suppkey FROM pairs
+        |       WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ok JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
 
     "agg_countmin" ->
       // every cell mirrors bitwise (same md5-fold row hashes), so the

@@ -1482,6 +1482,80 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    "q13_customer_distribution" -> ((s, dir) => {
+      // TPC-H Q13 shape: left-outer fact join + TWO-LEVEL aggregation
+      // (orders per customer, then customers per order-count) — the
+      // histogram-of-a-groupBy face none of the other Q-shapes cover.
+      // Both aggs shuffle on their own key (custkey then c_count);
+      // the second input is |customers| rows, so the re-shuffle is
+      // cheap at any scale.
+      val oc = tbl(s, dir, "customer")
+        .join(tbl(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      oc.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    "q15_top_supplier" -> ((s, dir) => {
+      // TPC-H Q15 shape: quarterly revenue per supplier (the "view"),
+      // global max as an S4 scalar, join-back for the argmax row(s) —
+      // ties kept like the spec. Revenue is 2dp-rounded BEFORE the max/
+      // equality so both engines compare identical doubles (the sum's
+      // last bits are addend-order-dependent; 2dp rounding absorbs it).
+      val rev = tbl(s, dir, "lineitem")
+        .filter(col("l_shipdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate").cast("timestamp") < lit("1996-04-01").cast("timestamp"))
+        .groupBy("l_suppkey")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_rev"))
+      val top = rev.agg(max("total_rev")).head().getDouble(0)
+      rev.filter(col("total_rev") === top)
+        .join(tbl(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev"))
+        .orderBy("s_suppkey")
+    }),
+
+    "q11_important_parts" -> ((s, dir) => {
+      // TPC-H Q11 shape: per-group value vs a GLOBAL-share threshold
+      // (HAVING value > sum(value) * fraction). Value = lineitem revenue
+      // per part (this schema has no partsupp). The spec's fraction is
+      // scale-DEPENDENT (0.0001/SF) because shares dilute as parts
+      // multiply; the scale-free equivalent is a multiple of the AVERAGE
+      // part's value — 1.5× average keeps the survivor set a few percent
+      // at every SF. Threshold follows the q22 determinism pattern —
+      // 6dp-rounded S4 scalar, unrounded values compared against it,
+      // 2dp rounding only on output.
+      val pv = graft.Caches.persist(tbl(s, dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("v")))
+      val thr = round6(pv.agg(avg("v")).head().getDouble(0)) * 1.5
+      pv.filter(col("v") > thr)
+        .select(col("l_partkey"), round(col("v"), 2).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+
+    "q16_supplier_cnt" -> ((s, dir) => {
+      // TPC-H Q16 shape: supplier diversity per part attribute —
+      // distinct (part, supplier) pairs from the facts (partsupp
+      // stand-in), anti-join away flagged suppliers (negative balance
+      // standing in for the spec's complaints filter), countDistinct
+      // per (brand, size). distinct-then-join keeps the heavy dedup on
+      // the narrow pair projection, never on joined rows.
+      val pairs = tbl(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+      val flagged = tbl(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      pairs
+        .join(flagged, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(tbl(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+
     // ---- dedup extension family ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir)).orderBy("fingerprint")),
@@ -1720,6 +1794,77 @@ object SparkEntry {
       // from the per-(session, dir) memo (ccMemo economics).
       semanticDropsMemo(s, dir).orderBy("vec_id")
     }),
+
+    "stream_semantic_dedup" -> ((s, dir) => {
+      // STREAMING ingest face of dedup_semantic_incremental: embedding
+      // batches arrive as a stream and each micro-batch dedups against
+      // the FROZEN corpus index via foreachBatch — centroids and corpus
+      // cell assignment are computed ONCE outside the stream (the
+      // standing artifacts of the previous run), localCheckpoint-ed so
+      // micro-batches re-read blocks, never re-derive lineage. Results
+      // append per batch; per-vector output is batching-independent
+      // (semanticDupAgainstIndex ranks within new_vec_id only), so the
+      // completed AvailableNow run equals the batch query and shares
+      // its oracle shape.
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val bucket = pmod(Dedup.md5Hash60(col("vec_id").cast("string")), lit(10L))
+      val corpus = emb.filter(bucket =!= 0)
+      val cents = Similarity.ivfCentroids(corpus, nCentroids = 8,
+        lloydIters = 1).localCheckpoint()
+      val nc = Some(cents.count())
+      val corpusCells = Similarity.ivfAssignWith(corpus, cents, knownCents = nc)
+        .join(corpus, Seq("vec_id"))
+        .select(col("cluster"), col("vec_id").as("old_id"),
+          col("embedding").as("old_emb"))
+        .localCheckpoint()
+      val outDir = s"$WorkDir/stream_semdedup/" +
+        s"${System.identityHashCode(s).toHexString}_" +
+        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(java.nio.file.Paths.get(outDir)) // fresh run, fresh results
+      val embSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("embedding",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)),
+        org.apache.spark.sql.types.StructField("label",
+          org.apache.spark.sql.types.IntegerType)))
+      val batchStream = s.readStream.schema(embSchema)
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(pmod(Dedup.md5Hash60(col("vec_id").cast("string")),
+          lit(10L)) === 0)
+        .select("vec_id", "embedding")
+      graft.streaming.EventStream.withStatePartitions(s, 8) {
+        val q = batchStream.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              Similarity.semanticDupAgainstIndex(batch, cents, corpusCells,
+                  threshold = 0.3, knownCents = nc)
+                .write.mode("append").parquet(s"$outDir/dups")
+              ()
+          }
+          .option("checkpointLocation", s"$outDir/ckpt_${System.nanoTime()}")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$outDir/dups").orderBy("new_vec_id")
+    }),
+
+    "sim_random_projection" -> ((s, dir) =>
+      // Johnson-Lindenstrauss ±1 projection 64 → 16 dims — the cut a
+      // 100 TB pipeline applies before bucketed ANN (see
+      // Similarity.randomProjection for the scale rationale)
+      Similarity.randomProjection(
+          tbl(s, dir, "embeddings").select("vec_id", "embedding"),
+          outDims = 16)
+        .orderBy("vec_id", "dim")),
 
     "dedup_semantic_incremental" -> ((s, dir) => {
       // INCREMENTAL SemDeDup (r7 VERDICT #7): a new ingest batch

@@ -707,7 +707,22 @@ object Similarity {
       .join(c, Seq("vec_id"))
       .select(col("cluster"), col("vec_id").as("old_id"),
         col("embedding").as("old_emb"))
-    val batchCells = ivfAssignWith(b, cents, knownCents = nc)
+    semanticDupAgainstIndex(b, cents, corpusCells, threshold, knownCents = nc)
+  }
+
+  /** The frozen-index HALF of [[semanticDupIncremental]], factored out so
+    * the streaming ingest face can route each micro-batch against the
+    * SAME standing artifacts (`cents` + `corpusCells`) without
+    * recomputing them per batch: assign `batch` to the frozen centroid
+    * set, join cell-mates, τ-filter, rank. Per-batch-vector output is
+    * independent of batching (ranking partitions by new_vec_id only), so
+    * any micro-batch split of the same rows appends the same results.
+    */
+  def semanticDupAgainstIndex(batch: DataFrame, cents: DataFrame,
+      corpusCells: DataFrame, threshold: Double,
+      knownCents: Option[Long] = None): DataFrame = {
+    val b = batch.select(col("vec_id"), col("embedding"))
+    val batchCells = ivfAssignWith(b, cents, knownCents = knownCents)
       .join(b, Seq("vec_id"))
       .select(col("cluster"), col("vec_id").as("new_vec_id"),
         col("embedding").as("new_emb"))
@@ -729,5 +744,32 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("new_vec_id"), col("old_id").as("dup_of_existing"),
         col("cos").as("best_cos"), col("n_partners"))
+  }
+
+  /** Johnson-Lindenstrauss random projection — the dimensionality-cut a
+    * 100 TB vector pipeline runs BEFORE bucketed ANN (project d → d',
+    * then index the short vectors; JL: pairwise distances survive within
+    * ε for d' = O(log N / ε²)). The projection matrix is never
+    * materialized globally: each cell (pos, j) derives its ±1 sign from
+    * the same md5-fold both engines compute (Achlioptas 2001's
+    * database-friendly ±1 family), so the operator is a pure
+    * explode → broadcast-cross → hash-agg chain — codegen end to end,
+    * one shuffle on (vec_id, j), linear in N·d·d'.
+    * Output: (vec_id, dim, value) rows, value = Σᵢ xᵢ·sign(i,dim) / √d'
+    * rounded 6dp (sum addend order differs between engines; 6dp absorbs
+    * the last-bit noise — the emb_dim_stats convention).
+    */
+  def randomProjection(embeddings: DataFrame, outDims: Int = 16): DataFrame = {
+    val x = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+    val dims = embeddings.sparkSession.range(outDims)
+      .select(col("id").cast("int").as("dim"))
+    x.crossJoin(broadcast(dims))
+      .withColumn("sign",
+        (pmod(graft.ext.Dedup.md5Hash60(
+          concat_ws("#", col("pos"), col("dim"))), lit(2L)).cast("double") * 2 - 1))
+      .groupBy("vec_id", "dim")
+      .agg(round(sum(col("x").cast("double") * col("sign"))
+        / math.sqrt(outDims.toDouble), 6).as("value"))
   }
 }

@@ -291,4 +291,57 @@ class SimilaritySpec extends SparkSpec {
       assert(g.forall(r => r._2 != r._1)) // self excluded
     }
   }
+
+  test("semanticDupAgainstIndex is batching-independent (the streaming-face invariant)") {
+    import spark.implicits._
+    // the stream_semantic_dedup gate query appends per-micro-batch
+    // results; that equals the one-shot batch result ONLY if per-vector
+    // output never depends on which other batch vectors are present
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    // corpus must CONTAIN the seed ids (ivfCentroids seeds are literally
+    // vec_id < nCentroids), so the batch is the TAIL of the id space
+    val corpus = e.filter(col("vec_id") < 40)
+    val batch = e.filter(col("vec_id") >= 40)
+    val cents = Similarity.ivfCentroids(corpus, 4, 1).localCheckpoint()
+    val cells = Similarity.ivfAssignWith(corpus, cents, knownCents = Some(4L))
+      .join(corpus, Seq("vec_id"))
+      .select(col("cluster"), col("vec_id").as("old_id"),
+        col("embedding").as("old_emb")).localCheckpoint()
+    def run(b: org.apache.spark.sql.DataFrame) =
+      // τ = -1 keeps EVERY cell-mate pair: the invariant under test is
+      // batching-independence, not threshold realism, and a non-vacuous
+      // result set must survive the tiny sf0.001 fixture's near-zero
+      // random cosines
+      Similarity.semanticDupAgainstIndex(b, cents, cells, threshold = -1.0,
+          knownCents = Some(4L))
+        .as[(Long, Long, Double, Long)].collect().toSet
+    val whole = run(batch)
+    val split = run(batch.filter(col("vec_id") % 2 === 0)) ++
+      run(batch.filter(col("vec_id") % 2 === 1))
+    assert(whole.nonEmpty, "fixture produced no tau-pairs; lower the threshold")
+    assert(split == whole)
+  }
+
+  test("randomProjection: deterministic, complete, and JL-plausible") {
+    import spark.implicits._
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = e.count()
+    val p = Similarity.randomProjection(e, outDims = 16)
+    val rows = p.as[(Long, Int, Double)].collect()
+    // complete grid: every vector gets exactly 16 output dims
+    assert(rows.length == n * 16)
+    assert(rows.map(_._2).distinct.sorted.toSeq == (0 until 16))
+    // deterministic across runs (the md5-derived sign matrix is fixed)
+    assert(Similarity.randomProjection(e, outDims = 16)
+      .as[(Long, Int, Double)].collect().toSet == rows.toSet)
+    // JL sanity: projected squared-norms concentrate around the input
+    // squared-norms in aggregate (E[‖Px‖²] = ‖x‖² for the ±1/√d' family)
+    val inNorm = e.select(sum(Similarity.dot(col("embedding"), col("embedding"))))
+      .head().getDouble(0)
+    val outNorm = rows.map(r => r._3 * r._3).sum
+    assert(math.abs(outNorm - inNorm) / inNorm < 0.2,
+      s"aggregate norm drifted: in=$inNorm out=$outNorm")
+  }
 }
