@@ -208,6 +208,38 @@ object SparkEntry {
     Dedup.cappedPostings(sharedShingleRows(s, dir), maxDf = 1000)
       .localCheckpoint())
 
+  /** The corpus side of the 10-bucket md5-fold split on vec_id (batch =
+    * bucket 0, corpus = rest — the dedup_incremental_batch convention),
+    * shared by the incremental/streaming semantic dedup pair.
+    */
+  private def embCorpus(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+    emb.filter(pmod(Dedup.md5Hash60(col("vec_id").cast("string")),
+      lit(10L)) =!= 0)
+  }
+
+  /** The FROZEN IVF index of the embedding corpus — centroids and corpus
+    * cell assignment, the standing artifacts an incremental semantic
+    * dedup run routes new batches against (only the batch side changes
+    * per run). Served once per (session, sfDir) to both
+    * `dedup_semantic_incremental` and `stream_semantic_dedup`; exactly
+    * 8 centroid rows by the seed-self-assignment invariant
+    * (`Similarity.ivfAssign`), which is what lets callers pass
+    * knownCents = 8 without a count job.
+    */
+  private val frozenCentsMemo = new DirMemo((s, dir) =>
+    graft.ext.Similarity.ivfCentroids(embCorpus(s, dir), nCentroids = 8,
+      lloydIters = 1).localCheckpoint())
+  private val frozenCellsMemo = new DirMemo((s, dir) => {
+    val corpus = embCorpus(s, dir)
+    graft.ext.Similarity.ivfAssignWith(corpus, frozenCentsMemo(s, dir),
+        knownCents = Some(8L))
+      .join(corpus, Seq("vec_id"))
+      .select(col("cluster"), col("vec_id").as("old_id"),
+        col("embedding").as("old_emb"))
+      .localCheckpoint()
+  })
+
   /** The 6dp-rounded mean LM score — the stratification / gate cut
     * shared by `sample_by_perplexity` and `pipeline_curate_full` (an S4
     * scalar; HALF_UP rounding mirrors the DuckDB oracles' round(avg, 6)
@@ -243,6 +275,8 @@ object SparkEntry {
     semanticDropsMemo.reset()
     lmScoresMemo.reset()
     cappedPostingsMemo.reset()
+    frozenCellsMemo.reset()
+    frozenCentsMemo.reset()
   }
 
   /** Driver-side mirror of Spark's `round(col, 6)` (HALF_UP over
@@ -1806,17 +1840,9 @@ object SparkEntry {
       // (semanticDupAgainstIndex ranks within new_vec_id only), so the
       // completed AvailableNow run equals the batch query and shares
       // its oracle shape.
-      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
-      val bucket = pmod(Dedup.md5Hash60(col("vec_id").cast("string")), lit(10L))
-      val corpus = emb.filter(bucket =!= 0)
-      val cents = Similarity.ivfCentroids(corpus, nCentroids = 8,
-        lloydIters = 1).localCheckpoint()
-      val nc = Some(cents.count())
-      val corpusCells = Similarity.ivfAssignWith(corpus, cents, knownCents = nc)
-        .join(corpus, Seq("vec_id"))
-        .select(col("cluster"), col("vec_id").as("old_id"),
-          col("embedding").as("old_emb"))
-        .localCheckpoint()
+      val cents = frozenCentsMemo(s, dir)
+      val nc = Some(8L) // seed-self-assignment invariant, see the memo
+      val corpusCells = frozenCellsMemo(s, dir)
       val outDir = s"$WorkDir/stream_semdedup/" +
         s"${System.identityHashCode(s).toHexString}_" +
         java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
@@ -1870,16 +1896,19 @@ object SparkEntry {
       // INCREMENTAL SemDeDup (r7 VERDICT #7): a new ingest batch
       // (deterministic 10% md5-fold split on vec_id — the
       // dedup_incremental_batch convention) dedups against the EXISTING
-      // corpus through a FROZEN IVF index built from the corpus alone;
-      // per-run cost ∝ batch. τ sits in the random-fixture upper tail
-      // like dedup_semantic; C=8 here — at scale the occupancy rule
+      // corpus through a FROZEN IVF index built from the corpus alone —
+      // served from the shared standing-artifact memos
+      // (frozenCentsMemo/frozenCellsMemo, also the stream_semantic_dedup
+      // index); per-run cost ∝ batch. τ sits in the random-fixture upper
+      // tail like dedup_semantic; C=8 here — at scale the occupancy rule
       // (C ∝ |corpus|/64) applies to the standing index, not per run.
       val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val bucket = pmod(Dedup.md5Hash60(col("vec_id").cast("string")), lit(10L))
-      Similarity.semanticDupIncremental(
-          corpus = emb.filter(bucket =!= 0),
+      Similarity.semanticDupAgainstIndex(
           batch = emb.filter(bucket === 0),
-          threshold = 0.3)
+          cents = frozenCentsMemo(s, dir),
+          corpusCells = frozenCellsMemo(s, dir),
+          threshold = 0.3, knownCents = Some(8L))
         .orderBy("new_vec_id")
     }),
 
