@@ -111,7 +111,10 @@ object ScaleBench {
     "dedup_incremental_batch",
     // r8 addition: the semantic incremental twin (frozen-IVF batch
     // routing; occupancy-scaled override below)
-    "dedup_semantic_incremental")
+    "dedup_semantic_incremental",
+    // r8 addition: JL projection — pure N·d·d' narrow work + one
+    // (vec_id, dim) shuffle; the ratio tests the linear claim
+    "sim_random_projection")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE
