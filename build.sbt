@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // local[32] = driver AND all 32 executor threads in ONE JVM; 24g sizes
+  // spark.memory.fraction 0.6 ≈ 450 MB per concurrent task for the sf0.1
+  // sweep plus the standing localCheckpoint memos (the box has 128 GiB).
+  // Note the 2026-08-13 full-sweep stalls were NOT heap: they were the
+  // 100-entry codegen class cache thrashing (see Bench.scala) — the 24g
+  // default is sizing headroom, not the fix.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+) ++ (if (sys.env.contains("SPARK_GRAFT_GCLOG")) Seq("-Xlog:gc") else Seq.empty)

@@ -21,6 +21,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The default codegen class cache holds 100 entries; a 195-query
+      // sweep cycles far more generated classes than that, so every rep
+      // re-compiled fresh Janino classes and C2 re-JITed them from
+      // scratch — measured as 10–60x interpreted-execution stalls
+      // landing on whichever query ran while the JIT was behind (jstack
+      // during a stall: C2CompilerThread0 pegged, executor threads in
+      // Janino). A cache sized past the sweep's working set makes rep
+      // 2+ reuse both the class AND its JIT state.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the JVM (codegen, parquet reader) and page cache once so each
@@ -53,9 +62,18 @@ object Bench {
       Caches.clearPersisted()
       dt
     }
+    // Progress trail on stderr (stdout stays the driver's parse target):
+    // one line per query AS IT COMPLETES, with wall clock and in-sweep
+    // position. This is what localizes a mid-sweep degradation — a
+    // sum-of-medians total can't distinguish "every query 2x slower"
+    // (machine) from "queries after #120 10x slower" (session-state).
+    var pos = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val samples = (1 to reps).map(_ => timeOnce(fn)).sorted
-      name -> samples(samples.size / 2) // median
+      pos += 1
+      val med = samples(samples.size / 2)
+      System.err.println(f"BENCHQ $pos%3d ${java.time.LocalTime.now()} $name%-28s $med%8.3f s (min ${samples.head}%.3f max ${samples.last}%.3f)")
+      name -> med // median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

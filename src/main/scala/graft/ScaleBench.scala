@@ -192,6 +192,9 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench: size the codegen class cache past the gate's working
+      // set so repeated reps reuse compiled classes + their JIT state
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
