@@ -15,26 +15,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // The default codegen class cache holds 100 entries; a 195-query
-      // sweep cycles far more generated classes than that, so every rep
-      // re-compiled fresh Janino classes and C2 re-JITed them from
-      // scratch — measured as 10–60x interpreted-execution stalls
-      // landing on whichever query ran while the JIT was behind (jstack
-      // during a stall: C2CompilerThread0 pegged, executor threads in
-      // Janino). A cache sized past the sweep's working set makes rep
-      // 2+ reuse both the class AND its JIT state.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // GraftSession carries the codegen-cache sizing that fixed this
+    // sweep's 10–60x roving JIT stalls (see GraftSession scaladoc).
+    val spark = GraftSession.local(GraftSession.coresFromEnv(default = 4))
     // Warm the JVM (codegen, parquet reader) and page cache once so each
     // query's number measures the query, not first-touch session costs.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Seq("lineitem", "orders", "customer", "part", "nation", "region",
       "documents", "embeddings", "events").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()

@@ -184,19 +184,9 @@ object ScaleBench {
     val selected = if (args.nonEmpty) Heavy.filter(args.contains) else Heavy
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val scratch = s"${SparkEntry.WorkDir}/scale"
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // match Bench: size the codegen class cache past the gate's working
-      // set so repeated reps reuse compiled classes + their JIT state
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(GraftSession.coresFromEnv(default = 32))
 
     println(s"[scale] synthesizing 1x and ${factor}x from $base …")
     synth(spark, base, s"$scratch/x1", 1)

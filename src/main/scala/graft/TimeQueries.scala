@@ -12,17 +12,8 @@ object TimeQueries {
     require(args.length >= 2, "usage: TimeQueries <sfDir> <query> [<query>…]")
     val sfDir = args.head
     val names = args.tail.toSeq
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      // match Bench: size the codegen class cache past the gate's working
-      // set so repeated reps reuse compiled classes + their JIT state
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(GraftSession.coresFromEnv(default = 32))
     names.foreach { n =>
       val fn = SparkEntry.queries.getOrElse(n, sys.error(s"no such query: $n"))
       try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => () }

@@ -20,17 +20,7 @@ object Verify {
     val selectedOracles =
       if (only.isEmpty) SparkEntry.oracleSql
       else SparkEntry.oracleSql.view.filterKeys(only).toMap
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // match Bench: size the codegen class cache past the gate's working
-      // set so the 195-query sweep doesn't thrash Janino/JIT compilation
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(GraftSession.coresFromEnv(default = 4))
     new java.io.File(outDir).mkdirs()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
