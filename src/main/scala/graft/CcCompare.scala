@@ -11,15 +11,9 @@ import org.apache.spark.sql.functions._
   */
 object CcCompare {
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = GraftSession.local(GraftSession.coresFromEnv())
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val pairs = graft.ext.Dedup.minhashPairs(docs, k = 3, numHashes = 32,
