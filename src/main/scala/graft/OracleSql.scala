@@ -1951,6 +1951,36 @@ private[graft] object OracleSql {
         |FROM pr WHERE j >= 0.8
         |GROUP BY doc_a ORDER BY new_doc_id""".stripMargin,
 
+    "pipeline_ingest_incremental" ->
+      // the full admission gate mirrored: corpus fingerprint set, the
+      // dedup_incremental_batch candidate+Jaccard chain, and the
+      // text_lm_score/sample_by_perplexity 6dp cut — CASE precedence
+      // identical to the Spark when-chain; docs with no bigrams have
+      // NULL lm_score and fall through to keep on both engines
+      s"""WITH $hashedShingleCtes,
+        |$lmCtes,
+        |bk AS (SELECT doc_id, md5(text) AS fp, ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |cfp AS (SELECT DISTINCT fp FROM bk WHERE bucket <> 0),
+        |sb AS (SELECT sh.doc_id, sh.s, bk.bucket FROM sh JOIN bk USING (doc_id)),
+        |d2i AS (SELECT doc_id, bucket, unnest(s) AS h FROM sb),
+        |oki AS (SELECT h FROM (SELECT h, count(*) AS df FROM d2i GROUP BY h) WHERE df <= 1000),
+        |candi AS (SELECT DISTINCT a.doc_id AS doc_a, o.doc_id AS doc_b
+        |          FROM d2i a JOIN d2i o ON a.h = o.h
+        |          WHERE a.bucket = 0 AND o.bucket <> 0 AND a.h IN (SELECT h FROM oki)),
+        |nd AS (SELECT DISTINCT c.doc_a AS doc_id
+        |       FROM candi c JOIN sb x ON x.doc_id = c.doc_a JOIN sb y ON y.doc_id = c.doc_b
+        |       WHERE CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(x.s, y.s))) AS DOUBLE) >= 0.8),
+        |sc AS (SELECT doc_id, round(avg(lp), 6) AS lm_score FROM s GROUP BY doc_id),
+        |cut AS (SELECT round(avg(lm_score), 6) AS c FROM sc)
+        |SELECT b.doc_id,
+        |       CASE WHEN b.fp IN (SELECT fp FROM cfp) THEN 'drop_exact'
+        |            WHEN b.doc_id IN (SELECT doc_id FROM nd) THEN 'drop_near_dup'
+        |            WHEN sc.lm_score IS NOT NULL AND sc.lm_score < (SELECT c FROM cut) THEN 'drop_low_quality'
+        |            ELSE 'keep' END AS disposition
+        |FROM bk b LEFT JOIN sc USING (doc_id)
+        |WHERE b.bucket = 0
+        |ORDER BY doc_id""".stripMargin,
+
     "source_corrupt_jsonl" ->
       // the two planted bad lines are constants of the fixture the
       // query itself writes; good rows = every document

@@ -2017,6 +2017,60 @@ object SparkEntry {
         .orderBy("new_doc_id")
     }),
 
+    "pipeline_ingest_incremental" -> ((s, dir) => {
+      // CAPSTONE of the incremental-ingest family: one batch (the
+      // md5-fold 10% split) pushed through the full admission gate
+      // against STANDING corpus artifacts — (1) exact dup vs the corpus
+      // fingerprint set, (2) near-dup vs the df-capped posting index
+      // (the dedup_incremental_batch candidate shape + full-set Jaccard
+      // verify), (3) the corpus-mean LM quality cut — one disposition
+      // per batch doc, drop precedence exact > near-dup > low-quality.
+      // Scale: (2) and (3) serve from the shared standing memos so
+      // per-run cost ∝ batch; the fingerprint semi-join as written
+      // shuffles the corpus fp set — at 100 TB that table is the
+      // previous run's artifact kept BUCKETED by fingerprint
+      // (sink_bucketed_join demonstrates the technique), which makes
+      // stage (1) batch-only too. Intra-batch duplicates are NOT
+      // dropped here by design: the gate admits against the corpus;
+      // batch-internal dedup is dedup_exact/dedup_minhash's job.
+      // Fixture note: the synthetic corpus has ZERO duplicate texts
+      // (verified by md5 group count), so drop_exact cannot fire at
+      // sf0.01 — the branch is exercised as a verified no-hit here and
+      // positively by dedup_exact's fingerprint logic, which it reuses.
+      val d = docs(s, dir)
+      val bucket = pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(10L))
+      val batch = d.filter(bucket === 0)
+      val corpusFp = d.filter(bucket =!= 0)
+        .select(md5(col("text")).as("fingerprint")).distinct()
+      val exact = batch.select(col("doc_id"), md5(col("text")).as("fingerprint"))
+        .join(corpusFp, Seq("fingerprint"), "left_semi")
+        .select(col("doc_id")).withColumn("is_exact", lit(1))
+      val capped = cappedPostingsMemo(s, dir)
+      val cand = capped.filter(bucket === 0)
+        .select(col("doc_id").as("doc_a"), col("shingle"))
+        .join(capped.filter(bucket =!= 0)
+          .select(col("doc_id").as("doc_b"), col("shingle")), Seq("shingle"))
+        .select("doc_a", "doc_b").distinct()
+      val near = Dedup.jaccardForPairs(d, cand,
+          preShingleRows = Some(sharedShingled(s, dir)))
+        .filter(col("jaccard") >= 0.8)
+        .select(col("doc_a").as("doc_id")).distinct()
+        .withColumn("is_near", lit(1))
+      val cut = lmCut(s, dir)
+      val lowq = lmScoresMemo(s, dir).filter(col("lm_score") < cut)
+        .select("doc_id").withColumn("is_lowq", lit(1))
+      batch.select("doc_id")
+        .join(exact, Seq("doc_id"), "left")
+        .join(near, Seq("doc_id"), "left")
+        .join(lowq, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("is_exact") === 1, lit("drop_exact"))
+            .when(col("is_near") === 1, lit("drop_near_dup"))
+            .when(col("is_lowq") === 1, lit("drop_low_quality"))
+            .otherwise(lit("keep")).as("disposition"))
+        .orderBy("doc_id")
+    }),
+
     "source_corrupt_jsonl" -> ((s, dir) => {
       // malformed-input handling (the face every real ingest needs):
       // a query-written JSONL fixture with two planted bad lines, read
