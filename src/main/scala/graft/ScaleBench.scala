@@ -114,7 +114,12 @@ object ScaleBench {
     "dedup_semantic_incremental",
     // r8 addition: JL projection — pure N·d·d' narrow work + one
     // (vec_id, dim) shuffle; the ratio tests the linear claim
-    "sim_random_projection")
+    "sim_random_projection",
+    // r8 capstone: the full admission gate — 10× corpus AND 10× batch,
+    // so the pass bar is the same cost-∝-batch claim as
+    // dedup_incremental_batch plus the corpus-side standing-artifact
+    // builds (fingerprint set, posting index, LM stats) staying linear
+    "pipeline_ingest_incremental")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE
