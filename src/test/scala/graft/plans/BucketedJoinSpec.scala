@@ -56,4 +56,29 @@ class BucketedJoinSpec extends SparkSpec {
       .orderBy("o_orderpriority")
     assert(df.collect().toSeq == expect.collect().toSeq)
   }
+
+  test("admission-gate exact stage shuffles the batch side only") {
+    val dir = "/root/testdata/sf0.001"
+    val df = SparkEntry.exactDupStage(spark, dir)
+    // the corpus fingerprint side reads its standing bucketed layout —
+    // the semi-join's ONLY exchange is the batch side's
+    assert(shuffles(df) <= 1,
+      s"expected only the batch-side exchange:\n${df.queryExecution.executedPlan}")
+    // negative control: the same semi-join against an UNBUCKETED corpus
+    // fingerprint set exchanges both sides
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val bucket = pmod(graft.ext.Dedup.md5Hash60(col("doc_id").cast("string")),
+      lit(10L))
+    val rawFp = d.filter(bucket =!= 0)
+      .select(md5(col("text")).as("fingerprint")).distinct()
+    val raw = d.filter(bucket === 0)
+      .select(col("doc_id"), md5(col("text")).as("fingerprint"))
+      .hint("merge")
+      .join(rawFp.hint("merge"), Seq("fingerprint"), "left_semi")
+      .select(col("doc_id"))
+    assert(shuffles(raw) >= 2, "control: unbucketed semi-join must shuffle both sides")
+    // and the bucketed stage returns exactly the unbucketed stage's rows
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      raw.collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
