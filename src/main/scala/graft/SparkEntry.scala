@@ -2009,7 +2009,8 @@ object SparkEntry {
     "emb_pca_power" -> ((s, dir) =>
       // top principal component via distributed Gramian + driver power
       // iteration — see Similarity.pcaTopComponent for the scale split
-      // (N·d² narrow rows, one d²-group shuffle, fixed-size collect)
+      // (per-partition partial d×d Gramians, one partitions·d² shuffle,
+      // fixed-size collect)
       Similarity.pcaTopComponent(
           tbl(s, dir, "embeddings").select("vec_id", "embedding"))
         .orderBy("dim")),

@@ -550,16 +550,16 @@ object Similarity {
     * driver.
     *
     *  - Per-dim means (6dp-rounded, broadcast) center the data.
-    *  - The covariance entries come from a DOUBLE posexplode (no
-    *    self-join: the second explode carries the row's own array), so
-    *    the N·d² product rows are NARROW; the only shuffle is the
-    *    (i, j) hash aggregate — d² groups with map-side partials, i.e.
-    *    4096 keys per partition regardless of N. A BLAS outer-product
-    *    `mapPartitions` would cut the narrow row blowup too, at the cost
-    *    of leaving Catalyst; at d=64 the relational form wins on
-    *    simplicity and stays in codegen.
+    *  - The covariance comes from PARTIAL GRAMIANS: each partition
+    *    accumulates its own d×d outer-product sum in one `mapPartitions`
+    *    pass and emits d² rows, so the shuffle moves partitions·d²
+    *    values — NOT the N·d² narrow rows the previous double-posexplode
+    *    form produced (the r8 scale table's worst row, 5.19× @10×, and a
+    *    10⁶-rows-per-vector blowup at production d=1024). The final
+    *    (i, j) hash aggregate sums ≤ numPartitions addends per key.
     *  - cov entries are 6dp-rounded on BOTH engines (kills summation-
-    *    order ulps), then collected — d² values, a FIXED-size driver
+    *    order ulps — partition-partial vs sequential sums differ only in
+    *    last bits), then collected — d² values, a FIXED-size driver
     *    materialization independent of corpus size (the S4 scalar rule,
     *    d² wide).
     *  - `iters` power iterations v ← C·v / ‖C·v‖ run on the driver from
@@ -574,17 +574,32 @@ object Similarity {
     val m = embeddings
       .select(posexplode(col("embedding")).as(Seq("pos", "xf")))
       .groupBy("pos").agg(round(avg(col("xf").cast("double")), 6).as("m"))
-    val e1 = embeddings.select(col("vec_id"), col("embedding").as("emb"),
-      posexplode(col("embedding")).as(Seq("i", "xif")))
-    val e2 = e1.select(col("vec_id"), col("i"),
-      col("xif").cast("double").as("xi"),
-      posexplode(col("emb")).as(Seq("j", "xjf")))
-    val centered = e2
-      .join(broadcast(m.select(col("pos").as("i"), col("m").as("mi"))), Seq("i"))
-      .join(broadcast(m.select(col("pos").as("j"), col("m").as("mj"))), Seq("j"))
-      .select(col("i"), col("j"),
-        ((col("xi") - col("mi")) * (col("xjf").cast("double") - col("mj"))).as("p"))
-    val cov = centered.groupBy("i", "j")
+    val means = Array.ofDim[Double](dim)
+    m.collect().foreach(r => means(r.getInt(0)) = r.getDouble(1))
+    val bMeans = spark.sparkContext.broadcast(means)
+    import spark.implicits._
+    val partials = embeddings.select(col("embedding")).as[Array[Float]]
+      .mapPartitions { it =>
+        val mm = bMeans.value
+        val acc = Array.ofDim[Double](dim, dim)
+        var any = false
+        val c = Array.ofDim[Double](dim)
+        it.foreach { v =>
+          any = true
+          var i = 0
+          while (i < dim) { c(i) = v(i).toDouble - mm(i); i += 1 }
+          i = 0
+          while (i < dim) {
+            val ci = c(i); val row = acc(i); var j = 0
+            while (j < dim) { row(j) += ci * c(j); j += 1 }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else Iterator.range(0, dim).flatMap(i =>
+          Iterator.range(0, dim).map(j => (i, j, acc(i)(j))))
+      }.toDF("i", "j", "p")
+    val cov = partials.groupBy("i", "j")
       .agg(round(sum("p") / (n - 1.0), 6).as("c"))
     val C = Array.ofDim[Double](dim, dim)
     cov.collect().foreach(r => C(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
