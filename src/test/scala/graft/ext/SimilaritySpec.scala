@@ -223,6 +223,49 @@ class SimilaritySpec extends SparkSpec {
     assert(drops == Seq((2L, 0L, 0L), (3L, 0L, 0L)))
   }
 
+  test("semanticDupDrops excludes clusters above maxClusterSize from pair generation") {
+    import spark.implicits._
+    // plant a 6-member duplicate cluster around seed 0 and a 3-member one
+    // around seed 1, then set the band to [2, 4]: the oversized cluster
+    // must contribute ZERO drops (its members never enter the pair join)
+    // while the in-band cluster still drops its two non-keepers — the
+    // Spark half of the degenerate-cluster band whose oracle mirror is
+    // dedup_semantic's okc CTE (same HAVING bounds).
+    val emb = (Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.0f, 1.0f, 0.0f)),
+      (7L, Seq(0.02f, 0.999f, 0.0f)),
+      (8L, Seq(0.0f, 0.998f, 0.03f))) ++
+      (2L to 5L).map(i => (i, Seq(0.99f, 0.01f * i, 0.01f)))
+    ).toDF("vec_id", "embedding")
+    val drops = Similarity.semanticDupDrops(emb, threshold = 0.9,
+      nCentroids = 2, lloydIters = 0, maxClusterSize = 4)
+      .orderBy("vec_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(drops == Seq((7L, 1L, 1L), (8L, 1L, 1L)),
+      s"oversized cluster 0 must be excluded, in-band cluster 1 kept: $drops")
+    // control: without the cap the big cluster's five non-keepers drop too
+    val uncapped = Similarity.semanticDupDrops(emb, threshold = 0.9,
+      nCentroids = 2, lloydIters = 0)
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(uncapped.map(_._1) == Seq(2L, 3L, 4L, 5L, 7L, 8L))
+  }
+
+  test("gate fixture clusters stay far below the maxClusterSize band") {
+    // the dedup_semantic oracle pins the degenerate-cluster band at
+    // [2, 10000]; this invariant keeps the fixture honest — if a future
+    // synth ever grows a cluster within 10x of the bound, fail HERE
+    // instead of as a silent oracle hash mismatch the day it crosses it.
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val n = emb.count()
+    val c = math.max(8, math.ceil(n / 64.0).toInt)
+    val sizes = Similarity.ivfAssignWith(emb,
+        Similarity.ivfCentroids(emb, c, lloydIters = 1, knownCount = Some(n)))
+      .groupBy("cluster").count().agg(max("count")).head().getLong(0)
+    assert(sizes < 1000, s"largest fixture cluster $sizes is within 10x of the band")
+  }
+
   test("hierarchical assignment (C > FlatAssignMax) is deterministic, valid, cell-consistent") {
     import spark.implicits._
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
