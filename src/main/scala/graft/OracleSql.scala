@@ -1592,6 +1592,114 @@ private[graft] object OracleSql {
         |GROUP BY p_brand, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
 
+    // The six round-9 TPC-H shapes. Stand-ins mirrored verbatim from
+    // SparkEntry (the synth schema has no partsupp / commit dates):
+    // cost_cents = (l_partkey*31 + l_suppkey*17) % 10000,
+    // avail = (l_partkey*7 + l_suppkey*13) % 100 + 1,
+    // lateness = l_shipdate > o_orderdate + N days.
+    "q2_min_cost_supplier" ->
+      // min/equality join on integer cents is exact on both engines;
+      // ORDER BY refers to the 2dp-rounded alias, so the sort happens
+      // in the outer query over the already-rounded projection
+      """WITH ps AS (SELECT l_partkey, l_suppkey,
+        |                   (l_partkey * 31 + l_suppkey * 17) % 10000 AS cost_cents
+        |            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)),
+        |eur AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |        FROM supplier
+        |        JOIN nation ON s_nationkey = n_nationkey
+        |        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+        |eps AS (SELECT * FROM ps JOIN eur ON l_suppkey = s_suppkey),
+        |mc AS (SELECT l_partkey AS mc_partkey, min(cost_cents) AS min_cents
+        |       FROM eps GROUP BY l_partkey)
+        |SELECT * FROM (
+        |  SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name, p_partkey,
+        |         round(cost_cents / 100.0, 2) AS supply_cost
+        |  FROM eps
+        |  JOIN mc ON l_partkey = mc_partkey AND cost_cents = min_cents
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'LARGE' AND p_size > 40)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 20""".stripMargin,
+
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q9_product_profit" ->
+      // supply cost computed inline from the lineitem keys, as in the
+      // Spark plan — no pair-table join on either side
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)
+        |                 - ((l_partkey * 31 + l_suppkey * 17) % 10000) / 100.0
+        |                   * l_quantity), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%bolt%'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q12_late_lines" ->
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q20_surplus_suppliers" ->
+      """WITH shipped AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE 'red%'
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY l_partkey, l_suppkey),
+        |surplus AS (SELECT * FROM shipped
+        |            WHERE (l_partkey * 7 + l_suppkey * 13) % 100 + 1 > 2.0 * qty)
+        |SELECT s_suppkey, s_name, n_name, CAST(count(*) AS BIGINT) AS n_surplus_parts
+        |FROM surplus
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |GROUP BY s_suppkey, s_name, n_name
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      // EXISTS = another supplier touched the order; NOT EXISTS = no
+      // OTHER supplier was late — both correlate on (same order,
+      // different supplier), mirroring the semi/anti pair
+      """WITH lo AS (SELECT l_orderkey, l_suppkey,
+        |                   (l_shipdate > o_orderdate + INTERVAL 720 DAY) AS is_late
+        |            FROM lineitem
+        |            JOIN orders ON l_orderkey = o_orderkey
+        |            WHERE o_orderstatus = 'F'),
+        |late AS (SELECT * FROM lo WHERE is_late)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM late l1
+        |JOIN supplier ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lo l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY numwait DESC, s_suppkey
+        |LIMIT 20""".stripMargin,
+
     "agg_countmin" ->
       // every cell mirrors bitwise (same md5-fold row hashes), so the
       // point estimates and their overcounts match exactly
