@@ -73,7 +73,10 @@ object Bench {
       .map { case (k, v) => s"""  "$k": $v""" }
       .mkString(s"""{\n  "_sf": "$sfDir",\n  "_reps": $reps,\n  "_total_sec": $total,\n""", ",\n", "\n}\n")
     try {
-      val out = java.nio.file.Paths.get("work/bench_per_query.json")
+      // absolute WorkDir path (r9 ADVICE: a cwd-relative path lands the
+      // audit trail wherever the launcher happened to cd)
+      val out = java.nio.file.Paths.get(
+        s"${SparkEntry.WorkDir}/bench_per_query.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, perQueryJson.getBytes("UTF-8"))
     } catch { case e: Throwable =>

@@ -119,7 +119,12 @@ object ScaleBench {
     // so the pass bar is the same cost-∝-batch claim as
     // dedup_incremental_batch plus the corpus-side standing-artifact
     // builds (fingerprint set, posting index, LM stats) staying linear
-    "pipeline_ingest_incremental")
+    "pipeline_ingest_incremental",
+    // r9 addition: the bucketed exact-dup stage ALONE (standing
+    // fingerprint artifact build + batch semi-join) — isolates the
+    // r9 bucketBy fix from the rest of the capstone; memos reset per
+    // rep, so the measured cost INCLUDES the bucketed write
+    "pipeline_exact_stage")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE
@@ -174,7 +179,9 @@ object ScaleBench {
 
   private val Overrides: Map[String, (SparkSession, String) => DataFrame] =
     Map("j9_interval_overlap" -> (j9ScaleVariant _),
-      "dedup_semantic_incremental" -> (semIncScaleVariant _))
+      "dedup_semantic_incremental" -> (semIncScaleVariant _),
+      "pipeline_exact_stage" ->
+        ((s: SparkSession, dir: String) => SparkEntry.exactDupStage(s, dir)))
 
   private def queryFor(q: String): (SparkSession, String) => DataFrame =
     Overrides.getOrElse(q, SparkEntry.queries(q))

@@ -71,6 +71,19 @@ object SparkEntry {
   private[graft] val StemmedFlatPath = s"$WorkDir/stemmed_flat.parquet"
   private[graft] val ArtifactsPath = s"$WorkDir/artifacts"
 
+  /** Unique tag for per-(session, sfDir) scratch dirs and table names.
+    * The dir part is 64 bits of the md5 of the PATH STRING — the old
+    * 32-bit `String.hashCode` let two distinct sfDirs collide (Java
+    * string hashes collide trivially, e.g. "Aa"/"BB"), and a collision
+    * here deletes another dir's in-flight scratch results (r9 ADVICE).
+    */
+  private[graft] def scratchTag(s: SparkSession, dir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8"))
+    val hex = md.take(8).map(b => f"${b & 0xff}%02x").mkString
+    s"${System.identityHashCode(s).toHexString}_$hex"
+  }
+
   /** Query terms for the stemmed BM25 path, stemmed ONCE driver-side (the
     * oracle never stems — SURVEY.md §5: it scores the pre-stemmed fixture
     * with these literals embedded).
@@ -221,8 +234,7 @@ object SparkEntry {
     */
   private val corpusFpBucketedMemo = new DirMemo((s, dir) => {
     val bucket = pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(10L))
-    val name = s"corpus_fp_bkt_${System.identityHashCode(s).toHexString}_" +
-      java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+    val name = s"corpus_fp_bkt_${scratchTag(s, dir)}"
     docs(s, dir).filter(bucket =!= 0)
       .select(md5(col("text")).as("fingerprint")).distinct()
       .write.mode("overwrite").format("parquet")
@@ -1232,9 +1244,7 @@ object SparkEntry {
       // the merge being IDEMPOTENT (re-merging a batch changes
       // nothing), which is the real-world contract foreachBatch sinks
       // must provide since batches may be replayed on failure.
-      val stateDir = s"$WorkDir/stream_upsert/" +
-        s"${System.identityHashCode(s).toHexString}_" +
-        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val stateDir = s"$WorkDir/stream_upsert/${scratchTag(s, dir)}"
       def rmTree(p: java.nio.file.Path): Unit =
         if (java.nio.file.Files.exists(p)) {
           java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -1588,8 +1598,14 @@ object SparkEntry {
         .groupBy("l_suppkey")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("total_rev"))
-      val top = rev.agg(max("total_rev")).head().getDouble(0)
-      rev.filter(col("total_rev") === top)
+      // max over an empty quarter is NULL — guard the S4 scalar (r9
+      // ADVICE: the bare getDouble NPE'd); an empty window yields the
+      // empty result with the output schema, not an opaque crash
+      val topRow = rev.agg(max("total_rev")).head()
+      val matched =
+        if (topRow.isNullAt(0)) rev.filter(lit(false))
+        else rev.filter(col("total_rev") === topRow.getDouble(0))
+      matched
         .join(tbl(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_rev"))
         .orderBy("s_suppkey")
@@ -2059,9 +2075,7 @@ object SparkEntry {
       val cents = frozenCentsMemo(s, dir)
       val nc = Some(8L) // seed-self-assignment invariant, see the memo
       val corpusCells = frozenCellsMemo(s, dir)
-      val outDir = s"$WorkDir/stream_semdedup/" +
-        s"${System.identityHashCode(s).toHexString}_" +
-        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val outDir = s"$WorkDir/stream_semdedup/${scratchTag(s, dir)}"
       def rmTree(p: java.nio.file.Path): Unit =
         if (java.nio.file.Files.exists(p)) {
           java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
@@ -3227,8 +3241,7 @@ object SparkEntry {
       // names would let concurrent live sessions (which the DirMemo
       // family explicitly supports) overwrite each other's tables
       // mid-scan
-      val suffix = s"${System.identityHashCode(s).toHexString}_" +
-        java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+      val suffix = scratchTag(s, dir)
       def bucketed(src: DataFrame, name: String, key: String): DataFrame = {
         src.write.mode("overwrite").format("parquet")
           .bucketBy(8, key).sortBy(key)

@@ -146,14 +146,19 @@ object Similarity {
     * LSH bucket join.
     */
   def ivfAssign(embeddings: DataFrame, nCentroids: Int = 8,
-      lloydIters: Int = 0): DataFrame =
-    // knownCents: the post-Lloyd centroid table has exactly nCentroids
-    // rows (seeds are force-included in the train sample and each seed
-    // is its own nearest centroid, so no cluster goes empty) — without
-    // it, ivfAssignWith's count() re-executes the whole un-persisted
-    // centroid pipeline once for the count and again for the assignment
+      lloydIters: Int = 0): DataFrame = {
+    // knownCents: the seed rule (`vec_id < nCentroids`) yields AT MOST
+    // nCentroids rows — fewer when the id space has holes below
+    // nCentroids. Claiming exactly nCentroids is safe only on the flat
+    // side of the FlatAssignMax boundary (an upper bound ≤ flatMax
+    // proves the actual count is too, and assignNearest never reads
+    // the count); above the boundary an overstated hint could route a
+    // ≤-flatMax table through the APPROXIMATE hierarchical path (r9
+    // ADVICE), so there the one count job is the price of exactness.
+    val kc = if (nCentroids <= FlatAssignMax) Some(nCentroids.toLong) else None
     ivfAssignWith(embeddings, ivfCentroids(embeddings, nCentroids, lloydIters),
-      knownCents = Some(nCentroids.toLong))
+      knownCents = kc)
+  }
 
   /** The centroid table (cent_id, cent) [[ivfAssign]] assigns against:
     * seeds = embeddings of the `nCentroids` lowest vec_ids, optionally
