@@ -624,6 +624,24 @@ private[graft] object OracleSql {
         |       round(sum(value), 6) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    "stream_late_drop" ->
+      // the watermark drop rule applied arithmetically: keep the recent
+      // 15-day wave (the late wave is dropped wholesale — every late
+      // window ends far below the watermark), emit only windows the
+      // final watermark (max event time − 30 min) finalized
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+        |mx AS (SELECT max(us) AS m FROM e),
+        |a AS (SELECT CAST(floor(us / 3600000000) AS BIGINT) AS bucket,
+        |             event_type, value
+        |      FROM e, mx WHERE us > m - 1296000000000)
+        |SELECT CAST(bucket * 3600 AS BIGINT) AS bucket_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       round(sum(value), 6) AS sum_value
+        |FROM a, mx
+        |GROUP BY bucket, event_type, m
+        |HAVING (bucket + 1) * 3600000000 <= m - 1800000000
+        |ORDER BY 1, 2""".stripMargin,
+
     "stream_dedup_users" ->
       """SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,

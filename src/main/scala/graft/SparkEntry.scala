@@ -1213,6 +1213,54 @@ object SparkEntry {
         .orderBy("bucket_start", "event_type")
     }),
 
+    "stream_late_drop" -> ((s, dir) => {
+      // Late-data DROP semantics (r8 VERDICT #5) — the one streaming
+      // behavior that silently loses data in production, pinned against
+      // a batch oracle. The month of events arrives as three waves of
+      // one micro-batch each (maxFilesPerTrigger=1 over mtime-ordered
+      // wave files): the RECENT 15 days minus its max-ts event(s),
+      // then the max-ts event(s), then the OLDER 15 days — 15 days
+      // "late". Spark filters late records with the PREVIOUS batch's
+      // watermark and evicts with the current one (SPARK-40925's
+      // two-watermark rule — a late row landing in the same batch where
+      // its window first evicts is still included), so the late wave
+      // must arrive TWO batches after the watermark-advancing one; the
+      // middle wave is that buffer. Every late window then ends ~14.5
+      // days below the late-record watermark and the whole third wave
+      // drops; append mode emits exactly the finalized recent windows
+      // (window.end <= max event time − 30 min — the last 30 min of
+      // state never emits). The oracle applies both rules
+      // arithmetically: recent-half filter + window.end <= max − 30 min.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val us = expr("ts div 1000")
+      val maxUs = raw.agg(max(us)).head().getLong(0)
+      val cutoffUs = maxUs - 15L * 86400L * 1000000L // 15 days
+      val scratch = s"$WorkDir/stream_late/${scratchTag(s, dir)}"
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(java.nio.file.Paths.get(scratch)) // fresh run, fresh waves
+      val now = System.currentTimeMillis()
+      EventStream.writeWaveFile(raw.filter(us > cutoffUs && us < maxUs),
+        s"$scratch/wave_a.parquet", now - 90000)
+      EventStream.writeWaveFile(raw.filter(us === maxUs),
+        s"$scratch/wave_b.parquet", now - 60000)
+      EventStream.writeWaveFile(raw.filter(us <= cutoffUs),
+        s"$scratch/wave_c.parquet", now - 30000)
+      EventStream.withStatePartitions(s, 8) {
+        val agg = EventStream.tumblingCounts(
+          EventStream.readEventsPaced(s, scratch),
+          width = "1 hour", watermark = "30 minutes")
+        EventStream.runToCompletion(s, agg, "stream_late_sink",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }.select(col("bucket_start"), col("event_type"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))
+        .orderBy("bucket_start", "event_type")
+    }),
+
     "stream_stream_join" -> ((s, dir) => {
       // watermarked STREAM-STREAM join (the face stream_enrich_segment's
       // stream-static join doesn't cover): views ⋈ purchases of the same

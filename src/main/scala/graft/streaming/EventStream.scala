@@ -57,6 +57,47 @@ object EventStream {
         unix_timestamp(col("window.start")).as("bucket_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Paced file stream over `dir`: ONE file per micro-batch, files taken
+    * in modification-time order — the file source's own ordering rule
+    * made load-bearing as an arrival-order knob. Late-data fixtures
+    * write event waves as separate files with controlled mtimes
+    * ([[writeWaveFile]]), so "arrives after the watermark advanced"
+    * becomes a deterministic property of the fixture, not of race
+    * timing. Trigger.AvailableNow respects maxFilesPerTrigger (that is
+    * its contract vs the deprecated Trigger.Once), so a completed run
+    * still covers every file.
+    */
+  def readEventsPaced(spark: SparkSession, dir: String,
+      glob: String = "*.parquet"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(eventSchema)
+      .option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Write `df` as ONE parquet FILE at `path` (not a directory) with the
+    * given mtime — the arrival-order fixture for [[readEventsPaced]].
+    * Parquet writes produce a directory; the single part file is moved
+    * to `path` and stamped.
+    */
+  def writeWaveFile(df: DataFrame, path: String, mtimeMs: Long): Unit = {
+    val tmp = path + "_tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"no part file under $tmp"))
+    val dst = java.nio.file.Paths.get(path)
+    java.nio.file.Files.deleteIfExists(dst)
+    java.nio.file.Files.move(part.toPath, dst)
+    java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.delete(f))
+    require(dst.toFile.setLastModified(mtimeMs), s"cannot set mtime on $dst")
+  }
+
   /** Scope a smaller state partitioning to ONE streaming run and restore
     * the session conf after. `spark.sql.shuffle.partitions` is read when
     * a streaming query STARTS and pins the state-store partition count

@@ -84,6 +84,53 @@ class EventStreamSpec extends SparkSpec {
     assert(out.filter(_._1 == 3600L) == Seq((3600L, 1L)))
   }
 
+  test("paced waves: late event dropped, on-time event lands (append mode)") {
+    import spark.implicits._
+    // the stream_late_drop mechanism end-to-end: mtime-ordered wave
+    // files + maxFilesPerTrigger=1 make arrival order deterministic;
+    // watermark 30 min, 1 h tumbling windows, append mode
+    val dir = Files.createTempDirectory("graft-paced").toString
+    val base = 1704067200L // 2024-01-01T00:00:00Z
+    def wave(name: String, mtimeOffsetMs: Long, rows: (Long, Int, Int)*): Unit =
+      EventStream.writeWaveFile(
+        rows.map { case (id, hh, mm) =>
+          (id, (base + hh * 3600L + mm * 60L) * 1000000000L, 1L, "click", 1.0, "{}")
+        }.toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+        s"$dir/$name.parquet", System.currentTimeMillis() - 60000 + mtimeOffsetMs)
+    // batch 0: 10:05 and 12:10 → watermark 11:40 after the batch
+    wave("a", 0, (1L, 10, 5), (2L, 12, 10))
+    // batch 1: buffer wave (12:15). Late records are filtered with the
+    // PREVIOUS batch's watermark (SPARK-40925) — a late row must arrive
+    // two batches after the advancing wave for the 11:40 mark to apply
+    wave("b", 5000, (7L, 12, 15))
+    // batch 2: 10:30 is LATE (window end 11:00 <= late-record watermark
+    // 11:40 → dropped); 11:50 is on time (window end 12:00 > 11:40)
+    wave("c", 10000, (3L, 10, 30), (4L, 11, 50))
+    // batch 3: 14:00 advances the watermark to 13:30, which finalizes
+    // the 11:00 and 12:00 windows on the following batch
+    wave("d", 15000, (5L, 14, 0))
+    // batch 4: 16:00 → eviction runs with watermark 13:30; the final
+    // no-data batch then evicts through 15:30
+    wave("e", 20000, (6L, 16, 0))
+    val rows = EventStream.withStatePartitions(spark, 4) {
+      EventStream.runToCompletion(spark,
+        EventStream.tumblingCounts(EventStream.readEventsPaced(spark, dir),
+          width = "1 hour", watermark = "30 minutes"),
+        "paced_late_sink", org.apache.spark.sql.streaming.OutputMode.Append())
+    }.select("bucket_start", "n_events").as[(Long, Long)].collect().toSeq
+    // append mode must emit each finalized window EXACTLY once
+    assert(rows.map(_._1).distinct.size === rows.size)
+    val out = rows.toMap
+    // the late event did NOT re-open or inflate the 10:00 window …
+    assert(out(base + 10 * 3600L) === 1L, "late 10:30 event must be dropped")
+    // … while the on-time event from the SAME late-arriving wave landed
+    assert(out(base + 11 * 3600L) === 1L, "on-time 11:50 event must land")
+    assert(out(base + 12 * 3600L) === 2L) // 12:10 + the 12:15 buffer
+    assert(out(base + 14 * 3600L) === 1L) // final no-data batch eviction
+    // windows the final watermark (15:30) never passed stay unemitted
+    assert(!out.contains(base + 16 * 3600L))
+  }
+
   test("foreachBatch parquet sink accumulates batches equal to the batch result") {
     import spark.implicits._
     // the production sink shape: foreachBatch gives each micro-batch as a
