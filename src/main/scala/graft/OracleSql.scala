@@ -229,6 +229,19 @@ private[graft] object OracleSql {
          |FROM top10 t JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
          |ORDER BY t.score DESC, t.doc_id""".stripMargin,
 
+    "search_phrase" ->
+      // positional postings keep the FULL token stream (no stopword
+      // removal, no stemming); anchor = pos − i, a full set of the 3
+      // distinct offsets at one anchor = one exact occurrence
+      """WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |p AS (SELECT doc_id, unnest(tk) AS word, unnest(range(len(tk))) AS pos FROM d),
+        |t AS (SELECT * FROM (VALUES ('hash', 0), ('the', 1), ('query', 2)) AS t(word, i)),
+        |m AS (SELECT doc_id, pos - i AS anchor FROM p JOIN t USING (word)
+        |      GROUP BY doc_id, pos - i HAVING count(DISTINCT i) = 3)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+        |       CAST(min(anchor) AS BIGINT) AS first_pos
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -561,6 +561,18 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "search_phrase" -> ((s, dir) => {
+      // exact-phrase search over the positional posting index (r8
+      // VERDICT #6 — the reference is bag-of-words; the (word, doc_id,
+      // pos) variant completes the search-engine story). The phrase
+      // keeps its stopword on purpose: the positional index indexes the
+      // FULL token stream, so "the" inside the phrase is load-bearing.
+      Search.phraseMatch(
+        graft.index.Indexer.positionalPostings(docs(s, dir)),
+        "hash the query")
+        .orderBy("doc_id")
+    }),
+
     // ---- relational coverage on the star schema (SURVEY.md §2.4-2.6) ----
     "q1_pricing_summary" -> ((s, dir) =>
       tbl(s, dir, "lineitem")

@@ -50,6 +50,20 @@ object Indexer {
     else raw
   }
 
+  /** (doc_id, word, pos) — POSITIONAL postings, the phrase-search index
+    * (the reference's index is bag-of-words; this is the posting variant
+    * phrase/adjacency queries need). Position = index in the normalized
+    * token stream (`[^a-z]+` split on lowered text, empties removed)
+    * with NO stopword removal and NO stemming: a phrase is an exact
+    * surface-form sequence and its stopwords are load-bearing
+    * ("hash THE query"). One narrow pass — posexplode over the filtered
+    * token array; only (id, short word, int) rows ever shuffle.
+    */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(filter(split(lower(col("text")), "[^a-z]+"),
+        w => length(w) > 0)).as(Seq("pos", "word")))
+
   /** doc_id → token count. Reference: `searchenginespark.py:125`. */
   def docLengths(flat: DataFrame): DataFrame =
     flat.groupBy("doc_id").agg(count(lit(1)).as("doc_length"))

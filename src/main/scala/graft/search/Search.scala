@@ -102,4 +102,34 @@ object Search {
          |ORDER BY score DESC, doc_id ASC
          |LIMIT $k""".stripMargin)
   }
+
+  /** Exact-phrase match over positional postings
+    * ([[Indexer.positionalPostings]]): phrase term i maps each of its
+    * occurrences to anchor = pos − i; an anchor where ALL n distinct
+    * offsets land is an exact occurrence of the phrase starting there.
+    * ONE broadcast join against the n phrase terms + ONE aggregate,
+    * whatever n is — no n-way posting self-join. At 100 TB the
+    * broadcast join doubles as the word filter: only postings of the
+    * phrase's words survive into the (doc_id, anchor) aggregate, the
+    * same slice an IN-filter would read. Repeated phrase words are
+    * handled by construction (a posting joins every i it matches).
+    * Output: (doc_id, n_matches, first_pos), one row per matching doc.
+    */
+  def phraseMatch(postings: DataFrame, phrase: String): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    // raw surface tokens — the positional index keeps stopwords, so the
+    // phrase tokenizer must too (NOT Tokenizer.tokenize, which drops them)
+    val terms = phrase.toLowerCase.split("[^a-z]+").filter(_.nonEmpty).toSeq
+    require(terms.nonEmpty, s"phrase has no alphabetic tokens: '$phrase'")
+    val t = terms.zipWithIndex.toDF("word", "i")
+    postings.join(broadcast(t), Seq("word"))
+      .select(col("doc_id"), (col("pos") - col("i")).as("anchor"), col("i"))
+      .groupBy("doc_id", "anchor")
+      .agg(countDistinct("i").as("k"))
+      .filter(col("k") === terms.length)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min("anchor").cast("long").as("first_pos"))
+  }
 }

@@ -71,4 +71,31 @@ class SearchSpec extends SparkSpec {
     assert(got.map(_._1).toSeq == Seq(3L))
     assert(got.head._3.startsWith("table scan"))
   }
+
+  test("phraseMatch requires adjacency, keeps stopwords, handles repeats") {
+    import spark.implicits._
+    val fixture = Seq(
+      // two exact occurrences, the first at pos 1
+      (1L, "x hash the query hash the query"),
+      // all three words present but never adjacent in order — no match
+      (2L, "hash a the b query hash query the"),
+      // REVERSED order — no match (order matters, not just proximity)
+      (3L, "query the hash"),
+      // punctuation splits but does not break adjacency; case-folds
+      (4L, "... Hash, THE query!")).toDF("doc_id", "text")
+    val got = Search.phraseMatch(
+      Indexer.positionalPostings(fixture), "hash the query")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L, 1L), (4L, 1L, 0L)))
+
+    // a phrase with a REPEATED word must not double-count ("the x the")
+    val rep = Seq(
+      (10L, "a the x the b"), // match at pos 1
+      (11L, "the x x the")    // no match
+    ).toDF("doc_id", "text")
+    val gotRep = Search.phraseMatch(
+      Indexer.positionalPostings(rep), "the x the")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(gotRep === Seq((10L, 1L, 1L)))
+  }
 }
