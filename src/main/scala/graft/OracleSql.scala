@@ -747,6 +747,20 @@ private[graft] object OracleSql {
          |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_allpairs" ->
+      // ground truth for the prefix-filtered AllPairs join: brute-force
+      // exact shingle-set Jaccard over every pair (fine at 500 gate
+      // docs; the Spark side must equal this EXACTLY or the prefix
+      // filter lost a pair). Same domain + threshold as dedup_minhash's
+      // oracle — the two gate queries certify that the exact prefix
+      // join and the LSH path converge on the same pair set here.
+      s"""WITH $hashedShingleCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
     "dedup_simhash" ->
       s"WITH $simhashCtes SELECT doc_id, simhash FROM shv ORDER BY doc_id",
 

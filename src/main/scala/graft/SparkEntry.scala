@@ -1917,6 +1917,14 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    "dedup_allpairs" -> ((s, dir) =>
+      // EXACT Jaccard ≥ 0.6 over word sets via prefix filtering
+      // (AllPairs, WWW'07) — the exact-threshold complement to the
+      // probabilistic MinHash path; losslessness of the prefix join is
+      // what the exact-all-pairs DuckDB oracle certifies
+      Dedup.allPairs(docs(s, dir), threshold = 0.8,
+        preShingleRows = Some(sharedShingled(s, dir)))),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir)).orderBy("doc_id")),
 

@@ -398,4 +398,86 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select("doc_a", "doc_b", "hamming")
   }
+
+  /** EXACT set-similarity self-join via prefix filtering (the AllPairs
+    * family — Bayardo, Ma & Srikant, "Scaling Up All Pairs Similarity
+    * Search", WWW'07): every document pair with set Jaccard ≥
+    * `threshold` over hashed k-shingle sets (same domain as
+    * [[minhashPairs]]), with NO approximation and NO all-pairs
+    * comparison — the exact-threshold complement to the probabilistic
+    * LSH path. Output: (doc_a, doc_b, jaccard) with doc_a < doc_b,
+    * jaccard rounded to 6dp, ordered.
+    *
+    * Mechanism: rank each document's distinct words by GLOBAL rarity
+    * (ascending document frequency, word tiebreak — one total order
+    * shared by all docs). A pair with |a∩b| ≥ α must share a token
+    * within the first |d|-α+1 tokens of each side (prefix-filtering
+    * lemma), and Jaccard ≥ τ implies |a∩b| ≥ τ·max(|a|,|b|), so joining
+    * on prefix tokens of length |d|-⌈τ·|d|⌉+1 is LOSSLESS. Candidates
+    * then pass a size filter (min ≥ τ·max, also implied by J ≥ τ) and an
+    * exact intersection-count verify.
+    *
+    * Scale (100 TB): the quadratic blowup of a token self-join is
+    * confined to PREFIX tokens, which the rarity ordering makes the
+    * rarest tokens of each document — inverted lists for prefix tokens
+    * are short by construction, and the τ-dependent prefix keeps only
+    * (1-τ)·|d|+1 tokens per doc in the join at all. The verify joins
+    * candidate pairs back to token sets (pair-bounded, like
+    * [[jaccardForPairs]]). All shuffles move (word, doc_id, size)
+    * triples; text never leaves the tokenizer. Skew note: a frequent
+    * token enters a doc's prefix only when the doc consists almost
+    * entirely of frequent tokens — residual hot lists split by AQE skew
+    * join ([[graft.plans]] AqeSkewJoinSpec evidence).
+    *
+    * The ceil guard (`- 1e-9`) keeps IEEE rounding on the SAFE side: an
+    * over-rounded ⌈τ·|d|⌉ would SHORTEN the prefix and silently lose
+    * pairs; the epsilon can only lengthen it.
+    */
+  def allPairs(docs: DataFrame, threshold: Double = 0.8, k: Int = 3,
+      preShingleRows: Option[ShingledRows] = None): DataFrame = {
+    preShingleRows.foreach(_.requireMatches(k, hashed = true))
+    val toks = preShingleRows.map(_.rows).getOrElse(
+        graft.Caches.persist(shingleRows(docs, k, hashed = true)))
+      .withColumnRenamed("shingle", "word")
+    allPairsOnTokens(toks, threshold)
+  }
+
+  /** [[allPairs]] core over an arbitrary distinct (doc_id, word) token
+    * table — the set domain is the caller's choice (hashed k-shingles for
+    * the dedup gate; whole words for topical similarity).
+    */
+  def allPairsOnTokens(toks0: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val toks = graft.Caches.persist(toks0.select("doc_id", "word"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val wordDf = toks.groupBy("word").agg(count(lit(1)).as("df"))
+    val prefix = toks
+      .join(wordDf, Seq("word"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("word"))))
+      .join(sizes, Seq("doc_id"))
+      .filter(col("rk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
+      .select(col("word"), col("doc_id"), col("sz"))
+    val a = prefix.select(col("word"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val b = prefix.select(col("word"), col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    val cand = a.join(b, Seq("word"))
+      .filter(col("doc_a") < col("doc_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          lit(threshold) * greatest(col("sz_a"), col("sz_b")).cast("double"))
+      .select("doc_a", "doc_b", "sz_a", "sz_b")
+      .dropDuplicates("doc_a", "doc_b")
+    val ta = toks.select(col("doc_id").as("doc_a"), col("word"))
+    val tb = toks.select(col("doc_id").as("doc_b"), col("word"))
+    cand
+      .join(ta, Seq("doc_a"))
+      .join(tb, Seq("doc_b", "word"))
+      .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
 }

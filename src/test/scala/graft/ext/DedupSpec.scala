@@ -87,4 +87,56 @@ class DedupSpec extends SparkSpec {
     val got = df.select(Dedup.hamming(col("a"), col("b"))).as[Int].head()
     assert(got == 4)
   }
+
+  test("allPairs prefix filtering is lossless vs brute force, boundary inclusive") {
+    import spark.implicits._
+    // 30 synthetic docs with deterministic arithmetic overlap, plus a
+    // planted EXACT-boundary pair: |{alpha,bravo,charlie}| shared of a
+    // 5-word union → jaccard = 3/5 = 0.6, which must survive the prefix
+    // filter (the ⌈τ·|d|⌉ ceil guard is what this exercises)
+    val vocab = ('a' to 't').map(c => s"word$c")
+    val synth = (0 until 30).map { i =>
+      val words = vocab.zipWithIndex.collect {
+        case (w, j) if (i * 7 + j * 3) % 5 < 2 => w
+      }
+      (100L + i, words.mkString(" "))
+    }
+    val planted = Seq(
+      (1L, "alpha bravo charlie delta"),
+      (2L, "alpha bravo charlie echo"),  // j(1,2) = 3/5 exactly
+      (3L, "alpha bravo foxtrot golf"))  // j(1,3) = 2/6 — below τ
+    val df = (planted ++ synth).toDF("doc_id", "text")
+
+    val toks = graft.index.Indexer.flatWords(df, stem = false)
+      .select("doc_id", "word").distinct()
+    val got = Dedup.allPairsOnTokens(toks, threshold = 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val ws = toks.groupBy("doc_id").agg(collect_set("word").as("s"))
+    val brute = ws.as("a").join(ws.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Dedup.jaccardCol(col("a.s"), col("b.s")).as("j"))
+      .filter(col("j") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(got == brute)
+    assert(got.contains((1L, 2L, 0.6)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("allPairs over shingles equals brute-force shingle jaccard (gate face)") {
+    import spark.implicits._
+    val got = Dedup.allPairs(docs, threshold = 0.5, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val sh = Dedup.shingles(docs, k = 3, hashed = true)
+    val brute = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        Dedup.jaccardCol(col("a.shingles"), col("b.shingles")).as("j"))
+      .filter(col("j") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(col("j"), 6).as("j"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == brute)
+    assert(got.contains((1L, 3L, 1.0))) // the exact-duplicate pair
+  }
 }
