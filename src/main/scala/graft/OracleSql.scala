@@ -332,6 +332,25 @@ private[graft] object OracleSql {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
+    "zorder_cluster" ->
+      // verbatim mirror of ZOrder.morton2/scale16: magic-number bit
+      // spreading (0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555
+      // in decimal), 16-bit min-max scaling, bucket = top 5 Morton bits
+      """WITH b AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+        |mm AS (SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi FROM b),
+        |s AS (SELECT x, y,
+        |        CAST(floor(CAST(x - xlo AS DOUBLE) * 65535.0 / CAST(xhi - xlo AS DOUBLE)) AS BIGINT) AS xs,
+        |        CAST(floor(CAST(y - ylo AS DOUBLE) * 65535.0 / CAST(yhi - ylo AS DOUBLE)) AS BIGINT) AS ys
+        |      FROM b, mm),
+        |s1 AS (SELECT x, y, (xs | (xs << 8)) & 16711935 AS ax, (ys | (ys << 8)) & 16711935 AS ay FROM s),
+        |s2 AS (SELECT x, y, (ax | (ax << 4)) & 252645135 AS ax, (ay | (ay << 4)) & 252645135 AS ay FROM s1),
+        |s3 AS (SELECT x, y, (ax | (ax << 2)) & 858993459 AS ax, (ay | (ay << 2)) & 858993459 AS ay FROM s2),
+        |s4 AS (SELECT x, y, (ax | (ax << 1)) & 1431655765 AS ax, (ay | (ay << 1)) & 1431655765 AS ay FROM s3),
+        |z AS (SELECT x, y, (ax | (ay << 1)) >> 27 AS bucket FROM s4)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |       min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+        |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin,
+
     "skew_salted_agg" ->
       // oracle = the DIRECT aggregate the salted two-phase must equal
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,

@@ -680,6 +680,16 @@ object SparkEntry {
           round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total"))
         .orderBy("c_custkey")),
 
+    "zorder_cluster" -> ((s, dir) =>
+      // Morton-code clustering stats over (l_partkey, l_suppkey): each
+      // z-range bucket's 2-D bounding box — what per-file min/max
+      // pruning would see after a z-ordered write. Pure arithmetic
+      // bucketing (top 5 Morton bits): one scan + one hash aggregate,
+      // no global sort, no window; the bit interleave is mirrored
+      // verbatim in the DuckDB oracle
+      graft.ext.ZOrder.clusterStats(
+        tbl(s, dir, "lineitem"), "l_partkey", "l_suppkey", bucketBits = 5)),
+
     "skew_salted_agg" -> ((s, dir) =>
       // the skewed-aggregation scale path in the gate: each key spread
       // over 8 salt subkeys in the partial shuffle, partials merged —
