@@ -332,6 +332,28 @@ private[graft] object OracleSql {
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
 
+    "dim_scd2" ->
+      // same gaps-and-islands windows: lag-flag changes, running-sum to
+      // version ids, collapse, lead-close. version/n_rows cast to
+      // BIGINT (DuckDB sums are HUGEINT)
+      """WITH f AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |                OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |i AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS version FROM f),
+        |c AS (SELECT o_custkey, version, o_orderpriority AS priority,
+        |             min(o_orderdate) AS eff_from, CAST(count(*) AS BIGINT) AS n_rows
+        |      FROM i GROUP BY o_custkey, version, o_orderpriority),
+        |e AS (SELECT o_custkey, CAST(version AS BIGINT) AS version, priority, eff_from,
+        |             lead(eff_from) OVER (PARTITION BY o_custkey ORDER BY version) AS eff_to, n_rows
+        |      FROM c)
+        |SELECT o_custkey, version, priority,
+        |       CAST(epoch_us(eff_from) AS BIGINT) AS eff_from_us,
+        |       CAST(epoch_us(eff_to) AS BIGINT) AS eff_to_us, n_rows
+        |FROM e ORDER BY o_custkey, version""".stripMargin,
+
     "zorder_cluster" ->
       // verbatim mirror of ZOrder.morton2/scale16: magic-number bit
       // spreading (0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555

@@ -680,6 +680,20 @@ object SparkEntry {
           round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total"))
         .orderBy("c_custkey")),
 
+    "dim_scd2" -> ((s, dir) =>
+      // type-2 SCD over each customer's order-priority change log:
+      // effective-dated versions with eff_to = next version's start
+      // (NULL = current). Epoch-microsecond export for oracle parity
+      graft.ext.Scd.type2(tbl(s, dir, "orders"),
+          key = "o_custkey", attr = "o_orderpriority",
+          ts = "o_orderdate", tieBreak = "o_orderkey")
+        .select(col("o_custkey"), col("version"),
+          col("o_orderpriority").as("priority"),
+          unix_micros(col("eff_from").cast("timestamp")).as("eff_from_us"),
+          unix_micros(col("eff_to").cast("timestamp")).as("eff_to_us"),
+          col("n_rows"))
+        .orderBy("o_custkey", "version")),
+
     "zorder_cluster" -> ((s, dir) =>
       // Morton-code clustering stats over (l_partkey, l_suppkey): each
       // z-range bucket's 2-D bounding box — what per-file min/max
