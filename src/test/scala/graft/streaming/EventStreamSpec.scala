@@ -84,6 +84,58 @@ class EventStreamSpec extends SparkSpec {
     assert(out.filter(_._1 == 3600L) == Seq((3600L, 1L)))
   }
 
+  test("aggregate state and source offsets survive checkpoint restarts (exactly-once)") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = Files.createTempDirectory("graft-recover").toString
+    val outDir = Files.createTempDirectory("graft-recover-out").toString
+    def write(name: String, rows: Seq[(Long, Long)]): Unit =
+      rows.map { case (id, sec) =>
+        (id, sec * 1000000000L, 1L, "click", 1.0, "{}")
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    def run(): Unit = {
+      val q = spark.readStream.schema(EventStream.eventSchema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "30 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("bucket"), col("n"))
+        .writeStream.format("parquet")
+        .option("path", s"$outDir/out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$outDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def readOut(): Seq[(Long, Long)] =
+      spark.read.parquet(s"$outDir/out").as[(Long, Long)].collect().toSeq
+
+    val h = 3600L
+    // run 1: three events inside the 10:00 window — nothing finalized
+    // (watermark 10:40-30min stays inside the window), so the partial
+    // count of 3 lives ONLY in the checkpointed state store
+    write("a", Seq((1L, 10 * h + 300), (2L, 10 * h + 1200), (3L, 10 * h + 2400)))
+    run()
+    assert(readOut().isEmpty, "window must not finalize before the watermark passes")
+    // run 2 (restart): two MORE events in the same window, plus one at
+    // 13:00 that advances the watermark past 11:00. The finalized count
+    // must merge run-1 state (3) with run-2 arrivals (2): recovery of
+    // the partial aggregate, not just the watermark
+    write("b", Seq((4L, 10 * h + 3000), (5L, 10 * h + 3300), (6L, 13 * h)))
+    run()
+    assert(readOut() == Seq((10 * h, 5L)),
+      "restart must merge checkpointed partial state with new arrivals, exactly once")
+    // run 3 (restart with NO new files): committed source offsets mean
+    // nothing is reprocessed and nothing is re-emitted
+    run()
+    assert(readOut() == Seq((10 * h, 5L)), "empty restart must not duplicate output")
+  }
+
   test("paced waves: late event dropped, on-time event lands (append mode)") {
     import spark.implicits._
     // the stream_late_drop mechanism end-to-end: mtime-ordered wave
