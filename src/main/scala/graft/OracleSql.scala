@@ -229,6 +229,28 @@ private[graft] object OracleSql {
          |FROM top10 t JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
          |ORDER BY t.score DESC, t.doc_id""".stripMargin,
 
+    "search_bm25f" ->
+      // verbatim BM25F mirror: positional split at pos<8 into
+      // title/body, per-field length norm (0.25 + 0.75·flen/avglen),
+      // title weight 2.0, saturation once on the combined tf̃, idf =
+      // log10(N/df) at document level, round(…,4) + doc_id tiebreak
+      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+         |p AS (SELECT doc_id, unnest(tk) AS word, unnest(range(len(tk))) AS pos FROM d),
+         |f AS (SELECT doc_id, word, CASE WHEN pos < 8 THEN 'title' ELSE 'body' END AS field FROM p WHERE word NOT IN $stopSql),
+         |fl AS (SELECT doc_id, field, CAST(count(*) AS BIGINT) AS flen FROM f GROUP BY doc_id, field),
+         |av AS (SELECT field, avg(flen) AS avglen FROM fl GROUP BY field),
+         |tf AS (SELECT doc_id, field, word, CAST(count(*) AS BIGINT) AS tf FROM f WHERE word IN ($SearchTermsSql) GROUP BY doc_id, field, word),
+         |idf AS (SELECT word, log10((SELECT count(*) FROM d) * 1.0 / count(DISTINCT doc_id)) AS idf FROM f WHERE word IN ($SearchTermsSql) GROUP BY word),
+         |wtf AS (SELECT t.doc_id, t.word,
+         |               sum((CASE WHEN t.field = 'title' THEN 2.0 ELSE 1.0 END) * t.tf /
+         |                   (0.25 + 0.75 * fl.flen / av.avglen)) AS tft
+         |        FROM tf t JOIN fl USING (doc_id, field) JOIN av USING (field)
+         |        GROUP BY t.doc_id, t.word),
+         |s AS (SELECT doc_id, sum(i.idf * tft / (1.2 + tft)) AS score
+         |      FROM wtf JOIN idf i USING (word) GROUP BY doc_id)
+         |SELECT doc_id, round(score, 4) AS score FROM s
+         |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
+
     "search_phrase" ->
       // positional postings keep the FULL token stream (no stopword
       // removal, no stemming); anchor = pos − i, a full set of the 3

@@ -124,7 +124,13 @@ object ScaleBench {
     // fingerprint artifact build + batch semi-join) — isolates the
     // r9 bucketBy fix from the rest of the capstone; memos reset per
     // rep, so the measured cost INCLUDES the bucketed write
-    "pipeline_exact_stage")
+    "pipeline_exact_stage",
+    // r10 additions: the exact set-similarity join (prefix filtering +
+    // df-ordering is the claim that keeps the candidate join linear —
+    // the disjoint-vocab synth tests exactly that) and the SCD2 window
+    // build (shuffle on o_custkey; 10× orders carries 10× customers, so
+    // per-partition history length is constant and growth must be linear)
+    "dedup_allpairs", "dim_scd2")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

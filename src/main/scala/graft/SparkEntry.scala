@@ -561,6 +561,14 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "search_bm25f" -> ((s, dir) =>
+      // field-weighted BM25F: the first 8 token positions act as the
+      // "title" field at weight 2.0, per-field length normalization,
+      // saturation applied once on the combined weighted tf. Same
+      // query terms as bm25_search — the two top-10s differ exactly
+      // where a term lands early in a document
+      Search.bm25fSearch(docs(s, dir), SearchTerms)),
+
     "search_phrase" -> ((s, dir) => {
       // exact-phrase search over the positional posting index (r8
       // VERDICT #6 — the reference is bag-of-words; the (word, doc_id,

@@ -132,4 +132,57 @@ object Search {
       .agg(count(lit(1)).as("n_matches"),
         min("anchor").cast("long").as("first_pos"))
   }
+
+  /** Field-weighted BM25F (simplified Robertson & Zaragoza form): the
+    * multi-field extension of [[BM25]] — a hit in the "title" field
+    * (the first `titleLen` positions of the token stream; the corpus
+    * has no explicit fields, so position defines them) counts
+    * `wTitle`/`wBody` times a body hit, each field normalized by its
+    * OWN length against its own corpus average:
+    *
+    *   tf̃(t,d) = Σ_f w_f · tf_f / (1-b + b·len_f/avglen_f)
+    *   score(d) = Σ_t idf(t) · tf̃ / (k1 + tf̃)
+    *
+    * Saturation (k1) is applied ONCE on the combined tf̃ — weighting
+    * then saturating is what distinguishes BM25F from naively summing
+    * per-field BM25 scores (which over-rewards a term appearing in
+    * both fields). idf is document-level (df counts a doc once
+    * whichever field matched).
+    *
+    * Scale: same shape as [[scoreTerms]] — the term filter lands on
+    * the postings scan, per-field stats are a (doc, field) aggregate,
+    * `avglen` is a 2-row broadcast, idf a ≤|terms|-row broadcast; one
+    * shuffle on doc_id for the final sum. Output: top-`k`
+    * (doc_id, score), 4dp, ties by doc_id.
+    */
+  def bm25fSearch(docs: DataFrame, terms: Seq[String], titleLen: Int = 8,
+      wTitle: Double = 2.0, wBody: Double = 1.0, k1: Double = BM25.DefaultK1,
+      b: Double = BM25.DefaultB, k: Int = 10): DataFrame = {
+    val fielded = Indexer.positionalPostings(docs)
+      .withColumn("field",
+        when(col("pos") < titleLen, "title").otherwise("body"))
+      .filter(!col("word").isin(graft.text.Stopwords.alphaOnly: _*))
+    val fl = fielded.groupBy("doc_id", "field").agg(count(lit(1)).as("flen"))
+    val avgs = fl.groupBy("field").agg(avg("flen").as("avglen"))
+    val nDocs = docs.count()
+    val hits = fielded.filter(col("word").isin(terms: _*))
+    val idf = hits.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .withColumn("idf", log10(lit(nDocs.toDouble) / col("df")))
+    val tf = hits.groupBy("doc_id", "field", "word").agg(count(lit(1)).as("tf"))
+    val wtf = tf
+      .join(fl, Seq("doc_id", "field"))
+      .join(broadcast(avgs), Seq("field"))
+      .withColumn("w", when(col("field") === "title", lit(wTitle)).otherwise(lit(wBody)))
+      .withColumn("ntf", col("w") * col("tf") /
+        (lit(1 - b) + lit(b) * col("flen") / col("avglen")))
+      .groupBy("doc_id", "word").agg(sum("ntf").as("tft"))
+    wtf
+      .join(broadcast(idf), Seq("word"))
+      .withColumn("contrib", col("idf") * col("tft") / (lit(k1) + col("tft")))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(k)
+  }
 }

@@ -98,4 +98,29 @@ class SearchSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSeq
     assert(gotRep === Seq((10L, 1L, 1L)))
   }
+
+  test("bm25f: title weight, per-field norm, saturation applied once") {
+    import spark.implicits._
+    // every doc: title flen=8, body flen=2 -> len_f/avglen_f = 1, so the
+    // per-field norm denominator is exactly 1 and scores are hand-computable.
+    // "alpha" df=3 of N=4 -> idf = log10(4/3) = 0.1249387...
+    val fixture = Seq(
+      (1L, "alpha qb qc qd qe qf qg qh qj qk"), // title hit: tft = 2.0
+      (2L, "qb qc qd qe qf qg qh qj alpha qk"), // body hit:  tft = 1.0
+      (3L, "qb qc qd qe qf qg qh qj qk ql"),    // no hit
+      (4L, "alpha qb qc qd qe qf qg qh alpha qk") // both fields: tft = 3.0
+    ).toDF("doc_id", "text")
+    val got = Search.bm25fSearch(fixture, Seq("alpha"))
+      .as[(Long, Double)].collect().toSeq
+    val idf = math.log10(4.0 / 3.0)
+    def r4(x: Double) = math.round(x * 1e4) / 1e4
+    assert(got === Seq(
+      (4L, r4(idf * 3.0 / (1.2 + 3.0))),
+      (1L, r4(idf * 2.0 / (1.2 + 2.0))),
+      (2L, r4(idf * 1.0 / (1.2 + 1.0)))))
+    // saturation once on the combined tf: a doc hitting both fields scores
+    // LESS than the sum of the two single-field docs (the BM25F point), but
+    // more than either alone
+    assert(got(0)._2 < got(1)._2 + got(2)._2 && got(0)._2 > got(1)._2)
+  }
 }
