@@ -594,6 +594,17 @@ private[graft] object OracleSql {
         |FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         |ORDER BY doc_a""".stripMargin,
 
+    "fuzzy_jw_pairs" ->
+      // DuckDB's jaro_winkler_similarity is bit-identical to the
+      // engine's floored-transposition implementation (verified over
+      // every within-brand pair), so the threshold compares equal
+      // doubles on both sides
+      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+        |       round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+        |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        |ORDER BY k1, k2""".stripMargin,
+
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n

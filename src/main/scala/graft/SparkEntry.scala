@@ -1433,6 +1433,28 @@ object SparkEntry {
         .orderBy("doc_a")
     }),
 
+    "fuzzy_jw_pairs" -> ((s, dir) => {
+      // entity resolution by Jaro-Winkler name similarity, blocked on
+      // p_brand — the record-linkage pattern: blocking bounds the pair
+      // count (never all-pairs), the custom codegen expression
+      // (functions/JaroWinkler.scala) prices each pair; its floored-
+      // transposition arithmetic is bit-identical to DuckDB's
+      // jaro_winkler_similarity, so the >= 0.9 threshold filter needs
+      // no rounding guard
+      val p = tbl(s, dir, "part").select("p_partkey", "p_name", "p_brand")
+      val a = p.select(col("p_brand"), col("p_partkey").as("k1"),
+        col("p_name").as("n1"))
+      val b = p.select(col("p_brand"), col("p_partkey").as("k2"),
+        col("p_name").as("n2"))
+      a.join(b, Seq("p_brand"))
+        .filter(col("k1") < col("k2"))
+        .withColumn("jw",
+          graft.functions.JaroWinkler.jaroWinkler(col("n1"), col("n2")))
+        .filter(col("jw") >= 0.9)
+        .select(col("k1"), col("k2"), round(col("jw"), 4).as("jw"))
+        .orderBy("k1", "k2")
+    }),
+
     "q6_forecast_revenue" -> ((s, dir) =>
       // TPC-H Q6 shape: tight multi-predicate scan + global agg — the
       // pushdown showcase (all four predicates reach the parquet scan)

@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PorterStem(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[graft.functions.JaroWinkler].getName, "jaro_winkler"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "jaro_winkler takes exactly two arguments")
+        graft.functions.JaroWinkler(children(0), children(1))
+      }))
+    ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[graft.functions.DotProduct].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
