@@ -507,6 +507,35 @@ private[graft] object OracleSql {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
+    "ts_gapfill_interpolate" ->
+      // mirrors TimeSeries.gapfillInterpolate operand-for-operand:
+      // daily sums rounded to 2dp BEFORE interpolation, frac computed
+      // first, one multiply, one add, then 4dp
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS day,
+        |         round(sum(o_totalprice), 2) AS v
+        |  FROM orders GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT k, unnest(generate_series(min(day), max(day), INTERVAL 1 DAY))::DATE AS day
+        |  FROM daily GROUP BY k),
+        |j AS (
+        |  SELECT s.k, s.day, d.v FROM spine s
+        |  LEFT JOIN daily d ON d.k = s.k AND d.day = s.day),
+        |w AS (
+        |  SELECT k, day, v,
+        |    last_value(v IGNORE NULLS) OVER back AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER back AS pd,
+        |    first_value(v IGNORE NULLS) OVER fwd AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER fwd AS nd
+        |  FROM j
+        |  WINDOW back AS (PARTITION BY k ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         fwd AS (PARTITION BY k ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT k AS priority, day - DATE '1970-01-01' AS day_num,
+        |       round(CASE WHEN v IS NOT NULL THEN v
+        |                  ELSE pv + (nv - pv) * ((day - pd) * 1.0 / (nd - pd)) END, 4) AS value,
+        |       v IS NULL AS interp
+        |FROM w ORDER BY priority, day_num""".stripMargin,
+
     "agg_corr" ->
       """SELECT l_returnflag,
         |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,

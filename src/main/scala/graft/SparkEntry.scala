@@ -880,6 +880,18 @@ object SparkEntry {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
+    "ts_gapfill_interpolate" -> ((s, dir) =>
+      // irregular orders -> dense daily revenue series per priority:
+      // per-key calendar spine + IGNORE-NULLS window carry + linear
+      // interpolation (ext/TimeSeries.scala). ~28% of spine days are
+      // interpolated at sf0.01. Day exported as epoch days
+      graft.ext.TimeSeries.gapfillInterpolate(
+          tbl(s, dir, "orders"),
+          key = "o_orderpriority", ts = "o_orderdate", value = "o_totalprice")
+        .select(col("o_orderpriority").as("priority"),
+          unix_date(col("day")).as("day_num"), col("value"), col("interp"))
+        .orderBy("priority", "day_num")),
+
     "agg_corr" -> ((s, dir) =>
       // bivariate aggregates: correlation + sample covariance per group
       tbl(s, dir, "lineitem")
