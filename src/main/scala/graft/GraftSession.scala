@@ -26,8 +26,9 @@ import org.apache.spark.sql.SparkSession
   *  - `spark.sql.session.timeZone` = UTC: oracle parity — DuckDB
   *    computes date arithmetic in UTC.
   *  - `spark.sql.legacy.parquet.nanosAsLong` = true: the events fixture
-  *    carries TIMESTAMP(NANOS), which Spark otherwise refuses to read
-  *    (SparkEntry.events rebuilds µs timestamps from the raw longs).
+  *    has shipped with TIMESTAMP(NANOS) `ts`, which Spark otherwise
+  *    refuses to read; harmless when the fixture carries µs timestamps
+  *    (EventStream.microsTs normalizes either shape).
   *  - UI off: headless harness.
   */
 object GraftSession {

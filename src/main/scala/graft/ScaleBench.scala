@@ -146,14 +146,16 @@ object ScaleBench {
     */
   private def j9ScaleVariant(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val dayNs = 86400L * 1000000000L
-    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val dayUs = 86400L * 1000000L
+    // normalize ts first (nanos-long or µs-timestamp on disk), then
+    // shift replicas by 31 days each in integer µs — long arithmetic
+    // stays exact where a double `/` would lose bits above 2^53
+    val ev = graft.streaming.EventStream.microsTs(
+        spark.read.parquet(s"$dir/events.parquet"))
       .withColumn("__r", expr("user_id div 10000000"))
       .withColumn("user_id", pmod(col("user_id"), lit(10000000L)))
-      // integer `div` for ns → µs: a double-typed `/` loses precision
-      // above 2^53 and epoch nanos are ~1.7e18
       .withColumn("ts", timestamp_micros(
-        expr(s"(ts + __r * ${31L * dayNs}L) div 1000")))
+        unix_micros(col("ts")) + col("__r") * lit(31L * dayUs)))
       .drop("__r")
     graft.ext.Sessions.intervalOverlap(graft.Caches.persist(
       graft.ext.Sessions.sessionize(ev).filter(col("n_events") >= 2)))

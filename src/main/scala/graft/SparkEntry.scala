@@ -40,16 +40,17 @@ object SparkEntry {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The driver's `events.parquet` carries TIMESTAMP(NANOS) which Spark's
-    * vectorized Parquet reader rejects; read the nanos as long (legacy
-    * conf) and rebuild a microsecond timestamp with integer `div` (exact
-    * floor — the same truncation DuckDB applies converting ns → its µs
-    * TIMESTAMP, so the oracle sees identical instants).
+  /** The driver's `events.parquet` has shipped `ts` as TIMESTAMP(NANOS)
+    * (read as raw long under the legacy nanosAsLong conf) and as
+    * TIMESTAMP(MICROS) (read as timestamp_ntz); normalize either to a µs
+    * TimestampType so every downstream query sees one shape. The ns→µs
+    * integer `div` is the same truncation DuckDB applies, and the
+    * ntz→tz cast is value-identity under the session's UTC timezone —
+    * the oracle sees identical instants either way.
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.streaming.EventStream.microsTs(tbl(s, dir, "events"))
   }
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -1288,8 +1289,8 @@ object SparkEntry {
       // state never emits). The oracle applies both rules
       // arithmetically: recent-half filter + window.end <= max − 30 min.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$dir/events.parquet")
-      val us = expr("ts div 1000")
+      val raw = EventStream.microsTs(s.read.parquet(s"$dir/events.parquet"))
+      val us = unix_micros(col("ts"))
       val maxUs = raw.agg(max(us)).head().getLong(0)
       val cutoffUs = maxUs - 15L * 86400L * 1000000L // 15 days
       val scratch = s"$WorkDir/stream_late/${scratchTag(s, dir)}"

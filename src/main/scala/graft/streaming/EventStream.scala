@@ -18,29 +18,61 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** On-disk schema: `ts` is TIMESTAMP(NANOS) which Spark reads as long
-    * under `spark.sql.legacy.parquet.nanosAsLong` (see
-    * [[readEvents]] — it rebuilds a µs timestamp column).
+  /** The events schema with `ts` carried as `tsType` — the driver's
+    * fixture has shipped `ts` as both TIMESTAMP(NANOS) (which Spark
+    * reads as a raw long under `spark.sql.legacy.parquet.nanosAsLong`)
+    * and TIMESTAMP(MICROS) (read as timestamp_ntz), so the on-disk type
+    * is a parameter, not a constant.
     */
-  val eventSchema: StructType = StructType(Seq(
+  def eventSchemaFor(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** The legacy long-nanos shape, kept for fixtures that write raw-long
+    * `ts` columns directly (see EventStreamSpec).
+    */
+  val eventSchema: StructType = eventSchemaFor(LongType)
+
+  /** Normalize the `ts` column to a µs `TimestampType` regardless of
+    * encoding: raw long = epoch NANOS → integer `div 1000` (exact floor,
+    * the same ns→µs truncation DuckDB applies); timestamp_ntz → cast
+    * (value-identity under the session's UTC timezone,
+    * [[graft.GraftSession]]). Pure projection — works on batch and
+    * streaming DataFrames alike.
+    */
+  def microsTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case TimestampType => df
+    case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  /** The on-disk `ts` type of the parquet files matching `glob` under
+    * `path` — one footer read, so the streaming readers can declare the
+    * schema the files actually carry (the file source requires an
+    * explicit schema and silently mis-reads under a wrong one).
+    */
+  private def onDiskTsType(spark: SparkSession, path: String,
+      glob: String): DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .parquet(path).schema("ts").dataType
+  }
 
   /** File-based event stream over the Parquet files matching `glob` in
     * `dir` (the file source requires a directory path).
     */
   def readEvents(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
+    val tsType = onDiskTsType(spark, dir, glob)
+    microsTs(spark.readStream
+      .schema(eventSchemaFor(tsType))
       .option("pathGlobFilter", glob)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
   }
 
   /** Tumbling-window aggregation with a watermark: counts and value sums
@@ -69,13 +101,12 @@ object EventStream {
     */
   def readEventsPaced(spark: SparkSession, dir: String,
       glob: String = "*.parquet"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(eventSchema)
+    val tsType = onDiskTsType(spark, dir, glob)
+    microsTs(spark.readStream
+      .schema(eventSchemaFor(tsType))
       .option("pathGlobFilter", glob)
       .option("maxFilesPerTrigger", 1)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(dir))
   }
 
   /** Write `df` as ONE parquet FILE at `path` (not a directory) with the

@@ -69,9 +69,8 @@ class SessionsSpec extends SparkSpec {
   test("salted sessionize equals the plain one on the real events table") {
     val ev = {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      graft.streaming.EventStream.microsTs(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
     }
     // bucket (1h) deliberately comparable to the gap (30min) so sessions
     // REGULARLY straddle bucket edges and the stitch path is exercised
