@@ -1361,6 +1361,55 @@ private[graft] object OracleSql {
         |CROSS JOIN n
         |ORDER BY lift DESC, brand_a, brand_b LIMIT 20""".stripMargin,
 
+    "graph_pagerank" ->
+      // mirrors Graph.pageRank operand-for-operand: symmetric edges,
+      // rank/deg contributions, teleport (1.0 - 0.85)/n computed with
+      // the same IEEE double ops, 9dp per-iteration pinning, 4 unrolled
+      // supersteps (straight-line CTE chain — no recursive aggregate)
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
+        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+        |adj AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN deg d ON s.src = d.src),
+        |n AS (SELECT count(*) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1.0 / (SELECT n FROM n) AS rank FROM deg),
+        |r1 AS (SELECT a.dst AS node,
+        |              round((1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
+        |                    + CAST(0.85 AS DOUBLE) * sum(r.rank / a.deg), 9) AS rank
+        |       FROM adj a JOIN r0 r ON a.src = r.node GROUP BY a.dst),
+        |r2 AS (SELECT a.dst AS node,
+        |              round((1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
+        |                    + CAST(0.85 AS DOUBLE) * sum(r.rank / a.deg), 9) AS rank
+        |       FROM adj a JOIN r1 r ON a.src = r.node GROUP BY a.dst),
+        |r3 AS (SELECT a.dst AS node,
+        |              round((1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
+        |                    + CAST(0.85 AS DOUBLE) * sum(r.rank / a.deg), 9) AS rank
+        |       FROM adj a JOIN r2 r ON a.src = r.node GROUP BY a.dst),
+        |r4 AS (SELECT a.dst AS node,
+        |              round((1.0 - CAST(0.85 AS DOUBLE)) / (SELECT n FROM n)
+        |                    + CAST(0.85 AS DOUBLE) * sum(r.rank / a.deg), 9) AS rank
+        |       FROM adj a JOIN r3 r ON a.src = r.node GROUP BY a.dst)
+        |SELECT node AS part, round(rank, 6) AS rank FROM r4
+        |ORDER BY rank DESC, part LIMIT 50""".stripMargin,
+
+    "graph_triangles" ->
+      // id-ordered triangle join (a<b<c via e(a,b), e(b,c), e(a,c)) —
+      // equivalent to the engine's degree-oriented census because the
+      // count is orientation-independent; wedges = sum C(deg, 2)
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |      FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        |        GROUP BY node),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+        |        FROM e x JOIN e y ON y.a = x.b JOIN e z ON z.a = x.a AND z.b = y.b),
+        |w AS (SELECT CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS w FROM deg)
+        |SELECT t AS n_triangles, w AS n_wedges,
+        |       round(3.0 * t / w, 6) AS clustering
+        |FROM tri CROSS JOIN w""".stripMargin,
+
     "curate_rebalance_langs" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |                  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks

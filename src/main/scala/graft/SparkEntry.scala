@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ext.{AsOfJoin, Contamination, Dedup, Multimodal, Sessions, Similarity, TextAnalysis}
+import graft.ext.{AsOfJoin, Contamination, Dedup, Graph, Multimodal, Sessions, Similarity, TextAnalysis}
 import graft.index.Indexer
 import graft.search.{BM25, Search}
 import graft.sources.CorpusSource
@@ -3100,6 +3100,49 @@ object SparkEntry {
             .as("lift"))
         .orderBy(col("lift").desc, col("brand_a").asc, col("brand_b").asc)
         .limit(20)
+    }),
+
+    "graph_pagerank" -> ((s, dir) => {
+      // PageRank over the part co-purchase graph (ext/Graph.pageRank —
+      // the iterative-join Pregel face CC doesn't cover): edges are
+      // id-ordered part pairs within an order, built with the
+      // copurchase posexplode pattern (per-order bounded, never
+      // orders²); 4 supersteps, each one ranks-shuffle + one hash agg
+      // against the checkpointed adjacency. Ranks 9dp-rounded per
+      // iteration (both engines iterate on identical operands), 6dp on
+      // output; top-50 under a total (rank desc, part) order.
+      val op = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val sets = op.groupBy("okey").agg(sort_array(collect_set("pk")).as("ps"))
+      val e1 = sets.select(col("ps"), posexplode(col("ps")).as(Seq("i", "src")))
+      val edges = e1
+        .select(col("src"), col("i"), posexplode(col("ps")).as(Seq("j", "dst")))
+        .filter(col("j") > col("i"))
+        .select("src", "dst").distinct()
+      Graph.pageRank(edges, iterations = 4)
+        .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("rank").desc, col("part"))
+        .limit(50)
+    }),
+
+    "graph_triangles" -> ((s, dir) => {
+      // global triangle/wedge census + clustering coefficient of the
+      // same co-purchase graph (ext/Graph.triangleCensus): the wedge
+      // join is degree-oriented so its fan-out is bounded by
+      // out-degree² ~ O(m^1.5) total, never a hub's full degree² — the
+      // answer is orientation-independent, which keeps the DuckDB
+      // mirror in the trivially-reviewable id-ordered form.
+      val op = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+        .distinct()
+      val sets = op.groupBy("okey").agg(sort_array(collect_set("pk")).as("ps"))
+      val e1 = sets.select(col("ps"), posexplode(col("ps")).as(Seq("i", "src")))
+      val edges = e1
+        .select(col("src"), col("i"), posexplode(col("ps")).as(Seq("j", "dst")))
+        .filter(col("j") > col("i"))
+        .select("src", "dst").distinct()
+      Graph.triangleCensus(edges)
     }),
 
     "curate_rebalance_langs" -> ((s, dir) => {

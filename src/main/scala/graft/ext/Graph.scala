@@ -161,4 +161,112 @@ object Graph {
       .join(e.select(col("u").as("node"), col("v").as("component")), Seq("node"), "left")
       .select(col("node"), coalesce(col("component"), col("node")).as("component"))
   }
+
+  /** PageRank over an UNDIRECTED edge list, fixed iteration count — the
+    * other classic Pregel-family member (Page et al., "The PageRank
+    * Citation Ranking", 1999; the superstep loop is GraphX
+    * `staticPageRank`'s). Symmetrizing the input means every node has
+    * out-degree ≥ 1, so no dangling-mass correction term is needed and a
+    * rank-preserving DuckDB mirror stays a straight-line unrolled CTE
+    * chain.
+    *
+    * Determinism contract (the q22/q11 pattern): ranks are rounded to
+    * 9dp after EVERY iteration so both engines iterate on identical
+    * operands — double sums are addend-order-dependent and four
+    * iterations would otherwise compound the drift past any final
+    * rounding; callers round the output once more for display.
+    *
+    * Scale shape: the symmetric edge set (with per-source degree baked
+    * in) is checkpointed ONCE and every iteration joins the small
+    * (node, rank) table against it — per superstep one shuffle of ranks
+    * on node id + one hash aggregate on dst, nothing proportional to
+    * edges² and no driver-side state beyond the loop counter. Rank
+    * state is localCheckpoint-ed per iteration (the connectedComponents
+    * lineage rule: a lazily-carried plan re-analyzes n joins deep by
+    * round n).
+    *
+    * @param edges (src, dst); direction ignored, self-loops dropped
+    * @return (node, rank) — ranks sum to ~1 over the graph's nodes
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 4,
+      damping: Double = 0.85): DataFrame = {
+    val shim = org.apache.spark.sql.graftshim.ColumnShim
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val adj = sym
+      .join(sym.groupBy("src").agg(count(lit(1)).as("deg")), Seq("src"))
+      .localCheckpoint(true)
+    val n = adj.select(col("src")).distinct().count()
+    var ranks = adj.select(col("src").as("node")).distinct()
+      .withColumn("rank", lit(1.0 / n))
+      .localCheckpoint(true)
+    (1 to iterations).foreach { _ =>
+      val next = adj
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(round(lit((1 - damping) / n) +
+          lit(damping) * sum(col("rank") / col("deg")), 9).as("rank"))
+        .localCheckpoint(true)
+      shim.unpersistCheckpoint(ranks)
+      ranks = next
+    }
+    // adj stays persisted while the returned plan is live (CC's rule)
+    ranks
+  }
+
+  /** Global triangle and wedge census of an undirected graph: triangle
+    * count, wedge (open-or-closed 2-path) count, and the global
+    * clustering coefficient 3·T/W.
+    *
+    * The join is DEGREE-ORIENTED (Chu & Cheng, "Triangle Listing in
+    * Massive Networks", TKDD'12): each undirected edge is directed from
+    * the endpoint with (smaller degree, then smaller id) to the larger,
+    * so every node's out-neighborhood is O(√m) on any graph with
+    * arboricity-bounded skew — the wedge join's fan-out is bounded by
+    * out-degree², never by a hub's full degree². The RESULT is
+    * orientation-independent (each triangle is counted exactly once,
+    * from its lowest-ranked corner), which is what lets the DuckDB
+    * mirror use the trivially-reviewable id-ordered form instead.
+    *
+    * @param edges (src, dst); direction ignored, self-loops dropped
+    * @return one row: (n_triangles, n_wedges, clustering 6dp)
+    */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = und.union(und.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+    // orient by (deg, id): u → v iff (deg(u), u) < (deg(v), v)
+    val ranked = sym
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .filter(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+    val oriented = graft.Caches.persist(ranked)
+    // wedges at u: (v, w) both out-neighbors, id-ordered; each triangle
+    // yields exactly ONE such wedge (from its lowest-(deg,id) corner),
+    // closed iff the undirected edge {v,w} exists — checked against the
+    // id-ordered undirected form with a semi-join
+    val wedgePairs = oriented
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+    val closure = oriented.select(least(col("u"), col("v")).as("v"),
+      greatest(col("u"), col("v")).as("w"))
+    val tri = wedgePairs.join(closure, Seq("v", "w"), "left_semi").count()
+    // sum the even product in LONG arithmetic and halve on the driver —
+    // a column-side `/ 2` would promote to double
+    val wedges = deg.agg(sum(col("deg") * (col("deg") - 1))).head().getLong(0) / 2
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((tri, wedges,
+      BigDecimal(if (wedges == 0) 0.0 else 3.0 * tri / wedges)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_triangles", "n_wedges", "clustering")
+  }
 }

@@ -49,4 +49,95 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
     assert(b(40L) == 1L && b(120L) == 100L && b(500L) == 500L && b(601L) == 600L)
   }
+
+  /** Reference PageRank: the same symmetrize / contribute / 9dp-round
+    * loop in plain Scala maps — the in-test mirror of both the engine
+    * and the DuckDB oracle's unrolled CTE chain.
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter(e => e._1 != e._2).distinct
+    val out = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val n = out.size
+    var r = out.keys.map(k => k -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / out(src).size }.sum
+      }
+      r = contrib.map { case (k, c) =>
+        k -> BigDecimal((1 - d) / n + d * c)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+    r
+  }
+
+  test("pageRank matches a plain-Scala reference on star + path + clique") {
+    import spark.implicits._
+    // star 1-{2,3,4}, path 10-11-12, triangle 20-21-22, plus a bridge
+    // 4-10 so contributions cross shapes
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (4L, 10L)).toDF("src", "dst")
+    val got = Graph.pageRank(edges, iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    val want = refPageRank(Seq((1L, 2L), (1L, 3L), (1L, 4L), (10L, 11L),
+      (11L, 12L), (20L, 21L), (21L, 22L), (22L, 20L), (4L, 10L)), 4)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"node $k") }
+    // structure sanity: the star hub out-ranks its leaves, triangle
+    // nodes are symmetric, total mass ~ 1
+    assert(got(1L) > got(2L) && got(2L) == got(3L))
+    assert(got(20L) == got(21L) && got(21L) == got(22L))
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  test("pageRank: duplicate/reversed/self-loop edges do not change ranks") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val noisy = base ++ Seq((2L, 1L), (1L, 2L), (5L, 5L), (1L, 1L)) ++
+      base.map(_.swap)
+    val a = Graph.pageRank(base.toDF("src", "dst"), 3)
+      .as[(Long, Double)].collect().toMap
+    val b = Graph.pageRank(noisy.toDF("src", "dst"), 3)
+      .as[(Long, Double)].collect().toMap
+    // pure self-loop node 5 has no real edge and drops out of the graph
+    assert(a == b)
+  }
+
+  test("triangleCensus: planted counts and clustering") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 3-4, isolated edge 10-11:
+    // T=1; degrees 2,2,3,1,1,1 -> wedges 1+1+3 = 5; C = 3/5
+    val got = Graph.triangleCensus(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (10L, 11L))
+        .toDF("src", "dst"))
+      .as[(Long, Long, Double)].head()
+    graft.Caches.clearPersisted()
+    assert(got == ((1L, 5L, 0.6)))
+    // K4: every wedge closes -> T=4, W=12, C=1.0
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val got4 = Graph.triangleCensus(k4.toDF("src", "dst"))
+      .as[(Long, Long, Double)].head()
+    graft.Caches.clearPersisted()
+    assert(got4 == ((4L, 12L, 1.0)))
+  }
+
+  test("triangleCensus degree-oriented count equals the naive id-ordered join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 600).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val census = Graph.triangleCensus(edges)
+      .as[(Long, Long, Double)].head()
+    graft.Caches.clearPersisted()
+    import org.apache.spark.sql.functions._
+    val e = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val naive = e.as("x")
+      .join(e.as("y"), col("y.a") === col("x.b"))
+      .join(e.as("z"), col("z.a") === col("x.a") && col("z.b") === col("y.b"))
+      .count()
+    assert(census._1 == naive)
+  }
 }
