@@ -624,13 +624,19 @@ private[graft] object OracleSql {
         |ORDER BY doc_a""".stripMargin,
 
     "fuzzy_jw_pairs" ->
+      // sorted-neighborhood mirror: row_number over the same
+      // (p_brand / p_name, p_partkey) sort, candidates = next 5 rows.
       // DuckDB's jaro_winkler_similarity is bit-identical to the
-      // engine's floored-transposition implementation (verified over
-      // every within-brand pair), so the threshold compares equal
-      // doubles on both sides
-      """SELECT a.p_partkey AS k1, b.p_partkey AS k2,
+      // engine's floored-transposition implementation, so the
+      // threshold compares equal doubles on both sides
+      """WITH r AS (SELECT p_partkey, p_name, p_brand,
+        |                  row_number() OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey) AS rn
+        |           FROM part)
+        |SELECT least(a.p_partkey, b.p_partkey) AS k1,
+        |       greatest(a.p_partkey, b.p_partkey) AS k2,
         |       round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
-        |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |FROM r a JOIN r b
+        |  ON a.p_brand = b.p_brand AND b.rn BETWEEN a.rn + 1 AND a.rn + 5
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
         |ORDER BY k1, k2""".stripMargin,
 

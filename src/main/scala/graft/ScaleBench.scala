@@ -62,6 +62,23 @@ object ScaleBench {
       .drop("__r")
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
+    // part: shifted keys, replica-suffixed name words (disjoint name
+    // vocabulary, same letters-only rule as documents), brands KEPT
+    // verbatim — p_brand's ~25-value cardinality is fixed at every SF,
+    // which is exactly the stress the sorted-neighborhood re-block of
+    // fuzzy_jw_pairs must absorb: per-brand population grows ∝ factor
+    // while the candidate count must stay ∝ 5·N
+    val part = spark.read.parquet(s"$srcDir/part.parquet")
+    part.crossJoin(reps)
+      .withColumn("p_partkey", col("p_partkey") + col("__r").cast("long") * 10000000L)
+      .withColumn("p_name",
+        when(col("__r") === 0, col("p_name")).otherwise(
+          array_join(transform(split(col("p_name"), " "),
+            w => concat(w, lit("x"), translate(col("__r").cast("string"),
+              "0123456789", "abcdefghij"))), " ")))
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+
     // embeddings: replica r circularly shifts each vector by r positions
     // — norms and within-replica geometry are preserved while
     // cross-replica cosines stay random-typical (no planted cos≈1
@@ -130,7 +147,12 @@ object ScaleBench {
     // the disjoint-vocab synth tests exactly that) and the SCD2 window
     // build (shuffle on o_custkey; 10× orders carries 10× customers, so
     // per-partition history length is constant and growth must be linear)
-    "dedup_allpairs", "dim_scd2")
+    "dedup_allpairs", "dim_scd2",
+    // r11 addition: sorted-neighborhood entity resolution — candidates
+    // are 5·N by construction (lead() over the brand-partitioned name
+    // sort), so the ratio tests that the re-block killed the old
+    // N²/|brands| within-block join
+    "fuzzy_jw_pairs")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -1470,24 +1470,36 @@ object SparkEntry {
     }),
 
     "fuzzy_jw_pairs" -> ((s, dir) => {
-      // entity resolution by Jaro-Winkler name similarity, blocked on
-      // p_brand — the record-linkage pattern: blocking bounds the pair
-      // count (never all-pairs), the custom codegen expression
-      // (functions/JaroWinkler.scala) prices each pair; its floored-
-      // transposition arithmetic is bit-identical to DuckDB's
+      // entity resolution by Jaro-Winkler name similarity with
+      // SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo, SIGMOD'95;
+      // the r10 re-block): each part is compared against its next 5
+      // neighbors in (p_name, p_partkey) order within its brand, so
+      // the candidate count is 5·N at EVERY scale — the r10 form
+      // blocked on p_brand alone, whose ~25-value cardinality is fixed
+      // at every SF, making within-block pairs ∝ N²/25 (the quadratic
+      // cliff the dedup family avoids). The custom codegen expression
+      // (functions/JaroWinkler.scala) prices each candidate; its
+      // floored-transposition arithmetic is bit-identical to DuckDB's
       // jaro_winkler_similarity, so the >= 0.9 threshold filter needs
-      // no rounding guard
-      val p = tbl(s, dir, "part").select("p_partkey", "p_name", "p_brand")
-      val a = p.select(col("p_brand"), col("p_partkey").as("k1"),
-        col("p_name").as("n1"))
-      val b = p.select(col("p_brand"), col("p_partkey").as("k2"),
-        col("p_name").as("n2"))
-      a.join(b, Seq("p_brand"))
-        .filter(col("k1") < col("k2"))
+      // no rounding guard. lead() over the brand-partitioned sort
+      // replaces the self-join entirely — one window shuffle, no
+      // row-number equi-join.
+      val w = Window.partitionBy("p_brand").orderBy("p_name", "p_partkey")
+      val withNbrs = tbl(s, dir, "part")
+        .select("p_partkey", "p_name", "p_brand")
+        .withColumn("nbrs", array((1 to 5).map(i =>
+          struct(lead(col("p_partkey"), i).over(w).as("kb"),
+            lead(col("p_name"), i).over(w).as("nb"))): _*))
+      withNbrs
+        .select(col("p_partkey").as("ka"), col("p_name").as("na"),
+          explode(col("nbrs")).as("x"))
+        .filter(col("x.kb").isNotNull)
         .withColumn("jw",
-          graft.functions.JaroWinkler.jaroWinkler(col("n1"), col("n2")))
+          graft.functions.JaroWinkler.jaroWinkler(col("na"), col("x.nb")))
         .filter(col("jw") >= 0.9)
-        .select(col("k1"), col("k2"), round(col("jw"), 4).as("jw"))
+        .select(least(col("ka"), col("x.kb")).as("k1"),
+          greatest(col("ka"), col("x.kb")).as("k2"),
+          round(col("jw"), 4).as("jw"))
         .orderBy("k1", "k2")
     }),
 
