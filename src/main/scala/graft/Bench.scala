@@ -39,6 +39,36 @@ object Bench {
       Caches.clearPersisted()
     }
     spark.catalog.clearCache()
+    // Machine-state calibration probe (r10 VERDICT #1): two rounds in a
+    // row the BENCH total was dominated by box load, not code — the
+    // judge's spot re-times showed a near-uniform multiplier on queries
+    // whose plans were untouched. The probe times three FIXED trivial
+    // workloads at a FIXED scale factor (a 3-row literal DF, the tiny
+    // corpus concat, a 5-row parquet read) after warmup; their median is
+    // a pure machine/session constant, so cross-round totals divide by
+    // it to separate load drift from plan regressions (rule in
+    // docs/PLANS.md "Bench calibration").
+    val calDir = "/root/testdata/sf0.001"
+    def medianOf(samples: Seq[Double]): Double = samples.sorted.apply(samples.size / 2)
+    def probe(body: () => Unit): Double = medianOf((1 to 5).map { _ =>
+      val t0 = System.nanoTime()
+      body()
+      val dt = (System.nanoTime() - t0) / 1e9
+      Caches.clearPersisted()
+      dt
+    })
+    val calibration = Map(
+      "s5_local_df" ->
+        probe(() => SparkEntry.queries("s5_local_df")(spark, calDir).count()),
+      "u4_concat_opinions" ->
+        probe(() => SparkEntry.queries("u4_concat_opinions")(spark, calDir).count()),
+      "parquet_region_read" ->
+        probe(() => { spark.read.parquet(s"$calDir/region.parquet").count(); () }))
+    val calMedian = medianOf(calibration.values.toSeq)
+    val calJson = calibration.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"""\"$k\":$v""" }
+      .mkString("{", ",", s""","median":$calMedian}""")
+    System.err.println(s"BENCH calibration $calJson")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -71,7 +101,7 @@ object Bench {
     // entry; sorted by name so round-over-round diffs are line-stable.
     val perQueryJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }
-      .mkString(s"""{\n  "_sf": "$sfDir",\n  "_reps": $reps,\n  "_total_sec": $total,\n""", ",\n", "\n}\n")
+      .mkString(s"""{\n  "_sf": "$sfDir",\n  "_reps": $reps,\n  "_total_sec": $total,\n  "_calibration": $calJson,\n""", ",\n", "\n}\n")
     try {
       // absolute WorkDir path (r9 ADVICE: a cwd-relative path lands the
       // audit trail wherever the launcher happened to cd)
@@ -84,8 +114,8 @@ object Bench {
     }
     // Long line first (full contract incl. per-query medians), short
     // total line LAST so a tail capture always retains a parseable total.
-    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"queries":$qs,"value":$total}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"_calibration":$calJson,"queries":$qs,"value":$total}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","calibration":$calMedian}""")
     spark.stop()
   }
 }

