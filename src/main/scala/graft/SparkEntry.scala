@@ -3166,6 +3166,21 @@ object SparkEntry {
       Graph.triangleCensus(copurchaseEdgesMemo(s, dir))
     }),
 
+    "graph_communities" -> ((s, dir) => {
+      // community detection over the same co-purchase graph
+      // (ext/Graph.labelPropagation): 4 synchronous supersteps of
+      // most-frequent-neighbor-label with a min-label tie-break —
+      // all-integer voting, so the DuckDB mirror is an exactly-equal
+      // unrolled CTE chain with the same row_number window. Output is
+      // the community size distribution (top-25 by size), the coarser-
+      // than-CC dedup grouping a curation pipeline uses.
+      Graph.labelPropagation(copurchaseEdgesMemo(s, dir), iterations = 4)
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(25)
+    }),
+
     "curate_rebalance_langs" -> ((s, dir) => {
       // the data-mixing SAMPLER that consumes the mix-weights table:
       // rebalance to uniform language shares by down-sampling every

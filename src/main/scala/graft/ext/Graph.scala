@@ -226,6 +226,54 @@ object Graph {
     ranks
   }
 
+  /** Synchronous label propagation (Raghavan et al., "Near linear time
+    * algorithm to detect community structures in large-scale networks",
+    * Phys. Rev. E 76, 2007) with a DETERMINISTIC tie-break — the
+    * community-detection face of the graph family (communities are the
+    * coarser-than-connected-components dedup grouping: CC merges
+    * anything touching, LPA keeps densely-linked clusters apart).
+    *
+    * Every node starts labeled with itself; each superstep relabels
+    * every node with the most frequent label among its neighbors,
+    * ties broken toward the SMALLEST label (the published algorithm
+    * breaks ties randomly; a fixed tie-break makes the fixed-iteration
+    * result exactly reproducible on any engine — the DuckDB mirror is
+    * a straight-line unrolled CTE chain with the same row_number
+    * window). All arithmetic is integer counts: no floating-point
+    * operand pinning is needed, unlike [[pageRank]].
+    *
+    * Scale shape: identical to [[pageRank]] — grouped neighbor lists
+    * persisted once, per superstep one broadcast join of the (node,
+    * label) table + in-task explode + count aggregate + one row_number
+    * window partitioned BY NODE (key cardinality |V|, never a global
+    * sort). Fixed iterations → one lazy plan, no per-superstep
+    * materialization.
+    *
+    * @param edges (src, dst); direction ignored, self-loops dropped
+    * @return (node, community) — community = the node's final label
+    */
+  def labelPropagation(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val adj = graft.Caches.persist(sym.groupBy("src")
+      .agg(sort_array(collect_list("dst")).as("nbrs")))
+    val byVotes = org.apache.spark.sql.expressions.Window
+      .partitionBy("node").orderBy(col("cnt").desc, col("label").asc)
+    var labels = adj.select(col("src").as("node"), col("src").as("label"))
+    (1 to iterations).foreach { _ =>
+      labels = adj
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(explode(col("nbrs")).as("node"), col("label"))
+        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byVotes))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+    }
+    labels
+  }
+
   /** Global triangle and wedge census of an undirected graph: triangle
     * count, wedge (open-or-closed 2-path) count, and the global
     * clustering coefficient 3·T/W.

@@ -133,6 +133,37 @@ class GraphSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked persisted RDD ids: $leaked")
   }
 
+  test("labelPropagation: planted two communities separated by one bridge") {
+    import spark.implicits._
+    // clique A = {1..5}, clique B = {10..15}, single bridge 5-10:
+    // connected components would merge everything; LPA must keep the
+    // two dense clusters apart and label each with its min node
+    val cliqueA = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j)
+    val cliqueB = for (i <- 10L to 15L; j <- (i + 1) to 15L) yield (i, j)
+    val edges = (cliqueA ++ cliqueB ++ Seq((5L, 10L))).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.clearPersisted()
+    assert((1L to 5L).forall(got(_) == 1L),
+      s"clique A must converge to label 1: $got")
+    assert((10L to 15L).forall(got(_) == 10L),
+      s"clique B must converge to label 10: $got")
+  }
+
+  test("labelPropagation: deterministic under duplicate/reversed edges and empty input") {
+    import spark.implicits._
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    val noisy = base ++ base.map(_.swap) ++ Seq((1L, 1L), (1L, 2L))
+    val a = Graph.labelPropagation(base.toDF("src", "dst"), 4)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.labelPropagation(noisy.toDF("src", "dst"), 4)
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.clearPersisted()
+    assert(a == b) // integer voting: exact equality is safe here
+    assert(Graph.labelPropagation(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), 4).count() == 0)
+  }
+
   test("triangleCensus: planted counts and clustering") {
     import spark.implicits._
     // triangle 1-2-3 with pendant 3-4, isolated edge 10-11:
