@@ -62,6 +62,19 @@ object ScaleBench {
       .drop("__r")
       .write.mode("overwrite").parquet(s"$outDir/orders.parquet")
 
+    // lineitem: orderkey shift matches orders; partkey shift keeps each
+    // replica's co-purchase graph DISJOINT (same graph shape, shifted
+    // node ids) — the graph family's scale rows measure factor× nodes
+    // AND factor× edges, not a densified artifact of copying (a shared
+    // part id space would multiply per-node degree by `factor` and make
+    // the census's per-edge intersections grow quadratically)
+    val li = spark.read.parquet(s"$srcDir/lineitem.parquet")
+    li.crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("__r").cast("long") * 1000000000L)
+      .withColumn("l_partkey", col("l_partkey") + col("__r").cast("long") * 10000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$outDir/lineitem.parquet")
+
     // part: shifted keys, replica-suffixed name words (disjoint name
     // vocabulary, same letters-only rule as documents), brands KEPT
     // verbatim — p_brand's ~25-value cardinality is fixed at every SF,
@@ -152,7 +165,13 @@ object ScaleBench {
     // are 5·N by construction (lead() over the brand-partitioned name
     // sort), so the ratio tests that the re-block killed the old
     // N²/|brands| within-block join
-    "fuzzy_jw_pairs")
+    "fuzzy_jw_pairs",
+    // r11 additions: the graph family over disjoint-replica co-purchase
+    // edges (factor× nodes and edges, same shape). pageRank supersteps
+    // move ∝ V rows; the census's compact-forward intersections total
+    // ∝ Σ outdeg² which the disjoint synth keeps ∝ factor; LPA votes
+    // are ∝ E. Memos reset per rep, so every rep pays the edge build.
+    "graph_pagerank", "graph_triangles", "graph_communities")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

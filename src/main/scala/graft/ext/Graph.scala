@@ -242,34 +242,46 @@ object Graph {
     * window). All arithmetic is integer counts: no floating-point
     * operand pinning is needed, unlike [[pageRank]].
     *
-    * Scale shape: identical to [[pageRank]] — grouped neighbor lists
-    * persisted once, per superstep one broadcast join of the (node,
-    * label) table + in-task explode + count aggregate + one row_number
-    * window partitioned BY NODE (key cardinality |V|, never a global
-    * sort). Fixed iterations → one lazy plan, no per-superstep
-    * materialization.
+    * Scale shape: grouped neighbor lists persisted once; per superstep
+    * one broadcast join of the (node, label) table + in-task explode +
+    * TWO HASH AGGREGATES — (node, label) vote counts, then an argmax
+    * via `max(struct(cnt, -label))`, which is value-identical to a
+    * (cnt DESC, label ASC) row_number window but map-side combinable
+    * (the first ScaleBench run measured the window form 14× @10×: the
+    * round-1 vote table is ~|E| rows and a window full-sorts it; the
+    * aggregate collapses it partially before the shuffle). Round 1 is
+    * special-cased: with all-distinct initial labels every vote count
+    * is 1, so the winner is provably min(neighbor) — the head of the
+    * already-sorted neighbor array, zero shuffles. Fixed iterations →
+    * one lazy plan, no per-superstep materialization.
     *
     * @param edges (src, dst); direction ignored, self-loops dropped
     * @return (node, community) — community = the node's final label
     */
   def labelPropagation(edges: DataFrame, iterations: Int = 4): DataFrame = {
+    require(iterations >= 1, "labelPropagation needs at least one round")
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
     val adj = graft.Caches.persist(sym.groupBy("src")
       .agg(sort_array(collect_list("dst")).as("nbrs")))
-    val byVotes = org.apache.spark.sql.expressions.Window
-      .partitionBy("node").orderBy(col("cnt").desc, col("label").asc)
-    var labels = adj.select(col("src").as("node"), col("src").as("label"))
-    (1 to iterations).foreach { _ =>
+    // round 1 closed-form: initial labels are the (all-distinct) node
+    // ids, so every (node, label) vote count is exactly 1 and the
+    // (cnt DESC, label ASC) winner degenerates to the minimum neighbor
+    var labels = adj.select(col("src").as("node"),
+      element_at(col("nbrs"), 1).as("label"))
+    (2 to iterations).foreach { _ =>
       labels = adj
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
         .select(explode(col("nbrs")).as("node"), col("label"))
         .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
-        .withColumn("rn", row_number().over(byVotes))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+        // argmax by (cnt, then smallest label): -label under max ≡
+        // label asc — integer-exact, same winner as the oracle's
+        // row_number window
+        .groupBy("node")
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("m"))
+        .select(col("node"), (-col("m.neg")).as("label"))
     }
     labels
   }
