@@ -1416,6 +1416,51 @@ private[graft] object OracleSql {
         |       round(3.0 * t / w, 6) AS clustering
         |FROM tri CROSS JOIN w""".stripMargin,
 
+    "graph_ppr" ->
+      // mirrors Graph.personalizedPageRank operand-for-operand:
+      // weighted symmetric edges, integer weighted degrees, teleport
+      // (1.0 - 0.85)/ns ONLY on seeds (same subtraction both engines),
+      // per-row rank*w/wdeg contributions, 9dp per-iteration pinning,
+      // 4 unrolled supersteps
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
+        |sym AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        |wdeg AS (SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM sym GROUP BY src),
+        |adj AS (SELECT s.src, s.dst, s.w, d.wdeg FROM sym s JOIN wdeg d ON s.src = d.src),
+        |seeds AS (SELECT DISTINCT d.src AS node FROM wdeg d
+        |          JOIN part p ON p.p_partkey = d.src AND p.p_brand = 'Brand#13'),
+        |ns AS (SELECT count(*) AS ns FROM seeds),
+        |r0 AS (SELECT d.src AS node,
+        |              CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT ns FROM ns) ELSE 0.0 END AS rank
+        |       FROM wdeg d LEFT JOIN seeds s ON s.node = d.src),
+        |r1 AS (SELECT a.dst AS node,
+        |              round(CASE WHEN s.node IS NOT NULL THEN (1.0 - CAST(0.85 AS DOUBLE)) / (SELECT ns FROM ns) ELSE 0.0 END
+        |                    + CAST(0.85 AS DOUBLE) * sum(r.rank * a.w / a.wdeg), 9) AS rank
+        |       FROM adj a JOIN r0 r ON a.src = r.node
+        |       LEFT JOIN seeds s ON s.node = a.dst
+        |       GROUP BY a.dst, s.node),
+        |r2 AS (SELECT a.dst AS node,
+        |              round(CASE WHEN s.node IS NOT NULL THEN (1.0 - CAST(0.85 AS DOUBLE)) / (SELECT ns FROM ns) ELSE 0.0 END
+        |                    + CAST(0.85 AS DOUBLE) * sum(r.rank * a.w / a.wdeg), 9) AS rank
+        |       FROM adj a JOIN r1 r ON a.src = r.node
+        |       LEFT JOIN seeds s ON s.node = a.dst
+        |       GROUP BY a.dst, s.node),
+        |r3 AS (SELECT a.dst AS node,
+        |              round(CASE WHEN s.node IS NOT NULL THEN (1.0 - CAST(0.85 AS DOUBLE)) / (SELECT ns FROM ns) ELSE 0.0 END
+        |                    + CAST(0.85 AS DOUBLE) * sum(r.rank * a.w / a.wdeg), 9) AS rank
+        |       FROM adj a JOIN r2 r ON a.src = r.node
+        |       LEFT JOIN seeds s ON s.node = a.dst
+        |       GROUP BY a.dst, s.node),
+        |r4 AS (SELECT a.dst AS node,
+        |              round(CASE WHEN s.node IS NOT NULL THEN (1.0 - CAST(0.85 AS DOUBLE)) / (SELECT ns FROM ns) ELSE 0.0 END
+        |                    + CAST(0.85 AS DOUBLE) * sum(r.rank * a.w / a.wdeg), 9) AS rank
+        |       FROM adj a JOIN r3 r ON a.src = r.node
+        |       LEFT JOIN seeds s ON s.node = a.dst
+        |       GROUP BY a.dst, s.node)
+        |SELECT node AS part, round(rank, 6) AS rank FROM r4
+        |ORDER BY rank DESC, part LIMIT 20""".stripMargin,
+
     "graph_communities" ->
       // mirrors Graph.labelPropagation superstep-for-superstep: labels
       // start as node ids; each round every node takes the most

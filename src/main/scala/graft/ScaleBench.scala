@@ -171,7 +171,11 @@ object ScaleBench {
     // move ∝ V rows; the census's compact-forward intersections total
     // ∝ Σ outdeg² which the disjoint synth keeps ∝ factor; LPA votes
     // are ∝ E. Memos reset per rep, so every rep pays the edge build.
-    "graph_pagerank", "graph_triangles", "graph_communities")
+    "graph_pagerank", "graph_triangles", "graph_communities",
+    // seeded weighted restart walk: same superstep shape as pageRank
+    // plus a broadcast seed semi-join — the ratio tests that the seed
+    // personalization adds nothing super-linear
+    "graph_ppr")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -226,6 +226,67 @@ object Graph {
     ranks
   }
 
+  /** PERSONALIZED, WEIGHTED PageRank (Page et al. 1999 §6 "personalized
+    * PageRank"; random-walk-with-restart form): teleport mass returns
+    * only to the SEED set, so ranks measure influence/proximity
+    * relative to the seeds — the "what else does this brand's buyer
+    * graph pull in" query a curation or recommendation pipeline asks —
+    * and edges carry weights (co-occurrence counts): a step from u
+    * follows edge (u,v) with probability w(u,v)/W(u).
+    *
+    * r(v) ← (1−d)·s(v) + d·Σ_{u→v} r(u)·w(u,v)/W(u), with s(v) = 1/|S|
+    * on seeds and 0 elsewhere; r0 = s. Same determinism contract as
+    * [[pageRank]] (9dp round per iteration, both engines iterate on
+    * identical operands — weights and weighted degrees are exact
+    * integers) and the same scale shape: grouped weighted neighbor
+    * lists persisted once, supersteps are broadcast-join + in-task
+    * explode + partial-agg, one lazy plan. Seeds are intersected with
+    * the graph's nodes first (a seed with no edges cannot receive or
+    * emit mass; |S| counts only present seeds, both engines).
+    *
+    * @param edges (src, dst, w) — one row per undirected pair with a
+    *              positive integer weight; direction ignored,
+    *              self-loops dropped
+    * @param seeds (node) — the restart set
+    * @return (node, rank) for all graph nodes; Σ ranks ≈ 1
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      iterations: Int = 4, damping: Double = 0.85): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"), col("w"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .filter(col("src") =!= col("dst"))
+    val adj = graft.Caches.persist(sym.groupBy("src")
+      .agg(sort_array(collect_list(struct(col("dst"), col("w")))).as("nbrs"),
+        sum("w").as("wdeg")))
+    val seedSet = graft.Caches.persist(
+      adj.select(col("src").as("node"))
+        .join(seeds.select(col("node")), Seq("node"), "left_semi"))
+    val ns = seedSet.count()
+    if (ns == 0) // no seed touches the graph: all mass would vanish
+      return adj.select(col("src").as("node"), lit(0.0).as("rank")).limit(0)
+    // teleport column for any (node)-keyed frame: 1/ns on seeds else 0
+    def teleport(df: DataFrame, scale: Double): DataFrame = df
+      .join(seedSet.withColumn("is_seed", lit(true)), Seq("node"), "left")
+      .withColumn("tele",
+        when(col("is_seed"), lit(scale / ns)).otherwise(lit(0.0)))
+      .drop("is_seed")
+    var ranks = teleport(adj.select(col("src").as("node")), 1.0)
+      .select(col("node"), col("tele").as("rank"))
+    (1 to iterations).foreach { _ =>
+      val contrib = adj
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(explode(col("nbrs")).as("nb"), col("rank"), col("wdeg"))
+        .select(col("nb.dst").as("node"),
+          (col("rank") * col("nb.w") / col("wdeg")).as("c"))
+        .groupBy("node")
+        .agg(sum(col("c")).as("csum"))
+      ranks = teleport(contrib, 1 - damping)
+        .select(col("node"),
+          round(col("tele") + lit(damping) * col("csum"), 9).as("rank"))
+    }
+    ranks
+  }
+
   /** Synchronous label propagation (Raghavan et al., "Near linear time
     * algorithm to detect community structures in large-scale networks",
     * Phys. Rev. E 76, 2007) with a DETERMINISTIC tie-break — the

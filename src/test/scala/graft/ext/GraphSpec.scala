@@ -133,6 +133,67 @@ class GraphSpec extends SparkSpec {
     assert(leaked.isEmpty, s"leaked persisted RDD ids: $leaked")
   }
 
+  /** Reference personalized weighted PageRank: the same symmetrize /
+    * weighted-contribute / seed-teleport / 9dp-round loop in plain
+    * Scala maps — the in-test mirror of the engine and the oracle.
+    */
+  private def refPpr(edges: Seq[(Long, Long, Long)], seeds: Set[Long],
+      iters: Int, d: Double = 0.85): Map[Long, Double] = {
+    val sym = edges.flatMap { case (a, b, w) => Seq((a, b, w), (b, a, w)) }
+      .filter(e => e._1 != e._2)
+    val bySrc = sym.groupBy(_._1)
+    val wdeg = bySrc.view.mapValues(_.map(_._3).sum).toMap
+    val nodes = bySrc.keySet
+    val s = nodes.intersect(seeds)
+    val ns = s.size
+    var r = nodes.map(n => n -> (if (s(n)) 1.0 / ns else 0.0)).toMap
+    (1 to iters).foreach { _ =>
+      val contrib = sym.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _, w) => r(src) * w / wdeg(src) }.sum
+      }
+      r = nodes.map { n =>
+        val tele = if (s(n)) (1 - d) / ns else 0.0
+        n -> BigDecimal(tele + d * contrib.getOrElse(n, 0.0))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank matches a plain-Scala reference; seed locality holds") {
+    import spark.implicits._
+    // weighted: the 1-2 edge is 3x heavier than 2-3; bridge 4-10 links
+    // a second cluster the walk must discount through the restart
+    val edges = Seq((1L, 2L, 3L), (2L, 3L, 1L), (3L, 1L, 1L), (1L, 4L, 2L),
+      (4L, 10L, 1L), (10L, 11L, 2L), (11L, 12L, 1L))
+    val seeds = Seq(1L, 2L)
+    val got = Graph.personalizedPageRank(edges.toDF("src", "dst", "w"),
+        seeds.toDF("node"), iterations = 4)
+      .as[(Long, Double)].collect().toMap
+    graft.Caches.clearPersisted()
+    val want = refPpr(edges, seeds.toSet, 4)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"node $k") }
+    // restart mass keeps the walk near the seeds: any seed out-ranks
+    // every far-cluster node; total mass ~ 1
+    assert(Seq(10L, 11L, 12L).forall(f => got(1L) > got(f) && got(2L) > got(f)))
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  test("personalizedPageRank: seeds outside the graph are dropped; none → empty") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    // seed 99 has no edges: ns must count only node 1
+    val got = Graph.personalizedPageRank(edges, Seq(1L, 99L).toDF("node"), 3)
+      .as[(Long, Double)].collect().toMap
+    val want = Graph.personalizedPageRank(edges, Seq(1L).toDF("node"), 3)
+      .as[(Long, Double)].collect().toMap
+    graft.Caches.clearPersisted()
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) => assert(math.abs(v - want(k)) < 1e-9, s"node $k") }
+    assert(Graph.personalizedPageRank(edges, Seq(99L).toDF("node"), 3).count() == 0)
+  }
+
   test("labelPropagation: planted two communities separated by one bridge") {
     import spark.implicits._
     // clique A = {1..5}, clique B = {10..15}, single bridge 5-10:
