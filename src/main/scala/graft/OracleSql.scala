@@ -1496,6 +1496,40 @@ private[graft] object OracleSql {
         |FROM l4 GROUP BY label
         |ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin,
 
+    "graph_communities_weighted" ->
+      // weighted-vote LPA mirror: identical to graph_communities except
+      // votes are SUM(edge weight) per label — the engine's argmax by
+      // (votes, smallest label) equals this row_number window exactly
+      // (all-integer voting)
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
+        |sym AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        |c1 AS (SELECT s.dst AS node, l.label, CAST(sum(s.w) AS BIGINT) AS cnt
+        |       FROM sym s JOIN l0 l ON s.src = l.node GROUP BY s.dst, l.label),
+        |l1 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        |       FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s.dst AS node, l.label, CAST(sum(s.w) AS BIGINT) AS cnt
+        |       FROM sym s JOIN l1 l ON s.src = l.node GROUP BY s.dst, l.label),
+        |l2 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        |       FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT s.dst AS node, l.label, CAST(sum(s.w) AS BIGINT) AS cnt
+        |       FROM sym s JOIN l2 l ON s.src = l.node GROUP BY s.dst, l.label),
+        |l3 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        |       FROM c3) WHERE rn = 1),
+        |c4 AS (SELECT s.dst AS node, l.label, CAST(sum(s.w) AS BIGINT) AS cnt
+        |       FROM sym s JOIN l3 l ON s.src = l.node GROUP BY s.dst, l.label),
+        |l4 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        |       FROM c4) WHERE rn = 1)
+        |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM l4 GROUP BY label
+        |ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin,
+
     "curate_rebalance_langs" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |                  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks

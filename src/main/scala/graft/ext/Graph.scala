@@ -316,28 +316,50 @@ object Graph {
     * already-sorted neighbor array, zero shuffles. Fixed iterations →
     * one lazy plan, no per-superstep materialization.
     *
-    * @param edges (src, dst); direction ignored, self-loops dropped
+    * WEIGHTED voting (`weighted = true`; edges must carry an integer
+    * `w`): a neighbor's vote counts `w` times — sum-of-weights per
+    * label instead of neighbor count, the tie-strength-aware community
+    * a dedup pipeline wants when edge weights are co-occurrence
+    * counts. The unweighted form is exactly the weighted form with
+    * w ≡ 1 (sum degenerates to count; the round-1 argmax degenerates
+    * to min-neighbor), so both run the same plan shape.
+    *
+    * @param edges (src, dst) — plus `w` when `weighted`; direction
+    *              ignored, self-loops dropped
     * @return (node, community) — community = the node's final label
     */
-  def labelPropagation(edges: DataFrame, iterations: Int = 4): DataFrame = {
+  def labelPropagation(edges: DataFrame, iterations: Int = 4,
+      weighted: Boolean = false): DataFrame = {
     require(iterations >= 1, "labelPropagation needs at least one round")
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
+    val w = if (weighted) col("w") else lit(1L)
+    // normalize to one id-ordered row per undirected pair (max(w) keeps
+    // duplicate / reversed-duplicate inputs harmless in both modes —
+    // for w ≡ 1 it degenerates to distinct)
+    val und = edges.select(
+        least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), w.as("w"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(max("w").as("w"))
+    val sym = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
+    // struct sort is by (dst, w); dst is unique per src, so the list
+    // order — and every downstream argmax — is deterministic
     val adj = graft.Caches.persist(sym.groupBy("src")
-      .agg(sort_array(collect_list("dst")).as("nbrs")))
+      .agg(sort_array(collect_list(struct(col("dst"), col("w")))).as("nbrs")))
     // round 1 closed-form: initial labels are the (all-distinct) node
-    // ids, so every (node, label) vote count is exactly 1 and the
-    // (cnt DESC, label ASC) winner degenerates to the minimum neighbor
+    // ids, so each label's vote is exactly its edge weight and the
+    // (votes DESC, label ASC) winner is the in-task argmax by
+    // (w, -dst) — for w ≡ 1 that is the minimum neighbor
     var labels = adj.select(col("src").as("node"),
-      element_at(col("nbrs"), 1).as("label"))
+      (-array_max(transform(col("nbrs"),
+        x => struct(x("w").as("w"), (-x("dst")).as("neg"))))("neg")).as("label"))
     (2 to iterations).foreach { _ =>
       labels = adj
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .select(explode(col("nbrs")).as("node"), col("label"))
-        .groupBy("node", "label").agg(count(lit(1)).as("cnt"))
-        // argmax by (cnt, then smallest label): -label under max ≡
+        .select(explode(col("nbrs")).as("nb"), col("label"))
+        .select(col("nb.dst").as("node"), col("label"), col("nb.w").as("w"))
+        .groupBy("node", "label").agg(sum(col("w")).as("cnt"))
+        // argmax by (votes, then smallest label): -label under max ≡
         // label asc — integer-exact, same winner as the oracle's
         // row_number window
         .groupBy("node")

@@ -225,6 +225,38 @@ class GraphSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("src", "dst"), 4).count() == 0)
   }
 
+  test("labelPropagation weighted: tie strength overrides link count") {
+    import spark.implicits._
+    // node 100 has TWO unit edges into clique A = {1,2,3} but ONE
+    // heavy (w=10) edge to hub 200 of clique B = {200,201,202}:
+    // unweighted voting pulls 100 into A (2 votes vs 1); weighted
+    // voting pulls it into B (10 vs 2). B's internal ties (w=20)
+    // out-weigh the spoke so the hub stays anchored in its own clique
+    // (a symmetric heaviest-dyad would label-swap — sync LPA's known
+    // oscillation — and B would adopt 100's label instead)
+    val cliqueA = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L))
+    val cliqueB = Seq((200L, 201L, 20L), (201L, 202L, 20L), (200L, 202L, 20L))
+    val spoke = Seq((100L, 1L, 1L), (100L, 2L, 1L), (100L, 200L, 10L))
+    val edges = (cliqueA ++ cliqueB ++ spoke).toDF("src", "dst", "w")
+    val unw = Graph.labelPropagation(edges, iterations = 4)
+      .as[(Long, Long)].collect().toMap
+    val wtd = Graph.labelPropagation(edges, iterations = 4, weighted = true)
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.clearPersisted()
+    // the PARTITION is the contract (which side 100 lands on); exact
+    // label values are an LPA artifact (min ids spread through hubs)
+    def groupsOf(m: Map[Long, Long]): (Set[Long], Set[Long]) =
+      (Set(m(1L), m(2L), m(3L)), Set(m(200L), m(201L), m(202L)))
+    val (unwA, unwB) = groupsOf(unw)
+    val (wtdA, wtdB) = groupsOf(wtd)
+    assert(unwA.size == 1 && unwB.size == 1 && unwA != unwB,
+      s"two communities must survive unweighted: $unw")
+    assert(wtdA.size == 1 && wtdB.size == 1 && wtdA != wtdB,
+      s"two communities must survive weighted: $wtd")
+    assert(unw(100L) == unwA.head, s"unweighted: 100 joins clique A (2 links vs 1): $unw")
+    assert(wtd(100L) == wtdB.head, s"weighted: the w=10 tie pulls 100 into B: $wtd")
+  }
+
   test("triangleCensus: planted counts and clustering") {
     import spark.implicits._
     // triangle 1-2-3 with pendant 3-4, isolated edge 10-11:
