@@ -1572,6 +1572,21 @@ private[graft] object OracleSql {
         |       round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM c), 6) AS share
         |FROM c ORDER BY lang, source""".stripMargin,
 
+    "curate_mix_temperature" ->
+      // sqrt over exact integer token counts is IEEE-identical on both
+      // engines; the sqrt-mass normalizer is rounded 6dp in one place
+      // (the round6 S4-scalar pattern), the token total is exact BIGINT
+      """WITH t AS (SELECT lang, source, CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |g AS (SELECT lang, source, CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM t GROUP BY lang, source),
+        |w AS (SELECT lang, source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM g),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, round(sum(w), 6) AS total_w FROM w)
+        |SELECT lang, source, n_tokens,
+        |       round(CAST(n_tokens AS DOUBLE) / total, 6) AS nat_share,
+        |       round(w / total_w, 6) AS temp_share,
+        |       round((w / total_w) / (CAST(n_tokens AS DOUBLE) / total), 6) AS boost
+        |FROM w CROSS JOIN tot ORDER BY lang, source""".stripMargin,
+
     "search_hybrid_rrf" ->
       // both legs' top-50 use a (rounded score, doc_id) total order, so
       // row_number here equals the Spark side's count-of-better rank;
@@ -2469,6 +2484,41 @@ private[graft] object OracleSql {
         |  AND l_returnflag = 'R'
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "sim_ann_recall" ->
+      // the sim_knn and sim_ivf_topk oracles composed as CTEs: exact
+      // top-5 ∩ IVF top-5 per query, count / 5 — rank sets are
+      // deterministic on both engines ((cos DESC, vec_id) tie-break),
+      // so the intersection is too
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 8),
+        |scx AS (SELECT query_id, c.vec_id,
+        |               list_dot_product(qe, c.ve) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.ve, c.ve))) AS cos
+        |        FROM q CROSS JOIN v c WHERE c.vec_id <> query_id),
+        |ex AS (SELECT query_id, vec_id FROM
+        |         (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scx)
+        |       WHERE rn <= 5),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
+        |s0 AS (SELECT vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM v CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |cc AS (SELECT a.vec_id, a.cluster, v.ve AS ce FROM a0 a JOIN v USING (vec_id)),
+        |qi AS (SELECT a.vec_id AS query_id, a.cluster, v.ve AS qe FROM a0 a JOIN v USING (vec_id) WHERE a.vec_id < 8),
+        |sci AS (SELECT qi.query_id, cc.vec_id,
+        |               list_dot_product(qi.qe, cc.ce) / (sqrt(list_dot_product(qi.qe, qi.qe)) * sqrt(list_dot_product(cc.ce, cc.ce))) AS cos
+        |        FROM cc JOIN qi ON cc.cluster = qi.cluster AND cc.vec_id <> qi.query_id),
+        |ap AS (SELECT query_id, vec_id FROM
+        |         (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM sci)
+        |       WHERE rn <= 5),
+        |h AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM ex e JOIN ap USING (query_id, vec_id) GROUP BY e.query_id)
+        |SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+        |FROM (SELECT DISTINCT query_id FROM q) q LEFT JOIN h USING (query_id)
+        |ORDER BY q.query_id""".stripMargin,
 
     "sim_pq_codes" ->
       s"""WITH $pqCtes

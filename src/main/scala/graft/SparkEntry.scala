@@ -2164,6 +2164,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "sim_ann_recall" -> ((s, dir) => {
+      // ANN index-quality telemetry: recall@5 of the nprobe=1 IVF read
+      // path against the exact brute-force top-5 on the same 8 queries
+      // — the monitoring face a production vector pipeline alarms on
+      // when the standing index drifts from the corpus (the ANN
+      // family's answer to the watermark-drop observable). Both sides
+      // are the gate's own oracle-backed rankers; the set intersection
+      // is deterministic because both rank by (cos desc, vec_id).
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select("query_id", "vec_id")
+      val approx = Similarity.ivfTopK(e, q, k = 5, nCentroids = 8)
+        .select("query_id", "vec_id")
+      val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / lit(5.0), 6).as("recall_at_5"))
+        .orderBy("query_id")
+    }),
+
     "sim_pq_codes" -> ((s, dir) =>
       // product-quantization storage half (Jégou et al. TPAMI'11): a
       // 64-float vector compresses to 4 codes; deterministic seed
@@ -3298,6 +3322,32 @@ object SparkEntry {
       val total = counts.agg(sum("n_tokens")).head().getLong(0)
       counts
         .withColumn("share", round(col("n_tokens").cast("double") / total, 6))
+        .orderBy("lang", "source")
+    }),
+
+    "curate_mix_temperature" -> ((s, dir) => {
+      // TEMPERATURE-scaled mixture weights (the multilingual sampling
+      // recipe of XLM-R / mT5: p_i ∝ n_i^α, here α = 0.5): flattens
+      // the natural source distribution so low-resource (lang, source)
+      // cells are up-sampled — `boost` = temp_share / nat_share is the
+      // per-cell up/down-sampling factor the sampler applies. Integer
+      // token counts make sqrt IEEE-identical on both engines; the two
+      // normalizers are S4 scalars (the token total is an exact long;
+      // the sqrt-mass total is 6dp-pinned in exactly one place).
+      val counts = docs(s, dir)
+        .select(col("lang"), col("source"),
+          size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy("lang", "source")
+        .agg(sum("n_toks").as("n_tokens"))
+      val cached = graft.Caches.persist(
+        counts.withColumn("w", sqrt(col("n_tokens").cast("double"))))
+      val total = cached.agg(sum("n_tokens")).head().getLong(0)
+      val totalW = round6(cached.agg(sum("w")).head().getDouble(0))
+      cached.select(col("lang"), col("source"), col("n_tokens"),
+          round(col("n_tokens").cast("double") / total, 6).as("nat_share"),
+          round(col("w") / totalW, 6).as("temp_share"),
+          round((col("w") / totalW) /
+            (col("n_tokens").cast("double") / total), 6).as("boost"))
         .orderBy("lang", "source")
     }),
 
