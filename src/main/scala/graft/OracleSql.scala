@@ -1530,6 +1530,30 @@ private[graft] object OracleSql {
         |FROM l4 GROUP BY label
         |ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin,
 
+    "graph_local_clustering" ->
+      // id-ordered triangle listing (a<b<c via e(a,b), e(b,c), e(a,c));
+      // each triangle credits all three corners via UNION ALL — the
+      // orientation-independent mirror of the engine's compact-forward
+      // per-corner credit
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b
+        |      FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        |        GROUP BY node),
+        |tri AS (SELECT x.a AS u, x.b AS v, y.b AS w
+        |        FROM e x JOIN e y ON y.a = x.b JOIN e z ON z.a = x.a AND z.b = y.b),
+        |credit AS (SELECT u AS node FROM tri
+        |           UNION ALL SELECT v AS node FROM tri
+        |           UNION ALL SELECT w AS node FROM tri),
+        |cnt AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM credit GROUP BY node)
+        |SELECT d.node AS part, d.deg,
+        |       CAST(COALESCE(c.n_tri, 0) AS BIGINT) AS n_tri,
+        |       round(2.0 * COALESCE(c.n_tri, 0) / (d.deg * (d.deg - 1)), 6) AS clustering
+        |FROM deg d LEFT JOIN cnt c ON c.node = d.node
+        |WHERE d.deg >= 2
+        |ORDER BY d.deg DESC, part LIMIT 20""".stripMargin,
+
     "curate_rebalance_langs" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |                  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks

@@ -3240,6 +3240,20 @@ object SparkEntry {
         .limit(25)
     }),
 
+    "graph_local_clustering" -> ((s, dir) => {
+      // per-node local clustering (Watts-Strogatz c(v)) for the top-20
+      // co-purchase hubs (ext/Graph.localClustering): the node-level
+      // view the global census can't give — which hubs sit in tight
+      // cliques vs star-shaped baskets. Triangles come from the same
+      // compact-forward listing with the intersection ELEMENTS exploded
+      // (3·T credit rows, never wedge-shaped).
+      Graph.localClustering(copurchaseEdgesMemo(s, dir))
+        .select(col("node").as("part"), col("deg"), col("n_tri"),
+          col("clustering"))
+        .orderBy(col("deg").desc, col("part"))
+        .limit(20)
+    }),
+
     "curate_rebalance_langs" -> ((s, dir) => {
       // the data-mixing SAMPLER that consumes the mix-weights table:
       // rebalance to uniform language shares by down-sampling every

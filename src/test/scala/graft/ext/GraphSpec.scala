@@ -275,6 +275,35 @@ class GraphSpec extends SparkSpec {
     assert(got4 == ((4L, 12L, 1.0)))
   }
 
+  test("localClustering: planted coefficients; per-node credits sum to 3T") {
+    import spark.implicits._
+    // triangle 1-2-3 with pendant 3-4: c(1)=c(2)=1.0 (deg 2, 1 tri),
+    // c(3)=2·1/(3·2)=1/3, node 4 excluded (deg 1)
+    val got = Graph.localClustering(
+      Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    graft.Caches.clearPersisted()
+    assert(got == Map(
+      1L -> ((2L, 1L, 1.0)), 2L -> ((2L, 1L, 1.0)), 3L -> ((3L, 1L, 0.333333))))
+    // K4: every node deg 3, 3 triangles each, c = 1.0; credits = 3T = 12
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val gotK4 = Graph.localClustering(k4.toDF("src", "dst"))
+      .as[(Long, Long, Long, Double)].collect()
+    graft.Caches.clearPersisted()
+    assert(gotK4.length == 4 && gotK4.forall(r => r._2 == 3L && r._3 == 3L && r._4 == 1.0))
+    // cross-check against the global census on a random graph:
+    // Σ per-node triangles = 3 · T
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 400).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val perNode = Graph.localClustering(edges)
+      .agg(org.apache.spark.sql.functions.sum("n_tri")).head().getLong(0)
+    val global = Graph.triangleCensus(edges).as[(Long, Long, Double)].head()
+    graft.Caches.clearPersisted()
+    assert(perNode == 3 * global._1, s"credits $perNode != 3 x ${global._1}")
+  }
+
   test("triangleCensus degree-oriented count equals the naive id-ordered join") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
