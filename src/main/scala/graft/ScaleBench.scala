@@ -175,7 +175,10 @@ object ScaleBench {
     // seeded weighted restart walk: same superstep shape as pageRank
     // plus a broadcast seed semi-join — the ratio tests that the seed
     // personalization adds nothing super-linear
-    "graph_ppr")
+    "graph_ppr",
+    // per-node triangle credit: 3·T explode rows through one hash agg —
+    // the ratio tests that listing (vs counting) stays Σ outdeg²-bounded
+    "graph_local_clustering")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -400,17 +400,25 @@ object Graph {
       .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
         when(aFirst, col("b")).otherwise(col("a")).as("v")))
     val outN = oriented.groupBy("u").agg(collect_list("v").as("nbrs"))
-    // one row per listed triangle: (u, v, w) with w from the
-    // out-neighborhood intersection
-    val tris = oriented
-      .join(outN.select(col("u"), col("nbrs").as("nu")), Seq("u"))
-      .join(outN.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+    // per-edge triangle closure, computed ONCE and persisted: the
+    // first ScaleBench run of the 3-way-explode form measured 15.8×
+    // @10× — it generated 3·T credit rows and re-ran the list join per
+    // union branch, and at 10× the neighbor lists outgrow broadcast so
+    // the join re-plans as a sort-merge over array-carrying rows. The
+    // shuffle_hash hint keeps the fallback sort-free, and crediting u
+    // and v from size(ww) means only the w corner pays an explode
+    // (T rows, not 3·T).
+    val perEdge = graft.Caches.persist(oriented
+      .join(outN.select(col("u"), col("nbrs").as("nu")).hint("shuffle_hash"), Seq("u"))
+      .join(outN.select(col("u").as("v"), col("nbrs").as("nv")).hint("shuffle_hash"), Seq("v"))
       .select(col("u"), col("v"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
-    val credit = tris.select(col("u").as("node"))
-      .unionAll(tris.select(col("v").as("node")))
-      .unionAll(tris.select(col("w").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        array_intersect(col("nu"), col("nv")).as("ww")))
+    val sized = perEdge.select(col("u"), col("v"),
+      size(col("ww")).cast("long").as("c"))
+    val credit = sized.select(col("u").as("node"), col("c"))
+      .unionAll(sized.select(col("v").as("node"), col("c")))
+      .unionAll(perEdge.select(explode(col("ww")).as("node"), lit(1L).as("c")))
+      .groupBy("node").agg(sum("c").as("n_tri"))
     deg.filter(col("deg") >= 2)
       .join(credit, Seq("node"), "left")
       .select(col("node"), col("deg"),
