@@ -296,6 +296,18 @@ private[graft] object OracleSql {
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
 
+    "source_schema_evolution" ->
+      // arithmetic mirror of the mergeSchema union: even doc_ids are
+      // the v1 batch (n_chars absent -> NULL), odd the evolved v2
+      """WITH t AS (SELECT doc_id, lang, n_chars
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |m AS (SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars FROM t WHERE doc_id % 2 = 0
+        |      UNION ALL SELECT doc_id, lang, n_chars FROM t WHERE doc_id % 2 = 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(n_chars) AS BIGINT) AS n_with_chars,
+        |       CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS total_chars
+        |FROM m GROUP BY lang ORDER BY lang""".stripMargin,
+
     "sink_orc_roundtrip" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
@@ -432,6 +444,34 @@ private[graft] object OracleSql {
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "agg_quantile_bins" ->
+      // mirrors the engine's histogram estimate operand-for-operand:
+      // same lo/width doubles, same integer bin ids (floor + clamp),
+      // same covering-bin condition (cum_prev < target <= cum), same
+      // interpolation order; quantile literals cast to DOUBLE so no
+      // DECIMAL arithmetic sneaks in
+      """WITH li AS (SELECT l_extendedprice AS x FROM lineitem),
+        |p AS (SELECT min(x) AS lo, (max(x) - min(x)) / 256.0 AS width,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM li),
+        |b AS (SELECT least(CAST(floor((x - (SELECT lo FROM p)) / (SELECT width FROM p)) AS BIGINT), 255) AS bin,
+        |             CAST(count(*) AS BIGINT) AS cnt
+        |      FROM li GROUP BY 1),
+        |c AS (SELECT b1.bin, b1.cnt, CAST(sum(b2.cnt) AS BIGINT) AS cum
+        |      FROM b b1 JOIN b b2 ON b2.bin <= b1.bin GROUP BY b1.bin, b1.cnt),
+        |q AS (SELECT * FROM (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+        |                            (CAST(0.75 AS DOUBLE)), (CAST(0.9 AS DOUBLE)),
+        |                            (CAST(0.99 AS DOUBLE))) AS t(q)),
+        |f AS (SELECT q.q, c.bin, c.cnt,
+        |             q.q * (SELECT n FROM p) AS target,
+        |             c.cum - c.cnt AS cum_prev
+        |      FROM q CROSS JOIN c
+        |      WHERE CAST(c.cum AS DOUBLE) >= q.q * (SELECT n FROM p)
+        |        AND CAST(c.cum - c.cnt AS DOUBLE) < q.q * (SELECT n FROM p))
+        |SELECT q, bin, cnt,
+        |       round((SELECT lo FROM p) + (bin + (target - cum_prev) / cnt) * (SELECT width FROM p), 6) AS est
+        |FROM f ORDER BY q""".stripMargin,
+
     "a5_percentiles" ->
       """SELECT c_mktsegment,
         |       round(quantile_cont(c_acctbal, 0.5), 6) AS p50,
@@ -535,6 +575,26 @@ private[graft] object OracleSql {
         |                  ELSE pv + (nv - pv) * ((day - pd) * 1.0 / (nd - pd)) END, 4) AS value,
         |       v IS NULL AS interp
         |FROM w ORDER BY priority, day_num""".stripMargin,
+
+    "ts_ewma" ->
+      // mirrors TimeSeries.ewma operand-for-operand: daily sums pinned
+      // to 6dp, weights the SAME exact-binary-fraction literal table
+      // (2^-o is exactly representable; no libm pow on either side),
+      // ≤7 pinned addends per day, 6dp on the quotient, ratio over the
+      // ROUNDED ewma
+      """WITH daily AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |                      round(sum(value), 6) AS x
+        |               FROM events GROUP BY 1),
+        |wt AS (SELECT * FROM (VALUES (0, CAST(1.0 AS DOUBLE)), (1, CAST(0.5 AS DOUBLE)),
+        |                             (2, CAST(0.25 AS DOUBLE)), (3, CAST(0.125 AS DOUBLE)),
+        |                             (4, CAST(0.0625 AS DOUBLE)), (5, CAST(0.03125 AS DOUBLE)),
+        |                             (6, CAST(0.015625 AS DOUBLE))) AS t(o, w)),
+        |c AS (SELECT d.day + wt.o AS day, wt.w AS w, wt.w * d.x AS wx
+        |      FROM daily d CROSS JOIN wt),
+        |sm AS (SELECT day, sum(wx) AS num, sum(w) AS den FROM c GROUP BY day),
+        |e AS (SELECT d.day, d.x, round(sm.num / sm.den, 6) AS ewma
+        |      FROM daily d JOIN sm USING (day))
+        |SELECT day, x, ewma, round(x / ewma, 6) AS ratio FROM e ORDER BY day""".stripMargin,
 
     "agg_corr" ->
       """SELECT l_returnflag,
@@ -1554,6 +1614,30 @@ private[graft] object OracleSql {
         |WHERE d.deg >= 2
         |ORDER BY d.deg DESC, part LIMIT 20""".stripMargin,
 
+    "graph_kcore" ->
+      // mirrors Graph.kCore peel-for-peel: a_i = nodes whose degree in
+      // the subgraph induced by a_{i-1} is >= 3; 4 unrolled rounds,
+      // output degrees computed inside the FINAL induced subgraph.
+      // All-integer — exactly equal, no pinning needed.
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
+        |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |a1 AS (SELECT src AS node FROM sym GROUP BY src HAVING count(*) >= 3),
+        |d2 AS (SELECT s.src AS node, count(*) AS deg FROM sym s
+        |       JOIN a1 x ON s.src = x.node JOIN a1 y ON s.dst = y.node GROUP BY s.src),
+        |a2 AS (SELECT node FROM d2 WHERE deg >= 3),
+        |d3 AS (SELECT s.src AS node, count(*) AS deg FROM sym s
+        |       JOIN a2 x ON s.src = x.node JOIN a2 y ON s.dst = y.node GROUP BY s.src),
+        |a3 AS (SELECT node FROM d3 WHERE deg >= 3),
+        |d4 AS (SELECT s.src AS node, count(*) AS deg FROM sym s
+        |       JOIN a3 x ON s.src = x.node JOIN a3 y ON s.dst = y.node GROUP BY s.src),
+        |a4 AS (SELECT node FROM d4 WHERE deg >= 3),
+        |f AS (SELECT s.src AS node, CAST(count(*) AS BIGINT) AS deg FROM sym s
+        |      JOIN a4 x ON s.src = x.node JOIN a4 y ON s.dst = y.node GROUP BY s.src)
+        |SELECT node AS part, deg FROM f
+        |ORDER BY deg DESC, part LIMIT 25""".stripMargin,
+
     "curate_rebalance_langs" ->
       s"""WITH t AS (SELECT doc_id, lang,
         |                  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks
@@ -2162,6 +2246,29 @@ private[graft] object OracleSql {
         |                        THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END, 4) AS n_hll
         |      FROM g)
         |SELECT n_exact, n_hll, round(abs(n_hll - n_exact) / n_exact, 4) AS rel_err FROM f""".stripMargin,
+
+    "agg_hll_by_key" ->
+      // per-key mirror of agg_hll_distinct: identical hash, rho,
+      // alpha, and linear-counting branch, grouped by event_type
+      s"""WITH hh AS (SELECT event_type, ${md5Hash60Sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+        |hb AS (SELECT event_type, h % 1024 AS b, h // 1024 AS rest FROM hh),
+        |r AS (SELECT event_type, b, max(CASE WHEN rest = 0 THEN 51 ELSE 51 - len(bin(rest)) END) AS m
+        |      FROM hb GROUP BY event_type, b),
+        |e AS (SELECT event_type, sum(power(2.0, -m)) AS s_present, count(*) AS n_present
+        |      FROM r GROUP BY event_type),
+        |g AS (SELECT event_type,
+        |             0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 / (s_present + (1024 - n_present)) AS raw,
+        |             CAST(1024 - n_present AS DOUBLE) AS zeros
+        |      FROM e),
+        |x AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+        |      FROM events GROUP BY event_type),
+        |f AS (SELECT g.event_type, x.n_exact,
+        |             round(CASE WHEN raw <= 2.5 * 1024.0 AND zeros > 0
+        |                        THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END, 4) AS n_hll
+        |      FROM g JOIN x USING (event_type))
+        |SELECT event_type, n_exact, n_hll,
+        |       round(abs(n_hll - n_exact) / n_exact, 4) AS rel_err
+        |FROM f ORDER BY event_type""".stripMargin,
 
     "events_transition_matrix" ->
       """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events),

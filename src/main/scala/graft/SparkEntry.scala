@@ -499,6 +499,29 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "source_schema_evolution" -> ((s, dir) => {
+      // schema evolution across parquet batches — the data-lake reality
+      // where history was written before a column existed: batch v1
+      // carries (doc_id, lang), the evolved v2 adds n_chars; a
+      // mergeSchema read unions the footers and fills the missing
+      // column with NULL. mergeSchema is a FOOTER-level merge (one
+      // metadata pass), not a data rewrite — at 100 TB the old files
+      // are never touched. The aggregate distinguishes "absent" from
+      // "present" via count(col) vs count(*).
+      val out = s"$WorkDir/docs_evolving"
+      val d = docs(s, dir)
+      d.filter(col("doc_id") % 2 === 0).select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$out/v1")
+      d.filter(col("doc_id") % 2 === 1).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$out/v2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/v1", s"$out/v2")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          count(col("n_chars")).as("n_with_chars"),
+          coalesce(sum("n_chars"), lit(0L)).as("total_chars"))
+        .orderBy("lang")
+    }),
+
     "sink_orc_roundtrip" -> ((s, dir) => {
       // ORC sink + scan (the second columnar format Spark ships) — same
       // aggregate contract as the CSV roundtrip
@@ -782,6 +805,43 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
         .orderBy("lang")),
 
+    "agg_quantile_bins" -> ((s, dir) => {
+      // quantile ESTIMATION from an equi-width histogram — the sketch
+      // face of a5_percentiles (which is exact): pass 1 min/max (S4
+      // scalars), pass 2 ONE 256-cell hash aggregate, then linear
+      // interpolation inside the covering bin. The histogram is ≤256
+      // rows at ANY data scale, so the cumulative (a bounded
+      // triangular join over the broadcast bin table — windows stay
+      // partitioned per the plan-smell rule) and the quantile probe
+      // cost O(bins²) — independent of N, the property that lets a
+      // 100 TB percentile job answer in two scans with KB-sized
+      // shuffles. All counts integer; lo/width and the interpolation
+      // mirror the oracle operand-for-operand.
+      import s.implicits._
+      val li = tbl(s, dir, "lineitem").select(col("l_extendedprice").as("x"))
+      val mm = li.agg(min("x"), max("x"), count(lit(1))).head()
+      val lo = mm.getDouble(0)
+      val width = (mm.getDouble(1) - lo) / 256.0
+      val n = mm.getLong(2)
+      val bins = graft.Caches.persist(li
+        .select(least(floor((col("x") - lo) / width), lit(255L)).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cnt")))
+      val cum = bins.as("b1")
+        .join(broadcast(bins.as("b2")), col("b2.bin") <= col("b1.bin"))
+        .groupBy(col("b1.bin").as("bin"), col("b1.cnt").as("cnt"))
+        .agg(sum(col("b2.cnt")).as("cum"))
+      val qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99).toDF("q")
+      cum.crossJoin(broadcast(qs))
+        .withColumn("target", col("q") * n)
+        .filter(col("cum").cast("double") >= col("target") &&
+          (col("cum") - col("cnt")).cast("double") < col("target"))
+        .select(col("q"), col("bin"), col("cnt"),
+          round(lit(lo) +
+            (col("bin") + (col("target") - (col("cum") - col("cnt"))) / col("cnt"))
+              * width, 6).as("est"))
+        .orderBy("q")
+    }),
+
     "a5_percentiles" -> ((s, dir) => {
       // exact interpolated percentiles (median/p90) per segment —
       // scale-safe (r4 VERDICT #3): the previous `percentile` aggregate
@@ -918,6 +978,21 @@ object SparkEntry {
         .select(col("o_orderpriority").as("priority"),
           unix_date(col("day")).as("day_num"), col("value"), col("interp"))
         .orderBy("priority", "day_num")),
+
+    "ts_ewma" -> ((s, dir) => {
+      // exponentially weighted daily event volume (ext/TimeSeries.ewma):
+      // the smoothed-level monitor a pipeline alarms against. Daily sums
+      // pinned to 6dp, weights an explicit exact-binary-fraction table
+      // (no libm pow on either engine), bounded offset fan-out — never
+      // a self-join or buffered window. Day is pure epoch arithmetic.
+      val daily = events(s, dir)
+        .groupBy((floor(unix_micros(col("ts")) / lit(86400000000L)))
+          .cast("long").as("day"))
+        .agg(round(sum("value"), 6).as("x"))
+      graft.ext.TimeSeries.ewma(daily, lookback = 7)
+        .withColumn("ratio", round(col("x") / col("ewma"), 6))
+        .orderBy("day")
+    }),
 
     "agg_corr" -> ((s, dir) =>
       // bivariate aggregates: correlation + sample covariance per group
@@ -3254,6 +3329,20 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "graph_kcore" -> ((s, dir) => {
+      // the 3-core of the co-purchase graph (ext/Graph.kCore): bounded
+      // synchronous peeling — 4 rounds, each two node-id semi-joins +
+      // one hash agg over a monotonically shrinking survivor set; the
+      // dense backbone where every surviving part co-occurs with ≥3
+      // other survivors. All-integer (degrees and ids), so the DuckDB
+      // mirror is the same unrolled peel, exactly equal. Edges come
+      // from the shared co-purchase memo (one build serves all graph_*).
+      Graph.kCore(copurchaseEdgesMemo(s, dir), k = 3, rounds = 4)
+        .select(col("node").as("part"), col("deg"))
+        .orderBy(col("deg").desc, col("part"))
+        .limit(25)
+    }),
+
     "curate_rebalance_langs" -> ((s, dir) => {
       // the data-mixing SAMPLER that consumes the mix-weights table:
       // rebalance to uniform language shares by down-sampling every
@@ -3879,6 +3968,44 @@ object SparkEntry {
       exact.crossJoin(est)
         .withColumn("rel_err",
           round(abs(col("n_hll") - col("n_exact")) / col("n_exact"), 4))
+    }),
+
+    "agg_hll_by_key" -> ((s, dir) => {
+      // HLL partitioned by a GROUP key — the face that proves the
+      // sketch's mergeability story: registers are (key, bucket) cells
+      // of ONE hash aggregate, so per-key distinct-user estimates ride
+      // the exact shuffle shape a 100 TB GROUP-BY-distinct runs — the
+      // shuffle carries ≤ keys × 1024 register rows, never user ids.
+      // Same md5-fold hash, alpha, and small-range linear-counting
+      // branch as agg_hll_distinct (registers mirror bitwise); exact
+      // countDistinct alongside for the per-key relative error.
+      val ev = events(s, dir).select(col("event_type"), col("user_id"))
+      val h = ev.select(col("event_type"),
+          Dedup.md5Hash60(col("user_id").cast("string")).as("h"))
+        .select(col("event_type"), pmod(col("h"), lit(1024L)).as("b"),
+          expr("h div 1024").as("rest"))
+        .withColumn("rho", when(col("rest") === 0, lit(51L))
+          .otherwise(lit(51L) - length(bin(col("rest")))))
+      val regs = h.groupBy("event_type", "b").agg(max("rho").as("m"))
+      val alpha = 0.7213 / (1.0 + 1.079 / 1024.0)
+      val est = regs.groupBy("event_type").agg(
+          sum(pow(lit(2.0), -col("m"))).as("s_present"),
+          count(lit(1)).as("n_present"))
+        .select(col("event_type"),
+          (lit(alpha * 1024.0 * 1024.0) /
+            (col("s_present") + (lit(1024L) - col("n_present")).cast("double")))
+            .as("raw"),
+          (lit(1024L) - col("n_present")).cast("double").as("zeros"))
+        .select(col("event_type"), round(
+          when(col("raw") <= 2.5 * 1024.0 && col("zeros") > 0,
+            lit(1024.0) * log(lit(1024.0) / col("zeros")))
+            .otherwise(col("raw")), 4).as("n_hll"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      exact.join(est, Seq("event_type"))
+        .withColumn("rel_err",
+          round(abs(col("n_hll") - col("n_exact")) / col("n_exact"), 4))
+        .orderBy("event_type")
     }),
 
     "events_transition_matrix" -> ((s, dir) => {

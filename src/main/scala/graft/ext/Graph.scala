@@ -369,6 +369,61 @@ object Graph {
     labels
   }
 
+  /** k-core of an undirected graph by BOUNDED synchronous peeling
+    * (the parallel formulation of Matula & Beck's bucket peel, JACM'83;
+    * cf. Batagelj & Zaveršnik, "An O(m) Algorithm for Cores
+    * Decomposition of Networks", 2003; distributed peeling as in
+    * Montresor et al., "Distributed k-Core Decomposition", TPDS'13):
+    * every round recomputes degrees over the surviving induced subgraph
+    * and drops every node with degree < k — after convergence the
+    * survivors are exactly the k-core (the maximal subgraph with all
+    * degrees ≥ k), the "dense backbone" a curation pipeline uses to
+    * find tightly co-occurring item groups that single edges (and even
+    * triangles) overstate.
+    *
+    * `rounds` is a FIXED peel depth, like [[labelPropagation]]'s
+    * `iterations`: both engines (and the DuckDB mirror) unroll the same
+    * depth, so the contract is deterministic without a convergence
+    * check; a round that removes nothing is a no-op, so extra rounds
+    * are harmless. Per round the work is two node-id semi-joins + one
+    * hash aggregate — all shuffles on node ids, nothing quadratic, and
+    * the survivor set only shrinks, so round cost is monotonically
+    * non-increasing. Survivor frames are persisted via [[graft.Caches]]
+    * (each is referenced by two semi-join branches of the next round —
+    * unpersisted, the lazy chain would re-execute ~2^rounds times).
+    *
+    * @param edges (src, dst); direction ignored, self-loops dropped
+    * @param k minimum degree to survive a peel round
+    * @return (node, deg) for nodes alive after `rounds` peels, with
+    *         deg = degree INSIDE the final induced subgraph
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 1, "kCore needs k >= 1")
+    require(rounds >= 1, "kCore needs at least one peel round")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = graft.Caches.persist(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"))))
+    def inducedDeg(alive: DataFrame): DataFrame = sym
+      .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // round 1 closed-form: everyone is alive, so the peel is just the
+    // full-graph degree filter
+    var alive = graft.Caches.persist(
+      sym.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("node"))
+    (2 to rounds).foreach { _ =>
+      alive = graft.Caches.persist(
+        inducedDeg(alive).filter(col("deg") >= k).select("node"))
+    }
+    inducedDeg(alive)
+  }
+
   /** Per-node triangle counts and LOCAL clustering coefficients
     * (Watts & Strogatz 1998: c(v) = 2·T(v) / (deg(v)·(deg(v)−1))) —
     * the node-level refinement of [[triangleCensus]]. Same

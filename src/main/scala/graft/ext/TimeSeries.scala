@@ -65,4 +65,46 @@ object TimeSeries {
       .withColumn("interp", col("v").isNull)
       .select(col(key), col("day"), col("value"), col("interp"))
   }
+
+  /** Finite-lookback exponentially weighted moving average (Holt's
+    * simple exponential smoothing truncated to `lookback` terms): for
+    * each observed day d,
+    *   ewma(d) = Σ_{o=0..L-1} w_o · x(d−o)  /  Σ_{o: x(d−o) exists} w_o
+    * with w_o = 2^{−o} (α = 0.5) — the smoothed level a monitoring
+    * pipeline compares today's volume against. Missing history days
+    * contribute nothing and leave the normalizer (the standard
+    * "available history" normalization, pandas `ewm(adjust=True)`).
+    *
+    * Determinism contract: the weights are an EXPLICIT literal table
+    * (exact binary fractions 1, 0.5, … — no libm `pow` on either
+    * engine), daily sums are pinned to 6dp before weighting, and the
+    * weighted sum has ≤ `lookback` pinned addends.
+    *
+    * Scale: the offset fan-out is the bounded-explode pattern
+    * (`events_dau_wau`'s trailing-7 shape): series × L rows into one
+    * hash aggregate on the target day — never a self-join of the
+    * series, never a window whose frame an engine must buffer. One
+    * shuffle on (key, day), L a small constant.
+    *
+    * @param daily (day: long epoch-day, x: double) — pre-aggregated
+    *              daily series; `x` should already be deterministic
+    * @return (day, x, ewma 6dp) for each observed day
+    */
+  def ewma(daily: DataFrame, lookback: Int = 7): DataFrame = {
+    require(lookback >= 1 && lookback <= 62, "lookback out of range")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    // exact binary fractions: 2^-o is exactly representable, and
+    // 1.0/(1L<<o) is correctly rounded (exact) in IEEE — identical to
+    // the oracle's literal VALUES rows
+    val weights = (0 until lookback).map(o => (o.toLong, 1.0 / (1L << o)))
+      .toDF("o", "w")
+    val contrib = daily.crossJoin(broadcast(weights))
+      .select((col("day") + col("o")).as("day"),
+        col("w"), (col("w") * col("x")).as("wx"))
+    val sm = contrib.groupBy("day")
+      .agg(sum("wx").as("num"), sum("w").as("den"))
+    daily.join(sm, Seq("day"))
+      .select(col("day"), col("x"), round(col("num") / col("den"), 6).as("ewma"))
+  }
 }

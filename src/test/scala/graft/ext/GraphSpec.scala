@@ -304,6 +304,32 @@ class GraphSpec extends SparkSpec {
     assert(perNode == 3 * global._1, s"credits $perNode != 3 x ${global._1}")
   }
 
+  test("kCore: clique survives, pendant tail peels, duplicates harmless") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4}; pendant path 4-5-6-7 (peels back to the
+    // clique one hop per round); duplicate + reversed + self-loop noise
+    val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val tail = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    val noise = Seq((2L, 1L), (1L, 2L), (3L, 3L))
+    val got = Graph.kCore((clique ++ tail ++ noise).toDF("src", "dst"), k = 3)
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.clearPersisted()
+    // survivors = exactly the clique, each with induced degree 3
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("kCore: k above max degree empties the graph; k=1 drops nothing connected") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val none = Graph.kCore(edges, k = 2, rounds = 2).count()
+    val all = Graph.kCore(edges, k = 1, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.clearPersisted()
+    // path 1-2-3: k=2 peels the endpoints round 1, then node 2 round 2
+    assert(none == 0L)
+    assert(all == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
   test("triangleCensus degree-oriented count equals the naive id-ordered join") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

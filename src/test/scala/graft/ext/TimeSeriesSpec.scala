@@ -27,6 +27,35 @@ class TimeSeriesSpec extends SparkSpec {
       ("b", "2024-02-10", 7.5, false)))
   }
 
+  test("ewma: hand-computed smoothing with a gap and ramp-up normalization") {
+    import spark.implicits._
+    // days 10, 11, 13 (12 missing): day 10 has no history (ewma = x);
+    // day 11 = (1*20 + 0.5*8) / 1.5; day 13 skips missing day 12 and
+    // weights day 11 at 2^-2, day 10 at 2^-3
+    val daily = Seq((10L, 8.0), (11L, 20.0), (13L, 4.0)).toDF("day", "x")
+    val got = TimeSeries.ewma(daily, lookback = 7)
+      .orderBy("day").as[(Long, Double, Double)].collect().toSeq
+    val d11 = BigDecimal((1.0 * 20.0 + 0.5 * 8.0) / 1.5)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d13 = BigDecimal((1.0 * 4.0 + 0.25 * 20.0 + 0.125 * 8.0) / 1.375)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq((10L, 8.0, 8.0), (11L, 20.0, d11), (13L, 4.0, d13)))
+  }
+
+  test("ewma: lookback truncates history") {
+    import spark.implicits._
+    // with lookback 2 only the current and previous day contribute
+    val daily = Seq((1L, 10.0), (2L, 6.0), (3L, 2.0)).toDF("day", "x")
+    val got = TimeSeries.ewma(daily, lookback = 2)
+      .orderBy("day").as[(Long, Double, Double)].collect().toSeq
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (1L, 10.0, 10.0),
+      (2L, 6.0, r6((1.0 * 6.0 + 0.5 * 10.0) / 1.5)),
+      (3L, 2.0, r6((1.0 * 2.0 + 0.5 * 6.0) / 1.5))))
+  }
+
   test("windows are key-partitioned: keys do not leak into each other") {
     import spark.implicits._
     // key "c" sits INSIDE key "a"'s gap; its value must not feed a's
