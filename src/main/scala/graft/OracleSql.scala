@@ -1614,6 +1614,31 @@ private[graft] object OracleSql {
         |WHERE d.deg >= 2
         |ORDER BY d.deg DESC, part LIMIT 20""".stripMargin,
 
+    "graph_bfs_hops" ->
+      // mirrors Graph.bfsHops round-for-round: d_i = min(d_{i-1},
+      // neighbor d_{i-1} + 1) over the symmetric edge set, 3 unrolled
+      // rounds, seeds at 0. All-integer — exactly equal.
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
+        |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |d0 AS (SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS hops
+        |       FROM part WHERE p_brand = 'Brand#21'),
+        |d1 AS (SELECT node, min(hops) AS hops FROM (
+        |         SELECT node, hops FROM d0
+        |         UNION ALL SELECT s.dst AS node, d.hops + 1 AS hops
+        |         FROM sym s JOIN d0 d ON s.src = d.node) GROUP BY node),
+        |d2 AS (SELECT node, min(hops) AS hops FROM (
+        |         SELECT node, hops FROM d1
+        |         UNION ALL SELECT s.dst AS node, d.hops + 1 AS hops
+        |         FROM sym s JOIN d1 d ON s.src = d.node) GROUP BY node),
+        |d3 AS (SELECT node, min(hops) AS hops FROM (
+        |         SELECT node, hops FROM d2
+        |         UNION ALL SELECT s.dst AS node, d.hops + 1 AS hops
+        |         FROM sym s JOIN d2 d ON s.src = d.node) GROUP BY node)
+        |SELECT hops, CAST(count(*) AS BIGINT) AS n_parts
+        |FROM d3 GROUP BY hops ORDER BY hops""".stripMargin,
+
     "graph_kcore" ->
       // mirrors Graph.kCore peel-for-peel: a_i = nodes whose degree in
       // the subgraph induced by a_{i-1} is >= 3; 4 unrolled rounds,
@@ -1637,6 +1662,25 @@ private[graft] object OracleSql {
         |      JOIN a4 x ON s.src = x.node JOIN a4 y ON s.dst = y.node GROUP BY s.src)
         |SELECT node AS part, deg FROM f
         |ORDER BY deg DESC, part LIMIT 25""".stripMargin,
+
+    "curate_version_diff" ->
+      // arithmetic mirror of the two synthetic releases: v1 = corpus
+      // minus the %7 stratum, v2 = minus %3 with the %5 stratum
+      // re-edited (fingerprint of text || 'v2')
+      """WITH t AS (SELECT doc_id, source, text
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |v1 AS (SELECT doc_id, source, md5(text) AS fp1 FROM t WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id, source,
+        |              CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS fp2
+        |       FROM t WHERE doc_id % 3 <> 0),
+        |j AS (SELECT coalesce(v1.source, v2.source) AS source,
+        |             CASE WHEN fp1 IS NULL THEN 'added'
+        |                  WHEN fp2 IS NULL THEN 'removed'
+        |                  WHEN fp1 <> fp2 THEN 'changed'
+        |                  ELSE 'unchanged' END AS status
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM j GROUP BY 1, 2 ORDER BY source, status""".stripMargin,
 
     "curate_rebalance_langs" ->
       s"""WITH t AS (SELECT doc_id, lang,

@@ -3329,6 +3329,22 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "graph_bfs_hops" -> ((s, dir) => {
+      // bounded multi-source BFS (ext/Graph.bfsHops) seeded on
+      // Brand#21's parts: the hop-distance distribution over the
+      // co-purchase graph — the reachability face graph_ppr's dampened
+      // walk blurs ("how much of the catalog sits within 3 co-purchase
+      // hops of this brand"). 3 relaxation rounds, each one edges⋈dist
+      // join + one min hash agg, all-integer — the mirror is an
+      // exactly-equal unrolled CTE chain.
+      val seeds = tbl(s, dir, "part")
+        .filter(col("p_brand") === "Brand#21")
+        .select(col("p_partkey").as("node"))
+      Graph.bfsHops(copurchaseEdgesMemo(s, dir), seeds, rounds = 3)
+        .groupBy("hops").agg(count(lit(1)).as("n_parts"))
+        .orderBy("hops")
+    }),
+
     "graph_kcore" -> ((s, dir) => {
       // the 3-core of the co-purchase graph (ext/Graph.kCore): bounded
       // synchronous peeling — 4 rounds, each two node-id semi-joins +
@@ -3341,6 +3357,31 @@ object SparkEntry {
         .select(col("node").as("part"), col("deg"))
         .orderBy(col("deg").desc, col("part"))
         .limit(25)
+    }),
+
+    "curate_version_diff" -> ((s, dir) => {
+      // dataset snapshot diff — the data-versioning audit between two
+      // corpus releases: v1 lacks the %7 stratum (docs added later),
+      // v2 lacks the %3 stratum (docs removed) and re-edits the %5
+      // stratum (changed content). A full-outer join on doc_id
+      // classifies every doc added / removed / changed / unchanged by
+      // CONTENT FINGERPRINT — md5 through the shuffle, never text, so
+      // at 100 TB the diff moves 32-byte fingerprints, not documents.
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("text"))
+      val v1 = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("fp1"))
+      val v2 = d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 5 === 0, md5(concat(col("text"), lit("v2"))))
+            .otherwise(md5(col("text"))).as("fp2"))
+      v1.join(v2, Seq("doc_id", "source"), "full_outer")
+        .select(col("source"),
+          when(col("fp1").isNull, "added")
+            .when(col("fp2").isNull, "removed")
+            .when(col("fp1") =!= col("fp2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "status")
     }),
 
     "curate_rebalance_langs" -> ((s, dir) => {

@@ -369,6 +369,49 @@ object Graph {
     labels
   }
 
+  /** Bounded multi-source BFS: minimum hop distance from a seed set,
+    * computed by `rounds` synchronous relaxation steps (the classic
+    * iterative frontier expansion, cf. Pregel's SSSP example in
+    * Malewicz et al., SIGMOD'10, with unit weights) — "how many
+    * co-purchase hops from this brand is everything else?", the
+    * reachability face [[personalizedPageRank]]'s dampened walk blurs.
+    *
+    * Each round relaxes EVERY labeled node (not just the frontier):
+    * dist' = min(dist, min over in-neighbors dist+1) as one edges⋈dist
+    * join + one min hash-aggregate — all-integer, so the DuckDB mirror
+    * is an exactly-equal unrolled CTE chain. A frontier-delta variant
+    * saves re-relaxing settled nodes, but the full relaxation keeps
+    * every round's shuffle ∝ E on node ids (never quadratic) and the
+    * fixed `rounds` bound caps total work at rounds·E — the honest
+    * trade documented here rather than hidden.
+    *
+    * @param edges (src, dst); direction ignored, self-loops dropped
+    * @param seeds one `node` column; seeds absent from the graph are
+    *              still reported at distance 0
+    * @return (node, hops) for every node within `rounds` hops of a seed
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "bfsHops needs at least one round")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = graft.Caches.persist(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"))))
+    var dist = graft.Caches.persist(
+      seeds.select(col("node")).distinct().withColumn("hops", lit(0L)))
+    (1 to rounds).foreach { _ =>
+      val relaxed = sym
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
+      dist = graft.Caches.persist(
+        dist.union(relaxed).groupBy("node").agg(min("hops").as("hops")))
+    }
+    dist
+  }
+
   /** k-core of an undirected graph by BOUNDED synchronous peeling
     * (the parallel formulation of Matula & Beck's bucket peel, JACM'83;
     * cf. Batagelj & Zaveršnik, "An O(m) Algorithm for Cores

@@ -304,6 +304,30 @@ class GraphSpec extends SparkSpec {
     assert(perNode == 3 * global._1, s"credits $perNode != 3 x ${global._1}")
   }
 
+  test("bfsHops: path distances, round bound, isolated seed kept at 0") {
+    import spark.implicits._
+    // path 1-2-3-4-5 seeded at {1, 99}: node 5 is 4 hops away and must
+    // NOT appear with rounds = 3; isolated seed 99 reports distance 0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L, 99L).toDF("node")
+    val got = Graph.bfsHops(edges, seeds, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.clearPersisted()
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 99L -> 0L))
+  }
+
+  test("bfsHops: min over multiple seeds and reversed-duplicate edges") {
+    import spark.implicits._
+    // triangle 1-2-3 plus tail 3-4; seeds {1, 4}: node 3 is 1 hop from
+    // both sides, node 2 is 1 from seed 1 / 2 from seed 4 -> min wins
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (2L, 1L), (4L, 3L)).toDF("src", "dst")
+    val got = Graph.bfsHops(edges, Seq(1L, 4L).toDF("node"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.clearPersisted()
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L))
+  }
+
   test("kCore: clique survives, pendant tail peels, duplicates harmless") {
     import spark.implicits._
     // 4-clique {1,2,3,4}; pendant path 4-5-6-7 (peels back to the
