@@ -1695,6 +1695,28 @@ private[graft] object OracleSql {
         |WHERE CAST(${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS DOUBLE) / 1000.0 < r.keep_rate
         |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
 
+    "sample_weighted" ->
+      // same integer cross-multiplied keep test — no double division
+      // on either engine
+      s"""WITH t AS (SELECT doc_id, source, n_chars
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |m AS (SELECT max(n_chars) AS mx FROM t)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        |FROM t
+        |WHERE (${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000000) * (SELECT mx FROM m) < n_chars * 1000000
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "skew_key_stats" ->
+      """WITH c AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |           FROM lineitem GROUP BY l_partkey)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |       CAST(max(cnt) AS BIGINT) AS max_key_rows,
+        |       round(max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS skew_factor,
+        |       round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top1_share
+        |FROM c""".stripMargin,
+
     "curate_dataset_card" ->
       """WITH t AS (SELECT doc_id, lang, source, md5(text) AS fp,
         |                  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks

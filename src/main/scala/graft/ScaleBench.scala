@@ -178,7 +178,14 @@ object ScaleBench {
     "graph_ppr",
     // per-node triangle credit: 3·T explode rows through one hash agg —
     // the ratio tests that listing (vs counting) stays Σ outdeg²-bounded
-    "graph_local_clustering")
+    "graph_local_clustering",
+    // r11 additions (second wave): k-core peeling (two node-id
+    // semi-joins + one agg per round over a monotonically shrinking
+    // survivor set — the ratio tests the rounds·E bound) and seeded BFS
+    // relaxation (one edges⋈dist join ∝ E per round; brands are kept
+    // verbatim by the synth, so the seed set grows ∝ factor with the
+    // disjoint replicas, exactly the scale axis the query claims)
+    "graph_kcore", "graph_bfs_hops")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

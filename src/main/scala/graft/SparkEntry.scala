@@ -3410,6 +3410,45 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "sample_weighted" -> ((s, dir) => {
+      // probability-proportional-to-size Bernoulli sampling: each doc
+      // kept with p = n_chars / max_chars — the WEIGHTED face of the
+      // md5-fold sampling family (sample_hash_bucket is the constant-
+      // weight special case; longer docs are proportionally likelier,
+      // the inclusion rule size-stratified pretraining mixes use). The
+      // keep test is the integer cross-multiplication
+      //   (h mod 1e6) · max_chars < n_chars · 1e6
+      // so NO double division is involved on either engine — both
+      // compare identical integers. One scan + one S4 scalar; the
+      // sample never shuffles (filter before the aggregate).
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      val maxChars = d.agg(max("n_chars")).head().getLong(0)
+      d.filter(
+          pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(1000000L))
+            * maxChars < col("n_chars") * lit(1000000L))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("chars_kept"))
+        .orderBy("source")
+    }),
+
+    "skew_key_stats" -> ((s, dir) => {
+      // pre-shuffle skew diagnosis — the telemetry a pipeline reads
+      // BEFORE choosing salting / AQE skew thresholds: per-key group
+      // sizes for the join key (l_partkey), reduced to key count, max
+      // group, skew factor max/avg, and the heavy hitter's share. Two
+      // hash aggregates (key counts, then one row); integer counts,
+      // two rounded divisions.
+      val c = tbl(s, dir, "lineitem")
+        .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      c.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total_rows"),
+          max("cnt").as("max_key_rows"))
+        .select(col("n_keys"), col("total_rows"), col("max_key_rows"),
+          round(col("max_key_rows") * col("n_keys")
+            / col("total_rows").cast("double"), 6).as("skew_factor"),
+          round(col("max_key_rows") / col("total_rows").cast("double"), 6)
+            .as("top1_share"))
+    }),
+
     "curate_dataset_card" -> ((s, dir) => {
       // the one-row dataset card a released corpus ships: sizes,
       // diversity, token budget, exact-dup rate, mean doc length. One
