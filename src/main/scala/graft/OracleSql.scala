@@ -1614,6 +1614,20 @@ private[graft] object OracleSql {
         |WHERE d.deg >= 2
         |ORDER BY d.deg DESC, part LIMIT 20""".stripMargin,
 
+    "graph_assortativity" ->
+      // same edge set, same degree join, DuckDB's corr over the same
+      // doubles (the agg_corr-proven 6dp mirror)
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
+        |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+        |        FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst AS node FROM e0)
+        |        GROUP BY node)
+        |SELECT CAST(count(*) AS BIGINT) AS n_dir_edges,
+        |       round(corr(CAST(dx.deg AS DOUBLE), CAST(dy.deg AS DOUBLE)), 6) AS assortativity
+        |FROM sym s JOIN deg dx ON s.src = dx.node JOIN deg dy ON s.dst = dy.node""".stripMargin,
+
     "graph_bfs_hops" ->
       // mirrors Graph.bfsHops round-for-round: d_i = min(d_{i-1},
       // neighbor d_{i-1} + 1) over the symmetric edge set, 3 unrolled

@@ -3329,6 +3329,30 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "graph_assortativity" -> ((s, dir) => {
+      // degree assortativity (Newman, PRL 2002): Pearson correlation
+      // between endpoint degrees over every DIRECTED orientation of
+      // the undirected edge set — one number that says whether
+      // co-purchase hubs link to hubs (r > 0) or to leaves (r < 0),
+      // the mixing diagnostic for the graph family. Two broadcast
+      // degree joins + one corr aggregate (the agg_corr-proven mirror:
+      // both engines round the textbook two-pass formula at 6dp).
+      val und = copurchaseEdgesMemo(s, dir).select("src", "dst")
+      val deg = und.select(col("src").as("node"))
+        .unionAll(und.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg"))
+      val sym = und
+        .unionAll(und.select(col("dst").as("src"), col("src").as("dst")))
+      sym
+        .join(broadcast(deg.select(col("node").as("src"), col("deg").as("dx"))),
+          Seq("src"))
+        .join(broadcast(deg.select(col("node").as("dst"), col("deg").as("dy"))),
+          Seq("dst"))
+        .agg(count(lit(1)).as("n_dir_edges"),
+          round(corr(col("dx").cast("double"), col("dy").cast("double")), 6)
+            .as("assortativity"))
+    }),
+
     "graph_bfs_hops" -> ((s, dir) => {
       // bounded multi-source BFS (ext/Graph.bfsHops) seeded on
       // Brand#21's parts: the hop-distance distribution over the
