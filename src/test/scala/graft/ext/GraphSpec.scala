@@ -354,6 +354,25 @@ class GraphSpec extends SparkSpec {
     assert(all == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("kCore: cores nest (3-core within 2-core) on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    // enough rounds to converge on a 40-node graph
+    val c2 = Graph.kCore(edges, k = 2, rounds = 8).as[(Long, Long)]
+      .collect().toMap
+    val c3 = Graph.kCore(edges, k = 3, rounds = 8).as[(Long, Long)]
+      .collect().toMap
+    graft.Caches.clearPersisted()
+    // nesting: every 3-core member is a 2-core member, and its degree
+    // can only GROW in the larger induced subgraph
+    assert(c3.keySet.subsetOf(c2.keySet))
+    c3.foreach { case (node, d3) => assert(d3 <= c2(node), s"node $node") }
+    // converged cores respect the defining bound
+    assert(c2.values.forall(_ >= 2) && c3.values.forall(_ >= 3))
+  }
+
   test("triangleCensus degree-oriented count equals the naive id-ordered join") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
