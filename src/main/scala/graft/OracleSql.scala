@@ -2327,6 +2327,20 @@ private[graft] object OracleSql {
         |      FROM g)
         |SELECT n_exact, n_hll, round(abs(n_hll - n_exact) / n_exact, 4) AS rel_err FROM f""".stripMargin,
 
+    "stream_hll_users" ->
+      // batch-equivalence oracle: max-merge is order-insensitive, so
+      // the streamed registers equal this batch sketch exactly
+      s"""WITH hh AS (SELECT ${md5Hash60Sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+        |hb AS (SELECT h % 1024 AS b, h // 1024 AS rest FROM hh),
+        |r AS (SELECT b, max(CASE WHEN rest = 0 THEN 51 ELSE 51 - len(bin(rest)) END) AS m FROM hb GROUP BY b),
+        |e AS (SELECT sum(power(2.0, -m)) AS s_present, count(*) AS n_present FROM r),
+        |g AS (SELECT 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 / (s_present + (1024 - n_present)) AS raw,
+        |             CAST(1024 - n_present AS DOUBLE) AS zeros
+        |      FROM e)
+        |SELECT round(CASE WHEN raw <= 2.5 * 1024.0 AND zeros > 0
+        |                  THEN 1024.0 * ln(1024.0 / zeros) ELSE raw END, 4) AS n_hll
+        |FROM g""".stripMargin,
+
     "agg_hll_by_key" ->
       // per-key mirror of agg_hll_distinct: identical hash, rho,
       // alpha, and linear-counting branch, grouped by event_type

@@ -1479,6 +1479,42 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    "stream_hll_users" -> ((s, dir) => {
+      // HLL registers maintained INSIDE Structured Streaming: events
+      // stream in and the (bucket → max rho) register table is a
+      // Complete-mode aggregate whose merge (max) is MONOTONE — partial
+      // states merge through the state store exactly as they merge
+      // map-side in batch, so the streamed registers equal the batch
+      // sketch bit-for-bit and the estimate matches the batch oracle to
+      // the last digit. The streaming face of the sketch triad: 1024
+      // registers of bounded state no matter how many users flow past —
+      // the shape a 100 TB/day stream uses for live distinct counts.
+      val ev = EventStream.readEvents(s, dir).select(col("user_id"))
+      val h = ev
+        .select(Dedup.md5Hash60(col("user_id").cast("string")).as("h"))
+        .select(pmod(col("h"), lit(1024L)).as("b"),
+          expr("h div 1024").as("rest"))
+        .withColumn("rho", when(col("rest") === 0, lit(51L))
+          .otherwise(lit(51L) - length(bin(col("rest")))))
+        .groupBy("b").agg(max("rho").as("m"))
+      val regs = EventStream.withStatePartitions(s, 8) {
+        EventStream.runToCompletion(s, h, "stream_hll_sink")
+      }
+      val alpha = 0.7213 / (1.0 + 1.079 / 1024.0)
+      regs.agg(
+          sum(pow(lit(2.0), -col("m"))).as("s_present"),
+          count(lit(1)).as("n_present"))
+        .select(
+          (lit(alpha * 1024.0 * 1024.0) /
+            (col("s_present") + (lit(1024L) - col("n_present")).cast("double")))
+            .as("raw"),
+          (lit(1024L) - col("n_present")).cast("double").as("zeros"))
+        .select(round(
+          when(col("raw") <= 2.5 * 1024.0 && col("zeros") > 0,
+            lit(1024.0) * log(lit(1024.0) / col("zeros")))
+            .otherwise(col("raw")), 4).as("n_hll"))
+    }),
+
     "stream_term_counts" -> ((s, dir) => {
       // the INDEXING pipeline as a stream: corpus files stream in and
       // global term counts are maintained incrementally (Complete mode)
