@@ -388,6 +388,38 @@ private[graft] object OracleSql {
         |       CAST(epoch_us(eff_to) AS BIGINT) AS eff_to_us, n_rows
         |FROM e ORDER BY o_custkey, version""".stripMargin,
 
+    "dim_pit_join" ->
+      // same SCD2 CTE as dim_scd2, then the two interval joins (as-of
+      // 30 days = 2_592_000_000_000 µs before, and at-date); IS
+      // DISTINCT FROM mirrors Spark's null-safe inequality
+      """WITH f AS (
+        |  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+        |         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |                OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |              THEN 1 ELSE 0 END AS chg
+        |  FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        |i AS (SELECT *, sum(chg) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS version FROM f),
+        |c AS (SELECT o_custkey, version, o_orderpriority AS feature, min(o_orderdate) AS eff_from
+        |      FROM i GROUP BY o_custkey, version, o_orderpriority),
+        |e AS (SELECT o_custkey AS d_custkey, feature,
+        |             CAST(epoch_us(eff_from) AS BIGINT) AS from_us,
+        |             CAST(epoch_us(lead(eff_from) OVER (PARTITION BY o_custkey ORDER BY version)) AS BIGINT) AS to_us
+        |      FROM c),
+        |fa AS (SELECT o_orderkey, o_custkey,
+        |              CAST(epoch_us(o_orderdate) AS BIGINT) AS at_us,
+        |              CAST(epoch_us(o_orderdate) AS BIGINT) - 2592000000000 AS asof_us
+        |       FROM orders),
+        |j1 AS (SELECT fa.o_orderkey, fa.o_custkey, fa.at_us, e.feature AS feature_asof
+        |       FROM fa LEFT JOIN e ON fa.o_custkey = e.d_custkey
+        |         AND e.from_us <= fa.asof_us AND (e.to_us IS NULL OR fa.asof_us < e.to_us)),
+        |j2 AS (SELECT j1.feature_asof, e.feature AS feature_now
+        |       FROM j1 LEFT JOIN e ON j1.o_custkey = e.d_custkey
+        |         AND e.from_us <= j1.at_us AND (e.to_us IS NULL OR j1.at_us < e.to_us))
+        |SELECT coalesce(feature_asof, 'none') AS feature_asof,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CASE WHEN feature_asof IS DISTINCT FROM feature_now THEN 1 ELSE 0 END) AS BIGINT) AS n_would_leak
+        |FROM j2 GROUP BY 1 ORDER BY feature_asof""".stripMargin,
+
     "zorder_cluster" ->
       // verbatim mirror of ZOrder.morton2/scale16: magic-number bit
       // spreading (0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555

@@ -752,6 +752,50 @@ object SparkEntry {
           col("n_rows"))
         .orderBy("o_custkey", "version")),
 
+    "dim_pit_join" -> ((s, dir) => {
+      // point-in-time feature join — the feature-store primitive for
+      // leakage-safe training data: each order (the label event) is
+      // enriched with the customer's priority version effective 30
+      // days BEFORE the order date (what was knowable at feature-
+      // cutoff time). Equi-join on the key + validity-interval filter
+      // over the SCD2 dim — versions per key are few and intervals
+      // disjoint, so each fact matches ≤1 version and the interval
+      // predicate is a cheap post-join filter (the standard PIT plan;
+      // at 100 TB both sides shuffle once on the key). n_would_leak
+      // counts orders whose AT-DATE version differs from the as-of
+      // version — exactly the rows a naive "join latest" would leak
+      // into training features.
+      val dim = graft.Caches.persist(
+        graft.ext.Scd.type2(tbl(s, dir, "orders"),
+            key = "o_custkey", attr = "o_orderpriority",
+            ts = "o_orderdate", tieBreak = "o_orderkey")
+          .select(col("o_custkey").as("d_custkey"),
+            col("o_orderpriority").as("feature"),
+            unix_micros(col("eff_from").cast("timestamp")).as("from_us"),
+            unix_micros(col("eff_to").cast("timestamp")).as("to_us")))
+      val facts = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("at_us"))
+        .withColumn("asof_us", col("at_us") - lit(2592000000000L))
+      val asofJ = facts.join(dim,
+          col("o_custkey") === col("d_custkey") &&
+            col("from_us") <= col("asof_us") &&
+            (col("to_us").isNull || col("asof_us") < col("to_us")), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("at_us"),
+          col("feature").as("feature_asof"))
+      val both = asofJ.join(dim,
+          col("o_custkey") === col("d_custkey") &&
+            col("from_us") <= col("at_us") &&
+            (col("to_us").isNull || col("at_us") < col("to_us")), "left")
+        .select(col("feature_asof"), col("feature").as("feature_now"))
+      both
+        .groupBy(coalesce(col("feature_asof"), lit("none")).as("feature_asof"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(not(col("feature_asof") <=> col("feature_now")), 1L)
+            .otherwise(0L)).as("n_would_leak"))
+        .orderBy("feature_asof")
+    }),
+
     "zorder_cluster" -> ((s, dir) =>
       // Morton-code clustering stats over (l_partkey, l_suppkey): each
       // z-range bucket's 2-D bounding box — what per-file min/max
