@@ -866,6 +866,9 @@ object SparkEntry {
       val mm = li.agg(min("x"), max("x"), count(lit(1))).head()
       val lo = mm.getDouble(0)
       val width = (mm.getDouble(1) - lo) / 256.0
+      // fail fast on a degenerate constant column rather than divide
+      // by zero into NaN bins (ADVICE ledger item)
+      require(width > 0, s"agg_quantile_bins: constant column (min = max = $lo)")
       val n = mm.getLong(2)
       val bins = graft.Caches.persist(li
         .select(least(floor((col("x") - lo) / width), lit(255L)).as("bin"))
@@ -3438,13 +3441,15 @@ object SparkEntry {
       // Brand#21's parts: the hop-distance distribution over the
       // co-purchase graph — the reachability face graph_ppr's dampened
       // walk blurs ("how much of the catalog sits within 3 co-purchase
-      // hops of this brand"). 3 relaxation rounds, each one edges⋈dist
-      // join + one min hash agg, all-integer — the mirror is an
-      // exactly-equal unrolled CTE chain.
+      // hops of this brand"). Served by the FRONTIER-delta variant —
+      // each round expands only the newly discovered level, paying
+      // each edge at most twice across the whole run; result-identical
+      // to full relaxation (GraphSpec parity), so the mirror stays the
+      // trivially-reviewable unrolled full-relaxation CTE chain.
       val seeds = tbl(s, dir, "part")
         .filter(col("p_brand") === "Brand#21")
         .select(col("p_partkey").as("node"))
-      Graph.bfsHops(copurchaseEdgesMemo(s, dir), seeds, rounds = 3)
+      Graph.bfsHopsFrontier(copurchaseEdgesMemo(s, dir), seeds, rounds = 3)
         .groupBy("hops").agg(count(lit(1)).as("n_parts"))
         .orderBy("hops")
     }),

@@ -412,6 +412,43 @@ object Graph {
     dist
   }
 
+  /** Frontier-delta variant of [[bfsHops]] — result-identical (the
+    * parity is asserted in GraphSpec on random graphs), but each round
+    * relaxes only the nodes DISCOVERED in the previous round: in
+    * unweighted BFS every node at distance i+1 has a neighbor at
+    * distance exactly i, so expanding the frontier alone finds the
+    * full next level, and settled nodes can never improve. Per-round
+    * work is Σ deg(frontier) instead of Σ deg(labeled) — the scale
+    * path for deep-hop traversals (the full-relaxation form re-pays
+    * the whole labeled set every round; this one pays each edge at
+    * most twice across the entire run).
+    */
+  def bfsHopsFrontier(edges: DataFrame, seeds: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "bfsHopsFrontier needs at least one round")
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val sym = graft.Caches.persist(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"))))
+    var dist = graft.Caches.persist(
+      seeds.select(col("node")).distinct().withColumn("hops", lit(0L)))
+    var frontier = dist
+    (1 to rounds).foreach { _ =>
+      val discovered = graft.Caches.persist(sym
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("hops") + 1L).as("hops"))
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .groupBy("node").agg(min("hops").as("hops")))
+      dist = graft.Caches.persist(dist.union(discovered))
+      frontier = discovered
+    }
+    dist
+  }
+
   /** k-core of an undirected graph by BOUNDED synchronous peeling
     * (the parallel formulation of Matula & Beck's bucket peel, JACM'83;
     * cf. Batagelj & Zaveršnik, "An O(m) Algorithm for Cores

@@ -354,6 +354,20 @@ class GraphSpec extends SparkSpec {
     assert(all == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("bfsHopsFrontier: parity with full relaxation on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val edges = (1 to 250).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val seeds = Seq(1L, 7L, 42L).toDF("node")
+    val full = Graph.bfsHops(edges, seeds, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val frontier = Graph.bfsHopsFrontier(edges, seeds, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.clearPersisted()
+    assert(frontier == full)
+  }
+
   test("kCore: cores nest (3-core within 2-core) on a random graph") {
     import spark.implicits._
     val rnd = new scala.util.Random(23)
