@@ -369,6 +369,26 @@ object Graph {
     labels
   }
 
+  /** Canonical undirected edge prep shared by the traversal ops
+    * ([[bfsHops]], [[bfsHopsFrontier]], [[kCore]]): id-ordered unique
+    * pairs (self-loops dropped, duplicates and reversals collapsed),
+    * symmetrized to both directions and PERSISTED via [[graft.Caches]]
+    * — every consumer scans it once per round. (The weighted ops keep
+    * their own forms: [[labelPropagation]] carries `w`,
+    * [[triangleCensus]]/[[localClustering]] deliberately never
+    * symmetrize.)
+    */
+  private def symmetrized(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    graft.Caches.persist(
+      und.select(col("a").as("src"), col("b").as("dst"))
+        .union(und.select(col("b").as("src"), col("a").as("dst"))))
+  }
+
   /** Bounded multi-source BFS: minimum hop distance from a seed set,
     * computed by `rounds` synchronous relaxation steps (the classic
     * iterative frontier expansion, cf. Pregel's SSSP example in
@@ -392,14 +412,7 @@ object Graph {
     */
   def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 3): DataFrame = {
     require(rounds >= 1, "bfsHops needs at least one round")
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val sym = graft.Caches.persist(
-      und.select(col("a").as("src"), col("b").as("dst"))
-        .union(und.select(col("b").as("src"), col("a").as("dst"))))
+    val sym = symmetrized(edges)
     var dist = graft.Caches.persist(
       seeds.select(col("node")).distinct().withColumn("hops", lit(0L)))
     (1 to rounds).foreach { _ =>
@@ -426,14 +439,7 @@ object Graph {
   def bfsHopsFrontier(edges: DataFrame, seeds: DataFrame,
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, "bfsHopsFrontier needs at least one round")
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val sym = graft.Caches.persist(
-      und.select(col("a").as("src"), col("b").as("dst"))
-        .union(und.select(col("b").as("src"), col("a").as("dst"))))
+    val sym = symmetrized(edges)
     var dist = graft.Caches.persist(
       seeds.select(col("node")).distinct().withColumn("hops", lit(0L)))
     var frontier = dist
@@ -474,20 +480,17 @@ object Graph {
     *
     * @param edges (src, dst); direction ignored, self-loops dropped
     * @param k minimum degree to survive a peel round
-    * @return (node, deg) for nodes alive after `rounds` peels, with
-    *         deg = degree INSIDE the final induced subgraph
+    * @return (node, deg) for nodes with AT LEAST ONE EDGE in the final
+    *         induced subgraph, deg = degree inside it. On a
+    *         non-converged run a node can survive the last peel yet
+    *         end isolated in the induced subgraph — such nodes are
+    *         absent (they cannot be k-core members; one more round
+    *         would drop them), and the mirror drops them identically.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
     require(k >= 1, "kCore needs k >= 1")
     require(rounds >= 1, "kCore needs at least one peel round")
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-    val sym = graft.Caches.persist(
-      und.select(col("a").as("src"), col("b").as("dst"))
-        .union(und.select(col("b").as("src"), col("a").as("dst"))))
+    val sym = symmetrized(edges)
     def inducedDeg(alive: DataFrame): DataFrame = sym
       .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
