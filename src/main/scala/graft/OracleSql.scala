@@ -1709,6 +1709,17 @@ private[graft] object OracleSql {
         |SELECT node AS part, deg FROM f
         |ORDER BY deg DESC, part LIMIT 25""".stripMargin,
 
+    "pii_delete_propagation" ->
+      """WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 17 = 0),
+        |e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE user_id IN (SELECT k FROM del)),
+        |o AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders WHERE o_custkey IN (SELECT k FROM del)),
+        |l AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem
+        |      WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM del)))
+        |SELECT 'events' AS table_name, n AS n_purged FROM e
+        |UNION ALL SELECT 'lineitem', n FROM l
+        |UNION ALL SELECT 'orders', n FROM o
+        |ORDER BY table_name""".stripMargin,
+
     "curate_version_diff" ->
       // arithmetic mirror of the two synthetic releases: v1 = corpus
       // minus the %7 stratum, v2 = minus %3 with the %5 stratum

@@ -2994,6 +2994,35 @@ object SparkEntry {
         ext.Sessions.sessionize(events(s, dir).filter(col("user_id") < 300))
           .filter(col("n_events") >= 2)))),
 
+    "pii_delete_propagation" -> ((s, dir) => {
+      // right-to-be-forgotten propagation — the compliance twin of
+      // pii_redact: one deletion list (the %17 customer stratum)
+      // semi-joined through every user-keyed surface, INCLUDING the
+      // transitive closure (lineitem is reached through the user's
+      // orders, not by a user key it doesn't carry). The deletion
+      // list broadcasts (it is the small side by construction — a
+      // delete batch, never the corpus), so at 100 TB each table pays
+      // one broadcast scan, no shuffle. Output is the per-table purge
+      // audit a compliance run files, as ONE union-of-aggregates plan.
+      val del = tbl(s, dir, "customer")
+        .filter(col("c_custkey") % 17 === 0)
+        .select(col("c_custkey").as("k"))
+      val ev = events(s, dir)
+        .join(broadcast(del), col("user_id") === col("k"), "left_semi")
+      val ords = graft.Caches.persist(tbl(s, dir, "orders")
+        .join(broadcast(del), col("o_custkey") === col("k"), "left_semi"))
+      val li = tbl(s, dir, "lineitem")
+        .join(ords.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+      def purge(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_purged"))
+          .select(lit(name).as("table_name"), col("n_purged"))
+      purge("events", ev)
+        .unionAll(purge("lineitem", li))
+        .unionAll(purge("orders", ords))
+        .orderBy("table_name")
+    }),
+
     "curate_quality_funnel" -> ((s, dir) => {
       // pipeline observability: docs surviving each curation stage —
       // the per-batch funnel a production cleaning job logs. ONE plan
