@@ -1709,6 +1709,22 @@ private[graft] object OracleSql {
         |SELECT node AS part, deg FROM f
         |ORDER BY deg DESC, part LIMIT 25""".stripMargin,
 
+    "quality_expectations" ->
+      """WITH pk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+        |        (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)),
+        |fk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+        |       WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)),
+        |en AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders
+        |       WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW')),
+        |rg AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem WHERE l_discount > 0.05),
+        |nl AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders WHERE o_orderdate IS NULL)
+        |SELECT 'enum_priority_domain' AS check_name, n AS n_violations, n = 0 AS pass FROM en
+        |UNION ALL SELECT 'fk_orders_customer', n, n = 0 FROM fk
+        |UNION ALL SELECT 'not_null_orderdate', n, n = 0 FROM nl
+        |UNION ALL SELECT 'pk_orderkey_unique', n, n = 0 FROM pk
+        |UNION ALL SELECT 'range_discount_le_5pct', n, n = 0 FROM rg
+        |ORDER BY check_name""".stripMargin,
+
     "pii_delete_propagation" ->
       """WITH del AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 17 = 0),
         |e AS (SELECT CAST(count(*) AS BIGINT) AS n FROM events WHERE user_id IN (SELECT k FROM del)),

@@ -2994,6 +2994,39 @@ object SparkEntry {
         ext.Sessions.sessionize(events(s, dir).filter(col("user_id") < 300))
           .filter(col("n_events") >= 2)))),
 
+    "quality_expectations" -> ((s, dir) => {
+      // data-contract validation (the dbt-test / expectations face):
+      // five declarative checks — primary-key uniqueness, referential
+      // integrity, enum domain, value range, null contract — each ONE
+      // aggregate, unioned into a single audit plan a gate alarms on.
+      // The 5%-discount check is deliberately stricter than the data
+      // (violations ARE counted, pass = false) so the audit proves the
+      // counting path, not just a wall of zeros. At 100 TB each check
+      // is one scan (PK uniqueness one hash agg on the key; the FK
+      // check broadcasts the dim side via left_anti).
+      val ords = tbl(s, dir, "orders")
+      val cust = tbl(s, dir, "customer").select(col("c_custkey"))
+      val li = tbl(s, dir, "lineitem")
+      def check(name: String, viol: DataFrame): DataFrame = viol
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"),
+          (col("n_violations") === 0).as("pass"))
+      val pkDup = ords.groupBy("o_orderkey").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1)
+      val fkOrphan = ords.join(broadcast(cust),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      val enumViol = ords.filter(!col("o_orderpriority").isin(
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+      val rangeViol = li.filter(col("l_discount") > 0.05)
+      val nullViol = ords.filter(col("o_orderdate").isNull)
+      check("enum_priority_domain", enumViol)
+        .unionAll(check("fk_orders_customer", fkOrphan))
+        .unionAll(check("not_null_orderdate", nullViol))
+        .unionAll(check("pk_orderkey_unique", pkDup))
+        .unionAll(check("range_discount_le_5pct", rangeViol))
+        .orderBy("check_name")
+    }),
+
     "pii_delete_propagation" -> ((s, dir) => {
       // right-to-be-forgotten propagation — the compliance twin of
       // pii_redact: one deletion list (the %17 customer stratum)
