@@ -1736,6 +1736,145 @@ private[graft] object OracleSql {
         |UNION ALL SELECT 'orders', n FROM o
         |ORDER BY table_name""".stripMargin,
 
+    "pii_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |                  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bb,
+        |                  count(*) AS k
+        |           FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(k) AS BIGINT) AS n_customers, k < 5 AS at_risk
+        |FROM g GROUP BY k ORDER BY k""".stripMargin,
+
+    "pii_dp_release" ->
+      // seeded Laplace by inverse CDF: u from the md5 fold of the cell
+      // key, lap = -sign(u-.5)*ln(1-2*|u-.5|); ln's last ulp is engine-
+      // dependent, pinned by the 3 dp round
+      s"""WITH cells AS (SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS n_true
+        |               FROM customer GROUP BY 1, 2),
+        |n AS (SELECT c_mktsegment, c_nationkey, n_true,
+        |             (CAST(${md5Hash60Sql("concat_ws('|', 'dp-seed', c_mktsegment, c_nationkey)")} % 1000000 AS DOUBLE) + 0.5) / 1000000.0 - 0.5 AS c0
+        |      FROM cells)
+        |SELECT c_mktsegment, c_nationkey, n_true,
+        |       round(-sign(c0) * ln(1.0 - 2.0 * abs(c0)), 3) AS noise,
+        |       round(n_true + (-sign(c0) * ln(1.0 - 2.0 * abs(c0))), 3) AS n_noisy
+        |FROM n ORDER BY c_mktsegment, c_nationkey""".stripMargin,
+
+    "mv_incremental_merge" ->
+      // full recompute — the merged base+delta MV must hash-match this
+      // exactly (integer-cents money keeps the merge associative)
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |       CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_spend,
+        |       CAST(epoch_us(max(o_orderdate)) AS BIGINT) AS last_order_us
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    "zorder_skipping_audit" ->
+      // same magic-number Morton spread as zorder_cluster; files =
+      // top 5 bits (z_file from the 32-bit Morton code, lin_file from
+      // scaled x alone); box = [26214, 39321]² in scaled coords
+      """WITH b AS (SELECT l_partkey AS x, l_suppkey AS y FROM lineitem),
+        |mm AS (SELECT min(x) AS xlo, max(x) AS xhi, min(y) AS ylo, max(y) AS yhi FROM b),
+        |s AS (SELECT CAST(floor(CAST(x - xlo AS DOUBLE) * 65535.0 / CAST(xhi - xlo AS DOUBLE)) AS BIGINT) AS xs,
+        |             CAST(floor(CAST(y - ylo AS DOUBLE) * 65535.0 / CAST(yhi - ylo AS DOUBLE)) AS BIGINT) AS ys
+        |      FROM b, mm),
+        |s1 AS (SELECT xs, ys, (xs | (xs << 8)) & 16711935 AS ax, (ys | (ys << 8)) & 16711935 AS ay FROM s),
+        |s2 AS (SELECT xs, ys, (ax | (ax << 4)) & 252645135 AS ax, (ay | (ay << 4)) & 252645135 AS ay FROM s1),
+        |s3 AS (SELECT xs, ys, (ax | (ax << 2)) & 858993459 AS ax, (ay | (ay << 2)) & 858993459 AS ay FROM s2),
+        |s4 AS (SELECT xs, ys, (ax | (ax << 1)) & 1431655765 AS ax, (ay | (ay << 1)) & 1431655765 AS ay FROM s3),
+        |z AS (SELECT xs, ys, (ax | (ay << 1)) >> 27 AS z_file, xs >> 11 AS lin_file FROM s4),
+        |f AS (SELECT layout, fid,
+        |             CAST(count(*) AS BIGINT) AS n,
+        |             min(xs) AS fxlo, max(xs) AS fxhi, min(ys) AS fylo, max(ys) AS fyhi,
+        |             CAST(sum(CASE WHEN xs BETWEEN 26214 AND 39321 AND ys BETWEEN 26214 AND 39321 THEN 1 ELSE 0 END) AS BIGINT) AS m
+        |      FROM (SELECT xs, ys, 'linear_x' AS layout, lin_file AS fid FROM z
+        |            UNION ALL SELECT xs, ys, 'zorder', z_file FROM z)
+        |      GROUP BY layout, fid),
+        |a AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |             CAST(sum(CASE WHEN fxlo <= 39321 AND fxhi >= 26214 AND fylo <= 39321 AND fyhi >= 26214 THEN 1 ELSE 0 END) AS BIGINT) AS n_files_scanned,
+        |             CAST(sum(CASE WHEN fxlo <= 39321 AND fxhi >= 26214 AND fylo <= 39321 AND fyhi >= 26214 THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+        |             CAST(sum(m) AS BIGINT) AS rows_matching,
+        |             CAST(sum(n) AS BIGINT) AS rows_total
+        |      FROM f GROUP BY layout)
+        |SELECT layout, n_files, n_files_scanned, rows_scanned, rows_matching,
+        |       round(1.0 - CAST(rows_scanned AS DOUBLE) / CAST(rows_total AS DOUBLE), 6) AS skip_frac
+        |FROM a ORDER BY layout""".stripMargin,
+
+    "text_dup_ngram_rate" ->
+      // occurrence-level (NON-distinct) stopword-filtered 3-grams,
+      // hashed by the shared md5 fold; dup = corpus-wide count > 1
+      s"""WITH toks AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t
+        |              FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |occ AS (SELECT source, ${md5Hash60Sql("g")} AS h
+        |        FROM (SELECT source, unnest(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+        |              FROM toks WHERE len(t) >= 3)),
+        |cnt AS (SELECT h, count(*) AS c FROM occ GROUP BY h)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_occurrences,
+        |       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_occurrences,
+        |       round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_rate
+        |FROM occ JOIN cnt USING (h)
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "ml_logreg_gd" ->
+      // unrolled 3-iteration GD mirror of [[graft.ext.LogReg.fit]]:
+      // margin adds left-to-right (b + x1*w1 + x2*w2), rational link
+      // 0.5 + 0.5*t/(1+|t|), every aggregated gradient and every weight
+      // pinned to 6 dp before use — so cross-engine double-sum
+      // association cannot compound across iterations
+      """WITH d AS (SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+        |                  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+        |           FROM lineitem),
+        |p1 AS (SELECT round(avg(e * x1), 6) AS g1, round(avg(e * x2), 6) AS g2, round(avg(e), 6) AS gb
+        |       FROM (SELECT x1, x2, y, (0.0 + x1 * 0.0 + x2 * 0.0) AS t,
+        |                    0.5 + 0.5 * t / (1.0 + abs(t)) - y AS e FROM d)),
+        |w1 AS (SELECT round(0.0 - g1, 6) AS w1, round(0.0 - g2, 6) AS w2, round(0.0 - gb, 6) AS b FROM p1),
+        |p2 AS (SELECT round(avg(e * x1), 6) AS g1, round(avg(e * x2), 6) AS g2, round(avg(e), 6) AS gb,
+        |              round(avg(CASE WHEN (t > 0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 6) AS acc
+        |       FROM (SELECT x1, x2, y, (w.b + x1 * w.w1 + x2 * w.w2) AS t,
+        |                    0.5 + 0.5 * t / (1.0 + abs(t)) - y AS e FROM d, w1 w)),
+        |w2 AS (SELECT round(w.w1 - p.g1, 6) AS w1, round(w.w2 - p.g2, 6) AS w2, round(w.b - p.gb, 6) AS b
+        |       FROM w1 w, p2 p),
+        |p3 AS (SELECT round(avg(e * x1), 6) AS g1, round(avg(e * x2), 6) AS g2, round(avg(e), 6) AS gb,
+        |              round(avg(CASE WHEN (t > 0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 6) AS acc
+        |       FROM (SELECT x1, x2, y, (w.b + x1 * w.w1 + x2 * w.w2) AS t,
+        |                    0.5 + 0.5 * t / (1.0 + abs(t)) - y AS e FROM d, w2 w)),
+        |w3 AS (SELECT round(w.w1 - p.g1, 6) AS w1, round(w.w2 - p.g2, 6) AS w2, round(w.b - p.gb, 6) AS b
+        |       FROM w2 w, p3 p),
+        |p4 AS (SELECT round(avg(CASE WHEN (t > 0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 6) AS acc
+        |       FROM (SELECT y, (w.b + x1 * w.w1 + x2 * w.w2) AS t FROM d, w3 w))
+        |SELECT CAST(1 AS INTEGER) AS iter, w.w1, w.w2, w.b AS bias, p.acc AS train_acc FROM w1 w, p2 p
+        |UNION ALL SELECT 2, w.w1, w.w2, w.b, p.acc FROM w2 w, p3 p
+        |UNION ALL SELECT 3, w.w1, w.w2, w.b, p.acc FROM w3 w, p4 p
+        |ORDER BY iter""".stripMargin,
+
+    "ml_linreg_ols" ->
+      // moment means pinned to 9 dp, then the exact-arithmetic 2×2
+      // solve (lateral aliases mirror LinReg.fit's operation order),
+      // coefficients un-scaled post-pin
+      """WITH d AS (SELECT l_quantity / 50.0 AS x, l_extendedprice / 100000.0 AS y FROM lineitem),
+        |m AS (SELECT round(avg(x), 9) AS sx, round(avg(y), 9) AS sy,
+        |             round(avg(x * x), 9) AS sxx, round(avg(y * y), 9) AS syy,
+        |             round(avg(x * y), 9) AS sxy, CAST(count(*) AS BIGINT) AS n
+        |      FROM d),
+        |c AS (SELECT sxx - sx * sx AS vx, syy - sy * sy AS vy, sxy - sx * sy AS cxy,
+        |             (sxy - sx * sy) / (sxx - sx * sx) AS slope,
+        |             sy - (sxy - sx * sy) / (sxx - sx * sx) * sx AS icept, n
+        |      FROM m)
+        |SELECT round(slope * 2000.0, 6) AS slope, round(icept * 100000.0, 6) AS intercept,
+        |       round((cxy * cxy) / (vx * vy), 6) AS r2, n
+        |FROM c""".stripMargin,
+
+    "feat_hashing_vectors" -> {
+      val sums = (0 until 16).map(i =>
+        s"CAST(sum(CASE WHEN dim = $i THEN sgn ELSE 0 END) AS BIGINT) AS f$i")
+        .mkString(",\n       ")
+      s"""WITH f AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS w
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |v AS (SELECT doc_id, h & 15 AS dim, CASE WHEN (h >> 4) & 1 = 1 THEN -1 ELSE 1 END AS sgn
+        |      FROM (SELECT doc_id, ${md5Hash60Sql("w")} AS h FROM f))
+        |SELECT doc_id,
+        |       $sums
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "curate_version_diff" ->
       // arithmetic mirror of the two synthetic releases: v1 = corpus
       // minus the %7 stratum, v2 = minus %3 with the %5 stratum

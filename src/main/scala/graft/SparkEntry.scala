@@ -3056,6 +3056,224 @@ object SparkEntry {
         .orderBy("table_name")
     }),
 
+    "pii_k_anonymity" -> ((s, dir) => {
+      // k-anonymity audit over a quasi-identifier tuple (nation ×
+      // segment × balance-bucket): group sizes, then the size
+      // distribution with an at-risk flag for k < 5 — the census a
+      // privacy review runs before any record-level release. Two hash
+      // aggregates, the second over |distinct QI| rows; nothing else
+      // moves at any scale.
+      val qi = tbl(s, dir, "customer").select(
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0))
+          .cast(org.apache.spark.sql.types.LongType).as("bal_bucket"))
+      qi.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+        .agg(count(lit(1)).as("k"))
+        .groupBy("k")
+        .agg(count(lit(1)).as("n_groups"), sum("k").as("n_customers"))
+        .withColumn("at_risk", col("k") < 5)
+        .orderBy("k")
+    }),
+
+    "pii_dp_release" -> ((s, dir) => {
+      // differential-privacy-STYLE noisy count release with seeded
+      // noise: Laplace(1/ε) drawn by inverse-CDF from a uniform that is
+      // an md5 fold of the cell key — deterministic on purpose, so the
+      // release is replayable and oracle-checkable (this is the VERIFY
+      // face; a production release swaps the hash-seed uniform for real
+      // randomness and drops n_true/noise from the output). One
+      // aggregate to the ~|segments×nations| cells, then pure per-cell
+      // arithmetic; `ln` is last-ulp-engine-dependent, pinned by the
+      // 3 dp round (established events_anomaly_zscore pattern).
+      val cells = tbl(s, dir, "customer")
+        .groupBy("c_mktsegment", "c_nationkey")
+        .agg(count(lit(1)).as("n_true"))
+      val h = Dedup.md5Hash60(concat_ws("|",
+        lit("dp-seed"), col("c_mktsegment"), col("c_nationkey")))
+      val u = ((h % 1000000L).cast("double") + lit(0.5)) / lit(1000000.0)
+      val c0 = u - lit(0.5)
+      val lap = -signum(c0) * log(lit(1.0) - lit(2.0) * abs(c0))
+      cells
+        .withColumn("noise", round(lap, 3))
+        .withColumn("n_noisy", round(col("n_true") + lap, 3))
+        .orderBy("c_mktsegment", "c_nationkey")
+    }),
+
+    "mv_incremental_merge" -> ((s, dir) => {
+      // incremental materialized-view maintenance: a per-customer order
+      // summary kept as MERGEABLE partial aggregates (count/sum/max all
+      // re-aggregate associatively), refreshed by aggregating ONLY the
+      // delta batch and merging — the oracle recomputes from the full
+      // table, so the gate IS the merge == recompute proof. Money is
+      // summed as exact integer cents (floor(x*100+0.5): IEEE-exact
+      // double ops, then BIGINT addition) — associativity of the merge
+      // is arithmetic fact, not float luck. At 100 TB the refresh cost
+      // is ∝ delta + |keys|, never the corpus.
+      val o = tbl(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderdate"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+          .cast(org.apache.spark.sql.types.LongType).as("cents"))
+      def partial(df: DataFrame): DataFrame = df
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"),
+          max("o_orderdate").as("last_ts"))
+      val base = partial(o.filter(col("o_orderdate") < lit("1997-01-01")))
+      val delta = partial(o.filter(col("o_orderdate") >= lit("1997-01-01")))
+      base.unionAll(delta)
+        .groupBy("o_custkey")
+        .agg(sum("n_orders").as("n_orders"), sum("cents").as("cents"),
+          max("last_ts").as("last_ts"))
+        .select(col("o_custkey"), col("n_orders"),
+          (col("cents").cast("double") / lit(100.0)).as("total_spend"),
+          unix_micros(col("last_ts").cast("timestamp")).as("last_order_us"))
+        .orderBy("o_custkey")
+    }),
+
+    "zorder_skipping_audit" -> ((s, dir) => {
+      // quantifies WHY the z-ordered write exists (zorder_cluster shows
+      // the layout; this shows the payoff): simulate 32-file layouts —
+      // linear (range-partitioned on x alone, top 5 bits of scaled x)
+      // vs z-order (top 5 Morton bits) — and count how many files'
+      // min/max bounding boxes a 2-D box predicate must scan. Per-file
+      // stats ARE what parquet footer pruning sees, so files_scanned /
+      // rows_scanned is the real I/O a reader pays. One scan builds
+      // both file assignments (pure arithmetic, no sort/window), one
+      // hash agg per layout over the persisted 4-col frame.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      val r = li.agg(
+        min("x").cast("long"), max("x").cast("long"),
+        min("y").cast("long"), max("y").cast("long")).head()
+      val (xlo, xhi, ylo, yhi) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      import graft.ext.ZOrder
+      val scaled = graft.Caches.persist(li.select(
+          ZOrder.scale16(col("x"), xlo, xhi).as("xs"),
+          ZOrder.scale16(col("y"), ylo, yhi).as("ys"))
+        .withColumn("z_file",
+          shiftright(ZOrder.morton2(col("xs"), col("ys")), 27))
+        .withColumn("lin_file", shiftright(col("xs"), 11)))
+      // query box: the middle 20% of each scaled dimension
+      val (bLo, bHi) = (26214L, 39321L)
+      val inBox = col("xs").between(bLo, bHi) && col("ys").between(bLo, bHi)
+      def audit(name: String, fileCol: String): DataFrame = scaled
+        .groupBy(col(fileCol).as("f"))
+        .agg(count(lit(1)).as("n"),
+          min("xs").as("fxlo"), max("xs").as("fxhi"),
+          min("ys").as("fylo"), max("ys").as("fyhi"),
+          sum(when(inBox, 1L).otherwise(0L)).as("m"))
+        .withColumn("hit",
+          col("fxlo") <= bHi && col("fxhi") >= bLo &&
+            col("fylo") <= bHi && col("fyhi") >= bLo)
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_files_scanned"),
+          sum(when(col("hit"), col("n")).otherwise(0L)).as("rows_scanned"),
+          sum("m").as("rows_matching"), sum("n").as("rows_total"))
+        .select(lit(name).as("layout"), col("n_files"),
+          col("n_files_scanned"), col("rows_scanned"), col("rows_matching"),
+          round(lit(1.0) - col("rows_scanned").cast("double") /
+            col("rows_total").cast("double"), 6).as("skip_frac"))
+      audit("linear_x", "lin_file")
+        .unionAll(audit("zorder", "z_file"))
+        .orderBy("layout")
+    }),
+
+    "text_dup_ngram_rate" -> ((s, dir) => {
+      // corpus-health metric per Lee et al. 2022 (arXiv:2107.06499,
+      // "Deduplicating Training Data Makes Language Models Better"):
+      // the fraction of 3-gram OCCURRENCES that are corpus-wide
+      // duplicates, reported per source — the occurrence-level
+      // complement of dedup_span_chunks' per-doc view. Shingles are
+      // hashed to 60-bit longs at assembly (the shared md5 fold), so
+      // the global count aggregate and the count-back join move 8-byte
+      // keys; both are map-side-combined hash shuffles on the hash.
+      val toks = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("pos", "w")))
+        .filter(length(col("w")) > 0 &&
+          !col("w").isin(graft.text.Stopwords.alphaOnly: _*))
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+      val occ = toks
+        .withColumn("w1", lead("w", 1).over(win))
+        .withColumn("w2", lead("w", 2).over(win))
+        .filter(col("w2").isNotNull)
+        .select(col("source"),
+          Dedup.md5Hash60(concat_ws(" ", col("w"), col("w1"), col("w2")))
+            .as("h"))
+      val counts = occ.groupBy("h").agg(count(lit(1)).as("cnt"))
+      occ.join(counts, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_occurrences"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup_occurrences"))
+        .withColumn("dup_rate",
+          round(col("n_dup_occurrences").cast("double") /
+            col("n_occurrences").cast("double"), 6))
+        .orderBy("source")
+    }),
+
+    "ml_logreg_gd" -> ((s, dir) => {
+      // distributed TRAINING (quality_classifier is scoring-only):
+      // 3 full-batch gradient-descent iterations of a linear classifier
+      // predicting returnflag='R' from scaled quantity/discount. Each
+      // iteration is ONE map-side-combined aggregate (gradient +
+      // accuracy share the scan; the driver holds d+2 doubles — the S4
+      // pattern), so cluster cost is iters+1 scans regardless of N.
+      // Determinism contract in [[graft.ext.LogReg]]: rational link
+      // (no exp), 6 dp operand pinning per iteration.
+      val d = tbl(s, dir, "lineitem").select(
+        (col("l_quantity") / lit(50.0)).as("x1"),
+        (col("l_discount") * lit(10.0)).as("x2"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      val steps = graft.ext.LogReg.fit(
+        d, Seq(col("x1"), col("x2")), col("y"), lr = 1.0, iters = 3)
+      import s.implicits._
+      steps.map(st => (st.iter, st.weights(0), st.weights(1), st.bias,
+          st.accuracy))
+        .toDF("iter", "w1", "w2", "bias", "train_acc")
+        .orderBy("iter")
+    }),
+
+    "ml_linreg_ols" -> ((s, dir) => {
+      // closed-form OLS (normal equations) — the ONE-PASS complement of
+      // ml_logreg_gd's iterative fit: a single map-side-combined
+      // aggregate collects five moment means, the driver solves 2×2 on
+      // five pinned doubles (S4), coefficients are un-scaled back to
+      // original units post-pin (exact multiplies). extendedprice vs
+      // quantity is the strongly-linear pair, so r² is meaningfully
+      // high, not decoration. Determinism: [[graft.ext.LinReg]].
+      val f = graft.ext.LinReg.fit(
+        tbl(s, dir, "lineitem").select(
+          (col("l_quantity") / lit(50.0)).as("x"),
+          (col("l_extendedprice") / lit(100000.0)).as("y")),
+        col("x"), col("y"))
+      def r6(x: Double): Double =
+        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      Seq((r6(f.slope * 2000.0), r6(f.intercept * 100000.0), r6(f.r2), f.n))
+        .toDF("slope", "intercept", "r2", "n")
+    }),
+
+    "feat_hashing_vectors" -> ((s, dir) => {
+      // the hashing trick (Weinberger et al. ICML'09): fixed 16-dim
+      // signed token-count featurization — the bridge from raw text to
+      // the ml_* trainers with NO vocabulary table to build, ship, or
+      // keep consistent (the property that matters at 100 TB: the
+      // feature space is a pure function of the token bytes). dim =
+      // low 4 bits of the shared md5 fold, sign = bit 4 (the debiasing
+      // sign hash). One posexplode + ONE hash aggregate with 16
+      // codegen'd conditional sums — the vector never exists as rows.
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(TextAnalysis.rawTokens(col("text"))).as("w"))
+      val h = Dedup.md5Hash60(col("w"))
+      val v = toks.select(col("doc_id"),
+        h.bitwiseAND(lit(15L)).as("dim"),
+        when(shiftright(h, 4).bitwiseAND(lit(1L)) === 1L, -1L).otherwise(1L)
+          .as("sgn"))
+      val sums = (0 until 16).map(i =>
+        sum(when(col("dim") === i, col("sgn")).otherwise(0L)).as(s"f$i"))
+      v.groupBy("doc_id").agg(sums.head, sums.tail: _*).orderBy("doc_id")
+    }),
+
     "curate_quality_funnel" -> ((s, dir) => {
       // pipeline observability: docs surviving each curation stage —
       // the per-batch funnel a production cleaning job logs. ONE plan
