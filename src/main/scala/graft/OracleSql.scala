@@ -1508,6 +1508,32 @@ private[graft] object OracleSql {
         |       round(3.0 * t / w, 6) AS clustering
         |FROM tri CROSS JOIN w""".stripMargin,
 
+    "graph_link_prediction" ->
+      // repeat co-purchase edges (pair count ≥ 2), candidates only via
+      // wedge centers with deg ≤ 64, existing edges anti-joined out,
+      // common neighbors counted over the FULL adjacency — exact
+      // integer arithmetic everywhere; ties broken by (a, b)
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e AS (SELECT a.pk AS a, b.pk AS b
+        |      FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY node),
+        |cen AS (SELECT s.node, s.nbr FROM sym s JOIN deg USING (node) WHERE d <= 64),
+        |cand AS (SELECT DISTINCT x.nbr AS a, y.nbr AS b
+        |         FROM cen x JOIN cen y ON x.node = y.node AND x.nbr < y.nbr),
+        |non AS (SELECT a, b FROM cand c
+        |        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = c.a AND e.b = c.b)),
+        |cn AS (SELECT n.a, n.b, CAST(count(*) AS BIGINT) AS c
+        |       FROM non n
+        |       JOIN sym sa ON sa.node = n.a
+        |       JOIN sym sb ON sb.node = n.b AND sb.nbr = sa.nbr
+        |       GROUP BY 1, 2)
+        |SELECT cn.a, cn.b, c AS common_neighbors, da.d AS deg_a, db.d AS deg_b,
+        |       round(CAST(c AS DOUBLE) / (da.d + db.d - c), 6) AS jaccard
+        |FROM cn JOIN deg da ON da.node = cn.a JOIN deg db ON db.node = cn.b
+        |ORDER BY jaccard DESC, cn.a, cn.b LIMIT 20""".stripMargin,
+
     "graph_ppr" ->
       // mirrors Graph.personalizedPageRank operand-for-operand:
       // weighted symmetric edges, integer weighted degrees, teleport

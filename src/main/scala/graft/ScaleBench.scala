@@ -185,7 +185,13 @@ object ScaleBench {
     // relaxation (one edges⋈dist join ∝ E per round; brands are kept
     // verbatim by the synth, so the seed set grows ∝ factor with the
     // disjoint replicas, exactly the scale axis the query claims)
-    "graph_kcore", "graph_bfs_hops")
+    "graph_kcore", "graph_bfs_hops",
+    // r11 addition (third session): occurrence-level dup-rate — the
+    // suffixed replicas grow shingle OCCURRENCES ∝ factor while the
+    // count-back join's build side (distinct shingles) also grows
+    // ∝ factor; the ratio tests that both map-side-combined hash aggs
+    // stay linear with no pair-shaped blowup anywhere
+    "text_dup_ngram_rate")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -3193,13 +3193,16 @@ object SparkEntry {
         .filter(length(col("w")) > 0 &&
           !col("w").isin(graft.text.Stopwords.alphaOnly: _*))
       val win = Window.partitionBy("doc_id").orderBy("pos")
-      val occ = toks
+      // persisted: occ feeds BOTH the global count agg and the
+      // count-back join — without it the tokenize+window chain runs
+      // twice (caught in the plan audit)
+      val occ = graft.Caches.persist(toks
         .withColumn("w1", lead("w", 1).over(win))
         .withColumn("w2", lead("w", 2).over(win))
         .filter(col("w2").isNotNull)
         .select(col("source"),
           Dedup.md5Hash60(concat_ws(" ", col("w"), col("w1"), col("w2")))
-            .as("h"))
+            .as("h")))
       val counts = occ.groupBy("h").agg(count(lit(1)).as("cnt"))
       occ.join(counts, "h")
         .groupBy("source")
@@ -3629,6 +3632,23 @@ object SparkEntry {
       // mirror in the trivially-reviewable id-ordered form. Edges come
       // from the shared co-purchase memo (one build serves all graph_*).
       Graph.triangleCensus(copurchaseEdgesMemo(s, dir))
+    }),
+
+    "graph_link_prediction" -> ((s, dir) => {
+      // neighbor-Jaccard link prediction (ext/Graph.linkPrediction)
+      // over the REPEAT co-purchase graph (memo pairs with w ≥ 2 —
+      // the signal edges; the unthresholded graph is near-complete at
+      // every SF, where common-neighbor scores are all noise): which
+      // part pairs are NOT yet repeat-co-purchased but share the most
+      // repeat-co-purchase neighbors — the "bundle these next"
+      // recommendation. Candidates only through degree-≤64 wedge
+      // centers (bounded fan-out, the dedup candidates-from-bounded-
+      // structures rule); scores from full neighbor arrays, so the cap
+      // never biases a surviving pair's score.
+      Graph.linkPrediction(
+        copurchaseEdgesMemo(s, dir).filter(col("w") >= 2)
+          .select("src", "dst"),
+        maxCenterDeg = 64, topK = 20)
     }),
 
     "graph_ppr" -> ((s, dir) => {

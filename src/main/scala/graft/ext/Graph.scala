@@ -588,6 +588,62 @@ object Graph {
     * @param edges (src, dst); direction ignored, self-loops dropped
     * @return one row: (n_triangles, n_wedges, clustering 6dp)
     */
+  /** Neighbor-Jaccard link prediction (Liben-Nowell & Kleinberg CIKM'03
+    * common-neighbors family): for node pairs NOT currently adjacent,
+    * score = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, top-k by score. The "which
+    * products should be bundled next" / "which near-dup clusters are
+    * about to merge" face of the graph family.
+    *
+    * Scale design — candidates from a BOUNDED structure, the dedup
+    * family's rule: candidate pairs are generated ONLY through wedge
+    * centers with degree ≤ `maxCenterDeg`, so the self-join fan-out is
+    * ≤ cap·E rows regardless of hub size (hubs contribute weak
+    * common-neighbor evidence anyway — skipping them as centers is the
+    * standard LP blocking move, same shape as the df-capped posting
+    * joins in [[Dedup]]). Scoring then intersects the FULL neighbor
+    * arrays of the two endpoints (`array_intersect` in-task, linear in
+    * array sizes), so the cap never biases a surviving pair's score,
+    * only which pairs become candidates.
+    *
+    * @param edges (src, dst); direction ignored, self-loops dropped
+    * @return top-k (a, b, common_neighbors, deg_a, deg_b, jaccard 6dp)
+    *         by (jaccard desc, a, b)
+    */
+  def linkPrediction(edges: DataFrame, maxCenterDeg: Int = 64,
+      topK: Int = 20): DataFrame = {
+    val und = graft.Caches.persist(edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    val sym = graft.Caches.persist(
+      und.select(col("a").as("node"), col("b").as("nbr"))
+        .unionAll(und.select(col("b").as("node"), col("a").as("nbr"))))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg"))
+    // wedge enumeration through bounded centers only
+    val cen = graft.Caches.persist(sym
+      .join(deg.filter(col("deg") <= maxCenterDeg).select("node"), Seq("node")))
+    val cand = cen.as("x").join(cen.as("y"), "node")
+      .filter(col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("a"), col("y.nbr").as("b"))
+      .distinct()
+    val non = cand.join(und, Seq("a", "b"), "left_anti")
+    val nbrs = graft.Caches.persist(
+      sym.groupBy("node").agg(collect_list("nbr").as("ns")))
+    non
+      .join(nbrs.select(col("node").as("a"), col("ns").as("na")), Seq("a"))
+      .join(nbrs.select(col("node").as("b"), col("ns").as("nb")), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("na"), col("nb"))).cast("long")
+          .as("common_neighbors"),
+        size(col("na")).cast("long").as("deg_a"),
+        size(col("nb")).cast("long").as("deg_b"))
+      .withColumn("jaccard", round(col("common_neighbors").cast("double") /
+        (col("deg_a") + col("deg_b") - col("common_neighbors")), 6))
+      .orderBy(col("jaccard").desc, col("a"), col("b"))
+      .limit(topK)
+  }
+
   def triangleCensus(edges: DataFrame): DataFrame = {
     // und holds each undirected edge ONCE (id-ordered) — the graph is
     // never symmetrized into a 2m-row table (r10 VERDICT #2 rework:
