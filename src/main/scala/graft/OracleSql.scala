@@ -3086,6 +3086,31 @@ private[graft] object OracleSql {
         |       round(CAST(sb AS DOUBLE) / (w * h), 6) AS mean_b
         |FROM m ORDER BY media_id""".stripMargin,
 
+    "multimodal_phash_dedup" ->
+      // pixel-formula mirror of encodePpm + averageHash(grid=2): gray =
+      // Σ_c channel bytes (each mod-256'd separately), block index by
+      // integer division, bit = cross-multiplied block-vs-global mean —
+      // integer arithmetic end to end
+      """WITH d AS (SELECT doc_id AS media_id,
+        |                  CAST(3 + doc_id % 14 AS BIGINT) AS w,
+        |                  CAST(2 + doc_id % 9 AS BIGINT) AS h
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |px AS (SELECT media_id, w, h, i % w AS x, i // w AS y,
+        |              (media_id * 5 + (i // w) * 17 + (i % w) * 7) % 256
+        |            + (media_id * 5 + (i // w) * 17 + (i % w) * 7 + 29) % 256
+        |            + (media_id * 5 + (i // w) * 17 + (i % w) * 7 + 58) % 256 AS g
+        |       FROM (SELECT media_id, w, h, unnest(range(0, w * h)) AS i FROM d)),
+        |bl AS (SELECT media_id, (y * 2 // h) * 2 + (x * 2 // w) AS b,
+        |              sum(g) AS bs, count(*) AS bc
+        |       FROM px GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(g) AS ts, count(*) AS tc FROM px GROUP BY 1),
+        |bits AS (SELECT bl.media_id,
+        |                sum(CASE WHEN bs * tc > ts * bc THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS phash
+        |         FROM bl JOIN tot USING (media_id) GROUP BY 1)
+        |SELECT CAST(phash AS BIGINT) AS phash, CAST(count(*) AS BIGINT) AS n_media,
+        |       min(media_id) AS keeper_media_id
+        |FROM bits GROUP BY phash ORDER BY phash""".stripMargin,
+
     "multimodal_byte_stats" ->
       """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
         |SELECT media_id,

@@ -3377,6 +3377,18 @@ object SparkEntry {
         .withColumn("mean_b", round(col("mean_b"), 6))
         .orderBy("media_id")),
 
+    "multimodal_phash_dedup" -> ((s, dir) =>
+      // image near-dup via the average perceptual hash — the image
+      // twin of dedup_simhash: decode (real PPM codec work per
+      // partition), integer-only 2×2 aHash (cross-multiplied block-
+      // vs-global mean, no float thresholds), then ONE hash agg into
+      // near-dup buckets. At 100 TB the decode is embarrassingly
+      // parallel and the shuffle carries (media_id, 4-bit hash) only.
+      Multimodal.averageHash(Multimodal.ppmTable(docs(s, dir)), grid = 2)
+        .groupBy("phash")
+        .agg(count(lit(1)).as("n_media"), min("media_id").as("keeper_media_id"))
+        .orderBy("phash")),
+
     "multimodal_byte_stats" -> ((s, dir) =>
       // text-modality member: byte stats straight off the binary column
       // via the codegen byte_mean kernel — no decode, no interpreted HOF

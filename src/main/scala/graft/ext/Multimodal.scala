@@ -166,6 +166,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual average-hash output. */
+  val hashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("phash", LongType)))
+
+  /** Average hash (the classic aHash perceptual fingerprint): decode,
+    * gray = r+g+b per pixel (kept as an exact integer — no luma
+    * weights, no division), partition the raster into a grid×grid
+    * block lattice, bit b = 1 iff that block's mean gray EXCEEDS the
+    * image mean. The comparison is cross-multiplied
+    * (blockSum·totalCount > totalSum·blockCount) so the whole hash is
+    * integer arithmetic end to end — bit-identical in any engine, no
+    * float thresholds. Images that differ by small noise land in the
+    * same bucket; a grid² hash is the image twin of SimHash's banded
+    * lattice. Per-partition decode, one Row out per media row.
+    */
+  def averageHash(media: DataFrame, grid: Int = 2): DataFrame = {
+    require(grid >= 1 && grid <= 8, "grid in [1,8] — phash fits a long")
+    val enc = Encoders.row(hashSchema)
+    media.select(col("media_id"), col("payload"), col("meta.mime")).mapPartitions { rows =>
+      rows.map { r =>
+        val raster = decodeRaster(r.getString(2), r.getAs[Array[Byte]](1))
+        val w = raster.width; val h = raster.height
+        val bs = new Array[Long](grid * grid)
+        val bc = new Array[Long](grid * grid)
+        var ts = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val g = raster.channel(x, y, 0) + raster.channel(x, y, 1) +
+              raster.channel(x, y, 2)
+            val b = (y * grid / h) * grid + (x * grid / w)
+            bs(b) += g; bc(b) += 1; ts += g
+            x += 1
+          }
+          y += 1
+        }
+        val tc = w.toLong * h
+        var phash = 0L
+        var b = 0
+        while (b < grid * grid) {
+          if (bs(b) * tc > ts * bc(b)) phash |= 1L << b
+          b += 1
+        }
+        Row(r.getLong(0), w, h, phash)
+      }
+    }(enc)
+  }
+
   /** PCM stream stats: RIFF chunk walk, 16-bit sample decode, RMS/peak. */
   def extractAudioFeatures(media: DataFrame): DataFrame = {
     val enc = Encoders.row(audioFeatureSchema)

@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class PhashSpec extends SparkSpec {
+
+  /** Test-local naive re-derivation of the 2×2 average hash straight
+    * from the fixture formula — independent of the codec + Raster path
+    * the engine uses.
+    */
+  private def naiveHash(id: Long): Long = {
+    val w = MediaCodecs.ppmWidth(id); val h = MediaCodecs.ppmHeight(id)
+    val bs = new Array[Long](4); val bc = new Array[Long](4)
+    var ts = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (0 until 3).map(c => MediaCodecs.ppmChannel(id, x, y, c)).sum
+      val b = (y * 2 / h) * 2 + (x * 2 / w)
+      bs(b) += g; bc(b) += 1; ts += g
+    }
+    (0 until 4).map(b => if (bs(b) * w * h > ts * bc(b)) 1L << b else 0L).sum
+  }
+
+  test("decoded-path hash equals the formula-path hash for 40 media ids") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val got = Multimodal.averageHash(Multimodal.ppmTable(docs), grid = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    (0L until 40L).foreach { id =>
+      assert(got(id) == naiveHash(id), s"media $id")
+    }
+  }
+
+  test("grid=1 hashes everything to 0 (a block never exceeds its own mean)") {
+    import spark.implicits._
+    val docs = (0L until 10L).map(i => (i, "s")).toDF("doc_id", "source")
+    val hashes = Multimodal.averageHash(Multimodal.ppmTable(docs), grid = 1)
+      .collect().map(_.getLong(3)).toSet
+    assert(hashes == Set(0L))
+  }
+}
