@@ -1762,6 +1762,42 @@ private[graft] object OracleSql {
         |UNION ALL SELECT 'orders', n FROM o
         |ORDER BY table_name""".stripMargin,
 
+    "curate_dataset_fingerprint" ->
+      s"""WITH d AS (SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |rh AS (SELECT doc_id, ${md5Hash60Sql("concat_ws('|', doc_id, text)")} & 1048575 AS rh FROM d),
+        |q AS (SELECT doc_id,
+        |             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+        |             CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) > 0
+        |                  THEN CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0), w -> w IN $stopSql)) AS DOUBLE) / len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0))
+        |                  ELSE 0 END AS stopword_ratio
+        |      FROM d),
+        |s1 AS (SELECT doc_id FROM q WHERE n_tokens >= 20 AND stopword_ratio < 0.5),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+        |         CAST((SELECT count(*) FROM rh) AS BIGINT) AS n_rows,
+        |         CAST((SELECT sum(rh) FROM rh) AS BIGINT) AS fingerprint
+        |  UNION ALL SELECT 2, 'quality_gate',
+        |         (SELECT count(*) FROM rh WHERE doc_id IN (SELECT doc_id FROM s1)),
+        |         (SELECT CAST(sum(rh) AS BIGINT) FROM rh WHERE doc_id IN (SELECT doc_id FROM s1))
+        |  UNION ALL SELECT 3, 'exact_keepers',
+        |         (SELECT count(*) FROM rh WHERE doc_id IN (SELECT doc_id FROM keepers)),
+        |         (SELECT CAST(sum(rh) AS BIGINT) FROM rh WHERE doc_id IN (SELECT doc_id FROM keepers)))
+        |ORDER BY stage""".stripMargin,
+
+    "tok_vocab_coverage" ->
+      s"""WITH toks AS (SELECT source, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t
+        |              FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |flat AS (SELECT source, unnest(t) AS word FROM toks),
+        |v AS (SELECT word FROM (SELECT word, count(*) AS c FROM flat GROUP BY word
+        |                        ORDER BY c DESC, word LIMIT 1000)),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM flat GROUP BY source),
+        |iv AS (SELECT source, CAST(count(*) AS BIGINT) AS in_vocab
+        |       FROM flat WHERE word IN (SELECT word FROM v) GROUP BY source)
+        |SELECT source, n_tokens, in_vocab,
+        |       round(1.0 - CAST(in_vocab AS DOUBLE) / n_tokens, 6) AS oov_rate
+        |FROM tot JOIN iv USING (source) ORDER BY source""".stripMargin,
+
     "pii_k_anonymity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,
         |                  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bb,

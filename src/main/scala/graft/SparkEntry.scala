@@ -3056,6 +3056,57 @@ object SparkEntry {
         .orderBy("table_name")
     }),
 
+    "curate_dataset_fingerprint" -> ((s, dir) => {
+      // content-addressed dataset versioning: per pipeline stage an
+      // ORDER-INDEPENDENT fingerprint = Σ of per-row 20-bit md5 folds
+      // (associative/commutative BIGINT addition — partition layout,
+      // shuffle order, and file split can never change it; 20-bit rows
+      // keep the sum < 2⁶³ out to ~10¹² rows). The provenance face: a
+      // downstream consumer re-derives the fingerprint and knows
+      // whether upstream REALLY changed without diffing any rows.
+      val d0 = docs(s, dir)
+      val rh = graft.Caches.persist(d0.select(col("doc_id"),
+        Dedup.md5Hash60(concat_ws("|", col("doc_id"), col("text")))
+          .bitwiseAND(lit(1048575L)).as("rh")))
+      val qual = TextAnalysis.qualityMetrics(d0)
+        .filter(col("n_tokens") >= 20 && col("stopword_ratio") < 0.5)
+        .select("doc_id")
+      val keep = Dedup.exactGroups(d0).select(col("keeper_doc_id").as("doc_id"))
+      def fp(n: Long, name: String, ids: Option[DataFrame]): DataFrame = {
+        val base = ids.map(i => rh.join(i, Seq("doc_id"), "left_semi"))
+          .getOrElse(rh)
+        base.agg(count(lit(1)).as("n_rows"), sum("rh").as("fingerprint"))
+          .select(lit(n).as("stage"), lit(name).as("stage_name"),
+            col("n_rows"), col("fingerprint"))
+      }
+      fp(1, "raw", None)
+        .unionAll(fp(2, "quality_gate", Some(qual)))
+        .unionAll(fp(3, "exact_keepers", Some(keep)))
+        .orderBy("stage")
+    }),
+
+    "tok_vocab_coverage" -> ((s, dir) => {
+      // tokenizer planning: out-of-vocabulary rate per source against
+      // the corpus top-1000 vocabulary (count desc, word tie-break —
+      // fully deterministic). The flat token stream is persisted (it
+      // feeds the vocab top-k, the per-source totals, AND the coverage
+      // semi-join); the vocab is a bounded top-k (TakeOrdered, never a
+      // global sort) and broadcasts into the semi-join, so at 100 TB
+      // the corpus is scanned once and nothing wider than (source,
+      // word) ever shuffles.
+      val flat = graft.Caches.persist(docs(s, dir).select(col("source"),
+        explode(Tokenizer.tokensCol(col("text"), stem = false)).as("word")))
+      val vocab = flat.groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(1000).select("word")
+      val tot = flat.groupBy("source").agg(count(lit(1)).as("n_tokens"))
+      val inv = flat.join(broadcast(vocab), Seq("word"), "left_semi")
+        .groupBy("source").agg(count(lit(1)).as("in_vocab"))
+      tot.join(inv, Seq("source"))
+        .withColumn("oov_rate", round(lit(1.0) -
+          col("in_vocab").cast("double") / col("n_tokens"), 6))
+        .orderBy("source")
+    }),
+
     "pii_k_anonymity" -> ((s, dir) => {
       // k-anonymity audit over a quasi-identifier tuple (nation ×
       // segment × balance-bucket): group sizes, then the size
