@@ -1911,7 +1911,7 @@ private[graft] object OracleSql {
       // moment means pinned to 9 dp, then the exact-arithmetic 2×2
       // solve (lateral aliases mirror LinReg.fit's operation order),
       // coefficients un-scaled post-pin
-      """WITH d AS (SELECT l_quantity / 50.0 AS x, l_extendedprice / 100000.0 AS y FROM lineitem),
+      """WITH d AS (SELECT l_extendedprice / 100000.0 AS x, l_extendedprice * (1.0 - l_discount) / 100000.0 AS y FROM lineitem),
         |m AS (SELECT round(avg(x), 9) AS sx, round(avg(y), 9) AS sy,
         |             round(avg(x * x), 9) AS sxx, round(avg(y * y), 9) AS syy,
         |             round(avg(x * y), 9) AS sxy, CAST(count(*) AS BIGINT) AS n
@@ -1920,9 +1920,53 @@ private[graft] object OracleSql {
         |             (sxy - sx * sy) / (sxx - sx * sx) AS slope,
         |             sy - (sxy - sx * sy) / (sxx - sx * sx) * sx AS icept, n
         |      FROM m)
-        |SELECT round(slope * 2000.0, 6) AS slope, round(icept * 100000.0, 6) AS intercept,
+        |SELECT round(slope, 6) AS slope, round(icept * 100000.0, 6) AS intercept,
         |       round((cxy * cxy) / (vx * vy), 6) AS r2, n
         |FROM c""".stripMargin,
+
+    "ml_kfold_cv" -> {
+      // mirrors LinReg.kfoldCv: per-fold leave-one-out CONDITIONAL
+      // sums pinned at 4 dp (never total-minus-fold arithmetic), exact
+      // 2×2 solve per fold, every row scored against its own fold's
+      // model via CASE, mse pinned at 6 dp
+      val sums = (0 until 5).flatMap(f => Seq(
+        s"round(sum(CASE WHEN fold <> $f THEN x END), 4) AS sx$f",
+        s"round(sum(CASE WHEN fold <> $f THEN y END), 4) AS sy$f",
+        s"round(sum(CASE WHEN fold <> $f THEN x * x END), 4) AS sxx$f",
+        s"round(sum(CASE WHEN fold <> $f THEN x * y END), 4) AS sxy$f",
+        s"CAST(count(CASE WHEN fold <> $f THEN 1 END) AS DOUBLE) AS n$f",
+        s"CAST(count(CASE WHEN fold = $f THEN 1 END) AS BIGINT) AS m$f"))
+        .mkString(",\n        |            ").stripMargin
+      val mom = (0 until 5).map(f =>
+        s"sx$f / n$f AS mx$f, sy$f / n$f AS my$f, " +
+          s"sxx$f / n$f - (sx$f / n$f) * (sx$f / n$f) AS vx$f, " +
+          s"sxy$f / n$f - (sx$f / n$f) * (sy$f / n$f) AS cxy$f")
+        .mkString(", ")
+      val mod = (0 until 5).map(f =>
+        s"cxy$f / vx$f AS slope$f, my$f - (cxy$f / vx$f) * mx$f AS icept$f")
+        .mkString(", ")
+      val slopeCase = (0 until 5).map(f => s"WHEN $f THEN slope$f").mkString(" ")
+      val iceptCase = (0 until 5).map(f => s"WHEN $f THEN icept$f").mkString(" ")
+      val outRows = (0 until 5).map(f =>
+        s"SELECT CAST($f AS INTEGER) AS fold, m$f AS n_test, " +
+          s"round(slope$f, 6) AS slope, " +
+          s"round(icept$f * 100000.0, 6) AS intercept, " +
+          s"(SELECT test_mse FROM t WHERE fold = $f) AS test_mse " +
+          "FROM mod2").mkString("\n        |  UNION ALL ")
+      s"""WITH d AS (SELECT l_extendedprice / 100000.0 AS x, l_extendedprice * (1.0 - l_discount) / 100000.0 AS y,
+        |                  ${md5Hash60Sql("concat_ws('|', l_orderkey, l_linenumber)")} % 5 AS fold
+        |           FROM lineitem),
+        |agg AS (SELECT $sums
+        |        FROM d),
+        |mom AS (SELECT *, $mom FROM agg),
+        |mod2 AS (SELECT *, $mod FROM mom),
+        |r AS (SELECT d.fold, d.y - ((CASE d.fold $slopeCase END) * d.x + (CASE d.fold $iceptCase END)) AS r
+        |      FROM d CROSS JOIN mod2),
+        |t AS (SELECT fold, round(avg(r * r), 6) AS test_mse FROM r GROUP BY fold)
+        |SELECT * FROM (
+        |  $outRows)
+        |ORDER BY fold""".stripMargin
+    },
 
     "feat_hashing_vectors" -> {
       val sums = (0 until 16).map(i =>

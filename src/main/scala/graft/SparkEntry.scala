@@ -3291,20 +3291,52 @@ object SparkEntry {
       // closed-form OLS (normal equations) — the ONE-PASS complement of
       // ml_logreg_gd's iterative fit: a single map-side-combined
       // aggregate collects five moment means, the driver solves 2×2 on
-      // five pinned doubles (S4), coefficients are un-scaled back to
-      // original units post-pin (exact multiplies). extendedprice vs
-      // quantity is the strongly-linear pair, so r² is meaningfully
-      // high, not decoration. Determinism: [[graft.ext.LinReg]].
+      // five pinned doubles (S4), the intercept is un-scaled back to
+      // original units post-pin (exact multiply; slope is unitless —
+      // x and y share the scale). Fits discounted revenue ~ list
+      // price (the one genuinely linear pair in the synth data — the
+      // fitted slope is 1 − E[discount] and r² ≈ 0.996, so the fit is
+      // meaningful, not decoration). Determinism: [[graft.ext.LinReg]].
       val f = graft.ext.LinReg.fit(
         tbl(s, dir, "lineitem").select(
-          (col("l_quantity") / lit(50.0)).as("x"),
-          (col("l_extendedprice") / lit(100000.0)).as("y")),
+          (col("l_extendedprice") / lit(100000.0)).as("x"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
+            lit(100000.0)).as("y")),
         col("x"), col("y"))
       def r6(x: Double): Double =
         BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       import s.implicits._
-      Seq((r6(f.slope * 2000.0), r6(f.intercept * 100000.0), r6(f.r2), f.n))
+      Seq((r6(f.slope), r6(f.intercept * 100000.0), r6(f.r2), f.n))
         .toDF("slope", "intercept", "r2", "n")
+    }),
+
+    "ml_kfold_cv" -> ((s, dir) => {
+      // model SELECTION (ml_linreg_ols fits once; this validates):
+      // 5-fold cross-validation of the OLS fit, folds assigned by the
+      // shared md5 fold of the row key. TWO scans at any N and k
+      // ([[graft.ext.LinReg.kfoldCv]]): one aggregate with every
+      // fold's leave-one-out sums as conditional sums (pinned BEFORE
+      // any cross-fold arithmetic), one scoring pass where each row
+      // meets its own fold's model via a literal CASE — no join.
+      // Coefficients un-scaled post-pin; test_mse stays in scaled-y²
+      // units (documented; comparable ACROSS folds, which is the
+      // point of CV).
+      val li = tbl(s, dir, "lineitem")
+      val folds = graft.ext.LinReg.kfoldCv(
+        li.select(
+          (col("l_extendedprice") / lit(100000.0)).as("x"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
+            lit(100000.0)).as("y"),
+          (Dedup.md5Hash60(concat_ws("|", col("l_orderkey"),
+            col("l_linenumber"))) % 5).as("fold")),
+        col("x"), col("y"), col("fold"), k = 5)
+      def r6(v: Double): Double =
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      import s.implicits._
+      folds.map(f => (f.fold, f.nTest, r6(f.slope),
+          r6(f.intercept * 100000.0), r6(f.testMse)))
+        .toDF("fold", "n_test", "slope", "intercept", "test_mse")
+        .orderBy("fold")
     }),
 
     "feat_hashing_vectors" -> ((s, dir) => {

@@ -26,6 +26,76 @@ object LinReg {
   private def round9(x: Double): Double =
     BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+  /** One fold's leave-one-out fit and held-out error. */
+  final case class FoldFit(fold: Int, nTest: Long, slope: Double,
+      intercept: Double, testMse: Double)
+
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private def round6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** k-fold cross-validation of the simple OLS fit — the model-
+    * selection face. TWO scans total at any N and any k:
+    *
+    *  1. ONE aggregate computes every fold's LEAVE-ONE-OUT training
+    *     sums directly as k×4 conditional sums (never total-minus-fold
+    *     driver arithmetic — subtracting two engine-summed doubles
+    *     would put the cross-engine noise BEFORE the pin). Each train
+    *     sum is pinned to 4 dp (sums are O(N·x̄); the caller pre-scales
+    *     x,y to O(1)), then each fold's 2×2 solve is exact arithmetic.
+    *  2. ONE aggregate scores every row against ITS OWN fold's model
+    *     (a k-way literal CASE — codegen, no join) and averages the
+    *     squared residual per fold, pinned to 6 dp.
+    *
+    * `foldCol` must evaluate to an integer in [0, k).
+    */
+  def kfoldCv(df: DataFrame, x: Column, y: Column, foldCol: Column,
+      k: Int = 5): Seq[FoldFit] = {
+    require(k >= 2 && k <= 16, "k in [2,16]")
+    val d = df.select(x.as("x"), y.as("y"), foldCol.as("fold"))
+    val aggs = (0 until k).flatMap { f =>
+      val out = col("fold") =!= f
+      Seq(sum(when(out, col("x"))).as(s"sx$f"),
+        sum(when(out, col("y"))).as(s"sy$f"),
+        sum(when(out, col("x") * col("x"))).as(s"sxx$f"),
+        sum(when(out, col("x") * col("y"))).as(s"sxy$f"),
+        count(when(out, lit(1))).as(s"n$f"),
+        count(when(!out, lit(1))).as(s"m$f"))
+    }
+    val row = d.agg(aggs.head, aggs.tail: _*).head()
+    val models = (0 until k).map { f =>
+      val b = f * 6
+      val (sx, sy, sxx, sxy) = (round4(row.getDouble(b)),
+        round4(row.getDouble(b + 1)), round4(row.getDouble(b + 2)),
+        round4(row.getDouble(b + 3)))
+      val n = row.getLong(b + 4).toDouble
+      val mTest = row.getLong(b + 5)
+      val mx = sx / n; val my = sy / n
+      val vx = sxx / n - mx * mx
+      require(vx > 0, s"fold $f: train x is constant")
+      val cxy = sxy / n - mx * my
+      val slope = cxy / vx
+      (f, mTest, slope, my - slope * mx)
+    }
+    val slopeExpr = models.tail.foldLeft(
+      when(col("fold") === models.head._1, lit(models.head._3))) {
+      case (e, (f, _, sl, _)) => e.when(col("fold") === f, lit(sl))
+    }
+    val iceptExpr = models.tail.foldLeft(
+      when(col("fold") === models.head._1, lit(models.head._4))) {
+      case (e, (f, _, _, ic)) => e.when(col("fold") === f, lit(ic))
+    }
+    val r = col("y") - (slopeExpr * col("x") + iceptExpr)
+    val mse = d.groupBy("fold").agg(avg(r * r).as("mse"))
+      .collect()
+      .map(rw => rw.getAs[Number](0).longValue -> rw.getDouble(1)).toMap
+    models.map { case (f, mTest, sl, ic) =>
+      FoldFit(f, mTest, sl, ic, round6(mse(f.toLong)))
+    }
+  }
+
   /** One aggregate pass → pinned moments → closed-form solve. `x` and
     * `y` should be pre-scaled to O(1) magnitude by the caller (the pin
     * is calibrated for means of order 1).

@@ -30,6 +30,38 @@ class LinRegSpec extends SparkSpec {
     assert(f.r2 > 0.9 && f.r2 < 1.0)
   }
 
+  test("kfold on an exact line: every fold recovers it with ~zero test error") {
+    import spark.implicits._
+    val df = (0 until 300).map { i =>
+      val x = i / 300.0
+      (x, 0.5 * x + 0.25, (i % 5).toLong)
+    }.toDF("x", "y", "fold")
+    val folds = LinReg.kfoldCv(df, col("x"), col("y"), col("fold"), k = 5)
+    assert(folds.map(_.fold) == Seq(0, 1, 2, 3, 4))
+    folds.foreach { f =>
+      assert(f.nTest == 60)
+      assert(math.abs(f.slope - 0.5) < 1e-3, s"fold ${f.fold}")
+      assert(math.abs(f.intercept - 0.25) < 1e-3)
+      assert(f.testMse < 1e-6)
+    }
+  }
+
+  test("kfold flags an overfit-prone fold: outlier fold has the worst test mse") {
+    import spark.implicits._
+    // fold 0's held-out rows sit off the line the other folds agree on
+    val rows = (0 until 250).map { i =>
+      val x = i / 250.0
+      val fold = (i % 5).toLong
+      val y = if (fold == 0) 2.0 * x + 1.0 else 0.5 * x
+      (x, y, fold)
+    }
+    val folds = LinReg.kfoldCv(rows.toDF("x", "y", "fold"),
+      col("x"), col("y"), col("fold"), k = 5)
+    val worst = folds.maxBy(_.testMse)
+    assert(worst.fold == 0)
+    assert(worst.testMse > folds.filter(_.fold != 0).map(_.testMse).max * 10)
+  }
+
   test("constant x fails loudly") {
     import spark.implicits._
     val df = Seq((1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
