@@ -191,7 +191,14 @@ object ScaleBench {
     // count-back join's build side (distinct shingles) also grows
     // ∝ factor; the ratio tests that both map-side-combined hash aggs
     // stay linear with no pair-shaped blowup anywhere
-    "text_dup_ngram_rate")
+    "text_dup_ngram_rate",
+    // r11 addition (third session): neighbor-Jaccard link prediction —
+    // the candidate self-join is the one wedge-SHAPED step in the
+    // query, bounded only by the deg≤64 center cap; the disjoint
+    // replicas grow centers ∝ factor at constant degree, so the ratio
+    // tests that candidates stay ∝ cap·E (a super-linear ratio here
+    // would mean the cap is not actually binding the fan-out)
+    "graph_link_prediction")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE
