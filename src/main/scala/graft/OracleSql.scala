@@ -3191,6 +3191,25 @@ private[graft] object OracleSql {
         |       min(media_id) AS keeper_media_id
         |FROM bits GROUP BY phash ORDER BY phash""".stripMargin,
 
+    "multimodal_wav_dedup" ->
+      // sample-formula mirror of encodeWav + audioHash(windows=4):
+      // sample(i) = ((id*13 + i*97) % 2001) - 1000, window = i*4 // n,
+      // bit = cross-multiplied window-vs-stream mean |amplitude|
+      """WITH d AS (SELECT doc_id AS media_id,
+        |                  CAST(32 + doc_id % 33 AS BIGINT) AS n
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |sm AS (SELECT media_id, n, i * 4 // n AS w,
+        |              abs(((media_id * 13 + i * 97) % 2001) - 1000) AS a
+        |       FROM (SELECT media_id, n, unnest(range(0, n)) AS i FROM d)),
+        |wd AS (SELECT media_id, w, sum(a) AS ws, count(*) AS wc FROM sm GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(a) AS ts, count(*) AS n FROM sm GROUP BY 1),
+        |bits AS (SELECT wd.media_id,
+        |                sum(CASE WHEN ws * n > ts * wc THEN (CAST(1 AS BIGINT) << w) ELSE 0 END) AS ahash
+        |         FROM wd JOIN tot USING (media_id) GROUP BY 1)
+        |SELECT CAST(ahash AS BIGINT) AS ahash, CAST(count(*) AS BIGINT) AS n_media,
+        |       min(media_id) AS keeper_media_id
+        |FROM bits GROUP BY ahash ORDER BY ahash""".stripMargin,
+
     "multimodal_byte_stats" ->
       """WITH p AS (SELECT doc_id AS media_id, text, octet_length(CAST(text AS BLOB)) AS n FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
         |SELECT media_id,

@@ -3472,6 +3472,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_media"), min("media_id").as("keeper_media_id"))
         .orderBy("phash")),
 
+    "multimodal_wav_dedup" -> ((s, dir) =>
+      // audio near-dup — the PCM member of the fingerprint triangle
+      // (text simhash / image aHash / audio energy-band hash): real
+      // RIFF decode per partition, 4-window integer energy-envelope
+      // hash (cross-multiplied window-vs-stream mean |amplitude|),
+      // one hash agg into buckets.
+      Multimodal.audioHash(Multimodal.wavTable(docs(s, dir)), windows = 4)
+        .groupBy("ahash")
+        .agg(count(lit(1)).as("n_media"), min("media_id").as("keeper_media_id"))
+        .orderBy("ahash")),
+
     "multimodal_byte_stats" -> ((s, dir) =>
       // text-modality member: byte stats straight off the binary column
       // via the codegen byte_mean kernel — no decode, no interpreted HOF

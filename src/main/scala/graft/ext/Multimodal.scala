@@ -218,6 +218,49 @@ object Multimodal {
     }(enc)
   }
 
+  /** Audio energy-band hash output. */
+  val audioHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("n_samples", LongType),
+    StructField("ahash", LongType)))
+
+  /** Audio near-dup fingerprint — the PCM twin of [[averageHash]]:
+    * decode the RIFF stream, split samples into `windows` equal time
+    * windows, bit w = 1 iff that window's mean |amplitude| EXCEEDS the
+    * stream mean (cross-multiplied: windowSum·n > totalSum·windowLen —
+    * integer arithmetic end to end, no float energies). Streams that
+    * differ by low-level noise keep the same coarse energy envelope
+    * and land in the same bucket.
+    */
+  def audioHash(media: DataFrame, windows: Int = 4): DataFrame = {
+    require(windows >= 1 && windows <= 63, "windows in [1,63]")
+    val enc = Encoders.row(audioHashSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.map { r =>
+        val pcm = MediaCodecs.decodeWav(r.getAs[Array[Byte]](1))
+        val smp = pcm.samples
+        val n = smp.length
+        val ws = new Array[Long](windows)
+        val wc = new Array[Long](windows)
+        var ts = 0L
+        var i = 0
+        while (i < n) {
+          val a = math.abs(smp(i).toLong)
+          val w = i * windows / n
+          ws(w) += a; wc(w) += 1; ts += a
+          i += 1
+        }
+        var ahash = 0L
+        var w = 0
+        while (w < windows) {
+          if (ws(w) * n > ts * wc(w)) ahash |= 1L << w
+          w += 1
+        }
+        Row(r.getLong(0), n.toLong, ahash)
+      }
+    }(enc)
+  }
+
   /** PCM stream stats: RIFF chunk walk, 16-bit sample decode, RMS/peak. */
   def extractAudioFeatures(media: DataFrame): DataFrame = {
     val enc = Encoders.row(audioFeatureSchema)

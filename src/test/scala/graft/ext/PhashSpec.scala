@@ -31,6 +31,30 @@ class PhashSpec extends SparkSpec {
     }
   }
 
+  /** Independent formula-path 4-window audio hash. */
+  private def naiveAudioHash(id: Long): Long = {
+    val n = MediaCodecs.wavSamples(id)
+    val ws = new Array[Long](4); val wc = new Array[Long](4)
+    var ts = 0L
+    for (i <- 0 until n) {
+      val a = math.abs(MediaCodecs.wavSample(id, i).toLong)
+      val w = i * 4 / n
+      ws(w) += a; wc(w) += 1; ts += a
+    }
+    (0 until 4).map(w => if (ws(w) * n > ts * wc(w)) 1L << w else 0L).sum
+  }
+
+  test("decoded-path audio hash equals the formula path for 40 media ids") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val got = Multimodal.audioHash(Multimodal.wavTable(docs), windows = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0L until 40L).foreach { id =>
+      assert(got(id) == naiveAudioHash(id), s"media $id")
+    }
+  }
+
   test("grid=1 hashes everything to 0 (a block never exceeds its own mean)") {
     import spark.implicits._
     val docs = (0L until 10L).map(i => (i, "s")).toDF("doc_id", "source")
