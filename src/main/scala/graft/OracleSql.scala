@@ -1924,6 +1924,34 @@ private[graft] object OracleSql {
         |       round((cxy * cxy) / (vx * vy), 6) AS r2, n
         |FROM c""".stripMargin,
 
+    "ts_holt_forecast" ->
+      // recursive-CTE mirror of TimeSeries.holtForecast: same init
+      // (s₁=y₁, b₁=y₂−y₁), same expression ORDER in the step (level
+      // expression inlined into the trend update exactly as the Scala
+      // computes it), integer-cents daily values so the recursion
+      // inputs are exact, 4 dp rounds only at output
+      """WITH RECURSIVE d0 AS (SELECT CAST(epoch_us(date_trunc('day', o_orderdate)) AS BIGINT) AS day_us,
+        |                  CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS y
+        |           FROM orders GROUP BY 1),
+        |daily AS (SELECT row_number() OVER (ORDER BY day_us) AS t, day_us, y FROM d0),
+        |rec(t, s, b) AS (
+        |  SELECT CAST(1 AS BIGINT), (SELECT y FROM daily WHERE t = 1),
+        |         (SELECT y FROM daily WHERE t = 2) - (SELECT y FROM daily WHERE t = 1)
+        |  UNION ALL
+        |  SELECT r.t + 1,
+        |         0.5 * d.y + 0.5 * (r.s + r.b),
+        |         0.5 * ((0.5 * d.y + 0.5 * (r.s + r.b)) - r.s) + 0.5 * r.b
+        |  FROM rec r JOIN daily d ON d.t = r.t + 1),
+        |mx AS (SELECT max(t) AS n, max(day_us) AS last_day FROM daily),
+        |fin AS (SELECT s, b FROM rec, mx WHERE rec.t = mx.n)
+        |SELECT d.day_us, d.y, round(c.s, 4) AS level, round(c.b, 4) AS trend,
+        |       CASE WHEN d.t = 1 THEN NULL ELSE round(p.s + p.b, 4) END AS yhat
+        |FROM daily d JOIN rec c ON c.t = d.t LEFT JOIN rec p ON p.t = d.t - 1
+        |UNION ALL
+        |SELECT last_day + h * 86400000000, NULL, NULL, NULL, round(fin.s + h * fin.b, 4)
+        |FROM fin, mx, (SELECT unnest(range(1, 8)) AS h)
+        |ORDER BY day_us""".stripMargin,
+
     "ml_kfold_cv" -> {
       // mirrors LinReg.kfoldCv: per-fold leave-one-out CONDITIONAL
       // sums pinned at 4 dp (never total-minus-fold arithmetic), exact

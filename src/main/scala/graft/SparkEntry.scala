@@ -3310,6 +3310,24 @@ object SparkEntry {
         .toDF("slope", "intercept", "r2", "n")
     }),
 
+    "ts_holt_forecast" -> ((s, dir) => {
+      // Holt level+trend forecasting over daily order revenue
+      // (ext/TimeSeries.holtForecast): the distributed work is the
+      // daily integer-cents aggregate (exact — no float noise enters
+      // the recursion); the α=β=0.5 recursion runs over the
+      // calendar-bounded series driver-side and is bit-identical to
+      // the oracle's recursive CTE. In-sample one-step-ahead ŷ plus a
+      // 7-day linear forecast.
+      val daily = tbl(s, dir, "orders").select(
+        unix_micros(date_trunc("DAY", col("o_orderdate").cast("timestamp")))
+          .as("day_us"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+          .cast(org.apache.spark.sql.types.LongType).as("cents"))
+        .groupBy("day_us")
+        .agg((sum("cents").cast("double") / lit(100.0)).as("y"))
+      graft.ext.TimeSeries.holtForecast(daily, horizon = 7)
+    }),
+
     "ml_kfold_cv" -> ((s, dir) => {
       // model SELECTION (ml_linreg_ols fits once; this validates):
       // 5-fold cross-validation of the OLS fit, folds assigned by the

@@ -107,4 +107,59 @@ object TimeSeries {
     daily.join(sm, Seq("day"))
       .select(col("day"), col("x"), round(col("num") / col("den"), 6).as("ewma"))
   }
+
+  /** Holt double exponential smoothing (level + linear trend) with
+    * α = β = 0.5 and an h-step linear forecast — the FORECASTING face
+    * (q6's "revenue change" is a filter, not a forecast; ts_ewma has no
+    * trend). The recursion over the aggregated daily series runs
+    * driver-side: the series is CALENDAR-bounded (~10³ rows for years
+    * of data) regardless of row count N, so this is the S4 scalar
+    * pattern stretched to a bounded vector — the distributed work is
+    * the daily aggregate feeding it.
+    *
+    * Determinism: the caller supplies EXACT daily values (integer-cents
+    * sums — no float noise enters); α = β = 0.5 multiplications are
+    * exact IEEE halvings; the recursion is then bit-identical to the
+    * oracle's recursive CTE computing the same expression ORDER
+    * (level first, trend from that same level value), and outputs are
+    * rounded to 4 dp only at the end.
+    *
+    * Input: (day_us LONG, y DOUBLE). Output: in-sample rows
+    * (day_us, y, level, trend, yhat — the one-step-ahead ŷ_t =
+    * s_{t−1} + b_{t−1}, NULL at t=1) followed by `horizon` forecast
+    * rows (future day_us, NULL y/level/trend, ŷ = s_n + h·b_n).
+    */
+  def holtForecast(daily: DataFrame, horizon: Int = 7): DataFrame = {
+    require(horizon >= 0 && horizon <= 365, "horizon in [0,365]")
+    val rows = daily.select(col("day_us"), col("y")).orderBy("day_us").collect()
+    val n = rows.length
+    require(n >= 2, "need at least two observations to initialize a trend")
+    val dayUs = rows.map(_.getLong(0))
+    val y = rows.map(_.getDouble(1))
+    val s = new Array[Double](n)
+    val b = new Array[Double](n)
+    s(0) = y(0); b(0) = y(1) - y(0)
+    var t = 1
+    while (t < n) {
+      val sN = 0.5 * y(t) + 0.5 * (s(t - 1) + b(t - 1))
+      b(t) = 0.5 * (sN - s(t - 1)) + 0.5 * b(t - 1)
+      s(t) = sN
+      t += 1
+    }
+    def r4(x: Double): Option[Double] = Some(
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val dayMicros = 86400000000L
+    val fit = (0 until n).map { i =>
+      (dayUs(i), Some(y(i)), r4(s(i)), r4(b(i)),
+        if (i == 0) None else r4(s(i - 1) + b(i - 1)))
+    }
+    val fc = (1 to horizon).map { h =>
+      (dayUs(n - 1) + h * dayMicros, None: Option[Double],
+        None: Option[Double], None: Option[Double], r4(s(n - 1) + h * b(n - 1)))
+    }
+    val spark = daily.sparkSession
+    import spark.implicits._
+    (fit ++ fc).toDF("day_us", "y", "level", "trend", "yhat")
+      .orderBy("day_us")
+  }
 }
