@@ -1798,6 +1798,40 @@ private[graft] object OracleSql {
         |       round(1.0 - CAST(in_vocab AS DOUBLE) / n_tokens, 6) AS oov_rate
         |FROM tot JOIN iv USING (source) ORDER BY source""".stripMargin,
 
+    "pii_pseudonymize_join" ->
+      s"""WITH cust AS (SELECT ${md5Hash60Sql("concat_ws('|', 'pseud-key-2026', c_custkey)")} AS tok, c_nationkey FROM customer),
+        |ot AS (SELECT ${md5Hash60Sql("concat_ws('|', 'pseud-key-2026', o_custkey)")} AS tok FROM orders),
+        |p AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders_pseudo
+        |      FROM ot JOIN cust USING (tok) GROUP BY 1),
+        |r AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders_raw
+        |      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT c_nationkey, n_orders_raw, n_orders_pseudo,
+        |       n_orders_raw = n_orders_pseudo AS intact
+        |FROM r JOIN p USING (c_nationkey) ORDER BY c_nationkey""".stripMargin,
+
+    "curate_budget_allocation" ->
+      // largest-remainder apportionment, all-integer: q = B·n // N,
+      // rem = B·n − q·N, leftover +1s by (rem desc, lang, source) rank
+      // from a bounded self-join count
+      """WITH cells AS (SELECT lang, source,
+        |                      CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'), w -> len(w) > 0))) AS BIGINT) AS n_tokens
+        |               FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |               GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nn FROM cells),
+        |base AS (SELECT lang, source, n_tokens,
+        |                (100000 * n_tokens) // nn AS q,
+        |                100000 * n_tokens - ((100000 * n_tokens) // nn) * nn AS rem
+        |         FROM cells, tot),
+        |lo AS (SELECT 100000 - CAST(sum(q) AS BIGINT) AS extra FROM base),
+        |rk AS (SELECT b.lang, b.source, b.n_tokens, b.q,
+        |              (SELECT count(*) FROM base o
+        |               WHERE o.rem > b.rem OR (o.rem = b.rem AND (o.lang < b.lang
+        |                     OR (o.lang = b.lang AND o.source < b.source)))) AS n_before
+        |       FROM base b)
+        |SELECT lang, source, n_tokens,
+        |       CAST(q + CASE WHEN n_before < extra THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM rk, lo ORDER BY lang, source""".stripMargin,
+
     "pii_k_anonymity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,
         |                  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bb,

@@ -3107,6 +3107,74 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "pii_pseudonymize_join" -> ((s, dir) => {
+      // consistent pseudonymization (keyed tokenization): both tables
+      // replace the customer key with the SAME keyed 60-bit hash, and
+      // the analysis joins on tokens — the governance property under
+      // test is that referential integrity SURVIVES tokenization, so
+      // the per-nation order counts through the pseudonymous join are
+      // reported next to the raw-key join's counts with an intact
+      // flag. Tokenization is per-row codegen (no extra shuffle — the
+      // join shuffles on the 8-byte token exactly as it would on the
+      // key); the 60-bit space makes a collision across ~10⁶ customers
+      // vanishingly unlikely, and the intact flag would expose one.
+      def token(c: Column): Column =
+        Dedup.md5Hash60(concat_ws("|", lit("pseud-key-2026"), c))
+      val cust = tbl(s, dir, "customer")
+        .select(token(col("c_custkey")).as("tok"), col("c_nationkey"))
+      val ordsTok = tbl(s, dir, "orders")
+        .select(token(col("o_custkey")).as("tok"))
+      val pseudo = ordsTok.join(cust, Seq("tok"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_orders_pseudo"))
+      val raw = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_orders_raw"))
+      raw.join(pseudo, Seq("c_nationkey"))
+        .withColumn("intact", col("n_orders_raw") === col("n_orders_pseudo"))
+        .orderBy("c_nationkey")
+    }),
+
+    "curate_budget_allocation" -> ((s, dir) => {
+      // token-budget apportionment by largest remainder (Hamilton's
+      // method): each (lang, source) cell gets ⌊B·nᵢ/N⌋ tokens, and the
+      // B − Σ⌊·⌋ leftover goes to the cells with the largest integer
+      // remainders (B·nᵢ − qᵢ·N — never a float), tie-broken by cell
+      // id. Σ quota = B EXACTLY — the property proportional-rounding
+      // floats can't give. Ranks come from a bounded self-join count
+      // (cells are |langs×sources|-bounded at any corpus size; no
+      // global window), N and the leftover from 1-row broadcast aggs.
+      val cells = graft.Caches.persist(docs(s, dir)
+        .select(col("lang"), col("source"),
+          TextAnalysis.wsTokenCount(col("text")).cast("long").as("tok"))
+        .groupBy("lang", "source").agg(sum("tok").as("n_tokens")))
+      val budget = 100000L
+      val tot = cells.agg(sum("n_tokens").as("nn"))
+      val base = cells.crossJoin(broadcast(tot))
+        .selectExpr("lang", "source", "n_tokens",
+          s"$budget * n_tokens AS bn", "nn")
+        .selectExpr("lang", "source", "n_tokens",
+          "bn div nn AS q", "bn - (bn div nn) * nn AS rem")
+      val persisted = graft.Caches.persist(base)
+      val leftover = persisted.agg((lit(budget) - sum("q")).as("extra"))
+      // rank by (rem desc, lang, source) via bounded self-join count
+      val other = persisted.select(col("lang").as("l2"),
+        col("source").as("s2"), col("rem").as("r2"))
+      val ranked = persisted.join(other,
+          col("r2") > col("rem") ||
+            (col("r2") === col("rem") &&
+              (col("l2") < col("lang") ||
+                (col("l2") === col("lang") && col("s2") < col("source")))),
+          "left")
+        .groupBy("lang", "source", "n_tokens", "q", "rem")
+        .agg(count(col("l2")).as("n_before"))
+      ranked.crossJoin(broadcast(leftover))
+        .select(col("lang"), col("source"), col("n_tokens"),
+          (col("q") + when(col("n_before") < col("extra"), 1L).otherwise(0L))
+            .as("quota"))
+        .orderBy("lang", "source")
+    }),
+
     "pii_k_anonymity" -> ((s, dir) => {
       // k-anonymity audit over a quasi-identifier tuple (nation ×
       // segment × balance-bucket): group sizes, then the size
