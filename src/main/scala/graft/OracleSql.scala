@@ -1798,6 +1798,44 @@ private[graft] object OracleSql {
         |       round(1.0 - CAST(in_vocab AS DOUBLE) / n_tokens, 6) AS oov_rate
         |FROM tot JOIN iv USING (source) ORDER BY source""".stripMargin,
 
+    "pipeline_tokenbudget_corpus" ->
+      s"""WITH d AS (SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |qm AS (SELECT doc_id,
+        |             CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_tokens,
+        |             CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) > 0
+        |                  THEN CAST(len(list_filter(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0), w -> w IN $stopSql)) AS DOUBLE) / len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0))
+        |                  ELSE 0 END AS stopword_ratio
+        |      FROM d),
+        |s1 AS (SELECT doc_id FROM qm WHERE n_tokens >= 20 AND stopword_ratio < 0.5),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+        |elig AS (SELECT doc_id, lang, source,
+        |                CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), w -> len(w) > 0)) AS BIGINT) AS tok,
+        |                ${md5Hash60Sql("concat_ws('|', doc_id, text)")} & 1048575 AS rh,
+        |                ${md5Hash60Sql("concat_ws('|', 'pick', doc_id)")} AS pick
+        |         FROM d WHERE doc_id IN (SELECT doc_id FROM s1)
+        |           AND doc_id IN (SELECT doc_id FROM keepers)),
+        |cells AS (SELECT lang, source, CAST(sum(tok) AS BIGINT) AS n_tokens FROM elig GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS nn FROM cells),
+        |base AS (SELECT lang, source, n_tokens,
+        |                (15000 * n_tokens) // nn AS q,
+        |                15000 * n_tokens - ((15000 * n_tokens) // nn) * nn AS rem
+        |         FROM cells, tot),
+        |lo AS (SELECT 15000 - CAST(sum(q) AS BIGINT) AS extra FROM base),
+        |quotas AS (SELECT b.lang, b.source,
+        |                  CAST(b.q + CASE WHEN (SELECT count(*) FROM base o
+        |                        WHERE o.rem > b.rem OR (o.rem = b.rem AND (o.lang < b.lang
+        |                              OR (o.lang = b.lang AND o.source < b.source)))) < extra
+        |                        THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |           FROM base b, lo),
+        |cum AS (SELECT *, sum(tok) OVER (PARTITION BY lang, source ORDER BY pick
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM elig),
+        |kept AS (SELECT c.lang, c.source, q2.quota, c.tok, c.rh
+        |         FROM cum c JOIN quotas q2 USING (lang, source) WHERE c.cum <= q2.quota)
+        |SELECT lang, source, quota, CAST(count(*) AS BIGINT) AS n_docs_kept,
+        |       CAST(sum(tok) AS BIGINT) AS n_tokens_kept, CAST(sum(rh) AS BIGINT) AS fingerprint
+        |FROM kept GROUP BY 1, 2, 3 ORDER BY lang, source""".stripMargin,
+
     "pii_pseudonymize_join" ->
       s"""WITH cust AS (SELECT ${md5Hash60Sql("concat_ws('|', 'pseud-key-2026', c_custkey)")} AS tok, c_nationkey FROM customer),
         |ot AS (SELECT ${md5Hash60Sql("concat_ws('|', 'pseud-key-2026', o_custkey)")} AS tok FROM orders),

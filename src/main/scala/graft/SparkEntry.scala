@@ -3175,6 +3175,67 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    "pipeline_tokenbudget_corpus" -> ((s, dir) => {
+      // CAPSTONE composing this session's faces into the operation a
+      // training-data team actually runs: "assemble a 15k-token corpus
+      // from the clean, deduped pool, proportionally across
+      // (lang, source), and fingerprint what you shipped."
+      //   quality gate ∧ exact-dedup keepers → eligible pool
+      //   → largest-remainder token quotas per cell (all-integer)
+      //   → per-cell greedy fill in seeded-hash order (window
+      //     PARTITIONED by cell — no global sort) while cumsum ≤ quota
+      //   → per-cell audit row incl. the order-independent content
+      //     fingerprint of the docs actually shipped.
+      val d0 = docs(s, dir)
+      val elig = graft.Caches.persist(
+        TextAnalysis.qualityMetrics(d0)
+          .filter(col("n_tokens") >= 20 && col("stopword_ratio") < 0.5)
+          .select("doc_id")
+          .join(Dedup.exactGroups(d0)
+            .select(col("keeper_doc_id").as("doc_id")), Seq("doc_id"), "left_semi")
+          .join(d0, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            TextAnalysis.wsTokenCount(col("text")).cast("long").as("tok"),
+            Dedup.md5Hash60(concat_ws("|", col("doc_id"), col("text")))
+              .bitwiseAND(lit(1048575L)).as("rh"),
+            Dedup.md5Hash60(concat_ws("|", lit("pick"), col("doc_id")))
+              .as("pick")))
+      val cells = graft.Caches.persist(
+        elig.groupBy("lang", "source").agg(sum("tok").as("n_tokens")))
+      val budget = 15000L
+      val tot = cells.agg(sum("n_tokens").as("nn"))
+      val base = graft.Caches.persist(cells.crossJoin(broadcast(tot))
+        .selectExpr("lang", "source", "n_tokens",
+          s"$budget * n_tokens AS bn", "nn")
+        .selectExpr("lang", "source", "n_tokens",
+          "bn div nn AS q", "bn - (bn div nn) * nn AS rem"))
+      val leftover = base.agg((lit(budget) - sum("q")).as("extra"))
+      val other = base.select(col("lang").as("l2"),
+        col("source").as("s2"), col("rem").as("r2"))
+      val quotas = base.join(other,
+          col("r2") > col("rem") ||
+            (col("r2") === col("rem") &&
+              (col("l2") < col("lang") ||
+                (col("l2") === col("lang") && col("s2") < col("source")))),
+          "left")
+        .groupBy("lang", "source", "q", "rem")
+        .agg(count(col("l2")).as("n_before"))
+        .crossJoin(broadcast(leftover))
+        .select(col("lang"), col("source"),
+          (col("q") + when(col("n_before") < col("extra"), 1L).otherwise(0L))
+            .as("quota"))
+      val win = Window.partitionBy("lang", "source").orderBy("pick")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = elig
+        .withColumn("cum", sum("tok").over(win))
+        .join(broadcast(quotas), Seq("lang", "source"))
+        .filter(col("cum") <= col("quota"))
+      kept.groupBy("lang", "source", "quota")
+        .agg(count(lit(1)).as("n_docs_kept"), sum("tok").as("n_tokens_kept"),
+          sum("rh").as("fingerprint"))
+        .orderBy("lang", "source")
+    }),
+
     "pii_k_anonymity" -> ((s, dir) => {
       // k-anonymity audit over a quasi-identifier tuple (nation ×
       // segment × balance-bucket): group sizes, then the size
