@@ -1870,6 +1870,22 @@ private[graft] object OracleSql {
         |       CAST(q + CASE WHEN n_before < extra THEN 1 ELSE 0 END AS BIGINT) AS quota
         |FROM rk, lo ORDER BY lang, source""".stripMargin,
 
+    "quality_benford_digits" ->
+      // leading digit from the exact integer-cents string; expected =
+      // round(N · round(log₁₀(1+1/d), 6), 4) — 4 dp keeps the product (a multiple of 10⁻³ for integer N) OFF the half boundary; identical pins both
+      // engines, then pure arithmetic for the χ² contribution
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders),
+        |g AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        |             CAST(count(*) AS BIGINT) AS n_obs
+        |      FROM c GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nn FROM g)
+        |SELECT digit, n_obs,
+        |       round(nn * round(log10(1.0 + 1.0 / digit), 6), 4) AS expected,
+        |       round((n_obs - round(nn * round(log10(1.0 + 1.0 / digit), 6), 4))
+        |             * (n_obs - round(nn * round(log10(1.0 + 1.0 / digit), 6), 4))
+        |             / round(nn * round(log10(1.0 + 1.0 / digit), 6), 4), 6) AS chisq_contrib
+        |FROM g, t ORDER BY digit""".stripMargin,
+
     "pii_k_anonymity" ->
       """WITH g AS (SELECT c_nationkey, c_mktsegment,
         |                  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bb,

@@ -3236,6 +3236,39 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    "quality_benford_digits" -> ((s, dir) => {
+      // first-digit distribution audit (Benford's law) — the forensic
+      // data-quality face: organic multiplicative quantities follow
+      // P(d) = log₁₀(1+1/d); a column that deviates hard is synthetic,
+      // truncated, or fabricated (THIS synth column deviates — that is
+      // the finding, and exactly what the audit exists to surface).
+      // The leading digit comes from the exact integer-cents STRING
+      // (never floor(log10(x)) — a last-ulp log on a power-of-ten
+      // boundary could flip the digit; integer→string cannot). One
+      // scan, one 9-row aggregate; expecteds pinned at 4 dp (N·(6 dp p) is a multiple of 10⁻³ for integer N — a 2 dp pin would sit ON the half boundary where Spark rounds by decimal string and DuckDB by binary value; at 4 dp the products are exact decimals, no boundary) before the
+      // χ² contribution.
+      val digits = tbl(s, dir, "orders")
+        .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+          .cast(org.apache.spark.sql.types.LongType).as("cents"))
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+          .as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+      val tot = digits.agg(sum("n_obs").as("nn"))
+      def p6(d: Int): Double = BigDecimal(math.log10(1.0 + 1.0 / d))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val pExpr = (2 to 9).foldLeft(
+        when(col("digit") === 1, lit(p6(1)))) { (e, d) =>
+        e.when(col("digit") === d, lit(p6(d)))
+      }
+      digits.crossJoin(broadcast(tot))
+        .withColumn("expected", round(col("nn") * pExpr, 4))
+        .withColumn("chisq_contrib", round(
+          (col("n_obs") - col("expected")) * (col("n_obs") - col("expected")) /
+            col("expected"), 6))
+        .select("digit", "n_obs", "expected", "chisq_contrib")
+        .orderBy("digit")
+    }),
+
     "pii_k_anonymity" -> ((s, dir) => {
       // k-anonymity audit over a quasi-identifier tuple (nation ×
       // segment × balance-bucket): group sizes, then the size
