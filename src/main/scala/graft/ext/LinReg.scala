@@ -65,6 +65,7 @@ object LinReg {
         count(when(!out, lit(1))).as(s"m$f"))
     }
     val row = d.agg(aggs.head, aggs.tail: _*).head()
+    require(!row.isNullAt(0), "empty input — no rows to cross-validate")
     val models = (0 until k).map { f =>
       val b = f * 6
       val (sx, sy, sxx, sxy) = (round4(row.getDouble(b)),
@@ -92,7 +93,11 @@ object LinReg {
       .collect()
       .map(rw => rw.getAs[Number](0).longValue -> rw.getDouble(1)).toMap
     models.map { case (f, mTest, sl, ic) =>
-      FoldFit(f, mTest, sl, ic, round6(mse(f.toLong)))
+      // a fold with zero held-out rows has no mse group — report 0.0
+      // with nTest = 0 rather than crashing (the caller can see the
+      // empty fold from nTest)
+      FoldFit(f, mTest, sl, ic,
+        mse.get(f.toLong).map(round6).getOrElse(0.0))
     }
   }
 

@@ -77,6 +77,7 @@ object LogReg {
           Seq(avg(err).as("gb"),
             avg(when((t > 0) === (label > 0.5), 1.0).otherwise(0.0)).as("acc"))
       val row = df.agg(aggs.head, aggs.tail: _*).head()
+      require(!row.isNullAt(0), "empty input — no rows to fit")
       ((0 until d).map(i => round6(row.getDouble(i))),
         round6(row.getDouble(d)), round6(row.getDouble(d + 1)))
     }

@@ -62,6 +62,32 @@ class LinRegSpec extends SparkSpec {
     assert(worst.testMse > folds.filter(_.fold != 0).map(_.testMse).max * 10)
   }
 
+  test("kfold with an empty fold reports nTest = 0 and mse 0.0, no crash") {
+    import spark.implicits._
+    // folds 0..3 populated, fold 4 never assigned
+    val df = (0 until 200).map { i =>
+      val x = i / 200.0
+      (x, 0.5 * x, (i % 4).toLong)
+    }.toDF("x", "y", "fold")
+    val folds = LinReg.kfoldCv(df, col("x"), col("y"), col("fold"), k = 5)
+    val f4 = folds.find(_.fold == 4).get
+    assert(f4.nTest == 0)
+    assert(f4.testMse == 0.0)
+    // fold 4's train set is the whole data — the fit is still the line
+    assert(math.abs(f4.slope - 0.5) < 1e-3)
+  }
+
+  test("empty input fails loudly for fit and kfold") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Double, Long)].toDF("x", "y", "fold")
+    intercept[IllegalArgumentException] {
+      LinReg.kfoldCv(empty, col("x"), col("y"), col("fold"), k = 2)
+    }
+    intercept[IllegalArgumentException] {
+      LogReg.fit(empty.select(col("x"), col("y")), Seq(col("x")), col("y"))
+    }
+  }
+
   test("constant x fails loudly") {
     import spark.implicits._
     val df = Seq((1.0, 2.0), (1.0, 3.0)).toDF("x", "y")
