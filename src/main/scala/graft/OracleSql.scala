@@ -1872,7 +1872,10 @@ private[graft] object OracleSql {
 
     "quality_benford_digits" ->
       // leading digit from the exact integer-cents string; expected =
-      // round(N · round(log₁₀(1+1/d), 6), 4) — 4 dp keeps the product (a multiple of 10⁻³ for integer N) OFF the half boundary; identical pins both
+      // round(N · round(log₁₀(1+1/d), 6), 6) — expected pinned at 6 dp: N·(6 dp p) is a multiple of 10⁻⁶, so the
+      // double sits ~1 ulp from a 6 dp lattice point and never near a
+      // .5·10⁻⁶ half boundary — safe at ANY N (a coarser pin is on the
+      // boundary whenever N·10⁶·p has the wrong residue); identical both
       // engines, then pure arithmetic for the χ² contribution
       """WITH c AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents FROM orders),
         |g AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
@@ -1880,10 +1883,10 @@ private[graft] object OracleSql {
         |      FROM c GROUP BY 1),
         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS nn FROM g)
         |SELECT digit, n_obs,
-        |       round(nn * round(log10(1.0 + 1.0 / digit), 6), 4) AS expected,
-        |       round((n_obs - round(nn * round(log10(1.0 + 1.0 / digit), 6), 4))
-        |             * (n_obs - round(nn * round(log10(1.0 + 1.0 / digit), 6), 4))
-        |             / round(nn * round(log10(1.0 + 1.0 / digit), 6), 4), 6) AS chisq_contrib
+        |       round(nn * round(log10(1.0 + 1.0 / digit), 6), 6) AS expected,
+        |       round((n_obs - round(nn * round(log10(1.0 + 1.0 / digit), 6), 6))
+        |             * (n_obs - round(nn * round(log10(1.0 + 1.0 / digit), 6), 6))
+        |             / round(nn * round(log10(1.0 + 1.0 / digit), 6), 6), 6) AS chisq_contrib
         |FROM g, t ORDER BY digit""".stripMargin,
 
     "pii_k_anonymity" ->
@@ -2009,7 +2012,7 @@ private[graft] object OracleSql {
         |             sy - (sxy - sx * sy) / (sxx - sx * sx) * sx AS icept, n
         |      FROM m)
         |SELECT round(slope, 6) AS slope, round(icept * 100000.0, 6) AS intercept,
-        |       round((cxy * cxy) / (vx * vy), 6) AS r2, n
+        |       round(CASE WHEN vy > 0 THEN (cxy * cxy) / (vx * vy) ELSE 1.0 END, 6) AS r2, n
         |FROM c""".stripMargin,
 
     "ts_holt_forecast" ->
@@ -2067,7 +2070,7 @@ private[graft] object OracleSql {
         s"SELECT CAST($f AS INTEGER) AS fold, m$f AS n_test, " +
           s"round(slope$f, 6) AS slope, " +
           s"round(icept$f * 100000.0, 6) AS intercept, " +
-          s"(SELECT test_mse FROM t WHERE fold = $f) AS test_mse " +
+          s"COALESCE((SELECT test_mse FROM t WHERE fold = $f), 0.0) AS test_mse " +
           "FROM mod2").mkString("\n        |  UNION ALL ")
       s"""WITH d AS (SELECT l_extendedprice / 100000.0 AS x, l_extendedprice * (1.0 - l_discount) / 100000.0 AS y,
         |                  ${md5Hash60Sql("concat_ws('|', l_orderkey, l_linenumber)")} % 5 AS fold

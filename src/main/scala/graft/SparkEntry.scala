@@ -3245,7 +3245,7 @@ object SparkEntry {
       // The leading digit comes from the exact integer-cents STRING
       // (never floor(log10(x)) — a last-ulp log on a power-of-ten
       // boundary could flip the digit; integer→string cannot). One
-      // scan, one 9-row aggregate; expecteds pinned at 4 dp (N·(6 dp p) is a multiple of 10⁻³ for integer N — a 2 dp pin would sit ON the half boundary where Spark rounds by decimal string and DuckDB by binary value; at 4 dp the products are exact decimals, no boundary) before the
+      // scan, one 9-row aggregate; expecteds pinned at 6 dp — N·(6 dp p) is a multiple of 10⁻⁶, so the double sits ~1 ulp from a 6 dp lattice point and never near a half boundary at ANY N (a coarser pin lands ON the boundary for the wrong N residues: the gate caught exactly that at 2 dp) before the
       // χ² contribution.
       val digits = tbl(s, dir, "orders")
         .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
@@ -3261,7 +3261,7 @@ object SparkEntry {
         e.when(col("digit") === d, lit(p6(d)))
       }
       digits.crossJoin(broadcast(tot))
-        .withColumn("expected", round(col("nn") * pExpr, 4))
+        .withColumn("expected", round(col("nn") * pExpr, 6))
         .withColumn("chisq_contrib", round(
           (col("n_obs") - col("expected")) * (col("n_obs") - col("expected")) /
             col("expected"), 6))
@@ -3465,10 +3465,8 @@ object SparkEntry {
           (col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
             lit(100000.0)).as("y")),
         col("x"), col("y"))
-      def r6(x: Double): Double =
-        BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       import s.implicits._
-      Seq((r6(f.slope), r6(f.intercept * 100000.0), r6(f.r2), f.n))
+      Seq((round6(f.slope), round6(f.intercept * 100000.0), round6(f.r2), f.n))
         .toDF("slope", "intercept", "r2", "n")
     }),
 
@@ -3510,11 +3508,9 @@ object SparkEntry {
           (Dedup.md5Hash60(concat_ws("|", col("l_orderkey"),
             col("l_linenumber"))) % 5).as("fold")),
         col("x"), col("y"), col("fold"), k = 5)
-      def r6(v: Double): Double =
-        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       import s.implicits._
-      folds.map(f => (f.fold, f.nTest, r6(f.slope),
-          r6(f.intercept * 100000.0), r6(f.testMse)))
+      folds.map(f => (f.fold, f.nTest, round6(f.slope),
+          round6(f.intercept * 100000.0), round6(f.testMse)))
         .toDF("fold", "n_test", "slope", "intercept", "test_mse")
         .orderBy("fold")
     }),

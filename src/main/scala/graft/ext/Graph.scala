@@ -588,6 +588,50 @@ object Graph {
     * @param edges (src, dst); direction ignored, self-loops dropped
     * @return one row: (n_triangles, n_wedges, clustering 6dp)
     */
+  def triangleCensus(edges: DataFrame): DataFrame = {
+    // und holds each undirected edge ONCE (id-ordered) — the graph is
+    // never symmetrized into a 2m-row table (r10 VERDICT #2 rework:
+    // sym existed only to pick one direction back out of it; orienting
+    // und directly via two broadcast degree joins halves the cached
+    // volume and drops a 2m-row shuffle)
+    val und = graft.Caches.persist(edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct())
+    // deg feeds both orientation join sides and the wedge-count scalar
+    val deg = graft.Caches.persist(
+      und.select(col("a").as("node"))
+        .unionAll(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("deg")))
+    // orient by (deg, id): u → v iff (deg(u), u) < (deg(v), v)
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = graft.Caches.persist(und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
+      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
+        when(aFirst, col("b")).otherwise(col("a")).as("v")))
+    // out-neighbor lists: one row per node, array bounded by O(√m)
+    val outN = oriented.groupBy("u").agg(collect_list("v").as("nbrs"))
+    val tri = Option(oriented
+      .join(outN.select(col("u"), col("nbrs").as("nu")), Seq("u"))
+      .join(outN.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
+      .agg(sum("c")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // sum the even product in LONG arithmetic and halve on the driver —
+    // a column-side `/ 2` would promote to double; sum() over an empty
+    // deg table is NULL, not 0 (the empty-graph guard)
+    val wedges = Option(deg.agg(sum(col("deg") * (col("deg") - 1))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L) / 2
+    val spark = edges.sparkSession
+    import spark.implicits._
+    Seq((tri, wedges,
+      BigDecimal(if (wedges == 0) 0.0 else 3.0 * tri / wedges)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("n_triangles", "n_wedges", "clustering")
+  }
   /** Neighbor-Jaccard link prediction (Liben-Nowell & Kleinberg CIKM'03
     * common-neighbors family): for node pairs NOT currently adjacent,
     * score = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, top-k by score. The "which
@@ -644,48 +688,4 @@ object Graph {
       .limit(topK)
   }
 
-  def triangleCensus(edges: DataFrame): DataFrame = {
-    // und holds each undirected edge ONCE (id-ordered) — the graph is
-    // never symmetrized into a 2m-row table (r10 VERDICT #2 rework:
-    // sym existed only to pick one direction back out of it; orienting
-    // und directly via two broadcast degree joins halves the cached
-    // volume and drops a 2m-row shuffle)
-    val und = graft.Caches.persist(edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct())
-    // deg feeds both orientation join sides and the wedge-count scalar
-    val deg = graft.Caches.persist(
-      und.select(col("a").as("node"))
-        .unionAll(und.select(col("b").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("deg")))
-    // orient by (deg, id): u → v iff (deg(u), u) < (deg(v), v)
-    val aFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("a") < col("b"))
-    val oriented = graft.Caches.persist(und
-      .join(deg.select(col("node").as("a"), col("deg").as("da")), Seq("a"))
-      .join(deg.select(col("node").as("b"), col("deg").as("db")), Seq("b"))
-      .select(when(aFirst, col("a")).otherwise(col("b")).as("u"),
-        when(aFirst, col("b")).otherwise(col("a")).as("v")))
-    // out-neighbor lists: one row per node, array bounded by O(√m)
-    val outN = oriented.groupBy("u").agg(collect_list("v").as("nbrs"))
-    val tri = Option(oriented
-      .join(outN.select(col("u"), col("nbrs").as("nu")), Seq("u"))
-      .join(outN.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
-      .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
-      .agg(sum("c")).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    // sum the even product in LONG arithmetic and halve on the driver —
-    // a column-side `/ 2` would promote to double; sum() over an empty
-    // deg table is NULL, not 0 (the empty-graph guard)
-    val wedges = Option(deg.agg(sum(col("deg") * (col("deg") - 1))).head().get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L) / 2
-    val spark = edges.sparkSession
-    import spark.implicits._
-    Seq((tri, wedges,
-      BigDecimal(if (wedges == 0) 0.0 else 3.0 * tri / wedges)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
-      .toDF("n_triangles", "n_wedges", "clustering")
-  }
 }

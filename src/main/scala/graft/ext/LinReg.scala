@@ -65,9 +65,14 @@ object LinReg {
         count(when(!out, lit(1))).as(s"m$f"))
     }
     val row = d.agg(aggs.head, aggs.tail: _*).head()
-    require(!row.isNullAt(0), "empty input — no rows to cross-validate")
+    require(!row.isNullAt(0) || row.getLong(5) > 0,
+      "empty input — no rows to cross-validate")
     val models = (0 until k).map { f =>
       val b = f * 6
+      // a fold holding EVERY row leaves its train side empty (NULL
+      // sums) — name the fold instead of NPE-ing on the null aggregate
+      require(!row.isNullAt(b),
+        s"fold $f holds every row — its leave-one-out train side is empty")
       val (sx, sy, sxx, sxy) = (round4(row.getDouble(b)),
         round4(row.getDouble(b + 1)), round4(row.getDouble(b + 2)),
         round4(row.getDouble(b + 3)))
@@ -110,6 +115,7 @@ object LinReg {
       avg(x).as("sx"), avg(y).as("sy"), avg(x * x).as("sxx"),
       avg(y * y).as("syy"), avg(x * y).as("sxy"),
       count(lit(1)).as("n")).head()
+    require(!r.isNullAt(0), "empty input — no rows to fit")
     val (sx, sy, sxx, syy, sxy) =
       (round9(r.getDouble(0)), round9(r.getDouble(1)), round9(r.getDouble(2)),
         round9(r.getDouble(3)), round9(r.getDouble(4)))

@@ -210,7 +210,10 @@ object Multimodal {
         var phash = 0L
         var b = 0
         while (b < grid * grid) {
-          if (bs(b) * tc > ts * bc(b)) phash |= 1L << b
+          // BigInt comparison: bs·tc overflows a Long at ~10⁸ pixels
+          // (765·npx² > 2⁶³) — grid² comparisons per media, so the
+          // arbitrary-precision cost is noise next to the decode
+          if (BigInt(bs(b)) * tc > BigInt(ts) * bc(b)) phash |= 1L << b
           b += 1
         }
         Row(r.getLong(0), w, h, phash)
@@ -253,7 +256,10 @@ object Multimodal {
         var ahash = 0L
         var w = 0
         while (w < windows) {
-          if (ws(w) * n > ts * wc(w)) ahash |= 1L << w
+          // BigInt: ws·n overflows a Long at ~1.7·10⁷ samples
+          // (32767·n² > 2⁶³ — a ~35 min clip at 8 kHz); bounded count
+          // of comparisons per media, cost is noise next to the decode
+          if (BigInt(ws(w)) * n > BigInt(ts) * wc(w)) ahash |= 1L << w
           w += 1
         }
         Row(r.getLong(0), n.toLong, ahash)
