@@ -1870,6 +1870,33 @@ private[graft] object OracleSql {
         |       CAST(q + CASE WHEN n_before < extra THEN 1 ELSE 0 END AS BIGINT) AS quota
         |FROM rk, lo ORDER BY lang, source""".stripMargin,
 
+    "stream_dataset_fingerprint" ->
+      // batch arithmetic mirror — equality IS the stream ≡ batch proof
+      s"""SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(${md5Hash60Sql("concat_ws('|', doc_id, text)")} & 1048575) AS BIGINT) AS fingerprint
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "events_ab_ztest" ->
+      s"""WITH d AS (SELECT value AS x, ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS v FROM events),
+        |a AS (SELECT CAST(count(CASE WHEN v = 0 THEN 1 END) AS BIGINT) AS n0,
+        |             CAST(count(CASE WHEN v = 1 THEN 1 END) AS BIGINT) AS n1,
+        |             avg(CASE WHEN v = 0 THEN x END) AS a0,
+        |             avg(CASE WHEN v = 1 THEN x END) AS a1,
+        |             avg(CASE WHEN v = 0 THEN x * x END) AS q0,
+        |             avg(CASE WHEN v = 1 THEN x * x END) AS q1
+        |      FROM d),
+        |m AS (SELECT n0 AS n_control, n1 AS n_treatment,
+        |             round(a0, 6) AS m0, round(a1, 6) AS m1,
+        |             round(q0, 6) - round(a0, 6) * round(a0, 6) AS v0,
+        |             round(q1, 6) - round(a1, 6) * round(a1, 6) AS v1
+        |      FROM a)
+        |SELECT n_control, n_treatment, m0 AS mean_control, m1 AS mean_treatment,
+        |       round(m1 - m0, 6) AS diff,
+        |       round((m1 - m0) / sqrt(v0 / n_control + v1 / n_treatment), 4) AS z_score,
+        |       abs(round((m1 - m0) / sqrt(v0 / n_control + v1 / n_treatment), 4)) > 1.96 AS significant
+        |FROM m""".stripMargin,
+
     "quality_benford_digits" ->
       // leading digit from the exact integer-cents string; expected =
       // round(N · round(log₁₀(1+1/d), 6), 6) — expected pinned at 6 dp: N·(6 dp p) is a multiple of 10⁻⁶, so the

@@ -1578,6 +1578,28 @@ object SparkEntry {
       }.orderBy("word")
     }),
 
+    "stream_dataset_fingerprint" -> ((s, dir) => {
+      // provenance in motion: the per-source content fingerprint
+      // (curate_dataset_fingerprint's Σ of 20-bit row folds) maintained
+      // INCREMENTALLY as the corpus streams in. The sum is associative
+      // and commutative, so the streaming aggregate equals the batch
+      // fingerprint NO MATTER how the stream micro-batches — the
+      // mv_incremental_merge merge algebra, streamed; the oracle is the
+      // batch arithmetic mirror, making the gate itself the
+      // stream ≡ batch proof.
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val ds = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val fp = ds.select(col("source"),
+          Dedup.md5Hash60(concat_ws("|", col("doc_id"), col("text")))
+            .bitwiseAND(lit(1048575L)).as("rh"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_rows"), sum("rh").as("fingerprint"))
+      EventStream.withStatePartitions(s, 8) {
+        EventStream.runToCompletion(s, fp, "stream_fp_sink")
+      }.orderBy("source")
+    }),
+
     "stream_topk_words" -> ((s, dir) => {
       // the Space-Saving sketch running INSIDE Structured Streaming: the
       // corpus streams in and one bounded-state sketch (capacity 1024
@@ -3234,6 +3256,40 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs_kept"), sum("tok").as("n_tokens_kept"),
           sum("rh").as("fingerprint"))
         .orderBy("lang", "source")
+    }),
+
+    "events_ab_ztest" -> ((s, dir) => {
+      // experimentation face: a two-sample z-test comparing mean event
+      // value between hash-assigned variants (the same seeded-hash
+      // assignment a real experiment platform uses, so buckets are
+      // stable across runs and engines). ONE aggregate computes both
+      // arms' moments as conditional aggs — no second scan, no join,
+      // no collect; z is exact post-pin arithmetic (sqrt is correctly
+      // rounded in IEEE — the one libm function that is).
+      val v = Dedup.md5Hash60(concat_ws("|", lit("exp1"), col("user_id"))) % 2
+      val agg = events(s, dir)
+        .select(col("value").as("x"), v.as("v"))
+        .agg(
+          count(when(col("v") === 0, lit(1))).as("n0"),
+          count(when(col("v") === 1, lit(1))).as("n1"),
+          avg(when(col("v") === 0, col("x"))).as("a0"),
+          avg(when(col("v") === 1, col("x"))).as("a1"),
+          avg(when(col("v") === 0, col("x") * col("x"))).as("q0"),
+          avg(when(col("v") === 1, col("x") * col("x"))).as("q1"))
+      agg.select(
+          col("n0").as("n_control"), col("n1").as("n_treatment"),
+          round(col("a0"), 6).as("m0"), round(col("a1"), 6).as("m1"),
+          (round(col("q0"), 6) - round(col("a0"), 6) * round(col("a0"), 6))
+            .as("v0"),
+          (round(col("q1"), 6) - round(col("a1"), 6) * round(col("a1"), 6))
+            .as("v1"))
+        .select(col("n_control"), col("n_treatment"),
+          col("m0").as("mean_control"), col("m1").as("mean_treatment"),
+          round(col("m1") - col("m0"), 6).as("diff"),
+          round((col("m1") - col("m0")) /
+            sqrt(col("v0") / col("n_control") + col("v1") / col("n_treatment")),
+            4).as("z_score"))
+        .withColumn("significant", abs(col("z_score")) > 1.96)
     }),
 
     "quality_benford_digits" -> ((s, dir) => {
