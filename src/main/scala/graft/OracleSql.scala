@@ -17,6 +17,29 @@ private[graft] object OracleSql {
 
   private val stopSql = Stopwords.sqlInList
 
+  /** Per-doc language-ID prediction CTE chain, shared by `lang_id` and
+    * `lang_id_confusion`: ends in `pd(doc_id, lang, pred_lang)` —
+    * verbatim mirror of [[TextAnalysis.languageId]].
+    */
+  private val langIdCtes: String = {
+    val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
+      lang -> ws.map(w => s"'$w'").mkString("(", ",", ")")
+    }
+    val counts = profiles.map { case (lang, inList) =>
+      s"len(list_filter(tk, w -> w IN $inList)) AS c_$lang"
+    }.mkString(",\n             ")
+    val langs = profiles.map(_._1)
+    val greatest = s"greatest(${langs.map("c_" + _).mkString(", ")})"
+    val cases = langs.map(l => s"WHEN c_$l = $greatest THEN '$l'").mkString(" ")
+    s"""q AS (SELECT doc_id, lang, list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+       |sc AS (SELECT doc_id, lang,
+       |             $counts
+       |       FROM q),
+       |pd AS (SELECT doc_id, lang,
+       |              CASE WHEN $greatest = 0 THEN 'und' $cases ELSE 'und' END AS pred_lang
+       |       FROM sc)""".stripMargin
+  }
+
   /** Tokenize → flat → doc_lengths → TF → IDF → stats CTE chain over the
     * `documents` table (non-stemmed tokenizer = lower → split [^a-z]+ →
     * drop empties/stopwords, exactly [[Tokenizer.tokensCol]] with
@@ -948,6 +971,21 @@ private[graft] object OracleSql {
          |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_cross_source_matrix" ->
+      // same exact pair semantics as dedup_minhash, regrouped by the
+      // unordered source pair
+      s"""WITH $hashedShingleCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |d AS (SELECT doc_id, source FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+         |SELECT least(da.source, db.source) AS source_a,
+         |       greatest(da.source, db.source) AS source_b,
+         |       CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p JOIN d da ON da.doc_id = p.doc_a JOIN d db ON db.doc_id = p.doc_b
+         |WHERE j >= 0.8
+         |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
     "dedup_allpairs" ->
       // ground truth for the prefix-filtered AllPairs join: brute-force
       // exact shingle-set Jaccard over every pair (fine at 500 gate
@@ -1321,24 +1359,19 @@ private[graft] object OracleSql {
          |       round(CASE WHEN len(text) > 0 THEN CAST(len(text) - len(regexp_replace(text, '[A-Za-z]', '', 'g')) AS DOUBLE) / len(text) ELSE 0 END, 6) AS alpha_ratio
          |FROM q ORDER BY doc_id""".stripMargin,
 
-    "lang_id" -> {
-      val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
-        lang -> ws.map(w => s"'$w'").mkString("(", ",", ")")
-      }
-      val counts = profiles.map { case (lang, inList) =>
-        s"len(list_filter(tk, w -> w IN $inList)) AS c_$lang"
-      }.mkString(",\n             ")
-      val langs = profiles.map(_._1)
-      val greatest = s"greatest(${langs.map("c_" + _).mkString(", ")})"
-      val cases = langs.map(l => s"WHEN c_$l = $greatest THEN '$l'").mkString(" ")
-      s"""WITH q AS (SELECT doc_id, lang, list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-         |sc AS (SELECT doc_id, lang,
-         |             $counts
-         |       FROM q)
-         |SELECT doc_id, lang,
-         |       CASE WHEN $greatest = 0 THEN 'und' $cases ELSE 'und' END AS pred_lang
-         |FROM sc ORDER BY doc_id""".stripMargin
-    },
+    "lang_id" ->
+      s"""WITH $langIdCtes
+         |SELECT doc_id, lang, pred_lang FROM pd ORDER BY doc_id""".stripMargin,
+
+    "lang_id_confusion" ->
+      // classifier EVALUATION over the same per-doc prediction CTEs:
+      // confusion counts + per-true-lang share (recall on the diagonal)
+      s"""WITH $langIdCtes,
+         |cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs FROM pd GROUP BY 1, 2),
+         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM pd GROUP BY 1)
+         |SELECT lang, pred_lang, n_docs,
+         |       round(CAST(n_docs AS DOUBLE) / n_lang, 6) AS share
+         |FROM cm JOIN tot USING (lang) ORDER BY lang, pred_lang""".stripMargin,
 
     "tok_token_counts" ->
       """SELECT doc_id,

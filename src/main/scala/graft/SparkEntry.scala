@@ -2549,6 +2549,44 @@ object SparkEntry {
         .select("doc_id", "lang", "pred_lang")
         .orderBy("doc_id")),
 
+    "dedup_cross_source_matrix" -> ((s, dir) => {
+      // WHICH sources copy from which: the shared near-dup pair memo
+      // regrouped into an (unordered) source×source matrix — the
+      // curation question behind per-source dup telemetry ("is src7
+      // a mirror of src3, or self-duplicating?"). Two broadcast
+      // doc→source joins over the memo'd pair set, one bounded
+      // aggregate; nothing is recomputed.
+      val src = docs(s, dir).select(col("doc_id"), col("source"))
+      sharedMinhashPairs(s, dir)
+        .join(broadcast(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa"))), Seq("doc_a"))
+        .join(broadcast(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb"))), Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("source_a", "source_b")
+    }),
+
+    "lang_id_confusion" -> ((s, dir) => {
+      // classifier EVALUATION: confusion matrix of the stopword-profile
+      // language ID against the labeled lang column, with per-true-lang
+      // share (recall on the diagonal) — the telemetry that says
+      // whether the cheap classifier is safe to gate on. Two bounded
+      // aggregates over the shared prediction lineage; totals
+      // broadcast back.
+      val pd = TextAnalysis.languageId(docs(s, dir))
+        .select("lang", "pred_lang")
+      val cm = pd.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
+      val tot = pd.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      cm.join(broadcast(tot), Seq("lang"))
+        .withColumn("share",
+          round(col("n_docs").cast("double") / col("n_lang"), 6))
+        .select("lang", "pred_lang", "n_docs", "share")
+        .orderBy("lang", "pred_lang")
+    }),
+
     "tok_token_counts" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
