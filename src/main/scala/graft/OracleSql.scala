@@ -21,6 +21,38 @@ private[graft] object OracleSql {
     * `lang_id_confusion`: ends in `pd(doc_id, lang, pred_lang)` —
     * verbatim mirror of [[TextAnalysis.languageId]].
     */
+  /** Unrolled 4-round unweighted LPA chain over the co-purchase graph,
+    * shared by `graph_communities` and `graph_modularity`: ends in
+    * `l4(node, label)`; `e0` is the id-ordered distinct edge set and
+    * `sym` its symmetrization.
+    */
+  private val lpaCtes: String =
+    """op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
+        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+        |c1 AS (SELECT s.dst AS node, l.label, count(*) AS cnt
+        |       FROM sym s JOIN l0 l ON s.src = l.node GROUP BY s.dst, l.label),
+        |l1 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        |       FROM c1) WHERE rn = 1),
+        |c2 AS (SELECT s.dst AS node, l.label, count(*) AS cnt
+        |       FROM sym s JOIN l1 l ON s.src = l.node GROUP BY s.dst, l.label),
+        |l2 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        |       FROM c2) WHERE rn = 1),
+        |c3 AS (SELECT s.dst AS node, l.label, count(*) AS cnt
+        |       FROM sym s JOIN l2 l ON s.src = l.node GROUP BY s.dst, l.label),
+        |l3 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        |       FROM c3) WHERE rn = 1),
+        |c4 AS (SELECT s.dst AS node, l.label, count(*) AS cnt
+        |       FROM sym s JOIN l3 l ON s.src = l.node GROUP BY s.dst, l.label),
+        |l4 AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        |       FROM c4) WHERE rn = 1)""".stripMargin
+
   private val langIdCtes: String = {
     val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
       lang -> ws.map(w => s"'$w'").mkString("(", ",", ")")
@@ -1618,34 +1650,28 @@ private[graft] object OracleSql {
       // frequent neighbor label, ties to the SMALLEST label (the same
       // (cnt DESC, label ASC) row_number window); 4 unrolled rounds.
       // Integer voting throughout — no float pinning needed.
-      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
-        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
-        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
-        |sym AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
-        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
-        |c1 AS (SELECT s.dst AS node, l.label, count(*) AS cnt
-        |       FROM sym s JOIN l0 l ON s.src = l.node GROUP BY s.dst, l.label),
-        |l1 AS (SELECT node, label FROM (SELECT node, label,
-        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
-        |       FROM c1) WHERE rn = 1),
-        |c2 AS (SELECT s.dst AS node, l.label, count(*) AS cnt
-        |       FROM sym s JOIN l1 l ON s.src = l.node GROUP BY s.dst, l.label),
-        |l2 AS (SELECT node, label FROM (SELECT node, label,
-        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
-        |       FROM c2) WHERE rn = 1),
-        |c3 AS (SELECT s.dst AS node, l.label, count(*) AS cnt
-        |       FROM sym s JOIN l2 l ON s.src = l.node GROUP BY s.dst, l.label),
-        |l3 AS (SELECT node, label FROM (SELECT node, label,
-        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
-        |       FROM c3) WHERE rn = 1),
-        |c4 AS (SELECT s.dst AS node, l.label, count(*) AS cnt
-        |       FROM sym s JOIN l3 l ON s.src = l.node GROUP BY s.dst, l.label),
-        |l4 AS (SELECT node, label FROM (SELECT node, label,
-        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
-        |       FROM c4) WHERE rn = 1)
+      s"""WITH $lpaCtes
         |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM l4 GROUP BY label
         |ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin,
+
+    "graph_modularity" ->
+      // Newman modularity of the l4 partition, per community: exact
+      // integer i_c/d_c/m, contrib mirrored operand-for-operand
+      s"""WITH $lpaCtes,
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+        |deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+        |dsum AS (SELECT l.label AS community, CAST(sum(d.d) AS BIGINT) AS degree_sum
+        |         FROM l4 l JOIN deg d USING (node) GROUP BY 1),
+        |intra AS (SELECT la.label AS community, CAST(count(*) AS BIGINT) AS internal_edges
+        |          FROM e0 JOIN l4 la ON la.node = e0.src JOIN l4 lb ON lb.node = e0.dst
+        |          WHERE la.label = lb.label GROUP BY 1),
+        |sizes AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes FROM l4 GROUP BY 1)
+        |SELECT community, n_nodes, COALESCE(internal_edges, 0) AS internal_edges, degree_sum,
+        |       round(CAST(COALESCE(internal_edges, 0) AS DOUBLE) / m
+        |             - (CAST(degree_sum AS DOUBLE) / (2.0 * m)) * (CAST(degree_sum AS DOUBLE) / (2.0 * m)), 6) AS contrib
+        |FROM sizes JOIN dsum USING (community) LEFT JOIN intra USING (community), mm
+        |ORDER BY community""".stripMargin,
 
     "graph_communities_weighted" ->
       // weighted-vote LPA mirror: identical to graph_communities except

@@ -4045,6 +4045,45 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "graph_modularity" -> ((s, dir) => {
+      // partition QUALITY for the LPA communities (Newman modularity),
+      // reported PER COMMUNITY — contrib_c = i_c/m − (d_c/2m)² from
+      // exact integer edge/degree counts, so no cross-community float
+      // sum ever exists (the reader sums the column; each row is
+      // pinned). The telemetry that says whether the communities are
+      // real structure or noise before a pipeline groups by them.
+      val und = copurchaseEdgesMemo(s, dir).select("src", "dst")
+      val labels = graft.Caches.persist(
+        Graph.labelPropagation(copurchaseEdgesMemo(s, dir), iterations = 4))
+      val mRow = und.agg(count(lit(1)).as("m"))
+      val deg = und.select(col("src").as("node"))
+        .unionAll(und.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val dsum = labels.join(deg, Seq("node"))
+        .groupBy(col("label").as("community"))
+        .agg(sum("d").as("degree_sum"))
+      val intra = und
+        .join(labels.select(col("node").as("src"), col("label").as("la")),
+          Seq("src"))
+        .join(labels.select(col("node").as("dst"), col("label").as("lb")),
+          Seq("dst"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community"))
+        .agg(count(lit(1)).as("internal_edges"))
+      val sizes = labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val dm = col("degree_sum").cast("double") / (lit(2.0) * col("m"))
+      sizes.join(dsum, Seq("community"))
+        .join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(mRow))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
+          col("degree_sum"),
+          round(coalesce(col("internal_edges"), lit(0L)).cast("double") /
+            col("m") - dm * dm, 6).as("contrib"))
+        .orderBy("community")
+    }),
+
     "graph_communities" -> ((s, dir) => {
       // community detection over the same co-purchase graph
       // (ext/Graph.labelPropagation): 4 synchronous supersteps of
