@@ -1956,6 +1956,15 @@ private[graft] object OracleSql {
         |       abs(round((m1 - m0) / sqrt(v0 / n_control + v1 / n_treatment), 4)) > 1.96 AS significant
         |FROM m""".stripMargin,
 
+    "events_ab_power" ->
+      """WITH a AS (SELECT avg(value) AS a, avg(value * value) AS q FROM events),
+        |m AS (SELECT round(a, 6) AS m, round(q, 6) - round(a, 6) * round(a, 6) AS s2 FROM a),
+        |d AS (SELECT mde_pct, round(m.m * mde_pct, 6) AS delta
+        |      FROM (VALUES (0.01), (0.02), (0.05)) AS v(mde_pct), m)
+        |SELECT mde_pct, delta,
+        |       CAST(ceil(2.0 * m.s2 * (2.8016 * 2.8016) / (delta * delta)) AS BIGINT) AS n_per_arm
+        |FROM d, m ORDER BY mde_pct""".stripMargin,
+
     "quality_benford_digits" ->
       // leading digit from the exact integer-cents string; expected =
       // round(N · round(log₁₀(1+1/d), 6), 6) — expected pinned at 6 dp: N·(6 dp p) is a multiple of 10⁻⁶, so the

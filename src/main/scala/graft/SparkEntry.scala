@@ -3330,6 +3330,30 @@ object SparkEntry {
         .withColumn("significant", abs(col("z_score")) > 1.96)
     }),
 
+    "events_ab_power" -> ((s, dir) => {
+      // experiment PLANNING, the ztest's forward twin: minimum per-arm
+      // sample size to detect a relative lift at α=0.05 two-sided,
+      // power 0.8 — n = 2σ²(z_α/2+z_β)²/δ² from ONE moments aggregate
+      // crossed with a 3-row literal MDE table (both broadcast; no
+      // second scan). Tells the pipeline how long an experiment must
+      // run BEFORE burning traffic on an underpowered one.
+      val mom = events(s, dir).select(col("value").as("x"))
+        .agg(avg(col("x")).as("a"), avg(col("x") * col("x")).as("q"))
+        .select(round(col("a"), 6).as("m"),
+          (round(col("q"), 6) - round(col("a"), 6) * round(col("a"), 6))
+            .as("s2"))
+      import s.implicits._
+      val mde = Seq(0.01, 0.02, 0.05).toDF("mde_pct")
+      val z2 = lit(2.8016) * lit(2.8016) // (z_0.025 + z_0.2)² = (1.96+0.8416)²
+      broadcast(mom).crossJoin(mde)
+        .select(col("mde_pct"),
+          round(col("m") * col("mde_pct"), 6).as("delta"), col("s2"))
+        .select(col("mde_pct"), col("delta"),
+          ceil(lit(2.0) * col("s2") * z2 / (col("delta") * col("delta")))
+            .cast(org.apache.spark.sql.types.LongType).as("n_per_arm"))
+        .orderBy("mde_pct")
+    }),
+
     "quality_benford_digits" -> ((s, dir) => {
       // first-digit distribution audit (Benford's law) — the forensic
       // data-quality face: organic multiplicative quantities follow
