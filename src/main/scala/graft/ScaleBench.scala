@@ -198,7 +198,15 @@ object ScaleBench {
     // replicas grow centers ∝ factor at constant degree, so the ratio
     // tests that candidates stay ∝ cap·E (a super-linear ratio here
     // would mean the cap is not actually binding the fan-out)
-    "graph_link_prediction")
+    "graph_link_prediction",
+    // r11 addition (third session): the token-budget assembly capstone —
+    // quality gate + exact keepers + allocation + greedy fill. The
+    // synth keeps (lang, source) VERBATIM, so the cell table — and the
+    // |cells|² remainder-rank self-join — is CONSTANT while eligible
+    // docs grow factor×; the ratio tests that the scans, the exact-dup
+    // hash agg, and the cell-partitioned fill window are the only
+    // N-scaled work
+    "pipeline_tokenbudget_corpus")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE
