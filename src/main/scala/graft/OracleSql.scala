@@ -17,10 +17,6 @@ private[graft] object OracleSql {
 
   private val stopSql = Stopwords.sqlInList
 
-  /** Per-doc language-ID prediction CTE chain, shared by `lang_id` and
-    * `lang_id_confusion`: ends in `pd(doc_id, lang, pred_lang)` —
-    * verbatim mirror of [[TextAnalysis.languageId]].
-    */
   /** Unrolled 4-round unweighted LPA chain over the co-purchase graph,
     * shared by `graph_communities` and `graph_modularity`: ends in
     * `l4(node, label)`; `e0` is the id-ordered distinct edge set and
@@ -53,6 +49,10 @@ private[graft] object OracleSql {
         |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
         |       FROM c4) WHERE rn = 1)""".stripMargin
 
+  /** Per-doc language-ID prediction CTE chain, shared by `lang_id` and
+    * `lang_id_confusion`: ends in `pd(doc_id, lang, pred_lang)` —
+    * verbatim mirror of [[TextAnalysis.languageId]].
+    */
   private val langIdCtes: String = {
     val profiles = TextAnalysis.langProfiles.map { case (lang, ws) =>
       lang -> ws.map(w => s"'$w'").mkString("(", ",", ")")
@@ -1960,7 +1960,7 @@ private[graft] object OracleSql {
       """WITH a AS (SELECT avg(value) AS a, avg(value * value) AS q FROM events),
         |m AS (SELECT round(a, 6) AS m, round(q, 6) - round(a, 6) * round(a, 6) AS s2 FROM a),
         |d AS (SELECT mde_pct, round(m.m * mde_pct, 6) AS delta
-        |      FROM (VALUES (0.01), (0.02), (0.05)) AS v(mde_pct), m)
+        |      FROM (VALUES (CAST(0.01 AS DOUBLE)), (CAST(0.02 AS DOUBLE)), (CAST(0.05 AS DOUBLE))) AS v(mde_pct), m)
         |SELECT mde_pct, delta,
         |       CAST(ceil(2.0 * m.s2 * (2.8016 * 2.8016) / (delta * delta)) AS BIGINT) AS n_per_arm
         |FROM d, m ORDER BY mde_pct""".stripMargin,

@@ -1591,8 +1591,7 @@ object SparkEntry {
       val ds = s.readStream.schema(schema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val fp = ds.select(col("source"),
-          Dedup.md5Hash60(concat_ws("|", col("doc_id"), col("text")))
-            .bitwiseAND(lit(1048575L)).as("rh"))
+          Dedup.rowFold20(col("doc_id"), col("text")).as("rh"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_rows"), sum("rh").as("fingerprint"))
       EventStream.withStatePartitions(s, 8) {
@@ -2576,10 +2575,13 @@ object SparkEntry {
       // whether the cheap classifier is safe to gate on. Two bounded
       // aggregates over the shared prediction lineage; totals
       // broadcast back.
-      val pd = TextAnalysis.languageId(docs(s, dir))
-        .select("lang", "pred_lang")
-      val cm = pd.groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs"))
-      val tot = pd.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val cm = graft.Caches.persist(
+        TextAnalysis.languageId(docs(s, dir))
+          .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs")))
+      // totals derive from the persisted bounded matrix — the scoring
+      // lineage runs ONCE (review finding: cm and a separate tot each
+      // re-ran the full tokenize+score pass)
+      val tot = cm.groupBy("lang").agg(sum("n_docs").as("n_lang"))
       cm.join(broadcast(tot), Seq("lang"))
         .withColumn("share",
           round(col("n_docs").cast("double") / col("n_lang"), 6))
@@ -3126,8 +3128,7 @@ object SparkEntry {
       // whether upstream REALLY changed without diffing any rows.
       val d0 = docs(s, dir)
       val rh = graft.Caches.persist(d0.select(col("doc_id"),
-        Dedup.md5Hash60(concat_ws("|", col("doc_id"), col("text")))
-          .bitwiseAND(lit(1048575L)).as("rh")))
+        Dedup.rowFold20(col("doc_id"), col("text")).as("rh")))
       val qual = TextAnalysis.qualityMetrics(d0)
         .filter(col("n_tokens") >= 20 && col("stopword_ratio") < 0.5)
         .select("doc_id")
@@ -3256,8 +3257,7 @@ object SparkEntry {
           .join(d0, Seq("doc_id"))
           .select(col("doc_id"), col("lang"), col("source"),
             TextAnalysis.wsTokenCount(col("text")).cast("long").as("tok"),
-            Dedup.md5Hash60(concat_ws("|", col("doc_id"), col("text")))
-              .bitwiseAND(lit(1048575L)).as("rh"),
+            Dedup.rowFold20(col("doc_id"), col("text")).as("rh"),
             Dedup.md5Hash60(concat_ws("|", lit("pick"), col("doc_id")))
               .as("pick")))
       val cells = graft.Caches.persist(

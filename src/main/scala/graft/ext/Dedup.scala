@@ -36,6 +36,16 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
 
+  /** The 20-bit per-row content fold behind every dataset fingerprint
+    * (batch, streaming, and the capstone audit): Σ of these is the
+    * order-independent fingerprint, and 20-bit rows keep the BIGINT sum
+    * exact out to ~10¹² rows. ONE definition — the stream ≡ batch
+    * fingerprint equality argument depends on every call site folding
+    * identically.
+    */
+  def rowFold20(docId: Column, text: Column): Column =
+    md5Hash60(concat_ws("|", docId, text)).bitwiseAND(lit(1048575L))
+
   /** Exact duplicate groups: content fingerprint → group size + keeper
     * (min doc_id). Output: (fingerprint, n_docs, keeper_doc_id).
     */
