@@ -1956,6 +1956,26 @@ private[graft] object OracleSql {
         |       abs(round((m1 - m0) / sqrt(v0 / n_control + v1 / n_treatment), 4)) > 1.96 AS significant
         |FROM m""".stripMargin,
 
+    "agg_kmv_distinct" ->
+      // exact relational mirror of the bottom-32 sketch: k smallest
+      // DISTINCT hashes per type via a partitioned row_number; same
+      // estimator arithmetic (31·2⁶⁰ as the identical double literal)
+      s"""WITH h AS (SELECT DISTINCT event_type, ${md5Hash60Sql("CAST(user_id AS VARCHAR)")} AS h FROM events),
+        |r AS (SELECT event_type, h,
+        |             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |      FROM h),
+        |kth AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nd,
+        |               max(CASE WHEN rn = 32 THEN h END) AS h32,
+        |               CAST(least(count(*), 32) AS BIGINT) AS k_used
+        |        FROM r GROUP BY 1),
+        |x AS (SELECT event_type, nd AS n_exact, k_used,
+        |             CASE WHEN nd < 32 THEN CAST(nd AS DOUBLE)
+        |                  ELSE (31.0 * 1152921504606846976.0) / CAST(h32 AS DOUBLE) END AS est0
+        |      FROM kth)
+        |SELECT event_type, n_exact, k_used, round(est0, 2) AS n_est,
+        |       round(abs(est0 - n_exact) / n_exact, 4) AS rel_err
+        |FROM x ORDER BY event_type""".stripMargin,
+
     "events_ab_power" ->
       """WITH a AS (SELECT avg(value) AS a, avg(value * value) AS q FROM events),
         |m AS (SELECT round(a, 6) AS m, round(q, 6) - round(a, 6) * round(a, 6) AS s2 FROM a),

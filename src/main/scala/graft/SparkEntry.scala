@@ -3330,6 +3330,36 @@ object SparkEntry {
         .withColumn("significant", abs(col("z_score")) > 1.96)
     }),
 
+    "agg_kmv_distinct" -> ((s, dir) => {
+      // KMV / bottom-k distinct estimation (graft.functions.KmvBottomK
+      // — the fourth sketch: Space-Saving, HLL, Count-Min, KMV): per
+      // event_type the 32 smallest distinct user-hash values, estimate
+      // n̂ = 31·2⁶⁰/h₍₃₂₎, exact fallback when a group holds < 32
+      // distinct hashes. O(k) state per group at any cardinality, and
+      // unlike HLL the sketch doubles as a uniform sample of the
+      // distinct VALUES. countDistinct rides the same pass for the
+      // audit columns; 60-bit hashes mean the sketch IS exact on the
+      // distinct set it retains, so the gate check is exact equality.
+      val h = Dedup.md5Hash60(col("user_id").cast("string"))
+      events(s, dir)
+        .select(col("event_type"), h.as("h"))
+        .groupBy("event_type")
+        // n_exact counts distinct HASHES (not ids) so the audit column
+        // and the sketch see the identical 60-bit universe
+        .agg(graft.functions.KmvBottomK.bottomk(col("h"), 32).as("bk"),
+          countDistinct(col("h")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          size(col("bk")).cast("long").as("k_used"),
+          when(size(col("bk")) < 32, col("n_exact").cast("double"))
+            .otherwise(lit(31.0 * 1152921504606846976.0) /
+              element_at(col("bk"), 32).cast("double")).as("est0"))
+        .select(col("event_type"), col("n_exact"), col("k_used"),
+          round(col("est0"), 2).as("n_est"),
+          round(abs(col("est0") - col("n_exact")) / col("n_exact"), 4)
+            .as("rel_err"))
+        .orderBy("event_type")
+    }),
+
     "events_ab_power" -> ((s, dir) => {
       // experiment PLANNING, the ztest's forward twin: minimum per-arm
       // sample size to detect a relative lift at α=0.05 two-sided,

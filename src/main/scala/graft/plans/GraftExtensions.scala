@@ -57,6 +57,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[graft.functions.SpaceSavingTopK].getName, "topk_sketch"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.SpaceSavingTopK.fromChildren(children)))
+    ext.injectFunction((
+      FunctionIdentifier("bottomk_sketch"),
+      new ExpressionInfo(classOf[graft.functions.KmvBottomK].getName, "bottomk_sketch"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.KmvBottomK.fromChildren(children)))
     // custom optimizer rule (builder brief path (c)): cheap length guard
     // in front of levenshtein threshold filters
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
