@@ -144,6 +144,15 @@ private[graft] object OracleSql {
       |s AS (SELECT bw.doc_id, log10(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.vocab)) AS lp
       |      FROM bw JOIN c2 USING (bg) JOIN c1 USING (w) CROSS JOIN v)""".stripMargin
 
+  /** Daily order revenue as EXACT integer cents keyed by the epoch-µs
+    * UTC day — mirror of `SparkEntry.dailyOrderCents`, shared by the
+    * ts_stl_decompose / ts_cusum_changepoint oracles.
+    */
+  private val dailyCentsCte: String =
+    """d0 AS (SELECT CAST(epoch_us(date_trunc('day', o_orderdate)) AS BIGINT) AS day_us,
+      |              sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+      |       FROM orders GROUP BY 1)""".stripMargin
+
   /** DuckDB literal for a hyperplane weight vector (sim_lsh_buckets). */
   private def planeSql(j: Int): String =
     Similarity.planeWeights(j, 64).mkString("CAST([", ", ", "] AS DOUBLE[])")
@@ -2201,6 +2210,209 @@ private[graft] object OracleSql {
         |  $outRows)
         |ORDER BY fold""".stripMargin
     },
+
+    "ts_stl_decompose" ->
+      // mirrors TimeSeries.decomposeDow: exact integer-cents daily
+      // aggregate, centered MA via the SAME ±3-offset fan-out (sum of
+      // BIGINTs divided once by 700.0), arithmetic weekday on the epoch
+      // day, weekday means and the grand mean pinned to 6dp before the
+      // re-center subtraction
+      s"""WITH $dailyCentsCte,
+        |off AS (SELECT unnest(range(-3, 4)) AS o),
+        |ma AS (SELECT d.day_us + o.o * 86400000000 AS day_us,
+        |              sum(d.cents) AS ma_cents, count(*) AS ma_n
+        |       FROM d0 d CROSS JOIN off o GROUP BY 1),
+        |wt AS (SELECT d.day_us, CAST(d.cents AS DOUBLE) / 100.0 AS y,
+        |              CASE WHEN m.ma_n = 7 THEN CAST(m.ma_cents AS DOUBLE) / 700.0 END AS trend,
+        |              (d.day_us // 86400000000 + 4) % 7 AS dow
+        |       FROM d0 d LEFT JOIN ma m USING (day_us)),
+        |sea AS (SELECT dow, round(avg(y - trend), 6) AS s_raw FROM wt WHERE trend IS NOT NULL GROUP BY dow),
+        |g AS (SELECT round(avg(s_raw), 6) AS g FROM sea),
+        |seas AS (SELECT dow, round(s_raw - g.g, 6) AS seasonal FROM sea, g)
+        |SELECT wt.day_us, round(wt.y, 4) AS y, round(wt.trend, 4) AS trend,
+        |       round(s.seasonal, 4) AS seasonal,
+        |       round(wt.y - wt.trend - s.seasonal, 4) AS resid
+        |FROM wt LEFT JOIN seas s USING (dow) ORDER BY wt.day_us""".stripMargin,
+
+    "ts_cusum_changepoint" ->
+      // mirrors TimeSeries.cusumChangepoint: the oracle's global cumsum
+      // over exact BIGINT cents EQUALS the engine's two-phase
+      // (year-partitioned scan + prior-year ledger) prefix sum —
+      // integer addition is association-free, which is the whole
+      // determinism argument; μ pinned to 6dp, C_t to 4dp, argmax
+      // tie-break = first day
+      s"""WITH $dailyCentsCte,
+        |tot AS (SELECT round(CAST(sum(cents) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 6) AS mu FROM d0),
+        |cs AS (SELECT day_us, round(CAST(cents AS DOUBLE) / 100.0, 4) AS y,
+        |              round(CAST(sum(cents) OVER (ORDER BY day_us ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+        |                    - CAST(row_number() OVER (ORDER BY day_us) AS DOUBLE) * tot.mu, 4) AS cusum
+        |       FROM d0, tot),
+        |pk AS (SELECT max(abs(cusum)) AS pk FROM cs),
+        |fd AS (SELECT min(day_us) AS cp_day FROM cs, pk WHERE abs(cs.cusum) = pk.pk)
+        |SELECT cs.day_us, cs.y, cs.cusum, cs.day_us = fd.cp_day AS is_changepoint
+        |FROM cs, fd ORDER BY cs.day_us""".stripMargin,
+
+    "orders_survival_km" ->
+      // mirrors Survival.kaplanMeier over reorder gaps: per-customer
+      // lead window (date, orderkey tie-break), censor at the global
+      // max order date, integer risk sets via a prefix window, and the
+      // product-limit recursion as a recursive CTE multiplying
+      // (1 − d/n) in ascending-t order — the exact operation order of
+      // the driver-side fold
+      """WITH RECURSIVE o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d FROM orders),
+        |hz AS (SELECT max(d) AS hz FROM o),
+        |iv AS (SELECT o_custkey, d,
+        |              lead(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS nd
+        |       FROM o),
+        |subj AS (SELECT CASE WHEN nd IS NOT NULL THEN date_diff('day', d, nd)
+        |                     ELSE date_diff('day', d, hz.hz) END AS t,
+        |                nd IS NOT NULL AS event
+        |         FROM iv, hz),
+        |per AS (SELECT t, CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS d_events,
+        |               CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        |        FROM subj GROUP BY t),
+        |idx AS (SELECT t, d_events, n_censored,
+        |               row_number() OVER (ORDER BY t) AS i,
+        |               CAST(coalesce(sum(d_events + n_censored) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS gone
+        |        FROM per),
+        |tot AS (SELECT CAST(sum(d_events + n_censored) AS BIGINT) AS n FROM per),
+        |pre AS (SELECT idx.*, tot.n - idx.gone AS n_risk FROM idx, tot),
+        |rec(i, s) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(1.0 AS DOUBLE)
+        |  UNION ALL
+        |  SELECT p.i, r.s * (1.0 - CAST(p.d_events AS DOUBLE) / CAST(p.n_risk AS DOUBLE))
+        |  FROM rec r JOIN pre p ON p.i = r.i + 1)
+        |SELECT p.t, p.n_risk, p.d_events, p.n_censored, round(r.s, 6) AS s
+        |FROM pre p JOIN rec r ON r.i = p.i ORDER BY p.t""".stripMargin,
+
+    "ml_naive_bayes" ->
+      // mirrors NaiveBayes.confusion: occurrence-level token split by
+      // the shared md5 doc fold, dense (vocab × classes) add-one
+      // likelihoods as ln of exact integer ratios, per-(doc,class)
+      // sums pinned to 6dp BEFORE the prior add and the
+      // (score desc, class asc) argmax
+      s"""WITH t AS (SELECT doc_id, lang AS label,
+        |                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS w,
+        |                 ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 5 = 0 AS is_test
+        |          FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |tr AS (SELECT * FROM t WHERE NOT is_test),
+        |te AS (SELECT * FROM t WHERE is_test),
+        |td AS (SELECT DISTINCT doc_id, label FROM tr),
+        |cd AS (SELECT label, count(*) AS dc FROM td GROUP BY label),
+        |tt AS (SELECT count(*) AS dt FROM td),
+        |pr AS (SELECT label AS c, round(ln(CAST(dc AS DOUBLE) / CAST(dt AS DOUBLE)), 6) AS prior FROM cd, tt),
+        |wc AS (SELECT label, w, count(*) AS n_wc FROM tr GROUP BY label, w),
+        |ct AS (SELECT label, count(*) AS n_c FROM tr GROUP BY label),
+        |vb AS (SELECT DISTINCT w FROM tr),
+        |vs AS (SELECT count(*) AS v FROM vb),
+        |dense AS (SELECT vb.w, ct.label AS c,
+        |                 ln(CAST(coalesce(wc.n_wc, 0) + 1 AS DOUBLE) / CAST(ct.n_c + vs.v AS DOUBLE)) AS ll
+        |          FROM vb CROSS JOIN ct CROSS JOIN vs
+        |          LEFT JOIN wc ON wc.label = ct.label AND wc.w = vb.w),
+        |sc AS (SELECT te.doc_id, te.label, dense.c, round(sum(dense.ll), 6) AS ll_sum
+        |       FROM te JOIN dense ON te.w = dense.w GROUP BY 1, 2, 3),
+        |fin AS (SELECT sc.doc_id, sc.label, sc.c, sc.ll_sum + pr.prior AS score
+        |        FROM sc JOIN pr ON pr.c = sc.c),
+        |best AS (SELECT doc_id, label, c
+        |         FROM (SELECT fin.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn FROM fin)
+        |         WHERE rn = 1)
+        |SELECT label, c AS pred, CAST(count(*) AS BIGINT) AS n
+        |FROM best GROUP BY 1, 2 ORDER BY label, pred""".stripMargin,
+
+    "ml_kmeans_purity" ->
+      // the sim_ivf_assign Lloyd-1 assignment chain (shared CTEs)
+      // crossed with the ground-truth labels; per-cell fraction of its
+      // cluster via a partitioned window over the bounded contingency
+      s"""WITH $ivfLloyd1Ctes,
+        |lb AS (SELECT vec_id, label FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |cont AS (SELECT a1.cluster, lb.label, CAST(count(*) AS BIGINT) AS n
+        |         FROM a1 JOIN lb USING (vec_id) GROUP BY 1, 2)
+        |SELECT cluster, label, n,
+        |       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cluster) AS DOUBLE), 6) AS frac
+        |FROM cont ORDER BY cluster, label""".stripMargin,
+
+    "agg_kmv_jaccard" ->
+      // mirrors the KMV union-trick estimate: bottom-128 of each
+      // release's distinct 60-bit fingerprint hashes, bottom-128 of
+      // their union, J ≈ |U_k ∩ A_k ∩ B_k| / min(k, |U_k|); exact
+      // Jaccard alongside from the full distinct sets
+      s"""WITH d AS (SELECT doc_id, text FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |v1 AS (SELECT md5(text) AS fp FROM d WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT CASE WHEN doc_id % 5 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS fp
+        |       FROM d WHERE doc_id % 3 <> 0),
+        |ask AS (SELECT h FROM (SELECT DISTINCT ${md5Hash60Sql("fp")} AS h FROM v1) ORDER BY h LIMIT 128),
+        |bsk AS (SELECT h FROM (SELECT DISTINCT ${md5Hash60Sql("fp")} AS h FROM v2) ORDER BY h LIMIT 128),
+        |usk AS (SELECT h FROM (SELECT DISTINCT h FROM (SELECT h FROM ask UNION ALL SELECT h FROM bsk)) ORDER BY h LIMIT 128),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM usk
+        |      WHERE h IN (SELECT h FROM ask) AND h IN (SELECT h FROM bsk)),
+        |u AS (SELECT CAST(count(*) AS BIGINT) AS u FROM usk),
+        |ex AS (SELECT round(CAST(ni AS DOUBLE) / CAST(na + nb - ni AS DOUBLE), 6) AS exact_jaccard
+        |       FROM (SELECT (SELECT CAST(count(*) AS BIGINT) FROM (SELECT DISTINCT fp FROM v1) a
+        |                     WHERE a.fp IN (SELECT fp FROM v2)) AS ni,
+        |                    (SELECT count(DISTINCT fp) FROM v1) AS na,
+        |                    (SELECT count(DISTINCT fp) FROM v2) AS nb))
+        |SELECT CAST(128 AS INTEGER) AS k,
+        |       round(CAST(m.m AS DOUBLE) / CAST(least(128, u.u) AS DOUBLE), 6) AS est_jaccard,
+        |       ex.exact_jaccard
+        |FROM m, u, ex""".stripMargin,
+
+    "ts_acf" ->
+      // mirrors TimeSeries.acf: series pre-scaled to O(1)
+      // (cents/10⁸), mean pinned to 9dp, pairs by calendar lag, final
+      // ratio pinned to 6dp
+      s"""WITH $dailyCentsCte,
+        |base AS (SELECT day_us, CAST(cents AS DOUBLE) / 100000000.0 AS ys FROM d0),
+        |mu AS (SELECT round(avg(ys), 9) AS mu FROM base),
+        |dev AS (SELECT day_us, ys - mu.mu AS d FROM base, mu),
+        |den AS (SELECT sum(d * d) AS den FROM dev),
+        |lg AS (SELECT unnest(range(1, 15)) AS lag),
+        |pr AS (SELECT l.lag, sum(a.d * b.d) AS num, CAST(count(*) AS BIGINT) AS n_pairs
+        |       FROM dev a CROSS JOIN lg l
+        |       JOIN dev b ON b.day_us = a.day_us + l.lag * 86400000000
+        |       GROUP BY l.lag)
+        |SELECT CAST(pr.lag AS INTEGER) AS lag, pr.n_pairs, round(pr.num / den.den, 6) AS acf
+        |FROM pr, den ORDER BY lag""".stripMargin,
+
+    "quality_ks_lengths" ->
+      // mirrors Stats.ksTest: the oracle's global cumulative-count
+      // window EQUALS the engine's PrefixSum two-phase scan (exact
+      // BIGINT addition is association-free); every CDF operand is an
+      // integer ratio, sqrt is IEEE-correctly-rounded, so even the
+      // unpinned reject comparison is bit-identical
+      s"""WITH x AS (SELECT n_chars AS v, lang = 'en' AS grp
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |per AS (SELECT v, CAST(sum(CASE WHEN grp THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |               CAST(sum(CASE WHEN grp THEN 0 ELSE 1 END) AS BIGINT) AS cb
+        |        FROM x GROUP BY v),
+        |cum AS (SELECT v,
+        |               CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_ca,
+        |               CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cb
+        |        FROM per),
+        |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb FROM per),
+        |dv AS (SELECT v, abs(CAST(cum_ca AS DOUBLE) / CAST(na AS DOUBLE)
+        |                     - CAST(cum_cb AS DOUBLE) / CAST(nb AS DOUBLE)) AS dv
+        |       FROM cum, tot),
+        |mx AS (SELECT max(dv) AS d_raw FROM dv),
+        |at AS (SELECT min(v) AS at_value FROM dv, mx WHERE dv.dv = mx.d_raw)
+        |SELECT tot.na, tot.nb, round(mx.d_raw, 6) AS d_stat, at.at_value,
+        |       round(sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE)) * 1.358, 6) AS crit_05,
+        |       mx.d_raw > sqrt(CAST(na + nb AS DOUBLE) / CAST(na * nb AS DOUBLE)) * 1.358 AS reject_05
+        |FROM tot, mx, at""".stripMargin,
+
+    "pii_l_diversity" ->
+      // same census shape as pii_k_anonymity with mktsegment moved
+      // from quasi-identifier to sensitive attribute
+      """WITH qi AS (SELECT c_nationkey,
+        |                  CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |                  c_mktsegment
+        |           FROM customer),
+        |g AS (SELECT c_nationkey, bal_bucket,
+        |             CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS l,
+        |             CAST(count(*) AS BIGINT) AS n
+        |      FROM qi GROUP BY 1, 2)
+        |SELECT l, CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(n) AS BIGINT) AS n_customers, l < 2 AS at_risk
+        |FROM g GROUP BY l ORDER BY l""".stripMargin,
 
     "feat_hashing_vectors" -> {
       val sums = (0 until 16).map(i =>

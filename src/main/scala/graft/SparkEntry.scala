@@ -56,6 +56,21 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
 
+  /** Daily order revenue as EXACT integer cents keyed by the UTC day in
+    * epoch micros — the shared deterministic feed of the ts_* family
+    * (decompose/CUSUM; ts_holt_forecast predates it and carries its own
+    * inline copy divided back to dollars): integer sums mean no float
+    * noise enters any downstream moving-average or prefix-sum
+    * arithmetic on either engine.
+    */
+  private def dailyOrderCents(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "orders").select(
+      unix_micros(date_trunc("DAY", col("o_orderdate").cast("timestamp")))
+        .as("day_us"),
+      floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+        .cast(org.apache.spark.sql.types.LongType).as("c"))
+      .groupBy("day_us").agg(sum("c").as("cents"))
+
   /** Fixed search terms for the oracle-checked (non-stemmed) BM25 queries. */
   private[graft] val SearchTerms = Seq("merge", "join", "table", "scan")
   private[graft] val SearchTermsSql = SearchTerms.map(t => s"'$t'").mkString(", ")
@@ -3661,6 +3676,181 @@ object SparkEntry {
           round6(f.intercept * 100000.0), round6(f.testMse)))
         .toDF("fold", "n_test", "slope", "intercept", "test_mse")
         .orderBy("fold")
+    }),
+
+    "ts_stl_decompose" -> ((s, dir) => {
+      // classical additive decomposition of daily revenue into
+      // trend + weekly seasonal + residual (ext/TimeSeries.decomposeDow)
+      // — the monitoring face that makes a residual spike visible
+      // through the weekday rhythm. The centered 7-day MA is the
+      // bounded-offset fan-out (one hash aggregate on the target day),
+      // NEVER a global ordered window; weekday means are 6dp-pinned
+      // before re-centering. Integer cents in, so the MA operands are
+      // exact on both engines.
+      graft.ext.TimeSeries.decomposeDow(dailyOrderCents(s, dir))
+    }),
+
+    "ts_cusum_changepoint" -> ((s, dir) => {
+      // CUSUM mean-shift detection over daily revenue (Page 1954):
+      // C_t = Σ_{i≤t}(y_i − μ̂) peaks AT the change point. The running
+      // total is a DISTRIBUTED two-phase prefix sum — exact BIGINT
+      // cents cumsum within each year partition plus a broadcast
+      // prior-year ledger — so no global ordered window exists in the
+      // plan and the only float op is the final pinned subtraction.
+      graft.ext.TimeSeries.cusumChangepoint(dailyOrderCents(s, dir))
+    }),
+
+    "orders_survival_km" -> ((s, dir) => {
+      // Kaplan-Meier reorder-survival over inter-order gaps
+      // (ext/Survival.kaplanMeier): each order opens an interval that
+      // ends at the customer's NEXT order (event) or at the global
+      // observation horizon (censored — the right-censoring a naive
+      // "average gap" silently drops). Distributed work = one
+      // partitioned lead window + one duration aggregate
+      // (calendar-bounded output); the product-limit fold then runs on
+      // the bounded table (the ts_holt S4-vector pattern) with exact
+      // integer risk sets.
+      val o = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate").cast("date").as("d"))
+      val horizon = o.agg(max("d").as("hz"))
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("d").asc, col("o_orderkey").asc)
+      // same-date reorders are real 0-day gaps; tie-break deterministic
+      val o2 = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("d"))
+        .withColumn("nd", lead(col("d"), 1).over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("d").asc, col("o_orderkey").asc)))
+      val subjects = o2.crossJoin(broadcast(horizon))
+        .select(
+          when(col("nd").isNotNull, datediff(col("nd"), col("d")))
+            .otherwise(datediff(col("hz"), col("d"))).cast("long").as("t"),
+          col("nd").isNotNull.as("event"))
+      graft.ext.Survival.kaplanMeier(subjects)
+    }),
+
+    "ml_naive_bayes" -> ((s, dir) => {
+      // learned language ID: multinomial naive Bayes with add-one
+      // smoothing (ext/NaiveBayes) trained on the md5-fold held-in 80%,
+      // scored on the held-out 20%, reported as the held-out confusion
+      // matrix — the LEARNED counterpart of the lang_id dictionary
+      // heuristic. The model is the dense vocabulary-bounded
+      // (vocab × 5) likelihood table; per-(doc,class) sums are
+      // 6dp-pinned before the argmax.
+      val toks = docs(s, dir).select(col("doc_id"),
+        col("lang").as("label"),
+        explode(TextAnalysis.rawTokens(col("text"))).as("w"))
+      graft.ext.NaiveBayes.confusion(toks,
+        Dedup.md5Hash60(col("doc_id").cast("string")) % 5 === 0)
+    }),
+
+    "ml_kmeans_purity" -> ((s, dir) => {
+      // external clustering evaluation: the Lloyd-refined IVF
+      // clustering (sim_ivf_assign's EXACT assignment chain,
+      // nCentroids=8, one k-means iteration) crossed against the
+      // ground-truth `label` column — contingency counts plus each
+      // cell's within-cluster fraction. Purity of a cluster = its max
+      // frac row; emitting the full matrix keeps the oracle a pure
+      // value mirror. Cluster sizes via a partitioned window over the
+      // (≤ clusters × labels)-row contingency table.
+      val emb = tbl(s, dir, "embeddings")
+      val assigned = Similarity.ivfAssign(
+        emb.select("vec_id", "embedding"), nCentroids = 8, lloydIters = 1)
+      val cont = assigned
+        .join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      cont
+        .withColumn("frac", round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("cluster")), 6))
+        .select(col("cluster"), col("label"), col("n"), col("frac"))
+        .orderBy("cluster", "label")
+    }),
+
+    "agg_kmv_jaccard" -> ((s, dir) => {
+      // KMV set-overlap estimation (Beyer et al. SIGMOD'07 — the
+      // k-minimum-values union trick): Jaccard between the two corpus
+      // releases of curate_version_diff estimated from two k=128
+      // bottom-k fingerprint sketches ONLY — the shape that lets a
+      // 100 TB pipeline keep one tiny sketch per release and compare
+      // any pair without rescanning either. J_est = |U_k ∩ A_k ∩ B_k|/k
+      // with U_k the bottom-k of the sketch union; exact Jaccard rides
+      // along as the telemetry column (the sim_ann_recall pattern).
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val v1 = d.filter(col("doc_id") % 7 =!= 0)
+        .select(md5(col("text")).as("fp"))
+      val v2 = d.filter(col("doc_id") % 3 =!= 0)
+        .select(when(col("doc_id") % 5 === 0,
+          md5(concat(col("text"), lit("v2"))))
+          .otherwise(md5(col("text"))).as("fp"))
+      val k = 128
+      // each release's distinct fingerprint set feeds its sketch AND
+      // the exact-Jaccard telemetry — persist once per side
+      val a = Caches.persist(v1.distinct())
+      val b = Caches.persist(v2.distinct())
+      def sketch(df: org.apache.spark.sql.DataFrame) =
+        df.select(Dedup.md5Hash60(col("fp")).as("h")).distinct()
+          .orderBy("h").limit(k)
+      val aSk = Caches.persist(sketch(a))
+      val bSk = Caches.persist(sketch(b))
+      val uSk = aSk.union(bSk).distinct().orderBy("h").limit(k)
+      val inBoth = uSk
+        .join(aSk, Seq("h"), "left_semi")
+        .join(bSk, Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("m"))
+      val uCnt = uSk.agg(count(lit(1)).as("u"))
+      val exact = {
+        val i = a.join(b, Seq("fp"), "left_semi").agg(count(lit(1)).as("ni"))
+        val na = a.agg(count(lit(1)).as("na"))
+        val nb = b.agg(count(lit(1)).as("nb"))
+        i.crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+          .select(round(col("ni").cast("double") /
+            (col("na") + col("nb") - col("ni")).cast("double"), 6)
+            .as("exact_jaccard"))
+      }
+      inBoth.crossJoin(broadcast(uCnt)).crossJoin(broadcast(exact))
+        .select(lit(k).cast("int").as("k"),
+          round(col("m").cast("double") /
+            least(lit(k.toLong), col("u")).cast("double"), 6)
+            .as("est_jaccard"),
+          col("exact_jaccard"))
+    }),
+
+    "ts_acf" -> ((s, dir) =>
+      // autocorrelation of daily revenue at lags 1..14
+      // (ext/TimeSeries.acf): the bounded lag fan-out + one equi-join
+      // on the shifted day — quantifies the weekly cycle
+      // ts_stl_decompose separates (expect the lag-7 spike)
+      graft.ext.TimeSeries.acf(dailyOrderCents(s, dir), maxLag = 14)),
+
+    "quality_ks_lengths" -> ((s, dir) =>
+      // two-sample Kolmogorov-Smirnov over doc lengths, English vs
+      // the rest (ext/Stats.ksTest): the ordered-domain drift test
+      // text_source_divergence's token-JS can't express. CDFs from
+      // exact integer ratios via the PrefixSum two-phase scan — D,
+      // its location, and the α=0.05 decision are bit-deterministic.
+      graft.ext.Stats.ksTest(
+        docs(s, dir).select(col("n_chars").as("v"),
+          (col("lang") === "en").as("grp")))),
+
+    "pii_l_diversity" -> ((s, dir) => {
+      // l-diversity audit (Machanavajjhala et al. ICDE'06) — the
+      // governance sibling of pii_k_anonymity: same census shape, but
+      // the failure mode is a quasi-identifier group whose SENSITIVE
+      // attribute (mktsegment here) is uniform — k-anonymous yet fully
+      // disclosed. Two hash aggregates; the distinct count rides the
+      // first one.
+      val qi = tbl(s, dir, "customer").select(
+        col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0))
+          .cast(org.apache.spark.sql.types.LongType).as("bal_bucket"),
+        col("c_mktsegment"))
+      qi.groupBy("c_nationkey", "bal_bucket")
+        .agg(countDistinct("c_mktsegment").as("l"), count(lit(1)).as("n"))
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_groups"), sum("n").as("n_customers"))
+        .withColumn("at_risk", col("l") < 2)
+        .orderBy("l")
     }),
 
     "feat_hashing_vectors" -> ((s, dir) => {

@@ -1,0 +1,55 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-comparison statistics over integer-valued columns —
+  * the drift/QA faces a curation pipeline runs when a new source or
+  * release "looks different": text_source_divergence covers token
+  * Jensen-Shannon; this covers the ORDERED-domain question (are these
+  * two length/score distributions the same?) with the two-sample
+  * Kolmogorov-Smirnov test.
+  *
+  * Scale & determinism: the statistic needs the two empirical CDFs at
+  * every distinct value — ONE hash aggregate to the value-DOMAIN-
+  * bounded (value, count_a, count_b) table, then a [[PrefixSum]]
+  * two-phase scan for the cumulative counts. Every CDF operand is an
+  * exact integer ratio and the final comparison/threshold arithmetic
+  * is single-operation IEEE (sqrt is correctly rounded by the
+  * standard), so D, its argmax location, and the reject decision are
+  * bit-deterministic across engines with NO pin-dependence — the pins
+  * on the output are cosmetic rounding only.
+  */
+object Stats {
+
+  /** Two-sample KS test. `values`: (v LONG — the observation,
+    * grp BOOLEAN — true = sample A). Output one row:
+    * (n_a, n_b, d_stat 6dp, at_value = first v attaining D,
+    * crit_05 6dp = 1.358·√((n_a+n_b)/(n_a·n_b)), reject_05).
+    */
+  def ksTest(values: DataFrame, bucketSize: Long = 4096): DataFrame = {
+    val per = values
+      .groupBy(col("v"))
+      .agg(sum(when(col("grp"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("grp"), 0L).otherwise(1L)).as("cb"))
+    val cum = PrefixSum.scan(per, "v", Seq("ca", "cb"), bucketSize)
+    val tot = per.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    // |F_a(v) − F_b(v)| from exact integer ratios — deterministic
+    val dv = graft.Caches.persist(cum.crossJoin(broadcast(tot))
+      .select(col("v"),
+        abs(col("cum_ca").cast("double") / col("na").cast("double") -
+          col("cum_cb").cast("double") / col("nb").cast("double")).as("dv")))
+    val mx = dv.agg(max("dv").as("d_raw"))
+    val at = dv.crossJoin(broadcast(mx))
+      .filter(col("dv") === col("d_raw"))
+      .agg(min("v").as("at_value"))
+    val crit = sqrt((col("na") + col("nb")).cast("double") /
+      (col("na") * col("nb")).cast("double")) * lit(1.358)
+    mx.crossJoin(broadcast(at)).crossJoin(broadcast(tot))
+      .select(col("na"), col("nb"),
+        round(col("d_raw"), 6).as("d_stat"),
+        col("at_value"),
+        round(crit, 6).as("crit_05"),
+        (col("d_raw") > crit).as("reject_05"))
+  }
+}

@@ -162,4 +162,199 @@ object TimeSeries {
     (fit ++ fc).toDF("day_us", "y", "level", "trend", "yhat")
       .orderBy("day_us")
   }
+
+  private val DayUs = 86400000000L
+
+  /** Additive seasonal decomposition y = trend + seasonal + residual
+    * with day-of-week seasonality (the classical-decomposition core of
+    * STL, period 7, single pass — no loess): trend is the CENTERED
+    * 7-day moving average, seasonal is the per-weekday mean of the
+    * detrended series re-centered to sum ≈ 0, residual is what's left.
+    * The anomaly/monitoring complement of [[holtForecast]]: Holt
+    * extrapolates a level+trend, this SEPARATES the weekly cycle from
+    * it so a residual spike is visible through the weekday rhythm.
+    *
+    * Scale & plan shape: the centered MA is the bounded-offset fan-out
+    * (ewma's pattern — series × 7 rows into one hash aggregate on the
+    * target day), NOT a global ordered window: an unpartitioned window
+    * funnels the whole series through one task (the repo bans it —
+    * PlanSmellSpec), while the fan-out shuffles on the day key like any
+    * aggregate. Weekday means are a 7-group aggregate; the re-center
+    * grand mean is a 1-row S4 scalar crossed back broadcast.
+    *
+    * Determinism contract: the caller supplies EXACT integer cents, the
+    * MA is an exact BIGINT sum divided once (sum/700.0 — one correctly-
+    * rounded operation), the weekday is pure integer arithmetic on the
+    * epoch day (no timezone/locale calendar calls on either engine),
+    * and the two float aggregations (weekday mean, grand mean) are
+    * pinned to 6dp before entering downstream arithmetic — the
+    * established distributed-vs-single-node float rule.
+    *
+    * Trend (and hence residual) is NULL where the ±3-day neighborhood
+    * is incomplete (series edges, or gaps in the calendar): the 7-day
+    * mean over fewer than 7 days would be a different statistic, so it
+    * is refused rather than silently degraded.
+    *
+    * Input: (day_us LONG, cents BIGINT). Output per day: (day_us,
+    * y, trend, seasonal, resid), money columns 4dp, seasonal from the
+    * 6dp-pinned weekday table.
+    */
+  def decomposeDow(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    // calendar-bounded (~10³ rows/year at any N); persisted because it
+    // feeds both the MA fan-out and the day-row side of the trend join
+    val base = graft.Caches.persist(daily.select(col("day_us"), col("cents")))
+    // centered MA via bounded offset fan-out: each observed day sends
+    // its cents to the 7 target days whose ±3-day neighborhood it
+    // belongs to; a full neighborhood has exactly 7 contributors
+    val offsets = (-3 to 3).map(_.toLong).toDF("o")
+    val ma = base.crossJoin(broadcast(offsets))
+      .groupBy((col("day_us") + col("o") * DayUs).as("day_us"))
+      .agg(sum("cents").as("ma_cents"), count(lit(1)).as("ma_n"))
+    val withTrend = graft.Caches.persist(base.join(ma, Seq("day_us"), "left")
+      .select(col("day_us"),
+        (col("cents").cast("double") / 100.0).as("y"),
+        when(col("ma_n") === 7,
+          col("ma_cents").cast("double") / 700.0).as("trend"),
+        // integer weekday: epoch day 0 (1970-01-01) was a Thursday;
+        // label it 4 so 0 = Sunday, purely arithmetically (day_us is an
+        // exact DayUs multiple, so the division is exact; cast to LONG
+        // keeps the grouping key integral)
+        (((col("day_us") / DayUs).cast("long") + 4) % 7).as("dow")))
+    val sea = withTrend.filter(col("trend").isNotNull)
+      .groupBy("dow")
+      .agg(round(avg(col("y") - col("trend")), 6).as("s_raw"))
+    val grand = sea.agg(round(avg("s_raw"), 6).as("g"))
+    val seasonal = sea.crossJoin(broadcast(grand))
+      .select(col("dow"), round(col("s_raw") - col("g"), 6).as("seasonal"))
+    // LEFT join: a weekday with no complete-window day anywhere (a
+    // gap-riddled series) has no seasonal estimate — its days stay in
+    // the output with NULL seasonal/resid rather than vanishing
+    withTrend.join(broadcast(seasonal), Seq("dow"), "left")
+      .select(col("day_us"), round(col("y"), 4).as("y"),
+        round(col("trend"), 4).as("trend"),
+        round(col("seasonal"), 4).as("seasonal"),
+        round(col("y") - col("trend") - col("seasonal"), 4).as("resid"))
+      .orderBy("day_us")
+  }
+
+  /** Autocorrelation function of a daily series at lags 1..maxLag —
+    * the diagnostics face that quantifies the weekly rhythm
+    * [[decomposeDow]] removes and validates [[holtForecast]]'s
+    * level-trend assumption: r_k = Σ_t d(t)·d(t+k) / Σ_t d(t)², with
+    * d the deviation from the global mean. Pairs are joined by
+    * CALENDAR lag (t, t+k days); days missing from the calendar simply
+    * contribute no pair (the convention is mirrored by the oracle and
+    * reported via n_pairs).
+    *
+    * Scale & plan shape: the lag fan-out is the bounded-offset pattern
+    * (series × maxLag rows into one equi-join on the shifted day and
+    * one hash aggregate per lag) — never a window, never a
+    * quadratic self-join. Determinism: the series is pre-scaled to
+    * O(1) (cents/10⁸ — revenue in $M), the mean is pinned to 9dp, so
+    * each product is an exact-operand double and the only float-order
+    * noise is the final sums' last-ulp (~1e-13 relative against the
+    * 6dp output pin — the agg_moments family argument).
+    *
+    * Input: (day_us LONG, cents BIGINT). Output: (lag INT, n_pairs,
+    * acf 6dp).
+    */
+  def acf(daily: DataFrame, maxLag: Int = 14): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, "maxLag in [1,64]")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val base = daily.select(col("day_us"),
+      (col("cents").cast("double") / 100000000.0).as("ys"))
+    val mu = base.agg(round(avg("ys"), 9).as("mu"))
+    // deviations feed the denominator scalar AND both pair sides
+    val dev = graft.Caches.persist(base.crossJoin(broadcast(mu))
+      .select(col("day_us"), (col("ys") - col("mu")).as("d")))
+    val den = dev.agg(sum(col("d") * col("d")).as("den"))
+    val lags = (1 to maxLag).map(_.toLong).toDF("lag")
+    val num = dev.crossJoin(broadcast(lags))
+      .select(col("lag"), (col("day_us") + col("lag") * DayUs).as("day_us"),
+        col("d").as("d0"))
+      .join(dev.select(col("day_us"), col("d").as("dk")), Seq("day_us"))
+      .groupBy("lag")
+      .agg(sum(col("d0") * col("dk")).as("num"), count(lit(1)).as("n_pairs"))
+    num.crossJoin(broadcast(den))
+      .select(col("lag").cast("int").as("lag"), col("n_pairs"),
+        round(col("num") / col("den"), 6).as("acf"))
+      .orderBy("lag")
+  }
+
+  /** CUSUM change-point statistic over a daily series (Page 1954, the
+    * offline mean-shift form): C_t = Σ_{i≤t}(y_i − ȳ) — the cumulative
+    * deviation from the global mean — peaks in magnitude AT the change
+    * point. Output flags the (first, by day) maximal |C_t|.
+    *
+    * Scale & plan shape: the running total is a DISTRIBUTED two-phase
+    * prefix sum, not a global ordered window: cents cumsum WITHIN each
+    * year partition (partitioned window — bounded per-task state), then
+    * each year adds the broadcast total of all PRIOR years (the year
+    * ledger is calendar-bounded, a classic S4 scalar table). Exactly
+    * the carry-propagate scan a 1000-executor cluster wants.
+    *
+    * Determinism contract: all cumulative arithmetic is EXACT BIGINT
+    * cents (prefix sums of integers are association-free — no float
+    * order noise anywhere); the only division is the final
+    * C_t = (cum_cents − t·μ_cents)/100 where μ = total/n is pinned to
+    * 6dp dollars first. The argmax tie-break is (|C| desc, day asc),
+    * and |C| comparisons happen on the 4dp-pinned value so both
+    * engines rank identical operands.
+    *
+    * Input: (day_us LONG, cents BIGINT). Output per day: (day_us, y,
+    * cusum 4dp, is_changepoint).
+    */
+  def cusumChangepoint(daily: DataFrame): DataFrame = {
+    val spark = daily.sparkSession
+    import spark.implicits._
+    // calendar-bounded; persisted — it feeds the partitioned scan, the
+    // year ledger, AND the global-mean scalar
+    val base = graft.Caches.persist(daily.select(col("day_us"), col("cents"),
+      // integer year bucket (365-day), purely arithmetic so both
+      // engines bucket identically; only used as the scan partition key
+      // (truncating cast = floor on the positive domain; the quotient
+      // is never within an ulp of an integer unless exactly one)
+      (col("day_us") / (DayUs * 365L)).cast("long").as("yr")))
+    val wIn = Window.partitionBy("yr").orderBy("day_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = base
+      .withColumn("cum_in", sum("cents").over(wIn))
+      .withColumn("t_in", count(lit(1)).over(wIn))
+    // year ledger: one tiny aggregate; prior-year offsets via a
+    // bounded triangle self-join over the ≤ #years rows (never an
+    // unpartitioned window, even on a bounded table — the repo rule)
+    val yrAgg = base.groupBy("yr")
+      .agg(sum("cents").as("yc"), count(lit(1)).as("yn"))
+    val prior = yrAgg.select(col("yr").as("p_yr"), col("yc"), col("yn"))
+    val ledger = yrAgg.select("yr")
+      .join(broadcast(prior), col("p_yr") < col("yr"), "left")
+      .groupBy("yr")
+      .agg(coalesce(sum("yc"), lit(0L)).as("off_c"),
+        coalesce(sum("yn"), lit(0L)).as("off_n"))
+    val tot = base.agg(
+      round(sum("cents").cast("double") / 100.0 /
+        count(lit(1)).cast("double"), 6).as("mu"))
+    // persisted: the series feeds the peak scalar, the first-day argmin,
+    // AND the final output — one materialization, registry-tracked
+    val cs = graft.Caches.persist(local.join(broadcast(ledger), Seq("yr"))
+      .crossJoin(broadcast(tot))
+      .select(col("day_us"),
+        round(col("cents").cast("double") / 100.0, 4).as("y"),
+        round((col("cum_in") + col("off_c")).cast("double") / 100.0 -
+          (col("t_in") + col("off_n")).cast("double") * col("mu"), 4)
+          .as("cusum")))
+    // argmax via self-agg: the peak magnitude is a 1-row scalar; the
+    // FIRST day attaining it is the change point
+    val pkv = cs.agg(max(abs(col("cusum"))).as("pk"))
+    val firstDay = cs.crossJoin(broadcast(pkv))
+      .filter(abs(col("cusum")) === col("pk"))
+      .agg(min("day_us").as("cp_day"))
+    cs.crossJoin(broadcast(firstDay))
+      .select(col("day_us"), col("y"), col("cusum"),
+        (col("day_us") === col("cp_day")).as("is_changepoint"))
+      .orderBy("day_us")
+  }
 }

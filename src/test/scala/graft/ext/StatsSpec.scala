@@ -1,0 +1,38 @@
+package graft.ext
+
+import graft.SparkSpec
+
+class StatsSpec extends SparkSpec {
+
+  test("KS statistic, location, and decision on a hand-computed pair") {
+    import spark.implicits._
+    // A = {1,2,2,3}, B = {3,4}:
+    //   F_A: 1→0.25, 2→0.75, 3→1.0      F_B: 3→0.5, 4→1.0
+    //   |ΔF|: v=1: .25, v=2: .75, v=3: .5, v=4: 0 → D = 0.75 at v=2
+    val values = (Seq(1L, 2L, 2L, 3L).map((_, true)) ++
+      Seq(3L, 4L).map((_, false))).toDF("v", "grp")
+    val got = Stats.ksTest(values, bucketSize = 2L)
+      .selectExpr("na", "nb", "d_stat", "at_value", "crit_05", "reject_05")
+      .as[(Long, Long, Double, Long, Double, Boolean)].collect().toSeq
+    assert(got.size === 1)
+    val (na, nb, d, at, crit, rej) = got.head
+    assert((na, nb) === (4L, 2L))
+    assert(d === 0.75)
+    assert(at === 2L)
+    val wantCrit = BigDecimal(math.sqrt(6.0 / 8.0) * 1.358)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(crit === wantCrit)
+    // D = 0.75 < 1.176: tiny samples cannot reject
+    assert(!rej)
+  }
+
+  test("identical samples give D = 0 located at the smallest value") {
+    import spark.implicits._
+    val values = (Seq(5L, 6L, 7L).map((_, true)) ++
+      Seq(5L, 6L, 7L).map((_, false))).toDF("v", "grp")
+    val got = Stats.ksTest(values)
+      .selectExpr("d_stat", "at_value", "reject_05")
+      .as[(Double, Long, Boolean)].collect().head
+    assert(got === ((0.0, 5L, false)))
+  }
+}

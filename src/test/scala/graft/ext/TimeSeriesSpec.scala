@@ -75,4 +75,100 @@ class TimeSeriesSpec extends SparkSpec {
       ("a", "2024-01-03", 2.0, false),
       ("c", "2024-01-02", 999.0, false)))
   }
+
+  private val DayUs = 86400000000L
+
+  test("decomposeDow recovers a planted flat trend + pure weekly cycle") {
+    import spark.implicits._
+    // 21 days, cents = 100000 + p[dow]; the pattern sums to 0 so the
+    // centered 7-day MA of any full week is exactly 1000.00 and the
+    // re-centered seasonal equals p/100 verbatim
+    val p = Map(0L -> 700L, 1L -> -350L, 2L -> 0L, 3L -> 350L,
+      4L -> -700L, 5L -> 175L, 6L -> -175L)
+    val daily = (0L until 21L)
+      .map(d => (d * DayUs, 100000L + p((d + 4) % 7)))
+      .toDF("day_us", "cents")
+    val got = TimeSeries.decomposeDow(daily)
+      .selectExpr("day_us", "y", "trend", "seasonal", "resid")
+      .as[(Long, Double, Option[Double], Double, Option[Double])]
+      .collect().toSeq.sortBy(_._1)
+    assert(got.size === 21)
+    got.foreach { case (dayUs, y, trend, seasonal, resid) =>
+      val d = dayUs / DayUs
+      val dow = (d + 4) % 7
+      assert(y === (100000L + p(dow)) / 100.0)
+      assert(seasonal === p(dow) / 100.0, s"day $d")
+      if (d >= 3 && d <= 17) {
+        assert(trend === Some(1000.0), s"day $d")
+        assert(resid === Some(0.0), s"day $d")
+      } else {
+        // edge days: incomplete ±3 neighborhood → refused, not degraded
+        assert(trend.isEmpty && resid.isEmpty, s"day $d")
+      }
+    }
+  }
+
+  test("decomposeDow refuses the MA across a calendar gap") {
+    import spark.implicits._
+    // days 0..10 with day 5 missing: every observed day either sits at
+    // a series edge (0-2, 8-10: the calendar runs out) or straddles the
+    // hole (3-4, 6-8: day 5 is inside its ±3 window) — so NO day has a
+    // complete 7-day neighborhood and the trend must be null
+    // everywhere, never a silently-rescaled 6-day mean
+    val daily = (0L to 10L).filter(_ != 5L)
+      .map(d => (d * DayUs, 1000L)).toDF("day_us", "cents")
+    val got = TimeSeries.decomposeDow(daily)
+      .selectExpr("day_us", "trend").as[(Long, Option[Double])]
+      .collect().toSeq
+    assert(got.size === 10)
+    assert(got.forall(_._2.isEmpty))
+  }
+
+  test("acf of an exact alternating series: r_k = ±(n−k)/n") {
+    import spark.implicits._
+    // ys = ±1 exactly (cents = ±10⁸), mean 0: the numerator at lag k
+    // is (n−k) signed products of ±1, the denominator is n — every
+    // operand exact, so the ratios are hand-checkable
+    val n = 8
+    val daily = (0 until n)
+      .map(d => (d.toLong * DayUs, if (d % 2 == 0) 100000000L else -100000000L))
+      .toDF("day_us", "cents")
+    val got = TimeSeries.acf(daily, maxLag = 3)
+      .as[(Int, Long, Double)].collect().toSeq.sortBy(_._1)
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (1, 7L, r6(-7.0 / 8.0)),
+      (2, 6L, r6(6.0 / 8.0)),
+      (3, 5L, r6(-5.0 / 8.0))))
+  }
+
+  test("acf pairs skip calendar holes instead of sliding over them") {
+    import spark.implicits._
+    // days 0,1,3 (day 2 missing): lag-1 pairs = (0,1) only — (1,3)
+    // is a 2-day gap and must NOT pair at lag 1; lag-2 pairs = (1,3)
+    val daily = Seq(0L, 1L, 3L).map(d => (d * DayUs, 100000000L))
+      .toDF("day_us", "cents")
+    val got = TimeSeries.acf(daily, maxLag = 2)
+      .selectExpr("lag", "n_pairs").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1, 1L), (2, 1L)))
+  }
+
+  test("cusum peaks at a planted mean shift and carries across the year partition") {
+    import spark.implicits._
+    // 10 equal-spaced days straddling the 365-day year boundary (days
+    // 360..369): first 5 at 10.00, last 5 at 30.00 — μ = 20.00, the
+    // cumulative deviation bottoms out exactly at the last low day,
+    // and the ledger must carry the yr-0 partial sum into yr 1
+    val daily = (360L to 369L)
+      .map(d => (d * DayUs, if (d < 365) 1000L else 3000L))
+      .toDF("day_us", "cents")
+    val got = TimeSeries.cusumChangepoint(daily)
+      .selectExpr("day_us", "y", "cusum", "is_changepoint")
+      .as[(Long, Double, Double, Boolean)].collect().toSeq.sortBy(_._1)
+    val expect = Seq(-10.0, -20.0, -30.0, -40.0, -50.0,
+      -40.0, -30.0, -20.0, -10.0, 0.0)
+    assert(got.map(_._3) === expect)
+    assert(got.filter(_._4).map(_._1) === Seq(364L * DayUs))
+  }
 }
