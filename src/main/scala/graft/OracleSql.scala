@@ -2414,6 +2414,59 @@ private[graft] object OracleSql {
         |       CAST(sum(n) AS BIGINT) AS n_customers, l < 2 AS at_risk
         |FROM g GROUP BY l ORDER BY l""".stripMargin,
 
+    "ts_forecast_backtest" ->
+      // mirrors TimeSeries.forecastBacktest: shift/fan-out predictions
+      // from exact integer cents, last-28-day holdout, averages pinned
+      // to 6dp (RMSE pins the mean square before the sqrt)
+      s"""WITH $dailyCentsCte,
+        |nv AS (SELECT 'naive' AS model, day_us + 86400000000 AS day_us,
+        |              CAST(cents AS DOUBLE) / 100.0 AS phat FROM d0),
+        |sn AS (SELECT 'snaive' AS model, day_us + 7 * 86400000000 AS day_us,
+        |              CAST(cents AS DOUBLE) / 100.0 AS phat FROM d0),
+        |m7 AS (SELECT 'ma7' AS model, day_us, CAST(s AS DOUBLE) / 700.0 AS phat
+        |       FROM (SELECT d.day_us + o.o * 86400000000 AS day_us,
+        |                    sum(d.cents) AS s, count(*) AS n
+        |             FROM d0 d CROSS JOIN (SELECT unnest(range(1, 8)) AS o) o
+        |             GROUP BY 1)
+        |       WHERE n = 7),
+        |mx AS (SELECT max(day_us) AS mx FROM d0),
+        |ho AS (SELECT day_us, CAST(cents AS DOUBLE) / 100.0 AS y
+        |       FROM d0, mx WHERE day_us > mx.mx - 28 * 86400000000),
+        |p AS (SELECT * FROM nv UNION ALL SELECT * FROM sn UNION ALL SELECT * FROM m7),
+        |e AS (SELECT p.model, ho.y - p.phat AS e, abs(ho.y - p.phat) / ho.y AS ape
+        |      FROM p JOIN ho USING (day_us))
+        |SELECT model, CAST(count(*) AS BIGINT) AS n_days,
+        |       round(avg(ape), 6) AS mape,
+        |       round(sqrt(round(avg(e * e), 6)), 6) AS rmse
+        |FROM e GROUP BY model ORDER BY model""".stripMargin,
+
+    "pii_t_closeness" ->
+      // mirrors the dense (groups × segments) total-variation audit;
+      // absent segments contribute |0 − p_s|, halved sum pinned to 6dp
+      """WITH c AS (SELECT c_nationkey,
+        |                 CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |                 c_mktsegment
+        |          FROM customer),
+        |g AS (SELECT c_nationkey, bal_bucket, c_mktsegment,
+        |             CAST(count(*) AS BIGINT) AS n_gs
+        |      FROM c GROUP BY 1, 2, 3),
+        |grp AS (SELECT c_nationkey, bal_bucket, CAST(sum(n_gs) AS BIGINT) AS n_g
+        |        FROM g GROUP BY 1, 2),
+        |seg AS (SELECT c_mktsegment, CAST(sum(n_gs) AS BIGINT) AS n_s FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_s) AS BIGINT) AS n FROM seg),
+        |ad AS (SELECT grp.c_nationkey, grp.bal_bucket, grp.n_g,
+        |              abs(CAST(coalesce(g.n_gs, 0) AS DOUBLE) / CAST(grp.n_g AS DOUBLE)
+        |                  - CAST(seg.n_s AS DOUBLE) / CAST(tot.n AS DOUBLE)) AS ad
+        |       FROM grp CROSS JOIN seg
+        |       LEFT JOIN g ON g.c_nationkey = grp.c_nationkey
+        |                  AND g.bal_bucket = grp.bal_bucket
+        |                  AND g.c_mktsegment = seg.c_mktsegment,
+        |       tot),
+        |tv AS (SELECT c_nationkey, bal_bucket, n_g, round(sum(ad) / 2.0, 6) AS t
+        |       FROM ad GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, bal_bucket, n_g AS n, t, t > 0.5 AS breach
+        |FROM tv ORDER BY c_nationkey, bal_bucket""".stripMargin,
+
     "feat_hashing_vectors" -> {
       val sums = (0 until 16).map(i =>
         s"CAST(sum(CASE WHEN dim = $i THEN sgn ELSE 0 END) AS BIGINT) AS f$i")

@@ -3853,6 +3853,48 @@ object SparkEntry {
         .orderBy("l")
     }),
 
+    "ts_forecast_backtest" -> ((s, dir) =>
+      // rolling-origin evaluation of the three relational one-step
+      // baselines (naive / seasonal-naive / trailing MA-7) on the last
+      // 28 days of daily revenue (ext/TimeSeries.forecastBacktest) —
+      // the yardstick ts_holt_forecast has to beat, in MAPE/RMSE
+      graft.ext.TimeSeries.forecastBacktest(dailyOrderCents(s, dir),
+        holdoutDays = 28)),
+
+    "pii_t_closeness" -> ((s, dir) => {
+      // t-closeness audit (Li et al. ICDE'07) — completes the
+      // governance trio: a group can be k-anonymous AND l-diverse yet
+      // still leak because its sensitive DISTRIBUTION deviates from
+      // the population's. t(g) = total variation distance between the
+      // group's mktsegment distribution and the global one, computed
+      // over the DENSE (groups × segments) cross so absent segments
+      // contribute their |0 − p_s| term. All tables past the first
+      // aggregate are QI-domain-bounded.
+      val g = Caches.persist(tbl(s, dir, "customer").select(
+        col("c_nationkey"),
+        floor(col("c_acctbal") / lit(1000.0))
+          .cast(org.apache.spark.sql.types.LongType).as("bal_bucket"),
+        col("c_mktsegment"))
+        .groupBy("c_nationkey", "bal_bucket", "c_mktsegment")
+        .agg(count(lit(1)).as("n_gs")))
+      val grp = g.groupBy("c_nationkey", "bal_bucket").agg(sum("n_gs").as("n_g"))
+      val seg = g.groupBy("c_mktsegment").agg(sum("n_gs").as("n_s"))
+      val totN = seg.agg(sum("n_s").as("n"))
+      grp.crossJoin(broadcast(seg))
+        .join(g, Seq("c_nationkey", "bal_bucket", "c_mktsegment"), "left")
+        .crossJoin(broadcast(totN))
+        .select(col("c_nationkey"), col("bal_bucket"), col("n_g"),
+          abs(coalesce(col("n_gs"), lit(0L)).cast("double") /
+            col("n_g").cast("double") -
+            col("n_s").cast("double") / col("n").cast("double")).as("ad"))
+        .groupBy("c_nationkey", "bal_bucket", "n_g")
+        .agg(round(sum("ad") / lit(2.0), 6).as("t"))
+        .withColumn("breach", col("t") > 0.5)
+        .select(col("c_nationkey"), col("bal_bucket"),
+          col("n_g").as("n"), col("t"), col("breach"))
+        .orderBy("c_nationkey", "bal_bucket")
+    }),
+
     "feat_hashing_vectors" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. ICML'09): fixed 16-dim
       // signed token-count featurization — the bridge from raw text to

@@ -284,17 +284,73 @@ object TimeSeries {
       .orderBy("lag")
   }
 
+  /** Rolling-origin backtest of the three RELATIONAL one-step
+    * forecasters — naive (ŷ_t = y_{t−1}), seasonal-naive
+    * (ŷ_t = y_{t−7}, the weekly-cycle baseline), trailing-7 moving
+    * average — over the last `holdoutDays` days: the EVALUATION face
+    * that tells a pipeline which baseline its fancy model
+    * ([[holtForecast]]) actually has to beat, in the same units
+    * (MAPE, RMSE) it will be judged by.
+    *
+    * Every prediction is a calendar-day shift or bounded fan-out (the
+    * ewma/decompose pattern — no windows, no state); a holdout day
+    * whose required history is missing from the calendar contributes
+    * no row for that model (n_days reports the truth, the acf
+    * convention).
+    *
+    * Determinism: y and every ŷ are exact integer-cent ratios; per-day
+    * errors are exact-operand IEEE; only the final averages carry
+    * engine-order noise and both are 6dp-pinned (RMSE pins the mean
+    * square BEFORE the correctly-rounded sqrt).
+    *
+    * Input: (day_us LONG, cents BIGINT). Output per model:
+    * (model, n_days, mape 6dp, rmse 6dp).
+    */
+  def forecastBacktest(daily: DataFrame, holdoutDays: Int = 28): DataFrame = {
+    require(holdoutDays >= 1 && holdoutDays <= 365, "holdoutDays in [1,365]")
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val base = graft.Caches.persist(daily.select(col("day_us"), col("cents")))
+    val naive = base.select(lit("naive").as("model"),
+      (col("day_us") + DayUs).as("day_us"),
+      (col("cents").cast("double") / 100.0).as("phat"))
+    val snaive = base.select(lit("snaive").as("model"),
+      (col("day_us") + lit(7L) * DayUs).as("day_us"),
+      (col("cents").cast("double") / 100.0).as("phat"))
+    val offs = (1 to 7).map(_.toLong).toDF("o")
+    val ma7 = base.crossJoin(broadcast(offs))
+      .groupBy((col("day_us") + col("o") * DayUs).as("day_us"))
+      .agg(sum("cents").as("s"), count(lit(1)).as("n"))
+      .filter(col("n") === 7)
+      .select(lit("ma7").as("model"), col("day_us"),
+        (col("s").cast("double") / 700.0).as("phat"))
+    val mx = base.agg(max("day_us").as("mx"))
+    val holdout = base.crossJoin(broadcast(mx))
+      .filter(col("day_us") > col("mx") - lit(holdoutDays.toLong) * DayUs)
+      .select(col("day_us"), (col("cents").cast("double") / 100.0).as("y"))
+    naive.unionByName(snaive).unionByName(ma7)
+      .join(holdout, Seq("day_us"))
+      .select(col("model"), (col("y") - col("phat")).as("e"),
+        (abs(col("y") - col("phat")) / col("y")).as("ape"))
+      .groupBy("model")
+      .agg(count(lit(1)).as("n_days"),
+        round(avg("ape"), 6).as("mape"),
+        round(sqrt(round(avg(col("e") * col("e")), 6)), 6).as("rmse"))
+      .orderBy("model")
+  }
+
   /** CUSUM change-point statistic over a daily series (Page 1954, the
     * offline mean-shift form): C_t = Σ_{i≤t}(y_i − ȳ) — the cumulative
     * deviation from the global mean — peaks in magnitude AT the change
     * point. Output flags the (first, by day) maximal |C_t|.
     *
     * Scale & plan shape: the running total is a DISTRIBUTED two-phase
-    * prefix sum, not a global ordered window: cents cumsum WITHIN each
-    * year partition (partitioned window — bounded per-task state), then
-    * each year adds the broadcast total of all PRIOR years (the year
-    * ledger is calendar-bounded, a classic S4 scalar table). Exactly
-    * the carry-propagate scan a 1000-executor cluster wants.
+    * prefix sum ([[PrefixSum.scan]], 365-day buckets), not a global
+    * ordered window: cents cumsum WITHIN each year partition
+    * (partitioned window — bounded per-task state), then each year adds
+    * the broadcast total of all PRIOR years (the year ledger is
+    * calendar-bounded, a classic S4 scalar table). Exactly the
+    * carry-propagate scan a 1000-executor cluster wants.
     *
     * Determinism contract: all cumulative arithmetic is EXACT BIGINT
     * cents (prefix sums of integers are association-free — no float
@@ -310,41 +366,25 @@ object TimeSeries {
   def cusumChangepoint(daily: DataFrame): DataFrame = {
     val spark = daily.sparkSession
     import spark.implicits._
-    // calendar-bounded; persisted — it feeds the partitioned scan, the
-    // year ledger, AND the global-mean scalar
-    val base = graft.Caches.persist(daily.select(col("day_us"), col("cents"),
-      // integer year bucket (365-day), purely arithmetic so both
-      // engines bucket identically; only used as the scan partition key
-      // (truncating cast = floor on the positive domain; the quotient
-      // is never within an ulp of an integer unless exactly one)
-      (col("day_us") / (DayUs * 365L)).cast("long").as("yr")))
-    val wIn = Window.partitionBy("yr").orderBy("day_us")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = base
-      .withColumn("cum_in", sum("cents").over(wIn))
-      .withColumn("t_in", count(lit(1)).over(wIn))
-    // year ledger: one tiny aggregate; prior-year offsets via a
-    // bounded triangle self-join over the ≤ #years rows (never an
-    // unpartitioned window, even on a bounded table — the repo rule)
-    val yrAgg = base.groupBy("yr")
-      .agg(sum("cents").as("yc"), count(lit(1)).as("yn"))
-    val prior = yrAgg.select(col("yr").as("p_yr"), col("yc"), col("yn"))
-    val ledger = yrAgg.select("yr")
-      .join(broadcast(prior), col("p_yr") < col("yr"), "left")
-      .groupBy("yr")
-      .agg(coalesce(sum("yc"), lit(0L)).as("off_c"),
-        coalesce(sum("yn"), lit(0L)).as("off_n"))
+    // calendar-bounded; persisted — it feeds the prefix scan AND the
+    // global-mean scalar
+    val base = graft.Caches.persist(
+      daily.select(col("day_us"), col("cents"), lit(1L).as("one")))
+    // the two running totals (cents, position) ride ONE PrefixSum scan;
+    // 365-day buckets make the ledger a ≤ #years broadcast
+    val scanned = PrefixSum.scan(base, "day_us", Seq("cents", "one"),
+      bucketSize = DayUs * 365L)
     val tot = base.agg(
       round(sum("cents").cast("double") / 100.0 /
         count(lit(1)).cast("double"), 6).as("mu"))
     // persisted: the series feeds the peak scalar, the first-day argmin,
     // AND the final output — one materialization, registry-tracked
-    val cs = graft.Caches.persist(local.join(broadcast(ledger), Seq("yr"))
+    val cs = graft.Caches.persist(scanned
       .crossJoin(broadcast(tot))
       .select(col("day_us"),
         round(col("cents").cast("double") / 100.0, 4).as("y"),
-        round((col("cum_in") + col("off_c")).cast("double") / 100.0 -
-          (col("t_in") + col("off_n")).cast("double") * col("mu"), 4)
+        round(col("cum_cents").cast("double") / 100.0 -
+          col("cum_one").cast("double") * col("mu"), 4)
           .as("cusum")))
     // argmax via self-agg: the peak magnitude is a 1-row scalar; the
     // FIRST day attaining it is the change point

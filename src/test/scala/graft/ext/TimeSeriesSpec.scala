@@ -154,6 +154,34 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === Seq((1, 1L), (2, 1L)))
   }
 
+  test("forecast backtest: hand-computed MAPE/RMSE for all three baselines") {
+    import spark.implicits._
+    // y_d = d+1 dollars on days 0..9, holdout = last 2 days (y=9,10):
+    //   naive  : ŷ = previous day → errors 1, 1
+    //   snaive : ŷ = 7 days back  → errors 7, 7
+    //   ma7    : ŷ = trailing-7 mean (5 and 6 exactly) → errors 4, 4
+    val daily = (0L to 9L).map(d => (d * DayUs, (d + 1) * 100L))
+      .toDF("day_us", "cents")
+    val got = TimeSeries.forecastBacktest(daily, holdoutDays = 2)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      ("ma7", 2L, r6((4.0 / 9.0 + 4.0 / 10.0) / 2.0), 4.0),
+      ("naive", 2L, r6((1.0 / 9.0 + 1.0 / 10.0) / 2.0), 1.0),
+      ("snaive", 2L, r6((7.0 / 9.0 + 7.0 / 10.0) / 2.0), 7.0)))
+  }
+
+  test("forecast backtest: models without enough history contribute no rows") {
+    import spark.implicits._
+    // 5 days: snaive needs t−7 and ma7 needs a full trailing week —
+    // neither can predict any holdout day; only naive reports
+    val daily = (0L to 4L).map(d => (d * DayUs, 500L)).toDF("day_us", "cents")
+    val got = TimeSeries.forecastBacktest(daily, holdoutDays = 2)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(got === Seq(("naive", 2L, 0.0, 0.0)))
+  }
+
   test("cusum peaks at a planted mean shift and carries across the year partition") {
     import spark.implicits._
     // 10 equal-spaced days straddling the 365-day year boundary (days
