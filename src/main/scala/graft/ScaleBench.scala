@@ -206,7 +206,21 @@ object ScaleBench {
     // docs grow factor×; the ratio tests that the scans, the exact-dup
     // hash agg, and the cell-partitioned fill window are the only
     // N-scaled work
-    "pipeline_tokenbudget_corpus")
+    "pipeline_tokenbudget_corpus",
+    // r11 additions (fourth session): naive Bayes — train aggregates
+    // and the scoring join grow ∝ token occurrences, the model table
+    // ∝ vocabulary (both ∝ factor under the suffixed synth); a
+    // super-linear ratio would mean the dense (V×C) model stopped
+    // being vocabulary-bounded. KM survival — the lead window and
+    // duration agg are the only N-sized stages (the product-limit fold
+    // is calendar-bounded); the ratio tests that claim. KS test — one
+    // value-domain agg + the PrefixSum scan; n_chars values are
+    // REPLICATED verbatim by the synth, so the distinct-value table is
+    // CONSTANT while counts grow ∝ factor — only the first agg may
+    // scale. Seasonal decomposition — daily agg ∝ N, everything after
+    // is calendar-bounded.
+    "ml_naive_bayes", "orders_survival_km", "quality_ks_lengths",
+    "ts_stl_decompose")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE
