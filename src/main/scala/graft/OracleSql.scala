@@ -796,6 +796,41 @@ private[graft] object OracleSql {
         |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
         |ORDER BY k1, k2""".stripMargin,
 
+    "er_golden_record" ->
+      // mirrors the consolidation: the fuzzy_jw_pairs candidate CTE →
+      // recursive reach (the dedup_components pattern) → per-component
+      // survivorship (longest-name tie-broken lexicographically via a
+      // ranked window — the struct-ordered min's exact semantics)
+      """WITH RECURSIVE r AS (SELECT p_partkey, p_name, p_brand,
+        |                  row_number() OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey) AS rn
+        |           FROM part),
+        |pr AS (SELECT least(a.p_partkey, b.p_partkey) AS k1,
+        |              greatest(a.p_partkey, b.p_partkey) AS k2
+        |       FROM r a JOIN r b
+        |         ON a.p_brand = b.p_brand AND b.rn BETWEEN a.rn + 1 AND a.rn + 5
+        |       WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9),
+        |e AS (SELECT k1 AS src, k2 AS dst FROM pr UNION SELECT k2, k1 FROM pr),
+        |nn AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, rr) AS (
+        |  SELECT node, node FROM nn
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.rr),
+        |ccmp AS (SELECT node, min(rr) AS component FROM reach GROUP BY node),
+        |m AS (SELECT c.component, p.p_partkey, p.p_name, p.p_size, p.p_retailprice, p.p_brand
+        |      FROM ccmp c JOIN part p ON p.p_partkey = c.node),
+        |nm AS (SELECT component, p_name,
+        |              row_number() OVER (PARTITION BY component ORDER BY len(p_name) DESC, p_name ASC) AS rn
+        |       FROM m),
+        |g AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members,
+        |             round(min(p_retailprice), 2) AS min_price,
+        |             max(p_size) AS max_size,
+        |             CAST(count(DISTINCT p_brand) AS BIGINT) AS n_brands
+        |      FROM m GROUP BY component)
+        |SELECT g.component AS canonical_key, g.n_members, nm.p_name AS name,
+        |       g.min_price, g.max_size, g.n_brands
+        |FROM g JOIN nm ON nm.component = g.component AND nm.rn = 1
+        |ORDER BY canonical_key""".stripMargin,
+
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
         |       CAST(count(*) AS BIGINT) AS n
@@ -2466,6 +2501,21 @@ private[graft] object OracleSql {
         |       FROM ad GROUP BY 1, 2, 3)
         |SELECT c_nationkey, bal_bucket, n_g AS n, t, t > 0.5 AS breach
         |FROM tv ORDER BY c_nationkey, bal_bucket""".stripMargin,
+
+    "agg_exact_quantiles" ->
+      // mirrors Stats.exactQuantiles: distinct-cents counts, global
+      // cumulative window (= the PrefixSum scan), exact integer ceil
+      // ranks, smallest value reaching each rank
+      """WITH x AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders),
+        |per AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY v),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c FROM per),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+        |qs AS (SELECT * FROM (VALUES ('p25', 1, 4), ('p50', 1, 2), ('p75', 3, 4),
+        |                             ('p90', 9, 10), ('p99', 99, 100)) AS t(p, num, den)),
+        |rk AS (SELECT p, CAST((num * n + den - 1) // den AS BIGINT) AS rank FROM qs, tot)
+        |SELECT rk.p, rk.rank, min(cum.v) AS value
+        |FROM cum JOIN rk ON cum.cum_c >= rk.rank
+        |GROUP BY rk.p, rk.rank ORDER BY rk.p""".stripMargin,
 
     "feat_hashing_vectors" -> {
       val sums = (0 until 16).map(i =>

@@ -63,6 +63,39 @@ object SparkEntry {
     * noise enters any downstream moving-average or prefix-sum
     * arithmetic on either engine.
     */
+  /** Sorted-neighborhood Jaro-Winkler match pairs over `part`
+    * (Hernández & Stolfo SIGMOD'95; the r10 re-block): each part is
+    * compared against its next 5 neighbors in (p_name, p_partkey)
+    * order within its brand, so the candidate count is 5·N at EVERY
+    * scale — blocking on p_brand alone (~25 values at any SF) made
+    * within-block pairs ∝ N²/25, the quadratic cliff the dedup family
+    * avoids. The custom codegen expression
+    * (functions/JaroWinkler.scala) prices each candidate; its
+    * floored-transposition arithmetic is bit-identical to DuckDB's
+    * jaro_winkler_similarity, so the >= 0.9 threshold needs no
+    * rounding guard. lead() over the brand-partitioned sort replaces
+    * the self-join entirely — one window shuffle, no row-number
+    * equi-join. Shared by `fuzzy_jw_pairs` (reports the pairs) and
+    * `er_golden_record` (consolidates them).
+    */
+  private def jwMatchPairs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy("p_name", "p_partkey")
+    tbl(s, dir, "part")
+      .select("p_partkey", "p_name", "p_brand")
+      .withColumn("nbrs", array((1 to 5).map(i =>
+        struct(lead(col("p_partkey"), i).over(w).as("kb"),
+          lead(col("p_name"), i).over(w).as("nb"))): _*))
+      .select(col("p_partkey").as("ka"), col("p_name").as("na"),
+        explode(col("nbrs")).as("x"))
+      .filter(col("x.kb").isNotNull)
+      .withColumn("jw",
+        graft.functions.JaroWinkler.jaroWinkler(col("na"), col("x.nb")))
+      .filter(col("jw") >= 0.9)
+      .select(least(col("ka"), col("x.kb")).as("k1"),
+        greatest(col("ka"), col("x.kb")).as("k2"),
+        round(col("jw"), 4).as("jw"))
+  }
+
   private def dailyOrderCents(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders").select(
       unix_micros(date_trunc("DAY", col("o_orderdate").cast("timestamp")))
@@ -1666,38 +1699,40 @@ object SparkEntry {
         .orderBy("doc_a")
     }),
 
-    "fuzzy_jw_pairs" -> ((s, dir) => {
+    "fuzzy_jw_pairs" -> ((s, dir) =>
       // entity resolution by Jaro-Winkler name similarity with
-      // SORTED-NEIGHBORHOOD blocking (Hernández & Stolfo, SIGMOD'95;
-      // the r10 re-block): each part is compared against its next 5
-      // neighbors in (p_name, p_partkey) order within its brand, so
-      // the candidate count is 5·N at EVERY scale — the r10 form
-      // blocked on p_brand alone, whose ~25-value cardinality is fixed
-      // at every SF, making within-block pairs ∝ N²/25 (the quadratic
-      // cliff the dedup family avoids). The custom codegen expression
-      // (functions/JaroWinkler.scala) prices each candidate; its
-      // floored-transposition arithmetic is bit-identical to DuckDB's
-      // jaro_winkler_similarity, so the >= 0.9 threshold filter needs
-      // no rounding guard. lead() over the brand-partitioned sort
-      // replaces the self-join entirely — one window shuffle, no
-      // row-number equi-join.
-      val w = Window.partitionBy("p_brand").orderBy("p_name", "p_partkey")
-      val withNbrs = tbl(s, dir, "part")
-        .select("p_partkey", "p_name", "p_brand")
-        .withColumn("nbrs", array((1 to 5).map(i =>
-          struct(lead(col("p_partkey"), i).over(w).as("kb"),
-            lead(col("p_name"), i).over(w).as("nb"))): _*))
-      withNbrs
-        .select(col("p_partkey").as("ka"), col("p_name").as("na"),
-          explode(col("nbrs")).as("x"))
-        .filter(col("x.kb").isNotNull)
-        .withColumn("jw",
-          graft.functions.JaroWinkler.jaroWinkler(col("na"), col("x.nb")))
-        .filter(col("jw") >= 0.9)
-        .select(least(col("ka"), col("x.kb")).as("k1"),
-          greatest(col("ka"), col("x.kb")).as("k2"),
-          round(col("jw"), 4).as("jw"))
-        .orderBy("k1", "k2")
+      // SORTED-NEIGHBORHOOD blocking — see [[jwMatchPairs]] (factored
+      // so er_golden_record consolidates the SAME match set)
+      jwMatchPairs(s, dir).orderBy("k1", "k2")),
+
+    "er_golden_record" -> ((s, dir) => {
+      // golden-record consolidation — the step AFTER pair matching
+      // that an MDM/entity-resolution pipeline actually ships: the
+      // jwMatchPairs match set becomes an undirected graph, connected
+      // components (Pregel min-label, ext/Graph) merge transitive
+      // matches into entities, and per-entity SURVIVORSHIP rules pick
+      // the golden attributes (longest name with a deterministic
+      // lexicographic tie-break via struct-ordered min, cheapest
+      // price, largest size) plus a cross-brand conflict count. The
+      // canonical key IS the component (min member key). Everything
+      // past the pair window is bounded by matched entities, not N.
+      val pairs = jwMatchPairs(s, dir)
+        .select(col("k1").as("src"), col("k2").as("dst"))
+      val cc = Graph.connectedComponents(pairs)
+      val members = tbl(s, dir, "part")
+        .select(col("p_partkey"), col("p_name"), col("p_size"),
+          col("p_retailprice"), col("p_brand"))
+        .join(cc, col("p_partkey") === col("node"))
+      members.groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          min(struct((-length(col("p_name"))).as("nl"),
+            col("p_name").as("nm"))).getField("nm").as("name"),
+          round(min("p_retailprice"), 2).as("min_price"),
+          max("p_size").as("max_size"),
+          countDistinct("p_brand").as("n_brands"))
+        .select(col("component").as("canonical_key"), col("n_members"),
+          col("name"), col("min_price"), col("max_size"), col("n_brands"))
+        .orderBy("canonical_key")
     }),
 
     "q6_forecast_revenue" -> ((s, dir) =>
@@ -3894,6 +3929,20 @@ object SparkEntry {
           col("n_g").as("n"), col("t"), col("breach"))
         .orderBy("c_nationkey", "bal_bucket")
     }),
+
+    "agg_exact_quantiles" -> ((s, dir) =>
+      // EXACT order-price quantiles with no global sort
+      // (ext/Stats.exactQuantiles): N rows → distinct-cents counts →
+      // PrefixSum scan → smallest value reaching each exact integer
+      // rank. The bit-deterministic complement of a5_percentiles'
+      // approx_percentile — at 100 TB the scanned table is bounded by
+      // the price DOMAIN, never by row count.
+      graft.ext.Stats.exactQuantiles(
+        tbl(s, dir, "orders").select(
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+            .cast(org.apache.spark.sql.types.LongType).as("v")),
+        Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L),
+          ("p90", 9L, 10L), ("p99", 99L, 100L)))),
 
     "feat_hashing_vectors" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. ICML'09): fixed 16-dim

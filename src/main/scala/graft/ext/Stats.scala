@@ -22,6 +22,45 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** EXACT quantiles of an integer-valued column with NO global sort —
+    * the scale-right complement of `approx_percentile`
+    * (a5_percentiles): reduce N rows to the distinct-value count table
+    * (bounded by the VALUE DOMAIN, not by N), [[PrefixSum]]-scan it,
+    * and each requested quantile is the smallest v whose cumulative
+    * count reaches its rank (the inverse-CDF / type-1 definition,
+    * `quantile_disc`). Ranks are EXACT integer ceilings of p·N from
+    * rational p (num/den literals) — no float ever touches the
+    * answer, so the result is bit-deterministic at any N.
+    *
+    * `quantiles`: (label, num, den) with 0 < num ≤ den. Output:
+    * (p = label, rank, value), ordered by p.
+    */
+  def exactQuantiles(values: DataFrame,
+      quantiles: Seq[(String, Long, Long)],
+      bucketSize: Long = 131072L): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall { case (_, n, d) => n > 0 && n <= d },
+      "quantiles must satisfy 0 < num <= den")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val per = values.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = graft.Caches.persist(
+      PrefixSum.scan(per, "v", Seq("c"), bucketSize))
+    val tot = per.agg(sum("c").as("n"))
+    val qs = quantiles.toDF("p", "num", "den")
+    // rank = ceil(num·N / den) in pure integer arithmetic (`div`, not
+    // `/` — Column./ on longs is DOUBLE division, which loses exactness
+    // past 2^53 and would make the rank engine-dependent at scale)
+    val ranks = qs.crossJoin(broadcast(tot))
+      .select(col("p"),
+        expr("(num * n + den - 1) div den").cast("long").as("rank"))
+    cum.crossJoin(broadcast(ranks))
+      .filter(col("cum_c") >= col("rank"))
+      .groupBy("p", "rank")
+      .agg(min("v").as("value"))
+      .orderBy("p")
+  }
+
   /** Two-sample KS test. `values`: (v LONG — the observation,
     * grp BOOLEAN — true = sample A). Output one row:
     * (n_a, n_b, d_stat 6dp, at_value = first v attaining D,

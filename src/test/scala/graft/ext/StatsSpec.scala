@@ -26,6 +26,29 @@ class StatsSpec extends SparkSpec {
     assert(!rej)
   }
 
+  test("exact quantiles: hand-computed ranks over a set with duplicates") {
+    import spark.implicits._
+    // values 10,10,20,30,30,30,40,50 (n=8):
+    //   p50 rank ceil(8/2)=4  → smallest v with cum≥4 is 30 (cum: 2,3,6,…)
+    //   p25 rank 2 → 10;  p75 rank 6 → 30;  p99 rank ceil(7.92)=8 → 50
+    val values = Seq(10L, 10L, 20L, 30L, 30L, 30L, 40L, 50L).toDF("v")
+    val got = Stats.exactQuantiles(values,
+      Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L), ("p99", 99L, 100L)),
+      bucketSize = 16L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("p25", 2L, 10L), ("p50", 4L, 30L),
+      ("p75", 6L, 30L), ("p99", 8L, 50L)))
+  }
+
+  test("exact quantiles: p100 is the max; a single row answers every p with itself") {
+    import spark.implicits._
+    val one = Seq(7L).toDF("v")
+    val got = Stats.exactQuantiles(one,
+      Seq(("a_p01", 1L, 100L), ("b_p100", 1L, 1L)), bucketSize = 4L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a_p01", 1L, 7L), ("b_p100", 1L, 7L)))
+  }
+
   test("identical samples give D = 0 located at the smallest value") {
     import spark.implicits._
     val values = (Seq(5L, 6L, 7L).map((_, true)) ++
