@@ -2517,6 +2517,67 @@ private[graft] object OracleSql {
         |FROM cum JOIN rk ON cum.cum_c >= rk.rank
         |GROUP BY rk.p, rk.rank ORDER BY rk.p""".stripMargin,
 
+    "agg_exact_quantiles_grouped" ->
+      // mirrors Stats.exactQuantilesBy: per-group distinct-value
+      // counts, per-group cumulative window (= the scanBy
+      // construction), exact integer ceil ranks per group
+      """WITH x AS (SELECT o_orderpriority AS g,
+        |                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v
+        |          FROM orders),
+        |per AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY g, v),
+        |cum AS (SELECT g, v, CAST(sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c FROM per),
+        |tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM per GROUP BY g),
+        |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) AS t(p, num, den)),
+        |rk AS (SELECT g, p, CAST((num * n + den - 1) // den AS BIGINT) AS rank FROM tot, qs)
+        |SELECT rk.g, rk.p, rk.rank, min(cum.v) AS value
+        |FROM cum JOIN rk ON cum.g = rk.g AND cum.cum_c >= rk.rank
+        |GROUP BY rk.g, rk.p, rk.rank ORDER BY rk.g, rk.p""".stripMargin,
+
+    "events_markov_stationary" ->
+      // mirrors the unrolled 4-step power iteration: states = observed
+      // transition sources, row-normalized exact-ratio P, uniform x0,
+      // each step's vector 6dp-pinned before the next multiply
+      """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events),
+        |g AS (SELECT event_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type FROM e),
+        |p0 AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+        |       FROM g WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+        |st AS (SELECT DISTINCT event_type AS s FROM p0),
+        |p1 AS (SELECT * FROM p0 WHERE next_type IN (SELECT s FROM st)),
+        |tt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total FROM p1 GROUP BY event_type),
+        |tp AS (SELECT p1.event_type AS src, p1.next_type AS dst,
+        |              CAST(p1.n AS DOUBLE) / CAST(tt.row_total AS DOUBLE) AS p
+        |       FROM p1 JOIN tt USING (event_type)),
+        |k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM st),
+        |x0 AS (SELECT s, 1.0 / CAST(k.k AS DOUBLE) AS x FROM st, k),
+        |x1 AS (SELECT tp.dst AS s, round(sum(x0.x * tp.p), 6) AS x FROM tp JOIN x0 ON x0.s = tp.src GROUP BY tp.dst),
+        |x2 AS (SELECT tp.dst AS s, round(sum(x1.x * tp.p), 6) AS x FROM tp JOIN x1 ON x1.s = tp.src GROUP BY tp.dst),
+        |x3 AS (SELECT tp.dst AS s, round(sum(x2.x * tp.p), 6) AS x FROM tp JOIN x2 ON x2.s = tp.src GROUP BY tp.dst),
+        |x4 AS (SELECT tp.dst AS s, round(sum(x3.x * tp.p), 6) AS x FROM tp JOIN x3 ON x3.s = tp.src GROUP BY tp.dst)
+        |SELECT s AS event_type, x AS prob FROM x4 ORDER BY event_type""".stripMargin,
+
+    "events_attribution" ->
+      // mirrors the range-framed touch windows; the zero-padded
+      // (ts, event_id, type) string key makes same-timestamp ties
+      // order-independent on both engines
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, event_type FROM events),
+        |tk AS (SELECT user_id, ts_us, event_id, event_type,
+        |              CASE WHEN event_type IN ('click', 'view')
+        |                   THEN lpad(CAST(ts_us AS VARCHAR), 20, '0') || '#' || lpad(CAST(event_id AS VARCHAR), 20, '0') || '#' || event_type
+        |              END AS touch_key
+        |       FROM e),
+        |wnd AS (SELECT user_id, ts_us, event_type,
+        |               max(touch_key) OVER (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS last_k,
+        |               min(touch_key) OVER (PARTITION BY user_id ORDER BY ts_us RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING) AS first_k
+        |        FROM tk),
+        |att AS (SELECT coalesce(string_split(last_k, '#')[3], 'none') AS last_touch,
+        |               coalesce(string_split(first_k, '#')[3], 'none') AS first_touch
+        |        FROM wnd WHERE event_type = 'purchase')
+        |SELECT 'last_touch' AS model, last_touch AS touch_type, CAST(count(*) AS BIGINT) AS n_conversions
+        |FROM att GROUP BY 2
+        |UNION ALL
+        |SELECT 'first_touch', first_touch, CAST(count(*) AS BIGINT) FROM att GROUP BY 2
+        |ORDER BY model, touch_type""".stripMargin,
+
     "feat_hashing_vectors" -> {
       val sums = (0 until 16).map(i =>
         s"CAST(sum(CASE WHEN dim = $i THEN sgn ELSE 0 END) AS BIGINT) AS f$i")

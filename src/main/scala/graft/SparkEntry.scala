@@ -3944,6 +3944,90 @@ object SparkEntry {
         Seq(("p25", 1L, 4L), ("p50", 1L, 2L), ("p75", 3L, 4L),
           ("p90", 9L, 10L), ("p99", 99L, 100L)))),
 
+    "agg_exact_quantiles_grouped" -> ((s, dir) =>
+      // exact per-priority price quantiles (ext/Stats.exactQuantilesBy):
+      // the grouped face a group-partitioned window CANNOT provide at
+      // scale — a low-cardinality partition key still funnels each
+      // group's N rows through one task, while the PrefixSum.scanBy
+      // construction keeps per-task state bounded by value buckets
+      graft.ext.Stats.exactQuantilesBy(
+        tbl(s, dir, "orders").select(col("o_orderpriority").as("g"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+            .cast(org.apache.spark.sql.types.LongType).as("v")),
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)))),
+
+    "events_markov_stationary" -> ((s, dir) => {
+      // stationary distribution of the event-type Markov chain — the
+      // long-run "where do sessions spend their time" summary
+      // events_transition_matrix's per-cell probabilities don't give:
+      // x ← xP unrolled 4 power-iteration steps over the
+      // |types|²-bounded transition table, each iteration's vector
+      // pinned to 6dp (the ml_logreg_gd operand-pinning pattern).
+      // States = types observed as transition SOURCES; at this data
+      // every type both enters and leaves, so no mass leaks.
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir)
+        .withColumn("next_type", lead("event_type", 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+      val states = Caches.persist(
+        pairs.select(col("event_type").as("st")).distinct())
+      val inStates = pairs
+        .join(broadcast(states), col("next_type") === col("st"), "left_semi")
+      val totals = inStates.groupBy("event_type").agg(sum("n").as("row_total"))
+      val p = Caches.persist(inStates.join(broadcast(totals), Seq("event_type"))
+        .select(col("event_type").as("src"), col("next_type").as("dst"),
+          (col("n").cast("double") / col("row_total").cast("double")).as("p")))
+      val k = states.count() // S4: |types| is bounded
+      var x = states.select(col("st"),
+        (lit(1.0) / lit(k.toDouble)).as("x"))
+      for (_ <- 1 to 4) {
+        x = p.join(x, col("src") === col("st"))
+          .groupBy("dst")
+          .agg(round(sum(col("x") * col("p")), 6).as("x"))
+          .select(col("dst").as("st"), col("x"))
+      }
+      x.select(col("st").as("event_type"), col("x").as("prob"))
+        .orderBy("event_type")
+    }),
+
+    "events_attribution" -> ((s, dir) => {
+      // marketing-style conversion attribution: each purchase credits
+      // the LAST and the FIRST click/view touch within its trailing
+      // 24 h (two RANGE-framed windows per user over epoch micros).
+      // Same-timestamp ties are killed structurally: the carried value
+      // is the min/max of a zero-padded (ts, event_id, type) string
+      // key, which is order-independent — no reliance on frame order.
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"))
+      val touchKey = when(col("event_type").isin("click", "view"),
+        concat(lpad(col("ts_us").cast("string"), 20, "0"), lit("#"),
+          lpad(col("event_id").cast("string"), 20, "0"), lit("#"),
+          col("event_type")))
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-86400000000L, -1L)
+      // persisted: both attribution models read the same windowed pass
+      val attributed = Caches.persist(ev
+        .withColumn("last_k", max(touchKey).over(w))
+        .withColumn("first_k", min(touchKey).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          coalesce(element_at(split(col("last_k"), "#"), 3), lit("none"))
+            .as("last_touch"),
+          coalesce(element_at(split(col("first_k"), "#"), 3), lit("none"))
+            .as("first_touch")))
+      attributed.groupBy(col("last_touch").as("touch_type"))
+        .agg(count(lit(1)).as("n_conversions"))
+        .withColumn("model", lit("last_touch"))
+        .unionByName(attributed
+          .groupBy(col("first_touch").as("touch_type"))
+          .agg(count(lit(1)).as("n_conversions"))
+          .withColumn("model", lit("first_touch")))
+        .select("model", "touch_type", "n_conversions")
+        .orderBy("model", "touch_type")
+    }),
+
     "feat_hashing_vectors" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. ICML'09): fixed 16-dim
       // signed token-count featurization — the bridge from raw text to

@@ -34,30 +34,46 @@ object PrefixSum {
     * over ascending `orderCol`, inclusive of the current row.
     */
   def scan(df: DataFrame, orderCol: String, valueCols: Seq[String],
-      bucketSize: Long): DataFrame = {
+      bucketSize: Long): DataFrame =
+    scanBy(df, Seq.empty, orderCol, valueCols, bucketSize)
+
+  /** [[scan]] restarted per group: the running sums reset for each
+    * distinct `partCols` tuple (per-key CDFs, per-entity running
+    * inventories). The broadcast ledger is bounded by
+    * groups × buckets — the caller sizes `bucketSize` accordingly.
+    */
+  def scanBy(df: DataFrame, partCols: Seq[String], orderCol: String,
+      valueCols: Seq[String], bucketSize: Long): DataFrame = {
     require(bucketSize > 0, "bucketSize must be positive")
     require(valueCols.nonEmpty, "need at least one value column")
     val b = df.withColumn("__bkt",
       (col(orderCol) / lit(bucketSize)).cast("long"))
-    val w = Window.partitionBy("__bkt").orderBy(orderCol)
+    val partKeys = partCols :+ "__bkt"
+    val w = Window.partitionBy(partKeys.map(col): _*).orderBy(orderCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = valueCols.foldLeft(b) { (acc, c) =>
       acc.withColumn(s"__loc_$c", sum(col(c)).over(w))
     }
     val totAggs = valueCols.map(c => sum(col(c)).as(s"__tot_$c"))
-    val bktAgg = b.groupBy("__bkt").agg(totAggs.head, totAggs.tail: _*)
+    val bktAgg = b.groupBy(partKeys.map(col): _*)
+      .agg(totAggs.head, totAggs.tail: _*)
     val prior = bktAgg.select(
-      (col("__bkt").as("__p_bkt") +:
-        valueCols.map(c => col(s"__tot_$c"))): _*)
+      (partCols.map(c => col(c).as(s"__p_$c")) :+
+        col("__bkt").as("__p_bkt")) ++
+        valueCols.map(c => col(s"__tot_$c")): _*)
     val offAggs = valueCols.map(c =>
       coalesce(sum(s"__tot_$c"), lit(0L)).as(s"__off_$c"))
-    val ledger = bktAgg.select("__bkt")
-      .join(broadcast(prior), col("__p_bkt") < col("__bkt"), "left")
-      .groupBy("__bkt").agg(offAggs.head, offAggs.tail: _*)
+    val priorCond = partCols
+      .map(c => col(s"__p_$c") === col(c))
+      .foldLeft(col("__p_bkt") < col("__bkt"))(_ && _)
+    val ledger = bktAgg.select(partKeys.map(col): _*)
+      .join(broadcast(prior), priorCond, "left")
+      .groupBy(partKeys.map(col): _*)
+      .agg(offAggs.head, offAggs.tail: _*)
     val outCols: Seq[Column] =
       df.columns.toSeq.map(col) ++
         valueCols.map(c => (col(s"__loc_$c") + col(s"__off_$c")).as(s"cum_$c"))
-    local.join(broadcast(ledger), Seq("__bkt"))
+    local.join(broadcast(ledger), partKeys)
       .select(outCols: _*)
   }
 }

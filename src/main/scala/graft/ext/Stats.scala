@@ -61,6 +61,36 @@ object Stats {
       .orderBy("p")
   }
 
+  /** [[exactQuantiles]] per group — the grouped face a partitioned
+    * window CANNOT provide at scale (a window partitioned by a
+    * low-cardinality group still funnels each group's N rows through
+    * one task; the [[PrefixSum.scanBy]] construction keeps per-task
+    * state bounded by buckets). `values`: (g, v LONG). Output:
+    * (g, p, rank, value), ordered.
+    */
+  def exactQuantilesBy(values: DataFrame,
+      quantiles: Seq[(String, Long, Long)],
+      bucketSize: Long = 131072L): DataFrame = {
+    require(quantiles.nonEmpty, "need at least one quantile")
+    require(quantiles.forall { case (_, n, d) => n > 0 && n <= d },
+      "quantiles must satisfy 0 < num <= den")
+    val spark = values.sparkSession
+    import spark.implicits._
+    val per = values.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val cum = graft.Caches.persist(
+      PrefixSum.scanBy(per, Seq("g"), "v", Seq("c"), bucketSize))
+    val tot = per.groupBy("g").agg(sum("c").as("n"))
+    val qs = quantiles.toDF("p", "num", "den")
+    val ranks = tot.crossJoin(broadcast(qs))
+      .select(col("g"), col("p"),
+        expr("(num * n + den - 1) div den").cast("long").as("rank"))
+    cum.join(broadcast(ranks), Seq("g"))
+      .filter(col("cum_c") >= col("rank"))
+      .groupBy("g", "p", "rank")
+      .agg(min("v").as("value"))
+      .orderBy("g", "p")
+  }
+
   /** Two-sample KS test. `values`: (v LONG — the observation,
     * grp BOOLEAN — true = sample A). Output one row:
     * (n_a, n_b, d_stat 6dp, at_value = first v attaining D,

@@ -23,6 +23,21 @@ class PrefixSumSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("scanBy restarts the running sum at every group boundary") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 0L, 1L), ("a", 3L, 2L), ("a", 7L, 3L), // buckets 0,0,1
+      ("b", 3L, 10L), ("b", 8L, 20L))              // buckets 0,2
+    val got = PrefixSum.scanBy(rows.toDF("g", "k", "a"), Seq("g"), "k",
+      Seq("a"), bucketSize = 4L)
+      .orderBy("g", "k").selectExpr("g", "k", "cum_a")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", 0L, 1L), ("a", 3L, 3L), ("a", 7L, 6L),
+      // group b must NOT see group a's carry, even in shared buckets
+      ("b", 3L, 10L), ("b", 8L, 30L)))
+  }
+
   test("single bucket and negative values still scan correctly") {
     import spark.implicits._
     val rows = Seq((1L, 5L), (2L, -3L), (3L, 4L))

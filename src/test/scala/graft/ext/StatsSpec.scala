@@ -49,6 +49,17 @@ class StatsSpec extends SparkSpec {
     assert(got === Seq(("a_p01", 1L, 7L), ("b_p100", 1L, 7L)))
   }
 
+  test("grouped exact quantiles: each group gets its own ranks") {
+    import spark.implicits._
+    // group a = {1,2,3,4} (n=4, p50 rank 2 → 2); group b = {10} (→ 10)
+    val values = (Seq(1L, 2L, 3L, 4L).map(("a", _)) ++ Seq(("b", 10L)))
+      .toDF("g", "v")
+    val got = Stats.exactQuantilesBy(values, Seq(("p50", 1L, 2L)),
+      bucketSize = 8L)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", "p50", 2L, 2L), ("b", "p50", 1L, 10L)))
+  }
+
   test("identical samples give D = 0 located at the smallest value") {
     import spark.implicits._
     val values = (Seq(5L, 6L, 7L).map((_, true)) ++
