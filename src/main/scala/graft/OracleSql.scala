@@ -2578,6 +2578,41 @@ private[graft] object OracleSql {
         |SELECT 'first_touch', first_touch, CAST(count(*) AS BIGINT) FROM att GROUP BY 2
         |ORDER BY model, touch_type""".stripMargin,
 
+    "graph_sssp_weighted" ->
+      // mirrors Graph.ssspBounded: weighted co-purchase edges, integer
+      // cost wmax+1−w, 3 unrolled min-plus relaxations (each = previous
+      // distances ∪ one edges⋈dist expansion, min per node)
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
+        |wm AS (SELECT max(w) AS wmax FROM e0),
+        |ce AS (SELECT src, dst, wm.wmax + 1 - w AS c FROM e0, wm),
+        |sym AS (SELECT DISTINCT src, dst, c FROM (SELECT src, dst, c FROM ce UNION ALL SELECT dst AS src, src AS dst, c FROM ce)),
+        |d0 AS (SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS d FROM part WHERE p_brand = 'Brand#22'),
+        |d1 AS (SELECT node, min(d) AS d FROM (SELECT node, d FROM d0
+        |       UNION ALL SELECT sym.dst AS node, d0.d + sym.c AS d FROM sym JOIN d0 ON sym.src = d0.node) GROUP BY node),
+        |d2 AS (SELECT node, min(d) AS d FROM (SELECT node, d FROM d1
+        |       UNION ALL SELECT sym.dst AS node, d1.d + sym.c AS d FROM sym JOIN d1 ON sym.src = d1.node) GROUP BY node),
+        |d3 AS (SELECT node, min(d) AS d FROM (SELECT node, d FROM d2
+        |       UNION ALL SELECT sym.dst AS node, d2.d + sym.c AS d FROM sym JOIN d2 ON sym.src = d2.node) GROUP BY node)
+        |SELECT d, CAST(count(*) AS BIGINT) AS n_parts FROM d3 GROUP BY d ORDER BY d""".stripMargin,
+
+    "j11_join_size_estimate" ->
+      // mirrors the key-sample estimator: per-key counts, the 1/64
+      // md5-threshold stratum, est = 64·Σ n_a·n_b; exact join count as
+      // telemetry
+      s"""WITH la AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS na FROM lineitem GROUP BY 1),
+        |ob AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS nb FROM orders GROUP BY 1),
+        |sm AS (SELECT la.k, na, nb FROM la JOIN ob USING (k)
+        |       WHERE ${md5Hash60Sql("CAST(la.k AS VARCHAR)")} % 64 = 0),
+        |est AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled_keys,
+        |               CAST(sum(na * nb) * 64 AS BIGINT) AS est_rows FROM sm),
+        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_rows
+        |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT est.n_sampled_keys, est.est_rows, ex.exact_rows,
+        |       round(CAST(abs(est.est_rows - ex.exact_rows) AS DOUBLE) / CAST(ex.exact_rows AS DOUBLE), 6) AS rel_err
+        |FROM est, ex""".stripMargin,
+
     "feat_hashing_vectors" -> {
       val sums = (0 until 16).map(i =>
         s"CAST(sum(CASE WHEN dim = $i THEN sgn ELSE 0 END) AS BIGINT) AS f$i")

@@ -4028,6 +4028,51 @@ object SparkEntry {
         .orderBy("model", "touch_type")
     }),
 
+    "graph_sssp_weighted" -> ((s, dir) => {
+      // bounded weighted shortest paths (ext/Graph.ssspBounded) over
+      // the shared co-purchase edge memo, seeded on Brand#22's parts:
+      // integer edge cost = (w_max + 1 − w), so STRONG co-purchase
+      // links are cheap and the 3-round Bellman-Ford prefers them even
+      // when longer — the weighted complement of graph_bfs_hops' hop
+      // counts. Distance distribution keeps the output bounded.
+      val e = copurchaseEdgesMemo(s, dir)
+      val wmax = e.agg(max("w")).head().getLong(0) // S4 scalar
+      val seeds = tbl(s, dir, "part")
+        .filter(col("p_brand") === "Brand#22")
+        .select(col("p_partkey").as("node"))
+      Graph.ssspBounded(
+        e.select(col("src"), col("dst"), (lit(wmax + 1L) - col("w")).as("c")),
+        seeds, rounds = 3)
+        .groupBy("d").agg(count(lit(1)).as("n_parts"))
+        .orderBy("d")
+    }),
+
+    "j11_join_size_estimate" -> ((s, dir) => {
+      // join-cardinality estimation from a uniform KEY sample — the
+      // planner-telemetry face: |A⋈B| is estimated WITHOUT running the
+      // join, from the 1/64 md5-threshold key stratum (deterministic,
+      // so the estimate is replayable), as 64·Σ n_a(k)·n_b(k) over
+      // sampled keys. The exact join count rides along as telemetry
+      // (the sim_ann_recall pattern) — at 100 TB only the two
+      // per-key-count aggregates and a sampled-key join ever run.
+      val la = tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("na"))
+      val ob = tbl(s, dir, "orders")
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("nb"))
+      val sampled = la.join(ob, Seq("k"))
+        .filter(Dedup.md5Hash60(col("k").cast("string")) % 64 === 0)
+      val est = sampled.agg(count(lit(1)).as("n_sampled_keys"),
+        (sum(col("na") * col("nb")) * lit(64L)).as("est_rows"))
+      val exact = tbl(s, dir, "lineitem")
+        .join(tbl(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("exact_rows"))
+      est.crossJoin(broadcast(exact))
+        .select(col("n_sampled_keys"), col("est_rows"), col("exact_rows"),
+          round(abs(col("est_rows") - col("exact_rows")).cast("double") /
+            col("exact_rows").cast("double"), 6).as("rel_err"))
+    }),
+
     "feat_hashing_vectors" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. ICML'09): fixed 16-dim
       // signed token-count featurization — the bridge from raw text to

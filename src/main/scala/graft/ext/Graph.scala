@@ -455,6 +455,43 @@ object Graph {
     dist
   }
 
+  /** Bounded weighted single-source shortest paths — k rounds of
+    * Bellman-Ford relaxation over the min-plus semiring, the WEIGHTED
+    * complement of [[bfsHops]] (hop counts treat a 1-co-purchase link
+    * and a 500-co-purchase link identically; with an integer cost per
+    * edge the cheapest path prefers strong links even when longer).
+    * After k rounds `d(v)` is exact for every path of ≤ k edges — the
+    * same bounded-round contract as every superstep face here, and the
+    * property that keeps the oracle an unrolled CTE chain.
+    *
+    * Each round is one edges⋈dist join (∝ E rows) plus a min
+    * aggregate; costs are caller-supplied INTEGERS so every relaxation
+    * is exact arithmetic — no float path sums, no tie ambiguity
+    * (equal-cost paths collapse under min identically on any engine).
+    *
+    * @param costEdges (src, dst, c) undirected; c a non-negative LONG
+    * @param seeds     (node) — distance-0 sources
+    * @return (node, d) for nodes reachable within `rounds` edges
+    */
+  def ssspBounded(costEdges: DataFrame, seeds: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "ssspBounded needs at least one round")
+    val sym = costEdges.select(col("src"), col("dst"), col("c"))
+      .union(costEdges.select(col("dst").as("src"), col("src").as("dst"),
+        col("c")))
+      .distinct()
+    var dist = graft.Caches.persist(
+      seeds.select(col("node")).distinct().withColumn("d", lit(0L)))
+    (1 to rounds).foreach { _ =>
+      val relaxed = sym
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("d") + col("c")).as("d"))
+      dist = graft.Caches.persist(dist.union(relaxed)
+        .groupBy("node").agg(min("d").as("d")))
+    }
+    dist
+  }
+
   /** k-core of an undirected graph by BOUNDED synchronous peeling
     * (the parallel formulation of Matula & Beck's bucket peel, JACM'83;
     * cf. Batagelj & Zaveršnik, "An O(m) Algorithm for Cores

@@ -316,6 +316,29 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 99L -> 0L))
   }
 
+  test("ssspBounded: cheap detour beats the direct edge; round bound is exact") {
+    import spark.implicits._
+    // A(1)—B(2) cost 5, B—C(3) cost 1, A—C cost 10: the 2-edge detour
+    // (cost 6) beats the direct edge (10) — but only once rounds ≥ 2.
+    // After 1 round the best known C is the direct 10.
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L))
+      .toDF("src", "dst", "c")
+    val seeds = Seq(1L).toDF("node")
+    val r1 = Graph.ssspBounded(edges, seeds, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.clearPersisted()
+    val r2 = Graph.ssspBounded(edges, seeds, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.clearPersisted()
+    assert(r1 == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    assert(r2 == Map(1L -> 0L, 2L -> 5L, 3L -> 6L))
+    // undirectedness: seeding C finds A through the same detour
+    val r2c = Graph.ssspBounded(edges, Seq(3L).toDF("node"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.clearPersisted()
+    assert(r2c == Map(3L -> 0L, 2L -> 1L, 1L -> 6L))
+  }
+
   test("bfsHops: min over multiple seeds and reversed-duplicate edges") {
     import spark.implicits._
     // triangle 1-2-3 plus tail 3-4; seeds {1, 4}: node 3 is 1 hop from
