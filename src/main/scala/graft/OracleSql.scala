@@ -2613,6 +2613,24 @@ private[graft] object OracleSql {
         |       round(CAST(abs(est.est_rows - ex.exact_rows) AS DOUBLE) / CAST(ex.exact_rows AS DOUBLE), 6) AS rel_err
         |FROM est, ex""".stripMargin,
 
+    "events_time_to_convert" ->
+      // mirrors the conversion-latency chain + the exactQuantiles
+      // construction (global cumulative window = the PrefixSum scan)
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_type FROM events),
+        |su AS (SELECT user_id, min(ts_us) AS s_ts FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (SELECT e.user_id, su.s_ts, min(e.ts_us) AS p_ts
+        |       FROM e JOIN su USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts_us > su.s_ts GROUP BY 1, 2),
+        |x AS (SELECT (p_ts - s_ts) // 60000000 AS v FROM pu),
+        |per AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY v),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c FROM per),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+        |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) AS t(p, num, den)),
+        |rk AS (SELECT p, CAST((num * n + den - 1) // den AS BIGINT) AS rank FROM qs, tot)
+        |SELECT rk.p, rk.rank, min(cum.v) AS value
+        |FROM cum JOIN rk ON cum.cum_c >= rk.rank
+        |GROUP BY rk.p, rk.rank ORDER BY rk.p""".stripMargin,
+
     "feat_hashing_vectors" -> {
       val sums = (0 until 16).map(i =>
         s"CAST(sum(CASE WHEN dim = $i THEN sgn ELSE 0 END) AS BIGINT) AS f$i")

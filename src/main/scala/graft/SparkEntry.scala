@@ -4073,6 +4073,27 @@ object SparkEntry {
             col("exact_rows").cast("double"), 6).as("rel_err"))
     }),
 
+    "events_time_to_convert" -> ((s, dir) => {
+      // signup→purchase conversion latency distribution: each user's
+      // first signup, their first purchase AFTER it, latency in whole
+      // minutes, summarized by EXACT quantiles (Stats.exactQuantiles —
+      // the latency domain is event-window-bounded, so the no-sort
+      // quantile path applies verbatim). Two filtered aggregates and
+      // one join; no windows.
+      val ev = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min("ts_us").as("s_ts"))
+      val pu = ev.filter(col("event_type") === "purchase")
+        .join(su, Seq("user_id"))
+        .filter(col("ts_us") > col("s_ts"))
+        .groupBy("user_id", "s_ts").agg(min("ts_us").as("p_ts"))
+      graft.ext.Stats.exactQuantiles(
+        pu.select(expr("(p_ts - s_ts) div 60000000").as("v")),
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)),
+        bucketSize = 4096L)
+    }),
+
     "feat_hashing_vectors" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. ICML'09): fixed 16-dim
       // signed token-count featurization — the bridge from raw text to
