@@ -153,6 +153,31 @@ private[graft] object OracleSql {
       |              sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
       |       FROM orders GROUP BY 1)""".stripMargin
 
+  /** The ml_logreg_gd d → p1 → w1 → p2 → w2 → p3 → w3 unrolled-GD CTE
+    * chain (ends in the final pinned weights w3) — shared by the
+    * ml_logreg_gd and ml_calibration oracles.
+    */
+  private val logregW3Ctes: String =
+    """d AS (SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
+      |                  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      |           FROM lineitem),
+      |p1 AS (SELECT round(avg(e * x1), 6) AS g1, round(avg(e * x2), 6) AS g2, round(avg(e), 6) AS gb
+      |       FROM (SELECT x1, x2, y, (0.0 + x1 * 0.0 + x2 * 0.0) AS t,
+      |                    0.5 + 0.5 * t / (1.0 + abs(t)) - y AS e FROM d)),
+      |w1 AS (SELECT round(0.0 - g1, 6) AS w1, round(0.0 - g2, 6) AS w2, round(0.0 - gb, 6) AS b FROM p1),
+      |p2 AS (SELECT round(avg(e * x1), 6) AS g1, round(avg(e * x2), 6) AS g2, round(avg(e), 6) AS gb,
+      |              round(avg(CASE WHEN (t > 0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 6) AS acc
+      |       FROM (SELECT x1, x2, y, (w.b + x1 * w.w1 + x2 * w.w2) AS t,
+      |                    0.5 + 0.5 * t / (1.0 + abs(t)) - y AS e FROM d, w1 w)),
+      |w2 AS (SELECT round(w.w1 - p.g1, 6) AS w1, round(w.w2 - p.g2, 6) AS w2, round(w.b - p.gb, 6) AS b
+      |       FROM w1 w, p2 p),
+      |p3 AS (SELECT round(avg(e * x1), 6) AS g1, round(avg(e * x2), 6) AS g2, round(avg(e), 6) AS gb,
+      |              round(avg(CASE WHEN (t > 0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 6) AS acc
+      |       FROM (SELECT x1, x2, y, (w.b + x1 * w.w1 + x2 * w.w2) AS t,
+      |                    0.5 + 0.5 * t / (1.0 + abs(t)) - y AS e FROM d, w2 w)),
+      |w3 AS (SELECT round(w.w1 - p.g1, 6) AS w1, round(w.w2 - p.g2, 6) AS w2, round(w.b - p.gb, 6) AS b
+      |       FROM w2 w, p3 p)""".stripMargin
+
   /** DuckDB literal for a hyperplane weight vector (sim_lsh_buckets). */
   private def planeSql(j: Int): String =
     Similarity.planeWeights(j, 64).mkString("CAST([", ", ", "] AS DOUBLE[])")
@@ -2130,32 +2155,28 @@ private[graft] object OracleSql {
       // margin adds left-to-right (b + x1*w1 + x2*w2), rational link
       // 0.5 + 0.5*t/(1+|t|), every aggregated gradient and every weight
       // pinned to 6 dp before use — so cross-engine double-sum
-      // association cannot compound across iterations
-      """WITH d AS (SELECT l_quantity / 50.0 AS x1, l_discount * 10.0 AS x2,
-        |                  CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
-        |           FROM lineitem),
-        |p1 AS (SELECT round(avg(e * x1), 6) AS g1, round(avg(e * x2), 6) AS g2, round(avg(e), 6) AS gb
-        |       FROM (SELECT x1, x2, y, (0.0 + x1 * 0.0 + x2 * 0.0) AS t,
-        |                    0.5 + 0.5 * t / (1.0 + abs(t)) - y AS e FROM d)),
-        |w1 AS (SELECT round(0.0 - g1, 6) AS w1, round(0.0 - g2, 6) AS w2, round(0.0 - gb, 6) AS b FROM p1),
-        |p2 AS (SELECT round(avg(e * x1), 6) AS g1, round(avg(e * x2), 6) AS g2, round(avg(e), 6) AS gb,
-        |              round(avg(CASE WHEN (t > 0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 6) AS acc
-        |       FROM (SELECT x1, x2, y, (w.b + x1 * w.w1 + x2 * w.w2) AS t,
-        |                    0.5 + 0.5 * t / (1.0 + abs(t)) - y AS e FROM d, w1 w)),
-        |w2 AS (SELECT round(w.w1 - p.g1, 6) AS w1, round(w.w2 - p.g2, 6) AS w2, round(w.b - p.gb, 6) AS b
-        |       FROM w1 w, p2 p),
-        |p3 AS (SELECT round(avg(e * x1), 6) AS g1, round(avg(e * x2), 6) AS g2, round(avg(e), 6) AS gb,
-        |              round(avg(CASE WHEN (t > 0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 6) AS acc
-        |       FROM (SELECT x1, x2, y, (w.b + x1 * w.w1 + x2 * w.w2) AS t,
-        |                    0.5 + 0.5 * t / (1.0 + abs(t)) - y AS e FROM d, w2 w)),
-        |w3 AS (SELECT round(w.w1 - p.g1, 6) AS w1, round(w.w2 - p.g2, 6) AS w2, round(w.b - p.gb, 6) AS b
-        |       FROM w2 w, p3 p),
+      // association cannot compound across iterations (the d..w3 CTE
+      // chain is factored as [[logregW3Ctes]], shared with
+      // ml_calibration)
+      s"""WITH $logregW3Ctes,
         |p4 AS (SELECT round(avg(CASE WHEN (t > 0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 6) AS acc
         |       FROM (SELECT y, (w.b + x1 * w.w1 + x2 * w.w2) AS t FROM d, w3 w))
         |SELECT CAST(1 AS INTEGER) AS iter, w.w1, w.w2, w.b AS bias, p.acc AS train_acc FROM w1 w, p2 p
         |UNION ALL SELECT 2, w.w1, w.w2, w.b, p.acc FROM w2 w, p3 p
         |UNION ALL SELECT 3, w.w1, w.w2, w.b, p.acc FROM w3 w, p4 p
         |ORDER BY iter""".stripMargin,
+
+    "ml_calibration" ->
+      // reliability diagram of the trained classifier: every row scored
+      // with the FINAL pinned weights (w3 — exact arithmetic on pinned
+      // scalars), binned at 0.005 resolution; mean
+      // prediction vs empirical positive rate per bin
+      s"""WITH $logregW3Ctes,
+        |sc AS (SELECT y, 0.5 + 0.5 * t / (1.0 + abs(t)) AS p
+        |       FROM (SELECT y, (w.b + x1 * w.w1 + x2 * w.w2) AS t FROM d, w3 w))
+        |SELECT CAST(floor(p * 200) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(p), 6) AS mean_pred, round(avg(y), 6) AS frac_pos
+        |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "ml_linreg_ols" ->
       // moment means pinned to 9 dp, then the exact-arithmetic 2×2
@@ -2630,6 +2651,22 @@ private[graft] object OracleSql {
         |SELECT rk.p, rk.rank, min(cum.v) AS value
         |FROM cum JOIN rk ON cum.cum_c >= rk.rank
         |GROUP BY rk.p, rk.rank ORDER BY rk.p""".stripMargin,
+
+    "ml_auc_exact" ->
+      // mirrors the Mann-Whitney construction AND its operation path:
+      // integer rank sums (HUGEINT here, DECIMAL(38,0) engine-side —
+      // both exact), numerator converted to double AFTER the exact
+      // subtraction, denominator multiplied IN double
+      """WITH x AS (SELECT n_chars AS v, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |          FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |per AS (SELECT v, CAST(sum(pos) AS BIGINT) AS p, CAST(sum(1 - pos) AS BIGINT) AS q FROM x GROUP BY v),
+        |cum AS (SELECT v, p, q, CAST(sum(p + q) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca FROM per),
+        |tot AS (SELECT CAST(sum(p) AS BIGINT) AS np, CAST(sum(q) AS BIGINT) AS nq FROM per),
+        |s2 AS (SELECT sum(p * (2 * (ca - p - q) + (p + q) + 1)) AS s2 FROM cum)
+        |SELECT tot.np AS n_pos, tot.nq AS n_neg,
+        |       round(CAST(s2.s2 - tot.np * (tot.np + 1) AS DOUBLE)
+        |             / (CAST(2 AS DOUBLE) * CAST(tot.np AS DOUBLE) * CAST(tot.nq AS DOUBLE)), 6) AS auc
+        |FROM s2, tot""".stripMargin,
 
     "feat_hashing_vectors" -> {
       val sums = (0 until 16).map(i =>

@@ -4094,6 +4094,64 @@ object SparkEntry {
         bucketSize = 4096L)
     }),
 
+    "ml_auc_exact" -> ((s, dir) => {
+      // EXACT ROC-AUC with no global sort — the Mann-Whitney rank form
+      // computed from the value-domain-bounded distinct table + the
+      // PrefixSum scan (tie-averaged ranks from per-value pos/neg
+      // counts): AUC = (2·Σ_pos rank − n⁺(n⁺+1)) / (2·n⁺·n⁻), all
+      // integer until the single final division. Rank sums are carried
+      // in DECIMAL(38,0) — at 10¹² rows the sum passes 2⁶³ — and the
+      // denominator multiplies in DOUBLE on both engines (the oracle
+      // mirrors the operation path, not just the formula). Measures
+      // how well doc LENGTH alone separates English from non-English —
+      // an honest ~0.5 on this synth corpus, which is the point of
+      // having the measurement.
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val per = docs(s, dir)
+        .select(col("n_chars").as("v"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy("v")
+        .agg(sum("pos").as("p"), sum(lit(1L) - col("pos")).as("q"))
+        .withColumn("all", col("p") + col("q"))
+      val cum = graft.ext.PrefixSum.scan(per, "v", Seq("all"), 4096L)
+      val s2 = cum.agg(
+        sum((col("p") * (lit(2L) * (col("cum_all") - col("all")) +
+          col("all") + lit(1L))).cast(dec)).as("s2"))
+      val tot = per.agg(sum("p").as("np"), sum("q").as("nq"))
+      s2.crossJoin(broadcast(tot))
+        .select(col("np").as("n_pos"), col("nq").as("n_neg"),
+          round((col("s2") - col("np").cast(dec) *
+            (col("np") + lit(1L)).cast(dec)).cast("double") /
+            (lit(2.0) * col("np").cast("double") * col("nq").cast("double")),
+            6).as("auc"))
+    }),
+
+    "ml_calibration" -> ((s, dir) => {
+      // reliability diagram — the evaluation face that says whether
+      // ml_logreg_gd's trained scores can be READ as probabilities:
+      // every row scored with the final pinned weights (exact
+      // arithmetic on S4 scalars — no model object, no UDF), binned at
+      // 0.005 probability resolution (this model's scores live in a
+      // ~0.07-wide band — decile bins would collapse the diagram to
+      // one row), mean prediction vs empirical
+      // positive rate per bin. The rational link keeps scoring
+      // libm-free on both engines.
+      val d = tbl(s, dir, "lineitem").select(
+        (col("l_quantity") / lit(50.0)).as("x1"),
+        (col("l_discount") * lit(10.0)).as("x2"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      val w = graft.ext.LogReg.fit(
+        d, Seq(col("x1"), col("x2")), col("y"), lr = 1.0, iters = 3).last
+      val t = lit(w.bias) + col("x1") * lit(w.weights(0)) +
+        col("x2") * lit(w.weights(1))
+      val p = lit(0.5) + lit(0.5) * t / (lit(1.0) + abs(t))
+      d.select(col("y"), p.as("p"))
+        .groupBy(floor(col("p") * 200).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), round(avg("p"), 6).as("mean_pred"),
+          round(avg("y"), 6).as("frac_pos"))
+        .orderBy("bin")
+    }),
+
     "feat_hashing_vectors" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. ICML'09): fixed 16-dim
       // signed token-count featurization — the bridge from raw text to
