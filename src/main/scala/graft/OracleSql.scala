@@ -2668,6 +2668,20 @@ private[graft] object OracleSql {
         |             / (CAST(2 AS DOUBLE) * CAST(tot.np AS DOUBLE) * CAST(tot.nq AS DOUBLE)), 6) AS auc
         |FROM s2, tot""".stripMargin,
 
+    "stream_exact_quantiles" ->
+      // batch mirror of the streamed count table + quantile read: the
+      // streamed state is (v, c) counts whose merge is addition, so
+      // the completed stream equals this batch construction exactly
+      """WITH x AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
+        |per AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY v),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c FROM per),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+        |qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10), ('p99', 99, 100)) AS t(p, num, den)),
+        |rk AS (SELECT p, CAST((num * n + den - 1) // den AS BIGINT) AS rank FROM qs, tot)
+        |SELECT rk.p, rk.rank, min(cum.v) AS value
+        |FROM cum JOIN rk ON cum.cum_c >= rk.rank
+        |GROUP BY rk.p, rk.rank ORDER BY rk.p""".stripMargin,
+
     "feat_hashing_vectors" -> {
       val sums = (0 until 16).map(i =>
         s"CAST(sum(CASE WHEN dim = $i THEN sgn ELSE 0 END) AS BIGINT) AS f$i")

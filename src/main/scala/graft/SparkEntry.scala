@@ -4152,6 +4152,28 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "stream_exact_quantiles" -> ((s, dir) => {
+      // exact quantiles maintained INSIDE Structured Streaming: the
+      // streaming state is the distinct-value count table (a
+      // Complete-mode aggregate — VALUE-DOMAIN-bounded state no matter
+      // how many events flow past, the same bound that makes the batch
+      // path sort-free), and the post-completion quantile read is the
+      // identical Stats.exactQuantilesFromCounts call the batch path
+      // uses. Count-table merge is addition — associative and
+      // commutative — so micro-batching cannot change the state, and
+      // the stream equals the batch oracle exactly.
+      val ev = EventStream.readEvents(s, dir)
+        .select(floor(col("value") * lit(100.0) + lit(0.5))
+          .cast(org.apache.spark.sql.types.LongType).as("v"))
+      val counts = ev.groupBy("v").agg(count(lit(1)).as("c"))
+      val per = EventStream.withStatePartitions(s, 8) {
+        EventStream.runToCompletion(s, counts, "stream_quantiles_sink")
+      }
+      graft.ext.Stats.exactQuantilesFromCounts(per,
+        Seq(("p50", 1L, 2L), ("p90", 9L, 10L), ("p99", 99L, 100L)),
+        bucketSize = 4096L)
+    }),
+
     "feat_hashing_vectors" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. ICML'09): fixed 16-dim
       // signed token-count featurization — the bridge from raw text to

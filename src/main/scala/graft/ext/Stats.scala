@@ -37,13 +37,26 @@ object Stats {
     */
   def exactQuantiles(values: DataFrame,
       quantiles: Seq[(String, Long, Long)],
+      bucketSize: Long = 131072L): DataFrame =
+    exactQuantilesFromCounts(
+      values.groupBy(col("v")).agg(count(lit(1)).as("c")),
+      quantiles, bucketSize)
+
+  /** [[exactQuantiles]] starting from a PRE-AGGREGATED (v, c) count
+    * table — the entry point for callers that already maintain the
+    * distinct-value counts (a streaming Complete-mode aggregate keeps
+    * exactly this state, domain-bounded, and its post-completion
+    * quantile read IS this method — the stream ≡ batch equality is
+    * then count-table equality, which micro-batching cannot break).
+    */
+  def exactQuantilesFromCounts(per: DataFrame,
+      quantiles: Seq[(String, Long, Long)],
       bucketSize: Long = 131072L): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
     require(quantiles.forall { case (_, n, d) => n > 0 && n <= d },
       "quantiles must satisfy 0 < num <= den")
-    val spark = values.sparkSession
+    val spark = per.sparkSession
     import spark.implicits._
-    val per = values.groupBy(col("v")).agg(count(lit(1)).as("c"))
     val cum = graft.Caches.persist(
       PrefixSum.scan(per, "v", Seq("c"), bucketSize))
     val tot = per.agg(sum("c").as("n"))
