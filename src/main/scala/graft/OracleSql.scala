@@ -2682,6 +2682,55 @@ private[graft] object OracleSql {
         |FROM cum JOIN rk ON cum.cum_c >= rk.rank
         |GROUP BY rk.p, rk.rank ORDER BY rk.p""".stripMargin,
 
+    "sample_neyman" ->
+      // mirrors the Neyman allocation operand-for-operand: exact
+      // integer-cent moment sums, sd pinned at 6dp, integer weight,
+      // then the Hamilton largest-remainder chain (bounded self-join
+      // rank, integer remainders)
+      """WITH st AS (SELECT g, CAST(count(*) AS BIGINT) AS n, sum(c) AS sc, sum(c * c) AS scc
+        |           FROM (SELECT o_orderpriority AS g, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c FROM orders)
+        |           GROUP BY g),
+        |sd AS (SELECT g, n, round(sqrt((CAST(scc AS DOUBLE) / n) - (CAST(sc AS DOUBLE) / n) * (CAST(sc AS DOUBLE) / n)), 6) AS sd FROM st),
+        |wt AS (SELECT g, n, sd, CAST(floor(CAST(n AS DOUBLE) * sd * 100.0 + 0.5) AS BIGINT) AS w FROM sd),
+        |tt AS (SELECT CAST(sum(w) AS BIGINT) AS ww FROM wt),
+        |base AS (SELECT g, n, sd, w, (1000 * w) // ww AS q,
+        |                1000 * w - ((1000 * w) // ww) * ww AS rem FROM wt, tt),
+        |lo AS (SELECT 1000 - CAST(sum(q) AS BIGINT) AS extra FROM base),
+        |rk AS (SELECT b.g, b.n, b.sd, b.q, CAST(count(o.g2) AS BIGINT) AS n_before
+        |       FROM base b LEFT JOIN (SELECT g AS g2, rem AS r2 FROM base) o
+        |         ON o.r2 > b.rem OR (o.r2 = b.rem AND o.g2 < b.g)
+        |       GROUP BY b.g, b.n, b.sd, b.q)
+        |SELECT rk.g AS o_orderpriority, rk.n AS n_stratum, rk.sd AS sd_cents,
+        |       CAST(rk.q + CASE WHEN rk.n_before < lo.extra THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+        |FROM rk, lo ORDER BY o_orderpriority""".stripMargin,
+
+    "stats_bootstrap_ci" ->
+      // mirrors the Poisson bootstrap: seeded md5 uniform per
+      // (row, replicate), identical inverse-CDF literals, replicate
+      // means pinned at 6dp then micro-scaled into the exact-quantile
+      // read
+      s"""WITH r AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c FROM orders),
+        |reps AS (SELECT unnest(range(0, 200)) AS bi),
+        |uw AS (SELECT bi, c,
+        |              CASE WHEN u < 0.36787944117144233 THEN 0
+        |                   WHEN u < 0.7357588823428847 THEN 1
+        |                   WHEN u < 0.9196986029286058 THEN 2
+        |                   WHEN u < 0.9810118431238462 THEN 3
+        |                   WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END AS w
+        |       FROM (SELECT r.c, reps.bi,
+        |                    CAST(${md5Hash60Sql("CAST(r.o_orderkey AS VARCHAR) || '#' || CAST(reps.bi AS VARCHAR)")} AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) AS u
+        |             FROM r CROSS JOIN reps)),
+        |mm AS (SELECT bi, round(CAST(sum(w * c) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / 100.0, 6) AS m FROM uw GROUP BY bi),
+        |x AS (SELECT CAST(floor(m * 1000000.0 + 0.5) AS BIGINT) AS v FROM mm),
+        |per AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY v),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c FROM per),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+        |qs AS (SELECT * FROM (VALUES ('p025', 1, 40), ('p500', 1, 2), ('p975', 39, 40)) AS t(p, num, den)),
+        |rk AS (SELECT p, CAST((num * n + den - 1) // den AS BIGINT) AS rank FROM qs, tot)
+        |SELECT rk.p, rk.rank, round(CAST(min(cum.v) AS DOUBLE) / 1000000.0, 6) AS mean_dollars
+        |FROM cum JOIN rk ON cum.cum_c >= rk.rank
+        |GROUP BY rk.p, rk.rank ORDER BY rk.p""".stripMargin,
+
     "feat_hashing_vectors" -> {
       val sums = (0 until 16).map(i =>
         s"CAST(sum(CASE WHEN dim = $i THEN sgn ELSE 0 END) AS BIGINT) AS f$i")

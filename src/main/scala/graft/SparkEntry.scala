@@ -4174,6 +4174,98 @@ object SparkEntry {
         bucketSize = 4096L)
     }),
 
+    "sample_neyman" -> ((s, dir) => {
+      // Neyman-optimal stratified sample allocation (Neyman 1934):
+      // n_h ∝ N_h·σ_h — big AND volatile strata get the samples, the
+      // allocation that minimizes the estimator's variance at fixed
+      // budget (sample_stratified is proportional; this is the
+      // variance-aware upgrade). σ_h from exact integer-cent sums
+      // (DECIMAL(38,0) so Σc² survives any N), pinned to 6dp, scaled
+      // to an INTEGER weight, then the same largest-remainder
+      // apportionment as curate_budget_allocation — Σ n_alloc = budget
+      // EXACTLY, ranks from a bounded self-join (5 strata), no float
+      // rounding anywhere past the pin.
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val budget = 1000L
+      val strata = Caches.persist(tbl(s, dir, "orders")
+        .select(col("o_orderpriority").as("g"),
+          floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+            .cast(org.apache.spark.sql.types.LongType).as("c"))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"), sum(col("c").cast(dec)).as("sc"),
+          sum((col("c") * col("c")).cast(dec)).as("scc"))
+        .select(col("g"), col("n"),
+          round(sqrt((col("scc").cast("double") / col("n")) -
+            (col("sc").cast("double") / col("n")) *
+            (col("sc").cast("double") / col("n"))), 6).as("sd"))
+        .select(col("g"), col("n"), col("sd"),
+          floor(col("n").cast("double") * col("sd") * lit(100.0) + lit(0.5))
+            .cast(org.apache.spark.sql.types.LongType).as("w")))
+      val tot = strata.agg(sum("w").as("ww"))
+      val base = Caches.persist(strata.crossJoin(broadcast(tot))
+        .selectExpr("g", "n", "sd", "w",
+          s"($budget * w) div ww AS q",
+          s"$budget * w - (($budget * w) div ww) * ww AS rem"))
+      val leftover = base.agg((lit(budget) - sum("q")).as("extra"))
+      val other = base.select(col("g").as("g2"), col("rem").as("r2"))
+      base.join(other,
+          col("r2") > col("rem") ||
+            (col("r2") === col("rem") && col("g2") < col("g")), "left")
+        .groupBy("g", "n", "sd", "q", "rem")
+        .agg(count(col("g2")).as("n_before"))
+        .crossJoin(broadcast(leftover))
+        .select(col("g").as("o_orderpriority"), col("n").as("n_stratum"),
+          col("sd").as("sd_cents"),
+          (col("q") + when(col("n_before") < col("extra"), 1L).otherwise(0L))
+            .as("n_alloc"))
+        .orderBy("o_orderpriority")
+    }),
+
+    "stats_bootstrap_ci" -> ((s, dir) => {
+      // the Poisson bootstrap (Chamandy et al., "Estimating Uncertainty
+      // for Massive Data Streams", Google 2012) — the bootstrap that
+      // scales: instead of B full resamples, each row draws a
+      // Poisson(1) multiplicity PER REPLICATE from a SEEDED md5
+      // uniform (deterministic, replayable — the pii_dp_release noise
+      // convention), so one fan-out + one map-side-combined aggregate
+      // yields all B=200 replicate means; the 95% CI is then an exact-
+      // quantile read over the 200 pinned means in micro-dollar units.
+      // Inverse-CDF thresholds are fixed literals (truncated at w=5,
+      // P(w>5) ≈ 6e-4 shared by both engines verbatim).
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val b = 200
+      val rows = tbl(s, dir, "orders").select(col("o_orderkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+          .cast(org.apache.spark.sql.types.LongType).as("c"))
+      import s.implicits._
+      val reps = (0 until b).map(_.toLong).toDF("bi")
+      val u = (Dedup.md5Hash60(concat(col("o_orderkey").cast("string"),
+        lit("#"), col("bi").cast("string"))).cast("double") /
+        lit(1152921504606846976L).cast("double"))
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238462, 3L)
+        .when(u < 0.9963401531726563, 4L).otherwise(5L)
+      val means = rows.crossJoin(broadcast(reps))
+        .select(col("bi"), w.as("w"), col("c"))
+        .groupBy("bi")
+        .agg(sum((col("w") * col("c")).cast(dec)).as("swc"),
+          sum(col("w").cast(dec)).as("sw"))
+        .select(col("bi"),
+          round(col("swc").cast("double") / col("sw").cast("double") /
+            lit(100.0), 6).as("m"))
+      val micro = means.select(
+        floor(col("m") * lit(1000000.0) + lit(0.5))
+          .cast(org.apache.spark.sql.types.LongType).as("v"))
+      graft.ext.Stats.exactQuantiles(micro,
+        Seq(("p025", 1L, 40L), ("p500", 1L, 2L), ("p975", 39L, 40L)),
+        bucketSize = 1L << 40)
+        .select(col("p"), col("rank"),
+          round(col("value").cast("double") / lit(1000000.0), 6)
+            .as("mean_dollars"))
+    }),
+
     "feat_hashing_vectors" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. ICML'09): fixed 16-dim
       // signed token-count featurization — the bridge from raw text to
