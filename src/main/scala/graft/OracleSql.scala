@@ -2731,6 +2731,63 @@ private[graft] object OracleSql {
         |FROM cum JOIN rk ON cum.cum_c >= rk.rank
         |GROUP BY rk.p, rk.rank ORDER BY rk.p""".stripMargin,
 
+    "agg_mad_exact" ->
+      // two exact-quantile chains: median of cents, then median of
+      // absolute deviations from it
+      """WITH x AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders),
+        |p1 AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY v),
+        |c1 AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc FROM p1),
+        |t1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM p1),
+        |med AS (SELECT min(v) AS med FROM c1, t1 WHERE cc >= (n + 1) // 2),
+        |y AS (SELECT abs(v - med.med) AS v FROM x, med),
+        |p2 AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM y GROUP BY v),
+        |c2 AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc FROM p2),
+        |t2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM p2),
+        |mad AS (SELECT min(v) AS mad FROM c2, t2 WHERE cc >= (n + 1) // 2)
+        |SELECT med.med AS median_cents, mad.mad AS mad_cents FROM med, mad""".stripMargin,
+
+    "agg_trimmed_mean" ->
+      // exact p05/p95 cut points, then one conditional aggregate for
+      // the trimmed and winsorized means (integer sums, 6dp pins)
+      """WITH x AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v FROM orders),
+        |per AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY v),
+        |cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc FROM per),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM per),
+        |lo AS (SELECT min(v) AS lo FROM cum, tot WHERE cc >= (n + 19) // 20),
+        |hi AS (SELECT min(v) AS hi FROM cum, tot WHERE cc >= (19 * n + 19) // 20)
+        |SELECT lo.lo AS lo_cents, hi.hi AS hi_cents,
+        |       CAST(sum(CASE WHEN x.v BETWEEN lo.lo AND hi.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(CAST(sum(CASE WHEN x.v BETWEEN lo.lo AND hi.hi THEN x.v ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(CASE WHEN x.v BETWEEN lo.lo AND hi.hi THEN 1 ELSE 0 END) AS DOUBLE) / 100.0, 6) AS trimmed_mean,
+        |       round(CAST(sum(least(greatest(x.v, lo.lo), hi.hi)) AS DOUBLE)
+        |             / CAST(count(*) AS DOUBLE) / 100.0, 6) AS winsorized_mean
+        |FROM x, lo, hi GROUP BY lo.lo, hi.hi""".stripMargin,
+
+    "dedup_normalization_audit" ->
+      // normalization mirror: DuckDB regexp_replace needs the 'g' flag
+      // (Spark's replaces all matches by default)
+      """WITH f AS (SELECT doc_id, md5(text) AS fp_raw,
+        |                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(DISTINCT fp_raw) AS BIGINT) AS n_raw_distinct,
+        |       CAST(count(DISTINCT fp_norm) AS BIGINT) AS n_norm_distinct,
+        |       CAST(sum(CASE WHEN fp_raw <> fp_norm THEN 1 ELSE 0 END) AS BIGINT) AS n_changed_by_norm
+        |FROM f""".stripMargin,
+
+    "text_sentences" ->
+      // sentence = a [.!?]+ split that still contains a letter; words
+      // from the gate tokenizer; ratio of exact integers
+      """SELECT doc_id,
+        |       CAST(len(list_filter(regexp_split_to_array(lower(text), '[.!?]+'), x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_sentences,
+        |       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_words,
+        |       CASE WHEN len(list_filter(regexp_split_to_array(lower(text), '[.!?]+'), x -> regexp_matches(x, '[a-z]'))) > 0
+        |            THEN round(CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS DOUBLE)
+        |                       / CAST(len(list_filter(regexp_split_to_array(lower(text), '[.!?]+'), x -> regexp_matches(x, '[a-z]'))) AS DOUBLE), 6)
+        |       END AS avg_sentence_len
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |ORDER BY doc_id""".stripMargin,
+
     "feat_hashing_vectors" -> {
       val sums = (0 until 16).map(i =>
         s"CAST(sum(CASE WHEN dim = $i THEN sgn ELSE 0 END) AS BIGINT) AS f$i")

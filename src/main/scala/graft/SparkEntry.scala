@@ -4266,6 +4266,90 @@ object SparkEntry {
             .as("mean_dollars"))
     }),
 
+    "agg_mad_exact" -> ((s, dir) => {
+      // median absolute deviation — the robust scale estimate
+      // agg_variance's moments can't give (one far outlier moves the
+      // sd arbitrarily, the MAD not at all): TWO exact-quantile passes
+      // (median of cents, then median of |c − median|), each the
+      // sort-free domain-bounded path; the median crosses back as a
+      // broadcast S4 scalar. All integers end to end.
+      val vals = Caches.persist(tbl(s, dir, "orders")
+        .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+          .cast(org.apache.spark.sql.types.LongType).as("v")))
+      val med = graft.ext.Stats.exactQuantiles(vals, Seq(("p50", 1L, 2L)))
+        .select(col("value").as("med"))
+      val devs = vals.crossJoin(broadcast(med))
+        .select(abs(col("v") - col("med")).as("v"))
+      val mad = graft.ext.Stats.exactQuantiles(devs, Seq(("p50", 1L, 2L)))
+        .select(col("value").as("mad"))
+      med.crossJoin(broadcast(mad))
+        .select(col("med").as("median_cents"), col("mad").as("mad_cents"))
+    }),
+
+    "agg_trimmed_mean" -> ((s, dir) => {
+      // 5%-trimmed and winsorized means — the robust-location pair:
+      // exact p05/p95 cut points (type-1 quantiles, the sort-free
+      // path), then ONE conditional aggregate computes both the
+      // trimmed mean (drop outside [lo, hi]) and the winsorized mean
+      // (clamp into [lo, hi]) from exact integer sums.
+      val vals = Caches.persist(tbl(s, dir, "orders")
+        .select(floor(col("o_totalprice") * lit(100.0) + lit(0.5))
+          .cast(org.apache.spark.sql.types.LongType).as("v")))
+      val cuts = graft.ext.Stats.exactQuantiles(vals,
+        Seq(("p05", 1L, 20L), ("p95", 19L, 20L)))
+      val lo = cuts.filter(col("p") === "p05").select(col("value").as("lo"))
+      val hi = cuts.filter(col("p") === "p95").select(col("value").as("hi"))
+      vals.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+        .agg(
+          min("lo").as("lo_cents"), min("hi").as("hi_cents"),
+          sum(when(col("v").between(col("lo"), col("hi")), 1L).otherwise(0L))
+            .as("n_kept"),
+          round(sum(when(col("v").between(col("lo"), col("hi")), col("v"))
+            .otherwise(0L)).cast("double") /
+            sum(when(col("v").between(col("lo"), col("hi")), 1L)
+              .otherwise(0L)).cast("double") / lit(100.0), 6)
+            .as("trimmed_mean"),
+          round(sum(least(greatest(col("v"), col("lo")), col("hi")))
+            .cast("double") / count(lit(1)).cast("double") / lit(100.0), 6)
+            .as("winsorized_mean"))
+    }),
+
+    "dedup_normalization_audit" -> ((s, dir) => {
+      // how much duplication only appears AFTER normalization
+      // (casefold + whitespace collapse + trim — what production
+      // exact-dedup actually keys on; byte-identical is too strict
+      // for retextured mirrors): raw vs normalized fingerprint
+      // cardinality, plus how many docs normalization even touches.
+      // One scan, both fingerprints md5-through-the-shuffle; the gap
+      // n_raw_distinct − n_norm_distinct is the missed-duplicate count
+      // a raw-keyed dedup would ship.
+      val f = docs(s, dir).select(col("doc_id"),
+        md5(col("text")).as("fp_raw"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+          .as("fp_norm"))
+      f.agg(count(lit(1)).as("n_docs"),
+        countDistinct("fp_raw").as("n_raw_distinct"),
+        countDistinct("fp_norm").as("n_norm_distinct"),
+        sum(when(col("fp_raw") =!= col("fp_norm"), 1L).otherwise(0L))
+          .as("n_changed_by_norm"))
+    }),
+
+    "text_sentences" -> ((s, dir) =>
+      // sentence segmentation stats — the doc-shape telemetry a
+      // context-window packer reads before chunking: sentences =
+      // [.!?]+ splits that still contain a letter, words from the
+      // gate tokenizer, mean sentence length as their exact ratio.
+      docs(s, dir)
+        .select(col("doc_id"),
+          expr("size(filter(split(lower(text), '[.!?]+'), x -> x rlike '[a-z]'))")
+            .cast("long").as("n_sentences"),
+          size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n_words"))
+        .select(col("doc_id"), col("n_sentences"), col("n_words"),
+          when(col("n_sentences") > 0,
+            round(col("n_words").cast("double") /
+              col("n_sentences").cast("double"), 6)).as("avg_sentence_len"))
+        .orderBy("doc_id")),
+
     "feat_hashing_vectors" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. ICML'09): fixed 16-dim
       // signed token-count featurization — the bridge from raw text to
