@@ -2705,21 +2705,25 @@ private[graft] object OracleSql {
         |FROM rk, lo ORDER BY o_orderpriority""".stripMargin,
 
     "stats_bootstrap_ci" ->
-      // mirrors the Poisson bootstrap: seeded md5 uniform per
-      // (row, replicate), identical inverse-CDF literals, replicate
-      // means pinned at 6dp then micro-scaled into the exact-quantile
-      // read
+      // mirrors the Poisson bootstrap: one seeded 60-bit md5 fold per
+      // (row, block) sliced into four 15-bit uniforms by integer bit
+      // ops, identical inverse-CDF literals, replicate means pinned at
+      // 6dp then micro-scaled into the exact-quantile read
       s"""WITH r AS (SELECT o_orderkey, CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c FROM orders),
-        |reps AS (SELECT unnest(range(0, 200)) AS bi),
-        |uw AS (SELECT bi, c,
+        |blk AS (SELECT unnest(range(0, 50)) AS blk),
+        |jj AS (SELECT unnest(range(0, 4)) AS j),
+        |hb AS (SELECT r.c, blk.blk,
+        |              ${md5Hash60Sql("CAST(r.o_orderkey AS VARCHAR) || '#' || CAST(blk.blk AS VARCHAR)")} AS h
+        |       FROM r CROSS JOIN blk),
+        |uw AS (SELECT blk * 4 + j AS bi, c,
         |              CASE WHEN u < 0.36787944117144233 THEN 0
         |                   WHEN u < 0.7357588823428847 THEN 1
         |                   WHEN u < 0.9196986029286058 THEN 2
         |                   WHEN u < 0.9810118431238462 THEN 3
         |                   WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END AS w
-        |       FROM (SELECT r.c, reps.bi,
-        |                    CAST(${md5Hash60Sql("CAST(r.o_orderkey AS VARCHAR) || '#' || CAST(reps.bi AS VARCHAR)")} AS DOUBLE) / CAST(1152921504606846976 AS DOUBLE) AS u
-        |             FROM r CROSS JOIN reps)),
+        |       FROM (SELECT hb.c, hb.blk, jj.j,
+        |                    CAST((hb.h >> (15 * jj.j)) & 32767 AS DOUBLE) / 32768.0 AS u
+        |             FROM hb CROSS JOIN jj)),
         |mm AS (SELECT bi, round(CAST(sum(w * c) AS DOUBLE) / CAST(sum(w) AS DOUBLE) / 100.0, 6) AS m FROM uw GROUP BY bi),
         |x AS (SELECT CAST(floor(m * 1000000.0 + 0.5) AS BIGINT) AS v FROM mm),
         |per AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM x GROUP BY v),

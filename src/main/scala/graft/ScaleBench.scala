@@ -220,7 +220,20 @@ object ScaleBench {
     // scale. Seasonal decomposition — daily agg ∝ N, everything after
     // is calendar-bounded.
     "ml_naive_bayes", "orders_survival_km", "quality_ks_lengths",
-    "ts_stl_decompose")
+    "ts_stl_decompose",
+    // r11 additions (fourth session, second batch): golden-record
+    // consolidation (the JW candidate window is the only N-sized
+    // stage; CC runs on matched entities), weighted SSSP (per round
+    // one edges⋈dist join ∝ E over the disjoint-replica graph),
+    // the Poisson bootstrap (the 200× fan-out must stay linear
+    // because the aggregate map-side-combines — a super-linear ratio
+    // would mean the shuffle carries rows, not partials), grouped
+    // exact quantiles (the per-group value domain is replicated
+    // verbatim, so only the first aggregate may scale), and touch
+    // attribution (two range windows on one user-partitioned
+    // exchange).
+    "er_golden_record", "graph_sssp_weighted", "stats_bootstrap_ci",
+    "agg_exact_quantiles_grouped", "events_attribution")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

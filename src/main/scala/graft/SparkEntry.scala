@@ -4231,24 +4231,46 @@ object SparkEntry {
       // yields all B=200 replicate means; the 95% CI is then an exact-
       // quantile read over the 200 pinned means in micro-dollar units.
       // Inverse-CDF thresholds are fixed literals (truncated at w=5,
-      // P(w>5) ≈ 6e-4 shared by both engines verbatim).
+      // P(w>5) ≈ 6e-4 shared by both engines verbatim). Hash economy:
+      // one 60-bit md5 fold yields FOUR 15-bit uniforms by pure
+      // integer bit-slicing, so a row pays B/4 = 50 hashes for its 200
+      // replicate draws — the one-md5-per-draw first cut measured 75 s
+      // at sf0.1 and a hex-substring conv() variant ~9 s; the slice
+      // form drops the per-draw string work entirely.
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val b = 200
+      // repartition BEFORE the 200× generator fan-out: a compact
+      // parquet reads as few (here: one) partitions, and a broadcast
+      // cross join inherits its parent's partitioning — without the
+      // spread, every hash draw and partial aggregate runs on a single
+      // task (measured: the whole query serialized on one core). The
+      // pre-fan-out shuffle moves N 16-byte rows; the fan-out then
+      // parallelizes 200·N draws across the cluster.
       val rows = tbl(s, dir, "orders").select(col("o_orderkey"),
         floor(col("o_totalprice") * lit(100.0) + lit(0.5))
           .cast(org.apache.spark.sql.types.LongType).as("c"))
+        .repartition(s.sparkContext.defaultParallelism)
       import s.implicits._
-      val reps = (0 until b).map(_.toLong).toDF("bi")
-      val u = (Dedup.md5Hash60(concat(col("o_orderkey").cast("string"),
-        lit("#"), col("bi").cast("string"))).cast("double") /
-        lit(1152921504606846976L).cast("double"))
-      val w = when(u < 0.36787944117144233, 0L)
-        .when(u < 0.7357588823428847, 1L)
-        .when(u < 0.9196986029286058, 2L)
-        .when(u < 0.9810118431238462, 3L)
-        .when(u < 0.9963401531726563, 4L).otherwise(5L)
-      val means = rows.crossJoin(broadcast(reps))
-        .select(col("bi"), w.as("w"), col("c"))
+      val blocks = (0 until 50).map(_.toLong).toDF("blk")
+      def wOf(j: Int): Column = {
+        val u = shiftright(col("h"), 15 * j).bitwiseAND(lit(32767L))
+          .cast("double") / lit(32768.0)
+        when(u < 0.36787944117144233, 0L)
+          .when(u < 0.7357588823428847, 1L)
+          .when(u < 0.9196986029286058, 2L)
+          .when(u < 0.9810118431238462, 3L)
+          .when(u < 0.9963401531726563, 4L).otherwise(5L)
+      }
+      // hash materialized ONCE per (row, block) in its own projection —
+      // inlined into the 4 generator elements it would re-hash 4× (the
+      // CollapseProject non-cheap-expression guard keeps this boundary)
+      val means = rows.crossJoin(broadcast(blocks))
+        .select(col("c"), col("blk"),
+          Dedup.md5Hash60(concat(col("o_orderkey").cast("string"),
+            lit("#"), col("blk").cast("string"))).as("h"))
+        .select(col("c"), explode(array((0 until 4).map(j =>
+          struct((col("blk") * 4 + lit(j.toLong)).as("bi"),
+            wOf(j).as("w"))): _*)).as("x"))
+        .select(col("x.bi").as("bi"), col("x.w").as("w"), col("c"))
         .groupBy("bi")
         .agg(sum((col("w") * col("c")).cast(dec)).as("swc"),
           sum(col("w").cast(dec)).as("sw"))

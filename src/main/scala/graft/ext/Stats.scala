@@ -49,16 +49,23 @@ object Stats {
     * quantile read IS this method — the stream ≡ batch equality is
     * then count-table equality, which micro-batching cannot break).
     */
-  def exactQuantilesFromCounts(per: DataFrame,
+  def exactQuantilesFromCounts(per0: DataFrame,
       quantiles: Seq[(String, Long, Long)],
       bucketSize: Long = 131072L): DataFrame = {
     require(quantiles.nonEmpty, "need at least one quantile")
     require(quantiles.forall { case (_, n, d) => n > 0 && n <= d },
       "quantiles must satisfy 0 < num <= den")
-    val spark = per.sparkSession
+    val spark = per0.sparkSession
     import spark.implicits._
-    val cum = graft.Caches.persist(
-      PrefixSum.scan(per, "v", Seq("c"), bucketSize))
+    // EAGER cut: the count table is read by four downstream branches
+    // (scan's window + its bucket ledger, the total, the rank join) —
+    // a lazy persist lets every branch recompute the possibly-
+    // expensive upstream pipeline before the cache fills (measured 4×
+    // on the bootstrap feed). One tiny count() job materializes the
+    // DOMAIN-bounded table once; everything below reads the cache.
+    val per = graft.Caches.persist(per0)
+    per.count()
+    val cum = PrefixSum.scan(per, "v", Seq("c"), bucketSize)
     val tot = per.agg(sum("c").as("n"))
     val qs = quantiles.toDF("p", "num", "den")
     // rank = ceil(num·N / den) in pure integer arithmetic (`div`, not
@@ -89,9 +96,12 @@ object Stats {
       "quantiles must satisfy 0 < num <= den")
     val spark = values.sparkSession
     import spark.implicits._
-    val per = values.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
-    val cum = graft.Caches.persist(
-      PrefixSum.scanBy(per, Seq("g"), "v", Seq("c"), bucketSize))
+    // same eager cut as exactQuantilesFromCounts: four branches read
+    // the bounded count table
+    val per = graft.Caches.persist(
+      values.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c")))
+    per.count()
+    val cum = PrefixSum.scanBy(per, Seq("g"), "v", Seq("c"), bucketSize)
     val tot = per.groupBy("g").agg(sum("c").as("n"))
     val qs = quantiles.toDF("p", "num", "den")
     val ranks = tot.crossJoin(broadcast(qs))
@@ -110,10 +120,13 @@ object Stats {
     * crit_05 6dp = 1.358·√((n_a+n_b)/(n_a·n_b)), reject_05).
     */
   def ksTest(values: DataFrame, bucketSize: Long = 4096): DataFrame = {
-    val per = values
+    // eager cut (see exactQuantilesFromCounts): the N-sized aggregate
+    // feeds the scan, its ledger, and the totals
+    val per = graft.Caches.persist(values
       .groupBy(col("v"))
       .agg(sum(when(col("grp"), 1L).otherwise(0L)).as("ca"),
-        sum(when(col("grp"), 0L).otherwise(1L)).as("cb"))
+        sum(when(col("grp"), 0L).otherwise(1L)).as("cb")))
+    per.count()
     val cum = PrefixSum.scan(per, "v", Seq("ca", "cb"), bucketSize)
     val tot = per.agg(sum("ca").as("na"), sum("cb").as("nb"))
     // |F_a(v) − F_b(v)| from exact integer ratios — deterministic
