@@ -4162,6 +4162,156 @@ private[graft] object OracleSql {
          |SELECT t.doc_id, t.score,
          |       CASE WHEN len(d.text) > 160 THEN substr(d.text, 1, 160) || '...' ELSE d.text END AS snippet
          |FROM top10 t JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
-         |ORDER BY t.score DESC, t.doc_id""".stripMargin
+         |ORDER BY t.score DESC, t.doc_id""".stripMargin,
+
+    "stats_mannwhitney" ->
+      // mirrors Stats.mannWhitneyU: distinct-cents counts, cumulative
+      // control counts (the single-node window stands in for the
+      // PrefixSum scan — provably equal on exact integers), 2·U₁ kept
+      // integral, then the identical fixed-shape z arithmetic
+      s"""WITH d AS (SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+        |                  ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS arm
+        |           FROM events),
+        |per AS (SELECT v,
+        |               CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |               CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |        FROM d GROUP BY v),
+        |sc AS (SELECT v, c0, c1,
+        |              CAST(sum(c0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum0
+        |       FROM per),
+        |a AS (SELECT CAST(sum(c1 * (2 * (cum0 - c0) + c0)) AS BIGINT) AS u2,
+        |             CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        |             CAST(sum((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1)) AS BIGINT) AS tsum
+        |      FROM sc),
+        |z AS (SELECT n0, n1, CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
+        |             round((CAST(u2 AS DOUBLE) / 2.0 - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
+        |                   / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+        |                          ((CAST(n0 + n1 AS DOUBLE) + 1.0)
+        |                           - CAST(tsum AS DOUBLE) / (CAST(n0 + n1 AS DOUBLE) * (CAST(n0 + n1 AS DOUBLE) - 1.0)))), 4) AS z_score
+        |      FROM a)
+        |SELECT n0 AS n_control, n1 AS n_treatment, u_stat, z_score,
+        |       abs(z_score) > 1.96 AS significant
+        |FROM z""".stripMargin,
+
+    "events_ab_srm" ->
+      s"""WITH d AS (SELECT event_type, ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS arm FROM events),
+        |a AS (SELECT event_type,
+        |             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |      FROM d GROUP BY event_type),
+        |x AS (SELECT event_type, n0, n1, CAST(n0 + n1 AS DOUBLE) / 2.0 AS e FROM a),
+        |c AS (SELECT event_type, n0, n1,
+        |             round((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e
+        |                   + (CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e, 6) AS chi2
+        |      FROM x)
+        |SELECT event_type, n0 AS n_control, n1 AS n_treatment, chi2,
+        |       chi2 > 3.841 AS srm_flag
+        |FROM c ORDER BY event_type""".stripMargin,
+
+    "stats_permutation_test" ->
+      // mirrors the bit-sliced permutation fan-out: two seeded hashes
+      // per user yield 120 replicate assignment bits; per-event mean
+      // diffs from exact integer-cents ratios, 6dp pins, then the
+      // Phipson-Smyth p-value
+      s"""WITH u AS (SELECT user_id,
+        |                  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sc,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY user_id),
+        |ob0 AS (SELECT sc, cnt, ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS b FROM u),
+        |ob AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |              round(CAST(sum(CASE WHEN b = 1 THEN sc ELSE 0 END) AS DOUBLE)
+        |                    / CAST(sum(CASE WHEN b = 1 THEN cnt ELSE 0 END) AS DOUBLE) / 100.0
+        |                    - CAST(sum(CASE WHEN b = 0 THEN sc ELSE 0 END) AS DOUBLE)
+        |                    / CAST(sum(CASE WHEN b = 0 THEN cnt ELSE 0 END) AS DOUBLE) / 100.0, 6) AS obs_diff
+        |       FROM ob0),
+        |hb AS (SELECT sc, cnt, blk.blk,
+        |              ${md5Hash60Sql("concat_ws('|', 'perm', blk.blk, user_id)")} AS h
+        |       FROM u CROSS JOIN (SELECT unnest(range(0, 2)) AS blk) blk),
+        |bits AS (SELECT blk * 60 + jj.j AS k, (h >> jj.j) & 1 AS b, sc, cnt
+        |         FROM hb CROSS JOIN (SELECT unnest(range(0, 60)) AS j) jj),
+        |dd AS (SELECT k,
+        |              round(CAST(sum(CASE WHEN b = 1 THEN sc ELSE 0 END) AS DOUBLE)
+        |                    / CAST(sum(CASE WHEN b = 1 THEN cnt ELSE 0 END) AS DOUBLE) / 100.0
+        |                    - CAST(sum(CASE WHEN b = 0 THEN sc ELSE 0 END) AS DOUBLE)
+        |                    / CAST(sum(CASE WHEN b = 0 THEN cnt ELSE 0 END) AS DOUBLE) / 100.0, 6) AS diff
+        |       FROM bits GROUP BY k)
+        |SELECT ob.n_users, ob.obs_diff, CAST(count(*) AS BIGINT) AS k_reps,
+        |       CAST(sum(CASE WHEN abs(diff) >= abs(obs_diff) THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme,
+        |       round(CAST(sum(CASE WHEN abs(diff) >= abs(obs_diff) THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+        |             / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+        |FROM dd, ob GROUP BY ob.n_users, ob.obs_diff""".stripMargin,
+
+    "events_ab_cuped" ->
+      // mirrors the exact-decimal CUPED closed forms: per-user micro-
+      // dollar means, HUGEINT moment sums, θ/means/variances as the
+      // identical fixed-shape double arithmetic
+      s"""WITH u AS (SELECT user_id,
+        |                  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS ps,
+        |                  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS BIGINT) AS pc,
+        |                  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS BIGINT) AS ys,
+        |                  CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 0 ELSE 1 END) AS BIGINT) AS yc
+        |           FROM events GROUP BY user_id),
+        |xy AS (SELECT ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS arm,
+        |              CASE WHEN pc = 0 THEN 0
+        |                   ELSE CAST(floor(CAST(ps AS DOUBLE) / CAST(pc AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) END AS x,
+        |              CASE WHEN yc = 0 THEN 0
+        |                   ELSE CAST(floor(CAST(ys AS DOUBLE) / CAST(yc AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) END AS y
+        |       FROM u WHERE yc > 0),
+        |pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS na,
+        |              sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |              sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |              sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |              sum(CAST(y AS HUGEINT) * y) AS syy
+        |       FROM xy GROUP BY arm),
+        |g AS (SELECT CAST(sum(na) AS DOUBLE) AS n,
+        |             CAST(sum(sx) AS DOUBLE) AS sx, CAST(sum(sy) AS DOUBLE) AS sy,
+        |             CAST(sum(sxx) AS DOUBLE) AS sxx, CAST(sum(sxy) AS DOUBLE) AS sxy,
+        |             CAST(sum(syy) AS DOUBLE) AS syy,
+        |             CAST(sum(CASE WHEN arm = 0 THEN na ELSE 0 END) AS DOUBLE) AS n0,
+        |             CAST(sum(CASE WHEN arm = 1 THEN na ELSE 0 END) AS DOUBLE) AS n1,
+        |             CAST(sum(CASE WHEN arm = 0 THEN sx END) AS DOUBLE) AS sx0,
+        |             CAST(sum(CASE WHEN arm = 1 THEN sx END) AS DOUBLE) AS sx1,
+        |             CAST(sum(CASE WHEN arm = 0 THEN sy END) AS DOUBLE) AS sy0,
+        |             CAST(sum(CASE WHEN arm = 1 THEN sy END) AS DOUBLE) AS sy1,
+        |             CAST(sum(na) AS BIGINT) AS n_users
+        |      FROM pa),
+        |t AS (SELECT n_users, n, n0, n1, sx0, sx1, sy0, sy1, sx, sy, sxx, sxy, syy,
+        |             round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+        |             round(sx / n / 1000000.0, 6) AS mean_x
+        |      FROM g)
+        |SELECT n_users, theta, mean_x,
+        |       round(sy1 / n1 / 1000000.0 - sy0 / n0 / 1000000.0, 6) AS diff_raw,
+        |       round((sy1 / 1000000.0 - theta * (sx1 / 1000000.0 - n1 * mean_x)) / n1
+        |             - (sy0 / 1000000.0 - theta * (sx0 / 1000000.0 - n0 * mean_x)) / n0, 6) AS diff_cuped,
+        |       round(1.0 - ((n * syy - sy * sy) / (n * n)
+        |                    - 2.0 * theta * ((n * sxy - sx * sy) / (n * n))
+        |                    + theta * theta * ((n * sxx - sx * sx) / (n * n)))
+        |                   / ((n * syy - sy * sy) / (n * n)), 6) AS var_reduction
+        |FROM t""".stripMargin,
+
+    "pii_randomized_response" ->
+      // Warner's mechanism replayed from the seeded coins, plus the
+      // unbiased estimator over the 6dp-pinned reported rate
+      s"""WITH t AS (SELECT user_id,
+        |                  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS truth
+        |           FROM events GROUP BY user_id),
+        |r AS (SELECT truth,
+        |             CASE WHEN ${md5Hash60Sql("concat_ws('|', 'rr1', user_id)")} % 2 = 1 THEN truth
+        |                  ELSE ${md5Hash60Sql("concat_ws('|', 'rr2', user_id)")} % 2 END AS reported
+        |      FROM t),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |             CAST(sum(reported) AS BIGINT) AS n_reported_true,
+        |             CAST(sum(truth) AS BIGINT) AS n_true
+        |      FROM r),
+        |b AS (SELECT n_users, n_reported_true,
+        |             round(CAST(n_reported_true AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS reported_rate,
+        |             round(CAST(n_true AS DOUBLE) / CAST(n_users AS DOUBLE), 6) AS true_rate
+        |      FROM a),
+        |c AS (SELECT n_users, n_reported_true, reported_rate, true_rate,
+        |             round(2.0 * reported_rate - 0.5, 6) AS est_true_rate
+        |      FROM b)
+        |SELECT n_users, n_reported_true, reported_rate, true_rate, est_true_rate,
+        |       round(abs(est_true_rate - true_rate), 6) AS abs_err
+        |FROM c""".stripMargin
   )
 }

@@ -5787,6 +5787,212 @@ object SparkEntry {
         .withColumn("snippet", Search.snippet(col("opinion_text"), 160))
         .select("doc_id", "score", "snippet")
         .orderBy(col("score").desc, col("doc_id").asc)
+    }),
+
+    "stats_mannwhitney" -> ((s, dir) => {
+      // the nonparametric twin of events_ab_ztest: Mann-Whitney U over
+      // the same seeded-hash variant assignment, computed sort-free
+      // (graft.ext.Stats.mannWhitneyU — the PrefixSum distinct-value
+      // scan, never a global rank() window over N rows). Integer cents
+      // make every rank accumulation exact; only the final fixed-shape
+      // z arithmetic touches doubles.
+      val arm = Dedup.md5Hash60(concat_ws("|", lit("exp1"), col("user_id"))) % 2
+      graft.ext.Stats.mannWhitneyU(events(s, dir)
+        .select(floor(col("value") * lit(100.0) + lit(0.5))
+          .cast("long").as("v"), arm.as("arm")))
+    }),
+
+    "events_ab_srm" -> ((s, dir) => {
+      // sample-ratio-mismatch guardrail: the FIRST check an experiment
+      // platform runs — if the 50/50 hash split didn't land 50/50, the
+      // z-test upstream is invalid no matter what it says. Per
+      // event_type a 1-df chi-square against the expected half-half
+      // split, flagged at the 0.05 critical value (3.841); one
+      // conditional aggregate, exact integer counts, fixed-shape
+      // double arithmetic on them.
+      val arm = Dedup.md5Hash60(concat_ws("|", lit("exp1"), col("user_id"))) % 2
+      val a = events(s, dir)
+        .select(col("event_type"), arm.as("arm"))
+        .groupBy("event_type")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      val e = (col("n0") + col("n1")).cast("double") / lit(2.0)
+      val chi2 = (col("n0").cast("double") - e) * (col("n0").cast("double") - e) / e +
+        (col("n1").cast("double") - e) * (col("n1").cast("double") - e) / e
+      a.select(col("event_type"), col("n0").as("n_control"),
+          col("n1").as("n_treatment"), round(chi2, 6).as("chi2"))
+        .withColumn("srm_flag", col("chi2") > lit(3.841))
+        .orderBy("event_type")
+    }),
+
+    "stats_permutation_test" -> ((s, dir) => {
+      // the assumption-free significance test: re-randomize the
+      // USER-level variant assignment 120 times and ask where the
+      // observed mean diff falls in the null distribution. Borrows the
+      // stats_bootstrap_ci economics — one seeded 60-bit md5 per
+      // (user, block) yields SIXTY replicate assignment bits by
+      // integer slicing, so the whole null distribution costs two
+      // hashes per user and ONE map-side-combined aggregate (121
+      // groups) over the 120× fan-out of the bounded per-user table;
+      // nothing re-scans events. Arms are permuted per USER (the
+      // experiment's randomization unit), the metric is the per-event
+      // mean (exact integer cents ratios, 6dp pins), and
+      // p = (1 + #extreme)/(K + 1) per Phipson & Smyth 2010.
+      val users = events(s, dir)
+        .groupBy("user_id")
+        .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("sc"), count(lit(1)).as("cnt"))
+      val obsArm = Dedup.md5Hash60(concat_ws("|", lit("exp1"),
+        col("user_id"))) % 2
+      val obs = users.select(col("sc"), col("cnt"), obsArm.as("b"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("b") === 1, col("sc")).otherwise(0L)).as("s1"),
+          sum(when(col("b") === 1, col("cnt")).otherwise(0L)).as("c1"),
+          sum(when(col("b") === 0, col("sc")).otherwise(0L)).as("s0"),
+          sum(when(col("b") === 0, col("cnt")).otherwise(0L)).as("c0"))
+        .select(col("n_users"),
+          round(col("s1").cast("double") / col("c1").cast("double") / lit(100.0) -
+            col("s0").cast("double") / col("c0").cast("double") / lit(100.0), 6)
+            .as("obs_diff"))
+      import s.implicits._
+      val blocks = Seq(0L, 1L).toDF("blk")
+      val reps = users.crossJoin(broadcast(blocks))
+        .select(col("sc"), col("cnt"), col("blk"),
+          Dedup.md5Hash60(concat_ws("|", lit("perm"), col("blk"),
+            col("user_id"))).as("h"))
+        .select(col("sc"), col("cnt"), explode(array((0 until 60).map(j =>
+          struct((col("blk") * 60 + lit(j.toLong)).as("k"),
+            shiftright(col("h"), j).bitwiseAND(lit(1L)).as("b"))): _*))
+          .as("x"))
+        .select(col("x.k").as("k"), col("x.b").as("b"), col("sc"), col("cnt"))
+        .groupBy("k")
+        .agg(sum(when(col("b") === 1, col("sc")).otherwise(0L)).as("s1"),
+          sum(when(col("b") === 1, col("cnt")).otherwise(0L)).as("c1"),
+          sum(when(col("b") === 0, col("sc")).otherwise(0L)).as("s0"),
+          sum(when(col("b") === 0, col("cnt")).otherwise(0L)).as("c0"))
+        .select(col("k"),
+          round(col("s1").cast("double") / col("c1").cast("double") / lit(100.0) -
+            col("s0").cast("double") / col("c0").cast("double") / lit(100.0), 6)
+            .as("diff"))
+      reps.crossJoin(broadcast(obs))
+        .groupBy("n_users", "obs_diff")
+        .agg(count(lit(1)).as("k_reps"),
+          sum(when(abs(col("diff")) >= abs(col("obs_diff")), 1L)
+            .otherwise(0L)).as("n_extreme"))
+        .select(col("n_users"), col("obs_diff"), col("k_reps"),
+          col("n_extreme"),
+          round((col("n_extreme") + lit(1L)).cast("double") /
+            (col("k_reps") + lit(1L)).cast("double"), 6).as("p_value"))
+    }),
+
+    "events_ab_cuped" -> ((s, dir) => {
+      // CUPED variance reduction (Deng et al. WSDM'13) — the standard
+      // trick for shipping experiments faster: regress the post-period
+      // per-user metric on its PRE-period twin (θ = cov/var) and test
+      // the residual metric instead. Everything reduces to ONE
+      // per-user aggregate and one 2-row per-arm moments table: means,
+      // θ, the adjusted per-arm means, and the variance-reduction
+      // ratio are all closed forms over exact decimal sums of
+      // micro-dollar integers (the stats_bootstrap_ci decimal
+      // convention), so no per-user residual is ever re-scanned and
+      // the double arithmetic is fixed-shape on exact operands. Users
+      // with no pre-period events carry covariate 0; users with no
+      // post-period events are out of scope (no metric to adjust).
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val pre = col("ts") < to_timestamp(lit("2024-01-15"))
+      val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+      val u = events(s, dir)
+        .groupBy("user_id")
+        .agg(sum(when(pre, cents).otherwise(0L)).as("ps"),
+          sum(when(pre, 1L).otherwise(0L)).as("pc"),
+          sum(when(!pre, cents).otherwise(0L)).as("ys"),
+          sum(when(!pre, 1L).otherwise(0L)).as("yc"))
+        .filter(col("yc") > 0)
+      // per-user means in exact micro-dollar integers: one correctly-
+      // rounded division then a half-up floor — identical both engines
+      def micro(sc: Column, c: Column): Column =
+        when(c === 0, 0L).otherwise(
+          floor(sc.cast("double") / c.cast("double") * lit(10000.0) +
+            lit(0.5)).cast("long"))
+      val arm = Dedup.md5Hash60(concat_ws("|", lit("exp1"),
+        col("user_id"))) % 2
+      val xy = u.select(arm.as("arm"),
+        micro(col("ps"), col("pc")).as("x"),
+        micro(col("ys"), col("yc")).as("y"))
+      val perArm = xy.groupBy("arm").agg(
+        count(lit(1)).as("na"),
+        sum(col("x").cast(dec)).as("sx"), sum(col("y").cast(dec)).as("sy"),
+        sum(col("x").cast(dec) * col("x")).as("sxx"),
+        sum(col("x").cast(dec) * col("y")).as("sxy"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+      val g = perArm.agg(
+        sum("na").as("n"), sum("sx").as("sx"), sum("sy").as("sy"),
+        sum("sxx").as("sxx"), sum("sxy").as("sxy"), sum("syy").as("syy"),
+        sum(when(col("arm") === 0, col("na")).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, col("na")).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 0, col("sx"))).as("sx0"),
+        sum(when(col("arm") === 1, col("sx"))).as("sx1"),
+        sum(when(col("arm") === 0, col("sy"))).as("sy0"),
+        sum(when(col("arm") === 1, col("sy"))).as("sy1"))
+      def d(c: String): Column = col(c).cast("double")
+      val theta = round((d("n") * d("sxy") - d("sx") * d("sy")) /
+        (d("n") * d("sxx") - d("sx") * d("sx")), 6)
+      val mx = round(d("sx") / d("n") / lit(1000000.0), 6)
+      val withTheta = g.select(col("n").as("n_users"), col("n"),
+        col("n0"), col("n1"),
+        col("sx0"), col("sx1"), col("sy0"), col("sy1"),
+        col("sx"), col("sy"), col("sxx"), col("sxy"), col("syy"),
+        theta.as("theta"), mx.as("mean_x"))
+      def adj(sy: String, sx: String, na: String): Column =
+        (d(sy) / lit(1000000.0) - col("theta") *
+          (d(sx) / lit(1000000.0) - d(na) * col("mean_x"))) / d(na)
+      val varY = (d("n") * d("syy") - d("sy") * d("sy")) / (d("n") * d("n"))
+      val varX = (d("n") * d("sxx") - d("sx") * d("sx")) / (d("n") * d("n"))
+      val covXY = (d("n") * d("sxy") - d("sx") * d("sy")) / (d("n") * d("n"))
+      val varAdj = varY - lit(2.0) * col("theta") * covXY +
+        col("theta") * col("theta") * varX
+      withTheta.select(col("n_users"), col("theta"), col("mean_x"),
+        round(d("sy1") / d("n1") / lit(1000000.0) -
+          d("sy0") / d("n0") / lit(1000000.0), 6).as("diff_raw"),
+        round(adj("sy1", "sx1", "n1") - adj("sy0", "sx0", "n0"), 6)
+          .as("diff_cuped"),
+        round(lit(1.0) - varAdj / varY, 6).as("var_reduction"))
+    }),
+
+    "pii_randomized_response" -> ((s, dir) => {
+      // local differential privacy (Warner 1965 randomized response,
+      // the mechanism under RAPPOR): each user reports their true bit
+      // ("ever purchased") only on heads of a private coin, otherwise
+      // reports a second coin — the analyst sees plausibly-deniable
+      // bits yet unbiases the population rate as p̂ = 2·rate − ½.
+      // Both coins are seeded md5 hashes (the pii_dp_release noise
+      // convention: deterministic, replayable, mirrorable in SQL).
+      // One N-sized per-user aggregate, then one bounded moments agg;
+      // the true rate rides along as telemetry for the abs_err audit.
+      val truth = events(s, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("truth"))
+      val coin1 = Dedup.md5Hash60(concat_ws("|", lit("rr1"),
+        col("user_id"))) % 2
+      val coin2 = Dedup.md5Hash60(concat_ws("|", lit("rr2"),
+        col("user_id"))) % 2
+      val rep = truth.select(col("truth"),
+        when(coin1 === 1, col("truth")).otherwise(coin2).as("reported"))
+      val a = rep.agg(count(lit(1)).as("n_users"),
+        sum("reported").as("n_reported_true"),
+        sum("truth").as("n_true"))
+      a.select(col("n_users"), col("n_reported_true"),
+          round(col("n_reported_true").cast("double") /
+            col("n_users").cast("double"), 6).as("reported_rate"),
+          round(col("n_true").cast("double") /
+            col("n_users").cast("double"), 6).as("true_rate"))
+        .select(col("n_users"), col("n_reported_true"),
+          col("reported_rate"), col("true_rate"),
+          round(lit(2.0) * col("reported_rate") - lit(0.5), 6)
+            .as("est_true_rate"))
+        .withColumn("abs_err",
+          round(abs(col("est_true_rate") - col("true_rate")), 6))
     })
   )
 

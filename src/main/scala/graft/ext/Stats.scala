@@ -147,4 +147,50 @@ object Stats {
         round(crit, 6).as("crit_05"),
         (col("d_raw") > crit).as("reject_05"))
   }
+
+  /** Two-sample Mann-Whitney U (Wilcoxon rank-sum) with the mid-rank
+    * tie convention — the nonparametric twin of the z-test: rank-based,
+    * so one extreme outlier moves U by at most one rank, not
+    * arbitrarily. `values`: (v LONG — the observation, arm INT —
+    * 0 = control, 1 = treatment).
+    *
+    * Sort-free at scale: U₁ needs, for every distinct value, how many
+    * CONTROL observations are strictly below it — a prefix sum over
+    * the bounded distinct-value domain, the exact shape
+    * [[exactQuantiles]]/[[ksTest]] already run through [[PrefixSum]],
+    * never a global rank() over N rows. All accumulations are exact
+    * integers (2·U₁ is summed, so mid-ranks never introduce a .5
+    * float); the normal approximation with the standard tie
+    * correction  Var U = n₀n₁/12·[(n+1) − Σ(t³−t)/(n(n−1))]
+    * (Lehmann, "Nonparametrics", §1.4) is then fixed-shape double
+    * arithmetic on those integers — deterministic across engines.
+    * Output one row: (n_control, n_treatment, u_stat, z_score 4dp,
+    * significant at α=0.05 two-sided).
+    */
+  def mannWhitneyU(values: DataFrame, bucketSize: Long = 4096): DataFrame = {
+    val per = graft.Caches.persist(values
+      .groupBy(col("v"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1")))
+    per.count()
+    val cum = PrefixSum.scan(per, "v", Seq("c0"), bucketSize)
+    // cum_c0 is inclusive; strictly-below control count = cum_c0 − c0;
+    // 2·U₁ = Σ_v c1·(2·below + c0) keeps the tie half-credit integral
+    val t = col("c0") + col("c1")
+    val a = cum.agg(
+      sum(col("c1") * (lit(2L) * (col("cum_c0") - col("c0")) + col("c0")))
+        .as("u2"),
+      sum("c0").as("n0"), sum("c1").as("n1"),
+      sum(t * t * t - t).as("tsum"))
+    val n0d = col("n0").cast("double")
+    val n1d = col("n1").cast("double")
+    val nd = (col("n0") + col("n1")).cast("double")
+    val u1 = col("u2").cast("double") / lit(2.0)
+    val z = (u1 - n0d * n1d / lit(2.0)) /
+      sqrt(n0d * n1d / lit(12.0) * ((nd + lit(1.0)) -
+        col("tsum").cast("double") / (nd * (nd - lit(1.0)))))
+    a.select(col("n0").as("n_control"), col("n1").as("n_treatment"),
+      u1.as("u_stat"), round(z, 4).as("z_score"))
+      .withColumn("significant", abs(col("z_score")) > lit(1.96))
+  }
 }

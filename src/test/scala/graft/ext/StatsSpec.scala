@@ -69,4 +69,34 @@ class StatsSpec extends SparkSpec {
       .as[(Double, Long, Boolean)].collect().head
     assert(got === ((0.0, 5L, false)))
   }
+
+  test("Mann-Whitney U with ties: hand-computed mid-ranks") {
+    import spark.implicits._
+    // control = {1,2,3}, treatment = {2,4}; mid-ranks 1, 2.5, 2.5, 4, 5
+    //   R₁ = 2.5 + 5 = 7.5 → U₁ = 7.5 − 2·3/2 = 4.5
+    //   Var U = 3·2/12 · (6 − (2³−2)/(5·4)) = 0.5 · 5.7 = 2.85
+    //   z = 1.5/√2.85 = 0.88852… → 0.8885
+    val values = (Seq(1L, 2L, 3L).map((_, 0)) ++ Seq(2L, 4L).map((_, 1)))
+      .toDF("v", "arm")
+    val got = Stats.mannWhitneyU(values, bucketSize = 2L)
+      .as[(Long, Long, Double, Double, Boolean)].collect().head
+    assert(got === ((3L, 2L, 4.5, 0.8885, false)))
+  }
+
+  test("Mann-Whitney U without ties, and arm-swap antisymmetry") {
+    import spark.implicits._
+    // control = {1,3,5}, treatment = {2,4,6}: U₁ = 1+2+3 = 6, mean 4.5,
+    // Var = 9/12·7 = 5.25, z = 1.5/√5.25 = 0.65465 → 0.6547
+    val a = (Seq(1L, 3L, 5L).map((_, 0)) ++ Seq(2L, 4L, 6L).map((_, 1)))
+      .toDF("v", "arm")
+    val ga = Stats.mannWhitneyU(a, bucketSize = 4L)
+      .as[(Long, Long, Double, Double, Boolean)].collect().head
+    assert(ga === ((3L, 3L, 6.0, 0.6547, false)))
+    // swapping the arm labels reflects U about its mean and negates z
+    val b = (Seq(1L, 3L, 5L).map((_, 1)) ++ Seq(2L, 4L, 6L).map((_, 0)))
+      .toDF("v", "arm")
+    val gb = Stats.mannWhitneyU(b, bucketSize = 4L)
+      .as[(Long, Long, Double, Double, Boolean)].collect().head
+    assert(gb === ((3L, 3L, 3.0, -0.6547, false)))
+  }
 }
