@@ -4164,6 +4164,32 @@ private[graft] object OracleSql {
          |FROM top10 t JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
          |ORDER BY t.score DESC, t.doc_id""".stripMargin,
 
+    "graph_hits" ->
+      // mirrors Graph.hits operand-for-operand: distinct bipartite
+      // edges, 9dp-pinned per-node sums, max-normalization scalars,
+      // two unrolled authority/hub half-step pairs
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |           FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+        |h0 AS (SELECT c, 1.0 AS h FROM (SELECT DISTINCT c FROM e)),
+        |a1r AS (SELECT p, round(sum(h0.h), 9) AS a FROM e JOIN h0 USING (c) GROUP BY p),
+        |a1m AS (SELECT max(a) AS m FROM a1r),
+        |a1 AS (SELECT p, round(a / m, 9) AS a FROM a1r, a1m),
+        |h1r AS (SELECT c, round(sum(a1.a), 9) AS h FROM e JOIN a1 USING (p) GROUP BY c),
+        |h1m AS (SELECT max(h) AS m FROM h1r),
+        |h1 AS (SELECT c, round(h / m, 9) AS h FROM h1r, h1m),
+        |a2r AS (SELECT p, round(sum(h1.h), 9) AS a FROM e JOIN h1 USING (c) GROUP BY p),
+        |a2m AS (SELECT max(a) AS m FROM a2r),
+        |a2 AS (SELECT p, round(a / m, 9) AS a FROM a2r, a2m),
+        |h2r AS (SELECT c, round(sum(a2.a), 9) AS h FROM e JOIN a2 USING (p) GROUP BY c),
+        |h2m AS (SELECT max(h) AS m FROM h2r),
+        |h2 AS (SELECT c, round(h / m, 9) AS h FROM h2r, h2m),
+        |th AS (SELECT 'hub' AS kind, c AS node, round(h, 6) AS score
+        |       FROM h2 ORDER BY h DESC, c LIMIT 20),
+        |ta AS (SELECT 'authority' AS kind, p AS node, round(a, 6) AS score
+        |       FROM a2 ORDER BY a DESC, p LIMIT 20)
+        |SELECT * FROM th UNION ALL SELECT * FROM ta
+        |ORDER BY kind, score DESC, node""".stripMargin,
+
     "stats_mannwhitney" ->
       // mirrors Stats.mannWhitneyU: distinct-cents counts, cumulative
       // control counts (the single-node window stands in for the

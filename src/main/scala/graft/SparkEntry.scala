@@ -5789,6 +5789,29 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "graph_hits" -> ((s, dir) => {
+      // HITS over the DIRECTED customer→part purchase bipartite graph
+      // (ext/Graph.hits): hub customers touch much good inventory,
+      // authority parts attract many good customers — the directed
+      // eigenvector face pagerank's undirected score can't give.
+      // Max-normalized per half-step (order-independent, unlike an
+      // L2/L1 norm's global float sum), 9dp operand pins, 2 unrolled
+      // iterations vs a straight-line CTE oracle; top-20 per side.
+      val e = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_partkey")),
+          Seq("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      val sc = Caches.persist(Graph.hits(e, iterations = 2))
+      def top(k: String) = sc.filter(col("kind") === k)
+        .orderBy(col("score").desc, col("node"))
+        .limit(20)
+        .select(col("kind"), col("node"), round(col("score"), 6).as("score"))
+      top("hub").unionAll(top("authority"))
+        .orderBy(col("kind"), col("score").desc, col("node"))
+    }),
+
     "stats_mannwhitney" -> ((s, dir) => {
       // the nonparametric twin of events_ab_ztest: Mann-Whitney U over
       // the same seeded-hash variant assignment, computed sort-free

@@ -725,4 +725,57 @@ object Graph {
       .limit(topK)
   }
 
+  /** HITS hubs-and-authorities (Kleinberg, JACM 46(5), 1999) over a
+    * DIRECTED (typically bipartite) edge set — the eigenvector face
+    * [[pageRank]]'s single undirected score can't give: on a
+    * customer→part purchase graph the hub score ranks customers by
+    * how much good inventory they touch, the authority score ranks
+    * parts by how many good customers buy them.
+    *
+    * Determinism convention: per published HITS the two scores are
+    * renormalized each half-step, but an L2 (or L1) norm is a global
+    * FLOAT sum — engine-order-dependent. This implementation
+    * normalizes by the MAXIMUM score instead (a max over pinned
+    * doubles is order-independent; scale-invariance of HITS makes the
+    * choice of norm immaterial to the ranking), with every per-node
+    * sum pinned at 9dp per half-step — the [[pageRank]] operand
+    * convention. Iteration 1's authority sums are exact integers
+    * (all hub scores start at 1.0), so float order-noise enters only
+    * through sums of ALREADY-PINNED operands, the accepted
+    * agg_moments-family residual.
+    *
+    * Scale shape: the distinct edge table is persisted once; each
+    * half-step is one shuffle join edges⋈scores + one hash aggregate
+    * + a broadcast max scalar (the score tables are node-bounded, the
+    * raw table is persisted so the max doesn't recompute it). Fixed
+    * iterations → bounded supersteps.
+    *
+    * @param edges (src — hub side, dst — authority side)
+    * @return (kind 'hub'|'authority', node, score ∈ (0, 1] 9dp)
+    */
+  def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
+    val e = graft.Caches.persist(
+      edges.select(col("src"), col("dst")).distinct())
+    var hubs = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0))
+    var auths: DataFrame = null
+    (1 to iterations).foreach { _ =>
+      val araw = graft.Caches.persist(
+        e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+          .groupBy("dst").agg(round(sum("h"), 9).as("a")))
+      val amax = araw.agg(max("a").as("m"))
+      auths = araw.crossJoin(broadcast(amax))
+        .select(col("dst").as("node"), round(col("a") / col("m"), 9).as("a"))
+      val hraw = graft.Caches.persist(
+        e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
+          .groupBy("src").agg(round(sum("a"), 9).as("h")))
+      val hmax = hraw.agg(max("h").as("m"))
+      hubs = hraw.crossJoin(broadcast(hmax))
+        .select(col("src").as("node"), round(col("h") / col("m"), 9).as("h"))
+    }
+    hubs.select(lit("hub").as("kind"), col("node"), col("h").as("score"))
+      .unionAll(auths.select(lit("authority").as("kind"), col("node"),
+        col("a").as("score")))
+  }
+
 }

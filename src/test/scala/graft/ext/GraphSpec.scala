@@ -427,4 +427,33 @@ class GraphSpec extends SparkSpec {
       .count()
     assert(census._1 == naive)
   }
+
+  test("HITS: one iteration is exact on a planted bipartite graph") {
+    import spark.implicits._
+    // hubs {1,2} → auths {10,11,12}: 1 touches all three, 2 only 10.
+    // iter 1: a = (2,1,1) → max-norm (1, .5, .5); h = (2, 1) → (1, .5)
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")
+    val got = Graph.hits(e, iterations = 1)
+      .as[(String, Long, Double)].collect().toSet
+    graft.Caches.clearPersisted()
+    assert(got === Set(("hub", 1L, 1.0), ("hub", 2L, 0.5),
+      ("authority", 10L, 1.0), ("authority", 11L, 0.5),
+      ("authority", 12L, 0.5)))
+  }
+
+  test("HITS: two iterations keep max-normalization and symmetry invariants") {
+    import spark.implicits._
+    val e = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)).toDF("src", "dst")
+    val got = Graph.hits(e, iterations = 2)
+      .as[(String, Long, Double)].collect()
+    graft.Caches.clearPersisted()
+    val hubs = got.filter(_._1 == "hub").map(r => r._2 -> r._3).toMap
+    val auths = got.filter(_._1 == "authority").map(r => r._2 -> r._3).toMap
+    // the top node on each side is pinned to exactly 1.0 by max-norm
+    assert(hubs(1L) === 1.0 && auths(10L) === 1.0)
+    // 11 and 12 have identical in-edges → identical authority
+    assert(auths(11L) === auths(12L))
+    assert(hubs(2L) > 0.0 && hubs(2L) < 1.0)
+    assert(auths(11L) > 0.0 && auths(11L) < 1.0)
+  }
 }
