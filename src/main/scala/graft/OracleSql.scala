@@ -4164,6 +4164,59 @@ private[graft] object OracleSql {
          |FROM top10 t JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
          |ORDER BY t.score DESC, t.doc_id""".stripMargin,
 
+    "search_spell_correct" ->
+      // vocabulary = the idf CTE's (word, doc_freq); ±2 length-band
+      // candidates, levenshtein ≤ 2, (distance, df DESC, word) top-3
+      s"""WITH $indexCtes,
+        |q AS (SELECT unnest(['mrege','joinn','tabel','scann','table','zzzz']) AS query_term),
+        |cand AS (SELECT q.query_term, i.word,
+        |                CAST(levenshtein(q.query_term, i.word) AS BIGINT) AS distance,
+        |                i.doc_freq AS df
+        |         FROM q JOIN idf i ON abs(len(i.word) - len(q.query_term)) <= 2),
+        |f AS (SELECT query_term, word, distance, df,
+        |             CAST(row_number() OVER (PARTITION BY query_term
+        |                    ORDER BY distance, df DESC, word) AS BIGINT) AS rank
+        |      FROM cand WHERE distance <= 2)
+        |SELECT query_term, rank, word AS suggestion, distance, df
+        |FROM f WHERE rank <= 3 ORDER BY query_term, rank""".stripMargin,
+
+    "er_fellegi_sunter" ->
+      // mirrors the FS scoring: exact Σc(c−1)/(N(N−1)) u-probabilities,
+      // the same sorted-neighborhood candidates (row_number form, as in
+      // fuzzy_jw_pairs), 6dp-pinned ln-ratio weights summed in the
+      // identical field order
+      """WITH ub AS (SELECT CAST(sum(c * (c - 1)) AS DOUBLE)
+        |                   / (CAST(sum(c) AS DOUBLE) * (CAST(sum(c) AS DOUBLE) - 1.0)) AS u
+        |            FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM part GROUP BY p_brand)),
+        |ut AS (SELECT CAST(sum(c * (c - 1)) AS DOUBLE)
+        |              / (CAST(sum(c) AS DOUBLE) * (CAST(sum(c) AS DOUBLE) - 1.0)) AS u
+        |       FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM part GROUP BY p_type)),
+        |r AS (SELECT p_partkey, p_name, p_brand, p_type,
+        |             row_number() OVER (PARTITION BY p_size ORDER BY p_name, p_partkey) AS rn,
+        |             p_size
+        |      FROM part),
+        |cand AS (SELECT a.p_partkey AS ka, a.p_name AS na, a.p_brand AS ba, a.p_type AS ta,
+        |                b.p_partkey AS kb, b.p_name AS nb, b.p_brand AS bb, b.p_type AS tb
+        |         FROM r a JOIN r b
+        |           ON a.p_size = b.p_size AND b.rn BETWEEN a.rn + 1 AND a.rn + 5),
+        |sc AS (SELECT least(ka, kb) AS k1, greatest(ka, kb) AS k2,
+        |              round(CASE WHEN ba = bb THEN round(ln(0.95 / ub.u), 6)
+        |                         ELSE round(ln((1.0 - 0.95) / (1.0 - ub.u)), 6) END
+        |                    + CASE WHEN ta = tb THEN round(ln(0.9 / ut.u), 6)
+        |                           ELSE round(ln((1.0 - 0.9) / (1.0 - ut.u)), 6) END
+        |                    + CASE WHEN jaro_winkler_similarity(na, nb) >= 0.9
+        |                           THEN round(ln(0.9 / 0.05), 6)
+        |                           ELSE round(ln((1.0 - 0.9) / (1.0 - 0.05)), 6) END, 6) AS score
+        |       FROM cand, ub, ut),
+        |d AS (SELECT k1, k2, score,
+        |             CASE WHEN score >= 4.0 THEN 'match'
+        |                  WHEN score >= 0.0 THEN 'possible'
+        |                  ELSE 'non_match' END AS decision
+        |      FROM sc)
+        |SELECT k1, k2, score, decision FROM d
+        |WHERE decision <> 'non_match'
+        |ORDER BY score DESC, k1, k2""".stripMargin,
+
     "graph_hits" ->
       // mirrors Graph.hits operand-for-operand: distinct bipartite
       // edges, 9dp-pinned per-node sums, max-normalization scalars,

@@ -5789,6 +5789,91 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "search_spell_correct" -> ((s, dir) => {
+      // "did you mean": misspelled query terms corrected against the
+      // corpus vocabulary — candidates blocked by a ±2 length band
+      // (the vocabulary is term-domain-bounded, so the broadcast
+      // nested-loop against the 6-term query table is a fixed small
+      // multiple of the vocab scan at ANY corpus size), priced by
+      // built-in codegen levenshtein (cross-engine parity proven by
+      // fuzzy_levenshtein), ranked (distance asc, df desc, term asc)
+      // — prefer the closest, then the most common — top-3 per term.
+      // Unmatchable terms ('zzzz') drop out; in-vocab terms correct to
+      // themselves at distance 0.
+      val flat = Indexer.flatWords(docs(s, dir), stem = false)
+      val vocab = flat.select("word", "doc_id").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      import s.implicits._
+      val q = Seq("mrege", "joinn", "tabel", "scann", "table", "zzzz")
+        .toDF("query_term")
+      val cand = vocab.join(broadcast(q),
+          abs(length(col("word")) - length(col("query_term"))) <= 2)
+        .withColumn("distance",
+          levenshtein(col("query_term"), col("word")).cast("long"))
+        .filter(col("distance") <= 2)
+      val w = Window.partitionBy("query_term")
+        .orderBy(col("distance"), col("df").desc, col("word"))
+      cand.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_term"), col("rank"), col("word").as("suggestion"),
+          col("distance"), col("df"))
+        .orderBy("query_term", "rank")
+    }),
+
+    "er_fellegi_sunter" -> ((s, dir) => {
+      // probabilistic record linkage (Fellegi & Sunter, JASA 64, 1969
+      // — the model under Splink): each candidate pair is scored by
+      // summed log-likelihood-ratio field weights, agree-weight
+      // ln(m/u) vs disagree-weight ln((1−m)/(1−u)). u-probabilities
+      // (chance agreement among random pairs) are computed EXACTLY
+      // from the value-frequency table — Σc(c−1)/(N(N−1)) — never
+      // sampled; m-probabilities are the usual analyst priors
+      // (literals). Candidates come from sorted-neighborhood blocking
+      // (p_size partitions, 5 neighbors in (p_name, p_partkey) order —
+      // candidate count 5·N at every scale), which deliberately does
+      // NOT condition on the scored fields (brand/type/name-JW stay
+      // informative). Field weights are 6dp-pinned before the fixed-
+      // order 3-term sum, so the score is deterministic cross-engine.
+      val p = tbl(s, dir, "part")
+      def uOf(field: String, out: String) =
+        p.groupBy(field).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c") * (col("c") - 1)).as("s"), sum("c").as("n"))
+          .select((col("s").cast("double") /
+            (col("n").cast("double") * (col("n").cast("double") - lit(1.0))))
+            .as(out))
+      val w = Window.partitionBy("p_size").orderBy("p_name", "p_partkey")
+      val cand = p.select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .withColumn("nbrs", array((1 to 5).map(i => struct(
+          lead(col("p_partkey"), i).over(w).as("kb"),
+          lead(col("p_name"), i).over(w).as("nb"),
+          lead(col("p_brand"), i).over(w).as("bb"),
+          lead(col("p_type"), i).over(w).as("tb"))): _*))
+        .select(col("p_partkey").as("ka"), col("p_name").as("na"),
+          col("p_brand").as("ba"), col("p_type").as("ta"),
+          explode(col("nbrs")).as("x"))
+        .filter(col("x.kb").isNotNull)
+      def weight(agree: Column, m: Double, u: Column): Column =
+        when(agree, round(log(lit(m) / u), 6))
+          .otherwise(round(log((lit(1.0) - lit(m)) / (lit(1.0) - u)), 6))
+      val scored = cand
+        .crossJoin(broadcast(uOf("p_brand", "u_brand")))
+        .crossJoin(broadcast(uOf("p_type", "u_type")))
+        .withColumn("jw_hit", graft.functions.JaroWinkler
+          .jaroWinkler(col("na"), col("x.nb")) >= lit(0.9))
+        .select(
+          least(col("ka"), col("x.kb")).as("k1"),
+          greatest(col("ka"), col("x.kb")).as("k2"),
+          round(weight(col("ba") === col("x.bb"), 0.95, col("u_brand")) +
+            weight(col("ta") === col("x.tb"), 0.90, col("u_type")) +
+            weight(col("jw_hit"), 0.90, lit(0.05)), 6).as("score"))
+        .withColumn("decision",
+          when(col("score") >= 4.0, lit("match"))
+            .when(col("score") >= 0.0, lit("possible"))
+            .otherwise(lit("non_match")))
+      scored.filter(col("decision") =!= "non_match")
+        .orderBy(col("score").desc, col("k1"), col("k2"))
+    }),
+
     "graph_hits" -> ((s, dir) => {
       // HITS over the DIRECTED customer→part purchase bipartite graph
       // (ext/Graph.hits): hub customers touch much good inventory,
