@@ -4164,6 +4164,56 @@ private[graft] object OracleSql {
          |FROM top10 t JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
          |ORDER BY t.score DESC, t.doc_id""".stripMargin,
 
+    "ml_decision_stump" ->
+      // mirrors the stump search: equi-width price bins off exact
+      // min/max, month bins, prefix-sum class counts over the bounded
+      // bin tables, identical fixed-shape Gini arithmetic, argmin via
+      // (gini, feature, cut) ordering
+      """WITH o AS (SELECT o_totalprice, month(o_orderdate) AS mon,
+        |                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END AS p
+        |           FROM orders),
+        |mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM o),
+        |pb AS (SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 16.0)), 15.0) AS BIGINT) AS bin, p FROM o, mm),
+        |pa AS (SELECT bin, CAST(sum(p) AS BIGINT) AS np, CAST(count(*) - sum(p) AS BIGINT) AS nn FROM pb GROUP BY bin),
+        |ma AS (SELECT CAST(mon AS BIGINT) AS bin, CAST(sum(p) AS BIGINT) AS np, CAST(count(*) - sum(p) AS BIGINT) AS nn FROM o GROUP BY mon),
+        |pc AS (SELECT bin AS cut,
+        |              CAST(sum(np) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+        |              CAST(sum(nn) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl
+        |       FROM pa),
+        |pt AS (SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn, max(bin) AS maxbin FROM pa),
+        |mc AS (SELECT bin AS cut,
+        |              CAST(sum(np) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pl,
+        |              CAST(sum(nn) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl
+        |       FROM ma),
+        |mt AS (SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn, max(bin) AS maxbin FROM ma),
+        |alls AS (SELECT 'totalprice' AS feature, cut, pl, nl, tp - pl AS pr, tn - nl AS nr, tp, tn
+        |         FROM pc, pt WHERE cut < maxbin
+        |         UNION ALL
+        |         SELECT 'month' AS feature, cut, pl, nl, tp - pl AS pr, tn - nl AS nr, tp, tn
+        |         FROM mc, mt WHERE cut < maxbin),
+        |g AS (SELECT feature, cut,
+        |             pl + nl AS n_left, pr + nr AS n_right,
+        |             round((CAST(pl + nl AS DOUBLE) / CAST(tp + tn AS DOUBLE))
+        |                   * (1.0 - (CAST(pl AS DOUBLE) / CAST(pl + nl AS DOUBLE)) * (CAST(pl AS DOUBLE) / CAST(pl + nl AS DOUBLE))
+        |                          - (CAST(nl AS DOUBLE) / CAST(pl + nl AS DOUBLE)) * (CAST(nl AS DOUBLE) / CAST(pl + nl AS DOUBLE)))
+        |                   + (CAST(pr + nr AS DOUBLE) / CAST(tp + tn AS DOUBLE))
+        |                   * (1.0 - (CAST(pr AS DOUBLE) / CAST(pr + nr AS DOUBLE)) * (CAST(pr AS DOUBLE) / CAST(pr + nr AS DOUBLE))
+        |                          - (CAST(nr AS DOUBLE) / CAST(pr + nr AS DOUBLE)) * (CAST(nr AS DOUBLE) / CAST(pr + nr AS DOUBLE))), 6) AS gini_split,
+        |             round((1.0 - (CAST(tp AS DOUBLE) / CAST(tp + tn AS DOUBLE)) * (CAST(tp AS DOUBLE) / CAST(tp + tn AS DOUBLE))
+        |                        - (CAST(tn AS DOUBLE) / CAST(tp + tn AS DOUBLE)) * (CAST(tn AS DOUBLE) / CAST(tp + tn AS DOUBLE)))
+        |                   - ((CAST(pl + nl AS DOUBLE) / CAST(tp + tn AS DOUBLE))
+        |                      * (1.0 - (CAST(pl AS DOUBLE) / CAST(pl + nl AS DOUBLE)) * (CAST(pl AS DOUBLE) / CAST(pl + nl AS DOUBLE))
+        |                             - (CAST(nl AS DOUBLE) / CAST(pl + nl AS DOUBLE)) * (CAST(nl AS DOUBLE) / CAST(pl + nl AS DOUBLE)))
+        |                      + (CAST(pr + nr AS DOUBLE) / CAST(tp + tn AS DOUBLE))
+        |                      * (1.0 - (CAST(pr AS DOUBLE) / CAST(pr + nr AS DOUBLE)) * (CAST(pr AS DOUBLE) / CAST(pr + nr AS DOUBLE))
+        |                             - (CAST(nr AS DOUBLE) / CAST(pr + nr AS DOUBLE)) * (CAST(nr AS DOUBLE) / CAST(pr + nr AS DOUBLE)))), 6) AS gain
+        |      FROM alls),
+        |b AS (SELECT feature AS bf, cut AS bc, gini_split AS bg FROM g
+        |      ORDER BY gini_split, feature, cut LIMIT 1)
+        |SELECT feature, cut, n_left, n_right, gini_split, gain,
+        |       (gini_split = bg AND feature = bf AND cut = bc) AS is_best
+        |FROM g, b ORDER BY feature, cut""".stripMargin,
+
     "search_spell_correct" ->
       // vocabulary = the idf CTE's (word, doc_freq); ±2 length-band
       // candidates, levenshtein ≤ 2, (distance, df DESC, word) top-3

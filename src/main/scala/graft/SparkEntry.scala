@@ -5789,6 +5789,74 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "ml_decision_stump" -> ((s, dir) => {
+      // CART's first split as a standalone face (Breiman et al. 1984):
+      // which single feature/threshold best separates urgent orders?
+      // The 100 TB shape: each candidate feature costs ONE hash
+      // aggregate to a DOMAIN-BOUNDED (bin, pos, neg) table (16
+      // equi-width price bins from S4 min/max scalars; 12 calendar
+      // months); every split's left/right class counts then come from
+      // prefix sums over that bounded table (broadcast triangle join —
+      // never a second data scan, never a per-candidate pass). Gini
+      // impurities are fixed-shape doubles over exact integer counts,
+      // 6dp-pinned; the winning split is the (gini, feature, cut)
+      // struct-min. The full candidate table ships as the audit
+      // surface, best row flagged.
+      val o = tbl(s, dir, "orders")
+      val pos = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(0L)
+      val mm = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      val priceAgg = o.crossJoin(broadcast(mm))
+        .select(least(floor((col("o_totalprice") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(16.0))), lit(15.0))
+          .cast("long").as("bin"), pos.as("p"))
+        .groupBy("bin")
+        .agg(sum("p").as("np"), (count(lit(1)) - sum("p")).as("nn"))
+      val monthAgg = o
+        .select(month(col("o_orderdate")).cast("long").as("bin"), pos.as("p"))
+        .groupBy("bin")
+        .agg(sum("p").as("np"), (count(lit(1)) - sum("p")).as("nn"))
+      def splits(aggT: DataFrame, fname: String): DataFrame = {
+        val a = Caches.persist(aggT)
+        val tot = a.agg(sum("np").as("tp"), sum("nn").as("tn"),
+          max("bin").as("maxbin"))
+        val cum = a.select(col("bin").as("cut"))
+          .join(broadcast(a.select(col("bin").as("b2"), col("np"), col("nn"))),
+            col("b2") <= col("cut"))
+          .groupBy("cut")
+          .agg(sum("np").as("pl"), sum("nn").as("nl"))
+        cum.crossJoin(broadcast(tot))
+          .filter(col("cut") < col("maxbin"))
+          .select(lit(fname).as("feature"), col("cut"),
+            col("pl"), col("nl"),
+            (col("tp") - col("pl")).as("pr"), (col("tn") - col("nl")).as("nr"),
+            col("tp"), col("tn"))
+      }
+      val all = splits(priceAgg, "totalprice")
+        .unionAll(splits(monthAgg, "month"))
+      val ld = (col("pl") + col("nl")).cast("double")
+      val rd = (col("pr") + col("nr")).cast("double")
+      val td = (col("tp") + col("tn")).cast("double")
+      def gini(p: Column, n: Column, t: Column): Column =
+        lit(1.0) - (p.cast("double") / t) * (p.cast("double") / t) -
+          (n.cast("double") / t) * (n.cast("double") / t)
+      val split = (ld / td) * gini(col("pl"), col("nl"), ld) +
+        (rd / td) * gini(col("pr"), col("nr"), rd)
+      val parent = gini(col("tp"), col("tn"), td)
+      val g = Caches.persist(all.select(col("feature"), col("cut"),
+        (col("pl") + col("nl")).as("n_left"),
+        (col("pr") + col("nr")).as("n_right"),
+        round(split, 6).as("gini_split"),
+        round(parent - split, 6).as("gain")))
+      val best = g.agg(min(struct(col("gini_split"), col("feature"),
+        col("cut"))).as("b"))
+      g.crossJoin(broadcast(best))
+        .withColumn("is_best",
+          struct(col("gini_split"), col("feature"), col("cut")) === col("b"))
+        .drop("b")
+        .orderBy("feature", "cut")
+    }),
+
     "search_spell_correct" -> ((s, dir) => {
       // "did you mean": misspelled query terms corrected against the
       // corpus vocabulary — candidates blocked by a ±2 length band
