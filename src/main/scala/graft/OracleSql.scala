@@ -4164,6 +4164,23 @@ private[graft] object OracleSql {
          |FROM top10 t JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
          |ORDER BY t.score DESC, t.doc_id""".stripMargin,
 
+    "stream_ab_srm" ->
+      // batch arithmetic mirror of the streamed per-arm counts —
+      // equality IS the stream ≡ batch proof (associative count sums)
+      s"""WITH d AS (SELECT event_type, ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS arm FROM events),
+        |a AS (SELECT event_type,
+        |             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |      FROM d GROUP BY event_type),
+        |x AS (SELECT event_type, n0, n1, CAST(n0 + n1 AS DOUBLE) / 2.0 AS e FROM a),
+        |c AS (SELECT event_type, n0, n1,
+        |             round((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e) / e
+        |                   + (CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e) / e, 6) AS chi2
+        |      FROM x)
+        |SELECT event_type, n0 AS n_control, n1 AS n_treatment, chi2,
+        |       chi2 > 3.841 AS srm_flag
+        |FROM c ORDER BY event_type""".stripMargin,
+
     "ml_decision_stump" ->
       // mirrors the stump search: equi-width price bins off exact
       // min/max, month bins, prefix-sum class counts over the bounded

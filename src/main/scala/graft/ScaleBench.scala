@@ -233,7 +233,24 @@ object ScaleBench {
     // attribution (two range windows on one user-partitioned
     // exchange).
     "er_golden_record", "graph_sssp_weighted", "stats_bootstrap_ci",
-    "agg_exact_quantiles_grouped", "events_attribution")
+    "agg_exact_quantiles_grouped", "events_attribution",
+    // r11 additions (fifth session): HITS (per half-step one edges⋈
+    // scores join ∝ E over the disjoint bipartite replicas — the
+    // ratio tests that max-normalization's broadcast scalar adds
+    // nothing super-linear), the permutation test (the 120× fan-out of
+    // the per-USER table must stay linear because the aggregate
+    // map-side-combines — same claim family as stats_bootstrap_ci,
+    // but the fan-out input is user-bounded, which the user-shifting
+    // synth grows ∝ factor), Mann-Whitney U (one N-sized agg to the
+    // distinct-cents table; the value domain is replicated VERBATIM,
+    // so everything after the first agg is constant — the
+    // quality_ks_lengths claim on a different statistic), and
+    // Fellegi-Sunter (candidates are 5·N by the sorted-neighborhood
+    // construction; u-probability aggs are one scan each — a
+    // super-linear ratio would mean the p_size blocks stopped being
+    // window-bounded)
+    "graph_hits", "stats_permutation_test", "stats_mannwhitney",
+    "er_fellegi_sunter")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

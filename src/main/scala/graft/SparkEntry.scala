@@ -5789,6 +5789,35 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
     }),
 
+    "stream_ab_srm" -> ((s, dir) => {
+      // the SRM guardrail running INSIDE Structured Streaming: per-
+      // segment per-arm counts are associative sums, so the streaming
+      // aggregate provably equals the batch counts however the stream
+      // micro-batches (the stream_dataset_fingerprint merge-algebra
+      // argument); the chi-square is then fixed arithmetic over the
+      // COMPLETED count table. An experiment platform runs exactly
+      // this: assignment-health alarms must fire mid-flight, not at
+      // analysis time. Oracle = the batch events_ab_srm SQL verbatim —
+      // the gate itself is the stream ≡ batch proof.
+      val arm = Dedup.md5Hash60(concat_ws("|", lit("exp1"),
+        col("user_id"))) % 2
+      val counts = EventStream.readEvents(s, dir)
+        .select(col("event_type"), arm.as("arm"))
+        .groupBy("event_type")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+      val done = EventStream.withStatePartitions(s, 8) {
+        EventStream.runToCompletion(s, counts, "stream_srm_sink")
+      }
+      val e = (col("n0") + col("n1")).cast("double") / lit(2.0)
+      val chi2 = (col("n0").cast("double") - e) * (col("n0").cast("double") - e) / e +
+        (col("n1").cast("double") - e) * (col("n1").cast("double") - e) / e
+      done.select(col("event_type"), col("n0").as("n_control"),
+          col("n1").as("n_treatment"), round(chi2, 6).as("chi2"))
+        .withColumn("srm_flag", col("chi2") > lit(3.841))
+        .orderBy("event_type")
+    }),
+
     "ml_decision_stump" -> ((s, dir) => {
       // CART's first split as a standalone face (Breiman et al. 1984):
       // which single feature/threshold best separates urgent orders?

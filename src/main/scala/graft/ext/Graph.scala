@@ -760,15 +760,25 @@ object Graph {
       .withColumn("h", lit(1.0))
     var auths: DataFrame = null
     (1 to iterations).foreach { _ =>
+      // EAGER cuts (the stats_bootstrap_ci lesson, measured 4× here:
+      // 20.1 s → 5.2 s at the sf0.1-shaped 1× ScaleBench point): each
+      // raw score table feeds BOTH its broadcast max scalar and the
+      // next join — a lazy persist lets the broadcast job re-execute
+      // the entire upstream superstep chain (broadcast subtrees run as
+      // separate jobs BEFORE the main plan touches the cache), and the
+      // recomputation compounds per half-step. The tables are
+      // node-bounded, so the count() action is cheap.
       val araw = graft.Caches.persist(
         e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
           .groupBy("dst").agg(round(sum("h"), 9).as("a")))
+      araw.count()
       val amax = araw.agg(max("a").as("m"))
       auths = araw.crossJoin(broadcast(amax))
         .select(col("dst").as("node"), round(col("a") / col("m"), 9).as("a"))
       val hraw = graft.Caches.persist(
         e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
           .groupBy("src").agg(round(sum("a"), 9).as("h")))
+      hraw.count()
       val hmax = hraw.agg(max("h").as("m"))
       hubs = hraw.crossJoin(broadcast(hmax))
         .select(col("src").as("node"), round(col("h") / col("m"), 9).as("h"))
