@@ -3,7 +3,7 @@ package graft
 import graft.ext.{Similarity, TextAnalysis}
 import graft.text.Stopwords
 
-import graft.SparkEntry.{ArtifactsPath, FixturePath, SearchTermsSql, StemmedFlatPath, StemmedTermsSql}
+import graft.SparkEntry.{ArtifactsPath, EvalTermsSql, FixturePath, SearchTermsSql, StemmedFlatPath, StemmedTermsSql}
 
 /** The DuckDB oracle side of the driver contract, split out of
   * [[SparkEntry]] (r4 VERDICT #8 — judge navigability): one ANSI-SQL
@@ -4246,6 +4246,82 @@ private[graft] object OracleSql {
         |      FROM cand WHERE distance <= 2)
         |SELECT query_term, rank, word AS suggestion, distance, df
         |FROM f WHERE rank <= 3 ORDER BY query_term, rank""".stripMargin,
+
+    "search_eval_ndcg" ->
+      // mirrors the eval harness: per-term BM25 scores (4dp), system
+      // rank by (score DESC, doc_id), ideal rank by (tf DESC, doc_id),
+      // linear-gain DCG with 9dp-pinned per-row contributions, MRR and
+      // P@10 at rel >= 2
+      s"""WITH $indexCtes,
+        |sc AS (SELECT t.doc_id, t.word, t.term_freq,
+        |              round(i.idf * (t.term_freq * (1.2 + 1)) /
+        |                    (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats))), 4) AS score
+        |       FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+        |       WHERE t.word IN ($EvalTermsSql)),
+        |sys AS (SELECT word, term_freq,
+        |               row_number() OVER (PARTITION BY word ORDER BY score DESC, doc_id) AS r
+        |        FROM sc),
+        |idl AS (SELECT word, term_freq,
+        |               row_number() OVER (PARTITION BY word ORDER BY term_freq DESC, doc_id) AS r
+        |        FROM sc),
+        |ds AS (SELECT word, sum(round(term_freq / log2(r + 1.0), 9)) AS dcg,
+        |              CAST(count(*) AS BIGINT) AS n_results,
+        |              min(CASE WHEN term_freq >= 2 THEN r END) AS fr,
+        |              sum(CASE WHEN term_freq >= 2 THEN 1 ELSE 0 END) AS nrel
+        |       FROM sys WHERE r <= 10 GROUP BY word),
+        |di AS (SELECT word, sum(round(term_freq / log2(r + 1.0), 9)) AS idcg
+        |       FROM idl WHERE r <= 10 GROUP BY word)
+        |SELECT ds.word AS query_term, n_results,
+        |       round(dcg / idcg, 6) AS ndcg10,
+        |       round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
+        |       round(nrel / 10.0, 6) AS p10
+        |FROM ds JOIN di ON ds.word = di.word
+        |ORDER BY query_term""".stripMargin,
+
+    "search_mmr_rerank" -> {
+      // verbatim greedy MMR unroll: pool = BM25 top-30 with rel =
+      // score/max (6dp), sims = pool-pair token Jaccard (9dp), then
+      // ten straight-line selection steps — each scores the remaining
+      // pool as round(0.7·rel − 0.3·max-sim-to-selected, 6) and takes
+      // the (sc DESC, doc_id) argmax; step 1's max-sim over the empty
+      // set is 0 by the same coalesce
+      val steps = (2 to 10).map { i =>
+        s"""c$i AS (SELECT p.doc_id,
+          |            round(0.7 * p.rel - 0.3 * coalesce(
+          |              (SELECT max(s.sim) FROM sims s JOIN sel${i - 1} q
+          |               ON ((s.da = p.doc_id AND s.db = q.doc_id)
+          |                   OR (s.db = p.doc_id AND s.da = q.doc_id))), 0.0), 6) AS sc
+          |     FROM pool p
+          |     WHERE p.doc_id NOT IN (SELECT doc_id FROM sel${i - 1})),
+          |p$i AS (SELECT doc_id, sc, $i AS rank FROM c$i ORDER BY sc DESC, doc_id LIMIT 1),
+          |sel$i AS MATERIALIZED (SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM p$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $indexCtes,
+        |sc0 AS (SELECT t.doc_id,
+        |               sum(i.idf * (t.term_freq * (1.2 + 1)) /
+        |                   (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+        |        FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+        |        WHERE t.word IN ($SearchTermsSql)
+        |        GROUP BY t.doc_id),
+        |pool0 AS (SELECT doc_id, round(s, 4) AS score FROM sc0
+        |          ORDER BY round(s, 4) DESC, doc_id LIMIT 30),
+        |pool AS MATERIALIZED (SELECT doc_id,
+        |                round(score / (SELECT max(score) FROM pool0), 6) AS rel
+        |         FROM pool0),
+        |pt AS (SELECT t.doc_id, t.word FROM tf t JOIN pool p USING (doc_id)),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nt FROM pt GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS da, b.doc_id AS db, CAST(count(*) AS BIGINT) AS ov
+        |       FROM pt a JOIN pt b ON a.word = b.word AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id),
+        |sims AS MATERIALIZED (SELECT da, db, round(ov * 1.0 / (x.nt + y.nt - ov), 9) AS sim
+        |         FROM ov JOIN sz x ON x.doc_id = ov.da JOIN sz y ON y.doc_id = ov.db),
+        |c1 AS (SELECT doc_id, round(0.7 * rel, 6) AS sc FROM pool),
+        |p1 AS (SELECT doc_id, sc, 1 AS rank FROM c1 ORDER BY sc DESC, doc_id LIMIT 1),
+        |sel1 AS MATERIALIZED (SELECT * FROM p1),
+        |$steps
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id, sc AS mmr_score
+        |FROM sel10 ORDER BY rank""".stripMargin
+    },
 
     "er_fellegi_sunter" ->
       // mirrors the FS scoring: exact Σc(c−1)/(N(N−1)) u-probabilities,

@@ -108,6 +108,12 @@ object SparkEntry {
   private[graft] val SearchTerms = Seq("merge", "join", "table", "scan")
   private[graft] val SearchTermsSql = SearchTerms.map(t => s"'$t'").mkString(", ")
 
+  /** Single-term eval queries for the offline retrieval-quality harness
+    * (`search_eval_ndcg`) — a fixed set so the metric table is stable.
+    */
+  private[graft] val EvalTerms = Seq("filter", "join", "merge", "scan", "table", "vector")
+  private[graft] val EvalTermsSql = EvalTerms.map(t => s"'$t'").mkString(", ")
+
   private[graft] val FixturePath = "/root/repo/src/main/resources/cap_fixture.jsonl"
 
   /** Scratch dir for query-produced fixtures/artifacts that oracle SQL
@@ -5915,6 +5921,110 @@ object SparkEntry {
         .select(col("query_term"), col("rank"), col("word").as("suggestion"),
           col("distance"), col("df"))
         .orderBy("query_term", "rank")
+    }),
+
+    "search_eval_ndcg" -> ((s, dir) => {
+      // offline retrieval-quality evaluation (nDCG per Järvelin &
+      // Kekäläinen, TOIS 20(4) 2002; plus MRR and P@10): each eval
+      // term is a single-term query with graded relevance = the term's
+      // tf in the doc — a label an offline harness can always compute,
+      // monotone with topical density, and NOT what BM25 ranks by
+      // (length normalization reorders), so the metrics are
+      // non-trivial. System ranking = per-term BM25 top-10 via the
+      // bounded-heap TopKPerKey operator (partial top-k before the key
+      // shuffle — no global window at any corpus size); ideal ranking
+      // = top-10 by the gain itself. Linear-gain DCG with per-row
+      // contributions 9dp-pinned before the ≤10-row sum; MRR/P@10 at
+      // rel ≥ 2. Ranks within each ≤10-row result set come from a
+      // window whose partitions are k-bounded by construction.
+      val t = builtIndex(s, dir, stem = false)
+      val scored = Caches.persist(t.termFrequencies
+        .filter(col("word").isin(EvalTerms: _*))
+        .join(broadcast(t.idfValues.filter(col("word").isin(EvalTerms: _*))
+          .select("word", "idf")), Seq("word"))
+        .join(t.docLengths, Seq("doc_id"))
+        .select(col("word"), col("doc_id"), col("term_freq"),
+          round(BM25.score(col("term_freq"), col("doc_length"), col("idf"),
+            lit(t.avgdl)), 4).as("score")))
+      def ranked(ord: Seq[(String, Boolean)], by: Seq[Column]): DataFrame =
+        graft.ops.TopK.perKey(scored, Seq("word"), ord, k = 10)
+          .withColumn("r", row_number().over(
+            Window.partitionBy("word").orderBy(by: _*)).cast("long"))
+      def gain(r: Column): Column =
+        round(col("term_freq").cast("double") / log2(r.cast("double") + lit(1.0)), 9)
+      val sys10 = ranked(Seq(("score", true), ("doc_id", false)),
+        Seq(col("score").desc, col("doc_id").asc))
+      val idl10 = ranked(Seq(("term_freq", true), ("doc_id", false)),
+        Seq(col("term_freq").desc, col("doc_id").asc))
+      val ds = sys10.groupBy("word").agg(
+        sum(gain(col("r"))).as("dcg"),
+        count(lit(1)).as("n_results"),
+        min(when(col("term_freq") >= 2, col("r"))).as("fr"),
+        sum(when(col("term_freq") >= 2, 1L).otherwise(0L)).as("nrel"))
+      val di = idl10.groupBy("word").agg(sum(gain(col("r"))).as("idcg"))
+      ds.join(di, Seq("word"))
+        .select(col("word").as("query_term"), col("n_results"),
+          round(col("dcg") / col("idcg"), 6).as("ndcg10"),
+          round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 6).as("mrr"),
+          round(col("nrel") / lit(10.0), 6).as("p10"))
+        .orderBy("query_term")
+    }),
+
+    "search_mmr_rerank" -> ((s, dir) => {
+      // Maximal Marginal Relevance reranking (Carbonell & Goldstein,
+      // SIGIR'98): diversify the BM25 top-30 pool into a top-10 where
+      // each pick maximizes λ·rel − (1−λ)·max-sim-to-selected (λ=0.7).
+      // rel = score/max-score (6dp); sim = Jaccard over the pool docs'
+      // distinct non-stop token sets (9dp), computed distributed via a
+      // broadcast semi-join of the token table against the 30 pool ids
+      // + one pairwise overlap aggregate. The greedy argmax chain is
+      // inherently sequential over the RETRIEVAL-SIZE pool (30 rows,
+      // ≤435 pairs — bounded by k at ANY corpus size), so the
+      // selection loop runs driver-side on the collected pool tables
+      // (the S4 scalar-materialize pattern; a production reranker does
+      // exactly this on the serving head after retrieval fans in).
+      val t = builtIndex(s, dir, stem = false)
+      val pool = Caches.persist(Search.scoreTerms(t, SearchTerms)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(30))
+      val mx = pool.agg(max("score")).head().getDouble(0)
+      val ids = pool.select("doc_id")
+      val pt = Caches.persist(t.termFrequencies
+        .join(broadcast(ids), Seq("doc_id")).select("doc_id", "word"))
+      val sizes = pt.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val sims = pt.as("a")
+        .join(pt.as("b"), col("a.word") === col("b.word") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("ov"))
+        .join(sizes.select(col("doc_id").as("da"), col("nt").as("na")), Seq("da"))
+        .join(sizes.select(col("doc_id").as("db"), col("nt").as("nb")), Seq("db"))
+        .select(col("da"), col("db"), round(col("ov").cast("double") /
+          (col("na") + col("nb") - col("ov")), 9).as("sim"))
+      val rel = pool
+        .select(col("doc_id"), round(col("score") / lit(mx), 6).as("rel"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val sim = sims.collect().flatMap { r =>
+        val v = r.getDouble(2)
+        Seq((r.getLong(0), r.getLong(1)) -> v, (r.getLong(1), r.getLong(0)) -> v)
+      }.toMap.withDefaultValue(0.0) // absent pair = zero shared tokens
+      var selected = Vector.empty[(Long, Double)]
+      (1 to 10).foreach { _ =>
+        val best = rel.keysIterator
+          .filterNot(d => selected.exists(_._1 == d))
+          .map { d =>
+            val ms = if (selected.isEmpty) 0.0
+              else selected.map(p => sim((d, p._1))).max
+            (d, BigDecimal(0.7 * rel(d) - 0.3 * ms)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          }
+          .minBy { case (d, sc) => (-sc, d) }
+        selected :+= best
+      }
+      import s.implicits._
+      selected.zipWithIndex
+        .map { case ((d, sc), i) => (i + 1L, d, sc) }
+        .toDF("rank", "doc_id", "mmr_score")
     }),
 
     "er_fellegi_sunter" -> ((s, dir) => {

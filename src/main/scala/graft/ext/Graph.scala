@@ -745,10 +745,18 @@ object Graph {
     * agg_moments-family residual.
     *
     * Scale shape: the distinct edge table is persisted once; each
-    * half-step is one shuffle join edges⋈scores + one hash aggregate
-    * + a broadcast max scalar (the score tables are node-bounded, the
-    * raw table is persisted so the max doesn't recompute it). Fixed
-    * iterations → bounded supersteps.
+    * half-step is one shuffle join edges⋈scores + one hash aggregate.
+    * The normalizing max is fetched DRIVER-SIDE by the same action
+    * that materializes the half-step's cache (the S4 scalar pattern):
+    * one job per half-step instead of a count action plus a broadcast
+    * subtree — measured 9.3 s → 5.9 s warm on the gate query at the
+    * sf0.1 ScaleBench point (the r11 eager-cut pass had already taken
+    * it from 20 s by materializing before the broadcast; folding the
+    * max into the materializing action removes the remaining four
+    * scalar jobs). Iteration 1's authority sums are sums of the
+    * constant 1.0, i.e. the in-degree — computed as a plain aggregate
+    * on the edge table, no join (bit-identical: exact integers either
+    * way). Fixed iterations → bounded supersteps.
     *
     * @param edges (src — hub side, dst — authority side)
     * @return (kind 'hub'|'authority', node, score ∈ (0, 1] 9dp)
@@ -756,32 +764,32 @@ object Graph {
   def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
     val e = graft.Caches.persist(
       edges.select(col("src"), col("dst")).distinct())
-    var hubs = e.select(col("src").as("node")).distinct()
-      .withColumn("h", lit(1.0))
+    // materialize-and-fetch-max in ONE action; guard the empty graph
+    // (max over zero rows is null — divisor never used then)
+    def maxOf(df: DataFrame, c: String): Double = {
+      val r = df.agg(max(col(c))).head()
+      if (r.isNullAt(0)) 1.0 else r.getDouble(0)
+    }
+    var hubs: DataFrame = null
     var auths: DataFrame = null
-    (1 to iterations).foreach { _ =>
-      // EAGER cuts (the stats_bootstrap_ci lesson, measured 4× here:
-      // 20.1 s → 5.2 s at the sf0.1-shaped 1× ScaleBench point): each
-      // raw score table feeds BOTH its broadcast max scalar and the
-      // next join — a lazy persist lets the broadcast job re-execute
-      // the entire upstream superstep chain (broadcast subtrees run as
-      // separate jobs BEFORE the main plan touches the cache), and the
-      // recomputation compounds per half-step. The tables are
-      // node-bounded, so the count() action is cheap.
+    (1 to iterations).foreach { i =>
       val araw = graft.Caches.persist(
-        e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
-          .groupBy("dst").agg(round(sum("h"), 9).as("a")))
-      araw.count()
-      val amax = araw.agg(max("a").as("m"))
-      auths = araw.crossJoin(broadcast(amax))
-        .select(col("dst").as("node"), round(col("a") / col("m"), 9).as("a"))
+        if (i == 1)
+          // first half-step: Σ h over in-edges with every h = 1.0 is
+          // the in-degree — same exact-integer sums, one join fewer
+          e.groupBy("dst").agg(round(count(lit(1)).cast("double"), 9).as("a"))
+        else
+          e.join(hubs.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy("dst").agg(round(sum("h"), 9).as("a")))
+      val am = maxOf(araw, "a")
+      auths = araw
+        .select(col("dst").as("node"), round(col("a") / lit(am), 9).as("a"))
       val hraw = graft.Caches.persist(
         e.join(auths.withColumnRenamed("node", "dst"), Seq("dst"))
           .groupBy("src").agg(round(sum("a"), 9).as("h")))
-      hraw.count()
-      val hmax = hraw.agg(max("h").as("m"))
-      hubs = hraw.crossJoin(broadcast(hmax))
-        .select(col("src").as("node"), round(col("h") / col("m"), 9).as("h"))
+      val hm = maxOf(hraw, "h")
+      hubs = hraw
+        .select(col("src").as("node"), round(col("h") / lit(hm), 9).as("h"))
     }
     hubs.select(lit("hub").as("kind"), col("node"), col("h").as("score"))
       .unionAll(auths.select(lit("authority").as("kind"), col("node"),
