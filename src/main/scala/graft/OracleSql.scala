@@ -4323,6 +4323,98 @@ private[graft] object OracleSql {
         |FROM sel10 ORDER BY rank""".stripMargin
     },
 
+    "quality_drift_psi" ->
+      // mirrors the PSI: 10 equi-width bins off the reference window's
+      // exact min/max, edge-clamped bin assignment, 1e-4 proportion
+      // floor, 9dp-pinned per-bin terms, 6dp total
+      """WITH o AS (SELECT o_totalprice AS x, year(o_orderdate) < 1998 AS is_ref FROM orders),
+        |st AS (SELECT min(CASE WHEN is_ref THEN x END) AS lo,
+        |              max(CASE WHEN is_ref THEN x END) AS hi,
+        |              CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |              CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |       FROM o),
+        |b AS (SELECT CAST(least(greatest(floor((x - st.lo) / ((st.hi - st.lo) / 10.0)), 0.0), 9.0) AS BIGINT) AS bin,
+        |             is_ref
+        |      FROM o CROSS JOIN st),
+        |cnt AS (SELECT bin,
+        |               CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |               CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |        FROM b GROUP BY bin),
+        |bins AS (SELECT g.bin, coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+        |         FROM (SELECT unnest(range(10)) AS bin) g LEFT JOIN cnt c USING (bin)),
+        |t AS (SELECT bin, n_ref, n_cur,
+        |             greatest(n_ref * 1.0 / (SELECT nr FROM st), 1e-4) AS pr,
+        |             greatest(n_cur * 1.0 / (SELECT nc FROM st), 1e-4) AS pc
+        |      FROM bins),
+        |t2 AS (SELECT bin, n_ref, n_cur, pr, pc,
+        |              round((pc - pr) * ln(pc / pr), 9) AS psi_term
+        |       FROM t),
+        |tot AS (SELECT round(sum(psi_term), 6) AS psi_total FROM t2)
+        |SELECT bin, n_ref, n_cur, round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+        |       psi_term, psi_total, psi_total > 0.2 AS drift_flag
+        |FROM t2 CROSS JOIN tot ORDER BY bin""".stripMargin,
+
+    "stats_chisq_independence" ->
+      // mirrors the chi-square: full R×C grid (empty cells included),
+      // expectations over exact counts, 9dp per-cell pins, Cramér's V
+      // from the 6dp-pinned statistic
+      """WITH d AS (SELECT lang, source FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |cells AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS o FROM d GROUP BY lang, source),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |rt AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY lang),
+        |ct AS (SELECT source, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY source),
+        |grid AS (SELECT rt.lang, ct.source, rt.rt, ct.ct, coalesce(c.o, 0) AS o
+        |         FROM rt CROSS JOIN ct LEFT JOIN cells c ON c.lang = rt.lang AND c.source = ct.source),
+        |x AS (SELECT round(sum(round((o - rt * 1.0 * ct / (SELECT n FROM n))
+        |                             * (o - rt * 1.0 * ct / (SELECT n FROM n))
+        |                             / (rt * 1.0 * ct / (SELECT n FROM n)), 9)), 6) AS chi2,
+        |             CAST(count(DISTINCT lang) AS BIGINT) AS r,
+        |             CAST(count(DISTINCT source) AS BIGINT) AS c
+        |      FROM grid)
+        |SELECT (SELECT n FROM n) AS n_docs, r AS n_langs, c AS n_sources,
+        |       (r - 1) * (c - 1) AS dof, chi2,
+        |       round(sqrt(chi2 / ((SELECT n FROM n) * 1.0 * least(r - 1, c - 1))), 6) AS cramers_v,
+        |       round(sqrt(chi2 / ((SELECT n FROM n) * 1.0 * least(r - 1, c - 1))), 6) > 0.1 AS associated_flag
+        |FROM x""".stripMargin,
+
+    "events_ab_sequential" ->
+      // mirrors the mSPRT: exact per-day cent sums, cumulative window
+      // sums, the identical fixed-shape lnΛ with σ²=2500 τ²=25, 9dp
+      // pin before the running max, p = min(1, exp(−max))
+      s"""WITH e AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |                  ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS arm,
+        |                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+        |           FROM events),
+        |daily AS (SELECT day,
+        |                 CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0,
+        |                 CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+        |                 CAST(sum(CASE WHEN arm = 0 THEN v ELSE 0 END) AS DECIMAL(38,0)) AS s0,
+        |                 CAST(sum(CASE WHEN arm = 1 THEN v ELSE 0 END) AS DECIMAL(38,0)) AS s1
+        |          FROM e GROUP BY day),
+        |cum AS (SELECT day,
+        |               CAST(sum(d0) OVER w AS BIGINT) AS n0,
+        |               CAST(sum(d1) OVER w AS BIGINT) AS n1,
+        |               sum(s0) OVER w AS c0,
+        |               sum(s1) OVER w AS c1
+        |        FROM daily WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |sc AS (SELECT day, n0, n1,
+        |              CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE) / 100.0
+        |                - CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE) / 100.0 AS delta,
+        |              2500.0 * (1.0 / CAST(n0 AS DOUBLE) + 1.0 / CAST(n1 AS DOUBLE)) AS v
+        |       FROM cum),
+        |l AS (SELECT day, n0, n1, delta,
+        |             round(0.5 * ln(v / (v + 25.0))
+        |                   + delta * delta * 25.0 / (2.0 * v * (v + 25.0)), 9) AS llr
+        |      FROM sc),
+        |f AS (SELECT day, n0, n1, delta, llr,
+        |             max(llr) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+        |      FROM l)
+        |SELECT day, n0 AS n_control, n1 AS n_treatment, round(delta, 6) AS delta,
+        |       round(llr, 6) AS log_lambda,
+        |       round(least(1.0, exp(-mx)), 6) AS p_value,
+        |       round(least(1.0, exp(-mx)), 6) < 0.05 AS significant
+        |FROM f ORDER BY day""".stripMargin,
+
     "er_fellegi_sunter" ->
       // mirrors the FS scoring: exact Σc(c−1)/(N(N−1)) u-probabilities,
       // the same sorted-neighborhood candidates (row_number form, as in

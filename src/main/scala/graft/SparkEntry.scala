@@ -6027,6 +6027,138 @@ object SparkEntry {
         .toDF("rank", "doc_id", "mmr_score")
     }),
 
+    "quality_drift_psi" -> ((s, dir) => {
+      // Population Stability Index — the production drift alarm for a
+      // feature/metric distribution between a reference window and the
+      // live window (the credit-scoring monitoring standard; >0.2 =
+      // investigate). Bins are 10 equi-width cuts off the REFERENCE
+      // window's exact min/max (the ml_decision_stump binning shape —
+      // scalars fetched driver-side, S4 pattern); live values outside
+      // the reference range clamp into the edge bins; proportions get
+      // the standard 1e-4 floor so empty bins contribute finitely.
+      // One N-scan → a 10-row bin table; everything after is
+      // fixed-shape arithmetic on exact counts.
+      val o = tbl(s, dir, "orders")
+        .select(col("o_totalprice").as("x"),
+          (year(col("o_orderdate")) < 1998).as("is_ref"))
+      val st = o.agg(
+        min(when(col("is_ref"), col("x"))).as("lo"),
+        max(when(col("is_ref"), col("x"))).as("hi"),
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("nr"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("nc")).head()
+      val (lo, hi) = (st.getDouble(0), st.getDouble(1))
+      val (nr, nc) = (st.getLong(2), st.getLong(3))
+      require(hi > lo, s"degenerate reference window: [$lo, $hi]")
+      val width = (hi - lo) / 10.0
+      val bin = least(greatest(
+        floor((col("x") - lit(lo)) / lit(width)), lit(0.0)), lit(9.0))
+        .cast("long")
+      val counts = o.groupBy(bin.as("bin")).agg(
+        sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
+      val bins = s.range(10).select(col("id").as("bin"))
+        .join(counts, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val pr = greatest(col("n_ref").cast("double") / lit(nr.toDouble), lit(1e-4))
+      val pc = greatest(col("n_cur").cast("double") / lit(nc.toDouble), lit(1e-4))
+      val terms = bins.withColumn("psi_term", round((pc - pr) * log(pc / pr), 9))
+      val total = terms.agg(round(sum("psi_term"), 6).as("psi_total"))
+      terms
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"), col("psi_term"))
+        .crossJoin(broadcast(total))
+        .withColumn("drift_flag", col("psi_total") > lit(0.2))
+        .orderBy("bin")
+    }),
+
+    "stats_chisq_independence" -> ((s, dir) => {
+      // Pearson chi-square test of independence on the lang × source
+      // contingency table — "is language mix the same across sources?"
+      // is the first question a corpus curator asks of a new ingest.
+      // The full R×C grid INCLUDING empty cells (a zero observed cell
+      // still contributes its expectation) is the cross join of the
+      // two domain-bounded margin tables; expectations are fixed-shape
+      // doubles over exact counts, per-cell contributions 9dp-pinned
+      // before the ≤100-cell sum. Effect size = Cramér's V (dof-free),
+      // flagged at the 0.1 weak-association threshold.
+      val d = docs(s, dir).select("lang", "source")
+      // ONE N-scan to the domain-bounded cell table; margins, the
+      // grand total, and the grid all derive from its cache (the
+      // total's head() doubles as the materializing action)
+      val cells = Caches.persist(
+        d.groupBy("lang", "source").agg(count(lit(1)).as("o")))
+      val n = cells.agg(sum("o")).head().getLong(0)
+      val rowT = cells.groupBy("lang").agg(sum("o").as("rt"))
+      val colT = cells.groupBy("source").agg(sum("o").as("ct"))
+      val grid = rowT.crossJoin(colT)
+        .join(cells, Seq("lang", "source"), "left")
+        .select(col("lang"), col("source"), col("rt"), col("ct"),
+          coalesce(col("o"), lit(0L)).as("o"))
+      val e = col("rt").cast("double") * col("ct").cast("double") / lit(n.toDouble)
+      val contrib = round((col("o").cast("double") - e) * (col("o").cast("double") - e) / e, 9)
+      val agg = grid.agg(
+        round(sum(contrib), 6).as("chi2"),
+        countDistinct("lang").as("r"),
+        countDistinct("source").as("c"))
+      agg.select(lit(n).as("n_docs"), col("r").as("n_langs"),
+          col("c").as("n_sources"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"), col("chi2"),
+          round(sqrt(col("chi2") / (lit(n.toDouble) *
+            least(col("r") - 1, col("c") - 1).cast("double"))), 6)
+            .as("cramers_v"))
+        .withColumn("associated_flag", col("cramers_v") > lit(0.1))
+    }),
+
+    "events_ab_sequential" -> ((s, dir) => {
+      // always-valid sequential inference (the mSPRT of Johari,
+      // Koomen, Pekelis & Walsh, KDD'17 — "peeking" made safe): per
+      // cumulative day, the mixture likelihood ratio
+      //   Λ = sqrt(V/(V+τ²)) · exp(δ̂²τ²/(2V(V+τ²)))
+      // with V = σ²(1/n0+1/n1), and the always-valid p-value
+      // p_t = min(1, exp(−max_{m≤t} lnΛ_m)) — monotone by
+      // construction, so an experimenter may stop ANY day without
+      // inflating α. σ²=2500, τ²=25 are documented analyst priors
+      // (the er_fellegi_sunter literals convention). Cumulative
+      // counts/sums are window sums of exact per-day integers (cents,
+      // the CUPED decimal convention); lnΛ is fixed-shape double
+      // arithmetic on them, 9dp-pinned before the running max.
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val arm = Dedup.md5Hash60(concat_ws("|", lit("exp1"), col("user_id"))) % 2
+      val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+      val daily = events(s, dir)
+        .select(floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"),
+          arm.as("arm"), cents.as("v"))
+        .groupBy("day")
+        .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("d0"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("arm") === 0, col("v")).otherwise(0L)).cast(dec).as("s0"),
+          sum(when(col("arm") === 1, col("v")).otherwise(0L)).cast(dec).as("s1"))
+      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      val cum = daily.select(col("day"),
+        sum("d0").over(w).as("n0"), sum("d1").over(w).as("n1"),
+        sum("s0").over(w).as("c0"), sum("s1").over(w).as("c1"))
+      val (sig2, tau2) = (2500.0, 25.0)
+      val m0 = col("c0").cast("double") / col("n0").cast("double") / lit(100.0)
+      val m1 = col("c1").cast("double") / col("n1").cast("double") / lit(100.0)
+      val delta = m1 - m0
+      val v = lit(sig2) * (lit(1.0) / col("n0").cast("double") +
+        lit(1.0) / col("n1").cast("double"))
+      val llr = round(lit(0.5) * log(v / (v + lit(tau2))) +
+        delta * delta * lit(tau2) / (lit(2.0) * v * (v + lit(tau2))), 9)
+      val scored = cum.withColumn("delta", round(delta, 6))
+        .withColumn("llr", llr)
+      val wm = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+      scored
+        .withColumn("p_value",
+          round(least(lit(1.0), exp(-max(col("llr")).over(wm))), 6))
+        .select(col("day"), col("n0").as("n_control"),
+          col("n1").as("n_treatment"), col("delta"),
+          round(col("llr"), 6).as("log_lambda"), col("p_value"))
+        .withColumn("significant", col("p_value") < lit(0.05))
+        .orderBy("day")
+    }),
+
     "er_fellegi_sunter" -> ((s, dir) => {
       // probabilistic record linkage (Fellegi & Sunter, JASA 64, 1969
       // — the model under Splink): each candidate pair is scored by
