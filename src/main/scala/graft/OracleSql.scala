@@ -4323,6 +4323,56 @@ private[graft] object OracleSql {
         |FROM sel10 ORDER BY rank""".stripMargin
     },
 
+    "emb_quantize_int8" ->
+      // mirrors the SQ8 audit: 9dp-pinned per-dim scale off the exact
+      // max|x|, identical clamp(round(x/scale)) quantizer, 12dp-pinned
+      // squared errors under a 9dp MSE
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |x AS (SELECT r.i - 1 AS dim, ve[r.i] AS x
+        |      FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r),
+        |sc AS (SELECT dim, round(max(abs(x)), 9) AS max_abs FROM x GROUP BY dim),
+        |sc2 AS (SELECT dim, max_abs, round(max_abs / 127.0, 9) AS scale FROM sc),
+        |e AS (SELECT x.dim, s.max_abs, s.scale, x.x,
+        |             CASE WHEN s.scale = 0 THEN 0.0
+        |                  ELSE least(greatest(round(x.x / s.scale, 0), -127.0), 127.0) END AS q
+        |      FROM x JOIN sc2 s USING (dim)),
+        |r AS (SELECT dim, max_abs, scale, x - q * scale AS err FROM e)
+        |SELECT dim, max_abs, scale, CAST(count(*) AS BIGINT) AS n,
+        |       round(avg(round(err * err, 12)), 9) AS mse,
+        |       round(max(abs(err)), 9) AS max_abs_err
+        |FROM r GROUP BY dim, max_abs, scale ORDER BY dim""".stripMargin,
+
+    "stream_psi_drift" ->
+      // batch PSI mirror of the streamed live-window histogram —
+      // equality IS the stream ≡ batch proof (associative bin counts);
+      // identical shape to quality_drift_psi over the events split
+      """WITH o AS (SELECT value AS x, ts < TIMESTAMP '2024-01-16' AS is_ref FROM events),
+        |st AS (SELECT min(CASE WHEN is_ref THEN x END) AS lo,
+        |              max(CASE WHEN is_ref THEN x END) AS hi,
+        |              CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nr,
+        |              CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS nc
+        |       FROM o),
+        |b AS (SELECT CAST(least(greatest(floor((x - st.lo) / ((st.hi - st.lo) / 10.0)), 0.0), 9.0) AS BIGINT) AS bin,
+        |             is_ref
+        |      FROM o CROSS JOIN st),
+        |cnt AS (SELECT bin,
+        |               CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |               CAST(sum(CASE WHEN NOT is_ref THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |        FROM b GROUP BY bin),
+        |bins AS (SELECT g.bin, coalesce(c.n_ref, 0) AS n_ref, coalesce(c.n_cur, 0) AS n_cur
+        |         FROM (SELECT unnest(range(10)) AS bin) g LEFT JOIN cnt c USING (bin)),
+        |t AS (SELECT bin, n_ref, n_cur,
+        |             greatest(n_ref * 1.0 / (SELECT nr FROM st), 1e-4) AS pr,
+        |             greatest(n_cur * 1.0 / (SELECT nc FROM st), 1e-4) AS pc
+        |      FROM bins),
+        |t2 AS (SELECT bin, n_ref, n_cur, pr, pc,
+        |              round((pc - pr) * ln(pc / pr), 9) AS psi_term
+        |       FROM t),
+        |tot AS (SELECT round(sum(psi_term), 6) AS psi_total FROM t2)
+        |SELECT bin, n_ref, n_cur, round(pr, 6) AS p_ref, round(pc, 6) AS p_cur,
+        |       psi_term, psi_total, psi_total > 0.2 AS drift_flag
+        |FROM t2 CROSS JOIN tot ORDER BY bin""".stripMargin,
+
     "quality_drift_psi" ->
       // mirrors the PSI: 10 equi-width bins off the reference window's
       // exact min/max, edge-clamped bin assignment, 1e-4 proportion

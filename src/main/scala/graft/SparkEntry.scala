@@ -6027,6 +6027,82 @@ object SparkEntry {
         .toDF("rank", "doc_id", "mmr_score")
     }),
 
+    "emb_quantize_int8" -> ((s, dir) => {
+      // symmetric per-dimension int8 scalar quantization (the faiss
+      // SQ8 serving path — 4× smaller vectors for ANN): scale_d =
+      // max|x|_d / 127 (9dp-pinned), q = clamp(round(x/scale), ±127),
+      // and the audit a vector platform ships alongside the compressed
+      // index — per-dim scale, MSE and worst-case reconstruction
+      // error. Two scans of the exploded (dim, x) pairs: pass 1 the
+      // 64-row scale table, pass 2 the error aggregate with the scales
+      // broadcast back. Quantized vectors never materialize N×64
+      // storage here — the audit is the deliverable; an all-zero dim
+      // (scale 0) quantizes to 0 by convention.
+      val xs = tbl(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"), col("x").cast("double").as("x"))
+      val scales = xs.groupBy("dim")
+        .agg(round(max(abs(col("x"))), 9).as("max_abs"))
+        .withColumn("scale", round(col("max_abs") / lit(127.0), 9))
+      val q = when(col("scale") === 0, lit(0.0)).otherwise(
+        least(greatest(round(col("x") / col("scale"), 0), lit(-127.0)), lit(127.0)))
+      val err = col("x") - q * col("scale")
+      xs.join(broadcast(scales), Seq("dim"))
+        .select(col("dim"), col("max_abs"), col("scale"),
+          round(err * err, 12).as("se"), abs(err).as("ae"))
+        .groupBy("dim", "max_abs", "scale")
+        .agg(count(lit(1)).as("n"), round(avg("se"), 9).as("mse"),
+          round(max("ae"), 9).as("max_abs_err"))
+        .orderBy("dim")
+    }),
+
+    "stream_psi_drift" -> ((s, dir) => {
+      // the PSI drift alarm running INSIDE Structured Streaming: the
+      // LIVE window's per-bin counts are an associative streaming
+      // aggregate (stream ≡ batch however the files micro-batch — the
+      // stream_ab_srm merge-algebra argument), so a curation pipeline
+      // fires the drift alarm MID-FLIGHT instead of at the end of the
+      // day. The reference histogram is batch state computed once
+      // (bins off the reference window's exact min/max, the
+      // quality_drift_psi shape); PSI arithmetic runs on the COMPLETED
+      // count table. Oracle = the batch PSI over the same split —
+      // the gate itself is the stream ≡ batch proof.
+      val split = to_timestamp(lit("2024-01-16"))
+      val ref = events(s, dir).filter(col("ts") < split)
+      val st = ref.agg(min("value").as("lo"), max("value").as("hi"),
+        count(lit(1)).as("nr")).head()
+      val (lo, hi, nr) = (st.getDouble(0), st.getDouble(1), st.getLong(2))
+      require(hi > lo, s"degenerate reference window: [$lo, $hi]")
+      val width = (hi - lo) / 10.0
+      def binOf(c: Column) = least(greatest(
+        floor((c - lit(lo)) / lit(width)), lit(0.0)), lit(9.0)).cast("long")
+      val refBins = ref.groupBy(binOf(col("value")).as("bin"))
+        .agg(count(lit(1)).as("n_ref"))
+      val live = EventStream.readEvents(s, dir)
+        .filter(col("ts") >= split)
+        .groupBy(binOf(col("value")).as("bin"))
+        .agg(count(lit(1)).as("n_cur"))
+      val done = EventStream.withStatePartitions(s, 8) {
+        EventStream.runToCompletion(s, live, "stream_psi_sink")
+      }
+      val nc = done.agg(sum("n_cur")).head().getLong(0)
+      val bins = s.range(10).select(col("id").as("bin"))
+        .join(refBins, Seq("bin"), "left")
+        .join(done, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+      val pr = greatest(col("n_ref").cast("double") / lit(nr.toDouble), lit(1e-4))
+      val pc = greatest(col("n_cur").cast("double") / lit(nc.toDouble), lit(1e-4))
+      val terms = bins.withColumn("psi_term", round((pc - pr) * log(pc / pr), 9))
+      val total = terms.agg(round(sum("psi_term"), 6).as("psi_total"))
+      terms
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"), col("psi_term"))
+        .crossJoin(broadcast(total))
+        .withColumn("drift_flag", col("psi_total") > lit(0.2))
+        .orderBy("bin")
+    }),
+
     "quality_drift_psi" -> ((s, dir) => {
       // Population Stability Index — the production drift alarm for a
       // feature/metric distribution between a reference window and the

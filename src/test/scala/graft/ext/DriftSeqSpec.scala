@@ -37,6 +37,19 @@ class DriftSeqSpec extends SparkSpec {
     assert(v >= 0.0 && v <= 1.0 + 1e-9, v.toString)
   }
 
+  test("emb_quantize_int8: reconstruction error is bounded by half a quantization step") {
+    val rows = graft.SparkEntry.queries("emb_quantize_int8")(spark, dir).collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val (scale, mse, maxErr) = (r.getDouble(2), r.getDouble(4), r.getDouble(5))
+      assert(scale > 0.0, r.toString)
+      // round-to-nearest gives |err| <= scale/2; the 9dp scale pin can
+      // push the extreme value at most one clamp step past that
+      assert(maxErr <= scale / 2.0 + 1e-6, s"maxErr $maxErr vs scale $scale")
+      assert(mse <= maxErr * maxErr + 1e-12, r.toString)
+    }
+  }
+
   test("events_ab_sequential: always-valid p is monotone non-increasing in [0,1]") {
     val p = graft.SparkEntry.queries("events_ab_sequential")(spark, dir)
       .orderBy("day").collect().map(_.getDouble(5))
