@@ -4323,6 +4323,103 @@ private[graft] object OracleSql {
         |FROM sel10 ORDER BY rank""".stripMargin
     },
 
+    "search_lm_dirichlet" ->
+      // mirrors the Dirichlet query-likelihood scorer: exact cf/|C|,
+      // candidates × query-term grid with zero-tf smoothing, 9dp
+      // contribution pins under the 4-term 6dp sum
+      s"""WITH $indexCtes,
+        |cf AS (SELECT word, CAST(sum(term_freq) AS BIGINT) AS cf FROM tf GROUP BY word),
+        |coll AS (SELECT CAST(sum(term_freq) AS BIGINT) AS c FROM tf),
+        |q AS (SELECT word, cf FROM cf WHERE word IN ($SearchTermsSql)),
+        |cand AS (SELECT DISTINCT doc_id FROM tf WHERE word IN ($SearchTermsSql)),
+        |grid AS (SELECT c.doc_id, q.word, coalesce(t.term_freq, 0) AS tf2, q.cf, d.doc_length
+        |         FROM cand c CROSS JOIN q
+        |         LEFT JOIN tf t ON t.doc_id = c.doc_id AND t.word = q.word
+        |         JOIN dl d ON d.doc_id = c.doc_id),
+        |sc AS (SELECT doc_id,
+        |              round(sum(round(ln((tf2 + 2000.0 * (cf * 1.0 / (SELECT c FROM coll)))
+        |                                 / (doc_length + 2000.0)), 9)), 6) AS score,
+        |              CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+        |       FROM grid GROUP BY doc_id)
+        |SELECT doc_id, n_matched, score FROM sc
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "search_ltr_features" ->
+      // mirrors the LTR feature export: BM25 top-50 pool, lexical
+      // aggregates over matched query terms, embedding cosine to the
+      // vec-0 query vector (the hybrid_rrf idiom), left-joined with a
+      // 0.0 default
+      s"""WITH $indexCtes,
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
+        |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+        |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+        |  WHERE t.word IN ($SearchTermsSql)
+        |  GROUP BY t.doc_id),
+        |top AS (SELECT doc_id, round(s, 4) AS bm25 FROM scored
+        |        ORDER BY round(s, 4) DESC, doc_id LIMIT 50),
+        |lex AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+        |               CAST(sum(t.term_freq) AS BIGINT) AS sum_tf,
+        |               round(sum(round(i.idf, 6)), 6) AS sum_idf
+        |        FROM tf t JOIN idf i USING (word) JOIN top USING (doc_id)
+        |        WHERE t.word IN ($SearchTermsSql)
+        |        GROUP BY t.doc_id),
+        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |qv AS (SELECT ve AS qe FROM emb WHERE vec_id = 0),
+        |cs AS (SELECT vec_id AS doc_id,
+        |              round(list_dot_product(ve, qe) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_q
+        |       FROM emb CROSS JOIN qv)
+        |SELECT top.doc_id, top.bm25, lex.n_matched, lex.sum_tf, lex.sum_idf,
+        |       dl.doc_length, coalesce(cs.cos_q, 0.0) AS cos_q
+        |FROM top JOIN lex ON lex.doc_id = top.doc_id
+        |JOIN dl ON dl.doc_id = top.doc_id
+        |LEFT JOIN cs ON cs.doc_id = top.doc_id
+        |ORDER BY top.bm25 DESC, top.doc_id""".stripMargin,
+
+    "stats_bh_fdr" ->
+      // mirrors the per-segment permutation p-values (the
+      // stats_permutation_test CTEs GROUPED BY event_type) and the
+      // BH step-up: rank ascending, k·q/m thresholds, discoveries up
+      // to the largest passing rank
+      s"""WITH u AS (SELECT event_type, user_id,
+        |                  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sc,
+        |                  CAST(count(*) AS BIGINT) AS cnt
+        |           FROM events GROUP BY event_type, user_id),
+        |ob0 AS (SELECT event_type, sc, cnt, ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS b FROM u),
+        |ob AS (SELECT event_type,
+        |              round(CAST(sum(CASE WHEN b = 1 THEN sc ELSE 0 END) AS DOUBLE)
+        |                    / CAST(sum(CASE WHEN b = 1 THEN cnt ELSE 0 END) AS DOUBLE) / 100.0
+        |                    - CAST(sum(CASE WHEN b = 0 THEN sc ELSE 0 END) AS DOUBLE)
+        |                    / CAST(sum(CASE WHEN b = 0 THEN cnt ELSE 0 END) AS DOUBLE) / 100.0, 6) AS obs_diff
+        |       FROM ob0 GROUP BY event_type),
+        |hb AS (SELECT event_type, sc, cnt, blk.blk,
+        |              ${md5Hash60Sql("concat_ws('|', 'perm', blk.blk, user_id)")} AS h
+        |       FROM u CROSS JOIN (SELECT unnest(range(0, 2)) AS blk) blk),
+        |bits AS (SELECT event_type, blk * 60 + jj.j AS k, (h >> jj.j) & 1 AS b, sc, cnt
+        |         FROM hb CROSS JOIN (SELECT unnest(range(0, 60)) AS j) jj),
+        |dd AS (SELECT event_type, k,
+        |              round(CAST(sum(CASE WHEN b = 1 THEN sc ELSE 0 END) AS DOUBLE)
+        |                    / CAST(sum(CASE WHEN b = 1 THEN cnt ELSE 0 END) AS DOUBLE) / 100.0
+        |                    - CAST(sum(CASE WHEN b = 0 THEN sc ELSE 0 END) AS DOUBLE)
+        |                    / CAST(sum(CASE WHEN b = 0 THEN cnt ELSE 0 END) AS DOUBLE) / 100.0, 6) AS d
+        |       FROM bits GROUP BY event_type, k),
+        |pv AS (SELECT dd.event_type, ob.obs_diff,
+        |              round(CAST(sum(CASE WHEN abs(d) >= abs(obs_diff) THEN 1 ELSE 0 END) + 1 AS DOUBLE)
+        |                    / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
+        |       FROM dd JOIN ob USING (event_type) GROUP BY dd.event_type, ob.obs_diff),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pv),
+        |rk AS (SELECT event_type, obs_diff, p_value,
+        |              CAST(row_number() OVER (ORDER BY p_value, event_type) AS BIGINT) AS rank
+        |       FROM pv),
+        |th AS (SELECT event_type, obs_diff, p_value, rank,
+        |              round(CAST(rank AS DOUBLE) * 0.25 / (SELECT m FROM m), 6) AS bh_threshold
+        |       FROM rk),
+        |cut AS (SELECT coalesce(max(CASE WHEN p_value <= bh_threshold THEN rank END), 0) AS c FROM th)
+        |SELECT event_type, obs_diff, p_value, rank, bh_threshold,
+        |       rank <= (SELECT c FROM cut) AS discovery
+        |FROM th ORDER BY rank""".stripMargin,
+
     "emb_quantize_int8" ->
       // mirrors the SQ8 audit: 9dp-pinned per-dim scale off the exact
       // max|x|, identical clamp(round(x/scale)) quantizer, 12dp-pinned

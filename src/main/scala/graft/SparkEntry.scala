@@ -6027,6 +6027,148 @@ object SparkEntry {
         .toDF("rank", "doc_id", "mmr_score")
     }),
 
+    "search_lm_dirichlet" -> ((s, dir) => {
+      // the query-likelihood retrieval model with Dirichlet smoothing
+      // (Zhai & Lafferty, SIGIR'01) — the probabilistic alternative to
+      // BM25 a complete search stack offers: score(d) = Σ_t ln((tf +
+      // µ·P(t|C)) / (dl + µ)), µ=2000. Candidates are docs matching
+      // ≥1 query term; every candidate is scored over ALL query terms
+      // (a zero-tf term still contributes its smoothed mass), via a
+      // candidates × 4-term broadcast grid left-joined back to tf —
+      // the grid is |candidates|·|q| rows, never corpus × vocab.
+      // Collection stats (cf_t, |C|) are exact integers; per-term
+      // contributions are 9dp-pinned before the 4-term sum.
+      val t = builtIndex(s, dir, stem = false)
+      val mu = 2000.0
+      val tfq = Caches.persist(t.termFrequencies
+        .filter(col("word").isin(SearchTerms: _*)))
+      val coll = t.termFrequencies.agg(sum("term_freq")).head().getLong(0)
+      val cf = t.termFrequencies.filter(col("word").isin(SearchTerms: _*))
+        .groupBy("word").agg(sum("term_freq").as("cf"))
+      val cands = tfq.select("doc_id").distinct()
+      val grid = cands.crossJoin(broadcast(cf))
+        .join(tfq, Seq("doc_id", "word"), "left")
+        .join(t.docLengths, Seq("doc_id"))
+        .select(col("doc_id"), col("word"),
+          coalesce(col("term_freq"), lit(0L)).as("tf"),
+          col("cf"), col("doc_length"))
+      val p = col("cf").cast("double") / lit(coll.toDouble)
+      val contrib = round(log((col("tf").cast("double") + lit(mu) * p) /
+        (col("doc_length").cast("double") + lit(mu))), 9)
+      grid.groupBy("doc_id")
+        .agg(round(sum(contrib), 6).as("score"),
+          sum(when(col("tf") > 0, 1L).otherwise(0L)).as("n_matched"))
+        .select("doc_id", "n_matched", "score")
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
+    "search_ltr_features" -> ((s, dir) => {
+      // learning-to-rank training-data export — the feature matrix a
+      // ranker trains on (Burges et al.; the MSLR feature-table
+      // shape): for the BM25 top-50 candidates of the standing query,
+      // one row of per-(query, doc) features: lexical (bm25, matched
+      // terms, Σtf, Σidf over matched, doc length) and semantic
+      // (embedding cosine to the query vector). The candidate set is
+      // k-bounded, so every feature join after retrieval touches ≤50
+      // rows; the embedding side is ONE broadcast join, not a scan.
+      val t = builtIndex(s, dir, stem = false)
+      val top = Caches.persist(Search.scoreTerms(t, SearchTerms)
+        .withColumn("bm25", round(col("score"), 4)).drop("score")
+        .orderBy(col("bm25").desc, col("doc_id").asc).limit(50))
+      val tfq = t.termFrequencies.filter(col("word").isin(SearchTerms: _*))
+        .join(broadcast(t.idfValues.filter(col("word").isin(SearchTerms: _*))
+          .select("word", "idf")), Seq("word"))
+      val lex = tfq.join(broadcast(top.select("doc_id")), Seq("doc_id"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matched"), sum("term_freq").as("sum_tf"),
+          round(sum(round(col("idf"), 6)), 6).as("sum_idf"))
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("q_emb"))
+      val cos = e.select(col("vec_id").as("doc_id"), col("embedding"))
+        .join(broadcast(top.select("doc_id")), Seq("doc_id"))
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("cos_q"))
+      top.join(lex, Seq("doc_id"))
+        .join(t.docLengths, Seq("doc_id"))
+        .join(cos, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("bm25"), col("n_matched"), col("sum_tf"),
+          col("sum_idf"), col("doc_length"),
+          coalesce(col("cos_q"), lit(0.0)).as("cos_q"))
+        .orderBy(col("bm25").desc, col("doc_id").asc)
+    }),
+
+    "stats_bh_fdr" -> ((s, dir) => {
+      // Benjamini-Hochberg FDR control (JRSS-B 1995) over the five
+      // per-event-type permutation tests — the multiple-testing step
+      // an experiment platform MUST run before reading a dashboard of
+      // segment p-values. The per-segment p's reuse the bit-sliced
+      // seeded re-randomization economics (stats_permutation_test)
+      // GROUPED BY event_type: still two hashes per user and one
+      // map-side-combined aggregate; p = (1+#extreme)/(K+1) is an
+      // exact rational. BH: sort p ascending, discover all ranks up
+      // to the LARGEST k with p_(k) ≤ k·q/m (q=0.25 documented — a
+      // permutation floor of 1/121 with m=5 makes 0.05 undiscoverable
+      // by construction at any effect size under 120 replicates).
+      val qStar = 0.25
+      val users = Caches.persist(events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
+          .as("sc"), count(lit(1)).as("cnt")))
+      def meanDiff(b: Column): Column = {
+        val s1 = sum(when(b === 1, col("sc")).otherwise(0L)).cast("double")
+        val c1 = sum(when(b === 1, col("cnt")).otherwise(0L)).cast("double")
+        val s0 = sum(when(b === 0, col("sc")).otherwise(0L)).cast("double")
+        val c0 = sum(when(b === 0, col("cnt")).otherwise(0L)).cast("double")
+        round(s1 / c1 / lit(100.0) - s0 / c0 / lit(100.0), 6)
+      }
+      val obsArm = Dedup.md5Hash60(concat_ws("|", lit("exp1"),
+        col("user_id"))) % 2
+      val obs = users.withColumn("b", obsArm)
+        .groupBy("event_type").agg(meanDiff(col("b")).as("obs_diff"))
+      import s.implicits._
+      val blocks = Seq(0L, 1L).toDF("blk")
+      val reps = users.crossJoin(broadcast(blocks))
+        .select(col("event_type"), col("sc"), col("cnt"),
+          Dedup.md5Hash60(concat_ws("|", lit("perm"), col("blk"),
+            col("user_id"))).as("h"), col("blk"))
+        .select(col("event_type"), col("sc"), col("cnt"),
+          explode(array((0 until 60).map(j =>
+            struct((col("blk") * 60 + lit(j.toLong)).as("k"),
+              shiftright(col("h"), j).bitwiseAND(lit(1L)).as("b"))): _*))
+            .as("x"))
+        .groupBy(col("event_type"), col("x.k").as("k"))
+        .agg(meanDiff(col("x.b")).as("d"))
+      val pv = Caches.persist(reps.join(broadcast(obs), Seq("event_type"))
+        .groupBy("event_type", "obs_diff")
+        .agg(count(lit(1)).as("k_reps"),
+          sum(when(abs(col("d")) >= abs(col("obs_diff")), 1L)
+            .otherwise(0L)).as("n_extreme"))
+        .select(col("event_type"), col("obs_diff"),
+          round((col("n_extreme") + lit(1L)).cast("double") /
+            (col("k_reps") + lit(1L)).cast("double"), 6).as("p_value")))
+      // BH step-up on the m-segment table (domain-bounded): rank p
+      // ascending, discover every rank ≤ the LARGEST k passing
+      // p_(k) ≤ k·q/m; the cut scalar is fetched off the cached
+      // 5-row table (S4 pattern)
+      val m = pv.count()
+      val wr = Window.orderBy(col("p_value"), col("event_type"))
+      val ranked = pv.withColumn("rank", row_number().over(wr).cast("long"))
+        .withColumn("bh_threshold",
+          round(col("rank").cast("double") * lit(qStar) / lit(m.toDouble), 6))
+      val kmax = ranked
+        .agg(max(when(col("p_value") <= col("bh_threshold"), col("rank"))))
+        .head()
+      val cut = if (kmax.isNullAt(0)) 0L else kmax.getLong(0)
+      ranked
+        .select(col("event_type"), col("obs_diff"), col("p_value"),
+          col("rank"), col("bh_threshold"),
+          (col("rank") <= lit(cut)).as("discovery"))
+        .orderBy("rank")
+    }),
+
     "emb_quantize_int8" -> ((s, dir) => {
       // symmetric per-dimension int8 scalar quantization (the faiss
       // SQ8 serving path — 4× smaller vectors for ANN): scale_d =

@@ -33,6 +33,42 @@ class EvalRerankSpec extends SparkSpec {
     }
   }
 
+  test("search_lm_dirichlet: log-likelihood scores are negative and candidates matched a term") {
+    val rows = graft.SparkEntry.queries("search_lm_dirichlet")(spark, dir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1, r.toString) // candidate ⇒ ≥1 matched term
+      assert(r.getDouble(2) < 0.0, r.toString) // sums of ln of probabilities < 1
+    }
+  }
+
+  test("search_ltr_features: one feature row per candidate, lexical features consistent") {
+    val rows = graft.SparkEntry.queries("search_ltr_features")(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    rows.foreach { r =>
+      val (nm, stf, dl) = (r.getLong(2), r.getLong(3), r.getLong(5))
+      assert(nm >= 1 && nm <= 4, r.toString)
+      assert(stf >= nm, r.toString) // each matched term contributes ≥1 occurrence
+      assert(dl >= stf, r.toString) // matched occurrences are a subset of the doc
+      val cos = r.getDouble(6)
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9, r.toString)
+    }
+  }
+
+  test("stats_bh_fdr: thresholds rise with rank and discoveries form a prefix") {
+    val rows = graft.SparkEntry.queries("stats_bh_fdr")(spark, dir)
+      .orderBy("rank").collect()
+    assert(rows.nonEmpty)
+    val ps = rows.map(_.getDouble(2))
+    ps.sliding(2).foreach { case Array(a, b) => assert(a <= b + 1e-12) }
+    val th = rows.map(_.getDouble(4))
+    th.sliding(2).foreach { case Array(a, b) => assert(a < b) }
+    val disc = rows.map(_.getBoolean(5))
+    // BH discoveries are exactly ranks 1..k for some k — no gaps
+    assert(!disc.dropWhile(identity).contains(true), disc.mkString(","))
+  }
+
   test("search_mmr_rerank: greedy invariants (distinct picks, argmax first, non-increasing marginals)") {
     val rows = graft.SparkEntry.queries("search_mmr_rerank")(spark, dir)
       .orderBy("rank").collect()
