@@ -4323,6 +4323,65 @@ private[graft] object OracleSql {
         |FROM sel10 ORDER BY rank""".stripMargin
     },
 
+    "graph_random_walk" -> {
+      // verbatim walk unroll: rank-ordered symmetric adjacency, seeded
+      // hash mod degree picks, 4 straight-line steps
+      val steps = (1 to 4).map { i =>
+        s"""w$i AS (SELECT f.seed, a.dst AS node, CAST($i AS BIGINT) AS step
+          |      FROM w${i - 1} f JOIN adj a ON a.node = f.node
+          |       AND a.rnk = ${md5Hash60Sql(s"concat_ws('|', 'walk', f.seed, $i, f.node)")} % a.deg + 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
+        |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |adj AS MATERIALIZED (SELECT src AS node, dst,
+        |              CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rnk,
+        |              CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+        |       FROM sym),
+        |seeds AS (SELECT node AS seed FROM (SELECT DISTINCT node, deg FROM adj)
+        |          ORDER BY deg DESC, node LIMIT 20),
+        |w0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS step FROM seeds),
+        |$steps
+        |SELECT seed, step, node FROM w0
+        |UNION ALL SELECT seed, step, node FROM w1
+        |UNION ALL SELECT seed, step, node FROM w2
+        |UNION ALL SELECT seed, step, node FROM w3
+        |UNION ALL SELECT seed, step, node FROM w4
+        |ORDER BY seed, step""".stripMargin
+    },
+
+    "search_prf_expand" ->
+      // mirrors the Rocchio/Ide PRF: BM25 top-10 feedback docs, top-5
+      // expansion terms by Σ tf·idf (6dp pins, original terms
+      // excluded), weighted rescore with qw 1.0 / β=0.5 literals
+      s"""WITH $indexCtes,
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
+        |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+        |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+        |  WHERE t.word IN ($SearchTermsSql)
+        |  GROUP BY t.doc_id),
+        |t10 AS (SELECT doc_id FROM (SELECT doc_id, round(s, 4) AS score FROM scored
+        |                            ORDER BY round(s, 4) DESC, doc_id LIMIT 10)),
+        |ex AS (SELECT t.word, round(sum(t.term_freq * round(i.idf, 6)), 6) AS w
+        |       FROM tf t JOIN t10 USING (doc_id) JOIN idf i ON i.word = t.word
+        |       WHERE t.word NOT IN ($SearchTermsSql)
+        |       GROUP BY t.word ORDER BY w DESC, t.word LIMIT 5),
+        |wt AS (SELECT word, CAST(1.0 AS DOUBLE) AS qw
+        |       FROM (SELECT unnest([$SearchTermsSql]) AS word)
+        |       UNION ALL SELECT word, CAST(0.5 AS DOUBLE) AS qw FROM ex),
+        |sc2 AS (SELECT t.doc_id,
+        |               sum(wt.qw * (i.idf * (t.term_freq * (1.2 + 1)) /
+        |                   (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats))))) AS s
+        |        FROM tf t JOIN wt ON wt.word = t.word
+        |        JOIN idf i ON i.word = t.word JOIN dl d USING (doc_id)
+        |        GROUP BY t.doc_id)
+        |SELECT doc_id, round(s, 4) AS score FROM sc2
+        |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
+
     "search_lm_dirichlet" ->
       // mirrors the Dirichlet query-likelihood scorer: exact cf/|C|,
       // candidates × query-term grid with zero-tf smoothing, 9dp

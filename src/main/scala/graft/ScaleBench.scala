@@ -250,7 +250,18 @@ object ScaleBench {
     // super-linear ratio would mean the p_size blocks stopped being
     // window-bounded)
     "graph_hits", "stats_permutation_test", "stats_mannwhitney",
-    "er_fellegi_sunter")
+    "er_fellegi_sunter",
+    // r11 additions (sixth session): SQ8 quantization (two scans of
+    // the 64·N exploded pairs with a broadcast 64-row scale table —
+    // the only N-sized stages), Dirichlet query likelihood (the
+    // candidate × 4-term grid grows ∝ matching docs; the synth's
+    // replica-suffixed vocabulary keeps per-term df ∝ factor), the
+    // per-segment BH permutation battery (the 120× fan-out now
+    // carries event_type — still one map-side-combined aggregate),
+    // and the PSI drift monitor (two scans of a 2-column projection
+    // to a 10-row bin table)
+    "emb_quantize_int8", "search_lm_dirichlet", "stats_bh_fdr",
+    "quality_drift_psi")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -6027,6 +6027,87 @@ object SparkEntry {
         .toDF("rank", "doc_id", "mmr_score")
     }),
 
+    "graph_random_walk" -> ((s, dir) => {
+      // seeded deterministic random walks over the co-purchase graph —
+      // the corpus-generation face of DeepWalk/node2vec (Perozzi et
+      // al. KDD'14; Grover & Leskovec KDD'16): a graph-embedding
+      // trainer consumes exactly this (seed, step, node) table. Each
+      // step's "random" neighbor pick is a seeded hash of (seed, step,
+      // current node) mod the node's degree resolved against the
+      // rank-ordered adjacency — deterministic, replayable, no RNG
+      // state, and identical cross-engine. Walks are seed-bounded
+      // (top-20 hubs) and fixed-length (4 steps); each step is one
+      // broadcast join of the ≤20-row frontier against the cached
+      // ranked adjacency, so step cost is frontier-bounded, not E.
+      val e0 = copurchaseEdgesMemo(s, dir).select("src", "dst")
+      val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+      val adj = Caches.persist(sym
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("src").orderBy("dst")).cast("long"))
+        .withColumn("deg", count(lit(1)).over(
+          Window.partitionBy("src")).cast("long"))
+        .withColumnRenamed("src", "node"))
+      adj.count() // eager: every per-step broadcast subtree reads the cache
+      val seeds = adj.select("node", "deg").distinct()
+        .orderBy(col("deg").desc, col("node").asc).limit(20)
+        .select(col("node").as("seed"))
+      var frontier = seeds.select(col("seed"), col("seed").as("node"),
+        lit(0L).as("step"))
+      var out = frontier
+      (1 to 4).foreach { i =>
+        val pick = Dedup.md5Hash60(concat_ws("|", lit("walk"), col("seed"),
+          lit(i), col("node"))) % col("deg") + 1
+        frontier = adj.join(broadcast(frontier.select("seed", "node")), Seq("node"))
+          .filter(col("rnk") === pick)
+          .select(col("seed"), col("dst").as("node"), lit(i.toLong).as("step"))
+        out = out.unionAll(frontier)
+      }
+      out.select("seed", "step", "node").orderBy("seed", "step")
+    }),
+
+    "search_prf_expand" -> ((s, dir) => {
+      // pseudo-relevance feedback (Rocchio, in the Ide simplification
+      // — SMART retrieval tradition): assume the BM25 top-10 are
+      // relevant, mine the 5 strongest expansion terms from them by
+      // Σ tf·idf centroid weight (original query terms excluded), and
+      // rescore with the expanded weighted query (original terms
+      // weight 1.0, expansion terms a fixed β=0.5 — literals
+      // documented, the FS-thresholds convention). Both stages are the
+      // standard retrieval shape: the feedback-doc set is k-bounded,
+      // so expansion mining is a broadcast semi-join against 10 ids;
+      // the 5-term list is collected driver-side (S4) exactly like a
+      // production query rewriter.
+      val t = builtIndex(s, dir, stem = false)
+      val top10 = Search.scoreTerms(t, SearchTerms)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(10)
+        .select("doc_id")
+      val exp = t.termFrequencies
+        .join(broadcast(top10), Seq("doc_id"))
+        .filter(!col("word").isin(SearchTerms: _*))
+        .join(broadcast(t.idfValues.select("word", "idf")), Seq("word"))
+        .groupBy("word")
+        .agg(round(sum(col("term_freq").cast("double") *
+          round(col("idf"), 6)), 6).as("w"))
+        .orderBy(col("w").desc, col("word").asc).limit(5)
+        .select("word").collect().map(_.getString(0)).toSeq
+      val weights = SearchTerms.map((_, 1.0)) ++ exp.map((_, 0.5))
+      import s.implicits._
+      val wdf = weights.toDF("word", "qw")
+      val all = weights.map(_._1)
+      t.termFrequencies.filter(col("word").isin(all: _*))
+        .join(broadcast(t.idfValues.filter(col("word").isin(all: _*))
+          .select("word", "idf")), Seq("word"))
+        .join(broadcast(wdf), Seq("word"))
+        .join(t.docLengths, Seq("doc_id"))
+        .withColumn("partial", col("qw") * BM25.score(col("term_freq"),
+          col("doc_length"), col("idf"), lit(t.avgdl)))
+        .groupBy("doc_id")
+        .agg(round(sum("partial"), 4).as("score"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     "search_lm_dirichlet" -> ((s, dir) => {
       // the query-likelihood retrieval model with Dirichlet smoothing
       // (Zhai & Lafferty, SIGIR'01) — the probabilistic alternative to
@@ -6150,12 +6231,19 @@ object SparkEntry {
           round((col("n_extreme") + lit(1L)).cast("double") /
             (col("k_reps") + lit(1L)).cast("double"), 6).as("p_value")))
       // BH step-up on the m-segment table (domain-bounded): rank p
-      // ascending, discover every rank ≤ the LARGEST k passing
-      // p_(k) ≤ k·q/m; the cut scalar is fetched off the cached
-      // 5-row table (S4 pattern)
+      // ascending via count-of-better over the cached 5-row table (the
+      // search_hybrid_rrf rankSmall shape — no unpartitioned window),
+      // discover every rank ≤ the LARGEST k passing p_(k) ≤ k·q/m;
+      // the count() doubles as m AND the materializing action
       val m = pv.count()
-      val wr = Window.orderBy(col("p_value"), col("event_type"))
-      val ranked = pv.withColumn("rank", row_number().over(wr).cast("long"))
+      val ranked = pv
+        .join(broadcast(pv.select(col("p_value").as("yp"),
+          col("event_type").as("ye"))),
+          col("yp") < col("p_value") ||
+            (col("yp") === col("p_value") && col("ye") < col("event_type")),
+          "left")
+        .groupBy("event_type", "obs_diff", "p_value")
+        .agg((count(col("ye")) + 1).as("rank"))
         .withColumn("bh_threshold",
           round(col("rank").cast("double") * lit(qStar) / lit(m.toDouble), 6))
       val kmax = ranked
@@ -6341,7 +6429,6 @@ object SparkEntry {
       // counts/sums are window sums of exact per-day integers (cents,
       // the CUPED decimal convention); lnΛ is fixed-shape double
       // arithmetic on them, 9dp-pinned before the running max.
-      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val arm = Dedup.md5Hash60(concat_ws("|", lit("exp1"), col("user_id"))) % 2
       val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
       val daily = events(s, dir)
@@ -6350,12 +6437,15 @@ object SparkEntry {
         .groupBy("day")
         .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("d0"),
           sum(when(col("arm") === 1, 1L).otherwise(0L)).as("d1"),
-          sum(when(col("arm") === 0, col("v")).otherwise(0L)).cast(dec).as("s0"),
-          sum(when(col("arm") === 1, col("v")).otherwise(0L)).cast(dec).as("s1"))
-      val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-      val cum = daily.select(col("day"),
-        sum("d0").over(w).as("n0"), sum("d1").over(w).as("n1"),
-        sum("s0").over(w).as("c0"), sum("s1").over(w).as("c1"))
+          sum(when(col("arm") === 0, col("v")).otherwise(0L)).as("s0"),
+          sum(when(col("arm") === 1, col("v")).otherwise(0L)).as("s1"))
+      // cumulative counts/cents via the two-phase PrefixSum scan (exact
+      // BIGINT addition ≡ a sequential window; no unpartitioned window
+      // — PlanSmellSpec)
+      val cum = graft.ext.PrefixSum
+        .scan(daily, "day", Seq("d0", "d1", "s0", "s1"), bucketSize = 32L)
+        .select(col("day"), col("cum_d0").as("n0"), col("cum_d1").as("n1"),
+          col("cum_s0").as("c0"), col("cum_s1").as("c1"))
       val (sig2, tau2) = (2500.0, 25.0)
       val m0 = col("c0").cast("double") / col("n0").cast("double") / lit(100.0)
       val m1 = col("c1").cast("double") / col("n1").cast("double") / lit(100.0)
@@ -6364,12 +6454,19 @@ object SparkEntry {
         lit(1.0) / col("n1").cast("double"))
       val llr = round(lit(0.5) * log(v / (v + lit(tau2))) +
         delta * delta * lit(tau2) / (lit(2.0) * v * (v + lit(tau2))), 9)
-      val scored = cum.withColumn("delta", round(delta, 6))
-        .withColumn("llr", llr)
-      val wm = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-      scored
+      val scored = Caches.persist(cum.withColumn("delta", round(delta, 6))
+        .withColumn("llr", llr))
+      scored.count() // eager: it feeds both sides of the triangle join
+      // running max over the CALENDAR-bounded daily table: a bounded
+      // triangle self-join (the zipf_fit count-of-better shape), never
+      // an unpartitioned window
+      val sd = scored.select(col("day"), col("llr"))
+      val mx = sd.join(broadcast(sd.select(col("day").as("pd"),
+          col("llr").as("pl"))), col("pd") <= col("day"))
+        .groupBy("day").agg(max("pl").as("mx"))
+      scored.join(broadcast(mx), Seq("day"))
         .withColumn("p_value",
-          round(least(lit(1.0), exp(-max(col("llr")).over(wm))), 6))
+          round(least(lit(1.0), exp(-col("mx"))), 6))
         .select(col("day"), col("n0").as("n_control"),
           col("n1").as("n_treatment"), col("delta"),
           round(col("llr"), 6).as("log_lambda"), col("p_value"))

@@ -456,4 +456,34 @@ class GraphSpec extends SparkSpec {
     assert(hubs(2L) > 0.0 && hubs(2L) < 1.0)
     assert(auths(11L) > 0.0 && auths(11L) < 1.0)
   }
+
+  test("graph_random_walk: every step follows an edge, walks are complete and deterministic") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.SparkEntry.queries("graph_random_walk")
+    val rows = q(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.Caches.clearPersisted()
+    val bySeed = rows.groupBy(_._1)
+    assert(bySeed.nonEmpty)
+    // complete fixed-length walks: steps 0..4 once each per seed
+    bySeed.foreach { case (_, ws) =>
+      assert(ws.map(_._2).sorted.toSeq == Seq(0L, 1L, 2L, 3L, 4L), ws.toSeq.toString)
+    }
+    // every consecutive (node_i, node_{i+1}) must be a co-purchase edge
+    import spark.implicits._
+    val walkEdges = bySeed.values.flatMap { ws =>
+      val m = ws.map(w => w._2 -> w._3).toMap
+      (0 until 4).map(i => (m(i.toLong), m(i.toLong + 1)))
+    }.toSeq
+    val li = spark.read.parquet(dir + "/lineitem.parquet")
+      .select($"l_orderkey".as("okey"), $"l_partkey".as("pk")).distinct()
+    val edges = li.as("a").join(li.as("b"), $"a.okey" === $"b.okey" && $"a.pk" =!= $"b.pk")
+      .select($"a.pk".as("s"), $"b.pk".as("d")).distinct()
+      .as[(Long, Long)].collect().toSet
+    walkEdges.foreach { case (a, b) => assert(edges.contains((a, b)), s"($a,$b) not an edge") }
+    // deterministic: a second run returns the identical table
+    val again = q(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    graft.Caches.clearPersisted()
+    assert(rows.toSeq == again.toSeq)
+  }
 }
