@@ -190,6 +190,79 @@ private[graft] object OracleSql {
     s"list_reduce(list_transform(string_split(substr(md5($e), 1, 15), ''), " +
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
+  /** Mirror of NaiveBayes.confusion (occurrence-level token split by
+    * the shared md5 doc fold, dense add-one likelihoods, 6dp pins,
+    * (score desc, class asc) argmax) — a standalone val so
+    * ml_classification_report can wrap it without a self-reference
+    * into the oracle map during its own initialization.
+    */
+  private lazy val mlNaiveBayesSql: String =
+    // mirrors NaiveBayes.confusion: occurrence-level token split by
+      // the shared md5 doc fold, dense (vocab × classes) add-one
+      // likelihoods as ln of exact integer ratios, per-(doc,class)
+      // sums pinned to 6dp BEFORE the prior add and the
+      // (score desc, class asc) argmax
+      s"""WITH t AS (SELECT doc_id, lang AS label,
+        |                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS w,
+        |                 ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 5 = 0 AS is_test
+        |          FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |tr AS (SELECT * FROM t WHERE NOT is_test),
+        |te AS (SELECT * FROM t WHERE is_test),
+        |td AS (SELECT DISTINCT doc_id, label FROM tr),
+        |cd AS (SELECT label, count(*) AS dc FROM td GROUP BY label),
+        |tt AS (SELECT count(*) AS dt FROM td),
+        |pr AS (SELECT label AS c, round(ln(CAST(dc AS DOUBLE) / CAST(dt AS DOUBLE)), 6) AS prior FROM cd, tt),
+        |wc AS (SELECT label, w, count(*) AS n_wc FROM tr GROUP BY label, w),
+        |ct AS (SELECT label, count(*) AS n_c FROM tr GROUP BY label),
+        |vb AS (SELECT DISTINCT w FROM tr),
+        |vs AS (SELECT count(*) AS v FROM vb),
+        |dense AS (SELECT vb.w, ct.label AS c,
+        |                 ln(CAST(coalesce(wc.n_wc, 0) + 1 AS DOUBLE) / CAST(ct.n_c + vs.v AS DOUBLE)) AS ll
+        |          FROM vb CROSS JOIN ct CROSS JOIN vs
+        |          LEFT JOIN wc ON wc.label = ct.label AND wc.w = vb.w),
+        |sc AS (SELECT te.doc_id, te.label, dense.c, round(sum(dense.ll), 6) AS ll_sum
+        |       FROM te JOIN dense ON te.w = dense.w GROUP BY 1, 2, 3),
+        |fin AS (SELECT sc.doc_id, sc.label, sc.c, sc.ll_sum + pr.prior AS score
+        |        FROM sc JOIN pr ON pr.c = sc.c),
+        |best AS (SELECT doc_id, label, c
+        |         FROM (SELECT fin.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn FROM fin)
+        |         WHERE rn = 1)
+        |SELECT label, c AS pred, CAST(count(*) AS BIGINT) AS n
+        |FROM best GROUP BY 1, 2 ORDER BY label, pred""".stripMargin
+
+  /** Shared verbatim walk unroll (graph_random_walk /
+    * graph_walk_skipgram): rank-ordered symmetric co-purchase
+    * adjacency, seeded hash-mod-degree picks, 4 straight-line steps,
+    * union'd into a `walks` CTE. MATERIALIZED where reused — the
+    * unrolled step chain would otherwise inline the adjacency build
+    * per step.
+    */
+  private lazy val randomWalkCtes: String = {
+    val steps = (1 to 4).map { i =>
+      s"""w$i AS MATERIALIZED (SELECT f.seed, a.dst AS node, CAST($i AS BIGINT) AS step
+        |      FROM w${i - 1} f JOIN adj a ON a.node = f.node
+        |       AND a.rnk = ${md5Hash60Sql(s"concat_ws('|', 'walk', f.seed, $i, f.node)")} % a.deg + 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+      |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
+      |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+      |adj AS MATERIALIZED (SELECT src AS node, dst,
+      |              CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rnk,
+      |              CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+      |       FROM sym),
+      |seeds AS (SELECT node AS seed FROM (SELECT DISTINCT node, deg FROM adj)
+      |          ORDER BY deg DESC, node LIMIT 20),
+      |w0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS step FROM seeds),
+      |$steps,
+      |walks AS (SELECT seed, step, node FROM w0
+      |          UNION ALL SELECT seed, step, node FROM w1
+      |          UNION ALL SELECT seed, step, node FROM w2
+      |          UNION ALL SELECT seed, step, node FROM w3
+      |          UNION ALL SELECT seed, step, node FROM w4)""".stripMargin
+  }
+
   /** PQ code CTEs — mirrors [[graft.ext.Similarity.pqCodes]] (m=4 k=4
     * dim=64): seed centroids = subvectors of vec_ids 0-3, squared-L2
     * argmin per 16-dim slice with the identical ‖x‖² − 2x·c + ‖c‖²
@@ -2341,39 +2414,8 @@ private[graft] object OracleSql {
         |SELECT p.t, p.n_risk, p.d_events, p.n_censored, round(r.s, 6) AS s
         |FROM pre p JOIN rec r ON r.i = p.i ORDER BY p.t""".stripMargin,
 
-    "ml_naive_bayes" ->
-      // mirrors NaiveBayes.confusion: occurrence-level token split by
-      // the shared md5 doc fold, dense (vocab × classes) add-one
-      // likelihoods as ln of exact integer ratios, per-(doc,class)
-      // sums pinned to 6dp BEFORE the prior add and the
-      // (score desc, class asc) argmax
-      s"""WITH t AS (SELECT doc_id, lang AS label,
-        |                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS w,
-        |                 ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 5 = 0 AS is_test
-        |          FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |tr AS (SELECT * FROM t WHERE NOT is_test),
-        |te AS (SELECT * FROM t WHERE is_test),
-        |td AS (SELECT DISTINCT doc_id, label FROM tr),
-        |cd AS (SELECT label, count(*) AS dc FROM td GROUP BY label),
-        |tt AS (SELECT count(*) AS dt FROM td),
-        |pr AS (SELECT label AS c, round(ln(CAST(dc AS DOUBLE) / CAST(dt AS DOUBLE)), 6) AS prior FROM cd, tt),
-        |wc AS (SELECT label, w, count(*) AS n_wc FROM tr GROUP BY label, w),
-        |ct AS (SELECT label, count(*) AS n_c FROM tr GROUP BY label),
-        |vb AS (SELECT DISTINCT w FROM tr),
-        |vs AS (SELECT count(*) AS v FROM vb),
-        |dense AS (SELECT vb.w, ct.label AS c,
-        |                 ln(CAST(coalesce(wc.n_wc, 0) + 1 AS DOUBLE) / CAST(ct.n_c + vs.v AS DOUBLE)) AS ll
-        |          FROM vb CROSS JOIN ct CROSS JOIN vs
-        |          LEFT JOIN wc ON wc.label = ct.label AND wc.w = vb.w),
-        |sc AS (SELECT te.doc_id, te.label, dense.c, round(sum(dense.ll), 6) AS ll_sum
-        |       FROM te JOIN dense ON te.w = dense.w GROUP BY 1, 2, 3),
-        |fin AS (SELECT sc.doc_id, sc.label, sc.c, sc.ll_sum + pr.prior AS score
-        |        FROM sc JOIN pr ON pr.c = sc.c),
-        |best AS (SELECT doc_id, label, c
-        |         FROM (SELECT fin.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, c ASC) AS rn FROM fin)
-        |         WHERE rn = 1)
-        |SELECT label, c AS pred, CAST(count(*) AS BIGINT) AS n
-        |FROM best GROUP BY 1, 2 ORDER BY label, pred""".stripMargin,
+    "ml_naive_bayes" -> mlNaiveBayesSql,
+
 
     "ml_kmeans_purity" ->
       // the sim_ivf_assign Lloyd-1 assignment chain (shared CTEs)
@@ -4323,34 +4365,19 @@ private[graft] object OracleSql {
         |FROM sel10 ORDER BY rank""".stripMargin
     },
 
-    "graph_random_walk" -> {
-      // verbatim walk unroll: rank-ordered symmetric adjacency, seeded
-      // hash mod degree picks, 4 straight-line steps
-      val steps = (1 to 4).map { i =>
-        s"""w$i AS (SELECT f.seed, a.dst AS node, CAST($i AS BIGINT) AS step
-          |      FROM w${i - 1} f JOIN adj a ON a.node = f.node
-          |       AND a.rnk = ${md5Hash60Sql(s"concat_ws('|', 'walk', f.seed, $i, f.node)")} % a.deg + 1)"""
-          .stripMargin
-      }.mkString(",\n")
-      s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
-        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
-        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
-        |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-        |adj AS MATERIALIZED (SELECT src AS node, dst,
-        |              CAST(row_number() OVER (PARTITION BY src ORDER BY dst) AS BIGINT) AS rnk,
-        |              CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
-        |       FROM sym),
-        |seeds AS (SELECT node AS seed FROM (SELECT DISTINCT node, deg FROM adj)
-        |          ORDER BY deg DESC, node LIMIT 20),
-        |w0 AS (SELECT seed, seed AS node, CAST(0 AS BIGINT) AS step FROM seeds),
-        |$steps
-        |SELECT seed, step, node FROM w0
-        |UNION ALL SELECT seed, step, node FROM w1
-        |UNION ALL SELECT seed, step, node FROM w2
-        |UNION ALL SELECT seed, step, node FROM w3
-        |UNION ALL SELECT seed, step, node FROM w4
-        |ORDER BY seed, step""".stripMargin
-    },
+    "graph_random_walk" ->
+      s"""WITH $randomWalkCtes
+        |SELECT seed, step, node FROM walks ORDER BY seed, step""".stripMargin,
+
+    "graph_walk_skipgram" ->
+      // skip-gram pairs within window 2 along each walk, with
+      // multiplicity — one self-join of the walk CTE on seed
+      s"""WITH $randomWalkCtes,
+        |pr AS (SELECT a.node AS center, b.node AS context
+        |       FROM walks a JOIN walks b ON a.seed = b.seed
+        |        AND a.step <> b.step AND abs(a.step - b.step) <= 2)
+        |SELECT center, context, CAST(count(*) AS BIGINT) AS n
+        |FROM pr GROUP BY center, context ORDER BY center, context""".stripMargin,
 
     "search_prf_expand" ->
       // mirrors the Rocchio/Ide PRF: BM25 top-10 feedback docs, top-5
@@ -4478,6 +4505,28 @@ private[graft] object OracleSql {
         |SELECT event_type, obs_diff, p_value, rank, bh_threshold,
         |       rank <= (SELECT c FROM cut) AS discovery
         |FROM th ORDER BY rank""".stripMargin,
+
+    "ml_classification_report" ->
+      // wraps the ml_naive_bayes confusion oracle verbatim and derives
+      // the sklearn-style per-class report (zero_division=0 convention)
+      s"""WITH conf AS ($mlNaiveBayesSql),
+        |cls AS (SELECT DISTINCT label AS c FROM conf UNION SELECT DISTINCT pred AS c FROM conf),
+        |lt AS (SELECT label AS c, CAST(sum(n) AS BIGINT) AS support FROM conf GROUP BY label),
+        |pt AS (SELECT pred AS c, CAST(sum(n) AS BIGINT) AS ptotal FROM conf GROUP BY pred),
+        |tp AS (SELECT label AS c, CAST(sum(n) AS BIGINT) AS tp FROM conf WHERE label = pred GROUP BY label),
+        |a AS (SELECT round(CAST(sum(CASE WHEN label = pred THEN n ELSE 0 END) AS DOUBLE)
+        |                   / CAST(sum(n) AS DOUBLE), 6) AS accuracy FROM conf),
+        |j AS (SELECT cls.c, coalesce(lt.support, 0) AS support,
+        |             coalesce(pt.ptotal, 0) AS ptotal, coalesce(tp.tp, 0) AS tp
+        |      FROM cls LEFT JOIN lt USING (c) LEFT JOIN pt USING (c) LEFT JOIN tp USING (c)),
+        |m AS (SELECT c, support, tp,
+        |             CASE WHEN ptotal = 0 THEN 0.0 ELSE tp * 1.0 / ptotal END AS p,
+        |             CASE WHEN support = 0 THEN 0.0 ELSE tp * 1.0 / support END AS r
+        |      FROM j)
+        |SELECT c AS label, support, round(p, 6) AS precision, round(r, 6) AS recall,
+        |       round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 6) AS f1,
+        |       (SELECT accuracy FROM a) AS accuracy
+        |FROM m ORDER BY label""".stripMargin,
 
     "emb_quantize_int8" ->
       // mirrors the SQ8 audit: 9dp-pinned per-dim scale off the exact

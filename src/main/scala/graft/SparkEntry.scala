@@ -374,6 +374,44 @@ object SparkEntry {
       .localCheckpoint()
   })
 
+  /** Seeded deterministic random walks over the symmetric co-purchase
+    * graph (serves `graph_random_walk` and `graph_walk_skipgram`).
+    * Each step's "random" neighbor pick is a seeded hash of (seed,
+    * step, current node) mod the node's degree resolved against the
+    * rank-ordered adjacency — deterministic, replayable, no RNG state,
+    * identical cross-engine. Walks are seed-bounded (top-20 hubs) and
+    * fixed-length (4 steps); the adjacency is cached and eagerly
+    * materialized so every per-step broadcast subtree reads the cache,
+    * making step cost frontier-bounded, not E.
+    * Output: (seed, step 0..4, node).
+    */
+  private def copurchaseWalks(s: SparkSession, dir: String): DataFrame = {
+    val e0 = copurchaseEdgesMemo(s, dir).select("src", "dst")
+    val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val adj = Caches.persist(sym
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("src").orderBy("dst")).cast("long"))
+      .withColumn("deg", count(lit(1)).over(
+        Window.partitionBy("src")).cast("long"))
+      .withColumnRenamed("src", "node"))
+    adj.count() // eager: every per-step broadcast subtree reads the cache
+    val seeds = adj.select("node", "deg").distinct()
+      .orderBy(col("deg").desc, col("node").asc).limit(20)
+      .select(col("node").as("seed"))
+    var frontier = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0L).as("step"))
+    var out = frontier
+    (1 to 4).foreach { i =>
+      val pick = Dedup.md5Hash60(concat_ws("|", lit("walk"), col("seed"),
+        lit(i), col("node"))) % col("deg") + 1
+      frontier = adj.join(broadcast(frontier.select("seed", "node")), Seq("node"))
+        .filter(col("rnk") === pick)
+        .select(col("seed"), col("dst").as("node"), lit(i.toLong).as("step"))
+      out = out.unionAll(frontier)
+    }
+    out.select("seed", "step", "node")
+  }
+
   /** The 6dp-rounded mean LM score — the stratification / gate cut
     * shared by `sample_by_perplexity` and `pipeline_curate_full` (an S4
     * scalar; HALF_UP rounding mirrors the DuckDB oracles' round(avg, 6)
@@ -6027,42 +6065,30 @@ object SparkEntry {
         .toDF("rank", "doc_id", "mmr_score")
     }),
 
-    "graph_random_walk" -> ((s, dir) => {
+    "graph_random_walk" -> ((s, dir) =>
       // seeded deterministic random walks over the co-purchase graph —
       // the corpus-generation face of DeepWalk/node2vec (Perozzi et
       // al. KDD'14; Grover & Leskovec KDD'16): a graph-embedding
-      // trainer consumes exactly this (seed, step, node) table. Each
-      // step's "random" neighbor pick is a seeded hash of (seed, step,
-      // current node) mod the node's degree resolved against the
-      // rank-ordered adjacency — deterministic, replayable, no RNG
-      // state, and identical cross-engine. Walks are seed-bounded
-      // (top-20 hubs) and fixed-length (4 steps); each step is one
-      // broadcast join of the ≤20-row frontier against the cached
-      // ranked adjacency, so step cost is frontier-bounded, not E.
-      val e0 = copurchaseEdgesMemo(s, dir).select("src", "dst")
-      val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
-      val adj = Caches.persist(sym
-        .withColumn("rnk", row_number().over(
-          Window.partitionBy("src").orderBy("dst")).cast("long"))
-        .withColumn("deg", count(lit(1)).over(
-          Window.partitionBy("src")).cast("long"))
-        .withColumnRenamed("src", "node"))
-      adj.count() // eager: every per-step broadcast subtree reads the cache
-      val seeds = adj.select("node", "deg").distinct()
-        .orderBy(col("deg").desc, col("node").asc).limit(20)
-        .select(col("node").as("seed"))
-      var frontier = seeds.select(col("seed"), col("seed").as("node"),
-        lit(0L).as("step"))
-      var out = frontier
-      (1 to 4).foreach { i =>
-        val pick = Dedup.md5Hash60(concat_ws("|", lit("walk"), col("seed"),
-          lit(i), col("node"))) % col("deg") + 1
-        frontier = adj.join(broadcast(frontier.select("seed", "node")), Seq("node"))
-          .filter(col("rnk") === pick)
-          .select(col("seed"), col("dst").as("node"), lit(i.toLong).as("step"))
-        out = out.unionAll(frontier)
-      }
-      out.select("seed", "step", "node").orderBy("seed", "step")
+      // trainer consumes exactly this (seed, step, node) table. See
+      // [[copurchaseWalks]] for the mechanism and the scale shape.
+      copurchaseWalks(s, dir).orderBy("seed", "step")),
+
+    "graph_walk_skipgram" -> ((s, dir) => {
+      // the walks' TRAINING-PAIR export — skip-gram (center, context)
+      // co-occurrences within window 2 along each walk, kept with
+      // multiplicity (the node2vec§3.2 objective consumes exactly
+      // these counts). One bounded self-join of the seed-bounded walk
+      // table on itself; at any graph size the pair count is
+      // #walks · length · window — walk-bounded, never E.
+      val w = copurchaseWalks(s, dir)
+      val a = w.select(col("seed"), col("step").as("sa"), col("node").as("center"))
+      val b = w.select(col("seed"), col("step").as("sb"), col("node").as("context"))
+      a.join(b, Seq("seed"))
+        .filter(col("sa") =!= col("sb") &&
+          abs(col("sa") - col("sb")) <= 2)
+        .groupBy("center", "context")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("center", "context")
     }),
 
     "search_prf_expand" -> ((s, dir) => {
@@ -6255,6 +6281,47 @@ object SparkEntry {
           col("rank"), col("bh_threshold"),
           (col("rank") <= lit(cut)).as("discovery"))
         .orderBy("rank")
+    }),
+
+    "ml_classification_report" -> ((s, dir) => {
+      // the sklearn-style per-class report over the naive-Bayes
+      // held-out confusion matrix (ml_naive_bayes's deliverable turned
+      // into the numbers a model card quotes): per class support,
+      // precision, recall, F1, plus overall accuracy. The confusion
+      // table is class²-bounded, so everything after it is arithmetic
+      // on exact counts; zero denominators report 0.0 by the sklearn
+      // zero_division convention.
+      val toks = docs(s, dir).select(col("doc_id"),
+        col("lang").as("label"),
+        explode(TextAnalysis.rawTokens(col("text"))).as("w"))
+      val conf = Caches.persist(graft.ext.NaiveBayes.confusion(toks,
+        Dedup.md5Hash60(col("doc_id").cast("string")) % 5 === 0))
+      val acc = conf.agg(
+        round(sum(when(col("label") === col("pred"), col("n")).otherwise(0L))
+          .cast("double") / sum("n").cast("double"), 6).as("accuracy"))
+      val cls = conf.select(col("label").as("c"))
+        .union(conf.select(col("pred").as("c"))).distinct()
+      val lt = conf.groupBy(col("label").as("c")).agg(sum("n").as("support"))
+      val pt = conf.groupBy(col("pred").as("c")).agg(sum("n").as("ptotal"))
+      val tp = conf.filter(col("label") === col("pred"))
+        .groupBy(col("label").as("c")).agg(sum("n").as("tp"))
+      val j = cls.join(lt, Seq("c"), "left").join(pt, Seq("c"), "left")
+        .join(tp, Seq("c"), "left")
+        .select(col("c"), coalesce(col("support"), lit(0L)).as("support"),
+          coalesce(col("ptotal"), lit(0L)).as("ptotal"),
+          coalesce(col("tp"), lit(0L)).as("tp"))
+      val p = when(col("ptotal") === 0, lit(0.0))
+        .otherwise(col("tp") * lit(1.0) / col("ptotal"))
+      val r = when(col("support") === 0, lit(0.0))
+        .otherwise(col("tp") * lit(1.0) / col("support"))
+      j.withColumn("p", p).withColumn("r", r)
+        .select(col("c").as("label"), col("support"),
+          round(col("p"), 6).as("precision"), round(col("r"), 6).as("recall"),
+          round(when(col("p") + col("r") === 0, lit(0.0))
+            .otherwise(lit(2) * col("p") * col("r") / (col("p") + col("r"))), 6)
+            .as("f1"))
+        .crossJoin(broadcast(acc))
+        .orderBy("label")
     }),
 
     "emb_quantize_int8" -> ((s, dir) => {
