@@ -4506,6 +4506,25 @@ private[graft] object OracleSql {
         |       rank <= (SELECT c FROM cut) AS discovery
         |FROM th ORDER BY rank""".stripMargin,
 
+    "curate_epoch_plan" ->
+      // mirrors the epoch plan: T = 4×total exact BIGINT, 6dp-pinned
+      // temp_share, epochs = min(T·share/n, 4), floor'd achieved tokens
+      """WITH t AS (SELECT lang, source, CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |g AS (SELECT lang, source, CAST(sum(n_toks) AS BIGINT) AS n_tokens FROM t GROUP BY lang, source),
+        |w AS (SELECT lang, source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM g),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, round(sum(w), 6) AS total_w FROM w),
+        |x AS (SELECT lang, source, n_tokens,
+        |             round(w / total_w, 6) AS temp_share,
+        |             CAST(4 * total AS DOUBLE) * round(w / total_w, 6)
+        |               / CAST(n_tokens AS DOUBLE) AS epochs_raw
+        |      FROM w CROSS JOIN tot)
+        |SELECT lang, source, n_tokens, temp_share,
+        |       round(least(epochs_raw, 4.0), 6) AS epochs,
+        |       epochs_raw > 4.0 AS capped,
+        |       CAST(floor(least(epochs_raw, 4.0) * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS achieved_tokens
+        |FROM x ORDER BY lang, source""".stripMargin,
+
     "ml_classification_report" ->
       // wraps the ml_naive_bayes confusion oracle verbatim and derives
       // the sklearn-style per-class report (zero_division=0 convention)

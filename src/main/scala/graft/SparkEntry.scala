@@ -6283,6 +6283,41 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "curate_epoch_plan" -> ((s, dir) => {
+      // the concrete sampling plan behind a data recipe (the
+      // LLaMA/Gopher "epochs per source" table): given the
+      // temperature-scaled target shares (curate_mix_temperature's
+      // α=0.5 weights) and a training budget of T = 4× the corpus,
+      // how many epochs of each (lang, source) cell does the sampler
+      // draw, capped at 4 passes (repeating data beyond a few epochs
+      // degrades — the cap every published recipe applies)? Cells at
+      // the cap under-fill the budget; achieved_tokens makes that
+      // shortfall auditable. Same one-pass token count + two S4
+      // scalars as the mix queries; all plan arithmetic is fixed-shape
+      // on pinned operands.
+      val counts = docs(s, dir)
+        .select(col("lang"), col("source"),
+          size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n_toks"))
+        .groupBy("lang", "source")
+        .agg(sum("n_toks").as("n_tokens"))
+      val cached = Caches.persist(
+        counts.withColumn("w", sqrt(col("n_tokens").cast("double"))))
+      val total = cached.agg(sum("n_tokens")).head().getLong(0)
+      val totalW = round6(cached.agg(sum("w")).head().getDouble(0))
+      val budget = 4L * total
+      val share = round(col("w") / lit(totalW), 6)
+      val epochsRaw = lit(budget.toDouble) * col("temp_share") /
+        col("n_tokens").cast("double")
+      cached.withColumn("temp_share", share)
+        .withColumn("epochs_raw", epochsRaw)
+        .select(col("lang"), col("source"), col("n_tokens"), col("temp_share"),
+          round(least(col("epochs_raw"), lit(4.0)), 6).as("epochs"),
+          (col("epochs_raw") > 4.0).as("capped"),
+          floor(least(col("epochs_raw"), lit(4.0)) *
+            col("n_tokens").cast("double")).cast("long").as("achieved_tokens"))
+        .orderBy("lang", "source")
+    }),
+
     "ml_classification_report" -> ((s, dir) => {
       // the sklearn-style per-class report over the naive-Bayes
       // held-out confusion matrix (ml_naive_bayes's deliverable turned
