@@ -261,7 +261,12 @@ object ScaleBench {
     // and the PSI drift monitor (two scans of a 2-column projection
     // to a 10-row bin table)
     "emb_quantize_int8", "search_lm_dirichlet", "stats_bh_fdr",
-    "quality_drift_psi")
+    "quality_drift_psi",
+    // walk family: the adjacency ranking (per-src partitioned windows
+    // over 2E rows) is the only E-sized stage — the ratio tests that
+    // the per-step frontier joins stay frontier-bounded; skip-gram
+    // adds one walk-bounded self-join on top
+    "graph_random_walk", "graph_walk_skipgram")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

