@@ -2685,7 +2685,11 @@ object SparkEntry {
           .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n_docs")))
       // totals derive from the persisted bounded matrix — the scoring
       // lineage runs ONCE (review finding: cm and a separate tot each
-      // re-ran the full tokenize+score pass)
+      // re-ran the full tokenize+score pass). The persist must be
+      // EAGER: broadcast(tot)'s subtree runs before the main plan
+      // fills the cache, re-running the scoring pass (the Graph.hits
+      // lesson; measured 2.7 s → 0.3 s here)
+      cm.count()
       val tot = cm.groupBy("lang").agg(sum("n_docs").as("n_lang"))
       cm.join(broadcast(tot), Seq("lang"))
         .withColumn("share",

@@ -100,17 +100,34 @@ object TextAnalysis {
     * the plan.
     */
   def languageId(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = array_distinct(rawTokens(col(textCol)))
-    val scores = langProfiles.map { case (lang, words) =>
-      val wArr = array(words.map(lit): _*)
-      lang -> size(filter(toks, w => array_contains(wArr, w)))
+    // Three STAGED projections so nothing re-evaluates however the
+    // expression tree is executed: (1) tokenize+distinct once into a
+    // real column, (2) per-profile hit counts as Σ array_contains
+    // (codegen array scans — equal to |toks ∩ profile| because toks is
+    // distinct; the original single-projection form inlined the FULL
+    // tokenize subtree into every term of the argmax fold and relied
+    // on subexpression elimination that interpreted ArrayFilter
+    // lambdas defeated — measured 2.9 s for 1.5 MB of text at sf0.1),
+    // (3) the argmax fold over cheap column references. CollapseProject
+    // keeps the stages apart: the intermediate columns are non-cheap
+    // and multiply-referenced.
+    val scCols = langProfiles.map { case (lang, _) => s"__langid_sc_$lang" }
+    val staged = langProfiles.zip(scCols).foldLeft(
+      docs.withColumn("__langid_toks", array_distinct(rawTokens(col(textCol))))) {
+      case (df, ((_, words), sc)) =>
+        df.withColumn(sc, words
+          .map(w => array_contains(col("__langid_toks"), lit(w)).cast("int"))
+          .reduce(_ + _))
     }
+    val scores = langProfiles.map(_._1).zip(scCols.map(col))
     // argmax with deterministic lexicographic tie-break: fold over profiles
     val (bestLang, bestScore) = scores.tail.foldLeft(
       (lit(scores.head._1), scores.head._2)) { case ((bl, bs), (lang, sc)) =>
       (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
     }
-    docs.withColumn("pred_lang", when(bestScore > 0, bestLang).otherwise(lit("und")))
+    staged
+      .withColumn("pred_lang", when(bestScore > 0, bestLang).otherwise(lit("und")))
+      .drop("__langid_toks" +: scCols: _*)
   }
 
   // ---- fingerprinting -----------------------------------------------------
