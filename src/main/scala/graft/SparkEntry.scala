@@ -374,6 +374,18 @@ object SparkEntry {
       .localCheckpoint()
   })
 
+  /** Unweighted 4-round LPA labels over the co-purchase graph, built
+    * ONCE per (session, sfDir) — `graph_communities` and
+    * `graph_modularity` consume the IDENTICAL label table (same
+    * iterations, same edges), and the label table is node-bounded, so
+    * the checkpoint costs KBs while a rebuild pays 3 shuffle rounds
+    * over 2E exploded rows every time (the copurchaseEdgesMemo
+    * economics).
+    */
+  private val lpaLabelsMemo = new DirMemo((s, dir) =>
+    Graph.labelPropagation(copurchaseEdgesMemo(s, dir), iterations = 4)
+      .localCheckpoint())
+
   /** Seeded deterministic random walks over the symmetric co-purchase
     * graph (serves `graph_random_walk` and `graph_walk_skipgram`).
     * Each step's "random" neighbor pick is a seeded hash of (seed,
@@ -453,6 +465,7 @@ object SparkEntry {
     */
   private[graft] def resetSharedCaches(): Unit = {
     copurchaseEdgesMemo.reset()
+    lpaLabelsMemo.reset()
     ccMemo.reset()
     sharedMinhashPairs.reset()
     sharedShingleRows.reset()
@@ -4875,8 +4888,7 @@ object SparkEntry {
       // pinned). The telemetry that says whether the communities are
       // real structure or noise before a pipeline groups by them.
       val und = copurchaseEdgesMemo(s, dir).select("src", "dst")
-      val labels = graft.Caches.persist(
-        Graph.labelPropagation(copurchaseEdgesMemo(s, dir), iterations = 4))
+      val labels = lpaLabelsMemo(s, dir) // checkpointed — four subtrees scan it
       val mRow = und.agg(count(lit(1)).as("m"))
       val deg = und.select(col("src").as("node"))
         .unionAll(und.select(col("dst").as("node")))
@@ -4914,7 +4926,7 @@ object SparkEntry {
       // unrolled CTE chain with the same row_number window. Output is
       // the community size distribution (top-25 by size), the coarser-
       // than-CC dedup grouping a curation pipeline uses.
-      Graph.labelPropagation(copurchaseEdgesMemo(s, dir), iterations = 4)
+      lpaLabelsMemo(s, dir)
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("community"))
