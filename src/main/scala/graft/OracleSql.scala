@@ -4525,6 +4525,36 @@ private[graft] object OracleSql {
         |       CAST(floor(least(epochs_raw, 4.0) * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS achieved_tokens
         |FROM x ORDER BY lang, source""".stripMargin,
 
+    "emb_matryoshka_audit" ->
+      // two brute-force top-10 CTEs (full vs first-16-dims slice),
+      // intersection count / 10, plus the mean full cosine of the
+      // truncated picks (6dp-pinned addends under a 6dp avg)
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 8),
+        |scf AS (SELECT query_id, vec_id,
+        |               list_dot_product(qe, ve) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ve, ve))) AS cos
+        |        FROM q CROSS JOIN v WHERE vec_id <> query_id),
+        |tf AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+        |              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scf)
+        |       WHERE rn <= 10),
+        |sct AS (SELECT query_id, vec_id,
+        |               list_dot_product(qe[1:16], ve[1:16]) / (sqrt(list_dot_product(qe[1:16], qe[1:16])) * sqrt(list_dot_product(ve[1:16], ve[1:16]))) AS cos
+        |        FROM q CROSS JOIN v WHERE vec_id <> query_id),
+        |tt AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+        |              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM sct)
+        |       WHERE rn <= 10),
+        |h AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM tf JOIN tt USING (query_id, vec_id) GROUP BY query_id),
+        |mc AS (SELECT t.query_id,
+        |              round(avg(round(list_dot_product(q.qe, c.ve) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ve, c.ve))), 6)), 6) AS mean_full_cos_of_trunc
+        |       FROM tt t JOIN v c ON c.vec_id = t.vec_id JOIN q ON q.query_id = t.query_id
+        |       GROUP BY t.query_id)
+        |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
+        |       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_10,
+        |       mc.mean_full_cos_of_trunc
+        |FROM q LEFT JOIN h USING (query_id) LEFT JOIN mc ON mc.query_id = q.query_id
+        |ORDER BY q.query_id""".stripMargin,
+
     "ml_classification_report" ->
       // wraps the ml_naive_bayes confusion oracle verbatim and derives
       // the sklearn-style per-class report (zero_division=0 convention)

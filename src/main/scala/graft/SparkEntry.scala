@@ -6345,6 +6345,44 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    "emb_matryoshka_audit" -> ((s, dir) => {
+      // dimension-truncation audit (the Matryoshka serving question,
+      // Kusupati et al. NeurIPS'22): if the ANN tier scans only the
+      // FIRST 16 of 64 dims (4× cheaper memory/scan), how much of the
+      // exact top-10 survives? recall@10 of prefix-cosine vs
+      // full-cosine per query, plus the mean full-cosine of the
+      // truncated tier's picks — the two numbers that decide whether
+      // a truncated serving tier ships. Offline audit on a bounded
+      // query sample; both rankers are the gate's brute-force shape.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+      def prefix(df: DataFrame) =
+        df.withColumn("embedding", slice(col("embedding"), 1, 16))
+      val full = Caches.persist(
+        Similarity.bruteForceTopK(e, q, k = 10).select("query_id", "vec_id"))
+      val trunc = Caches.persist(
+        Similarity.bruteForceTopK(prefix(e), prefix(q), k = 10)
+          .select("query_id", "vec_id"))
+      val hits = full.join(trunc, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      // how good are the truncated tier's picks under the FULL metric
+      val tq = trunc
+        .join(e.select(col("vec_id"), col("embedding").as("c_emb")), Seq("vec_id"))
+        .join(broadcast(q.select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))), Seq("query_id"))
+        .groupBy("query_id")
+        .agg(round(avg(round(Similarity.cosine(col("q_emb"), col("c_emb")), 6)), 6)
+          .as("mean_full_cos_of_trunc"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .join(tq, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / lit(10.0), 6).as("recall_at_10"),
+          col("mean_full_cos_of_trunc"))
+        .orderBy("query_id")
+    }),
+
     "ml_classification_report" -> ((s, dir) => {
       // the sklearn-style per-class report over the naive-Bayes
       // held-out confusion matrix (ml_naive_bayes's deliverable turned
