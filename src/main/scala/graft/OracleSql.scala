@@ -4525,6 +4525,45 @@ private[graft] object OracleSql {
         |       CAST(floor(least(epochs_raw, 4.0) * CAST(n_tokens AS DOUBLE)) AS BIGINT) AS achieved_tokens
         |FROM x ORDER BY lang, source""".stripMargin,
 
+    "events_top_paths" ->
+      // the events_sessionize gaps-and-islands CTEs + two leads over
+      // the session window, trigram concat, top-15 (n DESC, path)
+      """WITH e AS (SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+        |         FROM g),
+        |tri AS (SELECT event_type AS t1,
+        |               lead(event_type, 1) OVER w2 AS t2,
+        |               lead(event_type, 2) OVER w2 AS t3
+        |        FROM sess WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id))
+        |SELECT concat_ws('>', t1, t2, t3) AS path, CAST(count(*) AS BIGINT) AS n
+        |FROM tri WHERE t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 15""".stripMargin,
+
+    "orders_cohort_ltv" ->
+      // mirrors the LTV curves: first-order-month cohorts, exact cent
+      // sums, per-cohort cumulative window (≡ PrefixSum.scanBy on
+      // exact BIGINTs), 2dp/6dp output pins
+      """WITH o AS (SELECT o_custkey,
+        |                  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS midx,
+        |                  CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |f AS (SELECT o_custkey, min(midx) AS cmidx, min(ym) AS cohort FROM o GROUP BY o_custkey),
+        |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers FROM f GROUP BY cohort),
+        |r AS (SELECT f.cohort, o.midx - f.cmidx AS age, CAST(sum(o.cents) AS BIGINT) AS rev
+        |      FROM o JOIN f USING (o_custkey) GROUP BY f.cohort, o.midx - f.cmidx),
+        |c AS (SELECT cohort, age,
+        |             CAST(sum(rev) OVER (PARTITION BY cohort ORDER BY age
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM r)
+        |SELECT c.cohort, c.age, cs.n_customers,
+        |       round(CAST(cum AS DOUBLE) / 100.0, 2) AS cum_revenue,
+        |       round(CAST(cum AS DOUBLE) / cs.n_customers / 100.0, 6) AS ltv_per_customer
+        |FROM c JOIN cs USING (cohort) ORDER BY cohort, age""".stripMargin,
+
     "emb_matryoshka_audit" ->
       // two brute-force top-10 CTEs (full vs first-16-dims slice),
       // intersection count / 10, plus the mean full cosine of the

@@ -6345,6 +6345,63 @@ object SparkEntry {
         .orderBy("lang", "source")
     }),
 
+    "events_top_paths" -> ((s, dir) => {
+      // top navigation paths — the Sankey/flow-diagram feed of product
+      // analytics: per session the ordered event-type sequence, mined
+      // as within-session trigrams (two leads over the session
+      // window), top-15 by frequency with a path tie-break. Session
+      // assignment is the gaps-and-islands shape events_sessionize
+      // locks (30-min gap); the windows partition by (user) /
+      // (user, session) — the salted decomposition stands ready if a
+      // key ever runs hot (events_sessionize_salted).
+      val byUser = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val sess = events(s, dir)
+        .withColumn("us", unix_micros(col("ts")))
+        .withColumn("prev_us", lag(col("us"), 1).over(byUser))
+        .withColumn("new_session",
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > lit(1800000000L), 1L).otherwise(0L))
+        .withColumn("session_seq", sum("new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val bySess = Window.partitionBy("user_id", "session_seq")
+        .orderBy(col("ts"), col("event_id"))
+      sess
+        .withColumn("t2", lead(col("event_type"), 1).over(bySess))
+        .withColumn("t3", lead(col("event_type"), 2).over(bySess))
+        .filter(col("t3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t2"), col("t3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(15)
+    }),
+
+    "orders_cohort_ltv" -> ((s, dir) => {
+      // cohort lifetime-value curves — the finance twin of
+      // orders_retention: customers cohorted by first-order month,
+      // cumulative revenue per customer at each month of age. Exact
+      // integer cents under PrefixSum.scanBy (per-cohort running sums,
+      // no unpartitioned window); the (cohort × age) table is
+      // calendar²-bounded at any order count.
+      val o = tbl(s, dir, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long").as("midx"),
+        (year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).cast("long").as("ym"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long").as("cents"))
+      val f = Caches.persist(o.groupBy("o_custkey")
+        .agg(min("midx").as("cmidx"), min("ym").as("cohort")))
+      val cs = f.groupBy("cohort").agg(count(lit(1)).as("n_customers"))
+      val rev = o.join(f, Seq("o_custkey"))
+        .groupBy(col("cohort"), (col("midx") - col("cmidx")).as("age"))
+        .agg(sum("cents").as("rev"))
+      graft.ext.PrefixSum.scanBy(rev, Seq("cohort"), "age", Seq("rev"),
+          bucketSize = 16L)
+        .join(cs, Seq("cohort"))
+        .select(col("cohort"), col("age"), col("n_customers"),
+          round(col("cum_rev").cast("double") / lit(100.0), 2).as("cum_revenue"),
+          round(col("cum_rev").cast("double") / col("n_customers") / lit(100.0), 6)
+            .as("ltv_per_customer"))
+        .orderBy("cohort", "age")
+    }),
+
     "emb_matryoshka_audit" -> ((s, dir) => {
       // dimension-truncation audit (the Matryoshka serving question,
       // Kusupati et al. NeurIPS'22): if the ANN tier scans only the
