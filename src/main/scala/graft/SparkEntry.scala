@@ -386,6 +386,27 @@ object SparkEntry {
     Graph.labelPropagation(copurchaseEdgesMemo(s, dir), iterations = 4)
       .localCheckpoint())
 
+  /** Held-out naive-Bayes confusion matrix, built ONCE per
+    * (session, sfDir) — `ml_naive_bayes` and `ml_classification_report`
+    * consume the IDENTICAL class²-bounded table (the oracle side
+    * already shares `mlNaiveBayesSql`); a rebuild pays the full
+    * tokenize + train + dense-score pipeline every time.
+    */
+  private val nbConfusionMemo = new DirMemo((s, dir) =>
+    graft.ext.NaiveBayes.confusion(
+      docs(s, dir).select(col("doc_id"), col("lang").as("label"),
+        explode(TextAnalysis.rawTokens(col("text"))).as("w")),
+      Dedup.md5Hash60(col("doc_id").cast("string")) % 5 === 0)
+      .localCheckpoint())
+
+  /** The walk table itself is ~100 rows — checkpointed once per
+    * (session, sfDir) so `graph_walk_skipgram` reuses
+    * `graph_random_walk`'s E-sized adjacency ranking instead of
+    * rebuilding it (the lpaLabelsMemo economics).
+    */
+  private val walksMemo = new DirMemo((s, dir) =>
+    copurchaseWalks(s, dir).localCheckpoint())
+
   /** Seeded deterministic random walks over the symmetric co-purchase
     * graph (serves `graph_random_walk` and `graph_walk_skipgram`).
     * Each step's "random" neighbor pick is a seeded hash of (seed,
@@ -466,6 +487,8 @@ object SparkEntry {
   private[graft] def resetSharedCaches(): Unit = {
     copurchaseEdgesMemo.reset()
     lpaLabelsMemo.reset()
+    nbConfusionMemo.reset()
+    walksMemo.reset()
     ccMemo.reset()
     sharedMinhashPairs.reset()
     sharedShingleRows.reset()
@@ -3845,11 +3868,7 @@ object SparkEntry {
       // heuristic. The model is the dense vocabulary-bounded
       // (vocab × 5) likelihood table; per-(doc,class) sums are
       // 6dp-pinned before the argmax.
-      val toks = docs(s, dir).select(col("doc_id"),
-        col("lang").as("label"),
-        explode(TextAnalysis.rawTokens(col("text"))).as("w"))
-      graft.ext.NaiveBayes.confusion(toks,
-        Dedup.md5Hash60(col("doc_id").cast("string")) % 5 === 0)
+      nbConfusionMemo(s, dir)
     }),
 
     "ml_kmeans_purity" -> ((s, dir) => {
@@ -6097,8 +6116,10 @@ object SparkEntry {
       // the corpus-generation face of DeepWalk/node2vec (Perozzi et
       // al. KDD'14; Grover & Leskovec KDD'16): a graph-embedding
       // trainer consumes exactly this (seed, step, node) table. See
-      // [[copurchaseWalks]] for the mechanism and the scale shape.
-      copurchaseWalks(s, dir).orderBy("seed", "step")),
+      // [[copurchaseWalks]] for the mechanism and the scale shape;
+      // the table is memo-checkpointed so the skip-gram consumer
+      // reuses it.
+      walksMemo(s, dir).orderBy("seed", "step")),
 
     "graph_walk_skipgram" -> ((s, dir) => {
       // the walks' TRAINING-PAIR export — skip-gram (center, context)
@@ -6107,7 +6128,7 @@ object SparkEntry {
       // these counts). One bounded self-join of the seed-bounded walk
       // table on itself; at any graph size the pair count is
       // #walks · length · window — walk-bounded, never E.
-      val w = copurchaseWalks(s, dir)
+      val w = walksMemo(s, dir)
       val a = w.select(col("seed"), col("step").as("sa"), col("node").as("center"))
       val b = w.select(col("seed"), col("step").as("sb"), col("node").as("context"))
       a.join(b, Seq("seed"))
@@ -6176,9 +6197,9 @@ object SparkEntry {
       val mu = 2000.0
       val tfq = Caches.persist(t.termFrequencies
         .filter(col("word").isin(SearchTerms: _*)))
+      tfq.count() // eager: cf's broadcast subtree + the grid scan it
       val coll = t.termFrequencies.agg(sum("term_freq")).head().getLong(0)
-      val cf = t.termFrequencies.filter(col("word").isin(SearchTerms: _*))
-        .groupBy("word").agg(sum("term_freq").as("cf"))
+      val cf = tfq.groupBy("word").agg(sum("term_freq").as("cf"))
       val cands = tfq.select("doc_id").distinct()
       val grid = cands.crossJoin(broadcast(cf))
         .join(tfq, Seq("doc_id", "word"), "left")
@@ -6210,6 +6231,7 @@ object SparkEntry {
       val top = Caches.persist(Search.scoreTerms(t, SearchTerms)
         .withColumn("bm25", round(col("score"), 4)).drop("score")
         .orderBy(col("bm25").desc, col("doc_id").asc).limit(50))
+      top.count() // eager: two broadcast subtrees + the main join scan it
       val tfq = t.termFrequencies.filter(col("word").isin(SearchTerms: _*))
         .join(broadcast(t.idfValues.filter(col("word").isin(SearchTerms: _*))
           .select("word", "idf")), Seq("word"))
@@ -6251,6 +6273,7 @@ object SparkEntry {
         .groupBy("event_type", "user_id")
         .agg(sum(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"))
           .as("sc"), count(lit(1)).as("cnt")))
+      users.count() // eager: broadcast(obs) derives from this cache
       def meanDiff(b: Column): Column = {
         val s1 = sum(when(b === 1, col("sc")).otherwise(0L)).cast("double")
         val c1 = sum(when(b === 1, col("cnt")).otherwise(0L)).cast("double")
@@ -6448,11 +6471,7 @@ object SparkEntry {
       // table is class²-bounded, so everything after it is arithmetic
       // on exact counts; zero denominators report 0.0 by the sklearn
       // zero_division convention.
-      val toks = docs(s, dir).select(col("doc_id"),
-        col("lang").as("label"),
-        explode(TextAnalysis.rawTokens(col("text"))).as("w"))
-      val conf = Caches.persist(graft.ext.NaiveBayes.confusion(toks,
-        Dedup.md5Hash60(col("doc_id").cast("string")) % 5 === 0))
+      val conf = nbConfusionMemo(s, dir) // checkpointed; five subtrees scan it
       val acc = conf.agg(
         round(sum(when(col("label") === col("pred"), col("n")).otherwise(0L))
           .cast("double") / sum("n").cast("double"), 6).as("accuracy"))
@@ -6540,19 +6559,21 @@ object SparkEntry {
         EventStream.runToCompletion(s, live, "stream_psi_sink")
       }
       val nc = done.agg(sum("n_cur")).head().getLong(0)
-      val bins = s.range(10).select(col("id").as("bin"))
+      // eager 10-row bin frame + S4 total, as in quality_drift_psi
+      val bins = Caches.persist(s.range(10).select(col("id").as("bin"))
         .join(refBins, Seq("bin"), "left")
         .join(done, Seq("bin"), "left")
         .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+      bins.count()
       val pr = greatest(col("n_ref").cast("double") / lit(nr.toDouble), lit(1e-4))
       val pc = greatest(col("n_cur").cast("double") / lit(nc.toDouble), lit(1e-4))
       val terms = bins.withColumn("psi_term", round((pc - pr) * log(pc / pr), 9))
-      val total = terms.agg(round(sum("psi_term"), 6).as("psi_total"))
+      val psiTotal = terms.agg(round(sum("psi_term"), 6)).head().getDouble(0)
       terms
         .select(col("bin"), col("n_ref"), col("n_cur"),
           round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"), col("psi_term"))
-        .crossJoin(broadcast(total))
+        .withColumn("psi_total", lit(psiTotal))
         .withColumn("drift_flag", col("psi_total") > lit(0.2))
         .orderBy("bin")
     }),
@@ -6586,18 +6607,23 @@ object SparkEntry {
       val counts = o.groupBy(bin.as("bin")).agg(
         sum(when(col("is_ref"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("is_ref"), 1L).otherwise(0L)).as("n_cur"))
-      val bins = s.range(10).select(col("id").as("bin"))
+      // the 10-row bin frame is persisted EAGERLY (one N-scan fills
+      // it); the total is then an S4 scalar off the cache — the lazy
+      // crossJoin(broadcast(total)) form re-ran the N-sized count
+      // aggregate in the broadcast subtree (r11 code-review finding)
+      val bins = Caches.persist(s.range(10).select(col("id").as("bin"))
         .join(counts, Seq("bin"), "left")
         .select(col("bin"), coalesce(col("n_ref"), lit(0L)).as("n_ref"),
-          coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+          coalesce(col("n_cur"), lit(0L)).as("n_cur")))
+      bins.count()
       val pr = greatest(col("n_ref").cast("double") / lit(nr.toDouble), lit(1e-4))
       val pc = greatest(col("n_cur").cast("double") / lit(nc.toDouble), lit(1e-4))
       val terms = bins.withColumn("psi_term", round((pc - pr) * log(pc / pr), 9))
-      val total = terms.agg(round(sum("psi_term"), 6).as("psi_total"))
+      val psiTotal = terms.agg(round(sum("psi_term"), 6)).head().getDouble(0)
       terms
         .select(col("bin"), col("n_ref"), col("n_cur"),
           round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"), col("psi_term"))
-        .crossJoin(broadcast(total))
+        .withColumn("psi_total", lit(psiTotal))
         .withColumn("drift_flag", col("psi_total") > lit(0.2))
         .orderBy("bin")
     }),
