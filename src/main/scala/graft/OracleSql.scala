@@ -1145,6 +1145,27 @@ private[graft] object OracleSql {
          |SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.8
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    "dedup_threshold_sweep" ->
+      // brute-force exact pairs at the lowest τ (the dedup_allpairs
+      // ground-truth shape), then five band slices on the 6dp-rounded
+      // jaccard; bands with zero pairs drop on both sides
+      s"""WITH $hashedShingleCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |pr AS (SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.5),
+         |t AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS tau),
+         |b AS (SELECT t.tau, pr.doc_a, pr.doc_b, pr.jaccard
+         |      FROM pr CROSS JOIN t WHERE pr.jaccard >= t.tau),
+         |np AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs,
+         |              round(avg(jaccard), 6) AS mean_jaccard
+         |       FROM b GROUP BY tau),
+         |nd AS (SELECT tau, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_affected
+         |       FROM (SELECT tau, unnest([doc_a, doc_b]) AS doc_id FROM b)
+         |       GROUP BY tau)
+         |SELECT np.tau, np.n_pairs, nd.n_docs_affected, np.mean_jaccard
+         |FROM np JOIN nd USING (tau) ORDER BY np.tau""".stripMargin,
+
     "dedup_cross_source_matrix" ->
       // same exact pair semantics as dedup_minhash, regrouped by the
       // unordered source pair

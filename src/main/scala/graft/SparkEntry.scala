@@ -2352,6 +2352,34 @@ object SparkEntry {
       Dedup.allPairs(docs(s, dir), threshold = 0.8,
         preShingleRows = Some(sharedShingled(s, dir)))),
 
+    "dedup_threshold_sweep" -> ((s, dir) => {
+      // the dedup OPERATING CURVE: pairs, affected docs, and mean
+      // similarity per Jaccard threshold — the τ-selection telemetry a
+      // pipeline reads before committing a dedup run. ONE exact
+      // prefix-filtered AllPairs pass at the sweep's LOWEST τ serves
+      // every higher band (the prefix join is lossless, so the single
+      // pair table slices into all five bands; a probabilistic LSH
+      // pass could not — its recall decays toward low τ). Bands with
+      // zero pairs drop (inner semantics, mirrored).
+      val pairs = Caches.persist(Dedup.allPairs(docs(s, dir),
+        threshold = 0.5, preShingleRows = Some(sharedShingled(s, dir))))
+      pairs.count() // eager: two band aggregates scan this cache
+      import s.implicits._
+      val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("tau")
+      val banded = pairs.crossJoin(broadcast(taus))
+        .filter(col("jaccard") >= col("tau"))
+      val np = banded.groupBy("tau").agg(count(lit(1)).as("n_pairs"),
+        round(avg("jaccard"), 6).as("mean_jaccard"))
+      val nd = banded
+        .select(col("tau"),
+          explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+        .groupBy("tau").agg(countDistinct("doc_id").as("n_docs_affected"))
+      np.join(nd, Seq("tau"))
+        .select(col("tau"), col("n_pairs"), col("n_docs_affected"),
+          col("mean_jaccard"))
+        .orderBy("tau")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir)).orderBy("doc_id")),
 
