@@ -1153,8 +1153,8 @@ private[graft] object OracleSql {
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
          |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
-         |pr AS (SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.5),
-         |t AS (SELECT CAST(unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE) AS tau),
+         |pr AS (SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM p WHERE j >= 0.7),
+         |t AS (SELECT CAST(unnest([0.7, 0.8, 0.9]) AS DOUBLE) AS tau),
          |b AS (SELECT t.tau, pr.doc_a, pr.doc_b, pr.jaccard
          |      FROM pr CROSS JOIN t WHERE pr.jaccard >= t.tau),
          |np AS (SELECT tau, CAST(count(*) AS BIGINT) AS n_pairs,

@@ -262,6 +262,18 @@ object ScaleBench {
     // to a 10-row bin table)
     "emb_quantize_int8", "search_lm_dirichlet", "stats_bh_fdr",
     "quality_drift_psi",
+    // sixth-session continuation: the τ=0.5 AllPairs sweep (the
+    // LONGEST prefixes of the exact family — the ratio tests the
+    // prefix filter where it prunes least), session-path mining (two
+    // leads over (user, session)-partitioned windows ∝ N), cohort LTV
+    // (one N-scan + per-cohort PrefixSum over a calendar²-bounded
+    // table), the truncation audit (brute force ∝ 8·N by design),
+    // PRF (two retrieval stages, each the standard posting-join
+    // shape), and the NB report (train aggregates ∝ tokens with a
+    // synth-growing vocabulary — the dense model table is
+    // vocab×5-bounded)
+    "dedup_threshold_sweep", "events_top_paths", "orders_cohort_ltv",
+    "emb_matryoshka_audit", "search_prf_expand", "ml_classification_report",
     // walk family: the adjacency ranking (per-src partitioned windows
     // over 2E rows) is the only E-sized stage — the ratio tests that
     // the per-step frontier joins stay frontier-bounded; skip-gram

