@@ -2260,6 +2260,29 @@ private[graft] object OracleSql {
         |UNION ALL SELECT 3, w.w1, w.w2, w.b, p.acc FROM w3 w, p4 p
         |ORDER BY iter""".stripMargin,
 
+    "ml_pr_curve" ->
+      // the calibration scorer's bin table turned into cumulative-from-
+      // above operating points via a bounded triangle join; exact
+      // integer counts, 6dp pins, sklearn zero_division=0 on F1
+      s"""WITH $logregW3Ctes,
+        |sc AS (SELECT y, 0.5 + 0.5 * t / (1.0 + abs(t)) AS p
+        |       FROM (SELECT y, (w.b + x1 * w.w1 + x2 * w.w2) AS t FROM d, w3 w)),
+        |b AS (SELECT CAST(floor(p * 200) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(y) AS BIGINT) AS npos
+        |      FROM sc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(npos) AS BIGINT) AS pos FROM b),
+        |c AS (SELECT a.bin, CAST(sum(x.n) AS BIGINT) AS npred, CAST(sum(x.npos) AS BIGINT) AS tp
+        |      FROM b a JOIN b x ON x.bin >= a.bin GROUP BY a.bin),
+        |m AS (SELECT bin, npred, tp,
+        |             tp * 1.0 / npred AS pr,
+        |             tp * 1.0 / (SELECT pos FROM tot) AS rc
+        |      FROM c)
+        |SELECT round(bin / 200.0, 6) AS threshold, tp, npred - tp AS fp,
+        |       (SELECT pos FROM tot) - tp AS fn,
+        |       round(pr, 6) AS precision, round(rc, 6) AS recall,
+        |       round(CASE WHEN pr + rc = 0 THEN 0.0 ELSE 2 * pr * rc / (pr + rc) END, 6) AS f1
+        |FROM m ORDER BY threshold""".stripMargin,
+
     "ml_calibration" ->
       // reliability diagram of the trained classifier: every row scored
       // with the FINAL pinned weights (w3 — exact arithmetic on pinned

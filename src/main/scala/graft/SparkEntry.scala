@@ -4249,6 +4249,46 @@ object SparkEntry {
             6).as("auc"))
     }),
 
+    "ml_pr_curve" -> ((s, dir) => {
+      // the operating-point table next to ml_calibration's reliability
+      // diagram and ml_auc_exact's ranking number: for every score
+      // threshold (the same 0.005 bins), TP/FP/FN and
+      // precision/recall/F1 if the pipeline gates at that threshold —
+      // what a curation team actually reads to pick a cut. Cumulative
+      // counts from above are a bounded triangle join over the ≤200-row
+      // bin table (no unpartitioned window); everything is exact
+      // integer counts under 6dp output pins.
+      val d = tbl(s, dir, "lineitem").select(
+        (col("l_quantity") / lit(50.0)).as("x1"),
+        (col("l_discount") * lit(10.0)).as("x2"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+      val w = graft.ext.LogReg.fit(
+        d, Seq(col("x1"), col("x2")), col("y"), lr = 1.0, iters = 3).last
+      val t = lit(w.bias) + col("x1") * lit(w.weights(0)) +
+        col("x2") * lit(w.weights(1))
+      val p = lit(0.5) + lit(0.5) * t / (lit(1.0) + abs(t))
+      val bins = Caches.persist(d.select(col("y"), p.as("p"))
+        .groupBy(floor(col("p") * 200).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("y").cast("long").as("npos")))
+      bins.count() // eager: the triangle join + totals scan this cache
+      val pos = bins.agg(sum("npos")).head().getLong(0)
+      val cum = bins
+        .join(broadcast(bins.select(col("bin").as("b2"), col("n").as("n2"),
+          col("npos").as("p2"))), col("b2") >= col("bin"))
+        .groupBy("bin").agg(sum("n2").as("npred"), sum("p2").as("tp"))
+      val pr = col("tp") * lit(1.0) / col("npred")
+      val rc = col("tp") * lit(1.0) / lit(pos.toDouble)
+      cum.withColumn("pr", pr).withColumn("rc", rc)
+        .select(round(col("bin") / lit(200.0), 6).as("threshold"),
+          col("tp"), (col("npred") - col("tp")).as("fp"),
+          (lit(pos) - col("tp")).as("fn"),
+          round(col("pr"), 6).as("precision"), round(col("rc"), 6).as("recall"),
+          round(when(col("pr") + col("rc") === 0, lit(0.0))
+            .otherwise(lit(2) * col("pr") * col("rc") / (col("pr") + col("rc"))), 6)
+            .as("f1"))
+        .orderBy("threshold")
+    }),
+
     "ml_calibration" -> ((s, dir) => {
       // reliability diagram — the evaluation face that says whether
       // ml_logreg_gd's trained scores can be READ as probabilities:
