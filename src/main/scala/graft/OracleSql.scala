@@ -4333,6 +4333,59 @@ private[graft] object OracleSql {
         |SELECT query_term, rank, word AS suggestion, distance, df
         |FROM f WHERE rank <= 3 ORDER BY query_term, rank""".stripMargin,
 
+    "search_autocomplete" ->
+      // vocabulary = idf's (word, doc_freq); prefix probe, (df DESC,
+      // word) top-5 per prefix
+      s"""WITH $indexCtes,
+        |px AS (SELECT unnest(['me', 'sc', 'ta', 've', 'zz']) AS prefix),
+        |c AS (SELECT px.prefix, i.word, i.doc_freq AS df,
+        |             CAST(row_number() OVER (PARTITION BY px.prefix
+        |                    ORDER BY i.doc_freq DESC, i.word) AS BIGINT) AS rank
+        |      FROM px JOIN idf i ON starts_with(i.word, px.prefix))
+        |SELECT prefix, rank, word AS completion, df
+        |FROM c WHERE rank <= 5 ORDER BY prefix, rank""".stripMargin,
+
+    "search_facets" ->
+      // BM25 top-50 ids, then per-dimension value counts union'd into
+      // one facet table
+      s"""WITH $indexCtes,
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
+        |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+        |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+        |  WHERE t.word IN ($SearchTermsSql)
+        |  GROUP BY t.doc_id),
+        |top AS (SELECT doc_id FROM (SELECT doc_id, round(s, 4) AS score FROM scored
+        |                            ORDER BY round(s, 4) DESC, doc_id LIMIT 50)),
+        |dd AS (SELECT d.doc_id, d.lang, d.source
+        |       FROM read_parquet('/root/testdata/sf0.01/documents.parquet') d
+        |       JOIN top USING (doc_id))
+        |SELECT 'lang' AS facet, lang AS value, CAST(count(*) AS BIGINT) AS n
+        |FROM dd GROUP BY lang
+        |UNION ALL
+        |SELECT 'source' AS facet, source AS value, CAST(count(*) AS BIGINT) AS n
+        |FROM dd GROUP BY source
+        |ORDER BY facet, n DESC, value""".stripMargin,
+
+    "search_more_like_this" ->
+      // seed doc 42's top-5 tf·idf terms (6dp pins) rescored with the
+      // standard BM25 shape, seed excluded
+      s"""WITH $indexCtes,
+        |mt AS (SELECT t.word
+        |       FROM tf t JOIN idf i USING (word)
+        |       WHERE t.doc_id = 42
+        |       ORDER BY round(t.term_freq * round(i.idf, 6), 6) DESC, t.word
+        |       LIMIT 5),
+        |sc AS (SELECT t.doc_id,
+        |              sum(i.idf * (t.term_freq * (1.2 + 1)) /
+        |                  (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+        |       FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+        |       WHERE t.word IN (SELECT word FROM mt) AND t.doc_id <> 42
+        |       GROUP BY t.doc_id)
+        |SELECT doc_id, round(s, 4) AS score FROM sc
+        |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
+
     "search_eval_ndcg" ->
       // mirrors the eval harness: per-term BM25 scores (4dp), system
       // rank by (score DESC, doc_id), ideal rank by (tf DESC, doc_id),

@@ -6079,6 +6079,76 @@ object SparkEntry {
         .orderBy("query_term", "rank")
     }),
 
+    "search_autocomplete" -> ((s, dir) => {
+      // query autocomplete — prefix → top-5 completions from the
+      // corpus vocabulary ranked by document frequency (the suggest
+      // box every search UI ships). The vocabulary is term-domain-
+      // bounded, so the broadcast prefix probe is a fixed small
+      // multiple of a vocab scan at any corpus size; `starts_with` on
+      // the term column is sargable against a sorted dictionary in a
+      // real index (here the vocab agg is the dictionary).
+      val flat = Indexer.flatWords(docs(s, dir), stem = false)
+      val vocab = flat.select("word", "doc_id").distinct()
+        .groupBy("word").agg(count(lit(1)).as("df"))
+      import s.implicits._
+      val prefixes = Seq("me", "sc", "ta", "ve", "zz").toDF("prefix")
+      val w = Window.partitionBy("prefix")
+        .orderBy(col("df").desc, col("word"))
+      vocab.join(broadcast(prefixes),
+          col("word").startsWith(col("prefix")))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("prefix"), col("rank"), col("word").as("completion"),
+          col("df"))
+        .orderBy("prefix", "rank")
+    }),
+
+    "search_facets" -> ((s, dir) => {
+      // the facet panel beside the result list: per facet dimension
+      // (lang, source), value counts over the BM25 top-50 result set —
+      // the aggregation every search UI renders next to the hits. The
+      // result set is k-bounded, so the facet joins touch ≤50 rows;
+      // the two dimensions union into one (facet, value, n) table.
+      val t = builtIndex(s, dir, stem = false)
+      val top = Caches.persist(Search.scoreTerms(t, SearchTerms)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+        .select("doc_id"))
+      top.count() // eager: both facet joins scan this cache
+      val d = docs(s, dir).select("doc_id", "lang", "source")
+        .join(broadcast(top), Seq("doc_id"))
+      val byLang = d.groupBy(col("lang").as("value"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("lang").as("facet"), col("value"), col("n"))
+      val bySource = d.groupBy(col("source").as("value"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("source").as("facet"), col("value"), col("n"))
+      byLang.unionAll(bySource)
+        .orderBy(col("facet"), col("n").desc, col("value"))
+    }),
+
+    "search_more_like_this" -> ((s, dir) => {
+      // Lucene-style More Like This: the seed doc's top-5 terms by
+      // tf·idf become the query, scored with BM25 over the corpus
+      // (seed excluded) — the "similar documents" panel. The term
+      // extraction touches one doc's postings; the rescore is the
+      // standard retrieval shape; the 5-term list is collected
+      // driver-side (S4) like any query rewrite.
+      val t = builtIndex(s, dir, stem = false)
+      val seed = 42L
+      val terms = t.termFrequencies.filter(col("doc_id") === seed)
+        .join(broadcast(t.idfValues.select("word", "idf")), Seq("word"))
+        .withColumn("w", round(col("term_freq").cast("double") *
+          round(col("idf"), 6), 6))
+        .orderBy(col("w").desc, col("word").asc).limit(5)
+        .select("word").collect().map(_.getString(0)).toSeq
+      Search.scoreTerms(t, terms)
+        .filter(col("doc_id") =!= seed)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     "search_eval_ndcg" -> ((s, dir) => {
       // offline retrieval-quality evaluation (nDCG per Järvelin &
       // Kekäläinen, TOIS 20(4) 2002; plus MRR and P@10): each eval
