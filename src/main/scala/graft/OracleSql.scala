@@ -348,6 +348,12 @@ private[graft] object OracleSql {
     "bm25_search" ->
       s"WITH $bm25Ctes SELECT doc_id, score FROM top10",
 
+    "search_pruned_topk" ->
+      // the MaxScore-pruned path must equal the UNPRUNED scoring exactly
+      // — its oracle IS bm25_search's full-scoring SQL (pruning is a
+      // plan optimization, never a semantics change)
+      s"WITH $bm25Ctes SELECT doc_id, score FROM top10",
+
     "j3_sql_bm25" ->
       s"WITH $bm25Ctes SELECT doc_id, score FROM top10",
 
@@ -1147,7 +1153,7 @@ private[graft] object OracleSql {
 
     "dedup_threshold_sweep" ->
       // brute-force exact pairs at the lowest τ (the dedup_allpairs
-      // ground-truth shape), then five band slices on the 6dp-rounded
+      // ground-truth shape), then three band slices on the 6dp-rounded
       // jaccard; bands with zero pairs drop on both sides
       s"""WITH $hashedShingleCtes,
          |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1495,6 +1501,33 @@ private[graft] object OracleSql {
         |       WHERE rn = 1),
         |c AS (SELECT a.vec_id, a.cluster, v.ve AS ce FROM a0 a JOIN v USING (vec_id)),
         |q AS (SELECT a.vec_id AS query_id, a.cluster, v.ve AS qe FROM a0 a JOIN v USING (vec_id) WHERE a.vec_id < 8),
+        |sc AS (SELECT q.query_id, c.vec_id,
+        |              list_dot_product(q.qe, c.ce) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+        |       FROM c JOIN q ON c.cluster = q.cluster AND c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |      FROM sc)
+        |SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "sim_ivf_topk_nprobe2" ->
+      // multi-probe IVF mirror: corpus side keeps the rank-1 seed
+      // assignment (a0); the QUERY side probes its 2 nearest centroids
+      // (rank ≤ 2 of the same s0 ranking — the ivfProbeCells rule), and
+      // candidates are the union of the two cells' members
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
+        |s0 AS (SELECT vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM v CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |c AS (SELECT a.vec_id, a.cluster, v.ve AS ce FROM a0 a JOIN v USING (vec_id)),
+        |qp AS (SELECT vec_id AS query_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0 WHERE vec_id < 8)
+        |       WHERE rn <= 2),
+        |q AS (SELECT qp.query_id, qp.cluster, v.ve AS qe FROM qp JOIN v ON v.vec_id = qp.query_id),
         |sc AS (SELECT q.query_id, c.vec_id,
         |              list_dot_product(q.qe, c.ce) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
         |       FROM c JOIN q ON c.cluster = q.cluster AND c.vec_id <> q.query_id),
@@ -3925,10 +3958,13 @@ private[graft] object OracleSql {
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "sim_ann_recall" ->
-      // the sim_knn and sim_ivf_topk oracles composed as CTEs: exact
-      // top-5 ∩ IVF top-5 per query, count / 5 — rank sets are
-      // deterministic on both engines ((cos DESC, vec_id) tie-break),
-      // so the intersection is too
+      // the sim_knn and sim_ivf_topk_nprobe2 oracles composed as CTEs:
+      // exact top-5 ∩ nprobe=4 IVF top-5 per query, count / 5 — rank
+      // sets are deterministic on both engines ((cos DESC, vec_id)
+      // tie-break), so the intersection is too. The query side probes
+      // its 4 nearest cells (rank ≤ 4 in qp — the r11 VERDICT #2
+      // recall knob; p=4 is what clears 0.95 on the RANDOM fixture,
+      // see the SparkEntry comment); corpus side keeps rank-1.
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
         |q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 8),
         |scx AS (SELECT query_id, c.vec_id,
@@ -3945,7 +3981,10 @@ private[graft] object OracleSql {
         |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
         |       WHERE rn = 1),
         |cc AS (SELECT a.vec_id, a.cluster, v.ve AS ce FROM a0 a JOIN v USING (vec_id)),
-        |qi AS (SELECT a.vec_id AS query_id, a.cluster, v.ve AS qe FROM a0 a JOIN v USING (vec_id) WHERE a.vec_id < 8),
+        |qp AS (SELECT vec_id AS query_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0 WHERE vec_id < 8)
+        |       WHERE rn <= 4),
+        |qi AS (SELECT qp.query_id, qp.cluster, v.ve AS qe FROM qp JOIN v ON v.vec_id = qp.query_id),
         |sci AS (SELECT qi.query_id, cc.vec_id,
         |               list_dot_product(qi.qe, cc.ce) / (sqrt(list_dot_product(qi.qe, qi.qe)) * sqrt(list_dot_product(cc.ce, cc.ce))) AS cos
         |        FROM cc JOIN qi ON cc.cluster = qi.cluster AND cc.vec_id <> qi.query_id),

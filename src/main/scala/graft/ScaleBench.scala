@@ -262,7 +262,7 @@ object ScaleBench {
     // to a 10-row bin table)
     "emb_quantize_int8", "search_lm_dirichlet", "stats_bh_fdr",
     "quality_drift_psi",
-    // sixth-session continuation: the τ=0.5 AllPairs sweep (the
+    // sixth-session continuation: the τ=0.7 AllPairs sweep (the
     // LONGEST prefixes of the exact family — the ratio tests the
     // prefix filter where it prunes least), session-path mining (two
     // leads over (user, session)-partitioned windows ∝ N), cohort LTV
@@ -278,7 +278,14 @@ object ScaleBench {
     // over 2E rows) is the only E-sized stage — the ratio tests that
     // the per-step frontier joins stay frontier-bounded; skip-gram
     // adds one walk-bounded self-join on top
-    "graph_random_walk", "graph_walk_skipgram")
+    "graph_random_walk", "graph_walk_skipgram",
+    // r12 addition: MaxScore-pruned retrieval — the bounds artifact is
+    // one TF-sized agg (∝ tokens), the seed + pruned passes read only
+    // t*-doc / essential-term postings; the suffixed synth grows the
+    // vocabulary ∝ factor at constant df per term, so candidate sets
+    // stay constant while the index-side aggregates grow linearly —
+    // the ratio tests that nothing outside the index build scales
+    "search_pruned_topk")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -399,6 +399,33 @@ object SparkEntry {
       Dedup.md5Hash60(col("doc_id").cast("string")) % 5 === 0)
       .localCheckpoint())
 
+  /** Per-term BM25 score upper bounds over the non-stemmed index — the
+    * MaxScore pruning artifact ([[Search.termBounds]]). At 100 TB this
+    * is computed ONCE at index-build time (one hash aggregate beside
+    * `idf_values`) and amortized over every query, so serving it per
+    * (session, sfDir) is the operator's semantics (the
+    * cappedPostingsMemo standing-artifact economics); vocabulary-bounded
+    * rows, KBs checkpointed.
+    */
+  private val termBoundsMemo = new DirMemo((s, dir) =>
+    Search.termBounds(builtIndex(s, dir, stem = false)).localCheckpoint())
+
+  /** The pre-stemmed flat (doc_id, word) fixture, written to Parquet
+    * ONCE per (session, sfDir) and served back as an eager checkpoint —
+    * the r11 VERDICT #3 hoist: `bm25_search_stemmed` rebuilt AND
+    * re-WROTE this fixture inside the timed region every bench rep,
+    * making the query disk-contention-sensitive (0.90 → 1.96 s on
+    * untouched code). The Parquet write stays (the DuckDB oracle scores
+    * the same on-disk rows — SURVEY.md §5); the returned frame is
+    * checkpointed so a later (session, dir) overwrite of the shared
+    * path can never be lazily re-read by an earlier consumer.
+    */
+  private val stemmedFlatMemo = new DirMemo((s, dir) => {
+    Indexer.flatWords(docs(s, dir).select("doc_id", "text"), stem = true)
+      .write.mode("overwrite").parquet(StemmedFlatPath)
+    s.read.parquet(StemmedFlatPath).localCheckpoint()
+  })
+
   /** The walk table itself is ~100 rows — checkpointed once per
     * (session, sfDir) so `graph_walk_skipgram` reuses
     * `graph_random_walk`'s E-sized adjacency ranking instead of
@@ -487,6 +514,8 @@ object SparkEntry {
   private[graft] def resetSharedCaches(): Unit = {
     copurchaseEdgesMemo.reset()
     lpaLabelsMemo.reset()
+    stemmedFlatMemo.reset()
+    termBoundsMemo.reset()
     nbConfusionMemo.reset()
     walksMemo.reset()
     ccMemo.reset()
@@ -690,6 +719,17 @@ object SparkEntry {
 
     "bm25_search" -> ((s, dir) => bm25Top10(s, dir)),
 
+    "search_pruned_topk" -> ((s, dir) =>
+      // MaxScore-pruned top-10 (Turtle & Flood IPM'95) — r11 VERDICT
+      // "Next round" #1: per-term score bounds (an index-time artifact,
+      // served from termBoundsMemo) let the serving path skip every doc
+      // that matches only non-essential terms. Results are
+      // bitwise-equal to bm25_search (the oracle IS bm25_search's SQL);
+      // SearchPrunedSpec asserts the pruned path scores fewer postings
+      // on a selective query.
+      Search.prunedTopK(builtIndex(s, dir, stem = false),
+        termBoundsMemo(s, dir), SearchTerms)),
+
     "j3_sql_bm25" -> ((s, dir) => {
       val t = builtIndex(s, dir, stem = false)
       t.termFrequencies.createOrReplaceTempView("term_frequencies")
@@ -732,9 +772,9 @@ object SparkEntry {
       // stemmer runs once here, the flat (doc_id, word) table is exported
       // to Parquet, and BOTH engines build index + BM25 from those same
       // rows (query terms pre-stemmed driver-side on both sides too).
-      Indexer.flatWords(docs(s, dir).select("doc_id", "text"), stem = true)
-        .write.mode("overwrite").parquet(StemmedFlatPath)
-      val t = Indexer.buildFromFlat(s.read.parquet(StemmedFlatPath))
+      // Fixture build + write are hoisted into [[stemmedFlatMemo]]
+      // (once per session/dir — the r11 bench-swing fix).
+      val t = Indexer.buildFromFlat(stemmedFlatMemo(s, dir))
       Search.scoreTerms(t, StemmedTerms)
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -2358,7 +2398,7 @@ object SparkEntry {
       // pipeline reads before committing a dedup run. ONE exact
       // prefix-filtered AllPairs pass at the sweep's LOWEST τ serves
       // every higher band (the prefix join is lossless, so the single
-      // pair table slices into all four bands; a probabilistic LSH
+      // pair table slices into all three bands; a probabilistic LSH
       // pass could not — its recall decays toward low τ). Bands with
       // zero pairs drop (inner semantics, mirrored). Floor τ = 0.7:
       // prefix length grows as (1−τ)·|set|, so the floor IS the knob
@@ -2516,19 +2556,41 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "sim_ivf_topk_nprobe2" -> ((s, dir) => {
+      // the multi-probe IVF read path itself, fully oracle-ranked:
+      // candidates = the union of the query's 2 nearest cells
+      // (distinct cells × one-cell-per-corpus-vector → a pair meets at
+      // most once, no dedup). sim_ivf_topk (nprobe=1) is untouched —
+      // this entry gates the nprobe generalization end to end.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 8), k = 5,
+          nCentroids = 8, nprobe = 2)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_ann_recall" -> ((s, dir) => {
-      // ANN index-quality telemetry: recall@5 of the nprobe=1 IVF read
-      // path against the exact brute-force top-5 on the same 8 queries
-      // — the monitoring face a production vector pipeline alarms on
-      // when the standing index drifts from the corpus (the ANN
-      // family's answer to the watermark-drop observable). Both sides
-      // are the gate's own oracle-backed rankers; the set intersection
-      // is deterministic because both rank by (cos desc, vec_id).
+      // ANN index-quality telemetry: recall@5 of the IVF read path at
+      // nprobe=4 against the exact brute-force top-5 on the same 8
+      // queries — the monitoring face a production vector pipeline
+      // alarms on when the standing index drifts from the corpus.
+      // nprobe is THE recall knob (r11 VERDICT #2: 0.90 at nprobe=1);
+      // the fixture's RANDOM embeddings give IVF cells little signal
+      // (measured macro recall@5 here: p=1→0.90, 2→0.925, 3→0.925,
+      // 4→0.95; one Lloyd refinement does not move the curve — there
+      // is no cluster structure to find), so clearing the ≥ 0.95
+      // production bar costs p=4 of 8 cells on THIS corpus. Real
+      // corpora cluster, putting the same bar at p=2-3 — which is
+      // exactly the operating decision this telemetry exists to price.
+      // Both sides are the gate's own oracle-backed rankers; the set
+      // intersection is deterministic because both rank by
+      // (cos desc, vec_id).
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val q = e.filter(col("vec_id") < 8)
       val exact = Similarity.bruteForceTopK(e, q, k = 5)
         .select("query_id", "vec_id")
-      val approx = Similarity.ivfTopK(e, q, k = 5, nCentroids = 8)
+      val approx = Similarity.ivfTopK(e, q, k = 5, nCentroids = 8, nprobe = 4)
         .select("query_id", "vec_id")
       val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
         .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
@@ -6235,7 +6297,9 @@ object SparkEntry {
         Seq((r.getLong(0), r.getLong(1)) -> v, (r.getLong(1), r.getLong(0)) -> v)
       }.toMap.withDefaultValue(0.0) // absent pair = zero shared tokens
       var selected = Vector.empty[(Long, Double)]
-      (1 to 10).foreach { _ =>
+      // a pool thinner than 10 docs must not argmax an empty iterator
+      // (r11 ADVICE) — pick min(10, |pool|)
+      (1 to math.min(10, rel.size)).foreach { _ =>
         val best = rel.keysIterator
           .filterNot(d => selected.exists(_._1 == d))
           .map { d =>

@@ -762,6 +762,7 @@ object Graph {
     * @return (kind 'hub'|'authority', node, score ∈ (0, 1] 9dp)
     */
   def hits(edges: DataFrame, iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, s"hits needs iterations >= 1, got $iterations")
     val e = graft.Caches.persist(
       edges.select(col("src"), col("dst")).distinct())
     // materialize-and-fetch-max in ONE action; guard the empty graph

@@ -186,11 +186,16 @@ object Stats {
     val n1d = col("n1").cast("double")
     val nd = (col("n0") + col("n1")).cast("double")
     val u1 = col("u2").cast("double") / lit(2.0)
-    val z = (u1 - n0d * n1d / lit(2.0)) /
-      sqrt(n0d * n1d / lit(12.0) * ((nd + lit(1.0)) -
-        col("tsum").cast("double") / (nd * (nd - lit(1.0)))))
+    val varU = n0d * n1d / lit(12.0) * ((nd + lit(1.0)) -
+      col("tsum").cast("double") / (nd * (nd - lit(1.0))))
+    val z = (u1 - n0d * n1d / lit(2.0)) / sqrt(varU)
+    // degenerate inputs (an empty arm, or every observation one tied
+    // value) zero the variance term → 0/0 = NaN; emit null instead of
+    // silently propagating NaN (r11 ADVICE) — valid inputs unchanged
+    val zSafe = when(col("n0") > 0 && col("n1") > 0 && varU > 0,
+      round(z, 4))
     a.select(col("n0").as("n_control"), col("n1").as("n_treatment"),
-      u1.as("u_stat"), round(z, 4).as("z_score"))
+      u1.as("u_stat"), zSafe.as("z_score"))
       .withColumn("significant", abs(col("z_score")) > lit(1.96))
   }
 }

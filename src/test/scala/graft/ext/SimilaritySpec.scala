@@ -167,6 +167,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall; brute=$brute ivf=$ivf")
   }
 
+  test("ivfProbeCells rank 1 equals the flat assignment; nprobe=2 nests it") {
+    import spark.implicits._
+    val e = vecs.select("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(e, nCentroids = 3)
+    val flat = Similarity.ivfAssignWith(e, cents, knownCents = Some(3L))
+      .as[(Long, Long)].collect().toMap
+    val p1 = Similarity.ivfProbeCells(e, cents, nprobe = 1)
+      .select("vec_id", "cluster").as[(Long, Long)].collect().toMap
+    assert(p1 == flat)
+    val p2 = Similarity.ivfProbeCells(e, cents, nprobe = 2)
+      .select("vec_id", "cluster").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(p2.values.forall(_.size == 2))
+    flat.foreach { case (v, c) => assert(p2(v).contains(c)) }
+  }
+
+  test("nprobe=2 recall dominates nprobe=1 and reaches brute force on the boundary query") {
+    import spark.implicits._
+    // a query sitting BETWEEN two clusters: its nearest neighbors split
+    // across both cells, so nprobe=1 must miss some and nprobe=2 must
+    // recover them
+    val data = (Seq(
+      (100L, Seq(0.7f, 0.7f, 0.0f))) ++ // boundary query: between x and y
+      (0 until 30).map { i =>
+        val axis = i % 3
+        (i.toLong, (0 until 3).map(d =>
+          (if (d == axis) 1.0f else 0.0f) + ((i * 7 + d * 3) % 11) / 50.0f))
+      }).toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") === 100L)
+    def hits(nprobe: Int): Set[Long] =
+      Similarity.ivfTopK(data, q, k = 6, nCentroids = 3, nprobe = nprobe)
+        .select("vec_id").as[Long].collect().toSet
+    val brute = Similarity.bruteForceTopK(data, q, k = 6)
+      .select("vec_id").as[Long].collect().toSet
+    val h1 = hits(1); val h2 = hits(2)
+    assert((brute intersect h1).size < brute.size, "boundary query should miss at nprobe=1")
+    assert((brute intersect h2).size > (brute intersect h1).size)
+    assert(h2 == brute, s"nprobe=2 should recover the full top-6: $h2 vs $brute")
+  }
+
   test("lshTopK returns a subset of brute-force candidates with correct scores") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(
