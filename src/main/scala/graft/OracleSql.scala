@@ -128,6 +128,35 @@ private[graft] object OracleSql {
       |       FROM s1),
       |a1 AS (SELECT vec_id, cent_id AS cluster FROM r1 WHERE rn = 1)""".stripMargin
 
+  /** The [[ivfLloyd1Ctes]] chain generalized to K Lloyd iterations
+    * (r12 full k-means): emits c0 (seeds = vec_id < 8) and, for each
+    * i in 0..K, the scoring CTE `s_i` (all vectors × c_i cosines) and
+    * assignment `a_i` (rank-1, tie → lowest cent_id), plus the
+    * 6dp-pinned mean update `c_{i+1}` for i < K. `a_K` is the
+    * converged assignment [[graft.ext.Similarity.ivfAssign]] returns
+    * at `lloydIters = K`; iteration i's inertia reads (s_{i-1}, a_{i-1}).
+    */
+  private def ivfLloydChainCtes(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append("v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),\n")
+    sb.append("c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8)")
+    for (i <- 0 to iters) {
+      sb.append(s""",
+s$i AS (SELECT vec_id, cent_id,
+              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+       FROM v CROSS JOIN c$i),
+a$i AS (SELECT vec_id, cent_id AS cluster FROM
+         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s$i)
+       WHERE rn = 1)""")
+      if (i < iters) sb.append(s""",
+comp${i + 1} AS (SELECT a$i.cluster AS cent_id, r.i AS pos, round(avg(v.ve[r.i]), 6) AS m
+         FROM a$i JOIN v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+         GROUP BY a$i.cluster, r.i),
+c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp${i + 1} GROUP BY cent_id)""")
+    }
+    sb.toString
+  }
+
   /** Corpus bigram-LM CTE chain (mirrors [[graft.SparkEntry]]'s
     * `lmScores`): raw tokens → bigrams → add-one-smoothed log10 probs in
     * `s (doc_id, lp)`. Shared by `text_lm_score` and
@@ -2495,16 +2524,33 @@ private[graft] object OracleSql {
 
 
     "ml_kmeans_purity" ->
-      // the sim_ivf_assign Lloyd-1 assignment chain (shared CTEs)
-      // crossed with the ground-truth labels; per-cell fraction of its
-      // cluster via a partitioned window over the bounded contingency
-      s"""WITH $ivfLloyd1Ctes,
+      // the CONVERGED (Lloyd-3, r12 ml_kmeans) assignment chain crossed
+      // with the ground-truth labels; per-cell fraction of its cluster
+      // via a partitioned window over the bounded contingency
+      s"""WITH ${ivfLloydChainCtes(3)},
         |lb AS (SELECT vec_id, label FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
-        |cont AS (SELECT a1.cluster, lb.label, CAST(count(*) AS BIGINT) AS n
-        |         FROM a1 JOIN lb USING (vec_id) GROUP BY 1, 2)
+        |cont AS (SELECT a3.cluster, lb.label, CAST(count(*) AS BIGINT) AS n
+        |         FROM a3 JOIN lb USING (vec_id) GROUP BY 1, 2)
         |SELECT cluster, label, n,
         |       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cluster) AS DOUBLE), 6) AS frac
         |FROM cont ORDER BY cluster, label""".stripMargin,
+
+    "ml_kmeans" ->
+      // full fixed-iteration Lloyd k-means inertia trace (r11 VERDICT
+      // "Next round" #4): iteration i's inertia = Σ (1 − cos(v, its
+      // c_{i−1} centroid)) read straight off the (s_{i−1}, a_{i−1})
+      // CTE pair, 6dp-rounded (the one sum whose addend order differs
+      // between engines). Spherical k-means decreases this
+      // monotonically — SimilaritySpec plants clusters and asserts it.
+      s"""WITH ${ivfLloydChainCtes(3)},
+        |i1 AS (SELECT CAST(1 AS BIGINT) AS iter, round(sum(1.0 - s.cos), 6) AS inertia
+        |       FROM a0 a JOIN s0 s ON s.vec_id = a.vec_id AND s.cent_id = a.cluster),
+        |i2 AS (SELECT CAST(2 AS BIGINT) AS iter, round(sum(1.0 - s.cos), 6) AS inertia
+        |       FROM a1 a JOIN s1 s ON s.vec_id = a.vec_id AND s.cent_id = a.cluster),
+        |i3 AS (SELECT CAST(3 AS BIGINT) AS iter, round(sum(1.0 - s.cos), 6) AS inertia
+        |       FROM a2 a JOIN s2 s ON s.vec_id = a.vec_id AND s.cent_id = a.cluster)
+        |SELECT * FROM i1 UNION ALL SELECT * FROM i2 UNION ALL SELECT * FROM i3
+        |ORDER BY iter""".stripMargin,
 
     "agg_kmv_jaccard" ->
       // mirrors the KMV union-trick estimate: bottom-128 of each

@@ -207,6 +207,29 @@ class SimilaritySpec extends SparkSpec {
     assert(h2 == brute, s"nprobe=2 should recover the full top-6: $h2 vs $brute")
   }
 
+  test("kmeansInertiaCurve decreases monotonically on planted clusters") {
+    import spark.implicits._
+    // 45 vectors around 3 axis-aligned centers with deterministic noise;
+    // seeds 0,1,2 land one per cluster, so Lloyd refinement tightens
+    // the centroids and spherical inertia must fall (Dhillon & Modha:
+    // the mean direction maximizes the within-cluster cosine sum)
+    val data = (0 until 45).map { i =>
+      val axis = i % 3
+      val emb = (0 until 4).map { d =>
+        (if (d == axis) 1.0f else 0.0f) + ((i * 13 + d * 7) % 9) / 40.0f
+      }
+      (i.toLong, emb)
+    }.toDF("vec_id", "embedding")
+    val curve = Similarity.kmeansInertiaCurve(data, nCentroids = 3, iters = 4)
+      .orderBy("iter").as[(Long, Double)].collect()
+    assert(curve.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    curve.sliding(2).foreach { case Array((_, a), (_, b)) =>
+      assert(b <= a + 1e-9, s"inertia rose: $a -> $b in ${curve.mkString(", ")}")
+    }
+    assert(curve.last._2 < curve.head._2, "refinement should strictly improve the planted fit")
+    assert(curve.forall(_._2 >= 0.0))
+  }
+
   test("lshTopK returns a subset of brute-force candidates with correct scores") {
     import spark.implicits._
     val brute = Similarity.bruteForceTopK(
