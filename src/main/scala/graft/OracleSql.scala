@@ -4561,6 +4561,50 @@ c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp${i + 1} GROUP
         |SELECT center, context, CAST(count(*) AS BIGINT) AS n
         |FROM pr GROUP BY center, context ORDER BY center, context""".stripMargin,
 
+    "ml_skipgram_epoch" -> {
+      // SGNS frozen-context epoch mirror (SkipGram.trainEpoch):
+      // walk skip-gram pairs → negative by md5-fold rank over the
+      // id-sorted node list → per-pair rational-sigmoid scores off the
+      // closed-form u/v init lattices (fixed-order 4-term dots) →
+      // per-(node, dim) gradient sums pinned 6dp → pinned update.
+      def u(node: String, i: String) = s"((($node) * 31 + ($i) * 17) % 13 - 6) / 10.0"
+      def v(node: String, i: String) = s"((($node) * 29 + ($i) * 23) % 11 - 5) / 10.0"
+      def dotUV(target: String) = (0 until 4)
+        .map(i => s"${u("center", i.toString)} * ${v(target, i.toString)}")
+        .mkString(" + ")
+      val gDims = (0 until 4).map { i =>
+        s"""g$i AS (SELECT center AS node, CAST($i AS BIGINT) AS dim,
+           |           round(sum(round(n * ((spos - 1.0) * ${v("context", i.toString)}
+           |                          + negw * sneg * ${v("neg", i.toString)}), 9)), 6) AS g
+           |    FROM sc GROUP BY center)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $randomWalkCtes,
+        |pr AS (SELECT a.node AS center, b.node AS context
+        |       FROM walks a JOIN walks b ON a.seed = b.seed
+        |        AND a.step <> b.step AND abs(a.step - b.step) <= 2),
+        |sg AS (SELECT center, context, CAST(count(*) AS BIGINT) AS n
+        |       FROM pr GROUP BY center, context),
+        |nodes AS (SELECT DISTINCT node FROM
+        |            (SELECT center AS node FROM sg UNION ALL SELECT context FROM sg)),
+        |rk AS (SELECT node, CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS rnk FROM nodes),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM rk),
+        |pn AS (SELECT sg.center, sg.context, sg.n, rk.node AS neg,
+        |              CASE WHEN rk.node = sg.center OR rk.node = sg.context
+        |                   THEN 0.0 ELSE 1.0 END AS negw
+        |       FROM sg JOIN rk ON rk.rnk =
+        |         ${md5Hash60Sql("CAST(center AS VARCHAR) || '#' || CAST(context AS VARCHAR)")} % (SELECT nn FROM cnt) + 1),
+        |sc AS (SELECT center, context, n, neg, negw,
+        |              0.5 + 0.5 * tpos / (1.0 + abs(tpos)) AS spos,
+        |              0.5 + 0.5 * tneg / (1.0 + abs(tneg)) AS sneg
+        |       FROM (SELECT pn.*, ${dotUV("context")} AS tpos,
+        |                    ${dotUV("neg")} AS tneg FROM pn)),
+        |$gDims,
+        |g AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1
+        |      UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+        |SELECT node, dim, round(${u("node", "dim")} - g, 6) AS value
+        |FROM g ORDER BY node, dim""".stripMargin
+    },
+
     "search_prf_expand" ->
       // mirrors the Rocchio/Ide PRF: BM25 top-10 feedback docs, top-5
       // expansion terms by Σ tf·idf (6dp pins, original terms

@@ -6340,6 +6340,30 @@ object SparkEntry {
       // reuses it.
       walksMemo(s, dir).orderBy("seed", "step")),
 
+    "ml_skipgram_epoch" -> ((s, dir) => {
+      // SGNS embedding training over the walk-derived skip-gram pairs
+      // (r11 VERDICT "Next round" #5 — completes walks → pairs →
+      // vectors): ONE full-batch negative-sampling epoch against
+      // frozen context vectors, LogReg's operand-pinning discipline
+      // (closed-form init, fixed-order dots, rational sigmoid, 6dp
+      // gradient/weight pins) making the fit oracle-checkable. The
+      // pair table is walksMemo's skip-gram export (the
+      // graph_walk_skipgram chain, rebuilt here — walk-bounded rows).
+      val w = walksMemo(s, dir)
+      val a = w.select(col("seed"), col("step").as("sa"), col("node").as("center"))
+      val b = w.select(col("seed"), col("step").as("sb"), col("node").as("context"))
+      val pairs = a.join(b, Seq("seed"))
+        .filter(col("sa") =!= col("sb") && abs(col("sa") - col("sb")) <= 2)
+        .groupBy("center", "context")
+        .agg(count(lit(1)).as("n"))
+      // lr = 1.0: an lr whose product with the 6dp-pinned gradient can
+      // carry a 7th decimal (0.5 did) parks updates exactly on the
+      // 6dp rounding half-boundary where the two engines' rounding
+      // implementations disagree — see SkipGram.trainEpoch scaladoc
+      graft.ext.SkipGram.trainEpoch(pairs, dim = 4, lr = 1.0)
+        .orderBy("node", "dim")
+    }),
+
     "graph_walk_skipgram" -> ((s, dir) => {
       // the walks' TRAINING-PAIR export — skip-gram (center, context)
       // co-occurrences within window 2 along each walk, kept with

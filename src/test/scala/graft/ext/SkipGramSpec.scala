@@ -1,0 +1,73 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** SGNS frozen-context epoch ([[SkipGram.trainEpoch]]): determinism,
+  * shape, and the embedding property the operator exists for — planted
+  * co-occurring nodes end closer in cosine than unrelated ones (r11
+  * VERDICT "Next round" #5's done-criteria).
+  */
+class SkipGramSpec extends SparkSpec {
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    val d = a.zip(b).map(p => p._1 * p._2).sum
+    d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  }
+
+  private def vectors(rows: Array[(Long, Long, Double)]): Map[Long, Array[Double]] =
+    rows.groupBy(_._1).map { case (n, rs) =>
+      n -> rs.sortBy(_._2).map(_._3)
+    }
+
+  test("one epoch is deterministic and emits dim values per center node") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L, 5L), (2L, 1L, 5L), (3L, 4L, 2L))
+      .toDF("center", "context", "n")
+    val a = SkipGram.trainEpoch(pairs, dim = 4).orderBy("node", "dim")
+      .as[(Long, Long, Double)].collect()
+    val b = SkipGram.trainEpoch(pairs, dim = 4).orderBy("node", "dim")
+      .as[(Long, Long, Double)].collect()
+    assert(a.sameElements(b))
+    assert(a.map(_._1).distinct.toSet == Set(1L, 2L, 3L))
+    assert(a.count(_._1 == 1L) == 4)
+  }
+
+  test("planted co-occurring nodes end closer in cosine than unrelated pairs") {
+    import spark.implicits._
+    // nodes 10 and 11 share the same SIX contexts — after the epoch
+    // both u-vectors align on the shared Σv pull (the per-pair
+    // negative pushes are six unaligned draws each, so the aligned
+    // positive signal dominates). Nodes 20 and 21 train on DISJOINT
+    // context sets of the same size.
+    val shared = Seq(100L, 101L, 102L, 103L, 104L, 105L)
+    val pairs = (for {
+      c <- Seq(10L, 11L); o <- shared
+    } yield (c, o, 4L)) ++
+      (for (o <- Seq(200L, 201L, 202L, 203L, 204L, 205L)) yield (20L, o, 4L)) ++
+      (for (o <- Seq(300L, 301L, 302L, 303L, 304L, 305L)) yield (21L, o, 4L))
+    val out = vectors(SkipGram.trainEpoch(pairs.toDF("center", "context", "n"),
+        dim = 4, lr = 0.5)
+      .as[(Long, Long, Double)].collect())
+    val planted = cos(out(10L), out(11L))
+    val unrelated = cos(out(20L), out(21L))
+    assert(planted > unrelated,
+      s"shared-context pair cos=$planted should beat disjoint-context cos=$unrelated")
+  }
+
+  test("higher multiplicity moves a vector further from its init") {
+    import spark.implicits._
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map(p => (p._1 - p._2) * (p._1 - p._2)).sum)
+    // same (center mod lattice) init for 13 and 26? no — use the SAME
+    // center id trained at two multiplicities in two separate runs
+    val lo = vectors(SkipGram.trainEpoch(
+      Seq((7L, 50L, 1L)).toDF("center", "context", "n"), dim = 4)
+      .as[(Long, Long, Double)].collect())
+    val hi = vectors(SkipGram.trainEpoch(
+      Seq((7L, 50L, 10L)).toDF("center", "context", "n"), dim = 4)
+      .as[(Long, Long, Double)].collect())
+    val init = Array.tabulate(4)(i => ((7L * 31 + i * 17) % 13 - 6) / 10.0)
+    assert(l2(hi(7L), init) > l2(lo(7L), init))
+  }
+}
