@@ -49,6 +49,27 @@ private[graft] object OracleSql {
         |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
         |       FROM c4) WHERE rn = 1)""".stripMargin
 
+  /** Unrolled 4-round WEIGHTED LPA chain over the co-purchase graph
+    * (votes = SUM(edge weight)), shared by `graph_communities_weighted`
+    * and `graph_modularity_weighted`: ends in `l4(node, label)`; `e0`
+    * is the weighted id-ordered edge set, `sym` its symmetrization.
+    */
+  private val wLpaCtes: String = {
+    val rounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT s.dst AS node, l.label, CAST(sum(s.w) AS BIGINT) AS cnt
+        |       FROM sym s JOIN l${i - 1} l ON s.src = l.node GROUP BY s.dst, l.label),
+        |l$i AS (SELECT node, label FROM (SELECT node, label,
+        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
+        |       FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+      |e0 AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+      |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
+      |sym AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+      |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+      |$rounds""".stripMargin
+  }
+
   /** Per-doc language-ID prediction CTE chain, shared by `lang_id` and
     * `lang_id_confusion`: ends in `pd(doc_id, lang, pred_lang)` —
     * verbatim mirror of [[TextAnalysis.languageId]].
@@ -1903,34 +1924,31 @@ c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp${i + 1} GROUP
       // votes are SUM(edge weight) per label — the engine's argmax by
       // (votes, smallest label) equals this row_number window exactly
       // (all-integer voting)
-      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
-        |e0 AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
-        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
-        |sym AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
-        |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
-        |c1 AS (SELECT s.dst AS node, l.label, CAST(sum(s.w) AS BIGINT) AS cnt
-        |       FROM sym s JOIN l0 l ON s.src = l.node GROUP BY s.dst, l.label),
-        |l1 AS (SELECT node, label FROM (SELECT node, label,
-        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
-        |       FROM c1) WHERE rn = 1),
-        |c2 AS (SELECT s.dst AS node, l.label, CAST(sum(s.w) AS BIGINT) AS cnt
-        |       FROM sym s JOIN l1 l ON s.src = l.node GROUP BY s.dst, l.label),
-        |l2 AS (SELECT node, label FROM (SELECT node, label,
-        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
-        |       FROM c2) WHERE rn = 1),
-        |c3 AS (SELECT s.dst AS node, l.label, CAST(sum(s.w) AS BIGINT) AS cnt
-        |       FROM sym s JOIN l2 l ON s.src = l.node GROUP BY s.dst, l.label),
-        |l3 AS (SELECT node, label FROM (SELECT node, label,
-        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
-        |       FROM c3) WHERE rn = 1),
-        |c4 AS (SELECT s.dst AS node, l.label, CAST(sum(s.w) AS BIGINT) AS cnt
-        |       FROM sym s JOIN l3 l ON s.src = l.node GROUP BY s.dst, l.label),
-        |l4 AS (SELECT node, label FROM (SELECT node, label,
-        |         row_number() OVER (PARTITION BY node ORDER BY cnt DESC, label ASC) AS rn
-        |       FROM c4) WHERE rn = 1)
+      s"""WITH $wLpaCtes
         |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM l4 GROUP BY label
         |ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin,
+
+    "graph_modularity_weighted" ->
+      // weighted Newman modularity of the weighted-LPA l4 partition,
+      // per community: exact integer W/W_c/S_c, contrib mirrored
+      // operand-for-operand (the graph_modularity shape with weights)
+      s"""WITH $wLpaCtes,
+        |ww AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM e0),
+        |st AS (SELECT node, CAST(sum(w) AS BIGINT) AS st
+        |       FROM (SELECT src AS node, w FROM e0 UNION ALL SELECT dst AS node, w FROM e0)
+        |       GROUP BY node),
+        |ssum AS (SELECT l.label AS community, CAST(sum(s.st) AS BIGINT) AS strength_sum
+        |         FROM l4 l JOIN st s USING (node) GROUP BY 1),
+        |intra AS (SELECT la.label AS community, CAST(sum(e0.w) AS BIGINT) AS internal_weight
+        |          FROM e0 JOIN l4 la ON la.node = e0.src JOIN l4 lb ON lb.node = e0.dst
+        |          WHERE la.label = lb.label GROUP BY 1),
+        |sizes AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes FROM l4 GROUP BY 1)
+        |SELECT community, n_nodes, COALESCE(internal_weight, 0) AS internal_weight, strength_sum,
+        |       round(CAST(COALESCE(internal_weight, 0) AS DOUBLE) / wtot
+        |             - (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)) * (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)), 6) AS contrib
+        |FROM sizes JOIN ssum USING (community) LEFT JOIN intra USING (community), ww
+        |ORDER BY community""".stripMargin,
 
     "graph_local_clustering" ->
       // id-ordered triangle listing (a<b<c via e(a,b), e(b,c), e(a,c));

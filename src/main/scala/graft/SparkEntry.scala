@@ -386,6 +386,16 @@ object SparkEntry {
     Graph.labelPropagation(copurchaseEdgesMemo(s, dir), iterations = 4)
       .localCheckpoint())
 
+  /** WEIGHTED 4-round LPA labels, same economics as [[lpaLabelsMemo]] —
+    * added when `graph_modularity_weighted` became the second consumer
+    * (r11 VERDICT #6 / ADVICE trigger: a single consumer didn't justify
+    * the checkpoint; the second would have doubled the rebuild).
+    */
+  private val lpaWeightedLabelsMemo = new DirMemo((s, dir) =>
+    Graph.labelPropagation(copurchaseEdgesMemo(s, dir), iterations = 4,
+        weighted = true)
+      .localCheckpoint())
+
   /** Held-out naive-Bayes confusion matrix, built ONCE per
     * (session, sfDir) — `ml_naive_bayes` and `ml_classification_report`
     * consume the IDENTICAL class²-bounded table (the oracle side
@@ -514,6 +524,7 @@ object SparkEntry {
   private[graft] def resetSharedCaches(): Unit = {
     copurchaseEdgesMemo.reset()
     lpaLabelsMemo.reset()
+    lpaWeightedLabelsMemo.reset()
     stemmedFlatMemo.reset()
     termBoundsMemo.reset()
     nbConfusionMemo.reset()
@@ -5104,13 +5115,54 @@ object SparkEntry {
       // community over the shared memo): a neighbor's vote counts its
       // co-occurrence weight, so communities follow tie STRENGTH, not
       // just link existence — still all-integer voting, still an exact
-      // unrolled-CTE mirror (SUM(w) in place of COUNT).
-      Graph.labelPropagation(copurchaseEdgesMemo(s, dir), iterations = 4,
-          weighted = true)
+      // unrolled-CTE mirror (SUM(w) in place of COUNT). Labels served
+      // from lpaWeightedLabelsMemo now that graph_modularity_weighted
+      // is the second consumer (r11 VERDICT #6).
+      lpaWeightedLabelsMemo(s, dir)
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("community"))
         .limit(25)
+    }),
+
+    "graph_modularity_weighted" -> ((s, dir) => {
+      // WEIGHTED Newman modularity (Newman, PRE 70 056131 (2004) §V)
+      // of the weighted-LPA partition, per community: contrib_c =
+      // W_c/W − (S_c/2W)² with W = total edge weight, W_c = intra-
+      // community weight, S_c = community strength (weighted-degree
+      // sum) — all exact integers (weights are co-occurrence counts),
+      // so each row pins independently like graph_modularity. The
+      // second weighted-LPA consumer — both ride
+      // lpaWeightedLabelsMemo's one checkpointed build.
+      val e = copurchaseEdgesMemo(s, dir)
+      val labels = lpaWeightedLabelsMemo(s, dir)
+      val wRow = e.agg(sum("w").as("wtot"))
+      val strength = e.select(col("src").as("node"), col("w"))
+        .unionAll(e.select(col("dst").as("node"), col("w")))
+        .groupBy("node").agg(sum("w").as("st"))
+      val ssum = labels.join(strength, Seq("node"))
+        .groupBy(col("label").as("community"))
+        .agg(sum("st").as("strength_sum"))
+      val intra = e
+        .join(labels.select(col("node").as("src"), col("label").as("la")),
+          Seq("src"))
+        .join(labels.select(col("node").as("dst"), col("label").as("lb")),
+          Seq("dst"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community"))
+        .agg(sum("w").as("internal_weight"))
+      val sizes = labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val sm = col("strength_sum").cast("double") / (lit(2.0) * col("wtot"))
+      sizes.join(ssum, Seq("community"))
+        .join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(wRow))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("internal_weight"), lit(0L)).as("internal_weight"),
+          col("strength_sum"),
+          round(coalesce(col("internal_weight"), lit(0L)).cast("double") /
+            col("wtot") - sm * sm, 6).as("contrib"))
+        .orderBy("community")
     }),
 
     "graph_local_clustering" -> ((s, dir) => {
