@@ -1384,6 +1384,44 @@ c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp${i + 1} GROUP
          |QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
 
+    "sim_ivfpq_topk_nprobe2" ->
+      // the sim_ivfpq_topk mirror with the query side probing its 2
+      // nearest coarse cells (qp rank ≤ 2 — the ivfProbeCells rule);
+      // corpus side keeps the rank-1 assignment, candidates = the
+      // union of both probed cells' codes
+      s"""WITH $pqCtes,
+         |c0s AS (SELECT vec_id AS cent_id, e AS ce2 FROM d WHERE vec_id < 8),
+         |s0 AS (SELECT d.vec_id, cent_id,
+         |              list_dot_product(e, ce2) / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(ce2, ce2))) AS cos
+         |       FROM d CROSS JOIN c0s),
+         |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+         |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+         |       WHERE rn = 1),
+         |qp AS (SELECT vec_id AS query_id, cent_id AS cluster FROM
+         |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0 WHERE vec_id < 8)
+         |       WHERE rn <= 2),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM d WHERE vec_id < 8),
+         |dt AS (SELECT q.query_id, j.j, c.cid,
+         |              list_dot_product(list_slice(q.qe, j.j*16+1, (j.j+1)*16), list_slice(q.qe, j.j*16+1, (j.j+1)*16))
+         |              - 2 * list_dot_product(list_slice(q.qe, j.j*16+1, (j.j+1)*16), list_slice(c.ce, j.j*16+1, (j.j+1)*16))
+         |              + list_dot_product(list_slice(c.ce, j.j*16+1, (j.j+1)*16), list_slice(c.ce, j.j*16+1, (j.j+1)*16)) AS dist
+         |       FROM q CROSS JOIN cent c CROSS JOIN (SELECT unnest(range(0, 4)) AS j) j),
+         |a AS (SELECT dt0.query_id, codes.vec_id,
+         |             round(dt0.dist + dt1.dist + dt2.dist + dt3.dist, 6) AS adist
+         |      FROM codes
+         |      JOIN dt dt0 ON dt0.j = 0 AND dt0.cid = codes.c0
+         |      JOIN dt dt1 ON dt1.query_id = dt0.query_id AND dt1.j = 1 AND dt1.cid = codes.c1
+         |      JOIN dt dt2 ON dt2.query_id = dt0.query_id AND dt2.j = 2 AND dt2.cid = codes.c2
+         |      JOIN dt dt3 ON dt3.query_id = dt0.query_id AND dt3.j = 3 AND dt3.cid = codes.c3
+         |      JOIN a0 ca ON ca.vec_id = codes.vec_id
+         |      JOIN qp qa ON qa.query_id = dt0.query_id AND qa.cluster = ca.cluster
+         |      WHERE codes.vec_id <> dt0.query_id)
+         |SELECT query_id, vec_id, adist,
+         |       CAST(row_number() OVER (PARTITION BY query_id ORDER BY adist, vec_id) AS INTEGER) AS rank
+         |FROM a
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
     "text_rank_keywords" ->
       // 3 unrolled power iterations; float literals are CAST(… AS
       // DOUBLE) and the damping terms written as (1.0 − 0.85) so both

@@ -2641,6 +2641,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "sim_ivfpq_topk_nprobe2" -> ((s, dir) => {
+      // the multi-probe knob on the COMBINED IVF-PQ read path (the
+      // 100 TB layout): queries probe their 2 nearest coarse cells and
+      // rank both cells' PQ codes by asymmetric distance — same recall
+      // lever as sim_ivf_topk_nprobe2, applied where the corpus scan
+      // is codes-only. sim_ivfpq_topk (nprobe=1) is untouched.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 8), topK = 5,
+          nprobe = 2)
+        .orderBy("query_id", "rank")
+    }),
+
     "text_rank_keywords" -> ((s, dir) =>
       // TextRank (Mihalcea & Tarau EMNLP'04) corpus keywords: 3 fixed
       // power iterations of weighted PageRank over the word
