@@ -74,14 +74,19 @@ object SkipGram {
     val p = graft.Caches.persist(
       pairs.select(col("center"), col("context"), col("n")))
     // id-sorted rank over every walk-visited node — the negative-sample
-    // universe (walk-bounded rows; ONE global window over that small
-    // table, the search_mmr_rerank pool convention)
+    // universe. Global rank via the PrefixSum two-phase scan (rank =
+    // running count of 1s over ascending node id), NOT an
+    // unpartitioned window (banned repo-wide — PlanSmellSpec): node
+    // ids are distinct post-distinct, so cum_one IS the 1-based rank.
+    // 64k-id buckets keep the carry ledger broadcast-small up to
+    // multi-billion-id spaces.
     val nodes = p.select(col("center").as("node"))
       .unionAll(p.select(col("context").as("node")))
       .distinct()
-    val ranked = graft.Caches.persist(nodes.withColumn("rnk",
-      row_number().over(org.apache.spark.sql.expressions.Window.orderBy("node"))
-        .cast("long")))
+    val ranked = graft.Caches.persist(
+      PrefixSum.scan(nodes.withColumn("__one", lit(1L)), "node",
+          Seq("__one"), bucketSize = 1L << 16)
+        .select(col("node"), col("cum___one").as("rnk")))
     val nn = ranked.count() // S4 scalar — the mod base, a literal below
     // false-negative guard (Mikolov's sampler re-draws when the
     // negative hits the target pair): a draw equal to the pair's
