@@ -228,6 +228,76 @@ c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp${i + 1} GROUP
       |w3 AS (SELECT round(w.w1 - p.g1, 6) AS w1, round(w.w2 - p.g2, 6) AS w2, round(w.b - p.gb, 6) AS b
       |       FROM w2 w, p3 p)""".stripMargin
 
+  /** SGNS frozen-context training mirror (SkipGram.train): walk
+    * skip-gram pairs → negative by md5-fold rank over the id-sorted
+    * node list (with the false-negative zero-weight guard) → per-pair
+    * rational-sigmoid scores (fixed-order 4-term dots) → per-(node,
+    * dim) gradient sums, 9dp addends under the 6dp pin → pinned
+    * update. Epoch 1 reads the closed-form u-init lattice; epoch k ≥ 2
+    * reads epoch k−1's pinned weights through a 4-column wide pivot —
+    * the identical chain repeated, exactly like the Scala loop.
+    */
+  private def skipgramOracle(epochs: Int): String = {
+    def u(node: String, i: String) = s"((($node) * 31 + ($i) * 17) % 13 - 6) / 10.0"
+    def v(node: String, i: String) = s"((($node) * 29 + ($i) * 23) % 11 - 5) / 10.0"
+    // epoch e's u-component i for the pair's center
+    def uRef(e: Int, i: Int): String =
+      if (e == 1) u("center", i.toString) else s"uw.u$i"
+    def epochCtes(e: Int): String = {
+      val dots = (0 until 4)
+        .map(i => s"${uRef(e, i)} * ${v("context", i.toString)}").mkString(" + ")
+      val dotsNeg = (0 until 4)
+        .map(i => s"${uRef(e, i)} * ${v("neg", i.toString)}").mkString(" + ")
+      val src = if (e == 1) "pn"
+        else s"pn JOIN uw${e - 1} uw ON uw.node = pn.center"
+      val gDims = (0 until 4).map { i =>
+        s"""g${e}_$i AS (SELECT center AS node, CAST($i AS BIGINT) AS dim,
+           |           round(0.1 * sum(round(n * ((spos - 1.0) * ${v("context", i.toString)}
+           |                          + negw * sneg * ${v("neg", i.toString)}), 9)), 6) AS g
+           |    FROM sc$e GROUP BY center)""".stripMargin
+      }.mkString(",\n")
+      val gUnion = (0 until 4).map(i => s"SELECT * FROM g${e}_$i")
+        .mkString(" UNION ALL ")
+      val update = if (e == 1)
+        s"""e1 AS (SELECT node, dim, round(${u("node", "dim")} - g, 6) AS value FROM g1)"""
+      else
+        s"""e$e AS (SELECT p.node, p.dim, round(p.value - g.g, 6) AS value
+           |        FROM e${e - 1} p JOIN g$e g USING (node, dim))""".stripMargin
+      val pivot = if (e == epochs) "" else {
+        val cols = (0 until 4)
+          .map(i => s"max(CASE WHEN dim = $i THEN value END) AS u$i")
+          .mkString(", ")
+        s""",
+           |uw$e AS (SELECT node, $cols FROM e$e GROUP BY node)""".stripMargin
+      }
+      s"""sc$e AS (SELECT center, context, n, neg, negw,
+         |              0.5 + 0.5 * tpos / (1.0 + abs(tpos)) AS spos,
+         |              0.5 + 0.5 * tneg / (1.0 + abs(tneg)) AS sneg
+         |       FROM (SELECT pn.*${if (e == 1) "" else ", uw.*"}, $dots AS tpos,
+         |                    $dotsNeg AS tneg FROM $src)),
+         |$gDims,
+         |g$e AS ($gUnion),
+         |$update$pivot""".stripMargin
+    }
+    s"""WITH $randomWalkCtes,
+      |pr AS (SELECT a.node AS center, b.node AS context
+      |       FROM walks a JOIN walks b ON a.seed = b.seed
+      |        AND a.step <> b.step AND abs(a.step - b.step) <= 2),
+      |sg AS (SELECT center, context, CAST(count(*) AS BIGINT) AS n
+      |       FROM pr GROUP BY center, context),
+      |nodes AS (SELECT DISTINCT node FROM
+      |            (SELECT center AS node FROM sg UNION ALL SELECT context FROM sg)),
+      |rk AS (SELECT node, CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS rnk FROM nodes),
+      |cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM rk),
+      |pn AS (SELECT sg.center, sg.context, sg.n, rk.node AS neg,
+      |              CASE WHEN rk.node = sg.center OR rk.node = sg.context
+      |                   THEN 0.0 ELSE 1.0 END AS negw
+      |       FROM sg JOIN rk ON rk.rnk =
+      |         ${md5Hash60Sql("CAST(center AS VARCHAR) || '#' || CAST(context AS VARCHAR)")} % (SELECT nn FROM cnt) + 1),
+      |${(1 to epochs).map(epochCtes).mkString(",\n")}
+      |SELECT node, dim, value FROM e$epochs ORDER BY node, dim""".stripMargin
+  }
+
   /** DuckDB literal for a hyperplane weight vector (sim_lsh_buckets). */
   private def planeSql(j: Int): String =
     Similarity.planeWeights(j, 64).mkString("CAST([", ", ", "] AS DOUBLE[])")
@@ -4617,49 +4687,9 @@ c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp${i + 1} GROUP
         |SELECT center, context, CAST(count(*) AS BIGINT) AS n
         |FROM pr GROUP BY center, context ORDER BY center, context""".stripMargin,
 
-    "ml_skipgram_epoch" -> {
-      // SGNS frozen-context epoch mirror (SkipGram.trainEpoch):
-      // walk skip-gram pairs → negative by md5-fold rank over the
-      // id-sorted node list → per-pair rational-sigmoid scores off the
-      // closed-form u/v init lattices (fixed-order 4-term dots) →
-      // per-(node, dim) gradient sums pinned 6dp → pinned update.
-      def u(node: String, i: String) = s"((($node) * 31 + ($i) * 17) % 13 - 6) / 10.0"
-      def v(node: String, i: String) = s"((($node) * 29 + ($i) * 23) % 11 - 5) / 10.0"
-      def dotUV(target: String) = (0 until 4)
-        .map(i => s"${u("center", i.toString)} * ${v(target, i.toString)}")
-        .mkString(" + ")
-      val gDims = (0 until 4).map { i =>
-        s"""g$i AS (SELECT center AS node, CAST($i AS BIGINT) AS dim,
-           |           round(sum(round(n * ((spos - 1.0) * ${v("context", i.toString)}
-           |                          + negw * sneg * ${v("neg", i.toString)}), 9)), 6) AS g
-           |    FROM sc GROUP BY center)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $randomWalkCtes,
-        |pr AS (SELECT a.node AS center, b.node AS context
-        |       FROM walks a JOIN walks b ON a.seed = b.seed
-        |        AND a.step <> b.step AND abs(a.step - b.step) <= 2),
-        |sg AS (SELECT center, context, CAST(count(*) AS BIGINT) AS n
-        |       FROM pr GROUP BY center, context),
-        |nodes AS (SELECT DISTINCT node FROM
-        |            (SELECT center AS node FROM sg UNION ALL SELECT context FROM sg)),
-        |rk AS (SELECT node, CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS rnk FROM nodes),
-        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM rk),
-        |pn AS (SELECT sg.center, sg.context, sg.n, rk.node AS neg,
-        |              CASE WHEN rk.node = sg.center OR rk.node = sg.context
-        |                   THEN 0.0 ELSE 1.0 END AS negw
-        |       FROM sg JOIN rk ON rk.rnk =
-        |         ${md5Hash60Sql("CAST(center AS VARCHAR) || '#' || CAST(context AS VARCHAR)")} % (SELECT nn FROM cnt) + 1),
-        |sc AS (SELECT center, context, n, neg, negw,
-        |              0.5 + 0.5 * tpos / (1.0 + abs(tpos)) AS spos,
-        |              0.5 + 0.5 * tneg / (1.0 + abs(tneg)) AS sneg
-        |       FROM (SELECT pn.*, ${dotUV("context")} AS tpos,
-        |                    ${dotUV("neg")} AS tneg FROM pn)),
-        |$gDims,
-        |g AS (SELECT * FROM g0 UNION ALL SELECT * FROM g1
-        |      UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
-        |SELECT node, dim, round(${u("node", "dim")} - g, 6) AS value
-        |FROM g ORDER BY node, dim""".stripMargin
-    },
+    "ml_skipgram_epoch" -> skipgramOracle(1),
+
+    "ml_skipgram_train2" -> skipgramOracle(2),
 
     "search_prf_expand" ->
       // mirrors the Rocchio/Ide PRF: BM25 top-10 feedback docs, top-5

@@ -6420,11 +6420,29 @@ object SparkEntry {
         .filter(col("sa") =!= col("sb") && abs(col("sa") - col("sb")) <= 2)
         .groupBy("center", "context")
         .agg(count(lit(1)).as("n"))
-      // lr = 1.0: an lr whose product with the 6dp-pinned gradient can
-      // carry a 7th decimal (0.5 did) parks updates exactly on the
-      // 6dp rounding half-boundary where the two engines' rounding
-      // implementations disagree — see SkipGram.trainEpoch scaladoc
-      graft.ext.SkipGram.trainEpoch(pairs, dim = 4, lr = 1.0)
+      // lr scales the gradient sum INSIDE the 6dp pin (rounding-safe
+      // for any lr — see SkipGram.train scaladoc); 0.1 keeps the
+      // full-batch step in the descending regime (lr=1.0 overshot:
+      // the summed gradient flips sigmoids past their optimum)
+      graft.ext.SkipGram.trainEpoch(pairs, dim = 4, lr = 0.1)
+        .orderBy("node", "dim")
+    }),
+
+    "ml_skipgram_train2" -> ((s, dir) => {
+      // the ITERATED face of ml_skipgram_epoch: TWO full-batch SGNS
+      // epochs, epoch 2's dots consuming epoch 1's 6dp-pinned weights
+      // (both engines hold them bit-identically, so the unrolled
+      // mirror just chains the same CTE block). Same pairs, same
+      // frozen v, same seeded negatives — the convergence pattern a
+      // real trainer iterates, shown oracle-checkable beyond one step.
+      val w = walksMemo(s, dir)
+      val a = w.select(col("seed"), col("step").as("sa"), col("node").as("center"))
+      val b = w.select(col("seed"), col("step").as("sb"), col("node").as("context"))
+      val pairs = a.join(b, Seq("seed"))
+        .filter(col("sa") =!= col("sb") && abs(col("sa") - col("sb")) <= 2)
+        .groupBy("center", "context")
+        .agg(count(lit(1)).as("n"))
+      graft.ext.SkipGram.train(pairs, dim = 4, lr = 0.1, epochs = 2)
         .orderBy("node", "dim")
     }),
 

@@ -54,23 +54,36 @@ object SkipGram {
   def vInit(node: Column, i: Column): Column =
     ((node * 29 + i * 23) % 11 - 5).cast("double") / 10.0
 
-  /** One frozen-context SGNS epoch over `pairs` (center, context,
-    * n ≥ 1). Minimizes Σ n·[−log σ(u_c·v_o) − log σ(−u_c·v_neg)] in u
-    * by one full-batch gradient step:
+  /** One frozen-context SGNS epoch — [[train]] with `epochs = 1`. */
+  def trainEpoch(pairs: DataFrame, dim: Int = 4, lr: Double = 0.1): DataFrame =
+    train(pairs, dim, lr, epochs = 1)
+
+  /** `epochs` frozen-context SGNS epochs over `pairs` (center, context,
+    * n ≥ 1). Each epoch minimizes
+    * Σ n·[−log σ(u_c·v_o) − log σ(−u_c·v_neg)] in u by one full-batch
+    * gradient step from the PREVIOUS epoch's pinned weights:
     * ∂/∂u_c = Σ n·[(σ(u_c·v_o) − 1)·v_o + σ(u_c·v_neg)·v_neg].
+    * Context vectors v and the per-pair negative draw stay FIXED across
+    * epochs (the seeded sampler is a pure pair function), so every
+    * epoch is the same aggregate shape reading the previous epoch's
+    * node-bounded weight table — epoch i+1's dots consume epoch i's
+    * 6dp-pinned u values, which both engines hold bit-identically.
     *
-    * Oracle-safety note on `lr`: the update rounds u₀ − lr·g to 6 dp
-    * with g already 6dp-pinned. An lr whose product with a 6-decimal
-    * value can carry MORE than 6 decimals (e.g. 0.5 → a 7th decimal
-    * that is always 0 or 5) parks the update EXACTLY on the rounding
-    * half-boundary, where Spark (shortest-decimal BigDecimal HALF_UP)
-    * and DuckDB (binary scale-and-round) systematically disagree —
-    * measured on the gate fixture before the default moved to 1.0.
-    * Cross-engine-checked callers must keep lr·(6dp) within 6 dp
-    * (integer lr, or rescale the init lattice instead).
+    * Oracle-safety note on `lr`: lr multiplies the gradient sum
+    * INSIDE the 6 dp pin — g = round(lr·Σ addends, 6) — so the update
+    * u_prev − g is a difference of ≤6-decimal values and never lands
+    * on a rounding half-boundary. (The first build pinned g BEFORE
+    * scaling; any lr whose product with a 6-decimal value carries a
+    * 7th decimal — 0.5 makes it always 0 or 5 — then parked updates
+    * EXACTLY on the half-boundary, where Spark's shortest-decimal
+    * BigDecimal HALF_UP and DuckDB's binary scale-and-round
+    * systematically disagree. Measured on the gate fixture; hence
+    * this ordering.)
     */
-  def trainEpoch(pairs: DataFrame, dim: Int = 4, lr: Double = 1.0): DataFrame = {
+  def train(pairs: DataFrame, dim: Int = 4, lr: Double = 0.1,
+      epochs: Int = 1): DataFrame = {
     require(dim >= 1 && dim <= 16, "dim in [1,16] — unrolled per-dim columns")
+    require(epochs >= 1 && epochs <= 8, "epochs in [1,8] — fixed unrolled loop")
     val p = graft.Caches.persist(
       pairs.select(col("center"), col("context"), col("n")))
     // id-sorted rank over every walk-visited node — the negative-sample
@@ -93,7 +106,7 @@ object SkipGram {
     // center or its TRUE context would push the embedding exactly
     // against the signal it just learned — such draws contribute a
     // ZERO negative term instead (deterministically mirrored in SQL)
-    val withNeg = p
+    val withNeg = graft.Caches.persist(p
       .withColumn("rnk",
         Dedup.md5Hash60(concat_ws("#", col("center"), col("context")))
           % lit(nn) + 1)
@@ -102,32 +115,75 @@ object SkipGram {
         when(col("node") === col("center") || col("node") === col("context"),
           lit(0.0)).otherwise(lit(1.0)))
       .select(col("center"), col("context"), col("n"),
-        col("node").as("neg"), col("negw"))
-    // fixed left-to-right dot products over the closed-form inits
-    def dotUV(target: Column): Column =
-      (0 until dim).map(i =>
-        uInit(col("center"), lit(i)) * vInit(target, lit(i)))
-        .reduce(_ + _)
-    val scored = withNeg
-      .withColumn("spos", LogReg.fastSigmoid(dotUV(col("context"))))
-      .withColumn("sneg", LogReg.fastSigmoid(dotUV(col("neg"))))
-    // per-dim gradient addends, each pinned 9dp UNDER the 6dp sum pin
-    // (the search_lm_dirichlet double-pin convention: identical addend
-    // multisets on both engines keep association-order ulps from ever
-    // straddling a 6dp half-boundary); ONE (node, dim)-keyed hash agg
-    val grads = (0 until dim).map { i =>
-      scored.select(
-        col("center").as("node"),
-        lit(i.toLong).as("dim"),
-        round(col("n").cast("double") *
-          ((col("spos") - 1.0) * vInit(col("context"), lit(i)) +
-            col("negw") * col("sneg") * vInit(col("neg"), lit(i))), 9).as("g"))
-    }.reduce(_ unionAll _)
-      .groupBy("node", "dim")
-      .agg(round(sum("g"), 6).as("g")) // the one order-dependent sum: pin
-    // update against the formula init, pin the weight
-    grads.select(col("node"), col("dim"),
-      round(uInit(col("node"), col("dim")) - lit(lr) * col("g"), 6)
-        .as("value"))
+        col("node").as("neg"), col("negw")))
+
+    // u state across epochs: None → the closed-form init; Some(w) →
+    // the previous epoch's node-bounded WIDE weight table (node,
+    // u0..u{d-1}) — every center node is present (the gradient agg
+    // covers each center every epoch, the pair set being fixed)
+    var uWide: Option[DataFrame] = None
+    for (_ <- 1 to epochs) {
+      def uCol(i: Int): Column = uWide match {
+        case None => uInit(col("center"), lit(i))
+        case Some(_) => col(s"u$i")
+      }
+      val base = uWide match {
+        case None => withNeg
+        case Some(w) =>
+          withNeg.join(w.withColumnRenamed("node", "center"), Seq("center"))
+      }
+      // fixed left-to-right dot products; v stays the frozen formula
+      def dotUV(target: Column): Column =
+        (0 until dim).map(i => uCol(i) * vInit(target, lit(i)))
+          .reduce(_ + _)
+      val scored = base
+        .withColumn("spos", LogReg.fastSigmoid(dotUV(col("context"))))
+        .withColumn("sneg", LogReg.fastSigmoid(dotUV(col("neg"))))
+      // per-dim gradient addends, each pinned 9dp UNDER the 6dp sum pin
+      // (the search_lm_dirichlet double-pin convention: identical
+      // addend multisets on both engines keep association-order ulps
+      // from ever straddling a 6dp half-boundary); ONE (node,
+      // dim)-keyed hash agg — gradients w.r.t. u read only v, so the
+      // addend expression is epoch-independent
+      val grads = (0 until dim).map { i =>
+        scored.select(
+          col("center").as("node"),
+          lit(i.toLong).as("dim"),
+          round(col("n").cast("double") *
+            ((col("spos") - 1.0) * vInit(col("context"), lit(i)) +
+              col("negw") * col("sneg") * vInit(col("neg"), lit(i))), 9).as("g"))
+      }.reduce(_ unionAll _)
+        .groupBy("node", "dim")
+        // the one order-dependent sum, scaled by lr INSIDE the pin
+        // (see the lr note above)
+        .agg(round(lit(lr) * sum("g"), 6).as("g"))
+      // update = (≤6-decimal) − (6-decimal): never a rounding boundary
+      val updated = uWide match {
+        case None =>
+          grads.select(col("node"), col("dim"),
+            round(uInit(col("node"), col("dim")) - col("g"), 6)
+              .as("value"))
+        case Some(w) =>
+          grads.join(w, Seq("node"))
+            .select(col("node"), col("dim"),
+              round((0 until dim).map(i =>
+                when(col("dim") === i, col(s"u$i")))
+                .reduce(coalesce(_, _)) - col("g"), 6)
+              .as("value"))
+      }
+      // pivot wide for the next epoch's dots (d ≤ 16 tiny columns);
+      // persist — the next epoch reads it from two subtrees
+      uWide = Some(graft.Caches.persist(
+        updated.groupBy("node")
+          .agg((0 until dim).map(i =>
+            max(when(col("dim") === i, col("value"))).as(s"u$i")).head,
+            (1 until dim).map(i =>
+              max(when(col("dim") === i, col("value"))).as(s"u$i")): _*)))
+    }
+    // long output: (node, dim, value) off the final wide table
+    val w = uWide.get
+    (0 until dim).map(i =>
+      w.select(col("node"), lit(i.toLong).as("dim"), col(s"u$i").as("value")))
+      .reduce(_ unionAll _)
   }
 }

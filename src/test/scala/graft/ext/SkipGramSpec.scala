@@ -55,6 +55,34 @@ class SkipGramSpec extends SparkSpec {
       s"shared-context pair cos=$planted should beat disjoint-context cos=$unrelated")
   }
 
+  test("positive-pair affinity improves across epochs (train epochs=2)") {
+    import spark.implicits._
+    val pairs = Seq(
+      (10L, 100L, 4L), (10L, 101L, 4L), (11L, 100L, 4L), (11L, 101L, 4L),
+      (20L, 200L, 4L), (20L, 201L, 4L))
+    def vI(n: Long, i: Int) = ((n * 29 + i * 23) % 11 - 5) / 10.0
+    def uI(n: Long, i: Int) = ((n * 31 + i * 17) % 13 - 6) / 10.0
+    def sigma(t: Double) = 0.5 + 0.5 * t / (1 + math.abs(t))
+    def meanPos(u: Map[Long, Array[Double]]): Double = {
+      val s = pairs.map { case (c, o, n) =>
+        val t = (0 until 4).map(i => u(c)(i) * vI(o, i)).sum
+        n * sigma(t)
+      }.sum
+      s / pairs.map(_._3).sum
+    }
+    val init = pairs.map(_._1).distinct
+      .map(c => c -> Array.tabulate(4)(uI(c, _))).toMap
+    val df = pairs.toDF("center", "context", "n")
+    val u1 = vectors(SkipGram.train(df, dim = 4, epochs = 1)
+      .as[(Long, Long, Double)].collect())
+    val u2 = vectors(SkipGram.train(df, dim = 4, epochs = 2)
+      .as[(Long, Long, Double)].collect())
+    assert(meanPos(u1) > meanPos(init),
+      s"epoch 1 should raise mean positive affinity: ${meanPos(init)} -> ${meanPos(u1)}")
+    assert(meanPos(u2) > meanPos(u1),
+      s"epoch 2 should raise it further: ${meanPos(u1)} -> ${meanPos(u2)}")
+  }
+
   test("higher multiplicity moves a vector further from its init") {
     import spark.implicits._
     def l2(a: Array[Double], b: Array[Double]): Double =
