@@ -1546,15 +1546,74 @@ c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp${i + 1} GROUP
         |SELECT vec_id, cluster FROM a1 ORDER BY vec_id""".stripMargin,
 
     "dedup_semantic" ->
-      // SemDeDup mirror: the sim_ivf_assign Lloyd-1 assignment (a1) →
-      // within-cluster τ-pairs (exact cosine, same sequential-double
-      // dot product both engines) → transitive closure via recursive
-      // reach (the dedup_components pattern) → rows above their
-      // component minimum, labeled with keeper and cluster. The okc CTE
-      // mirrors semanticDupDrops' degenerate-cluster band (size in
-      // [2, 10000]) so the oracle stays in lockstep if a fixture ever
-      // grows a cluster past maxClusterSize (r7 ADVICE).
-      s"""WITH RECURSIVE $ivfLloyd1Ctes,
+      // SemDeDup mirror, SCALE-AWARE since r12 (closes the one r12
+      // sf0.1-sweep exception): the centroid count follows the
+      // engine's occupancy rule C = max(8, ⌈N/64⌉) DYNAMICALLY (par
+      // CTE) instead of pinning the sf0.01 value 8; the Lloyd train
+      // set mirrors the md5-bucket sampler (full corpus at N ≤ 4096,
+      // else seeds + bucket 0 of N//4096+1); and the final assignment
+      // mirrors BOTH ivfAssignWith branches — flat at C ≤ 16, the
+      // two-level coarse-cell route (q = ⌈√C⌉ lowest-id cells, coarse
+      // seeds pinned to their own cell) above it — selected by the
+      // scalar-guarded UNION ALL. Verified exactly equal to the Spark
+      // result at sf0.01 (flat, C=8) AND sf0.1 (hierarchical, C=79).
+      // Then within-cluster τ-pairs (exact cosine, same
+      // sequential-double dot product both engines) → transitive
+      // closure via recursive reach (the dedup_components pattern) →
+      // rows above their component minimum, labeled with keeper and
+      // cluster. The okc CTE mirrors semanticDupDrops'
+      // degenerate-cluster band (size in [2, 10000]).
+      s"""WITH RECURSIVE
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |par AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+        |               greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS c
+        |        FROM v),
+        |tr AS (SELECT vec_id, ve FROM v, par
+        |       WHERE vec_id < par.c OR par.nn <= 4096
+        |          OR ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % (par.nn // 4096 + 1) = 0),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v, par WHERE vec_id < par.c),
+        |s0 AS (SELECT tr.vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM tr CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |comp AS (SELECT a0.cluster AS cent_id, r.i AS pos, round(avg(tr.ve[r.i]), 6) AS m
+        |         FROM a0 JOIN tr USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+        |         GROUP BY a0.cluster, r.i),
+        |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp GROUP BY cent_id),
+        |sfl AS (SELECT v.vec_id, cent_id,
+        |               list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |        FROM v CROSS JOIN c1),
+        |aflat AS (SELECT vec_id, cent_id AS cluster FROM
+        |            (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM sfl)
+        |          WHERE rn = 1),
+        |qq AS (SELECT CAST(ceil(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS q FROM par),
+        |coarse AS (SELECT cent_id AS cell, ce AS cell_ve FROM c1, qq WHERE cent_id < qq.q),
+        |cic AS (SELECT cent_id, CASE WHEN cent_id < (SELECT q FROM qq) THEN cent_id ELSE cell END AS cell, ce FROM
+        |          (SELECT c1.cent_id, cell, c1.ce,
+        |                  row_number() OVER (PARTITION BY c1.cent_id ORDER BY
+        |                    list_dot_product(c1.ce, coarse.cell_ve) / (sqrt(list_dot_product(c1.ce, c1.ce)) * sqrt(list_dot_product(coarse.cell_ve, coarse.cell_ve))) DESC,
+        |                    cell ASC) AS rn
+        |           FROM c1 CROSS JOIN coarse)
+        |        WHERE rn = 1),
+        |vcell AS (SELECT vec_id, cell, ve FROM
+        |            (SELECT v.vec_id, coarse.cell, v.ve,
+        |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+        |                      list_dot_product(v.ve, coarse.cell_ve) / (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(coarse.cell_ve, coarse.cell_ve))) DESC,
+        |                      cell ASC) AS rn
+        |             FROM v CROSS JOIN coarse)
+        |          WHERE rn = 1),
+        |ahier AS (SELECT vec_id, cent_id AS cluster FROM
+        |            (SELECT vc.vec_id, cic.cent_id,
+        |                    row_number() OVER (PARTITION BY vc.vec_id ORDER BY
+        |                      list_dot_product(vc.ve, cic.ce) / (sqrt(list_dot_product(vc.ve, vc.ve)) * sqrt(list_dot_product(cic.ce, cic.ce))) DESC,
+        |                      cic.cent_id ASC) AS rn
+        |             FROM vcell vc JOIN cic ON cic.cell = vc.cell)
+        |          WHERE rn = 1),
+        |a1 AS (SELECT * FROM aflat WHERE (SELECT c FROM par) <= 16
+        |       UNION ALL
+        |       SELECT * FROM ahier WHERE (SELECT c FROM par) > 16),
         |m AS (SELECT a1.vec_id, a1.cluster, v.ve FROM a1 JOIN v USING (vec_id)),
         |okc AS (SELECT cluster FROM a1 GROUP BY cluster HAVING count(*) BETWEEN 2 AND 10000),
         |p AS (SELECT a.vec_id AS src, b.vec_id AS dst
