@@ -1886,6 +1886,34 @@ c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp${i + 1} GROUP
         |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
+    "tok_bpe_train" -> {
+      // BpeTrainer.train unrolled: 6 rounds of (pair count over w_k,
+      // top-1 by (n desc, pair asc), rewrite with digit placeholder
+      // '0'+k); the final merge table spells digits back to a-z by the
+      // DESCENDING replace chain (a rank-k raw pair can only contain
+      // digits < k-1)
+      val rounds = (1 to 6).map { k =>
+        s"""p$k AS (SELECT pr, count(*) AS n FROM
+           |         (SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pr
+           |          FROM w${k - 1} WHERE len(word) >= 2)
+           |       GROUP BY pr),
+           |t$k AS (SELECT pr, CAST(n AS BIGINT) AS n FROM p$k ORDER BY n DESC, pr LIMIT 1),
+           |w$k AS (SELECT replace(word, (SELECT pr FROM t$k), '${('0' + (k - 1)).toChar}') AS word FROM w${k - 1})"""
+          .stripMargin
+      }.mkString(",\n")
+      // digit j ('0'+j) expands to t_{j+1}'s raw pair; descending j
+      val spellOf: String => String = raw =>
+        (0 until 6).reverse.foldLeft(raw)((s, j) =>
+          s"replace($s, '${('0' + j).toChar}', (SELECT pr FROM t${j + 1}))")
+      val mRows = (1 to 6).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS rank, ${spellOf(s"(SELECT pr FROM t$k)")} AS pair, (SELECT n FROM t$k) AS n"
+      }.mkString(" UNION ALL ")
+      s"""WITH w0 AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+        |             FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |$rounds
+        |SELECT * FROM ($mRows) ORDER BY rank""".stripMargin
+    },
+
     "tok_bpe_apply" ->
       // iteration-1 winner (count desc, pair asc) applied via replace
       // (leftmost non-overlapping in both engines), '0' carries the

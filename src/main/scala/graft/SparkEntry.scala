@@ -4928,6 +4928,17 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "tok_bpe_train" -> ((s, dir) =>
+      // FULL BPE training (ext/BpeTrainer): 6 iterated merge rounds —
+      // each ONE pair-count hash agg + ONE narrow rewrite with the
+      // winner as an S4 scalar — emitting the ranked merge table
+      // (spelled back to a-z). The iterated face of tok_bpe_pairs/
+      // tok_bpe_apply; oracle = the same 6 rounds unrolled as CTEs.
+      graft.ext.BpeTrainer.train(
+        docs(s, dir).select(
+          explode(split(lower(col("text")), "[^a-z]+")).as("word")),
+        numMerges = 6).orderBy("rank")),
+
     "text_ngram_novelty" -> ((s, dir) => {
       // corpus-novelty score: the fraction of a doc's DISTINCT hashed
       // 3-gram shingles that appear in NO other document (df == 1) —

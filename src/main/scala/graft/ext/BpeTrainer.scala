@@ -1,0 +1,78 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING (Sennrich et al. ACL'16 §3.2)
+  * — the iterated face of the existing `tok_bpe_pairs` /
+  * `tok_bpe_apply` single steps, and the third member of round 12's
+  * "iterated training, oracle-checkable" family (k-means inertia,
+  * SGNS epochs): each round counts adjacent symbol pairs over the
+  * current symbol stream, merges the most frequent pair corpus-wide,
+  * and rewrites the stream; the output is the ranked MERGE TABLE — the
+  * artifact a tokenizer trainer actually ships.
+  *
+  * Mechanics (the tok_bpe_apply conventions, iterated):
+  *  - pair formation is a per-word array expression (transform over a
+  *    substr sequence) — the corpus never explodes to per-character
+  *    rows; the shuffle moves (pair, count) partials only;
+  *  - the round-k merge target is carried as the single
+  *    out-of-alphabet digit char ('0'+k; the tokenizer splits words on
+  *    [^a-z]+, so digits can never occur naturally), and `replace` is
+  *    leftmost non-overlapping in both engines — exactly BPE's merge
+  *    order;
+  *  - the winning pair is an S4 scalar per round ((count desc, pair
+  *    asc) tie-break), so round k+1's plan embeds round k's merge as a
+  *    literal — the same driver-scalar chaining as [[LogReg.fit]];
+  *  - a rank-k raw pair can only contain digits < k−1 (later
+  *    placeholders don't exist when it is counted), so spelling merges
+  *    back to the a-z alphabet is a descending replace chain —
+  *    mirrored verbatim in SQL.
+  *
+  * Scale: each round is ONE map-side-combined hash aggregate over the
+  * symbol stream plus ONE narrow rewrite — K merges = K passes over
+  * cached words (production BPE trainers batch non-overlapping merges
+  * per pass; one-merge-per-pass is the semantics the oracle can
+  * mirror). All counts are exact integers.
+  *
+  * Output: (rank 1..K, pair — spelled in a-z, n — the pair's count at
+  * its merge round).
+  */
+object BpeTrainer {
+
+  /** Train `numMerges` BPE merges over a (word) column of lowercase
+    * a-z words. Returns the ranked merge table.
+    */
+  def train(wordsIn: DataFrame, numMerges: Int = 6): DataFrame = {
+    require(numMerges >= 1 && numMerges <= 10,
+      "numMerges in [1,10] — one digit placeholder per merge")
+    val spark = wordsIn.sparkSession
+    var words = graft.Caches.persist(wordsIn.select(col("word")))
+    val merges = Seq.newBuilder[(Int, String, Long)]
+    var raws = Vector.empty[String]
+    for (k <- 0 until numMerges) {
+      val top = words.filter(length(col("word")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pr"))
+        .groupBy("pr").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pr").asc)
+        .limit(1).head()
+      val raw = top.getString(0)
+      merges += ((k + 1, raw, top.getLong(1)))
+      raws :+= raw
+      words = graft.Caches.persist(
+        words.select(replace(col("word"), lit(raw), lit(('0' + k).toChar.toString))
+          .as("word")))
+    }
+    // spell each raw pair back to a-z: digit j expands to raws(j), in
+    // DESCENDING j order (a rank-k raw contains only digits < k-1)
+    def spell(p: String): String =
+      raws.indices.reverse.foldLeft(p)((s, j) =>
+        s.replace(('0' + j).toChar.toString, raws(j)))
+    import spark.implicits._
+    merges.result()
+      .map { case (r, raw, n) => (r.toLong, spell(raw), n) }
+      .toDF("rank", "pair", "n")
+  }
+}
