@@ -285,7 +285,13 @@ object ScaleBench {
     // vocabulary ∝ factor at constant df per term, so candidate sets
     // stay constant while the index-side aggregates grow linearly —
     // the ratio tests that nothing outside the index build scales
-    "search_pruned_topk")
+    "search_pruned_topk",
+    // r12 additions: BPE training (6 rounds, each ONE pair-count agg
+    // ∝ corpus symbols + ONE narrow rewrite — the ratio tests that
+    // nothing pair-shaped exists) and 2-epoch SGNS (pair table and
+    // gradient aggs are walk-bounded; only the edge build under the
+    // walks memo — reset per rep — scales with the graph)
+    "tok_bpe_train", "ml_skipgram_train2")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

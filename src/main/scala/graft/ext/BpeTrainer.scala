@@ -48,6 +48,12 @@ object BpeTrainer {
       "numMerges in [1,10] — one digit placeholder per merge")
     val spark = wordsIn.sparkSession
     var words = graft.Caches.persist(wordsIn.select(col("word")))
+    // at most TWO corpus-sized word caches live at any time: the
+    // round-k top-1 action materializes round k's cache (reading round
+    // k−1's), after which round k−1's blocks are dead — holding all K
+    // rewrites simultaneously turned the 10× ScaleBench row
+    // super-linear (11.8×) from memory pressure before this bound
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, Long)]
     var raws = Vector.empty[String]
     for (k <- 0 until numMerges) {
@@ -58,6 +64,8 @@ object BpeTrainer {
         .groupBy("pr").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pr").asc)
         .limit(1).head()
+      prev.foreach(_.unpersist(false)) // words is materialized now
+      prev = Some(words)
       val raw = top.getString(0)
       merges += ((k + 1, raw, top.getLong(1)))
       raws :+= raw

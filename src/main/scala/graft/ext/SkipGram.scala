@@ -139,51 +139,42 @@ object SkipGram {
       val scored = base
         .withColumn("spos", LogReg.fastSigmoid(dotUV(col("context"))))
         .withColumn("sneg", LogReg.fastSigmoid(dotUV(col("neg"))))
-      // per-dim gradient addends, each pinned 9dp UNDER the 6dp sum pin
-      // (the search_lm_dirichlet double-pin convention: identical
-      // addend multisets on both engines keep association-order ulps
-      // from ever straddling a 6dp half-boundary); ONE (node,
-      // dim)-keyed hash agg — gradients w.r.t. u read only v, so the
-      // addend expression is epoch-independent
-      val grads = (0 until dim).map { i =>
-        scored.select(
-          col("center").as("node"),
-          lit(i.toLong).as("dim"),
-          round(col("n").cast("double") *
-            ((col("spos") - 1.0) * vInit(col("context"), lit(i)) +
-              col("negw") * col("sneg") * vInit(col("neg"), lit(i))), 9).as("g"))
-      }.reduce(_ unionAll _)
-        .groupBy("node", "dim")
-        // the one order-dependent sum, scaled by lr INSIDE the pin
-        // (see the lr note above)
-        .agg(round(lit(lr) * sum("g"), 6).as("g"))
-      // update = (≤6-decimal) − (6-decimal): never a rounding boundary
-      val updated = uWide match {
-        case None =>
-          grads.select(col("node"), col("dim"),
-            round(uInit(col("node"), col("dim")) - col("g"), 6)
-              .as("value"))
-        case Some(w) =>
-          grads.join(w, Seq("node"))
-            .select(col("node"), col("dim"),
-              round((0 until dim).map(i =>
-                when(col("dim") === i, col(s"u$i")))
-                .reduce(coalesce(_, _)) - col("g"), 6)
-              .as("value"))
+      // ALL d per-dim gradient sums in ONE map-side-combined hash
+      // aggregate over one scan of `scored` (the first build unioned d
+      // per-dim selects, recomputing the un-persisted join d times —
+      // the r12 closing bench's worst query until this rewrite). Each
+      // addend pinned 9dp UNDER the 6dp sum pin (the
+      // search_lm_dirichlet double-pin convention: identical addend
+      // multisets on both engines keep association-order ulps from
+      // ever straddling a 6dp half-boundary); lr scales INSIDE the pin
+      // (see the lr note above). Identical per-dim sums either way —
+      // the oracle's per-dim GROUP BY mirrors are unchanged.
+      val gAggs = (0 until dim).map { i =>
+        round(lit(lr) * sum(round(col("n").cast("double") *
+          ((col("spos") - 1.0) * vInit(col("context"), lit(i)) +
+            col("negw") * col("sneg") * vInit(col("neg"), lit(i))), 9)), 6)
+          .as(s"g$i")
       }
-      // pivot wide for the next epoch's dots (d ≤ 16 tiny columns);
-      // persist — the next epoch reads it from two subtrees
-      uWide = Some(graft.Caches.persist(
-        updated.groupBy("node")
-          .agg((0 until dim).map(i =>
-            max(when(col("dim") === i, col("value"))).as(s"u$i")).head,
-            (1 until dim).map(i =>
-              max(when(col("dim") === i, col("value"))).as(s"u$i")): _*)))
+      val gw = scored.groupBy(col("center").as("node"))
+        .agg(gAggs.head, gAggs.tail: _*)
+      // update = (≤6-decimal) − (6-decimal): never a rounding boundary;
+      // the updated WIDE table feeds the next epoch directly (no pivot)
+      val newWide = uWide match {
+        case None =>
+          gw.select(col("node") +: (0 until dim).map(i =>
+            round(uInit(col("node"), lit(i)) - col(s"g$i"), 6).as(s"u$i")): _*)
+        case Some(w) =>
+          gw.join(w, Seq("node"))
+            .select(col("node") +: (0 until dim).map(i =>
+              round(col(s"u$i") - col(s"g$i"), 6).as(s"u$i")): _*)
+      }
+      uWide = Some(graft.Caches.persist(newWide))
     }
-    // long output: (node, dim, value) off the final wide table
-    val w = uWide.get
-    (0 until dim).map(i =>
-      w.select(col("node"), lit(i.toLong).as("dim"), col(s"u$i").as("value")))
-      .reduce(_ unionAll _)
+    // long output: (node, dim, value) in ONE scan of the final wide
+    // table via posexplode over the dim array
+    uWide.get.select(col("node"),
+        posexplode(array((0 until dim).map(i => col(s"u$i")): _*))
+          .as(Seq("dim", "value")))
+      .select(col("node"), col("dim").cast("long").as("dim"), col("value"))
   }
 }
