@@ -157,23 +157,25 @@ private[graft] object OracleSql {
     * converged assignment [[graft.ext.Similarity.ivfAssign]] returns
     * at `lloydIters = K`; iteration i's inertia reads (s_{i-1}, a_{i-1}).
     */
-  private def ivfLloydChainCtes(iters: Int): String = {
+  private def ivfLloydChainCtes(iters: Int, k: Int = 8,
+      prefix: String = ""): String = {
+    val p = prefix
     val sb = new StringBuilder
-    sb.append("v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),\n")
-    sb.append("c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8)")
+    sb.append(s"${p}v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),\n")
+    sb.append(s"${p}c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM ${p}v WHERE vec_id < $k)")
     for (i <- 0 to iters) {
       sb.append(s""",
-s$i AS (SELECT vec_id, cent_id,
+${p}s$i AS (SELECT vec_id, cent_id,
               list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
-       FROM v CROSS JOIN c$i),
-a$i AS (SELECT vec_id, cent_id AS cluster FROM
-         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s$i)
+       FROM ${p}v CROSS JOIN ${p}c$i),
+${p}a$i AS (SELECT vec_id, cent_id AS cluster FROM
+         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM ${p}s$i)
        WHERE rn = 1)""")
       if (i < iters) sb.append(s""",
-comp${i + 1} AS (SELECT a$i.cluster AS cent_id, r.i AS pos, round(avg(v.ve[r.i]), 6) AS m
-         FROM a$i JOIN v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
-         GROUP BY a$i.cluster, r.i),
-c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp${i + 1} GROUP BY cent_id)""")
+${p}comp${i + 1} AS (SELECT ${p}a$i.cluster AS cent_id, r.i AS pos, round(avg(${p}v.ve[r.i]), 6) AS m
+         FROM ${p}a$i JOIN ${p}v USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+         GROUP BY ${p}a$i.cluster, r.i),
+${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 1} GROUP BY cent_id)""")
     }
     sb.toString
   }
@@ -2747,6 +2749,47 @@ c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp${i + 1} GROUP
         |SELECT cluster, label, n,
         |       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY cluster) AS DOUBLE), 6) AS frac
         |FROM cont ORDER BY cluster, label""".stripMargin,
+
+    "ml_knn_classify" ->
+      // k-NN eval mirror: md5-fold bucket-0 holdout, 5-NN by cosine
+      // ((cos DESC, vec_id) — the sim_knn ranking), majority vote with
+      // (votes DESC, label ASC) tie-break, confusion + per-true-label
+      // share (the lang_id_confusion shape)
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |b AS (SELECT vec_id, ve, label, ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % 10 AS bkt FROM v),
+        |te AS (SELECT vec_id AS query_id, ve AS qe, label FROM b WHERE bkt = 0),
+        |tr AS (SELECT vec_id, ve, label FROM b WHERE bkt <> 0),
+        |sc AS (SELECT te.query_id, tr.vec_id, tr.label,
+        |              list_dot_product(te.qe, tr.ve) / (sqrt(list_dot_product(te.qe, te.qe)) * sqrt(list_dot_product(tr.ve, tr.ve))) AS cos
+        |       FROM te CROSS JOIN tr),
+        |nn AS (SELECT query_id, label FROM
+        |         (SELECT query_id, label, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM sc)
+        |       WHERE rn <= 5),
+        |vt AS (SELECT query_id, label, count(*) AS nv FROM nn GROUP BY query_id, label),
+        |pd AS (SELECT query_id, label AS pred_label FROM
+        |         (SELECT query_id, label, row_number() OVER (PARTITION BY query_id ORDER BY nv DESC, label ASC) AS rn FROM vt)
+        |       WHERE rn = 1),
+        |cm AS (SELECT te.label, pd.pred_label, CAST(count(*) AS BIGINT) AS n
+        |       FROM te JOIN pd USING (query_id) GROUP BY 1, 2)
+        |SELECT label, pred_label, n,
+        |       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE), 6) AS share
+        |FROM cm ORDER BY label, pred_label""".stripMargin,
+
+    "ml_kmeans_elbow" -> {
+      // the K-selection curve: iteration-2 inertia (assignment a1
+      // against the once-refined c1 — the (s1, a1) read) for
+      // K ∈ {4, 8, 16}, each K its own prefixed Lloyd chain
+      val ks = Seq(4, 8, 16)
+      val chains = ks.map(k => ivfLloydChainCtes(1, k, s"k${k}_"))
+        .mkString(",\n")
+      val rows = ks.map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS k, round(sum(1.0 - s.cos), 6) AS inertia
+           |FROM k${k}_a1 a JOIN k${k}_s1 s ON s.vec_id = a.vec_id AND s.cent_id = a.cluster"""
+          .stripMargin
+      }.mkString(" UNION ALL ")
+      s"""WITH $chains
+        |SELECT * FROM ($rows) ORDER BY k""".stripMargin
+    },
 
     "ml_kmeans" ->
       // full fixed-iteration Lloyd k-means inertia trace (r11 VERDICT

@@ -3988,6 +3988,58 @@ object SparkEntry {
       nbConfusionMemo(s, dir)
     }),
 
+    "ml_knn_classify" -> ((s, dir) => {
+      // k-NN classification evaluation over the embeddings table — the
+      // nonparametric member of the ML-eval family (NB/logreg/stump
+      // train parametric models; k-NN classifies straight off the
+      // vector index a pipeline already maintains): md5-fold 10-bucket
+      // split (bucket 0 = holdout, the dedup_incremental convention),
+      // each holdout vector takes the majority label of its 5 nearest
+      // training vectors by cosine (vote ties → smallest label; both
+      // argmaxes are max_by hash aggregates over total-order structs).
+      // Output: the (true label × predicted label) confusion matrix
+      // with per-true-label share — the lang_id_confusion shape.
+      // Scale: the holdout side broadcasts (a fixed evaluation sample
+      // at any corpus size); candidate scoring is the brute-force
+      // scan — swap in ivfTopK for the ANN-indexed variant at corpus
+      // scale.
+      val emb = tbl(s, dir, "embeddings")
+      val split = pmod(Dedup.md5Hash60(col("vec_id").cast("string")), lit(10L))
+      val test = emb.filter(split === 0)
+      val train = emb.filter(split =!= 0)
+      val knn = Similarity.bruteForceTopK(
+        train.select("vec_id", "embedding"),
+        test.select("vec_id", "embedding"), k = 5)
+      val pred = knn
+        .join(train.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .groupBy("query_id", "label").agg(count(lit(1)).as("nv"))
+        .groupBy("query_id")
+        .agg(max_by(col("label"), struct(col("nv"), (-col("label")).as("nl")))
+          .as("pred_label"))
+      val cm = test.select(col("vec_id").as("query_id"), col("label"))
+        .join(pred, Seq("query_id"))
+        .groupBy("label", "pred_label").agg(count(lit(1)).as("n"))
+      cm.withColumn("share", round(col("n").cast("double") /
+          sum("n").over(Window.partitionBy("label")), 6))
+        .orderBy("label", "pred_label")
+    }),
+
+    "ml_kmeans_elbow" -> ((s, dir) => {
+      // the K-SELECTION telemetry beside ml_kmeans' per-iteration
+      // trace: converged (iteration-2) inertia for K ∈ {4, 8, 16} —
+      // the elbow plot a pipeline reads before committing a cluster
+      // count (SemDeDup's C, the IVF cell count). Three short
+      // kmeansInertiaCurve runs; the trace rows are S4 scalars, so
+      // the output is a 3-row literal frame.
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      import s.implicits._
+      Seq(4, 8, 16).map { k =>
+        val curve = Similarity.kmeansInertiaCurve(emb, nCentroids = k,
+          iters = 2).orderBy("iter").collect()
+        (k.toLong, curve.last.getDouble(1))
+      }.toDF("k", "inertia").orderBy("k")
+    }),
+
     "ml_kmeans" -> ((s, dir) =>
       // full fixed-iteration (K=3) Lloyd k-means with the per-iteration
       // inertia trace (r11 VERDICT #4 — the converged-clustering face):
