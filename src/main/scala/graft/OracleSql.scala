@@ -541,6 +541,33 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
          |SELECT doc_id, round(score, 4) AS score FROM s
          |ORDER BY round(score, 4) DESC, doc_id LIMIT 10""".stripMargin,
 
+    "search_proximity_boost" ->
+      // BM25 top-30 pool (the search_mmr_rerank pool CTEs) + min
+      // pairwise distance between DISTINCT query-term occurrences from
+      // the FULL positional token stream; boosted = score +
+      // 0.5/(1 + mindist), null-dist docs keep their BM25 score
+      s"""WITH $indexCtes,
+        |sc0 AS (SELECT t.doc_id,
+        |               sum(i.idf * (t.term_freq * (1.2 + 1)) /
+        |                   (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+        |        FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+        |        WHERE t.word IN ($SearchTermsSql)
+        |        GROUP BY t.doc_id),
+        |pool0 AS (SELECT doc_id, round(s, 4) AS score FROM sc0
+        |          ORDER BY round(s, 4) DESC, doc_id LIMIT 30),
+        |rtk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |pp AS (SELECT doc_id, word, pos FROM
+        |         (SELECT doc_id, unnest(tk) AS word, unnest(range(len(tk))) AS pos FROM rtk)
+        |       WHERE word IN ($SearchTermsSql)
+        |         AND doc_id IN (SELECT doc_id FROM pool0)),
+        |md AS (SELECT a.doc_id, CAST(min(abs(a.pos - b.pos)) AS BIGINT) AS mindist
+        |       FROM pp a JOIN pp b ON a.doc_id = b.doc_id AND a.word < b.word
+        |       GROUP BY a.doc_id)
+        |SELECT p.doc_id, p.score, md.mindist,
+        |       round(p.score + coalesce(0.5 / (1 + md.mindist), 0.0), 4) AS boosted
+        |FROM pool0 p LEFT JOIN md USING (doc_id)
+        |ORDER BY boosted DESC, p.doc_id LIMIT 10""".stripMargin,
+
     "search_phrase" ->
       // positional postings keep the FULL token stream (no stopword
       // removal, no stemming); anchor = pos − i, a full set of the 3

@@ -809,6 +809,37 @@ object SparkEntry {
       // where a term lands early in a document
       Search.bm25fSearch(docs(s, dir), SearchTerms)),
 
+    "search_proximity_boost" -> ((s, dir) => {
+      // proximity-boosted ranking (the Rasolofo & Savoy ECIR'03 family:
+      // term-pair closeness rewards documents where query terms
+      // co-occur near each other, which bag-of-words BM25 cannot see):
+      // the BM25 top-30 pool rescored by boosted = score +
+      // 0.5/(1 + mindist), mindist = the minimum position distance
+      // between occurrences of two DISTINCT query terms in the doc
+      // (docs matching a single term keep their BM25 score). The
+      // positional index's second consumer beside search_phrase. All
+      // pair work is pool-bounded: postings are term-filtered and
+      // semi-joined to 30 doc ids before the per-doc pair join.
+      val t = builtIndex(s, dir, stem = false)
+      val pool = Caches.persist(Search.scoreTerms(t, SearchTerms)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc).limit(30))
+      val pos = Caches.persist(
+        graft.index.Indexer.positionalPostings(docs(s, dir))
+          .filter(col("word").isin(SearchTerms: _*))
+          .join(broadcast(pool.select("doc_id")), Seq("doc_id"), "left_semi"))
+      val md = pos.as("a").join(pos.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.word") < col("b.word"))
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(min(abs(col("a.pos") - col("b.pos"))).cast("long").as("mindist"))
+      pool.join(md, Seq("doc_id"), "left")
+        .withColumn("boosted", round(col("score") +
+          coalesce(lit(0.5) / (lit(1) + col("mindist")), lit(0.0)), 4))
+        .select(col("doc_id"), col("score"), col("mindist"), col("boosted"))
+        .orderBy(col("boosted").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     "search_phrase" -> ((s, dir) => {
       // exact-phrase search over the positional posting index (r8
       // VERDICT #6 — the reference is bag-of-words; the (word, doc_id,
