@@ -5438,6 +5438,84 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |      FROM b)
         |SELECT n_users, n_reported_true, reported_rate, true_rate, est_true_rate,
         |       round(abs(est_true_rate - true_rate), 6) AS abs_err
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+
+    "sim_filtered_ann" ->
+      // the sim_ivf_topk_nprobe2 mirror with the label predicate applied
+      // to the CORPUS side only (c) — the standing index (c0/a0 over the
+      // full corpus) and the query-side 2-cell probing are unchanged
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
+        |s0 AS (SELECT vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM v CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |c AS (SELECT a.vec_id, a.cluster, v.ve AS ce, v.label FROM a0 a JOIN v USING (vec_id)
+        |      WHERE v.label IN (0, 1, 2)),
+        |qp AS (SELECT vec_id AS query_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0 WHERE vec_id < 8)
+        |       WHERE rn <= 2),
+        |q AS (SELECT qp.query_id, qp.cluster, v.ve AS qe FROM qp JOIN v ON v.vec_id = qp.query_id),
+        |sc AS (SELECT q.query_id, c.vec_id, c.label,
+        |              list_dot_product(q.qe, c.ce) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+        |       FROM c JOIN q ON c.cluster = q.cluster AND c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, label, cos,
+        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |      FROM sc)
+        |SELECT query_id, vec_id, CAST(label AS BIGINT) AS label, round(cos, 6) AS cos, rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "orders_itemsets3" ->
+      // the un-pruned triple count (A-priori pruning is semantics-
+      // preserving — every 2-subset of a support-2 triple has support
+      // ≥ 2, so the direct 3-way basket join counts the same triples);
+      // all-confidence = support / max item support
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |i AS (SELECT p, CAST(count(*) AS BIGINT) AS isup FROM b GROUP BY p),
+        |t AS (SELECT a.p AS p1, c.p AS p2, d.p AS p3, CAST(count(*) AS BIGINT) AS support
+        |      FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+        |               JOIN b d ON a.o = d.o AND c.p < d.p
+        |      GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+        |SELECT t.p1, t.p2, t.p3, t.support,
+        |       round(CAST(t.support AS DOUBLE) / CAST(greatest(i1.isup, i2.isup, i3.isup) AS DOUBLE), 6) AS all_conf
+        |FROM t JOIN i i1 ON t.p1 = i1.p JOIN i i2 ON t.p2 = i2.p JOIN i i3 ON t.p3 = i3.p
+        |ORDER BY p1, p2, p3""".stripMargin,
+
+    "events_prefixspan" ->
+      // daily user journeys (user, day-truncated ts) as sequences, then
+      // the greedy-automaton subsequence tests: per-(sequence, type)
+      // min/max positions decide length-2 patterns; the
+      // first-b-after-first-a frontier (fab) + last-c decide length-3;
+      // minsup = ceil(1% of sequences); A-priori pruning mirrored via
+      // the f1/f2 joins
+      """WITH p AS (SELECT concat_ws('#', user_id, epoch_us(date_trunc('day', ts))) AS sid, event_type AS et,
+        |             CAST(row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts, event_id) AS BIGINT) AS pos
+        |      FROM events),
+        |prof AS (SELECT sid, et, min(pos) AS minpos, max(pos) AS maxpos, CAST(count(*) AS BIGINT) AS cnt
+        |         FROM p GROUP BY sid, et),
+        |ns AS (SELECT CAST(ceil(count(DISTINCT sid) * 0.01) AS BIGINT) AS minsup FROM prof),
+        |f1 AS (SELECT et, CAST(count(*) AS BIGINT) AS support FROM prof GROUP BY et
+        |       HAVING count(*) >= (SELECT minsup FROM ns)),
+        |fp AS (SELECT prof.sid, prof.et, prof.minpos, prof.maxpos, prof.cnt FROM prof JOIN f1 USING (et)),
+        |pp AS (SELECT x.sid, x.et AS a, y.et AS b, x.minpos AS minpos_a
+        |       FROM fp x JOIN fp y ON x.sid = y.sid
+        |       WHERE CASE WHEN x.et = y.et THEN x.cnt >= 2 ELSE x.minpos < y.maxpos END),
+        |f2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM pp GROUP BY a, b
+        |       HAVING count(*) >= (SELECT minsup FROM ns)),
+        |fab AS (SELECT pp.sid, pp.a, pp.b, min(p.pos) AS fpos
+        |        FROM p JOIN pp ON p.sid = pp.sid AND p.et = pp.b AND p.pos > pp.minpos_a
+        |        JOIN f2 ON pp.a = f2.a AND pp.b = f2.b
+        |        GROUP BY pp.sid, pp.a, pp.b),
+        |tp AS (SELECT fab.sid, fab.a, fab.b, z.et AS c FROM fab JOIN fp z ON fab.sid = z.sid
+        |       WHERE fab.fpos < z.maxpos),
+        |f3 AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS support FROM tp GROUP BY a, b, c
+        |       HAVING count(*) >= (SELECT minsup FROM ns))
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS length, et AS pattern, support FROM f1
+        |  UNION ALL SELECT CAST(2 AS BIGINT), concat_ws('>', a, b), support FROM f2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), concat_ws('>', a, b, c), support FROM f3)
+        |ORDER BY length, support DESC, pattern""".stripMargin
   )
 }

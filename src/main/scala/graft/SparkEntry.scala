@@ -7424,6 +7424,75 @@ object SparkEntry {
             .as("est_true_rate"))
         .withColumn("abs_err",
           round(abs(col("est_true_rate") - col("true_rate")), 6))
+    }),
+
+    "sim_filtered_ann" -> ((s, dir) => {
+      // metadata-FILTERED vector search — the read path every
+      // production vector store exposes (a WHERE clause beside the
+      // query vector): top-5 by cosine among corpus vectors whose
+      // label ∈ {0,1,2} (~30% selectivity), served from the STANDING
+      // IVF index built over the full corpus. The predicate prunes at
+      // cell-scan time (pushed below the assignment join —
+      // [[Similarity.ivfTopK]] candidateFilter), so the filter costs a
+      // scan-time test, never a re-index; cell routing and nprobe=2
+      // probing are identical to sim_ivf_topk_nprobe2. Fewer than k
+      // matches in the probed cells → a short result list, the honest
+      // filtered-ANN contract.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding", "label")
+      val q = e.filter(col("vec_id") < 8).select("vec_id", "embedding")
+      Similarity.ivfTopK(e.select("vec_id", "embedding"), q, k = 5,
+          nCentroids = 8, nprobe = 2,
+          candidateFilter = Some(col("label").isin(0, 1, 2)))
+        .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+        .select(col("query_id"), col("vec_id"), col("label").cast("long").as("label"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "orders_itemsets3" -> ((s, dir) => {
+      // frequent 3-itemsets over order baskets — the A-priori level-3
+      // face of market-basket analysis (Agrawal & Srikant VLDB'94)
+      // beside orders_copurchase_lift's pair level. The 100 TB shape is
+      // CANDIDATE-DRIVEN: baskets are deduped once (order, part);
+      // within-basket pairs are generated and immediately semi-joined
+      // against the BROADCAST frequent-pair table (A-priori: every
+      // 2-subset of a frequent triple is frequent), so the only rows
+      // that ever extend to a third item are survivors of the prune —
+      // the p1<p2<p3 canonical ordering counts each triple once with
+      // no dedup pass. All-confidence (Omiecinski TKDE'03) = support /
+      // max item support rides along as the interestingness audit.
+      graft.ext.Mining.frequentTriples(
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(),
+        minsup = 2L)
+    }),
+
+    "events_prefixspan" -> ((s, dir) => {
+      // sequential-pattern mining over DAILY user journeys (PrefixSpan
+      // semantics, Pei et al. ICDE'01, patterns of length ≤ 3):
+      // support(π) = # (user, day) sequences containing π as a
+      // SUBSEQUENCE (gaps allowed — the genuinely new face beside
+      // events_top_paths' contiguous trigrams; the 30-min sessions are
+      // 95% single-event at this fixture, so the day is the honest
+      // sequence unit). The 100 TB shape is the greedy-automaton
+      // containment rule: subsequence testing needs only, per
+      // (sequence, type), the first/last positions — and, per
+      // (sequence, a, b), the first b-position STRICTLY AFTER a's
+      // first position (the fab table, ∝ N·|Σ| rows). Pattern tests
+      // then run on those BOUNDED profiles — sequences × |Σ|³ worst
+      // case, never length³ — with A-priori pruning (candidates
+      // extend frequent prefixes only) keeping the alphabet blowup
+      // support-bounded on a real (large-Σ) event vocabulary.
+      val byDay = Window
+        .partitionBy(col("user_id"), date_trunc("DAY", col("ts")))
+        .orderBy(col("ts"), col("event_id"))
+      val posRows = events(s, dir)
+        .withColumn("pos", row_number().over(byDay).cast("long"))
+        .select(concat_ws("#", col("user_id"),
+          unix_micros(date_trunc("DAY", col("ts")))).as("sid"),
+          col("event_type").as("et"), col("pos"))
+      graft.ext.Mining.frequentSequences(posRows, minsupFrac = 0.01)
     })
   )
 

@@ -379,13 +379,23 @@ object Similarity {
     * distinct — so no post-join dedup is needed.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 8, nprobe: Int = 1): DataFrame = {
+      nCentroids: Int = 8, nprobe: Int = 1,
+      candidateFilter: Option[Column] = None): DataFrame = {
     val cents = graft.Caches.persist(ivfCentroids(corpus, nCentroids))
     // one count job for BOTH assignment calls (r7 ADVICE: ivfAssignWith
     // counts its centroid table unless told |cents|)
     val nc = Some(cents.count())
     val assigned = ivfAssignWith(corpus, cents, knownCents = nc)
-    val cb = assigned.join(corpus, Seq("vec_id"))
+    // filtered vector search (the metadata-predicate read path every
+    // production vector store exposes): the STANDING index — centroids
+    // and cell assignment — is built over the FULL corpus; the
+    // predicate prunes candidates at cell-scan time, exactly where a
+    // segment-local filter runs in IVF serving. Applied to the corpus
+    // BEFORE the assignment join so Catalyst pushes it into both scan
+    // branches (the filtered vectors never shuffle); cell routing is
+    // unchanged, so results equal "search the index, keep matches".
+    val base = candidateFilter.map(corpus.filter).getOrElse(corpus)
+    val cb = assigned.join(base, Seq("vec_id"))
     val qb = broadcast(ivfProbeCells(queries, cents, nprobe)
       .join(queries, Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cluster")))

@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Planted-pattern tests for the frequent-itemset / sequence miners and
+  * the filtered-ANN read path.
+  */
+class MiningSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("frequentTriples: planted baskets, canonical ordering, all_conf") {
+    // baskets: {1,2,3} ×2, {1,2,4}, {5} — only (1,2,3) reaches support 2
+    val b = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 4L),
+      (13L, 5L)).toDF("o", "p")
+    val out = Mining.frequentTriples(b, minsup = 2L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((1L, 2L, 3L, 2L)))
+    // all_conf = 2 / max(sup(1)=3, sup(2)=3, sup(3)=2) = 2/3
+    assert(math.abs(r.getDouble(4) - 0.666667) < 1e-9)
+    graft.Caches.clearPersisted()
+  }
+
+  test("frequentSequences: gaps allowed, repeats need two occurrences") {
+    // s1: a b c   s2: a c   s3: b a   s4: a a
+    def seq(sid: String, ets: String*) =
+      ets.zipWithIndex.map { case (e, i) => (sid, e, (i + 1).toLong) }
+    val pos = (seq("s1", "a", "b", "c") ++ seq("s2", "a", "c") ++
+      seq("s3", "b", "a") ++ seq("s4", "a", "a")).toDF("sid", "et", "pos")
+    // minsupFrac small → minsup = ceil(4 * 0.1) = 1: everything present
+    val m = Mining.frequentSequences(pos, minsupFrac = 0.1)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(m("a") === 4)            // all four sequences
+    assert(m("a>c") === 2)          // s1 (gap over b) and s2
+    assert(m("b>a") === 1)          // s3 only
+    assert(m("a>a") === 1)          // s4 only — repeats need 2 occurrences
+    assert(m("a>b>c") === 1)        // s1
+    assert(!m.contains("c>a"))      // never occurs in order
+    graft.Caches.clearPersisted()
+  }
+
+  test("filtered ANN: full-probe filtered search equals brute force over the filtered set") {
+    val vecs = (0L until 24L).map { i =>
+      (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val corpus = vecs.select("vec_id", "embedding")
+    val q = corpus.filter(col("vec_id") < 2)
+    // nprobe = nCentroids → every cell probed → the filter is the only
+    // difference from exact search over the filtered corpus
+    val filtered = Similarity.ivfTopK(corpus, q, k = 3, nCentroids = 4,
+        nprobe = 4, candidateFilter = Some(col("label") === 1))
+      .select("query_id", "vec_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val brute = Similarity.bruteForceTopK(
+        vecs.filter(col("label") === 1).select("vec_id", "embedding"), q, k = 3)
+      .select("query_id", "vec_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // both paths exclude the self-match, so the top-3 sets coincide
+    assert(filtered === brute)
+    graft.Caches.clearPersisted()
+  }
+}
