@@ -312,6 +312,65 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
     s"list_reduce(list_transform(string_split(substr(md5($e), 1, 15), ''), " +
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
+  /** Mirror of [[graft.ext.Boosting.adaboostStumps]]: rounds unrolled as
+    * CTE chains over the bounded joint table j — per round the candidate
+    * errors (exact BIGINT micro-unit weights), the (err, f, cut, pol)
+    * argmin, α = round(½·ln((tot−err)/err), 6), the integer reweight
+    * floor(w·round(e^{∓α},6) + 0.5), and the ensemble training error
+    * with margin-0 counted wrong.
+    */
+  private def adaboostSql(rounds: Int): String = {
+    // stump prediction h for the best-row alias `b` applied to a cell
+    // whose (pb, mb) live at `pb`/`mb`
+    def h(b: String, pb: String, mb: String): String =
+      s"(CASE WHEN (CASE WHEN $b.f = 'totalprice' THEN $pb ELSE $mb END) <= $b.cut " +
+        s"THEN $b.pol ELSE -$b.pol END)"
+    val base =
+      """WITH o AS (SELECT o_totalprice, month(o_orderdate) AS mon,
+        |                  CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE -1 END AS y
+        |           FROM orders),
+        |mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM o),
+        |j AS (SELECT CAST(least(floor((o_totalprice - lo) / ((hi - lo) / 16.0)), 15.0) AS BIGINT) AS pb,
+        |             CAST(mon AS BIGINT) AS mb, CAST(y AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n
+        |      FROM o, mm GROUP BY 1, 2, 3),
+        |cand AS (SELECT f, CAST(cut AS BIGINT) AS cut, CAST(pol AS BIGINT) AS pol
+        |         FROM (SELECT 'totalprice' AS f, c AS cut FROM range(0, 15) t(c)
+        |               UNION ALL SELECT 'month', c FROM range(1, 12) t2(c)) cuts,
+        |              (SELECT 1 AS pol UNION ALL SELECT -1 AS pol) pols),
+        |w1 AS (SELECT pb, mb, y, n, n * 1000000 AS w FROM j)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val e =
+        s"""e$r AS (SELECT f, cut, pol,
+           |              CAST(sum(CASE WHEN ${h("cand", s"w$r.pb", s"w$r.mb")} <> w$r.y THEN w$r.w ELSE 0 END) AS BIGINT) AS err,
+           |              CAST(sum(w$r.w) AS BIGINT) AS tot
+           |       FROM w$r CROSS JOIN cand GROUP BY 1, 2, 3)""".stripMargin
+      val b =
+        s"""b$r AS (SELECT f, cut, pol, err, tot,
+           |              round(0.5 * ln(CAST(tot - err AS DOUBLE) / CAST(err AS DOUBLE)), 6) AS alpha
+           |       FROM e$r ORDER BY err, f, cut, pol LIMIT 1)""".stripMargin
+      val wNext = if (r < rounds) Some(
+        s"""w${r + 1} AS (SELECT w$r.pb, w$r.mb, w$r.y, w$r.n,
+           |              CAST(floor(w$r.w * (CASE WHEN ${h(s"b$r", s"w$r.pb", s"w$r.mb")} = w$r.y
+           |                                       THEN round(exp(-b$r.alpha), 6)
+           |                                       ELSE round(exp(b$r.alpha), 6) END) + 0.5) AS BIGINT) AS w
+           |       FROM w$r, b$r)""".stripMargin) else None
+      val margin = (1 to r)
+        .map(t => s"b$t.alpha * ${h(s"b$t", "j.pb", "j.mb")}").mkString(" + ")
+      val from = (1 to r).map(t => s"b$t").mkString("j, ", ", ", "")
+      val g =
+        s"""g$r AS (SELECT round(CAST(sum(CASE WHEN j.y * ($margin) <= 0 THEN j.n ELSE 0 END) AS DOUBLE)
+           |                     / CAST(sum(j.n) AS DOUBLE), 6) AS e
+           |       FROM $from)""".stripMargin
+      Seq(Some(e), Some(b), wNext, Some(g)).flatten.mkString(",\n")
+    }
+    val sel = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS round, f AS feature, cut, pol AS polarity, " +
+        s"round(CAST(err AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weighted_err, alpha, " +
+        s"(SELECT e FROM g$r) AS ensemble_err FROM b$r"
+    }.mkString("\nUNION ALL ")
+    s"$base,\n${roundCtes.mkString(",\n")}\n$sel\nORDER BY round"
+  }
+
   /** Mirror of NaiveBayes.confusion (occurrence-level token split by
     * the shared md5 doc fold, dense add-one likelihoods, 6dp pins,
     * (score desc, class asc) argmax) — a standalone val so
@@ -5516,6 +5575,35 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |  SELECT CAST(1 AS BIGINT) AS length, et AS pattern, support FROM f1
         |  UNION ALL SELECT CAST(2 AS BIGINT), concat_ws('>', a, b), support FROM f2
         |  UNION ALL SELECT CAST(3 AS BIGINT), concat_ws('>', a, b, c), support FROM f3)
-        |ORDER BY length, support DESC, pattern""".stripMargin
+        |ORDER BY length, support DESC, pattern""".stripMargin,
+
+    "ml_adaboost" -> adaboostSql(3),
+
+    "ml_als_halfstep" ->
+      // mirrors Als.userHalfStep: md5-seeded integer item factors, exact
+      // BIGINT normal-equation sums per user, 2×2 determinant solve with
+      // two fixed-shape double divisions, probe prediction off the
+      // 6dp-pinned factors
+      s"""WITH r AS (SELECT o.o_custkey AS user_id, l.l_partkey AS item, CAST(sum(l.l_quantity) AS BIGINT) AS r
+        |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1, 2),
+        |v AS (SELECT user_id, r, ${md5Hash60Sql("concat_ws('|', 'als', item)")} % 2001 - 1000 AS v2 FROM r),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_items,
+        |             CAST(sum(1000 * 1000) AS BIGINT) AS m11,
+        |             CAST(sum(1000 * v2) AS BIGINT) AS m12,
+        |             CAST(sum(v2 * v2) AS BIGINT) AS m22,
+        |             CAST(sum(r * 1000) AS BIGINT) AS b1,
+        |             CAST(sum(r * v2) AS BIGINT) AS b2
+        |      FROM v GROUP BY 1),
+        |s AS (SELECT user_id, n_items, m11, m12, m22,
+        |             (m11 + 100000) * (m22 + 100000) - m12 * m12 AS det,
+        |             1000 * b1 AS c1, 1000 * b2 AS c2 FROM a),
+        |u AS (SELECT user_id, n_items,
+        |             round(CAST((m22 + 100000) * c1 - m12 * c2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS u1,
+        |             round(CAST((m11 + 100000) * c2 - m12 * c1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS u2
+        |      FROM s),
+        |pv AS (SELECT ${md5Hash60Sql("concat_ws('|', 'als', CAST(1 AS BIGINT))")} % 2001 - 1000 AS v2p)
+        |SELECT user_id, n_items, u1, u2,
+        |       round((u1 * 1000.0 + u2 * CAST(v2p AS DOUBLE)) / 1000.0, 6) AS pred_probe
+        |FROM u, pv ORDER BY user_id""".stripMargin
   )
 }

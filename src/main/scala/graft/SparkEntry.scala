@@ -7493,6 +7493,50 @@ object SparkEntry {
           unix_micros(date_trunc("DAY", col("ts")))).as("sid"),
           col("event_type").as("et"), col("pos"))
       graft.ext.Mining.frequentSequences(posRows, minsupFrac = 0.01)
+    }),
+
+    "ml_adaboost" -> ((s, dir) => {
+      // boosted decision stumps (AdaBoost, Freund & Schapire JCSS'97)
+      // — the ensemble face over ml_decision_stump's candidate space.
+      // The whole training run costs ONE corpus scan: a stump's output
+      // depends only on (price-bin, month) coordinates, so AdaBoost's
+      // per-example weights collapse onto the ≤ 16·12·2-cell joint
+      // table that one hash aggregate produces; all 3 rounds are then
+      // driver-side integer arithmetic on that bounded state (S4) —
+      // exact micro-unit weights, 6dp-pinned α and reweight factors,
+      // see [[graft.ext.Boosting]]. Output: per round the chosen
+      // stump, its weighted error, α, and the ensemble training error.
+      val o = tbl(s, dir, "orders")
+      val y = when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+        .otherwise(-1L)
+      val mm = o.agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      val cells = o.crossJoin(broadcast(mm))
+        .select(least(floor((col("o_totalprice") - col("lo")) /
+          ((col("hi") - col("lo")) / lit(16.0))), lit(15.0))
+          .cast("long").as("pb"),
+          month(col("o_orderdate")).cast("long").as("mb"), y.as("y"))
+        .groupBy("pb", "mb", "y").agg(count(lit(1)).as("n"))
+      graft.ext.Boosting.adaboostStumps(s, cells, rounds = 3)
+    }),
+
+    "ml_als_halfstep" -> ((s, dir) => {
+      // rank-2 ALS matrix factorization, one exact user half-step over
+      // the (customer, part, Σ quantity) rating matrix — the
+      // recommender-training face beside the classifier/regressor
+      // trainers. Item factors are integer md5 seeds carried as a
+      // codegen expression (no item-table join); the per-user 2×2
+      // normal equations are ONE map-side-combined BIGINT aggregate and
+      // a closed-form determinant solve with exactly two float
+      // divisions ([[graft.ext.Als]]) — the shape a full distributed
+      // ALS sweep repeats, alternating sides.
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey").as("item"), col("l_quantity"))
+      val o = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey").as("user_id"))
+      val ratings = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("user_id", "item")
+        .agg(sum(col("l_quantity")).cast("long").as("r"))
+      graft.ext.Als.userHalfStep(ratings)
     })
   )
 

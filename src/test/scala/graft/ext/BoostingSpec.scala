@@ -1,0 +1,41 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Planted-signal AdaBoost test: a price-bin threshold separates the
+  * classes up to 10% noise, so round 1 must find it, and the ensemble
+  * training error can never exceed the first stump's.
+  */
+class BoostingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("adaboost finds the planted threshold and error is non-increasing") {
+    // pb <= 7 → mostly +1; pb > 7 → mostly −1 (10% label noise)
+    val cells = Seq(
+      (2L, 1L, 1L, 90L), (2L, 1L, -1L, 10L),
+      (12L, 1L, -1L, 90L), (12L, 1L, 1L, 10L)).toDF("pb", "mb", "y", "n")
+    val out = Boosting.adaboostStumps(spark, cells, rounds = 3)
+      .collect().sortBy(_.getLong(0))
+    assert(out.length === 3)
+    val r1 = out.head
+    assert(r1.getString(1) === "totalprice")
+    assert(r1.getLong(3) === 1L)          // polarity +1: low bins → +1
+    assert(r1.getLong(2) >= 2L && r1.getLong(2) < 12L)
+    assert(r1.getDouble(4) === 0.1)       // 20 noisy of 200, exact
+    // α = ½·ln(0.9/0.1) rounded to 6dp
+    assert(math.abs(r1.getDouble(5) - 1.098612) < 1e-9)
+    val ens = out.map(_.getDouble(6))
+    assert(ens.zip(ens.tail).forall { case (a, b) => b <= a + 1e-12 })
+    assert(ens.head === 0.1)
+  }
+
+  test("adaboost rejects an unbounded joint table and bad rounds") {
+    val cells = Seq((0L, 1L, 1L, 5L)).toDF("pb", "mb", "y", "n")
+    intercept[IllegalArgumentException] {
+      Boosting.adaboostStumps(spark, cells, rounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Boosting.adaboostStumps(spark, cells, rounds = 1, maxCells = 0)
+    }
+  }
+}
