@@ -5604,6 +5604,79 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |pv AS (SELECT ${md5Hash60Sql("concat_ws('|', 'als', CAST(1 AS BIGINT))")} % 2001 - 1000 AS v2p)
         |SELECT user_id, n_items, u1, u2,
         |       round((u1 * 1000.0 + u2 * CAST(v2p AS DOUBLE)) / 1000.0, 6) AS pred_probe
-        |FROM u, pv ORDER BY user_id""".stripMargin
+        |FROM u, pv ORDER BY user_id""".stripMargin,
+
+    "ts_segmented_trend" ->
+      // the ts_cusum_changepoint CTEs locate the split day; x = global
+      // series position (≡ the engine's PrefixSum cum_one — integer
+      // prefix addition is association-free); per-segment OLS on exact
+      // BIGINT sums, slope pinned to 6dp before the 4dp outputs and the
+      // intercept derived from the pinned slope
+      s"""WITH $dailyCentsCte,
+        |tot AS (SELECT round(CAST(sum(cents) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 6) AS mu FROM d0),
+        |cs AS (SELECT day_us, cents,
+        |              CAST(row_number() OVER (ORDER BY day_us) AS BIGINT) AS x,
+        |              round(CAST(sum(cents) OVER (ORDER BY day_us ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
+        |                    - CAST(row_number() OVER (ORDER BY day_us) AS DOUBLE) * tot.mu, 4) AS cusum
+        |       FROM d0, tot),
+        |pk AS (SELECT max(abs(cusum)) AS pk FROM cs),
+        |fd AS (SELECT min(day_us) AS cp_day FROM cs, pk WHERE abs(cs.cusum) = pk.pk),
+        |seg AS (SELECT CASE WHEN cs.day_us <= fd.cp_day THEN 0 ELSE 1 END AS segment, cs.day_us, cs.cents, cs.x
+        |        FROM cs, fd),
+        |a AS (SELECT CAST(segment AS BIGINT) AS segment, CAST(count(*) AS BIGINT) AS n_days,
+        |             min(day_us) AS start_day_us, max(day_us) AS end_day_us,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(cents) AS BIGINT) AS sy,
+        |             CAST(sum(x * cents) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM seg GROUP BY 1),
+        |b AS (SELECT segment, n_days, start_day_us, end_day_us,
+        |             round(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope6,
+        |             CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0 AS mean_y,
+        |             CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_x
+        |      FROM a)
+        |SELECT segment, n_days, start_day_us, end_day_us,
+        |       round(mean_y, 4) AS mean_daily, round(slope6, 4) AS slope_per_day,
+        |       round(mean_y - slope6 * mean_x, 4) AS intercept
+        |FROM b ORDER BY segment""".stripMargin,
+
+    "rag_retrieve_chunks" ->
+      // the search_hybrid_rrf CTEs produce the top-10 docs; the
+      // chunk_sliding CTEs (restricted to those docs) produce candidate
+      // passages; best chunk per doc = (n_hits DESC, chunk_id) rank 1
+      s"""WITH $indexCtes,
+         |scored AS (
+         |  SELECT t.doc_id,
+         |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
+         |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+         |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+         |  WHERE t.word IN ($SearchTermsSql)
+         |  GROUP BY t.doc_id),
+         |bt AS (SELECT doc_id, round(s, 4) AS score FROM scored ORDER BY round(s, 4) DESC, doc_id LIMIT 50),
+         |br AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS r_bm25 FROM bt),
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+         |qv AS (SELECT ve AS qe FROM emb WHERE vec_id = 0),
+         |vt AS (SELECT vec_id AS doc_id,
+         |              round(list_dot_product(ve, qe) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS cos
+         |       FROM emb CROSS JOIN qv WHERE vec_id <> 0
+         |       ORDER BY cos DESC, doc_id LIMIT 50),
+         |vr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS r_vec FROM vt),
+         |f AS (SELECT coalesce(br.doc_id, vr.doc_id) AS doc_id,
+         |             round(coalesce(1.0 / (60 + br.r_bm25), 0) + coalesce(1.0 / (60 + vr.r_vec), 0), 6) AS rrf
+         |      FROM br FULL OUTER JOIN vr ON br.doc_id = vr.doc_id),
+         |rtop AS (SELECT doc_id, rrf FROM f ORDER BY rrf DESC, doc_id LIMIT 10),
+         |rtoks AS (SELECT d.doc_id, list_filter(regexp_split_to_array(lower(d.text), '[^a-z]+'), w -> len(w) > 0) AS t
+         |         FROM read_parquet('/root/testdata/sf0.01/documents.parquet') d JOIN rtop ON d.doc_id = rtop.doc_id),
+         |rpos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM rtoks),
+         |rmem AS (SELECT doc_id, i, t[i] AS w, unnest([(i - 1) // 16, (i - 1) // 16 - 1]) AS chunk_id FROM rpos),
+         |ch AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+         |              CAST(count(*) AS BIGINT) AS chunk_len,
+         |              CAST(sum(CASE WHEN w IN ($SearchTermsSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+         |              arg_min(w, i) AS first_word
+         |       FROM rmem WHERE chunk_id >= 0 GROUP BY doc_id, chunk_id),
+         |best AS (SELECT doc_id, chunk_id, n_hits, chunk_len, first_word,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY n_hits DESC, chunk_id) AS rk
+         |         FROM ch)
+         |SELECT t.doc_id, t.rrf, b.chunk_id, b.n_hits, b.chunk_len, b.first_word
+         |FROM rtop t JOIN best b ON t.doc_id = b.doc_id AND b.rk = 1
+         |ORDER BY t.rrf DESC, t.doc_id""".stripMargin
   )
 }

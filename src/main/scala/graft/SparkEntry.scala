@@ -96,6 +96,49 @@ object SparkEntry {
         round(col("jw"), 4).as("jw"))
   }
 
+  /** Hybrid lexical+vector retrieval, top-10 by Reciprocal Rank Fusion
+    * — shared by `search_hybrid_rrf` (reports it) and
+    * `rag_retrieve_chunks` (selects passages from it). Each leg's
+    * global rank is computed WITHOUT a global window (PlanSmellSpec):
+    * the legs are already top-50 (TakeOrdered), so rank = 1 +
+    * count-of-better over the 50-row set — a bounded non-equi
+    * self-join, the zipf_fit trick at retrieval size.
+    */
+  private def hybridRrfTop10(s: SparkSession, dir: String): DataFrame = {
+    def rankSmall(top: DataFrame, scoreCol: String): DataFrame = {
+      // persist the ≤50-row leg: it feeds BOTH sides of the non-equi
+      // self-join, and un-materialized each side would re-run the
+      // whole scored-corpus TakeOrdered pipeline
+      val a = graft.Caches.persist(top.select(col("doc_id"), col(scoreCol)))
+      a.as("x").join(a.as("y"),
+          col(s"y.$scoreCol") > col(s"x.$scoreCol") ||
+            (col(s"y.$scoreCol") === col(s"x.$scoreCol") &&
+              col("y.doc_id") < col("x.doc_id")), "left")
+        .groupBy(col("x.doc_id").as("doc_id"))
+        .agg((count(col("y.doc_id")) + 1).as("r"))
+    }
+    val t = builtIndex(s, dir, stem = false)
+    val bmTop = Search.scoreTerms(t, SearchTerms)
+      .withColumn("score", round(col("score"), 4))
+      .orderBy(col("score").desc, col("doc_id").asc).limit(50)
+    val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"))
+    val vecTop = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(50)
+    rankSmall(bmTop, "score").withColumnRenamed("r", "r_bm25")
+      .join(rankSmall(vecTop, "cos").withColumnRenamed("r", "r_vec"),
+        Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
+      .select("doc_id", "rrf")
+      .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+  }
+
   private def dailyOrderCents(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "orders").select(
       unix_micros(date_trunc("DAY", col("o_orderdate").cast("timestamp")))
@@ -5522,42 +5565,8 @@ object SparkEntry {
       // embedding-cosine top-50 fuse as Σ 1/(60 + rank) — rank fusion
       // needs no score normalization across heterogeneous scorers,
       // which is why RRF is the production hybrid-search default.
-      // Each leg's global rank is computed WITHOUT a global window
-      // (PlanSmellSpec): the legs are already top-50 (TakeOrdered), so
-      // rank = 1 + count-of-better over the 50-row set — a bounded
-      // non-equi self-join, the zipf_fit trick at retrieval size.
-      def rankSmall(top: DataFrame, scoreCol: String): DataFrame = {
-        // persist the ≤50-row leg: it feeds BOTH sides of the non-equi
-        // self-join, and un-materialized each side would re-run the
-        // whole scored-corpus TakeOrdered pipeline
-        val a = graft.Caches.persist(top.select(col("doc_id"), col(scoreCol)))
-        a.as("x").join(a.as("y"),
-            col(s"y.$scoreCol") > col(s"x.$scoreCol") ||
-              (col(s"y.$scoreCol") === col(s"x.$scoreCol") &&
-                col("y.doc_id") < col("x.doc_id")), "left")
-          .groupBy(col("x.doc_id").as("doc_id"))
-          .agg((count(col("y.doc_id")) + 1).as("r"))
-      }
-      val t = builtIndex(s, dir, stem = false)
-      val bmTop = Search.scoreTerms(t, SearchTerms)
-        .withColumn("score", round(col("score"), 4))
-        .orderBy(col("score").desc, col("doc_id").asc).limit(50)
-      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("q_emb"))
-      val vecTop = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .select(col("vec_id").as("doc_id"),
-          round(Similarity.cosine(col("embedding"), col("q_emb")), 6).as("cos"))
-        .orderBy(col("cos").desc, col("doc_id").asc).limit(50)
-      rankSmall(bmTop, "score").withColumnRenamed("r", "r_bm25")
-        .join(rankSmall(vecTop, "cos").withColumnRenamed("r", "r_vec"),
-          Seq("doc_id"), "full_outer")
-        .withColumn("rrf", round(
-          coalesce(lit(1.0) / (lit(60) + col("r_bm25")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("r_vec")), lit(0.0)), 6))
-        .select("doc_id", "rrf")
-        .orderBy(col("rrf").desc, col("doc_id").asc).limit(10)
+      // Pipeline shared with rag_retrieve_chunks ([[hybridRrfTop10]]).
+      hybridRrfTop10(s, dir)
     }),
 
     "sim_pq_rerank" -> ((s, dir) => {
@@ -7537,6 +7546,51 @@ object SparkEntry {
         .groupBy("user_id", "item")
         .agg(sum(col("l_quantity")).cast("long").as("r"))
       graft.ext.Als.userHalfStep(ratings)
+    }),
+
+    "ts_segmented_trend" -> ((s, dir) => {
+      // piecewise-linear trend around the CUSUM change point — "did
+      // the trend change, and by how much": the two regimes the
+      // ts_cusum_changepoint rule detects each get an exact OLS line
+      // off the SAME distributed PrefixSum positions (integer
+      // normal-equation sums, one ≤2-group aggregate; the only float
+      // ops are the pinned slope division and the intercept off the
+      // pinned slope — [[graft.ext.TimeSeries.segmentedTrend]]).
+      graft.ext.TimeSeries.segmentedTrend(dailyOrderCents(s, dir))
+    }),
+
+    "rag_retrieve_chunks" -> ((s, dir) => {
+      // RAG passage retrieval — the serving read path between a corpus
+      // and a generator: hybrid RRF doc retrieval (the
+      // search_hybrid_rrf pipeline, shared via [[hybridRrfTop10]]),
+      // then WITHIN each of the 10 retrieved docs the best sliding
+      // chunk (the chunk_sliding rule: width 32, stride 16) by
+      // query-term hit count, tie → lowest chunk_id. Scale shape: the
+      // chunker runs ONLY over the semi-joined top-10 docs (passage
+      // selection costs |top docs|·|chunk|, never a corpus scan), and
+      // the per-doc argmax is a doc_id-partitioned window over the
+      // bounded chunk set.
+      val top = Caches.persist(hybridRrfTop10(s, dir))
+      val d = docs(s, dir)
+        .join(broadcast(top.select("doc_id")), Seq("doc_id"), "left_semi")
+      val toks = d.select(col("doc_id"),
+        posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
+      val chunks = toks.select(col("doc_id"), col("pos"), col("w"),
+          explode(array(floor(col("pos") / 16).cast("long"),
+            floor(col("pos") / 16).cast("long") - 1)).as("chunk_id"))
+        .filter(col("chunk_id") >= 0)
+      val scored = chunks.groupBy("doc_id", "chunk_id")
+        .agg(count(lit(1)).as("chunk_len"),
+          sum(when(col("w").isin(SearchTerms: _*), 1L).otherwise(0L))
+            .as("n_hits"),
+          min_by(col("w"), col("pos")).as("first_word"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("n_hits").desc, col("chunk_id").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .join(top, Seq("doc_id"))
+        .select(col("doc_id"), col("rrf"), col("chunk_id"), col("n_hits"),
+          col("chunk_len"), col("first_word"))
+        .orderBy(col("rrf").desc, col("doc_id"))
     })
   )
 

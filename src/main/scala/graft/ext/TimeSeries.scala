@@ -397,4 +397,51 @@ object TimeSeries {
         (col("day_us") === col("cp_day")).as("is_changepoint"))
       .orderBy("day_us")
   }
+
+  /** Piecewise-linear trend around the CUSUM change point: the series
+    * splits into the two regimes [[cusumChangepoint]] detects (segment
+    * 0 ≤ change day < segment 1) and each gets an exact OLS line — the
+    * "did the trend actually change, and by how much" readout a mean-
+    * shift flag alone can't give.
+    *
+    * Determinism: x = the series position from the SAME distributed
+    * PrefixSum scan the CUSUM rides (exact BIGINT), so the per-segment
+    * normal-equation sums (Σx, Σy, Σxy, Σx²) are exact integer hash
+    * aggregates; slope = one fixed-shape division pinned to 6dp, and
+    * the intercept is derived from the PINNED slope and the two means
+    * (fixed shape) — no float accumulation order anywhere. Scale: one
+    * scan to the calendar-bounded daily table, one ≤2-group aggregate.
+    * Output per segment: (segment, n_days, start/end day, mean_daily,
+    * slope_per_day, intercept) in dollars.
+    */
+  def segmentedTrend(daily: DataFrame): DataFrame = {
+    val base = graft.Caches.persist(
+      daily.select(col("day_us"), col("cents"), lit(1L).as("one")))
+    val scanned = PrefixSum.scan(base, "day_us", Seq("cents", "one"),
+      bucketSize = DayUs * 365L)
+    val cp = broadcast(cusumChangepoint(daily)
+      .filter(col("is_changepoint")).select(col("day_us").as("cp_day")))
+    val seg = scanned.crossJoin(cp)
+      .select(when(col("day_us") <= col("cp_day"), 0L).otherwise(1L)
+        .as("segment"),
+        col("day_us"), col("cents"), col("cum_one").as("x"))
+    val a = seg.groupBy("segment").agg(count(lit(1)).as("n_days"),
+      min("day_us").as("start_day_us"), max("day_us").as("end_day_us"),
+      sum("x").as("sx"), sum("cents").as("sy"),
+      sum(col("x") * col("cents")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+    val slope6 = round(
+      (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
+        (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") /
+        lit(100.0), 6)
+    val meanY = col("sy").cast("double") / col("n_days").cast("double") / lit(100.0)
+    val meanX = col("sx").cast("double") / col("n_days").cast("double")
+    a.withColumn("slope6", slope6)
+      .select(col("segment"), col("n_days"), col("start_day_us"),
+        col("end_day_us"),
+        round(meanY, 4).as("mean_daily"),
+        round(col("slope6"), 4).as("slope_per_day"),
+        round(meanY - col("slope6") * meanX, 4).as("intercept"))
+      .orderBy("segment")
+  }
 }

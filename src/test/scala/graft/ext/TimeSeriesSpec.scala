@@ -199,4 +199,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.map(_._3) === expect)
     assert(got.filter(_._4).map(_._1) === Seq(364L * DayUs))
   }
+
+  test("segmented trend: planted step series splits into two flat lines") {
+    import spark.implicits._
+    // same step fixture as the cusum test: cp lands on the last low day,
+    // so segment 0 = five 10.00 days, segment 1 = five 30.00 days
+    val daily = (360L to 369L)
+      .map(d => (d * DayUs, if (d < 365) 1000L else 3000L))
+      .toDF("day_us", "cents")
+    val got = TimeSeries.segmentedTrend(daily)
+      .selectExpr("segment", "n_days", "mean_daily", "slope_per_day", "intercept")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((0L, 5L, 10.0, 0.0, 10.0), (1L, 5L, 30.0, 0.0, 30.0)))
+    graft.Caches.clearPersisted()
+  }
+
+  test("segmented trend: a pure linear ramp keeps slope 1 on both sides") {
+    import spark.implicits._
+    // y = position dollars/day — wherever CUSUM splits, both regimes
+    // are the same line: slope exactly 1.0, segments partition the days
+    val daily = (1L to 12L).map(d => (d * DayUs, d * 100L)).toDF("day_us", "cents")
+    val got = TimeSeries.segmentedTrend(daily)
+      .selectExpr("segment", "n_days", "slope_per_day", "intercept")
+      .as[(Long, Long, Double, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._2).sum === 12L)
+    assert(got.forall(_._3 === 1.0))
+    // the fitted line is y = x exactly → intercept 0 in both segments
+    assert(got.forall(r => math.abs(r._4) < 1e-9))
+    graft.Caches.clearPersisted()
+  }
 }
