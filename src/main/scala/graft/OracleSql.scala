@@ -312,6 +312,54 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
     s"list_reduce(list_transform(string_split(substr(md5($e), 1, 15), ''), " +
       "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
 
+  /** Mirror of [[graft.ext.Graph.betweennessSeeds]] at the gate's seed
+    * rule (p_partkey ≤ 4) over the co-purchase graph: forward BFS
+    * layers with exact-integer σ path counts (NOT EXISTS = the
+    * frontier anti-join), then dependency accumulation descending with
+    * the same 6dp per-layer pin; union of the non-deepest layers,
+    * source rows excluded, positive dependencies only.
+    */
+  private def betweennessSql(depth: Int): String = {
+    val base =
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
+        |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |f0 AS (SELECT CAST(p_partkey AS BIGINT) AS s, CAST(p_partkey AS BIGINT) AS node,
+        |              CAST(1 AS BIGINT) AS sigma
+        |       FROM part WHERE p_partkey <= 4),
+        |disc0 AS (SELECT s, node FROM f0)""".stripMargin
+    val fwd = (1 to depth).map { l =>
+      s"""f$l AS (SELECT t.s, e.dst AS node, CAST(sum(t.sigma) AS BIGINT) AS sigma
+         |       FROM f${l - 1} t JOIN sym e ON e.src = t.node
+         |       WHERE NOT EXISTS (SELECT 1 FROM disc${l - 1} d WHERE d.s = t.s AND d.node = e.dst)
+         |       GROUP BY t.s, e.dst),
+         |disc$l AS (SELECT s, node FROM disc${l - 1} UNION ALL SELECT s, node FROM f$l)""".stripMargin
+    }
+    val bDeep = s"b$depth AS (SELECT s, node, sigma, CAST(0 AS DOUBLE) AS delta FROM f$depth)"
+    val bwd = (depth - 1 to 0 by -1).map { l =>
+      s"""b$l AS (SELECT v.s, v.node, v.sigma, coalesce(c.delta, 0.0) AS delta
+         |       FROM f$l v LEFT JOIN (
+         |         SELECT v2.s, v2.node,
+         |                round(sum((CAST(v2.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)) * (1.0 + w.delta)), 6) AS delta
+         |         FROM f$l v2 JOIN sym e ON e.src = v2.node
+         |         JOIN b${l + 1} w ON w.s = v2.s AND w.node = e.dst
+         |         GROUP BY v2.s, v2.node) c ON c.s = v.s AND c.node = v.node)""".stripMargin
+    }
+    val union = (0 until depth).map(l => s"SELECT s, node, delta FROM b$l")
+      .mkString(" UNION ALL ")
+    s"""$base,
+       |${fwd.mkString(",\n")},
+       |$bDeep,
+       |${bwd.mkString(",\n")}
+       |SELECT node, round(sum(delta), 6) AS dependency
+       |FROM ($union)
+       |WHERE node <> s
+       |GROUP BY node
+       |HAVING round(sum(delta), 6) > 0
+       |ORDER BY node""".stripMargin
+  }
+
   /** Mirror of [[graft.ext.Boosting.adaboostStumps]]: rounds unrolled as
     * CTE chains over the bounded joint table j — per round the candidate
     * errors (exact BIGINT micro-unit weights), the (err, f, cut, pol)
@@ -5677,6 +5725,47 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
          |         FROM ch)
          |SELECT t.doc_id, t.rrf, b.chunk_id, b.n_hits, b.chunk_len, b.first_word
          |FROM rtop t JOIN best b ON t.doc_id = b.doc_id AND b.rk = 1
-         |ORDER BY t.rrf DESC, t.doc_id""".stripMargin
+         |ORDER BY t.rrf DESC, t.doc_id""".stripMargin,
+
+    "orders_basket_rules" ->
+      // pair rules (both directions, support ≥ 3) + triple rules (3
+      // consequent choices, support ≥ 2); confidence pinned 6dp, lift
+      // computed from the PINNED confidence — mirrors
+      // Mining.associationRules shape-for-shape
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM b),
+        |i AS (SELECT p, CAST(count(*) AS BIGINT) AS isup FROM b GROUP BY p),
+        |pr AS (SELECT a.p AS p1, c.p AS p2, CAST(count(*) AS BIGINT) AS sup2
+        |       FROM b a JOIN b c ON a.o = c.o AND a.p < c.p GROUP BY 1, 2),
+        |t AS (SELECT a.p AS p1, c.p AS p2, d.p AS p3, CAST(count(*) AS BIGINT) AS sup3
+        |      FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
+        |               JOIN b d ON a.o = d.o AND c.p < d.p
+        |      GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+        |prules AS (
+        |  SELECT CAST(p1 AS VARCHAR) AS antecedent, p2 AS consequent, sup2 AS support,
+        |         i1.isup AS sa, i2.isup AS sc
+        |  FROM pr JOIN i i1 ON pr.p1 = i1.p JOIN i i2 ON pr.p2 = i2.p WHERE sup2 >= 3
+        |  UNION ALL
+        |  SELECT CAST(p2 AS VARCHAR), p1, sup2, i2.isup, i1.isup
+        |  FROM pr JOIN i i1 ON pr.p1 = i1.p JOIN i i2 ON pr.p2 = i2.p WHERE sup2 >= 3),
+        |trules AS (
+        |  SELECT concat_ws(',', t.p1, t.p2) AS antecedent, t.p3 AS consequent, sup3 AS support,
+        |         pa.sup2 AS sa, ic.isup AS sc
+        |  FROM t JOIN pr pa ON pa.p1 = t.p1 AND pa.p2 = t.p2 JOIN i ic ON ic.p = t.p3
+        |  UNION ALL
+        |  SELECT concat_ws(',', t.p1, t.p3), t.p2, sup3, pa.sup2, ic.isup
+        |  FROM t JOIN pr pa ON pa.p1 = t.p1 AND pa.p2 = t.p3 JOIN i ic ON ic.p = t.p2
+        |  UNION ALL
+        |  SELECT concat_ws(',', t.p2, t.p3), t.p1, sup3, pa.sup2, ic.isup
+        |  FROM t JOIN pr pa ON pa.p1 = t.p2 AND pa.p2 = t.p3 JOIN i ic ON ic.p = t.p1),
+        |allr AS (SELECT * FROM prules UNION ALL SELECT * FROM trules),
+        |cf AS (SELECT antecedent, consequent, support,
+        |              round(CAST(support AS DOUBLE) / CAST(sa AS DOUBLE), 6) AS confidence, sc
+        |       FROM allr)
+        |SELECT antecedent, consequent, support, confidence,
+        |       round(confidence * CAST(nb.nb AS DOUBLE) / CAST(sc AS DOUBLE), 6) AS lift
+        |FROM cf, nb ORDER BY antecedent, consequent""".stripMargin,
+
+    "graph_betweenness" -> betweennessSql(3)
   )
 }

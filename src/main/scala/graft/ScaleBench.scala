@@ -291,7 +291,23 @@ object ScaleBench {
     // nothing pair-shaped exists) and 2-epoch SGNS (pair table and
     // gradient aggs are walk-bounded; only the edge build under the
     // walks memo — reset per rep — scales with the graph)
-    "tok_bpe_train", "ml_skipgram_train2")
+    "tok_bpe_train", "ml_skipgram_train2",
+    // r12 additions (second wave): A-priori triples (the disjoint
+    // part-id shift grows baskets ∝ factor at CONSTANT basket size, so
+    // within-basket pair/triple expansion is ∝ N and the frequent-pair
+    // semi-joins must keep the third-item extension survivor-bounded —
+    // a super-linear ratio would mean the prune stopped binding),
+    // sequence mining (profiles are ∝ N·|Σ| with |Σ| fixed by the
+    // synth's verbatim event_type; the per-sequence self-join is
+    // |Σ|²-bounded per sequence — the ratio tests that nothing
+    // length-shaped survives), the ALS half-step (one rating-matrix
+    // hash agg + narrow row arithmetic — the boring-linear baseline a
+    // trainer should be), and RAG passage retrieval (retrieval is the
+    // pruned-search shape; chunking touches ONLY the semi-joined
+    // top-10 docs, so the chunk stage must be CONSTANT while the
+    // retrieval legs grow ∝ index)
+    "orders_itemsets3", "events_prefixspan", "ml_als_halfstep",
+    "rag_retrieve_chunks")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -7591,6 +7591,38 @@ object SparkEntry {
         .select(col("doc_id"), col("rrf"), col("chunk_id"), col("n_hits"),
           col("chunk_len"), col("first_word"))
         .orderBy(col("rrf").desc, col("doc_id"))
+    }),
+
+    "orders_basket_rules" -> ((s, dir) => {
+      // association rules over order baskets — the actionable layer on
+      // orders_itemsets3 (Agrawal & Srikant VLDB'94 §3): A→B from
+      // support-≥3 pairs (both directions) and {A,B}→C from support-≥2
+      // triples (3 consequent choices), each priced by confidence
+      // (pinned 6dp) and lift off the pinned confidence. Counting is
+      // the same candidate-driven shape as the itemset query; rule
+      // expansion is arithmetic over the bounded frequent tables.
+      graft.ext.Mining.associationRules(
+        tbl(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct(),
+        minsupPair = 3L, minsupTriple = 2L)
+    }),
+
+    "graph_betweenness" -> ((s, dir) => {
+      // seed-sampled bounded-radius Brandes betweenness over the
+      // co-purchase graph ([[graft.ext.Graph.betweennessSeeds]]):
+      // dependency accumulation from 4 fixed sources over ≤3-hop
+      // shortest paths — the "which parts broker the catalog"
+      // centrality the pagerank/HITS family doesn't give (those score
+      // stationary visitation, not path brokerage). Forward σ counts
+      // are exact integers in frontier-delta supersteps; backward δ
+      // aggs are 6dp-pinned per layer (the pageRank discipline), so
+      // the unrolled CTE mirror matches.
+      val seeds = tbl(s, dir, "part")
+        .filter(col("p_partkey") <= 4)
+        .select(col("p_partkey").as("node"))
+      graft.ext.Graph.betweennessSeeds(
+        copurchaseEdgesMemo(s, dir), seeds, depth = 3)
     })
   )
 

@@ -797,4 +797,67 @@ object Graph {
         col("a").as("score")))
   }
 
+  /** Seed-sampled bounded-radius betweenness (Brandes, J. Math. Soc.
+    * 2001; source sampling per Brandes & Pich, 2007): dependency
+    * accumulation δ_s(v) from a FIXED seed sample over shortest paths
+    * of ≤ `depth` edges. The two phases are both layered supersteps:
+    *
+    *  - forward: per source, BFS layers carry exact-integer path
+    *    counts σ (one frontier⋈edges join + one hash agg per layer —
+    *    the [[bfsHopsFrontier]] delta shape, so each edge is paid per
+    *    source-layer at most once);
+    *  - backward: δ_v = Σ_{w ∈ succ(v)} (σ_v/σ_w)·(1 + δ_w) layer by
+    *    layer descending — the per-layer agg is 6dp-PINNED (the
+    *    pageRank per-superstep discipline: distributed float partials
+    *    differ from a single-node mirror only below the pin).
+    *
+    * Sampling k sources is the standard estimator at graph scale
+    * (exact Brandes is O(V·E)); depth-bounding matches the bounded-
+    * round contract every superstep op here keeps, and the oracle
+    * stays an unrolled CTE chain. Output: (node, dependency) for
+    * non-seed-layer nodes with positive accumulated dependency.
+    */
+  def betweennessSeeds(edges: DataFrame, seeds: DataFrame,
+      depth: Int = 3): DataFrame = {
+    require(depth >= 2, s"betweennessSeeds needs depth >= 2, got $depth")
+    val sym = symmetrized(edges).select("src", "dst")
+    val l0 = graft.Caches.persist(seeds.select(col("node")).distinct()
+      .select(col("node").as("s"), col("node"), lit(1L).as("sigma")))
+    var layers = List(l0)
+    var discovered = graft.Caches.persist(l0.select("s", "node"))
+    for (_ <- 1 to depth) {
+      val next = graft.Caches.persist(sym
+        .join(layers.head.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("s"), col("dst").as("node"), col("sigma"))
+        .join(discovered, Seq("s", "node"), "left_anti")
+        .groupBy("s", "node").agg(sum("sigma").as("sigma")))
+      discovered = graft.Caches.persist(discovered.union(next.select("s", "node")))
+      layers = next :: layers
+    }
+    // layers.head = deepest; δ there is 0 by construction
+    var upper = layers.head.withColumn("delta", lit(0.0))
+    val deps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    layers.tail.foreach { lower =>
+      val contrib = sym
+        .join(lower.withColumnRenamed("node", "src"), Seq("src"))
+        .join(upper.select(col("s"), col("node").as("dst"),
+          col("sigma").as("sigma_w"), col("delta").as("delta_w")),
+          Seq("s", "dst"))
+        .select(col("s"), col("src").as("node"),
+          ((col("sigma").cast("double") / col("sigma_w").cast("double")) *
+            (lit(1.0) + col("delta_w"))).as("term"))
+        .groupBy("s", "node").agg(round(sum("term"), 6).as("delta"))
+      upper = graft.Caches.persist(lower
+        .join(contrib, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta")))
+      deps += upper
+    }
+    deps.reduce(_ unionByName _)
+      .filter(col("node") =!= col("s"))
+      .groupBy("node").agg(round(sum("delta"), 6).as("dependency"))
+      .filter(col("dependency") > 0.0)
+      .orderBy("node")
+  }
+
 }

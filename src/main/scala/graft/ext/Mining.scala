@@ -59,6 +59,80 @@ object Mining {
       .orderBy("p1", "p2", "p3")
   }
 
+  /** Association rules from the frequent pair/triple tables — the
+    * actionable output layered on [[frequentTriples]]' itemsets
+    * (Agrawal & Srikant, VLDB'94 §3): pair rules A→B from pairs with
+    * support ≥ `minsupPair`, and triple rules {A,B}→C from triples
+    * with support ≥ `minsupTriple`. Confidence = sup(rule)/sup(
+    * antecedent) pinned to 6dp; lift = conf·N/sup(consequent) computed
+    * FROM the pinned confidence (fixed float shape, engine-identical).
+    * Scale: the same candidate-driven counting as [[frequentTriples]];
+    * rule expansion (≤2 directions per pair, 3 per triple) is
+    * arithmetic over the already-bounded frequent tables.
+    * Output: (antecedent "a" | "a,b" canonical, consequent, support,
+    * confidence, lift), ordered (antecedent, consequent).
+    */
+  def associationRules(baskets: DataFrame, minsupPair: Long,
+      minsupTriple: Long): DataFrame = {
+    val b = graft.Caches.persist(baskets.select("o", "p"))
+    val nb = broadcast(b.select(col("o")).distinct()
+      .agg(count(lit(1)).as("nb")))
+    val itemSup = graft.Caches.persist(
+      b.groupBy(col("p")).agg(count(lit(1)).as("isup")))
+    val pairs = b.as("a")
+      .join(b.as("c"), col("a.o") === col("c.o") && col("a.p") < col("c.p"))
+      .select(col("a.o").as("o"), col("a.p").as("p1"), col("c.p").as("p2"))
+    val pairSup = graft.Caches.persist(pairs
+      .groupBy("p1", "p2").agg(count(lit(1)).as("sup2")))
+    val freqPairs = graft.Caches.persist(
+      pairSup.filter(col("sup2") >= minsupPair))
+    val triples = pairs.as("pp")
+      .join(broadcast(pairSup.filter(col("sup2") >= minsupTriple)
+        .select("p1", "p2")), Seq("p1", "p2"), "left_semi")
+      .join(b.as("d"), col("pp.o") === col("d.o") && col("pp.p2") < col("d.p"))
+      .select(col("p1"), col("p2"), col("d.p").as("p3"))
+      .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("sup3"))
+      .filter(col("sup3") >= minsupTriple)
+    // pair rules, both directions
+    val pairRules = freqPairs
+      .join(broadcast(itemSup.select(col("p").as("p1"), col("isup").as("s1"))), "p1")
+      .join(broadcast(itemSup.select(col("p").as("p2"), col("isup").as("s2"))), "p2")
+      .select(explode(array(
+        struct(col("p1").cast("string").as("antecedent"),
+          col("p2").as("consequent"), col("sup2").as("support"),
+          col("s1").as("sa"), col("s2").as("sc")),
+        struct(col("p2").cast("string").as("antecedent"),
+          col("p1").as("consequent"), col("sup2").as("support"),
+          col("s2").as("sa"), col("s1").as("sc")))).as("r"))
+      .select(col("r.*"))
+    // triple rules {x,y} → z: antecedent support = the pair's sup2
+    val tr = triples
+      .select(explode(array(
+        struct(col("p1").as("a1"), col("p2").as("a2"), col("p3").as("consequent"),
+          col("sup3").as("support")),
+        struct(col("p1").as("a1"), col("p3").as("a2"), col("p2").as("consequent"),
+          col("sup3").as("support")),
+        struct(col("p2").as("a1"), col("p3").as("a2"), col("p1").as("consequent"),
+          col("sup3").as("support")))).as("r"))
+      .select(col("r.*"))
+    val tripleRules = tr
+      .join(broadcast(pairSup.select(col("p1").as("a1"), col("p2").as("a2"),
+        col("sup2").as("sa"))), Seq("a1", "a2"))
+      .join(broadcast(itemSup.select(col("p").as("consequent"),
+        col("isup").as("sc"))), Seq("consequent"))
+      .select(concat_ws(",", col("a1"), col("a2")).as("antecedent"),
+        col("consequent"), col("support"), col("sa"), col("sc"))
+    pairRules.unionByName(tripleRules)
+      .crossJoin(nb)
+      .withColumn("confidence",
+        round(col("support").cast("double") / col("sa").cast("double"), 6))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("confidence"),
+        round(col("confidence") * col("nb").cast("double") /
+          col("sc").cast("double"), 6).as("lift"))
+      .orderBy("antecedent", "consequent")
+  }
+
   /** Frequent subsequence patterns of length 1–3 over position-indexed
     * sequences. Input `posRows`: (sid: sequence id, et: symbol,
     * pos: 1-based position, unique within sid). minsup = ceil(minsupFrac

@@ -44,6 +44,57 @@ class MiningSpec extends SparkSpec {
     graft.Caches.clearPersisted()
   }
 
+  test("associationRules: planted baskets give hand-computed confidence and lift") {
+    // 4 baskets: {1,2,3} ×3, {2} ×1 — pair (1,2) sup 3; triple sup 3
+    val b = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (11L, 1L), (11L, 2L), (11L, 3L),
+      (12L, 1L), (12L, 2L), (12L, 3L),
+      (13L, 2L)).toDF("o", "p")
+    val rules = Mining.associationRules(b, minsupPair = 3L, minsupTriple = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // 1 → 2: conf = 3/3 = 1, lift = 1·4/sup(2)=4/4 = 1
+    assert(rules(("1", 2L)) === ((3L, 1.0, 1.0)))
+    // 2 → 1: conf = 3/4, lift = 0.75·4/3 = 1
+    assert(rules(("2", 1L)) === ((3L, 0.75, 1.0)))
+    // {1,2} → 3: conf = 3/3 = 1, lift = 4/3
+    assert(rules(("1,2", 3L))._2 === 1.0)
+    assert(math.abs(rules(("1,2", 3L))._3 - 1.333333) < 1e-9)
+    graft.Caches.clearPersisted()
+  }
+
+  test("betweenness: path graph puts all brokerage on interior nodes") {
+    // path 1—2—3—4, source 1 (depth 3): δ(2)=2, δ(3)=1, δ(4)=0
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.betweennessSeeds(edges, seeds, depth = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(2L -> 2.0, 3L -> 1.0))
+    graft.Caches.clearPersisted()
+  }
+
+  test("betweenness: star center brokers every leaf pair, split paths halve") {
+    // star: center 10, leaves 1..4; source = leaf 1. Paths 1→k (k≥2)
+    // all pass 10: δ(10) = 3. Diamond check: 1—2, 1—3, 2—4, 3—4 from
+    // source 1: σ(4)=2 via two equal paths → δ(2)=δ(3)=0.5
+    val star = Seq((10L, 1L, 1L), (10L, 2L, 1L), (10L, 3L, 1L), (10L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val gotStar = Graph.betweennessSeeds(star,
+        Seq(Tuple1(1L)).toDF("node"), depth = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotStar === Map(10L -> 3.0))
+    graft.Caches.clearPersisted()
+    val diamond = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val gotD = Graph.betweennessSeeds(diamond,
+        Seq(Tuple1(1L)).toDF("node"), depth = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotD === Map(2L -> 0.5, 3L -> 0.5))
+    graft.Caches.clearPersisted()
+  }
+
   test("filtered ANN: full-probe filtered search equals brute force over the filtered set") {
     val vecs = (0L until 24L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat), (i % 3).toInt)
