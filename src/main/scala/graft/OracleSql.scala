@@ -5766,6 +5766,56 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |       round(confidence * CAST(nb.nb AS DOUBLE) / CAST(sc AS DOUBLE), 6) AS lift
         |FROM cf, nb ORDER BY antecedent, consequent""".stripMargin,
 
-    "graph_betweenness" -> betweennessSql(3)
+    "graph_betweenness" -> betweennessSql(3),
+
+    "graph_closeness_seeds" ->
+      // per-seed BFS layers to depth 3 (distinct + NOT EXISTS = the
+      // frontier anti-join), then one bounded aggregate: exact integer
+      // n/Σd closeness + 6dp-pinned harmonic Σ 1/d
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
+        |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |c0 AS (SELECT CAST(p_partkey AS BIGINT) AS s, CAST(p_partkey AS BIGINT) AS node,
+        |              CAST(0 AS BIGINT) AS d
+        |       FROM part WHERE p_partkey <= 4),
+        |n1 AS (SELECT DISTINCT t.s, e.dst AS node, CAST(1 AS BIGINT) AS d
+        |       FROM c0 t JOIN sym e ON e.src = t.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM c0 d0 WHERE d0.s = t.s AND d0.node = e.dst)),
+        |disc1 AS (SELECT s, node, d FROM c0 UNION ALL SELECT s, node, d FROM n1),
+        |n2 AS (SELECT DISTINCT t.s, e.dst AS node, CAST(2 AS BIGINT) AS d
+        |       FROM n1 t JOIN sym e ON e.src = t.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM disc1 dd WHERE dd.s = t.s AND dd.node = e.dst)),
+        |disc2 AS (SELECT s, node, d FROM disc1 UNION ALL SELECT s, node, d FROM n2),
+        |n3 AS (SELECT DISTINCT t.s, e.dst AS node, CAST(3 AS BIGINT) AS d
+        |       FROM n2 t JOIN sym e ON e.src = t.node
+        |       WHERE NOT EXISTS (SELECT 1 FROM disc2 dd WHERE dd.s = t.s AND dd.node = e.dst)),
+        |disc3 AS (SELECT s, node, d FROM disc2 UNION ALL SELECT s, node, d FROM n3)
+        |SELECT s AS node, CAST(count(*) AS BIGINT) AS n_reached,
+        |       CAST(sum(d) AS BIGINT) AS total_dist,
+        |       round(CAST(count(*) AS DOUBLE) / CAST(sum(d) AS DOUBLE), 6) AS closeness,
+        |       round(sum(1.0 / CAST(d AS DOUBLE)), 6) AS harmonic
+        |FROM disc3 WHERE d > 0 GROUP BY s ORDER BY node""".stripMargin,
+
+    "emb_training_pairs" ->
+      // positives = the exact-Jaccard ≥ 0.8 near-dup pair set (the
+      // dedup_minhash oracle); negatives = the N/2-offset anchor
+      // pairing, canonicalized, minus accidental positives
+      s"""WITH $hashedShingleCtes,
+         |pp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |pos AS (SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM pp WHERE j >= 0.8),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+         |ncand AS (SELECT DISTINCT least(doc_a, (doc_a + n // 2) % n) AS k1,
+         |                 greatest(doc_a, (doc_a + n // 2) % n) AS k2
+         |          FROM pos, nn WHERE doc_a <> (doc_a + n // 2) % n),
+         |neg AS (SELECT k1, k2 FROM ncand
+         |        WHERE NOT EXISTS (SELECT 1 FROM pos p2
+         |          WHERE least(p2.doc_a, p2.doc_b) = ncand.k1 AND greatest(p2.doc_a, p2.doc_b) = ncand.k2))
+         |SELECT * FROM (
+         |  SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS label, jaccard FROM pos
+         |  UNION ALL SELECT k1, k2, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE) FROM neg)
+         |ORDER BY label DESC, doc_a, doc_b""".stripMargin
   )
 }

@@ -307,7 +307,14 @@ object ScaleBench {
     // top-10 docs, so the chunk stage must be CONSTANT while the
     // retrieval legs grow ∝ index)
     "orders_itemsets3", "events_prefixspan", "ml_als_halfstep",
-    "rag_retrieve_chunks")
+    "rag_retrieve_chunks",
+    // seed-sampled Brandes: the seed SAMPLE is fixed (4 sources) while
+    // the disjoint-replica graph grows factor× — only replica-0 hosts
+    // the seeds, so forward/backward superstep work is bounded by the
+    // seeds' component and the measured growth must come from the
+    // edge build + symmetrize alone (near-flat is the honest bar; a
+    // growing ratio would mean per-source cost leaks corpus scale)
+    "graph_betweenness")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

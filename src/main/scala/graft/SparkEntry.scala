@@ -7611,7 +7611,7 @@ object SparkEntry {
     "graph_betweenness" -> ((s, dir) => {
       // seed-sampled bounded-radius Brandes betweenness over the
       // co-purchase graph ([[graft.ext.Graph.betweennessSeeds]]):
-      // dependency accumulation from 4 fixed sources over ≤3-hop
+      // dependency accumulation from the fixed p_partkey ≤ 4 seed sample over ≤3-hop
       // shortest paths — the "which parts broker the catalog"
       // centrality the pagerank/HITS family doesn't give (those score
       // stationary visitation, not path brokerage). Forward σ counts
@@ -7623,6 +7623,48 @@ object SparkEntry {
         .select(col("p_partkey").as("node"))
       graft.ext.Graph.betweennessSeeds(
         copurchaseEdgesMemo(s, dir), seeds, depth = 3)
+    }),
+
+    "graph_closeness_seeds" -> ((s, dir) => {
+      // bounded-radius closeness + harmonic centrality of the same seed
+      // parts graph_betweenness samples (p_partkey ≤ 4)
+      // ([[graft.ext.Graph.closenessSeeds]]): "how near is this part
+      // to the catalog" — the inverse-distance face beside brokerage.
+      // Per-source BFS layers are exact integers; the only float ops
+      // are the pinned closeness division and the 6dp-pinned Σ 1/d.
+      val seeds = tbl(s, dir, "part")
+        .filter(col("p_partkey") <= 4)
+        .select(col("p_partkey").as("node"))
+      graft.ext.Graph.closenessSeeds(
+        copurchaseEdgesMemo(s, dir), seeds, depth = 3)
+    }),
+
+    "emb_training_pairs" -> ((s, dir) => {
+      // contrastive training-pair export — the bridge from the dedup
+      // mining to embedding-model training (SimCSE-style): positives =
+      // the verified MinHash near-dup pairs (label 1, with their exact
+      // Jaccard as a soft target), negatives = a deterministic
+      // N/2-offset pairing of each positive's anchor doc (label 0,
+      // canonicalized, accidental positives anti-joined away). Both
+      // sides ride the shared near-dup memo; the negative rule is a
+      // per-row hash-free formula a SQL oracle replays exactly.
+      val pos = sharedMinhashPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      val n = broadcast(docs(s, dir).agg(count(lit(1)).as("n")))
+      val negCand = pos.select("doc_a").crossJoin(n)
+        .select(col("doc_a"),
+          pmod(col("doc_a") + expr("n div 2"), col("n")).as("nb"))
+        .filter(col("doc_a") =!= col("nb"))
+        .select(least(col("doc_a"), col("nb")).as("k1"),
+          greatest(col("doc_a"), col("nb")).as("k2"))
+        .distinct()
+      val posKeys = pos.select(least(col("doc_a"), col("doc_b")).as("k1"),
+        greatest(col("doc_a"), col("doc_b")).as("k2"))
+      val neg = negCand.join(posKeys, Seq("k1", "k2"), "left_anti")
+      pos.select(col("doc_a"), col("doc_b"), lit(1L).as("label"), col("jaccard"))
+        .unionAll(neg.select(col("k1").as("doc_a"), col("k2").as("doc_b"),
+          lit(0L).as("label"), lit(null).cast("double").as("jaccard")))
+        .orderBy(col("label").desc, col("doc_a"), col("doc_b"))
     })
   )
 

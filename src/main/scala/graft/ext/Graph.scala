@@ -860,4 +860,43 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Bounded-radius closeness + harmonic centrality of each SEED node
+    * (Bavelas closeness; harmonic per Boldi & Vigna, "Axioms for
+    * Centrality", 2014 — well-defined under disconnection, which
+    * radius-bounding induces by construction): per seed, exact
+    * per-source BFS layers to `depth` (the [[betweennessSeeds]]
+    * forward shape without σ), then ONE bounded aggregate —
+    * closeness = n_reached/Σd on exact integers (one pinned division),
+    * harmonic = Σ 1/d pinned at 6dp (the per-layer float-agg
+    * discipline). Distances are per-source — [[bfsHops]] merges seeds
+    * into one min-hop field and cannot price individual sources.
+    * Output: (node, n_reached, total_dist, closeness, harmonic).
+    */
+  def closenessSeeds(edges: DataFrame, seeds: DataFrame,
+      depth: Int = 3): DataFrame = {
+    require(depth >= 1, s"closenessSeeds needs depth >= 1, got $depth")
+    val sym = symmetrized(edges).select("src", "dst")
+    var frontier = graft.Caches.persist(seeds.select(col("node")).distinct()
+      .select(col("node").as("s"), col("node"), lit(0L).as("d")))
+    var disc = frontier
+    for (l <- 1 to depth) {
+      val next = graft.Caches.persist(sym
+        .join(frontier.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("s"), col("dst").as("node"), lit(l.toLong).as("d"))
+        .distinct()
+        .join(disc.select("s", "node"), Seq("s", "node"), "left_anti"))
+      disc = graft.Caches.persist(disc.union(next))
+      frontier = next
+    }
+    disc.filter(col("d") > 0L)
+      .groupBy("s")
+      .agg(count(lit(1)).as("n_reached"), sum("d").as("total_dist"),
+        round(sum(lit(1.0) / col("d").cast("double")), 6).as("harmonic"))
+      .select(col("s").as("node"), col("n_reached"), col("total_dist"),
+        round(col("n_reached").cast("double") /
+          col("total_dist").cast("double"), 6).as("closeness"),
+        col("harmonic"))
+      .orderBy("node")
+  }
+
 }

@@ -95,6 +95,18 @@ class MiningSpec extends SparkSpec {
     graft.Caches.clearPersisted()
   }
 
+  test("closeness: path graph from one end, hand-computed") {
+    // path 1—2—3—4, seed 1, depth 3: d = 1,2,3 → n=3, Σd=6,
+    // closeness = 3/6 = 0.5, harmonic = 1 + 1/2 + 1/3
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.closenessSeeds(edges, Seq(Tuple1(1L)).toDF("node"), depth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got === Array((1L, 3L, 6L, 0.5, 1.833333)))
+    graft.Caches.clearPersisted()
+  }
+
   test("filtered ANN: full-probe filtered search equals brute force over the filtered set") {
     val vecs = (0L until 24L).map { i =>
       (i, Array.tabulate(8)(d => math.sin(i * 7 + d).toFloat), (i % 3).toInt)
