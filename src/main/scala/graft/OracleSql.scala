@@ -5816,6 +5816,56 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
          |SELECT * FROM (
          |  SELECT doc_a, doc_b, CAST(1 AS BIGINT) AS label, jaccard FROM pos
          |  UNION ALL SELECT k1, k2, CAST(0 AS BIGINT), CAST(NULL AS DOUBLE) FROM neg)
-         |ORDER BY label DESC, doc_a, doc_b""".stripMargin
+         |ORDER BY label DESC, doc_a, doc_b""".stripMargin,
+
+    "ml_gmm_em1" ->
+      // mirrors the EM step: max-shifted softmax responsibilities
+      // (6dp-pinned per row), M-step sums over the pinned r with the
+      // lloydMeans 6dp-agg pins, mean shift off the pinned new means
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |mu AS (SELECT vec_id AS c, ve AS mu FROM v WHERE vec_id < 4),
+        |sc AS (SELECT v.vec_id, v.ve, mu.c,
+        |              -0.5 * (list_dot_product(v.ve, v.ve) - 2.0 * list_dot_product(v.ve, mu.mu) + list_dot_product(mu.mu, mu.mu)) AS s
+        |       FROM v CROSS JOIN mu),
+        |e1 AS (SELECT vec_id, ve, c, exp(s - max(s) OVER (PARTITION BY vec_id)) AS ex FROM sc),
+        |r AS (SELECT vec_id, ve, c, round(ex / sum(ex) OVER (PARTITION BY vec_id), 6) AS r FROM e1),
+        |ne AS (SELECT c, round(sum(r), 6) AS n_eff FROM r GROUP BY c),
+        |num AS (SELECT r.c, d.i AS pos, round(sum(r.r * r.ve[d.i]), 6) AS sxr
+        |        FROM r CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+        |        GROUP BY r.c, d.i),
+        |mn AS (SELECT num.c, num.pos, round(num.sxr / ne.n_eff, 6) AS m FROM num JOIN ne ON num.c = ne.c),
+        |mo AS (SELECT mu.c, d.i AS pos, mu.mu[d.i] AS m0 FROM mu CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d),
+        |sh AS (SELECT mn.c, round(sum((mn.m - mo.m0) * (mn.m - mo.m0)), 6) AS mean_shift
+        |       FROM mn JOIN mo ON mn.c = mo.c AND mn.pos = mo.pos GROUP BY mn.c),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+        |SELECT ne.c AS component, ne.n_eff, round(ne.n_eff / CAST(nn.n AS DOUBLE), 6) AS pi, sh.mean_shift
+        |FROM ne JOIN sh ON ne.c = sh.c, nn ORDER BY component""".stripMargin,
+
+    "stream_cusum_alarm" ->
+      // batch mirror of the streamed daily-total CUSUM: reference μ/σ
+      // from exact integer centi-value sums (6dp pins), global cumsum ≡
+      // the engine's PrefixSum (integer addition is association-free),
+      // C_t pinned to 4dp, alarm at |C_t| > round(3σ, 6)
+      """WITH ref AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us,
+        |                    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |             FROM events WHERE ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sy,
+        |              CAST(sum(cents * cents) AS BIGINT) AS syy
+        |       FROM ref),
+        |par AS (SELECT round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) / 100.0, 6) AS mu,
+        |               round(sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) / 100.0, 6) AS sd
+        |        FROM st),
+        |live AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+        |                CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |         FROM events WHERE ts >= TIMESTAMP '2024-01-16' GROUP BY 1),
+        |cs AS (SELECT day_us, cents,
+        |              CAST(sum(cents) OVER (ORDER BY day_us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |              CAST(row_number() OVER (ORDER BY day_us) AS BIGINT) AS t
+        |       FROM live)
+        |SELECT day_us, round(CAST(cents AS DOUBLE) / 100.0, 2) AS daily_total,
+        |       round(CAST(cum AS DOUBLE) / 100.0 - CAST(t AS DOUBLE) * par.mu, 4) AS cusum,
+        |       abs(round(CAST(cum AS DOUBLE) / 100.0 - CAST(t AS DOUBLE) * par.mu, 4)) > round(3.0 * par.sd, 6) AS alarm
+        |FROM cs, par ORDER BY day_us""".stripMargin
   )
 }

@@ -7665,6 +7665,101 @@ object SparkEntry {
         .unionAll(neg.select(col("k1").as("doc_a"), col("k2").as("doc_b"),
           lit(0L).as("label"), lit(null).cast("double").as("jaccard")))
         .orderBy(col("label").desc, col("doc_a"), col("doc_b"))
+    }),
+
+    "ml_gmm_em1" -> ((s, dir) => {
+      // one EM iteration of a 4-component isotropic Gaussian mixture
+      // (Dempster-Laird-Rubin 1977) over the embeddings — the SOFT
+      // clustering face beside ml_kmeans' hard assignment: E-step
+      // responsibilities are a per-row max-shifted softmax of
+      // −½‖x−μ_c‖² (fixed-shape doubles, 6dp-pinned per row; the
+      // ‖x−μ‖² expands through the codegen dot kernel so no vector
+      // arithmetic leaves whole-stage codegen), M-step re-estimates
+      // n_eff, mixing weights, and means from the PINNED
+      // responsibilities (the lloydMeans 6dp-agg discipline). Output
+      // per component: (n_eff, π, ‖μ'−μ‖² mean shift) — the
+      // convergence telemetry an EM loop monitors. Scale: E-step is a
+      // C-way broadcast cross (narrow, ∝ N·C), M-step ONE (c, dim)
+      // hash aggregate — the exact shape a full EM loop repeats.
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val mu = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("c"), col("embedding").as("mu"))
+      val scored = e.crossJoin(broadcast(mu))
+        .withColumn("sc", lit(-0.5) *
+          (Similarity.dot(col("embedding"), col("embedding")) -
+            lit(2.0) * Similarity.dot(col("embedding"), col("mu")) +
+            Similarity.dot(col("mu"), col("mu"))))
+      val w = Window.partitionBy("vec_id")
+      val resp = Caches.persist(scored
+        .withColumn("ex", exp(col("sc") - max("sc").over(w)))
+        .withColumn("r", round(col("ex") / sum("ex").over(w), 6))
+        .select("vec_id", "embedding", "c", "r"))
+      val neff = resp.groupBy("c").agg(round(sum("r"), 6).as("n_eff"))
+      val muNew = resp
+        .select(col("c"), col("r"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("c", "pos")
+        .agg(round(sum(col("r") * col("x").cast("double")), 6).as("sxr"))
+        .join(neff, "c")
+        .select(col("c"), col("pos"),
+          round(col("sxr") / col("n_eff"), 6).as("m"))
+      val muOld = mu.select(col("c"),
+        posexplode(col("mu")).as(Seq("pos", "m0")))
+      val shift = muNew.join(muOld, Seq("c", "pos"))
+        .groupBy("c").agg(round(sum((col("m") - col("m0").cast("double")) *
+          (col("m") - col("m0").cast("double"))), 6).as("mean_shift"))
+      val n = broadcast(e.agg(count(lit(1)).as("n")))
+      neff.join(shift, "c").crossJoin(n)
+        .select(col("c").as("component"), col("n_eff"),
+          round(col("n_eff") / col("n").cast("double"), 6).as("pi"),
+          col("mean_shift"))
+        .orderBy("component")
+    }),
+
+    "stream_cusum_alarm" -> ((s, dir) => {
+      // the CUSUM mean-shift alarm running against Structured
+      // Streaming — ts_cusum_changepoint's monitor face, firing
+      // MID-FLIGHT: reference day-mean μ and day-σ are batch state
+      // from the pre-split window (exact integer centi-value sums, S4
+      // scalars, 6dp-pinned); the LIVE window's per-day totals are an
+      // associative streaming aggregate (stream ≡ batch however the
+      // files micro-batch — the stream_psi_drift argument); the
+      // cumulative deviation and the |C_t| > 3σ alarm run on the
+      // COMPLETED day table via the same distributed PrefixSum the
+      // batch CUSUM rides. Oracle = the batch mirror over the same
+      // split — the gate is the stream ≡ batch proof.
+      val split = to_timestamp(lit("2024-01-16"))
+      val ref = events(s, dir).filter(col("ts") < split)
+        .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cv"))
+        .groupBy("day_us").agg(sum("cv").as("cents"))
+      val st = ref.agg(count(lit(1)).as("n"), sum("cents").as("sy"),
+        sum(col("cents") * col("cents")).as("syy")).head()
+      val (rn, sy, syy) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      require(rn > 0, "empty reference window")
+      val mu = round6(sy.toDouble / rn.toDouble / 100.0)
+      val sd = round6(math.sqrt(
+        (rn.toDouble * syy.toDouble - sy.toDouble * sy.toDouble) /
+          (rn.toDouble * rn.toDouble)) / 100.0)
+      val h = round6(3.0 * sd)
+      val live = EventStream.readEvents(s, dir).filter(col("ts") >= split)
+        .select(unix_micros(date_trunc("DAY", col("ts"))).as("day_us"),
+          floor(col("value") * lit(100.0) + lit(0.5)).cast("long").as("cv"))
+        .groupBy("day_us").agg(sum("cv").as("cents"))
+      val done = EventStream.withStatePartitions(s, 8) {
+        EventStream.runToCompletion(s, live, "stream_cusum_sink")
+      }
+      val scanned = graft.ext.PrefixSum.scan(
+        Caches.persist(done.select(col("day_us"), col("cents"),
+          lit(1L).as("one"))),
+        "day_us", Seq("cents", "one"), bucketSize = 86400000000L * 365L)
+      scanned
+        .select(col("day_us"),
+          round(col("cents").cast("double") / 100.0, 2).as("daily_total"),
+          round(col("cum_cents").cast("double") / 100.0 -
+            col("cum_one").cast("double") * lit(mu), 4).as("cusum"))
+        .withColumn("alarm", abs(col("cusum")) > lit(h))
+        .orderBy("day_us")
     })
   )
 
