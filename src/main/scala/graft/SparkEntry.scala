@@ -7760,6 +7760,58 @@ object SparkEntry {
             col("cum_one").cast("double") * lit(mu), 4).as("cusum"))
         .withColumn("alarm", abs(col("cusum")) > lit(h))
         .orderBy("day_us")
+    }),
+
+    "ts_anomaly_stl_residual" -> ((s, dir) => {
+      // seasonal-aware anomaly days: the ts_stl_decompose residual
+      // tested against 3σ ([[graft.ext.TimeSeries.stlResidualAnomalies]])
+      // — a weekday-normal dip never fires, a mid-rhythm collapse
+      // does. σ from exact BIGINT moment sums over dollar-rounded
+      // residuals, pinned before the fixed-shape z and the threshold
+      // test; output = flagged days only.
+      graft.ext.TimeSeries.stlResidualAnomalies(dailyOrderCents(s, dir))
+    }),
+
+    "search_rake_keywords" -> ((s, dir) => {
+      // RAKE keyword extraction (Rose et al., "Automatic Keyword
+      // Extraction from Individual Documents", 2010) — the
+      // PHRASE-level complement to text_rank_keywords' single words:
+      // candidate phrases are maximal stopword-free runs (phrase id =
+      // running stopword count per doc — one doc-partitioned window);
+      // word score = deg/freq over the phrase table (deg = Σ phrase
+      // length over occurrences — RAKE's within-phrase co-occurrence
+      // credit, exact integers, one pinned division); phrase score =
+      // Σ member word scores (4dp-pinned). Scale: one token pass, one
+      // bounded window, two hash aggs — vocabulary/phrase-bounded
+      // joins, nothing quadratic.
+      val toks = docs(s, dir).select(col("doc_id"),
+          posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
+        .withColumn("is_stop", col("w").isInCollection(Stopwords.english))
+      val wd = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nw = Caches.persist(toks
+        .withColumn("pid",
+          sum(when(col("is_stop"), 1L).otherwise(0L)).over(wd))
+        .filter(!col("is_stop"))
+        .select("doc_id", "pid", "pos", "w"))
+      val phrases = Caches.persist(nw.groupBy("doc_id", "pid")
+        .agg(count(lit(1)).as("len"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("w")))),
+            x => x("w")), " ").as("phrase")))
+      val wl = Caches.persist(nw
+        .join(phrases.select("doc_id", "pid", "len"), Seq("doc_id", "pid")))
+      val ws = wl.groupBy("w")
+        .agg(round(sum("len").cast("double") /
+          count(lit(1)).cast("double"), 6).as("wscore"))
+      val ps = wl.join(ws, Seq("w"))
+        .groupBy("doc_id", "pid").agg(round(sum("wscore"), 4).as("score"))
+      ps.join(phrases, Seq("doc_id", "pid"))
+        .groupBy("phrase")
+        .agg(count(lit(1)).as("n_occurrences"), max("len").as("len"),
+          max("score").as("score"))
+        .orderBy(col("score").desc, col("n_occurrences").desc, col("phrase"))
+        .limit(20)
     })
   )
 

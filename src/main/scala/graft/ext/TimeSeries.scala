@@ -239,6 +239,37 @@ object TimeSeries {
       .orderBy("day_us")
   }
 
+  /** Residual-based anomaly detection on top of [[decomposeDow]]: days
+    * whose decomposition residual exceeds k·σ — the alerting face that
+    * sees THROUGH trend and weekday rhythm (a Monday dip that is
+    * normal for Mondays never fires; a mid-week collapse does). σ is
+    * the population std of the residuals over DOLLAR-ROUNDED values
+    * (exact BIGINT moment sums — residuals are 4dp-pinned doubles, so
+    * a float Σr² would be engine-order-sensitive; whole-dollar
+    * rounding keeps Σq² < 2⁶³ at any realistic revenue scale while
+    * moving σ by < $1), 6dp-pinned before the fixed-shape z and the
+    * |resid| > k·σ test. Output: flagged days only, with their
+    * decomposition and z-score.
+    */
+  def stlResidualAnomalies(daily: DataFrame, k: Double = 3.0): DataFrame = {
+    val r = graft.Caches.persist(decomposeDow(daily))
+    val q = round(col("resid"), 0).cast("long")
+    val sd = broadcast(r.filter(col("resid").isNotNull)
+      .select(q.as("q"))
+      .agg(count(lit(1)).as("n"), sum("q").as("sq"),
+        sum(col("q") * col("q")).as("sqq"))
+      .select(round(sqrt(
+        (col("n").cast("double") * col("sqq").cast("double") -
+          col("sq").cast("double") * col("sq").cast("double")) /
+          (col("n").cast("double") * col("n").cast("double"))), 6)
+        .as("sigma")))
+    r.crossJoin(sd)
+      .filter(abs(col("resid")) > lit(k) * col("sigma"))
+      .select(col("day_us"), col("y"), col("trend"), col("seasonal"),
+        col("resid"), round(col("resid") / col("sigma"), 4).as("z"))
+      .orderBy("day_us")
+  }
+
   /** Autocorrelation function of a daily series at lags 1..maxLag —
     * the diagnostics face that quantifies the weekly rhythm
     * [[decomposeDow]] removes and validates [[holtForecast]]'s
