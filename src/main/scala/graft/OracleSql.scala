@@ -394,7 +394,7 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
            |       FROM w$r CROSS JOIN cand GROUP BY 1, 2, 3)""".stripMargin
       val b =
         s"""b$r AS (SELECT f, cut, pol, err, tot,
-           |              round(0.5 * ln(CAST(tot - err AS DOUBLE) / CAST(err AS DOUBLE)), 6) AS alpha
+           |              round(0.5 * ln(CAST(tot - greatest(err, 1) AS DOUBLE) / CAST(greatest(err, 1) AS DOUBLE)), 6) AS alpha
            |       FROM e$r ORDER BY err, f, cut, pol LIMIT 1)""".stripMargin
       val wNext = if (r < rounds) Some(
         s"""w${r + 1} AS (SELECT w$r.pb, w$r.mb, w$r.y, w$r.n,
@@ -1655,6 +1655,37 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
          |SELECT node AS word, round(pr, 6) AS tr_score FROM pr3
          |ORDER BY tr_score DESC, word LIMIT 20""".stripMargin,
 
+    "search_rake_keywords" ->
+      // mirrors the RAKE chain verbatim: phrase id = running stopword
+      // count per doc (same unbounded-preceding window), phrases =
+      // stopword-free runs joined in position order, word score =
+      // deg/freq 6dp-pinned, phrase score = Σ member wscores as exact
+      // 6dp-scaled BIGINTs (floor(w·10⁶ + 0.5) — wscore ≥ 1, so the
+      // half-up recovery is exact) / 10⁶ pinned to 4dp
+      s"""WITH raw AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+         |p AS (SELECT doc_id, unnest(t) AS w, unnest(range(len(t))) AS pos FROM raw),
+         |s AS (SELECT doc_id, pos, w, w IN $stopSql AS is_stop FROM p),
+         |nw AS (SELECT doc_id, pid, pos, w FROM (
+         |         SELECT doc_id, pos, w, is_stop,
+         |                sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |                  OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS pid
+         |         FROM s) WHERE NOT is_stop),
+         |ph AS (SELECT doc_id, pid, CAST(count(*) AS BIGINT) AS len,
+         |              string_agg(w, ' ' ORDER BY pos) AS phrase
+         |       FROM nw GROUP BY doc_id, pid),
+         |wl AS (SELECT nw.doc_id, nw.pid, nw.w, ph.len
+         |       FROM nw JOIN ph USING (doc_id, pid)),
+         |ws AS (SELECT w, round(CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS wscore
+         |       FROM wl GROUP BY w),
+         |ps AS (SELECT wl.doc_id, wl.pid,
+         |              round(CAST(sum(CAST(floor(ws.wscore * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0, 4) AS score
+         |       FROM wl JOIN ws USING (w) GROUP BY wl.doc_id, wl.pid)
+         |SELECT ph.phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |       max(ph.len) AS len, max(ps.score) AS score
+         |FROM ps JOIN ph USING (doc_id, pid)
+         |GROUP BY ph.phrase
+         |ORDER BY score DESC, n_occurrences DESC, phrase LIMIT 20""".stripMargin,
+
     "sim_sq_topk" ->
       // int8 quantization mirrored as floor(c·127 + 0.5) clamped — floor
       // (not round) so there is no half-case dialect divergence; the
@@ -2246,7 +2277,7 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |sizes AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes FROM l4 GROUP BY 1)
         |SELECT community, n_nodes, COALESCE(internal_edges, 0) AS internal_edges, degree_sum,
         |       round(CAST(COALESCE(internal_edges, 0) AS DOUBLE) / m
-        |             - (CAST(degree_sum AS DOUBLE) / (2.0 * m)) * (CAST(degree_sum AS DOUBLE) / (2.0 * m)), 6) AS contrib
+        |             - (CAST(degree_sum AS DOUBLE) / (2.0 * m)) * (CAST(degree_sum AS DOUBLE) / (2.0 * m)), 6) + 0.0 AS contrib
         |FROM sizes JOIN dsum USING (community) LEFT JOIN intra USING (community), mm
         |ORDER BY community""".stripMargin,
 
@@ -2277,7 +2308,7 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |sizes AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes FROM l4 GROUP BY 1)
         |SELECT community, n_nodes, COALESCE(internal_weight, 0) AS internal_weight, strength_sum,
         |       round(CAST(COALESCE(internal_weight, 0) AS DOUBLE) / wtot
-        |             - (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)) * (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)), 6) AS contrib
+        |             - (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)) * (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)), 6) + 0.0 AS contrib
         |FROM sizes JOIN ssum USING (community) LEFT JOIN intra USING (community), ww
         |ORDER BY community""".stripMargin,
 
@@ -2818,6 +2849,37 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |       round(wt.y - wt.trend - s.seasonal, 4) AS resid
         |FROM wt LEFT JOIN seas s USING (dow) ORDER BY wt.day_us""".stripMargin,
 
+    "ts_anomaly_stl_residual" ->
+      // mirrors TimeSeries.stlResidualAnomalies: the ts_stl_decompose
+      // CTE chain verbatim, then σ from exact BIGINT moment sums over
+      // DOLLAR-rounded residuals (q = CAST(round(resid,0) AS BIGINT) —
+      // integer, so signed zero dies at the cast), pinned to 6dp
+      // before the fixed-shape z and the |resid| > 3σ test
+      s"""WITH $dailyCentsCte,
+        |off AS (SELECT unnest(range(-3, 4)) AS o),
+        |ma AS (SELECT d.day_us + o.o * 86400000000 AS day_us,
+        |              sum(d.cents) AS ma_cents, count(*) AS ma_n
+        |       FROM d0 d CROSS JOIN off o GROUP BY 1),
+        |wt AS (SELECT d.day_us, CAST(d.cents AS DOUBLE) / 100.0 AS y,
+        |              CASE WHEN m.ma_n = 7 THEN CAST(m.ma_cents AS DOUBLE) / 700.0 END AS trend,
+        |              (d.day_us // 86400000000 + 4) % 7 AS dow
+        |       FROM d0 d LEFT JOIN ma m USING (day_us)),
+        |sea AS (SELECT dow, round(avg(y - trend), 6) AS s_raw FROM wt WHERE trend IS NOT NULL GROUP BY dow),
+        |g AS (SELECT round(avg(s_raw), 6) AS g FROM sea),
+        |seas AS (SELECT dow, round(s_raw - g.g, 6) AS seasonal FROM sea, g),
+        |r AS (SELECT wt.day_us, round(wt.y, 4) AS y, round(wt.trend, 4) AS trend,
+        |             round(s.seasonal, 4) AS seasonal,
+        |             round(wt.y - wt.trend - s.seasonal, 4) AS resid
+        |      FROM wt LEFT JOIN seas s USING (dow)),
+        |q AS (SELECT CAST(round(resid, 0) AS BIGINT) AS q FROM r WHERE resid IS NOT NULL),
+        |sd AS (SELECT round(sqrt((CAST(count(*) AS DOUBLE) * CAST(sum(q * q) AS DOUBLE)
+        |                          - CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE))
+        |                         / (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE))), 6) AS sigma
+        |       FROM q)
+        |SELECT r.day_us, r.y, r.trend, r.seasonal, r.resid,
+        |       round(r.resid / sd.sigma, 4) AS z
+        |FROM r, sd WHERE abs(r.resid) > 3.0 * sd.sigma ORDER BY r.day_us""".stripMargin,
+
     "ts_cusum_changepoint" ->
       // mirrors TimeSeries.cusumChangepoint: the oracle's global cumsum
       // over exact BIGINT cents EQUALS the engine's two-phase
@@ -2829,7 +2891,7 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |tot AS (SELECT round(CAST(sum(cents) AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE), 6) AS mu FROM d0),
         |cs AS (SELECT day_us, round(CAST(cents AS DOUBLE) / 100.0, 4) AS y,
         |              round(CAST(sum(cents) OVER (ORDER BY day_us ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 100.0
-        |                    - CAST(row_number() OVER (ORDER BY day_us) AS DOUBLE) * tot.mu, 4) AS cusum
+        |                    - CAST(row_number() OVER (ORDER BY day_us) AS DOUBLE) * tot.mu, 4) + 0.0 AS cusum
         |       FROM d0, tot),
         |pk AS (SELECT max(abs(cusum)) AS pk FROM cs),
         |fd AS (SELECT min(day_us) AS cp_day FROM cs, pk WHERE abs(cs.cusum) = pk.pk)
@@ -5416,12 +5478,16 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |             CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
         |             CAST(sum((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1)) AS BIGINT) AS tsum
         |      FROM sc),
+        |vz AS (SELECT n0, n1, u2,
+        |              CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
+        |              ((CAST(n0 + n1 AS DOUBLE) + 1.0)
+        |               - CAST(tsum AS DOUBLE) / (CAST(n0 + n1 AS DOUBLE) * (CAST(n0 + n1 AS DOUBLE) - 1.0))) AS varu
+        |       FROM a),
         |z AS (SELECT n0, n1, CAST(u2 AS DOUBLE) / 2.0 AS u_stat,
-        |             round((CAST(u2 AS DOUBLE) / 2.0 - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
-        |                   / sqrt(CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0 *
-        |                          ((CAST(n0 + n1 AS DOUBLE) + 1.0)
-        |                           - CAST(tsum AS DOUBLE) / (CAST(n0 + n1 AS DOUBLE) * (CAST(n0 + n1 AS DOUBLE) - 1.0)))), 4) AS z_score
-        |      FROM a)
+        |             CASE WHEN n0 > 0 AND n1 > 0 AND varu > 0
+        |                  THEN round((CAST(u2 AS DOUBLE) / 2.0 - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
+        |                             / sqrt(varu), 4) END AS z_score
+        |      FROM vz)
         |SELECT n0 AS n_control, n1 AS n_treatment, u_stat, z_score,
         |       abs(z_score) > 1.96 AS significant
         |FROM z""".stripMargin,
@@ -5677,7 +5743,7 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |             CAST(sum(x * cents) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
         |      FROM seg GROUP BY 1),
         |b AS (SELECT segment, n_days, start_day_us, end_day_us,
-        |             round(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope6,
+        |             CASE WHEN n_days > 1 THEN round(CAST(n_days * sxy - sx * sy AS DOUBLE) / CAST(n_days * sxx - sx * sx AS DOUBLE) / 100.0, 6) END AS slope6,
         |             CAST(sy AS DOUBLE) / CAST(n_days AS DOUBLE) / 100.0 AS mean_y,
         |             CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean_x
         |      FROM a)
@@ -5864,7 +5930,7 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |              CAST(row_number() OVER (ORDER BY day_us) AS BIGINT) AS t
         |       FROM live)
         |SELECT day_us, round(CAST(cents AS DOUBLE) / 100.0, 2) AS daily_total,
-        |       round(CAST(cum AS DOUBLE) / 100.0 - CAST(t AS DOUBLE) * par.mu, 4) AS cusum,
+        |       round(CAST(cum AS DOUBLE) / 100.0 - CAST(t AS DOUBLE) * par.mu, 4) + 0.0 AS cusum,
         |       abs(round(CAST(cum AS DOUBLE) / 100.0 - CAST(t AS DOUBLE) * par.mu, 4)) > round(3.0 * par.sd, 6) AS alarm
         |FROM cs, par ORDER BY day_us""".stripMargin
   )

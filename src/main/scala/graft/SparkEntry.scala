@@ -5239,8 +5239,11 @@ object SparkEntry {
         .select(col("community"), col("n_nodes"),
           coalesce(col("internal_edges"), lit(0L)).as("internal_edges"),
           col("degree_sum"),
-          round(coalesce(col("internal_edges"), lit(0L)).cast("double") /
-            col("m") - dm * dm, 6).as("contrib"))
+          // + 0.0 post-round: IEEE −0.0 + 0.0 = +0.0, so a tiny
+          // negative contrib (isolated community) that rounds to zero
+          // can never leave as −0.0 (r12 signed-zero hash lesson)
+          (round(coalesce(col("internal_edges"), lit(0L)).cast("double") /
+            col("m") - dm * dm, 6) + lit(0.0)).as("contrib"))
         .orderBy("community")
     }),
 
@@ -5309,8 +5312,10 @@ object SparkEntry {
         .select(col("community"), col("n_nodes"),
           coalesce(col("internal_weight"), lit(0L)).as("internal_weight"),
           col("strength_sum"),
-          round(coalesce(col("internal_weight"), lit(0L)).cast("double") /
-            col("wtot") - sm * sm, 6).as("contrib"))
+          // + 0.0 post-round kills −0.0 (the r12 hash fail: community 9,
+          // raw contrib −2.6e-07, Spark HALF_UP → +0.0 vs DuckDB −0.0)
+          (round(coalesce(col("internal_weight"), lit(0L)).cast("double") /
+            col("wtot") - sm * sm, 6) + lit(0.0)).as("contrib"))
         .orderBy("community")
     }),
 
@@ -7449,7 +7454,9 @@ object SparkEntry {
       // filtered-ANN contract.
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding", "label")
       val q = e.filter(col("vec_id") < 8).select("vec_id", "embedding")
-      Similarity.ivfTopK(e.select("vec_id", "embedding"), q, k = 5,
+      // corpus carries the label column explicitly — ivfTopK validates
+      // filter references against the passed frame (r12 ADVICE)
+      Similarity.ivfTopK(e, q, k = 5,
           nCentroids = 8, nprobe = 2,
           candidateFilter = Some(col("label").isin(0, 1, 2)))
         .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
@@ -7756,8 +7763,9 @@ object SparkEntry {
       scanned
         .select(col("day_us"),
           round(col("cents").cast("double") / 100.0, 2).as("daily_total"),
-          round(col("cum_cents").cast("double") / 100.0 -
-            col("cum_one").cast("double") * lit(mu), 4).as("cusum"))
+          (round(col("cum_cents").cast("double") / 100.0 -
+            col("cum_one").cast("double") * lit(mu), 4) + lit(0.0))
+            .as("cusum"))
         .withColumn("alarm", abs(col("cusum")) > lit(h))
         .orderBy("day_us")
     }),
@@ -7804,8 +7812,14 @@ object SparkEntry {
       val ws = wl.groupBy("w")
         .agg(round(sum("len").cast("double") /
           count(lit(1)).cast("double"), 6).as("wscore"))
+      // phrase score = Σ member wscores, summed as exact 6dp-scaled
+      // BIGINTs (wscore is 6dp-pinned and ≥ 1, so floor(x·10⁶ + 0.5)
+      // recovers the pinned integer exactly) — float-sum order can
+      // never move the 4dp pin, on either engine
       val ps = wl.join(ws, Seq("w"))
-        .groupBy("doc_id", "pid").agg(round(sum("wscore"), 4).as("score"))
+        .groupBy("doc_id", "pid")
+        .agg(round(sum(floor(col("wscore") * lit(1000000.0) + lit(0.5))
+          .cast("long")).cast("double") / 1000000.0, 4).as("score"))
       ps.join(phrases, Seq("doc_id", "pid"))
         .groupBy("phrase")
         .agg(count(lit(1)).as("n_occurrences"), max("len").as("len"),

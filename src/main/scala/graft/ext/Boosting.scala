@@ -76,8 +76,13 @@ object Boosting {
         (err, f, cut, pol)
       }.min
       val (err, f, cut, pol) = best
-      require(err > 0L, "stump separates the data perfectly — α diverges")
-      val alpha = round6(0.5 * math.log((tot - err).toDouble / err.toDouble))
+      // perfectly-separating stump: raw α = ½·ln(tot/0) diverges —
+      // clamp err to one micro-unit (ε-smoothed α, standard practice)
+      // so the engine RETURNS on separable data exactly like the SQL
+      // mirror instead of throwing where the oracle emits rows
+      // (r12 ADVICE); the reported weighted_err stays the true value
+      val errC = math.max(err, 1L)
+      val alpha = round6(0.5 * math.log((tot - errC).toDouble / errC.toDouble))
       val fc = round6(math.exp(-alpha))
       val fw = round6(math.exp(alpha))
       cs.indices.foreach { i =>

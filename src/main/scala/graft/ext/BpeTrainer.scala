@@ -56,14 +56,22 @@ object BpeTrainer {
     var prev: Option[org.apache.spark.sql.DataFrame] = None
     val merges = Seq.newBuilder[(Int, String, Long)]
     var raws = Vector.empty[String]
-    for (k <- 0 until numMerges) {
-      val top = words.filter(length(col("word")) >= 2)
+    var exhausted = false
+    for (k <- 0 until numMerges if !exhausted) {
+      // headOption, not head: a corpus whose words are all single
+      // symbols by round k (or numMerges > distinct pairs) has no pair
+      // left — return the merges found so far instead of throwing
+      // (r12 ADVICE)
+      val topOpt = words.filter(length(col("word")) >= 2)
         .select(explode(transform(
           sequence(lit(1), length(col("word")) - 1),
           i => col("word").substr(i, lit(2)))).as("pr"))
         .groupBy("pr").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("pr").asc)
-        .limit(1).head()
+        .limit(1).collect().headOption
+      if (topOpt.isEmpty) { exhausted = true }
+      else {
+      val top = topOpt.get
       prev.foreach(_.unpersist(false)) // words is materialized now
       prev = Some(words)
       val raw = top.getString(0)
@@ -72,6 +80,7 @@ object BpeTrainer {
       words = graft.Caches.persist(
         words.select(replace(col("word"), lit(raw), lit(('0' + k).toChar.toString))
           .as("word")))
+      }
     }
     // spell each raw pair back to a-z: digit j expands to raws(j), in
     // DESCENDING j order (a rank-k raw contains only digits < k-1)

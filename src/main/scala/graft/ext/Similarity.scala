@@ -381,6 +381,23 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 8, nprobe: Int = 1,
       candidateFilter: Option[Column] = None): DataFrame = {
+    // the filter runs against the CORPUS frame — every column it
+    // references must exist there (r12 ADVICE: a filter that only
+    // resolves through Spark's missing-attribute fallback is fragile
+    // on derived frames / colliding names — fail loud instead).
+    // Validation = analyze the filter as a PROJECTION over the corpus:
+    // Project gets no ResolveMissingReferences fallback, so a column
+    // absent from `corpus` throws here instead of silently rebinding.
+    candidateFilter.foreach { f =>
+      try corpus.select(f.cast("boolean")).queryExecution.assertAnalyzed()
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"candidateFilter must reference only columns present on the " +
+            s"corpus frame (has: ${corpus.columns.mkString(", ")}) — " +
+            "select the filter columns onto the corpus before calling ivfTopK",
+          e)
+      }
+    }
     val cents = graft.Caches.persist(ivfCentroids(corpus, nCentroids))
     // one count job for BOTH assignment calls (r7 ADVICE: ivfAssignWith
     // counts its centroid table unless told |cents|)

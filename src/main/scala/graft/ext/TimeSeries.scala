@@ -414,8 +414,10 @@ object TimeSeries {
       .crossJoin(broadcast(tot))
       .select(col("day_us"),
         round(col("cents").cast("double") / 100.0, 4).as("y"),
-        round(col("cum_cents").cast("double") / 100.0 -
-          col("cum_one").cast("double") * col("mu"), 4)
+        // + 0.0 post-pin: a cusum that rounds to zero from below must
+        // leave as +0.0 on both engines (r13 signed-zero sweep)
+        (round(col("cum_cents").cast("double") / 100.0 -
+          col("cum_one").cast("double") * col("mu"), 4) + lit(0.0))
           .as("cusum")))
     // argmax via self-agg: the peak magnitude is a 1-row scalar; the
     // FIRST day attaining it is the change point
@@ -461,10 +463,14 @@ object TimeSeries {
       sum("x").as("sx"), sum("cents").as("sy"),
       sum(col("x") * col("cents")).as("sxy"),
       sum(col("x") * col("x")).as("sxx"))
-    val slope6 = round(
+    // single-day segment (changepoint on the first/last day): the OLS
+    // denominator n·Σx²−(Σx)² is 0, so 0/0 would propagate NaN — emit
+    // NULL slope/intercept instead (the Mann-Whitney degenerate-input
+    // rule; r12 ADVICE), mirrored in the oracle
+    val slope6 = when(col("n_days") > 1, round(
       (col("n_days") * col("sxy") - col("sx") * col("sy")).cast("double") /
         (col("n_days") * col("sxx") - col("sx") * col("sx")).cast("double") /
-        lit(100.0), 6)
+        lit(100.0), 6))
     val meanY = col("sy").cast("double") / col("n_days").cast("double") / lit(100.0)
     val meanX = col("sx").cast("double") / col("n_days").cast("double")
     a.withColumn("slope6", slope6)
