@@ -230,6 +230,78 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
       |w3 AS (SELECT round(w.w1 - p.g1, 6) AS w1, round(w.w2 - p.g2, 6) AS w2, round(w.b - p.gb, 6) AS b
       |       FROM w2 w, p3 p)""".stripMargin
 
+  /** LTR feature CTEs ending in the 50-row matrix `fm` — mirror of
+    * `SparkEntry.ltrFeaturesMemo`; shared by search_ltr_features,
+    * ml_ltr_train, search_ltr_rerank, and search_ltr_eval_delta.
+    */
+  private lazy val ltrCtes: String =
+    s"""$indexCtes,
+      |scored AS (
+      |  SELECT t.doc_id,
+      |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
+      |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+      |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+      |  WHERE t.word IN ($SearchTermsSql)
+      |  GROUP BY t.doc_id),
+      |top AS (SELECT doc_id, round(s, 4) AS bm25 FROM scored
+      |        ORDER BY round(s, 4) DESC, doc_id LIMIT 50),
+      |lex AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
+      |               CAST(sum(t.term_freq) AS BIGINT) AS sum_tf,
+      |               round(sum(round(i.idf, 6)), 6) AS sum_idf
+      |        FROM tf t JOIN idf i USING (word) JOIN top USING (doc_id)
+      |        WHERE t.word IN ($SearchTermsSql)
+      |        GROUP BY t.doc_id),
+      |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+      |qv AS (SELECT ve AS qe FROM emb WHERE vec_id = 0),
+      |cs AS (SELECT vec_id AS doc_id,
+      |              round(list_dot_product(ve, qe) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_q
+      |       FROM emb CROSS JOIN qv),
+      |fm AS (SELECT top.doc_id, top.bm25, lex.n_matched, lex.sum_tf, lex.sum_idf,
+      |              dl.doc_length, coalesce(cs.cos_q, 0.0) AS cos_q
+      |       FROM top JOIN lex ON lex.doc_id = top.doc_id
+      |       JOIN dl ON dl.doc_id = top.doc_id
+      |       LEFT JOIN cs ON cs.doc_id = top.doc_id)""".stripMargin
+
+  /** The logregW3Ctes unroll with FOUR features over the LTR matrix:
+    * d (scaled features + graded-tf label from `fm`), then p1 → w1 →
+    * p2 → w2 → p3 → w3 → p4 — gradients/weights/acc 6dp-pinned, the
+    * margin in LogReg.fit's exact left-assoc operand order. p4 is the
+    * accuracy-only closing pass for step 3.
+    */
+  private lazy val ltrLogregCtes: String = {
+    val margin0 = "(0.0 + x1 * 0.0 + x2 * 0.0 + x3 * 0.0 + x4 * 0.0)"
+    def margin(w: String) =
+      s"($w.b + x1 * $w.w1 + x2 * $w.w2 + x3 * $w.w3 + x4 * $w.w4)"
+    def passCte(p: String, src: String, t: String, withAcc: Boolean) = {
+      val acc = if (withAcc)
+        ",\n       round(avg(CASE WHEN (t > 0) = (y > 0.5) THEN 1.0 ELSE 0.0 END), 6) AS acc"
+      else ""
+      s"""$p AS (SELECT round(avg(e * x1), 6) AS g1, round(avg(e * x2), 6) AS g2,
+         |       round(avg(e * x3), 6) AS g3, round(avg(e * x4), 6) AS g4,
+         |       round(avg(e), 6) AS gb$acc
+         |       FROM (SELECT x1, x2, x3, x4, y, $t AS t,
+         |                    0.5 + 0.5 * t / (1.0 + abs(t)) - y AS e FROM $src))""".stripMargin
+    }
+    Seq(
+      """d AS (SELECT bm25 AS x1, sum_tf / 20.0 AS x2, doc_length / 100.0 AS x3, cos_q AS x4,
+        |             CASE WHEN sum_tf >= 15 THEN 1.0 ELSE 0.0 END AS y
+        |      FROM fm)""".stripMargin,
+      passCte("p1", "d", margin0, withAcc = false),
+      """w1 AS (SELECT round(0.0 - g1, 6) AS w1, round(0.0 - g2, 6) AS w2,
+        |              round(0.0 - g3, 6) AS w3, round(0.0 - g4, 6) AS w4,
+        |              round(0.0 - gb, 6) AS b FROM p1)""".stripMargin,
+      passCte("p2", "d, w1 w", margin("w"), withAcc = true),
+      """w2 AS (SELECT round(w.w1 - p.g1, 6) AS w1, round(w.w2 - p.g2, 6) AS w2,
+        |              round(w.w3 - p.g3, 6) AS w3, round(w.w4 - p.g4, 6) AS w4,
+        |              round(w.b - p.gb, 6) AS b FROM w1 w, p2 p)""".stripMargin,
+      passCte("p3", "d, w2 w", margin("w"), withAcc = true),
+      """w3 AS (SELECT round(w.w1 - p.g1, 6) AS w1, round(w.w2 - p.g2, 6) AS w2,
+        |              round(w.w3 - p.g3, 6) AS w3, round(w.w4 - p.g4, 6) AS w4,
+        |              round(w.b - p.gb, 6) AS b FROM w2 w, p3 p)""".stripMargin,
+      passCte("p4", "d, w3 w", margin("w"), withAcc = true)
+    ).mkString(",\n")
+  }
+
   /** SGNS frozen-context training mirror (SkipGram.train): walk
     * skip-gram pairs → negative by md5-fold rank over the id-sorted
     * node list (with the false-negative zero-weight guard) → per-pair
@@ -582,6 +654,19 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
       // — its oracle IS bm25_search's full-scoring SQL (pruning is a
       // plan optimization, never a semantics change)
       s"WITH $bm25Ctes SELECT doc_id, score FROM top10",
+
+    "search_pruned_incremental" ->
+      // the delta-merged bounds must equal the BATCH build exactly —
+      // the oracle is Search.termBounds over the full corpus (per-word
+      // max of the BM25 partial, 6dp-pinned): max is attained on the
+      // (tf, min-dl) skyline, so the engine's mergeable state loses
+      // nothing
+      s"""WITH $indexCtes
+        |SELECT t.word,
+        |       round(max(i.idf * (t.term_freq * (1.2 + 1)) /
+        |                 (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))), 6) AS ub
+        |FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+        |GROUP BY t.word ORDER BY t.word""".stripMargin,
 
     "j3_sql_bm25" ->
       s"WITH $bm25Ctes SELECT doc_id, score FROM top10",
@@ -2947,14 +3032,19 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |FROM cont ORDER BY cluster, label""".stripMargin,
 
     "ml_knn_classify" ->
-      // k-NN eval mirror: md5-fold bucket-0 holdout, 5-NN by cosine
+      // k-NN eval mirror: md5-fold bucket-0 holdout SIZE-BOUNDED to the
+      // 256 lowest-(hash, vec_id) rows (the engine's TakeOrdered cap —
+      // binds only above ~sf0.13; the broadcast side stays fixed at any
+      // corpus size), 5-NN by cosine
       // ((cos DESC, vec_id) — the sim_knn ranking), majority vote with
       // (votes DESC, label ASC) tie-break, confusion + per-true-label
       // share (the lang_id_confusion shape)
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
-        |b AS (SELECT vec_id, ve, label, ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % 10 AS bkt FROM v),
-        |te AS (SELECT vec_id AS query_id, ve AS qe, label FROM b WHERE bkt = 0),
-        |tr AS (SELECT vec_id, ve, label FROM b WHERE bkt <> 0),
+        |b AS (SELECT vec_id, ve, label, ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} AS h FROM v),
+        |te AS (SELECT vec_id AS query_id, ve AS qe, label FROM (
+        |         SELECT vec_id, ve, label, row_number() OVER (ORDER BY h, vec_id) AS hrk
+        |         FROM b WHERE h % 10 = 0) WHERE hrk <= 256),
+        |tr AS (SELECT vec_id, ve, label FROM b WHERE h % 10 <> 0),
         |sc AS (SELECT te.query_id, tr.vec_id, tr.label,
         |              list_dot_product(te.qe, tr.ve) / (sqrt(list_dot_product(te.qe, te.qe)) * sqrt(list_dot_product(tr.ve, tr.ve))) AS cos
         |       FROM te CROSS JOIN tr),
@@ -4638,6 +4728,40 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |       min(media_id) AS keeper_media_id
         |FROM bits GROUP BY phash ORDER BY phash""".stripMargin,
 
+    "multimodal_phash_near" ->
+      // grid=8 pixel-formula hash (the multimodal_phash_dedup mirror at
+      // 64 bits; empty blocks of narrow images contribute no bit on
+      // either engine), then the dedup_simhash_near banding shape:
+      // 4 bands × 16 bits, bucket-capped equality self-join, full-hash
+      // verify at hamming ≤ 3
+      """WITH d AS (SELECT doc_id AS media_id,
+        |                  CAST(3 + doc_id % 14 AS BIGINT) AS w,
+        |                  CAST(2 + doc_id % 9 AS BIGINT) AS h
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |px AS (SELECT media_id, w, h, i % w AS x, i // w AS y,
+        |              (media_id * 5 + (i // w) * 17 + (i % w) * 7) % 256
+        |            + (media_id * 5 + (i // w) * 17 + (i % w) * 7 + 29) % 256
+        |            + (media_id * 5 + (i // w) * 17 + (i % w) * 7 + 58) % 256 AS g
+        |       FROM (SELECT media_id, w, h, unnest(range(0, w * h)) AS i FROM d)),
+        |bl AS (SELECT media_id, (y * 8 // h) * 8 + (x * 8 // w) AS b,
+        |              sum(g) AS bs, count(*) AS bc
+        |       FROM px GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(g) AS ts, count(*) AS tc FROM px GROUP BY 1),
+        |bits AS (SELECT bl.media_id,
+        |                CAST(sum(CASE WHEN bs * tc > ts * bc
+        |                          THEN CASE WHEN b = 63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << b) END
+        |                          ELSE 0 END) AS BIGINT) AS phash
+        |         FROM bl JOIN tot USING (media_id) GROUP BY 1),
+        |bands AS (SELECT media_id, phash, unnest(range(0, 4)) AS band FROM bits),
+        |bk AS (SELECT media_id, phash, band, (phash >> CAST(band * 16 AS BIGINT)) & 65535 AS bkey FROM bands),
+        |ok AS (SELECT band, bkey FROM bk GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+        |                CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+        |         FROM bk a JOIN ok ON a.band = ok.band AND a.bkey = ok.bkey
+        |         JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id)
+        |SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
+
     "multimodal_wav_dedup" ->
       // sample-formula mirror of encodeWav + audioHash(windows=4):
       // sample(i) = ((id*13 + i*97) % 2001) - 1000, window = i*4 // n,
@@ -5073,33 +5197,64 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
       // aggregates over matched query terms, embedding cosine to the
       // vec-0 query vector (the hybrid_rrf idiom), left-joined with a
       // 0.0 default
-      s"""WITH $indexCtes,
-        |scored AS (
-        |  SELECT t.doc_id,
-        |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
-        |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
-        |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
-        |  WHERE t.word IN ($SearchTermsSql)
-        |  GROUP BY t.doc_id),
-        |top AS (SELECT doc_id, round(s, 4) AS bm25 FROM scored
-        |        ORDER BY round(s, 4) DESC, doc_id LIMIT 50),
-        |lex AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_matched,
-        |               CAST(sum(t.term_freq) AS BIGINT) AS sum_tf,
-        |               round(sum(round(i.idf, 6)), 6) AS sum_idf
-        |        FROM tf t JOIN idf i USING (word) JOIN top USING (doc_id)
-        |        WHERE t.word IN ($SearchTermsSql)
-        |        GROUP BY t.doc_id),
-        |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
-        |qv AS (SELECT ve AS qe FROM emb WHERE vec_id = 0),
-        |cs AS (SELECT vec_id AS doc_id,
-        |              round(list_dot_product(ve, qe) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qe, qe))), 6) AS cos_q
-        |       FROM emb CROSS JOIN qv)
-        |SELECT top.doc_id, top.bm25, lex.n_matched, lex.sum_tf, lex.sum_idf,
-        |       dl.doc_length, coalesce(cs.cos_q, 0.0) AS cos_q
-        |FROM top JOIN lex ON lex.doc_id = top.doc_id
-        |JOIN dl ON dl.doc_id = top.doc_id
-        |LEFT JOIN cs ON cs.doc_id = top.doc_id
-        |ORDER BY top.bm25 DESC, top.doc_id""".stripMargin,
+      s"""WITH $ltrCtes
+        |SELECT doc_id, bm25, n_matched, sum_tf, sum_idf, doc_length, cos_q
+        |FROM fm ORDER BY bm25 DESC, doc_id""".stripMargin,
+
+    "ml_ltr_train" ->
+      // the LTR training mirror: the shared feature CTEs, the scaled
+      // features / graded-tf label, and the logregW3Ctes unroll with
+      // FOUR features — gradients/weights 6dp-pinned per pass, acc of
+      // step i reported from pass i+1 (LogReg.fit's pending rule)
+      s"""WITH $ltrCtes,
+        |$ltrLogregCtes
+        |SELECT CAST(1 AS BIGINT) AS iter, w1.w1 AS w_bm25, w1.w2 AS w_tf, w1.w3 AS w_len, w1.w4 AS w_cos, w1.b AS bias, p2.acc AS train_acc FROM w1, p2
+        |UNION ALL SELECT CAST(2 AS BIGINT), w2.w1, w2.w2, w2.w3, w2.w4, w2.b, p3.acc FROM w2, p3
+        |UNION ALL SELECT CAST(3 AS BIGINT), w3.w1, w3.w2, w3.w3, w3.w4, w3.b, p4.acc FROM w3, p4
+        |ORDER BY iter""".stripMargin,
+
+    "search_ltr_rerank" ->
+      // rescoring mirror: margin at the final (w3) weights in the
+      // engine's exact left-assoc operand order, rational sigmoid
+      // 6dp-pinned, ranks by (ltr_score DESC, doc_id) and
+      // (bm25 DESC, doc_id) over the 50-row pool, LTR top-10
+      s"""WITH $ltrCtes,
+        |$ltrLogregCtes,
+        |sc AS (SELECT doc_id, bm25, round(0.5 + 0.5 * t / (1.0 + abs(t)), 6) AS ltr_score
+        |       FROM (SELECT fm.doc_id, fm.bm25,
+        |                    (w.b + fm.bm25 * w.w1 + (fm.sum_tf / 20.0) * w.w2
+        |                     + (fm.doc_length / 100.0) * w.w3 + fm.cos_q * w.w4) AS t
+        |             FROM fm, w3 w)),
+        |rk AS (SELECT doc_id, bm25, ltr_score,
+        |              CAST(row_number() OVER (ORDER BY ltr_score DESC, doc_id) AS BIGINT) AS rank_ltr,
+        |              CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_bm25
+        |       FROM sc)
+        |SELECT doc_id, bm25, ltr_score, rank_ltr, rank_bm25
+        |FROM rk WHERE rank_ltr <= 10 ORDER BY rank_ltr""".stripMargin,
+
+    "search_ltr_eval_delta" ->
+      // pool-restricted nDCG@10 mirror: gain = sum_tf, the three rank
+      // assignments over the 50-row pool, 9dp-pinned per-row DCG
+      // contributions (the search_eval_ndcg log2 pairing), 6dp finals
+      s"""WITH $ltrCtes,
+        |$ltrLogregCtes,
+        |sc AS (SELECT doc_id, sum_tf, bm25, round(0.5 + 0.5 * t / (1.0 + abs(t)), 6) AS ltr_score
+        |       FROM (SELECT fm.doc_id, fm.sum_tf, fm.bm25,
+        |                    (w.b + fm.bm25 * w.w1 + (fm.sum_tf / 20.0) * w.w2
+        |                     + (fm.doc_length / 100.0) * w.w3 + fm.cos_q * w.w4) AS t
+        |             FROM fm, w3 w)),
+        |rk AS (SELECT sum_tf AS gain,
+        |              row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rb,
+        |              row_number() OVER (ORDER BY ltr_score DESC, doc_id) AS rl,
+        |              row_number() OVER (ORDER BY sum_tf DESC, doc_id) AS ri
+        |       FROM sc),
+        |ag AS (SELECT sum(CASE WHEN rb <= 10 THEN round(gain / log2(rb + 1.0), 9) ELSE 0.0 END) AS db,
+        |              sum(CASE WHEN rl <= 10 THEN round(gain / log2(rl + 1.0), 9) ELSE 0.0 END) AS dl2,
+        |              sum(CASE WHEN ri <= 10 THEN round(gain / log2(ri + 1.0), 9) ELSE 0.0 END) AS di
+        |       FROM rk)
+        |SELECT round(db / di, 6) AS ndcg10_bm25, round(dl2 / di, 6) AS ndcg10_ltr,
+        |       round(round(dl2 / di, 6) - round(db / di, 6), 6) AS delta
+        |FROM ag""".stripMargin,
 
     "stats_bh_fdr" ->
       // mirrors the per-segment permutation p-values (the

@@ -314,7 +314,12 @@ object ScaleBench {
     // seeds' component and the measured growth must come from the
     // edge build + symmetrize alone (near-flat is the honest bar; a
     // growing ratio would mean per-source cost leaks corpus scale)
-    "graph_betweenness")
+    "graph_betweenness",
+    // r13 addition: k-NN eval after the holdout SIZE bound (r12 verdict
+    // #4) — the query side is TakeOrdered-capped at 256 rows, so the
+    // scoring scan is O(N·256) and the measured growth must track the
+    // corpus alone (the old N/10 fractional holdout made it N²/10)
+    "ml_knn_classify")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -114,8 +114,10 @@ class MiningSpec extends SparkSpec {
     val corpus = vecs.select("vec_id", "embedding")
     val q = corpus.filter(col("vec_id") < 2)
     // nprobe = nCentroids → every cell probed → the filter is the only
-    // difference from exact search over the filtered corpus
-    val filtered = Similarity.ivfTopK(corpus, q, k = 3, nCentroids = 4,
+    // difference from exact search over the filtered corpus. The corpus
+    // frame carries `label` explicitly — ivfTopK validates filter
+    // references against the passed frame (r12 ADVICE)
+    val filtered = Similarity.ivfTopK(vecs, q, k = 3, nCentroids = 4,
         nprobe = 4, candidateFilter = Some(col("label") === 1))
       .select("query_id", "vec_id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet

@@ -62,4 +62,43 @@ class PhashSpec extends SparkSpec {
       .collect().map(_.getLong(3)).toSet
     assert(hashes == Set(0L))
   }
+
+  test("hammingNearDup finds planted near-identical hashes, not far ones") {
+    import spark.implicits._
+    val base = 0x1234_5678_9ABC_DEF0L
+    val planted = Seq(
+      (1L, base),                         // anchor
+      (2L, base ^ (1L << 3)),             // 1 bit off  → near
+      (3L, base ^ (1L << 3) ^ (1L << 40)),// 2 bits off → near
+      (4L, base),                         // exact dup  → hamming 0
+      (5L, base ^ 0x0F0F_0F0F_0F0F_0F0FL),// 32 bits off → far
+      (6L, 0x8000_0000_0000_0001L),       // sign bit set — mask must strip
+      (7L, 0x8000_0000_0000_0003L)        // 1 bit from 6 → near
+    ).toDF("media_id", "phash")
+    val got = Dedup.hammingNearDup(planted, "media_id", "phash",
+        bits = 64, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 2L), (1L, 4L, 0L),
+      (2L, 3L, 1L), (2L, 4L, 1L), (3L, 4L, 2L), (6L, 7L, 1L)))
+  }
+
+  test("banded pairs over real ppm media equal the brute-force all-pairs check") {
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val hashes = Multimodal.averageHash(Multimodal.ppmTable(docs), grid = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(3))
+    val expect = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    val got = Dedup.hammingNearDup(
+        Multimodal.averageHash(Multimodal.ppmTable(docs), grid = 8),
+        "media_id", "phash", bits = 64, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // pigeonhole is lossless at maxHamming < bands (no bucket caps hit
+    // at this fixture size), so banded == brute force exactly
+    assert(got == expect)
+    assert(expect.nonEmpty, "fixture should contain at least one near pair")
+  }
 }
