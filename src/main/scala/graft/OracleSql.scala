@@ -311,13 +311,40 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
     * reads epoch k−1's pinned weights through a 4-column wide pivot —
     * the identical chain repeated, exactly like the Scala loop.
     */
-  private def skipgramOracle(epochs: Int): String = {
-    def u(node: String, i: String) = s"((($node) * 31 + ($i) * 17) % 13 - 6) / 10.0"
-    def v(node: String, i: String) = s"((($node) * 29 + ($i) * 23) % 11 - 5) / 10.0"
+  private def sgU(node: String, i: String) = s"((($node) * 31 + ($i) * 17) % 13 - 6) / 10.0"
+  private def sgV(node: String, i: String) = s"((($node) * 29 + ($i) * 23) % 11 - 5) / 10.0"
+
+  /** The skip-gram pair + seeded-negative CTEs (walks → window-2 pairs
+    * → md5-fold negative with the false-negative zero weight) — shared
+    * by the u-epoch unroll and the v half-step mirror.
+    */
+  private lazy val sgPairCtes: String =
+    s"""$randomWalkCtes,
+      |pr AS (SELECT a.node AS center, b.node AS context
+      |       FROM walks a JOIN walks b ON a.seed = b.seed
+      |        AND a.step <> b.step AND abs(a.step - b.step) <= 2),
+      |sg AS (SELECT center, context, CAST(count(*) AS BIGINT) AS n
+      |       FROM pr GROUP BY center, context),
+      |nodes AS (SELECT DISTINCT node FROM
+      |            (SELECT center AS node FROM sg UNION ALL SELECT context FROM sg)),
+      |rk AS (SELECT node, CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS rnk FROM nodes),
+      |cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM rk),
+      |pn AS (SELECT sg.center, sg.context, sg.n, rk.node AS neg,
+      |              CASE WHEN rk.node = sg.center OR rk.node = sg.context
+      |                   THEN 0.0 ELSE 1.0 END AS negw
+      |       FROM sg JOIN rk ON rk.rnk =
+      |         ${md5Hash60Sql("CAST(center AS VARCHAR) || '#' || CAST(context AS VARCHAR)")} % (SELECT nn FROM cnt) + 1)""".stripMargin
+
+  /** One u-epoch's CTE block (scored pairs → per-dim gradient sums →
+    * pinned update e$e; `needPivot` adds the wide pivot uw$e the NEXT
+    * consumer reads). Shared by [[skipgramOracle]] and the v-step.
+    */
+  private def sgEpochCtes(e: Int, needPivot: Boolean): String = {
+    val u = sgU _; val v = sgV _
     // epoch e's u-component i for the pair's center
-    def uRef(e: Int, i: Int): String =
-      if (e == 1) u("center", i.toString) else s"uw.u$i"
-    def epochCtes(e: Int): String = {
+    def uRef(ee: Int, i: Int): String =
+      if (ee == 1) u("center", i.toString) else s"uw.u$i"
+    locally {
       val dots = (0 until 4)
         .map(i => s"${uRef(e, i)} * ${v("context", i.toString)}").mkString(" + ")
       val dotsNeg = (0 until 4)
@@ -337,7 +364,7 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
       else
         s"""e$e AS (SELECT p.node, p.dim, round(p.value - g.g, 6) AS value
            |        FROM e${e - 1} p JOIN g$e g USING (node, dim))""".stripMargin
-      val pivot = if (e == epochs) "" else {
+      val pivot = if (!needPivot) "" else {
         val cols = (0 until 4)
           .map(i => s"max(CASE WHEN dim = $i THEN value END) AS u$i")
           .mkString(", ")
@@ -353,23 +380,48 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
          |g$e AS ($gUnion),
          |$update$pivot""".stripMargin
     }
-    s"""WITH $randomWalkCtes,
-      |pr AS (SELECT a.node AS center, b.node AS context
-      |       FROM walks a JOIN walks b ON a.seed = b.seed
-      |        AND a.step <> b.step AND abs(a.step - b.step) <= 2),
-      |sg AS (SELECT center, context, CAST(count(*) AS BIGINT) AS n
-      |       FROM pr GROUP BY center, context),
-      |nodes AS (SELECT DISTINCT node FROM
-      |            (SELECT center AS node FROM sg UNION ALL SELECT context FROM sg)),
-      |rk AS (SELECT node, CAST(row_number() OVER (ORDER BY node) AS BIGINT) AS rnk FROM nodes),
-      |cnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM rk),
-      |pn AS (SELECT sg.center, sg.context, sg.n, rk.node AS neg,
-      |              CASE WHEN rk.node = sg.center OR rk.node = sg.context
-      |                   THEN 0.0 ELSE 1.0 END AS negw
-      |       FROM sg JOIN rk ON rk.rnk =
-      |         ${md5Hash60Sql("CAST(center AS VARCHAR) || '#' || CAST(context AS VARCHAR)")} % (SELECT nn FROM cnt) + 1),
-      |${(1 to epochs).map(epochCtes).mkString(",\n")}
+  }
+
+  private def skipgramOracle(epochs: Int): String =
+    s"""WITH $sgPairCtes,
+      |${(1 to epochs).map(e => sgEpochCtes(e, needPivot = e != epochs)).mkString(",\n")}
       |SELECT node, dim, value FROM e$epochs ORDER BY node, dim""".stripMargin
+
+  /** The v half-step mirror (SkipGram.trainContextEpoch at uEpochs=1):
+    * epoch-1 u (pivoted wide), the SAME pair+negative table rescored
+    * against it, each pair's TWO keyed contributions (context node:
+    * n·(spos−1); drawn negative: n·negw·sneg) unioned, per-(node, dim)
+    * gradient sums of 9dp-pinned f·u_i addends under the 6dp pin, then
+    * the pinned update off the vInit lattice.
+    */
+  private def skipgramVstepOracle: String = {
+    val v = sgV _
+    val dots = (0 until 4)
+      .map(i => s"uw.u$i * ${v("context", i.toString)}").mkString(" + ")
+    val dotsNeg = (0 until 4)
+      .map(i => s"uw.u$i * ${v("neg", i.toString)}").mkString(" + ")
+    val gDims = (0 until 4).map { i =>
+      s"""gv_$i AS (SELECT node, CAST($i AS BIGINT) AS dim,
+         |           round(0.1 * sum(round(f * u$i, 9)), 6) AS g
+         |    FROM co GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    val gUnion = (0 until 4).map(i => s"SELECT * FROM gv_$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $sgPairCtes,
+      |${sgEpochCtes(1, needPivot = true)},
+      |scv AS (SELECT center, context, n, neg, negw, u0, u1, u2, u3,
+      |              0.5 + 0.5 * tpos / (1.0 + abs(tpos)) AS spos,
+      |              0.5 + 0.5 * tneg / (1.0 + abs(tneg)) AS sneg
+      |       FROM (SELECT pn.*, uw.u0, uw.u1, uw.u2, uw.u3, $dots AS tpos,
+      |                    $dotsNeg AS tneg
+      |             FROM pn JOIN uw1 uw ON uw.node = pn.center)),
+      |co AS (SELECT context AS node, n * (spos - 1.0) AS f, u0, u1, u2, u3 FROM scv
+      |       UNION ALL
+      |       SELECT neg AS node, n * negw * sneg AS f, u0, u1, u2, u3 FROM scv),
+      |$gDims,
+      |gv AS ($gUnion)
+      |SELECT node, dim, round(${v("node", "dim")} - g, 6) AS value
+      |FROM gv ORDER BY node, dim""".stripMargin
   }
 
   /** DuckDB literal for a hyperplane weight vector (sim_lsh_buckets). */
@@ -5141,6 +5193,8 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
 
     "ml_skipgram_train2" -> skipgramOracle(2),
 
+    "ml_skipgram_vstep" -> skipgramVstepOracle,
+
     "search_prf_expand" ->
       // mirrors the Rocchio/Ide PRF: BM25 top-10 feedback docs, top-5
       // expansion terms by Σ tf·idf (6dp pins, original terms
@@ -5875,6 +5929,50 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |       round((u1 * 1000.0 + u2 * CAST(v2p AS DOUBLE)) / 1000.0, 6) AS pred_probe
         |FROM u, pv ORDER BY user_id""".stripMargin,
 
+    "ml_als_item" ->
+      // mirrors Als.itemHalfStep: the user half-step CTEs (verbatim),
+      // ×1000 quantization of the pinned u's, exact BIGINT per-item
+      // moments, fixed-shape DOUBLE determinant solve
+      s"""WITH r AS (SELECT o.o_custkey AS user_id, l.l_partkey AS item, CAST(sum(l.l_quantity) AS BIGINT) AS r
+        |           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1, 2),
+        |v AS (SELECT user_id, r, ${md5Hash60Sql("concat_ws('|', 'als', item)")} % 2001 - 1000 AS v2 FROM r),
+        |a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_items,
+        |             CAST(sum(1000 * 1000) AS BIGINT) AS m11,
+        |             CAST(sum(1000 * v2) AS BIGINT) AS m12,
+        |             CAST(sum(v2 * v2) AS BIGINT) AS m22,
+        |             CAST(sum(r * 1000) AS BIGINT) AS b1,
+        |             CAST(sum(r * v2) AS BIGINT) AS b2
+        |      FROM v GROUP BY 1),
+        |s AS (SELECT user_id, n_items, m11, m12, m22,
+        |             (m11 + 100000) * (m22 + 100000) - m12 * m12 AS det,
+        |             1000 * b1 AS c1, 1000 * b2 AS c2 FROM a),
+        |u AS (SELECT user_id,
+        |             round(CAST((m22 + 100000) * c1 - m12 * c2 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS u1,
+        |             round(CAST((m11 + 100000) * c2 - m12 * c1 AS DOUBLE) / CAST(det AS DOUBLE), 6) AS u2
+        |      FROM s),
+        |jq AS (SELECT r.item, r.r,
+        |              CAST(floor(u.u1 * 1000.0 + 0.5) AS BIGINT) AS q1,
+        |              CAST(floor(u.u2 * 1000.0 + 0.5) AS BIGINT) AS q2
+        |       FROM r JOIN u USING (user_id)),
+        |ai AS (SELECT item, CAST(count(*) AS BIGINT) AS n_users,
+        |              CAST(sum(q1 * q1) AS BIGINT) AS m11,
+        |              CAST(sum(q1 * q2) AS BIGINT) AS m12,
+        |              CAST(sum(q2 * q2) AS BIGINT) AS m22,
+        |              CAST(sum(r * q1) AS BIGINT) AS b1,
+        |              CAST(sum(r * q2) AS BIGINT) AS b2
+        |       FROM jq GROUP BY 1),
+        |sd AS (SELECT item, n_users,
+        |              CAST(m11 AS DOUBLE) AS m11d, CAST(m12 AS DOUBLE) AS m12d,
+        |              CAST(m22 AS DOUBLE) AS m22d,
+        |              1000.0 * CAST(b1 AS DOUBLE) AS c1, 1000.0 * CAST(b2 AS DOUBLE) AS c2
+        |       FROM ai)
+        |SELECT item, n_users,
+        |       round(((m22d + 100000.0) * c1 - m12d * c2)
+        |             / ((m11d + 100000.0) * (m22d + 100000.0) - m12d * m12d), 6) AS v1,
+        |       round(((m11d + 100000.0) * c2 - m12d * c1)
+        |             / ((m11d + 100000.0) * (m22d + 100000.0) - m12d * m12d), 6) AS v2
+        |FROM sd ORDER BY item""".stripMargin,
+
     "ts_segmented_trend" ->
       // the ts_cusum_changepoint CTEs locate the split day; x = global
       // series position (≡ the engine's PrefixSum cum_one — integer
@@ -6061,6 +6159,41 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
         |SELECT ne.c AS component, ne.n_eff, round(ne.n_eff / CAST(nn.n AS DOUBLE), 6) AS pi, sh.mean_shift
         |FROM ne JOIN sh ON ne.c = sh.c, nn ORDER BY component""".stripMargin,
+
+    "ml_gmm_em2" ->
+      // the em1 chain continued: EM-1's pinned per-(c, dim) means
+      // reassemble into pos-ordered lists (list_dot_product pairs with
+      // the engine's fixed left-to-right dot — the em1-proven pairing),
+      // then the identical E/M block runs once more; mean_shift is
+      // ‖μ₂ − μ₁‖² off the pinned tables
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |mu AS (SELECT vec_id AS c, ve AS mu FROM v WHERE vec_id < 4),
+        |sc AS (SELECT v.vec_id, v.ve, mu.c,
+        |              -0.5 * (list_dot_product(v.ve, v.ve) - 2.0 * list_dot_product(v.ve, mu.mu) + list_dot_product(mu.mu, mu.mu)) AS s
+        |       FROM v CROSS JOIN mu),
+        |e1 AS (SELECT vec_id, ve, c, exp(s - max(s) OVER (PARTITION BY vec_id)) AS ex FROM sc),
+        |r AS (SELECT vec_id, ve, c, round(ex / sum(ex) OVER (PARTITION BY vec_id), 6) AS r FROM e1),
+        |ne1 AS (SELECT c, round(sum(r), 6) AS n_eff FROM r GROUP BY c),
+        |n1 AS (SELECT r.c, d.i AS pos, round(sum(r.r * r.ve[d.i]), 6) AS sxr
+        |       FROM r CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+        |       GROUP BY r.c, d.i),
+        |m1 AS (SELECT n1.c, n1.pos, round(n1.sxr / ne1.n_eff, 6) AS m FROM n1 JOIN ne1 ON n1.c = ne1.c),
+        |mu1 AS (SELECT c, list(m ORDER BY pos) AS mu FROM m1 GROUP BY c),
+        |sc2 AS (SELECT v.vec_id, v.ve, mu1.c,
+        |              -0.5 * (list_dot_product(v.ve, v.ve) - 2.0 * list_dot_product(v.ve, mu1.mu) + list_dot_product(mu1.mu, mu1.mu)) AS s
+        |        FROM v CROSS JOIN mu1),
+        |e2 AS (SELECT vec_id, ve, c, exp(s - max(s) OVER (PARTITION BY vec_id)) AS ex FROM sc2),
+        |r2 AS (SELECT vec_id, ve, c, round(ex / sum(ex) OVER (PARTITION BY vec_id), 6) AS r FROM e2),
+        |ne2 AS (SELECT c, round(sum(r), 6) AS n_eff FROM r2 GROUP BY c),
+        |n2 AS (SELECT r2.c, d.i AS pos, round(sum(r2.r * r2.ve[d.i]), 6) AS sxr
+        |       FROM r2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+        |       GROUP BY r2.c, d.i),
+        |m2 AS (SELECT n2.c, n2.pos, round(n2.sxr / ne2.n_eff, 6) AS m FROM n2 JOIN ne2 ON n2.c = ne2.c),
+        |sh AS (SELECT m2.c, round(sum((m2.m - m1.m) * (m2.m - m1.m)), 6) AS mean_shift
+        |       FROM m2 JOIN m1 ON m2.c = m1.c AND m2.pos = m1.pos GROUP BY m2.c),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
+        |SELECT ne2.c AS component, ne2.n_eff, round(ne2.n_eff / CAST(nn.n AS DOUBLE), 6) AS pi, sh.mean_shift
+        |FROM ne2 JOIN sh ON ne2.c = sh.c, nn ORDER BY component""".stripMargin,
 
     "stream_cusum_alarm" ->
       // batch mirror of the streamed daily-total CUSUM: reference μ/σ

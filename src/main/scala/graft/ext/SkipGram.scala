@@ -80,19 +80,23 @@ object SkipGram {
     * systematically disagree. Measured on the gate fixture; hence
     * this ordering.)
     */
-  def train(pairs: DataFrame, dim: Int = 4, lr: Double = 0.1,
-      epochs: Int = 1): DataFrame = {
-    require(dim >= 1 && dim <= 16, "dim in [1,16] — unrolled per-dim columns")
-    require(epochs >= 1 && epochs <= 8, "epochs in [1,8] — fixed unrolled loop")
-    val p = graft.Caches.persist(
-      pairs.select(col("center"), col("context"), col("n")))
-    // id-sorted rank over every walk-visited node — the negative-sample
-    // universe. Global rank via the PrefixSum two-phase scan (rank =
-    // running count of 1s over ascending node id), NOT an
-    // unpartitioned window (banned repo-wide — PlanSmellSpec): node
-    // ids are distinct post-distinct, so cum_one IS the 1-based rank.
-    // 64k-id buckets keep the carry ledger broadcast-small up to
-    // multi-billion-id spaces.
+  /** The seeded negative draw for every pair — shared by the u-epochs
+    * ([[train]]) and the v half-step ([[trainContextEpoch]]): both
+    * sides of the alternation must see the SAME pair+negative table.
+    *
+    * Id-sorted rank over every walk-visited node (the negative-sample
+    * universe) via the PrefixSum two-phase scan (rank = running count
+    * of 1s over ascending node id), NOT an unpartitioned window
+    * (banned repo-wide — PlanSmellSpec): node ids are distinct
+    * post-distinct, so cum_one IS the 1-based rank. 64k-id buckets
+    * keep the carry ledger broadcast-small up to multi-billion-id
+    * spaces. False-negative guard (Mikolov's sampler re-draws when the
+    * negative hits the target pair): a draw equal to the pair's center
+    * or its TRUE context would push the embedding exactly against the
+    * signal it just learned — such draws contribute a ZERO negative
+    * term instead (deterministically mirrored in SQL).
+    */
+  private def negSampled(p: DataFrame): DataFrame = {
     val nodes = p.select(col("center").as("node"))
       .unionAll(p.select(col("context").as("node")))
       .distinct()
@@ -101,13 +105,7 @@ object SkipGram {
           Seq("__one"), bucketSize = 1L << 16)
         .select(col("node"), col("cum___one").as("rnk")))
     val nn = ranked.count() // S4 scalar — the mod base, a literal below
-    // false-negative guard (Mikolov's sampler re-draws when the
-    // negative hits the target pair): a draw equal to the pair's
-    // center or its TRUE context would push the embedding exactly
-    // against the signal it just learned — such draws contribute a
-    // ZERO negative term instead (deterministically mirrored in SQL)
-    val withNeg = graft.Caches.persist(p
-      .withColumn("rnk",
+    p.withColumn("rnk",
         Dedup.md5Hash60(concat_ws("#", col("center"), col("context")))
           % lit(nn) + 1)
       .join(ranked, Seq("rnk"))
@@ -115,7 +113,16 @@ object SkipGram {
         when(col("node") === col("center") || col("node") === col("context"),
           lit(0.0)).otherwise(lit(1.0)))
       .select(col("center"), col("context"), col("n"),
-        col("node").as("neg"), col("negw")))
+        col("node").as("neg"), col("negw"))
+  }
+
+  def train(pairs: DataFrame, dim: Int = 4, lr: Double = 0.1,
+      epochs: Int = 1): DataFrame = {
+    require(dim >= 1 && dim <= 16, "dim in [1,16] — unrolled per-dim columns")
+    require(epochs >= 1 && epochs <= 8, "epochs in [1,8] — fixed unrolled loop")
+    val p = graft.Caches.persist(
+      pairs.select(col("center"), col("context"), col("n")))
+    val withNeg = graft.Caches.persist(negSampled(p))
 
     // u state across epochs: None → the closed-form init; Some(w) →
     // the previous epoch's node-bounded WIDE weight table (node,
@@ -174,6 +181,65 @@ object SkipGram {
     // table via posexplode over the dim array
     uWide.get.select(col("node"),
         posexplode(array((0 until dim).map(i => col(s"u$i")): _*))
+          .as(Seq("dim", "value")))
+      .select(col("node"), col("dim").cast("long").as("dim"), col("value"))
+  }
+
+  /** One CONTEXT-vector (v) half-step from PINNED u — the alternating
+    * step that completes [[train]]'s frozen-v epochs (r12 VERDICT #8):
+    * u comes from `train(pairs, dim, lr, uEpochs)` (6dp-pinned, held
+    * bit-identically by both engines), v starts at the [[vInit]]
+    * lattice and takes ONE full-batch gradient step
+    *
+    *   ∂/∂v_m = Σ_{(c,o): o=m} n·(σ(u_c·v_o) − 1)·u_c
+    *          + Σ_{(c,o): neg=m} n·negw·σ(u_c·v_neg)·u_c
+    *
+    * — the u-step's (node, dim) hash aggregate TRANSPOSED: each scored
+    * pair emits TWO keyed contributions (its context node and its
+    * drawn negative) through one explode, then ONE map-side-combined
+    * aggregate. The pair+negative table is the SAME [[negSampled]]
+    * draw the u-epochs trained against. Addends are 9dp-pinned under
+    * the 6dp sum pin (the train convention); update = vInit − g, 6dp.
+    * Output: (node, dim, value) for every node occurring as a context
+    * or drawn negative (all other nodes keep the init lattice).
+    */
+  def trainContextEpoch(pairs: DataFrame, dim: Int = 4, lr: Double = 0.1,
+      uEpochs: Int = 1): DataFrame = {
+    require(dim >= 1 && dim <= 16, "dim in [1,16] — unrolled per-dim columns")
+    val p = graft.Caches.persist(
+      pairs.select(col("center"), col("context"), col("n")))
+    val withNeg = graft.Caches.persist(negSampled(p))
+    // pinned u after uEpochs, pivoted wide (node-bounded — the
+    // oracle's max-CASE pivot, mirrored)
+    val uAggs = (0 until dim).map(i =>
+      max(when(col("dim") === i, col("value"))).as(s"u$i"))
+    val uw = train(pairs, dim, lr, uEpochs)
+      .groupBy(col("node").as("center"))
+      .agg(uAggs.head, uAggs.tail: _*)
+    val base = withNeg.join(uw, Seq("center"))
+    def dotUV(target: Column): Column =
+      (0 until dim).map(i => col(s"u$i") * vInit(target, lit(i)))
+        .reduce(_ + _)
+    val scored = base
+      .withColumn("spos", LogReg.fastSigmoid(dotUV(col("context"))))
+      .withColumn("sneg", LogReg.fastSigmoid(dotUV(col("neg"))))
+    val contrib = scored.select(
+      (0 until dim).map(i => col(s"u$i")) :+
+        explode(array(
+          struct(col("context").as("node"),
+            (col("n").cast("double") * (col("spos") - lit(1.0))).as("f")),
+          struct(col("neg").as("node"),
+            (col("n").cast("double") * col("negw") * col("sneg")).as("f"))))
+          .as("t"): _*)
+    val gAggs = (0 until dim).map { i =>
+      round(lit(lr) * sum(round(col("t.f") * col(s"u$i"), 9)), 6).as(s"g$i")
+    }
+    val gw = contrib.groupBy(col("t.node").as("node"))
+      .agg(gAggs.head, gAggs.tail: _*)
+    gw.select(col("node") +: (0 until dim).map(i =>
+        round(vInit(col("node"), lit(i)) - col(s"g$i"), 6).as(s"v$i")): _*)
+      .select(col("node"),
+        posexplode(array((0 until dim).map(i => col(s"v$i")): _*))
           .as(Seq("dim", "value")))
       .select(col("node"), col("dim").cast("long").as("dim"), col("value"))
   }
