@@ -460,27 +460,35 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
          |       GROUP BY t.s, e.dst),
          |disc$l AS (SELECT s, node FROM disc${l - 1} UNION ALL SELECT s, node FROM f$l)""".stripMargin
     }
-    val bDeep = s"b$depth AS (SELECT s, node, sigma, CAST(0 AS DOUBLE) AS delta FROM f$depth)"
+    // δ accumulation mirrored as EXACT INTEGERS (the r13 fix — see
+    // Graph.betweennessSeeds): addend = floor(raw·10⁹ + 0.5) (pure
+    // IEEE, bit-identical), BIGINT layer sums, integer half-up to 6dp
+    // via (d9 + 500) // 1000, δ = d6/10⁶ — no decimal-rounding
+    // function anywhere, so no boundary to disagree on
+    val bDeep = s"b$depth AS (SELECT s, node, sigma, CAST(0 AS DOUBLE) AS delta, CAST(0 AS BIGINT) AS d6 FROM f$depth)"
     val bwd = (depth - 1 to 0 by -1).map { l =>
-      s"""b$l AS (SELECT v.s, v.node, v.sigma, coalesce(c.delta, 0.0) AS delta
+      s"""b$l AS (SELECT v.s, v.node, v.sigma,
+         |              coalesce(CAST(c.d6 AS DOUBLE) / 1000000.0, 0.0) AS delta,
+         |              coalesce(c.d6, 0) AS d6
          |       FROM f$l v LEFT JOIN (
-         |         SELECT v2.s, v2.node,
-         |                round(sum((CAST(v2.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)) * (1.0 + w.delta)), 6) AS delta
-         |         FROM f$l v2 JOIN sym e ON e.src = v2.node
-         |         JOIN b${l + 1} w ON w.s = v2.s AND w.node = e.dst
-         |         GROUP BY v2.s, v2.node) c ON c.s = v.s AND c.node = v.node)""".stripMargin
+         |         SELECT s, node, (d9 + 500) // 1000 AS d6 FROM (
+         |           SELECT v2.s, v2.node,
+         |                  CAST(sum(CAST(floor((CAST(v2.sigma AS DOUBLE) / CAST(w.sigma AS DOUBLE)) * (1.0 + w.delta) * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS d9
+         |           FROM f$l v2 JOIN sym e ON e.src = v2.node
+         |           JOIN b${l + 1} w ON w.s = v2.s AND w.node = e.dst
+         |           GROUP BY v2.s, v2.node)) c ON c.s = v.s AND c.node = v.node)""".stripMargin
     }
-    val union = (0 until depth).map(l => s"SELECT s, node, delta FROM b$l")
+    val union = (0 until depth).map(l => s"SELECT s, node, d6 FROM b$l")
       .mkString(" UNION ALL ")
     s"""$base,
        |${fwd.mkString(",\n")},
        |$bDeep,
        |${bwd.mkString(",\n")}
-       |SELECT node, round(sum(delta), 6) AS dependency
+       |SELECT node, CAST(CAST(sum(d6) AS BIGINT) AS DOUBLE) / 1000000.0 AS dependency
        |FROM ($union)
        |WHERE node <> s
        |GROUP BY node
-       |HAVING round(sum(delta), 6) > 0
+       |HAVING sum(d6) > 0
        |ORDER BY node""".stripMargin
   }
 

@@ -319,7 +319,22 @@ object ScaleBench {
     // #4) — the query side is TakeOrdered-capped at 256 rows, so the
     // scoring scan is O(N·256) and the measured growth must track the
     // corpus alone (the old N/10 fractional holdout made it N²/10)
-    "ml_knn_classify")
+    "ml_knn_classify",
+    // r13 additions: the alternating second half-steps and the new
+    // candidate-join ops. ml_als_item = one ratings⋈user-factor join +
+    // one per-item BIGINT aggregate (the user step transposed — the
+    // boring-linear bar); ml_gmm_em2 = exactly 2× em1's E-cross/M-agg
+    // shape; ml_skipgram_vstep = the walk-bounded u-epoch plus one
+    // transposed gradient agg (near-flat — only the corpus-side walk
+    // build scales); search_pruned_incremental = two batch passes +
+    // a vocabulary-bounded state merge (linear in the split corpus);
+    // multimodal_phash_near = per-band equality self-joins over 64-bit
+    // aHashes — the pair-shaped step is bucket-capped, and the
+    // disjoint-replica synth grows buckets ∝ factor at constant
+    // per-bucket size, so candidates must stay ∝ N (a super-linear
+    // ratio here would mean the banding stopped binding)
+    "ml_als_item", "ml_gmm_em2", "ml_skipgram_vstep",
+    "search_pruned_incremental", "multimodal_phash_near")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

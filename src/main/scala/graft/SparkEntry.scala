@@ -537,6 +537,28 @@ object SparkEntry {
     s.read.parquet(StemmedFlatPath).localCheckpoint()
   })
 
+  /** The stemmed-fixture INDEX TABLES, built once per (session, dir)
+    * from [[stemmedFlatMemo]]'s checkpoint — the r13 close of the r12
+    * bench anomaly: `bm25_search_stemmed` called `buildFromFlat` inside
+    * every timed rep, paying the `count()` + Σdl scalar jobs each time
+    * (1.65 s driver vs 0.76 s idle — the rebuild, not box noise;
+    * ProbeQueries receipts in docs/PLANS.md). With the tables cached
+    * the per-rep cost is the scoring plan alone, exactly like
+    * `bm25_search` rides [[builtIndex]]'s cache. Session-keyed like
+    * [[builtIndex]] (a restarted session must not read tables bound to
+    * a stopped one); the underlying checkpoint's lifecycle stays with
+    * [[stemmedFlatMemo]].
+    */
+  private val stemmedIndexCache =
+    scala.collection.mutable.LinkedHashMap.empty[(String, String), graft.index.IndexTables]
+  private def stemmedIndex(s: SparkSession, dir: String): graft.index.IndexTables =
+    stemmedIndexCache.synchronized {
+      val sessionKey = System.identityHashCode(s).toString
+      stemmedIndexCache.filterInPlace { case ((sk, _), _) => sk == sessionKey }
+      stemmedIndexCache.getOrElseUpdate((sessionKey, dir),
+        Indexer.buildFromFlat(stemmedFlatMemo(s, dir)))
+    }
+
   /** The walk table itself is ~100 rows — checkpointed once per
     * (session, sfDir) so `graph_walk_skipgram` reuses
     * `graph_random_walk`'s E-sized adjacency ranking instead of
@@ -627,6 +649,7 @@ object SparkEntry {
     lpaLabelsMemo.reset()
     lpaWeightedLabelsMemo.reset()
     stemmedFlatMemo.reset()
+    stemmedIndexCache.synchronized(stemmedIndexCache.clear())
     termBoundsMemo.reset()
     ltrFeaturesMemo.reset()
     nbConfusionMemo.reset()
@@ -929,9 +952,10 @@ object SparkEntry {
       // stemmer runs once here, the flat (doc_id, word) table is exported
       // to Parquet, and BOTH engines build index + BM25 from those same
       // rows (query terms pre-stemmed driver-side on both sides too).
-      // Fixture build + write are hoisted into [[stemmedFlatMemo]]
-      // (once per session/dir — the r11 bench-swing fix).
-      val t = Indexer.buildFromFlat(stemmedFlatMemo(s, dir))
+      // Fixture build + write are hoisted into [[stemmedFlatMemo]];
+      // the index tables themselves into [[stemmedIndex]] (r13 — the
+      // per-rep buildFromFlat scalar jobs were the r12 bench swing).
+      val t = stemmedIndex(s, dir)
       Search.scoreTerms(t, StemmedTerms)
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("doc_id").asc)

@@ -834,8 +834,26 @@ object Graph {
       discovered = graft.Caches.persist(discovered.union(next.select("s", "node")))
       layers = next :: layers
     }
-    // layers.head = deepest; δ there is 0 by construction
-    var upper = layers.head.withColumn("delta", lit(0.0))
+    // layers.head = deepest; δ there is 0 by construction.
+    //
+    // Determinism (r13, replacing the per-layer round(sum, 6) pin):
+    // the raw addend (σ_v/σ_w)·(1+δ_w) is a dirty double, and a float
+    // sum of dirty doubles under a 6dp ROUND pin diverges cross-engine
+    // at scale (the r13 sf0.1 sweep: 12/19280 rows straddled the
+    // half-boundary; Spark rounds the shortest-decimal repr, DuckDB the
+    // binary value — and a 9dp addend pre-pin made it WORSE by parking
+    // quantized sums exactly ON boundaries). So the accumulation is
+    // now EXACT INTEGERS end to end: addend → floor(raw·10⁹ + 0.5)
+    // (pure IEEE ops — bit-identical on both engines), BIGINT layer
+    // sum (association-free), half-up to 6dp via INTEGER division
+    // ((d9+500) div 1000 — terms are positive), and δ = d6/10⁶ is one
+    // final division. No decimal-rounding function ever runs, so there
+    // is no boundary for the engines to disagree on. Overflow: layer
+    // sums ≤ Σ_neighbors (1+δ)·10⁹ — at δ ≤ 10⁶ and 10⁴ neighbors
+    // that is 10¹⁹-safe only to ~10³ neighbors·δ; the seed-bounded
+    // radius keeps real graphs orders below the 2⁶³ cliff.
+    var upper = layers.head
+      .withColumn("delta", lit(0.0)).withColumn("d6", lit(0L))
     val deps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     layers.tail.foreach { lower =>
       val contrib = sym
@@ -844,19 +862,25 @@ object Graph {
           col("sigma").as("sigma_w"), col("delta").as("delta_w")),
           Seq("s", "dst"))
         .select(col("s"), col("src").as("node"),
-          ((col("sigma").cast("double") / col("sigma_w").cast("double")) *
-            (lit(1.0) + col("delta_w"))).as("term"))
-        .groupBy("s", "node").agg(round(sum("term"), 6).as("delta"))
+          floor((col("sigma").cast("double") / col("sigma_w").cast("double")) *
+            (lit(1.0) + col("delta_w")) * lit(1000000000.0) + lit(0.5))
+            .as("t9"))
+        .groupBy("s", "node").agg(sum("t9").as("d9"))
+        .withColumn("d6", expr("(d9 + 500) div 1000"))
       upper = graft.Caches.persist(lower
         .join(contrib, Seq("s", "node"), "left")
         .select(col("s"), col("node"), col("sigma"),
-          coalesce(col("delta"), lit(0.0)).as("delta")))
+          coalesce(col("d6").cast("double") / lit(1000000.0), lit(0.0))
+            .as("delta"),
+          coalesce(col("d6"), lit(0L)).as("d6")))
       deps += upper
     }
     deps.reduce(_ unionByName _)
       .filter(col("node") =!= col("s"))
-      .groupBy("node").agg(round(sum("delta"), 6).as("dependency"))
-      .filter(col("dependency") > 0.0)
+      .groupBy("node").agg(sum("d6").as("dep6"))
+      .filter(col("dep6") > 0L)
+      .select(col("node"),
+        (col("dep6").cast("double") / lit(1000000.0)).as("dependency"))
       .orderBy("node")
   }
 
