@@ -2457,6 +2457,25 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |FROM sizes JOIN ssum USING (community) LEFT JOIN intra USING (community), ww
         |ORDER BY community""".stripMargin,
 
+    "graph_louvain_move" ->
+      // synchronous Louvain move mirror: exact-integer gain
+      // 2W·w_vu − s_v·s_u, per-node argmax by (gain2 DESC, u ASC),
+      // stay-singleton when no positive gain, top-25 sizes
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
+        |sym AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        |st AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS st FROM sym GROUP BY src),
+        |wt AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM e0),
+        |g AS (SELECT s.src AS v, s.dst AS u, 2 * wt.wtot * s.w - sv.st * su.st AS gain2
+        |      FROM sym s JOIN st sv ON sv.node = s.src JOIN st su ON su.node = s.dst, wt),
+        |b AS (SELECT v, u, gain2 FROM (
+        |        SELECT v, u, gain2, row_number() OVER (PARTITION BY v ORDER BY gain2 DESC, u ASC) AS rn
+        |        FROM g) WHERE rn = 1),
+        |lab AS (SELECT v AS node, CASE WHEN gain2 > 0 THEN u ELSE v END AS label FROM b)
+        |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM lab GROUP BY label ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin,
+
     "graph_local_clustering" ->
       // id-ordered triangle listing (a<b<c via e(a,b), e(b,c), e(a,c));
       // each triangle credits all three corners via UNION ALL — the
@@ -3024,6 +3043,29 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |SELECT r.day_us, r.y, r.trend, r.seasonal, r.resid,
         |       round(r.resid / sd.sigma, 4) AS z
         |FROM r, sd WHERE abs(r.resid) > 3.0 * sd.sigma ORDER BY r.day_us""".stripMargin,
+
+    "text_lm_kneser_ney" ->
+      // interpolated bigram KN mirror: one bigram-type table, c(w1·)
+      // and N1+(w1·) in one agg, N1+(·w2) in another, N1+(··) scalar;
+      // P_KN per type in the engine's exact operand order, per-doc
+      // round(avg(log10 P), 6) over bigram occurrences
+      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |occ AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2
+        |        FROM (SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bg
+        |              FROM d WHERE len(tk) >= 2)),
+        |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM occ GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1fw FROM c2 GROUP BY w1),
+        |np AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1bw FROM c2 GROUP BY w2),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM c2),
+        |ts AS (SELECT c2.w1, c2.w2,
+        |              log10(greatest(CAST(c2.c2 AS DOUBLE) - 0.75, 0.0) / CAST(c1.c1 AS DOUBLE)
+        |                    + (0.75 * CAST(c1.n1fw AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+        |                      * (CAST(np.n1bw AS DOUBLE) / CAST(nt.ntypes AS DOUBLE))) AS lp
+        |       FROM c2 JOIN c1 USING (w1) JOIN np USING (w2) CROSS JOIN nt)
+        |SELECT occ.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(ts.lp), 6) AS kn_score
+        |FROM occ JOIN ts USING (w1, w2)
+        |GROUP BY occ.doc_id ORDER BY occ.doc_id""".stripMargin,
 
     "ts_cusum_changepoint" ->
       // mirrors TimeSeries.cusumChangepoint: the oracle's global cumsum
@@ -4821,6 +4863,46 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |         JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id)
         |SELECT media_a, media_b, hamming FROM cand WHERE hamming <= 3
         |ORDER BY media_a, media_b""".stripMargin,
+
+    "multimodal_phash_components" ->
+      // the phash_near pair CTEs + the dedup_components recursive
+      // transitive closure (component = min reachable node — exactly
+      // the engine's min-label CC), grouped to per-cluster keeper/size
+      """WITH RECURSIVE d AS (SELECT doc_id AS media_id,
+        |                  CAST(3 + doc_id % 14 AS BIGINT) AS w,
+        |                  CAST(2 + doc_id % 9 AS BIGINT) AS h
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |px AS (SELECT media_id, w, h, i % w AS x, i // w AS y,
+        |              (media_id * 5 + (i // w) * 17 + (i % w) * 7) % 256
+        |            + (media_id * 5 + (i // w) * 17 + (i % w) * 7 + 29) % 256
+        |            + (media_id * 5 + (i // w) * 17 + (i % w) * 7 + 58) % 256 AS g
+        |       FROM (SELECT media_id, w, h, unnest(range(0, w * h)) AS i FROM d)),
+        |bl AS (SELECT media_id, (y * 8 // h) * 8 + (x * 8 // w) AS b,
+        |              sum(g) AS bs, count(*) AS bc
+        |       FROM px GROUP BY 1, 2),
+        |tot AS (SELECT media_id, sum(g) AS ts, count(*) AS tc FROM px GROUP BY 1),
+        |bits AS (SELECT bl.media_id,
+        |                CAST(sum(CASE WHEN bs * tc > ts * bc
+        |                          THEN CASE WHEN b = 63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << b) END
+        |                          ELSE 0 END) AS BIGINT) AS phash
+        |         FROM bl JOIN tot USING (media_id) GROUP BY 1),
+        |bands AS (SELECT media_id, phash, unnest(range(0, 4)) AS band FROM bits),
+        |bk AS (SELECT media_id, phash, band, (phash >> CAST(band * 16 AS BIGINT)) & 65535 AS bkey FROM bands),
+        |ok AS (SELECT band, bkey FROM bk GROUP BY band, bkey HAVING count(*) BETWEEN 2 AND 1000),
+        |cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b
+        |         FROM bk a JOIN ok ON a.band = ok.band AND a.bkey = ok.bkey
+        |         JOIN bk b ON a.band = b.band AND a.bkey = b.bkey AND a.media_id < b.media_id
+        |         WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |e AS (SELECT media_a AS src, media_b AS dst FROM cand
+        |      UNION SELECT media_b, media_a FROM cand),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r),
+        |cc AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+        |SELECT component AS keeper_media_id, CAST(count(*) AS BIGINT) AS n_media
+        |FROM cc GROUP BY component ORDER BY component""".stripMargin,
 
     "multimodal_wav_dedup" ->
       // sample-formula mirror of encodeWav + audioHash(windows=4):

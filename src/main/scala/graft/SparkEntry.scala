@@ -521,6 +521,19 @@ object SparkEntry {
       Seq(col("x1"), col("x2"), col("x3"), col("x4")), col("y"),
       lr = 1.0, iters = 3)
 
+  /** The image near-dup pair table (Manku-banded 64-bit aHash —
+    * r13), built once per (session, sfDir): `multimodal_phash_near`
+    * emits it and `multimodal_phash_components` clusters it, so the
+    * decode + hash + banded join runs once (the sharedMinhashPairs
+    * economics). Pair-bounded rows; KBs–MBs checkpointed.
+    */
+  private val phashNearPairsMemo = new DirMemo((s, dir) =>
+    Dedup.hammingNearDup(
+      Multimodal.averageHash(Multimodal.ppmTable(docs(s, dir)), grid = 8),
+      idCol = "media_id", hashCol = "phash",
+      bits = 64, bands = 4, maxHamming = 3)
+      .localCheckpoint())
+
   /** The pre-stemmed flat (doc_id, word) fixture, written to Parquet
     * ONCE per (session, sfDir) and served back as an eager checkpoint —
     * the r11 VERDICT #3 hoist: `bm25_search_stemmed` rebuilt AND
@@ -650,6 +663,7 @@ object SparkEntry {
     lpaWeightedLabelsMemo.reset()
     stemmedFlatMemo.reset()
     stemmedIndexCache.synchronized(stemmedIndexCache.clear())
+    phashNearPairsMemo.reset()
     termBoundsMemo.reset()
     ltrFeaturesMemo.reset()
     nbConfusionMemo.reset()
@@ -3442,6 +3456,51 @@ object SparkEntry {
 
     "text_lm_score" -> ((s, dir) => lmScoresMemo(s, dir).orderBy("doc_id")),
 
+    "text_lm_kneser_ney" -> ((s, dir) => {
+      // interpolated bigram Kneser-Ney scoring (Kneser & Ney, ICASSP'95;
+      // Chen & Goodman TR-10-98 eq. 4.24, fixed discount D = 0.75) —
+      // the smoothing a real LM-quality filter uses where text_lm_score
+      // uses add-one: continuation probability P_cont(w₂) =
+      // N₁₊(·w₂)/N₁₊(··) replaces raw unigram mass, so frequent-but-
+      // narrow words ("francisco") stop inflating unseen contexts.
+      //   P_KN(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+      //               + (D·N₁₊(w₁·)/c(w₁·)) · P_cont(w₂)
+      // All inputs are EXACT integer counts off ONE bigram-type table
+      // (c(w₁·) and N₁₊(w₁·) in one hash agg; N₁₊(·w₂) in another;
+      // N₁₊(··) a broadcast scalar); P_KN per TYPE is fixed-shape
+      // double arithmetic, and the per-doc score is the lm_score
+      // convention — round(avg(log10 P), 6) over the doc's bigram
+      // occurrences (doc-bounded addend sets, identical both engines).
+      // Scale: hash aggs on bigram types + one occurrence join keyed
+      // by the bigram — the text_lm_score plan family exactly.
+      val d = docs(s, dir).select(col("doc_id"),
+        TextAnalysis.rawTokens(col("text")).as("tk"))
+      val occ = Caches.persist(d.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("tk")) - 1),
+          i => struct(element_at(col("tk"), i).as("w1"),
+            element_at(col("tk"), i + 1).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+      val c2 = Caches.persist(occ.groupBy("w1", "w2")
+        .agg(count(lit(1)).as("c2")))
+      val c1 = c2.groupBy("w1")
+        .agg(sum("c2").as("c1"), count(lit(1)).as("n1fw"))
+      val npred = c2.groupBy("w2").agg(count(lit(1)).as("n1bw"))
+      val ntypes = broadcast(c2.agg(count(lit(1)).as("ntypes")))
+      val pkn = greatest(col("c2").cast("double") - lit(0.75), lit(0.0)) /
+        col("c1").cast("double") +
+        (lit(0.75) * col("n1fw").cast("double") / col("c1").cast("double")) *
+          (col("n1bw").cast("double") / col("ntypes").cast("double"))
+      val typeScore = c2.join(c1, Seq("w1")).join(npred, Seq("w2"))
+        .crossJoin(ntypes)
+        .select(col("w1"), col("w2"), log10(pkn).as("lp"))
+      occ.join(typeScore, Seq("w1", "w2"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg("lp"), 6).as("kn_score"))
+        .orderBy("doc_id")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
       // quality filters an LLM pipeline applies AFTER language ID —
@@ -5032,14 +5091,34 @@ object SparkEntry {
       // so candidates come from bucket-capped per-band equality
       // self-joins (the dedup_simhash_near shape — never all-pairs;
       // the shuffle carries (media_id, 64-bit hash) only), verified by
-      // the full-hash Hamming test.
-      Dedup.hammingNearDup(
-        Multimodal.averageHash(Multimodal.ppmTable(docs(s, dir)), grid = 8),
-        idCol = "media_id", hashCol = "phash",
-        bits = 64, bands = 4, maxHamming = 3)
+      // the full-hash Hamming test. Pairs served from
+      // [[phashNearPairsMemo]] (shared with the components query).
+      phashNearPairsMemo(s, dir)
         .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
           col("hamming"))
         .orderBy("media_a", "media_b")),
+
+    "multimodal_phash_components" -> ((s, dir) =>
+      // near-dup pairs → connected components → keeper, on the IMAGE
+      // side: the text chain is dedup pairs → dedup_components →
+      // keep-one-per-cluster, and r13's multimodal_phash_near produced
+      // only the pairs — this completes the image dedup story with the
+      // SAME audited CC machinery ([[graft.ext.Graph.connectedComponents]],
+      // min-label propagation) and the min-media keeper rule. Output:
+      // one row per multi-image cluster: (keeper_media_id = the
+      // component's min label — exactly the member a keep-one pass
+      // retains, n_media). Pairs served from [[phashNearPairsMemo]];
+      // CC is the STAR-CONTRACTION variant (Kiveris SoCC'14 — same
+      // min-label contract): Hamming clusters form long bit-flip
+      // CHAINS whose diameter makes min-label propagation pay
+      // diameter rounds (14.5 s at sf0.1 in the first build), while
+      // alternating stars converge in O(log n) rounds.
+      Graph.connectedComponentsStars(
+        phashNearPairsMemo(s, dir)
+          .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .groupBy(col("component").as("keeper_media_id"))
+        .agg(count(lit(1)).as("n_media"))
+        .orderBy("keeper_media_id")),
 
     "multimodal_wav_dedup" -> ((s, dir) =>
       // audio near-dup — the PCM member of the fingerprint triangle
@@ -5466,6 +5545,30 @@ object SparkEntry {
           (round(coalesce(col("internal_weight"), lit(0L)).cast("double") /
             col("wtot") - sm * sm, 6) + lit(0.0)).as("contrib"))
         .orderBy("community")
+    }),
+
+    "graph_louvain_move" -> ((s, dir) => {
+      // one SYNCHRONOUS Louvain phase-1 move round from singletons
+      // (Blondel et al., J. Stat. Mech. 2008 — the modularity-greedy
+      // alternative to LPA's vote-greedy): node v joins the neighbor u
+      // maximizing ΔQ(v → {u}) = w_vu/W − s_v·s_u/(2W²), iff ΔQ > 0.
+      // Scaled by the positive constant 2W² the gain is
+      //   gain2 = 2W·w_vu − s_v·s_u — EXACT INTEGERS end to end
+      // (weights are co-occurrence counts), so the argmax
+      // ((gain2 DESC, u ASC) per v) mirrors as a plain row_number
+      // window with no float pin anywhere. Synchronous: every node
+      // decides against the singleton configuration simultaneously —
+      // deterministic and SQL-mirrorable, exactly one sweep of the
+      // Louvain inner loop. Output: the resulting label-size
+      // distribution (top-25 — the graph_communities shape).
+      // Scale: one symmetrized edge pass + one strength agg + one
+      // per-node max_by argmax; never more than E rows
+      // ([[graft.ext.Graph.louvainMoveLabels]]).
+      Graph.louvainMoveLabels(copurchaseEdgesMemo(s, dir))
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(25)
     }),
 
     "graph_local_clustering" -> ((s, dir) => {

@@ -378,6 +378,45 @@ object Graph {
     * [[triangleCensus]]/[[localClustering]] deliberately never
     * symmetrize.)
     */
+  /** One SYNCHRONOUS Louvain phase-1 move round from singletons
+    * (Blondel et al., J. Stat. Mech. 2008 §2): node v joins the
+    * neighbor u maximizing ΔQ(v → {u}) = w_vu/W − s_v·s_u/(2W²), iff
+    * ΔQ > 0 (else it keeps its own label). Scaled by the positive
+    * constant 2W² the gain is gain2 = 2W·w_vu − s_v·s_u — EXACT
+    * integers when weights are counts, so the per-node argmax
+    * ((gain2 DESC, u ASC)) needs no float pin and mirrors as a plain
+    * SQL window. Synchronous: every node decides against the singleton
+    * configuration simultaneously — deterministic, one sweep of the
+    * Louvain inner loop. Input `edges`: (src, dst, w) one row per
+    * undirected edge. Output: (node, label).
+    *
+    * Scale: one symmetrize pass, one strength aggregate, the gain join
+    * is ∝ E rows, and the argmax is a max_by hash aggregate — never a
+    * window over more than a node's neighbor list.
+    */
+  def louvainMoveLabels(edges: DataFrame): DataFrame = {
+    val sym = graft.Caches.persist(edges.select("src", "dst", "w")
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst"),
+        col("w"))))
+    val strength = graft.Caches.persist(
+      sym.groupBy(col("src").as("node")).agg(sum("w").as("st")))
+    val wtot = broadcast(edges.agg(sum("w").as("wtot")))
+    val gains = sym
+      .join(strength.select(col("node").as("src"), col("st").as("s_v")), Seq("src"))
+      .join(strength.select(col("node").as("dst"), col("st").as("s_u")), Seq("dst"))
+      .crossJoin(wtot)
+      .select(col("src").as("v"), col("dst").as("u"),
+        (lit(2L) * col("wtot") * col("w") - col("s_v") * col("s_u"))
+          .as("gain2"))
+    gains
+      .groupBy("v")
+      .agg(max_by(struct(col("u"), col("gain2")),
+        struct(col("gain2"), (-col("u")).as("nu"))).as("b"))
+      .select(col("v").as("node"),
+        when(col("b.gain2") > 0L, col("b.u")).otherwise(col("v"))
+          .as("label"))
+  }
+
   private def symmetrized(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),

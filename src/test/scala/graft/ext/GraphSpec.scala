@@ -486,4 +486,30 @@ class GraphSpec extends SparkSpec {
     graft.Caches.clearPersisted()
     assert(rows.toSeq == again.toSeq)
   }
+
+  test("louvainMoveLabels: hand-computed synchronous move round") {
+    import spark.implicits._
+    // W = 11; strengths: s1=4 s2=5 s3=1 s4=6 s5=6
+    // gain2(v→u) = 2W·w_vu − s_v·s_u:
+    //   1→2: 88−20=68   2→1: 88−20=68   2→3: 22−5=17 (argmax for 2 is 1)
+    //   3→2: 22−5=17    4→5: 132−36=96  5→4: 96
+    val edges = Seq((1L, 2L, 4L), (2L, 3L, 1L), (4L, 5L, 6L))
+      .toDF("src", "dst", "w")
+    val got = Graph.louvainMoveLabels(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 5L, 5L -> 4L))
+    graft.Caches.clearPersisted()
+  }
+
+  test("louvainMoveLabels: argmax prefers higher gain, then smaller node id") {
+    import spark.implicits._
+    // node 1 has equal-weight ties to 2 and 3; s2 = s3 (symmetric), so
+    // both gains tie — label must be the SMALLER neighbor id (2)
+    val edges = Seq((1L, 2L, 2L), (1L, 3L, 2L), (2L, 9L, 1L), (3L, 8L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.louvainMoveLabels(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 2L)
+    graft.Caches.clearPersisted()
+  }
 }
