@@ -5791,6 +5791,35 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |       abs(z_score) > 1.96 AS significant
         |FROM z""".stripMargin,
 
+    "graph_louvain_modularity" ->
+      // weighted Newman modularity of the Louvain move partition —
+      // graph_louvain_move's label CTEs composed with the
+      // graph_modularity_weighted contrib mirror (exact integers,
+      // +0.0 post-pin)
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
+        |sym AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        |st AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS st FROM sym GROUP BY src),
+        |wt AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM e0),
+        |g AS (SELECT s.src AS v, s.dst AS u, 2 * wt.wtot * s.w - sv.st * su.st AS gain2
+        |      FROM sym s JOIN st sv ON sv.node = s.src JOIN st su ON su.node = s.dst, wt),
+        |b AS (SELECT v, u, gain2 FROM (
+        |        SELECT v, u, gain2, row_number() OVER (PARTITION BY v ORDER BY gain2 DESC, u ASC) AS rn
+        |        FROM g) WHERE rn = 1),
+        |lab AS (SELECT v AS node, CASE WHEN gain2 > 0 THEN u ELSE v END AS label FROM b),
+        |ssum AS (SELECT l.label AS community, CAST(sum(s.st) AS BIGINT) AS strength_sum
+        |         FROM lab l JOIN st s USING (node) GROUP BY 1),
+        |intra AS (SELECT la.label AS community, CAST(sum(e0.w) AS BIGINT) AS internal_weight
+        |          FROM e0 JOIN lab la ON la.node = e0.src JOIN lab lb ON lb.node = e0.dst
+        |          WHERE la.label = lb.label GROUP BY 1),
+        |sizes AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1)
+        |SELECT community, n_nodes, COALESCE(internal_weight, 0) AS internal_weight, strength_sum,
+        |       round(CAST(COALESCE(internal_weight, 0) AS DOUBLE) / wtot
+        |             - (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)) * (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)), 6) + 0.0 AS contrib
+        |FROM sizes JOIN ssum USING (community) LEFT JOIN intra USING (community), wt
+        |ORDER BY community""".stripMargin,
+
     "events_ab_srm" ->
       s"""WITH d AS (SELECT event_type, ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS arm FROM events),
         |a AS (SELECT event_type,

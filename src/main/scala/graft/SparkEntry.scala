@@ -439,6 +439,13 @@ object SparkEntry {
         weighted = true)
       .localCheckpoint())
 
+  /** One synchronous Louvain move round's labels (r13) — shared by
+    * `graph_louvain_move` (sizes) and `graph_louvain_modularity`
+    * (partition quality), the lpaWeightedLabelsMemo economics.
+    */
+  private val louvainLabelsMemo = new DirMemo((s, dir) =>
+    Graph.louvainMoveLabels(copurchaseEdgesMemo(s, dir)).localCheckpoint())
+
   /** Held-out naive-Bayes confusion matrix, built ONCE per
     * (session, sfDir) — `ml_naive_bayes` and `ml_classification_report`
     * consume the IDENTICAL class²-bounded table (the oracle side
@@ -661,6 +668,7 @@ object SparkEntry {
     copurchaseEdgesMemo.reset()
     lpaLabelsMemo.reset()
     lpaWeightedLabelsMemo.reset()
+    louvainLabelsMemo.reset()
     stemmedFlatMemo.reset()
     stemmedIndexCache.synchronized(stemmedIndexCache.clear())
     phashNearPairsMemo.reset()
@@ -5563,12 +5571,52 @@ object SparkEntry {
       // distribution (top-25 — the graph_communities shape).
       // Scale: one symmetrized edge pass + one strength agg + one
       // per-node max_by argmax; never more than E rows
-      // ([[graft.ext.Graph.louvainMoveLabels]]).
-      Graph.louvainMoveLabels(copurchaseEdgesMemo(s, dir))
+      // ([[graft.ext.Graph.louvainMoveLabels]], served from
+      // louvainLabelsMemo — graph_louvain_modularity shares it).
+      louvainLabelsMemo(s, dir)
         .groupBy(col("label").as("community"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("community"))
         .limit(25)
+    }),
+
+    "graph_louvain_modularity" -> ((s, dir) => {
+      // partition QUALITY of the Louvain move round — the same weighted
+      // Newman modularity readout graph_modularity_weighted gives the
+      // LPA partition, per community (top-25 by |contrib| is unstable;
+      // order by community id): the telemetry that says whether the
+      // modularity-greedy sweep actually beats the vote-greedy one.
+      // Same exact-integer W/W_c/S_c pins, same post-round +0.0
+      // signed-zero normalization.
+      val e = copurchaseEdgesMemo(s, dir)
+      val labels = louvainLabelsMemo(s, dir)
+      val wRow = e.agg(sum("w").as("wtot"))
+      val strength = e.select(col("src").as("node"), col("w"))
+        .unionAll(e.select(col("dst").as("node"), col("w")))
+        .groupBy("node").agg(sum("w").as("st"))
+      val ssum = labels.join(strength, Seq("node"))
+        .groupBy(col("label").as("community"))
+        .agg(sum("st").as("strength_sum"))
+      val intra = e
+        .join(labels.select(col("node").as("src"), col("label").as("la")),
+          Seq("src"))
+        .join(labels.select(col("node").as("dst"), col("label").as("lb")),
+          Seq("dst"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community"))
+        .agg(sum("w").as("internal_weight"))
+      val sizes = labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val sm = col("strength_sum").cast("double") / (lit(2.0) * col("wtot"))
+      sizes.join(ssum, Seq("community"))
+        .join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(wRow))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("internal_weight"), lit(0L)).as("internal_weight"),
+          col("strength_sum"),
+          (round(coalesce(col("internal_weight"), lit(0L)).cast("double") /
+            col("wtot") - sm * sm, 6) + lit(0.0)).as("contrib"))
+        .orderBy("community")
     }),
 
     "graph_local_clustering" -> ((s, dir) => {
