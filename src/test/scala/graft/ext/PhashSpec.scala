@@ -63,6 +63,41 @@ class PhashSpec extends SparkSpec {
     assert(hashes == Set(0L))
   }
 
+  /** Independent formula-path frame stats for one sampled frame. */
+  private def naiveFrame(id: Long, f: Int): (Long, Long) = {
+    val w = MediaCodecs.videoWidth(id); val h = MediaCodecs.videoHeight(id)
+    val bs = new Array[Long](4); val bc = new Array[Long](4)
+    var ts = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = (0 until 3).map(c => MediaCodecs.videoChannel(id, f, x, y, c)).sum
+      val b = (y * 2 / h) * 2 + (x * 2 / w)
+      bs(b) += g; bc(b) += 1; ts += g
+    }
+    val phash = (0 until 4)
+      .map(b => if (bs(b) * w * h > ts * bc(b)) 1L << b else 0L).sum
+    (ts, phash)
+  }
+
+  test("video frame sampling: decoded path equals the formula path, every 3rd frame") {
+    import spark.implicits._
+    val docs = (0L until 30L).map(i => (i, s"src${i % 3}"))
+      .toDF("doc_id", "source")
+    val got = Multimodal.sampleVideoFrames(Multimodal.videoTable(docs),
+        every = 3, grid = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getInt(2), r.getLong(3), r.getLong(4))).toMap
+    (0L until 30L).foreach { id =>
+      val nf = MediaCodecs.videoFrames(id)
+      val sampled = (0 until nf).filter(_ % 3 == 0)
+      assert(got.keys.count(_._1 == id) == sampled.size, s"media $id frame count")
+      sampled.foreach { f =>
+        val (ts, ph) = naiveFrame(id, f)
+        assert(got((id, f)) == ((nf, ts, ph)), s"media $id frame $f")
+      }
+    }
+  }
+
   test("hammingNearDup finds planted near-identical hashes, not far ones") {
     import spark.implicits._
     val base = 0x1234_5678_9ABC_DEF0L
