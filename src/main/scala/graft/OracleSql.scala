@@ -1849,6 +1849,45 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |      FROM sc)
         |SELECT query_id, vec_id, dot_i8, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
+    "sim_knn_outliers" ->
+      // kNN-distance outlier mirror: the ivfLloyd1 assignment chain,
+      // within-cell pairs, 5th-highest cosine per point ((cos DESC,
+      // vb) rank 5), small cells coalesce to -1, top-20 most isolated
+      s"""WITH $ivfLloyd1Ctes,
+        |pr AS (SELECT x.vec_id AS va, y.vec_id AS vb,
+        |              list_dot_product(vx.ve, vy.ve) / (sqrt(list_dot_product(vx.ve, vx.ve)) * sqrt(list_dot_product(vy.ve, vy.ve))) AS cos
+        |       FROM a1 x JOIN a1 y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
+        |       JOIN v vx ON vx.vec_id = x.vec_id
+        |       JOIN v vy ON vy.vec_id = y.vec_id),
+        |cnt AS (SELECT va, CAST(count(*) AS BIGINT) AS n_cellmates FROM pr GROUP BY va),
+        |k5 AS (SELECT va, round(cos, 6) AS knn_cos FROM (
+        |         SELECT va, cos, row_number() OVER (PARTITION BY va ORDER BY cos DESC, vb) AS rn
+        |         FROM pr) WHERE rn = 5)
+        |SELECT a1.vec_id, a1.cluster,
+        |       coalesce(cnt.n_cellmates, 0) AS n_cellmates,
+        |       coalesce(k5.knn_cos, -1.0) AS knn_cos
+        |FROM a1 LEFT JOIN cnt ON cnt.va = a1.vec_id
+        |LEFT JOIN k5 ON k5.va = a1.vec_id
+        |ORDER BY knn_cos, a1.vec_id LIMIT 20""".stripMargin,
+
+    "emb_source_drift" ->
+      // per-source centroid mirror: (source, dim) 6dp-pinned means,
+      // pos-ordered list reassembly, pairwise list_dot_product cosines
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |s AS (SELECT doc_id AS vec_id, source FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |j AS (SELECT s.source, e.ve FROM e JOIN s USING (vec_id)),
+        |comp AS (SELECT source, r.i AS pos, round(avg(ve[r.i]), 6) AS m
+        |         FROM j CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+        |         GROUP BY source, r.i),
+        |c AS (SELECT source, list(m ORDER BY pos) AS ce FROM comp GROUP BY source),
+        |n AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vectors FROM j GROUP BY source)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |       na.n_vectors AS n_a, nb.n_vectors AS n_b,
+        |       round(list_dot_product(a.ce, b.ce) / (sqrt(list_dot_product(a.ce, a.ce)) * sqrt(list_dot_product(b.ce, b.ce))), 6) AS centroid_cos
+        |FROM c a JOIN c b ON a.source < b.source
+        |JOIN n na ON na.source = a.source JOIN n nb ON nb.source = b.source
+        |ORDER BY source_a, source_b""".stripMargin,
+
     "sim_ivf_assign" ->
       // one Lloyd iteration mirrored: seed assign → per-cluster per-dim
       // means rounded to 6dp (kills distributed-vs-single-node double

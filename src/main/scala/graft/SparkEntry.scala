@@ -2746,6 +2746,74 @@ object SparkEntry {
         nCentroids = 8, lloydIters = 1)
         .orderBy("vec_id")),
 
+    "sim_knn_outliers" -> ((s, dir) => {
+      // kNN-distance outlier detection (Ramaswamy, Rastogi & Shim,
+      // SIGMOD'00) over the embedding space — the curation face that
+      // finds NOISE (garbled docs, wrong-modality payloads) rather
+      // than duplicates: a point's outlier score is its 5th-nearest-
+      // neighbor cosine, low = isolated. Neighbors come from the
+      // point's OWN IVF cell (the dedup_semantic candidate rule —
+      // cell-bounded self-join, never all-pairs; a small cell means
+      // genuinely isolated, scored -1 = maximally outlying). Output:
+      // the 20 most isolated points. Scale: within-cell pairs are
+      // Σ|cell|² (the occupancy-rule bound), the rank window is
+      // cell-bounded, and the top-20 is TakeOrdered.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val assigned = Caches.persist(
+        Similarity.ivfAssign(e, nCentroids = 8, lloydIters = 1)
+          .join(e, Seq("vec_id")))
+      val pairs = Caches.persist(assigned
+        .select(col("cluster"), col("vec_id").as("va"), col("embedding").as("ea"))
+        .join(assigned.select(col("cluster"), col("vec_id").as("vb"),
+          col("embedding").as("eb")), Seq("cluster"))
+        .filter(col("va") =!= col("vb"))
+        .select(col("va"), col("vb"),
+          Similarity.cosine(col("ea"), col("eb")).as("cos")))
+      val w = Window.partitionBy("va")
+        .orderBy(col("cos").desc, col("vb").asc)
+      val k5 = pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 5)
+        .select(col("va"), round(col("cos"), 6).as("knn_cos"))
+      val counts = pairs.groupBy("va").agg(count(lit(1)).as("n_cellmates"))
+      assigned.select(col("vec_id").as("va"), col("cluster"))
+        .join(counts, Seq("va"), "left")
+        .join(k5, Seq("va"), "left")
+        .select(col("va").as("vec_id"), col("cluster"),
+          coalesce(col("n_cellmates"), lit(0L)).as("n_cellmates"),
+          coalesce(col("knn_cos"), lit(-1.0)).as("knn_cos"))
+        .orderBy(col("knn_cos").asc, col("vec_id").asc)
+        .limit(20)
+    }),
+
+    "emb_source_drift" -> ((s, dir) => {
+      // per-source embedding centroid drift — the domain-shift
+      // telemetry a mixture pipeline reads before reweighting: one
+      // (source, dim) hash aggregate (6dp-pinned means — the
+      // lloydMeans discipline), centroids reassembled in pos order
+      // (the em2-proven list_dot_product pairing), pairwise centroid
+      // cosines over the SOURCE-bounded table. Scale: ∝ N·dim
+      // aggregate then |sources|² arithmetic.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val src = docs(s, dir).select(col("doc_id").as("vec_id"), col("source"))
+      val comp = e.join(src, Seq("vec_id"))
+        .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("source", "pos")
+        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+      val cents = Caches.persist(comp.groupBy("source")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m")).as("ce")))
+      val n = e.join(src, Seq("vec_id")).groupBy("source")
+        .agg(count(lit(1)).as("n_vectors"))
+      val withN = cents.join(n, Seq("source"))
+      withN.select(col("source").as("source_a"), col("ce").as("ca"),
+          col("n_vectors").as("n_a"))
+        .join(withN.select(col("source").as("source_b"), col("ce").as("cb"),
+          col("n_vectors").as("n_b")), col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+          round(Similarity.cosine(col("ca"), col("cb")), 6).as("centroid_cos"))
+        .orderBy("source_a", "source_b")
+    }),
+
     "sim_sql_norms" -> ((s, dir) => {
       // the J3 pattern for the CUSTOM expression surface: vec_dot (the
       // codegen DotProduct) registered on the driver's LIVE session at
