@@ -4901,6 +4901,39 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |FROM tot JOIN bits ON tot.media_id = bits.media_id AND tot.f = bits.f
         |ORDER BY tot.media_id, frame_idx""".stripMargin,
 
+    "multimodal_video_dedup" ->
+      // the multimodal_video_frames CTEs folded per clip: order-free
+      // integer fingerprint (Σ (idx+1)·phash, Σ gray), bucket + keeper
+      """WITH d AS (SELECT doc_id AS media_id,
+        |                  CAST(3 + doc_id % 10 AS BIGINT) AS w,
+        |                  CAST(2 + doc_id % 7 AS BIGINT) AS h,
+        |                  CAST(6 + doc_id % 11 AS BIGINT) AS nf
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |fr AS (SELECT media_id, w, h, nf, unnest(range(0, nf)) AS f FROM d),
+        |sf AS (SELECT * FROM fr WHERE f % 3 = 0),
+        |px AS (SELECT media_id, w, h, nf, f, i % w AS x, i // w AS y,
+        |              (media_id * 5 + f * 31 + (i // w) * 17 + (i % w) * 7) % 256
+        |            + (media_id * 5 + f * 31 + (i // w) * 17 + (i % w) * 7 + 29) % 256
+        |            + (media_id * 5 + f * 31 + (i // w) * 17 + (i % w) * 7 + 58) % 256 AS g
+        |       FROM (SELECT media_id, w, h, nf, f, unnest(range(0, w * h)) AS i FROM sf)),
+        |bl AS (SELECT media_id, f, (y * 2 // h) * 2 + (x * 2 // w) AS b,
+        |              sum(g) AS bs, count(*) AS bc
+        |       FROM px GROUP BY 1, 2, 3),
+        |tot AS (SELECT media_id, f, nf, sum(g) AS ts, count(*) AS tc
+        |        FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT bl.media_id, bl.f,
+        |                CAST(sum(CASE WHEN bs * tc > ts * bc THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS phash
+        |         FROM bl JOIN tot ON bl.media_id = tot.media_id AND bl.f = tot.f
+        |         GROUP BY 1, 2),
+        |fp AS (SELECT tot.media_id, max(tot.nf) AS n_frames,
+        |              CAST(sum((tot.f + 1) * bits.phash) AS BIGINT) AS fp_hash,
+        |              CAST(sum(tot.ts) AS BIGINT) AS fp_gray
+        |       FROM tot JOIN bits ON bits.media_id = tot.media_id AND bits.f = tot.f
+        |       GROUP BY tot.media_id)
+        |SELECT n_frames, fp_hash, fp_gray, CAST(count(*) AS BIGINT) AS n_media,
+        |       min(media_id) AS keeper_media_id
+        |FROM fp GROUP BY 1, 2, 3 ORDER BY n_frames, fp_hash, fp_gray""".stripMargin,
+
     "multimodal_phash_near" ->
       // grid=8 pixel-formula hash (the multimodal_phash_dedup mirror at
       // 64 bits; empty blocks of narrow images contribute no bit on

@@ -5180,6 +5180,28 @@ object SparkEntry {
           col("gray_sum"), col("phash"))
         .orderBy("media_id", "frame_idx")),
 
+    "multimodal_video_dedup" -> ((s, dir) => {
+      // video near-dup buckets — the CLIP member of the fingerprint
+      // triangle (text simhash / image aHash / audio envelope / video):
+      // a clip's fingerprint folds its SAMPLED frames' integer
+      // signatures (Σ (idx+1)·phash and Σ gray mass — order-free
+      // sums, so the fold is association-free and engine-identical)
+      // plus the dimension header; clips whose sampled frames agree
+      // land in one bucket. ONE decode pass + one hash agg + one
+      // bucket agg — the multimodal_phash_dedup economics at clip
+      // granularity.
+      Multimodal.sampleVideoFrames(
+          Multimodal.videoTable(docs(s, dir)), every = 3, grid = 2)
+        .groupBy("media_id")
+        .agg(max("n_frames").as("n_frames"),
+          sum((col("frame_idx") + lit(1)).cast("long") * col("phash"))
+            .as("fp_hash"),
+          sum("gray_sum").as("fp_gray"))
+        .groupBy("n_frames", "fp_hash", "fp_gray")
+        .agg(count(lit(1)).as("n_media"), min("media_id").as("keeper_media_id"))
+        .orderBy("n_frames", "fp_hash", "fp_gray")
+    }),
+
     "multimodal_phash_near" -> ((s, dir) =>
       // image NEAR-dup via Manku pigeonhole banding over the 64-bit
       // (grid=8) aHash — closes the r12 text/image asymmetry:
