@@ -2805,10 +2805,14 @@ object SparkEntry {
       val n = e.join(src, Seq("vec_id")).groupBy("source")
         .agg(count(lit(1)).as("n_vectors"))
       val withN = cents.join(n, Seq("source"))
+      // broadcast the (source-bounded) right side: the a<b non-equi
+      // self-join then plans BroadcastNestedLoopJoin, not the banned
+      // CartesianProduct (PlanSmellSpec)
       withN.select(col("source").as("source_a"), col("ce").as("ca"),
           col("n_vectors").as("n_a"))
-        .join(withN.select(col("source").as("source_b"), col("ce").as("cb"),
-          col("n_vectors").as("n_b")), col("source_a") < col("source_b"))
+        .join(broadcast(withN.select(col("source").as("source_b"),
+          col("ce").as("cb"), col("n_vectors").as("n_b"))),
+          col("source_a") < col("source_b"))
         .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
           round(Similarity.cosine(col("ca"), col("cb")), 6).as("centroid_cos"))
         .orderBy("source_a", "source_b")
