@@ -890,7 +890,12 @@ object Graph {
     // is no boundary for the engines to disagree on. Overflow: layer
     // sums ≤ Σ_neighbors (1+δ)·10⁹ — at δ ≤ 10⁶ and 10⁴ neighbors
     // that is 10¹⁹-safe only to ~10³ neighbors·δ; the seed-bounded
-    // radius keeps real graphs orders below the 2⁶³ cliff.
+    // radius keeps real graphs orders below the 2⁶³ cliff. That cliff
+    // is CHECKED, not assumed: every addend t9 is non-negative (σ
+    // ratio and 1+δ are ≥ 0), so a single 2⁶³ wrap of the BIGINT layer
+    // sum lands negative — the in-plan guard below raises on d9 < 0,
+    // making Spark fail loudly exactly where DuckDB's HUGEINT→BIGINT
+    // cast would error instead of silently diverging.
     var upper = layers.head
       .withColumn("delta", lit(0.0)).withColumn("d6", lit(0L))
     val deps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -905,6 +910,9 @@ object Graph {
             (lit(1.0) + col("delta_w")) * lit(1000000000.0) + lit(0.5))
             .as("t9"))
         .groupBy("s", "node").agg(sum("t9").as("d9"))
+        .withColumn("d9", when(col("d9") < 0L,
+          raise_error(concat(lit("betweenness d9 overflow (2^63 wrap) at node "),
+            col("node").cast("string")))).otherwise(col("d9")))
         .withColumn("d6", expr("(d9 + 500) div 1000"))
       upper = graft.Caches.persist(lower
         .join(contrib, Seq("s", "node"), "left")
@@ -917,6 +925,12 @@ object Graph {
     deps.reduce(_ unionByName _)
       .filter(col("node") =!= col("s"))
       .groupBy("node").agg(sum("d6").as("dep6"))
+      // same wrap guard as d9: dep6 addends are ≥ 0, so a negative sum
+      // can only be a 2^63 wrap — and the dep6 > 0 keep-filter below
+      // would silently DROP a wrapped row instead of failing
+      .withColumn("dep6", when(col("dep6") < 0L,
+        raise_error(concat(lit("betweenness dep6 overflow (2^63 wrap) at node "),
+          col("node").cast("string")))).otherwise(col("dep6")))
       .filter(col("dep6") > 0L)
       .select(col("node"),
         (col("dep6").cast("double") / lit(1000000.0)).as("dependency"))

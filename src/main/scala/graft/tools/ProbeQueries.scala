@@ -39,16 +39,27 @@ object ProbeQueries {
     println(f"[probe] calibration u4=$probe%.4f s")
 
     names.foreach { q =>
-      val samples = (1 to reps).map { _ =>
+      // a rep that throws is excluded from the samples — timing the
+      // exception path would report a misleadingly fast median for a
+      // consistently failing query (it would look like the FASTEST one)
+      val samples = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
-        try graft.SparkEntry.queries(q)(spark, sfDir).count()
-        catch { case e: Throwable => System.err.println(s"[probe] $q failed: $e") }
+        val ok =
+          try { graft.SparkEntry.queries(q)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[probe] $q failed: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         graft.Caches.clearPersisted()
-        dt
+        if (ok) Some(dt) else None
       }
-      val med = samples.sorted.apply(samples.size / 2)
-      println(f"[probe] $q%-28s median=$med%7.3f s  samples=${samples.map(s => f"$s%.3f").mkString(", ")}")
+      if (samples.isEmpty)
+        println(f"[probe] $q%-28s ALL $reps%d reps FAILED — no samples")
+      else {
+        val med = samples.sorted.apply(samples.size / 2)
+        val failed = reps - samples.size
+        val tag = if (failed > 0) s"  ($failed failed rep(s) excluded)" else ""
+        println(f"[probe] $q%-28s median=$med%7.3f s  samples=${samples.map(s => f"$s%.3f").mkString(", ")}$tag")
+      }
     }
     spark.stop()
   }
