@@ -1871,12 +1871,16 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |ORDER BY knn_cos, a1.vec_id LIMIT 20""".stripMargin,
 
     "emb_source_drift" ->
-      // per-source centroid mirror: (source, dim) 6dp-pinned means,
-      // pos-ordered list reassembly, pairwise list_dot_product cosines
+      // per-source centroid mirror: (source, dim) 6dp-pinned means
+      // computed as EXACT integer sums at the 6dp grid (floor(x·10⁶ +
+      // 0.5) addends, HUGEINT ≡ the engine's DECIMAL(38,0) — the r14
+      // betweenness discipline), pos-ordered list reassembly,
+      // pairwise list_dot_product cosines
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
         |s AS (SELECT doc_id AS vec_id, source FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
         |j AS (SELECT s.source, e.ve FROM e JOIN s USING (vec_id)),
-        |comp AS (SELECT source, r.i AS pos, round(avg(ve[r.i]), 6) AS m
+        |comp AS (SELECT source, r.i AS pos,
+        |                round(CAST(sum(CAST(floor(ve[r.i] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS m
         |         FROM j CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
         |         GROUP BY source, r.i),
         |c AS (SELECT source, list(m ORDER BY pos) AS ce FROM comp GROUP BY source),
@@ -3175,7 +3179,8 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
     "ml_knn_classify" ->
       // k-NN eval mirror: md5-fold bucket-0 holdout SIZE-BOUNDED to the
       // 256 lowest-(hash, vec_id) rows (the engine's TakeOrdered cap —
-      // binds only above ~sf0.13; the broadcast side stays fixed at any
+      // binds above ~sf0.05, where bucket 0 of the 50000·sf embeddings
+      // passes 256 rows (N≈2560); the broadcast side stays fixed at any
       // corpus size), 5-NN by cosine
       // ((cos DESC, vec_id) — the sim_knn ranking), majority vote with
       // (votes DESC, label ASC) tie-break, confusion + per-true-label
@@ -6362,8 +6367,10 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
 
     "ml_gmm_em1" ->
       // mirrors the EM step: max-shifted softmax responsibilities
-      // (6dp-pinned per row), M-step sums over the pinned r with the
-      // lloydMeans 6dp-agg pins, mean shift off the pinned new means
+      // (6dp-pinned per row); M-step sums are EXACT INTEGERS at the
+      // 6dp grid (floor(x·10⁶ + 0.5) addends, HUGEINT ≡ the engine's
+      // DECIMAL(38,0) accumulation — the r14 betweenness discipline),
+      // mean shift an exact BIGINT off the pinned mean grids
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
         |mu AS (SELECT vec_id AS c, ve AS mu FROM v WHERE vec_id < 4),
         |sc AS (SELECT v.vec_id, v.ve, mu.c,
@@ -6371,14 +6378,17 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |       FROM v CROSS JOIN mu),
         |e1 AS (SELECT vec_id, ve, c, exp(s - max(s) OVER (PARTITION BY vec_id)) AS ex FROM sc),
         |r AS (SELECT vec_id, ve, c, round(ex / sum(ex) OVER (PARTITION BY vec_id), 6) AS r FROM e1),
-        |ne AS (SELECT c, round(sum(r), 6) AS n_eff FROM r GROUP BY c),
-        |num AS (SELECT r.c, d.i AS pos, round(sum(r.r * r.ve[d.i]), 6) AS sxr
+        |ne AS (SELECT c, ri_sum, round(CAST(ri_sum AS DOUBLE) / 1000000.0, 6) AS n_eff
+        |       FROM (SELECT c, sum(CAST(floor(r * 1000000.0 + 0.5) AS BIGINT)) AS ri_sum FROM r GROUP BY c)),
+        |num AS (SELECT r.c, d.i AS pos,
+        |               sum(CAST(floor(r.r * 1000000.0 + 0.5) AS BIGINT) * CAST(floor(r.ve[d.i] * 1000000.0 + 0.5) AS BIGINT)) AS sxr_q
         |        FROM r CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
         |        GROUP BY r.c, d.i),
-        |mn AS (SELECT num.c, num.pos, round(num.sxr / ne.n_eff, 6) AS m FROM num JOIN ne ON num.c = ne.c),
+        |mn AS (SELECT num.c, num.pos, round(CAST(num.sxr_q AS DOUBLE) / (CAST(ne.ri_sum AS DOUBLE) * 1000000.0), 6) AS m FROM num JOIN ne ON num.c = ne.c),
         |mo AS (SELECT mu.c, d.i AS pos, mu.mu[d.i] AS m0 FROM mu CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d),
-        |sh AS (SELECT mn.c, round(sum((mn.m - mo.m0) * (mn.m - mo.m0)), 6) AS mean_shift
-        |       FROM mn JOIN mo ON mn.c = mo.c AND mn.pos = mo.pos GROUP BY mn.c),
+        |sh AS (SELECT mn.c, round(CAST(sum(di * di) AS DOUBLE) / 1000000000000.0, 6) AS mean_shift
+        |       FROM (SELECT mn.c, CAST(floor(mn.m * 1000000.0 + 0.5) AS BIGINT) - CAST(floor(mo.m0 * 1000000.0 + 0.5) AS BIGINT) AS di
+        |             FROM mn JOIN mo ON mn.c = mo.c AND mn.pos = mo.pos) mn GROUP BY mn.c),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
         |SELECT ne.c AS component, ne.n_eff, round(ne.n_eff / CAST(nn.n AS DOUBLE), 6) AS pi, sh.mean_shift
         |FROM ne JOIN sh ON ne.c = sh.c, nn ORDER BY component""".stripMargin,
@@ -6396,24 +6406,29 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |       FROM v CROSS JOIN mu),
         |e1 AS (SELECT vec_id, ve, c, exp(s - max(s) OVER (PARTITION BY vec_id)) AS ex FROM sc),
         |r AS (SELECT vec_id, ve, c, round(ex / sum(ex) OVER (PARTITION BY vec_id), 6) AS r FROM e1),
-        |ne1 AS (SELECT c, round(sum(r), 6) AS n_eff FROM r GROUP BY c),
-        |n1 AS (SELECT r.c, d.i AS pos, round(sum(r.r * r.ve[d.i]), 6) AS sxr
+        |ne1 AS (SELECT c, ri_sum, round(CAST(ri_sum AS DOUBLE) / 1000000.0, 6) AS n_eff
+        |        FROM (SELECT c, sum(CAST(floor(r * 1000000.0 + 0.5) AS BIGINT)) AS ri_sum FROM r GROUP BY c)),
+        |n1 AS (SELECT r.c, d.i AS pos,
+        |              sum(CAST(floor(r.r * 1000000.0 + 0.5) AS BIGINT) * CAST(floor(r.ve[d.i] * 1000000.0 + 0.5) AS BIGINT)) AS sxr_q
         |       FROM r CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
         |       GROUP BY r.c, d.i),
-        |m1 AS (SELECT n1.c, n1.pos, round(n1.sxr / ne1.n_eff, 6) AS m FROM n1 JOIN ne1 ON n1.c = ne1.c),
+        |m1 AS (SELECT n1.c, n1.pos, round(CAST(n1.sxr_q AS DOUBLE) / (CAST(ne1.ri_sum AS DOUBLE) * 1000000.0), 6) AS m FROM n1 JOIN ne1 ON n1.c = ne1.c),
         |mu1 AS (SELECT c, list(m ORDER BY pos) AS mu FROM m1 GROUP BY c),
         |sc2 AS (SELECT v.vec_id, v.ve, mu1.c,
         |              -0.5 * (list_dot_product(v.ve, v.ve) - 2.0 * list_dot_product(v.ve, mu1.mu) + list_dot_product(mu1.mu, mu1.mu)) AS s
         |        FROM v CROSS JOIN mu1),
         |e2 AS (SELECT vec_id, ve, c, exp(s - max(s) OVER (PARTITION BY vec_id)) AS ex FROM sc2),
         |r2 AS (SELECT vec_id, ve, c, round(ex / sum(ex) OVER (PARTITION BY vec_id), 6) AS r FROM e2),
-        |ne2 AS (SELECT c, round(sum(r), 6) AS n_eff FROM r2 GROUP BY c),
-        |n2 AS (SELECT r2.c, d.i AS pos, round(sum(r2.r * r2.ve[d.i]), 6) AS sxr
+        |ne2 AS (SELECT c, ri_sum, round(CAST(ri_sum AS DOUBLE) / 1000000.0, 6) AS n_eff
+        |        FROM (SELECT c, sum(CAST(floor(r * 1000000.0 + 0.5) AS BIGINT)) AS ri_sum FROM r2 GROUP BY c)),
+        |n2 AS (SELECT r2.c, d.i AS pos,
+        |              sum(CAST(floor(r2.r * 1000000.0 + 0.5) AS BIGINT) * CAST(floor(r2.ve[d.i] * 1000000.0 + 0.5) AS BIGINT)) AS sxr_q
         |       FROM r2 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
         |       GROUP BY r2.c, d.i),
-        |m2 AS (SELECT n2.c, n2.pos, round(n2.sxr / ne2.n_eff, 6) AS m FROM n2 JOIN ne2 ON n2.c = ne2.c),
-        |sh AS (SELECT m2.c, round(sum((m2.m - m1.m) * (m2.m - m1.m)), 6) AS mean_shift
-        |       FROM m2 JOIN m1 ON m2.c = m1.c AND m2.pos = m1.pos GROUP BY m2.c),
+        |m2 AS (SELECT n2.c, n2.pos, round(CAST(n2.sxr_q AS DOUBLE) / (CAST(ne2.ri_sum AS DOUBLE) * 1000000.0), 6) AS m FROM n2 JOIN ne2 ON n2.c = ne2.c),
+        |sh AS (SELECT c, round(CAST(sum(di * di) AS DOUBLE) / 1000000000000.0, 6) AS mean_shift
+        |       FROM (SELECT m2.c, CAST(floor(m2.m * 1000000.0 + 0.5) AS BIGINT) - CAST(floor(m1.m * 1000000.0 + 0.5) AS BIGINT) AS di
+        |             FROM m2 JOIN m1 ON m2.c = m1.c AND m2.pos = m1.pos) GROUP BY c),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v)
         |SELECT ne2.c AS component, ne2.n_eff, round(ne2.n_eff / CAST(nn.n AS DOUBLE), 6) AS pi, sh.mean_shift
         |FROM ne2 JOIN sh ON ne2.c = sh.c, nn ORDER BY component""".stripMargin,

@@ -2793,12 +2793,24 @@ object SparkEntry {
       // (the em2-proven list_dot_product pairing), pairwise centroid
       // cosines over the SOURCE-bounded table. Scale: ∝ N·dim
       // aggregate then |sources|² arithmetic.
+      // Determinism (r14): the mean is exact integers — coordinates
+      // quantize to the 6dp grid via floor(x·10⁶ + 0.5) (pure IEEE
+      // ops), the sum runs in DECIMAL(38,0) ≡ HUGEINT (no summation-
+      // order ulps, no 2⁶³ cliff at any N), and one final division
+      // produces the pinned mean. The 64-addend centroid cosine stays
+      // float: its operands are the bit-identical pinned means on
+      // both engines, so exposure is O(dim·ulp), N-independent.
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val src = docs(s, dir).select(col("doc_id").as("vec_id"), col("source"))
       val comp = e.join(src, Seq("vec_id"))
         .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("source", "pos")
-        .agg(round(avg(col("x").cast("double")), 6).as("m"))
+        .agg(sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long").cast("decimal(38,0)")).as("sx_q"),
+          count(lit(1)).as("cnt"))
+        .select(col("source"), col("pos"),
+          round(col("sx_q").cast("double") /
+            (col("cnt").cast("double") * lit(1000000.0)), 6).as("m"))
       val cents = Caches.persist(comp.groupBy("source")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x("m")).as("ce")))
@@ -8211,6 +8223,17 @@ object SparkEntry {
       // convergence telemetry an EM loop monitors. Scale: E-step is a
       // C-way broadcast cross (narrow, ∝ N·C), M-step ONE (c, dim)
       // hash aggregate — the exact shape a full EM loop repeats.
+      // Determinism (r14, the betweenness discipline applied to the
+      // M-step sums): round(sum(dirty doubles), 6) diverges
+      // cross-engine as N grows (summation order → ~N·ulp drift vs a
+      // fixed 5e-7 boundary), so every M-step SUM is exact integers —
+      // r recovers its pinned integer via floor(r·10⁶ + 0.5) (pure
+      // IEEE ops, bit-identical both engines), x quantizes the same
+      // way, products are BIGINT, and sums run in DECIMAL(38,0)
+      // (Spark) ≡ HUGEINT (DuckDB) so there is no 2⁶³ cliff at any N.
+      // The per-ROW pins (softmax r, final m/π rounds of identical
+      // cross-engine doubles) stay: their operands are bit-identical
+      // on both sides, so boundary exposure is O(ulp), not O(N·ulp).
       val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val mu = e.filter(col("vec_id") < 4)
         .select(col("vec_id").as("c"), col("embedding").as("mu"))
@@ -8224,20 +8247,32 @@ object SparkEntry {
         .withColumn("ex", exp(col("sc") - max("sc").over(w)))
         .withColumn("r", round(col("ex") / sum("ex").over(w), 6))
         .select("vec_id", "embedding", "c", "r"))
-      val neff = resp.groupBy("c").agg(round(sum("r"), 6).as("n_eff"))
+      def q6(c: Column): Column =
+        floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+      val neff = resp.groupBy("c")
+        .agg(sum(q6(col("r")).cast("decimal(38,0)")).as("ri_sum"))
+        .select(col("c"), col("ri_sum"),
+          round(col("ri_sum").cast("double") / lit(1000000.0), 6).as("n_eff"))
       val muNew = resp
         .select(col("c"), col("r"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("c", "pos")
-        .agg(round(sum(col("r") * col("x").cast("double")), 6).as("sxr"))
+        .agg(sum((q6(col("r")) * q6(col("x").cast("double")))
+          .cast("decimal(38,0)")).as("sxr_q"))
         .join(neff, "c")
         .select(col("c"), col("pos"),
-          round(col("sxr") / col("n_eff"), 6).as("m"))
+          round(col("sxr_q").cast("double") /
+            (col("ri_sum").cast("double") * lit(1000000.0)), 6).as("m"))
       val muOld = mu.select(col("c"),
         posexplode(col("mu")).as(Seq("pos", "m0")))
+      // shift: both operands quantized to the 6dp grid → (mi − m0i)²
+      // is an exact BIGINT (≤64 addends, each ≤ ~2.6e14 — no cliff)
       val shift = muNew.join(muOld, Seq("c", "pos"))
-        .groupBy("c").agg(round(sum((col("m") - col("m0").cast("double")) *
-          (col("m") - col("m0").cast("double"))), 6).as("mean_shift"))
+        .select(col("c"),
+          (q6(col("m")) - q6(col("m0").cast("double"))).as("di"))
+        .groupBy("c").agg(sum(col("di") * col("di")).as("d2_q"))
+        .select(col("c"),
+          round(col("d2_q").cast("double") / lit(1.0e12), 6).as("mean_shift"))
       val n = broadcast(e.agg(count(lit(1)).as("n")))
       neff.join(shift, "c").crossJoin(n)
         .select(col("c").as("component"), col("n_eff"),
@@ -8257,9 +8292,14 @@ object SparkEntry {
       // whose DECREASE vs em1 the GmmConvergenceSpec asserts. Scale:
       // two E-step crosses (narrow, ∝ N·C) + two (c, dim) hash aggs —
       // exactly the cost of unrolling the EM loop once more.
+      // Determinism: every M-step SUM is exact integers at the 6dp
+      // grid with DECIMAL(38,0)/HUGEINT accumulation — the r14
+      // betweenness-discipline rework documented on ml_gmm_em1.
       val e = Caches.persist(
         tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
       val w = Window.partitionBy("vec_id")
+      def q6(c: Column): Column =
+        floor(c * lit(1000000.0) + lit(0.5)).cast("long")
       def eStep(mu: DataFrame): DataFrame = {
         val scored = e.crossJoin(broadcast(mu))
           .withColumn("sc", lit(-0.5) *
@@ -8272,15 +8312,20 @@ object SparkEntry {
           .select("vec_id", "embedding", "c", "r"))
       }
       def mStep(resp: DataFrame): (DataFrame, DataFrame) = {
-        val neff = resp.groupBy("c").agg(round(sum("r"), 6).as("n_eff"))
+        val neff = resp.groupBy("c")
+          .agg(sum(q6(col("r")).cast("decimal(38,0)")).as("ri_sum"))
+          .select(col("c"), col("ri_sum"),
+            round(col("ri_sum").cast("double") / lit(1000000.0), 6).as("n_eff"))
         val muNew = resp
           .select(col("c"), col("r"),
             posexplode(col("embedding")).as(Seq("pos", "x")))
           .groupBy("c", "pos")
-          .agg(round(sum(col("r") * col("x").cast("double")), 6).as("sxr"))
-          .join(neff, "c")
+          .agg(sum((q6(col("r")) * q6(col("x").cast("double")))
+            .cast("decimal(38,0)")).as("sxr_q"))
+          .join(neff.select("c", "ri_sum"), "c")
           .select(col("c"), col("pos"),
-            round(col("sxr") / col("n_eff"), 6).as("m"))
+            round(col("sxr_q").cast("double") /
+              (col("ri_sum").cast("double") * lit(1000000.0)), 6).as("m"))
         (neff, muNew)
       }
       val mu0 = e.filter(col("vec_id") < 4)
@@ -8290,10 +8335,14 @@ object SparkEntry {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x("m")).as("mu")))
       val (neff2, mu2Long) = mStep(eStep(mu1))
+      // both mean tables are 6dp-pinned → exact BIGINT shift sum
+      // (≤64 addends, each ≤ ~2.6e14 — no 2⁶³ cliff)
       val shift = mu2Long.select(col("c"), col("pos"), col("m").as("m2"))
         .join(mu1Long, Seq("c", "pos"))
-        .groupBy("c").agg(round(sum((col("m2") - col("m")) *
-          (col("m2") - col("m"))), 6).as("mean_shift"))
+        .select(col("c"), (q6(col("m2")) - q6(col("m"))).as("di"))
+        .groupBy("c").agg(sum(col("di") * col("di")).as("d2_q"))
+        .select(col("c"),
+          round(col("d2_q").cast("double") / lit(1.0e12), 6).as("mean_shift"))
       val n = broadcast(e.agg(count(lit(1)).as("n")))
       neff2.join(shift, "c").crossJoin(n)
         .select(col("c").as("component"), col("n_eff"),
