@@ -703,6 +703,24 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
     "g1_inverted_index" ->
       s"WITH $indexCtes SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS doc_ids FROM flat GROUP BY word ORDER BY word",
 
+    "index_compression_stats" ->
+      // d-gap + VByte mirror: sorted distinct postings per term, first
+      // gap = doc_id + 1, byte cost = 1 + one per crossed 7-bit
+      // threshold — all integer arithmetic, the ratio a division of
+      // identical exact integers
+      s"""WITH $indexCtes,
+        |p AS (SELECT DISTINCT word, doc_id FROM flat),
+        |gp AS (SELECT word, doc_id, lag(doc_id) OVER (PARTITION BY word ORDER BY doc_id) AS prev FROM p),
+        |gap AS (SELECT word, CASE WHEN prev IS NULL THEN doc_id + 1 ELSE doc_id - prev END AS gap FROM gp),
+        |vb AS (SELECT word, 1 + (CASE WHEN gap >= 128 THEN 1 ELSE 0 END)
+        |                     + (CASE WHEN gap >= 16384 THEN 1 ELSE 0 END)
+        |                     + (CASE WHEN gap >= 2097152 THEN 1 ELSE 0 END)
+        |                     + (CASE WHEN gap >= 268435456 THEN 1 ELSE 0 END) AS bytes
+        |       FROM gap)
+        |SELECT word, CAST(count(*) AS BIGINT) AS doc_freq, CAST(sum(bytes) AS BIGINT) AS vb_bytes,
+        |       round(CAST(sum(bytes) AS DOUBLE) / count(*), 6) AS bytes_per_posting
+        |FROM vb GROUP BY word ORDER BY doc_freq DESC, word LIMIT 40""".stripMargin,
+
     "g5_scoring_params" ->
       s"WITH $indexCtes SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats",
 
@@ -1892,6 +1910,71 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |JOIN n na ON na.source = a.source JOIN n nb ON nb.source = b.source
         |ORDER BY source_a, source_b""".stripMargin,
 
+    "curate_dsir_weights" ->
+      // DSIR mirror: hashed unigram∪bigram bucket counts (md5Hash60
+      // % 1024 — the engine's exact hash), add-one log₁₀-likelihood
+      // ratio per bucket in sum-of-logs form pinned to an exact
+      // integer at 1e-8 (floor(llr·10⁸ + 0.5) of identical doubles),
+      // per-doc weights as exact BIGINT sums, top-32 by
+      // (weight DESC, doc_id)
+      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |g AS (SELECT doc_id, unnest(t) AS f FROM toks
+        |      UNION ALL
+        |      SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f
+        |      FROM toks WHERE len(t) >= 2),
+        |fc AS (SELECT doc_id, ${md5Hash60Sql("f")} % 1024 AS bucket, CAST(count(*) AS BIGINT) AS n
+        |       FROM g GROUP BY 1, 2),
+        |tag AS (SELECT fc.doc_id, fc.bucket, fc.n, d.source IN ('src0', 'src1') AS tgt
+        |        FROM fc JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)),
+        |bc AS (SELECT bucket,
+        |              CAST(sum(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS ct,
+        |              CAST(sum(CASE WHEN NOT tgt THEN n ELSE 0 END) AS BIGINT) AS cr
+        |       FROM tag GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM bc),
+        |lr AS (SELECT bucket,
+        |              CAST(floor((log10(CAST(ct + 1 AS DOUBLE)) - log10(CAST(cr + 1 AS DOUBLE)) + log10(CAST(nr + 1024 AS DOUBLE)) - log10(CAST(nt + 1024 AS DOUBLE))) * 100000000.0 + 0.5) AS BIGINT) AS lr8
+        |       FROM bc, tot),
+        |w AS (SELECT tag.doc_id, CAST(sum(tag.n * lr.lr8) AS BIGINT) AS w_q
+        |      FROM tag JOIN lr USING (bucket) WHERE NOT tag.tgt GROUP BY tag.doc_id)
+        |SELECT w.doc_id, d.source, CAST(w.w_q AS DOUBLE) / 100000000.0 AS weight
+        |FROM w JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
+        |ORDER BY weight DESC, w.doc_id LIMIT 32""".stripMargin,
+
+    "emb_hard_negatives" ->
+      // the sim_ivf_topk_nprobe2 chain with a k=16 mining window:
+      // positive = rank 1; hard negatives = the top-3 candidates (by
+      // rank) under the cos < 0.92 false-negative ceiling — identical
+      // doubles on both engines, so the threshold filter and both
+      // windows mirror exactly
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
+        |s0 AS (SELECT vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM v CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |c AS (SELECT a.vec_id, a.cluster, v.ve AS ce FROM a0 a JOIN v USING (vec_id)),
+        |qp AS (SELECT vec_id AS query_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0 WHERE vec_id < 8)
+        |       WHERE rn <= 2),
+        |q AS (SELECT qp.query_id, qp.cluster, v.ve AS qe FROM qp JOIN v ON v.vec_id = qp.query_id),
+        |sc AS (SELECT q.query_id, c.vec_id,
+        |              list_dot_product(q.qe, c.ce) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+        |       FROM c JOIN q ON c.cluster = q.cluster AND c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |      FROM sc),
+        |k AS (SELECT query_id, vec_id, cos, rank FROM r WHERE rank <= 16),
+        |pos AS (SELECT query_id, 'positive' AS role, vec_id, round(cos, 6) AS cos, CAST(1 AS INTEGER) AS role_rank
+        |        FROM k WHERE rank = 1),
+        |hn AS (SELECT query_id, 'hard_negative' AS role, vec_id, round(cos, 6) AS cos, role_rank FROM (
+        |         SELECT query_id, vec_id, cos,
+        |                CAST(row_number() OVER (PARTITION BY query_id ORDER BY rank) AS INTEGER) AS role_rank
+        |         FROM k WHERE cos < 0.92) WHERE role_rank <= 3)
+        |SELECT * FROM pos UNION ALL SELECT * FROM hn
+        |ORDER BY query_id, role, role_rank""".stripMargin,
+
     "sim_ivf_assign" ->
       // one Lloyd iteration mirrored: seed assign → per-cluster per-dim
       // means rounded to 6dp (kills distributed-vs-single-node double
@@ -2518,6 +2601,48 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |lab AS (SELECT v AS node, CASE WHEN gain2 > 0 THEN u ELSE v END AS label FROM b)
         |SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM lab GROUP BY label ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin,
+
+    "graph_louvain_phase2" ->
+      // phase-1 move CTEs continued with the Blondel contraction: the
+      // condensed super-graph keeps intra-community weight as
+      // self-loops (strength at 2w, W at w — W is invariant under
+      // contraction, so wt is reused), one more synchronous move with
+      // the same exact-integer gain2 (self-loops never candidates,
+      // isolated communities keep their label), original nodes mapped
+      // through both levels
+      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
+        |sym AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        |st AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS st FROM sym GROUP BY src),
+        |wt AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM e0),
+        |g AS (SELECT s.src AS v, s.dst AS u, 2 * wt.wtot * s.w - sv.st * su.st AS gain2
+        |      FROM sym s JOIN st sv ON sv.node = s.src JOIN st su ON su.node = s.dst, wt),
+        |b AS (SELECT v, u, gain2 FROM (
+        |        SELECT v, u, gain2, row_number() OVER (PARTITION BY v ORDER BY gain2 DESC, u ASC) AS rn
+        |        FROM g) WHERE rn = 1),
+        |lab AS (SELECT v AS node, CASE WHEN gain2 > 0 THEN u ELSE v END AS label FROM b),
+        |e2 AS (SELECT least(la.label, lb.label) AS src, greatest(la.label, lb.label) AS dst, CAST(sum(e0.w) AS BIGINT) AS w
+        |       FROM e0 JOIN lab la ON la.node = e0.src JOIN lab lb ON lb.node = e0.dst
+        |       GROUP BY 1, 2),
+        |ns AS (SELECT src, dst, w FROM e2 WHERE src <> dst),
+        |sym2 AS (SELECT src, dst, w FROM ns UNION ALL SELECT dst AS src, src AS dst, w FROM ns),
+        |st2 AS (SELECT node, CAST(sum(w) AS BIGINT) AS st FROM (
+        |          SELECT src AS node, w FROM sym2
+        |          UNION ALL SELECT src AS node, 2 * w AS w FROM e2 WHERE src = dst)
+        |        GROUP BY node),
+        |g2 AS (SELECT s.src AS v, s.dst AS u, 2 * wt.wtot * s.w - sv.st * su.st AS gain2
+        |       FROM sym2 s JOIN st2 sv ON sv.node = s.src JOIN st2 su ON su.node = s.dst, wt),
+        |b2 AS (SELECT v, u, gain2 FROM (
+        |         SELECT v, u, gain2, row_number() OVER (PARTITION BY v ORDER BY gain2 DESC, u ASC) AS rn
+        |         FROM g2) WHERE rn = 1),
+        |mv AS (SELECT v AS c1, CASE WHEN gain2 > 0 THEN u ELSE v END AS c2 FROM b2),
+        |allc AS (SELECT DISTINCT label AS c1 FROM lab),
+        |l2 AS (SELECT allc.c1, COALESCE(mv.c2, allc.c1) AS community FROM allc LEFT JOIN mv USING (c1))
+        |SELECT l2.community, CAST(count(*) AS BIGINT) AS n_nodes,
+        |       CAST(count(DISTINCT lab.label) AS BIGINT) AS n_level1
+        |FROM lab JOIN l2 ON l2.c1 = lab.label
+        |GROUP BY 1 ORDER BY n_nodes DESC, community LIMIT 25""".stripMargin,
 
     "graph_local_clustering" ->
       // id-ordered triangle listing (a<b<c via e(a,b), e(b,c), e(a,c));

@@ -783,6 +783,40 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    "index_compression_stats" -> ((s, dir) => {
+      // posting-list compression telemetry — how a 100 TB index prices
+      // its storage BEFORE building it: per-term sorted postings →
+      // delta gaps (first gap = doc_id + 1 so every gap ≥ 1) → VByte
+      // cost per gap (1 byte per started 7-bit group — Williams &
+      // Zobel, "Compressing integers for fast file access", 1999; the
+      // d-gap + byte-aligned code every classic inverted index
+      // ships). Output: the 40 highest-df terms with total VByte bytes
+      // and bytes/posting — dense terms compress toward 1 byte/gap,
+      // the long tail toward ⌈log₁₂₈(N)⌉; all integer arithmetic.
+      // Scale: the per-term window sort IS the posting-list build
+      // (g1's array_sort(collect_set) pays the same), and the gap→
+      // byte map is codegen'd CASE arithmetic — one shuffle on word.
+      val postings = Indexer.flatWords(docs(s, dir), stem = false)
+        .select("word", "doc_id").distinct()
+      val w = Window.partitionBy("word").orderBy("doc_id")
+      val gaps = postings
+        .withColumn("prev", lag("doc_id", 1).over(w))
+        .withColumn("gap", when(col("prev").isNull, col("doc_id") + lit(1L))
+          .otherwise(col("doc_id") - col("prev")))
+      gaps
+        .withColumn("bytes", lit(1L) +
+          (col("gap") >= 128L).cast("long") +
+          (col("gap") >= 16384L).cast("long") +
+          (col("gap") >= 2097152L).cast("long") +
+          (col("gap") >= 268435456L).cast("long"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("doc_freq"), sum("bytes").as("vb_bytes"))
+        .withColumn("bytes_per_posting",
+          round(col("vb_bytes").cast("double") / col("doc_freq"), 6))
+        .orderBy(col("doc_freq").desc, col("word"))
+        .limit(40)
+    }),
+
     "sink_partitioned_read" -> ((s, dir) => {
       // partitioned parquet sink + partition-pruned scan: write the
       // corpus partitioned by lang, read ONE partition back — the scan
@@ -2828,6 +2862,55 @@ object SparkEntry {
         .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
           round(Similarity.cosine(col("ca"), col("cb")), 6).as("centroid_cos"))
         .orderBy("source_a", "source_b")
+    }),
+
+    "curate_dsir_weights" -> ((s, dir) => {
+      // DSIR importance resampling (Xie et al., NeurIPS 2023 — see
+      // ext/Dsir): score every raw-pool document with the hashed-
+      // n-gram log-likelihood ratio against the target exemplars
+      // (stand-in here: sources src0/src1 play the curated reference
+      // corpus) and emit the top-32 resampled batch — the principled
+      // target-domain selection a pretraining mix runs after dedup.
+      // Weights are EXACT BIGINT sums of integer-pinned per-bucket
+      // ratios (no float accumulation at any N); the ranking ties
+      // break on doc_id. Scale: one token pass, O(B)-bounded model,
+      // broadcast ratio join, distributed TakeOrdered top-k.
+      val d = docs(s, dir)
+      graft.ext.Dsir.importanceWeights(
+          d, col("source").isin("src0", "src1"), buckets = 1024)
+        .join(d.select("doc_id", "source"), Seq("doc_id"))
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(32)
+        .select(col("doc_id"), col("source"), col("weight"))
+    }),
+
+    "emb_hard_negatives" -> ((s, dir) => {
+      // ANN-mined contrastive training pairs — the retrieval-training
+      // face of the vector index (emb_training_pairs mines POSITIVES
+      // from near-dups; a dual-encoder also needs hard negatives that
+      // are close-but-wrong, mined from the index itself — the DPR /
+      // ANCE recipe): for each anchor (the 8 seed queries), rank the
+      // nprobe=2 IVF candidates (the sim_ivf_topk_nprobe2 read path,
+      // k=16 mining window — production mines negatives from the
+      // retrieved top-K, never the full corpus); role 'positive' =
+      // rank 1, role 'hard_negative' = the top-3 candidates below the
+      // false-negative ceiling cos < 0.92 (too-close candidates are
+      // likely unlabeled duplicates — the standard denoising rule).
+      // Scale: rides the standing IVF index; per-anchor work is
+      // cell-bounded, the mining window a fixed k.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val ranked = Caches.persist(Similarity.ivfTopK(
+        e, e.filter(col("vec_id") < 8), k = 16, nCentroids = 8, nprobe = 2))
+      val pos = ranked.filter(col("rank") === 1)
+        .select(col("query_id"), lit("positive").as("role"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), lit(1).as("role_rank"))
+      val wneg = Window.partitionBy("query_id").orderBy(col("rank"))
+      val neg = ranked.filter(col("cos") < 0.92)
+        .withColumn("role_rank", row_number().over(wneg))
+        .filter(col("role_rank") <= 3)
+        .select(col("query_id"), lit("hard_negative").as("role"),
+          col("vec_id"), round(col("cos"), 6).as("cos"), col("role_rank"))
+      pos.unionAll(neg).orderBy("query_id", "role", "role_rank")
     }),
 
     "sim_sql_norms" -> ((s, dir) => {
@@ -5745,6 +5828,36 @@ object SparkEntry {
           (round(coalesce(col("internal_weight"), lit(0L)).cast("double") /
             col("wtot") - sm * sm, 6) + lit(0.0)).as("contrib"))
         .orderBy("community")
+    }),
+
+    "graph_louvain_phase2" -> ((s, dir) => {
+      // Louvain PHASE 2 (Blondel et al. §2) — the contraction step
+      // that makes the full algorithm tractable at graph scale: the
+      // phase-1 partition condenses into the community super-graph
+      // (inter-community weights summed, intra-community weight as
+      // self-loops — Graph.louvainCondense), then ONE more synchronous
+      // move round runs on the |communities|-bounded condensed graph
+      // with the same exact-integer gain2 = 2W·w_vu − s_v·s_u (self-
+      // loops feed strength at 2w and W at w but are never move
+      // candidates). Completes the iterated-optimization face of the
+      // graph family the way the ALS item half-step / GMM EM-2 did for
+      // ML: the full Louvain loop is exactly this pair of steps
+      // repeated. Output: original nodes mapped through BOTH levels —
+      // top-25 level-2 community sizes with the number of level-1
+      // communities each absorbed. All integers, no float pin.
+      // Scale: phase 2 works on |C1| super-nodes — a fraction of E —
+      // and labels ride the shared phase-1 memo.
+      val l1 = louvainLabelsMemo(s, dir)
+      val cond = Graph.louvainCondense(copurchaseEdgesMemo(s, dir), l1)
+      val l2 = Graph.louvainMoveLabelsWithSelfLoops(cond)
+      l1.select(col("node"), col("label").as("c1"))
+        .join(l2.select(col("node").as("c1"), col("label").as("community")),
+          Seq("c1"))
+        .groupBy("community")
+        .agg(count(lit(1)).as("n_nodes"),
+          countDistinct(col("c1")).as("n_level1"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(25)
     }),
 
     "graph_local_clustering" -> ((s, dir) => {

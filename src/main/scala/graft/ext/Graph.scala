@@ -417,6 +417,70 @@ object Graph {
           .as("label"))
   }
 
+  /** Louvain PHASE 2 (Blondel et al. §2): contract a phase-1
+    * partition into the community super-graph — one row per
+    * undirected community pair with the summed inter-community
+    * weight, intra-community weight as a SELF-LOOP row (src = dst).
+    * All integer sums; the condensed table is |communities|-bounded,
+    * so every later phase costs a fraction of phase 1 (the property
+    * that makes full Louvain tractable at graph scale).
+    *
+    * @param edges  (src, dst, w) one row per undirected edge
+    * @param labels (node, label) — a phase-1 assignment
+    */
+  def louvainCondense(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("node").as("src"), col("label").as("la")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("label").as("lb")),
+        Seq("dst"))
+      .select(least(col("la"), col("lb")).as("src"),
+        greatest(col("la"), col("lb")).as("dst"), col("w"))
+      .groupBy("src", "dst").agg(sum("w").as("w"))
+
+  /** One synchronous Louvain move round over a graph that may carry
+    * SELF-LOOPS (the condensed super-graph [[louvainCondense]]
+    * emits): identical gain algebra to [[louvainMoveLabels]] —
+    * gain2 = 2W·w_vu − s_v·s_u, exact integers, argmax by
+    * (gain2 DESC, u ASC), stay when no positive gain — with the two
+    * self-loop adjustments the contraction requires: a self-loop
+    * contributes 2w to its node's strength and w (once) to W, and it
+    * is never a move CANDIDATE (v → its own community is a no-op).
+    * Nodes with no non-self edges (isolated communities) keep their
+    * own label. Output: (node, label).
+    */
+  def louvainMoveLabelsWithSelfLoops(edges: DataFrame): DataFrame = {
+    val nonself = edges.filter(col("src") =!= col("dst"))
+    val sym = graft.Caches.persist(nonself.select("src", "dst", "w")
+      .unionAll(nonself.select(col("dst").as("src"), col("src").as("dst"),
+        col("w"))))
+    val strength = graft.Caches.persist(
+      sym.select(col("src").as("node"), col("w"))
+        .unionAll(edges.filter(col("src") === col("dst"))
+          .select(col("src").as("node"), (lit(2L) * col("w")).as("w")))
+        .groupBy("node").agg(sum("w").as("st")))
+    val wtot = broadcast(edges.agg(sum("w").as("wtot")))
+    val moved = sym
+      .join(strength.select(col("node").as("src"), col("st").as("s_v")),
+        Seq("src"))
+      .join(strength.select(col("node").as("dst"), col("st").as("s_u")),
+        Seq("dst"))
+      .crossJoin(wtot)
+      .select(col("src").as("v"), col("dst").as("u"),
+        (lit(2L) * col("wtot") * col("w") - col("s_v") * col("s_u"))
+          .as("gain2"))
+      .groupBy("v")
+      .agg(max_by(struct(col("u"), col("gain2")),
+        struct(col("gain2"), (-col("u")).as("nu"))).as("b"))
+      .select(col("v").as("node"),
+        when(col("b.gain2") > 0L, col("b.u")).otherwise(col("v"))
+          .as("label"))
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+    nodes.join(moved, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("label"))
+  }
+
   private def symmetrized(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),

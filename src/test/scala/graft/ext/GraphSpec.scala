@@ -512,4 +512,47 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) == 2L)
     graft.Caches.clearPersisted()
   }
+
+  test("louvainCondense: inter-community sums, intra weight as self-loops") {
+    import spark.implicits._
+    // two unit-weight triangles {1,2,3} and {4,5,6} bridged 3—4.
+    // Phase-1 synchronous move (W=7, hand-computed gains):
+    //   1→2, 2→1, 3→1, 4→5, 5→6, 6→5
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (4L, 6L), (5L, 6L)).map { case (a, b) => (a, b, 1L) }
+      .toDF("src", "dst", "w")
+    val l1 = Graph.louvainMoveLabels(edges)
+    val got1 = l1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 5L,
+      5L -> 6L, 6L -> 5L))
+    val cond = Graph.louvainCondense(edges, l1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cond == Set((1L, 1L, 1L), (1L, 2L, 2L), (1L, 5L, 1L),
+      (5L, 5L, 1L), (5L, 6L, 2L)))
+    graft.Caches.clearPersisted()
+  }
+
+  test("louvainMoveLabelsWithSelfLoops: condensed move, self-loop strength") {
+    import spark.implicits._
+    // the condensed super-graph from the triangles fixture: W stays 7;
+    // strengths s(1)=2·1+2+1=5, s(2)=2, s(5)=2·1+1+2=5, s(6)=2.
+    // gains: 1→2: 28−10=18  1→5: 14−25=−11  (2↔1, 5↔6, 6↔5 mirror)
+    val cond = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 5L, 1L),
+      (5L, 5L, 1L), (5L, 6L, 2L)).toDF("src", "dst", "w")
+    val got = Graph.louvainMoveLabelsWithSelfLoops(cond).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 1L, 5L -> 6L, 6L -> 5L))
+    graft.Caches.clearPersisted()
+  }
+
+  test("louvainMoveLabelsWithSelfLoops: isolated self-loop community keeps its label") {
+    import spark.implicits._
+    val cond = Seq((1L, 1L, 3L), (2L, 3L, 1L)).toDF("src", "dst", "w")
+    val got = Graph.louvainMoveLabelsWithSelfLoops(cond).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 1 has only its self-loop → never a candidate, stays 1;
+    // W=4, s2=s3=1: gain2(2→3) = 8−1 = 7 > 0 → 2 and 3 swap-merge
+    assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 2L))
+    graft.Caches.clearPersisted()
+  }
 }
