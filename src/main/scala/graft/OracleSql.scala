@@ -1910,6 +1910,28 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |JOIN n na ON na.source = a.source JOIN n nb ON nb.source = b.source
         |ORDER BY source_a, source_b""".stripMargin,
 
+    "curate_global_shuffle" ->
+      // salted-hash shard + within-shard rank mirror: one md5Hash60
+      // per doc, shard = h % 8, pos = row_number over (h, doc_id)
+      s"""WITH b AS (SELECT doc_id, ${md5Hash60Sql("'epoch1|' || CAST(doc_id AS VARCHAR)")} AS h
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |s AS (SELECT doc_id, h, h % 8 AS shard FROM b),
+        |r AS (SELECT shard, doc_id, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos FROM s),
+        |c AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs FROM s GROUP BY shard)
+        |SELECT r.shard, r.pos, r.doc_id, c.n_docs
+        |FROM r JOIN c USING (shard) WHERE r.pos <= 5 ORDER BY shard, pos""".stripMargin,
+
+    "emb_ivf_rebalance" ->
+      // cell-occupancy audit over the Lloyd-1 assignment chain; the
+      // overload flag is the exact integer comparison n_vecs·C > 2·N
+      s"""WITH $ivfLloyd1Ctes,
+        |cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs FROM a1 GROUP BY cluster),
+        |tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS c FROM cnt)
+        |SELECT cluster, n_vecs,
+        |       round(CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+        |       n_vecs * c > 2 * n AS overloaded
+        |FROM cnt, tt ORDER BY cluster""".stripMargin,
+
     "curate_dsir_weights" ->
       // DSIR mirror: hashed unigram∪bigram bucket counts (md5Hash60
       // % 1024 — the engine's exact hash), add-one log₁₀-likelihood
@@ -1939,6 +1961,33 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |SELECT w.doc_id, d.source, CAST(w.w_q AS DOUBLE) / 100000000.0 AS weight
         |FROM w JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
         |ORDER BY weight DESC, w.doc_id LIMIT 32""".stripMargin,
+
+    "stream_dsir_score" ->
+      // batch mirror of the streamed scorer: the SAME ratio model
+      // (trained over the full corpus) applied to the md5-bucket-0
+      // live slice — per-doc weights are exact BIGINT sums, so the
+      // stream ≡ batch equality is the gate
+      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |g AS (SELECT doc_id, unnest(t) AS f FROM toks
+        |      UNION ALL
+        |      SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f
+        |      FROM toks WHERE len(t) >= 2),
+        |fc AS (SELECT doc_id, ${md5Hash60Sql("f")} % 1024 AS bucket, CAST(count(*) AS BIGINT) AS n
+        |       FROM g GROUP BY 1, 2),
+        |tag AS (SELECT fc.doc_id, fc.bucket, fc.n, d.source IN ('src0', 'src1') AS tgt
+        |        FROM fc JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)),
+        |bc AS (SELECT bucket,
+        |              CAST(sum(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS ct,
+        |              CAST(sum(CASE WHEN NOT tgt THEN n ELSE 0 END) AS BIGINT) AS cr
+        |       FROM tag GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM bc),
+        |lr AS (SELECT bucket,
+        |              CAST(floor((log10(CAST(ct + 1 AS DOUBLE)) - log10(CAST(cr + 1 AS DOUBLE)) + log10(CAST(nr + 1024 AS DOUBLE)) - log10(CAST(nt + 1024 AS DOUBLE))) * 100000000.0 + 0.5) AS BIGINT) AS lr8
+        |       FROM bc, tot)
+        |SELECT fc.doc_id, CAST(CAST(sum(fc.n * lr.lr8) AS BIGINT) AS DOUBLE) / 100000000.0 AS weight
+        |FROM fc JOIN lr USING (bucket)
+        |WHERE ${md5Hash60Sql("CAST(fc.doc_id AS VARCHAR)")} % 10 = 0
+        |GROUP BY fc.doc_id ORDER BY fc.doc_id""".stripMargin,
 
     "emb_hard_negatives" ->
       // the sim_ivf_topk_nprobe2 chain with a k=16 mining window:

@@ -334,7 +334,25 @@ object ScaleBench {
     // per-bucket size, so candidates must stay ∝ N (a super-linear
     // ratio here would mean the banding stopped binding)
     "ml_als_item", "ml_gmm_em2", "ml_skipgram_vstep",
-    "search_pruned_incremental", "multimodal_phash_near")
+    "search_pruned_incremental", "multimodal_phash_near",
+    // r14 additions: DSIR weights (one token pass + a B=1024-bounded
+    // model + a broadcast ratio join + one per-doc BIGINT agg — the
+    // model table is CONSTANT under the suffixed-vocab synth because
+    // hashing folds the factor× vocabulary into the same B buckets,
+    // so only the token-sized stages may scale); Louvain phase 2
+    // (phase-1 move + condense are ∝ E over the disjoint replicas;
+    // the second move runs on the |C1|-bounded super-graph, which
+    // grows ∝ factor at constant per-community size — a super-linear
+    // ratio would mean contraction stopped paying); postings
+    // compression stats (one distinct agg + per-word window sorts;
+    // suffixed vocab grows words ∝ factor at CONSTANT df, so
+    // partitions multiply but never deepen); hard-negative mining
+    // (the anchor set is pinned to replica 0's 8 seeds, so the
+    // corpus-side assignment cross is the only N-sized stage —
+    // near-linear tests that the cell-bounded candidate join tracks
+    // cell size alone)
+    "curate_dsir_weights", "graph_louvain_phase2",
+    "index_compression_stats", "emb_hard_negatives")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -392,6 +392,22 @@ object SparkEntry {
       .localCheckpoint()
   })
 
+  /** The frozen DSIR ratio model (ext/Dsir.ratioModel over the full
+    * tagged corpus — target exemplars = src0/src1): the offline-
+    * trained artifact `stream_dsir_score` scores live batches
+    * against. B = 1024 rows, KBs checkpointed; shared with
+    * `curate_dsir_weights`' training pass economics (same tagged
+    * features shape, model built once per (session, sfDir)).
+    */
+  private val dsirModelMemo = new DirMemo((s, dir) => {
+    val d = docs(s, dir)
+    graft.ext.Dsir.ratioModel(
+      graft.ext.Dsir.hashedFeatures(d, buckets = 1024)
+        .join(d.select(col("doc_id"),
+          col("source").isin("src0", "src1").as("tgt")), Seq("doc_id")),
+      buckets = 1024).localCheckpoint()
+  })
+
   /** The part CO-PURCHASE edge set (id-ordered part pairs within an
     * order, one row per pair with its co-occurrence count `w`) — the
     * graph every `graph_*` query analyzes, built ONCE per (session,
@@ -685,6 +701,7 @@ object SparkEntry {
     corpusFpBucketedMemo.reset()
     frozenCellsMemo.reset()
     frozenCentsMemo.reset()
+    dsirModelMemo.reset()
   }
 
   /** Driver-side mirror of Spark's `round(col, 6)` (HALF_UP over
@@ -2046,6 +2063,51 @@ object SparkEntry {
       }.orderBy("source")
     }),
 
+    "stream_dsir_score" -> ((s, dir) => {
+      // DSIR in production shape: the ratio model trains OFFLINE over
+      // the standing corpus (dsirModelMemo — 1024 frozen rows) and
+      // incoming documents are scored ONLINE as they stream in (the
+      // md5-bucket-0 slice plays the live feed — the
+      // dedup_incremental convention). Scoring runs per micro-batch
+      // via foreachBatch (feature stitching needs a per-doc window,
+      // which Structured Streaming only allows on a static frame);
+      // each document's weight depends ONLY on its own rows and the
+      // frozen model (Dsir.scoreFeatures), so the completed
+      // AvailableNow run equals the batch query however the files
+      // micro-batch — the stream ≡ batch gate, with the oracle as the
+      // batch arithmetic mirror.
+      val model = dsirModelMemo(s, dir)
+      val outDir = s"$WorkDir/stream_dsir/${scratchTag(s, dir)}"
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(java.nio.file.Paths.get(outDir))
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val live = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        .filter(pmod(Dedup.md5Hash60(col("doc_id").cast("string")),
+          lit(10L)) === 0)
+        .select("doc_id", "text")
+      EventStream.withStatePartitions(s, 8) {
+        val q = live.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              graft.ext.Dsir.scoreFeatures(
+                  graft.ext.Dsir.hashedFeatures(batch, buckets = 1024), model)
+                .write.mode("append").parquet(s"$outDir/scores")
+              ()
+          }
+          .option("checkpointLocation", s"$outDir/ckpt_${System.nanoTime()}")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$outDir/scores").orderBy("doc_id")
+    }),
+
     "stream_topk_words" -> ((s, dir) => {
       // the Space-Saving sketch running INSIDE Structured Streaming: the
       // corpus streams in and one bounded-state sketch (capacity 1024
@@ -2780,6 +2842,30 @@ object SparkEntry {
         nCentroids = 8, lloydIters = 1)
         .orderBy("vec_id")),
 
+    "emb_ivf_rebalance" -> ((s, dir) => {
+      // IVF index-health audit — the ops readout that decides WHEN to
+      // split cells / retrain centroids: per-cell occupancy over the
+      // standing assignment (the sim_ivf_assign Lloyd-1 chain), share
+      // of the corpus, and the overload flag n_vecs·C > 2·N (the
+      // "twice the mean cell" split rule) as an EXACT integer
+      // comparison — no float threshold to diverge on. Skewed cells
+      // are where IVF read latency hides: a 2× cell doubles every
+      // probe that routes to it. Scale: one N-row assignment (the
+      // standing artifact) + a C-row aggregate.
+      val counts = Similarity.ivfAssign(
+          tbl(s, dir, "embeddings").select("vec_id", "embedding"),
+          nCentroids = 8, lloydIters = 1)
+        .groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      val tot = broadcast(counts.agg(sum("n_vecs").as("n"),
+        count(lit(1)).as("c")))
+      counts.crossJoin(tot)
+        .select(col("cluster"), col("n_vecs"),
+          round(col("n_vecs").cast("double") / col("n").cast("double"), 6)
+            .as("share"),
+          (col("n_vecs") * col("c") > lit(2L) * col("n")).as("overloaded"))
+        .orderBy("cluster")
+    }),
+
     "sim_knn_outliers" -> ((s, dir) => {
       // kNN-distance outlier detection (Ramaswamy, Rastogi & Shim,
       // SIGMOD'00) over the embedding space — the curation face that
@@ -2862,6 +2948,32 @@ object SparkEntry {
         .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
           round(Similarity.cosine(col("ca"), col("cb")), 6).as("centroid_cos"))
         .orderBy("source_a", "source_b")
+    }),
+
+    "curate_global_shuffle" -> ((s, dir) => {
+      // deterministic GLOBAL TRAINING SHUFFLE — the data-loader
+      // contract a trainer reads: every document gets a shard
+      // (hash % S) and a position (rank of the same salted hash
+      // within its shard), so the training order is reproducible,
+      // seekable, and reshuffles per epoch by changing the salt —
+      // no RNG state, any worker can locate any (shard, pos) without
+      // coordination. Output: the first 5 documents of each shard in
+      // shuffle order + shard sizes (the manifest head a loader
+      // validates against). Scale: the per-shard rank IS the shuffle
+      // sort (one exchange on shard); production S is thousands —
+      // the fixture's S=8 keeps the oracle reviewable; pos ≤ 5 keeps
+      // the output bounded.
+      val h = Dedup.md5Hash60(concat_ws("|", lit("epoch1"),
+        col("doc_id").cast("string")))
+      val sharded = Caches.persist(docs(s, dir)
+        .select(col("doc_id"), h.as("h"), pmod(h, lit(8L)).as("shard")))
+      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      val heads = sharded.withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= 5)
+      val counts = sharded.groupBy("shard").agg(count(lit(1)).as("n_docs"))
+      heads.join(counts, Seq("shard"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("n_docs"))
+        .orderBy("shard", "pos")
     }),
 
     "curate_dsir_weights" -> ((s, dir) => {

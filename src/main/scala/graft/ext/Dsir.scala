@@ -56,22 +56,17 @@ object Dsir {
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
   }
 
-  /** DSIR importance weights for every NON-target document with at
-    * least one feature: (doc_id, weight) where weight is the add-one-
-    * smoothed hashed-n-gram log₁₀-likelihood ratio
-    *   Σ_b n_db · [log(ct_b+1) − log(cr_b+1) + log(Nr+B) − log(Nt+B)]
-    * (target counts ct / raw counts cr, totals Nt / Nr). The sum-of-
-    * logs form never materializes a count PRODUCT, so nothing
-    * overflows at any corpus size (the naive (ct+1)·(Nr+B) quotient
-    * passes 2⁶³ around Nr ≈ 10¹² tokens).
-    *
-    * `isTarget` must be a boolean predicate over `docs`' columns.
+  /** The (bucket, lr8) ratio MODEL from tagged per-doc features
+    * (`tagged` = [[hashedFeatures]] ⋈ a boolean `tgt` column): the
+    * add-one-smoothed hashed-n-gram log₁₀-likelihood ratio
+    *   llr_b = log(ct_b+1) − log(cr_b+1) + log(Nr+B) − log(Nt+B)
+    * (target counts ct / raw counts cr, totals Nt / Nr), pinned to an
+    * exact integer lr8 = floor(llr·10⁸ + 0.5). The sum-of-logs form
+    * never materializes a count PRODUCT, so nothing overflows at any
+    * corpus size (the naive (ct+1)·(Nr+B) quotient passes 2⁶³ around
+    * Nr ≈ 10¹² tokens). B rows — broadcastable always.
     */
-  def importanceWeights(docs: DataFrame, isTarget: Column,
-      buckets: Int): DataFrame = {
-    val feat = hashedFeatures(docs, buckets)
-    val tagged = graft.Caches.persist(feat
-      .join(docs.select(col("doc_id"), isTarget.as("tgt")), Seq("doc_id")))
+  def ratioModel(tagged: DataFrame, buckets: Int): DataFrame = {
     val bucketCounts = tagged.groupBy("bucket").agg(
       sum(when(col("tgt"), col("n")).otherwise(lit(0L))).as("ct"),
       sum(when(!col("tgt"), col("n")).otherwise(lit(0L))).as("cr"))
@@ -83,14 +78,35 @@ object Dsir {
         log10((col("cr") + lit(1L)).cast("double")) +
         log10((col("nr") + b).cast("double")) -
         log10((col("nt") + b).cast("double"))
-    val lr = bucketCounts.crossJoin(totals)
+    bucketCounts.crossJoin(totals)
       .select(col("bucket"),
         floor(llr * lit(1.0e8) + lit(0.5)).cast("long").as("lr8"))
-    tagged.filter(!col("tgt"))
-      .join(broadcast(lr), Seq("bucket"))
+  }
+
+  /** STATELESS scoring of per-doc features against a frozen ratio
+    * model: weight = (Σ_b n_db · lr8_b) / 10⁸ — an exact BIGINT sum
+    * per document, one broadcast join. Because the weight depends
+    * only on the document's own rows and the frozen model, scoring is
+    * batching-independent — the property the streaming face
+    * (`stream_dsir_score`) turns into its stream ≡ batch gate.
+    */
+  def scoreFeatures(feat: DataFrame, model: DataFrame): DataFrame =
+    feat.join(broadcast(model), Seq("bucket"))
       .groupBy("doc_id")
       .agg(sum(col("n") * col("lr8")).as("w_q"))
       .select(col("doc_id"),
         (col("w_q").cast("double") / lit(1.0e8)).as("weight"))
+
+  /** DSIR importance weights for every NON-target document with at
+    * least one feature: (doc_id, weight) — [[ratioModel]] over the
+    * full tagged corpus, [[scoreFeatures]] over the raw pool.
+    *
+    * `isTarget` must be a boolean predicate over `docs`' columns.
+    */
+  def importanceWeights(docs: DataFrame, isTarget: Column,
+      buckets: Int): DataFrame = {
+    val tagged = graft.Caches.persist(hashedFeatures(docs, buckets)
+      .join(docs.select(col("doc_id"), isTarget.as("tgt")), Seq("doc_id")))
+    scoreFeatures(tagged.filter(!col("tgt")), ratioModel(tagged, buckets))
   }
 }

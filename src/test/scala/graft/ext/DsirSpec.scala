@@ -40,6 +40,30 @@ class DsirSpec extends SparkSpec {
     graft.Caches.clearPersisted()
   }
 
+  test("scoreFeatures: batching-independent against a frozen model") {
+    // the stream ≡ batch property stream_dsir_score gates: scoring a
+    // corpus whole equals scoring it in arbitrary batches, because a
+    // doc's weight reads only its own rows + the frozen model
+    val all = Seq(
+      (1L, "alpha beta gamma", "tgt"),
+      (2L, "alpha gamma beta alpha", "raw"),
+      (3L, "omega sigma tau gamma", "raw"),
+      (4L, "beta beta omega", "raw")
+    ).toDF("doc_id", "text", "source")
+    val tagged = Dsir.hashedFeatures(all, 256)
+      .join(all.select(col("doc_id"), (col("source") === "tgt").as("tgt")),
+        Seq("doc_id"))
+    val model = Dsir.ratioModel(tagged, 256)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      Dsir.scoreFeatures(Dsir.hashedFeatures(df, 256), model)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val whole = scores(all)
+    val batched = scores(all.filter(col("doc_id") <= 2)) ++
+      scores(all.filter(col("doc_id") > 2))
+    assert(whole == batched)
+    graft.Caches.clearPersisted()
+  }
+
   test("importanceWeights: deterministic across recomputation") {
     val docs = Seq(
       (1L, "alpha beta gamma delta", "tgt"),
