@@ -2435,6 +2435,38 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |       round(avg(w), 6) AS score, round(avg(w), 6) > 0 AS keep
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "quality_label_agreement" ->
+      // the two gates' keep flags composed into one contingency:
+      // gopher CTEs + classifier CTEs, exact integer cells, κ from
+      // marginal RATIOS (never raw-count products)
+      s"""WITH d AS (SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |t AS (SELECT doc_id, unnest(tk) AS w FROM d),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |              round(avg(len(w)), 6) AS mean_word_len,
+        |              CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that','have','with') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        |       FROM t GROUP BY doc_id),
+        |sy AS (SELECT doc_id, CAST(len(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) AS n_sym FROM d),
+        |ga AS (SELECT st.doc_id,
+        |              (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |                AND (round(n_sym / n_words, 6) <= 0.1) AND (stop_hits >= 2) AS ga
+        |       FROM st JOIN sy USING (doc_id)),
+        |sc AS (SELECT doc_id, (((${md5Hash60Sql("w")} % 64) * 2654435761) % 1001) / 500.0 - 1.0 AS w FROM t),
+        |cb AS (SELECT doc_id, round(avg(w), 6) > 0 AS cb FROM sc GROUP BY doc_id),
+        |cells AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(CASE WHEN ga AND cb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |                 CAST(sum(CASE WHEN ga AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |                 CAST(sum(CASE WHEN NOT ga AND cb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |                 CAST(sum(CASE WHEN NOT ga AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |          FROM ga JOIN cb USING (doc_id))
+        |SELECT n_docs, n11, n10, n01, n00,
+        |       round(CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS agree_rate,
+        |       round((CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |              - (CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE) * (CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |                 + CAST(n01 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE) * (CAST(n10 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |             / (1.0 - (CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE) * (CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |                       + CAST(n01 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE) * (CAST(n10 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS kappa
+        |FROM cells""".stripMargin,
+
     "orders_copurchase_lift" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand
         |            FROM lineitem JOIN part ON l_partkey = p_partkey),
@@ -2659,35 +2691,35 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
       // the same exact-integer gain2 (self-loops never candidates,
       // isolated communities keep their label), original nodes mapped
       // through both levels
-      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
-        |e0 AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
         |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
-        |sym AS (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
-        |st AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS st FROM sym GROUP BY src),
-        |wt AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM e0),
-        |g AS (SELECT s.src AS v, s.dst AS u, 2 * wt.wtot * s.w - sv.st * su.st AS gain2
+        |sym AS MATERIALIZED (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        |st AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT) AS st FROM sym GROUP BY src),
+        |wt AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM e0),
+        |g AS MATERIALIZED (SELECT s.src AS v, s.dst AS u, 2 * wt.wtot * s.w - sv.st * su.st AS gain2
         |      FROM sym s JOIN st sv ON sv.node = s.src JOIN st su ON su.node = s.dst, wt),
-        |b AS (SELECT v, u, gain2 FROM (
+        |b AS MATERIALIZED (SELECT v, u, gain2 FROM (
         |        SELECT v, u, gain2, row_number() OVER (PARTITION BY v ORDER BY gain2 DESC, u ASC) AS rn
         |        FROM g) WHERE rn = 1),
-        |lab AS (SELECT v AS node, CASE WHEN gain2 > 0 THEN u ELSE v END AS label FROM b),
-        |e2 AS (SELECT least(la.label, lb.label) AS src, greatest(la.label, lb.label) AS dst, CAST(sum(e0.w) AS BIGINT) AS w
+        |lab AS MATERIALIZED (SELECT v AS node, CASE WHEN gain2 > 0 THEN u ELSE v END AS label FROM b),
+        |e2 AS MATERIALIZED (SELECT least(la.label, lb.label) AS src, greatest(la.label, lb.label) AS dst, CAST(sum(e0.w) AS BIGINT) AS w
         |       FROM e0 JOIN lab la ON la.node = e0.src JOIN lab lb ON lb.node = e0.dst
         |       GROUP BY 1, 2),
-        |ns AS (SELECT src, dst, w FROM e2 WHERE src <> dst),
-        |sym2 AS (SELECT src, dst, w FROM ns UNION ALL SELECT dst AS src, src AS dst, w FROM ns),
-        |st2 AS (SELECT node, CAST(sum(w) AS BIGINT) AS st FROM (
+        |ns AS MATERIALIZED (SELECT src, dst, w FROM e2 WHERE src <> dst),
+        |sym2 AS MATERIALIZED (SELECT src, dst, w FROM ns UNION ALL SELECT dst AS src, src AS dst, w FROM ns),
+        |st2 AS MATERIALIZED (SELECT node, CAST(sum(w) AS BIGINT) AS st FROM (
         |          SELECT src AS node, w FROM sym2
         |          UNION ALL SELECT src AS node, 2 * w AS w FROM e2 WHERE src = dst)
         |        GROUP BY node),
-        |g2 AS (SELECT s.src AS v, s.dst AS u, 2 * wt.wtot * s.w - sv.st * su.st AS gain2
+        |g2 AS MATERIALIZED (SELECT s.src AS v, s.dst AS u, 2 * wt.wtot * s.w - sv.st * su.st AS gain2
         |       FROM sym2 s JOIN st2 sv ON sv.node = s.src JOIN st2 su ON su.node = s.dst, wt),
-        |b2 AS (SELECT v, u, gain2 FROM (
+        |b2 AS MATERIALIZED (SELECT v, u, gain2 FROM (
         |         SELECT v, u, gain2, row_number() OVER (PARTITION BY v ORDER BY gain2 DESC, u ASC) AS rn
         |         FROM g2) WHERE rn = 1),
-        |mv AS (SELECT v AS c1, CASE WHEN gain2 > 0 THEN u ELSE v END AS c2 FROM b2),
-        |allc AS (SELECT DISTINCT label AS c1 FROM lab),
-        |l2 AS (SELECT allc.c1, COALESCE(mv.c2, allc.c1) AS community FROM allc LEFT JOIN mv USING (c1))
+        |mv AS MATERIALIZED (SELECT v AS c1, CASE WHEN gain2 > 0 THEN u ELSE v END AS c2 FROM b2),
+        |allc AS MATERIALIZED (SELECT DISTINCT label AS c1 FROM lab),
+        |l2 AS MATERIALIZED (SELECT allc.c1, COALESCE(mv.c2, allc.c1) AS community FROM allc LEFT JOIN mv USING (c1))
         |SELECT l2.community, CAST(count(*) AS BIGINT) AS n_nodes,
         |       CAST(count(DISTINCT lab.label) AS BIGINT) AS n_level1
         |FROM lab JOIN l2 ON l2.c1 = lab.label
@@ -3523,6 +3555,38 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |       round(sqrt(round(avg(e * e), 6)), 6) AS rmse
         |FROM e GROUP BY model ORDER BY model""".stripMargin,
 
+    "ts_mase_eval" ->
+      // MASE mirror: every error an exact integer at the 1/700-dollar
+      // grid (naive/snaive = cents·700, ma7 = sum7·100, in-sample
+      // seasonal diffs |Δcents|·700), BIGINT MAE sums, two final
+      // divisions of identical exact integers
+      s"""WITH $dailyCentsCte,
+        |nv AS (SELECT 'naive' AS model, day_us + 86400000000 AS day_us,
+        |              CAST(cents * 700 AS BIGINT) AS p700 FROM d0),
+        |sn AS (SELECT 'snaive' AS model, day_us + 7 * 86400000000 AS day_us,
+        |              CAST(cents * 700 AS BIGINT) AS p700 FROM d0),
+        |m7 AS (SELECT 'ma7' AS model, day_us, CAST(s * 100 AS BIGINT) AS p700
+        |       FROM (SELECT d.day_us + o.o * 86400000000 AS day_us,
+        |                    sum(d.cents) AS s, count(*) AS n
+        |             FROM d0 d CROSS JOIN (SELECT unnest(range(1, 8)) AS o) o
+        |             GROUP BY 1)
+        |       WHERE n = 7),
+        |mx AS (SELECT max(day_us) AS mx FROM d0),
+        |ho AS (SELECT day_us, CAST(cents * 700 AS BIGINT) AS y700
+        |       FROM d0, mx WHERE day_us > mx.mx - 28 * 86400000000),
+        |p AS (SELECT * FROM nv UNION ALL SELECT * FROM sn UNION ALL SELECT * FROM m7),
+        |num AS (SELECT p.model, CAST(count(*) AS BIGINT) AS n_days,
+        |               CAST(sum(abs(ho.y700 - p.p700)) AS BIGINT) AS se
+        |        FROM p JOIN ho USING (day_us) GROUP BY p.model),
+        |tr AS (SELECT day_us, cents FROM d0, mx WHERE day_us <= mx.mx - 28 * 86400000000),
+        |den AS (SELECT CAST(count(*) AS BIGINT) AS dn,
+        |               CAST(sum(abs(a.cents - b.cents) * 700) AS BIGINT) AS sd
+        |        FROM tr a JOIN tr b ON a.day_us = b.day_us + 7 * 86400000000)
+        |SELECT model, n_days,
+        |       round((CAST(se AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |             / (CAST(sd AS DOUBLE) / CAST(dn AS DOUBLE)), 6) AS mase
+        |FROM num, den ORDER BY model""".stripMargin,
+
     "pii_t_closeness" ->
       // mirrors the dense (groups × segments) total-variation audit;
       // absent segments contribute |0 − p_s|, halved sum pinned to 6dp
@@ -4179,6 +4243,29 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
          |       round(COALESCE(n_overlap, 0) * 1.0 / n_grams, 6) AS overlap_frac,
          |       CAST(CASE WHEN COALESCE(n_overlap, 0) * 1.0 / n_grams > 0.2 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
          |FROM tot t LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "decon_report" ->
+      // decon_ngram's chain rolled up to the source grain: per-doc
+      // overlap fraction pinned to an exact integer at the 6dp grid
+      // (ratio of exact integers → identical doubles → identical
+      // floor), per-source BIGINT sums, one final division
+      s"""WITH b AS (SELECT doc_id, text, ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS bucket
+         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+         |toks AS (SELECT doc_id, bucket, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM b),
+         |shr AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g FROM toks WHERE len(t) >= 3),
+         |sh AS (SELECT DISTINCT doc_id, bucket, ${md5Hash60Sql("g")} AS shingle FROM shr),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE bucket >= 8),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM sh WHERE bucket < 8 GROUP BY doc_id),
+         |hit AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap FROM sh s JOIN bench USING (shingle) WHERE s.bucket < 8 GROUP BY s.doc_id),
+         |ov AS (SELECT t.doc_id, n_grams, COALESCE(n_overlap, 0) AS n_overlap FROM tot t LEFT JOIN hit USING (doc_id)),
+         |p AS (SELECT d.source,
+         |             CAST(floor(CAST(ov.n_overlap AS DOUBLE) / CAST(ov.n_grams AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS of6,
+         |             CASE WHEN CAST(ov.n_overlap AS DOUBLE) / CAST(ov.n_grams AS DOUBLE) > 0.2 THEN 1 ELSE 0 END AS cont
+         |      FROM ov JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(cont) AS BIGINT) AS n_contaminated,
+         |       round(CAST(CAST(sum(of6) AS BIGINT) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_overlap
+         |FROM p GROUP BY source ORDER BY source""".stripMargin,
 
     "dedup_span_chunks" ->
       // aligned 10-token chunks over the RAW token stream (no stopword
@@ -6097,6 +6184,52 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |          FROM e0 JOIN lab la ON la.node = e0.src JOIN lab lb ON lb.node = e0.dst
         |          WHERE la.label = lb.label GROUP BY 1),
         |sizes AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1)
+        |SELECT community, n_nodes, COALESCE(internal_weight, 0) AS internal_weight, strength_sum,
+        |       round(CAST(COALESCE(internal_weight, 0) AS DOUBLE) / wtot
+        |             - (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)) * (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)), 6) + 0.0 AS contrib
+        |FROM sizes JOIN ssum USING (community) LEFT JOIN intra USING (community), wt
+        |ORDER BY community""".stripMargin,
+
+    "graph_louvain2_modularity" ->
+      // the phase-2 label chain composed with the modularity contrib
+      // mirror: node → phase-1 label → phase-2 community, then the
+      // same exact-integer W/W_c/S_c readout and +0.0 post-pin
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
+        |sym AS MATERIALIZED (SELECT src, dst, w FROM e0 UNION ALL SELECT dst AS src, src AS dst, w FROM e0),
+        |st AS MATERIALIZED (SELECT src AS node, CAST(sum(w) AS BIGINT) AS st FROM sym GROUP BY src),
+        |wt AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM e0),
+        |g AS MATERIALIZED (SELECT s.src AS v, s.dst AS u, 2 * wt.wtot * s.w - sv.st * su.st AS gain2
+        |      FROM sym s JOIN st sv ON sv.node = s.src JOIN st su ON su.node = s.dst, wt),
+        |b AS MATERIALIZED (SELECT v, u, gain2 FROM (
+        |        SELECT v, u, gain2, row_number() OVER (PARTITION BY v ORDER BY gain2 DESC, u ASC) AS rn
+        |        FROM g) WHERE rn = 1),
+        |lab AS MATERIALIZED (SELECT v AS node, CASE WHEN gain2 > 0 THEN u ELSE v END AS label FROM b),
+        |e2 AS MATERIALIZED (SELECT least(la.label, lb.label) AS src, greatest(la.label, lb.label) AS dst, CAST(sum(e0.w) AS BIGINT) AS w
+        |       FROM e0 JOIN lab la ON la.node = e0.src JOIN lab lb ON lb.node = e0.dst
+        |       GROUP BY 1, 2),
+        |ns AS MATERIALIZED (SELECT src, dst, w FROM e2 WHERE src <> dst),
+        |sym2 AS MATERIALIZED (SELECT src, dst, w FROM ns UNION ALL SELECT dst AS src, src AS dst, w FROM ns),
+        |st2 AS MATERIALIZED (SELECT node, CAST(sum(w) AS BIGINT) AS st FROM (
+        |          SELECT src AS node, w FROM sym2
+        |          UNION ALL SELECT src AS node, 2 * w AS w FROM e2 WHERE src = dst)
+        |        GROUP BY node),
+        |g2 AS MATERIALIZED (SELECT s.src AS v, s.dst AS u, 2 * wt.wtot * s.w - sv.st * su.st AS gain2
+        |       FROM sym2 s JOIN st2 sv ON sv.node = s.src JOIN st2 su ON su.node = s.dst, wt),
+        |b2 AS MATERIALIZED (SELECT v, u, gain2 FROM (
+        |         SELECT v, u, gain2, row_number() OVER (PARTITION BY v ORDER BY gain2 DESC, u ASC) AS rn
+        |         FROM g2) WHERE rn = 1),
+        |mv AS MATERIALIZED (SELECT v AS c1, CASE WHEN gain2 > 0 THEN u ELSE v END AS c2 FROM b2),
+        |allc AS MATERIALIZED (SELECT DISTINCT label AS c1 FROM lab),
+        |l2 AS MATERIALIZED (SELECT allc.c1, COALESCE(mv.c2, allc.c1) AS community FROM allc LEFT JOIN mv USING (c1)),
+        |comp AS MATERIALIZED (SELECT lab.node, l2.community AS label FROM lab JOIN l2 ON l2.c1 = lab.label),
+        |ssum AS MATERIALIZED (SELECT l.label AS community, CAST(sum(s.st) AS BIGINT) AS strength_sum
+        |         FROM comp l JOIN st s USING (node) GROUP BY 1),
+        |intra AS MATERIALIZED (SELECT la.label AS community, CAST(sum(e0.w) AS BIGINT) AS internal_weight
+        |          FROM e0 JOIN comp la ON la.node = e0.src JOIN comp lb ON lb.node = e0.dst
+        |          WHERE la.label = lb.label GROUP BY 1),
+        |sizes AS MATERIALIZED (SELECT label AS community, CAST(count(*) AS BIGINT) AS n_nodes FROM comp GROUP BY 1)
         |SELECT community, n_nodes, COALESCE(internal_weight, 0) AS internal_weight, strength_sum,
         |       round(CAST(COALESCE(internal_weight, 0) AS DOUBLE) / wtot
         |             - (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)) * (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)), 6) + 0.0 AS contrib

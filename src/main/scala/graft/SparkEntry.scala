@@ -462,6 +462,22 @@ object SparkEntry {
   private val louvainLabelsMemo = new DirMemo((s, dir) =>
     Graph.louvainMoveLabels(copurchaseEdgesMemo(s, dir)).localCheckpoint())
 
+  /** Composed two-level Louvain labels (node, c1 = phase-1 community,
+    * community = phase-2 community after the contraction move) —
+    * shared by `graph_louvain_phase2` (sizes) and
+    * `graph_louvain2_modularity` (partition quality); node-bounded,
+    * KBs checkpointed.
+    */
+  private val louvainPhase2LabelsMemo = new DirMemo((s, dir) => {
+    val l1 = louvainLabelsMemo(s, dir)
+    val l2 = Graph.louvainMoveLabelsWithSelfLoops(
+      Graph.louvainCondense(copurchaseEdgesMemo(s, dir), l1))
+    l1.select(col("node"), col("label").as("c1"))
+      .join(l2.select(col("node").as("c1"), col("label").as("community")),
+        Seq("c1"))
+      .localCheckpoint()
+  })
+
   /** Held-out naive-Bayes confusion matrix, built ONCE per
     * (session, sfDir) — `ml_naive_bayes` and `ml_classification_report`
     * consume the IDENTICAL class²-bounded table (the oracle side
@@ -685,6 +701,7 @@ object SparkEntry {
     lpaLabelsMemo.reset()
     lpaWeightedLabelsMemo.reset()
     louvainLabelsMemo.reset()
+    louvainPhase2LabelsMemo.reset()
     stemmedFlatMemo.reset()
     stemmedIndexCache.synchronized(stemmedIndexCache.clear())
     phashNearPairsMemo.reset()
@@ -3592,6 +3609,37 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "decon_report" -> ((s, dir) => {
+      // the PER-SOURCE contamination report a pipeline reads BEFORE
+      // training — decon_ngram's per-doc verdicts rolled up to the
+      // crawl-budget grain: per source, train-split docs, contaminated
+      // count (>20% eval-3-gram overlap), and the mean overlap
+      // fraction. The mean is the r14 exact-integer discipline: each
+      // doc's 6dp overlap pin becomes floor(frac·10⁶ + 0.5) (identical
+      // doubles both engines — a ratio of exact integers), the
+      // per-source SUM is exact BIGINT, one final division — no float
+      // accumulation at any corpus size. Scale: the shingle pass and
+      // hash aggs of decon_ngram + one source-grain rollup.
+      val d = docs(s, dir).withColumn("bucket",
+        pmod(Dedup.md5Hash60(col("doc_id").cast("string")), lit(10L)))
+      val train = d.filter(col("bucket") < 8).drop("bucket")
+      val bench = d.filter(col("bucket") >= 8).drop("bucket")
+      val frac = col("n_overlap").cast("double") / col("n_grams").cast("double")
+      Contamination.ngramOverlap(train, bench, k = 3)
+        .join(docs(s, dir).select("doc_id", "source"), Seq("doc_id"))
+        .select(col("source"),
+          floor(frac * lit(1000000.0) + lit(0.5)).cast("long").as("of6"),
+          when(frac > 0.2, 1L).otherwise(0L).as("cont"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("cont").as("n_contaminated"),
+          sum("of6").as("s6"))
+        .select(col("source"), col("n_docs"), col("n_contaminated"),
+          round(col("s6").cast("double") /
+            (col("n_docs").cast("double") * lit(1000000.0)), 6)
+            .as("mean_overlap"))
+        .orderBy("source")
+    }),
+
     "dedup_span_chunks" -> ((s, dir) => {
       // C4/RefinedWeb-style SPAN dedup at 10-token granularity: every
       // full aligned 10-token chunk gets an order-sensitive fingerprint
@@ -4725,6 +4773,18 @@ object SparkEntry {
       graft.ext.TimeSeries.forecastBacktest(dailyOrderCents(s, dir),
         holdoutDays = 28)),
 
+    "ts_mase_eval" -> ((s, dir) =>
+      // MASE for the same three baselines (Hyndman & Koehler 2006) —
+      // the scale-free forecast yardstick MAPE can't be (defined on
+      // zero-revenue days, comparable across series): holdout MAE over
+      // in-sample seasonal-naive MAE, every error an EXACT INTEGER at
+      // the 1/700-dollar grid so both MAE sums are association-free
+      // BIGINTs and the only float ops are the two final divisions
+      // (ext/TimeSeries.maseBacktest — the r14 discipline on the ts
+      // family).
+      graft.ext.TimeSeries.maseBacktest(dailyOrderCents(s, dir),
+        holdoutDays = 28)),
+
     "pii_t_closeness" -> ((s, dir) => {
       // t-closeness audit (Li et al. ICDE'07) — completes the
       // governance trio: a group can be k-anonymous AND l-diverse yet
@@ -5666,6 +5726,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "quality_label_agreement" -> ((s, dir) => {
+      // Cohen's κ between the engine's two independent quality gates
+      // (the curation-dashboard readout that says whether the rule
+      // battery and the learned-shape scorer see the same corpus —
+      // high disagreement = the slice to re-audit): gopher-rule `keep`
+      // × classifier `keep` contingency (exact integer cells from the
+      // gates' own oracle-backed verdicts), observed agreement pₒ,
+      // chance agreement pₑ from the marginals (computed as products
+      // of per-marginal RATIOS, never of raw counts — n² passes 2⁶³
+      // near 3e9 docs), κ = (pₒ−pₑ)/(1−pₑ), 6dp. One doc-grain join
+      // + one single-row aggregate.
+      val ga = queries("text_gopher_rules")(s, dir)
+        .select(col("doc_id"), col("keep").as("ga"))
+      val cb = queries("quality_classifier")(s, dir)
+        .select(col("doc_id"), col("keep").as("cb"))
+      val t = ga.join(cb, Seq("doc_id")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("ga") && col("cb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("ga") && !col("cb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("ga") && col("cb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("ga") && !col("cb"), 1L).otherwise(0L)).as("n00"))
+      val n = col("n_docs").cast("double")
+      val po = (col("n11") + col("n00")).cast("double") / n
+      val pe = ((col("n11") + col("n10")).cast("double") / n) *
+        ((col("n11") + col("n01")).cast("double") / n) +
+        ((col("n01") + col("n00")).cast("double") / n) *
+        ((col("n10") + col("n00")).cast("double") / n)
+      t.select(col("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
+        round(po, 6).as("agree_rate"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }),
+
     "orders_copurchase_lift" -> ((s, dir) => {
       // association-rule mining (the market-basket face): brand pairs
       // co-occurring in an order, with support and LIFT =
@@ -5958,18 +6050,55 @@ object SparkEntry {
       // top-25 level-2 community sizes with the number of level-1
       // communities each absorbed. All integers, no float pin.
       // Scale: phase 2 works on |C1| super-nodes — a fraction of E —
-      // and labels ride the shared phase-1 memo.
-      val l1 = louvainLabelsMemo(s, dir)
-      val cond = Graph.louvainCondense(copurchaseEdgesMemo(s, dir), l1)
-      val l2 = Graph.louvainMoveLabelsWithSelfLoops(cond)
-      l1.select(col("node"), col("label").as("c1"))
-        .join(l2.select(col("node").as("c1"), col("label").as("community")),
-          Seq("c1"))
+      // and the composed labels ride louvainPhase2LabelsMemo (shared
+      // with graph_louvain2_modularity).
+      louvainPhase2LabelsMemo(s, dir)
         .groupBy("community")
         .agg(count(lit(1)).as("n_nodes"),
           countDistinct(col("c1")).as("n_level1"))
         .orderBy(col("n_nodes").desc, col("community"))
         .limit(25)
+    }),
+
+    "graph_louvain2_modularity" -> ((s, dir) => {
+      // partition QUALITY after the phase-2 contraction move — the ΔQ
+      // readout that closes the Louvain telemetry loop: phase-1
+      // quality is graph_louvain_modularity; this is the SAME weighted
+      // Newman contrib (exact-integer W/W_c/S_c pins, +0.0 signed-zero
+      // normalization) over the TWO-LEVEL composed labels, so the two
+      // tables diff directly — does contraction + one more move
+      // actually raise Q on this graph? Labels ride the shared
+      // phase-2 memo; everything else is the audited modularity block.
+      val e = copurchaseEdgesMemo(s, dir)
+      val labels = louvainPhase2LabelsMemo(s, dir)
+        .select(col("node"), col("community").as("label"))
+      val wRow = e.agg(sum("w").as("wtot"))
+      val strength = e.select(col("src").as("node"), col("w"))
+        .unionAll(e.select(col("dst").as("node"), col("w")))
+        .groupBy("node").agg(sum("w").as("st"))
+      val ssum = labels.join(strength, Seq("node"))
+        .groupBy(col("label").as("community"))
+        .agg(sum("st").as("strength_sum"))
+      val intra = e
+        .join(labels.select(col("node").as("src"), col("label").as("la")),
+          Seq("src"))
+        .join(labels.select(col("node").as("dst"), col("label").as("lb")),
+          Seq("dst"))
+        .filter(col("la") === col("lb"))
+        .groupBy(col("la").as("community"))
+        .agg(sum("w").as("internal_weight"))
+      val sizes = labels.groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val sm = col("strength_sum").cast("double") / (lit(2.0) * col("wtot"))
+      sizes.join(ssum, Seq("community"))
+        .join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(wRow))
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("internal_weight"), lit(0L)).as("internal_weight"),
+          col("strength_sum"),
+          (round(coalesce(col("internal_weight"), lit(0L)).cast("double") /
+            col("wtot") - sm * sm, 6) + lit(0.0)).as("contrib"))
+        .orderBy("community")
     }),
 
     "graph_local_clustering" -> ((s, dir) => {

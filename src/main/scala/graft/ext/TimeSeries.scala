@@ -370,6 +370,63 @@ object TimeSeries {
       .orderBy("model")
   }
 
+  /** MASE evaluation of the one-step baselines (Hyndman & Koehler,
+    * "Another look at measures of forecast accuracy", IJF 2006):
+    * MASE_m = MAE_m(holdout) / MAE_snaive(in-sample) — the
+    * scale-free yardstick that, unlike [[forecastBacktest]]'s MAPE,
+    * is defined on zero-revenue days and comparable across series.
+    *
+    * Determinism: every error is an EXACT INTEGER at the 1/700-dollar
+    * grid — naive/snaive predictions are cents·700, the MA-7
+    * prediction is sum7·100 (÷7 and ÷100 fold into one exact scale),
+    * the in-sample seasonal differences are |Δcents|·700 — so every
+    * MAE numerator is an association-free BIGINT sum and the only
+    * float ops are the two final divisions of identical exact
+    * integers (the r14 discipline; headroom: daily cents·700·365 days
+    * passes 2⁶³ only beyond ~$10¹⁴/day).
+    *
+    * @param daily (day_us, cents) exact integer daily totals
+    */
+  def maseBacktest(daily: DataFrame, holdoutDays: Int = 28): DataFrame = {
+    require(holdoutDays >= 1 && holdoutDays <= 365, "holdoutDays in [1,365]")
+    val base = graft.Caches.persist(daily.select(col("day_us"), col("cents")))
+    val naive = base.select(lit("naive").as("model"),
+      (col("day_us") + DayUs).as("day_us"),
+      (col("cents") * lit(700L)).as("p700"))
+    val snaive = base.select(lit("snaive").as("model"),
+      (col("day_us") + lit(7L) * DayUs).as("day_us"),
+      (col("cents") * lit(700L)).as("p700"))
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val offs = (1 to 7).map(_.toLong).toDF("o")
+    val ma7 = base.crossJoin(broadcast(offs))
+      .groupBy((col("day_us") + col("o") * DayUs).as("day_us"))
+      .agg(sum("cents").as("s"), count(lit(1)).as("n"))
+      .filter(col("n") === 7)
+      .select(lit("ma7").as("model"), col("day_us"),
+        (col("s") * lit(100L)).as("p700"))
+    val mx = broadcast(base.agg(max("day_us").as("mx")))
+    val cut = col("mx") - lit(holdoutDays.toLong) * DayUs
+    val holdout = base.crossJoin(mx).filter(col("day_us") > cut)
+      .select(col("day_us"), (col("cents") * lit(700L)).as("y700"))
+    val num = naive.unionByName(snaive).unionByName(ma7)
+      .join(holdout, Seq("day_us"))
+      .select(col("model"), abs(col("y700") - col("p700")).as("e700"))
+      .groupBy("model")
+      .agg(count(lit(1)).as("n_days"), sum("e700").as("se"))
+    val train = base.crossJoin(mx).filter(col("day_us") <= cut)
+    val den = broadcast(train
+      .join(train.select((col("day_us") + lit(7L) * DayUs).as("day_us"),
+        col("cents").as("c7")), Seq("day_us"))
+      .select((abs(col("cents") - col("c7")) * lit(700L)).as("d700"))
+      .agg(count(lit(1)).as("dn"), sum("d700").as("sd")))
+    num.crossJoin(den)
+      .select(col("model"), col("n_days"),
+        round((col("se").cast("double") / col("n_days").cast("double")) /
+          (col("sd").cast("double") / col("dn").cast("double")), 6).as("mase"))
+      .orderBy("model")
+  }
+
   /** CUSUM change-point statistic over a daily series (Page 1954, the
     * offline mean-shift form): C_t = Σ_{i≤t}(y_i − ȳ) — the cumulative
     * deviation from the global mean — peaks in magnitude AT the change
