@@ -352,7 +352,16 @@ object ScaleBench {
     // near-linear tests that the cell-bounded candidate join tracks
     // cell size alone)
     "curate_dsir_weights", "graph_louvain_phase2",
-    "index_compression_stats", "emb_hard_negatives")
+    "index_compression_stats", "emb_hard_negatives",
+    // r14 second wave: the training-shuffle manifest (the per-shard
+    // rank window IS the shuffle sort — S=8 partitions deepen ∝ N, so
+    // near-linear tests that nothing beyond the one exchange scales;
+    // production S in the thousands bounds partition depth), the
+    // source-grain contamination report (decon_ngram's receipts + one
+    // rollup — the ratio tests that the rollup adds nothing shaped),
+    // and the two-gate kappa (two token passes + one doc-grain join
+    // + a single-row aggregate — the boring-linear bar)
+    "curate_global_shuffle", "decon_report", "quality_label_agreement")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE
@@ -456,7 +465,13 @@ object ScaleBench {
     val qs = rows.map { case (q, t1, tf, r) =>
       s"""\"$q\":{\"t1\":$t1,\"t$factor\":$tf,\"ratio\":$r}"""
     }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_curve","factor":$factor,"reps":$reps,"queries":$qs}""")
+    val json = s"""{"metric":"scale_curve","factor":$factor,"reps":$reps,"queries":$qs}"""
+    println(json)
+    // also persist: console output is one SIGPIPE away from lost —
+    // an r14 run's results vanished into a dead grep pipe and the
+    // whole synthesis + timing had to be re-paid
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${SparkEntry.WorkDir}/scale_curve.json"), json)
     spark.stop()
   }
 }
