@@ -3031,6 +3031,21 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |       CAST(sum(k) AS BIGINT) AS n_customers, k < 5 AS at_risk
         |FROM g GROUP BY k ORDER BY k""".stripMargin,
 
+    "pii_generalization_ladder" ->
+      // 4-level full-domain generalization ladder mirror: one
+      // explode×4, group sizes per (level, QI), per-level at-risk
+      // counts + the suppress-the-rest share as one pinned division
+      """WITH lv AS (SELECT * FROM (VALUES (CAST(0 AS INTEGER), CAST(1000 AS BIGINT)), (CAST(1 AS INTEGER), CAST(2000 AS BIGINT)), (CAST(2 AS INTEGER), CAST(4000 AS BIGINT)), (CAST(3 AS INTEGER), CAST(8000 AS BIGINT))) AS t(level, w)),
+        |g AS (SELECT lv.level, lv.w AS bucket_width, c_nationkey, c_mktsegment,
+        |             CAST(floor(c_acctbal / CAST(lv.w AS DOUBLE)) AS BIGINT) AS b,
+        |             CAST(count(*) AS BIGINT) AS k
+        |      FROM customer CROSS JOIN lv GROUP BY 1, 2, 3, 4, 5)
+        |SELECT level, bucket_width, CAST(count(*) AS BIGINT) AS n_groups,
+        |       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_risk_groups,
+        |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS n_at_risk_rows,
+        |       round(CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE) / CAST(sum(k) AS DOUBLE), 6) AS suppress_share
+        |FROM g GROUP BY 1, 2 ORDER BY level""".stripMargin,
+
     "pii_dp_release" ->
       // seeded Laplace by inverse CDF: u from the md5 fold of the cell
       // key, lap = -sign(u-.5)*ln(1-2*|u-.5|); ln's last ulp is engine-

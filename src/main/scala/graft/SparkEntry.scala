@@ -4293,6 +4293,40 @@ object SparkEntry {
         .orderBy("k")
     }),
 
+    "pii_generalization_ladder" -> ((s, dir) => {
+      // the k-anonymity FIX, not just the audit: a 4-level balance-
+      // bucket generalization ladder (widths 1000 → 8000; level 0 is
+      // pii_k_anonymity's own QI) scored in ONE pass — per level, the
+      // groups and rows still below k=5 and the share a
+      // suppress-the-rest release would drop. The release policy
+      // reads the coarsest level whose suppression cost is
+      // acceptable (generalize-then-suppress — Sweeney, IJUFKS 2002
+      // §5; Samarati's full-domain ladder). One explode×4 + one hash
+      // aggregate; only the |QI-domain|-bounded group table moves
+      // after that. Counts exact; the share is one pinned division.
+      val lv = array(Seq(1000L, 2000L, 4000L, 8000L).zipWithIndex.map {
+        case (w, i) => struct(lit(i).as("level"), lit(w).as("w"))
+      }: _*)
+      tbl(s, dir, "customer")
+        .select(col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"),
+          explode(lv).as("lw"))
+        .groupBy(col("lw.level").as("level"), col("lw.w").as("bucket_width"),
+          col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / col("lw.w").cast("double"))
+            .cast(org.apache.spark.sql.types.LongType).as("b"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy("level", "bucket_width")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("k") < 5, 1L).otherwise(0L)).as("n_at_risk_groups"),
+          sum(when(col("k") < 5, col("k")).otherwise(0L)).as("n_at_risk_rows"),
+          sum("k").as("n_rows"))
+        .select(col("level"), col("bucket_width"), col("n_groups"),
+          col("n_at_risk_groups"), col("n_at_risk_rows"),
+          round(col("n_at_risk_rows").cast("double") /
+            col("n_rows").cast("double"), 6).as("suppress_share"))
+        .orderBy("level")
+    }),
+
     "pii_dp_release" -> ((s, dir) => {
       // differential-privacy-STYLE noisy count release with seeded
       // noise: Laplace(1/ε) drawn by inverse-CDF from a uniform that is
