@@ -2401,6 +2401,26 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |SELECT * FROM ($mRows) ORDER BY rank""".stripMargin
     },
 
+    "tok_fertility_by_lang" ->
+      // per-lang symbols/word before and after the top merge — same
+      // winner rule and replace semantics as tok_bpe_apply; exact
+      // integer symbol sums, two pinned divisions per language
+      """WITH w AS (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS word
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |p1 AS (SELECT pr FROM (
+        |         SELECT pr, count(*) AS n FROM (
+        |           SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pr
+        |           FROM w WHERE len(word) >= 2)
+        |         GROUP BY pr ORDER BY n DESC, pr LIMIT 1)),
+        |r AS (SELECT lang, CAST(len(word) AS BIGINT) AS sb,
+        |             CAST(len(replace(word, (SELECT pr FROM p1), '0')) AS BIGINT) AS sa
+        |      FROM w)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(sb) AS BIGINT) AS sym_before, CAST(sum(sa) AS BIGINT) AS sym_after,
+        |       round(CAST(sum(sb) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility_before,
+        |       round(CAST(sum(sa) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility_after
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
+
     "tok_bpe_apply" ->
       // iteration-1 winner (count desc, pair asc) applied via replace
       // (leftmost non-overlapping in both engines), '0' carries the

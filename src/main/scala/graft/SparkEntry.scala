@@ -5672,6 +5672,43 @@ object SparkEntry {
         .limit(20)
     }),
 
+    "tok_fertility_by_lang" -> ((s, dir) => {
+      // per-LANGUAGE tokenizer fertility — the multilingual readout
+      // that prices training and inference per language (fertility =
+      // subword tokens per word; high-fertility languages pay more
+      // context per sentence, the classic multilingual-tokenizer
+      // fairness metric): symbols/word before and after the corpus'
+      // top BPE merge (the tok_bpe_apply S4 scalar + leftmost
+      // non-overlapping replace — '0' carries the merged symbol, so
+      // len() counts it as ONE token). All counts exact integers; the
+      // fertilities are two pinned divisions per language. Scale: one
+      // token pass + one |langs|-bounded aggregate.
+      val words = Caches.persist(docs(s, dir)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0))
+      val top = words.filter(length(col("word")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pr"))
+        .groupBy("pr").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pr").asc)
+        .limit(1).head().getString(0)
+      words
+        .select(col("lang"), length(col("word")).as("sb"),
+          length(replace(col("word"), lit(top), lit("0"))).as("sa"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("sb").as("sym_before"), sum("sa").as("sym_after"))
+        .select(col("lang"), col("n_words"), col("sym_before"),
+          col("sym_after"),
+          round(col("sym_before").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility_before"),
+          round(col("sym_after").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility_after"))
+        .orderBy("lang")
+    }),
+
     "tok_bpe_apply" -> ((s, dir) => {
       // the SECOND iteration of BPE training: apply the winning merge
       // from iteration 1 (an S4 scalar — count desc, pair asc) to every
