@@ -228,4 +228,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.forall(r => math.abs(r._4) < 1e-9))
     graft.Caches.clearPersisted()
   }
+
+  test("maseBacktest: linear ramp — exact hand-computed MASE per model") {
+    import spark.implicits._
+    // cents(i) = 1000 + 100·i over 42 days; holdout = last 28 →
+    // train = days 0..13. In-sample snaive MAE = 700 cents (7 pairs,
+    // each |Δ| = 700). Holdout MAEs: naive 100, snaive 700,
+    // ma7 = mean of 7 priors = cents(t−4) → 400. MASE = MAE/700.
+    val dayUs = 86400000000L
+    val daily = (0 to 41).map(i => (i * dayUs, 1000L + 100L * i))
+      .toDF("day_us", "cents")
+    val got = TimeSeries.maseBacktest(daily, holdoutDays = 28)
+      .orderBy("model").as[(String, Long, Double)].collect().toSeq
+    assert(got === Seq(("ma7", 28L, 0.571429), ("naive", 28L, 0.142857),
+      ("snaive", 28L, 1.0)))
+    graft.Caches.clearPersisted()
+  }
 }
