@@ -445,29 +445,29 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
     */
   private def betweennessSql(depth: Int): String = {
     val base =
-      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
-        |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, b.pk AS dst
         |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk),
-        |sym AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
-        |f0 AS (SELECT CAST(p_partkey AS BIGINT) AS s, CAST(p_partkey AS BIGINT) AS node,
+        |sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+        |f0 AS MATERIALIZED (SELECT CAST(p_partkey AS BIGINT) AS s, CAST(p_partkey AS BIGINT) AS node,
         |              CAST(1 AS BIGINT) AS sigma
         |       FROM part WHERE p_partkey <= 4),
-        |disc0 AS (SELECT s, node FROM f0)""".stripMargin
+        |disc0 AS MATERIALIZED (SELECT s, node FROM f0)""".stripMargin
     val fwd = (1 to depth).map { l =>
-      s"""f$l AS (SELECT t.s, e.dst AS node, CAST(sum(t.sigma) AS BIGINT) AS sigma
+      s"""f$l AS MATERIALIZED (SELECT t.s, e.dst AS node, CAST(sum(t.sigma) AS BIGINT) AS sigma
          |       FROM f${l - 1} t JOIN sym e ON e.src = t.node
          |       WHERE NOT EXISTS (SELECT 1 FROM disc${l - 1} d WHERE d.s = t.s AND d.node = e.dst)
          |       GROUP BY t.s, e.dst),
-         |disc$l AS (SELECT s, node FROM disc${l - 1} UNION ALL SELECT s, node FROM f$l)""".stripMargin
+         |disc$l AS MATERIALIZED (SELECT s, node FROM disc${l - 1} UNION ALL SELECT s, node FROM f$l)""".stripMargin
     }
     // δ accumulation mirrored as EXACT INTEGERS (the r13 fix — see
     // Graph.betweennessSeeds): addend = floor(raw·10⁹ + 0.5) (pure
     // IEEE, bit-identical), BIGINT layer sums, integer half-up to 6dp
     // via (d9 + 500) // 1000, δ = d6/10⁶ — no decimal-rounding
     // function anywhere, so no boundary to disagree on
-    val bDeep = s"b$depth AS (SELECT s, node, sigma, CAST(0 AS DOUBLE) AS delta, CAST(0 AS BIGINT) AS d6 FROM f$depth)"
+    val bDeep = s"b$depth AS MATERIALIZED (SELECT s, node, sigma, CAST(0 AS DOUBLE) AS delta, CAST(0 AS BIGINT) AS d6 FROM f$depth)"
     val bwd = (depth - 1 to 0 by -1).map { l =>
-      s"""b$l AS (SELECT v.s, v.node, v.sigma,
+      s"""b$l AS MATERIALIZED (SELECT v.s, v.node, v.sigma,
          |              coalesce(CAST(c.d6 AS DOUBLE) / 1000000.0, 0.0) AS delta,
          |              coalesce(c.d6, 0) AS d6
          |       FROM f$l v LEFT JOIN (
