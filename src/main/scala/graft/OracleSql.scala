@@ -3729,18 +3729,18 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
       // mirrors Graph.ssspBounded: weighted co-purchase edges, integer
       // cost wmax+1−w, 3 unrolled min-plus relaxations (each = previous
       // distances ∪ one edges⋈dist expansion, min per node)
-      """WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
-        |e0 AS (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
         |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
-        |wm AS (SELECT max(w) AS wmax FROM e0),
-        |ce AS (SELECT src, dst, wm.wmax + 1 - w AS c FROM e0, wm),
-        |sym AS (SELECT DISTINCT src, dst, c FROM (SELECT src, dst, c FROM ce UNION ALL SELECT dst AS src, src AS dst, c FROM ce)),
-        |d0 AS (SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS d FROM part WHERE p_brand = 'Brand#22'),
-        |d1 AS (SELECT node, min(d) AS d FROM (SELECT node, d FROM d0
+        |wm AS MATERIALIZED (SELECT max(w) AS wmax FROM e0),
+        |ce AS MATERIALIZED (SELECT src, dst, wm.wmax + 1 - w AS c FROM e0, wm),
+        |sym AS MATERIALIZED (SELECT DISTINCT src, dst, c FROM (SELECT src, dst, c FROM ce UNION ALL SELECT dst AS src, src AS dst, c FROM ce)),
+        |d0 AS MATERIALIZED (SELECT DISTINCT p_partkey AS node, CAST(0 AS BIGINT) AS d FROM part WHERE p_brand = 'Brand#22'),
+        |d1 AS MATERIALIZED (SELECT node, min(d) AS d FROM (SELECT node, d FROM d0
         |       UNION ALL SELECT sym.dst AS node, d0.d + sym.c AS d FROM sym JOIN d0 ON sym.src = d0.node) GROUP BY node),
-        |d2 AS (SELECT node, min(d) AS d FROM (SELECT node, d FROM d1
+        |d2 AS MATERIALIZED (SELECT node, min(d) AS d FROM (SELECT node, d FROM d1
         |       UNION ALL SELECT sym.dst AS node, d1.d + sym.c AS d FROM sym JOIN d1 ON sym.src = d1.node) GROUP BY node),
-        |d3 AS (SELECT node, min(d) AS d FROM (SELECT node, d FROM d2
+        |d3 AS MATERIALIZED (SELECT node, min(d) AS d FROM (SELECT node, d FROM d2
         |       UNION ALL SELECT sym.dst AS node, d2.d + sym.c AS d FROM sym JOIN d2 ON sym.src = d2.node) GROUP BY node)
         |SELECT d, CAST(count(*) AS BIGINT) AS n_parts FROM d3 GROUP BY d ORDER BY d""".stripMargin,
 
@@ -6424,9 +6424,9 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
       // preserving — every 2-subset of a support-2 triple has support
       // ≥ 2, so the direct 3-way basket join counts the same triples);
       // all-confidence = support / max item support
-      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |i AS (SELECT p, CAST(count(*) AS BIGINT) AS isup FROM b GROUP BY p),
-        |t AS (SELECT a.p AS p1, c.p AS p2, d.p AS p3, CAST(count(*) AS BIGINT) AS support
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |i AS MATERIALIZED (SELECT p, CAST(count(*) AS BIGINT) AS isup FROM b GROUP BY p),
+        |t AS MATERIALIZED (SELECT a.p AS p1, c.p AS p2, d.p AS p3, CAST(count(*) AS BIGINT) AS support
         |      FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
         |               JOIN b d ON a.o = d.o AND c.p < d.p
         |      GROUP BY 1, 2, 3 HAVING count(*) >= 2)
@@ -6442,27 +6442,27 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
       // first-b-after-first-a frontier (fab) + last-c decide length-3;
       // minsup = ceil(1% of sequences); A-priori pruning mirrored via
       // the f1/f2 joins
-      """WITH p AS (SELECT concat_ws('#', user_id, epoch_us(date_trunc('day', ts))) AS sid, event_type AS et,
+      """WITH p AS MATERIALIZED (SELECT concat_ws('#', user_id, epoch_us(date_trunc('day', ts))) AS sid, event_type AS et,
         |             CAST(row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts, event_id) AS BIGINT) AS pos
         |      FROM events),
-        |prof AS (SELECT sid, et, min(pos) AS minpos, max(pos) AS maxpos, CAST(count(*) AS BIGINT) AS cnt
+        |prof AS MATERIALIZED (SELECT sid, et, min(pos) AS minpos, max(pos) AS maxpos, CAST(count(*) AS BIGINT) AS cnt
         |         FROM p GROUP BY sid, et),
-        |ns AS (SELECT CAST(ceil(count(DISTINCT sid) * 0.01) AS BIGINT) AS minsup FROM prof),
-        |f1 AS (SELECT et, CAST(count(*) AS BIGINT) AS support FROM prof GROUP BY et
+        |ns AS MATERIALIZED (SELECT CAST(ceil(count(DISTINCT sid) * 0.01) AS BIGINT) AS minsup FROM prof),
+        |f1 AS MATERIALIZED (SELECT et, CAST(count(*) AS BIGINT) AS support FROM prof GROUP BY et
         |       HAVING count(*) >= (SELECT minsup FROM ns)),
-        |fp AS (SELECT prof.sid, prof.et, prof.minpos, prof.maxpos, prof.cnt FROM prof JOIN f1 USING (et)),
-        |pp AS (SELECT x.sid, x.et AS a, y.et AS b, x.minpos AS minpos_a
+        |fp AS MATERIALIZED (SELECT prof.sid, prof.et, prof.minpos, prof.maxpos, prof.cnt FROM prof JOIN f1 USING (et)),
+        |pp AS MATERIALIZED (SELECT x.sid, x.et AS a, y.et AS b, x.minpos AS minpos_a
         |       FROM fp x JOIN fp y ON x.sid = y.sid
         |       WHERE CASE WHEN x.et = y.et THEN x.cnt >= 2 ELSE x.minpos < y.maxpos END),
-        |f2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM pp GROUP BY a, b
+        |f2 AS MATERIALIZED (SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM pp GROUP BY a, b
         |       HAVING count(*) >= (SELECT minsup FROM ns)),
-        |fab AS (SELECT pp.sid, pp.a, pp.b, min(p.pos) AS fpos
+        |fab AS MATERIALIZED (SELECT pp.sid, pp.a, pp.b, min(p.pos) AS fpos
         |        FROM p JOIN pp ON p.sid = pp.sid AND p.et = pp.b AND p.pos > pp.minpos_a
         |        JOIN f2 ON pp.a = f2.a AND pp.b = f2.b
         |        GROUP BY pp.sid, pp.a, pp.b),
-        |tp AS (SELECT fab.sid, fab.a, fab.b, z.et AS c FROM fab JOIN fp z ON fab.sid = z.sid
+        |tp AS MATERIALIZED (SELECT fab.sid, fab.a, fab.b, z.et AS c FROM fab JOIN fp z ON fab.sid = z.sid
         |       WHERE fab.fpos < z.maxpos),
-        |f3 AS (SELECT a, b, c, CAST(count(*) AS BIGINT) AS support FROM tp GROUP BY a, b, c
+        |f3 AS MATERIALIZED (SELECT a, b, c, CAST(count(*) AS BIGINT) AS support FROM tp GROUP BY a, b, c
         |       HAVING count(*) >= (SELECT minsup FROM ns))
         |SELECT * FROM (
         |  SELECT CAST(1 AS BIGINT) AS length, et AS pattern, support FROM f1
@@ -6621,23 +6621,23 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
       // consequent choices, support ≥ 2); confidence pinned 6dp, lift
       // computed from the PINNED confidence — mirrors
       // Mining.associationRules shape-for-shape
-      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-        |nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM b),
-        |i AS (SELECT p, CAST(count(*) AS BIGINT) AS isup FROM b GROUP BY p),
-        |pr AS (SELECT a.p AS p1, c.p AS p2, CAST(count(*) AS BIGINT) AS sup2
+      """WITH b AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |nb AS MATERIALIZED (SELECT CAST(count(DISTINCT o) AS BIGINT) AS nb FROM b),
+        |i AS MATERIALIZED (SELECT p, CAST(count(*) AS BIGINT) AS isup FROM b GROUP BY p),
+        |pr AS MATERIALIZED (SELECT a.p AS p1, c.p AS p2, CAST(count(*) AS BIGINT) AS sup2
         |       FROM b a JOIN b c ON a.o = c.o AND a.p < c.p GROUP BY 1, 2),
-        |t AS (SELECT a.p AS p1, c.p AS p2, d.p AS p3, CAST(count(*) AS BIGINT) AS sup3
+        |t AS MATERIALIZED (SELECT a.p AS p1, c.p AS p2, d.p AS p3, CAST(count(*) AS BIGINT) AS sup3
         |      FROM b a JOIN b c ON a.o = c.o AND a.p < c.p
         |               JOIN b d ON a.o = d.o AND c.p < d.p
         |      GROUP BY 1, 2, 3 HAVING count(*) >= 2),
-        |prules AS (
+        |prules AS MATERIALIZED (
         |  SELECT CAST(p1 AS VARCHAR) AS antecedent, p2 AS consequent, sup2 AS support,
         |         i1.isup AS sa, i2.isup AS sc
         |  FROM pr JOIN i i1 ON pr.p1 = i1.p JOIN i i2 ON pr.p2 = i2.p WHERE sup2 >= 3
         |  UNION ALL
         |  SELECT CAST(p2 AS VARCHAR), p1, sup2, i2.isup, i1.isup
         |  FROM pr JOIN i i1 ON pr.p1 = i1.p JOIN i i2 ON pr.p2 = i2.p WHERE sup2 >= 3),
-        |trules AS (
+        |trules AS MATERIALIZED (
         |  SELECT concat_ws(',', t.p1, t.p2) AS antecedent, t.p3 AS consequent, sup3 AS support,
         |         pa.sup2 AS sa, ic.isup AS sc
         |  FROM t JOIN pr pa ON pa.p1 = t.p1 AND pa.p2 = t.p2 JOIN i ic ON ic.p = t.p3
@@ -6647,8 +6647,8 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |  UNION ALL
         |  SELECT concat_ws(',', t.p2, t.p3), t.p1, sup3, pa.sup2, ic.isup
         |  FROM t JOIN pr pa ON pa.p1 = t.p2 AND pa.p2 = t.p3 JOIN i ic ON ic.p = t.p1),
-        |allr AS (SELECT * FROM prules UNION ALL SELECT * FROM trules),
-        |cf AS (SELECT antecedent, consequent, support,
+        |allr AS MATERIALIZED (SELECT * FROM prules UNION ALL SELECT * FROM trules),
+        |cf AS MATERIALIZED (SELECT antecedent, consequent, support,
         |              round(CAST(support AS DOUBLE) / CAST(sa AS DOUBLE), 6) AS confidence, sc
         |       FROM allr)
         |SELECT antecedent, consequent, support, confidence,
