@@ -112,6 +112,26 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"bench_per_query.json write failed: $e")
     }
+    // Cross-round history ledger (r14 VERDICT #8): one APPENDED JSONL
+    // row per run with the raw per-query medians AND the calibration
+    // probe, so probe-normalized round-over-round comparison is
+    // mechanical (raw_r(N)/raw_r(N-1) ÷ probe_r(N)/probe_r(N-1))
+    // instead of hand-divided. Normalization limit (the r14 lesson):
+    // the load multiplier is NOT uniform across queries — IO-bound
+    // scans and CPU-bound aggs see different contention — so the probe
+    // separates load drift from plan regressions only to ~2-3×;
+    // residuals inside that band need an idle re-measure, not a vers
+    // bisect. Rule documented in docs/PLANS.md "Bench calibration".
+    try {
+      val histRow = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","reps":$reps,"probe":$calMedian,"calibration":$calJson,"queries":$qs,"total":$total}"""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${SparkEntry.WorkDir}/bench_history.jsonl"),
+        histRow + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"bench_history.jsonl append failed: $e")
+    }
     // Long line first (full contract incl. per-query medians), short
     // total line LAST so a tail capture always retains a parseable total.
     println(s"""{"metric":"total","unit":"sec","sf":"$sfDir","reps":$reps,"_calibration":$calJson,"queries":$qs,"value":$total}""")

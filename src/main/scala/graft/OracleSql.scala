@@ -180,6 +180,75 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
     sb.toString
   }
 
+  /** SCALE-AWARE IVF assignment chain — the [[ivfLloyd1Ctes]] semantics
+    * with the centroid count following the engine's occupancy rule
+    * C = max(8, ⌈N/64⌉) DYNAMICALLY (par CTE), the Lloyd train set
+    * mirroring the md5-bucket sampler (full corpus at N ≤ 4096, else
+    * seeds + bucket 0 of N//4096+1), and the final assignment mirroring
+    * BOTH [[graft.ext.Similarity.ivfAssignWith]] branches — flat at
+    * C ≤ 16, the two-level coarse-cell route (q = ⌈√C⌉ lowest-id cells,
+    * coarse seeds pinned to their own cell) above it — selected by the
+    * scalar-guarded UNION ALL. Ends in `a1 (vec_id, cluster)` with the
+    * corpus in `v (vec_id, ve)`. Shared by `dedup_semantic` (verified
+    * exactly equal to Spark at sf0.01 flat C=8 AND sf0.1 hierarchical
+    * C=79) and, since r15, `sim_knn_outliers` (same dynamic C on the
+    * Spark side — the r14 VERDICT fixed-C quadratic fix). `v` and `a1`
+    * are MATERIALIZED: every consumer re-references them 2+ times and
+    * DuckDB 1.0 inlines CTEs (the r14 phase-2 Louvain disk-spill
+    * lesson).
+    */
+  private lazy val ivfDynamicCtes: String =
+    s"""v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+      |par AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+      |               greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS c
+      |        FROM v),
+      |tr AS (SELECT vec_id, ve FROM v, par
+      |       WHERE vec_id < par.c OR par.nn <= 4096
+      |          OR ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % (par.nn // 4096 + 1) = 0),
+      |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v, par WHERE vec_id < par.c),
+      |s0 AS (SELECT tr.vec_id, cent_id,
+      |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+      |       FROM tr CROSS JOIN c0),
+      |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+      |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+      |       WHERE rn = 1),
+      |comp AS (SELECT a0.cluster AS cent_id, r.i AS pos, round(avg(tr.ve[r.i]), 6) AS m
+      |         FROM a0 JOIN tr USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+      |         GROUP BY a0.cluster, r.i),
+      |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp GROUP BY cent_id),
+      |sfl AS (SELECT v.vec_id, cent_id,
+      |               list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+      |        FROM v CROSS JOIN c1),
+      |aflat AS (SELECT vec_id, cent_id AS cluster FROM
+      |            (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM sfl)
+      |          WHERE rn = 1),
+      |qq AS (SELECT CAST(ceil(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS q FROM par),
+      |coarse AS (SELECT cent_id AS cell, ce AS cell_ve FROM c1, qq WHERE cent_id < qq.q),
+      |cic AS (SELECT cent_id, CASE WHEN cent_id < (SELECT q FROM qq) THEN cent_id ELSE cell END AS cell, ce FROM
+      |          (SELECT c1.cent_id, cell, c1.ce,
+      |                  row_number() OVER (PARTITION BY c1.cent_id ORDER BY
+      |                    list_dot_product(c1.ce, coarse.cell_ve) / (sqrt(list_dot_product(c1.ce, c1.ce)) * sqrt(list_dot_product(coarse.cell_ve, coarse.cell_ve))) DESC,
+      |                    cell ASC) AS rn
+      |           FROM c1 CROSS JOIN coarse)
+      |        WHERE rn = 1),
+      |vcell AS (SELECT vec_id, cell, ve FROM
+      |            (SELECT v.vec_id, coarse.cell, v.ve,
+      |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
+      |                      list_dot_product(v.ve, coarse.cell_ve) / (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(coarse.cell_ve, coarse.cell_ve))) DESC,
+      |                      cell ASC) AS rn
+      |             FROM v CROSS JOIN coarse)
+      |          WHERE rn = 1),
+      |ahier AS (SELECT vec_id, cent_id AS cluster FROM
+      |            (SELECT vc.vec_id, cic.cent_id,
+      |                    row_number() OVER (PARTITION BY vc.vec_id ORDER BY
+      |                      list_dot_product(vc.ve, cic.ce) / (sqrt(list_dot_product(vc.ve, vc.ve)) * sqrt(list_dot_product(cic.ce, cic.ce))) DESC,
+      |                      cic.cent_id ASC) AS rn
+      |             FROM vcell vc JOIN cic ON cic.cell = vc.cell)
+      |          WHERE rn = 1),
+      |a1 AS MATERIALIZED (SELECT * FROM aflat WHERE (SELECT c FROM par) <= 16
+      |       UNION ALL
+      |       SELECT * FROM ahier WHERE (SELECT c FROM par) > 16)""".stripMargin
+
   /** Corpus bigram-LM CTE chain (mirrors [[graft.SparkEntry]]'s
     * `lmScores`): raw tokens → bigrams → add-one-smoothed log10 probs in
     * `s (doc_id, lp)`. Shared by `text_lm_score` and
@@ -715,7 +784,9 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |vb AS (SELECT word, 1 + (CASE WHEN gap >= 128 THEN 1 ELSE 0 END)
         |                     + (CASE WHEN gap >= 16384 THEN 1 ELSE 0 END)
         |                     + (CASE WHEN gap >= 2097152 THEN 1 ELSE 0 END)
-        |                     + (CASE WHEN gap >= 268435456 THEN 1 ELSE 0 END) AS bytes
+        |                     + (CASE WHEN gap >= 268435456 THEN 1 ELSE 0 END)
+        |                     + (CASE WHEN gap >= 34359738368 THEN 1 ELSE 0 END)
+        |                     + (CASE WHEN gap >= 4398046511104 THEN 1 ELSE 0 END) AS bytes
         |       FROM gap)
         |SELECT word, CAST(count(*) AS BIGINT) AS doc_freq, CAST(sum(bytes) AS BIGINT) AS vb_bytes,
         |       round(CAST(sum(bytes) AS DOUBLE) / count(*), 6) AS bytes_per_posting
@@ -1868,10 +1939,12 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |SELECT query_id, vec_id, dot_i8, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "sim_knn_outliers" ->
-      // kNN-distance outlier mirror: the ivfLloyd1 assignment chain,
-      // within-cell pairs, 5th-highest cosine per point ((cos DESC,
-      // vb) rank 5), small cells coalesce to -1, top-20 most isolated
-      s"""WITH $ivfLloyd1Ctes,
+      // kNN-distance outlier mirror: the SCALE-AWARE ivfDynamicCtes
+      // assignment chain (dynamic C = max(8, ⌈N/64⌉) — r15, mirroring
+      // the engine's fixed-C fix), within-cell pairs, 5th-highest
+      // cosine per point ((cos DESC, vb) rank 5), small cells coalesce
+      // to -1, top-20 most isolated
+      s"""WITH $ivfDynamicCtes,
         |pr AS (SELECT x.vec_id AS va, y.vec_id AS vb,
         |              list_dot_product(vx.ve, vy.ve) / (sqrt(list_dot_product(vx.ve, vx.ve)) * sqrt(list_dot_product(vy.ve, vy.ve))) AS cos
         |       FROM a1 x JOIN a1 y ON x.cluster = y.cluster AND x.vec_id <> y.vec_id
@@ -2034,73 +2107,17 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
 
     "dedup_semantic" ->
       // SemDeDup mirror, SCALE-AWARE since r12 (closes the one r12
-      // sf0.1-sweep exception): the centroid count follows the
-      // engine's occupancy rule C = max(8, ⌈N/64⌉) DYNAMICALLY (par
-      // CTE) instead of pinning the sf0.01 value 8; the Lloyd train
-      // set mirrors the md5-bucket sampler (full corpus at N ≤ 4096,
-      // else seeds + bucket 0 of N//4096+1); and the final assignment
-      // mirrors BOTH ivfAssignWith branches — flat at C ≤ 16, the
-      // two-level coarse-cell route (q = ⌈√C⌉ lowest-id cells, coarse
-      // seeds pinned to their own cell) above it — selected by the
-      // scalar-guarded UNION ALL. Verified exactly equal to the Spark
-      // result at sf0.01 (flat, C=8) AND sf0.1 (hierarchical, C=79).
-      // Then within-cluster τ-pairs (exact cosine, same
-      // sequential-double dot product both engines) → transitive
-      // closure via recursive reach (the dedup_components pattern) →
-      // rows above their component minimum, labeled with keeper and
-      // cluster. The okc CTE mirrors semanticDupDrops'
-      // degenerate-cluster band (size in [2, 10000]).
+      // sf0.1-sweep exception): the shared [[ivfDynamicCtes]] chain
+      // (dynamic C, Lloyd sampler, both ivfAssignWith branches — see
+      // its scaladoc; factored out in r15 when sim_knn_outliers
+      // adopted the same dynamic C). Then within-cluster τ-pairs
+      // (exact cosine, same sequential-double dot product both
+      // engines) → transitive closure via recursive reach (the
+      // dedup_components pattern) → rows above their component
+      // minimum, labeled with keeper and cluster. The okc CTE mirrors
+      // semanticDupDrops' degenerate-cluster band (size in [2, 10000]).
       s"""WITH RECURSIVE
-        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
-        |par AS (SELECT CAST(count(*) AS BIGINT) AS nn,
-        |               greatest(8, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS c
-        |        FROM v),
-        |tr AS (SELECT vec_id, ve FROM v, par
-        |       WHERE vec_id < par.c OR par.nn <= 4096
-        |          OR ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % (par.nn // 4096 + 1) = 0),
-        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v, par WHERE vec_id < par.c),
-        |s0 AS (SELECT tr.vec_id, cent_id,
-        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
-        |       FROM tr CROSS JOIN c0),
-        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
-        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
-        |       WHERE rn = 1),
-        |comp AS (SELECT a0.cluster AS cent_id, r.i AS pos, round(avg(tr.ve[r.i]), 6) AS m
-        |         FROM a0 JOIN tr USING (vec_id) CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
-        |         GROUP BY a0.cluster, r.i),
-        |c1 AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM comp GROUP BY cent_id),
-        |sfl AS (SELECT v.vec_id, cent_id,
-        |               list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
-        |        FROM v CROSS JOIN c1),
-        |aflat AS (SELECT vec_id, cent_id AS cluster FROM
-        |            (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM sfl)
-        |          WHERE rn = 1),
-        |qq AS (SELECT CAST(ceil(sqrt(CAST(c AS DOUBLE))) AS BIGINT) AS q FROM par),
-        |coarse AS (SELECT cent_id AS cell, ce AS cell_ve FROM c1, qq WHERE cent_id < qq.q),
-        |cic AS (SELECT cent_id, CASE WHEN cent_id < (SELECT q FROM qq) THEN cent_id ELSE cell END AS cell, ce FROM
-        |          (SELECT c1.cent_id, cell, c1.ce,
-        |                  row_number() OVER (PARTITION BY c1.cent_id ORDER BY
-        |                    list_dot_product(c1.ce, coarse.cell_ve) / (sqrt(list_dot_product(c1.ce, c1.ce)) * sqrt(list_dot_product(coarse.cell_ve, coarse.cell_ve))) DESC,
-        |                    cell ASC) AS rn
-        |           FROM c1 CROSS JOIN coarse)
-        |        WHERE rn = 1),
-        |vcell AS (SELECT vec_id, cell, ve FROM
-        |            (SELECT v.vec_id, coarse.cell, v.ve,
-        |                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
-        |                      list_dot_product(v.ve, coarse.cell_ve) / (sqrt(list_dot_product(v.ve, v.ve)) * sqrt(list_dot_product(coarse.cell_ve, coarse.cell_ve))) DESC,
-        |                      cell ASC) AS rn
-        |             FROM v CROSS JOIN coarse)
-        |          WHERE rn = 1),
-        |ahier AS (SELECT vec_id, cent_id AS cluster FROM
-        |            (SELECT vc.vec_id, cic.cent_id,
-        |                    row_number() OVER (PARTITION BY vc.vec_id ORDER BY
-        |                      list_dot_product(vc.ve, cic.ce) / (sqrt(list_dot_product(vc.ve, vc.ve)) * sqrt(list_dot_product(cic.ce, cic.ce))) DESC,
-        |                      cic.cent_id ASC) AS rn
-        |             FROM vcell vc JOIN cic ON cic.cell = vc.cell)
-        |          WHERE rn = 1),
-        |a1 AS (SELECT * FROM aflat WHERE (SELECT c FROM par) <= 16
-        |       UNION ALL
-        |       SELECT * FROM ahier WHERE (SELECT c FROM par) > 16),
+        |$ivfDynamicCtes,
         |m AS (SELECT a1.vec_id, a1.cluster, v.ve FROM a1 JOIN v USING (vec_id)),
         |okc AS (SELECT cluster FROM a1 GROUP BY cluster HAVING count(*) BETWEEN 2 AND 10000),
         |p AS (SELECT a.vec_id AS src, b.vec_id AS dst
@@ -2477,15 +2494,17 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |                 CAST(sum(CASE WHEN ga AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
         |                 CAST(sum(CASE WHEN NOT ga AND cb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
         |                 CAST(sum(CASE WHEN NOT ga AND NOT cb THEN 1 ELSE 0 END) AS BIGINT) AS n00
-        |          FROM ga JOIN cb USING (doc_id))
+        |          FROM ga JOIN cb USING (doc_id)),
+        |pp AS (SELECT n_docs, n11, n10, n01, n00,
+        |              CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE) AS po,
+        |              CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE) * (CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))
+        |                + CAST(n01 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE) * (CAST(n10 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE)) AS pe
+        |       FROM cells)
         |SELECT n_docs, n11, n10, n01, n00,
-        |       round(CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS agree_rate,
-        |       round((CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE)
-        |              - (CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE) * (CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))
-        |                 + CAST(n01 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE) * (CAST(n10 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE))))
-        |             / (1.0 - (CAST(n11 + n10 AS DOUBLE) / CAST(n_docs AS DOUBLE) * (CAST(n11 + n01 AS DOUBLE) / CAST(n_docs AS DOUBLE))
-        |                       + CAST(n01 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE) * (CAST(n10 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE)))), 6) AS kappa
-        |FROM cells""".stripMargin,
+        |       round(po, 6) AS agree_rate,
+        |       CASE WHEN pe = 1.0 THEN NULL
+        |            ELSE round((po - pe) / (1.0 - pe), 6) END AS kappa
+        |FROM pp""".stripMargin,
 
     "orders_copurchase_lift" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand

