@@ -249,6 +249,91 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
       |       UNION ALL
       |       SELECT * FROM ahier WHERE (SELECT c FROM par) > 16)""".stripMargin
 
+  /** Full-Louvain mirror generator (`graph_louvain_full`): unrolls
+    * `levels` (move, condense, telemetry) blocks of the
+    * graph_louvain_phase2 chain over the co-purchase graph, ending in
+    * one telemetry row per level. Row-gating mirrors the engine's
+    * ΔQ ≤ 0 stop exactly: level i's row (i ≥ 2) is emitted only while
+    * every earlier level STRICTLY raised modularity, compared on the
+    * exact integer sc = 4W·intra − ssq (Q_i > Q_{i−1} ⟺ sc_i >
+    * sc_{i−1} — both engines gate on identical integer operands, no
+    * float anywhere in the stop rule). The stalling level's own row
+    * IS emitted (the engine emits it before stopping).
+    * stf{i} (strength WITH 2w self-loops on e{i}) serves level-i
+    * telemetry AND level-(i+1) gains — computed once. Heavy shared
+    * CTEs are MATERIALIZED (the r14 DuckDB inlining lesson); ssq sums
+    * HUGEINT squares (mirror of the engine's DECIMAL(38,0)), and the
+    * modularity float ops are the same two divisions in the same
+    * order, 6dp + signed-zero pin.
+    */
+  private def louvainFullSql(levels: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
+        |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
+        |wt AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM e0),
+        |stf0 AS MATERIALIZED (SELECT node, CAST(sum(w) AS BIGINT) AS st FROM (
+        |          SELECT src AS node, w FROM e0 WHERE src <> dst
+        |          UNION ALL SELECT dst AS node, w FROM e0 WHERE src <> dst
+        |          UNION ALL SELECT src AS node, 2 * w AS w FROM e0 WHERE src = dst)
+        |        GROUP BY node),
+        |tel0 AS (SELECT
+        |    (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM (SELECT src AS node FROM e0 UNION ALL SELECT dst AS node FROM e0)) AS nc,
+        |    COALESCE((SELECT CAST(sum(w) AS BIGINT) FROM e0 WHERE src = dst), 0) AS intra,
+        |    (SELECT sum(CAST(st AS HUGEINT) * st) FROM stf0) AS ssq,
+        |    CAST(4 AS HUGEINT) * (SELECT wtot FROM wt) * COALESCE((SELECT CAST(sum(w) AS BIGINT) FROM e0 WHERE src = dst), 0)
+        |      - (SELECT sum(CAST(st AS HUGEINT) * st) FROM stf0) AS sc)""".stripMargin)
+    for (i <- 1 to levels) {
+      val p = i - 1
+      sb.append(s""",
+sym$i AS MATERIALIZED (SELECT src, dst, w FROM e$p WHERE src <> dst
+        UNION ALL SELECT dst AS src, src AS dst, w FROM e$p WHERE src <> dst),
+g$i AS MATERIALIZED (SELECT s.src AS v, s.dst AS u, 2 * wt.wtot * s.w - sv.st * su.st AS gain2
+      FROM sym$i s JOIN stf$p sv ON sv.node = s.src JOIN stf$p su ON su.node = s.dst, wt),
+b$i AS (SELECT v, u, gain2 FROM (
+        SELECT v, u, gain2, row_number() OVER (PARTITION BY v ORDER BY gain2 DESC, u ASC) AS rn
+        FROM g$i) WHERE rn = 1),
+mvl$i AS (SELECT v AS node, CASE WHEN gain2 > 0 THEN u ELSE v END AS label FROM b$i),
+alln$i AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e$p UNION ALL SELECT dst AS node FROM e$p)),
+lab$i AS MATERIALIZED (SELECT alln$i.node, COALESCE(mvl$i.label, alln$i.node) AS label
+        FROM alln$i LEFT JOIN mvl$i USING (node)),
+nm$i AS (SELECT CAST(count(*) FILTER (WHERE node <> label) AS BIGINT) AS nm FROM lab$i),
+e$i AS MATERIALIZED (SELECT least(la.label, lb.label) AS src, greatest(la.label, lb.label) AS dst, CAST(sum(e.w) AS BIGINT) AS w
+      FROM e$p e JOIN lab$i la ON la.node = e.src JOIN lab$i lb ON lb.node = e.dst
+      GROUP BY 1, 2),
+stf$i AS MATERIALIZED (SELECT node, CAST(sum(w) AS BIGINT) AS st FROM (
+          SELECT src AS node, w FROM e$i WHERE src <> dst
+          UNION ALL SELECT dst AS node, w FROM e$i WHERE src <> dst
+          UNION ALL SELECT src AS node, 2 * w AS w FROM e$i WHERE src = dst)
+        GROUP BY node),
+tel$i AS (SELECT
+    (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM (SELECT src AS node FROM e$i UNION ALL SELECT dst AS node FROM e$i)) AS nc,
+    COALESCE((SELECT CAST(sum(w) AS BIGINT) FROM e$i WHERE src = dst), 0) AS intra,
+    (SELECT sum(CAST(st AS HUGEINT) * st) FROM stf$i) AS ssq,
+    CAST(4 AS HUGEINT) * (SELECT wtot FROM wt) * COALESCE((SELECT CAST(sum(w) AS BIGINT) FROM e$i WHERE src = dst), 0)
+      - (SELECT sum(CAST(st AS HUGEINT) * st) FROM stf$i) AS sc)""")
+    }
+    val rowSelects = (0 to levels).map { i =>
+      // level i (i ≥ 2) ran only if every earlier level strictly raised
+      // Q: sc_1 > sc_0 ∧ … ∧ sc_{i−1} > sc_{i−2} (exact integers)
+      val gate =
+        if (i >= 2)
+          "WHERE " + (2 to i).map(j =>
+            s"(SELECT sc FROM tel${j - 1}) > (SELECT sc FROM tel${j - 2})")
+            .mkString(" AND ")
+        else ""
+      val nMoved = if (i == 0) "CAST(0 AS BIGINT)" else s"(SELECT nm FROM nm$i)"
+      s"""SELECT CAST($i AS BIGINT) AS level, tel$i.nc AS n_communities,
+  $nMoved AS n_moved, tel$i.intra AS intra_w,
+  round(CAST(tel$i.intra AS DOUBLE) / wt.wtot
+        - CAST(tel$i.ssq AS DOUBLE) / (4.0 * wt.wtot * wt.wtot), 6) + 0.0 AS modularity
+FROM tel$i, wt $gate"""
+    }.mkString("\nUNION ALL\n")
+    sb.append(s"\nSELECT * FROM (\n$rowSelects\n) ORDER BY level")
+    sb.toString
+  }
+
   /** Corpus bigram-LM CTE chain (mirrors [[graft.SparkEntry]]'s
     * `lmScores`): raw tokens → bigrams → add-one-smoothed log10 probs in
     * `s (doc_id, lp)`. Shared by `text_lm_score` and
@@ -6289,6 +6374,8 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
         |             - (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)) * (CAST(strength_sum AS DOUBLE) / (2.0 * wtot)), 6) + 0.0 AS contrib
         |FROM sizes JOIN ssum USING (community) LEFT JOIN intra USING (community), wt
         |ORDER BY community""".stripMargin,
+
+    "graph_louvain_full" -> louvainFullSql(10),
 
     "events_ab_srm" ->
       s"""WITH d AS (SELECT event_type, ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS arm FROM events),

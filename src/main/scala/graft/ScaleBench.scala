@@ -361,7 +361,20 @@ object ScaleBench {
     // rollup — the ratio tests that the rollup adds nothing shaped),
     // and the two-gate kappa (two token passes + one doc-grain join
     // + a single-row aggregate — the boring-linear bar)
-    "curate_global_shuffle", "decon_report", "quality_label_agreement")
+    "curate_global_shuffle", "decon_report", "quality_label_agreement",
+    // r15: pay the r14 receipt debt (VERDICT #2) — the remaining r14
+    // queries with no persisted scale row, plus sim_knn_outliers whose
+    // r15 dynamic-C fix needs its ≈linear receipt (VERDICT #3).
+    // stream_dsir_score's ratio tests that foreachBatch scoring stays
+    // ∝ batch; graph_louvain2_modularity rides the phase-2 memo;
+    // emb_ivf_rebalance is one assignment + C-row occupancy agg;
+    // tok_fertility_by_lang is two token passes + a 1-row driver merge;
+    // ts_mase_eval is calendar-bounded (dates don't grow under synth —
+    // its ratio tests the daily-rollup scan alone); the
+    // generalization ladder is one explode×4 pass
+    "stream_dsir_score", "graph_louvain2_modularity", "emb_ivf_rebalance",
+    "tok_fertility_by_lang", "ts_mase_eval", "pii_generalization_ladder",
+    "sim_knn_outliers")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE
@@ -460,6 +473,18 @@ object ScaleBench {
       val t1 = time(q, s"$scratch/x1")
       val tf = time(q, s"$scratch/x$factor")
       println(f"[scale] $q%-28s 1x=$t1%7.2fs  ${factor}x=$tf%7.2fs  ratio=${tf / t1}%5.2f")
+      // append the row IMMEDIATELY (r15: the first r15 run died on a
+      // mid-list query and the four rows already timed were lost —
+      // end-of-run persistence protects against SIGPIPE but not
+      // against a crash mid-sweep)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${SparkEntry.WorkDir}/scale_curve.jsonl"),
+        s"""{"metric":"scale_curve_row","factor":$factor,"reps":$reps,"query":"$q","t1":$t1,"t$factor":$tf,"ratio":${tf / t1}}""" + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable =>
+        System.err.println(s"scale_curve.jsonl append failed: $e")
+      }
       (q, t1, tf, tf / t1)
     }
     val qs = rows.map { case (q, t1, tf, r) =>

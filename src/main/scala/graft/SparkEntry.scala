@@ -56,6 +56,23 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
 
+  /** Streaming file source over a table the driver's testdata ships as
+    * a single FILE (`$dir/<table>.parquet`) but Spark-written mirrors
+    * (ScaleBench scratch dirs) ship as a parquet DIRECTORY of part
+    * files: point the source at the directory when it is one (the file
+    * source lists its parts), else glob-filter the flat layout — the
+    * same files reach the stream either way (r15: the r14 ScaleBench
+    * stream_dsir_score run read ZERO files on the scratch layout
+    * because the glob matched only the flat name).
+    */
+  private def tableStream(s: SparkSession, dir: String, table: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = s"$dir/$table.parquet"
+    if (new java.io.File(p).isDirectory) s.readStream.schema(schema).parquet(p)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", s"$table.parquet").parquet(dir)
+  }
+
   /** Daily order revenue as EXACT integer cents keyed by the UTC day in
     * epoch micros — the shared deterministic feed of the ts_* family
     * (decompose/CUSUM; ts_holt_forecast predates it and carries its own
@@ -2055,8 +2072,7 @@ object SparkEntry {
       // — streaming index maintenance, with a batch-equivalence oracle.
       // Same tokenizer lineage as the batch indexer (flatWords).
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val docsStream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val docsStream = tableStream(s, dir, "documents", schema)
       val counts = Indexer.flatWords(
           docsStream.select("doc_id", "text"), stem = false)
         .groupBy("word").agg(count(lit(1)).as("n"))
@@ -2075,8 +2091,7 @@ object SparkEntry {
       // batch arithmetic mirror, making the gate itself the
       // stream ≡ batch proof.
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val ds = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val ds = tableStream(s, dir, "documents", schema)
       val fp = ds.select(col("source"),
           Dedup.rowFold20(col("doc_id"), col("text")).as("rh"))
         .groupBy("source")
@@ -2108,8 +2123,7 @@ object SparkEntry {
         }
       rmTree(java.nio.file.Paths.get(outDir))
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val live = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val live = tableStream(s, dir, "documents", schema)
         .filter(pmod(Dedup.md5Hash60(col("doc_id").cast("string")),
           lit(10L)) === 0)
         .select("doc_id", "text")
@@ -2140,8 +2154,7 @@ object SparkEntry {
       // as they merge map-side in batch. Complete-mode single-row state;
       // exact at gate vocabulary, so the oracle is the batch top-5.
       val schema = s.read.parquet(s"$dir/documents.parquet").schema
-      val docsStream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val docsStream = tableStream(s, dir, "documents", schema)
       val sketch = Indexer.flatWords(
           docsStream.select("doc_id", "text"), stem = false)
         .agg(graft.functions.SpaceSavingTopK.topk(col("word"), k = 5,
@@ -3258,8 +3271,7 @@ object SparkEntry {
             org.apache.spark.sql.types.FloatType)),
         org.apache.spark.sql.types.StructField("label",
           org.apache.spark.sql.types.IntegerType)))
-      val batchStream = s.readStream.schema(embSchema)
-        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val batchStream = tableStream(s, dir, "embeddings", embSchema)
         .filter(pmod(Dedup.md5Hash60(col("vec_id").cast("string")),
           lit(10L)) === 0)
         .select("vec_id", "embedding")
@@ -6188,6 +6200,27 @@ object SparkEntry {
           (round(coalesce(col("internal_weight"), lit(0L)).cast("double") /
             col("wtot") - sm * sm, 6) + lit(0.0)).as("contrib"))
         .orderBy("community")
+    }),
+
+    "graph_louvain_full" -> ((s, dir) => {
+      // FULL Louvain (Blondel et al. 2008 §2) — the loop the
+      // move/phase-2 queries are single steps of: alternate
+      // synchronous move + contraction until ΔQ ≤ 0 (the Blondel stop;
+      // a SYNCHRONOUS kernel's n_moved never reaches 0 — mutual-best
+      // pairs swap forever — so the stop compares Q as the exact
+      // integer sc = 4W·intra − ssq; see Graph.louvainFull's scaladoc
+      // for how the oracle's fixed-depth unroll gates rows on the
+      // same integers). Output: per-level telemetry — community
+      // count, moves, intra weight, and the exact-integer global
+      // modularity Q = intra/W − ΣS_c²/(4W²) — the readout that shows
+      // Q rising level over level and the contraction paying for
+      // itself. Scale: level 1 ∝ E, every later level on the
+      // |C|-bounded super-graph; ≤ maxLevels S4 scalar rounds (the
+      // kmeansInertiaCurve pattern). maxLevels=10 matches the
+      // oracle's unroll depth — a still-rising curve truncates
+      // identically on both sides.
+      Graph.louvainFull(copurchaseEdgesMemo(s, dir), maxLevels = 10)
+        .orderBy("level")
     }),
 
     "graph_local_clustering" -> ((s, dir) => {

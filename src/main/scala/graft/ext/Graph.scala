@@ -481,6 +481,110 @@ object Graph {
       .select(col("node"), coalesce(col("label"), col("node")).as("label"))
   }
 
+  /** FULL Louvain (Blondel et al., J. Stat. Mech. 2008 §2 — r14
+    * VERDICT "Next round" #4): alternate one synchronous move round
+    * ([[louvainMoveLabelsWithSelfLoops]]) with the contraction
+    * ([[louvainCondense]]) until modularity stops RISING — the ΔQ ≤ 0
+    * stop of Blondel §2. The no-move fixed point cannot be the stop
+    * under a SYNCHRONOUS kernel: two mutually-best super-nodes swap
+    * labels forever (the classic synchronous oscillation), so
+    * n_moved never reaches 0 on dense graphs; Q, however, is
+    * well-ordered, and Q_i > Q_{i−1} is an EXACT-INTEGER comparison —
+    * multiply by the positive 4W²: sc_i = 4W·intra_i − ssq_i (both
+    * terms exact), so both engines gate on identical operands with no
+    * float anywhere. Output: one telemetry row per level —
+    *   (level, n_communities, n_moved, intra_w, modularity)
+    * level 0 = the singleton baseline, level i = after i (move,
+    * condense) pairs; rows stop at the first level whose sc fails to
+    * strictly rise (that stalling row included — the evidence), or at
+    * `maxLevels` (the cap both engines share, so a still-rising curve
+    * truncates identically on both sides).
+    *
+    * Modularity is the same exact-integer readout as
+    * `graph_louvain_modularity`, folded globally:
+    * Q = intra/W − ssq/(4W²) with intra = Σ intra-community weight
+    * (= the condensed graph's self-loop total — contraction carries
+    * it for free), ssq = Σ_c S_c² summed in DECIMAL(38,0) (S_c ≤ 2W,
+    * so the SQUARE passes 2⁶³ once W > ~1.5e9 — the decimal sum is
+    * the betweenness discipline, and the DuckDB mirror's HUGEINT is
+    * bit-identical through the final double cast), W invariant under
+    * contraction. The only float ops are the two final divisions of
+    * identical exact integers, 6dp HALF_UP + signed-zero pin.
+    *
+    * Scale: level 1 works on E edges; every later level on the
+    * |C|-bounded condensed graph — a fraction of E (the property that
+    * makes full Louvain tractable; Blondel §2). Per level: one move
+    * round (hash aggs, ∝ current E), one condense (one shuffle), and
+    * three S4 scalar aggregates. Each level's condensed graph is
+    * localCheckpointed AND rebuilt from its checkpointed RDD
+    * (createDataFrame) — the checkpoint truncates lineage, but it
+    * PRESERVES the optimizer's sizeInBytes estimate, and join-stat
+    * estimates are PRODUCTS of child sizes, so across k levels the
+    * estimate compounds as size^(4^k): by level ~10 Catalyst was
+    * multiplying million-digit BigIntegers inside
+    * SizeInBytesOnlyStatsPlanVisitor (measured: 17 min of driver CPU
+    * in BigInteger.multiplyToomCook3). The RDD rebuild resets each
+    * level to default leaf stats — constant per level, no compounding
+    * (AQE re-plans with real sizes at runtime, so nothing is lost).
+    */
+  def louvainFull(edges: DataFrame, maxLevels: Int = 10): DataFrame = {
+    require(maxLevels >= 1 && maxLevels <= 12, "maxLevels in [1,12]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // materialize + truncate lineage AND stats (see scaladoc)
+    def pin(df: DataFrame): DataFrame = {
+      val cp = df.localCheckpoint()
+      cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    }
+    val wtot = edges.agg(sum("w")).head().getLong(0)
+    require(wtot > 0L, "louvainFull needs a non-empty weighted edge set")
+    // (n_communities, intra_w, Σ S_c² as exact decimal) of a super-graph
+    def telemetry(e: DataFrame): (Long, Long, java.math.BigDecimal) = {
+      val nComm = e.select(col("src").as("node"))
+        .unionAll(e.select(col("dst").as("node"))).distinct().count()
+      val intra = e.filter(col("src") === col("dst"))
+        .agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+      val nonself = e.filter(col("src") =!= col("dst"))
+      val st = nonself.select(col("src").as("node"), col("w"))
+        .unionAll(nonself.select(col("dst").as("node"), col("w")))
+        .unionAll(e.filter(col("src") === col("dst"))
+          .select(col("src").as("node"), (lit(2L) * col("w")).as("w")))
+        .groupBy("node").agg(sum("w").as("st"))
+      val ssq = st.agg(sum(col("st").cast("decimal(19,0)") *
+        col("st").cast("decimal(19,0)")).as("ssq")).head().getDecimal(0)
+      (nComm, intra, ssq)
+    }
+    def q6(intra: Long, ssq: java.math.BigDecimal): Double =
+      java.math.BigDecimal.valueOf(
+          intra.toDouble / wtot.toDouble -
+            ssq.doubleValue / (4.0 * wtot.toDouble * wtot.toDouble))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+    // sc = 4W·intra − ssq: Q_i > Q_{i−1} ⟺ sc_i > sc_{i−1}, exact
+    def sc(intra: Long, ssq: java.math.BigDecimal): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(wtot).multiply(java.math.BigDecimal.valueOf(4L))
+        .multiply(java.math.BigDecimal.valueOf(intra)).subtract(ssq)
+    val rows = Seq.newBuilder[(Long, Long, Long, Long, Double)]
+    var e = edges.select(col("src"), col("dst"), col("w"))
+    val (nc0, intra0, ssq0) = telemetry(e)
+    rows += ((0L, nc0, 0L, intra0, q6(intra0, ssq0)))
+    var prevSc = sc(intra0, ssq0)
+    var level = 1
+    var rising = true
+    while (rising && level <= maxLevels) {
+      val lab = pin(louvainMoveLabelsWithSelfLoops(e))
+      val moved = lab.filter(col("node") =!= col("label")).count()
+      e = pin(louvainCondense(e, lab))
+      val (nc, intra, ssq) = telemetry(e)
+      rows += ((level.toLong, nc, moved, intra, q6(intra, ssq)))
+      val curSc = sc(intra, ssq)
+      rising = curSc.compareTo(prevSc) > 0
+      prevSc = curSc
+      level += 1
+    }
+    rows.result()
+      .toDF("level", "n_communities", "n_moved", "intra_w", "modularity")
+  }
+
   private def symmetrized(edges: DataFrame): DataFrame = {
     val und = edges
       .select(least(col("src"), col("dst")).as("a"),

@@ -555,4 +555,39 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 3L, 3L -> 2L))
     graft.Caches.clearPersisted()
   }
+
+  test("louvainFull: two bridged triangles — hand-computed telemetry, dQ<=0 stop") {
+    import spark.implicits._
+    // triangles {1,2,3} and {5,6,7} bridged by (3,5); W = 7.
+    // Level 1 (hand-computed, gain2 = 14·w − s_v·s_u): 1→2 (10),
+    // 2→1 (10), 3→1 (tie 8 with 2, u asc), 5→6 (8), 6→7 (10),
+    // 7→6 (8) → communities {2:{1}, 1:{2,3}, 6:{5,7}, 7:{6}};
+    // condensed e1 = (1,1,1),(1,2,2),(1,6,1),(6,6,1),(6,7,2):
+    // intra=2, strengths 5/2/5/2 → ssq=58, sc1 = 56−58 = −2 >
+    // sc0 = −34. Level 2: both pairs mutually swap (the synchronous
+    // oscillation louvainFull's scaladoc documents) → e2 is e1
+    // relabeled: sc2 = −2 = sc1 → ΔQ ≤ 0, stop, stalling row emitted.
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
+      (3L, 5L, 1L), (5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 1L))
+      .toDF("src", "dst", "w")
+    val got = Graph.louvainFull(edges, maxLevels = 10).orderBy("level")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0L, 6L, 0L, 0L, -0.173469), // Q0 = −34/196
+      (1L, 4L, 6L, 2L, -0.010204), // Q1 = 2/7 − 58/196
+      (2L, 4L, 4L, 2L, -0.010204))) // stall: sc2 = sc1
+    // the dQ stop's invariant: modularity strictly rises on every
+    // emitted level EXCEPT the final (stalling) one
+    got.map(_._5).toSeq.sliding(2).toSeq.dropRight(1).foreach {
+      case Seq(a, b) => assert(b > a)
+      case _ => ()
+    }
+    got.map(_._5).toSeq.takeRight(2) match {
+      case Seq(a, b) => assert(b <= a || got.size <= 1)
+      case _ => ()
+    }
+    graft.Caches.clearPersisted()
+  }
 }
