@@ -2090,6 +2090,42 @@ FROM tel$i, wt $gate"""
         |       n_vecs * c > 2 * n AS overloaded
         |FROM cnt, tt ORDER BY cluster""".stripMargin,
 
+    "emb_ivf_split" ->
+      // split-the-heavy-cells mirror: the Lloyd-1 assignment chain,
+      // flagged ∪ top-2 cells, seed A = lowest vec_id, seed B = argmin
+      // cosine-to-A ((cos_a ASC, vec_id) rank 1), members join the
+      // nearer seed (tie → A, B-half = cluster+8), then the SAME
+      // occupancy audit over the post-split assignment
+      s"""WITH $ivfLloyd1Ctes,
+        |cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs FROM a1 GROUP BY cluster),
+        |tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS c FROM cnt),
+        |sp AS (SELECT DISTINCT cluster FROM (
+        |         SELECT cluster FROM cnt, tt WHERE n_vecs * c > 2 * n
+        |         UNION ALL
+        |         SELECT cluster FROM (SELECT cluster FROM cnt ORDER BY n_vecs DESC, cluster LIMIT 2))),
+        |m AS (SELECT a1.vec_id, a1.cluster, v.ve FROM a1 JOIN v USING (vec_id) JOIN sp USING (cluster)),
+        |sa AS (SELECT cluster, min(vec_id) AS a_id FROM m GROUP BY cluster),
+        |sae AS (SELECT sa.cluster, v.ve AS a_ve FROM sa JOIN v ON v.vec_id = sa.a_id),
+        |wa AS (SELECT m.cluster, m.vec_id, m.ve,
+        |              list_dot_product(m.ve, sae.a_ve) / (sqrt(list_dot_product(m.ve, m.ve)) * sqrt(list_dot_product(sae.a_ve, sae.a_ve))) AS cos_a
+        |       FROM m JOIN sae USING (cluster)),
+        |sb AS (SELECT cluster, vec_id AS b_id FROM (
+        |         SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster ORDER BY cos_a ASC, vec_id ASC) AS rn
+        |         FROM wa) WHERE rn = 1),
+        |sbe AS (SELECT sb.cluster, v.ve AS b_ve FROM sb JOIN v ON v.vec_id = sb.b_id),
+        |halves AS (SELECT wa.vec_id,
+        |                  CASE WHEN list_dot_product(wa.ve, sbe.b_ve) / (sqrt(list_dot_product(wa.ve, wa.ve)) * sqrt(list_dot_product(sbe.b_ve, sbe.b_ve))) > wa.cos_a
+        |                       THEN wa.cluster + 8 ELSE wa.cluster END AS cluster
+        |           FROM wa JOIN sbe USING (cluster)),
+        |fin AS (SELECT vec_id, cluster FROM a1 WHERE cluster NOT IN (SELECT cluster FROM sp)
+        |        UNION ALL SELECT vec_id, cluster FROM halves),
+        |cnt2 AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs FROM fin GROUP BY cluster),
+        |tt2 AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS c FROM cnt2)
+        |SELECT cluster, n_vecs,
+        |       round(CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+        |       n_vecs * c > 2 * n AS overloaded
+        |FROM cnt2, tt2 ORDER BY cluster""".stripMargin,
+
     "curate_dsir_weights" ->
       // DSIR mirror: hashed unigram∪bigram bucket counts (md5Hash60
       // % 1024 — the engine's exact hash), add-one log₁₀-likelihood

@@ -2902,6 +2902,44 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    "emb_ivf_split" -> ((s, dir) => {
+      // the ops ACTION after reading emb_ivf_rebalance (r14 VERDICT
+      // #5 — the fix beside the audit): split the flagged cells PLUS
+      // the two heaviest (n_vecs DESC, cluster — the top-2 rule keeps
+      // the split path exercised at gate scale, where the near-uniform
+      // fixture never trips the 2× flag; in production the flag is
+      // the trigger) via Similarity.ivfSplitCells' deterministic
+      // ±-extreme 2-seed round, then re-run the SAME occupancy audit
+      // on the post-split assignment — the done-bar is its own
+      // overload column. B-halves take cluster+8 (ids 0..7 are the
+      // seed rule's). Scale: split work is cell-bounded; both audits
+      // are C-row aggregates.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val assigned = Caches.persist(
+        Similarity.ivfAssign(e, nCentroids = 8, lloydIters = 1)
+          .join(e, Seq("vec_id")))
+      val counts = assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      val tot = broadcast(counts.agg(sum("n_vecs").as("n"),
+        count(lit(1)).as("c")))
+      val flagged = counts.crossJoin(tot)
+        .filter(col("n_vecs") * col("c") > lit(2L) * col("n"))
+        .select("cluster")
+      val top2 = counts
+        .orderBy(col("n_vecs").desc, col("cluster")).limit(2)
+        .select("cluster")
+      val split = Similarity.ivfSplitCells(assigned,
+        flagged.unionByName(top2), idOffset = 8L)
+      val counts2 = split.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      val tot2 = broadcast(counts2.agg(sum("n_vecs").as("n"),
+        count(lit(1)).as("c")))
+      counts2.crossJoin(tot2)
+        .select(col("cluster"), col("n_vecs"),
+          round(col("n_vecs").cast("double") / col("n").cast("double"), 6)
+            .as("share"),
+          (col("n_vecs") * col("c") > lit(2L) * col("n")).as("overloaded"))
+        .orderBy("cluster")
+    }),
+
     "sim_knn_outliers" -> ((s, dir) => {
       // kNN-distance outlier detection (Ramaswamy, Rastogi & Shim,
       // SIGMOD'00) over the embedding space — the curation face that

@@ -367,6 +367,61 @@ object Similarity {
       .select(col("vec_id"), col("cent_id").as("cluster"), col("probe_rank"))
   }
 
+  /** Split the given cells of a standing IVF assignment in ONE local
+    * 2-seed round — the ops ACTION the `emb_ivf_rebalance` audit
+    * decides (r14 VERDICT "Next round" #5: the audit flagged overloads
+    * but nothing acted on the flag; this is the fix beside it, the
+    * pii_generalization_ladder convention). Per cell to split:
+    *   seed A = the member with the LOWEST vec_id (deterministic, no
+    *   randomness to mirror);
+    *   seed B = the member FARTHEST from A by cosine (tie → lowest
+    *   vec_id) — the cell's "± extremes", the classic perturb-split
+    *   seeding;
+    *   each member joins the nearer seed (tie → A), B's half takes
+    *   cluster id `cluster + idOffset` (collision-free when idOffset ≥
+    *   the centroid count — seed-rule ids are 0..C−1).
+    * A degenerate cell of identical vectors picks B = A and nobody
+    * moves — the split is a clean no-op, never a lost vector.
+    *
+    * Scale: everything is CELL-BOUNDED — the member set of the split
+    * cells only (an equi-join on the broadcast cell list), 2 cosines
+    * per member, two C-row argmin/argmax aggregates; untouched cells
+    * pass through with a broadcast anti-join. No window wider than a
+    * cell, no pair expansion at all.
+    *
+    * @param assigned (vec_id, cluster, embedding) — the standing index
+    * @param cells    one `cluster` column: the cells to split
+    * @return (vec_id, cluster) — the post-split assignment
+    */
+  def ivfSplitCells(assigned: DataFrame, cells: DataFrame,
+      idOffset: Long): DataFrame = {
+    val cl = broadcast(cells.select("cluster").distinct())
+    val m = assigned.select(col("vec_id"), col("cluster"), col("embedding"))
+      .join(cl, Seq("cluster"))
+    val aSeed = m.groupBy("cluster").agg(min("vec_id").as("a_id"))
+    val aEmb = aSeed.join(
+      assigned.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
+      Seq("a_id"))
+    val withA = m.join(broadcast(aEmb.select("cluster", "a_emb")), Seq("cluster"))
+      .withColumn("cos_a", cosine(col("embedding"), col("a_emb")))
+    // argmin by (cos_a, vec_id): min over the struct orders by cosine
+    // first, then id — same winner as the oracle's row_number window
+    val bSeed = withA.groupBy("cluster")
+      .agg(min(struct(col("cos_a"), col("vec_id"))).as("b"))
+      .select(col("cluster"), col("b.vec_id").as("b_id"))
+      .join(assigned.select(col("vec_id").as("b_id"),
+        col("embedding").as("b_emb")), Seq("b_id"))
+    val halves = withA.join(broadcast(bSeed.select("cluster", "b_emb")),
+        Seq("cluster"))
+      .select(col("vec_id"),
+        when(cosine(col("embedding"), col("b_emb")) > col("cos_a"),
+          col("cluster") + lit(idOffset)).otherwise(col("cluster"))
+          .as("cluster"))
+    assigned.join(cl, Seq("cluster"), "left_anti")
+      .select("vec_id", "cluster")
+      .unionByName(halves)
+  }
+
   /** IVF top-k: probe the query's `nprobe` nearest clusters (nprobe=1 =
     * the classic single-cell read; nprobe≥2 is THE standard recall knob
     * — r11 VERDICT #2: recall@5 was 0.9 at nprobe=1). Same contract as

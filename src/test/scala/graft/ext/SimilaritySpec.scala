@@ -450,4 +450,38 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(outNorm - inNorm) / inNorm < 0.2,
       s"aggregate norm drifted: in=$inNorm out=$outNorm")
   }
+
+  test("ivfSplitCells: ±-extreme 2-seed split, untouched cells pass through") {
+    import spark.implicits._
+    // cell 1: two members near (1,0) — ids 10 (seed A: lowest id), 11 —
+    // and two near (0,1) — 12 (seed B: cos to A = 0, the minimum), 13.
+    // cell 2: untouched passenger.
+    val assigned = Seq(
+      (10L, 1L, Array(1.0f, 0.0f)),
+      (11L, 1L, Array(1.0f, 0.1f)),
+      (12L, 1L, Array(0.0f, 1.0f)),
+      (13L, 1L, Array(0.1f, 1.0f)),
+      (20L, 2L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "cluster", "embedding")
+    val cells = Seq(Tuple1(1L)).toDF("cluster")
+    val got = Similarity.ivfSplitCells(assigned, cells, idOffset = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L, 12L -> 101L, 13L -> 101L,
+      20L -> 2L))
+  }
+
+  test("ivfSplitCells: degenerate identical-vector cell is a clean no-op") {
+    import spark.implicits._
+    // all members identical → seed B ties back to A, nobody strictly
+    // prefers B → the whole cell stays put, no vector lost
+    val assigned = Seq(
+      (1L, 3L, Array(0.6f, 0.8f)),
+      (2L, 3L, Array(0.6f, 0.8f)),
+      (3L, 3L, Array(0.6f, 0.8f)))
+      .toDF("vec_id", "cluster", "embedding")
+    val cells = Seq(Tuple1(3L)).toDF("cluster")
+    val got = Similarity.ivfSplitCells(assigned, cells, idOffset = 100L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
 }
