@@ -249,6 +249,39 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
       |       UNION ALL
       |       SELECT * FROM ahier WHERE (SELECT c FROM par) > 16)""".stripMargin
 
+  /** The BPE trainer's corpus word stream (`w0`) — unfiltered (empty
+    * split artifacts are inert: pair formation requires len ≥ 2).
+    */
+  private val bpeW0Cte: String =
+    """w0 AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
+      |             FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))""".stripMargin
+
+  /** `merges` unrolled BPE training rounds from `w0`: per round k, pair
+    * counts `p_k`, the (n DESC, pr) winner `t_k`, and the rewritten
+    * stream `w_k` (digit placeholder '0'+k−1). Shared by
+    * `tok_bpe_train` / `tok_bpe_encode` / `tok_fertility_full` —
+    * mirror of [[graft.ext.BpeTrainer.trainLadder]].
+    */
+  private def bpeRoundsCtes(merges: Int): String =
+    (1 to merges).map { k =>
+      s"""p$k AS (SELECT pr, count(*) AS n FROM
+         |         (SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pr
+         |          FROM w${k - 1} WHERE len(word) >= 2)
+         |       GROUP BY pr),
+         |t$k AS (SELECT pr, CAST(n AS BIGINT) AS n FROM p$k ORDER BY n DESC, pr LIMIT 1),
+         |w$k AS (SELECT replace(word, (SELECT pr FROM t$k), '${('0' + (k - 1)).toChar}') AS word FROM w${k - 1})"""
+        .stripMargin
+    }.mkString(",\n")
+
+  /** Spell a symbol-stream expression back to a-z: digit j expands to
+    * t_{j+1}'s raw pair, DESCENDING j (a rank-k raw pair can only
+    * contain digits < k−1) — mirror of
+    * [[graft.ext.BpeTrainer.spellSymbol]] / the trainer's spell.
+    */
+  private def bpeSpellSql(expr: String, merges: Int): String =
+    (0 until merges).reverse.foldLeft(expr)((s, j) =>
+      s"replace($s, '${('0' + j).toChar}', (SELECT pr FROM t${j + 1}))")
+
   /** Full-Louvain mirror generator (`graph_louvain_full`): unrolls
     * `levels` (move, condense, telemetry) blocks of the
     * graph_louvain_phase2 chain over the co-purchase graph, ending in
@@ -2516,27 +2549,48 @@ FROM tel$i, wt $gate"""
       // top-1 by (n desc, pair asc), rewrite with digit placeholder
       // '0'+k); the final merge table spells digits back to a-z by the
       // DESCENDING replace chain (a rank-k raw pair can only contain
-      // digits < k-1)
-      val rounds = (1 to 6).map { k =>
-        s"""p$k AS (SELECT pr, count(*) AS n FROM
-           |         (SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pr
-           |          FROM w${k - 1} WHERE len(word) >= 2)
-           |       GROUP BY pr),
-           |t$k AS (SELECT pr, CAST(n AS BIGINT) AS n FROM p$k ORDER BY n DESC, pr LIMIT 1),
-           |w$k AS (SELECT replace(word, (SELECT pr FROM t$k), '${('0' + (k - 1)).toChar}') AS word FROM w${k - 1})"""
-          .stripMargin
-      }.mkString(",\n")
-      // digit j ('0'+j) expands to t_{j+1}'s raw pair; descending j
-      val spellOf: String => String = raw =>
-        (0 until 6).reverse.foldLeft(raw)((s, j) =>
-          s"replace($s, '${('0' + j).toChar}', (SELECT pr FROM t${j + 1}))")
+      // digits < k-1). Round chain shared with tok_bpe_encode /
+      // tok_fertility_full (r15).
       val mRows = (1 to 6).map { k =>
-        s"SELECT CAST($k AS BIGINT) AS rank, ${spellOf(s"(SELECT pr FROM t$k)")} AS pair, (SELECT n FROM t$k) AS n"
+        s"SELECT CAST($k AS BIGINT) AS rank, ${bpeSpellSql(s"(SELECT pr FROM t$k)", 6)} AS pair, (SELECT n FROM t$k) AS n"
       }.mkString(" UNION ALL ")
-      s"""WITH w0 AS (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS word
-        |             FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |$rounds
+      s"""WITH $bpeW0Cte,
+        |${bpeRoundsCtes(6)}
         |SELECT * FROM ($mRows) ORDER BY rank""".stripMargin
+    },
+
+    "tok_bpe_encode" -> {
+      // full-ladder encode mirror: the 6 training rounds, every word
+      // rewritten through all 6 merges (w6 IS the encoded stream), one
+      // symbol per character, digits spelled back via the descending
+      // replace chain; top-20 tokens by (n DESC, token)
+      s"""WITH $bpeW0Cte,
+        |${bpeRoundsCtes(6)},
+        |tok AS (SELECT unnest(list_transform(range(1, len(word) + 1), i -> substr(word, i, 1))) AS sym
+        |        FROM w6 WHERE len(word) >= 1)
+        |SELECT ${bpeSpellSql("sym", 6)} AS token, CAST(count(*) AS BIGINT) AS n
+        |FROM tok GROUP BY sym ORDER BY n DESC, token LIMIT 20""".stripMargin
+    },
+
+    "tok_fertility_full" -> {
+      // full-ladder fertility mirror: same rounds, each (lang, word)
+      // rewritten through the 6 merges IN TRAINING ORDER (nested
+      // replace — leftmost non-overlapping at every step, exactly the
+      // engine's encodeColumn), exact integer symbol sums
+      val enc = (1 to 6).foldLeft("word")((s, k) =>
+        s"replace($s, (SELECT pr FROM t$k), '${('0' + (k - 1)).toChar}')")
+      s"""WITH $bpeW0Cte,
+        |${bpeRoundsCtes(6)},
+        |wl AS (SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS word
+        |       FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |r AS (SELECT lang, CAST(len(word) AS BIGINT) AS sb,
+        |             CAST(len($enc) AS BIGINT) AS sa
+        |      FROM wl)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+        |       CAST(sum(sb) AS BIGINT) AS sym_before, CAST(sum(sa) AS BIGINT) AS sym_after,
+        |       round(CAST(sum(sb) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility_before,
+        |       round(CAST(sum(sa) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility_after
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin
     },
 
     "tok_fertility_by_lang" ->

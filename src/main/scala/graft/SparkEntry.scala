@@ -5818,6 +5818,65 @@ object SparkEntry {
           explode(split(lower(col("text")), "[^a-z]+")).as("word")),
         numMerges = 6).orderBy("rank")),
 
+    "tok_bpe_encode" -> ((s, dir) => {
+      // ENCODE with the full learned ladder (r14 VERDICT #6 —
+      // tok_bpe_apply applies only the top merge; a tokenizer applies
+      // the WHOLE merge table in training order): train 6 merges
+      // (BpeTrainer.trainLadder — the merge table is a driver
+      // artifact), rewrite every word through all 6 leftmost
+      // non-overlapping replaces, then read the VOCABULARY USAGE off
+      // the final symbol streams — top-20 tokens by frequency, each
+      // symbol spelled back to a-z (digits = merged subwords, letters
+      // = singletons). Scale: 6 narrow rewrites over the cached word
+      // stream + one per-character explode of the (shorter) encoded
+      // stream + one hash agg; the when-chain spell is 6 literals,
+      // codegen'd.
+      val words = Caches.persist(docs(s, dir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0))
+      val ladder = graft.ext.BpeTrainer.trainLadder(words, numMerges = 6)
+      words
+        .select(graft.ext.BpeTrainer.encodeColumn(col("word"), ladder)
+          .as("eword"))
+        .select(explode(transform(
+          sequence(lit(1), length(col("eword"))),
+          i => col("eword").substr(i, lit(1)))).as("sym"))
+        .select(graft.ext.BpeTrainer.spellSymbol(col("sym"), ladder)
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20)
+    }),
+
+    "tok_fertility_full" -> ((s, dir) => {
+      // per-language fertility on the FULL 6-merge ladder — the honest
+      // version of tok_fertility_by_lang's single-merge telemetry (r14
+      // VERDICT #6): symbols/word before and after encoding with the
+      // whole merge table. Same exact-integer sums, two pinned
+      // divisions per language; the ladder rides the same driver-
+      // artifact S4 scalars as tok_bpe_encode.
+      val words = Caches.persist(docs(s, dir)
+        .select(col("lang"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0))
+      val ladder = graft.ext.BpeTrainer.trainLadder(
+        words.select("word"), numMerges = 6)
+      words
+        .select(col("lang"), length(col("word")).as("sb"),
+          length(graft.ext.BpeTrainer.encodeColumn(col("word"), ladder))
+            .as("sa"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("sb").as("sym_before"), sum("sa").as("sym_after"))
+        .select(col("lang"), col("n_words"), col("sym_before"),
+          col("sym_after"),
+          round(col("sym_before").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility_before"),
+          round(col("sym_after").cast("double") /
+            col("n_words").cast("double"), 6).as("fertility_after"))
+        .orderBy("lang")
+    }),
+
     "text_ngram_novelty" -> ((s, dir) => {
       // corpus-novelty score: the fraction of a doc's DISTINCT hashed
       // 3-gram shingles that appear in NO other document (df == 1) —

@@ -40,13 +40,33 @@ import org.apache.spark.sql.functions._
   */
 object BpeTrainer {
 
+  /** One learned merge: its rank (1-based), the RAW 2-symbol pair as
+    * counted at its round (may contain earlier digit placeholders),
+    * the pair spelled back to a-z, and its count at merge time.
+    */
+  final case class Merge(rank: Int, raw: String, spelled: String, n: Long)
+
   /** Train `numMerges` BPE merges over a (word) column of lowercase
     * a-z words. Returns the ranked merge table.
     */
   def train(wordsIn: DataFrame, numMerges: Int = 6): DataFrame = {
+    val spark = wordsIn.sparkSession
+    import spark.implicits._
+    trainLadder(wordsIn, numMerges)
+      .map(m => (m.rank.toLong, m.spelled, m.n))
+      .toDF("rank", "pair", "n")
+  }
+
+  /** The full training loop, returning the LADDER itself — the raw
+    * merge sequence an ENCODER applies in training order (r14 VERDICT
+    * #6: `tok_bpe_apply` applied only the top merge; encoding with the
+    * whole table is what a tokenizer actually does). Driver-side list
+    * of ≤ numMerges entries (the merge table IS a driver artifact —
+    * the S4 scalar per round, collected).
+    */
+  def trainLadder(wordsIn: DataFrame, numMerges: Int = 6): Seq[Merge] = {
     require(numMerges >= 1 && numMerges <= 10,
       "numMerges in [1,10] — one digit placeholder per merge")
-    val spark = wordsIn.sparkSession
     var words = graft.Caches.persist(wordsIn.select(col("word")))
     // at most TWO corpus-sized word caches live at any time: the
     // round-k top-1 action materializes round k's cache (reading round
@@ -87,9 +107,29 @@ object BpeTrainer {
     def spell(p: String): String =
       raws.indices.reverse.foldLeft(p)((s, j) =>
         s.replace(('0' + j).toChar.toString, raws(j)))
-    import spark.implicits._
     merges.result()
-      .map { case (r, raw, n) => (r.toLong, spell(raw), n) }
-      .toDF("rank", "pair", "n")
+      .map { case (r, raw, n) => Merge(r, raw, spell(raw), n) }
   }
+
+  /** Apply a trained ladder to a word column: each merge's raw pair →
+    * its digit placeholder, IN TRAINING ORDER (leftmost non-overlapping
+    * `replace` per step — BPE's encode rule). The result is the final
+    * symbol stream: one character per token (digits = merged symbols,
+    * letters = singletons), so `length` of the result IS the token
+    * count and a per-character explode yields the tokens.
+    */
+  def encodeColumn(word: org.apache.spark.sql.Column,
+      ladder: Seq[Merge]): org.apache.spark.sql.Column =
+    ladder.foldLeft(word)((c, m) =>
+      replace(c, lit(m.raw), lit(('0' + (m.rank - 1)).toChar.toString)))
+
+  /** Spell a single final-stream SYMBOL back to a-z: digit j → its
+    * merge's spelled pair, letters pass through. (A when-chain over the
+    * ≤10 ladder literals — driver-known, codegen-friendly.)
+    */
+  def spellSymbol(sym: org.apache.spark.sql.Column,
+      ladder: Seq[Merge]): org.apache.spark.sql.Column =
+    ladder.foldLeft(sym)((c, m) =>
+      when(sym === lit(('0' + (m.rank - 1)).toChar.toString),
+        lit(m.spelled)).otherwise(c))
 }

@@ -36,4 +36,24 @@ class BpeTrainerSpec extends SparkSpec {
     val words = Seq("banana", "bandana", "cabana", "banana")
     assert(train(words, 4) == train(words, 4))
   }
+
+  test("encodeColumn applies the whole ladder in training order; spellSymbol inverts") {
+    import spark.implicits._
+    // the planted corpus above: ladder = ab→'0', 00→'1', 0c→'2'
+    val df = (Seq.fill(3)("abab") ++ Seq.fill(2)("abc")).toDF("word")
+    val ladder = BpeTrainer.trainLadder(df, numMerges = 3)
+    assert(ladder.map(m => (m.rank, m.raw, m.spelled)) ==
+      Seq((1, "ab", "ab"), (2, "00", "abab"), (3, "0c", "abc")))
+    val enc = df.select(
+      BpeTrainer.encodeColumn(org.apache.spark.sql.functions.col("word"),
+        ladder).as("e")).as[String].collect().toSeq
+    // "abab" → "00" → "1"; "abc" → "0c" → "2": one symbol each
+    assert(enc.sorted == Seq("1", "1", "1", "2", "2"))
+    val spelled = df.select(BpeTrainer.spellSymbol(
+        BpeTrainer.encodeColumn(
+          org.apache.spark.sql.functions.col("word"), ladder), ladder)
+      .as("s")).as[String].collect().toSeq
+    assert(spelled.sorted == Seq("abab", "abab", "abab", "abc", "abc"))
+    graft.Caches.clearPersisted()
+  }
 }
