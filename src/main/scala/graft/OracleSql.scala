@@ -2189,6 +2189,52 @@ FROM tel$i, wt $gate"""
         |FROM w JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)
         |ORDER BY weight DESC, w.doc_id LIMIT 32""".stripMargin,
 
+    "curate_training_manifest" ->
+      // end-to-end manifest mirror: the DSIR weight chain (same
+      // toks/g/fc/tag/bc/tot/lr/w CTEs as curate_dsir_weights) over
+      // the full corpus, the rebalance keep rule over the NON-target
+      // pool (budgets from the pool), the epoch1 salted shuffle over
+      // the kept set, manifest head pos <= 5 with shard sizes
+      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |g AS (SELECT doc_id, unnest(t) AS f FROM toks
+        |      UNION ALL
+        |      SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS f
+        |      FROM toks WHERE len(t) >= 2),
+        |fc AS (SELECT doc_id, ${md5Hash60Sql("f")} % 1024 AS bucket, CAST(count(*) AS BIGINT) AS n
+        |       FROM g GROUP BY 1, 2),
+        |tag AS (SELECT fc.doc_id, fc.bucket, fc.n, d.source IN ('src0', 'src1') AS tgt
+        |        FROM fc JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') d USING (doc_id)),
+        |bc AS (SELECT bucket,
+        |              CAST(sum(CASE WHEN tgt THEN n ELSE 0 END) AS BIGINT) AS ct,
+        |              CAST(sum(CASE WHEN NOT tgt THEN n ELSE 0 END) AS BIGINT) AS cr
+        |       FROM tag GROUP BY bucket),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr FROM bc),
+        |lr AS (SELECT bucket,
+        |              CAST(floor((log10(CAST(ct + 1 AS DOUBLE)) - log10(CAST(cr + 1 AS DOUBLE)) + log10(CAST(nr + 1024 AS DOUBLE)) - log10(CAST(nt + 1024 AS DOUBLE))) * 100000000.0 + 0.5) AS BIGINT) AS lr8
+        |       FROM bc, tot),
+        |wq AS (SELECT tag.doc_id, CAST(sum(tag.n * lr.lr8) AS BIGINT) AS w_q
+        |       FROM tag JOIN lr USING (bucket) WHERE NOT tag.tgt GROUP BY tag.doc_id),
+        |pool AS (SELECT doc_id, lang, source,
+        |                CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks
+        |         FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |         WHERE source NOT IN ('src0', 'src1')),
+        |bud AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS lang_tokens FROM pool GROUP BY lang),
+        |rt AS (SELECT lang, round(CAST((SELECT min(lang_tokens) FROM bud) AS DOUBLE) / lang_tokens, 6) AS keep_rate FROM bud),
+        |kept AS (SELECT pool.doc_id, pool.lang, pool.source
+        |         FROM pool JOIN rt USING (lang)
+        |         WHERE CAST(${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS DOUBLE) / 1000.0 < rt.keep_rate),
+        |sh AS (SELECT kept.doc_id, kept.lang, kept.source,
+        |              COALESCE(CAST(wq.w_q AS DOUBLE) / 100000000.0, 0.0) AS weight,
+        |              ${md5Hash60Sql("'epoch1|' || CAST(doc_id AS VARCHAR)")} AS h
+        |       FROM kept LEFT JOIN wq USING (doc_id)),
+        |sp AS (SELECT doc_id, lang, source, weight, h, h % 8 AS shard FROM sh),
+        |rk AS (SELECT shard, doc_id, lang, source, weight,
+        |              CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
+        |       FROM sp),
+        |cn AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs FROM sp GROUP BY shard)
+        |SELECT rk.shard, rk.pos, rk.doc_id, rk.lang, rk.source, rk.weight, cn.n_docs
+        |FROM rk JOIN cn USING (shard) WHERE rk.pos <= 5 ORDER BY shard, pos""".stripMargin,
+
     "stream_dsir_score" ->
       // batch mirror of the streamed scorer: the SAME ratio model
       // (trained over the full corpus) applied to the md5-bucket-0

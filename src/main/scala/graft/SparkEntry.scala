@@ -3077,6 +3077,57 @@ object SparkEntry {
         .select(col("doc_id"), col("source"), col("weight"))
     }),
 
+    "curate_training_manifest" -> ((s, dir) => {
+      // the END-TO-END training-mix manifest (r14 VERDICT #7) — the
+      // one artifact a data loader mounts, composing the three
+      // standing curation stages: (1) SELECT — the raw pool (non-
+      // target sources; src0/src1 are the DSIR reference exemplars)
+      // down-sampled to uniform language shares by the
+      // curate_rebalance_langs keep rule (budgets computed over the
+      // POOL — the set actually trained on); (2) WEIGHT — each kept
+      // doc carries its DSIR importance weight from the frozen O(B)
+      // ratio model (featureless docs score 0 — an empty exact sum);
+      // (3) ORDER — the curate_global_shuffle salted-hash shard + pos
+      // over the kept set, so the order is reproducible and seekable
+      // and an epoch reshuffle is a new salt. Output: the manifest
+      // head — per shard, the first 5 docs in shuffle order with
+      // lang/source/weight and the shard size. Deterministic under
+      // re-run end to end: every stage is hash- or rank-based, no RNG.
+      // Scale: one token pass each for the sampler and the features,
+      // a broadcast B-row model join, ONE exchange on shard for the
+      // rank — nothing wider than curate_global_shuffle itself.
+      val d = docs(s, dir)
+      val isTarget = col("source").isin("src0", "src1")
+      val pool = d.filter(!isTarget)
+      val toks = Caches.persist(pool.select(col("doc_id"), col("lang"),
+        col("source"),
+        size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n_toks")))
+      val budgets = toks.groupBy("lang").agg(sum("n_toks").as("lang_tokens"))
+      val minBudget = budgets.agg(min("lang_tokens")).head().getLong(0)
+      val rates = budgets.select(col("lang"),
+        round(lit(minBudget).cast("double") / col("lang_tokens"), 6)
+          .as("keep_rate"))
+      val kept = toks.join(broadcast(rates), Seq("lang"))
+        .filter(pmod(Dedup.md5Hash60(col("doc_id").cast("string")),
+          lit(1000L)).cast("double") / 1000.0 < col("keep_rate"))
+        .select("doc_id", "lang", "source")
+      val wts = graft.ext.Dsir.importanceWeights(d, isTarget, buckets = 1024)
+      val h = Dedup.md5Hash60(concat_ws("|", lit("epoch1"),
+        col("doc_id").cast("string")))
+      val sharded = Caches.persist(kept.join(wts, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"), col("source"),
+          coalesce(col("weight"), lit(0.0)).as("weight"),
+          h.as("h"), pmod(h, lit(8L)).as("shard")))
+      val w = Window.partitionBy("shard").orderBy(col("h"), col("doc_id"))
+      val heads = sharded.withColumn("pos", row_number().over(w))
+        .filter(col("pos") <= 5)
+      val counts = sharded.groupBy("shard").agg(count(lit(1)).as("n_docs"))
+      heads.join(counts, Seq("shard"))
+        .select(col("shard"), col("pos"), col("doc_id"), col("lang"),
+          col("source"), col("weight"), col("n_docs"))
+        .orderBy("shard", "pos")
+    }),
+
     "emb_hard_negatives" -> ((s, dir) => {
       // ANN-mined contrastive training pairs — the retrieval-training
       // face of the vector index (emb_training_pairs mines POSITIVES
