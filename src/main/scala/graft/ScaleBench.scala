@@ -374,7 +374,14 @@ object ScaleBench {
     // generalization ladder is one explode×4 pass
     "stream_dsir_score", "graph_louvain2_modularity", "emb_ivf_rebalance",
     "tok_fertility_by_lang", "ts_mase_eval", "pii_generalization_ladder",
-    "sim_knn_outliers")
+    "sim_knn_outliers",
+    // r15 additions ship with their receipts: full Louvain (level 1
+    // ∝ E, later levels |C|-bounded — the ratio tests that the
+    // contraction pays), the cell-bounded IVF split, the 6-merge
+    // encode + fertility (6 narrow rewrites over the cached stream),
+    // and the three-stage manifest (one exchange on shard)
+    "graph_louvain_full", "emb_ivf_split", "tok_bpe_encode",
+    "tok_fertility_full", "curate_training_manifest")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE
