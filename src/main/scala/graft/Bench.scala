@@ -64,10 +64,24 @@ object Bench {
         probe(() => SparkEntry.queries("u4_concat_opinions")(spark, calDir).count()),
       "parquet_region_read" ->
         probe(() => { spark.read.parquet(s"$calDir/region.parquet").count(); () }))
+    // the three trivial probes are CPU/session-shaped and under-measure
+    // IO contention (the r14 lesson: zorder_cluster and tok_bpe_pairs —
+    // the two widest scans — kept 2-4× residuals after dividing by the
+    // probe while every CPU-bound query normalized into the noise
+    // band). This fourth term scans the BENCH-SF documents text column
+    // end to end, so IO-bound queries have a like-shaped divisor. It is
+    // reported in the calibration dict but EXCLUDED from the legacy
+    // median — cross-round division by `calibration.median` stays
+    // comparable with r11-r14.
+    val ioProbe = probe(() => {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("sum(length(text))").head(); ()
+    })
     val calMedian = medianOf(calibration.values.toSeq)
     val calJson = calibration.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""\"$k\":$v""" }
-      .mkString("{", ",", s""","median":$calMedian}""")
+      .mkString("{", ",",
+        s""","io_documents_scan":$ioProbe,"median":$calMedian}""")
     System.err.println(s"BENCH calibration $calJson")
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()

@@ -249,6 +249,39 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
       |       UNION ALL
       |       SELECT * FROM ahier WHERE (SELECT c FROM par) > 16)""".stripMargin
 
+  /** The [[graft.ext.Similarity.ivfSplitCells]] chain over the Lloyd-1
+    * assignment `a1` (from [[ivfLloyd1Ctes]]): split cells `sp` =
+    * flagged (n·C > 2N) ∪ top-2 heaviest, seed A = lowest vec_id, seed
+    * B = argmin cosine-to-A ((cos_a ASC, vec_id) rank 1), members join
+    * the nearer seed (tie → A, B-half = cluster+8). Ends in
+    * `fin (vec_id, cluster)` — the post-split assignment. Shared by
+    * `emb_ivf_split` (audit) and `emb_ivf_split_recall` (read path) —
+    * the mirror of SparkEntry's ivfSplitMemo.
+    */
+  private lazy val ivfSplitChainCtes: String =
+    """cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs FROM a1 GROUP BY cluster),
+      |tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS c FROM cnt),
+      |sp AS (SELECT DISTINCT cluster FROM (
+      |         SELECT cluster FROM cnt, tt WHERE n_vecs * c > 2 * n
+      |         UNION ALL
+      |         SELECT cluster FROM (SELECT cluster FROM cnt ORDER BY n_vecs DESC, cluster LIMIT 2))),
+      |m AS (SELECT a1.vec_id, a1.cluster, v.ve FROM a1 JOIN v USING (vec_id) JOIN sp USING (cluster)),
+      |sa AS (SELECT cluster, min(vec_id) AS a_id FROM m GROUP BY cluster),
+      |sae AS (SELECT sa.cluster, v.ve AS a_ve FROM sa JOIN v ON v.vec_id = sa.a_id),
+      |wa AS (SELECT m.cluster, m.vec_id, m.ve,
+      |              list_dot_product(m.ve, sae.a_ve) / (sqrt(list_dot_product(m.ve, m.ve)) * sqrt(list_dot_product(sae.a_ve, sae.a_ve))) AS cos_a
+      |       FROM m JOIN sae USING (cluster)),
+      |sb AS (SELECT cluster, vec_id AS b_id FROM (
+      |         SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster ORDER BY cos_a ASC, vec_id ASC) AS rn
+      |         FROM wa) WHERE rn = 1),
+      |sbe AS (SELECT sb.cluster, v.ve AS b_ve FROM sb JOIN v ON v.vec_id = sb.b_id),
+      |halves AS (SELECT wa.vec_id,
+      |                  CASE WHEN list_dot_product(wa.ve, sbe.b_ve) / (sqrt(list_dot_product(wa.ve, wa.ve)) * sqrt(list_dot_product(sbe.b_ve, sbe.b_ve))) > wa.cos_a
+      |                       THEN wa.cluster + 8 ELSE wa.cluster END AS cluster
+      |           FROM wa JOIN sbe USING (cluster)),
+      |fin AS MATERIALIZED (SELECT vec_id, cluster FROM a1 WHERE cluster NOT IN (SELECT cluster FROM sp)
+      |        UNION ALL SELECT vec_id, cluster FROM halves)""".stripMargin
+
   /** The BPE trainer's corpus word stream (`w0`) — unfiltered (empty
     * split artifacts are inert: pair formation requires len ≥ 2).
     */
@@ -2124,40 +2157,58 @@ FROM tel$i, wt $gate"""
         |FROM cnt, tt ORDER BY cluster""".stripMargin,
 
     "emb_ivf_split" ->
-      // split-the-heavy-cells mirror: the Lloyd-1 assignment chain,
-      // flagged ∪ top-2 cells, seed A = lowest vec_id, seed B = argmin
-      // cosine-to-A ((cos_a ASC, vec_id) rank 1), members join the
-      // nearer seed (tie → A, B-half = cluster+8), then the SAME
-      // occupancy audit over the post-split assignment
+      // split-the-heavy-cells mirror: the Lloyd-1 assignment chain +
+      // the shared ivfSplitChainCtes (flagged ∪ top-2 cells, seed A =
+      // lowest vec_id, seed B = argmin cosine-to-A, tie → A, B-half =
+      // cluster+8), then the SAME occupancy audit over the post-split
+      // assignment
       s"""WITH $ivfLloyd1Ctes,
-        |cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs FROM a1 GROUP BY cluster),
-        |tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS c FROM cnt),
-        |sp AS (SELECT DISTINCT cluster FROM (
-        |         SELECT cluster FROM cnt, tt WHERE n_vecs * c > 2 * n
-        |         UNION ALL
-        |         SELECT cluster FROM (SELECT cluster FROM cnt ORDER BY n_vecs DESC, cluster LIMIT 2))),
-        |m AS (SELECT a1.vec_id, a1.cluster, v.ve FROM a1 JOIN v USING (vec_id) JOIN sp USING (cluster)),
-        |sa AS (SELECT cluster, min(vec_id) AS a_id FROM m GROUP BY cluster),
-        |sae AS (SELECT sa.cluster, v.ve AS a_ve FROM sa JOIN v ON v.vec_id = sa.a_id),
-        |wa AS (SELECT m.cluster, m.vec_id, m.ve,
-        |              list_dot_product(m.ve, sae.a_ve) / (sqrt(list_dot_product(m.ve, m.ve)) * sqrt(list_dot_product(sae.a_ve, sae.a_ve))) AS cos_a
-        |       FROM m JOIN sae USING (cluster)),
-        |sb AS (SELECT cluster, vec_id AS b_id FROM (
-        |         SELECT cluster, vec_id, row_number() OVER (PARTITION BY cluster ORDER BY cos_a ASC, vec_id ASC) AS rn
-        |         FROM wa) WHERE rn = 1),
-        |sbe AS (SELECT sb.cluster, v.ve AS b_ve FROM sb JOIN v ON v.vec_id = sb.b_id),
-        |halves AS (SELECT wa.vec_id,
-        |                  CASE WHEN list_dot_product(wa.ve, sbe.b_ve) / (sqrt(list_dot_product(wa.ve, wa.ve)) * sqrt(list_dot_product(sbe.b_ve, sbe.b_ve))) > wa.cos_a
-        |                       THEN wa.cluster + 8 ELSE wa.cluster END AS cluster
-        |           FROM wa JOIN sbe USING (cluster)),
-        |fin AS (SELECT vec_id, cluster FROM a1 WHERE cluster NOT IN (SELECT cluster FROM sp)
-        |        UNION ALL SELECT vec_id, cluster FROM halves),
+        |$ivfSplitChainCtes,
         |cnt2 AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs FROM fin GROUP BY cluster),
         |tt2 AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS c FROM cnt2)
         |SELECT cluster, n_vecs,
         |       round(CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
         |       n_vecs * c > 2 * n AS overloaded
         |FROM cnt2, tt2 ORDER BY cluster""".stripMargin,
+
+    "emb_ivf_split_recall" ->
+      // the read path through the split index: post-split centroids =
+      // one 6dp-pinned mean update over fin, queries probe their 2
+      // nearest ((cos DESC, cent_id) rank ≤ 2), candidates are
+      // cell-mates (fin is a partition — probed cells are disjoint),
+      // top-5 by (cos DESC, vec_id), recall vs the exact brute force
+      s"""WITH $ivfLloyd1Ctes,
+        |$ivfSplitChainCtes,
+        |cm AS (SELECT f.cluster AS cent_id, r.i AS pos, round(avg(vv.ve[r.i]), 6) AS m
+        |       FROM fin f JOIN v vv ON vv.vec_id = f.vec_id CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+        |       GROUP BY f.cluster, r.i),
+        |c2c AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM cm GROUP BY cent_id),
+        |qv AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 8),
+        |qp AS (SELECT query_id, cent_id AS cluster FROM (
+        |         SELECT query_id, cent_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cent_id) AS rn FROM (
+        |           SELECT query_id, cent_id,
+        |                  list_dot_product(qe, ce) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |           FROM qv CROSS JOIN c2c))
+        |       WHERE rn <= 2),
+        |cc2 AS (SELECT f.vec_id, f.cluster, vv.ve FROM fin f JOIN v vv USING (vec_id)),
+        |sci AS (SELECT qp.query_id, cc2.vec_id,
+        |               list_dot_product(qv.qe, cc2.ve) / (sqrt(list_dot_product(qv.qe, qv.qe)) * sqrt(list_dot_product(cc2.ve, cc2.ve))) AS cos
+        |        FROM qp JOIN qv USING (query_id)
+        |        JOIN cc2 ON cc2.cluster = qp.cluster AND cc2.vec_id <> qp.query_id),
+        |ap AS (SELECT query_id, vec_id FROM (
+        |         SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM sci)
+        |       WHERE rn <= 5),
+        |scx AS (SELECT query_id, c.vec_id,
+        |               list_dot_product(qe, c.ve) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.ve, c.ve))) AS cos
+        |        FROM qv CROSS JOIN v c WHERE c.vec_id <> query_id),
+        |ex AS (SELECT query_id, vec_id FROM
+        |         (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scx)
+        |       WHERE rn <= 5),
+        |h AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM ex JOIN ap USING (query_id, vec_id) GROUP BY ex.query_id)
+        |SELECT qv.query_id, COALESCE(h.n_hits, 0) AS n_hits,
+        |       round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+        |FROM qv LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
 
     "curate_dsir_weights" ->
       // DSIR mirror: hashed unigram∪bigram bucket counts (md5Hash60

@@ -380,7 +380,7 @@ object ScaleBench {
     // contraction pays), the cell-bounded IVF split, the 6-merge
     // encode + fertility (6 narrow rewrites over the cached stream),
     // and the three-stage manifest (one exchange on shard)
-    "graph_louvain_full", "emb_ivf_split", "tok_bpe_encode",
+    "graph_louvain_full", "emb_ivf_split", "emb_ivf_split_recall", "tok_bpe_encode",
     "tok_fertility_full", "curate_training_manifest")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate

@@ -495,6 +495,30 @@ object SparkEntry {
       .localCheckpoint()
   })
 
+  /** Post-split IVF assignment (vec_id, cluster) — the flagged ∪
+    * top-2-heaviest split of the standing Lloyd-1 index
+    * (Similarity.ivfSplitCells) — shared by `emb_ivf_split` (the
+    * occupancy audit) and `emb_ivf_split_recall` (the read-path
+    * check); node-bounded, KBs checkpointed.
+    */
+  private val ivfSplitMemo = new DirMemo((s, dir) => {
+    val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+    val assigned = Caches.persist(
+      Similarity.ivfAssign(e, nCentroids = 8, lloydIters = 1)
+        .join(e, Seq("vec_id")))
+    val counts = assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+    val tot = broadcast(counts.agg(sum("n_vecs").as("n"),
+      count(lit(1)).as("c")))
+    val flagged = counts.crossJoin(tot)
+      .filter(col("n_vecs") * col("c") > lit(2L) * col("n"))
+      .select("cluster")
+    val top2 = counts
+      .orderBy(col("n_vecs").desc, col("cluster")).limit(2)
+      .select("cluster")
+    Similarity.ivfSplitCells(assigned, flagged.unionByName(top2),
+      idOffset = 8L).localCheckpoint()
+  })
+
   /** Held-out naive-Bayes confusion matrix, built ONCE per
     * (session, sfDir) — `ml_naive_bayes` and `ml_classification_report`
     * consume the IDENTICAL class²-bounded table (the oracle side
@@ -736,6 +760,7 @@ object SparkEntry {
     frozenCellsMemo.reset()
     frozenCentsMemo.reset()
     dsirModelMemo.reset()
+    ivfSplitMemo.reset()
   }
 
   /** Driver-side mirror of Spark's `round(col, 6)` (HALF_UP over
@@ -2913,22 +2938,9 @@ object SparkEntry {
       // on the post-split assignment — the done-bar is its own
       // overload column. B-halves take cluster+8 (ids 0..7 are the
       // seed rule's). Scale: split work is cell-bounded; both audits
-      // are C-row aggregates.
-      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
-      val assigned = Caches.persist(
-        Similarity.ivfAssign(e, nCentroids = 8, lloydIters = 1)
-          .join(e, Seq("vec_id")))
-      val counts = assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
-      val tot = broadcast(counts.agg(sum("n_vecs").as("n"),
-        count(lit(1)).as("c")))
-      val flagged = counts.crossJoin(tot)
-        .filter(col("n_vecs") * col("c") > lit(2L) * col("n"))
-        .select("cluster")
-      val top2 = counts
-        .orderBy(col("n_vecs").desc, col("cluster")).limit(2)
-        .select("cluster")
-      val split = Similarity.ivfSplitCells(assigned,
-        flagged.unionByName(top2), idOffset = 8L)
+      // are C-row aggregates. The split assignment rides ivfSplitMemo
+      // (shared with emb_ivf_split_recall's read-path check).
+      val split = ivfSplitMemo(s, dir)
       val counts2 = split.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
       val tot2 = broadcast(counts2.agg(sum("n_vecs").as("n"),
         count(lit(1)).as("c")))
@@ -2938,6 +2950,39 @@ object SparkEntry {
             .as("share"),
           (col("n_vecs") * col("c") > lit(2L) * col("n")).as("overloaded"))
         .orderBy("cluster")
+    }),
+
+    "emb_ivf_split_recall" -> ((s, dir) => {
+      // the read path THROUGH the split index (the other half of r14
+      // VERDICT #5's done-bar: "sim_ivf_topk_nprobe2 results unchanged
+      // or recall-checked"): the post-split assignment gets its
+      // routing table from one Lloyd mean update over the new labels
+      // (Similarity.centroidsOf — 6dp-pinned), queries probe their 2
+      // nearest post-split centroids (the nprobe2 convention), and
+      // recall@5 is read against the exact brute-force top-5 — the
+      // same alarm sim_ann_recall mounts on the unedited index, so an
+      // index EDIT ships with proof the serving quality survived it.
+      // Scale: the centroid update is one C'·dim aggregate; candidates
+      // stay cell-bounded (that was the point of the split).
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val split = Caches.persist(ivfSplitMemo(s, dir).join(e, Seq("vec_id")))
+      val cents2 = Caches.persist(Similarity.centroidsOf(
+        split.select(col("cluster"), col("embedding"))))
+      val q = e.filter(col("vec_id") < 8)
+      val approx = Similarity.ivfTopKWith(e, split.select("vec_id", "cluster"),
+          cents2, q, k = 5, nprobe = 2)
+        .select("query_id", "vec_id")
+      val exact = Similarity.bruteForceTopK(e, q, k = 5)
+        .select("query_id", "vec_id")
+      val hits = exact.join(approx, Seq("query_id", "vec_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)) / lit(5.0), 6)
+            .as("recall_at_5"))
+        .orderBy("query_id")
     }),
 
     "sim_knn_outliers" -> ((s, dir) => {

@@ -467,7 +467,20 @@ object Similarity {
     // branches (the filtered vectors never shuffle); cell routing is
     // unchanged, so results equal "search the index, keep matches".
     val base = candidateFilter.map(corpus.filter).getOrElse(corpus)
-    val cb = assigned.join(base, Seq("vec_id"))
+    ivfTopKWith(base, assigned, cents, queries, k, nprobe)
+  }
+
+  /** The [[ivfTopK]] read path against an EXPLICIT standing index —
+    * assignment (vec_id, cluster) + centroid table (cent_id, cent) —
+    * the serving face a post-EDIT index (a [[ivfSplitCells]] split, a
+    * retrain) plugs into without rebuilding routing from scratch.
+    * Queries probe their `nprobe` nearest centroids of the SAME table
+    * the assignment was made against; candidates are cell-mates.
+    */
+  def ivfTopKWith(corpus: DataFrame, assigned: DataFrame, cents: DataFrame,
+      queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    val cb = assigned.select(col("vec_id"), col("cluster"))
+      .join(corpus, Seq("vec_id"))
     val qb = broadcast(ivfProbeCells(queries, cents, nprobe)
       .join(queries, Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"), col("cluster")))
@@ -481,6 +494,14 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "vec_id", "cos", "rank")
   }
+
+  /** The centroid table of a LABELED corpus — per-cluster 6dp-pinned
+    * element-wise means, shaped (cent_id, cent) for
+    * [[ivfTopKWith]]/[[ivfProbeCells]]: how a post-split or post-merge
+    * assignment gets its routing table. (Exactly one Lloyd mean
+    * update over the given labels.)
+    */
+  def centroidsOf(labeled: DataFrame): DataFrame = lloydMeans(labeled)
 
   /** Product-quantization codebooks: the embedding space splits into `m`
     * contiguous subspaces of dim/m dims; each subspace gets `k` seed
