@@ -2664,9 +2664,10 @@ FROM tel$i, wt $gate"""
       s"""WITH $bpeW0Cte,
         |${bpeRoundsCtes(6)},
         |tok AS (SELECT unnest(list_transform(range(1, len(word) + 1), i -> substr(word, i, 1))) AS sym
-        |        FROM w6 WHERE len(word) >= 1)
-        |SELECT ${bpeSpellSql("sym", 6)} AS token, CAST(count(*) AS BIGINT) AS n
-        |FROM tok GROUP BY sym ORDER BY n DESC, token LIMIT 20""".stripMargin
+        |        FROM w6 WHERE len(word) >= 1),
+        |sp AS (SELECT ${bpeSpellSql("sym", 6)} AS token FROM tok)
+        |SELECT token, CAST(count(*) AS BIGINT) AS n
+        |FROM sp GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
     },
 
     "tok_fertility_full" -> {

@@ -92,6 +92,18 @@ object ScaleBench {
       .drop("__r")
       .write.mode("overwrite").parquet(s"$outDir/part.parquet")
 
+    // customer: custkey shift MATCHES orders' o_custkey shift (joins
+    // stay valid per replica); every attribute column kept verbatim —
+    // the quasi-identifier distributions (segment, nation, acctbal)
+    // replicate at 10× population, which is exactly what a k-anonymity
+    // audit at scale sees (r15: pii_generalization_ladder crashed the
+    // first receipt sweep because the synth never wrote customer)
+    val cust = spark.read.parquet(s"$srcDir/customer.parquet")
+    cust.crossJoin(reps)
+      .withColumn("c_custkey", col("c_custkey") + col("__r").cast("long") * 10000000L)
+      .drop("__r")
+      .write.mode("overwrite").parquet(s"$outDir/customer.parquet")
+
     // embeddings: replica r circularly shifts each vector by r positions
     // — norms and within-replica geometry are preserved while
     // cross-replica cosines stay random-typical (no planted cos≈1

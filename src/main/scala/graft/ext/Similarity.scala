@@ -398,21 +398,21 @@ object Similarity {
     val cl = broadcast(cells.select("cluster").distinct())
     val m = assigned.select(col("vec_id"), col("cluster"), col("embedding"))
       .join(cl, Seq("cluster"))
-    val aSeed = m.groupBy("cluster").agg(min("vec_id").as("a_id"))
-    val aEmb = aSeed.join(
-      assigned.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")),
-      Seq("a_id"))
-    val withA = m.join(broadcast(aEmb.select("cluster", "a_emb")), Seq("cluster"))
+    // seed vectors come OUT OF the cell-bounded member set m itself
+    // (min_by carries the embedding through the aggregate) — joining
+    // the full standing index back just to fetch ≤|cells| vectors
+    // would pay two N-row scans per split (r15 review finding)
+    val aEmb = m.groupBy("cluster")
+      .agg(min_by(col("embedding"), col("vec_id")).as("a_emb"))
+    val withA = m.join(broadcast(aEmb), Seq("cluster"))
       .withColumn("cos_a", cosine(col("embedding"), col("a_emb")))
-    // argmin by (cos_a, vec_id): min over the struct orders by cosine
-    // first, then id — same winner as the oracle's row_number window
+    // argmin by (cos_a, vec_id): min_by over the struct orders by
+    // cosine first, then id — same winner as the oracle's row_number
+    // window (vec_id is unique, so the ordering is total)
     val bSeed = withA.groupBy("cluster")
-      .agg(min(struct(col("cos_a"), col("vec_id"))).as("b"))
-      .select(col("cluster"), col("b.vec_id").as("b_id"))
-      .join(assigned.select(col("vec_id").as("b_id"),
-        col("embedding").as("b_emb")), Seq("b_id"))
-    val halves = withA.join(broadcast(bSeed.select("cluster", "b_emb")),
-        Seq("cluster"))
+      .agg(min_by(col("embedding"), struct(col("cos_a"), col("vec_id")))
+        .as("b_emb"))
+    val halves = withA.join(broadcast(bSeed), Seq("cluster"))
       .select(col("vec_id"),
         when(cosine(col("embedding"), col("b_emb")) > col("cos_a"),
           col("cluster") + lit(idOffset)).otherwise(col("cluster"))

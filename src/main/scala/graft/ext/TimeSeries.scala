@@ -420,13 +420,17 @@ object TimeSeries {
         col("cents").as("c7")), Seq("day_us"))
       .select((abs(col("cents") - col("c7")) * lit(700L)).as("d700"))
       .agg(count(lit(1)).as("dn"), sum("d700").as("sd")))
-      // in-plan guard (r14 ADVICE): a series shorter than holdoutDays+8
-      // leaves the in-sample seasonal-diff denominator EMPTY (dn=0, sd
-      // null) and would silently emit null/NaN mase; fail loudly instead
+      // in-plan guard (r14 ADVICE + r15 review): a series shorter than
+      // holdoutDays+8 leaves the in-sample seasonal-diff denominator
+      // EMPTY (dn=0, sd null), and a perfectly 7-day-periodic training
+      // window leaves it ZERO (dn>0, sd=0) — either way MASE is
+      // undefined (null or ±Infinity downstream); fail loudly instead
       // — the betweenness d9 raise_error discipline
-      .select(when(col("dn") === 0L, raise_error(lit(
-          "maseBacktest: no in-sample seasonal pairs — series must span " +
-            "at least holdoutDays + 8 days"))).otherwise(col("dn")).as("dn"),
+      .select(when(col("dn") === 0L || col("sd") === 0L, raise_error(lit(
+          "maseBacktest: degenerate in-sample seasonal denominator — " +
+            "series must span holdoutDays + 8 days and not be exactly " +
+            "7-day periodic over the training window")))
+          .otherwise(col("dn")).as("dn"),
         col("sd"))
     num.crossJoin(den)
       .select(col("model"), col("n_days"),
