@@ -5840,12 +5840,19 @@ object SparkEntry {
       // top BPE merge (the tok_bpe_apply S4 scalar + leftmost
       // non-overlapping replace — '0' carries the merged symbol, so
       // len() counts it as ONE token). All counts exact integers; the
-      // fertilities are two pinned divisions per language. Scale: one
-      // token pass + one |langs|-bounded aggregate.
-      val words = Caches.persist(docs(s, dir)
+      // fertilities are two pinned divisions per language. Scale: two
+      // column-pruned corpus scans (top-1 pass, fertility pass), each
+      // re-tokenizing — deliberately NOT cached: the token stream is
+      // corpus-sized, and a deserialized MEMORY_AND_DISK cache of it
+      // SPILLS at scale (the r15 ScaleBench row read 27.7× @10×
+      // against a 15.1× work bar — the synth's 2-char word suffix
+      // inflates pair counts superlinearly, see docs/SCALE.md — with
+      // the cache spill paying the rest; recompute-from-source is the
+      // 100 TB-correct form for a stream the size of the corpus).
+      val words = docs(s, dir)
         .select(col("lang"),
           explode(split(lower(col("text")), "[^a-z]+")).as("word"))
-        .filter(length(col("word")) > 0))
+        .filter(length(col("word")) > 0)
       val top = words.filter(length(col("word")) >= 2)
         .select(explode(transform(
           sequence(lit(1), length(col("word")) - 1),
@@ -5923,13 +5930,14 @@ object SparkEntry {
       // non-overlapping replaces, then read the VOCABULARY USAGE off
       // the final symbol streams — top-20 tokens by frequency, each
       // symbol spelled back to a-z (digits = merged subwords, letters
-      // = singletons). Scale: 6 narrow rewrites over the cached word
-      // stream + one per-character explode of the (shorter) encoded
-      // stream + one hash agg; the when-chain spell is 6 literals,
-      // codegen'd.
-      val words = Caches.persist(docs(s, dir)
+      // = singletons). Scale: the trainer caches its own rewrite
+      // stream (6 iterations must); the encode pass re-tokenizes from
+      // the column-pruned corpus scan instead of reading a SECOND
+      // cached copy of the corpus-sized token stream (the r15
+      // fertility-by-lang spill lesson — see that query's comment).
+      val words = docs(s, dir)
         .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
-        .filter(length(col("word")) > 0))
+        .filter(length(col("word")) > 0)
       val ladder = graft.ext.BpeTrainer.trainLadder(words, numMerges = 6)
       words
         .select(graft.ext.BpeTrainer.encodeColumn(col("word"), ladder)
@@ -5950,11 +5958,13 @@ object SparkEntry {
       // VERDICT #6): symbols/word before and after encoding with the
       // whole merge table. Same exact-integer sums, two pinned
       // divisions per language; the ladder rides the same driver-
-      // artifact S4 scalars as tok_bpe_encode.
-      val words = Caches.persist(docs(s, dir)
+      // artifact S4 scalars as tok_bpe_encode. The fertility pass
+      // re-tokenizes from the pruned corpus scan rather than caching
+      // the corpus-sized token stream (the r15 spill lesson).
+      val words = docs(s, dir)
         .select(col("lang"),
           explode(split(lower(col("text")), "[^a-z]+")).as("word"))
-        .filter(length(col("word")) > 0))
+        .filter(length(col("word")) > 0)
       val ladder = graft.ext.BpeTrainer.trainLadder(
         words.select("word"), numMerges = 6)
       words
