@@ -332,10 +332,13 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
     * modularity float ops are the same two divisions in the same
     * order, 6dp + signed-zero pin.
     */
-  private def louvainFullSql(levels: Int): String = {
+  /** The common unrolled chain (op…e0…tel blocks per level) shared by
+    * [[louvainFullSql]] and [[louvainFullSizesSql]].
+    */
+  private def louvainFullChainCtes(levels: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+      """op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
         |e0 AS MATERIALIZED (SELECT a.pk AS src, b.pk AS dst, CAST(count(*) AS BIGINT) AS w
         |       FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk GROUP BY a.pk, b.pk),
         |wt AS MATERIALIZED (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM e0),
@@ -380,6 +383,10 @@ tel$i AS (SELECT
     CAST(4 AS HUGEINT) * (SELECT wtot FROM wt) * COALESCE((SELECT CAST(sum(w) AS BIGINT) FROM e$i WHERE src = dst), 0)
       - (SELECT sum(CAST(st AS HUGEINT) * st) FROM stf$i) AS sc)""")
     }
+    sb.toString
+  }
+
+  private def louvainFullSql(levels: Int): String = {
     val rowSelects = (0 to levels).map { i =>
       // level i (i ≥ 2) ran only if every earlier level strictly raised
       // Q: sc_1 > sc_0 ∧ … ∧ sc_{i−1} > sc_{i−2} (exact integers)
@@ -396,8 +403,43 @@ tel$i AS (SELECT
         - CAST(tel$i.ssq AS DOUBLE) / (4.0 * wt.wtot * wt.wtot), 6) + 0.0 AS modularity
 FROM tel$i, wt $gate"""
     }.mkString("\nUNION ALL\n")
-    sb.append(s"\nSELECT * FROM (\n$rowSelects\n) ORDER BY level")
-    sb.toString
+    s"WITH ${louvainFullChainCtes(levels)}\nSELECT * FROM (\n$rowSelects\n) ORDER BY level"
+  }
+
+  /** Mirror of `graph_louvain_full_sizes`: the chain above plus the
+    * composed node → community map per level (comp0 = identity over
+    * e0's endpoints, comp_i = comp_{i−1} ⋈ lab_i), with the ARGMAX-Q
+    * level selected by the same exact-integer sc gating: branch i is
+    * live iff every sc through i strictly rose and (for i < levels)
+    * sc_{i+1} did not — exactly the engine's "best snapshot" rule.
+    * At most one branch survives; top-25 sizes.
+    */
+  private def louvainFullSizesSql(levels: Int): String = {
+    val comps = (1 to levels).map { i =>
+      s"""comp$i AS MATERIALIZED (SELECT c.node, l.label AS community
+         |        FROM comp${i - 1} c JOIN lab$i l ON l.node = c.community)""".stripMargin
+    }.mkString(",\n")
+    def rise(j: Int) =
+      s"(SELECT sc FROM tel$j) > (SELECT sc FROM tel${j - 1})"
+    val branches = (0 to levels).map { i =>
+      val conds =
+        (if (i >= 1) (1 to i).map(rise) else Seq.empty) ++
+          (if (i < levels) Seq(s"NOT (${rise(i + 1)})") else Seq.empty)
+      s"""SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+FROM comp$i GROUP BY community
+HAVING ${if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")}"""
+    }
+    // gating via HAVING (a WHERE would filter rows before grouping —
+    // same result here since the conditions are row-independent
+    // scalars, but HAVING keeps the scalar-subquery evaluation out of
+    // the per-row path)
+    val body = branches.mkString("\nUNION ALL\n")
+    s"""WITH ${louvainFullChainCtes(levels)},
+comp0 AS MATERIALIZED (SELECT node, node AS community FROM (SELECT DISTINCT src AS node FROM e0 UNION SELECT DISTINCT dst AS node FROM e0)),
+$comps
+SELECT * FROM (
+$body
+) ORDER BY n_nodes DESC, community LIMIT 25"""
   }
 
   /** Corpus bigram-LM CTE chain (mirrors [[graft.SparkEntry]]'s
@@ -6564,6 +6606,8 @@ FROM tel$i, wt $gate"""
         |ORDER BY community""".stripMargin,
 
     "graph_louvain_full" -> louvainFullSql(10),
+
+    "graph_louvain_full_sizes" -> louvainFullSizesSql(10),
 
     "events_ab_srm" ->
       s"""WITH d AS (SELECT event_type, ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS arm FROM events),

@@ -495,6 +495,24 @@ object SparkEntry {
       .localCheckpoint()
   })
 
+  /** One full-Louvain run per (session, sfDir) — BOTH faces
+    * (per-level telemetry, argmax-Q composed labels), shared by
+    * `graph_louvain_full` and `graph_louvain_full_sizes` so the
+    * 10-level driver loop runs once (the louvainPhase2LabelsMemo
+    * economics; each face is small — ≤ 11 literal rows / one
+    * node-sized pinned frame).
+    */
+  private val louvainFullRunMemo = scala.collection.mutable.LinkedHashMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def louvainFullRun(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = louvainFullRunMemo.synchronized {
+    louvainFullRunMemo.filterInPlace {
+      case ((owner, _), _) => !owner.sparkContext.isStopped
+    }
+    louvainFullRunMemo.getOrElseUpdate((s, dir),
+      Graph.louvainFullRun(copurchaseEdgesMemo(s, dir), maxLevels = 10))
+  }
+
   /** Post-split IVF assignment (vec_id, cluster) — the flagged ∪
     * top-2-heaviest split of the standing Lloyd-1 index
     * (Similarity.ivfSplitCells) — shared by `emb_ivf_split` (the
@@ -761,6 +779,7 @@ object SparkEntry {
     frozenCentsMemo.reset()
     dsirModelMemo.reset()
     ivfSplitMemo.reset()
+    louvainFullRunMemo.synchronized(louvainFullRunMemo.clear())
   }
 
   /** Driver-side mirror of Spark's `round(col, 6)` (HALF_UP over
@@ -6421,9 +6440,25 @@ object SparkEntry {
       // |C|-bounded super-graph; ≤ maxLevels S4 scalar rounds (the
       // kmeansInertiaCurve pattern). maxLevels=10 matches the
       // oracle's unroll depth — a still-rising curve truncates
-      // identically on both sides.
-      Graph.louvainFull(copurchaseEdgesMemo(s, dir), maxLevels = 10)
-        .orderBy("level")
+      // identically on both sides. The run rides louvainFullRunMemo
+      // (shared with graph_louvain_full_sizes).
+      louvainFullRun(s, dir)._1.orderBy("level")
+    }),
+
+    "graph_louvain_full_sizes" -> ((s, dir) => {
+      // the USER-facing face of the full run: the final composed
+      // partition — node → community through every level, cut at the
+      // argmax-Q level (the composition through the last level whose
+      // exact-integer sc strictly rose; Blondel returns the partition
+      // before the non-improving move, and under the cap with Q still
+      // rising, the cap level). Top-25 community sizes — the
+      // graph_communities shape, now from the CONVERGED algorithm
+      // rather than a fixed round count. Rides the shared memo, so
+      // the 10-level loop is paid once per (session, dir).
+      louvainFullRun(s, dir)._2
+        .groupBy("community").agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(25)
     }),
 
     "graph_local_clustering" -> ((s, dir) => {

@@ -527,7 +527,20 @@ object Graph {
     * level to default leaf stats — constant per level, no compounding
     * (AQE re-plans with real sizes at runtime, so nothing is lost).
     */
-  def louvainFull(edges: DataFrame, maxLevels: Int = 10): DataFrame = {
+  def louvainFull(edges: DataFrame, maxLevels: Int = 10): DataFrame =
+    louvainFullRun(edges, maxLevels)._1
+
+  /** [[louvainFull]] returning BOTH faces of the run: the per-level
+    * telemetry AND the final composed partition (node → community
+    * through every level) — the labels a USER of the algorithm mounts.
+    * "Final" = the argmax-Q level: the composition through the last
+    * level whose sc strictly rose (Blondel returns the partition
+    * before the non-improving move; under the cap with Q still
+    * rising, the cap level). The composition is one node-sized join
+    * per level, pinned like the condensed graphs.
+    */
+  def louvainFullRun(edges: DataFrame,
+      maxLevels: Int = 10): (DataFrame, DataFrame) = {
     require(maxLevels >= 1 && maxLevels <= 12, "maxLevels in [1,12]")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -567,6 +580,11 @@ object Graph {
     var e = edges.select(col("src"), col("dst"), col("w"))
     val (nc0, intra0, ssq0) = telemetry(e)
     rows += ((0L, nc0, 0L, intra0, q6(intra0, ssq0)))
+    // composed node → community map, and the best (argmax-Q) snapshot
+    var comp = pin(edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst").as("node"))).distinct()
+      .select(col("node"), col("node").as("community")))
+    var best = comp
     var prevSc = sc(intra0, ssq0)
     var level = 1
     var rising = true
@@ -574,15 +592,21 @@ object Graph {
       val lab = pin(louvainMoveLabelsWithSelfLoops(e))
       val moved = lab.filter(col("node") =!= col("label")).count()
       e = pin(louvainCondense(e, lab))
+      comp = pin(comp
+        .join(lab.select(col("node").as("community"), col("label")),
+          Seq("community"))
+        .select(col("node"), col("label").as("community")))
       val (nc, intra, ssq) = telemetry(e)
       rows += ((level.toLong, nc, moved, intra, q6(intra, ssq)))
       val curSc = sc(intra, ssq)
       rising = curSc.compareTo(prevSc) > 0
+      if (rising) best = comp
       prevSc = curSc
       level += 1
     }
-    rows.result()
-      .toDF("level", "n_communities", "n_moved", "intra_w", "modularity")
+    (rows.result()
+      .toDF("level", "n_communities", "n_moved", "intra_w", "modularity"),
+      best)
   }
 
   private def symmetrized(edges: DataFrame): DataFrame = {
