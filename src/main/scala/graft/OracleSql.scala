@@ -991,6 +991,22 @@ $body
     "bm25_search" ->
       s"WITH $bm25Ctes SELECT doc_id, score FROM top10",
 
+    "search_boolean_and" ->
+      // conjunctive mirror: the bm25 scoring CTE with the matched-term
+      // count in the SAME aggregate (tf is (doc, word)-distinct) and a
+      // HAVING = |terms| gate; same 4dp pin and tie-break
+      s"""WITH $indexCtes,
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
+        |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+        |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+        |  WHERE t.word IN ($SearchTermsSql)
+        |  GROUP BY t.doc_id
+        |  HAVING count(*) = 4)
+        |SELECT doc_id, round(s, 4) AS score FROM scored
+        |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
+
     "search_pruned_topk" ->
       // the MaxScore-pruned path must equal the UNPRUNED scoring exactly
       // — its oracle IS bm25_search's full-scoring SQL (pruning is a

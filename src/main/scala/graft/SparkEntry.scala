@@ -1012,6 +1012,22 @@ object SparkEntry {
 
     "bm25_search" -> ((s, dir) => bm25Top10(s, dir)),
 
+    "search_boolean_and" -> ((s, dir) =>
+      // CONJUNCTIVE boolean retrieval — the strict AND mode beside
+      // bm25_search's disjunctive OR (the reference serves OR-only;
+      // every production engine exposes both): only the 229 (sf0.01)
+      // docs containing ALL four query terms rank, scored by the same
+      // BM25 sum and 4dp pin. ONE shuffle: the matched-term count
+      // folds into the scoring aggregate itself
+      // (Search.scoreTermsConjunctive — TF is (doc, word)-distinct,
+      // so count(*) is the distinct-term count), so AND costs exactly
+      // what OR costs. Top-10.
+      Search.scoreTermsConjunctive(builtIndex(s, dir, stem = false),
+          SearchTerms)
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)),
+
     "search_pruned_topk" -> ((s, dir) =>
       // MaxScore-pruned top-10 (Turtle & Flood IPM'95) — r11 VERDICT
       // "Next round" #1: per-term score bounds (an index-time artifact,

@@ -51,6 +51,34 @@ object Search {
       .orderBy(col("score").desc, col("doc_id").asc)
   }
 
+  /** CONJUNCTIVE (boolean-AND) scoring: only documents containing
+    * EVERY query term are ranked — the strict-match mode every search
+    * engine serves beside the default disjunctive OR ([[scoreTerms]]).
+    * One plan, ONE shuffle: the same filtered-TF ⋈ idf ⋈ doc_lengths
+    * lineage as scoreTerms with the matched-term count folded into the
+    * SAME hash aggregate (TF has one row per (doc, word), so
+    * count(*) IS the distinct-term count), then the |terms| filter —
+    * no second pass, no semi-join round. Output: (doc_id, score)
+    * descending, ties by doc_id.
+    */
+  def scoreTermsConjunctive(t: IndexTables, terms: Seq[String],
+      k1: Double = BM25.DefaultK1, b: Double = BM25.DefaultB): DataFrame = {
+    val ts = terms.distinct
+    val tfq = t.termFrequencies.filter(col("word").isin(ts: _*))
+    tfq
+      .join(broadcast(t.idfValues.filter(col("word").isin(ts: _*))),
+        Seq("word"), "left")
+      .join(t.docLengths, Seq("doc_id"), "left")
+      .withColumn("partial",
+        BM25.score(col("term_freq"), col("doc_length"), col("idf"),
+          lit(t.avgdl), k1, b))
+      .groupBy("doc_id")
+      .agg(sum("partial").as("score"), count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === ts.size)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+  }
+
   /** Top-k (doc_id, score) for a free-text query over a (doc_id, text)
     * corpus. Builds the index in-plan (batch engine, no serving state).
     */

@@ -123,4 +123,23 @@ class SearchSpec extends SparkSpec {
     // more than either alone
     assert(got(0)._2 < got(1)._2 + got(2)._2 && got(0)._2 > got(1)._2)
   }
+
+  test("scoreTermsConjunctive keeps only all-terms docs, scores equal OR") {
+    import spark.implicits._
+    // corpus: doc 2 has merge+join; docs 1/3 miss one of the terms
+    val t = graft.index.Indexer.build(corpus, stem = false)
+    val and = Search.scoreTermsConjunctive(t, Seq("merge", "join"))
+      .as[(Long, Double)].collect().toMap
+    assert(and.keySet == Set(2L), and.toString)
+    // the conjunctive score IS the disjunctive score for a matching doc
+    val or = Search.scoreTerms(t, Seq("merge", "join"))
+      .as[(Long, Double)].collect().toMap
+    assert(and(2L) == or(2L))
+    // disjunctive ranks partial matches too — AND is a strict subset
+    assert(or.keySet.contains(1L) && or.keySet.contains(2L))
+    // duplicate query terms don't change the required match count
+    val dup = Search.scoreTermsConjunctive(t, Seq("merge", "join", "merge"))
+      .as[(Long, Double)].collect().toMap
+    assert(dup == and)
+  }
 }
