@@ -947,7 +947,19 @@ $body
     // completed AvailableNow run equals the batch query (per-vector
     // output is batching-independent), so it proves stream == DuckDB
     // against the same mirror
-    "stream_semantic_dedup" -> oracleSqlBase("dedup_semantic_incremental"))
+    "stream_semantic_dedup" -> oracleSqlBase("dedup_semantic_incremental"),
+    // context assembly over the retrieval mirror: rank + running token
+    // sum in (rrf DESC, doc_id) order, prefix kept while cum ≤ 96.
+    // doc_id is unique in the retrieved set, so the default
+    // RANGE-to-current window frame equals ROWS on both engines.
+    "rag_context_pack" ->
+      s"""WITH base AS (${oracleSqlBase("rag_retrieve_chunks")}),
+        |c AS (SELECT doc_id, chunk_id, n_hits, chunk_len,
+        |             CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank,
+        |             CAST(sum(chunk_len) OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS cum_tokens
+        |      FROM base)
+        |SELECT rank, doc_id, chunk_id, n_hits, chunk_len, cum_tokens
+        |FROM c WHERE cum_tokens <= 96 ORDER BY rank""".stripMargin)
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "tok_flat_words" ->

@@ -8865,6 +8865,29 @@ object SparkEntry {
         .orderBy(col("rrf").desc, col("doc_id"))
     }),
 
+    "rag_context_pack" -> ((s, dir) => {
+      // context-window ASSEMBLY — the step between retrieval and the
+      // generator: pack the retrieved passages (rag_retrieve_chunks'
+      // per-doc best chunks) into a fixed token budget (96 here; a
+      // production window is thousands) in relevance order (rrf DESC,
+      // doc_id), keeping the PREFIX that fits — the running token sum
+      // is monotone, so "cum ≤ B" is exactly stop-at-first-overflow,
+      // the deterministic assembly rule (no re-ordering, no
+      // fragmenting a lower-ranked chunk into a higher slot). Output:
+      // the packed manifest with running totals. Scale: the window
+      // runs over the K RETRIEVED rows (K = 10), never the corpus —
+      // the unpartitioned window is a deliberate K-row frame.
+      val chunks = queries("rag_retrieve_chunks")(s, dir)
+      val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
+      chunks
+        .withColumn("rank", row_number().over(w))
+        .withColumn("cum_tokens", sum("chunk_len").over(w))
+        .filter(col("cum_tokens") <= 96L)
+        .select(col("rank"), col("doc_id"), col("chunk_id"),
+          col("n_hits"), col("chunk_len"), col("cum_tokens"))
+        .orderBy("rank")
+    }),
+
     "orders_basket_rules" -> ((s, dir) => {
       // association rules over order baskets — the actionable layer on
       // orders_itemsets3 (Agrawal & Srikant VLDB'94 §3): A→B from
