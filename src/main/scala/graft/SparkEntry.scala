@@ -8874,14 +8874,24 @@ object SparkEntry {
       // is monotone, so "cum ≤ B" is exactly stop-at-first-overflow,
       // the deterministic assembly rule (no re-ordering, no
       // fragmenting a lower-ranked chunk into a higher slot). Output:
-      // the packed manifest with running totals. Scale: the window
+      // the packed manifest with running totals. Scale: everything
       // runs over the K RETRIEVED rows (K = 10), never the corpus —
-      // the unpartitioned window is a deliberate K-row frame.
-      val chunks = queries("rag_retrieve_chunks")(s, dir)
-      val w = Window.orderBy(col("rrf").desc, col("doc_id").asc)
-      chunks
-        .withColumn("rank", row_number().over(w))
-        .withColumn("cum_tokens", sum("chunk_len").over(w))
+      // and the running sum is a broadcast theta SELF-JOIN over those
+      // K rows (rank = count of rows at-or-ahead in (rrf DESC,
+      // doc_id) order, cum = their length sum: K² = 100 pairs), NOT a
+      // global window — the repo's no-unpartitioned-window rule
+      // (PlanSmellSpec) holds for every gate plan, bounded frames
+      // included.
+      val base = Caches.persist(queries("rag_retrieve_chunks")(s, dir)
+        .select("doc_id", "chunk_id", "n_hits", "chunk_len", "rrf"))
+      val ahead = base.select(col("rrf").as("r2"), col("doc_id").as("d2"),
+        col("chunk_len").as("cl2"))
+      base.join(broadcast(ahead),
+          col("r2") > col("rrf") ||
+            (col("r2") === col("rrf") && col("d2") <= col("doc_id")))
+        .groupBy("doc_id", "chunk_id", "n_hits", "chunk_len")
+        .agg(count(lit(1)).cast("int").as("rank"),
+          sum("cl2").as("cum_tokens"))
         .filter(col("cum_tokens") <= 96L)
         .select(col("rank"), col("doc_id"), col("chunk_id"),
           col("n_hits"), col("chunk_len"), col("cum_tokens"))
