@@ -948,6 +948,10 @@ $body
     // output is batching-independent), so it proves stream == DuckDB
     // against the same mirror
     "stream_semantic_dedup" -> oracleSqlBase("dedup_semantic_incremental"),
+    // the artifact round-trip is bitwise (parquet floats are exact), so
+    // serving from the standing IVF artifacts proves equal to the
+    // in-plan build against the same mirror
+    "sim_serve_from_artifacts" -> oracleSqlBase("sim_ivf_topk_nprobe2"),
     // context assembly over the retrieval mirror: rank + running token
     // sum in (rrf DESC, doc_id) order, prefix kept while cum ≤ 96.
     // doc_id is unique in the retrieved set, so the default

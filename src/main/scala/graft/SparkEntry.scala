@@ -3281,6 +3281,33 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "sim_serve_from_artifacts" -> ((s, dir) => {
+      // the VECTOR-index twin of serve_from_artifacts (the reference's
+      // own serving mode, applied to the ANN family): centroids and
+      // cell assignment are STANDING DISK ARTIFACTS — built once by
+      // the indexing job, mounted by every serving job; at 100 TB
+      // nothing re-embeds or re-clusters at query time. Write both
+      // artifacts, load them back, and run the nprobe=2 read path
+      // (Similarity.ivfTopKWith — the explicit-index serving face the
+      // split-recall check already exercises) off the LOADED frames.
+      // Bitwise-equal to the in-plan build-then-search, so the oracle
+      // IS sim_ivf_topk_nprobe2's SQL.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = Similarity.ivfCentroids(e, nCentroids = 8)
+      val assigned = Similarity.ivfAssignWith(e, cents,
+        knownCents = Some(8L))
+      val path = s"$WorkDir/ivf_artifacts/${scratchTag(s, dir)}"
+      cents.write.mode("overwrite").parquet(s"$path/centroids.parquet")
+      assigned.write.mode("overwrite").parquet(s"$path/assignment.parquet")
+      val lc = s.read.parquet(s"$path/centroids.parquet")
+      val la = s.read.parquet(s"$path/assignment.parquet")
+      Similarity.ivfTopKWith(e, la, lc, e.filter(col("vec_id") < 8),
+          k = 5, nprobe = 2)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "sim_ivf_topk_nprobe2" -> ((s, dir) => {
       // the multi-probe IVF read path itself, fully oracle-ranked:
       // candidates = the union of the query's 2 nearest cells
