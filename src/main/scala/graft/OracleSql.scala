@@ -2583,6 +2583,34 @@ $body
         |SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    "stream_ann_topk" ->
+      // batch mirror of the streamed ANN serving path: the
+      // sim_ivf_topk_nprobe2 chain with the QUERY set = the md5-
+      // bucket-0 live slice (per-query output is batching-independent,
+      // so stream ≡ batch ≡ this mirror)
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
+        |s0 AS (SELECT vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM v CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |c AS (SELECT a.vec_id, a.cluster, v.ve AS ce FROM a0 a JOIN v USING (vec_id)),
+        |qp AS (SELECT vec_id AS query_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn
+        |          FROM s0 WHERE ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % 10 = 0)
+        |       WHERE rn <= 2),
+        |q AS (SELECT qp.query_id, qp.cluster, v.ve AS qe FROM qp JOIN v ON v.vec_id = qp.query_id),
+        |sc AS (SELECT q.query_id, c.vec_id,
+        |              list_dot_product(q.qe, c.ce) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+        |       FROM c JOIN q ON c.cluster = q.cluster AND c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |      FROM sc)
+        |SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
     "sim_lsh_topk" -> {
       val terms = (0 until 8).map { j =>
         s"(CASE WHEN list_dot_product(e, ${planeSql(j)}) > 0 THEN ${1L << j} ELSE 0 END)"

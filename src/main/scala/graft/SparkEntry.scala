@@ -2161,6 +2161,53 @@ object SparkEntry {
       }.orderBy("source")
     }),
 
+    "stream_ann_topk" -> ((s, dir) => {
+      // ONLINE vector search: queries stream in and are routed per
+      // micro-batch against the FROZEN standing IVF index (corpus-
+      // trained centroids + cell assignment — the sim_serve artifacts,
+      // here as in-session frames) via Similarity.ivfTopKWith — the
+      // nprobe=2 read path. The md5-bucket-0 slice plays the live
+      // query feed (the dedup_incremental convention). Each query's
+      // top-5 depends ONLY on its own vector and the frozen index, so
+      // the completed AvailableNow run equals the batch query however
+      // the files micro-batch — the stream ≡ batch gate, with the
+      // batch nprobe2 mirror (bucket-0 query set) as the oracle.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = Caches.persist(Similarity.ivfCentroids(e, nCentroids = 8))
+      val cells = Caches.persist(
+        Similarity.ivfAssignWith(e, cents, knownCents = Some(8L)))
+      val outDir = s"$WorkDir/stream_ann/${scratchTag(s, dir)}"
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(java.nio.file.Paths.get(outDir))
+      val schema = s.read.parquet(s"$dir/embeddings.parquet").schema
+      val live = tableStream(s, dir, "embeddings", schema)
+        .filter(pmod(Dedup.md5Hash60(col("vec_id").cast("string")),
+          lit(10L)) === 0)
+        .select("vec_id", "embedding")
+      EventStream.withStatePartitions(s, 8) {
+        val q = live.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              Similarity.ivfTopKWith(e, cells, cents, batch,
+                  k = 5, nprobe = 2)
+                .select(col("query_id"), col("vec_id"),
+                  round(col("cos"), 6).as("cos"), col("rank"))
+                .write.mode("append").parquet(s"$outDir/results")
+              ()
+          }
+          .option("checkpointLocation", s"$outDir/ckpt_${System.nanoTime()}")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$outDir/results").orderBy("query_id", "rank")
+    }),
+
     "stream_dsir_score" -> ((s, dir) => {
       // DSIR in production shape: the ratio model trains OFFLINE over
       // the standing corpus (dsirModelMemo — 1024 frozen rows) and
