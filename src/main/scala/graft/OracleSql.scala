@@ -2583,6 +2583,41 @@ $body
         |SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
 
+    "emb_ivf_upsert" ->
+      // frozen-index ingest mirror: corpus = md5-bucket ≠ 0, batch =
+      // bucket 0, seeds = CORPUS vec_id < 8 (the frozen-index rule),
+      // both sides flat-assigned against the same seed centroids,
+      // before/after occupancy with the 2× overload flag
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |cor AS (SELECT vec_id, ve FROM v WHERE ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % 10 <> 0),
+        |bat AS (SELECT vec_id, ve FROM v WHERE ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % 10 = 0),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM cor WHERE vec_id < 8),
+        |ac AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT c.vec_id, c0.cent_id,
+        |                 row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |                   list_dot_product(c.ve, c0.ce) / (sqrt(list_dot_product(c.ve, c.ve)) * sqrt(list_dot_product(c0.ce, c0.ce))) DESC,
+        |                   c0.cent_id ASC) AS rn
+        |          FROM cor c CROSS JOIN c0)
+        |       WHERE rn = 1),
+        |ab AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT b.vec_id, c0.cent_id,
+        |                 row_number() OVER (PARTITION BY b.vec_id ORDER BY
+        |                   list_dot_product(b.ve, c0.ce) / (sqrt(list_dot_product(b.ve, b.ve)) * sqrt(list_dot_product(c0.ce, c0.ce))) DESC,
+        |                   c0.cent_id ASC) AS rn
+        |          FROM bat b CROSS JOIN c0)
+        |       WHERE rn = 1),
+        |nb AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_before FROM ac GROUP BY cluster),
+        |na AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_added FROM ab GROUP BY cluster),
+        |au AS (SELECT COALESCE(nb.cluster, na.cluster) AS cluster,
+        |              COALESCE(n_before, 0) AS n_before,
+        |              COALESCE(n_added, 0) AS n_added,
+        |              COALESCE(n_before, 0) + COALESCE(n_added, 0) AS n_after
+        |       FROM nb FULL OUTER JOIN na ON nb.cluster = na.cluster),
+        |tt AS (SELECT CAST(sum(n_after) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS c FROM au)
+        |SELECT cluster, n_before, n_added, n_after,
+        |       n_after * c > 2 * n AS overloaded
+        |FROM au, tt ORDER BY cluster""".stripMargin,
+
     "stream_ann_topk" ->
       // batch mirror of the streamed ANN serving path: the
       // sim_ivf_topk_nprobe2 chain with the QUERY set = the md5-

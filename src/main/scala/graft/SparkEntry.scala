@@ -3328,6 +3328,44 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    "emb_ivf_upsert" -> ((s, dir) => {
+      // the index WRITE path — batch ingest into the FROZEN standing
+      // index (completing the lifecycle: build → audit → split →
+      // serve → stream-serve → UPSERT): a new vector batch (the
+      // md5-bucket-0 slice, the dedup_incremental convention) is
+      // assigned against the corpus-trained centroids — centroids
+      // from the CORPUS ALONE (seeds = corpus vec_id < 8; batch
+      // vectors must not move cells between runs — the
+      // dedup_semantic_incremental frozen-index rule) — and the
+      // occupancy audit reads before/after: which cells absorb the
+      // ingest, and whether any crosses the 2× overload flag (the
+      // signal that routes to emb_ivf_split). Scale: per-run cost is
+      // ∝ batch (one assignment) + a C-row audit; the corpus
+      // assignment is the standing artifact.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val bucket = pmod(Dedup.md5Hash60(col("vec_id").cast("string")),
+        lit(10L))
+      val corpus = e.filter(bucket =!= 0)
+      val batch = e.filter(bucket === 0)
+      val cents = Caches.persist(Similarity.ivfCentroids(corpus, nCentroids = 8))
+      val before = Similarity.ivfAssignWith(corpus, cents, knownCents = Some(8L))
+        .groupBy("cluster").agg(count(lit(1)).as("n_before"))
+      val added = Similarity.ivfAssignWith(batch, cents, knownCents = Some(8L))
+        .groupBy("cluster").agg(count(lit(1)).as("n_added"))
+      val audit = before.join(added, Seq("cluster"), "full_outer")
+        .select(col("cluster"),
+          coalesce(col("n_before"), lit(0L)).as("n_before"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"))
+        .withColumn("n_after", col("n_before") + col("n_added"))
+      val tot = broadcast(audit.agg(sum("n_after").as("n"),
+        count(lit(1)).as("c")))
+      audit.crossJoin(tot)
+        .select(col("cluster"), col("n_before"), col("n_added"),
+          col("n_after"),
+          (col("n_after") * col("c") > lit(2L) * col("n")).as("overloaded"))
+        .orderBy("cluster")
+    }),
+
     "sim_serve_from_artifacts" -> ((s, dir) => {
       // the VECTOR-index twin of serve_from_artifacts (the reference's
       // own serving mode, applied to the ANN family): centroids and
