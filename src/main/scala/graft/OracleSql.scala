@@ -2284,6 +2284,18 @@ $body
         |       round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
         |FROM qv LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
 
+    "curate_epoch_reshuffle" ->
+      // two-salt shard comparison: per epoch-2 shard, docs that kept
+      // their epoch-1 shard; exact integers + one 6dp division
+      s"""WITH b AS (SELECT doc_id,
+        |                  ${md5Hash60Sql("'epoch1|' || CAST(doc_id AS VARCHAR)")} % 8 AS shard1,
+        |                  ${md5Hash60Sql("'epoch2|' || CAST(doc_id AS VARCHAR)")} % 8 AS shard
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN shard1 = shard THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+        |       round(CAST(sum(CASE WHEN shard1 = shard THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_stayed
+        |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
+
     "curate_dsir_weights" ->
       // DSIR mirror: hashed unigram∪bigram bucket counts (md5Hash60
       // % 1024 — the engine's exact hash), add-one log₁₀-likelihood

@@ -3184,6 +3184,30 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "curate_epoch_reshuffle" -> ((s, dir) => {
+      // the EPOCH lever of the deterministic training shuffle made
+      // measurable: epoch 2 is the same salted-hash rule with a new
+      // salt — no RNG state, any worker re-derives any epoch — and
+      // this audit proves the re-shuffle actually mixes: per epoch-2
+      // shard, how many docs stayed on their epoch-1 shard
+      // (expectation 1/S ≈ 0.125 under a good hash; a frac_stayed
+      // near 1 would mean the salt isn't reaching the hash). One
+      // scan, one hash aggregate.
+      val id = col("doc_id").cast("string")
+      val s1 = pmod(Dedup.md5Hash60(concat_ws("|", lit("epoch1"), id)),
+        lit(8L))
+      val s2 = pmod(Dedup.md5Hash60(concat_ws("|", lit("epoch2"), id)),
+        lit(8L))
+      docs(s, dir).select(s1.as("shard1"), s2.as("shard"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("shard1") === col("shard"), 1L).otherwise(0L))
+            .as("n_stayed"))
+        .withColumn("frac_stayed",
+          round(col("n_stayed").cast("double") / col("n_docs").cast("double"), 6))
+        .orderBy("shard")
+    }),
+
     "curate_dsir_weights" -> ((s, dir) => {
       // DSIR importance resampling (Xie et al., NeurIPS 2023 — see
       // ext/Dsir): score every raw-pool document with the hashed-
