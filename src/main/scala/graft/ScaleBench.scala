@@ -393,7 +393,17 @@ object ScaleBench {
     // encode + fertility (6 narrow rewrites over the cached stream),
     // and the three-stage manifest (one exchange on shard)
     "graph_louvain_full", "emb_ivf_split", "emb_ivf_split_recall", "tok_bpe_encode",
-    "tok_fertility_full", "curate_training_manifest")
+    "tok_fertility_full", "curate_training_manifest",
+    // r15 second wave: frozen-index ingest (∝ batch), the streamed ANN
+    // serving face (∝ query slice through the frozen index), the
+    // artifact write+serve round trip (the write is the only N-sized
+    // stage), and the two-salt reshuffle audit (one scan + one agg).
+    // graph_louvain_full_sizes is deliberately NOT here: it rides the
+    // shared run memo — under the per-rep cache reset it would re-pay
+    // the 10-level loop whose receipt graph_louvain_full already
+    // carries, and its own work is one node-sized aggregate.
+    "emb_ivf_upsert", "stream_ann_topk", "sim_serve_from_artifacts",
+    "curate_epoch_reshuffle")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE
