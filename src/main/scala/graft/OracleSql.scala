@@ -2894,6 +2894,40 @@ $body
         |       round(avg(w), 6) AS score, round(avg(w), 6) > 0 AS keep
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "quality_dedup_impact" ->
+      // the near-dup CC loser chain (curate_dedup_rate_by_source's
+      // mirror) × the classifier score chain: per-doc 6dp scores
+      // pinned to exact integers, per-source BIGINT sums, kept/dropped
+      // means as single divisions; no-loser sources → NULL
+      s"""WITH RECURSIVE $hashedShingleCtes,
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |losers AS (SELECT node AS doc_id FROM comp WHERE node <> component),
+        |f AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS word
+        |      FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |sw AS (SELECT doc_id, (((${md5Hash60Sql("word")} % 64) * 2654435761) % 1001) / 500.0 - 1.0 AS w FROM f),
+        |sq AS (SELECT doc_id, round(avg(w), 6) AS score FROM sw GROUP BY doc_id),
+        |j AS (SELECT d.source,
+        |             CAST(floor(sq.score * 1000000.0 + 0.5) AS BIGINT) AS q6,
+        |             d.doc_id IN (SELECT doc_id FROM losers) AS dropped
+        |      FROM read_parquet('/root/testdata/sf0.01/documents.parquet') d JOIN sq USING (doc_id))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |       CAST(sum(CASE WHEN NOT dropped THEN q6 ELSE 0 END) AS DOUBLE)
+        |             / (CAST(count(*) - sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0) AS mean_q_kept,
+        |       CASE WHEN sum(CASE WHEN dropped THEN 1 ELSE 0 END) = 0 THEN NULL
+        |            ELSE CAST(sum(CASE WHEN dropped THEN q6 ELSE 0 END) AS DOUBLE)
+        |                       / (CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0) END AS mean_q_dropped
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+
     "quality_label_agreement" ->
       // the two gates' keep flags composed into one contingency:
       // gopher CTEs + classifier CTEs, exact integer cells, κ from

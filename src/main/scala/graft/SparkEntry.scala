@@ -6196,6 +6196,50 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "quality_dedup_impact" -> ((s, dir) => {
+      // is dedup throwing away GOOD documents? Per source: the
+      // quality-classifier score of near-dup LOSERS vs keepers — the
+      // cross-family audit a curation pipeline reads before trusting
+      // its dedup pass (if losers systematically out-score keepers,
+      // the keep-lowest-id rule is discarding the better copies and
+      // should become keep-best-quality). Per-doc 6dp scores pin to
+      // exact integers (floor(score·10⁶ + 0.5) — the decon_report
+      // discipline) so the per-source means are divisions of exact
+      // BIGINT sums; a source with no losers reports null. Losers
+      // ride the shared CC memo; one doc-grain join + one source agg.
+      val q = queries("quality_classifier")(s, dir)
+        .select(col("doc_id"), col("score"))
+      val losers = nearDupComponents(s, dir)
+        .filter(col("node") =!= col("component"))
+        .select(col("node").as("doc_id"), lit(true).as("dr"))
+      docs(s, dir).select("doc_id", "source")
+        .join(q, Seq("doc_id"))
+        .join(losers, Seq("doc_id"), "left")
+        .select(col("source"),
+          coalesce(col("dr"), lit(false)).as("dropped"),
+          (floor(col("score") * lit(1000000.0) + lit(0.5)))
+            .cast("long").as("q6"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dropped"), 1L).otherwise(0L)).as("n_dropped"),
+          sum(when(!col("dropped"), col("q6")).otherwise(0L)).as("sk"),
+          sum(when(col("dropped"), col("q6")).otherwise(0L)).as("sd"))
+        // the means are emitted UNROUNDED: numerator and denominator are
+        // exact integers, so the double quotient is already bit-identical
+        // on both engines — a 6dp round here actually BROKE parity (src6:
+        // 31705/2e6 = exactly .0158525, a tie Spark rounds on the decimal
+        // string and DuckDB on the binary double; they disagree)
+        .select(col("source"), col("n_docs"), col("n_dropped"),
+          (col("sk").cast("double") /
+            ((col("n_docs") - col("n_dropped")).cast("double") * lit(1000000.0)))
+            .as("mean_q_kept"),
+          when(col("n_dropped") === 0L, lit(null).cast("double"))
+            .otherwise(col("sd").cast("double") /
+              (col("n_dropped").cast("double") * lit(1000000.0)))
+            .as("mean_q_dropped"))
+        .orderBy("source")
+    }),
+
     "quality_label_agreement" -> ((s, dir) => {
       // Cohen's κ between the engine's two independent quality gates
       // (the curation-dashboard readout that says whether the rule
