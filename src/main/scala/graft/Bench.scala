@@ -120,7 +120,7 @@ object Bench {
       // absolute WorkDir path (r9 ADVICE: a cwd-relative path lands the
       // audit trail wherever the launcher happened to cd)
       val out = java.nio.file.Paths.get(
-        s"${SparkEntry.WorkDir}/bench_per_query.json")
+        s"${SparkEntry.ReceiptsDir}/bench_per_query.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, perQueryJson.getBytes("UTF-8"))
     } catch { case e: Throwable =>
@@ -139,7 +139,7 @@ object Bench {
     try {
       val histRow = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","reps":$reps,"probe":$calMedian,"calibration":$calJson,"queries":$qs,"total":$total}"""
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"${SparkEntry.WorkDir}/bench_history.jsonl"),
+        java.nio.file.Paths.get(s"${SparkEntry.ReceiptsDir}/bench_history.jsonl"),
         histRow + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)

@@ -442,6 +442,51 @@ $body
 ) ORDER BY n_nodes DESC, community LIMIT 25"""
   }
 
+  /** Mirror of `graph_conductance`: the composed-partition chain from
+    * [[louvainFullSizesSql]] with the argmax-Q level selected into one
+    * `best (node, community)` relation (the same exact-integer sc
+    * gating, WHERE-scalar form since there's no grouping to hang a
+    * HAVING on), then cut/vol per community over e0 — every count a
+    * BIGINT, the conductance an UNROUNDED exact-integer quotient.
+    */
+  private def louvainConductanceSql(levels: Int): String = {
+    val comps = (1 to levels).map { i =>
+      s"""comp$i AS MATERIALIZED (SELECT c.node, l.label AS community
+         |        FROM comp${i - 1} c JOIN lab$i l ON l.node = c.community)""".stripMargin
+    }.mkString(",\n")
+    def rise(j: Int) =
+      s"(SELECT sc FROM tel$j) > (SELECT sc FROM tel${j - 1})"
+    val branches = (0 to levels).map { i =>
+      val conds =
+        (if (i >= 1) (1 to i).map(rise) else Seq.empty) ++
+          (if (i < levels) Seq(s"NOT (${rise(i + 1)})") else Seq.empty)
+      s"""SELECT node, community FROM comp$i
+WHERE ${if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")}"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${louvainFullChainCtes(levels)},
+comp0 AS MATERIALIZED (SELECT node, node AS community FROM (SELECT DISTINCT src AS node FROM e0 UNION SELECT DISTINCT dst AS node FROM e0)),
+$comps,
+best AS MATERIALIZED (
+$branches
+),
+ej AS MATERIALIZED (SELECT e0.w, ca.community AS cs, cb.community AS cd
+      FROM e0 JOIN best ca ON ca.node = e0.src JOIN best cb ON cb.node = e0.dst),
+vol AS (SELECT community, CAST(sum(w) AS BIGINT) AS vol FROM (
+        SELECT cs AS community, w FROM ej UNION ALL SELECT cd AS community, w FROM ej)
+        GROUP BY community),
+cut AS (SELECT community, CAST(sum(w) AS BIGINT) AS cut FROM (
+        SELECT cs AS community, w FROM ej WHERE cs <> cd
+        UNION ALL SELECT cd AS community, w FROM ej WHERE cs <> cd)
+        GROUP BY community),
+nn AS (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes FROM best GROUP BY community)
+SELECT v.community, nn.n_nodes, v.vol, COALESCE(c.cut, 0) AS cut,
+       CASE WHEN least(v.vol, 2 * (SELECT wtot FROM wt) - v.vol) = 0 THEN NULL
+            ELSE CAST(COALESCE(c.cut, 0) AS DOUBLE)
+                 / least(v.vol, 2 * (SELECT wtot FROM wt) - v.vol) END AS conductance
+FROM vol v JOIN nn USING (community) LEFT JOIN cut c USING (community)
+ORDER BY v.vol DESC, community LIMIT 15"""
+  }
+
   /** Corpus bigram-LM CTE chain (mirrors [[graft.SparkEntry]]'s
     * `lmScores`): raw tokens → bigrams → add-one-smoothed log10 probs in
     * `s (doc_id, lp)`. Shared by `text_lm_score` and
@@ -2894,6 +2939,22 @@ $body
         |       round(avg(w), 6) AS score, round(avg(w), 6) > 0 AS keep
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "quality_toxicity_lexicon" ->
+      // raw-token chain at (doc, source) grain; per-doc hit counts and
+      // the >5% flag on the UNROUNDED exact-integer quotient (the r15
+      // tie rule), source-grain BIGINT sums, flagged_share likewise
+      // unrounded
+      """WITH d AS (SELECT doc_id, source, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |t AS (SELECT doc_id, source, unnest(tk) AS w FROM d),
+        |per AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |               CAST(sum(CASE WHEN w IN ('slow', 'dup', 'stale', 'corrupt') THEN 1 ELSE 0 END) AS BIGINT) AS hits
+        |        FROM t GROUP BY doc_id, source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(hits) AS BIGINT) AS total_hits,
+        |       CAST(sum(CASE WHEN CAST(hits AS DOUBLE) / n_tokens > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |       CAST(sum(CASE WHEN CAST(hits AS DOUBLE) / n_tokens > 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS flagged_share
+        |FROM per GROUP BY source ORDER BY source""".stripMargin,
+
     "quality_dedup_impact" ->
       // the near-dup CC loser chain (curate_dedup_rate_by_source's
       // mirror) × the classifier score chain: per-doc 6dp scores
@@ -5294,6 +5355,29 @@ $body
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 6) AS lm_score
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    "text_ccnet_buckets" ->
+      // the lm_score chain + lang, exact-BIGINT per-language ranks
+      // (lm_score DESC, doc_id tiebreak — lm_score is 6dp-pinned on
+      // both engines so the order is identical), tercile edges
+      // ceil(n/3)/ceil(2n/3) on integers; only the bucket means are
+      // float-accumulated, hence the one 6dp round
+      s"""WITH $lmCtes,
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, round(avg(lp), 6) AS lm_score FROM s GROUP BY doc_id),
+        |wl AS (SELECT sc.doc_id, sc.n_bigrams, sc.lm_score, dd.lang
+        |       FROM sc JOIN read_parquet('/root/testdata/sf0.01/documents.parquet') dd USING (doc_id)),
+        |nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM wl GROUP BY lang),
+        |r AS (SELECT wl.*, nl.n_lang,
+        |             CAST(row_number() OVER (PARTITION BY wl.lang ORDER BY wl.lm_score DESC, wl.doc_id) AS BIGINT) AS rn
+        |      FROM wl JOIN nl USING (lang))
+        |SELECT lang,
+        |       CASE WHEN rn <= CAST(ceil(n_lang / 3.0) AS BIGINT) THEN 'head'
+        |            WHEN rn <= CAST(ceil(n_lang * 2 / 3.0) AS BIGINT) THEN 'middle'
+        |            ELSE 'tail' END AS bucket,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+        |       round(avg(lm_score), 6) AS avg_lm_score
+        |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
+
     "sample_by_perplexity" ->
       // stratified at the 6dp-rounded mean score; identical md5-fold
       // bucket as sample_hash_bucket — 80% of the hi stratum, 20% of lo
@@ -6069,6 +6153,19 @@ $body
         |SELECT doc_id, round(s, 4) AS score FROM sc
         |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
 
+    "search_shard_plan" ->
+      // the TF chain + the md5-fold shard id (sample_hash_bucket's
+      // engine-independent convention); per-shard BIGINT counts, the
+      // share an unrounded exact-integer quotient
+      s"""WITH $indexCtes,
+        |p AS (SELECT word, term_freq, ${md5Hash60Sql("word")} % 16 AS shard FROM tf)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_postings,
+        |       CAST(count(DISTINCT word) AS BIGINT) AS n_terms,
+        |       CAST(sum(term_freq) AS BIGINT) AS n_occurrences,
+        |       CAST(max(term_freq) AS BIGINT) AS max_tf,
+        |       CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM tf) AS posting_share
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+
     "search_eval_ndcg" ->
       // mirrors the eval harness: per-term BM25 scores (4dp), system
       // rank by (score DESC, doc_id), ideal rank by (tf DESC, doc_id),
@@ -6749,6 +6846,8 @@ $body
     "graph_louvain_full" -> louvainFullSql(10),
 
     "graph_louvain_full_sizes" -> louvainFullSizesSql(10),
+
+    "graph_conductance" -> louvainConductanceSql(10),
 
     "events_ab_srm" ->
       s"""WITH d AS (SELECT event_type, ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS arm FROM events),

@@ -403,7 +403,16 @@ object ScaleBench {
     // the 10-level loop whose receipt graph_louvain_full already
     // carries, and its own work is one node-sized aggregate.
     "emb_ivf_upsert", "stream_ann_topk", "sim_serve_from_artifacts",
-    "curate_epoch_reshuffle")
+    "curate_epoch_reshuffle",
+    // r15 third wave: CCNet terciles (the LM chain + one per-lang rank
+    // window — ∝ tokens, the 14-15 suffix bar), the blocklist gate
+    // (one explode + two hash aggs — boring-linear at the same bar),
+    // the shard-plan audit (one hash agg over TF rows), and
+    // conductance over the converged Louvain partition (rides the
+    // louvain_full memo under the per-rep reset, so its receipt
+    // carries the full-run cost + two E-sized label joins)
+    "text_ccnet_buckets", "quality_toxicity_lexicon", "search_shard_plan",
+    "graph_conductance")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE
@@ -498,6 +507,8 @@ object ScaleBench {
         SparkEntry.resetSharedCaches() // reps must pay the real CC cost
       })(() => queryFor(q)(spark, dir).count())
 
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(SparkEntry.ReceiptsDir))
     val rows = selected.map { q =>
       val t1 = time(q, s"$scratch/x1")
       val tf = time(q, s"$scratch/x$factor")
@@ -507,7 +518,7 @@ object ScaleBench {
       // end-of-run persistence protects against SIGPIPE but not
       // against a crash mid-sweep)
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"${SparkEntry.WorkDir}/scale_curve.jsonl"),
+        java.nio.file.Paths.get(s"${SparkEntry.ReceiptsDir}/scale_curve.jsonl"),
         s"""{"metric":"scale_curve_row","factor":$factor,"reps":$reps,"query":"$q","t1":$t1,"t$factor":$tf,"ratio":${tf / t1}}""" + "\n",
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
@@ -528,9 +539,9 @@ object ScaleBench {
     // runs at different factors/query sets erased each other) and keep
     // the fixed-path file as the latest-run snapshot.
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"${SparkEntry.WorkDir}/scale_curve.json"), json)
+      java.nio.file.Paths.get(s"${SparkEntry.ReceiptsDir}/scale_curve.json"), json)
     java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"${SparkEntry.WorkDir}/scale_curve.jsonl"),
+      java.nio.file.Paths.get(s"${SparkEntry.ReceiptsDir}/scale_curve.jsonl"),
       json + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)

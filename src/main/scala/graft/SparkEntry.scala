@@ -186,6 +186,14 @@ object SparkEntry {
   private[graft] val StemmedFlatPath = s"$WorkDir/stemmed_flat.parquet"
   private[graft] val ArtifactsPath = s"$WorkDir/artifacts"
 
+  /** Durable receipts (bench history, scale curves). Unlike WorkDir —
+    * which is gitignored scratch and dies with the workspace (the r15
+    * lesson: a measured scale sweep survived only as prose in
+    * docs/SCALE.md after work/ was wiped) — this directory is tracked,
+    * so receipt JSONLs are committed alongside the code they grade.
+    */
+  private[graft] val ReceiptsDir = "/root/repo/receipts"
+
   /** Unique tag for per-(session, sfDir) scratch dirs and table names.
     * The dir part is 64 bits of the md5 of the PATH STRING — the old
     * 32-bit `String.hashCode` let two distinct sfDirs collide (Java
@@ -4166,6 +4174,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "text_ccnet_buckets" -> ((s, dir) => {
+      // CCNet perplexity bucketing (Wenzek et al., LREC 2020 §4.3) —
+      // the split every web-scale pre-training corpus ships with: per
+      // LANGUAGE, rank documents by LM score (higher avg log-prob =
+      // lower perplexity = cleaner text) and cut exact terciles into
+      // head/middle/tail; report each bucket's doc count, token mass,
+      // and mean score — the table a data mixer reads to decide how
+      // much tail to admit. Rides lmScoresMemo (one LM build per
+      // session×dir, shared with text_lm_score / sample_by_perplexity);
+      // the ranking window is PER-LANGUAGE (bounded partitions — lang
+      // cardinality is small and the skewed 'en' partition is exactly
+      // the sort CCNet itself pays; at 100 TB you'd swap the exact rank
+      // for per-lang approx-percentile thresholds, trading tie
+      // determinism for a sortless plan — here the gate needs the
+      // exact cut). Tercile edges are ceil(n/3)/ceil(2n/3) on exact
+      // BIGINT ranks — no float thresholds to disagree across engines.
+      val withLang = lmScoresMemo(s, dir)
+        .join(docs(s, dir).select("doc_id", "lang"), Seq("doc_id"))
+      val nLang = withLang.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      val ranked = withLang
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang")
+            .orderBy(col("lm_score").desc, col("doc_id"))).cast("long"))
+        .join(broadcast(nLang), Seq("lang"))
+      ranked
+        .withColumn("bucket",
+          when(col("rn") <= ceil(col("n_lang") / lit(3.0)), "head")
+            .when(col("rn") <= ceil(col("n_lang") * 2 / lit(3.0)), "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bigrams").as("n_bigrams"),
+          round(avg("lm_score"), 6).as("avg_lm_score"))
+        .orderBy("lang", "bucket")
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
       // quality filters an LLM pipeline applies AFTER language ID —
@@ -6196,6 +6240,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    "quality_toxicity_lexicon" -> ((s, dir) => {
+      // blocklist screening — the first-pass unsafe-content gate every
+      // production corpus runs BEFORE any model-based toxicity scorer
+      // (the list-based stage of RealToxicityPrompts' pipeline, Gehman
+      // et al. EMNLP-Findings 2020): per doc, the blocklist share of
+      // tokens; docs above 5% are flagged; rolled to SOURCE grain —
+      // the crawl-budget table that says which feeds to throttle. The
+      // lexicon is a broadcast-small IN-list (codegen'd set probe, no
+      // join); tokens never leave their doc_id grain before the two
+      // hash aggs, so the plan is one scan + explode + two partial-agg
+      // shuffles at any corpus size. Per-doc rate and per-source
+      // flagged_share are quotients of EXACT integer counts — emitted
+      // UNROUNDED (the r15 rounding-tie rule: the raw double quotient
+      // is bit-identical on both engines; rounding can break ties).
+      val lexicon = Seq("slow", "dup", "stale", "corrupt")
+      val per = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(TextAnalysis.rawTokens(col("text"))).as("w"))
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when(col("w").isin(lexicon: _*), 1L).otherwise(0L)).as("hits"))
+      per
+        .withColumn("rate", col("hits").cast("double") / col("n_tokens"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("hits").as("total_hits"),
+          sum(when(col("rate") > 0.05, 1L).otherwise(0L)).as("n_flagged"))
+        .withColumn("flagged_share",
+          col("n_flagged").cast("double") / col("n_docs"))
+        .orderBy("source")
+    }),
+
     "quality_dedup_impact" -> ((s, dir) => {
       // is dedup throwing away GOOD documents? Per source: the
       // quality-classifier score of near-dup LOSERS vs keepers — the
@@ -6655,6 +6731,26 @@ object SparkEntry {
         .groupBy("community").agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("community"))
         .limit(25)
+    }),
+
+    "graph_conductance" -> ((s, dir) => {
+      // per-community conductance φ(S) = cut(S) / min(vol(S), 2W−vol(S))
+      // (Kannan, Vempala & Vetta, JACM 2004 §1) over the CONVERGED
+      // Louvain partition — the per-community quality readout
+      // modularity can't give: Q grades the partition globally, φ
+      // exposes the individual leaky community (φ → 0 tight, φ → 1
+      // mostly boundary). Rides louvainFullRunMemo (one converged run
+      // per session×dir, shared with both graph_louvain_full faces);
+      // the plan is two label joins against the node-sized partition
+      // map + two hash aggs — every count an exact BIGINT, the
+      // quotient emitted UNROUNDED (the exact-integer tie rule), and
+      // nothing grows faster than E at any graph size. Top-15 by
+      // volume; min(vol, 2W−vol) = 0 (a partition collapsed to one
+      // community) reports null rather than dividing by zero.
+      Graph.conductance(copurchaseEdgesMemo(s, dir),
+          louvainFullRun(s, dir)._2)
+        .orderBy(col("vol").desc, col("community"))
+        .limit(15)
     }),
 
     "graph_local_clustering" -> ((s, dir) => {
@@ -7732,6 +7828,36 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 4))
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(10)
+    }),
+
+    "search_shard_plan" -> ((s, dir) => {
+      // distributed-serving layout audit: shard the inverted index
+      // TERM-wise across 16 servers by the engine-independent md5 fold
+      // (the sample_hash_bucket convention — a shard function must
+      // hash identically everywhere, so no Spark-internal hash) and
+      // report per-shard postings, distinct terms, occurrence mass,
+      // and the heaviest posting list. This table IS the serving plan
+      // at 1000 executors: term-sharding keeps each query term on one
+      // server (document-sharding would fan every term out to all),
+      // and the share column bounds tail latency — a shard holding 2×
+      // the mean postings is the straggler. One hash agg over the TF
+      // table + one broadcast scalar for the share quotient (exact
+      // integers, emitted unrounded per the r15 tie rule).
+      val t = builtIndex(s, dir, stem = false)
+      val post = t.termFrequencies
+        .withColumn("shard",
+          pmod(graft.ext.Dedup.md5Hash60(col("word")), lit(16L)))
+      val tot = broadcast(post.agg(count(lit(1)).as("tot")))
+      post.groupBy("shard")
+        .agg(count(lit(1)).as("n_postings"),
+          countDistinct("word").as("n_terms"),
+          sum("term_freq").as("n_occurrences"),
+          max("term_freq").as("max_tf"))
+        .crossJoin(tot)
+        .withColumn("posting_share",
+          col("n_postings").cast("double") / col("tot"))
+        .drop("tot")
+        .orderBy("shard")
     }),
 
     "search_eval_ndcg" -> ((s, dir) => {

@@ -1168,4 +1168,45 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Per-community conductance φ(S) = cut(S) / min(vol(S), 2W − vol(S))
+    * (Kannan, Vempala & Vetta, "On clusterings: good, bad and
+    * spectral", JACM 51(3) 2004 §1) of a node labeling over a weighted
+    * undirected edge list (src, dst, w) with no self-loops — each
+    * edge listed once in either orientation.
+    *
+    * vol(S) counts BOTH endpoints of intra-community edges (weighted
+    * degree mass inside S); cut(S) counts each boundary edge once per
+    * side. All sums are exact BIGINTs; the quotient is emitted
+    * UNROUNDED (a division of exact integers is bit-identical on any
+    * engine — the r15 rounding-tie rule), and a community holding ALL
+    * volume (min = 0) yields null rather than a zero division. Plan:
+    * two label equi-joins + two hash aggs — nothing beyond O(E).
+    * Output: (community, n_nodes, vol, cut, conductance), unordered.
+    */
+  def conductance(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val ej = graft.Caches.persist(edges.select("src", "dst", "w")
+      .join(labels.select(col("node").as("src"), col("community").as("cs")),
+        Seq("src"))
+      .join(labels.select(col("node").as("dst"), col("community").as("cd")),
+        Seq("dst"))
+      .select("w", "cs", "cd"))
+    val w2 = 2L * ej.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+    val vol = ej.select(col("cs").as("community"), col("w"))
+      .unionAll(ej.select(col("cd").as("community"), col("w")))
+      .groupBy("community").agg(sum("w").as("vol"))
+    val xc = ej.filter(col("cs") =!= col("cd"))
+    val cut = xc.select(col("cs").as("community"), col("w"))
+      .unionAll(xc.select(col("cd").as("community"), col("w")))
+      .groupBy("community").agg(sum("w").as("cut"))
+    val nn = labels.groupBy("community").agg(count(lit(1)).as("n_nodes"))
+    val den = least(col("vol"), lit(w2) - col("vol"))
+    vol.join(nn, Seq("community"))
+      .join(cut, Seq("community"), "left")
+      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+      .withColumn("conductance",
+        when(den === 0L, lit(null).cast("double"))
+          .otherwise(col("cut").cast("double") / den))
+      .select("community", "n_nodes", "vol", "cut", "conductance")
+  }
+
 }

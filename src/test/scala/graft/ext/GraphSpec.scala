@@ -590,4 +590,38 @@ class GraphSpec extends SparkSpec {
     }
     graft.Caches.clearPersisted()
   }
+
+  test("conductance: two triangles + bridge, hand-computed") {
+    import spark.implicits._
+    // triangle {1,2,3} (edge 1-2 weighted 2), triangle {4,5,6},
+    // bridge 3-4; W = 8, 2W = 16
+    val edges = Seq(
+      (1L, 2L, 2L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (4L, 5L, 1L), (5L, 6L, 1L), (4L, 6L, 1L),
+      (3L, 4L, 1L)).toDF("src", "dst", "w")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)).toDF("node", "community")
+    val got = Graph.conductance(edges, labels)
+      .orderBy("community")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    graft.Caches.clearPersisted()
+    // vol(1) = 2·(2+1+1) + 1 = 9, cut = 1, φ = 1/min(9, 7) = 1/7
+    // vol(4) = 2·3 + 1 = 7,       cut = 1, φ = 1/min(7, 9) = 1/7
+    assert(got.toSeq == Seq(
+      (1L, 3L, 9L, 1L, 1.0 / 7.0),
+      (4L, 3L, 7L, 1L, 1.0 / 7.0)))
+  }
+
+  test("conductance: single community reports null, not a zero division") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val labels = Seq((1L, 7L), (2L, 7L)).toDF("node", "community")
+    val got = Graph.conductance(edges, labels).collect()
+    graft.Caches.clearPersisted()
+    assert(got.length == 1)
+    assert(got(0).getLong(2) == 2L && got(0).getLong(3) == 0L)
+    assert(got(0).isNullAt(4))
+  }
 }
