@@ -858,6 +858,85 @@ ORDER BY v.vol DESC, community LIMIT 15"""
     s"$base,\n${roundCtes.mkString(",\n")}\n$sel\nORDER BY round"
   }
 
+  /** Mirror of [[graft.ext.Boosting.gbdtStumps]]: the (month × priority)
+    * sufficient-statistics table with exact BIGINT n/Σcents and HUGEINT
+    * Σcents², then both boosting rounds unrolled as CTEs spelling the
+    * ENGINE'S EXACT expression shapes — residual sums decomposed per
+    * leaf (never a float accumulation over cells), argmax via ORDER BY
+    * gain DESC, f, cut; γ and RMSE emitted unrounded (deterministic
+    * fixed-shape doubles; rounding could break exact-quotient ties).
+    */
+  private lazy val gbdtSql: String = {
+    val inL = "(CASE WHEN cand.f = 'month' THEN j.mb ELSE j.pr END) <= cand.cut"
+    val inL1 = "(CASE WHEN b1.f = 'month' THEN j.mb ELSE j.pr END) <= b1.cut"
+    val srl2 = "((syll - m1.fl * nll) + (sylr - m1.fr * nlr))"
+    val srr2 = "(((b1.syl - syll) - m1.fl * (b1.nl - nll)) + " +
+      "((b1.syr - sylr) - m1.fr * (b1.nr - nlr)))"
+    s"""WITH o AS (SELECT month(o_orderdate) AS mon,
+      |                  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri,
+      |                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      |           FROM orders),
+      |j AS (SELECT CAST(mon AS BIGINT) AS mb, pri AS pr,
+      |             CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sy,
+      |             sum(CAST(c AS HUGEINT) * c) AS syy
+      |      FROM o GROUP BY 1, 2),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS t,
+      |               CAST(sum(syy) AS DOUBLE) AS yy FROM j),
+      |f0 AS (SELECT CAST(t AS DOUBLE) / CAST(nn AS DOUBLE) AS f0 FROM tot),
+      |cand AS (SELECT 'month' AS f, CAST(x AS BIGINT) AS cut FROM range(1, 12) r1(x)
+      |         UNION ALL SELECT 'priority', CAST(x AS BIGINT) FROM range(1, 5) r2(x)),
+      |a1 AS (SELECT cand.f, cand.cut,
+      |              CAST(sum(CASE WHEN $inL THEN j.n ELSE 0 END) AS BIGINT) AS nl,
+      |              CAST(sum(CASE WHEN $inL THEN j.sy ELSE 0 END) AS BIGINT) AS syl
+      |       FROM j CROSS JOIN cand GROUP BY 1, 2),
+      |g1 AS (SELECT f, cut, nl, syl,
+      |              CASE WHEN nl = 0 OR tot.nn - nl = 0 THEN -1.0
+      |                   ELSE (syl - f0.f0 * nl) * (syl - f0.f0 * nl) / nl
+      |                      + ((tot.t - syl) - f0.f0 * (tot.nn - nl)) * ((tot.t - syl) - f0.f0 * (tot.nn - nl)) / (tot.nn - nl)
+      |              END AS gain
+      |       FROM a1, tot, f0),
+      |b1 AS (SELECT f, cut, nl, syl, tot.nn - nl AS nr, tot.t - syl AS syr,
+      |              (syl - f0.f0 * nl) / nl AS g1l,
+      |              ((tot.t - syl) - f0.f0 * (tot.nn - nl)) / (tot.nn - nl) AS g1r
+      |       FROM g1, tot, f0 ORDER BY gain DESC, f, cut LIMIT 1),
+      |m1 AS (SELECT f0.f0 + b1.g1l AS fl, f0.f0 + b1.g1r AS fr FROM b1, f0),
+      |s1 AS (SELECT tot.yy - (2.0 * m1.fl * b1.syl - m1.fl * m1.fl * b1.nl)
+      |              - (2.0 * m1.fr * b1.syr - m1.fr * m1.fr * b1.nr) AS sse
+      |       FROM tot, b1, m1),
+      |a2 AS (SELECT cand.f, cand.cut,
+      |              CAST(sum(CASE WHEN $inL AND $inL1 THEN j.n ELSE 0 END) AS BIGINT) AS nll,
+      |              CAST(sum(CASE WHEN $inL AND $inL1 THEN j.sy ELSE 0 END) AS BIGINT) AS syll,
+      |              CAST(sum(CASE WHEN $inL AND NOT ($inL1) THEN j.n ELSE 0 END) AS BIGINT) AS nlr,
+      |              CAST(sum(CASE WHEN $inL AND NOT ($inL1) THEN j.sy ELSE 0 END) AS BIGINT) AS sylr
+      |       FROM j CROSS JOIN cand CROSS JOIN b1 GROUP BY 1, 2),
+      |g2 AS (SELECT a2.f, a2.cut, nll, syll, nlr, sylr,
+      |              CASE WHEN nll + nlr = 0 OR tot.nn - (nll + nlr) = 0 THEN -1.0
+      |                   ELSE $srl2 * $srl2 / (nll + nlr)
+      |                      + $srr2 * $srr2 / (tot.nn - (nll + nlr))
+      |              END AS gain
+      |       FROM a2, tot, m1, b1),
+      |b2 AS (SELECT g2.f, g2.cut, nll, syll, nlr, sylr,
+      |              nll + nlr AS nl2, tot.nn - (nll + nlr) AS nr2,
+      |              $srl2 / (nll + nlr) AS g2l,
+      |              $srr2 / (tot.nn - (nll + nlr)) AS g2r
+      |       FROM g2, tot, m1, b1 ORDER BY gain DESC, g2.f, g2.cut LIMIT 1),
+      |s2 AS (SELECT tot.yy
+      |       - (2.0 * (m1.fl + b2.g2l) * b2.syll - (m1.fl + b2.g2l) * (m1.fl + b2.g2l) * b2.nll)
+      |       - (2.0 * (m1.fl + b2.g2r) * (b1.syl - b2.syll) - (m1.fl + b2.g2r) * (m1.fl + b2.g2r) * (b1.nl - b2.nll))
+      |       - (2.0 * (m1.fr + b2.g2l) * b2.sylr - (m1.fr + b2.g2l) * (m1.fr + b2.g2l) * b2.nlr)
+      |       - (2.0 * (m1.fr + b2.g2r) * (b1.syr - b2.sylr) - (m1.fr + b2.g2r) * (m1.fr + b2.g2r) * (b1.nr - b2.nlr)) AS sse
+      |       FROM tot, b1, b2, m1)
+      |SELECT CAST(0 AS BIGINT) AS round, 'const' AS feature, CAST(-1 AS BIGINT) AS cut,
+      |       tot.nn AS n_left, CAST(0 AS BIGINT) AS n_right, 0.0 AS gamma_l, 0.0 AS gamma_r,
+      |       sqrt((tot.yy - (2.0 * f0.f0 * tot.t - f0.f0 * f0.f0 * tot.nn)) / tot.nn) / 100.0 AS rmse
+      |FROM tot, f0
+      |UNION ALL SELECT CAST(1 AS BIGINT), b1.f, b1.cut, b1.nl, b1.nr, b1.g1l, b1.g1r,
+      |       sqrt(s1.sse / tot.nn) / 100.0 FROM b1, s1, tot
+      |UNION ALL SELECT CAST(2 AS BIGINT), b2.f, b2.cut, b2.nl2, b2.nr2, b2.g2l, b2.g2r,
+      |       sqrt(s2.sse / tot.nn) / 100.0 FROM b2, s2, tot
+      |ORDER BY round""".stripMargin
+  }
+
   /** Mirror of NaiveBayes.confusion (occurrence-level token split by
     * the shared md5 doc fold, dense add-one likelihoods, 6dp pins,
     * (score desc, class asc) argmax) — a standalone val so
@@ -3833,6 +3912,42 @@ ORDER BY v.vol DESC, community LIMIT 15"""
         |       round(wt.y - wt.trend - s.seasonal, 4) AS resid
         |FROM wt LEFT JOIN seas s USING (dow) ORDER BY wt.day_us""".stripMargin,
 
+    "ts_seasonal_strength" ->
+      // the ts_stl_decompose chain verbatim, components pinned to
+      // exact 10⁻⁴-unit BIGINTs, variances from exact moment sums
+      // (squares as HUGEINT), strengths as fixed-shape unrounded
+      // doubles — no float accumulation on either engine
+      s"""WITH $dailyCentsCte,
+        |off AS (SELECT unnest(range(-3, 4)) AS o),
+        |ma AS (SELECT d.day_us + o.o * 86400000000 AS day_us,
+        |              sum(d.cents) AS ma_cents, count(*) AS ma_n
+        |       FROM d0 d CROSS JOIN off o GROUP BY 1),
+        |wt AS (SELECT d.day_us, CAST(d.cents AS DOUBLE) / 100.0 AS y,
+        |              CASE WHEN m.ma_n = 7 THEN CAST(m.ma_cents AS DOUBLE) / 700.0 END AS trend,
+        |              (d.day_us // 86400000000 + 4) % 7 AS dow
+        |       FROM d0 d LEFT JOIN ma m USING (day_us)),
+        |sea AS (SELECT dow, round(avg(y - trend), 6) AS s_raw FROM wt WHERE trend IS NOT NULL GROUP BY dow),
+        |g AS (SELECT round(avg(s_raw), 6) AS g FROM sea),
+        |seas AS (SELECT dow, round(s_raw - g.g, 6) AS seasonal FROM sea, g),
+        |dec AS (SELECT round(wt.trend, 4) AS trend, round(s.seasonal, 4) AS seasonal,
+        |               round(wt.y - wt.trend - s.seasonal, 4) AS resid
+        |        FROM wt LEFT JOIN seas s USING (dow)),
+        |p AS (SELECT CAST(floor(resid * 10000.0 + 0.5) AS BIGINT) AS r,
+        |             CAST(floor(seasonal * 10000.0 + 0.5) AS BIGINT) AS sl,
+        |             CAST(floor(trend * 10000.0 + 0.5) AS BIGINT) AS tr
+        |      FROM dec WHERE resid IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(r) AS BIGINT) AS s_r, sum(CAST(r AS HUGEINT) * r) AS ss_r,
+        |             CAST(sum(sl + r) AS BIGINT) AS s_sr, sum(CAST(sl + r AS HUGEINT) * (sl + r)) AS ss_sr,
+        |             CAST(sum(tr + r) AS BIGINT) AS s_tr, sum(CAST(tr + r AS HUGEINT) * (tr + r)) AS ss_tr
+        |      FROM p)
+        |SELECT n,
+        |       greatest(0.0, 1.0 - ((CAST(ss_r AS DOUBLE) - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / n) / (n - 1.0))
+        |                         / ((CAST(ss_sr AS DOUBLE) - CAST(s_sr AS DOUBLE) * CAST(s_sr AS DOUBLE) / n) / (n - 1.0))) AS seasonal_strength,
+        |       greatest(0.0, 1.0 - ((CAST(ss_r AS DOUBLE) - CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / n) / (n - 1.0))
+        |                         / ((CAST(ss_tr AS DOUBLE) - CAST(s_tr AS DOUBLE) * CAST(s_tr AS DOUBLE) / n) / (n - 1.0))) AS trend_strength
+        |FROM a""".stripMargin,
+
     "ts_anomaly_stl_residual" ->
       // mirrors TimeSeries.stlResidualAnomalies: the ts_stl_decompose
       // CTE chain verbatim, then σ from exact BIGINT moment sums over
@@ -5587,6 +5702,48 @@ ORDER BY v.vol DESC, community LIMIT 15"""
         |FROM (SELECT DISTINCT query_id FROM q) q LEFT JOIN h USING (query_id)
         |ORDER BY q.query_id""".stripMargin,
 
+    "emb_recall_curve" ->
+      // the sim_ann_recall chain with the probe depth UNROLLED as data
+      // (pr = 1..4): per-(p, query) candidate cells are the rank ≤ p
+      // prefix of the same (cos DESC, cent_id) cell ranking, hits
+      // grouped at probe grain, recall an unrounded exact-integer
+      // quotient over nq·5
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |q AS (SELECT vec_id AS query_id, ve AS qe FROM v WHERE vec_id < 8),
+        |scx AS (SELECT query_id, c.vec_id,
+        |               list_dot_product(qe, c.ve) / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.ve, c.ve))) AS cos
+        |        FROM q CROSS JOIN v c WHERE c.vec_id <> query_id),
+        |ex AS (SELECT query_id, vec_id FROM
+        |         (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM scx)
+        |       WHERE rn <= 5),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
+        |s0 AS (SELECT vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM v CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |cc AS (SELECT a.vec_id, a.cluster, v.ve AS ce FROM a0 a JOIN v USING (vec_id)),
+        |pr AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS p),
+        |qr AS (SELECT vec_id AS query_id, cent_id AS cluster, rn FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0 WHERE vec_id < 8)
+        |       WHERE rn <= 4),
+        |qp AS (SELECT pr.p, qr.query_id, qr.cluster FROM qr CROSS JOIN pr WHERE qr.rn <= pr.p),
+        |qi AS (SELECT qp.p, qp.query_id, qp.cluster, v.ve AS qe FROM qp JOIN v ON v.vec_id = qp.query_id),
+        |sci AS (SELECT qi.p, qi.query_id, cc.vec_id,
+        |               list_dot_product(qi.qe, cc.ce) / (sqrt(list_dot_product(qi.qe, qi.qe)) * sqrt(list_dot_product(cc.ce, cc.ce))) AS cos
+        |        FROM cc JOIN qi ON cc.cluster = qi.cluster AND cc.vec_id <> qi.query_id),
+        |ap AS (SELECT p, query_id, vec_id FROM
+        |         (SELECT p, query_id, vec_id, row_number() OVER (PARTITION BY p, query_id ORDER BY cos DESC, vec_id) AS rn FROM sci)
+        |       WHERE rn <= 5),
+        |h AS (SELECT ap.p, CAST(count(*) AS BIGINT) AS n_hits
+        |      FROM ex e JOIN ap ON e.query_id = ap.query_id AND e.vec_id = ap.vec_id GROUP BY ap.p),
+        |nq AS (SELECT CAST(count(*) AS BIGINT) AS nq FROM q)
+        |SELECT pr.p AS nprobe, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / (nq.nq * 5.0) AS recall_at_5
+        |FROM pr LEFT JOIN h ON h.p = pr.p, nq
+        |ORDER BY nprobe""".stripMargin,
+
     "sim_pq_codes" ->
       s"""WITH $pqCtes
          |SELECT vec_id, c0, c1, c2, c3 FROM codes ORDER BY vec_id""".stripMargin,
@@ -6672,6 +6829,28 @@ ORDER BY v.vol DESC, community LIMIT 15"""
         |       round(least(1.0, exp(-mx)), 6) < 0.05 AS significant
         |FROM f ORDER BY day""".stripMargin,
 
+    "er_blocking_audit" ->
+      // sorted-neighborhood candidates as an rn-window self-join (≤ 5
+      // following rows per record — identical to the engine's lead
+      // structs), truth Σ c(c−1)/2 over the (brand, type, size) value
+      // groups with integer // division, both quality quotients
+      // unrounded exact-integer divisions
+      """WITH r AS (SELECT p_partkey, p_name, p_brand, p_type, p_size,
+        |                  row_number() OVER (PARTITION BY p_size ORDER BY p_name, p_partkey) AS rn
+        |           FROM part),
+        |cand AS (SELECT a.p_brand AS ba, a.p_type AS ta, b.p_brand AS bb, b.p_type AS tb
+        |         FROM r a JOIN r b ON b.p_size = a.p_size AND b.rn > a.rn AND b.rn <= a.rn + 5),
+        |ca AS (SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |              CAST(sum(CASE WHEN ba = bb AND ta = tb THEN 1 ELSE 0 END) AS BIGINT) AS n_found FROM cand),
+        |tm AS (SELECT CAST(sum((c * (c - 1)) // 2) AS BIGINT) AS n_true_matches
+        |       FROM (SELECT count(*) AS c FROM part GROUP BY p_brand, p_type, p_size)),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) AS n_records FROM part)
+        |SELECT nr.n_records, ca.n_candidates, tm.n_true_matches, ca.n_found,
+        |       1.0 - CAST(ca.n_candidates AS DOUBLE) / ((nr.n_records * (nr.n_records - 1)) // 2) AS reduction_ratio,
+        |       CASE WHEN tm.n_true_matches = 0 THEN NULL
+        |            ELSE CAST(ca.n_found AS DOUBLE) / tm.n_true_matches END AS pairs_completeness
+        |FROM nr, ca, tm""".stripMargin,
+
     "er_fellegi_sunter" ->
       // mirrors the FS scoring: exact Σc(c−1)/(N(N−1)) u-probabilities,
       // the same sorted-neighborhood candidates (row_number form, as in
@@ -7049,6 +7228,8 @@ ORDER BY v.vol DESC, community LIMIT 15"""
         |ORDER BY length, support DESC, pattern""".stripMargin,
 
     "ml_adaboost" -> adaboostSql(3),
+
+    "ml_gbdt_round" -> gbdtSql,
 
     "ml_als_halfstep" ->
       // mirrors Als.userHalfStep: md5-seeded integer item factors, exact

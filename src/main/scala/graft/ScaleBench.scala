@@ -412,7 +412,15 @@ object ScaleBench {
     // louvain_full memo under the per-rep reset, so its receipt
     // carries the full-run cost + two E-sized label joins)
     "text_ccnet_buckets", "quality_toxicity_lexicon", "search_shard_plan",
-    "graph_conductance")
+    "graph_conductance",
+    // r15 fourth wave: GBDT (one scan to the 60-cell sufficient-stats
+    // table, then driver arithmetic — the adaboost bar), the blocking
+    // audit (one part-side window + two hash aggs), seasonal strength
+    // (calendar-bounded daily rollup), and the recall curve (anchor-
+    // bounded: 4 probe settings × 8 queries through the seed-cell
+    // index — the corpus-side assignment is the only N-sized stage)
+    "ml_gbdt_round", "er_blocking_audit", "ts_seasonal_strength",
+    "emb_recall_curve")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

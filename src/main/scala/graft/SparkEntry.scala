@@ -3471,6 +3471,33 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    "emb_recall_curve" -> ((s, dir) => {
+      // the full recall-vs-nprobe TUNING CURVE the single-point
+      // sim_ann_recall telemetry samples: macro recall@5 of the IVF
+      // read path at nprobe ∈ {1,2,3,4} against the exact brute-force
+      // top-5 — the table an operator reads to PICK nprobe before a
+      // scale-out (each +1 probe buys recall at ~1/C more corpus
+      // scanned; the knee is the operating point). Ground truth is
+      // computed once and persisted across the four probe settings;
+      // the per-setting hit counts are bounded driver scalars (S4 —
+      // 4 counts over anchor-bounded ≤ nq·5-row sets). recall =
+      // hits/(nq·5) is an exact-integer quotient, emitted unrounded.
+      import s.implicits._
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+      val exact = Caches.persist(Similarity.bruteForceTopK(e, q, k = 5)
+        .select("query_id", "vec_id"))
+      val nq = q.count()
+      Seq(1, 2, 3, 4).map { p =>
+        val approx = Similarity
+          .ivfTopK(e, q, k = 5, nCentroids = 8, nprobe = p)
+          .select("query_id", "vec_id")
+        val hits = exact
+          .join(approx, Seq("query_id", "vec_id"), "left_semi").count()
+        (p.toLong, hits, hits.toDouble / (nq * 5.0))
+      }.toDF("nprobe", "n_hits", "recall_at_5").orderBy("nprobe")
+    }),
+
     "sim_pq_codes" -> ((s, dir) =>
       // product-quantization storage half (Jégou et al. TPAMI'11): a
       // 64-float vector compresses to 4 codes; deterministic seed
@@ -4938,6 +4965,46 @@ object SparkEntry {
       // before re-centering. Integer cents in, so the MA operands are
       // exact on both engines.
       graft.ext.TimeSeries.decomposeDow(dailyOrderCents(s, dir))
+    }),
+
+    "ts_seasonal_strength" -> ((s, dir) => {
+      // STL feature extraction (Wang, Smith & Hyndman, J. Comp. Graph.
+      // Stat. 2006; the `feat_stl` strengths in Hyndman's feasts):
+      // seasonal strength F_s = max(0, 1 − Var(R)/Var(S+R)) and trend
+      // strength F_t = max(0, 1 − Var(R)/Var(T+R)) — ONE number each
+      // that says whether the weekly rhythm / trend actually carries
+      // signal, the triage a forecasting pipeline runs before fitting
+      // anything. Rides the ts_stl_decompose chain; each 4dp component
+      // is pinned to an exact 10⁻⁴-unit BIGINT (the decon_report
+      // floor(x·10⁴+0.5) discipline) so all variances come from exact
+      // integer moment sums (squares as DECIMAL — (Σx)² passes 2⁶³) in
+      // ONE aggregate row; the strengths are fixed-shape doubles,
+      // emitted unrounded. No accumulation-order float sums anywhere.
+      val dec = graft.ext.TimeSeries.decomposeDow(dailyOrderCents(s, dir))
+        .filter(col("resid").isNotNull)
+      val p = dec.select(
+          floor(col("resid") * 10000.0 + 0.5).cast("long").as("r"),
+          floor(col("seasonal") * 10000.0 + 0.5).cast("long").as("sl"),
+          floor(col("trend") * 10000.0 + 0.5).cast("long").as("tr"))
+        .select(col("r"), (col("sl") + col("r")).as("sr"),
+          (col("tr") + col("r")).as("tr2"))
+      def sq(c: Column): Column =
+        sum(c.cast("decimal(19,0)") * c.cast("decimal(19,0)"))
+      val a = p.agg(count(lit(1)).as("n"),
+        sum("r").as("s_r"), sq(col("r")).as("ss_r"),
+        sum("sr").as("s_sr"), sq(col("sr")).as("ss_sr"),
+        sum("tr2").as("s_tr"), sq(col("tr2")).as("ss_tr"))
+      def variance(ssx: String, sx: String): Column =
+        (col(ssx).cast("double") -
+          col(sx).cast("double") * col(sx).cast("double") / col("n")) /
+          (col("n") - lit(1.0))
+      a.select(col("n"),
+        greatest(lit(0.0), lit(1.0) -
+          variance("ss_r", "s_r") / variance("ss_sr", "s_sr"))
+          .as("seasonal_strength"),
+        greatest(lit(0.0), lit(1.0) -
+          variance("ss_r", "s_r") / variance("ss_tr", "s_tr"))
+          .as("trend_strength"))
     }),
 
     "ts_cusum_changepoint" -> ((s, dir) => {
@@ -8706,6 +8773,51 @@ object SparkEntry {
         .orderBy("day")
     }),
 
+    "er_blocking_audit" -> ((s, dir) => {
+      // blocking-quality audit (Christen, "Data Matching" 2012 §7.5 —
+      // reduction ratio and pairs completeness): BEFORE trusting
+      // er_fellegi_sunter's sorted-neighborhood candidates, measure
+      // what the blocking scheme buys and loses. Truth = pairs
+      // agreeing on (brand, type, size) — exact, Σ c(c−1)/2 over the
+      // value-group table, never enumerated; found = candidate pairs
+      // agreeing on the same fields (size agrees by construction —
+      // blocks partition on it). reduction_ratio = 1 − |cand|/(N(N−1)/2),
+      // pairs_completeness = found/truth — both quotients of exact
+      // BIGINTs, emitted unrounded. Pair counts use integer `div`
+      // (never a double intermediate — c(c−1) passes 2⁵³ at 100 TB).
+      // Scale: the candidate set is 5N by construction; the truth
+      // count is one hash agg; nothing enumerates N².
+      val p = tbl(s, dir, "part")
+      val w = Window.partitionBy("p_size").orderBy("p_name", "p_partkey")
+      val cand = p
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .withColumn("nbrs", array((1 to 5).map(i => struct(
+          lead(col("p_partkey"), i).over(w).as("kb"),
+          lead(col("p_brand"), i).over(w).as("bb"),
+          lead(col("p_type"), i).over(w).as("tb"))): _*))
+        .select(col("p_brand").as("ba"), col("p_type").as("ta"),
+          explode(col("nbrs")).as("x"))
+        .filter(col("x.kb").isNotNull)
+      val ca = broadcast(cand.agg(
+        count(lit(1)).as("n_candidates"),
+        sum(when(col("ba") === col("x.bb") && col("ta") === col("x.tb"), 1L)
+          .otherwise(0L)).as("n_found")))
+      val tm = broadcast(p
+        .groupBy("p_brand", "p_type", "p_size").agg(count(lit(1)).as("c"))
+        .agg(sum(expr("(c * (c - 1)) div 2")).as("n_true_matches")))
+      val nr = broadcast(p.agg(count(lit(1)).as("n_records")))
+      nr.crossJoin(ca).crossJoin(tm)
+        .withColumn("total_pairs",
+          expr("(n_records * (n_records - 1)) div 2"))
+        .withColumn("reduction_ratio",
+          lit(1.0) - col("n_candidates").cast("double") / col("total_pairs"))
+        .withColumn("pairs_completeness",
+          when(col("n_true_matches") === 0L, lit(null).cast("double"))
+            .otherwise(col("n_found").cast("double") / col("n_true_matches")))
+        .select("n_records", "n_candidates", "n_true_matches", "n_found",
+          "reduction_ratio", "pairs_completeness")
+    }),
+
     "er_fellegi_sunter" -> ((s, dir) => {
       // probabilistic record linkage (Fellegi & Sunter, JASA 64, 1969
       // — the model under Splink): each candidate pair is scored by
@@ -9082,6 +9194,32 @@ object SparkEntry {
           month(col("o_orderdate")).cast("long").as("mb"), y.as("y"))
         .groupBy("pb", "mb", "y").agg(count(lit(1)).as("n"))
       graft.ext.Boosting.adaboostStumps(s, cells, rounds = 3)
+    }),
+
+    "ml_gbdt_round" -> ((s, dir) => {
+      // L2 gradient-boosted stumps (Friedman 2001 LS_Boost) — the
+      // REGRESSION-boosting face beside ml_adaboost: does season or
+      // urgency predict order value, and by how much does each round
+      // cut train RMSE? Same 100 TB shape as adaboost: ONE corpus scan
+      // collapses the data to the (month × priority) sufficient-
+      // statistics table — exact BIGINT n/Σcents per cell, Σcents² as
+      // DECIMAL(38,0) (cents²·N passes 2⁶³ at scale) — and both
+      // boosting rounds are driver-side fixed-shape arithmetic
+      // ([[graft.ext.Boosting.gbdtStumps]]: no transcendentals, no
+      // float accumulation, every output bit mirrored by the oracle's
+      // unrolled CTEs). γ and RMSE are emitted UNROUNDED — they're
+      // deterministic doubles, and γ can land on exact-quotient ties
+      // where round() itself diverges across engines (the r15 rule).
+      val o = tbl(s, dir, "orders")
+      val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+      val cells = o.select(month(col("o_orderdate")).cast("long").as("mb"),
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("pr"),
+          cents.as("c"))
+        .groupBy("mb", "pr")
+        .agg(count(lit(1)).as("n"), sum("c").as("sy"),
+          sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+            .as("syy"))
+      graft.ext.Boosting.gbdtStumps(s, cells)
     }),
 
     "ml_als_halfstep" -> ((s, dir) => {

@@ -115,4 +115,127 @@ object Boosting {
         x.polarity, x.weightedErr, x.alpha, x.ensembleErr)).toArray: _*),
       schema)
   }
+
+  /** One cell of the GBDT sufficient-statistics table: month bin,
+    * priority ordinal, exact example count, exact target sum (integer
+    * cents) and exact target square-sum (cents², DECIMAL — cents² × N
+    * overflows BIGINT at sf ≥ 0.1).
+    */
+  final case class GbdtCell(mb: Long, pr: Long, n: Long, sy: Long,
+      syy: java.math.BigDecimal)
+
+  /** Two rounds of L2 gradient boosting over depth-1 trees (Friedman,
+    * Annals of Statistics 29(5) 2001 §4, LS_Boost with ν = 1) — the
+    * regression-boosting face beside [[adaboostStumps]]'s
+    * classification face, and the same central scale idea: a stump
+    * sequence on binned features is a function of the bin coordinates
+    * alone, so the WHOLE training run needs only the (month, priority)
+    * joint table with exact per-cell (n, Σy, Σy²) — one corpus scan,
+    * then pure driver arithmetic (S4).
+    *
+    * Determinism (why nothing is rounded): squared-loss boosting needs
+    * NO transcendentals — every quantity below is reached from exact
+    * BIGINT sums by a FIXED-SHAPE chain of IEEE +,−,×,÷ (and one final
+    * sqrt, which IEEE-754 rounds correctly), so a SQL mirror spelling
+    * the same expressions reproduces every bit. The one trap is float
+    * ACCUMULATION order — avoided by never summing doubles over cells:
+    * residual sums decompose as Σ_leaf (SY_leaf − F_leaf·N_leaf) over
+    * the ≤ 2^round leaves in fixed leaf order, with SY/N exact
+    * BIGINTs. Split argmax is (gain DESC, feature ASC, cut ASC) —
+    * candidates with an empty side score −1 (real gains are ≥ 0).
+    *
+    * Output: one row per round (0 = the constant-mean model), with the
+    * chosen split, leaf increments γ, and train RMSE in dollars —
+    * rmse_r = √(SSE_r/N)/100 via SSE = ΣY² − Σ_leaf (2·F·SY − F²·N).
+    */
+  def gbdtStumps(spark: SparkSession, cells: DataFrame,
+      maxCells: Int = 4096): DataFrame = {
+    val collected = cells.select("mb", "pr", "n", "sy", "syy").collect()
+    require(collected.nonEmpty, "gbdt needs a non-empty cell table")
+    require(collected.length <= maxCells,
+      s"joint table has ${collected.length} cells > $maxCells — " +
+        "bin the features before boosting (the table must be domain-bounded)")
+    val cs = collected.map(r => GbdtCell(r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDecimal(4)))
+    val nn = cs.map(_.n).sum
+    val t = cs.map(_.sy).sum
+    val yyD = cs.foldLeft(java.math.BigDecimal.ZERO)((a, c) => a.add(c.syy))
+      .doubleValue
+    val f0 = t.toDouble / nn.toDouble
+    // candidate order = the oracle's ORDER BY tiebreak ('month' < 'priority')
+    val candidates: Seq[(String, Long)] =
+      (1L to 11L).map(("month", _)) ++ (1L to 4L).map(("priority", _))
+    def bin(f: String, c: GbdtCell): Long = if (f == "month") c.mb else c.pr
+    // first strictly-greater gain wins ⟺ ORDER BY gain DESC, f, cut LIMIT 1
+    def argmax[A](xs: Seq[(A, Double)]): A =
+      xs.reduceLeft((a, b) => if (b._2 > a._2) b else a)._1
+    def leafTerm(f: Double, sy: Long, n: Long): Double =
+      2.0 * f * sy - f * f * n
+    // ---- round 1 over the root leaf ----
+    val b1 = argmax(candidates.map { case (f, cut) =>
+      var nl = 0L; var syl = 0L
+      cs.foreach { c => if (bin(f, c) <= cut) { nl += c.n; syl += c.sy } }
+      val gain =
+        if (nl == 0L || nn - nl == 0L) -1.0
+        else {
+          val srl = syl - f0 * nl
+          val srr = (t - syl) - f0 * (nn - nl)
+          srl * srl / nl + srr * srr / (nn - nl)
+        }
+      ((f, cut, nl, syl), gain)
+    })
+    val (f1, c1, n1l, sy1l) = b1
+    val n1r = nn - n1l; val sy1r = t - sy1l
+    val g1l = (sy1l - f0 * n1l) / n1l
+    val g1r = (sy1r - f0 * n1r) / n1r
+    val fL = f0 + g1l; val fR = f0 + g1r
+    val sse1 = yyD - leafTerm(fL, sy1l, n1l) - leafTerm(fR, sy1r, n1r)
+    // ---- round 2 over the two round-1 leaves ----
+    val b2 = argmax(candidates.map { case (f, cut) =>
+      var nll = 0L; var syll = 0L; var nlr = 0L; var sylr = 0L
+      cs.foreach { c =>
+        if (bin(f, c) <= cut) {
+          if (bin(f1, c) <= c1) { nll += c.n; syll += c.sy }
+          else { nlr += c.n; sylr += c.sy }
+        }
+      }
+      val nl = nll + nlr
+      val gain =
+        if (nl == 0L || nn - nl == 0L) -1.0
+        else {
+          val srl = (syll - fL * nll) + (sylr - fR * nlr)
+          val srr = ((sy1l - syll) - fL * (n1l - nll)) +
+            ((sy1r - sylr) - fR * (n1r - nlr))
+          srl * srl / nl + srr * srr / (nn - nl)
+        }
+      ((f, cut, nll, syll, nlr, sylr), gain)
+    })
+    val (f2, c2, nll, syll, nlr, sylr) = b2
+    val nl2 = nll + nlr; val nr2 = nn - nl2
+    val srl2 = (syll - fL * nll) + (sylr - fR * nlr)
+    val srr2 = ((sy1l - syll) - fL * (n1l - nll)) +
+      ((sy1r - sylr) - fR * (n1r - nlr))
+    val g2l = srl2 / nl2; val g2r = srr2 / nr2
+    // four leaves (side-of-cut1 × side-of-cut2) in fixed LL, LR, RL, RR order
+    val sse2 = yyD -
+      leafTerm(fL + g2l, syll, nll) -
+      leafTerm(fL + g2r, sy1l - syll, n1l - nll) -
+      leafTerm(fR + g2l, sylr, nlr) -
+      leafTerm(fR + g2r, sy1r - sylr, n1r - nlr)
+    val sse0 = yyD - leafTerm(f0, t, nn)
+    def rmse(sse: Double): Double = math.sqrt(sse / nn) / 100.0
+    val schema = StructType(Seq(
+      StructField("round", LongType, nullable = false),
+      StructField("feature", StringType, nullable = false),
+      StructField("cut", LongType, nullable = false),
+      StructField("n_left", LongType, nullable = false),
+      StructField("n_right", LongType, nullable = false),
+      StructField("gamma_l", DoubleType, nullable = false),
+      StructField("gamma_r", DoubleType, nullable = false),
+      StructField("rmse", DoubleType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row(0L, "const", -1L, nn, 0L, 0.0, 0.0, rmse(sse0)),
+      Row(1L, f1, c1, n1l, n1r, g1l, g1r, rmse(sse1)),
+      Row(2L, f2, c2, nl2, nr2, g2l, g2r, rmse(sse2))), schema)
+  }
 }

@@ -38,4 +38,33 @@ class BoostingSpec extends SparkSpec {
       Boosting.adaboostStumps(spark, cells, rounds = 1, maxCells = 0)
     }
   }
+
+  test("gbdt stumps: two-cell fixture recovers the exact split and RMSE curve") {
+    // cell A: month 1, two rows of $1.00; cell B: month 12, two rows
+    // of $3.00. f0 = 200¢, rmse0 = √(40000/4)/100 = $1. Round 1: every
+    // month cut separates A|B identically (gain 40000) and priority
+    // never splits (gain −1) → tiebreak picks (month, 1); γ = ∓100¢
+    // gives a PERFECT fit, so rmse1 = 0 and round 2 fits zeros.
+    val cells = Seq(
+      (1L, 1L, 2L, 200L, BigDecimal(20000)),
+      (12L, 1L, 2L, 600L, BigDecimal(180000))).toDF("mb", "pr", "n", "sy", "syy")
+    val got = Boosting.gbdtStumps(spark, cells).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(got.toSeq == Seq(
+      (0L, "const", -1L, 4L, 0L, 0.0, 0.0, 1.0),
+      (1L, "month", 1L, 2L, 2L, -100.0, 100.0, 0.0),
+      (2L, "month", 1L, 2L, 2L, 0.0, 0.0, 0.0)))
+  }
+
+  test("gbdt rejects empty and unbounded cell tables") {
+    val empty = Seq.empty[(Long, Long, Long, Long, BigDecimal)]
+      .toDF("mb", "pr", "n", "sy", "syy")
+    intercept[IllegalArgumentException] { Boosting.gbdtStumps(spark, empty) }
+    val one = Seq((1L, 1L, 1L, 100L, BigDecimal(10000)))
+      .toDF("mb", "pr", "n", "sy", "syy")
+    intercept[IllegalArgumentException] {
+      Boosting.gbdtStumps(spark, one, maxCells = 0)
+    }
+  }
 }
