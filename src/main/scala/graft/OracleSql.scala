@@ -4648,6 +4648,23 @@ ORDER BY v.vol DESC, community LIMIT 15"""
         |       round(avg(CAST(n_toks AS DOUBLE)), 6) AS mean_doc_tokens
         |FROM t""".stripMargin,
 
+    "events_bot_gate" ->
+      // exact burst (per-minute max) and sustained (per-active-day)
+      // rates; the flag and the emitted rate use the UNROUNDED
+      // exact-integer quotient on both engines
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+        |b AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_per_min FROM
+        |        (SELECT user_id, us // 60000000 AS mn, count(*) AS c FROM e GROUP BY 1, 2)
+        |      GROUP BY user_id),
+        |p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |             CAST(count(DISTINCT us // 86400000000) AS BIGINT) AS active_days
+        |      FROM e GROUP BY user_id)
+        |SELECT p.user_id, p.n_events, p.active_days, b.max_per_min,
+        |       CAST(p.n_events AS DOUBLE) / p.active_days AS events_per_day
+        |FROM p JOIN b USING (user_id)
+        |WHERE b.max_per_min >= 2 OR CAST(p.n_events AS DOUBLE) / p.active_days > 3.0
+        |ORDER BY p.user_id""".stripMargin,
+
     "events_dau_wau" ->
       """WITH du AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
         |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),

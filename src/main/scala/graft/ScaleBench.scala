@@ -420,7 +420,10 @@ object ScaleBench {
     // bounded: 4 probe settings × 8 queries through the seed-cell
     // index — the corpus-side assignment is the only N-sized stage)
     "ml_gbdt_round", "er_blocking_audit", "ts_seasonal_strength",
-    "emb_recall_curve")
+    "emb_recall_curve",
+    // the bot gate: two hash aggs at (user, minute)/user grain + one
+    // per-user join — output ∝ bot prevalence, not N
+    "events_bot_gate")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -6998,6 +6998,38 @@ object SparkEntry {
           round(avg("n_toks"), 6).as("mean_doc_tokens"))
     }),
 
+    "events_bot_gate" -> ((s, dir) => {
+      // bot/automation screening before training on behavioral data —
+      // the events-side analogue of quality_toxicity_lexicon's
+      // blocklist gate: every pipeline drops superhuman actors before
+      // computing engagement stats or training recommenders (the IVT
+      // rate heuristics of ad-fraud filtering; cf. Daswani et al.,
+      // "Online Advertising Fraud", 2008). Per user: exact BURST rate
+      // (max events in any one epoch minute) and exact SUSTAINED rate
+      // (events per active day); flagged at burst ≥ 2 or rate > 3/day
+      // (the fixture's 99th percentiles). Plan: two hash aggs at
+      // (user, minute) / user grain + one per-user join — no windows,
+      // per-user state only, linear at any event volume; output is
+      // ∝ bot prevalence, not N. The rate is an exact-integer
+      // quotient, emitted unrounded (the r15 tie rule — a uniform
+      // actor's n/days lands exactly on the threshold grid).
+      val e = events(s, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      val burst = e
+        .groupBy(col("user_id"), expr("us div 60000000").as("mn"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id").agg(max("c").as("max_per_min"))
+      val per = e.groupBy("user_id").agg(count(lit(1)).as("n_events"),
+        countDistinct(expr("us div 86400000000")).as("active_days"))
+      per.join(burst, Seq("user_id"))
+        .withColumn("events_per_day",
+          col("n_events").cast("double") / col("active_days"))
+        .filter(col("max_per_min") >= 2L || col("events_per_day") > 3.0)
+        .select("user_id", "n_events", "active_days", "max_per_min",
+          "events_per_day")
+        .orderBy("user_id")
+    }),
+
     "events_dau_wau" -> ((s, dir) => {
       // DAU / trailing-7-day WAU / stickiness — the product-analytics
       // distinct-user window. Distinct counts don't compose across
