@@ -449,7 +449,14 @@ $body
     * HAVING on), then cut/vol per community over e0 — every count a
     * BIGINT, the conductance an UNROUNDED exact-integer quotient.
     */
-  private def louvainConductanceSql(levels: Int): String = {
+  /** The full-Louvain chain + composed partitions + the argmax-Q level
+    * selected into one `best (node, community)` relation (the same
+    * exact-integer sc gating as [[louvainFullSizesSql]], WHERE-scalar
+    * form since there's no grouping to hang a HAVING on) — the shared
+    * scaffolding of every oracle that consumes the CONVERGED partition
+    * (conductance, connectivity audit).
+    */
+  private def louvainBestCtes(levels: Int): String = {
     val comps = (1 to levels).map { i =>
       s"""comp$i AS MATERIALIZED (SELECT c.node, l.label AS community
          |        FROM comp${i - 1} c JOIN lab$i l ON l.node = c.community)""".stripMargin
@@ -463,12 +470,16 @@ $body
       s"""SELECT node, community FROM comp$i
 WHERE ${if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")}"""
     }.mkString("\nUNION ALL\n")
-    s"""WITH ${louvainFullChainCtes(levels)},
+    s"""${louvainFullChainCtes(levels)},
 comp0 AS MATERIALIZED (SELECT node, node AS community FROM (SELECT DISTINCT src AS node FROM e0 UNION SELECT DISTINCT dst AS node FROM e0)),
 $comps,
 best AS MATERIALIZED (
 $branches
-),
+)"""
+  }
+
+  private def louvainConductanceSql(levels: Int): String = {
+    s"""WITH ${louvainBestCtes(levels)},
 ej AS MATERIALIZED (SELECT e0.w, ca.community AS cs, cb.community AS cd
       FROM e0 JOIN best ca ON ca.node = e0.src JOIN best cb ON cb.node = e0.dst),
 vol AS (SELECT community, CAST(sum(w) AS BIGINT) AS vol FROM (
@@ -486,6 +497,77 @@ SELECT v.community, nn.n_nodes, v.vol, COALESCE(c.cut, 0) AS cut,
 FROM vol v JOIN nn USING (community) LEFT JOIN cut c USING (community)
 ORDER BY v.vol DESC, community LIMIT 15"""
   }
+
+  /** Mirror of `graph_louvain_connectivity_audit`: intra-community
+    * edges of the argmax-Q partition, exact connected components via
+    * the dedup_components recursive-reach pattern (self-rows seed the
+    * closure, so edgeless nodes are their own component), then the
+    * per-community component census. Component ids need not match the
+    * engine's min-label ids — only the (community, component) GROUPING
+    * matters, and both are consistent partitions of the same node set.
+    */
+  private def louvainConnectivitySql(levels: Int): String =
+    s"""WITH RECURSIVE ${louvainBestCtes(levels)},
+ei AS MATERIALIZED (SELECT e0.src, e0.dst FROM e0
+      JOIN best a ON a.node = e0.src JOIN best b ON b.node = e0.dst
+      WHERE a.community = b.community),
+es AS MATERIALIZED (SELECT src, dst FROM ei UNION SELECT dst, src FROM ei),
+reach(node, r) AS (
+  SELECT node, node FROM best
+  UNION
+  SELECT reach.node, es.dst FROM reach JOIN es ON es.src = reach.r),
+cmp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+sz AS (SELECT best.community, cmp.component, CAST(count(*) AS BIGINT) AS csz
+       FROM best JOIN cmp USING (node) GROUP BY 1, 2)
+SELECT community, CAST(sum(csz) AS BIGINT) AS n_nodes,
+       CAST(count(*) AS BIGINT) AS n_components,
+       CAST(max(csz) AS BIGINT) AS largest_component,
+       count(*) = 1 AS connected
+FROM sz GROUP BY community
+ORDER BY n_nodes DESC, community LIMIT 15"""
+
+  /** Mirror of `graph_louvain_refine`: the connectivity chain's
+    * component labels AS the refined partition, then the exact-integer
+    * modularity telemetry (intra BIGINT, ΣS² HUGEINT, q = round(...,6)
+    * + 0.0 — the louvainFullSql convention) under both labelings.
+    */
+  private def louvainRefineSql(levels: Int): String =
+    s"""WITH RECURSIVE ${louvainBestCtes(levels)},
+ei AS MATERIALIZED (SELECT e0.src, e0.dst FROM e0
+      JOIN best a ON a.node = e0.src JOIN best b ON b.node = e0.dst
+      WHERE a.community = b.community),
+es AS MATERIALIZED (SELECT src, dst FROM ei UNION SELECT dst, src FROM ei),
+reach(node, r) AS (
+  SELECT node, node FROM best
+  UNION
+  SELECT reach.node, es.dst FROM reach JOIN es ON es.src = reach.r),
+cmp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+ref AS MATERIALIZED (SELECT best.node, cmp.component AS community FROM best JOIN cmp USING (node)),
+spl AS (SELECT CAST(count(*) AS BIGINT) AS n_split FROM (
+        SELECT b.community FROM best b JOIN ref r USING (node)
+        GROUP BY b.community HAVING count(DISTINCT r.community) > 1)),
+eb AS MATERIALIZED (SELECT e0.w, a.community AS cs, b.community AS cd
+      FROM e0 JOIN best a ON a.node = e0.src JOIN best b ON b.node = e0.dst),
+er AS MATERIALIZED (SELECT e0.w, a.community AS cs, b.community AS cd
+      FROM e0 JOIN ref a ON a.node = e0.src JOIN ref b ON b.node = e0.dst),
+qb AS (SELECT
+    (SELECT CAST(count(DISTINCT community) AS BIGINT) FROM best) AS nc,
+    COALESCE((SELECT CAST(sum(w) AS BIGINT) FROM eb WHERE cs = cd), 0) AS intra,
+    (SELECT sum(CAST(st AS HUGEINT) * st) FROM
+      (SELECT community, CAST(sum(w) AS BIGINT) AS st FROM
+        (SELECT cs AS community, w FROM eb UNION ALL SELECT cd AS community, w FROM eb)
+       GROUP BY community)) AS ssq),
+qr AS (SELECT
+    (SELECT CAST(count(DISTINCT community) AS BIGINT) FROM ref) AS nc,
+    COALESCE((SELECT CAST(sum(w) AS BIGINT) FROM er WHERE cs = cd), 0) AS intra,
+    (SELECT sum(CAST(st AS HUGEINT) * st) FROM
+      (SELECT community, CAST(sum(w) AS BIGINT) AS st FROM
+        (SELECT cs AS community, w FROM er UNION ALL SELECT cd AS community, w FROM er)
+       GROUP BY community)) AS ssq)
+SELECT qb.nc AS n_communities_before, qr.nc AS n_communities_after, spl.n_split,
+       round(CAST(qb.intra AS DOUBLE) / wt.wtot - CAST(qb.ssq AS DOUBLE) / (4.0 * wt.wtot * wt.wtot), 6) + 0.0 AS q_before,
+       round(CAST(qr.intra AS DOUBLE) / wt.wtot - CAST(qr.ssq AS DOUBLE) / (4.0 * wt.wtot * wt.wtot), 6) + 0.0 AS q_after
+FROM qb, qr, spl, wt"""
 
   /** Corpus bigram-LM CTE chain (mirrors [[graft.SparkEntry]]'s
     * `lmScores`): raw tokens → bigrams → add-one-smoothed log10 probs in
@@ -7044,6 +7126,10 @@ ORDER BY v.vol DESC, community LIMIT 15"""
     "graph_louvain_full_sizes" -> louvainFullSizesSql(10),
 
     "graph_conductance" -> louvainConductanceSql(10),
+
+    "graph_louvain_connectivity_audit" -> louvainConnectivitySql(10),
+
+    "graph_louvain_refine" -> louvainRefineSql(10),
 
     "events_ab_srm" ->
       s"""WITH d AS (SELECT event_type, ${md5Hash60Sql("concat_ws('|', 'exp1', user_id)")} % 2 AS arm FROM events),

@@ -423,7 +423,11 @@ object ScaleBench {
     "emb_recall_curve",
     // the bot gate: two hash aggs at (user, minute)/user grain + one
     // per-user join — output ∝ bot prevalence, not N
-    "events_bot_gate")
+    "events_bot_gate",
+    // Leiden-critique audit + its fix: both ride the louvain memo
+    // (per-rep reset ⇒ carry the full run) + community-bounded CC
+    // supersteps; the refine adds two E-sized label joins per labeling
+    "graph_louvain_connectivity_audit", "graph_louvain_refine")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

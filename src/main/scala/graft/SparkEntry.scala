@@ -6820,6 +6820,96 @@ object SparkEntry {
         .limit(15)
     }),
 
+    "graph_louvain_connectivity_audit" -> ((s, dir) => {
+      // the Leiden paper's critique, as an audit (Traag, Waltman &
+      // van Eck, Sci. Rep. 2019 §2: Louvain can emit communities whose
+      // induced subgraph is DISCONNECTED — up to 25% badly connected
+      // in their runs): for the converged partition, run exact
+      // connected components over the intra-community edge set (inter-
+      // community edges removed, so components can never cross
+      // communities) and census components per community; n_components
+      // > 1 is the Leiden defect. Rides louvainFullRunMemo + the
+      // min-label CC kernel; CC rounds ∝ component diameter (small —
+      // components are community-bounded). Edgeless nodes are their
+      // own component (left join + coalesce to self). Top-15 by size —
+      // the graph_conductance frame, completing the partition-quality
+      // pair: φ grades the boundary, this grades the interior.
+      val part = louvainFullRun(s, dir)._2
+      val intra = copurchaseEdgesMemo(s, dir)
+        .join(part.select(col("node").as("src"), col("community").as("cs")),
+          Seq("src"))
+        .join(part.select(col("node").as("dst"), col("community").as("cd")),
+          Seq("dst"))
+        .filter(col("cs") === col("cd"))
+      val cc = Graph.connectedComponents(intra.select("src", "dst"))
+      val comp = part.join(cc, Seq("node"), "left")
+        .select(col("community"),
+          coalesce(col("component"), col("node")).as("component"))
+      comp.groupBy("community", "component").agg(count(lit(1)).as("csz"))
+        .groupBy("community")
+        .agg(sum("csz").as("n_nodes"), count(lit(1)).as("n_components"),
+          max("csz").as("largest_component"))
+        .withColumn("connected", col("n_components") === 1L)
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(15)
+    }),
+
+    "graph_louvain_refine" -> ((s, dir) => {
+      // the FIX beside the connectivity audit (the repo convention;
+      // Traag et al. 2019 §2's own remedy): split every badly-
+      // connected community into its connected components — each
+      // component becomes its own community — and report exact-integer
+      // modularity before/after. Splitting a disconnected community
+      // NEVER lowers Q (intra weight is unchanged — the components
+      // share no edges — while ΣS² strictly drops, since (Σsᵢ)² >
+      // Σsᵢ²), so q_after ≥ q_before by algebra and the output shows
+      // by how much. Same memo + CC machinery as the audit; the five
+      // outputs are S4 driver scalars (nc/intra exact BIGINTs, ΣS² as
+      // DECIMAL, Q via the louvainFullRun q6 convention: 6dp HALF_UP
+      // + 0.0 signed-zero normalization).
+      import s.implicits._
+      val part = louvainFullRun(s, dir)._2
+      val e = copurchaseEdgesMemo(s, dir)
+      def labeled(labels: DataFrame): DataFrame = e
+        .join(labels.select(col("node").as("src"), col("community").as("cs")),
+          Seq("src"))
+        .join(labels.select(col("node").as("dst"), col("community").as("cd")),
+          Seq("dst"))
+      val wtot = e.agg(sum("w")).head().getLong(0)
+      // (n_communities, intra weight, Σ S_c² exact) under a labeling
+      def tele(labels: DataFrame): (Long, Long, java.math.BigDecimal) = {
+        val el = Caches.persist(labeled(labels).select("w", "cs", "cd"))
+        val nc = labels.select("community").distinct().count()
+        val intra = el.filter(col("cs") === col("cd"))
+          .agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
+        val ssq = el.select(col("cs").as("community"), col("w"))
+          .unionAll(el.select(col("cd").as("community"), col("w")))
+          .groupBy("community").agg(sum("w").as("st"))
+          .agg(sum(col("st").cast("decimal(19,0)") *
+            col("st").cast("decimal(19,0)"))).head().getDecimal(0)
+        (nc, intra, ssq)
+      }
+      def q6(intra: Long, ssq: java.math.BigDecimal): Double =
+        java.math.BigDecimal.valueOf(
+            intra.toDouble / wtot.toDouble -
+              ssq.doubleValue / (4.0 * wtot.toDouble * wtot.toDouble))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
+      val cc = Graph.connectedComponents(
+        labeled(part).filter(col("cs") === col("cd")).select("src", "dst"))
+      val refined = Caches.persist(part.join(cc, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("component"), col("node")).as("community")))
+      val nSplit = part.join(refined.withColumnRenamed("community", "comp2"),
+          Seq("node"))
+        .groupBy("community").agg(countDistinct("comp2").as("k"))
+        .filter(col("k") > 1).count()
+      val (ncB, intraB, ssqB) = tele(part)
+      val (ncA, intraA, ssqA) = tele(refined)
+      Seq((ncB, ncA, nSplit, q6(intraB, ssqB), q6(intraA, ssqA)))
+        .toDF("n_communities_before", "n_communities_after", "n_split",
+          "q_before", "q_after")
+    }),
+
     "graph_local_clustering" -> ((s, dir) => {
       // per-node local clustering (Watts-Strogatz c(v)) for the top-20
       // co-purchase hubs (ext/Graph.localClustering): the node-level
