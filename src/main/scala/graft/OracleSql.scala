@@ -569,6 +569,25 @@ SELECT qb.nc AS n_communities_before, qr.nc AS n_communities_after, spl.n_split,
        round(CAST(qr.intra AS DOUBLE) / wt.wtot - CAST(qr.ssq AS DOUBLE) / (4.0 * wt.wtot * wt.wtot), 6) + 0.0 AS q_after
 FROM qb, qr, spl, wt"""
 
+  /** Mirror of the bot gate (batch AND streaming face): exact burst
+    * (per-minute max) and sustained (per-active-day) rates; the flag
+    * and the emitted rate use the UNROUNDED exact-integer quotient on
+    * both engines.
+    */
+  private val botGateSql: String =
+    """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      |b AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_per_min FROM
+      |        (SELECT user_id, us // 60000000 AS mn, count(*) AS c FROM e GROUP BY 1, 2)
+      |      GROUP BY user_id),
+      |p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |             CAST(count(DISTINCT us // 86400000000) AS BIGINT) AS active_days
+      |      FROM e GROUP BY user_id)
+      |SELECT p.user_id, p.n_events, p.active_days, b.max_per_min,
+      |       CAST(p.n_events AS DOUBLE) / p.active_days AS events_per_day
+      |FROM p JOIN b USING (user_id)
+      |WHERE b.max_per_min >= 2 OR CAST(p.n_events AS DOUBLE) / p.active_days > 3.0
+      |ORDER BY p.user_id""".stripMargin
+
   /** Corpus bigram-LM CTE chain (mirrors [[graft.SparkEntry]]'s
     * `lmScores`): raw tokens → bigrams → add-one-smoothed log10 probs in
     * `s (doc_id, lp)`. Shared by `text_lm_score` and
@@ -1142,7 +1161,51 @@ FROM qb, qr, spl, wt"""
        |shr AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g FROM toks WHERE len(t) >= 3),
        |sh AS (SELECT doc_id, list(DISTINCT ${md5Hash60Sql("g")}) AS s FROM shr GROUP BY doc_id)""".stripMargin
 
+  /** Mirror of `dedup_lsh_tuning`: the hashed-shingle chain, 32
+    * permutation minima over the md5 fold mod P (engine-independent by
+    * construction — the audit skips the serving path's xxhash64
+    * layer), the 16-band candidate test as a 16-clause OR, exact
+    * Jaccard deciles, and the SAME JVM-computed theoretical constants
+    * (Double.toString round-trips, so DuckDB parses the identical
+    * bits).
+    */
+  private lazy val lshTuningSql: String = {
+    val p = graft.ext.Dedup.MinhashP
+    val (pa, pb) = graft.ext.Dedup.perms(32)
+    val minExprs = (0 until 32)
+      .map(i => s"min((${pa(i)} * h + ${pb(i)}) % $p) AS m$i").mkString(", ")
+    val candExpr = (0 until 16)
+      .map(bd => s"(a.m${2 * bd} = b.m${2 * bd} AND a.m${2 * bd + 1} = b.m${2 * bd + 1})")
+      .mkString(" OR ")
+    // e0-suffixed literals parse as DOUBLE directly — a bare decimal
+    // literal becomes DECIMAL, and DuckDB's DECIMAL→DOUBLE cast is not
+    // correctly rounded (observed 1-ulp drift on 0.999999998763461)
+    val theory = (0 to 9).map { d =>
+      val m = (d + 0.5) / 10.0
+      s"${1.0 - math.pow(1.0 - m * m, 16.0)}e0"
+    }.mkString("[", ", ", "]")
+    s"""WITH $hashedShingleCtes,
+      |hv AS (SELECT DISTINCT doc_id, ${md5Hash60Sql("g")} AS f FROM shr),
+      |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a FROM hv GROUP BY doc_id),
+      |sga AS (SELECT doc_id, $minExprs FROM (SELECT doc_id, f % $p AS h FROM hv) GROUP BY doc_id),
+      |tt AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS t),
+      |hb AS (SELECT doc_id, t, f FROM hv CROSS JOIN tt WHERE f % 10 < t),
+      |nb AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n_b FROM hb GROUP BY 1, 2),
+      |sgb AS (SELECT doc_id, t, $minExprs FROM (SELECT doc_id, t, f % $p AS h FROM hb) GROUP BY doc_id, t),
+      |g AS (SELECT ($candExpr) AS is_cand,
+      |             least(CAST(floor((CAST(nb.n_b AS DOUBLE) / na.n_a) * 10.0) AS BIGINT), 9) AS decile
+      |      FROM sgb b JOIN sga a ON a.doc_id = b.doc_id
+      |      JOIN nb ON nb.doc_id = b.doc_id AND nb.t = b.t
+      |      JOIN na ON na.doc_id = b.doc_id)
+      |SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+      |       CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS candidate_rate,
+      |       ($theory)[CAST(decile + 1 AS INT)] AS theoretical_p
+      |FROM g GROUP BY decile ORDER BY decile""".stripMargin
+  }
+
   val sql: Map[String, String] = oracleSqlBase ++ Map(
+    "dedup_lsh_tuning" -> lshTuningSql,
     // the salted decompositions are output-identical to their plain
     // forms by construction, so they share the SAME oracle text — the
     // gate then proves salted == DuckDB independently of the Scala
@@ -4730,22 +4793,12 @@ FROM qb, qr, spl, wt"""
         |       round(avg(CAST(n_toks AS DOUBLE)), 6) AS mean_doc_tokens
         |FROM t""".stripMargin,
 
-    "events_bot_gate" ->
-      // exact burst (per-minute max) and sustained (per-active-day)
-      // rates; the flag and the emitted rate use the UNROUNDED
-      // exact-integer quotient on both engines
-      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
-        |b AS (SELECT user_id, CAST(max(c) AS BIGINT) AS max_per_min FROM
-        |        (SELECT user_id, us // 60000000 AS mn, count(*) AS c FROM e GROUP BY 1, 2)
-        |      GROUP BY user_id),
-        |p AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |             CAST(count(DISTINCT us // 86400000000) AS BIGINT) AS active_days
-        |      FROM e GROUP BY user_id)
-        |SELECT p.user_id, p.n_events, p.active_days, b.max_per_min,
-        |       CAST(p.n_events AS DOUBLE) / p.active_days AS events_per_day
-        |FROM p JOIN b USING (user_id)
-        |WHERE b.max_per_min >= 2 OR CAST(p.n_events AS DOUBLE) / p.active_days > 3.0
-        |ORDER BY p.user_id""".stripMargin,
+    "events_bot_gate" -> botGateSql,
+
+    // the streaming face's mergeable (user, minute, day) partials
+    // reassemble the exact batch aggregates, so the mirror is the
+    // batch SQL verbatim — the stream ≡ batch gate
+    "stream_bot_gate" -> botGateSql,
 
     "events_dau_wau" ->
       """WITH du AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),

@@ -427,7 +427,10 @@ object ScaleBench {
     // Leiden-critique audit + its fix: both ride the louvain memo
     // (per-rep reset ⇒ carry the full run) + community-bounded CC
     // supersteps; the refine adds two E-sized label joins per labeling
-    "graph_louvain_connectivity_audit", "graph_louvain_refine")
+    "graph_louvain_connectivity_audit", "graph_louvain_refine",
+    // streaming bot-gate (partials ∝ batch) and the S-curve audit
+    // (9·N synthetic pairs, two signature aggs — ∝ shingle volume)
+    "stream_bot_gate", "dedup_lsh_tuning")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -2853,6 +2853,71 @@ object SparkEntry {
         .orderBy("doc_a")
     }),
 
+    "dedup_lsh_tuning" -> ((s, dir) => {
+      // the LSH S-curve, measured against itself (Leskovec, Rajaraman
+      // & Ullman, MMDS 3rd ed. §3.4.2): before trusting (bands=16,
+      // r=2) on a 100 TB corpus, sample pairs at known Jaccard, run
+      // the ACTUAL banded candidate test on them, and compare the
+      // measured candidate rate per Jaccard decile with the
+      // theoretical 1−(1−J²)^16. Signatures here use the md5-folded
+      // shingle hash mod P DIRECTLY as the permutation input — unlike
+      // the serving pipeline's xxhash64 layer (10× cheaper but
+      // Spark-internal), every value is engine-independent, so the
+      // ORACLE reproduces the signatures bit-for-bit and the audit's
+      // candidate bits are genuinely checked, not assumed. Deciles
+      // come from the UNROUNDED exact Jaccard quotient; theoretical
+      // values are JVM-computed constants embedded identically on
+      // both sides. Cost: 9·N bounded synthetic pairs, one
+      // signature agg each — ∝ shingle volume, the dedup-family bar.
+      // Pair sample with CONTROLLED overlap: natural pairs cluster at
+      // J≈0 (syndication) and J≥0.8 (near-dups) — the curve's middle,
+      // where the tuning decision lives, is empty. So each doc is
+      // paired against its own shingle set thinned by the
+      // engine-independent rule fold % 10 < t (t = 1..9): the pair's
+      // exact Jaccard is |kept|/|all| ≈ t/10, populating every decile.
+      val P = Dedup.MinhashP
+      val (pa, pb) = Dedup.perms(32)
+      val hv = Caches.persist(sharedShingleRows(s, dir)
+        .select("doc_id", "shingle").distinct()
+        .select(col("doc_id"), col("shingle").as("f")))
+      val h = pmod(col("f"), lit(P))
+      val mins = (0 until 32).map(i =>
+        min(pmod(lit(pa(i)) * h + lit(pb(i)), lit(P))).as(s"m$i"))
+      val sigA = hv.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+        .select(col("doc_id") +:
+          (0 until 32).map(i => col(s"m$i").as(s"a$i")): _*)
+      val nA = hv.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+      val hb = hv.select(col("doc_id"), col("f"),
+          explode(sequence(lit(1L), lit(9L))).as("t"))
+        .filter(pmod(col("f"), lit(10L)) < col("t"))
+      val sigB = hb.groupBy("doc_id", "t").agg(mins.head, mins.tail: _*)
+        .select(col("doc_id") +: col("t") +:
+          (0 until 32).map(i => col(s"m$i").as(s"b$i")): _*)
+      val nB = hb.groupBy("doc_id", "t").agg(count(lit(1)).as("n_b"))
+      val isCand = (0 until 16).map(bd =>
+          col(s"a${2 * bd}") === col(s"b${2 * bd}") &&
+            col(s"a${2 * bd + 1}") === col(s"b${2 * bd + 1}"))
+        .reduce(_ || _)
+      val theory = (0 to 9).map { d =>
+        val m = (d + 0.5) / 10.0
+        1.0 - math.pow(1.0 - m * m, 16.0)
+      }
+      sigB.join(sigA, Seq("doc_id"))
+        .join(nB, Seq("doc_id", "t")).join(nA, Seq("doc_id"))
+        .select(isCand.as("is_cand"),
+          (col("n_b").cast("double") / col("n_a")).as("j"))
+        .withColumn("decile",
+          least(floor(col("j") * 10.0).cast("long"), lit(9L)))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("is_cand"), 1L).otherwise(0L)).as("n_candidates"))
+        .withColumn("candidate_rate",
+          col("n_candidates").cast("double") / col("n_pairs"))
+        .withColumn("theoretical_p",
+          element_at(array(theory.map(lit): _*), (col("decile") + 1).cast("int")))
+        .orderBy("decile")
+    }),
+
     "dedup_minhash" -> ((s, dir) =>
       // MinHash-LSH banded candidate generation + exact-Jaccard verify at
       // threshold 0.8. Fully oracle-checked (r2 VERDICT item 4): with
@@ -7111,6 +7176,58 @@ object SparkEntry {
         .groupBy("user_id").agg(max("c").as("max_per_min"))
       val per = e.groupBy("user_id").agg(count(lit(1)).as("n_events"),
         countDistinct(expr("us div 86400000000")).as("active_days"))
+      per.join(burst, Seq("user_id"))
+        .withColumn("events_per_day",
+          col("n_events").cast("double") / col("active_days"))
+        .filter(col("max_per_min") >= 2L || col("events_per_day") > 3.0)
+        .select("user_id", "n_events", "active_days", "max_per_min",
+          "events_per_day")
+        .orderBy("user_id")
+    }),
+
+    "stream_bot_gate" -> ((s, dir) => {
+      // the bot gate's streaming-ingest face: per-user burst/sustained
+      // state is MERGEABLE, so each micro-batch appends exact
+      // (user, minute, day, count) partials via foreachBatch and the
+      // flagging aggregate runs over the merged partials at read time
+      // — two events in the same minute landing in DIFFERENT batches
+      // still merge (partial counts SUM per (user, minute) before the
+      // max), so the completed AvailableNow run EQUALS the batch
+      // events_bot_gate however the files micro-batch. The oracle is
+      // the batch SQL verbatim (the stream ≡ batch gate). At 100 TB
+      // this is the daily-ingest shape: new partition's partials
+      // append next to stored ones; no rescan, no unbounded state.
+      val outDir = s"$WorkDir/stream_botgate/${scratchTag(s, dir)}"
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(java.nio.file.Paths.get(outDir))
+      val live = EventStream.readEvents(s, dir, "events.parquet")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      EventStream.withStatePartitions(s, 8) {
+        val q = live.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                _: Long) =>
+              batch.groupBy(col("user_id"),
+                  expr("us div 60000000").as("mn"),
+                  expr("us div 86400000000").as("day"))
+                .agg(count(lit(1)).as("c"))
+                .write.mode("append").parquet(s"$outDir/partials")
+              ()
+          }
+          .option("checkpointLocation", s"$outDir/ckpt_${System.nanoTime()}")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      val p = s.read.parquet(s"$outDir/partials")
+      val burst = p.groupBy("user_id", "mn").agg(sum("c").as("c"))
+        .groupBy("user_id").agg(max("c").as("max_per_min"))
+      val per = p.groupBy("user_id").agg(sum("c").as("n_events"),
+        countDistinct("day").as("active_days"))
       per.join(burst, Seq("user_id"))
         .withColumn("events_per_day",
           col("n_events").cast("double") / col("active_days"))

@@ -124,8 +124,8 @@ object Dedup {
 
   // Fixed MinHash permutation family h_i(x) = (a_i * x + b_i) mod p —
   // coefficients from a small deterministic LCG so runs are reproducible.
-  private val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
-  private def perms(n: Int): (Seq[Long], Seq[Long]) = {
+  private[graft] val MinhashP = 2147483647L // 2^31 - 1 (Mersenne prime)
+  private[graft] def perms(n: Int): (Seq[Long], Seq[Long]) = {
     var seed = 42L
     def next(): Long = { seed = (seed * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; seed }
     val as = Seq.fill(n)(1L + next() % (MinhashP - 1))

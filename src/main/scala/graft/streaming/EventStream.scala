@@ -81,11 +81,24 @@ object EventStream {
     */
   def readEvents(spark: SparkSession, dir: String,
       glob: String = "events.parquet"): DataFrame = {
-    val tsType = onDiskTsType(spark, dir, glob)
-    microsTs(spark.readStream
-      .schema(eventSchemaFor(tsType))
-      .option("pathGlobFilter", glob)
-      .parquet(dir))
+    // Spark-written mirrors (ScaleBench scratch dirs) ship the table
+    // as a parquet DIRECTORY named `glob`; the driver testdata ships a
+    // flat FILE. Same rule as SparkEntry.tableStream (the r15
+    // stream_dsir_score lesson): point the source at the directory
+    // when it is one — pathGlobFilter filters LEAF names, so on the
+    // directory layout it would match ZERO files and the stream would
+    // silently complete empty.
+    val p = s"$dir/$glob"
+    if (new java.io.File(p).isDirectory) {
+      val tsType = onDiskTsType(spark, p, "*.parquet")
+      microsTs(spark.readStream.schema(eventSchemaFor(tsType)).parquet(p))
+    } else {
+      val tsType = onDiskTsType(spark, dir, glob)
+      microsTs(spark.readStream
+        .schema(eventSchemaFor(tsType))
+        .option("pathGlobFilter", glob)
+        .parquet(dir))
+    }
   }
 
   /** Tumbling-window aggregation with a watermark: counts and value sums
