@@ -967,21 +967,18 @@ FROM qb, qr, spl, wt"""
     * gain DESC, f, cut; γ and RMSE emitted unrounded (deterministic
     * fixed-shape doubles; rounding could break exact-quotient ties).
     */
-  private lazy val gbdtSql: String = {
+  /** The GBDT train chain (tot → f0 → cand → a1 → g1 → b1 → m1 → s1 →
+    * a2 → g2 → b2 → s2) over a cell table named `j` — shared verbatim
+    * by the plain and holdout-eval mirrors so the fit arithmetic can
+    * never drift between them.
+    */
+  private lazy val gbdtChain: String = {
     val inL = "(CASE WHEN cand.f = 'month' THEN j.mb ELSE j.pr END) <= cand.cut"
     val inL1 = "(CASE WHEN b1.f = 'month' THEN j.mb ELSE j.pr END) <= b1.cut"
     val srl2 = "((syll - m1.fl * nll) + (sylr - m1.fr * nlr))"
     val srr2 = "(((b1.syl - syll) - m1.fl * (b1.nl - nll)) + " +
       "((b1.syr - sylr) - m1.fr * (b1.nr - nlr)))"
-    s"""WITH o AS (SELECT month(o_orderdate) AS mon,
-      |                  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri,
-      |                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
-      |           FROM orders),
-      |j AS (SELECT CAST(mon AS BIGINT) AS mb, pri AS pr,
-      |             CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sy,
-      |             sum(CAST(c AS HUGEINT) * c) AS syy
-      |      FROM o GROUP BY 1, 2),
-      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS t,
+    s"""tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS t,
       |               CAST(sum(syy) AS DOUBLE) AS yy FROM j),
       |f0 AS (SELECT CAST(t AS DOUBLE) / CAST(nn AS DOUBLE) AS f0 FROM tot),
       |cand AS (SELECT 'month' AS f, CAST(x AS BIGINT) AS cut FROM range(1, 12) r1(x)
@@ -1026,7 +1023,19 @@ FROM qb, qr, spl, wt"""
       |       - (2.0 * (m1.fl + b2.g2r) * (b1.syl - b2.syll) - (m1.fl + b2.g2r) * (m1.fl + b2.g2r) * (b1.nl - b2.nll))
       |       - (2.0 * (m1.fr + b2.g2l) * b2.sylr - (m1.fr + b2.g2l) * (m1.fr + b2.g2l) * b2.nlr)
       |       - (2.0 * (m1.fr + b2.g2r) * (b1.syr - b2.sylr) - (m1.fr + b2.g2r) * (m1.fr + b2.g2r) * (b1.nr - b2.nlr)) AS sse
-      |       FROM tot, b1, b2, m1)
+      |       FROM tot, b1, b2, m1)""".stripMargin
+  }
+
+  private lazy val gbdtSql: String =
+    s"""WITH o AS (SELECT month(o_orderdate) AS mon,
+      |                  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri,
+      |                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+      |           FROM orders),
+      |j AS (SELECT CAST(mon AS BIGINT) AS mb, pri AS pr,
+      |             CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sy,
+      |             sum(CAST(c AS HUGEINT) * c) AS syy
+      |      FROM o GROUP BY 1, 2),
+      |$gbdtChain
       |SELECT CAST(0 AS BIGINT) AS round, 'const' AS feature, CAST(-1 AS BIGINT) AS cut,
       |       tot.nn AS n_left, CAST(0 AS BIGINT) AS n_right, 0.0 AS gamma_l, 0.0 AS gamma_r,
       |       sqrt((tot.yy - (2.0 * f0.f0 * tot.t - f0.f0 * f0.f0 * tot.nn)) / tot.nn) / 100.0 AS rmse
@@ -1035,6 +1044,61 @@ FROM qb, qr, spl, wt"""
       |       sqrt(s1.sse / tot.nn) / 100.0 FROM b1, s1, tot
       |UNION ALL SELECT CAST(2 AS BIGINT), b2.f, b2.cut, b2.nl2, b2.nr2, b2.g2l, b2.g2r,
       |       sqrt(s2.sse / tot.nn) / 100.0 FROM b2, s2, tot
+      |ORDER BY round""".stripMargin
+
+  /** Mirror of [[graft.ext.Boosting.gbdtEval]]: the SAME train chain
+    * over the md5-fold train slice (CTE `j` = train cells), plus exact
+    * test-side leaf sums (tv totals, t1 cut-1 left sums, t2 cut-2
+    * region sums) and the leaf-decomposed test SSE per round — every
+    * expression shape copied from the engine's gbdtEval.
+    */
+  private lazy val gbdtEvalSql: String = {
+    val tInL1 = "(CASE WHEN b1.f = 'month' THEN jv.mb ELSE jv.pr END) <= b1.cut"
+    val tInL2 = "(CASE WHEN b2.f = 'month' THEN jv.mb ELSE jv.pr END) <= b2.cut"
+    s"""WITH o AS (SELECT month(o_orderdate) AS mon,
+      |                  CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS pri,
+      |                  CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
+      |                  ${md5Hash60Sql("CAST(o_orderkey AS VARCHAR)")} % 5 = 0 AS tst
+      |           FROM orders),
+      |j AS (SELECT CAST(mon AS BIGINT) AS mb, pri AS pr,
+      |             CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sy,
+      |             sum(CAST(c AS HUGEINT) * c) AS syy
+      |      FROM o WHERE NOT tst GROUP BY 1, 2),
+      |jv AS (SELECT CAST(mon AS BIGINT) AS mb, pri AS pr,
+      |              CAST(count(*) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS sy,
+      |              sum(CAST(c AS HUGEINT) * c) AS syy
+      |       FROM o WHERE tst GROUP BY 1, 2),
+      |$gbdtChain,
+      |tv AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS t,
+      |              CAST(sum(syy) AS DOUBLE) AS yy FROM jv),
+      |t1 AS (SELECT CAST(sum(CASE WHEN $tInL1 THEN jv.n ELSE 0 END) AS BIGINT) AS ntl,
+      |              CAST(sum(CASE WHEN $tInL1 THEN jv.sy ELSE 0 END) AS BIGINT) AS sytl
+      |       FROM jv, b1),
+      |t2 AS (SELECT CAST(sum(CASE WHEN $tInL2 AND $tInL1 THEN jv.n ELSE 0 END) AS BIGINT) AS ntll,
+      |              CAST(sum(CASE WHEN $tInL2 AND $tInL1 THEN jv.sy ELSE 0 END) AS BIGINT) AS sytll,
+      |              CAST(sum(CASE WHEN $tInL2 AND NOT ($tInL1) THEN jv.n ELSE 0 END) AS BIGINT) AS ntlr,
+      |              CAST(sum(CASE WHEN $tInL2 AND NOT ($tInL1) THEN jv.sy ELSE 0 END) AS BIGINT) AS sytlr
+      |       FROM jv, b1, b2),
+      |s0t AS (SELECT tv.yy - (2.0 * f0.f0 * tv.t - f0.f0 * f0.f0 * tv.nn) AS sse FROM tv, f0),
+      |s1t AS (SELECT tv.yy - (2.0 * m1.fl * t1.sytl - m1.fl * m1.fl * t1.ntl)
+      |               - (2.0 * m1.fr * (tv.t - t1.sytl) - m1.fr * m1.fr * (tv.nn - t1.ntl)) AS sse
+      |        FROM tv, t1, m1),
+      |s2t AS (SELECT tv.yy
+      |        - (2.0 * (m1.fl + b2.g2l) * t2.sytll - (m1.fl + b2.g2l) * (m1.fl + b2.g2l) * t2.ntll)
+      |        - (2.0 * (m1.fl + b2.g2r) * (t1.sytl - t2.sytll) - (m1.fl + b2.g2r) * (m1.fl + b2.g2r) * (t1.ntl - t2.ntll))
+      |        - (2.0 * (m1.fr + b2.g2l) * t2.sytlr - (m1.fr + b2.g2l) * (m1.fr + b2.g2l) * t2.ntlr)
+      |        - (2.0 * (m1.fr + b2.g2r) * ((tv.t - t1.sytl) - t2.sytlr) - (m1.fr + b2.g2r) * (m1.fr + b2.g2r) * ((tv.nn - t1.ntl) - t2.ntlr)) AS sse
+      |        FROM tv, t1, t2, b2, m1)
+      |SELECT CAST(0 AS BIGINT) AS round, 'const' AS feature, CAST(-1 AS BIGINT) AS cut,
+      |       sqrt((tot.yy - (2.0 * f0.f0 * tot.t - f0.f0 * f0.f0 * tot.nn)) / tot.nn) / 100.0 AS rmse_train,
+      |       sqrt(s0t.sse / tv.nn) / 100.0 AS rmse_test
+      |FROM tot, f0, s0t, tv
+      |UNION ALL SELECT CAST(1 AS BIGINT), b1.f, b1.cut,
+      |       sqrt(s1.sse / tot.nn) / 100.0, sqrt(s1t.sse / tv.nn) / 100.0
+      |FROM b1, s1, tot, s1t, tv
+      |UNION ALL SELECT CAST(2 AS BIGINT), b2.f, b2.cut,
+      |       sqrt(s2.sse / tot.nn) / 100.0, sqrt(s2t.sse / tv.nn) / 100.0
+      |FROM b2, s2, tot, s2t, tv
       |ORDER BY round""".stripMargin
   }
 
@@ -7386,6 +7450,8 @@ FROM qb, qr, spl, wt"""
     "ml_adaboost" -> adaboostSql(3),
 
     "ml_gbdt_round" -> gbdtSql,
+
+    "ml_gbdt_eval" -> gbdtEvalSql,
 
     "ml_als_halfstep" ->
       // mirrors Als.userHalfStep: md5-seeded integer item factors, exact

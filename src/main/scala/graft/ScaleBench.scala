@@ -430,7 +430,9 @@ object ScaleBench {
     "graph_louvain_connectivity_audit", "graph_louvain_refine",
     // streaming bot-gate (partials ∝ batch) and the S-curve audit
     // (9·N synthetic pairs, two signature aggs — ∝ shingle volume)
-    "stream_bot_gate", "dedup_lsh_tuning")
+    "stream_bot_gate", "dedup_lsh_tuning",
+    // the GBDT holdout eval: one scan to two 60-cell stats tables
+    "ml_gbdt_eval")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

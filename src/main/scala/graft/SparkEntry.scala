@@ -9461,6 +9461,33 @@ object SparkEntry {
       graft.ext.Boosting.gbdtStumps(s, cells)
     }),
 
+    "ml_gbdt_eval" -> ((s, dir) => {
+      // the GBDT generalization readout: fit on the md5-fold train
+      // slice (the nbConfusionMemo split convention — orderkey % 5 = 0
+      // held out), report train AND test RMSE per round. If test RMSE
+      // rises while train falls, the season/urgency split is fitting
+      // noise — the honest eval beside the trainer, like
+      // ml_kfold_cv beside ml_linreg_ols. Same one-scan shape: BOTH
+      // slices' sufficient statistics come off a single cached
+      // projection; the test side reuses the leaf-decomposed SSE
+      // identity over its own exact sums ([[Boosting.gbdtEval]]).
+      val o = tbl(s, dir, "orders")
+      val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
+      val tst = pmod(Dedup.md5Hash60(col("o_orderkey").cast("string")),
+        lit(5L)) === 0
+      val base = Caches.persist(o.select(
+        month(col("o_orderdate")).cast("long").as("mb"),
+        substring(col("o_orderpriority"), 1, 1).cast("long").as("pr"),
+        cents.as("c"), tst.as("tst")))
+      def cellsOf(df: DataFrame): DataFrame = df.groupBy("mb", "pr")
+        .agg(count(lit(1)).as("n"), sum("c").as("sy"),
+          sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+            .as("syy"))
+      graft.ext.Boosting.gbdtEval(s,
+        cellsOf(base.filter(!col("tst"))),
+        cellsOf(base.filter(col("tst"))))
+    }),
+
     "ml_als_halfstep" -> ((s, dir) => {
       // rank-2 ALS matrix factorization, one exact user half-step over
       // the (customer, part, Σ quantity) rating matrix — the

@@ -148,31 +148,43 @@ object Boosting {
     * chosen split, leaf increments γ, and train RMSE in dollars —
     * rmse_r = √(SSE_r/N)/100 via SSE = ΣY² − Σ_leaf (2·F·SY − F²·N).
     */
-  def gbdtStumps(spark: SparkSession, cells: DataFrame,
-      maxCells: Int = 4096): DataFrame = {
-    val collected = cells.select("mb", "pr", "n", "sy", "syy").collect()
-    require(collected.nonEmpty, "gbdt needs a non-empty cell table")
-    require(collected.length <= maxCells,
-      s"joint table has ${collected.length} cells > $maxCells — " +
-        "bin the features before boosting (the table must be domain-bounded)")
-    val cs = collected.map(r => GbdtCell(r.getLong(0), r.getLong(1),
-      r.getLong(2), r.getLong(3), r.getDecimal(4)))
+  /** The fitted 2-round model plus the exact train-side sufficient
+    * sums every downstream readout re-derives from (see [[gbdtStumps]]
+    * for the arithmetic-determinism contract — every double below is a
+    * fixed-shape function of exact BIGINT sums).
+    */
+  private final case class GbdtFit(nn: Long, t: Long, yyD: Double,
+      f0: Double, f1: String, c1: Long, n1l: Long, sy1l: Long,
+      g1l: Double, g1r: Double, f2: String, c2: Long,
+      nll: Long, syll: Long, nlr: Long, sylr: Long,
+      g2l: Double, g2r: Double) {
+    def n1r: Long = nn - n1l
+    def sy1r: Long = t - sy1l
+    def fL: Double = f0 + g1l
+    def fR: Double = f0 + g1r
+  }
+
+  private def bin(f: String, c: GbdtCell): Long =
+    if (f == "month") c.mb else c.pr
+
+  // candidate order = the oracle's ORDER BY tiebreak ('month' < 'priority')
+  private val GbdtCandidates: Seq[(String, Long)] =
+    (1L to 11L).map(("month", _)) ++ (1L to 4L).map(("priority", _))
+
+  private def leafTerm(f: Double, sy: Long, n: Long): Double =
+    2.0 * f * sy - f * f * n
+
+  private def fitGbdt(cs: Array[GbdtCell]): GbdtFit = {
     val nn = cs.map(_.n).sum
     val t = cs.map(_.sy).sum
     val yyD = cs.foldLeft(java.math.BigDecimal.ZERO)((a, c) => a.add(c.syy))
       .doubleValue
     val f0 = t.toDouble / nn.toDouble
-    // candidate order = the oracle's ORDER BY tiebreak ('month' < 'priority')
-    val candidates: Seq[(String, Long)] =
-      (1L to 11L).map(("month", _)) ++ (1L to 4L).map(("priority", _))
-    def bin(f: String, c: GbdtCell): Long = if (f == "month") c.mb else c.pr
     // first strictly-greater gain wins ⟺ ORDER BY gain DESC, f, cut LIMIT 1
     def argmax[A](xs: Seq[(A, Double)]): A =
       xs.reduceLeft((a, b) => if (b._2 > a._2) b else a)._1
-    def leafTerm(f: Double, sy: Long, n: Long): Double =
-      2.0 * f * sy - f * f * n
     // ---- round 1 over the root leaf ----
-    val b1 = argmax(candidates.map { case (f, cut) =>
+    val (f1, c1, n1l, sy1l) = argmax(GbdtCandidates.map { case (f, cut) =>
       var nl = 0L; var syl = 0L
       cs.foreach { c => if (bin(f, c) <= cut) { nl += c.n; syl += c.sy } }
       val gain =
@@ -184,58 +196,136 @@ object Boosting {
         }
       ((f, cut, nl, syl), gain)
     })
-    val (f1, c1, n1l, sy1l) = b1
     val n1r = nn - n1l; val sy1r = t - sy1l
     val g1l = (sy1l - f0 * n1l) / n1l
     val g1r = (sy1r - f0 * n1r) / n1r
     val fL = f0 + g1l; val fR = f0 + g1r
-    val sse1 = yyD - leafTerm(fL, sy1l, n1l) - leafTerm(fR, sy1r, n1r)
     // ---- round 2 over the two round-1 leaves ----
-    val b2 = argmax(candidates.map { case (f, cut) =>
-      var nll = 0L; var syll = 0L; var nlr = 0L; var sylr = 0L
-      cs.foreach { c =>
-        if (bin(f, c) <= cut) {
-          if (bin(f1, c) <= c1) { nll += c.n; syll += c.sy }
-          else { nlr += c.n; sylr += c.sy }
+    val (f2, c2, nll, syll, nlr, sylr) = argmax(GbdtCandidates.map {
+      case (f, cut) =>
+        var nll = 0L; var syll = 0L; var nlr = 0L; var sylr = 0L
+        cs.foreach { c =>
+          if (bin(f, c) <= cut) {
+            if (bin(f1, c) <= c1) { nll += c.n; syll += c.sy }
+            else { nlr += c.n; sylr += c.sy }
+          }
         }
-      }
-      val nl = nll + nlr
-      val gain =
-        if (nl == 0L || nn - nl == 0L) -1.0
-        else {
-          val srl = (syll - fL * nll) + (sylr - fR * nlr)
-          val srr = ((sy1l - syll) - fL * (n1l - nll)) +
-            ((sy1r - sylr) - fR * (n1r - nlr))
-          srl * srl / nl + srr * srr / (nn - nl)
-        }
-      ((f, cut, nll, syll, nlr, sylr), gain)
+        val nl = nll + nlr
+        val gain =
+          if (nl == 0L || nn - nl == 0L) -1.0
+          else {
+            val srl = (syll - fL * nll) + (sylr - fR * nlr)
+            val srr = ((sy1l - syll) - fL * (n1l - nll)) +
+              ((sy1r - sylr) - fR * (n1r - nlr))
+            srl * srl / nl + srr * srr / (nn - nl)
+          }
+        ((f, cut, nll, syll, nlr, sylr), gain)
     })
-    val (f2, c2, nll, syll, nlr, sylr) = b2
-    val nl2 = nll + nlr; val nr2 = nn - nl2
     val srl2 = (syll - fL * nll) + (sylr - fR * nlr)
     val srr2 = ((sy1l - syll) - fL * (n1l - nll)) +
       ((sy1r - sylr) - fR * (n1r - nlr))
-    val g2l = srl2 / nl2; val g2r = srr2 / nr2
+    val g2l = srl2 / (nll + nlr); val g2r = srr2 / (nn - (nll + nlr))
+    GbdtFit(nn, t, yyD, f0, f1, c1, n1l, sy1l, g1l, g1r,
+      f2, c2, nll, syll, nlr, sylr, g2l, g2r)
+  }
+
+  private def collectGbdtCells(cells: DataFrame,
+      maxCells: Int): Array[GbdtCell] = {
+    val collected = cells.select("mb", "pr", "n", "sy", "syy").collect()
+    require(collected.nonEmpty, "gbdt needs a non-empty cell table")
+    require(collected.length <= maxCells,
+      s"joint table has ${collected.length} cells > $maxCells — " +
+        "bin the features before boosting (the table must be domain-bounded)")
+    collected.map(r => GbdtCell(r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDecimal(4)))
+  }
+
+  private val GbdtSchema = StructType(Seq(
+    StructField("round", LongType, nullable = false),
+    StructField("feature", StringType, nullable = false),
+    StructField("cut", LongType, nullable = false),
+    StructField("n_left", LongType, nullable = false),
+    StructField("n_right", LongType, nullable = false),
+    StructField("gamma_l", DoubleType, nullable = false),
+    StructField("gamma_r", DoubleType, nullable = false),
+    StructField("rmse", DoubleType, nullable = false)))
+
+  def gbdtStumps(spark: SparkSession, cells: DataFrame,
+      maxCells: Int = 4096): DataFrame = {
+    val cs = collectGbdtCells(cells, maxCells)
+    val m = fitGbdt(cs)
+    import m._
+    val sse0 = yyD - leafTerm(f0, t, nn)
+    val sse1 = yyD - leafTerm(fL, sy1l, n1l) - leafTerm(fR, sy1r, n1r)
     // four leaves (side-of-cut1 × side-of-cut2) in fixed LL, LR, RL, RR order
     val sse2 = yyD -
       leafTerm(fL + g2l, syll, nll) -
       leafTerm(fL + g2r, sy1l - syll, n1l - nll) -
       leafTerm(fR + g2l, sylr, nlr) -
       leafTerm(fR + g2r, sy1r - sylr, n1r - nlr)
-    val sse0 = yyD - leafTerm(f0, t, nn)
     def rmse(sse: Double): Double = math.sqrt(sse / nn) / 100.0
+    val nl2 = nll + nlr; val nr2 = nn - nl2
+    spark.createDataFrame(java.util.Arrays.asList(
+      Row(0L, "const", -1L, nn, 0L, 0.0, 0.0, rmse(sse0)),
+      Row(1L, f1, c1, n1l, n1r, g1l, g1r, rmse(sse1)),
+      Row(2L, f2, c2, nl2, nr2, g2l, g2r, rmse(sse2))), GbdtSchema)
+  }
+
+  /** [[gbdtStumps]] with an md5-fold HOLDOUT: fit on the train cells,
+    * then report train AND test RMSE per round — the generalization
+    * readout (does the season/urgency split carry beyond its fit?).
+    * The test side never touches the fit; its per-leaf exact sums are
+    * computed over the test cell table with the SAME leaf-decomposed
+    * SSE identity, so both columns stay fixed-shape doubles a SQL
+    * mirror reproduces bit-for-bit. Output: (round, feature, cut,
+    * rmse_train, rmse_test).
+    */
+  def gbdtEval(spark: SparkSession, trainCells: DataFrame,
+      testCells: DataFrame, maxCells: Int = 4096): DataFrame = {
+    val tr = collectGbdtCells(trainCells, maxCells)
+    val te = collectGbdtCells(testCells, maxCells)
+    val m = fitGbdt(tr)
+    import m._
+    // exact test-side sums at the fitted-leaf grain
+    val nnT = te.map(_.n).sum
+    val tT = te.map(_.sy).sum
+    val yyT = te.foldLeft(java.math.BigDecimal.ZERO)((a, c) => a.add(c.syy))
+      .doubleValue
+    var ntl = 0L; var sytl = 0L
+    te.foreach { c => if (bin(f1, c) <= c1) { ntl += c.n; sytl += c.sy } }
+    var ntll = 0L; var sytll = 0L; var ntlr = 0L; var sytlr = 0L
+    te.foreach { c =>
+      if (bin(f2, c) <= c2) {
+        if (bin(f1, c) <= c1) { ntll += c.n; sytll += c.sy }
+        else { ntlr += c.n; sytlr += c.sy }
+      }
+    }
+    val sse0 = yyD - leafTerm(f0, t, nn)
+    val sse1 = yyD - leafTerm(fL, sy1l, n1l) - leafTerm(fR, sy1r, n1r)
+    val sse2 = yyD -
+      leafTerm(fL + g2l, syll, nll) -
+      leafTerm(fL + g2r, sy1l - syll, n1l - nll) -
+      leafTerm(fR + g2l, sylr, nlr) -
+      leafTerm(fR + g2r, sy1r - sylr, n1r - nlr)
+    val sse0T = yyT - leafTerm(f0, tT, nnT)
+    val sse1T = yyT - leafTerm(fL, sytl, ntl) -
+      leafTerm(fR, tT - sytl, nnT - ntl)
+    val sse2T = yyT -
+      leafTerm(fL + g2l, sytll, ntll) -
+      leafTerm(fL + g2r, sytl - sytll, ntl - ntll) -
+      leafTerm(fR + g2l, sytlr, ntlr) -
+      leafTerm(fR + g2r, (tT - sytl) - sytlr, (nnT - ntl) - ntlr)
+    def rmseTr(sse: Double): Double = math.sqrt(sse / nn) / 100.0
+    def rmseTe(sse: Double): Double = math.sqrt(sse / nnT) / 100.0
     val schema = StructType(Seq(
       StructField("round", LongType, nullable = false),
       StructField("feature", StringType, nullable = false),
       StructField("cut", LongType, nullable = false),
-      StructField("n_left", LongType, nullable = false),
-      StructField("n_right", LongType, nullable = false),
-      StructField("gamma_l", DoubleType, nullable = false),
-      StructField("gamma_r", DoubleType, nullable = false),
-      StructField("rmse", DoubleType, nullable = false)))
+      StructField("rmse_train", DoubleType, nullable = false),
+      StructField("rmse_test", DoubleType, nullable = false)))
     spark.createDataFrame(java.util.Arrays.asList(
-      Row(0L, "const", -1L, nn, 0L, 0.0, 0.0, rmse(sse0)),
-      Row(1L, f1, c1, n1l, n1r, g1l, g1r, rmse(sse1)),
-      Row(2L, f2, c2, nl2, nr2, g2l, g2r, rmse(sse2))), schema)
+      Row(0L, "const", -1L, rmseTr(sse0), rmseTe(sse0T)),
+      Row(1L, f1, c1, rmseTr(sse1), rmseTe(sse1T)),
+      Row(2L, f2, c2, rmseTr(sse2), rmseTe(sse2T))), schema)
   }
 }

@@ -57,6 +57,27 @@ class BoostingSpec extends SparkSpec {
       (2L, "month", 1L, 2L, 2L, 0.0, 0.0, 0.0)))
   }
 
+  test("gbdt holdout eval: exact train and test RMSE on a hand fixture") {
+    // train = the two-cell fixture above (perfect fit after round 1);
+    // test = one $1.20 row in month 1 and one $2.80 row in month 12.
+    // Leaves predict $1/$3, so test residuals are ±20¢:
+    //   rmse0_test = √((92800 − 80000)/2)/100 = 0.8
+    //   rmse1_test = √((92800 − 14000 − 78000)/2)/100 = 0.2
+    val train = Seq(
+      (1L, 1L, 2L, 200L, BigDecimal(20000)),
+      (12L, 1L, 2L, 600L, BigDecimal(180000))).toDF("mb", "pr", "n", "sy", "syy")
+    val test = Seq(
+      (1L, 1L, 1L, 120L, BigDecimal(14400)),
+      (12L, 1L, 1L, 280L, BigDecimal(78400))).toDF("mb", "pr", "n", "sy", "syy")
+    val got = Boosting.gbdtEval(spark, train, test).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0L, "const", -1L, 1.0, 0.8),
+      (1L, "month", 1L, 0.0, 0.2),
+      (2L, "month", 1L, 0.0, 0.2)))
+  }
+
   test("gbdt rejects empty and unbounded cell tables") {
     val empty = Seq.empty[(Long, Long, Long, Long, BigDecimal)]
       .toDF("mb", "pr", "n", "sy", "syy")
