@@ -5406,6 +5406,19 @@ FROM qb, qr, spl, wt"""
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
         |GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "sink_time_travel" ->
+      // the manifest reads must reproduce the source slices exactly —
+      // v1 = the pre-append half, v2 = everything (the sink_* content
+      // round-trip convention: DuckDB computes expected straight from
+      // the source)
+      """SELECT CAST(1 AS BIGINT) AS version, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') WHERE doc_id < 250
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
+        |ORDER BY version""".stripMargin,
+
     "text_source_divergence" ->
       """WITH f AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS w
         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet') WHERE source IN ('src0', 'src1')),

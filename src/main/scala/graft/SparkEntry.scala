@@ -7653,6 +7653,49 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    "sink_time_travel" -> ((s, dir) => {
+      // snapshot isolation by MANIFEST — the core mechanic of every
+      // table format (Delta log / Iceberg snapshot lists): readers
+      // resolve a VERSION to a file list and never trust the
+      // directory, so an append is invisible until its manifest
+      // commits and old versions stay readable forever. Commit v1 =
+      // the first half of the corpus, then append-commit v2; the
+      // output reads BOTH versions through their manifests — the
+      // as-of-v1 stats equal the pre-append table even though v2's
+      // files share the directory (the time-travel guarantee, proven
+      // by the oracle computing the same stats from the source
+      // slices). At 100 TB the manifest read is O(files) metadata and
+      // commits are atomic single-file writes — no directory listing,
+      // no eventual-consistency window.
+      import s.implicits._
+      val base = s"$WorkDir/time_travel/${scratchTag(s, dir)}"
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(java.nio.file.Paths.get(base))
+      val d = docs(s, dir)
+      d.filter(col("doc_id") < 250).write.parquet(s"$base/files/add1")
+      d.filter(col("doc_id") >= 250).write.parquet(s"$base/files/add2")
+      def commit(v: Int, adds: Seq[String]): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$base/v$v.manifest"),
+          adds.mkString("\n"))
+      commit(1, Seq(s"$base/files/add1"))
+      commit(2, Seq(s"$base/files/add1", s"$base/files/add2"))
+      def asOf(v: Int): DataFrame = {
+        val files = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$base/v$v.manifest")), "UTF-8")
+          .split("\n").toSeq
+        s.read.parquet(files: _*)
+      }
+      Seq(1, 2).map { v =>
+        val st = asOf(v).agg(count(lit(1)), sum("n_chars")).head()
+        (v.toLong, st.getLong(0), st.getLong(1))
+      }.toDF("version", "n_docs", "total_chars").orderBy("version")
+    }),
+
     "text_source_divergence" -> ((s, dir) => {
       // Jensen-Shannon divergence between two sources' unigram
       // distributions — the distribution-distance a mixing pipeline
