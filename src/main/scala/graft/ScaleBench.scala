@@ -432,7 +432,9 @@ object ScaleBench {
     // (9·N synthetic pairs, two signature aggs — ∝ shingle volume)
     "stream_bot_gate", "dedup_lsh_tuning",
     // the GBDT holdout eval: one scan to two 60-cell stats tables
-    "ml_gbdt_eval")
+    "ml_gbdt_eval",
+    // manifest-snapshot round trip: two N-sized writes + two reads
+    "sink_time_travel")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

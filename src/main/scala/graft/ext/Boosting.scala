@@ -196,6 +196,13 @@ object Boosting {
         }
       ((f, cut, nl, syl), gain)
     })
+    // a table where NO candidate splits (one distinct feature cell)
+    // elects a gain = −1 winner whose empty side makes γ = 0/0 — fail
+    // loudly instead of emitting NaNs (the oracle would NaN the same
+    // way, but a silently-NaN model is a broken readout, not a result)
+    require(n1l > 0L && nn - n1l > 0L,
+      "gbdt: no candidate split separates the cells — need ≥ 2 distinct " +
+        "feature values across (month, priority)")
     val n1r = nn - n1l; val sy1r = t - sy1l
     val g1l = (sy1l - f0 * n1l) / n1l
     val g1r = (sy1r - f0 * n1r) / n1r

@@ -88,4 +88,36 @@ class BoostingSpec extends SparkSpec {
       Boosting.gbdtStumps(spark, one, maxCells = 0)
     }
   }
+
+  test("gbdt fails loudly when no candidate split exists (single cell)") {
+    // one distinct (month, priority) cell: every candidate has an
+    // empty side; without the guard γ would be 0/0 = NaN
+    val one = Seq((5L, 3L, 4L, 400L, BigDecimal(40000)))
+      .toDF("mb", "pr", "n", "sy", "syy")
+    val e = intercept[IllegalArgumentException] {
+      Boosting.gbdtStumps(spark, one)
+    }
+    assert(e.getMessage.contains("no candidate split"))
+  }
+
+  test("gbdt train RMSE is non-increasing across rounds on random cells") {
+    // LS_Boost invariant: each round's γ minimizes the leaf SSE, so
+    // train SSE can only fall or stall — on ANY cell table
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val cells = (0 until 20).map { _ =>
+        val n = 1L + rnd.nextInt(50)
+        val mean = 100L + rnd.nextInt(100000)
+        // syy >= sy^2/n (Cauchy-Schwarz) — model n copies of `mean`
+        (1L + rnd.nextInt(12), 1L + rnd.nextInt(5), n, n * mean,
+          BigDecimal(n) * BigDecimal(mean) * BigDecimal(mean))
+      }.toDF("mb", "pr", "n", "sy", "syy")
+      val rmse = Boosting.gbdtStumps(spark, cells).collect()
+        .map(_.getDouble(7)).toSeq
+      rmse.sliding(2).foreach {
+        case Seq(a, b) => assert(b <= a + 1e-9, s"rmse rose: $rmse")
+        case _ => ()
+      }
+    }
+  }
 }

@@ -614,6 +614,28 @@ class GraphSpec extends SparkSpec {
       (4L, 3L, 7L, 1L, 1.0 / 7.0)))
   }
 
+  test("conductance is in [0, 1] on random labeled graphs") {
+    import spark.implicits._
+    // φ = cut/min(vol, 2W−vol) ≤ 1 because every cut edge contributes
+    // to BOTH sides' volumes; ≥ 0 because weights are positive
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 150).map { _ =>
+      val a = rnd.nextInt(30).toLong; var b = rnd.nextInt(30).toLong
+      if (a == b) b = (b + 1) % 30
+      (math.min(a, b), math.max(a, b), 1L + rnd.nextInt(5))
+    }.distinct.toDF("src", "dst", "w")
+    val labels = (0L until 30L).map(n => (n, n % 4)).toDF("node", "community")
+    val got = Graph.conductance(edges, labels).collect()
+    graft.Caches.clearPersisted()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      if (!r.isNullAt(4)) {
+        val phi = r.getDouble(4)
+        assert(phi >= 0.0 && phi <= 1.0, s"phi out of range: $r")
+      }
+    }
+  }
+
   test("conductance: single community reports null, not a zero division") {
     import spark.implicits._
     val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
