@@ -5722,6 +5722,40 @@ FROM qb, qr, spl, wt"""
         |       round(avg(lm_score), 6) AS avg_lm_score
         |FROM r GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin,
 
+    "text_heaps_law" -> {
+      // mirrors the one-pass engine: first-seen table for per-prefix
+      // vocab, conditional BIGINT sums, and the 4-point log-log OLS
+      // slope spelled in the engine's exact expression order
+      val fr = Seq(8, 4, 2, 1)
+      val tsums = fr.map(f =>
+        s"CAST(sum(CASE WHEN doc_id < cu.c$f THEN 1 ELSE 0 END) AS BIGINT) AS t$f")
+        .mkString(", ")
+      val vsums = fr.map(f =>
+        s"CAST(sum(CASE WHEN fd < cu.c$f THEN 1 ELSE 0 END) AS BIGINT) AS v$f")
+        .mkString(", ")
+      def x(f: Int) = s"ln(CAST(ta.t$f AS DOUBLE))"
+      def y(f: Int) = s"ln(CAST(va.v$f AS DOUBLE))"
+      val xb = s"((${x(8)} + ${x(4)} + ${x(2)} + ${x(1)}) / 4.0)"
+      val yb = s"((${y(8)} + ${y(4)} + ${y(2)} + ${y(1)}) / 4.0)"
+      val num = fr.map(f => s"(${x(f)} - $xb) * (${y(f)} - $yb)").mkString(" + ")
+      val den = fr.map(f => s"(${x(f)} - $xb) * (${x(f)} - $xb)").mkString(" + ")
+      val rows = fr.map(f =>
+        s"""SELECT CAST($f AS BIGINT) AS frac_denom, cu.c$f AS cut_docs,
+           |       ta.t$f AS n_tokens, va.v$f AS vocab, b.beta
+           |FROM cu, ta, va, b""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH d AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |t AS (SELECT doc_id, unnest(tk) AS w FROM d),
+        |nn AS (SELECT min(doc_id) AS mn, max(doc_id) - min(doc_id) + 1 AS span FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |cu AS (SELECT mn + CAST(ceil(span / 8.0) AS BIGINT) AS c8, mn + CAST(ceil(span / 4.0) AS BIGINT) AS c4,
+        |              mn + CAST(ceil(span / 2.0) AS BIGINT) AS c2, mn + CAST(ceil(span / 1.0) AS BIGINT) AS c1 FROM nn),
+        |fs AS (SELECT w, min(doc_id) AS fd FROM t GROUP BY w),
+        |ta AS (SELECT $tsums FROM t, cu),
+        |va AS (SELECT $vsums FROM fs, cu),
+        |b AS (SELECT round(($num) / ($den), 6) AS beta FROM ta, va)
+        |$rows
+        |ORDER BY frac_denom DESC""".stripMargin
+    },
+
     "sample_by_perplexity" ->
       // stratified at the 6dp-rounded mean score; identical md5-fold
       // bucket as sample_hash_bucket — 80% of the hi stratum, 20% of lo

@@ -434,7 +434,9 @@ object ScaleBench {
     // the GBDT holdout eval: one scan to two 60-cell stats tables
     "ml_gbdt_eval",
     // manifest-snapshot round trip: two N-sized writes + two reads
-    "sink_time_travel")
+    "sink_time_travel",
+    // Heaps fit: one token pass + one word-grain first-seen agg
+    "text_heaps_law")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

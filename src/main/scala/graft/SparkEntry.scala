@@ -4302,6 +4302,66 @@ object SparkEntry {
         .orderBy("lang", "bucket")
     }),
 
+    "text_heaps_law" -> ((s, dir) => {
+      // Heaps'-law fit V(n) = K·nᵝ (Heaps 1978; Baeza-Yates &
+      // Ribeiro-Neto, Modern IR §6.5.3) over doc-id prefixes of
+      // 1/8, 1/4, 1/2, and the full corpus — the scaling-law
+      // telemetry that prices tokenizer vocabulary and OOV risk
+      // BEFORE a 10× crawl (β ≈ 0.5 means 10× tokens ⇒ ~3.2× vocab;
+      // the zipf_fit sibling grades the head, this grades the tail
+      // growth). ONE token pass: per-prefix token counts are four
+      // conditional sums, and per-prefix vocabulary needs no
+      // per-prefix distinct — a word is in prefix p's vocab iff its
+      // FIRST occurrence (min doc_id, one word-grain hash agg) falls
+      // inside, so vocab is four conditional counts over the
+      // first-seen table. β is the 4-point log-log OLS slope, a
+      // fixed-shape double from exact BIGINTs (6dp-pinned — ln is
+      // the one transcendental, same as the idf/KN precedent). The
+      // gate corpus has a CLOSED vocabulary (31 types at every
+      // prefix), so β = 0 exactly — the verified answer here; the
+      // ScaleBench synth's per-replica suffixes open the vocabulary,
+      // which is precisely the growth this telemetry prices.
+      import s.implicits._
+      // prefixes relative to the table's OWN id range — the synth
+      // mirrors shift doc_ids, and a 0-based cut would select nothing
+      // (t=0 → ln 0 → NaN fit)
+      val mm = docs(s, dir).agg(min("doc_id"), max("doc_id")).head()
+      val (mn, mx) = (mm.getLong(0), mm.getLong(1))
+      val span = mx - mn + 1
+      val cuts = Seq(8L, 4L, 2L, 1L).map(f =>
+        (f, mn + math.ceil(span / f.toDouble).toLong))
+      val tok = docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.rawTokens(col("text"))).as("w"))
+      val firstSeen = tok.groupBy("w").agg(min("doc_id").as("fd"))
+      val tRow = tok.agg(
+        cuts.map { case (f, c) =>
+          sum(when(col("doc_id") < c, 1L).otherwise(0L)).as(s"t$f")
+        }.head, cuts.tail.map { case (f, c) =>
+          sum(when(col("doc_id") < c, 1L).otherwise(0L)).as(s"t$f")
+        }: _*).head()
+      val vRow = firstSeen.agg(
+        cuts.map { case (f, c) =>
+          sum(when(col("fd") < c, 1L).otherwise(0L)).as(s"v$f")
+        }.head, cuts.tail.map { case (f, c) =>
+          sum(when(col("fd") < c, 1L).otherwise(0L)).as(s"v$f")
+        }: _*).head()
+      val ts = (0 to 3).map(tRow.getLong)
+      val vs = (0 to 3).map(vRow.getLong)
+      val xs = ts.map(t => math.log(t.toDouble))
+      val ys = vs.map(v => math.log(v.toDouble))
+      val xb = (xs(0) + xs(1) + xs(2) + xs(3)) / 4.0
+      val yb = (ys(0) + ys(1) + ys(2) + ys(3)) / 4.0
+      val num = (xs(0) - xb) * (ys(0) - yb) + (xs(1) - xb) * (ys(1) - yb) +
+        (xs(2) - xb) * (ys(2) - yb) + (xs(3) - xb) * (ys(3) - yb)
+      val den = (xs(0) - xb) * (xs(0) - xb) + (xs(1) - xb) * (xs(1) - xb) +
+        (xs(2) - xb) * (xs(2) - xb) + (xs(3) - xb) * (xs(3) - xb)
+      val beta = round6(num / den)
+      cuts.zipWithIndex.map { case ((f, c), i) =>
+        (f, c, ts(i), vs(i), beta)
+      }.toDF("frac_denom", "cut_docs", "n_tokens", "vocab", "beta")
+        .orderBy(col("frac_denom").desc)
+    }),
+
     "text_repetition" -> ((s, dir) => {
       // Gopher-style repetition signals (Rae et al. 2021 §A1.1): the
       // quality filters an LLM pipeline applies AFTER language ID —
