@@ -1233,22 +1233,30 @@ FROM qb, qr, spl, wt"""
     * (Double.toString round-trips, so DuckDB parses the identical
     * bits).
     */
-  private lazy val lshTuningSql: String = {
+  /** A JVM double as a DuckDB DOUBLE literal: Double.toString
+    * round-trips, and the exponent marker (appended when absent)
+    * forces the parser to DOUBLE — a bare decimal literal becomes
+    * DECIMAL, whose DECIMAL→DOUBLE cast drifts 1 ulp (the r15
+    * dedup_lsh_tuning lesson, recorded in the verify skill).
+    */
+  private def dlit(v: Double): String = {
+    val s0 = v.toString
+    if (s0.contains('E') || s0.contains('e')) s0 else s0 + "e0"
+  }
+
+  /** The controlled-overlap LSH pair chain ending in
+    * `pp (a0..a31, b0..b31, j)` — shared by the `dedup_lsh_tuning` and
+    * `dedup_lsh_plan` mirrors (see [[graft.SparkEntry]]'s
+    * lshPairsMemo for the semantics).
+    */
+  private lazy val lshPairCtes: String = {
     val p = graft.ext.Dedup.MinhashP
     val (pa, pb) = graft.ext.Dedup.perms(32)
     val minExprs = (0 until 32)
       .map(i => s"min((${pa(i)} * h + ${pb(i)}) % $p) AS m$i").mkString(", ")
-    val candExpr = (0 until 16)
-      .map(bd => s"(a.m${2 * bd} = b.m${2 * bd} AND a.m${2 * bd + 1} = b.m${2 * bd + 1})")
-      .mkString(" OR ")
-    // e0-suffixed literals parse as DOUBLE directly — a bare decimal
-    // literal becomes DECIMAL, and DuckDB's DECIMAL→DOUBLE cast is not
-    // correctly rounded (observed 1-ulp drift on 0.999999998763461)
-    val theory = (0 to 9).map { d =>
-      val m = (d + 0.5) / 10.0
-      s"${1.0 - math.pow(1.0 - m * m, 16.0)}e0"
-    }.mkString("[", ", ", "]")
-    s"""WITH $hashedShingleCtes,
+    val aRen = (0 until 32).map(i => s"a.m$i AS a$i").mkString(", ")
+    val bRen = (0 until 32).map(i => s"b.m$i AS b$i").mkString(", ")
+    s"""$hashedShingleCtes,
       |hv AS (SELECT DISTINCT doc_id, ${md5Hash60Sql("g")} AS f FROM shr),
       |na AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_a FROM hv GROUP BY doc_id),
       |sga AS (SELECT doc_id, $minExprs FROM (SELECT doc_id, f % $p AS h FROM hv) GROUP BY doc_id),
@@ -1256,11 +1264,27 @@ FROM qb, qr, spl, wt"""
       |hb AS (SELECT doc_id, t, f FROM hv CROSS JOIN tt WHERE f % 10 < t),
       |nb AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS n_b FROM hb GROUP BY 1, 2),
       |sgb AS (SELECT doc_id, t, $minExprs FROM (SELECT doc_id, t, f % $p AS h FROM hb) GROUP BY doc_id, t),
-      |g AS (SELECT ($candExpr) AS is_cand,
-      |             least(CAST(floor((CAST(nb.n_b AS DOUBLE) / na.n_a) * 10.0) AS BIGINT), 9) AS decile
+      |pp AS MATERIALIZED (SELECT $aRen, $bRen, CAST(nb.n_b AS DOUBLE) / na.n_a AS j
       |      FROM sgb b JOIN sga a ON a.doc_id = b.doc_id
       |      JOIN nb ON nb.doc_id = b.doc_id AND nb.t = b.t
-      |      JOIN na ON na.doc_id = b.doc_id)
+      |      JOIN na ON na.doc_id = b.doc_id)""".stripMargin
+  }
+
+  private lazy val lshTuningSql: String = {
+    val candExpr = (0 until 16)
+      .map(bd => s"(a${2 * bd} = b${2 * bd} AND a${2 * bd + 1} = b${2 * bd + 1})")
+      .mkString(" OR ")
+    // e0-suffixed literals parse as DOUBLE directly — a bare decimal
+    // literal becomes DECIMAL, and DuckDB's DECIMAL→DOUBLE cast is not
+    // correctly rounded (observed 1-ulp drift on 0.999999998763461)
+    val theory = (0 to 9).map { d =>
+      val m = (d + 0.5) / 10.0
+      dlit(1.0 - math.pow(1.0 - m * m, 16.0))
+    }.mkString("[", ", ", "]")
+    s"""WITH $lshPairCtes,
+      |g AS (SELECT ($candExpr) AS is_cand,
+      |             least(CAST(floor(j * 10.0) AS BIGINT), 9) AS decile
+      |      FROM pp)
       |SELECT decile, CAST(count(*) AS BIGINT) AS n_pairs,
       |       CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
       |       CAST(sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS candidate_rate,
@@ -1268,8 +1292,46 @@ FROM qb, qr, spl, wt"""
       |FROM g GROUP BY decile ORDER BY decile""".stripMargin
   }
 
+  /** Mirror of `dedup_lsh_plan`: the shared pair chain, one 26-sum
+    * aggregate row, one UNION ALL branch per (bands, rows)
+    * factorization; rates unrounded exact-integer quotients, theory
+    * constants JVM-computed and e0-embedded.
+    */
+  private lazy val lshPlanSql: String = {
+    val configs = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+    def cand(b: Int, r: Int): String =
+      (0 until b).map(bd =>
+        "(" + (0 until r).map(i => s"a${bd * r + i} = b${bd * r + i}")
+          .mkString(" AND ") + ")")
+        .mkString(" OR ")
+    val sums = configs.flatMap { case (b, r) =>
+      Seq(
+        s"CAST(sum(CASE WHEN j < 0.3 AND (${cand(b, r)}) THEN 1 ELSE 0 END) AS BIGINT) AS lc_${b}_$r",
+        s"CAST(sum(CASE WHEN j >= 0.8 AND (${cand(b, r)}) THEN 1 ELSE 0 END) AS BIGINT) AS hc_${b}_$r")
+    } ++ Seq(
+      "CAST(sum(CASE WHEN j < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo",
+      "CAST(sum(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi")
+    def theory(jv: Double, b: Int, r: Int): String =
+      dlit(1.0 - math.pow(1.0 - math.pow(jv, r.toDouble), b.toDouble))
+    val rows = configs.map { case (b, r) =>
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |       n_lo AS n_lo_pairs, lc_${b}_$r AS n_lo_cand,
+         |       CAST(lc_${b}_$r AS DOUBLE) / n_lo AS lo_admission,
+         |       n_hi AS n_hi_pairs, hc_${b}_$r AS n_hi_cand,
+         |       CAST(hc_${b}_$r AS DOUBLE) / n_hi AS hi_recall,
+         |       ${theory(0.15, b, r)} AS theory_at_15,
+         |       ${theory(0.85, b, r)} AS theory_at_85
+         |FROM agg1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $lshPairCtes,
+      |agg1 AS (SELECT ${sums.mkString(", ")} FROM pp)
+      |$rows
+      |ORDER BY rows_per_band""".stripMargin
+  }
+
   val sql: Map[String, String] = oracleSqlBase ++ Map(
     "dedup_lsh_tuning" -> lshTuningSql,
+    "dedup_lsh_plan" -> lshPlanSql,
     // the salted decompositions are output-identical to their plain
     // forms by construction, so they share the SAME oracle text — the
     // gate then proves salted == DuckDB independently of the Scala

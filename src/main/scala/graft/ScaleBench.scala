@@ -436,7 +436,9 @@ object ScaleBench {
     // manifest-snapshot round trip: two N-sized writes + two reads
     "sink_time_travel",
     // Heaps fit: one token pass + one word-grain first-seen agg
-    "text_heaps_law")
+    "text_heaps_law",
+    // banding decision table: one 26-sum agg over the shared pair memo
+    "dedup_lsh_plan")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

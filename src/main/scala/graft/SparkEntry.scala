@@ -288,6 +288,44 @@ object SparkEntry {
     */
   private val sharedShingleRows = new DirMemo((s, dir) =>
     Dedup.shingleRows(docs(s, dir), k = 3, hashed = true).localCheckpoint())
+
+  /** Controlled-overlap LSH calibration pairs — each doc against its
+    * own shingle set thinned at the engine-independent rule
+    * fold % 10 < t (t = 1..9), with full 32-permutation signatures on
+    * BOTH sides (md5 fold mod P as the permutation input — every value
+    * oracle-reproducible) and the pair's exact Jaccard j = |kept|/|all|.
+    * Output: (doc_id, t, a0..a31, b0..b31, j) — 9·N bounded rows,
+    * shared by `dedup_lsh_tuning` and `dedup_lsh_plan` (one build per
+    * session×dir; the two signature aggs are the only heavy stages).
+    */
+  private val lshPairsMemo = new DirMemo((s, dir) => {
+    val P = Dedup.MinhashP
+    val (pa, pb) = Dedup.perms(32)
+    val hv = Caches.persist(sharedShingleRows(s, dir)
+      .select("doc_id", "shingle").distinct()
+      .select(col("doc_id"), col("shingle").as("f")))
+    val h = pmod(col("f"), lit(P))
+    val mins = (0 until 32).map(i =>
+      min(pmod(lit(pa(i)) * h + lit(pb(i)), lit(P))).as(s"m$i"))
+    val sigA = hv.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id") +:
+        (0 until 32).map(i => col(s"m$i").as(s"a$i")): _*)
+    val nA = hv.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
+    val hb = hv.select(col("doc_id"), col("f"),
+        explode(sequence(lit(1L), lit(9L))).as("t"))
+      .filter(pmod(col("f"), lit(10L)) < col("t"))
+    val sigB = hb.groupBy("doc_id", "t").agg(mins.head, mins.tail: _*)
+      .select(col("doc_id") +: col("t") +:
+        (0 until 32).map(i => col(s"m$i").as(s"b$i")): _*)
+    val nB = hb.groupBy("doc_id", "t").agg(count(lit(1)).as("n_b"))
+    sigB.join(sigA, Seq("doc_id"))
+      .join(nB, Seq("doc_id", "t")).join(nA, Seq("doc_id"))
+      .withColumn("j", col("n_b").cast("double") / col("n_a"))
+      .localCheckpoint()
+  })
+
+  private def lshSyntheticPairs(s: SparkSession, dir: String): DataFrame =
+    lshPairsMemo(s, dir)
   /** The memo above wrapped in its build-parameter tag — consumers
     * `require` the (k, hashed) to match their own arguments (r6 ADVICE;
     * see [[Dedup.ShingledRows]]).
@@ -779,6 +817,7 @@ object SparkEntry {
     ccMemo.reset()
     sharedMinhashPairs.reset()
     sharedShingleRows.reset()
+    lshPairsMemo.reset()
     semanticDropsMemo.reset()
     lmScoresMemo.reset()
     cappedPostingsMemo.reset()
@@ -2875,25 +2914,6 @@ object SparkEntry {
       // paired against its own shingle set thinned by the
       // engine-independent rule fold % 10 < t (t = 1..9): the pair's
       // exact Jaccard is |kept|/|all| ≈ t/10, populating every decile.
-      val P = Dedup.MinhashP
-      val (pa, pb) = Dedup.perms(32)
-      val hv = Caches.persist(sharedShingleRows(s, dir)
-        .select("doc_id", "shingle").distinct()
-        .select(col("doc_id"), col("shingle").as("f")))
-      val h = pmod(col("f"), lit(P))
-      val mins = (0 until 32).map(i =>
-        min(pmod(lit(pa(i)) * h + lit(pb(i)), lit(P))).as(s"m$i"))
-      val sigA = hv.groupBy("doc_id").agg(mins.head, mins.tail: _*)
-        .select(col("doc_id") +:
-          (0 until 32).map(i => col(s"m$i").as(s"a$i")): _*)
-      val nA = hv.groupBy("doc_id").agg(count(lit(1)).as("n_a"))
-      val hb = hv.select(col("doc_id"), col("f"),
-          explode(sequence(lit(1L), lit(9L))).as("t"))
-        .filter(pmod(col("f"), lit(10L)) < col("t"))
-      val sigB = hb.groupBy("doc_id", "t").agg(mins.head, mins.tail: _*)
-        .select(col("doc_id") +: col("t") +:
-          (0 until 32).map(i => col(s"m$i").as(s"b$i")): _*)
-      val nB = hb.groupBy("doc_id", "t").agg(count(lit(1)).as("n_b"))
       val isCand = (0 until 16).map(bd =>
           col(s"a${2 * bd}") === col(s"b${2 * bd}") &&
             col(s"a${2 * bd + 1}") === col(s"b${2 * bd + 1}"))
@@ -2902,10 +2922,8 @@ object SparkEntry {
         val m = (d + 0.5) / 10.0
         1.0 - math.pow(1.0 - m * m, 16.0)
       }
-      sigB.join(sigA, Seq("doc_id"))
-        .join(nB, Seq("doc_id", "t")).join(nA, Seq("doc_id"))
-        .select(isCand.as("is_cand"),
-          (col("n_b").cast("double") / col("n_a")).as("j"))
+      lshSyntheticPairs(s, dir)
+        .select(isCand.as("is_cand"), col("j"))
         .withColumn("decile",
           least(floor(col("j") * 10.0).cast("long"), lit(9L)))
         .groupBy("decile")
@@ -2916,6 +2934,53 @@ object SparkEntry {
         .withColumn("theoretical_p",
           element_at(array(theory.map(lit): _*), (col("decile") + 1).cast("int")))
         .orderBy("decile")
+    }),
+
+    "dedup_lsh_plan" -> ((s, dir) => {
+      // ACT on the S-curve audit (the fix-beside-the-audit
+      // convention): the banding-parameter DECISION TABLE. For every
+      // (bands, rows) factorization of the 32-hash signature, measure
+      // on the same controlled-overlap pairs what the serving pipeline
+      // would experience — NOISE ADMISSION (candidate rate at J < 0.3:
+      // each admitted pair costs an exact-Jaccard verify at 100 TB)
+      // and RECALL at the dedup threshold (J ≥ 0.8) — next to the
+      // closed-form 1−(1−Jʳ)ᵇ at the band midpoints. The operator
+      // picks the row with recall ≥ its target and the lowest
+      // admission; today's (16, 2) shows why it's the default. One
+      // agg over the shared memoized pair table (24 conditional sums);
+      // rates are unrounded exact-integer quotients, theory constants
+      // JVM-computed and e0-embedded.
+      import s.implicits._
+      val configs = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+      def cand(b: Int, r: Int): Column =
+        (0 until b).map(bd =>
+          (0 until r).map(i =>
+            col(s"a${bd * r + i}") === col(s"b${bd * r + i}"))
+            .reduce(_ && _))
+          .reduce(_ || _)
+      val sums = configs.flatMap { case (b, r) =>
+        Seq(
+          sum(when(col("j") < 0.3 && cand(b, r), 1L).otherwise(0L))
+            .as(s"lc_${b}_$r"),
+          sum(when(col("j") >= 0.8 && cand(b, r), 1L).otherwise(0L))
+            .as(s"hc_${b}_$r"))
+      } ++ Seq(
+        sum(when(col("j") < 0.3, 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("j") >= 0.8, 1L).otherwise(0L)).as("n_hi"))
+      val row = lshSyntheticPairs(s, dir).agg(sums.head, sums.tail: _*).head()
+      val nLo = row.getAs[Long]("n_lo"); val nHi = row.getAs[Long]("n_hi")
+      def theory(jv: Double, b: Int, r: Int): Double =
+        1.0 - math.pow(1.0 - math.pow(jv, r.toDouble), b.toDouble)
+      configs.map { case (b, r) =>
+        val lc = row.getAs[Long](s"lc_${b}_$r")
+        val hc = row.getAs[Long](s"hc_${b}_$r")
+        (b.toLong, r.toLong, nLo, lc, lc.toDouble / nLo,
+          nHi, hc, hc.toDouble / nHi,
+          theory(0.15, b, r), theory(0.85, b, r))
+      }.toDF("bands", "rows_per_band", "n_lo_pairs", "n_lo_cand",
+          "lo_admission", "n_hi_pairs", "n_hi_cand", "hi_recall",
+          "theory_at_15", "theory_at_85")
+        .orderBy(col("rows_per_band"))
     }),
 
     "dedup_minhash" -> ((s, dir) =>
