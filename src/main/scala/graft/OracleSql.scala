@@ -4428,6 +4428,25 @@ FROM qb, qr, spl, wt"""
         |       ex.exact_jaccard
         |FROM m, u, ex""".stripMargin,
 
+    "ts_ar1_backtest" ->
+      // the ts_acf lag-1 chain (9dp mean, 6dp φ), then the one-step
+      // prediction join over the last 28 days; the two error sums are
+      // O(1)-term float accumulations under the 6dp pin
+      s"""WITH $dailyCentsCte,
+        |base AS (SELECT day_us, CAST(cents AS DOUBLE) / 100000000.0 AS ys FROM d0),
+        |mu AS (SELECT round(avg(ys), 9) AS mu FROM base),
+        |dev AS (SELECT day_us, ys - mu.mu AS d FROM base, mu),
+        |den AS (SELECT sum(d * d) AS den FROM dev),
+        |num AS (SELECT sum(a.d * b.d) AS num FROM dev a JOIN dev b ON b.day_us = a.day_us + 86400000000),
+        |ph AS (SELECT round(num.num / den.den, 6) AS phi FROM num, den),
+        |mx AS (SELECT max(day_us) AS mx FROM base),
+        |w AS (SELECT b.ys, p.ys AS prev FROM base b JOIN base p ON p.day_us = b.day_us - 86400000000, mx
+        |      WHERE b.day_us > mx.mx - 2419200000000)
+        |SELECT CAST(count(*) AS BIGINT) AS n_days, ph.phi,
+        |       round(sqrt(sum((w.ys - (mu.mu + ph.phi * (w.prev - mu.mu))) * (w.ys - (mu.mu + ph.phi * (w.prev - mu.mu)))) / count(*)) * 1000000.0, 6) AS rmse_ar1_dollars,
+        |       round(sqrt(sum((w.ys - w.prev) * (w.ys - w.prev)) / count(*)) * 1000000.0, 6) AS rmse_naive_dollars
+        |FROM w, ph, mu GROUP BY ph.phi""".stripMargin,
+
     "ts_acf" ->
       // mirrors TimeSeries.acf: series pre-scaled to O(1)
       // (cents/10⁸), mean pinned to 9dp, pairs by calendar lag, final

@@ -438,7 +438,9 @@ object ScaleBench {
     // Heaps fit: one token pass + one word-grain first-seen agg
     "text_heaps_law",
     // banding decision table: one 26-sum agg over the shared pair memo
-    "dedup_lsh_plan")
+    "dedup_lsh_plan",
+    // AR(1) backtest: two calendar-key self-joins, calendar-bounded
+    "ts_ar1_backtest")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

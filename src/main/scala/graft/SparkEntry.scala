@@ -5393,6 +5393,53 @@ object SparkEntry {
           col("exact_jaccard"))
     }),
 
+    "ts_ar1_backtest" -> ((s, dir) => {
+      // AR(1) one-step backtest (Box & Jenkins 1970 ch. 3 — for AR(1)
+      // the Yule-Walker estimate is just φ̂ = r₁): the autoregressive
+      // model class missing beside ts_forecast_backtest's
+      // naive/seasonal/MA baselines. x̂_t = μ + φ(x_{t−1} − μ) with φ
+      // = the lag-1 autocorrelation (the ts_acf chain at lag 1,
+      // 6dp-pinned) and μ the 9dp-pinned mean; AR(1) vs naive RMSE
+      // over the last 28 days, in dollars — mean-reversion either
+      // beats persistence or φ ≈ 1 says the series is a random walk.
+      // Determinism: the series pre-scales to O(1) (cents/10⁸); the
+      // float accumulations are the acf sums and the 28-term error
+      // sums, all O(1) terms under 6dp-pinned outputs (the ts_acf
+      // precedent). Scale: two self-joins on the calendar key + one
+      // aggregate — calendar-bounded like every ts_* query.
+      val dayUs = 86400000000L
+      val base = Caches.persist(dailyOrderCents(s, dir)
+        .select(col("day_us"),
+          (col("cents").cast("double") / 100000000.0).as("ys")))
+      val mu = base.agg(round(avg("ys"), 9).as("mu"))
+      val dev = Caches.persist(base.crossJoin(broadcast(mu))
+        .select(col("day_us"), (col("ys") - col("mu")).as("d")))
+      val den = dev.agg(sum(col("d") * col("d")).as("den"))
+      val num = dev
+        .select((col("day_us") + lit(dayUs)).as("day_us"), col("d").as("d0"))
+        .join(dev.select(col("day_us"), col("d").as("d1")), Seq("day_us"))
+        .agg(sum(col("d0") * col("d1")).as("num"))
+      val phi = broadcast(num.crossJoin(broadcast(den))
+        .select(round(col("num") / col("den"), 6).as("phi")))
+      val mx = broadcast(base.agg(max("day_us").as("mx")))
+      val prev = base.select((col("day_us") + lit(dayUs)).as("day_us"),
+        col("ys").as("prev"))
+      val eAr = col("ys") - (col("mu") + col("phi") * (col("prev") - col("mu")))
+      val eNv = col("ys") - col("prev")
+      base.join(prev, Seq("day_us"))
+        .crossJoin(mx)
+        .filter(col("day_us") > col("mx") - lit(28L * dayUs))
+        .crossJoin(phi).crossJoin(broadcast(mu))
+        .agg(count(lit(1)).as("n_days"),
+          sum(eAr * eAr).as("se_ar1"), sum(eNv * eNv).as("se_naive"))
+        .crossJoin(phi)
+        .select(col("n_days"), col("phi"),
+          round(sqrt(col("se_ar1") / col("n_days")) * 1000000.0, 6)
+            .as("rmse_ar1_dollars"),
+          round(sqrt(col("se_naive") / col("n_days")) * 1000000.0, 6)
+            .as("rmse_naive_dollars"))
+    }),
+
     "ts_acf" -> ((s, dir) =>
       // autocorrelation of daily revenue at lags 1..14
       // (ext/TimeSeries.acf): the bounded lag fan-out + one equi-join
