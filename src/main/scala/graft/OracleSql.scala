@@ -315,6 +315,45 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
     (0 until merges).reverse.foldLeft(expr)((s, j) =>
       s"replace($s, '${('0' + j).toChar}', (SELECT pr FROM t${j + 1}))")
 
+  /** `merges` unrolled LARGE-BPE training rounds over the DISTINCT
+    * `(word, count)` vocabulary (mirror of
+    * [[graft.ext.BpeTrainer.trainVocab]]): per round k, weighted pair
+    * counts `bp_k`, the (n DESC, pr) winner `bt_k`, and the rewritten
+    * vocab `v_k` with identical-rewrite collisions re-summed. Merge
+    * k's symbol is `chr(255 + k)` (U+0100..), matching
+    * [[graft.functions.BpeEncode.symbolFor]]. Rounds past the
+    * corpus's merge closure degrade to no-ops (`coalesce(..., chr(1))`
+    * — U+0001 never occurs, so an empty winner leaves the vocab
+    * unchanged and emits no row), mirroring the trainer's early stop.
+    * Every CTE is MATERIALIZED (the DuckDB inlining lesson); the
+    * chain depth is bounded ≲ 200 by DuckDB's max_expression_depth.
+    */
+  private def bpeLargeCtes(merges: Int): String = {
+    require(merges <= 180, "DuckDB expression-depth cap on the CTE chain")
+    val head =
+      """vwl AS MATERIALIZED (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS word
+        |             FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS c FROM vwl GROUP BY word)""".stripMargin
+    val rounds = (1 to merges).map { k =>
+      s"""bp$k AS MATERIALIZED (SELECT pr, CAST(sum(c) AS BIGINT) AS n FROM
+         |         (SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pr, c
+         |          FROM v${k - 1} WHERE len(word) >= 2)
+         |       GROUP BY pr),
+         |bt$k AS MATERIALIZED (SELECT CAST($k AS BIGINT) AS rank, pr, n FROM bp$k ORDER BY n DESC, pr LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT replace(word, coalesce((SELECT pr FROM bt$k), chr(1)), chr(${255 + k})) AS word, CAST(sum(c) AS BIGINT) AS c FROM v${k - 1} GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    head + ",\n" + rounds
+  }
+
+  /** Depth-`d` large-BPE encode of `expr` — the first d merges applied
+    * in training order (nested leftmost non-overlapping `replace`,
+    * exactly [[graft.functions.BpeEncode]]'s loop).
+    */
+  private def bpeLargeEncodeSql(expr: String, depth: Int): String =
+    (1 to depth).foldLeft(expr)((s, k) =>
+      s"replace($s, coalesce((SELECT pr FROM bt$k), chr(1)), chr(${255 + k}))")
+
   /** Full-Louvain mirror generator (`graph_louvain_full`): unrolls
     * `levels` (move, condense, telemetry) blocks of the
     * graph_louvain_phase2 chain over the co-purchase graph, ending in
@@ -2621,7 +2660,7 @@ FROM qb, qr, spl, wt"""
         |cnt AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs FROM a1 GROUP BY cluster),
         |tt AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS c FROM cnt)
         |SELECT cluster, n_vecs,
-        |       round(CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+        |       CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE) AS share,
         |       n_vecs * c > 2 * n AS overloaded
         |FROM cnt, tt ORDER BY cluster""".stripMargin,
 
@@ -2636,7 +2675,7 @@ FROM qb, qr, spl, wt"""
         |cnt2 AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs FROM fin GROUP BY cluster),
         |tt2 AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS c FROM cnt2)
         |SELECT cluster, n_vecs,
-        |       round(CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS share,
+        |       CAST(n_vecs AS DOUBLE) / CAST(n AS DOUBLE) AS share,
         |       n_vecs * c > 2 * n AS overloaded
         |FROM cnt2, tt2 ORDER BY cluster""".stripMargin,
 
@@ -2676,7 +2715,7 @@ FROM qb, qr, spl, wt"""
         |h AS (SELECT ex.query_id, CAST(count(*) AS BIGINT) AS n_hits
         |      FROM ex JOIN ap USING (query_id, vec_id) GROUP BY ex.query_id)
         |SELECT qv.query_id, COALESCE(h.n_hits, 0) AS n_hits,
-        |       round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+        |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0e0 AS recall_at_5
         |FROM qv LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
 
     "curate_epoch_reshuffle" ->
@@ -2688,7 +2727,7 @@ FROM qb, qr, spl, wt"""
         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
         |       CAST(sum(CASE WHEN shard1 = shard THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
-        |       round(CAST(sum(CASE WHEN shard1 = shard THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS frac_stayed
+        |       CAST(sum(CASE WHEN shard1 = shard THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS frac_stayed
         |FROM b GROUP BY shard ORDER BY shard""".stripMargin,
 
     "curate_dsir_weights" ->
@@ -2751,7 +2790,7 @@ FROM qb, qr, spl, wt"""
         |         FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
         |         WHERE source NOT IN ('src0', 'src1')),
         |bud AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS lang_tokens FROM pool GROUP BY lang),
-        |rt AS (SELECT lang, round(CAST((SELECT min(lang_tokens) FROM bud) AS DOUBLE) / lang_tokens, 6) AS keep_rate FROM bud),
+        |rt AS (SELECT lang, CAST((SELECT min(lang_tokens) FROM bud) AS DOUBLE) / lang_tokens AS keep_rate FROM bud),
         |kept AS (SELECT pool.doc_id, pool.lang, pool.source
         |         FROM pool JOIN rt USING (lang)
         |         WHERE CAST(${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS DOUBLE) / 1000.0 < rt.keep_rate),
@@ -3114,7 +3153,7 @@ FROM qb, qr, spl, wt"""
          |cm AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs FROM pd GROUP BY 1, 2),
          |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang FROM pd GROUP BY 1)
          |SELECT lang, pred_lang, n_docs,
-         |       round(CAST(n_docs AS DOUBLE) / n_lang, 6) AS share
+         |       CAST(n_docs AS DOUBLE) / n_lang AS share
          |FROM cm JOIN tot USING (lang) ORDER BY lang, pred_lang""".stripMargin,
 
     "tok_token_counts" ->
@@ -3230,8 +3269,8 @@ FROM qb, qr, spl, wt"""
         |      FROM wl)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
         |       CAST(sum(sb) AS BIGINT) AS sym_before, CAST(sum(sa) AS BIGINT) AS sym_after,
-        |       round(CAST(sum(sb) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility_before,
-        |       round(CAST(sum(sa) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility_after
+        |       CAST(sum(sb) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility_before,
+        |       CAST(sum(sa) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility_after
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin
     },
 
@@ -3251,8 +3290,8 @@ FROM qb, qr, spl, wt"""
         |      FROM w)
         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
         |       CAST(sum(sb) AS BIGINT) AS sym_before, CAST(sum(sa) AS BIGINT) AS sym_after,
-        |       round(CAST(sum(sb) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility_before,
-        |       round(CAST(sum(sa) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS fertility_after
+        |       CAST(sum(sb) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility_before,
+        |       CAST(sum(sa) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility_after
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "tok_bpe_apply" ->
@@ -4050,12 +4089,12 @@ FROM qb, qr, spl, wt"""
         |c AS (SELECT a.bin, CAST(sum(x.n) AS BIGINT) AS npred, CAST(sum(x.npos) AS BIGINT) AS tp
         |      FROM b a JOIN b x ON x.bin >= a.bin GROUP BY a.bin),
         |m AS (SELECT bin, npred, tp,
-        |             tp * 1.0 / npred AS pr,
-        |             tp * 1.0 / (SELECT pos FROM tot) AS rc
+        |             CAST(tp AS DOUBLE) / npred AS pr,
+        |             CAST(tp AS DOUBLE) / (SELECT pos FROM tot) AS rc
         |      FROM c)
-        |SELECT round(bin / 200.0, 6) AS threshold, tp, npred - tp AS fp,
+        |SELECT CAST(bin AS DOUBLE) / 200.0e0 AS threshold, tp, npred - tp AS fp,
         |       (SELECT pos FROM tot) - tp AS fn,
-        |       round(pr, 6) AS precision, round(rc, 6) AS recall,
+        |       pr AS precision, rc AS recall,
         |       round(CASE WHEN pr + rc = 0 THEN 0.0 ELSE 2 * pr * rc / (pr + rc) END, 6) AS f1
         |FROM m ORDER BY threshold""".stripMargin,
 
@@ -4896,10 +4935,10 @@ FROM qb, qr, spl, wt"""
         |                  CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks
         |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
         |b AS (SELECT lang, CAST(sum(n_toks) AS BIGINT) AS lang_tokens FROM t GROUP BY lang),
-        |r AS (SELECT lang, round(CAST((SELECT min(lang_tokens) FROM b) AS DOUBLE) / lang_tokens, 6) AS keep_rate FROM b)
+        |r AS (SELECT lang, CAST((SELECT min(lang_tokens) FROM b) AS DOUBLE) / lang_tokens AS keep_rate FROM b)
         |SELECT t.lang, CAST(count(*) AS BIGINT) AS n_docs_kept,
         |       CAST(sum(t.n_toks) AS BIGINT) AS tokens_kept,
-        |       round(avg(r.keep_rate), 6) AS keep_rate
+        |       min(r.keep_rate) AS keep_rate
         |FROM t JOIN r USING (lang)
         |WHERE CAST(${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 1000 AS DOUBLE) / 1000.0 < r.keep_rate
         |GROUP BY t.lang ORDER BY t.lang""".stripMargin,
@@ -4922,8 +4961,8 @@ FROM qb, qr, spl, wt"""
         |SELECT CAST(count(*) AS BIGINT) AS n_keys,
         |       CAST(sum(cnt) AS BIGINT) AS total_rows,
         |       CAST(max(cnt) AS BIGINT) AS max_key_rows,
-        |       round(max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE), 6) AS skew_factor,
-        |       round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top1_share
+        |       max(cnt) * count(*) / CAST(sum(cnt) AS DOUBLE) AS skew_factor,
+        |       max(cnt) / CAST(sum(cnt) AS DOUBLE) AS top1_share
         |FROM c""".stripMargin,
 
     "curate_dataset_card" ->
@@ -4934,7 +4973,7 @@ FROM qb, qr, spl, wt"""
         |       CAST(sum(n_toks) AS BIGINT) AS n_tokens,
         |       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
-        |       round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6) AS exact_dup_rate,
+        |       1.0e0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) AS exact_dup_rate,
         |       round(avg(CAST(n_toks AS DOUBLE)), 6) AS mean_doc_tokens
         |FROM t""".stripMargin,
 
@@ -4950,7 +4989,7 @@ FROM qb, qr, spl, wt"""
         |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM du GROUP BY day),
         |w AS (SELECT user_id, day + o.o AS day FROM du CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o),
         |wau AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM w GROUP BY day)
-        |SELECT day, dau, wau, round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+        |SELECT day, dau, wau, CAST(dau AS DOUBLE) / wau AS stickiness
         |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin,
 
     "curate_mix_weights" ->
@@ -4959,7 +4998,7 @@ FROM qb, qr, spl, wt"""
         |c AS (SELECT lang, source, CAST(sum(n_toks) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_docs
         |      FROM t GROUP BY lang, source)
         |SELECT lang, source, n_tokens, n_docs,
-        |       round(CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM c), 6) AS share
+        |       CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM c) AS share
         |FROM c ORDER BY lang, source""".stripMargin,
 
     "curate_mix_temperature" ->
@@ -4972,7 +5011,7 @@ FROM qb, qr, spl, wt"""
         |w AS (SELECT lang, source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w FROM g),
         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, round(sum(w), 6) AS total_w FROM w)
         |SELECT lang, source, n_tokens,
-        |       round(CAST(n_tokens AS DOUBLE) / total, 6) AS nat_share,
+        |       CAST(n_tokens AS DOUBLE) / total AS nat_share,
         |       round(w / total_w, 6) AS temp_share,
         |       round((w / total_w) / (CAST(n_tokens AS DOUBLE) / total), 6) AS boost
         |FROM w CROSS JOIN tot ORDER BY lang, source""".stripMargin,
@@ -5223,8 +5262,8 @@ FROM qb, qr, spl, wt"""
          |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams FROM sh WHERE bucket < 8 GROUP BY doc_id),
          |hit AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap FROM sh s JOIN bench USING (shingle) WHERE s.bucket < 8 GROUP BY s.doc_id)
          |SELECT t.doc_id, n_grams, COALESCE(n_overlap, 0) AS n_overlap,
-         |       round(COALESCE(n_overlap, 0) * 1.0 / n_grams, 6) AS overlap_frac,
-         |       CAST(CASE WHEN COALESCE(n_overlap, 0) * 1.0 / n_grams > 0.2 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+         |       CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_grams AS overlap_frac,
+         |       CAST(CASE WHEN CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_grams > 0.2e0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
          |FROM tot t LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "decon_report" ->
@@ -5264,7 +5303,7 @@ FROM qb, qr, spl, wt"""
         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_chunks FROM ch JOIN dup USING (fp) GROUP BY doc_id),
         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY doc_id)
         |SELECT t.doc_id, n_chunks, COALESCE(n_dup_chunks, 0) AS n_dup_chunks,
-        |       round(COALESCE(n_dup_chunks, 0) * 1.0 / n_chunks, 6) AS dup_frac
+        |       CAST(COALESCE(n_dup_chunks, 0) AS DOUBLE) / n_chunks AS dup_frac
         |FROM tot t LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "chunk_tokens" ->
@@ -5472,13 +5511,13 @@ FROM qb, qr, spl, wt"""
         |       FROM t GROUP BY doc_id),
         |sy AS (SELECT doc_id, CAST(len(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) AS n_sym FROM d)
         |SELECT st.doc_id, n_words, mean_word_len, stop_hits,
-        |       round(n_sym / n_words, 6) AS symbol_ratio,
+        |       n_sym / n_words AS symbol_ratio,
         |       n_words BETWEEN 50 AND 100000 AS ok_count,
         |       mean_word_len BETWEEN 3.0 AND 10.0 AS ok_len,
-        |       round(n_sym / n_words, 6) <= 0.1 AS ok_symbols,
+        |       n_sym / n_words <= 0.1e0 AS ok_symbols,
         |       stop_hits >= 2 AS ok_stop,
         |       (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
-        |         AND (round(n_sym / n_words, 6) <= 0.1) AND (stop_hits >= 2) AS keep
+        |         AND (n_sym / n_words <= 0.1e0) AND (stop_hits >= 2) AS keep
         |FROM st JOIN sy USING (doc_id) ORDER BY st.doc_id""".stripMargin,
 
     "sink_compaction" ->
@@ -5608,7 +5647,7 @@ FROM qb, qr, spl, wt"""
         |p AS (SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
         |      FROM g WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
         |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS row_total FROM p GROUP BY event_type)
-        |SELECT p.event_type, p.next_type, p.n, round(CAST(p.n AS DOUBLE) / t.row_total, 6) AS p
+        |SELECT p.event_type, p.next_type, p.n, CAST(p.n AS DOUBLE) / t.row_total AS p
         |FROM p JOIN t USING (event_type) ORDER BY p.event_type, p.next_type""".stripMargin,
 
     "events_heatmap" ->
@@ -6042,7 +6081,7 @@ FROM qb, qr, spl, wt"""
         |h AS (SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_hits
         |      FROM ex e JOIN ap USING (query_id, vec_id) GROUP BY e.query_id)
         |SELECT q.query_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
-        |       round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_5
+        |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0e0 AS recall_at_5
         |FROM (SELECT DISTINCT query_id FROM q) q LEFT JOIN h USING (query_id)
         |ORDER BY q.query_id""".stripMargin,
 
@@ -6128,8 +6167,8 @@ FROM qb, qr, spl, wt"""
         |bc AS (SELECT doc_id, bg, count(*) AS c FROM bi GROUP BY doc_id, bg),
         |ba AS (SELECT doc_id, sum(c) AS n_bi, max(c) AS top_bi FROM bc GROUP BY doc_id)
         |SELECT d.doc_id,
-        |       round(coalesce((ta.n_tri - ta.d_tri) * 1.0 / ta.n_tri, 0), 6) AS dup_trigram_frac,
-        |       round(coalesce(ba.top_bi * 1.0 / ba.n_bi, 0), 6) AS top_bigram_frac
+        |       coalesce(CAST(ta.n_tri - ta.d_tri AS DOUBLE) / ta.n_tri, 0.0e0) AS dup_trigram_frac,
+        |       coalesce(CAST(ba.top_bi AS DOUBLE) / ba.n_bi, 0.0e0) AS top_bigram_frac
         |FROM d LEFT JOIN ta USING (doc_id) LEFT JOIN ba USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -6693,8 +6732,8 @@ FROM qb, qr, spl, wt"""
         |       FROM idl WHERE r <= 10 GROUP BY word)
         |SELECT ds.word AS query_term, n_results,
         |       round(dcg / idcg, 6) AS ndcg10,
-        |       round(coalesce(1.0 / fr, 0.0), 6) AS mrr,
-        |       round(nrel / 10.0, 6) AS p10
+        |       coalesce(1.0e0 / fr, 0.0e0) AS mrr,
+        |       CAST(nrel AS DOUBLE) / 10.0e0 AS p10
         |FROM ds JOIN di ON ds.word = di.word
         |ORDER BY query_term""".stripMargin,
 
@@ -7004,7 +7043,7 @@ FROM qb, qr, spl, wt"""
         |       FROM tt t JOIN v c ON c.vec_id = t.vec_id JOIN q ON q.query_id = t.query_id
         |       GROUP BY t.query_id)
         |SELECT q.query_id, coalesce(h.n_hits, 0) AS n_hits,
-        |       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_10,
+        |       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0e0 AS recall_at_10,
         |       mc.mean_full_cos_of_trunc
         |FROM q LEFT JOIN h USING (query_id) LEFT JOIN mc ON mc.query_id = q.query_id
         |ORDER BY q.query_id""".stripMargin,
@@ -7017,16 +7056,16 @@ FROM qb, qr, spl, wt"""
         |lt AS (SELECT label AS c, CAST(sum(n) AS BIGINT) AS support FROM conf GROUP BY label),
         |pt AS (SELECT pred AS c, CAST(sum(n) AS BIGINT) AS ptotal FROM conf GROUP BY pred),
         |tp AS (SELECT label AS c, CAST(sum(n) AS BIGINT) AS tp FROM conf WHERE label = pred GROUP BY label),
-        |a AS (SELECT round(CAST(sum(CASE WHEN label = pred THEN n ELSE 0 END) AS DOUBLE)
-        |                   / CAST(sum(n) AS DOUBLE), 6) AS accuracy FROM conf),
+        |a AS (SELECT CAST(sum(CASE WHEN label = pred THEN n ELSE 0 END) AS DOUBLE)
+        |             / CAST(sum(n) AS DOUBLE) AS accuracy FROM conf),
         |j AS (SELECT cls.c, coalesce(lt.support, 0) AS support,
         |             coalesce(pt.ptotal, 0) AS ptotal, coalesce(tp.tp, 0) AS tp
         |      FROM cls LEFT JOIN lt USING (c) LEFT JOIN pt USING (c) LEFT JOIN tp USING (c)),
         |m AS (SELECT c, support, tp,
-        |             CASE WHEN ptotal = 0 THEN 0.0 ELSE tp * 1.0 / ptotal END AS p,
-        |             CASE WHEN support = 0 THEN 0.0 ELSE tp * 1.0 / support END AS r
+        |             CASE WHEN ptotal = 0 THEN 0.0e0 ELSE CAST(tp AS DOUBLE) / ptotal END AS p,
+        |             CASE WHEN support = 0 THEN 0.0e0 ELSE CAST(tp AS DOUBLE) / support END AS r
         |      FROM j)
-        |SELECT c AS label, support, round(p, 6) AS precision, round(r, 6) AS recall,
+        |SELECT c AS label, support, p AS precision, r AS recall,
         |       round(CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END, 6) AS f1,
         |       (SELECT accuracy FROM a) AS accuracy
         |FROM m ORDER BY label""".stripMargin,

@@ -3141,7 +3141,7 @@ object SparkEntry {
         count(lit(1)).as("c")))
       counts.crossJoin(tot)
         .select(col("cluster"), col("n_vecs"),
-          round(col("n_vecs").cast("double") / col("n").cast("double"), 6)
+          (col("n_vecs").cast("double") / col("n").cast("double"))
             .as("share"),
           (col("n_vecs") * col("c") > lit(2L) * col("n")).as("overloaded"))
         .orderBy("cluster")
@@ -3166,7 +3166,7 @@ object SparkEntry {
         count(lit(1)).as("c")))
       counts2.crossJoin(tot2)
         .select(col("cluster"), col("n_vecs"),
-          round(col("n_vecs").cast("double") / col("n").cast("double"), 6)
+          (col("n_vecs").cast("double") / col("n").cast("double"))
             .as("share"),
           (col("n_vecs") * col("c") > lit(2L) * col("n")).as("overloaded"))
         .orderBy("cluster")
@@ -3200,7 +3200,7 @@ object SparkEntry {
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          round(coalesce(col("n_hits"), lit(0L)) / lit(5.0), 6)
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0))
             .as("recall_at_5"))
         .orderBy("query_id")
     }),
@@ -3342,7 +3342,7 @@ object SparkEntry {
           sum(when(col("shard1") === col("shard"), 1L).otherwise(0L))
             .as("n_stayed"))
         .withColumn("frac_stayed",
-          round(col("n_stayed").cast("double") / col("n_docs").cast("double"), 6))
+          col("n_stayed").cast("double") / col("n_docs").cast("double"))
         .orderBy("shard")
     }),
 
@@ -3394,7 +3394,7 @@ object SparkEntry {
       val budgets = toks.groupBy("lang").agg(sum("n_toks").as("lang_tokens"))
       val minBudget = budgets.agg(min("lang_tokens")).head().getLong(0)
       val rates = budgets.select(col("lang"),
-        round(lit(minBudget).cast("double") / col("lang_tokens"), 6)
+        (lit(minBudget).cast("double") / col("lang_tokens"))
           .as("keep_rate"))
       val kept = toks.join(broadcast(rates), Seq("lang"))
         .filter(pmod(Dedup.md5Hash60(col("doc_id").cast("string")),
@@ -3597,7 +3597,7 @@ object SparkEntry {
         .join(hits, Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          round(coalesce(col("n_hits"), lit(0L)) / lit(5.0), 6).as("recall_at_5"))
+          (coalesce(col("n_hits"), lit(0L)) / lit(5.0)).as("recall_at_5"))
         .orderBy("query_id")
     }),
 
@@ -3860,7 +3860,7 @@ object SparkEntry {
       val tot = cm.groupBy("lang").agg(sum("n_docs").as("n_lang"))
       cm.join(broadcast(tot), Seq("lang"))
         .withColumn("share",
-          round(col("n_docs").cast("double") / col("n_lang"), 6))
+          col("n_docs").cast("double") / col("n_lang"))
         .select("lang", "pred_lang", "n_docs", "share")
         .orderBy("lang", "pred_lang")
     }),
@@ -4097,7 +4097,7 @@ object SparkEntry {
       val bench = d.filter(col("bucket") >= 8).drop("bucket")
       Contamination.ngramOverlap(train, bench, k = 3)
         .withColumn("overlap_frac",
-          round(col("n_overlap").cast("double") / col("n_grams"), 6))
+          col("n_overlap").cast("double") / col("n_grams"))
         .withColumn("contaminated",
           when(col("n_overlap").cast("double") / col("n_grams") > 0.2, 1L)
             .otherwise(0L))
@@ -4165,7 +4165,7 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chunks"),
           coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"))
         .withColumn("dup_frac",
-          round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6))
+          col("n_dup_chunks").cast("double") / col("n_chunks"))
         .orderBy("doc_id")
     }),
 
@@ -4455,10 +4455,10 @@ object SparkEntry {
         .join(tri, Seq("doc_id"), "left")
         .join(bi, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          round(coalesce((col("n_tri") - col("d_tri")).cast("double") / col("n_tri"),
-            lit(0.0)), 6).as("dup_trigram_frac"),
-          round(coalesce(col("top_bi").cast("double") / col("n_bi"),
-            lit(0.0)), 6).as("top_bigram_frac"))
+          coalesce((col("n_tri") - col("d_tri")).cast("double") / col("n_tri"),
+            lit(0.0)).as("dup_trigram_frac"),
+          coalesce(col("top_bi").cast("double") / col("n_bi"),
+            lit(0.0)).as("top_bigram_frac"))
         .orderBy("doc_id")
     }),
 
@@ -5757,10 +5757,10 @@ object SparkEntry {
       val pr = col("tp") * lit(1.0) / col("npred")
       val rc = col("tp") * lit(1.0) / lit(pos.toDouble)
       cum.withColumn("pr", pr).withColumn("rc", rc)
-        .select(round(col("bin") / lit(200.0), 6).as("threshold"),
+        .select((col("bin") / lit(200.0)).as("threshold"),
           col("tp"), (col("npred") - col("tp")).as("fp"),
           (lit(pos) - col("tp")).as("fn"),
-          round(col("pr"), 6).as("precision"), round(col("rc"), 6).as("recall"),
+          col("pr").as("precision"), col("rc").as("recall"),
           round(when(col("pr") + col("rc") === 0, lit(0.0))
             .otherwise(lit(2) * col("pr") * col("rc") / (col("pr") + col("rc"))), 6)
             .as("f1"))
@@ -6387,10 +6387,10 @@ object SparkEntry {
           sum("sb").as("sym_before"), sum("sa").as("sym_after"))
         .select(col("lang"), col("n_words"), col("sym_before"),
           col("sym_after"),
-          round(col("sym_before").cast("double") /
-            col("n_words").cast("double"), 6).as("fertility_before"),
-          round(col("sym_after").cast("double") /
-            col("n_words").cast("double"), 6).as("fertility_after"))
+          (col("sym_before").cast("double") /
+            col("n_words").cast("double")).as("fertility_before"),
+          (col("sym_after").cast("double") /
+            col("n_words").cast("double")).as("fertility_after"))
         .orderBy("lang")
     }),
 
@@ -6495,10 +6495,10 @@ object SparkEntry {
           sum("sb").as("sym_before"), sum("sa").as("sym_after"))
         .select(col("lang"), col("n_words"), col("sym_before"),
           col("sym_after"),
-          round(col("sym_before").cast("double") /
-            col("n_words").cast("double"), 6).as("fertility_before"),
-          round(col("sym_after").cast("double") /
-            col("n_words").cast("double"), 6).as("fertility_after"))
+          (col("sym_before").cast("double") /
+            col("n_words").cast("double")).as("fertility_before"),
+          (col("sym_after").cast("double") /
+            col("n_words").cast("double")).as("fertility_after"))
         .orderBy("lang")
     }),
 
@@ -7255,7 +7255,7 @@ object SparkEntry {
       val budgets = toks.groupBy("lang").agg(sum("n_toks").as("lang_tokens"))
       val minBudget = budgets.agg(min("lang_tokens")).head().getLong(0)
       val rates = budgets.select(col("lang"),
-        round(lit(minBudget).cast("double") / col("lang_tokens"), 6).as("keep_rate"))
+        (lit(minBudget).cast("double") / col("lang_tokens")).as("keep_rate"))
       toks
         .join(broadcast(rates), Seq("lang"))
         // bucket ∈ [0, 1) with 3-digit resolution — kept iff below rate
@@ -7264,7 +7264,7 @@ object SparkEntry {
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs_kept"),
           sum("n_toks").as("tokens_kept"),
-          round(avg("keep_rate"), 6).as("keep_rate"))
+          min("keep_rate").as("keep_rate"))
         .orderBy("lang")
     }),
 
@@ -7301,9 +7301,9 @@ object SparkEntry {
       c.agg(count(lit(1)).as("n_keys"), sum("cnt").as("total_rows"),
           max("cnt").as("max_key_rows"))
         .select(col("n_keys"), col("total_rows"), col("max_key_rows"),
-          round(col("max_key_rows") * col("n_keys")
-            / col("total_rows").cast("double"), 6).as("skew_factor"),
-          round(col("max_key_rows") / col("total_rows").cast("double"), 6)
+          (col("max_key_rows") * col("n_keys")
+            / col("total_rows").cast("double")).as("skew_factor"),
+          (col("max_key_rows") / col("total_rows").cast("double"))
             .as("top1_share"))
     }),
 
@@ -7320,7 +7320,7 @@ object SparkEntry {
           sum("n_toks").as("n_tokens"),
           countDistinct("lang").as("n_langs"),
           countDistinct("source").as("n_sources"),
-          round(lit(1.0) - countDistinct("fp").cast("double") / count(lit(1)), 6)
+          (lit(1.0) - countDistinct("fp").cast("double") / count(lit(1)))
             .as("exact_dup_rate"),
           round(avg("n_toks"), 6).as("mean_doc_tokens"))
     }),
@@ -7429,7 +7429,7 @@ object SparkEntry {
       // days after the last event — the semi-join drops them)
       dau.join(wau, Seq("day"))
         .select(col("day"), col("dau"), col("wau"),
-          round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+          (col("dau").cast("double") / col("wau")).as("stickiness"))
         .orderBy("day")
     }),
 
@@ -7446,7 +7446,7 @@ object SparkEntry {
         .agg(sum("n_toks").as("n_tokens"), count(lit(1)).as("n_docs"))
       val total = counts.agg(sum("n_tokens")).head().getLong(0)
       counts
-        .withColumn("share", round(col("n_tokens").cast("double") / total, 6))
+        .withColumn("share", col("n_tokens").cast("double") / total)
         .orderBy("lang", "source")
     }),
 
@@ -7469,7 +7469,7 @@ object SparkEntry {
       val total = cached.agg(sum("n_tokens")).head().getLong(0)
       val totalW = round6(cached.agg(sum("w")).head().getDouble(0))
       cached.select(col("lang"), col("source"), col("n_tokens"),
-          round(col("n_tokens").cast("double") / total, 6).as("nat_share"),
+          (col("n_tokens").cast("double") / total).as("nat_share"),
           round(col("w") / totalW, 6).as("temp_share"),
           round((col("w") / totalW) /
             (col("n_tokens").cast("double") / total), 6).as("boost"))
@@ -7784,7 +7784,7 @@ object SparkEntry {
         length(regexp_replace(col("text"), "[a-z ]", "")).cast("double").as("n_sym"))
       st.join(sy, Seq("doc_id"))
         .select(col("doc_id"), col("n_words"), col("mean_word_len"), col("stop_hits"),
-          round(col("n_sym") / col("n_words"), 6).as("symbol_ratio"))
+          (col("n_sym") / col("n_words")).as("symbol_ratio"))
         .withColumn("ok_count", col("n_words").between(50, 100000))
         .withColumn("ok_len", col("mean_word_len").between(3.0, 10.0))
         .withColumn("ok_symbols", col("symbol_ratio") <= 0.1)
@@ -8052,7 +8052,7 @@ object SparkEntry {
       val totals = pairs.groupBy("event_type").agg(sum("n").as("row_total"))
       pairs.join(broadcast(totals), Seq("event_type"))
         .select(col("event_type"), col("next_type"), col("n"),
-          round(col("n").cast("double") / col("row_total"), 6).as("p"))
+          (col("n").cast("double") / col("row_total")).as("p"))
         .orderBy("event_type", "next_type")
     }),
 
@@ -8423,8 +8423,8 @@ object SparkEntry {
       ds.join(di, Seq("word"))
         .select(col("word").as("query_term"), col("n_results"),
           round(col("dcg") / col("idcg"), 6).as("ndcg10"),
-          round(coalesce(lit(1.0) / col("fr"), lit(0.0)), 6).as("mrr"),
-          round(col("nrel") / lit(10.0), 6).as("p10"))
+          coalesce(lit(1.0) / col("fr"), lit(0.0)).as("mrr"),
+          (col("nrel") / lit(10.0)).as("p10"))
         .orderBy("query_term")
     }),
 
@@ -8961,7 +8961,7 @@ object SparkEntry {
         .join(tq, Seq("query_id"), "left")
         .select(col("query_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          round(coalesce(col("n_hits"), lit(0L)) / lit(10.0), 6).as("recall_at_10"),
+          (coalesce(col("n_hits"), lit(0L)) / lit(10.0)).as("recall_at_10"),
           col("mean_full_cos_of_trunc"))
         .orderBy("query_id")
     }),
@@ -8976,8 +8976,8 @@ object SparkEntry {
       // zero_division convention.
       val conf = nbConfusionMemo(s, dir) // checkpointed; five subtrees scan it
       val acc = conf.agg(
-        round(sum(when(col("label") === col("pred"), col("n")).otherwise(0L))
-          .cast("double") / sum("n").cast("double"), 6).as("accuracy"))
+        (sum(when(col("label") === col("pred"), col("n")).otherwise(0L))
+          .cast("double") / sum("n").cast("double")).as("accuracy"))
       val cls = conf.select(col("label").as("c"))
         .union(conf.select(col("pred").as("c"))).distinct()
       val lt = conf.groupBy(col("label").as("c")).agg(sum("n").as("support"))
@@ -8995,7 +8995,7 @@ object SparkEntry {
         .otherwise(col("tp") * lit(1.0) / col("support"))
       j.withColumn("p", p).withColumn("r", r)
         .select(col("c").as("label"), col("support"),
-          round(col("p"), 6).as("precision"), round(col("r"), 6).as("recall"),
+          col("p").as("precision"), col("r").as("recall"),
           round(when(col("p") + col("r") === 0, lit(0.0))
             .otherwise(lit(2) * col("p") * col("r") / (col("p") + col("r"))), 6)
             .as("f1"))
