@@ -3294,6 +3294,36 @@ FROM qb, qr, spl, wt"""
         |       CAST(sum(sa) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS fertility_after
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "tok_bpe_train_large" ->
+      // the vocabulary-bounded trainer's merge table: 128 unrolled
+      // rounds over the distinct (word, count) table; rounds past the
+      // corpus's merge closure emit no row (empty bt_k), mirroring the
+      // trainer's early stop. unicode() reads each raw symbol's
+      // codepoint — the integer symbol ids the engine emits.
+      s"""WITH ${bpeLargeCtes(128)}
+        |SELECT rank, pr AS pair,
+        |       CAST(unicode(substr(pr, 1, 1)) AS BIGINT) AS left_id,
+        |       CAST(unicode(substr(pr, 2, 1)) AS BIGINT) AS right_id,
+        |       255 + rank AS new_id, n
+        |FROM (${(1 to 128).map(k => s"SELECT * FROM bt$k").mkString(" UNION ALL ")})
+        |ORDER BY rank""".stripMargin,
+
+    "tok_fertility_curve" ->
+      // fertility at ladder depths {0,8,16,32,64}: each depth's encode
+      // is the nested replace chain over the DISTINCT vocab (one row
+      // per word), symbol totals weighted back by word count; exact
+      // integer sums, unrounded exact-integer quotients
+      s"""WITH ${bpeLargeCtes(64)},
+        |enc AS (SELECT c, ${Seq(0, 8, 16, 32, 64).map(d =>
+            s"CAST(len(${bpeLargeEncodeSql("word", d)}) AS BIGINT) AS l$d")
+          .mkString(", ")} FROM v0),
+        |ag AS (SELECT CAST(sum(c) AS BIGINT) AS nw, ${Seq(0, 8, 16, 32, 64)
+          .map(d => s"CAST(sum(c * l$d) AS BIGINT) AS s$d").mkString(", ")} FROM enc)
+        |SELECT * FROM (${Seq(0, 8, 16, 32, 64).map(d =>
+            s"SELECT CAST($d AS BIGINT) AS depth, nw AS n_words, s$d AS n_syms, CAST(s$d AS DOUBLE) / nw AS fertility FROM ag")
+          .mkString(" UNION ALL ")})
+        |ORDER BY depth""".stripMargin,
+
     "tok_bpe_apply" ->
       // iteration-1 winner (count desc, pair asc) applied via replace
       // (leftmost non-overlapping in both engines), '0' carries the

@@ -440,7 +440,14 @@ object ScaleBench {
     // banding decision table: one 26-sum agg over the shared pair memo
     "dedup_lsh_plan",
     // AR(1) backtest: two calendar-key self-joins, calendar-bounded
-    "ts_ar1_backtest")
+    "ts_ar1_backtest",
+    // r16: large-BPE training (ONE corpus-sized (word,count) agg +
+    // a vocabulary-bounded driver loop — the ratio tests that the
+    // per-merge cost left the corpus; the suffixed synth grows the
+    // vocab ∝ factor and the budget caps at 128 rounds) and the
+    // fertility curve (the same vocab agg + a vocab-bounded 5-depth
+    // codegen encode — corpus-scan-bound by construction)
+    "tok_bpe_train_large", "tok_fertility_curve")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -111,6 +111,87 @@ object BpeTrainer {
       .map { case (r, raw, n) => Merge(r, raw, spell(raw), n) }
   }
 
+  /** One learned merge of the LARGE trainer: rank (1-based), the raw
+    * 2-symbol pair at its round (chars may be ≥ U+0100 — earlier merge
+    * symbols), and its weighted count at merge time. The new symbol is
+    * implicit: [[graft.functions.BpeEncode.symbolFor]](rank).
+    */
+  final case class LargeMerge(rank: Int, raw: String, n: Long)
+
+  /** Vocabulary-bounded BPE training (r15 VERDICT "what's missing"
+    * #1): ONE distributed pass builds the distinct `(word, count)`
+    * table — Heaps-bounded, the only corpus-sized work — and the merge
+    * loop then runs driver-side over that in-memory vocabulary,
+    * exactly how production trainers (Sennrich's subword-nmt,
+    * HuggingFace tokenizers) structure it. Per merge: overlapping
+    * adjacent pairs weighted by word count, winner by
+    * (count desc, pair asc — codepoint order, which UTF-8 byte order
+    * preserves, so DuckDB agrees), rewrite via leftmost
+    * non-overlapping `String.replace`, identical-rewrite collisions
+    * merged by summing counts. Merge k's symbol is the single char
+    * U+00FF+k ([[graft.functions.BpeEncode.symbolFor]]) — no digit
+    * placeholder, so the ladder is capped by the BMP, not by 10.
+    * Stops early when no pair remains (the corpus's full BPE closure).
+    *
+    * Scale: the corpus never rescans per merge. The vocabulary
+    * collect is guarded by `maxVocab`; past it a production run would
+    * pre-prune the long tail by count, which changes pair counts and
+    * therefore must be an explicit caller decision, not a silent cap.
+    */
+  def trainVocab(wordsIn: DataFrame, maxMerges: Int,
+      maxVocab: Int = 1 << 22): Seq[LargeMerge] = {
+    val rows = wordsIn.groupBy("word").agg(count(lit(1)).as("c"))
+      .collect()
+    require(rows.length <= maxVocab,
+      s"vocabulary ${rows.length} exceeds maxVocab $maxVocab — " +
+        "pre-prune the tail explicitly before training")
+    var vocab = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach(r => vocab.update(r.getString(0), r.getLong(1)))
+    val merges = Seq.newBuilder[LargeMerge]
+    var k = 0
+    var exhausted = false
+    while (k < maxMerges && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[String, Long]
+      vocab.foreach { case (w, c) =>
+        var i = 0
+        while (i + 1 < w.length) {
+          val p = w.substring(i, i + 2)
+          pc.update(p, pc.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        var bestP: String = null
+        var bestN = -1L
+        pc.foreach { case (p, n) =>
+          if (n > bestN || (n == bestN && p.compareTo(bestP) < 0)) {
+            bestP = p; bestN = n
+          }
+        }
+        merges += LargeMerge(k + 1, bestP, bestN)
+        val sym = graft.functions.BpeEncode.symbolFor(k + 1).toString
+        val next = scala.collection.mutable.HashMap.empty[String, Long]
+        vocab.foreach { case (w, c) =>
+          val r = w.replace(bestP, sym)
+          next.update(r, next.getOrElse(r, 0L) + c)
+        }
+        vocab = next
+        k += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Spell a large-ladder symbol stream back to a–z: expand merge
+    * symbols in DESCENDING rank order (a rank-k raw contains only
+    * symbols of rank < k). Inverse of the encode — round-trip is the
+    * training invariant the spec asserts.
+    */
+  def spellLarge(s: String, ladder: Seq[LargeMerge]): String =
+    ladder.reverseIterator.foldLeft(s)((acc, m) =>
+      acc.replace(graft.functions.BpeEncode.symbolFor(m.rank).toString, m.raw))
+
   /** Apply a trained ladder to a word column: each merge's raw pair →
     * its digit placeholder, IN TRAINING ORDER (leftmost non-overlapping
     * `replace` per step — BPE's encode rule). The result is the final
