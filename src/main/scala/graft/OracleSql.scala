@@ -399,10 +399,13 @@ sym$i AS MATERIALIZED (SELECT src, dst, w FROM e$p WHERE src <> dst
         UNION ALL SELECT dst AS src, src AS dst, w FROM e$p WHERE src <> dst),
 g$i AS MATERIALIZED (SELECT s.src AS v, s.dst AS u, 2 * wt.wtot * s.w - sv.st * su.st AS gain2
       FROM sym$i s JOIN stf$p sv ON sv.node = s.src JOIN stf$p su ON su.node = s.dst, wt),
-b$i AS (SELECT v, u, gain2 FROM (
+b$i AS MATERIALIZED (SELECT v, u, gain2 FROM (
         SELECT v, u, gain2, row_number() OVER (PARTITION BY v ORDER BY gain2 DESC, u ASC) AS rn
         FROM g$i) WHERE rn = 1),
-mvl$i AS (SELECT v AS node, CASE WHEN gain2 > 0 THEN u ELSE v END AS label FROM b$i),
+hld$i AS (SELECT x.v FROM b$i x JOIN b$i y ON y.v = x.u AND y.u = x.v
+        WHERE x.gain2 > 0 AND y.gain2 > 0 AND x.v < x.u),
+mvl$i AS (SELECT v AS node,
+        CASE WHEN gain2 > 0 AND v NOT IN (SELECT v FROM hld$i) THEN u ELSE v END AS label FROM b$i),
 alln$i AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e$p UNION ALL SELECT dst AS node FROM e$p)),
 lab$i AS MATERIALIZED (SELECT alln$i.node, COALESCE(mvl$i.label, alln$i.node) AS label
         FROM alln$i LEFT JOIN mvl$i USING (node)),

@@ -449,7 +449,27 @@ object Graph {
     * Nodes with no non-self edges (isolated communities) keep their
     * own label. Output: (node, label).
     */
-  def louvainMoveLabelsWithSelfLoops(edges: DataFrame): DataFrame = {
+  def louvainMoveLabelsWithSelfLoops(edges: DataFrame): DataFrame =
+    louvainMoveLabelsWithSelfLoops(edges, swapFree = false)
+
+  /** [[louvainMoveLabelsWithSelfLoops]] with an optional SWAP BREAK
+    * (r15 VERDICT "what's missing" #2): under the synchronous kernel
+    * two mutually-best nodes exchange labels forever — the partition
+    * never changes but n_moved never reaches 0 (measured: n_moved ≈
+    * |C| for 12 straight sf0.1 levels). `swapFree = true` applies the
+    * minimum-id defer rule of Lu, Halappanavar & Kalyanaraman
+    * (Parallel Computing 2015, §4.1): in a mutual-best pair the
+    * SMALLER node holds its label, so the larger's move MERGES the
+    * pair in the same round instead of swapping. Because gain2 is
+    * symmetric and ties break toward the smaller partner, every
+    * oscillation of this kernel is a 2-cycle (a ≥3-cycle would need
+    * v2 < v3 < v1 < v2) — breaking mutual pairs therefore makes the
+    * no-move fixed point reachable, not just likelier. One extra
+    * |C|-bounded self-join of the per-node argmax table; the gain
+    * algebra, tie-breaks and stay rule are untouched.
+    */
+  def louvainMoveLabelsWithSelfLoops(edges: DataFrame,
+      swapFree: Boolean): DataFrame = {
     val nonself = edges.filter(col("src") =!= col("dst"))
     val sym = graft.Caches.persist(nonself.select("src", "dst", "w")
       .unionAll(nonself.select(col("dst").as("src"), col("src").as("dst"),
@@ -460,7 +480,7 @@ object Graph {
           .select(col("src").as("node"), (lit(2L) * col("w")).as("w")))
         .groupBy("node").agg(sum("w").as("st")))
     val wtot = broadcast(edges.agg(sum("w").as("wtot")))
-    val moved = sym
+    val best = sym
       .join(strength.select(col("node").as("src"), col("st").as("s_v")),
         Seq("src"))
       .join(strength.select(col("node").as("dst"), col("st").as("s_u")),
@@ -472,9 +492,25 @@ object Graph {
       .groupBy("v")
       .agg(max_by(struct(col("u"), col("gain2")),
         struct(col("gain2"), (-col("u")).as("nu"))).as("b"))
-      .select(col("v").as("node"),
-        when(col("b.gain2") > 0L, col("b.u")).otherwise(col("v"))
-          .as("label"))
+      .select(col("v"), col("b.u").as("u"), col("b.gain2").as("gain2"))
+    val moved =
+      if (!swapFree)
+        best.select(col("v").as("node"),
+          when(col("gain2") > 0L, col("u")).otherwise(col("v")).as("label"))
+      else {
+        val b = graft.Caches.persist(best)
+        // the smaller member of each positive-gain mutual-best pair
+        val holds = b.as("x")
+          .join(b.as("y"),
+            col("y.v") === col("x.u") && col("y.u") === col("x.v") &&
+              col("x.gain2") > 0L && col("y.gain2") > 0L &&
+              col("x.v") < col("x.u"))
+          .select(col("x.v").as("v"), lit(true).as("hold"))
+        b.join(holds, Seq("v"), "left")
+          .select(col("v").as("node"),
+            when(col("gain2") > 0L && col("hold").isNull, col("u"))
+              .otherwise(col("v")).as("label"))
+      }
     val nodes = edges.select(col("src").as("node"))
       .unionAll(edges.select(col("dst").as("node"))).distinct()
     nodes.join(moved, Seq("node"), "left")
@@ -483,13 +519,13 @@ object Graph {
 
   /** FULL Louvain (Blondel et al., J. Stat. Mech. 2008 §2 — r14
     * VERDICT "Next round" #4): alternate one synchronous move round
-    * ([[louvainMoveLabelsWithSelfLoops]]) with the contraction
-    * ([[louvainCondense]]) until modularity stops RISING — the ΔQ ≤ 0
-    * stop of Blondel §2. The no-move fixed point cannot be the stop
-    * under a SYNCHRONOUS kernel: two mutually-best super-nodes swap
-    * labels forever (the classic synchronous oscillation), so
-    * n_moved never reaches 0 on dense graphs; Q, however, is
-    * well-ordered, and Q_i > Q_{i−1} is an EXACT-INTEGER comparison —
+    * ([[louvainMoveLabelsWithSelfLoops]] with `swapFree = true` — the
+    * mutual-best 2-cycles that kept n_moved ≈ |C| forever now MERGE
+    * in their round, so the no-move fixed point is genuinely
+    * reachable) with the contraction ([[louvainCondense]]) until
+    * modularity stops RISING — the ΔQ ≤ 0 stop of Blondel §2, which
+    * also fires at the fixed point (no move ⟹ identical partition ⟹
+    * equal Q). Q_i > Q_{i−1} is an EXACT-INTEGER comparison —
     * multiply by the positive 4W²: sc_i = 4W·intra_i − ssq_i (both
     * terms exact), so both engines gate on identical operands with no
     * float anywhere. Output: one telemetry row per level —
@@ -589,7 +625,7 @@ object Graph {
     var level = 1
     var rising = true
     while (rising && level <= maxLevels) {
-      val lab = pin(louvainMoveLabelsWithSelfLoops(e))
+      val lab = pin(louvainMoveLabelsWithSelfLoops(e, swapFree = true))
       val moved = lab.filter(col("node") =!= col("label")).count()
       e = pin(louvainCondense(e, lab))
       comp = pin(comp

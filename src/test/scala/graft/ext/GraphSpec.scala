@@ -556,17 +556,35 @@ class GraphSpec extends SparkSpec {
     graft.Caches.clearPersisted()
   }
 
-  test("louvainFull: two bridged triangles — hand-computed telemetry, dQ<=0 stop") {
+  test("swap break: a mutual-best pair MERGES in its round instead of swapping") {
+    import spark.implicits._
+    // single edge (1,2): mutual best, gain2 = 2·1·1 − 1·1 = 1 > 0.
+    // Ungated synchronous kernel: the documented label swap.
+    val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val swap = Graph.louvainMoveLabelsWithSelfLoops(e).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(swap == Map(1L -> 2L, 2L -> 1L))
+    // swapFree: the smaller member (1) holds, 2 joins it — merged.
+    val merged = Graph.louvainMoveLabelsWithSelfLoops(e, swapFree = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged == Map(1L -> 1L, 2L -> 1L))
+    graft.Caches.clearPersisted()
+  }
+
+  test("louvainFull: two bridged triangles — hand-computed telemetry to the no-move fixed point") {
     import spark.implicits._
     // triangles {1,2,3} and {5,6,7} bridged by (3,5); W = 7.
-    // Level 1 (hand-computed, gain2 = 14·w − s_v·s_u): 1→2 (10),
-    // 2→1 (10), 3→1 (tie 8 with 2, u asc), 5→6 (8), 6→7 (10),
-    // 7→6 (8) → communities {2:{1}, 1:{2,3}, 6:{5,7}, 7:{6}};
-    // condensed e1 = (1,1,1),(1,2,2),(1,6,1),(6,6,1),(6,7,2):
-    // intra=2, strengths 5/2/5/2 → ssq=58, sc1 = 56−58 = −2 >
-    // sc0 = −34. Level 2: both pairs mutually swap (the synchronous
-    // oscillation louvainFull's scaladoc documents) → e2 is e1
-    // relabeled: sc2 = −2 = sc1 → ΔQ ≤ 0, stop, stalling row emitted.
+    // Level 1 (hand-computed, gain2 = 14·w − s_v·s_u): 1↔2 mutual
+    // (10 each) → swap break holds 1, 2→1; 3→1 (tie 8 with 2, u asc),
+    // 5→6 (8), 6↔7 mutual (10) → holds 6, 7→6... 6's best is 7 (10)
+    // — (6,7) mutual → 6 holds, 7→6; 5→6 rides along →
+    // communities {1:{1,2,3}, 6:{5,6,7}}; condensed
+    // e1 = (1,1,3),(1,6,1),(6,6,3): intra=6, strengths 7/7 →
+    // ssq=98, sc1 = 168−98 = 70 > sc0 = −34. Level 2: only candidate
+    // move 1↔6 has gain2 = 14−49 < 0 → n_moved = 0, e2 ≡ e1,
+    // sc2 = sc1 → stop. The no-move FIXED POINT is the emitted stall
+    // — exactly what the swap break exists to make reachable (the
+    // ungated kernel swapped both pairs here forever).
     val edges = Seq((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 1L),
       (3L, 5L, 1L), (5L, 6L, 1L), (5L, 7L, 1L), (6L, 7L, 1L))
       .toDF("src", "dst", "w")
@@ -576,8 +594,9 @@ class GraphSpec extends SparkSpec {
         r.getDouble(4)))
     assert(got.toSeq == Seq(
       (0L, 6L, 0L, 0L, -0.173469), // Q0 = −34/196
-      (1L, 4L, 6L, 2L, -0.010204), // Q1 = 2/7 − 58/196
-      (2L, 4L, 4L, 2L, -0.010204))) // stall: sc2 = sc1
+      (1L, 2L, 4L, 6L, 0.357143), // Q1 = 6/7 − 98/196; 1 and 6 held
+      (2L, 2L, 0L, 6L, 0.357143)), // n_moved = 0: the fixed point
+      got.toSeq.toString)
     // the dQ stop's invariant: modularity strictly rises on every
     // emitted level EXCEPT the final (stalling) one
     got.map(_._5).toSeq.sliding(2).toSeq.dropRight(1).foreach {
