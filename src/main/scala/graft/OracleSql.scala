@@ -3067,6 +3067,63 @@ FROM qb, qr, spl, wt"""
         |       n_after * c > 2 * n AS overloaded
         |FROM au, tt ORDER BY cluster""".stripMargin,
 
+    "emb_ivf_delete" ->
+      // tombstoned serve-through mirror: the sim_ivf_topk_nprobe2
+      // chain with the md5-bucket-1 slice excluded from BOTH the
+      // candidate cells and the query set; the frozen assignment (a0)
+      // is built pre-delete, exactly like the standing artifact
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |del AS (SELECT vec_id FROM v WHERE ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % 10 = 1),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
+        |s0 AS (SELECT vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM v CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |c AS (SELECT a.vec_id, a.cluster, v.ve AS ce FROM a0 a JOIN v USING (vec_id)
+        |      WHERE a.vec_id NOT IN (SELECT vec_id FROM del)),
+        |qp AS (SELECT vec_id AS query_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0
+        |          WHERE vec_id < 8 AND vec_id NOT IN (SELECT vec_id FROM del))
+        |       WHERE rn <= 2),
+        |q AS (SELECT qp.query_id, qp.cluster, v.ve AS qe FROM qp JOIN v ON v.vec_id = qp.query_id),
+        |sc AS (SELECT q.query_id, c.vec_id,
+        |              list_dot_product(q.qe, c.ce) / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+        |       FROM c JOIN q ON c.cluster = q.cluster AND c.vec_id <> q.query_id),
+        |r AS (SELECT query_id, vec_id, cos,
+        |             CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS INTEGER) AS rank
+        |      FROM sc)
+        |SELECT query_id, vec_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "emb_ivf_compact" ->
+      // compaction-audit mirror: per cell n_before (frozen assignment),
+      // n_deleted (bucket-1 tombstones), the exact-integer rewrite flag
+      // n_deleted·8 > n_before, and the PREDICTED post-compaction
+      // state the engine must read back off its rewritten artifacts:
+      // compacted cells hold live rows only, uncompacted keep files
+      // and tombstones
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |del AS (SELECT vec_id FROM v WHERE ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} % 10 = 1),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
+        |s0 AS (SELECT vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM v CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |nb AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_before FROM a0 GROUP BY cluster),
+        |nd AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_deleted FROM a0
+        |       WHERE vec_id IN (SELECT vec_id FROM del) GROUP BY cluster),
+        |au AS (SELECT nb.cluster, nb.n_before, COALESCE(nd.n_deleted, 0) AS n_deleted,
+        |              COALESCE(nd.n_deleted, 0) * 8 > nb.n_before AS compacted
+        |       FROM nb LEFT JOIN nd USING (cluster))
+        |SELECT cluster, n_before, n_deleted, compacted,
+        |       CASE WHEN compacted THEN n_before - n_deleted ELSE n_before END AS n_files_after,
+        |       n_before - n_deleted AS n_visible
+        |FROM au ORDER BY cluster""".stripMargin,
+
     "stream_ann_topk" ->
       // batch mirror of the streamed ANN serving path: the
       // sim_ivf_topk_nprobe2 chain with the QUERY set = the md5-

@@ -3555,6 +3555,92 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    "emb_ivf_delete" -> ((s, dir) => {
+      // the index DELETE path (r15 VERDICT "next" #4 — the write face
+      // emb_ivf_upsert leaves open): deletes land as a TOMBSTONE
+      // artifact beside the frozen centroids/assignment — the standing
+      // index is never rewritten at delete time (Lucene/FAISS's
+      // soft-delete mechanic); the read path anti-joins tombstones out
+      // of its probed cells BEFORE ranking, so a deleted vector can
+      // never serve. All three artifacts round-trip through disk and
+      // the query runs off the LOADED frames; the oracle is the
+      // nprobe=2 ranking with the same exclusion — equality proves the
+      // serve-through. Delete batch = the md5-bucket-1 slice (the
+      // upsert convention's sibling). Scale: the tombstone join is a
+      // broadcast anti-join ∝ deletes; probed-cell reads stay
+      // cell-bounded.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = Similarity.ivfCentroids(e, nCentroids = 8)
+      val assigned = Similarity.ivfAssignWith(e, cents, knownCents = Some(8L))
+      val tomb = e.select("vec_id").filter(
+        pmod(Dedup.md5Hash60(col("vec_id").cast("string")), lit(10L)) === 1)
+      val path = s"$WorkDir/ivf_delete/${scratchTag(s, dir)}"
+      cents.write.mode("overwrite").parquet(s"$path/centroids.parquet")
+      assigned.write.mode("overwrite").parquet(s"$path/assignment.parquet")
+      tomb.write.mode("overwrite").parquet(s"$path/tombstones.parquet")
+      val lc = s.read.parquet(s"$path/centroids.parquet")
+      val la = s.read.parquet(s"$path/assignment.parquet")
+      val lt = s.read.parquet(s"$path/tombstones.parquet")
+      val q = e.filter(col("vec_id") < 8).join(lt, Seq("vec_id"), "left_anti")
+      Similarity.ivfTopKWith(e, la.join(lt, Seq("vec_id"), "left_anti"),
+          lc, q, k = 5, nprobe = 2)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "emb_ivf_compact" -> ((s, dir) => {
+      // tombstone COMPACTION — the second half of the delete story:
+      // cells whose tombstone load crosses the threshold (exact
+      // integer rule n_deleted·8 > n_before, i.e. > 12.5%) are
+      // REWRITTEN without their deleted rows; cells below it keep
+      // their files and their tombstones (rewriting a barely-dirty
+      // cell wastes IO — the Lucene segment-merge economics). The
+      // audit is read FROM the rewritten artifacts (n_files_after,
+      // residual tombstones, visible rows) so the oracle's predicted
+      // occupancy checks the actual post-compaction state on disk.
+      // Scale: the rewrite touches only flagged cells; audits are
+      // C-row aggregates.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = Similarity.ivfCentroids(e, nCentroids = 8)
+      val assigned = Similarity.ivfAssignWith(e, cents, knownCents = Some(8L))
+      val tomb = e.select("vec_id").filter(
+        pmod(Dedup.md5Hash60(col("vec_id").cast("string")), lit(10L)) === 1)
+      val path = s"$WorkDir/ivf_compact/${scratchTag(s, dir)}"
+      assigned.write.mode("overwrite").parquet(s"$path/assignment.parquet")
+      tomb.write.mode("overwrite").parquet(s"$path/tombstones.parquet")
+      val la = Caches.persist(s.read.parquet(s"$path/assignment.parquet"))
+      val lt = s.read.parquet(s"$path/tombstones.parquet")
+      val audit0 = Caches.persist(la
+        .groupBy("cluster").agg(count(lit(1)).as("n_before"))
+        .join(la.join(lt, Seq("vec_id"), "left_semi")
+          .groupBy("cluster").agg(count(lit(1)).as("n_deleted")),
+          Seq("cluster"), "left")
+        .select(col("cluster"), col("n_before"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"))
+        .withColumn("compacted", col("n_deleted") * 8 > col("n_before")))
+      val flagged = audit0.filter(col("compacted")).select("cluster")
+      la.join(broadcast(flagged), Seq("cluster"), "left_semi")
+        .join(lt, Seq("vec_id"), "left_anti")
+        .unionByName(la.join(broadcast(flagged), Seq("cluster"), "left_anti"))
+        .write.mode("overwrite").parquet(s"$path/assignment_v2.parquet")
+      lt.join(la.join(broadcast(flagged), Seq("cluster"), "left_anti")
+          .select("vec_id"), Seq("vec_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$path/tombstones_v2.parquet")
+      val la2 = s.read.parquet(s"$path/assignment_v2.parquet")
+      val lt2 = s.read.parquet(s"$path/tombstones_v2.parquet")
+      val after = la2.groupBy("cluster").agg(count(lit(1)).as("n_files_after"))
+      val resid = la2.join(lt2, Seq("vec_id"), "left_semi")
+        .groupBy("cluster").agg(count(lit(1)).as("n_resid"))
+      audit0.join(after, Seq("cluster"))
+        .join(resid, Seq("cluster"), "left")
+        .select(col("cluster"), col("n_before"), col("n_deleted"),
+          col("compacted"), col("n_files_after"),
+          (col("n_files_after") - coalesce(col("n_resid"), lit(0L)))
+            .as("n_visible"))
+        .orderBy("cluster")
+    }),
+
     "sim_serve_from_artifacts" -> ((s, dir) => {
       // the VECTOR-index twin of serve_from_artifacts (the reference's
       // own serving mode, applied to the ANN family): centroids and
