@@ -136,8 +136,38 @@ object Bench {
     // separates load drift from plan regressions only to ~2-3×;
     // residuals inside that band need an idle re-measure, not a vers
     // bisect. Rule documented in docs/PLANS.md "Bench calibration".
+    // r15 VERDICT #8: consume the IO probe — every history row now
+    // carries its own round-over-round ratios against the PREVIOUS row
+    // at the same sf, normalized BOTH ways (raw ÷ cpu-probe drift and
+    // raw ÷ io-probe drift), so a loaded-box round is diagnosable from
+    // the ledger alone: cpu_norm ≈ io_norm ≈ 1 → plans unchanged under
+    // load; io_norm ≪ raw → IO contention, not regression.
+    val vsPrev: String = try {
+      val histPath = java.nio.file.Paths.get(
+        s"${SparkEntry.ReceiptsDir}/bench_history.jsonl")
+      if (!java.nio.file.Files.exists(histPath)) "null"
+      else {
+        import scala.jdk.CollectionConverters._
+        def field(row: String, k: String): Option[Double] =
+          s""""$k":([0-9.Ee+-]+)""".r.findFirstMatchIn(row)
+            .map(_.group(1).toDouble)
+        java.nio.file.Files.readAllLines(histPath).asScala
+          .filter(_.contains(s""""sf":"$sfDir""""))
+          .lastOption.flatMap { prev =>
+            for {
+              pProbe <- field(prev, "probe")
+              pIo <- field(prev, "io_documents_scan")
+              pTotal <- field(prev, "total")
+              if pProbe > 0 && pIo > 0 && pTotal > 0
+            } yield {
+              val raw = total / pTotal
+              s"""{"raw_ratio":$raw,"cpu_norm_ratio":${raw / (calMedian / pProbe)},"io_norm_ratio":${raw / (ioProbe / pIo)}}"""
+            }
+          }.getOrElse("null")
+      }
+    } catch { case _: Throwable => "null" }
     try {
-      val histRow = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","reps":$reps,"probe":$calMedian,"calibration":$calJson,"queries":$qs,"total":$total}"""
+      val histRow = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","reps":$reps,"probe":$calMedian,"calibration":$calJson,"vs_prev":$vsPrev,"queries":$qs,"total":$total}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"${SparkEntry.ReceiptsDir}/bench_history.jsonl"),
         histRow + "\n",

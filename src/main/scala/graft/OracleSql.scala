@@ -484,13 +484,6 @@ $body
 ) ORDER BY n_nodes DESC, community LIMIT 25"""
   }
 
-  /** Mirror of `graph_conductance`: the composed-partition chain from
-    * [[louvainFullSizesSql]] with the argmax-Q level selected into one
-    * `best (node, community)` relation (the same exact-integer sc
-    * gating, WHERE-scalar form since there's no grouping to hang a
-    * HAVING on), then cut/vol per community over e0 — every count a
-    * BIGINT, the conductance an UNROUNDED exact-integer quotient.
-    */
   /** The full-Louvain chain + composed partitions + the argmax-Q level
     * selected into one `best (node, community)` relation (the same
     * exact-integer sc gating as [[louvainFullSizesSql]], WHERE-scalar
@@ -1001,14 +994,6 @@ FROM qb, qr, spl, wt"""
     s"$base,\n${roundCtes.mkString(",\n")}\n$sel\nORDER BY round"
   }
 
-  /** Mirror of [[graft.ext.Boosting.gbdtStumps]]: the (month × priority)
-    * sufficient-statistics table with exact BIGINT n/Σcents and HUGEINT
-    * Σcents², then both boosting rounds unrolled as CTEs spelling the
-    * ENGINE'S EXACT expression shapes — residual sums decomposed per
-    * leaf (never a float accumulation over cells), argmax via ORDER BY
-    * gain DESC, f, cut; γ and RMSE emitted unrounded (deterministic
-    * fixed-shape doubles; rounding could break exact-quotient ties).
-    */
   /** The GBDT train chain (tot → f0 → cand → a1 → g1 → b1 → m1 → s1 →
     * a2 → g2 → b2 → s2) over a cell table named `j` — shared verbatim
     * by the plain and holdout-eval mirrors so the fit arithmetic can
@@ -1334,9 +1319,11 @@ FROM qb, qr, spl, wt"""
       |FROM g GROUP BY decile ORDER BY decile""".stripMargin
   }
 
-  /** Mirror of `dedup_lsh_plan`: the shared pair chain, one 26-sum
-    * aggregate row, one UNION ALL branch per (bands, rows)
-    * factorization; rates unrounded exact-integer quotients, theory
+  /** Mirror of `dedup_lsh_plan`: the shared pair chain, one 14-sum
+    * aggregate row (two conditional sums per factorization + the two
+    * stratum totals), one UNION ALL branch per (bands, rows)
+    * factorization; rates unrounded exact-integer quotients (NULL on
+    * an empty stratum — the zero-denominator convention), theory
     * constants JVM-computed and e0-embedded.
     */
   private lazy val lshPlanSql: String = {
@@ -1358,9 +1345,9 @@ FROM qb, qr, spl, wt"""
     val rows = configs.map { case (b, r) =>
       s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
          |       n_lo AS n_lo_pairs, lc_${b}_$r AS n_lo_cand,
-         |       CAST(lc_${b}_$r AS DOUBLE) / n_lo AS lo_admission,
+         |       CASE WHEN n_lo = 0 THEN NULL ELSE CAST(lc_${b}_$r AS DOUBLE) / n_lo END AS lo_admission,
          |       n_hi AS n_hi_pairs, hc_${b}_$r AS n_hi_cand,
-         |       CAST(hc_${b}_$r AS DOUBLE) / n_hi AS hi_recall,
+         |       CASE WHEN n_hi = 0 THEN NULL ELSE CAST(hc_${b}_$r AS DOUBLE) / n_hi END AS hi_recall,
          |       ${theory(0.15, b, r)} AS theory_at_15,
          |       ${theory(0.85, b, r)} AS theory_at_85
          |FROM agg1""".stripMargin
@@ -5628,6 +5615,23 @@ FROM qb, qr, spl, wt"""
         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
         |ORDER BY version""".stripMargin,
+
+    "sink_time_travel_compact" ->
+      // rewrite-commit + GC mirror: v1 = the first half, v2 = v3 =
+      // everything (v3 is v2 compacted — content-identical by the
+      // time-travel guarantee); pre-GC n_filesets are the manifest
+      // entry counts (1, 2, 1), the post-GC row re-reads v3 after the
+      // orphaned add1/add2 sets are physically deleted (1 set left)
+      """WITH d AS (SELECT * FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |h AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS c FROM d WHERE doc_id < 250),
+        |f AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS c FROM d)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, CAST(1 AS BIGINT) AS version, 'pre_gc' AS phase,
+        |         h.n AS n_docs, h.c AS total_chars, CAST(1 AS BIGINT) AS n_filesets FROM h
+        |  UNION ALL SELECT 2, 2, 'pre_gc', f.n, f.c, 2 FROM f
+        |  UNION ALL SELECT 3, 3, 'pre_gc', f.n, f.c, 1 FROM f
+        |  UNION ALL SELECT 4, 3, 'post_gc', f.n, f.c, 1 FROM f
+        |) ORDER BY step""".stripMargin,
 
     "text_source_divergence" ->
       """WITH f AS (SELECT source, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS w

@@ -192,7 +192,13 @@ object SparkEntry {
     * docs/SCALE.md after work/ was wiped) — this directory is tracked,
     * so receipt JSONLs are committed alongside the code they grade.
     */
-  private[graft] val ReceiptsDir = "/root/repo/receipts"
+  private[graft] val ReceiptsDir: String =
+    sys.env.get("SPARK_GRAFT_RECEIPTS_DIR")
+      .orElse(sys.props.get("graft.receipts.dir"))
+      // receipts are committed to whatever clone ran the sweep, so the
+      // default resolves against the working directory (sbt forks with
+      // user.dir = the build base), not a literal checkout path
+      .getOrElse(s"${sys.props.getOrElse("user.dir", ".")}/receipts")
 
   /** Unique tag for per-(session, sfDir) scratch dirs and table names.
     * The dir part is 64 bits of the md5 of the PATH STRING — the old
@@ -2974,7 +2980,7 @@ object SparkEntry {
       // closed-form 1−(1−Jʳ)ᵇ at the band midpoints. The operator
       // picks the row with recall ≥ its target and the lowest
       // admission; today's (16, 2) shows why it's the default. One
-      // agg over the shared memoized pair table (24 conditional sums);
+      // agg over the shared memoized pair table (14 conditional sums);
       // rates are unrounded exact-integer quotients, theory constants
       // JVM-computed and e0-embedded.
       import s.implicits._
@@ -3001,8 +3007,11 @@ object SparkEntry {
       configs.map { case (b, r) =>
         val lc = row.getAs[Long](s"lc_${b}_$r")
         val hc = row.getAs[Long](s"hc_${b}_$r")
-        (b.toLong, r.toLong, nLo, lc, lc.toDouble / nLo,
-          nHi, hc, hc.toDouble / nHi,
+        // an empty stratum reports null, not 0/0 = NaN (r15 ADVICE #2
+        // — the Graph.conductance zero-denominator convention)
+        (b.toLong, r.toLong, nLo, lc,
+          if (nLo == 0L) None else Some(lc.toDouble / nLo),
+          nHi, hc, if (nHi == 0L) None else Some(hc.toDouble / nHi),
           theory(0.15, b, r), theory(0.85, b, r))
       }.toDF("bands", "rows_per_band", "n_lo_pairs", "n_lo_cand",
           "lo_admission", "n_hi_pairs", "n_hi_cand", "hi_recall",
@@ -7544,13 +7553,20 @@ object SparkEntry {
       EventStream.withStatePartitions(s, 8) {
         val q = live.writeStream
           .foreachBatch {
+            // per-batchId subdir + overwrite = idempotent under
+            // foreachBatch's at-least-once contract (r15 ADVICE #1: a
+            // blind append would double-count a replayed micro-batch's
+            // partials and silently corrupt the merged sums — unlike
+            // stream_ann/stream_dsir, where a replay only rewrites
+            // identical rows)
             (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                _: Long) =>
+                batchId: Long) =>
               batch.groupBy(col("user_id"),
                   expr("us div 60000000").as("mn"),
                   expr("us div 86400000000").as("day"))
                 .agg(count(lit(1)).as("c"))
-                .write.mode("append").parquet(s"$outDir/partials")
+                .write.mode("overwrite")
+                .parquet(s"$outDir/partials/batch_$batchId")
               ()
           }
           .option("checkpointLocation", s"$outDir/ckpt_${System.nanoTime()}")
@@ -7558,7 +7574,7 @@ object SparkEntry {
           .start()
         q.awaitTermination()
       }
-      val p = s.read.parquet(s"$outDir/partials")
+      val p = s.read.parquet(s"$outDir/partials/batch_*")
       val burst = p.groupBy("user_id", "mn").agg(sum("c").as("c"))
         .groupBy("user_id").agg(max("c").as("max_per_min"))
       val per = p.groupBy("user_id").agg(sum("c").as("n_events"),
@@ -8029,6 +8045,74 @@ object SparkEntry {
         val st = asOf(v).agg(count(lit(1)), sum("n_chars")).head()
         (v.toLong, st.getLong(0), st.getLong(1))
       }.toDF("version", "n_docs", "total_chars").orderBy("version")
+    }),
+
+    "sink_time_travel_compact" -> ((s, dir) => {
+      // the REWRITE commit + manifest GC that make the snapshot
+      // mechanic earn its keep (r15 VERDICT "next" #5): v3 replaces
+      // v1+v2's two file-sets with one compacted set under the same
+      // atomic manifest commit — as-of-v1/v2 reads stay correct
+      // through the rewrite because readers resolve files by version,
+      // never by directory. GC then expires v1/v2 and deletes every
+      // file-set unreachable from the LIVE manifests (Iceberg's
+      // expire-snapshots + orphan-file removal); the post-GC row is
+      // read AFTER the physical deletes, proving the compacted set is
+      // self-contained. n_filesets: manifest entries for pre-GC rows,
+      // directories actually left on disk for the post-GC row. At
+      // 100 TB both GC steps are O(files) metadata — reachability is
+      // a set difference over manifest lines, never a data scan.
+      import s.implicits._
+      val base = s"$WorkDir/time_travel_compact/${scratchTag(s, dir)}"
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(java.nio.file.Paths.get(base))
+      val d = docs(s, dir)
+      d.filter(col("doc_id") < 250).write.parquet(s"$base/files/add1")
+      d.filter(col("doc_id") >= 250).write.parquet(s"$base/files/add2")
+      def commit(v: Int, adds: Seq[String]): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$base/v$v.manifest"),
+          adds.mkString("\n"))
+      def manifestFiles(v: Int): Seq[String] =
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$base/v$v.manifest")), "UTF-8")
+          .split("\n").toSeq
+      def asOf(v: Int): DataFrame = s.read.parquet(manifestFiles(v): _*)
+      commit(1, Seq(s"$base/files/add1"))
+      commit(2, Seq(s"$base/files/add1", s"$base/files/add2"))
+      // the rewrite commit: compact THROUGH v2's manifest, one set
+      asOf(2).coalesce(1).write.parquet(s"$base/files/compact1")
+      commit(3, Seq(s"$base/files/compact1"))
+      def stats(v: Int): (Long, Long) = {
+        val st = asOf(v).agg(count(lit(1)), sum("n_chars")).head()
+        (st.getLong(0), st.getLong(1))
+      }
+      val pre = Seq(1, 2, 3).zipWithIndex.map { case (v, i) =>
+        val (n, c) = stats(v)
+        (i + 1L, v.toLong, "pre_gc", n, c, manifestFiles(v).size.toLong)
+      }
+      // GC: expire v1/v2, delete file-sets unreachable from live
+      // manifests (reachability over manifest lines only)
+      Seq(1, 2).foreach(v => java.nio.file.Files.delete(
+        java.nio.file.Paths.get(s"$base/v$v.manifest")))
+      val reachable = manifestFiles(3).toSet
+      val filesDir = java.nio.file.Paths.get(s"$base/files")
+      val onDisk = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(filesDir)
+          .iterator().asScala.map(_.toString).toSeq
+      }
+      onDisk.filterNot(reachable).foreach(p =>
+        rmTree(java.nio.file.Paths.get(p)))
+      val nLeft = java.nio.file.Files.list(filesDir).count()
+      val (n3, c3) = stats(3)
+      (pre :+ ((4L, 3L, "post_gc", n3, c3, nLeft)))
+        .toDF("step", "version", "phase", "n_docs", "total_chars",
+          "n_filesets")
+        .orderBy("step")
     }),
 
     "text_source_divergence" -> ((s, dir) => {
