@@ -3371,6 +3371,39 @@ FROM qb, qr, spl, wt"""
           .mkString(" UNION ALL ")})
         |ORDER BY depth""".stripMargin,
 
+    "tok_bpe_tokenize" ->
+      // per-doc token-id mirror: the depth-32 replace chain over the
+      // space-normalized whole text (a 2-symbol pair can never span
+      // the separator, so whole-text == per-word encode), spaces
+      // stripped, ids = unicode codepoints of the first 12 symbols
+      s"""WITH ${bpeLargeCtes(32)},
+        |e AS (SELECT doc_id,
+        |             replace(${bpeLargeEncodeSql(
+                 "regexp_replace(lower(text), '[^a-z]+', ' ', 'g')", 32)}, ' ', '') AS stream
+        |      FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |SELECT doc_id, CAST(len(stream) AS BIGINT) AS n_tokens,
+        |       list_transform((string_split(stream, ''))[1:12], c -> CAST(unicode(c) AS BIGINT)) AS head_ids
+        |FROM e ORDER BY doc_id""".stripMargin,
+
+    "curate_pack_sequences" ->
+      // contiguous 512-token packing mirror: running token offset via
+      // a window prefix sum (the single-node equivalent of the
+      // engine's bucketed PrefixSum scan — exact BIGINT addition is
+      // association-free), bins by start offset, straddlers where the
+      // doc's last token lands in a later bin
+      """WITH t AS (SELECT doc_id, CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |c AS (SELECT doc_id, n_toks,
+        |             CAST(sum(n_toks) OVER (ORDER BY doc_id) - n_toks AS BIGINT) AS start
+        |      FROM t),
+        |b AS (SELECT doc_id, n_toks, start // 512 AS bin,
+        |             (start + greatest(n_toks, 1) - 1) // 512 AS end_bin
+        |      FROM c)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs_started,
+        |       CAST(sum(n_toks) AS BIGINT) AS n_tokens_started,
+        |       CAST(sum(CASE WHEN end_bin > bin THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
     "tok_bpe_apply" ->
       // iteration-1 winner (count desc, pair asc) applied via replace
       // (leftmost non-overlapping in both engines), '0' carries the

@@ -447,7 +447,12 @@ object ScaleBench {
     // vocab ∝ factor and the budget caps at 128 rounds) and the
     // fertility curve (the same vocab agg + a vocab-bounded 5-depth
     // codegen encode — corpus-scan-bound by construction)
-    "tok_bpe_train_large", "tok_fertility_curve")
+    "tok_bpe_train_large", "tok_fertility_curve",
+    // r16 second wave: per-doc token-id export (one whole-text codegen
+    // encode pass, no explode/join) and contiguous packing (one token
+    // pass + the bucketed PrefixSum scan — the carry ledger is sized
+    // to the id range, so the 10x id shift keeps <=256 buckets)
+    "tok_bpe_tokenize", "curate_pack_sequences")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

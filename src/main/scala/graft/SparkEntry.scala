@@ -3358,6 +3358,41 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    "curate_pack_sequences" -> ((s, dir) => {
+      // GPT-style contiguous sequence PACKING — the step between a
+      // curated corpus and a training batch: documents are
+      // concatenated in corpus order and cut every 512 tokens; the
+      // audit prices what packing costs (how many docs straddle a
+      // context boundary — their loss is attention-masked or
+      // truncated in training) and proves every bin is exactly full.
+      // The running token offset comes from the distributed two-phase
+      // [[graft.ext.PrefixSum]] scan (bucketed carry-propagate), NEVER
+      // an unpartitioned window — the repo-wide PlanSmellSpec rule; at
+      // 100 TB the offsets shuffle once on 196 bucket keys. All exact
+      // integers; per-bin output is corpus_tokens/512 rows.
+      val ctx = 512L
+      val toks = Caches.persist(docs(s, dir).select(col("doc_id"),
+        size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n_toks")))
+      // PrefixSum's carry ledger must stay broadcast-small: size the
+      // bucket to the ID RANGE (ids can be sparse/shifted — the
+      // ScaleBench synth offsets replicas by 10^7), never a constant
+      val maxId = toks.agg(max("doc_id")).head().getLong(0)
+      val cum = graft.ext.PrefixSum.scan(toks, "doc_id", Seq("n_toks"),
+        bucketSize = math.max(256L, maxId / 256L + 1L))
+      cum
+        .withColumn("start", col("cum_n_toks") - col("n_toks"))
+        .withColumn("bin", floor(col("start") / ctx).cast("long"))
+        .withColumn("end_bin", floor(
+          (col("start") + greatest(col("n_toks"), lit(1L)) - 1) / ctx)
+          .cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs_started"),
+          sum("n_toks").as("n_tokens_started"),
+          sum(when(col("end_bin") > col("bin"), 1L).otherwise(0L))
+            .as("n_straddlers"))
+        .orderBy("bin")
+    }),
+
     "curate_epoch_reshuffle" -> ((s, dir) => {
       // the EPOCH lever of the deterministic training shuffle made
       // measurable: epoch 2 is the same salted-hash rule with a new
@@ -6672,6 +6707,39 @@ object SparkEntry {
         (d.toLong, nw, sy, sy.toDouble / nw)
       }.toDF("depth", "n_words", "n_syms", "fertility")
         .orderBy("depth")
+    }),
+
+    "tok_bpe_tokenize" -> ((s, dir) => {
+      // the tokenizer's per-document DELIVERABLE — token-id sequences,
+      // not statistics: each doc's text is encoded through the first
+      // 32 merges of the large ladder (the closure would collapse
+      // every word to one symbol; depth 32 is the live region of
+      // tok_fertility_curve) and emitted as (n_tokens, first-12 token
+      // ids). One pass, no explode and no per-word join: BPE pairs
+      // are all 2 symbols from [a-z ∪ U+0100..], so a single
+      // whole-text BpeEncode over the space-normalized text can never
+      // merge across a word boundary — the separator char matches no
+      // pair — and equals the per-word encode by construction. Ids:
+      // a 58-entry broadcast map literal (a-z → 97..122, merge k →
+      // 255+k), never a per-symbol shuffle.
+      val ladder = bpeLargeLadder(s, dir).take(32)
+      val idMap = map(
+        (('a' to 'z').map(c => c.toString -> (c.toInt.toLong)) ++
+          ladder.map(m =>
+            graft.functions.BpeEncode.symbolFor(m.rank).toString ->
+              (255L + m.rank)))
+          .flatMap { case (c, i) => Seq(lit(c), lit(i)) }: _*)
+      val enc = graft.functions.BpeEncode.encode(
+        regexp_replace(lower(col("text")), "[^a-z]+", " "),
+        ladder.map(_.raw))
+      docs(s, dir)
+        .select(col("doc_id"),
+          regexp_replace(enc, " ", "").as("stream"))
+        .select(col("doc_id"),
+          length(col("stream")).cast("long").as("n_tokens"),
+          transform(slice(split(col("stream"), ""), 1, 12),
+            c => element_at(idMap, c)).as("head_ids"))
+        .orderBy("doc_id")
     }),
 
     "text_ngram_novelty" -> ((s, dir) => {

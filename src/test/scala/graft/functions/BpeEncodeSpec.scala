@@ -85,6 +85,23 @@ class BpeEncodeSpec extends SparkSpec {
     }
   }
 
+  test("whole-text encode equals per-word encode (pairs never span the separator)") {
+    import spark.implicits._
+    // tok_bpe_tokenize's load-bearing claim: every merge pair is two
+    // symbols from [a-z ∪ U+0100..], so encoding the space-joined text
+    // in one pass can never merge across a word boundary
+    val words = syntheticWords
+    val ladder = BpeTrainer.trainVocab(words.toDF("word"), maxMerges = 300)
+    val raws = ladder.map(_.raw)
+    val text = words.mkString(" ")
+    val whole = Seq(text).toDF("t")
+      .select(BpeEncode.encode(col("t"), raws).as("e")).as[String].head()
+    val perWord = words.map(w => ladder.foldLeft(w)((s, m) =>
+      s.replace(m.raw, BpeEncode.symbolFor(m.rank).toString)))
+      .mkString(" ")
+    assert(whole == perWord)
+  }
+
   test("empty ladder is the identity") {
     import spark.implicits._
     val out = Seq("abc").toDF("word")
