@@ -5087,6 +5087,14 @@ FROM qb, qr, spl, wt"""
         |       round(avg(CAST(n_toks AS DOUBLE)), 6) AS mean_doc_tokens
         |FROM t""".stripMargin,
 
+    "stream_manifest_sink" ->
+      // exactly-once proof: the manifest-resolved merged partials —
+      // replay included — must equal the plain batch aggregate
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+        |       CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "events_bot_gate" -> botGateSql,
 
     // the streaming face's mergeable (user, minute, day) partials

@@ -452,7 +452,9 @@ object ScaleBench {
     // encode pass, no explode/join) and contiguous packing (one token
     // pass + the bucketed PrefixSum scan — the carry ledger is sized
     // to the id range, so the 10x id shift keeps <=256 buckets)
-    "tok_bpe_tokenize", "curate_pack_sequences")
+    "tok_bpe_tokenize", "curate_pack_sequences",
+    // exactly-once manifest sink: partials ∝ batch, commits O(files)
+    "stream_manifest_sink")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -7597,6 +7597,83 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    "stream_manifest_sink" -> ((s, dir) => {
+      // EXACTLY-ONCE streaming sink from two at-least-once halves —
+      // the Delta-style txn-ledger recipe for foreachBatch: batch
+      // partials land under a batchId-keyed dir with OVERWRITE (a
+      // replay rewrites identical bytes) and become visible only via
+      // an append-once manifest line (a replay finds its line and
+      // skips the commit). Readers resolve the manifest, never the
+      // directory, so a retried micro-batch can neither duplicate nor
+      // half-appear. The replay is exercised for real: batch 0's
+      // commit is re-invoked verbatim after the run and the
+      // manifest-resolved read must still equal the batch aggregate
+      // (the oracle). Partials are mergeable exact integers (counts,
+      // min/max micros) — the stream_bot_gate rule. At 100 TB this is
+      // the ingest sink shape: per-commit O(files) metadata, one
+      // atomic manifest append, no directory listing.
+      val outDir = s"$WorkDir/stream_manifest/${scratchTag(s, dir)}"
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(java.nio.file.Paths.get(outDir))
+      val manifest = java.nio.file.Paths.get(s"$outDir/manifest.txt")
+      def commit(batchId: Long)(write: String => Unit): Unit = {
+        val fdir = s"$outDir/files/batch_$batchId"
+        write(fdir)
+        val line = s"batch_$batchId"
+        val seen = java.nio.file.Files.exists(manifest) &&
+          new String(java.nio.file.Files.readAllBytes(manifest), "UTF-8")
+            .split("\n").contains(line)
+        if (!seen) {
+          java.nio.file.Files.createDirectories(manifest.getParent)
+          java.nio.file.Files.writeString(manifest, line + "\n",
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.APPEND)
+        }
+      }
+      val live = EventStream.readEvents(s, dir, "events.parquet")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      EventStream.withStatePartitions(s, 8) {
+        val q = live.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                batchId: Long) =>
+              commit(batchId) { fdir =>
+                batch.groupBy("event_type")
+                  .agg(count(lit(1)).as("n"), min("us").as("f"),
+                    max("us").as("l"))
+                  .write.mode("overwrite").parquet(fdir)
+              }
+              ()
+          }
+          .option("checkpointLocation", s"$outDir/ckpt_${System.nanoTime()}")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      // the REPLAY: re-commit batch 0 verbatim (its partial re-written
+      // from a bounded driver copy — event_type grain, ≤ handful rows)
+      import s.implicits._
+      val replay = s.read.parquet(s"$outDir/files/batch_0")
+        .select("event_type", "n", "f", "l")
+        .collect().toSeq
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      commit(0L) { fdir =>
+        replay.toDF("event_type", "n", "f", "l")
+          .write.mode("overwrite").parquet(fdir)
+      }
+      val lines = new String(java.nio.file.Files.readAllBytes(manifest),
+        "UTF-8").split("\n").filter(_.nonEmpty).toSeq
+      s.read.parquet(lines.map(l => s"$outDir/files/$l"): _*)
+        .groupBy("event_type")
+        .agg(sum("n").as("n_events"), min("f").as("first_us"),
+          max("l").as("last_us"))
+        .orderBy("event_type")
+    }),
+
     "stream_bot_gate" -> ((s, dir) => {
       // the bot gate's streaming-ingest face: per-user burst/sustained
       // state is MERGEABLE, so each micro-batch appends exact
