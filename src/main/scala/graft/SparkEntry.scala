@@ -6611,19 +6611,26 @@ object SparkEntry {
       // the column-pruned corpus scan instead of reading a SECOND
       // cached copy of the corpus-sized token stream (the r15
       // fertility-by-lang spill lesson — see that query's comment).
-      val words = docs(s, dir)
+      // r16: trainer AND readout both ride the vocabulary — the
+      // corpus is scanned ONCE for the (word, c) aggregate; the
+      // per-symbol explode is vocab-bounded (31 words here, Heaps-
+      // bounded in general) and counts re-weight by c. Bit-identical
+      // to the old 6-pass form (trainVocabOf equivalence note); the
+      // bench cost drops from 7 corpus passes to 1.
+      val vocab = Caches.persist(docs(s, dir)
         .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
         .filter(length(col("word")) > 0)
-      val ladder = graft.ext.BpeTrainer.trainLadder(words, numMerges = 6)
-      words
-        .select(graft.ext.BpeTrainer.encodeColumn(col("word"), ladder)
+        .groupBy("word").agg(count(lit(1)).as("c")))
+      val ladder = graft.ext.BpeTrainer.trainLadderVocab(vocab, numMerges = 6)
+      vocab
+        .select(col("c"), graft.ext.BpeTrainer.encodeColumn(col("word"), ladder)
           .as("eword"))
-        .select(explode(transform(
+        .select(col("c"), explode(transform(
           sequence(lit(1), length(col("eword"))),
           i => col("eword").substr(i, lit(1)))).as("sym"))
-        .select(graft.ext.BpeTrainer.spellSymbol(col("sym"), ladder)
+        .select(col("c"), graft.ext.BpeTrainer.spellSymbol(col("sym"), ladder)
           .as("token"))
-        .groupBy("token").agg(count(lit(1)).as("n"))
+        .groupBy("token").agg(sum("c").as("n"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20)
     }),
@@ -6637,18 +6644,23 @@ object SparkEntry {
       // artifact S4 scalars as tok_bpe_encode. The fertility pass
       // re-tokenizes from the pruned corpus scan rather than caching
       // the corpus-sized token stream (the r15 spill lesson).
-      val words = docs(s, dir)
+      // r16: ONE (lang, word, c) aggregate serves both the trainer
+      // (summed to word grain — vocab-bounded, bit-identical ladder)
+      // and the weighted fertility readout; the corpus never rescans
+      val lv = Caches.persist(docs(s, dir)
         .select(col("lang"),
           explode(split(lower(col("text")), "[^a-z]+")).as("word"))
         .filter(length(col("word")) > 0)
-      val ladder = graft.ext.BpeTrainer.trainLadder(
-        words.select("word"), numMerges = 6)
-      words
-        .select(col("lang"), length(col("word")).as("sb"),
-          length(graft.ext.BpeTrainer.encodeColumn(col("word"), ladder))
-            .as("sa"))
+        .groupBy("lang", "word").agg(count(lit(1)).as("c")))
+      val ladder = graft.ext.BpeTrainer.trainLadderVocab(
+        lv.groupBy("word").agg(sum("c").as("c")), numMerges = 6)
+      lv
+        .select(col("lang"), col("c"),
+          (length(col("word")).cast("long") * col("c")).as("sb"),
+          (length(graft.ext.BpeTrainer.encodeColumn(col("word"), ladder))
+            .cast("long") * col("c")).as("sa"))
         .groupBy("lang")
-        .agg(count(lit(1)).as("n_words"),
+        .agg(sum("c").as("n_words"),
           sum("sb").as("sym_before"), sum("sa").as("sym_after"))
         .select(col("lang"), col("n_words"), col("sym_before"),
           col("sym_after"),

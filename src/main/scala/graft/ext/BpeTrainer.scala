@@ -52,7 +52,10 @@ object BpeTrainer {
   def train(wordsIn: DataFrame, numMerges: Int = 6): DataFrame = {
     val spark = wordsIn.sparkSession
     import spark.implicits._
-    trainLadder(wordsIn, numMerges)
+    // rides the vocabulary-bounded trainer (bit-identical to the
+    // legacy K-pass loop — [[trainVocabOf]]); one corpus aggregate
+    trainLadderVocab(
+      wordsIn.groupBy("word").agg(count(lit(1)).as("c")), numMerges)
       .map(m => (m.rank.toLong, m.spelled, m.n))
       .toDF("rank", "pair", "n")
   }
@@ -139,20 +142,37 @@ object BpeTrainer {
     * therefore must be an explicit caller decision, not a silent cap.
     */
   def trainVocab(wordsIn: DataFrame, maxMerges: Int,
-      maxVocab: Int = 1 << 22): Seq[LargeMerge] = {
-    val rows = wordsIn.groupBy("word").agg(count(lit(1)).as("c"))
-      .collect()
+      maxVocab: Int = 1 << 22): Seq[LargeMerge] =
+    trainVocabOf(wordsIn.groupBy("word").agg(count(lit(1)).as("c")),
+      maxMerges, maxVocab)
+
+  /** [[trainVocab]] over an ALREADY-AGGREGATED `(word, c)` vocabulary
+    * DataFrame — the entry point for callers that share the count
+    * aggregate with their own readout pass. `symbolOf` picks merge
+    * k's placeholder: the default is the single-char U+00FF+k rule
+    * ([[graft.functions.BpeEncode.symbolFor]]); the legacy digit rule
+    * ('0'+k−1, ≤ 10 merges) reproduces [[trainLadder]] BIT-IDENTICALLY
+    * — same totals (vocab counts weight exactly what the stream
+    * repeats), same (n desc, raw asc) winner on the same raw alphabet,
+    * same leftmost rewrite (identical-rewrite collisions re-sum) —
+    * while replacing K corpus passes with one aggregate.
+    */
+  def trainVocabOf(vocab: DataFrame, maxMerges: Int,
+      maxVocab: Int = 1 << 22,
+      symbolOf: Int => String =
+        k => graft.functions.BpeEncode.symbolFor(k).toString): Seq[LargeMerge] = {
+    val rows = vocab.select(col("word"), col("c").cast("long")).collect()
     require(rows.length <= maxVocab,
       s"vocabulary ${rows.length} exceeds maxVocab $maxVocab — " +
         "pre-prune the tail explicitly before training")
-    var vocab = scala.collection.mutable.HashMap.empty[String, Long]
-    rows.foreach(r => vocab.update(r.getString(0), r.getLong(1)))
+    var vb = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach(r => vb.update(r.getString(0), r.getLong(1)))
     val merges = Seq.newBuilder[LargeMerge]
     var k = 0
     var exhausted = false
     while (k < maxMerges && !exhausted) {
       val pc = scala.collection.mutable.HashMap.empty[String, Long]
-      vocab.foreach { case (w, c) =>
+      vb.foreach { case (w, c) =>
         var i = 0
         while (i + 1 < w.length) {
           val p = w.substring(i, i + 2)
@@ -170,17 +190,34 @@ object BpeTrainer {
           }
         }
         merges += LargeMerge(k + 1, bestP, bestN)
-        val sym = graft.functions.BpeEncode.symbolFor(k + 1).toString
+        val sym = symbolOf(k + 1)
         val next = scala.collection.mutable.HashMap.empty[String, Long]
-        vocab.foreach { case (w, c) =>
+        vb.foreach { case (w, c) =>
           val r = w.replace(bestP, sym)
           next.update(r, next.getOrElse(r, 0L) + c)
         }
-        vocab = next
+        vb = next
         k += 1
       }
     }
     merges.result()
+  }
+
+  /** [[trainLadder]]'s output (digit placeholders, spelled pairs) from
+    * the vocabulary-bounded trainer — bit-identical to the legacy
+    * K-corpus-pass loop (see [[trainVocabOf]]'s equivalence note), at
+    * the cost of the one count aggregate the caller already has.
+    */
+  def trainLadderVocab(vocab: DataFrame, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1 && numMerges <= 10,
+      "numMerges in [1,10] — one digit placeholder per merge")
+    val lm = trainVocabOf(vocab, numMerges,
+      symbolOf = k => ('0' + (k - 1)).toChar.toString)
+    val raws = lm.map(_.raw).toVector
+    def spell(p: String): String =
+      raws.indices.reverse.foldLeft(p)((s, j) =>
+        s.replace(('0' + j).toChar.toString, raws(j)))
+    lm.map(m => Merge(m.rank, m.raw, spell(m.raw), m.n))
   }
 
   /** Spell a large-ladder symbol stream back to a–z: expand merge
