@@ -29,11 +29,13 @@ import org.apache.spark.sql.functions._
   *    back to the a-z alphabet is a descending replace chain —
   *    mirrored verbatim in SQL.
   *
-  * Scale: each round is ONE map-side-combined hash aggregate over the
-  * symbol stream plus ONE narrow rewrite — K merges = K passes over
-  * cached words (production BPE trainers batch non-overlapping merges
-  * per pass; one-merge-per-pass is the semantics the oracle can
-  * mirror). All counts are exact integers.
+  * Scale (r16): every production path trains over the DISTINCT
+  * `(word, count)` vocabulary — ONE corpus-sized aggregate, then a
+  * vocabulary-bounded driver loop ([[trainVocabOf]]); the legacy
+  * K-corpus-pass loop ([[trainLadder]]) is kept as the
+  * reference-semantics form its unrolled SQL mirrors were written
+  * against, and [[trainLadderVocab]] reproduces it bit-identically.
+  * All counts are exact integers.
   *
   * Output: (rank 1..K, pair — spelled in a-z, n — the pair's count at
   * its merge round).
