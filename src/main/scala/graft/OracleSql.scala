@@ -2262,6 +2262,42 @@ FROM qb, qr, spl, wt"""
         |ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 2) DESC, o_orderkey
         |LIMIT 10""".stripMargin,
 
+    "dedup_bloom_prefilter" ->
+      // Bloom prefilter mirror: same salted md5 positions mod 1024,
+      // DISTINCT seen-bit table, a new doc is a hit iff all 3 probe
+      // rows land on set bits; false positives = hits minus exact
+      // fingerprint matches, rate an unrounded exact-integer quotient
+      // (NULL on an all-dup batch)
+      s"""WITH d AS (SELECT doc_id, md5(text) AS fp,
+        |                  ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS b
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |sn AS (SELECT fp FROM d WHERE b <> 0),
+        |bt AS (SELECT doc_id, fp FROM d WHERE b = 0),
+        |bits AS (SELECT DISTINCT p FROM (
+        |    SELECT ${md5Hash60Sql("'bloom0|' || fp")} % 1024 AS p FROM sn
+        |    UNION ALL SELECT ${md5Hash60Sql("'bloom1|' || fp")} % 1024 FROM sn
+        |    UNION ALL SELECT ${md5Hash60Sql("'bloom2|' || fp")} % 1024 FROM sn)),
+        |pr AS (SELECT doc_id, ${md5Hash60Sql("'bloom0|' || fp")} % 1024 AS p FROM bt
+        |       UNION ALL SELECT doc_id, ${md5Hash60Sql("'bloom1|' || fp")} % 1024 FROM bt
+        |       UNION ALL SELECT doc_id, ${md5Hash60Sql("'bloom2|' || fp")} % 1024 FROM bt),
+        |h AS (SELECT doc_id FROM (
+        |        SELECT pr.doc_id, sum(CASE WHEN bits.p IS NOT NULL THEN 1 ELSE 0 END) AS np
+        |        FROM pr LEFT JOIN bits USING (p) GROUP BY pr.doc_id)
+        |      WHERE np = 3),
+        |td AS (SELECT DISTINCT bt.doc_id FROM bt JOIN (SELECT DISTINCT fp FROM sn) s USING (fp)),
+        |f AS (SELECT bt.doc_id,
+        |             CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS hit,
+        |             CASE WHEN td.doc_id IS NOT NULL THEN 1 ELSE 0 END AS dup
+        |      FROM bt LEFT JOIN h ON h.doc_id = bt.doc_id
+        |      LEFT JOIN td ON td.doc_id = bt.doc_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_new,
+        |       CAST(sum(hit) AS BIGINT) AS n_bloom_hits,
+        |       CAST(sum(dup) AS BIGINT) AS n_true_dups,
+        |       CAST(sum(hit) - sum(dup) AS BIGINT) AS n_false_pos,
+        |       CASE WHEN count(*) - sum(dup) = 0 THEN NULL
+        |            ELSE CAST(sum(hit) - sum(dup) AS DOUBLE) / (count(*) - sum(dup)) END AS fp_rate
+        |FROM f""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_doc_id
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY md5(text) ORDER BY fingerprint""".stripMargin,

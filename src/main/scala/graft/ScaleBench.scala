@@ -454,7 +454,11 @@ object ScaleBench {
     // to the id range, so the 10x id shift keeps <=256 buckets)
     "tok_bpe_tokenize", "curate_pack_sequences",
     // exactly-once manifest sink: partials ∝ batch, commits O(files)
-    "stream_manifest_sink")
+    "stream_manifest_sink",
+    // bloom prefilter: bits table ≤ m rows broadcast, 3 probe rows per
+    // new doc — the ratio tests that nothing fingerprint-set-sized
+    // ever crosses the network
+    "dedup_bloom_prefilter")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -2906,6 +2906,58 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactGroups(docs(s, dir)).orderBy("fingerprint")),
 
+    "dedup_bloom_prefilter" -> ((s, dir) => {
+      // Bloom-filter PREFILTER for incremental dedup (Bloom, CACM'70)
+      // — the constant-size membership sketch beside the repo's
+      // HLL/KMV/CountMin/SpaceSaving family: at 100 TB the "seen"
+      // fingerprint set is too big to broadcast, but its m-bit Bloom
+      // image is a CONSTANT-size broadcast (here a ≤ m-row distinct
+      // bit-position table), and only bloom-positive new docs pay the
+      // exact fingerprint join. Deterministic k=3 salted md5 hashes →
+      // full oracle. m = 1024 is deliberately UNDERSIZED for the
+      // fixture (kn/m ≈ 1.3 → measured fp_rate ≈ 0.4) so the
+      // false-positive path is exercised
+      // and PRICED — the audit row (hits, true dups, false positives,
+      // fp rate) is exactly what an operator reads to size m (≈ 10·k·n
+      // for ~1%) before committing a production filter. No false
+      // negative is possible (same fp → same positions ⊆ bits); the
+      // oracle equality proves it. Scale: bits table ≤ m rows
+      // broadcast; probes are 3 narrow rows per new doc.
+      val m = 1024L
+      val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+      val bucket = pmod(Dedup.md5Hash60(col("doc_id").cast("string")),
+        lit(10L))
+      val seen = d.filter(bucket =!= 0)
+      val batch = d.filter(bucket === 0)
+      def pos(i: Int)(c: Column): Column =
+        pmod(Dedup.md5Hash60(concat(lit(s"bloom$i|"), c)), lit(m))
+      val bits = (0 until 3).map(i => seen.select(pos(i)(col("fp")).as("p")))
+        .reduce(_ unionAll _).distinct()
+      val probes = (0 until 3)
+        .map(i => batch.select(col("doc_id"), pos(i)(col("fp")).as("p")))
+        .reduce(_ unionAll _)
+      val hits = probes
+        .join(broadcast(bits.withColumn("present", lit(1L))), Seq("p"), "left")
+        .groupBy("doc_id")
+        .agg(sum(coalesce(col("present"), lit(0L))).as("np"))
+        .filter(col("np") === 3).select(col("doc_id"), lit(1L).as("hit"))
+      val dups = batch
+        .join(seen.select("fp").distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("dup"))
+      batch.select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .join(dups, Seq("doc_id"), "left")
+        .agg(count(lit(1)).as("n_new"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_bloom_hits"),
+          sum(coalesce(col("dup"), lit(0L))).as("n_true_dups"))
+        .select(col("n_new"), col("n_bloom_hits"), col("n_true_dups"),
+          (col("n_bloom_hits") - col("n_true_dups")).as("n_false_pos"),
+          when(col("n_new") - col("n_true_dups") > 0,
+            (col("n_bloom_hits") - col("n_true_dups")).cast("double") /
+              (col("n_new") - col("n_true_dups")))
+            .otherwise(lit(null).cast("double")).as("fp_rate"))
+    }),
+
     "dedup_keep_first" -> ((s, dir) => {
       // the dedup RESULT: corpus filtered to each content group's keeper
       // (min doc_id) via a broadcast-able semi-join on the fingerprint
