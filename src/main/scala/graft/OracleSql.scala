@@ -2298,6 +2298,27 @@ FROM qb, qr, spl, wt"""
         |            ELSE CAST(sum(hit) - sum(dup) AS DOUBLE) / (count(*) - sum(dup)) END AS fp_rate
         |FROM f""".stripMargin,
 
+    "j_bloom_prune" ->
+      // join-pruning mirror: dim keys' bloom bits (3 salted md5 mod
+      // 65536), fact survivors = rows whose 3 probes all hit, exact
+      // join on survivors — equal to the plain join by no-false-
+      // negatives; the telemetry counts are exact integers
+      s"""WITH dim AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |bits AS (SELECT DISTINCT p FROM (
+        |    SELECT ${md5Hash60Sql("'jb0|' || CAST(o_orderkey AS VARCHAR)")} % 65536 AS p FROM dim
+        |    UNION ALL SELECT ${md5Hash60Sql("'jb1|' || CAST(o_orderkey AS VARCHAR)")} % 65536 FROM dim
+        |    UNION ALL SELECT ${md5Hash60Sql("'jb2|' || CAST(o_orderkey AS VARCHAR)")} % 65536 FROM dim)),
+        |f AS (SELECT l_orderkey, l_quantity FROM lineitem),
+        |sv AS (SELECT l_orderkey, l_quantity FROM f
+        |       WHERE ${md5Hash60Sql("'jb0|' || CAST(l_orderkey AS VARCHAR)")} % 65536 IN (SELECT p FROM bits)
+        |         AND ${md5Hash60Sql("'jb1|' || CAST(l_orderkey AS VARCHAR)")} % 65536 IN (SELECT p FROM bits)
+        |         AND ${md5Hash60Sql("'jb2|' || CAST(l_orderkey AS VARCHAR)")} % 65536 IN (SELECT p FROM bits))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_fact,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM sv) AS n_survivors,
+        |       CAST(count(*) AS BIGINT) AS n_matched,
+        |       round(sum(sv.l_quantity), 2) AS sum_qty
+        |FROM sv JOIN dim ON dim.o_orderkey = sv.l_orderkey""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(text) AS fingerprint, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper_doc_id
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet') GROUP BY md5(text) ORDER BY fingerprint""".stripMargin,

@@ -458,7 +458,10 @@ object ScaleBench {
     // bloom prefilter: bits table ≤ m rows broadcast, 3 probe rows per
     // new doc — the ratio tests that nothing fingerprint-set-sized
     // ever crosses the network
-    "dedup_bloom_prefilter")
+    "dedup_bloom_prefilter",
+    // bloom join pruning: 3 map-side broadcast semi-joins over the
+    // fact scan + the exact join on survivors — ∝ fact rows
+    "j_bloom_prune")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -2933,14 +2933,16 @@ object SparkEntry {
         pmod(Dedup.md5Hash60(concat(lit(s"bloom$i|"), c)), lit(m))
       val bits = (0 until 3).map(i => seen.select(pos(i)(col("fp")).as("p")))
         .reduce(_ unionAll _).distinct()
-      val probes = (0 until 3)
-        .map(i => batch.select(col("doc_id"), pos(i)(col("fp")).as("p")))
-        .reduce(_ unionAll _)
-      val hits = probes
-        .join(broadcast(bits.withColumn("present", lit(1L))), Seq("p"), "left")
-        .groupBy("doc_id")
-        .agg(sum(coalesce(col("present"), lit(0L))).as("np"))
-        .filter(col("np") === 3).select(col("doc_id"), lit(1L).as("hit"))
+      // shuffle-free probe: three map-side broadcast joins (one per
+      // hash) instead of an explode + per-doc re-aggregation — the
+      // probe side never leaves its input partitioning
+      val bt = Caches.persist(bits)
+      val hits = (0 until 3).foldLeft(
+          batch.select(col("doc_id"), col("fp"))) { (acc, i) =>
+          acc.join(broadcast(bt.select(col("p").as(s"p$i"))),
+            pos(i)(col("fp")) === col(s"p$i"), "left_semi")
+        }
+        .select(col("doc_id"), lit(1L).as("hit"))
       val dups = batch
         .join(seen.select("fp").distinct(), Seq("fp"), "left_semi")
         .select(col("doc_id"), lit(1L).as("dup"))
@@ -2956,6 +2958,42 @@ object SparkEntry {
             (col("n_bloom_hits") - col("n_true_dups")).cast("double") /
               (col("n_new") - col("n_true_dups")))
             .otherwise(lit(null).cast("double")).as("fp_rate"))
+    }),
+
+    "j_bloom_prune" -> ((s, dir) => {
+      // Bloom JOIN PRUNING made explicit — the runtime-filter pattern
+      // AQE injects implicitly, as an auditable operator: the
+      // selective dim side (1-URGENT orders) publishes its join keys'
+      // m-bit Bloom image (a constant-size broadcast), the fact scan
+      // keeps only bloom-positive rows BEFORE the shuffle, and the
+      // exact join runs on the survivors. No false negatives ⟹ the
+      // pruned join equals the plain join (the oracle computes it
+      // plainly); the telemetry row prices the prune: fact rows in,
+      // bloom survivors, exact matches — survivors − matches is what
+      // an undersized filter leaks into the shuffle. Probes are three
+      // map-side broadcast semi-joins; nothing key-set-sized moves.
+      val m = 65536L
+      val dim = tbl(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      def pos(i: Int)(c: Column): Column =
+        pmod(Dedup.md5Hash60(concat(lit(s"jb$i|"), c.cast("string"))), lit(m))
+      val bits = Caches.persist((0 until 3)
+        .map(i => dim.select(pos(i)(col("o_orderkey")).as("p")))
+        .reduce(_ unionAll _).distinct())
+      val fact = tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+      val nFact = fact.count()
+      val survivors = Caches.persist((0 until 3).foldLeft(fact) { (acc, i) =>
+        acc.join(broadcast(bits.select(col("p").as(s"p$i"))),
+          pos(i)(col("l_orderkey")) === col(s"p$i"), "left_semi")
+      })
+      val joined = survivors
+        .join(dim, survivors("l_orderkey") === dim("o_orderkey"))
+      joined.agg(count(lit(1)).as("n_matched"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(lit(nFact).as("n_fact"),
+          lit(survivors.count()).as("n_survivors"),
+          col("n_matched"), col("sum_qty"))
     }),
 
     "dedup_keep_first" -> ((s, dir) => {
