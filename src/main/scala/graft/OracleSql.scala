@@ -2304,15 +2304,16 @@ FROM qb, qr, spl, wt"""
       // join on survivors — equal to the plain join by no-false-
       // negatives; the telemetry counts are exact integers
       s"""WITH dim AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |mm AS (SELECT GREATEST(65536, 16 * CAST(count(*) AS BIGINT)) AS m FROM dim),
         |bits AS (SELECT DISTINCT p FROM (
-        |    SELECT ${md5Hash60Sql("'jb0|' || CAST(o_orderkey AS VARCHAR)")} % 65536 AS p FROM dim
-        |    UNION ALL SELECT ${md5Hash60Sql("'jb1|' || CAST(o_orderkey AS VARCHAR)")} % 65536 FROM dim
-        |    UNION ALL SELECT ${md5Hash60Sql("'jb2|' || CAST(o_orderkey AS VARCHAR)")} % 65536 FROM dim)),
+        |    SELECT ${md5Hash60Sql("'jb0|' || CAST(o_orderkey AS VARCHAR)")} % (SELECT m FROM mm) AS p FROM dim
+        |    UNION ALL SELECT ${md5Hash60Sql("'jb1|' || CAST(o_orderkey AS VARCHAR)")} % (SELECT m FROM mm) FROM dim
+        |    UNION ALL SELECT ${md5Hash60Sql("'jb2|' || CAST(o_orderkey AS VARCHAR)")} % (SELECT m FROM mm) FROM dim)),
         |f AS (SELECT l_orderkey, l_quantity FROM lineitem),
         |sv AS (SELECT l_orderkey, l_quantity FROM f
-        |       WHERE ${md5Hash60Sql("'jb0|' || CAST(l_orderkey AS VARCHAR)")} % 65536 IN (SELECT p FROM bits)
-        |         AND ${md5Hash60Sql("'jb1|' || CAST(l_orderkey AS VARCHAR)")} % 65536 IN (SELECT p FROM bits)
-        |         AND ${md5Hash60Sql("'jb2|' || CAST(l_orderkey AS VARCHAR)")} % 65536 IN (SELECT p FROM bits))
+        |       WHERE ${md5Hash60Sql("'jb0|' || CAST(l_orderkey AS VARCHAR)")} % (SELECT m FROM mm) IN (SELECT p FROM bits)
+        |         AND ${md5Hash60Sql("'jb1|' || CAST(l_orderkey AS VARCHAR)")} % (SELECT m FROM mm) IN (SELECT p FROM bits)
+        |         AND ${md5Hash60Sql("'jb2|' || CAST(l_orderkey AS VARCHAR)")} % (SELECT m FROM mm) IN (SELECT p FROM bits))
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_fact,
         |       (SELECT CAST(count(*) AS BIGINT) FROM sv) AS n_survivors,
         |       CAST(count(*) AS BIGINT) AS n_matched,

@@ -2972,10 +2972,14 @@ object SparkEntry {
       // bloom survivors, exact matches — survivors − matches is what
       // an undersized filter leaks into the shuffle. Probes are three
       // map-side broadcast semi-joins; nothing key-set-sized moves.
-      val m = 65536L
-      val dim = tbl(s, dir, "orders")
+      val dim = Caches.persist(tbl(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
-        .select(col("o_orderkey"))
+        .select(col("o_orderkey")))
+      // m scales with the dim key count (exact integer rule, mirrored
+      // in SQL): a FIXED m saturates when keys grow — the first @10x
+      // receipt measured kn/m ≈ 14 at m = 65536, survivors ≈ all fact
+      // rows, i.e. no pruning at exactly the scale pruning pays
+      val m = math.max(65536L, 16L * dim.count())
       def pos(i: Int)(c: Column): Column =
         pmod(Dedup.md5Hash60(concat(lit(s"jb$i|"), c.cast("string"))), lit(m))
       val bits = Caches.persist((0 until 3)
