@@ -2298,6 +2298,44 @@ FROM qb, qr, spl, wt"""
         |            ELSE CAST(sum(hit) - sum(dup) AS DOUBLE) / (count(*) - sum(dup)) END AS fp_rate
         |FROM f""".stripMargin,
 
+    "dedup_bloom_sizing" -> {
+      // the m-sizing decision table: one hit/dup readout per filter
+      // size; the third size is the 16·n rule computed from the data
+      val ms = Seq("1024" -> "a", "4096" -> "b", "(SELECT m FROM ns)" -> "c")
+      val blocks = ms.map { case (mExpr, k) =>
+        def probe(i: Int, src: String) =
+          s"${md5Hash60Sql(s"'bloom$i|' || $src.fp")} % $mExpr"
+        s"""bits$k AS (SELECT DISTINCT p FROM (
+           |    SELECT ${probe(0, "sn")} AS p FROM sn
+           |    UNION ALL SELECT ${probe(1, "sn")} FROM sn
+           |    UNION ALL SELECT ${probe(2, "sn")} FROM sn)),
+           |h$k AS (SELECT bt.doc_id FROM bt
+           |       WHERE ${probe(0, "bt")} IN (SELECT p FROM bits$k)
+           |         AND ${probe(1, "bt")} IN (SELECT p FROM bits$k)
+           |         AND ${probe(2, "bt")} IN (SELECT p FROM bits$k)),
+           |r$k AS (SELECT CAST($mExpr AS BIGINT) AS m,
+           |              CAST(count(*) AS BIGINT) AS n_new,
+           |              CAST(sum(CASE WHEN h$k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           |              CAST(sum(CASE WHEN td.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true_dups
+           |       FROM bt LEFT JOIN h$k ON h$k.doc_id = bt.doc_id
+           |       LEFT JOIN td ON td.doc_id = bt.doc_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT doc_id, md5(text) AS fp,
+        |                  ${md5Hash60Sql("CAST(doc_id AS VARCHAR)")} % 10 AS b
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |sn AS (SELECT fp FROM d WHERE b <> 0),
+        |bt AS (SELECT doc_id, fp FROM d WHERE b = 0),
+        |ns AS (SELECT GREATEST(1024, 16 * CAST(count(DISTINCT fp) AS BIGINT)) AS m FROM sn),
+        |td AS (SELECT DISTINCT bt.doc_id FROM bt JOIN (SELECT DISTINCT fp FROM sn) s USING (fp)),
+        |$blocks
+        |SELECT m, n_new, n_bloom_hits, n_true_dups,
+        |       n_bloom_hits - n_true_dups AS n_false_pos,
+        |       CASE WHEN n_new - n_true_dups = 0 THEN NULL
+        |            ELSE CAST(n_bloom_hits - n_true_dups AS DOUBLE) / (n_new - n_true_dups) END AS fp_rate
+        |FROM (SELECT * FROM ra UNION ALL SELECT * FROM rb UNION ALL SELECT * FROM rc)
+        |ORDER BY m""".stripMargin
+    },
+
     "j_bloom_prune" ->
       // join-pruning mirror: dim keys' bloom bits (3 salted md5 mod
       // 65536), fact survivors = rows whose 3 probes all hit, exact

@@ -458,7 +458,7 @@ object ScaleBench {
     // bloom prefilter: bits table ≤ m rows broadcast, 3 probe rows per
     // new doc — the ratio tests that nothing fingerprint-set-sized
     // ever crosses the network
-    "dedup_bloom_prefilter",
+    "dedup_bloom_prefilter", "dedup_bloom_sizing",
     // bloom join pruning: 3 map-side broadcast semi-joins over the
     // fact scan + the exact join on survivors — ∝ fact rows
     "j_bloom_prune")

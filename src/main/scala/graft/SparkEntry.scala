@@ -2960,6 +2960,52 @@ object SparkEntry {
             .otherwise(lit(null).cast("double")).as("fp_rate"))
     }),
 
+    "dedup_bloom_sizing" -> ((s, dir) => {
+      // ACT on the prefilter audit (the fix-beside-the-audit
+      // convention): the m-SIZING decision table — the same batch
+      // probed through three filter sizes (the undersized 1024, the
+      // 4096 middle, and the 16·n rule the operator would commit),
+      // measured false-positive rate per row. The 16·n row's rate
+      // collapsing to ~0 is the evidence the sizing rule buys its
+      // bits. Same salted hashes, same shuffle-free probe; the bits
+      // tables are ≤ m rows each.
+      val d = docs(s, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+      val bucket = pmod(Dedup.md5Hash60(col("doc_id").cast("string")),
+        lit(10L))
+      val seen = Caches.persist(d.filter(bucket =!= 0))
+      val batch = Caches.persist(d.filter(bucket === 0))
+      val nSeen = seen.select("fp").distinct().count()
+      val dups = batch
+        .join(seen.select("fp").distinct(), Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("dup"))
+      def pos(i: Int, m: Long)(c: Column): Column =
+        pmod(Dedup.md5Hash60(concat(lit(s"bloom$i|"), c)), lit(m))
+      val rows = Seq(1024L, 4096L, math.max(1024L, 16L * nSeen)).map { m =>
+        val bits = Caches.persist((0 until 3)
+          .map(i => seen.select(pos(i, m)(col("fp")).as("p")))
+          .reduce(_ unionAll _).distinct())
+        val hits = (0 until 3).foldLeft(batch.select(col("doc_id"), col("fp"))) {
+            (acc, i) =>
+          acc.join(broadcast(bits.select(col("p").as(s"p$i"))),
+            pos(i, m)(col("fp")) === col(s"p$i"), "left_semi")
+        }.select(col("doc_id"), lit(1L).as("hit"))
+        batch.select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .join(dups, Seq("doc_id"), "left")
+          .agg(count(lit(1)).as("n_new"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_bloom_hits"),
+            sum(coalesce(col("dup"), lit(0L))).as("n_true_dups"))
+          .select(lit(m).as("m"), col("n_new"), col("n_bloom_hits"),
+            col("n_true_dups"),
+            (col("n_bloom_hits") - col("n_true_dups")).as("n_false_pos"),
+            when(col("n_new") - col("n_true_dups") > 0,
+              (col("n_bloom_hits") - col("n_true_dups")).cast("double") /
+                (col("n_new") - col("n_true_dups")))
+              .otherwise(lit(null).cast("double")).as("fp_rate"))
+      }
+      rows.reduce(_ unionAll _).orderBy("m")
+    }),
+
     "j_bloom_prune" -> ((s, dir) => {
       // Bloom JOIN PRUNING made explicit — the runtime-filter pattern
       // AQE injects implicitly, as an auditable operator: the
