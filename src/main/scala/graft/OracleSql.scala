@@ -4835,6 +4835,33 @@ FROM qb, qr, spl, wt"""
         |SELECT c_nationkey, bal_bucket, n_g AS n, t, t > 0.5 AS breach
         |FROM tv ORDER BY c_nationkey, bal_bucket""".stripMargin,
 
+    "agg_quantile_histogram" -> {
+      // histogram-quantile mirror: exact-integer binning, one 64-row
+      // cumulative window, the same fixed-shape interpolation doubles,
+      // exact = the type-1 order statistic at ceil(p·n)
+      val blocks = Seq("0.5e0" -> "a", "0.9e0" -> "b", "0.99e0" -> "c")
+      val ctes = blocks.map { case (p, k) =>
+        s"""t$k AS (SELECT CAST(ceil($p * n) AS BIGINT) AS t FROM st),
+           |s$k AS (SELECT bin, bn, cb - bn AS cprev FROM cu
+           |       WHERE cb >= (SELECT t FROM t$k) ORDER BY bin LIMIT 1),
+           |e$k AS (SELECT $p AS pct, (SELECT t FROM t$k) AS target_rank,
+           |              lo + (bin * (hi - lo + 1)) / 64.0e0
+           |                + ((SELECT t FROM t$k) - cprev) * ((hi - lo + 1) / 64.0e0) / bn AS est,
+           |              (SELECT min(v) FROM r WHERE rn >= (SELECT t FROM t$k)) AS exact
+           |       FROM s$k, st)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c AS (SELECT CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) AS v FROM orders),
+        |st AS (SELECT CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi, CAST(count(*) AS BIGINT) AS n FROM c),
+        |h AS (SELECT ((v - lo) * 64) // (hi - lo + 1) AS bin, CAST(count(*) AS BIGINT) AS bn FROM c, st GROUP BY 1),
+        |cu AS (SELECT bin, bn, CAST(sum(bn) OVER (ORDER BY bin) AS BIGINT) AS cb FROM h),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+        |$ctes
+        |SELECT pct, target_rank, est, CAST(exact AS BIGINT) AS exact,
+        |       abs(est - exact) AS abs_err
+        |FROM (SELECT * FROM ea UNION ALL SELECT * FROM eb UNION ALL SELECT * FROM ec)
+        |ORDER BY pct""".stripMargin
+    },
+
     "agg_exact_quantiles" ->
       // mirrors Stats.exactQuantiles: distinct-cents counts, global
       // cumulative window (= the PrefixSum scan), exact integer ceil
@@ -5752,6 +5779,20 @@ FROM qb, qr, spl, wt"""
         |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
         |ORDER BY version""".stripMargin,
+
+    "sink_time_travel_cdc" ->
+      // CDF mirror straight from the source slices: v1 = doc_id < 250,
+      // v2 = all, v3 = all minus doc_id % 7 = 0; the 1→2 diff is the
+      // appended half, the 2→3 diff is the deleted key set
+      """WITH d AS (SELECT doc_id, n_chars FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
+        |SELECT CAST(1 AS BIGINT) AS from_v, CAST(2 AS BIGINT) AS to_v,
+        |       CAST(count(*) AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_delta
+        |FROM d WHERE doc_id >= 250
+        |UNION ALL
+        |SELECT 2, 3, 0, CAST(count(*) AS BIGINT), CAST(-sum(n_chars) AS BIGINT)
+        |FROM d WHERE doc_id % 7 = 0
+        |ORDER BY from_v""".stripMargin,
 
     "sink_time_travel_compact" ->
       // rewrite-commit + GC mirror: v1 = the first half, v2 = v3 =

@@ -461,7 +461,11 @@ object ScaleBench {
     "dedup_bloom_prefilter", "dedup_bloom_sizing",
     // bloom join pruning: 3 map-side broadcast semi-joins over the
     // fact scan + the exact join on survivors — ∝ fact rows
-    "j_bloom_prune")
+    "j_bloom_prune",
+    // CDC between manifest versions: two key anti-joins per pair;
+    // histogram quantiles: one pass + a 64-row sketch (the exact
+    // order-statistic audit is TakeOrdered per percentile)
+    "sink_time_travel_cdc", "agg_quantile_histogram")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

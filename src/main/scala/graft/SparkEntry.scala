@@ -5828,6 +5828,53 @@ object SparkEntry {
         .orderBy("c_nationkey", "bal_bucket")
     }),
 
+    "agg_quantile_histogram" -> ((s, dir) => {
+      // MERGEABLE histogram quantiles — the fixed-size sketch the
+      // exact order statistic can't give a stream or a shuffle-averse
+      // cluster: per-partition equi-width bin counts merge by
+      // addition (B = 64 longs per partial, constant at any N), and
+      // the quantile reads off the cumulative bins with linear
+      // interpolation. Binning is EXACT integer arithmetic
+      // ((v−lo)·B div w — no float enters the histogram), the
+      // interpolation a fixed-shape double formula both engines spell
+      // identically, and each estimate ships beside the exact type-1
+      // order statistic and its absolute error — the audit that
+      // prices B before anyone trusts the sketch. Scale: one pass +
+      // a 64-row aggregate; the exact check is TakeOrdered per
+      // percentile (the audit's cost, not the sketch's).
+      import s.implicits._
+      val B = 64L
+      val c = Caches.persist(tbl(s, dir, "orders").select(
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("v")))
+      val st = c.agg(min("v"), max("v"), count(lit(1))).head()
+      val (lo, hi, n) = (st.getLong(0), st.getLong(1), st.getLong(2))
+      val w = hi - lo + 1
+      val bins = c
+        .groupBy(floor(((col("v") - lo) * B) / lit(w)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("bn"))
+        .orderBy("bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val widD = w.toDouble / B
+      def estimate(p: Double): (Long, Double) = {
+        val t = math.ceil(p * n).toLong
+        var cum = 0L
+        val (bin, bn, cprev) = bins.collectFirst {
+          case (b, cnt) if { val keep = cum + cnt >= t; if (!keep) cum += cnt; keep } =>
+            (b, cnt, cum)
+        }.get
+        (t, lo + (bin * w).toDouble / B + (t - cprev).toDouble * widD / bn)
+      }
+      def exact(t: Long): Long =
+        c.orderBy("v").limit(t.toInt).agg(max("v")).head().getLong(0)
+      Seq(0.5, 0.9, 0.99).map { p =>
+        val (t, est) = estimate(p)
+        val ex = exact(t)
+        (p, t, est, ex, math.abs(est - ex))
+      }.toDF("pct", "target_rank", "est", "exact", "abs_err")
+        .orderBy("pct")
+    }),
+
     "agg_exact_quantiles" -> ((s, dir) =>
       // EXACT order-price quantiles with no global sort
       // (ext/Stats.exactQuantiles): N rows → distinct-cents counts →
@@ -8342,6 +8389,65 @@ object SparkEntry {
         val st = asOf(v).agg(count(lit(1)), sum("n_chars")).head()
         (v.toLong, st.getLong(0), st.getLong(1))
       }.toDF("version", "n_docs", "total_chars").orderBy("version")
+    }),
+
+    "sink_time_travel_cdc" -> ((s, dir) => {
+      // the CHANGE-DATA-FEED read between manifest versions (Delta's
+      // CDF / Iceberg's changelog): v1 = the first half, v2 = an
+      // append commit, v3 = a DELETE commit (every doc_id % 7 == 0
+      // dropped via a rewrite under the same atomic manifest mechanic
+      // — the third commit kind beside append and compaction). The
+      // diff of two versions is computed purely from manifest-resolved
+      // reads (two anti-joins on the key), never from directory state,
+      // so it is exact across any mix of commit kinds. Output: one row
+      // per adjacent version pair with added/removed row counts and
+      // the net token delta — what an incremental consumer polls to
+      // decide how much downstream work a new version costs. At
+      // 100 TB the anti-joins shuffle on the key once; the manifest
+      // reads stay O(files).
+      import s.implicits._
+      val base = s"$WorkDir/time_travel_cdc/${scratchTag(s, dir)}"
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(java.nio.file.Paths.get(base))
+      val d = docs(s, dir)
+      d.filter(col("doc_id") < 250).write.parquet(s"$base/files/add1")
+      d.filter(col("doc_id") >= 250).write.parquet(s"$base/files/add2")
+      def commit(v: Int, adds: Seq[String]): Unit =
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$base/v$v.manifest"),
+          adds.mkString("\n"))
+      def asOf(v: Int): DataFrame = {
+        val files = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$base/v$v.manifest")), "UTF-8")
+          .split("\n").toSeq
+        s.read.parquet(files: _*)
+      }
+      commit(1, Seq(s"$base/files/add1"))
+      commit(2, Seq(s"$base/files/add1", s"$base/files/add2"))
+      // the delete commit: rewrite THROUGH v2's manifest minus the key
+      // predicate, publish as one new file-set
+      asOf(2).filter(pmod(col("doc_id"), lit(7L)) =!= 0)
+        .write.parquet(s"$base/files/del1")
+      commit(3, Seq(s"$base/files/del1"))
+      def diff(a: Int, b: Int): (Long, Long, Long, Long) = {
+        val va = asOf(a).select(col("doc_id"), col("n_chars"))
+        val vb = asOf(b).select(col("doc_id"), col("n_chars"))
+        val added = vb.join(va.select("doc_id"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)), coalesce(sum("n_chars"), lit(0L))).head()
+        val removed = va.join(vb.select("doc_id"), Seq("doc_id"), "left_anti")
+          .agg(count(lit(1)), coalesce(sum("n_chars"), lit(0L))).head()
+        (added.getLong(0), removed.getLong(0),
+          added.getLong(1), removed.getLong(1))
+      }
+      Seq(1 -> 2, 2 -> 3).map { case (a, b) =>
+        val (na, nr, ca, cr) = diff(a, b)
+        (a.toLong, b.toLong, na, nr, ca - cr)
+      }.toDF("from_v", "to_v", "n_added", "n_removed", "chars_delta")
+        .orderBy("from_v")
     }),
 
     "sink_time_travel_compact" -> ((s, dir) => {
