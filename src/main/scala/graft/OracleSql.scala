@@ -4862,6 +4862,33 @@ FROM qb, qr, spl, wt"""
         |ORDER BY pct""".stripMargin
     },
 
+    "stream_quantile_sketch" -> {
+      // stream ≡ batch by associativity: the merged bin partials equal
+      // the batch sketch, so the mirror computes the sketch directly
+      // over events with the same frozen-edge clamped binning
+      val blocks = Seq("0.5e0" -> "a", "0.9e0" -> "b", "0.99e0" -> "c")
+      val ctes = blocks.map { case (p, k) =>
+        s"""t$k AS (SELECT CAST(ceil($p * n) AS BIGINT) AS t FROM st),
+           |s$k AS (SELECT bin, bn, cb - bn AS cprev FROM cu
+           |       WHERE cb >= (SELECT t FROM t$k) ORDER BY bin LIMIT 1),
+           |e$k AS (SELECT $p AS pct, (SELECT t FROM t$k) AS target_rank,
+           |              lo + (bin * (hi - lo + 1)) / 64.0e0
+           |                + ((SELECT t FROM t$k) - cprev) * ((hi - lo + 1) / 64.0e0) / bn AS est,
+           |              (SELECT min(v) FROM r WHERE rn >= (SELECT t FROM t$k)) AS exact
+           |       FROM s$k, st)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c AS (SELECT CAST(floor(value * 1000000.0e0 + 0.5e0) AS BIGINT) AS v FROM events),
+        |st AS (SELECT CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi, CAST(count(*) AS BIGINT) AS n FROM c),
+        |h AS (SELECT LEAST(GREATEST(((v - lo) * 64) // (hi - lo + 1), 0), 63) AS bin, CAST(count(*) AS BIGINT) AS bn FROM c, st GROUP BY 1),
+        |cu AS (SELECT bin, bn, CAST(sum(bn) OVER (ORDER BY bin) AS BIGINT) AS cb FROM h),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM c),
+        |$ctes
+        |SELECT pct, target_rank, est, CAST(exact AS BIGINT) AS exact,
+        |       abs(est - exact) AS abs_err
+        |FROM (SELECT * FROM ea UNION ALL SELECT * FROM eb UNION ALL SELECT * FROM ec)
+        |ORDER BY pct""".stripMargin
+    },
+
     "agg_exact_quantiles" ->
       // mirrors Stats.exactQuantiles: distinct-cents counts, global
       // cumulative window (= the PrefixSum scan), exact integer ceil

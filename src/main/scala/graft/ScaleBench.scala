@@ -465,7 +465,10 @@ object ScaleBench {
     // CDC between manifest versions: two key anti-joins per pair;
     // histogram quantiles: one pass + a 64-row sketch (the exact
     // order-statistic audit is TakeOrdered per percentile)
-    "sink_time_travel_cdc", "agg_quantile_histogram")
+    "sink_time_travel_cdc", "agg_quantile_histogram",
+    // streaming quantile: 64-long partials per micro-batch + the
+    // TakeOrdered exact audit
+    "stream_quantile_sketch")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -862,6 +862,23 @@ object SparkEntry {
     bpeLargeMemo.synchronized(bpeLargeMemo.clear())
   }
 
+  /** Linear-interpolated quantile estimate off an equi-width bin
+    * histogram (shared by `agg_quantile_histogram` and its streaming
+    * face): find the first bin whose cumulative count reaches the
+    * target rank `t`, then interpolate inside it. Fixed-shape double
+    * arithmetic on exact integers — the DuckDB mirrors spell the
+    * identical formula (`lo + bin·w/B + (t−cprev)·(w/B)/bn`).
+    */
+  private def histEstimate(bins: Seq[(Long, Long)], lo: Long, w: Long,
+      B: Long, t: Long): Double = {
+    var cum = 0L
+    val (bin, bn, cprev) = bins.collectFirst {
+      case (b, cnt) if { val keep = cum + cnt >= t; if (!keep) cum += cnt; keep } =>
+        (b, cnt, cum)
+    }.get
+    lo + (bin * w).toDouble / B + (t - cprev).toDouble * (w.toDouble / B) / bn
+  }
+
   /** Driver-side mirror of Spark's `round(col, 6)` (HALF_UP over
     * `BigDecimal.valueOf`) for S4-materialized scalar cuts — both engines
     * must see identically-rounded thresholds.
@@ -5855,20 +5872,11 @@ object SparkEntry {
         .agg(count(lit(1)).as("bn"))
         .orderBy("bin").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      val widD = w.toDouble / B
-      def estimate(p: Double): (Long, Double) = {
-        val t = math.ceil(p * n).toLong
-        var cum = 0L
-        val (bin, bn, cprev) = bins.collectFirst {
-          case (b, cnt) if { val keep = cum + cnt >= t; if (!keep) cum += cnt; keep } =>
-            (b, cnt, cum)
-        }.get
-        (t, lo + (bin * w).toDouble / B + (t - cprev).toDouble * widD / bn)
-      }
       def exact(t: Long): Long =
         c.orderBy("v").limit(t.toInt).agg(max("v")).head().getLong(0)
       Seq(0.5, 0.9, 0.99).map { p =>
-        val (t, est) = estimate(p)
+        val t = math.ceil(p * n).toLong
+        val est = histEstimate(bins, lo, w, B, t)
         val ex = exact(t)
         (p, t, est, ex, math.abs(est - ex))
       }.toDF("pct", "target_rank", "est", "exact", "abs_err")
@@ -7794,6 +7802,73 @@ object SparkEntry {
         .select("user_id", "n_events", "active_days", "max_per_min",
           "events_per_day")
         .orderBy("user_id")
+    }),
+
+    "stream_quantile_sketch" -> ((s, dir) => {
+      // the histogram sketch doing its actual job — a STREAMING
+      // quantile: each micro-batch contributes a B=64-long bin-count
+      // partial (landed idempotently under batchId dirs — the
+      // stream_manifest_sink rule), partials merge by ADDITION at
+      // read time, and the quantile interpolates off the merged
+      // histogram. Bin edges are FROZEN from the standing reference
+      // scan's exact min/max (a streaming sketch needs a calibrated
+      // domain — re-binning per batch would make partials
+      // non-mergeable; values outside the calibration clamp to the
+      // edge bins). Batching-independence is the oracle: addition is
+      // associative, so the merged bins — and the estimates — equal
+      // the batch-computed sketch however the files micro-batch.
+      // Exact order statistics ride along as the audit.
+      val B = 64L
+      val outDir = s"$WorkDir/stream_qsketch/${scratchTag(s, dir)}"
+      def rmTree(p: java.nio.file.Path): Unit =
+        if (java.nio.file.Files.exists(p)) {
+          java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.delete(f))
+        }
+      rmTree(java.nio.file.Paths.get(outDir))
+      def asMicros(c: Column): Column =
+        floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+      val ref = events(s, dir).select(asMicros(col("value")).as("v"))
+        .agg(min("v"), max("v")).head()
+      val (lo, hi) = (ref.getLong(0), ref.getLong(1))
+      val w = hi - lo + 1
+      val binOf: Column => Column = v =>
+        least(greatest(floor(((v - lo) * B) / lit(w)).cast("long"), lit(0L)),
+          lit(B - 1))
+      val live = EventStream.readEvents(s, dir, "events.parquet")
+        .select(asMicros(col("value")).as("v"))
+      EventStream.withStatePartitions(s, 8) {
+        val q = live.writeStream
+          .foreachBatch {
+            (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                batchId: Long) =>
+              batch.groupBy(binOf(col("v")).as("bin"))
+                .agg(count(lit(1)).as("bn"))
+                .write.mode("overwrite")
+                .parquet(s"$outDir/partials/batch_$batchId")
+              ()
+          }
+          .option("checkpointLocation", s"$outDir/ckpt_${System.nanoTime()}")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      import s.implicits._
+      val merged = s.read.parquet(s"$outDir/partials/batch_*")
+        .groupBy("bin").agg(sum("bn").as("bn"))
+        .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val n = merged.map(_._2).sum
+      val cv = Caches.persist(
+        events(s, dir).select(asMicros(col("value")).as("v")))
+      def exact(t: Long): Long =
+        cv.orderBy("v").limit(t.toInt).agg(max("v")).head().getLong(0)
+      Seq(0.5, 0.9, 0.99).map { p =>
+        val t = math.ceil(p * n).toLong
+        val est = histEstimate(merged, lo, w, B, t)
+        val ex = exact(t)
+        (p, t, est, ex, math.abs(est - ex))
+      }.toDF("pct", "target_rank", "est", "exact", "abs_err")
+        .orderBy("pct")
     }),
 
     "stream_manifest_sink" -> ((s, dir) => {
