@@ -328,12 +328,13 @@ ${p}c${i + 1} AS (SELECT cent_id, list(m ORDER BY pos) AS ce FROM ${p}comp${i + 
     * Every CTE is MATERIALIZED (the DuckDB inlining lesson); the
     * chain depth is bounded ≲ 200 by DuckDB's max_expression_depth.
     */
-  private def bpeLargeCtes(merges: Int): String = {
+  private def bpeLargeCtes(merges: Int, eow: Boolean = false): String = {
     require(merges <= 180, "DuckDB expression-depth cap on the CTE chain")
+    val wordExpr = if (eow) "word || '}'" else "word"
     val head =
-      """vwl AS MATERIALIZED (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS word
+      s"""vwl AS MATERIALIZED (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS word
         |             FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |v0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS c FROM vwl GROUP BY word)""".stripMargin
+        |v0 AS MATERIALIZED (SELECT $wordExpr AS word, CAST(count(*) AS BIGINT) AS c FROM vwl GROUP BY 1)""".stripMargin
     val rounds = (1 to merges).map { k =>
       s"""bp$k AS MATERIALIZED (SELECT pr, CAST(sum(c) AS BIGINT) AS n FROM
          |         (SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pr, c
@@ -3444,6 +3445,18 @@ FROM qb, qr, spl, wt"""
       // trainer's early stop. unicode() reads each raw symbol's
       // codepoint — the integer symbol ids the engine emits.
       s"""WITH ${bpeLargeCtes(128)}
+        |SELECT rank, pr AS pair,
+        |       CAST(unicode(substr(pr, 1, 1)) AS BIGINT) AS left_id,
+        |       CAST(unicode(substr(pr, 2, 1)) AS BIGINT) AS right_id,
+        |       255 + rank AS new_id, n
+        |FROM (${(1 to 128).map(k => s"SELECT * FROM bt$k").mkString(" UNION ALL ")})
+        |ORDER BY rank""".stripMargin,
+
+    "tok_bpe_train_eow" ->
+      // the canonical Sennrich form: '}' (never in [a-z]) marks the
+      // word end, so merges can learn SUFFIX units that stop at the
+      // boundary — same unrolled vocab chain with the marker appended
+      s"""WITH ${bpeLargeCtes(128, eow = true)}
         |SELECT rank, pr AS pair,
         |       CAST(unicode(substr(pr, 1, 1)) AS BIGINT) AS left_id,
         |       CAST(unicode(substr(pr, 2, 1)) AS BIGINT) AS right_id,

@@ -468,7 +468,9 @@ object ScaleBench {
     "sink_time_travel_cdc", "agg_quantile_histogram",
     // streaming quantile: 64-long partials per micro-batch + the
     // TakeOrdered exact audit
-    "stream_quantile_sketch")
+    "stream_quantile_sketch",
+    // EOW training: the same one-aggregate vocab trainer
+    "tok_bpe_train_eow")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -6887,6 +6887,27 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    "tok_bpe_train_eow" -> ((s, dir) => {
+      // the canonical Sennrich (ACL'16) form the plain trainer
+      // simplifies away: every word carries an END-OF-WORD marker
+      // ('}' — ASCII, outside [a-z] and below the merge-symbol range),
+      // so the learner can form SUFFIX units ("...x}" merges) that
+      // never leak across a word boundary — the distinction that
+      // makes "run" and "running"'s shared prefix and distinct
+      // suffixes separately mergeable. Same vocabulary-bounded
+      // trainer; the marker is one appended char before the count
+      // aggregate.
+      import s.implicits._
+      val vocab = bpeWords(s, dir)
+        .select(concat(col("word"), lit("}")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      graft.ext.BpeTrainer.trainVocabOf(vocab, maxMerges = 128)
+        .map(m => (m.rank.toLong, m.raw, m.raw.charAt(0).toLong,
+          m.raw.charAt(1).toLong, 255L + m.rank, m.n))
+        .toDF("rank", "pair", "left_id", "right_id", "new_id", "n")
+        .orderBy("rank")
+    }),
+
     "tok_fertility_curve" -> ((s, dir) => {
       // fertility vs vocabulary budget — the tokenizer-SIZING table
       // (r15 VERDICT #2's fertility re-read on the large ladder): mean
