@@ -2805,6 +2805,23 @@ FROM qb, qr, spl, wt"""
         |       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / 5.0e0 AS recall_at_5
         |FROM qv LEFT JOIN h USING (query_id) ORDER BY query_id""".stripMargin,
 
+    "curate_truncation_vs_packing" ->
+      // policy-cost mirror: exact integer kept/lost/padding sums,
+      // ceil-div bins, unrounded exact-quotient loss rate
+      """WITH t AS (SELECT CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS n_toks
+        |           FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |             CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |             CAST(sum(LEAST(n_toks, 512)) AS BIGINT) AS trunc_kept,
+        |             CAST(sum(GREATEST(n_toks - 512, 0)) AS BIGINT) AS trunc_lost
+        |      FROM t)
+        |SELECT n_docs, total_tokens, trunc_kept, trunc_lost,
+        |       CAST(trunc_lost AS DOUBLE) / total_tokens AS trunc_loss_rate,
+        |       512 * n_docs - trunc_kept AS trunc_padding,
+        |       (total_tokens + 511) // 512 AS pack_bins,
+        |       ((total_tokens + 511) // 512) * 512 - total_tokens AS pack_slack
+        |FROM a""".stripMargin,
+
     "curate_epoch_reshuffle" ->
       // two-salt shard comparison: per epoch-2 shard, docs that kept
       // their epoch-1 shard; exact integers + one 6dp division

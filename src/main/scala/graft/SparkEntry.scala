@@ -3550,6 +3550,36 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    "curate_truncation_vs_packing" -> ((s, dir) => {
+      // the context-budget DECISION table behind curate_pack_sequences:
+      // what each policy costs at ctx=512. TRUNCATION keeps
+      // min(n_toks, 512) per doc and burns the tail (plus pads every
+      // short doc — padding = Σ(512 − kept)); PACKING keeps every
+      // token and wastes only the final partial bin, at the price of
+      // boundary straddlers (already priced per-bin by
+      // curate_pack_sequences). One token pass + one global aggregate;
+      // every number an exact integer, the rates unrounded exact
+      // quotients.
+      val ctx = 512L
+      val toks = docs(s, dir).select(
+        size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n_toks"))
+      toks.agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_toks").as("total_tokens"),
+          sum(least(col("n_toks"), lit(ctx))).as("trunc_kept"),
+          sum(greatest(col("n_toks") - ctx, lit(0L))).as("trunc_lost"))
+        .select(col("n_docs"), col("total_tokens"),
+          col("trunc_kept"), col("trunc_lost"),
+          (col("trunc_lost").cast("double") / col("total_tokens"))
+            .as("trunc_loss_rate"),
+          (lit(ctx) * col("n_docs") - col("trunc_kept")).as("trunc_padding"),
+          // packing fills ceil(total/512) bins; slack = the tail gap
+          ((col("total_tokens") + ctx - 1) / ctx).cast("long")
+            .as("pack_bins"),
+          (((col("total_tokens") + ctx - 1) / ctx).cast("long") * ctx
+            - col("total_tokens")).as("pack_slack"))
+    }),
+
     "curate_epoch_reshuffle" -> ((s, dir) => {
       // the EPOCH lever of the deterministic training shuffle made
       // measurable: epoch 2 is the same salted-hash rule with a new
