@@ -4919,6 +4919,33 @@ FROM qb, qr, spl, wt"""
         |ORDER BY pct""".stripMargin
     },
 
+    "agg_quantile_histogram_grouped" ->
+      // per-key sketch mirror: key-partitioned cumulative bins, first
+      // qualifying bin by row_number, same interpolation doubles,
+      // exact = per-key type-1 order statistic
+      """WITH c AS (SELECT o_orderpriority AS k, CAST(floor(o_totalprice * 100.0e0 + 0.5e0) AS BIGINT) AS v FROM orders),
+        |st AS (SELECT k, CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY k),
+        |h AS (SELECT c.k, ((v - lo) * 64) // (hi - lo + 1) AS bin, CAST(count(*) AS BIGINT) AS bn
+        |      FROM c JOIN st ON st.k = c.k GROUP BY c.k, bin),
+        |cu AS (SELECT k, bin, bn, CAST(sum(bn) OVER (PARTITION BY k ORDER BY bin) AS BIGINT) AS cb FROM h),
+        |pc AS (SELECT unnest([0.5e0, 0.9e0, 0.99e0]) AS pct),
+        |tq AS (SELECT k, lo, hi, n, pct, CAST(ceil(pct * n) AS BIGINT) AS t FROM st CROSS JOIN pc),
+        |sel AS (SELECT * FROM (
+        |         SELECT tq.k, tq.pct, tq.t, tq.lo, tq.hi, cu.bin, cu.bn, cu.cb - cu.bn AS cprev,
+        |                row_number() OVER (PARTITION BY tq.k, tq.pct ORDER BY cu.bin) AS rn
+        |         FROM tq JOIN cu ON cu.k = tq.k WHERE cu.cb >= tq.t)
+        |       WHERE rn = 1),
+        |rk AS (SELECT k, v, row_number() OVER (PARTITION BY k ORDER BY v) AS rn FROM c),
+        |ex AS (SELECT tq.k, tq.pct, CAST(min(rk.v) AS BIGINT) AS exact
+        |       FROM tq JOIN rk ON rk.k = tq.k AND rk.rn >= tq.t GROUP BY tq.k, tq.pct),
+        |f AS (SELECT sel.k AS priority, sel.pct, sel.t AS target_rank,
+        |             lo + (bin * (hi - lo + 1)) / 64.0e0
+        |               + (sel.t - cprev) * ((hi - lo + 1) / 64.0e0) / bn AS est,
+        |             ex.exact
+        |      FROM sel JOIN ex ON ex.k = sel.k AND ex.pct = sel.pct)
+        |SELECT priority, pct, target_rank, est, exact, abs(est - exact) AS abs_err
+        |FROM f ORDER BY priority, pct""".stripMargin,
+
     "agg_exact_quantiles" ->
       // mirrors Stats.exactQuantiles: distinct-cents counts, global
       // cumulative window (= the PrefixSum scan), exact integer ceil

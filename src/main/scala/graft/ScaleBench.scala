@@ -470,7 +470,10 @@ object ScaleBench {
     // TakeOrdered exact audit
     "stream_quantile_sketch",
     // EOW training: the same one-aggregate vocab trainer
-    "tok_bpe_train_eow")
+    "tok_bpe_train_eow",
+    // grouped sketch: one pass to (key, bin) partials + two
+    // key-partitioned windows — never a global window
+    "agg_quantile_histogram_grouped")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -5913,6 +5913,58 @@ object SparkEntry {
         .orderBy("pct")
     }),
 
+    "agg_quantile_histogram_grouped" -> ((s, dir) => {
+      // the PER-KEY face of the histogram sketch — per-tenant latency
+      // dashboards at 100 TB: every key gets its own 64-bin histogram
+      // in ONE pass (bins keyed by (key, bin) — grouped partials merge
+      // exactly like the global ones), and the whole readout stays in
+      // the plan: per-key cumulative bins under a key-PARTITIONED
+      // window (never a global one), the first qualifying bin by
+      // row_number, interpolation as fixed-shape column arithmetic,
+      // and the exact per-key order statistic from one more
+      // partitioned window. Zero driver loops; the output is
+      // keys × 3 rows.
+      val B = 64L
+      val c = Caches.persist(tbl(s, dir, "orders").select(
+        col("o_orderpriority").as("k"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("v")))
+      val st = c.groupBy("k").agg(min("v").as("lo"), max("v").as("hi"),
+        count(lit(1)).as("n"))
+      val binned = c.join(broadcast(st), Seq("k"))
+        .groupBy(col("k"),
+          floor(((col("v") - col("lo")) * B) / (col("hi") - col("lo") + 1))
+            .cast("long").as("bin"))
+        .agg(count(lit(1)).as("bn"))
+      val wc = Window.partitionBy("k").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cu = binned.withColumn("cb", sum("bn").over(wc))
+      val pcts = Seq(0.5, 0.9, 0.99)
+      val tq = st.select(col("k"), col("lo"), col("hi"), col("n"),
+        explode(array(pcts.map(lit): _*)).as("pct"))
+        .withColumn("t", ceil(col("pct") * col("n")).cast("long"))
+      val sel = tq.join(cu, Seq("k"))
+        .filter(col("cb") >= col("t"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("k", "pct").orderBy("bin")))
+        .filter(col("rn") === 1)
+      val w = col("hi") - col("lo") + 1
+      val est = sel.select(col("k"), col("pct"), col("t"),
+        (col("lo") + (col("bin") * w).cast("double") / B +
+          (col("t") - (col("cb") - col("bn"))).cast("double") *
+            (w.cast("double") / B) / col("bn")).as("est"))
+      val rk = c.withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy("v")))
+      val ex = tq.select("k", "pct", "t").join(rk, Seq("k"))
+        .filter(col("rn") >= col("t"))
+        .groupBy("k", "pct").agg(min("v").as("exact"))
+      est.join(ex, Seq("k", "pct"))
+        .select(col("k").as("priority"), col("pct"),
+          col("t").as("target_rank"), col("est"), col("exact"),
+          abs(col("est") - col("exact")).as("abs_err"))
+        .orderBy("priority", "pct")
+    }),
+
     "agg_exact_quantiles" -> ((s, dir) =>
       // EXACT order-price quantiles with no global sort
       // (ext/Stats.exactQuantiles): N rows → distinct-cents counts →
