@@ -1448,6 +1448,39 @@ FROM qb, qr, spl, wt"""
         |SELECT doc_id, round(s, 4) AS score FROM scored
         |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
 
+    "search_boolean_not" ->
+      // exclusion mirror: the bm25 scoring CTE minus documents whose
+      // postings contain the negated term; same 4dp pin and tie-break
+      s"""WITH $indexCtes,
+        |ex AS (SELECT DISTINCT doc_id FROM tf WHERE word = 'slow'),
+        |scored AS (
+        |  SELECT t.doc_id,
+        |         sum(i.idf * (t.term_freq * (1.2 + 1)) /
+        |             (t.term_freq + 1.2 * (0.25 + 0.75 * d.doc_length / (SELECT avgdl FROM stats)))) AS s
+        |  FROM tf t JOIN idf i USING (word) JOIN dl d USING (doc_id)
+        |  WHERE t.word IN ($SearchTermsSql)
+        |    AND t.doc_id NOT IN (SELECT doc_id FROM ex)
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, round(s, 4) AS score FROM scored
+        |ORDER BY round(s, 4) DESC, doc_id LIMIT 10""".stripMargin,
+
+    "events_retention_matrix" ->
+      // cohort × day-offset retention triangle: cohort = each user's
+      // first active day, retained = distinct (user, day) activity at
+      // offsets 0..7; rate an unrounded exact-integer quotient
+      """WITH du AS (SELECT DISTINCT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS cohort_day FROM du GROUP BY user_id),
+        |cs AS (SELECT cohort_day, CAST(count(*) AS BIGINT) AS cohort_n FROM fd GROUP BY cohort_day),
+        |r AS (SELECT fd.cohort_day, du.day - fd.cohort_day AS offset_d,
+        |             CAST(count(*) AS BIGINT) AS n_active
+        |      FROM du JOIN fd USING (user_id)
+        |      WHERE du.day - fd.cohort_day BETWEEN 0 AND 7
+        |      GROUP BY fd.cohort_day, offset_d)
+        |SELECT r.cohort_day, r.offset_d, cs.cohort_n, r.n_active,
+        |       CAST(r.n_active AS DOUBLE) / cs.cohort_n AS retention
+        |FROM r JOIN cs USING (cohort_day)
+        |ORDER BY cohort_day, offset_d""".stripMargin,
+
     "search_pruned_topk" ->
       // the MaxScore-pruned path must equal the UNPRUNED scoring exactly
       // — its oracle IS bm25_search's full-scoring SQL (pruning is a

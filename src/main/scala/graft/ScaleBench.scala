@@ -473,7 +473,10 @@ object ScaleBench {
     "tok_bpe_train_eow",
     // grouped sketch: one pass to (key, bin) partials + two
     // key-partitioned windows — never a global window
-    "agg_quantile_histogram_grouped")
+    "agg_quantile_histogram_grouped",
+    // retention triangle: one distinct-activity pass + a user-keyed
+    // join; boolean NOT: the OR scorer + one posting-bounded anti-join
+    "events_retention_matrix", "search_boolean_not")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -1125,6 +1125,25 @@ object SparkEntry {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(10)),
 
+    "search_boolean_not" -> ((s, dir) => {
+      // EXCLUSION — the third boolean operator beside OR (bm25_search)
+      // and AND (search_boolean_and): rank the query terms but drop
+      // every document containing the negated term ('slow'), the
+      // -keyword every production search box supports. The exclusion
+      // is one posting-bounded anti-join BEFORE the top-k (never a
+      // post-filter of a truncated list, which could under-fill the
+      // page); cost = OR + one semi-join on the negated term's
+      // postings.
+      val t = builtIndex(s, dir, stem = false)
+      val excluded = t.termFrequencies
+        .filter(col("word") === "slow").select("doc_id")
+      Search.scoreTerms(t, SearchTerms)
+        .join(excluded, Seq("doc_id"), "left_anti")
+        .withColumn("score", round(col("score"), 4))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(10)
+    }),
+
     "search_pruned_topk" -> ((s, dir) =>
       // MaxScore-pruned top-10 (Turtle & Flood IPM'95) — r11 VERDICT
       // "Next round" #1: per-term score bounds (an index-time artifact,
@@ -8108,6 +8127,35 @@ object SparkEntry {
         .select("user_id", "n_events", "active_days", "max_per_min",
           "events_per_day")
         .orderBy("user_id")
+    }),
+
+    "events_retention_matrix" -> ((s, dir) => {
+      // the cohort-retention TRIANGLE — the product-analytics heatmap
+      // beside DAU/WAU and cohort LTV: users grouped by their first
+      // active day, per (cohort, day-offset 0..7) the count still
+      // active and the retention rate (unrounded exact quotient).
+      // Distinct (user, day) activity is computed once and reused for
+      // cohorts and offsets; the offset join is user-keyed (one
+      // shuffle), the output calendar²-bounded.
+      val du = graft.Caches.persist(events(s, dir)
+        .select(col("user_id"),
+          floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long")
+            .as("day"))
+        .distinct())
+      val fd = graft.Caches.persist(
+        du.groupBy("user_id").agg(min("day").as("cohort_day")))
+      val cs = fd.groupBy("cohort_day").agg(count(lit(1)).as("cohort_n"))
+      du.join(fd, Seq("user_id"))
+        .withColumn("offset_d", col("day") - col("cohort_day"))
+        .filter(col("offset_d").between(0, 7))
+        .groupBy("cohort_day", "offset_d")
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(cs), Seq("cohort_day"))
+        .select(col("cohort_day"), col("offset_d"), col("cohort_n"),
+          col("n_active"),
+          (col("n_active").cast("double") / col("cohort_n"))
+            .as("retention"))
+        .orderBy("cohort_day", "offset_d")
     }),
 
     "events_dau_wau" -> ((s, dir) => {
