@@ -3613,6 +3613,35 @@ FROM qb, qr, spl, wt"""
         |       CAST(sum(CASE WHEN CAST(hits AS DOUBLE) / n_tokens > 0.05 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS flagged_share
         |FROM per GROUP BY source ORDER BY source""".stripMargin,
 
+    "dedup_keep_best" ->
+      // keep-best mirror: the same CC + pinned-score chains, per
+      // component the (q6 DESC, doc_id ASC) argmax beside the CC
+      // label's own score
+      s"""WITH RECURSIVE $hashedShingleCtes,
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        |n AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM n
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r),
+        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node),
+        |f AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS word
+        |      FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |sw AS (SELECT doc_id, (((${md5Hash60Sql("word")} % 64) * 2654435761) % 1001) / 500.0 - 1.0 AS w FROM f),
+        |sq AS (SELECT doc_id, CAST(floor(round(avg(w), 6) * 1000000.0 + 0.5) AS BIGINT) AS q6 FROM sw GROUP BY doc_id),
+        |mm AS (SELECT comp.component, comp.node AS doc_id, sq.q6,
+        |              row_number() OVER (PARTITION BY comp.component ORDER BY sq.q6 DESC, comp.node ASC) AS rn,
+        |              CAST(count(*) OVER (PARTITION BY comp.component) AS BIGINT) AS n_members
+        |       FROM comp JOIN sq ON sq.doc_id = comp.node)
+        |SELECT mm.component, mm.n_members, mm.doc_id AS keeper_best,
+        |       mm.q6 AS q6_best, lq.q6 AS q6_lowest,
+        |       mm.q6 - lq.q6 AS q6_gain
+        |FROM mm JOIN sq lq ON lq.doc_id = mm.component
+        |WHERE mm.rn = 1 ORDER BY mm.component""".stripMargin,
+
     "quality_dedup_impact" ->
       // the near-dup CC loser chain (curate_dedup_rate_by_source's
       // mirror) × the classifier score chain: per-doc 6dp scores

@@ -476,7 +476,9 @@ object ScaleBench {
     "agg_quantile_histogram_grouped",
     // retention triangle: one distinct-activity pass + a user-keyed
     // join; boolean NOT: the OR scorer + one posting-bounded anti-join
-    "events_retention_matrix", "search_boolean_not")
+    "events_retention_matrix", "search_boolean_not",
+    // keep-best dedup: rides the CC memo + one component-bounded argmax
+    "dedup_keep_best")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -7189,6 +7189,35 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "dedup_keep_best" -> ((s, dir) => {
+      // the ACT on quality_dedup_impact's audit (its own verdict:
+      // "if losers out-score keepers, keep-lowest-id should become
+      // keep-best-quality"): per near-dup component, the keeper under
+      // the QUALITY rule (argmax q6, ties → lowest doc_id) next to
+      // the id rule's keeper (the CC label IS the lowest member), and
+      // the quality gained by switching — exact integer q6 deltas,
+      // ≥ 0 by construction. Rides the shared CC memo and the
+      // classifier's pinned scores; component-bounded arithmetic.
+      val q = queries("quality_classifier")(s, dir)
+        .select(col("doc_id"),
+          (floor(col("score") * lit(1000000.0) + lit(0.5)))
+            .cast("long").as("q6"))
+      val m = nearDupComponents(s, dir)
+        .select(col("node").as("doc_id"), col("component"))
+        .join(q, Seq("doc_id"))
+      m.groupBy("component")
+        .agg(count(lit(1)).as("n_members"),
+          max_by(struct(col("doc_id"), col("q6")),
+            struct(col("q6"), (-col("doc_id")).as("nd"))).as("b"))
+        .join(q.select(col("doc_id").as("component"),
+          col("q6").as("q6_lowest")), Seq("component"))
+        .select(col("component"), col("n_members"),
+          col("b.doc_id").as("keeper_best"), col("b.q6").as("q6_best"),
+          col("q6_lowest"),
+          (col("b.q6") - col("q6_lowest")).as("q6_gain"))
+        .orderBy("component")
+    }),
+
     "quality_label_agreement" -> ((s, dir) => {
       // Cohen's κ between the engine's two independent quality gates
       // (the curation-dashboard readout that says whether the rule
