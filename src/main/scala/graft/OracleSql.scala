@@ -3201,6 +3201,30 @@ FROM qb, qr, spl, wt"""
         |       n_after * c > 2 * n AS overloaded
         |FROM au, tt ORDER BY cluster""".stripMargin,
 
+    "emb_ivf_drift" ->
+      // drift mirror: seed assignment (a0), per-cell 6dp Lloyd means
+      // (the cm/c2c convention), cosine(frozen seed, current mean)
+      // rounded 6, rebuild flag compared on the rounded value
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |c0 AS (SELECT vec_id AS cent_id, ve AS ce FROM v WHERE vec_id < 8),
+        |s0 AS (SELECT vec_id, cent_id,
+        |              list_dot_product(ve, ce) / (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |       FROM v CROSS JOIN c0),
+        |a0 AS (SELECT vec_id, cent_id AS cluster FROM
+        |         (SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rn FROM s0)
+        |       WHERE rn = 1),
+        |nc AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs FROM a0 GROUP BY cluster),
+        |cm AS (SELECT a.cluster AS cent_id, r.i AS pos, round(avg(vv.ve[r.i]), 6) AS m
+        |       FROM a0 a JOIN v vv ON vv.vec_id = a.vec_id CROSS JOIN (SELECT unnest(range(1, 65)) AS i) r
+        |       GROUP BY a.cluster, r.i),
+        |c2c AS (SELECT cent_id, list(m ORDER BY pos) AS cur FROM cm GROUP BY cent_id),
+        |dr AS (SELECT c0.cent_id AS cluster,
+        |              round(list_dot_product(c0.ce, c2c.cur) / (sqrt(list_dot_product(c0.ce, c0.ce)) * sqrt(list_dot_product(c2c.cur, c2c.cur))), 6) AS drift_cos
+        |       FROM c0 JOIN c2c USING (cent_id))
+        |SELECT dr.cluster, nc.n_vecs, dr.drift_cos, dr.drift_cos < 0.95e0 AS rebuild
+        |FROM dr JOIN nc ON nc.cluster = dr.cluster
+        |ORDER BY dr.cluster""".stripMargin,
+
     "emb_ivf_delete" ->
       // tombstoned serve-through mirror: the sim_ivf_topk_nprobe2
       // chain with the md5-bucket-1 slice excluded from BOTH the

@@ -478,7 +478,9 @@ object ScaleBench {
     // join; boolean NOT: the OR scorer + one posting-bounded anti-join
     "events_retention_matrix", "search_boolean_not",
     // keep-best dedup: rides the CC memo + one component-bounded argmax
-    "dedup_keep_best")
+    "dedup_keep_best",
+    // drift alarm: one assignment + a C-dim mean aggregate
+    "emb_ivf_drift")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

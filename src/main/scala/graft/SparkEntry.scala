@@ -3805,6 +3805,36 @@ object SparkEntry {
         .orderBy("cluster")
     }),
 
+    "emb_ivf_drift" -> ((s, dir) => {
+      // the REBUILD trigger that closes the index-ops loop (build →
+      // audit → split → serve → upsert → delete → compact → DRIFT):
+      // a standing index serves from FROZEN centroids while the corpus
+      // moves; per cell, the cosine between the frozen routing
+      // centroid and the CURRENT member mean (one 6dp-pinned Lloyd
+      // update — centroidsOf) says how stale the routing is, and the
+      // flag (drift < 0.95, compared on the 6dp-rounded value both
+      // engines share) is what pages the rebuild job. Scale: one
+      // N-row assignment + a C·dim mean aggregate; the comparison is
+      // C rows.
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val frozen = Similarity.ivfCentroids(e, nCentroids = 8)
+      val assigned = Caches.persist(
+        Similarity.ivfAssignWith(e, frozen, knownCents = Some(8L)))
+      val counts = assigned.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      val cur = Similarity.centroidsOf(assigned.join(e, Seq("vec_id"))
+        .select(col("cluster"), col("embedding")))
+      frozen
+        .join(cur.select(col("cent_id"), col("cent").as("cur")), Seq("cent_id"))
+        .select(col("cent_id").as("cluster"),
+          round(Similarity.cosine(
+            col("cent").cast("array<double>"), col("cur")), 6)
+            .as("drift_cos"))
+        .join(counts, Seq("cluster"))
+        .select(col("cluster"), col("n_vecs"), col("drift_cos"),
+          (col("drift_cos") < 0.95).as("rebuild"))
+        .orderBy("cluster")
+    }),
+
     "emb_ivf_delete" -> ((s, dir) => {
       // the index DELETE path (r15 VERDICT "next" #4 — the write face
       // emb_ivf_upsert leaves open): deletes land as a TOMBSTONE
