@@ -104,7 +104,7 @@ private[graft] object OracleSql {
        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS doc_length FROM flat GROUP BY doc_id),
        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS term_freq FROM flat GROUP BY doc_id, word),
        |idf AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq, log10((SELECT count(*) FROM dl) * 1.0 / count(DISTINCT doc_id)) AS idf FROM flat GROUP BY word),
-       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, sum(doc_length) * 1.0 / count(*) AS avgdl FROM dl)""".stripMargin
+       |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(doc_length) AS DOUBLE) / count(*) AS avgdl FROM dl)""".stripMargin
 
   /** BM25 scored CTE (k1=1.2, b=0.75 — `pyapp.py:65`): written as
     * (1.2 + 1) and 0.25 to reproduce the exact double arithmetic of
@@ -1423,11 +1423,14 @@ FROM qb, qr, spl, wt"""
         |                     + (CASE WHEN gap >= 4398046511104 THEN 1 ELSE 0 END) AS bytes
         |       FROM gap)
         |SELECT word, CAST(count(*) AS BIGINT) AS doc_freq, CAST(sum(bytes) AS BIGINT) AS vb_bytes,
-        |       round(CAST(sum(bytes) AS DOUBLE) / count(*), 6) AS bytes_per_posting
+        |       CAST(sum(bytes) AS DOUBLE) / count(*) AS bytes_per_posting
         |FROM vb GROUP BY word ORDER BY doc_freq DESC, word LIMIT 40""".stripMargin,
 
     "g5_scoring_params" ->
-      s"WITH $indexCtes SELECT n_docs, round(avgdl, 6) AS avgdl FROM stats",
+      // avgdl is a quotient of exact integers — emitted unrounded
+      // (the r15 tie rule); the stats CTE's division is already the
+      // IEEE double both engines share
+      s"WITH $indexCtes SELECT n_docs, avgdl FROM stats",
 
     "bm25_search" ->
       s"WITH $bm25Ctes SELECT doc_id, score FROM top10",

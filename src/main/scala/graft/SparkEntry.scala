@@ -1010,7 +1010,7 @@ object SparkEntry {
         .groupBy("word")
         .agg(count(lit(1)).as("doc_freq"), sum("bytes").as("vb_bytes"))
         .withColumn("bytes_per_posting",
-          round(col("vb_bytes").cast("double") / col("doc_freq"), 6))
+          col("vb_bytes").cast("double") / col("doc_freq"))
         .orderBy(col("doc_freq").desc, col("word"))
         .limit(40)
     }),
@@ -1105,7 +1105,7 @@ object SparkEntry {
       Indexer.docLengths(Indexer.flatWords(docs(s, dir), stem = false))
         .agg(
           count(lit(1)).as("n_docs"),
-          round(sum("doc_length").cast("double") / count(lit(1)), 6).as("avgdl"))),
+          (sum("doc_length").cast("double") / count(lit(1))).as("avgdl"))),
 
     "bm25_search" -> ((s, dir) => bm25Top10(s, dir)),
 
