@@ -92,19 +92,38 @@ object Bench {
       Caches.clearPersisted()
       dt
     }
+    // Codegen-compilation forensics (r16 VERDICT #2): the r8
+    // cache-thrash signature is scattered 10×+ spikes on untouched
+    // plans in FULL sweeps only. Janino compilations during the timed
+    // sweep are the direct discriminator: after warmup a query's
+    // sources are cached (modulo first-touch sf-shape differences —
+    // AQE can pick different physical plans at sf0.1 than the sf0.001
+    // warmup), so a spike WITH a compile delta is eviction/recompile
+    // (thrash) and a spike with zero delta is external load.
+    // CodegenMetrics is Spark's own Codahale source; reading a
+    // counter costs nothing.
+    def codegenCompilations(): Long =
+      org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME.getCount
     // Progress trail on stderr (stdout stays the driver's parse target):
     // one line per query AS IT COMPLETES, with wall clock and in-sweep
     // position. This is what localizes a mid-sweep degradation — a
     // sum-of-medians total can't distinguish "every query 2x slower"
     // (machine) from "queries after #120 10x slower" (session-state).
     var pos = 0
+    val sweepComps0 = codegenCompilations()
+    val compDeltas = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     val results = SparkEntry.queries.map { case (name, fn) =>
+      val c0 = codegenCompilations()
       val samples = (1 to reps).map(_ => timeOnce(fn)).sorted
+      val dComp = codegenCompilations() - c0
+      if (dComp > 0) compDeltas(name) = dComp
       pos += 1
       val med = samples(samples.size / 2)
-      System.err.println(f"BENCHQ $pos%3d ${java.time.LocalTime.now()} $name%-28s $med%8.3f s (min ${samples.head}%.3f max ${samples.last}%.3f)")
+      System.err.println(f"BENCHQ $pos%3d ${java.time.LocalTime.now()} $name%-28s $med%8.3f s (min ${samples.head}%.3f max ${samples.last}%.3f) comps=$dComp")
       name -> med // median
     }
+    val sweepComps = codegenCompilations() - sweepComps0
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -113,9 +132,11 @@ object Bench {
     // 185+ queries truncates the per-query dict to a ~third — making
     // cross-round regressions unauditable. The file always holds every
     // entry; sorted by name so round-over-round diffs are line-stable.
+    val compJson = compDeltas.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val perQueryJson = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"""  "$k": $v""" }
-      .mkString(s"""{\n  "_sf": "$sfDir",\n  "_reps": $reps,\n  "_total_sec": $total,\n  "_calibration": $calJson,\n""", ",\n", "\n}\n")
+      .mkString(s"""{\n  "_sf": "$sfDir",\n  "_reps": $reps,\n  "_total_sec": $total,\n  "_calibration": $calJson,\n  "_codegen_sweep_compilations": $sweepComps,\n  "_codegen_compilations_by_query": $compJson,\n""", ",\n", "\n}\n")
     try {
       // absolute WorkDir path (r9 ADVICE: a cwd-relative path lands the
       // audit trail wherever the launcher happened to cd)
@@ -148,16 +169,26 @@ object Bench {
       if (!java.nio.file.Files.exists(histPath)) "null"
       else {
         import scala.jdk.CollectionConverters._
-        def field(row: String, k: String): Option[Double] =
-          s""""$k":([0-9.Ee+-]+)""".r.findFirstMatchIn(row)
-            .map(_.group(1).toDouble)
+        // parse the prior row as JSON (r16 ADVICE: first-match regexes
+        // over the whole line break the moment any query or
+        // calibration key shadows "probe"/"total" as a substring);
+        // json4s-jackson ships with Spark — no new dependency
+        import org.json4s._
+        def num(v: JValue): Option[Double] = v match {
+          case JDouble(d) => Some(d)
+          case JInt(i) => Some(i.toDouble)
+          case JDecimal(d) => Some(d.toDouble)
+          case JLong(l) => Some(l.toDouble)
+          case _ => None
+        }
         java.nio.file.Files.readAllLines(histPath).asScala
           .filter(_.contains(s""""sf":"$sfDir""""))
-          .lastOption.flatMap { prev =>
+          .lastOption.flatMap { prevLine =>
+            val prev = org.json4s.jackson.JsonMethods.parse(prevLine)
             for {
-              pProbe <- field(prev, "probe")
-              pIo <- field(prev, "io_documents_scan")
-              pTotal <- field(prev, "total")
+              pProbe <- num(prev \ "probe")
+              pIo <- num(prev \ "calibration" \ "io_documents_scan")
+              pTotal <- num(prev \ "total")
               if pProbe > 0 && pIo > 0 && pTotal > 0
             } yield {
               val raw = total / pTotal
@@ -167,7 +198,7 @@ object Bench {
       }
     } catch { case _: Throwable => "null" }
     try {
-      val histRow = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","reps":$reps,"probe":$calMedian,"calibration":$calJson,"vs_prev":$vsPrev,"queries":$qs,"total":$total}"""
+      val histRow = s"""{"ts":"${java.time.Instant.now()}","sf":"$sfDir","reps":$reps,"probe":$calMedian,"calibration":$calJson,"codegen_sweep_compilations":$sweepComps,"vs_prev":$vsPrev,"queries":$qs,"total":$total}"""
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(s"${SparkEntry.ReceiptsDir}/bench_history.jsonl"),
         histRow + "\n",

@@ -2374,21 +2374,24 @@ FROM qb, qr, spl, wt"""
     },
 
     "j_bloom_prune" ->
-      // join-pruning mirror: dim keys' bloom bits (3 salted md5 mod
-      // 65536), fact survivors = rows whose 3 probes all hit, exact
-      // join on survivors — equal to the plain join by no-false-
-      // negatives; the telemetry counts are exact integers
+      // join-pruning mirror: one md5 per key split into 30-bit halves,
+      // Kirsch–Mitzenmacher positions (h1 + i·h2) mod m, fact
+      // survivors = rows whose 3 probes all hit, exact join on
+      // survivors — equal to the plain join by no-false-negatives;
+      // the telemetry counts are exact integers
       s"""WITH dim AS (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'),
         |mm AS (SELECT GREATEST(65536, 16 * CAST(count(*) AS BIGINT)) AS m FROM dim),
-        |bits AS (SELECT DISTINCT p FROM (
-        |    SELECT ${md5Hash60Sql("'jb0|' || CAST(o_orderkey AS VARCHAR)")} % (SELECT m FROM mm) AS p FROM dim
-        |    UNION ALL SELECT ${md5Hash60Sql("'jb1|' || CAST(o_orderkey AS VARCHAR)")} % (SELECT m FROM mm) FROM dim
-        |    UNION ALL SELECT ${md5Hash60Sql("'jb2|' || CAST(o_orderkey AS VARCHAR)")} % (SELECT m FROM mm) FROM dim)),
+        |dh AS (SELECT h // 1073741824 AS h1, h % 1073741824 AS h2 FROM (
+        |    SELECT ${md5Hash60Sql("'jb|' || CAST(o_orderkey AS VARCHAR)")} AS h FROM dim)),
+        |bits AS (SELECT DISTINCT (h1 + i * h2) % (SELECT m FROM mm) AS p
+        |         FROM dh CROSS JOIN (SELECT unnest([0, 1, 2]) AS i)),
         |f AS (SELECT l_orderkey, l_quantity FROM lineitem),
-        |sv AS (SELECT l_orderkey, l_quantity FROM f
-        |       WHERE ${md5Hash60Sql("'jb0|' || CAST(l_orderkey AS VARCHAR)")} % (SELECT m FROM mm) IN (SELECT p FROM bits)
-        |         AND ${md5Hash60Sql("'jb1|' || CAST(l_orderkey AS VARCHAR)")} % (SELECT m FROM mm) IN (SELECT p FROM bits)
-        |         AND ${md5Hash60Sql("'jb2|' || CAST(l_orderkey AS VARCHAR)")} % (SELECT m FROM mm) IN (SELECT p FROM bits))
+        |fh AS (SELECT l_orderkey, l_quantity, h // 1073741824 AS h1, h % 1073741824 AS h2 FROM (
+        |    SELECT l_orderkey, l_quantity, ${md5Hash60Sql("'jb|' || CAST(l_orderkey AS VARCHAR)")} AS h FROM f)),
+        |sv AS (SELECT l_orderkey, l_quantity FROM fh
+        |       WHERE h1 % (SELECT m FROM mm) IN (SELECT p FROM bits)
+        |         AND (h1 + h2) % (SELECT m FROM mm) IN (SELECT p FROM bits)
+        |         AND (h1 + 2 * h2) % (SELECT m FROM mm) IN (SELECT p FROM bits))
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM f) AS n_fact,
         |       (SELECT CAST(count(*) AS BIGINT) FROM sv) AS n_survivors,
         |       CAST(count(*) AS BIGINT) AS n_matched,
@@ -3561,14 +3564,15 @@ FROM qb, qr, spl, wt"""
       // per-doc token-id mirror: the depth-32 replace chain over the
       // space-normalized whole text (a 2-symbol pair can never span
       // the separator, so whole-text == per-word encode), spaces
-      // stripped, ids = unicode codepoints of the first 12 symbols
+      // stripped, ids = unicode codepoints of the first 12 symbols,
+      // comma-joined (the comparator cannot hash list cells)
       s"""WITH ${bpeLargeCtes(32)},
         |e AS (SELECT doc_id,
         |             replace(${bpeLargeEncodeSql(
                  "regexp_replace(lower(text), '[^a-z]+', ' ', 'g')", 32)}, ' ', '') AS stream
         |      FROM read_parquet('/root/testdata/sf0.01/documents.parquet'))
         |SELECT doc_id, CAST(len(stream) AS BIGINT) AS n_tokens,
-        |       list_transform((string_split(stream, ''))[1:12], c -> CAST(unicode(c) AS BIGINT)) AS head_ids
+        |       array_to_string(list_transform((string_split(stream, ''))[1:12], c -> CAST(unicode(c) AS VARCHAR)), ',') AS head_ids
         |FROM e ORDER BY doc_id""".stripMargin,
 
     "curate_pack_sequences" ->

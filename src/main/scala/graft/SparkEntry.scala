@@ -468,14 +468,29 @@ object SparkEntry {
     * `curate_dsir_weights`' training pass economics (same tagged
     * features shape, model built once per (session, sfDir)).
     */
-  private val dsirModelMemo = new DirMemo((s, dir) => {
+  private val dsirTaggedMemo = new DirMemo((s, dir) => {
     val d = docs(s, dir)
-    graft.ext.Dsir.ratioModel(
-      graft.ext.Dsir.hashedFeatures(d, buckets = 1024)
-        .join(d.select(col("doc_id"),
-          col("source").isin("src0", "src1").as("tgt")), Seq("doc_id")),
-      buckets = 1024).localCheckpoint()
+    graft.ext.Dsir.hashedFeatures(d, buckets = 1024)
+      .join(d.select(col("doc_id"),
+        col("source").isin("src0", "src1").as("tgt")), Seq("doc_id"))
+      .localCheckpoint()
   })
+
+  private val dsirModelMemo = new DirMemo((s, dir) =>
+    graft.ext.Dsir.ratioModel(dsirTaggedMemo(s, dir), buckets = 1024)
+      .localCheckpoint())
+
+  /** Frozen-model DSIR weights over the raw pool — the (tagged ⊳
+    * model) composition `curate_dsir_weights` and
+    * `curate_training_manifest` both need; riding [[dsirTaggedMemo]]
+    * means the corpus token pass runs once per (session, sfDir), not
+    * once per query (r16 VERDICT #7).
+    */
+  private def dsirCorpusWeights(s: SparkSession, dir: String): DataFrame = {
+    val tagged = dsirTaggedMemo(s, dir)
+    graft.ext.Dsir.scoreFeatures(tagged.filter(!col("tgt")),
+      dsirModelMemo(s, dir))
+  }
 
   /** The part CO-PURCHASE edge set (id-ordered part pairs within an
     * order, one row per pair with its co-occurrence count `w`) — the
@@ -857,6 +872,7 @@ object SparkEntry {
     frozenCellsMemo.reset()
     frozenCentsMemo.reset()
     dsirModelMemo.reset()
+    dsirTaggedMemo.reset()
     ivfSplitMemo.reset()
     louvainFullRunMemo.synchronized(louvainFullRunMemo.clear())
     bpeLargeMemo.synchronized(bpeLargeMemo.clear())
@@ -871,11 +887,18 @@ object SparkEntry {
     */
   private def histEstimate(bins: Seq[(Long, Long)], lo: Long, w: Long,
       B: Long, t: Long): Double = {
+    // explicit loop threading the cumulative count — no side effect
+    // inside a pattern guard (r16 ADVICE: collectFirst's exactly-once
+    // guard evaluation was load-bearing and refactor-fragile)
     var cum = 0L
-    val (bin, bn, cprev) = bins.collectFirst {
-      case (b, cnt) if { val keep = cum + cnt >= t; if (!keep) cum += cnt; keep } =>
-        (b, cnt, cum)
-    }.get
+    var found: Option[(Long, Long, Long)] = None
+    val it = bins.iterator
+    while (found.isEmpty && it.hasNext) {
+      val (b, cnt) = it.next()
+      if (cum + cnt >= t) found = Some((b, cnt, cum))
+      else cum += cnt
+    }
+    val (bin, bn, cprev) = found.get
     lo + (bin * w).toDouble / B + (t - cprev).toDouble * (w.toDouble / B) / bn
   }
 
@@ -3054,6 +3077,12 @@ object SparkEntry {
       // bloom survivors, exact matches — survivors − matches is what
       // an undersized filter leaks into the shuffle. Probes are three
       // map-side broadcast semi-joins; nothing key-set-sized moves.
+      // The three probe positions come from ONE md5 per row via
+      // Kirsch–Mitzenmacher double hashing, pos_i = (h1 + i·h2) mod m
+      // (Kirsch & Mitzenmacher, ESA 2006 — FP rate unchanged): the r16
+      // 5.99× @10× receipt was md5 CPU — 3 salted digests per fact row
+      // recomputed inside every join condition; now the digest runs
+      // once in a narrow projection and each probe is two adds + a mod.
       val dim = Caches.persist(tbl(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT")
         .select(col("o_orderkey")))
@@ -3062,17 +3091,29 @@ object SparkEntry {
       // receipt measured kn/m ≈ 14 at m = 65536, survivors ≈ all fact
       // rows, i.e. no pruning at exactly the scale pruning pays
       val m = math.max(65536L, 16L * dim.count())
-      def pos(i: Int)(c: Column): Column =
-        pmod(Dedup.md5Hash60(concat(lit(s"jb$i|"), c.cast("string"))), lit(m))
-      val bits = Caches.persist((0 until 3)
-        .map(i => dim.select(pos(i)(col("o_orderkey")).as("p")))
-        .reduce(_ unionAll _).distinct())
+      // split the 60-bit digest into two 30-bit halves; all arithmetic
+      // stays < 2^32, exact and engine-independent
+      def halves(key: Column): (Column, Column) = {
+        val h = Dedup.md5Hash60(concat(lit("jb|"), key.cast("string")))
+        (shiftright(h, 30), pmod(h, lit(1073741824L)))
+      }
+      def pos(i: Int)(h1: Column, h2: Column): Column =
+        pmod(h1 + lit(i.toLong) * h2, lit(m))
+      val (dh1, dh2) = halves(col("o_orderkey"))
+      val bits = Caches.persist(
+        dim.select(dh1.as("h1"), dh2.as("h2"))
+          .select(explode(array((0 until 3)
+            .map(i => pos(i)(col("h1"), col("h2"))): _*)).as("p"))
+          .distinct())
       val fact = tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity")
       val nFact = fact.count()
-      val survivors = Caches.persist((0 until 3).foldLeft(fact) { (acc, i) =>
+      val (fh1, fh2) = halves(col("l_orderkey"))
+      val probed = fact.select(Seq(col("l_orderkey"), col("l_quantity")) ++
+        (0 until 3).map(i => pos(i)(fh1, fh2).as(s"q$i")): _*)
+      val survivors = Caches.persist((0 until 3).foldLeft(probed) { (acc, i) =>
         acc.join(broadcast(bits.select(col("p").as(s"p$i"))),
-          pos(i)(col("l_orderkey")) === col(s"p$i"), "left_semi")
-      })
+          col(s"q$i") === col(s"p$i"), "left_semi")
+      }.select("l_orderkey", "l_quantity"))
       val joined = survivors
         .join(dim, survivors("l_orderkey") === dim("o_orderkey"))
       joined.agg(count(lit(1)).as("n_matched"),
@@ -3632,11 +3673,12 @@ object SparkEntry {
       // target-domain selection a pretraining mix runs after dedup.
       // Weights are EXACT BIGINT sums of integer-pinned per-bucket
       // ratios (no float accumulation at any N); the ranking ties
-      // break on doc_id. Scale: one token pass, O(B)-bounded model,
-      // broadcast ratio join, distributed TakeOrdered top-k.
+      // break on doc_id. Scale: one token pass (shared per (session,
+      // sfDir) via dsirTaggedMemo — the manifest and the streaming
+      // face ride the same build), O(B)-bounded model, broadcast
+      // ratio join, distributed TakeOrdered top-k.
       val d = docs(s, dir)
-      graft.ext.Dsir.importanceWeights(
-          d, col("source").isin("src0", "src1"), buckets = 1024)
+      dsirCorpusWeights(s, dir)
         .join(d.select("doc_id", "source"), Seq("doc_id"))
         .orderBy(col("weight").desc, col("doc_id"))
         .limit(32)
@@ -3677,7 +3719,7 @@ object SparkEntry {
         .filter(pmod(Dedup.md5Hash60(col("doc_id").cast("string")),
           lit(1000L)).cast("double") / 1000.0 < col("keep_rate"))
         .select("doc_id", "lang", "source")
-      val wts = graft.ext.Dsir.importanceWeights(d, isTarget, buckets = 1024)
+      val wts = dsirCorpusWeights(s, dir)
       val h = Dedup.md5Hash60(concat_ws("|", lit("epoch1"),
         col("doc_id").cast("string")))
       val sharded = Caches.persist(kept.join(wts, Seq("doc_id"), "left")
@@ -3912,12 +3954,17 @@ object SparkEntry {
       val after = la2.groupBy("cluster").agg(count(lit(1)).as("n_files_after"))
       val resid = la2.join(lt2, Seq("vec_id"), "left_semi")
         .groupBy("cluster").agg(count(lit(1)).as("n_resid"))
-      audit0.join(after, Seq("cluster"))
+      // left-join `after` too (r16 ADVICE): a cell whose members are
+      // ALL tombstoned compacts to zero rows and drops out of `after`
+      // entirely — the inner join silently erased that cluster while
+      // the oracle still emits it with n_files_after = 0
+      audit0.join(after, Seq("cluster"), "left")
         .join(resid, Seq("cluster"), "left")
         .select(col("cluster"), col("n_before"), col("n_deleted"),
-          col("compacted"), col("n_files_after"),
-          (col("n_files_after") - coalesce(col("n_resid"), lit(0L)))
-            .as("n_visible"))
+          col("compacted"),
+          coalesce(col("n_files_after"), lit(0L)).as("n_files_after"),
+          (coalesce(col("n_files_after"), lit(0L)) -
+            coalesce(col("n_resid"), lit(0L))).as("n_visible"))
         .orderBy("cluster")
     }),
 
@@ -4788,15 +4835,21 @@ object SparkEntry {
       val span = mx - mn + 1
       val cuts = Seq(8L, 4L, 2L, 1L).map(f =>
         (f, mn + math.ceil(span / f.toDouble).toLong))
-      val tok = docs(s, dir).select(col("doc_id"),
-        explode(TextAnalysis.rawTokens(col("text"))).as("w"))
-      val firstSeen = tok.groupBy("w").agg(min("doc_id").as("fd"))
-      val tRow = tok.agg(
-        cuts.map { case (f, c) =>
-          sum(when(col("doc_id") < c, 1L).otherwise(0L)).as(s"t$f")
-        }.head, cuts.tail.map { case (f, c) =>
-          sum(when(col("doc_id") < c, 1L).otherwise(0L)).as(s"t$f")
-        }: _*).head()
+      // token totals never needed the explode: per-doc size() in the
+      // scan's narrow pass, then four conditional sums at doc grain —
+      // the r16 shape ran TWO full explode passes (one per aggregate)
+      // for a 4-number answer
+      val firstSeen = docs(s, dir).select(col("doc_id"),
+          explode(TextAnalysis.rawTokens(col("text"))).as("w"))
+        .groupBy("w").agg(min("doc_id").as("fd"))
+      val tRow = docs(s, dir).select(col("doc_id"),
+          size(TextAnalysis.rawTokens(col("text"))).cast("long").as("nt"))
+        .agg(
+          cuts.map { case (f, c) =>
+            sum(when(col("doc_id") < c, col("nt")).otherwise(0L)).as(s"t$f")
+          }.head, cuts.tail.map { case (f, c) =>
+            sum(when(col("doc_id") < c, col("nt")).otherwise(0L)).as(s"t$f")
+          }: _*).head()
       val vRow = firstSeen.agg(
         cuts.map { case (f, c) =>
           sum(when(col("fd") < c, 1L).otherwise(0L)).as(s"v$f")
@@ -5936,8 +5989,12 @@ object SparkEntry {
       // identically, and each estimate ships beside the exact type-1
       // order statistic and its absolute error — the audit that
       // prices B before anyone trusts the sketch. Scale: one pass +
-      // a 64-row aggregate; the exact check is TakeOrdered per
-      // percentile (the audit's cost, not the sketch's).
+      // a 64-row aggregate; the exact check reads all three ranks
+      // off ONE domain-bounded PrefixSum CDF (the exactQuantiles
+      // construction — bounded by the cents DOMAIN, never row count).
+      // The r16 audit ran TakeOrdered of ~p·N rows per percentile
+      // (the 4.84× @10× receipt) and its limit(t.toInt) overflowed
+      // Int past ~2.1e9 rows (r16 ADVICE).
       import s.implicits._
       val B = 64L
       val c = Caches.persist(tbl(s, dir, "orders").select(
@@ -5951,12 +6008,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("bn"))
         .orderBy("bin").collect()
         .map(r => (r.getLong(0), r.getLong(1)))
-      def exact(t: Long): Long =
-        c.orderBy("v").limit(t.toInt).agg(max("v")).head().getLong(0)
-      Seq(0.5, 0.9, 0.99).map { p =>
-        val t = math.ceil(p * n).toLong
+      // t = ceil(p·n) in IEEE double, exactly the oracle's spelling
+      val targets = Seq(0.5, 0.9, 0.99).map(p => (p, math.ceil(p * n).toLong))
+      // eager cut before the scan's multi-branch read (the
+      // exactQuantilesFromCounts discipline)
+      val per = Caches.persist(c.groupBy("v").agg(count(lit(1)).as("c")))
+      per.count()
+      val cum = graft.ext.PrefixSum.scan(per, "v", Seq("c"), 131072L)
+      val exacts = cum.crossJoin(broadcast(targets.toDF("pct", "t")))
+        .filter(col("cum_c") >= col("t"))
+        .groupBy("pct").agg(min("v").as("ex"))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      targets.map { case (p, t) =>
         val est = histEstimate(bins, lo, w, B, t)
-        val ex = exact(t)
+        val ex = exacts(p)
         (p, t, est, ex, math.abs(est - ex))
       }.toDF("pct", "target_rank", "est", "exact", "abs_err")
         .orderBy("pct")
@@ -7096,8 +7161,11 @@ object SparkEntry {
           regexp_replace(enc, " ", "").as("stream"))
         .select(col("doc_id"),
           length(col("stream")).cast("long").as("n_tokens"),
-          transform(slice(split(col("stream"), ""), 1, 12),
-            c => element_at(idMap, c)).as("head_ids"))
+          // comma-joined string, not array<long>: the gate comparator
+          // canonicalizes rows through pandas sort/hash, which cannot
+          // hash list cells — same convention as g1_inverted_index
+          concat_ws(",", transform(slice(split(col("stream"), ""), 1, 12),
+            c => element_at(idMap, c).cast("string"))).as("head_ids"))
         .orderBy("doc_id")
     }),
 
@@ -7150,20 +7218,26 @@ object SparkEntry {
       // et al. EMNLP-Findings 2020): per doc, the blocklist share of
       // tokens; docs above 5% are flagged; rolled to SOURCE grain —
       // the crawl-budget table that says which feeds to throttle. The
-      // lexicon is a broadcast-small IN-list (codegen'd set probe, no
-      // join); tokens never leave their doc_id grain before the two
-      // hash aggs, so the plan is one scan + explode + two partial-agg
-      // shuffles at any corpus size. Per-doc rate and per-source
-      // flagged_share are quotients of EXACT integer counts — emitted
-      // UNROUNDED (the r15 rounding-tie rule: the raw double quotient
-      // is bit-identical on both engines; rounding can break ties).
+      // lexicon is a broadcast-small IN-list; per-doc n_tokens and
+      // hits are ARRAY expressions (size / size∘filter) evaluated in
+      // the scan's narrow pass — docs is already doc_id-grain, so the
+      // r16 explode + doc-grain re-agg shuffle (the 5.6× @10×
+      // receipt) was pure overhead: tokens never needed to become
+      // rows at all. One scan + ONE source-grain partial-agg shuffle
+      // at any corpus size. Per-doc rate and per-source flagged_share
+      // are quotients of EXACT integer counts — emitted UNROUNDED
+      // (the r15 rounding-tie rule: the raw double quotient is
+      // bit-identical on both engines; rounding can break ties).
       val lexicon = Seq("slow", "dup", "stale", "corrupt")
+      val tk = TextAnalysis.rawTokens(col("text"))
       val per = docs(s, dir)
         .select(col("doc_id"), col("source"),
-          explode(TextAnalysis.rawTokens(col("text"))).as("w"))
-        .groupBy("doc_id", "source")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when(col("w").isin(lexicon: _*), 1L).otherwise(0L)).as("hits"))
+          size(tk).cast("long").as("n_tokens"),
+          size(filter(tk, w => w.isin(lexicon: _*))).cast("long").as("hits"))
+        // unnest-parity: a zero-token doc produced no rows under the
+        // old explode (and produces none in the oracle's unnest), so
+        // it must not count toward n_docs here either
+        .filter(col("n_tokens") > 0L)
       per
         .withColumn("rate", col("hits").cast("double") / col("n_tokens"))
         .groupBy("source")
@@ -8039,14 +8113,23 @@ object SparkEntry {
         .groupBy("bin").agg(sum("bn").as("bn"))
         .orderBy("bin").collect().map(r => (r.getLong(0), r.getLong(1)))
       val n = merged.map(_._2).sum
+      // exact audit off one domain-bounded PrefixSum CDF, not a
+      // TakeOrdered of ~p·N rows per percentile (whose limit(t.toInt)
+      // also overflowed Int past ~2.1e9 rows — r16 ADVICE); same
+      // construction as agg_quantile_histogram's audit
       val cv = Caches.persist(
         events(s, dir).select(asMicros(col("value")).as("v")))
-      def exact(t: Long): Long =
-        cv.orderBy("v").limit(t.toInt).agg(max("v")).head().getLong(0)
-      Seq(0.5, 0.9, 0.99).map { p =>
-        val t = math.ceil(p * n).toLong
+      val targets = Seq(0.5, 0.9, 0.99).map(p => (p, math.ceil(p * n).toLong))
+      val per = Caches.persist(cv.groupBy("v").agg(count(lit(1)).as("c")))
+      per.count()
+      val cum = graft.ext.PrefixSum.scan(per, "v", Seq("c"), 131072L)
+      val exacts = cum.crossJoin(broadcast(targets.toDF("pct", "t")))
+        .filter(col("cum_c") >= col("t"))
+        .groupBy("pct").agg(min("v").as("ex"))
+        .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+      targets.map { case (p, t) =>
         val est = histEstimate(merged, lo, w, B, t)
-        val ex = exact(t)
+        val ex = exacts(p)
         (p, t, est, ex, math.abs(est - ex))
       }.toDF("pct", "target_rank", "est", "exact", "abs_err")
         .orderBy("pct")
@@ -9296,20 +9379,28 @@ object SparkEntry {
       // at 1000 executors: term-sharding keeps each query term on one
       // server (document-sharding would fan every term out to all),
       // and the share column bounds tail latency — a shard holding 2×
-      // the mean postings is the straggler. One hash agg over the TF
-      // table + one broadcast scalar for the share quotient (exact
-      // integers, emitted unrounded per the r15 tie rule).
+      // the mean postings is the straggler. Two plain hash aggs, both
+      // map-side combinable: first to (shard, word) grain — which
+      // makes n_terms a COUNT, not a two-phase countDistinct expand
+      // over the full TF table (the 8× @10× receipt) — then to shard
+      // grain; the share denominator folds from the 16-row shard
+      // table, never a second TF pass. Exact integers, emitted
+      // unrounded per the r15 tie rule.
       val t = builtIndex(s, dir, stem = false)
-      val post = t.termFrequencies
+      val perWord = t.termFrequencies
         .withColumn("shard",
           pmod(graft.ext.Dedup.md5Hash60(col("word")), lit(16L)))
-      val tot = broadcast(post.agg(count(lit(1)).as("tot")))
-      post.groupBy("shard")
-        .agg(count(lit(1)).as("n_postings"),
-          countDistinct("word").as("n_terms"),
-          sum("term_freq").as("n_occurrences"),
-          max("term_freq").as("max_tf"))
-        .crossJoin(tot)
+        .groupBy("shard", "word")
+        .agg(count(lit(1)).as("np"),
+          sum("term_freq").as("occ"),
+          max("term_freq").as("mtf"))
+      val byShard = Caches.persist(perWord.groupBy("shard")
+        .agg(sum("np").as("n_postings"),
+          count(lit(1)).as("n_terms"),
+          sum("occ").as("n_occurrences"),
+          max("mtf").as("max_tf")))
+      val tot = broadcast(byShard.agg(sum("n_postings").as("tot")))
+      byShard.crossJoin(tot)
         .withColumn("posting_share",
           col("n_postings").cast("double") / col("tot"))
         .drop("tot")
@@ -10617,25 +10708,29 @@ object SparkEntry {
       // held out), report train AND test RMSE per round. If test RMSE
       // rises while train falls, the season/urgency split is fitting
       // noise — the honest eval beside the trainer, like
-      // ml_kfold_cv beside ml_linreg_ols. Same one-scan shape: BOTH
-      // slices' sufficient statistics come off a single cached
-      // projection; the test side reuses the leaf-decomposed SSE
-      // identity over its own exact sums ([[Boosting.gbdtEval]]).
+      // ml_kfold_cv beside ml_linreg_ols. ONE scan, ONE hash agg:
+      // tst joins the grouping key, so both slices' sufficient
+      // statistics come out of a single map-side-combined pass (the
+      // r16 shape persisted the projection and filtered it twice —
+      // two full passes for a 120-row result); c² is a LONG multiply
+      // (cents ≤ ~6e7, c² ≤ 3.6e15 < 2⁶³) cast to decimal only at
+      // the aggregation buffer, where exactness needs the wide type.
+      // The test side reuses the leaf-decomposed SSE identity over
+      // its own exact sums ([[Boosting.gbdtEval]]).
       val o = tbl(s, dir, "orders")
       val cents = floor(col("o_totalprice") * 100.0 + 0.5).cast("long")
       val tst = pmod(Dedup.md5Hash60(col("o_orderkey").cast("string")),
         lit(5L)) === 0
-      val base = Caches.persist(o.select(
-        month(col("o_orderdate")).cast("long").as("mb"),
-        substring(col("o_orderpriority"), 1, 1).cast("long").as("pr"),
-        cents.as("c"), tst.as("tst")))
-      def cellsOf(df: DataFrame): DataFrame = df.groupBy("mb", "pr")
+      val cells = Caches.persist(o.select(
+          month(col("o_orderdate")).cast("long").as("mb"),
+          substring(col("o_orderpriority"), 1, 1).cast("long").as("pr"),
+          cents.as("c"), tst.as("tst"))
+        .groupBy("mb", "pr", "tst")
         .agg(count(lit(1)).as("n"), sum("c").as("sy"),
-          sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
-            .as("syy"))
+          sum((col("c") * col("c")).cast("decimal(38,0)")).as("syy")))
       graft.ext.Boosting.gbdtEval(s,
-        cellsOf(base.filter(!col("tst"))),
-        cellsOf(base.filter(col("tst"))))
+        cells.filter(!col("tst")).drop("tst"),
+        cells.filter(col("tst")).drop("tst"))
     }),
 
     "ml_als_halfstep" -> ((s, dir) => {

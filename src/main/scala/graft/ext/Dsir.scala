@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data Selection via Importance Resampling (Xie et al., "Data
@@ -40,17 +39,23 @@ object Dsir {
     */
   def hashedFeatures(docs: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    val raw = docs
-      .select(col("doc_id"),
-        posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("pos", "w")))
-      .filter(length(col("w")) > 0 &&
-        !col("w").isin(graft.text.Stopwords.alphaOnly: _*))
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-    val withNext = raw.withColumn("w1", lead(col("w"), 1).over(win))
-    val grams = withNext.select(col("doc_id"), col("w").as("f"))
-      .unionAll(withNext.filter(col("w1").isNotNull)
-        .select(col("doc_id"), concat_ws(" ", col("w"), col("w1")).as("f")))
-    grams
+    // Unigrams and bigrams both come from ONE kept-token array built
+    // in the scan's narrow pass: bigram i stitches toks[i], toks[i+1]
+    // via an indexed ArrayTransform. The r16 shape ran posexplode +
+    // lead() over a doc-partitioned window — a full token-grain
+    // shuffle AND sort before any aggregation, which was the DSIR
+    // pair's whole 4.4× @10× receipt. Adjacency is a per-document
+    // property; it never needed an exchange.
+    val toks = filter(split(lower(col("text")), "[^a-z]+"),
+      w => length(w) > 0 && !w.isin(graft.text.Stopwords.alphaOnly: _*))
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), concat(col("toks"),
+        when(size(col("toks")) > 1,
+          transform(slice(col("toks"), lit(1), size(col("toks")) - 1),
+            (w, i) => concat_ws(" ", w, element_at(col("toks"), i + 2))))
+          .otherwise(typedlit(Seq.empty[String]))).as("grams"))
+      .select(col("doc_id"), explode(col("grams")).as("f"))
       .select(col("doc_id"),
         pmod(Dedup.md5Hash60(col("f")), lit(buckets.toLong)).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))

@@ -45,8 +45,13 @@ class CorpusSourceSpec extends SparkSpec {
     val text = CorpusSource.explodeOpinions(corpus)
       .filter($"doc_id" === 1005L).select("opinion_text").as[String].head()
     // "Don't ... won't; it can't -- the STATUTE isn't ambiguous!"
-    // don/t/won/isn are NLTK stopwords; "can" is too; split leaves these
+    // The contraction pre-split (r16 VERDICT #9) now reproduces NLTK
+    // word_tokenize + isalpha exactly: don't → "do" (stopword), won't
+    // → "wo" and can't → "ca" (NLTK's own splits — neither is in the
+    // 179-word stopword list, so BOTH survive in the reference
+    // pipeline too), isn't → "is" (stopword)
     val toks = Tokenizer.tokenize(text, stem = false)
-    assert(toks == Seq("parties", "understand", "court", "statute", "ambiguous"))
+    assert(toks == Seq("parties", "understand", "court", "wo", "ca",
+      "statute", "ambiguous"))
   }
 }

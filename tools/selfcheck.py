@@ -44,6 +44,21 @@ for name in sorted(oracle):
         fail += 1
         continue
     want, got = want[wcols], got[gcols]
+    # The DRIVER's comparator sorts/hashes through pandas, which cannot
+    # hash list cells — an array-typed output column nulls the row there
+    # even though this tuple-izing replica would pass. Fail loudly so an
+    # array column never silently reaches the driver gate again
+    # (convention: emit joined strings, as g1_inverted_index does).
+    arraycols = [c for c in gcols
+                 if any(isinstance(v, (list, tuple, np.ndarray))
+                        for v in got[c].head(5))
+                 or any(isinstance(v, (list, tuple, np.ndarray))
+                        for v in want[c].head(5))]
+    if arraycols:
+        print(f"FAIL {name}: array-typed column(s) {arraycols} — the driver "
+              f"comparator cannot hash list cells; emit a joined string")
+        fail += 1
+        continue
     if len(want) != len(got):
         print(f"FAIL {name}: rows {len(got)} vs oracle {len(want)}")
         fail += 1
