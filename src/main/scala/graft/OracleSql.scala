@@ -5419,6 +5419,41 @@ FROM qb, qr, spl, wt"""
         |       CAST(n_tokens AS DOUBLE) / (SELECT sum(n_tokens) FROM c) AS share
         |FROM c ORDER BY lang, source""".stripMargin,
 
+    "curate_doremi_weights" ->
+      // DoReMi mirror: per-doc unigram/bigram scores 6dp-rounded then
+      // q6-pinned, domain losses as the identical (-sum)/n/1e6 double
+      // chain, α·exp(ε) pinned to q9 BIGINTs, weights as exact-int
+      // quotients with the 0.99/0.01 smoothing — every float op
+      // spelled in the engine's exact shape and order
+      s"""WITH $lmCtes,
+        |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS cu FROM t GROUP BY w),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t),
+        |uni AS (SELECT doc_id, round(avg(log10(CAST(cu + 1 AS DOUBLE) / ((SELECT n FROM nn) + (SELECT vocab FROM v)))), 6) AS us
+        |        FROM t JOIN cu USING (w) GROUP BY doc_id),
+        |bi AS (SELECT doc_id, round(avg(lp), 6) AS bs FROM s GROUP BY doc_id),
+        |src AS (SELECT doc_id, source FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |per AS (SELECT d.doc_id, src.source, CAST(len(d.tk) AS BIGINT) AS n_toks,
+        |               CAST(floor(uni.us * 1000000.0e0 + 0.5e0) AS BIGINT) AS uq6,
+        |               CAST(floor(bi.bs * 1000000.0e0 + 0.5e0) AS BIGINT) AS bq6
+        |        FROM d JOIN src USING (doc_id) JOIN uni USING (doc_id) JOIN bi USING (doc_id)),
+        |dom AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(sum(uq6) AS BIGINT) AS su, CAST(sum(bq6) AS BIGINT) AS sb,
+        |               CAST(sum(n_toks) AS BIGINT) AS tk
+        |        FROM per GROUP BY source),
+        |tot AS (SELECT CAST(sum(tk) AS BIGINT) AS tt, CAST(count(*) AS BIGINT) AS k FROM dom),
+        |m AS (SELECT source, n_docs,
+        |             CAST(-su AS DOUBLE) / n_docs / 1000000.0e0 AS loss_uni,
+        |             CAST(-sb AS DOUBLE) / n_docs / 1000000.0e0 AS loss_bi,
+        |             greatest(0.0e0, CAST(-su AS DOUBLE) / n_docs / 1000000.0e0
+        |               - CAST(-sb AS DOUBLE) / n_docs / 1000000.0e0) AS excess,
+        |             CAST(tk AS DOUBLE) / (SELECT tt FROM tot) AS nat_share
+        |      FROM dom),
+        |mq AS (SELECT *, CAST(floor(nat_share * exp(excess) * 1000000000.0e0 + 0.5e0) AS BIGINT) AS mq9 FROM m),
+        |sm AS (SELECT CAST(sum(mq9) AS BIGINT) AS smq FROM mq)
+        |SELECT source, n_docs, loss_uni, loss_bi, excess, nat_share,
+        |       0.99e0 * (CAST(mq9 AS DOUBLE) / (SELECT smq FROM sm)) + 0.01e0 / (SELECT k FROM tot) AS doremi_weight
+        |FROM mq ORDER BY source""".stripMargin,
+
     "curate_mix_temperature" ->
       // sqrt over exact integer token counts is IEEE-identical on both
       // engines; the sqrt-mass normalizer is rounded 6dp in one place
@@ -5706,6 +5741,34 @@ FROM qb, qr, spl, wt"""
          |       CAST(sum(cont) AS BIGINT) AS n_contaminated,
          |       round(CAST(CAST(sum(of6) AS BIGINT) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0), 6) AS mean_overlap
          |FROM p GROUP BY source ORDER BY source""".stripMargin,
+
+    "dedup_substring_runs" ->
+      // maximal duplicated-span mirror: positioned 8-gram md5 folds,
+      // 2..50-occurrence cross-doc fingerprints, position join, the
+      // same islands grouping per (pair, diagonal); g2/c referenced
+      // twice → MATERIALIZED (DuckDB inlines CTEs otherwise)
+      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |g1 AS (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i FROM toks WHERE len(t) >= 8),
+        |g2 AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+        |              ${md5Hash60Sql("array_to_string(t[i:i+7], ' ')")} AS fp
+        |       FROM g1),
+        |keep AS (SELECT fp FROM g2 GROUP BY fp
+        |         HAVING count(*) BETWEEN 2 AND 50 AND min(doc_id) <> max(doc_id)),
+        |c AS MATERIALIZED (SELECT g2.* FROM g2 WHERE fp IN (SELECT fp FROM keep)),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+        |             a.pos - b.pos AS diag
+        |      FROM c a JOIN c b USING (fp) WHERE a.doc_id < b.doc_id),
+        |r AS (SELECT doc_a, doc_b, pa, pb, diag,
+        |             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS isl
+        |      FROM p),
+        |runs AS (SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS start_a,
+        |                CAST(min(pb) AS BIGINT) AS start_b,
+        |                CAST(count(*) + 7 AS BIGINT) AS run_tokens
+        |         FROM r GROUP BY doc_a, doc_b, diag, isl
+        |         HAVING count(*) + 7 >= 12)
+        |SELECT doc_a, doc_b, start_a, start_b, run_tokens FROM runs
+        |ORDER BY run_tokens DESC, doc_a, doc_b, start_a, start_b
+        |LIMIT 100""".stripMargin,
 
     "dedup_span_chunks" ->
       // aligned 10-token chunks over the RAW token stream (no stopword

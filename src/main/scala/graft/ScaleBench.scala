@@ -480,7 +480,13 @@ object ScaleBench {
     // keep-best dedup: rides the CC memo + one component-bounded argmax
     "dedup_keep_best",
     // drift alarm: one assignment + a C-dim mean aggregate
-    "emb_ivf_drift")
+    "emb_ivf_drift",
+    // r17: maximal duplicated spans — positioned 8-gram postings with
+    // an occurrence cap, candidate pairs ∝ Σ df² over capped fps, the
+    // only window (pair, diagonal)-partitioned; and DoReMi domain
+    // weights — one unigram token pass + the bigram-LM memo, domain
+    // table K rows
+    "dedup_substring_runs", "curate_doremi_weights")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

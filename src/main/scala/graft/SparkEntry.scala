@@ -278,6 +278,17 @@ object SparkEntry {
       cache.filterInPlace { case ((owner, _), _) => !owner.sparkContext.isStopped }
       cache.getOrElseUpdate((s, dir), build(s, dir))
     }
+    /** Fill the slot with an externally-built frame if (and only if)
+      * it is empty — lets a composite build donate a sub-artifact it
+      * computed anyway, instead of this memo re-running its own build
+      * from scratch on the next read (the DSIR weights build donates
+      * the ratio model it derives from the same tagged features).
+      */
+    def seed(s: SparkSession, dir: String)(df: => DataFrame): DataFrame =
+      synchronized {
+        cache.filterInPlace { case ((owner, _), _) => !owner.sparkContext.isStopped }
+        cache.getOrElseUpdate((s, dir), df)
+      }
     def reset(): Unit = synchronized {
       cache.values.foreach { df =>
         org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint(df)
@@ -468,29 +479,43 @@ object SparkEntry {
     * `curate_dsir_weights`' training pass economics (same tagged
     * features shape, model built once per (session, sfDir)).
     */
-  private val dsirTaggedMemo = new DirMemo((s, dir) => {
+  private def dsirTagged(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    graft.ext.Dsir.hashedFeatures(d, buckets = 1024)
+    // transient in-plan persist, NOT a checkpoint: the (doc, bucket)
+    // feature table is the big intermediate — eagerly materializing
+    // it measured a 3× t1 regression in the first r17 sweep; only the
+    // SMALL outputs below (B-row model, doc-grain weights) earn a
+    // checkpointed memo
+    Caches.persist(graft.ext.Dsir.hashedFeatures(d, buckets = 1024)
       .join(d.select(col("doc_id"),
-        col("source").isin("src0", "src1").as("tgt")), Seq("doc_id"))
+        col("source").isin("src0", "src1").as("tgt")), Seq("doc_id")))
+  }
+
+  private val dsirModelMemo = new DirMemo((s, dir) =>
+    graft.ext.Dsir.ratioModel(dsirTagged(s, dir), buckets = 1024)
+      .localCheckpoint())
+
+  /** Frozen-model DSIR weights over the raw pool, built ONCE per
+    * (session, sfDir) — `curate_dsir_weights` and
+    * `curate_training_manifest` both read this memo, so the corpus
+    * token pass runs once per gate session, not once per query
+    * (r16 VERDICT #7). One tagged build feeds model AND weights; the
+    * checkpointed artifact is doc-grain (one row per scored doc).
+    */
+  private val dsirWeightsMemo = new DirMemo((s, dir) => {
+    val tagged = dsirTagged(s, dir)
+    // seed the model memo from THIS tagged build — otherwise an
+    // isolated weights build (bench rep after a cache reset) would
+    // pay the corpus feature pass twice, once here and once inside
+    // dsirModelMemo's own build
+    val model = dsirModelMemo.seed(s, dir)(
+      graft.ext.Dsir.ratioModel(tagged, buckets = 1024).localCheckpoint())
+    graft.ext.Dsir.scoreFeatures(tagged.filter(!col("tgt")), model)
       .localCheckpoint()
   })
 
-  private val dsirModelMemo = new DirMemo((s, dir) =>
-    graft.ext.Dsir.ratioModel(dsirTaggedMemo(s, dir), buckets = 1024)
-      .localCheckpoint())
-
-  /** Frozen-model DSIR weights over the raw pool — the (tagged ⊳
-    * model) composition `curate_dsir_weights` and
-    * `curate_training_manifest` both need; riding [[dsirTaggedMemo]]
-    * means the corpus token pass runs once per (session, sfDir), not
-    * once per query (r16 VERDICT #7).
-    */
-  private def dsirCorpusWeights(s: SparkSession, dir: String): DataFrame = {
-    val tagged = dsirTaggedMemo(s, dir)
-    graft.ext.Dsir.scoreFeatures(tagged.filter(!col("tgt")),
-      dsirModelMemo(s, dir))
-  }
+  private def dsirCorpusWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsMemo(s, dir)
 
   /** The part CO-PURCHASE edge set (id-ordered part pairs within an
     * order, one row per pair with its co-occurrence count `w`) — the
@@ -872,7 +897,7 @@ object SparkEntry {
     frozenCellsMemo.reset()
     frozenCentsMemo.reset()
     dsirModelMemo.reset()
-    dsirTaggedMemo.reset()
+    dsirWeightsMemo.reset()
     ivfSplitMemo.reset()
     louvainFullRunMemo.synchronized(louvainFullRunMemo.clear())
     bpeLargeMemo.synchronized(bpeLargeMemo.clear())
@@ -4573,6 +4598,31 @@ object SparkEntry {
             (col("n_docs").cast("double") * lit(1000000.0)), 6)
             .as("mean_overlap"))
         .orderBy("source")
+    }),
+
+    "dedup_substring_runs" -> ((s, dir) => {
+      // MAXIMAL exact duplicated substrings (Lee et al., ACL 2022 —
+      // the ExactSubstr deliverable beside the fixed-grid
+      // dedup_span_chunks): every maximal cross-document span of ≥ 12
+      // tokens, found by positioned 8-gram fingerprints → df-capped
+      // postings → same-fp position join → gaps-and-islands per (doc
+      // pair, diagonal) ([[graft.ext.Dedup.substringRuns]]). Unlike
+      // the chunk grid, runs are alignment-free: a span duplicated at
+      // ANY offset is found whole, with its exact boundaries — what
+      // the spanremoval pass actually cuts. Candidates are bounded by
+      // Σ df² over capped fingerprints (the containment-family bar);
+      // the only window is (pair, diagonal)-partitioned. Top-100 by
+      // length under a total order (start_b breaks the two-runs-same-
+      // start_a tie) keeps the telemetry output bounded at any N.
+      graft.ext.Dedup.substringRuns(docs(s, dir),
+          k = 8, maxDf = 50, minRunTokens = 12)
+        .select(col("doc_a"), col("doc_b"),
+          col("start_a").cast("long").as("start_a"),
+          col("start_b").cast("long").as("start_b"),
+          col("run_tokens"))
+        .orderBy(col("run_tokens").desc, col("doc_a"), col("doc_b"),
+          col("start_a"), col("start_b"))
+        .limit(100)
     }),
 
     "dedup_span_chunks" -> ((s, dir) => {
@@ -8339,6 +8389,67 @@ object SparkEntry {
       counts
         .withColumn("share", col("n_tokens").cast("double") / total)
         .orderBy("lang", "source")
+    }),
+
+    "curate_doremi_weights" -> ((s, dir) => {
+      // DoReMi domain reweighting (Xie et al., NeurIPS 2023 "DoReMi:
+      // Optimizing Data Mixtures Speeds Up Language Model
+      // Pretraining"), one multiplicative-weights step in miniature:
+      // domains where a STRONGER model (the corpus bigram LM, riding
+      // lmScoresMemo) beats a WEAKER one (a unigram LM built here,
+      // same add-one discipline) by the largest excess loss are the
+      // most learnable and get up-weighted — α'_d ∝ α_d·exp(ε_d),
+      // ε_d = max(0, ℓ_uni − ℓ_bi), then the paper's uniform
+      // smoothing w_d = (1−c)·α'_norm + c/K with c = 0.01. The
+      // sibling of curate_mix_temperature (count-shaped) and
+      // curate_dsir_weights (doc-shaped): this one reweights DOMAINS
+      // by loss gap. Determinism: per-doc scores 6dp-pinned to q6
+      // BIGINTs, domain losses = exact-integer quotients (unrounded,
+      // r15 tie rule), exp's libm ulp contained by pinning
+      // α·exp(ε) to a q9 integer, weights = exact-int quotients of
+      // those. Scale: one token pass + the shared bigram memo; the
+      // domain table is K rows — an S4 scalar materialize.
+      import s.implicits._
+      val toks = docs(s, dir).select(col("doc_id"),
+        explode(TextAnalysis.rawTokens(col("text"))).as("w"))
+      val c1 = toks.groupBy("w").agg(count(lit(1)).as("cu"))
+      val nv = toks.agg(count(lit(1)).as("n"),
+        countDistinct("w").as("v")).head()
+      val (nTok, vocab) = (nv.getLong(0), nv.getLong(1))
+      val uni = toks.join(c1, Seq("w"))
+        .groupBy("doc_id")
+        .agg(round(avg(log10((col("cu") + 1).cast("double") /
+          lit(nTok + vocab))), 6).as("us"))
+      val bi = lmScoresMemo(s, dir).select(col("doc_id"), col("lm_score"))
+      val dom = docs(s, dir).select(col("doc_id"), col("source"),
+          size(TextAnalysis.rawTokens(col("text"))).cast("long").as("n_toks"))
+        .join(uni, Seq("doc_id"))
+        .join(bi, Seq("doc_id"))
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum(floor(col("us") * 1.0e6 + 0.5).cast("long")).as("su"),
+          sum(floor(col("lm_score") * 1.0e6 + 0.5).cast("long")).as("sb"),
+          sum("n_toks").as("tk"))
+        .orderBy("source").collect()
+      val totTok = dom.map(_.getLong(4)).sum
+      val k = dom.length
+      val mid = dom.map { r =>
+        val (n, su, sb, tk) =
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+        val lu = (-su).toDouble / n / 1.0e6
+        val lb = (-sb).toDouble / n / 1.0e6
+        val eps = math.max(0.0, lu - lb)
+        val alpha = tk.toDouble / totTok
+        val mq9 = math.floor(alpha * math.exp(eps) * 1.0e9 + 0.5).toLong
+        (r.getString(0), n, lu, lb, eps, alpha, mq9)
+      }
+      val smq = mid.map(_._7).sum
+      mid.map { case (src, n, lu, lb, eps, alpha, mq9) =>
+        (src, n, lu, lb, eps, alpha,
+          0.99 * (mq9.toDouble / smq) + 0.01 / k)
+      }.toSeq.toDF("source", "n_docs", "loss_uni", "loss_bi", "excess",
+          "nat_share", "doremi_weight")
+        .orderBy("source")
     }),
 
     "curate_mix_temperature" -> ((s, dir) => {

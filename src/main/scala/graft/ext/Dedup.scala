@@ -347,6 +347,69 @@ object Dedup {
         .agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf), Seq("shingle")))
 
+  /** MAXIMAL exact duplicated token spans across documents — the
+    * suffix-array-style exact-substring dedup of Lee et al., "Dedupli-
+    * cating Training Data Makes Language Models Better" (ACL 2022),
+    * re-expressed as relational algebra instead of a suffix array:
+    *
+    *  1. positioned `k`-gram fingerprints, built from the token ARRAY
+    *     by an indexed transform in the scan's narrow pass (no window,
+    *     no token-grain shuffle before aggregation);
+    *  2. occurrence-capped postings (`2 ≤ occurrences ≤ maxDf`, and
+    *     cross-document by a single-phase min≠max doc check — never a
+    *     countDistinct expand): boilerplate k-grams that appear
+    *     everywhere can only create O(df²) candidate pairs, so they are
+    *     dropped exactly like the containment family's df cap;
+    *  3. a same-fingerprint position join (candidate pairs bounded by
+    *     Σ df² over capped fingerprints), and
+    *  4. the gaps-and-islands trick per (doc pair, diagonal): a
+    *     duplicated span of L tokens is L−k+1 consecutive gram matches
+    *     on one diagonal pa−pb, so `pa − row_number()` groups each
+    *     maximal run; run length = matches + k − 1. The window is
+    *     partitioned by (doc_a, doc_b, diag) — pair-bounded state, no
+    *     global window at any corpus size.
+    *
+    * Output: (doc_a, doc_b, start_a, start_b, run_tokens) for every
+    * maximal cross-document duplicated span of ≥ `minRunTokens` tokens.
+    * All arithmetic is exact integers; fingerprints are [[md5Hash60]]
+    * of the space-joined gram, so a DuckDB oracle reproduces them
+    * bit-for-bit.
+    */
+  def substringRuns(docs: DataFrame, k: Int = 8, maxDf: Int = 50,
+      minRunTokens: Int = 12): DataFrame = {
+    require(k >= 2 && minRunTokens >= k,
+      s"need k >= 2 and minRunTokens >= k, got k=$k minRunTokens=$minRunTokens")
+    val fps = graft.Caches.persist(docs
+      .select(col("doc_id"), TextAnalysis.rawTokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), posexplode(
+        transform(slice(col("toks"), lit(1), size(col("toks")) - (k - 1)),
+          (_, i) => md5Hash60(
+            concat_ws(" ", slice(col("toks"), i + lit(1), lit(k))))))
+        .as(Seq("pos", "fp"))))
+    val keep = fps.groupBy("fp")
+      .agg(count(lit(1)).as("df"),
+        min("doc_id").as("d0"), max("doc_id").as("d1"))
+      .filter(col("df") >= 2 && col("df") <= maxDf &&
+        col("d0") =!= col("d1"))
+      .select("fp")
+    val capped = fps.join(keep, Seq("fp"), "left_semi")
+    val pairs = capped
+      .select(col("fp"), col("doc_id").as("doc_a"), col("pos").as("pa"))
+      .join(capped.select(col("fp"), col("doc_id").as("doc_b"),
+        col("pos").as("pb")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"), col("pb"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    pairs.withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "isl")
+      .agg(min("pa").as("start_a"), min("pb").as("start_b"),
+        (count(lit(1)) + (k - 1)).cast(LongType).as("run_tokens"))
+      .filter(col("run_tokens") >= minRunTokens)
+      .select("doc_a", "doc_b", "start_a", "start_b", "run_tokens")
+  }
+
   def containmentPairs(docs: DataFrame, k: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 100,
       preShingleRows: Option[ShingledRows] = None): DataFrame = {
