@@ -5454,6 +5454,41 @@ FROM qb, qr, spl, wt"""
         |       0.99e0 * (CAST(mq9 AS DOUBLE) / (SELECT smq FROM sm)) + 0.01e0 / (SELECT k FROM tot) AS doremi_weight
         |FROM mq ORDER BY source""".stripMargin,
 
+    "eval_bradley_terry" -> {
+      // BT-MM mirror: cents-exact duel winners, K²-bounded pair table,
+      // three unrolled MM iterations with per-pair contributions
+      // pinned to q9 BIGINTs before the order-free integer sums and
+      // each iterate pinned to the q9 grid — no transcendental
+      // anywhere, so every double is an exact-integer quotient
+      val iter = (t: Int) => {
+        val (pin, pout) = (s"p${t - 1}", s"p$t")
+        s"""c$t AS (SELECT bi, bj, CAST(floor(CAST(n AS DOUBLE) / (CAST(pi.pq AS DOUBLE) / 1000000000.0e0 + CAST(pj.pq AS DOUBLE) / 1000000000.0e0) * 1000000000.0e0 + 0.5e0) AS BIGINT) AS c
+           |       FROM pr JOIN $pin pi ON pi.b = pr.bi JOIN $pin pj ON pj.b = pr.bj),
+           |d$t AS (SELECT b, CAST(sum(c) AS BIGINT) AS dn FROM (SELECT bi AS b, c FROM c$t UNION ALL SELECT bj, c FROM c$t) GROUP BY b),
+           |$pout AS (SELECT wm.b, CAST(floor(CAST(wm.w AS DOUBLE) * 1000000000.0e0 / CAST(d$t.dn AS DOUBLE) * 1000000000.0e0 + 0.5e0) AS BIGINT) AS pq
+           |       FROM wm JOIN d$t USING (b))""".stripMargin
+      }
+      s"""WITH bq AS MATERIALIZED (SELECT l_orderkey, p_brand, sum(CAST(floor(l_quantity * 100.0e0 + 0.5e0) AS BIGINT)) AS q
+        |      FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1, 2),
+        |pr AS MATERIALIZED (SELECT a.p_brand AS bi, b.p_brand AS bj, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN a.q > b.q THEN 1 ELSE 0 END) AS BIGINT) AS wi
+        |      FROM bq a JOIN bq b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand AND a.q <> b.q
+        |      GROUP BY 1, 2),
+        |br AS MATERIALIZED (SELECT DISTINCT bi AS b FROM pr UNION SELECT DISTINCT bj FROM pr),
+        |kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM br),
+        |wm AS MATERIALIZED (SELECT b, CAST(sum(n) AS BIGINT) AS m, CAST(sum(w) AS BIGINT) AS w FROM (
+        |        SELECT bi AS b, n, wi AS w FROM pr UNION ALL SELECT bj, n, n - wi FROM pr) GROUP BY b),
+        |p0 AS (SELECT b, CAST(floor(1000000000.0e0 / (SELECT k FROM kk) + 0.5e0) AS BIGINT) AS pq FROM br),
+        |${iter(1)},
+        |${iter(2)},
+        |${iter(3)},
+        |tot AS (SELECT CAST(sum(pq) AS BIGINT) AS t FROM p3)
+        |SELECT wm.b AS brand, wm.m AS n_matches, wm.w AS n_wins,
+        |       CAST(p3.pq AS DOUBLE) / (SELECT t FROM tot) AS strength
+        |FROM wm JOIN p3 USING (b)
+        |ORDER BY strength DESC, brand""".stripMargin
+    },
+
     "curate_mix_temperature" ->
       // sqrt over exact integer token counts is IEEE-identical on both
       // engines; the sqrt-mass normalizer is rounded 6dp in one place

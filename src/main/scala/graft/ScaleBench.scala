@@ -486,7 +486,10 @@ object ScaleBench {
     // only window (pair, diagonal)-partitioned; and DoReMi domain
     // weights — one unigram token pass + the bigram-LM memo, domain
     // table K rows
-    "dedup_substring_runs", "curate_doremi_weights")
+    "dedup_substring_runs", "curate_doremi_weights",
+    // BT-MM: one order-bounded duel join + a K² aggregate; the MM
+    // loop runs on K² driver rows
+    "eval_bradley_terry")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

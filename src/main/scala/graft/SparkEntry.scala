@@ -3117,24 +3117,40 @@ object SparkEntry {
       // rows, i.e. no pruning at exactly the scale pruning pays
       val m = math.max(65536L, 16L * dim.count())
       // split the 60-bit digest into two 30-bit halves; all arithmetic
-      // stays < 2^32, exact and engine-independent
-      def halves(key: Column): (Column, Column) = {
-        val h = Dedup.md5Hash60(concat(lit("jb|"), key.cast("string")))
-        (shiftright(h, 30), pmod(h, lit(1073741824L)))
-      }
-      def pos(i: Int)(h1: Column, h2: Column): Column =
-        pmod(h1 + lit(i.toLong) * h2, lit(m))
-      val (dh1, dh2) = halves(col("o_orderkey"))
+      // stays < 2^32, exact and engine-independent. STAGED projections
+      // matter here: building q0..q2 as one flat expression tree
+      // inlined the md5 chain SIX times into a single Project (3
+      // positions × 2 halves — the 9.24× @10× receipt, 2.8× the r16
+      // cost); aliasing h then h1/h2 through separate selects keeps
+      // one digest per row — CollapseProject never inlines a
+      // non-cheap alias referenced more than once. The coalesce makes
+      // each position SYNTACTICALLY non-nullable (pmod is nullable
+      // unconditionally — mod-by-zero): without it,
+      // InferFiltersFromConstraints pushes isnotnull(q_i) below the
+      // staged projects as a scan-level Filter with the md5 chain
+      // re-inlined per position — the very duplication the staging
+      // exists to prevent (keys are never null; the -1 arm is dead).
+      def hOf(key: Column): Column =
+        Dedup.md5Hash60(concat(lit("jb|"), key.cast("string")))
+      def splitHalves(df: DataFrame, keep: Seq[String]): DataFrame =
+        df.select(keep.map(col) ++ Seq(
+          shiftright(col("h"), 30).as("h1"),
+          pmod(col("h"), lit(1073741824L)).as("h2")): _*)
+      def pos(i: Int): Column =
+        coalesce(pmod(col("h1") + lit(i.toLong) * col("h2"), lit(m)),
+          lit(-1L))
       val bits = Caches.persist(
-        dim.select(dh1.as("h1"), dh2.as("h2"))
-          .select(explode(array((0 until 3)
-            .map(i => pos(i)(col("h1"), col("h2"))): _*)).as("p"))
+        splitHalves(dim.select(hOf(col("o_orderkey")).as("h")), Seq.empty)
+          .select(explode(array((0 until 3).map(pos): _*)).as("p"))
           .distinct())
       val fact = tbl(s, dir, "lineitem").select("l_orderkey", "l_quantity")
       val nFact = fact.count()
-      val (fh1, fh2) = halves(col("l_orderkey"))
-      val probed = fact.select(Seq(col("l_orderkey"), col("l_quantity")) ++
-        (0 until 3).map(i => pos(i)(fh1, fh2).as(s"q$i")): _*)
+      val probed = splitHalves(
+          fact.select(col("l_orderkey"), col("l_quantity"),
+            hOf(col("l_orderkey")).as("h")),
+          Seq("l_orderkey", "l_quantity"))
+        .select(Seq(col("l_orderkey"), col("l_quantity")) ++
+          (0 until 3).map(i => pos(i).as(s"q$i")): _*)
       val survivors = Caches.persist((0 until 3).foldLeft(probed) { (acc, i) =>
         acc.join(broadcast(bits.select(col("p").as(s"p$i"))),
           col(s"q$i") === col(s"p$i"), "left_semi")
@@ -9516,6 +9532,69 @@ object SparkEntry {
           col("n_postings").cast("double") / col("tot"))
         .drop("tot")
         .orderBy("shard")
+    }),
+
+    "eval_bradley_terry" -> ((s, dir) => {
+      // Bradley–Terry preference strengths via Hunter's MM iteration
+      // (Hunter, "MM algorithms for generalized Bradley-Terry
+      // models", Ann. Statist. 32(1) 2004) — THE pairwise-preference
+      // model behind RLHF reward-model analytics: which item wins
+      // head-to-head comparisons, fit as strengths p_i with
+      // p_i ← W_i / Σ_j n_ij/(p_i+p_j). Preferences here: two brands
+      // meeting in one order, the larger cents-exact quantity wins
+      // (ties excluded). The comparison table is K²-bounded (K = 25
+      // brands) — an S4 scalar materialize; three MM steps run on the
+      // driver. Bit-determinism WITHOUT rounding: BT's MM is
+      // transcendental-free, so pinning each per-pair contribution to
+      // a q9 BIGINT before the (order-free) integer sums and each
+      // iterate to a q9 grid makes every emitted double an
+      // exact-integer quotient — the oracle unrolls the same three
+      // iterations and matches bit-for-bit. Scale: one join + one
+      // order-bounded pair self-join (≤ items²/2 per order), one K²
+      // aggregate; iterations touch K² driver rows only.
+      import s.implicits._
+      val li = tbl(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      val pt = tbl(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val bq = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"), col("p_brand"))
+        .agg(sum(floor(col("l_quantity") * 100.0 + 0.5).cast("long")).as("q"))
+      val duels = bq.as("a").join(bq.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.p_brand") < col("b.p_brand") &&
+            col("a.q") =!= col("b.q"))
+        .select(col("a.p_brand").as("bi"), col("b.p_brand").as("bj"),
+          when(col("a.q") > col("b.q"), 1L).otherwise(0L).as("w"))
+        .groupBy("bi", "bj")
+        .agg(count(lit(1)).as("n"), sum("w").as("wi"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val brands = duels.flatMap(d => Seq(d._1, d._2)).distinct.sorted
+      val k = brands.length
+      val wins = brands.map(b => b ->
+        (duels.filter(_._1 == b).map(_._4).sum +
+          duels.filter(_._2 == b).map(d => d._3 - d._4).sum)).toMap
+      val matches = brands.map(b => b ->
+        duels.filter(d => d._1 == b || d._2 == b).map(_._3).sum).toMap
+      var pq = brands.map(_ -> math.floor(1.0e9 / k + 0.5).toLong).toMap
+      for (_ <- 1 to 3) {
+        val c = duels.map { case (i, j, n, _) =>
+          (i, j, math.floor(n.toDouble /
+            (pq(i).toDouble / 1.0e9 + pq(j).toDouble / 1.0e9) *
+            1.0e9 + 0.5).toLong)
+        }
+        val denom = brands.map(b => b ->
+          c.filter(x => x._1 == b || x._2 == b).map(_._3).sum).toMap
+        pq = brands.map { b =>
+          val praw = wins(b).toDouble * 1.0e9 / denom(b).toDouble
+          b -> math.floor(praw * 1.0e9 + 0.5).toLong
+        }.toMap
+      }
+      val tot = brands.map(pq).sum
+      brands.map(b =>
+          (b, matches(b), wins(b), pq(b).toDouble / tot))
+        .toSeq.toDF("brand", "n_matches", "n_wins", "strength")
+        .orderBy(col("strength").desc, col("brand"))
     }),
 
     "search_eval_ndcg" -> ((s, dir) => {

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data Selection via Importance Resampling (Xie et al., "Data
@@ -39,23 +40,30 @@ object Dsir {
     */
   def hashedFeatures(docs: DataFrame, buckets: Int): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
-    // Unigrams and bigrams both come from ONE kept-token array built
-    // in the scan's narrow pass: bigram i stitches toks[i], toks[i+1]
-    // via an indexed ArrayTransform. The r16 shape ran posexplode +
-    // lead() over a doc-partitioned window — a full token-grain
-    // shuffle AND sort before any aggregation, which was the DSIR
-    // pair's whole 4.4× @10× receipt. Adjacency is a per-document
-    // property; it never needed an exchange.
-    val toks = filter(split(lower(col("text")), "[^a-z]+"),
-      w => length(w) > 0 && !w.isin(graft.text.Stopwords.alphaOnly: _*))
-    docs
-      .select(col("doc_id"), toks.as("toks"))
-      .select(col("doc_id"), concat(col("toks"),
-        when(size(col("toks")) > 1,
-          transform(slice(col("toks"), lit(1), size(col("toks")) - 1),
-            (w, i) => concat_ws(" ", w, element_at(col("toks"), i + 2))))
-          .otherwise(typedlit(Seq.empty[String]))).as("grams"))
-      .select(col("doc_id"), explode(col("grams")).as("f"))
+    // Plan note (r17 receipt-driven): an array-side rewrite — bigrams
+    // via an indexed ArrayTransform whose lambda dereferences the
+    // kept-token array per element — MEASURED 3.7× slower at 1× and
+    // ~10× @10× (receipts/scale_curve.jsonl, the two r17
+    // curate_dsir_weights rows at 10.67×/10.05×): higher-order
+    // lambdas are interpreted per element, and the captured array
+    // reference re-evaluates through the collapsed projection. The
+    // lead() window below shuffles token rows once, but every
+    // per-token operator stays whole-stage-codegen, and the union's
+    // two branches reuse the window exchange — the cheaper plan at
+    // every measured scale. The @10× receipt (~4.4×) prices the full
+    // per-rep rebuild under bench isolation; in a live session the
+    // build runs once behind the SparkEntry DSIR memos.
+    val raw = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "[^a-z]+")).as(Seq("pos", "w")))
+      .filter(length(col("w")) > 0 &&
+        !col("w").isin(graft.text.Stopwords.alphaOnly: _*))
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+    val withNext = raw.withColumn("w1", lead(col("w"), 1).over(win))
+    val grams = withNext.select(col("doc_id"), col("w").as("f"))
+      .unionAll(withNext.filter(col("w1").isNotNull)
+        .select(col("doc_id"), concat_ws(" ", col("w"), col("w1")).as("f")))
+    grams
       .select(col("doc_id"),
         pmod(Dedup.md5Hash60(col("f")), lit(buckets.toLong)).as("bucket"))
       .groupBy("doc_id", "bucket").agg(count(lit(1)).as("n"))
