@@ -15,14 +15,21 @@ import org.apache.spark.sql.SparkSession
   *    JVM it just multiplies task-scheduling overhead. On a real cluster
   *    an embedder would size this to cluster parallelism instead (AQE
   *    coalescing then trims per-stage).
-  *  - `spark.sql.codegen.cache.maxEntries` = 5000: the default 100-entry
-  *    codegen class cache thrashes once an application's live query
-  *    surface exceeds it — each re-run then recompiles evicted sources
-  *    into FRESH Janino classes and the JVM's C2 JIT starts over on the
-  *    new class identities, which measured as roving 10–60x
-  *    interpreted-execution stalls across this repo's 195-query sweep
-  *    (docs/PLANS.md round-8 forensics; 257 s → 64 s from this one
-  *    setting). Static conf — must be set before the first session.
+  *  - `spark.sql.codegen.cache.maxEntries` = 20000: the default
+  *    100-entry codegen class cache thrashes once an application's live
+  *    query surface exceeds it — each re-run then recompiles evicted
+  *    sources into FRESH Janino classes and the JVM's C2 JIT starts
+  *    over on the new class identities, which measured as roving
+  *    10–60x interpreted-execution stalls across this repo's 195-query
+  *    sweep (docs/PLANS.md round-8 forensics; 257 s → 64 s from the
+  *    first raise to 5000). Raised 5000 → 20000 in r17: the Bench
+  *    compilation counters showed 5193 Janino compiles DURING the
+  *    timed sweep spread over 358 of 430 queries — the 430-query
+  *    surface cycles more generated sources than 5000 holds, so the
+  *    cache was evicting at steady state (the r16 driver-bench spike
+  *    pattern's suspected mechanism). Sized ~4× the observed churn;
+  *    cached classes are KBs each. Static conf — must be set before
+  *    the first session.
   *  - `spark.sql.session.timeZone` = UTC: oracle parity — DuckDB
   *    computes date arithmetic in UTC.
   *  - `spark.sql.legacy.parquet.nanosAsLong` = true: the events fixture
@@ -38,7 +45,7 @@ object GraftSession {
     */
   def confs(cores: Int): Map[String, String] = Map(
     "spark.sql.shuffle.partitions" -> cores.toString,
-    "spark.sql.codegen.cache.maxEntries" -> "5000",
+    "spark.sql.codegen.cache.maxEntries" -> "20000",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.ui.enabled" -> "false")
