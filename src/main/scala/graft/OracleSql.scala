@@ -5454,40 +5454,6 @@ FROM qb, qr, spl, wt"""
         |       0.99e0 * (CAST(mq9 AS DOUBLE) / (SELECT smq FROM sm)) + 0.01e0 / (SELECT k FROM tot) AS doremi_weight
         |FROM mq ORDER BY source""".stripMargin,
 
-    "search_mmr_diversify" -> {
-      // MMR mirror: BM25 top-10 (shared CTEs), candidate-pair Jaccard
-      // off a renamed shingle chain (indexCtes also defines `toks`),
-      // 10 unrolled greedy steps with the identical 0.7/0.3 double
-      // arithmetic over 4dp scores and 6dp sims; heavy CTEs
-      // MATERIALIZED (rel/spair are re-referenced by every step and
-      // DuckDB inlines CTEs otherwise)
-      val steps = (2 to 10).map { t =>
-        s"""st$t AS MATERIALIZED (SELECT r.doc_id, r.reln,
-           |        coalesce((SELECT max(sp.j) FROM spair sp JOIN sel${t - 1} s ON sp.db = s.doc_id WHERE sp.da = r.doc_id), 0.0e0) AS ms
-           |        FROM rel r WHERE r.doc_id NOT IN (SELECT doc_id FROM sel${t - 1})),
-           |p$t AS MATERIALIZED (SELECT CAST($t AS BIGINT) AS rnk, doc_id, ms, 0.7e0 * reln - 0.3e0 * ms AS mmr
-           |       FROM st$t ORDER BY 0.7e0 * reln - 0.3e0 * ms DESC, doc_id LIMIT 1),
-           |sel$t AS MATERIALIZED (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM p$t)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $bm25Ctes,
-        |cand AS MATERIALIZED (SELECT doc_id, score FROM top10),
-        |rel AS MATERIALIZED (SELECT doc_id, score, score / (SELECT max(score) FROM cand) AS reln FROM cand),
-        |mtk AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t
-        |        FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
-        |        WHERE doc_id IN (SELECT doc_id FROM cand)),
-        |mshr AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g FROM mtk WHERE len(t) >= 3),
-        |msh AS MATERIALIZED (SELECT doc_id, list(DISTINCT ${md5Hash60Sql("g")}) AS s FROM mshr GROUP BY doc_id),
-        |spair AS MATERIALIZED (SELECT a.doc_id AS da, b.doc_id AS db,
-        |              round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 6) AS j
-        |       FROM msh a JOIN msh b ON a.doc_id <> b.doc_id),
-        |sel1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS rnk, doc_id, 0.0e0 AS ms, 0.7e0 * reln - 0.3e0 * 0.0e0 AS mmr
-        |         FROM rel ORDER BY 0.7e0 * reln - 0.3e0 * 0.0e0 DESC, doc_id LIMIT 1),
-        |$steps
-        |SELECT s.rnk AS rank, s.doc_id, c.score, s.ms AS max_sim, s.mmr
-        |FROM sel10 s JOIN cand c USING (doc_id)
-        |ORDER BY rank""".stripMargin
-    },
-
     "eval_bradley_terry" -> {
       // BT-MM mirror: cents-exact duel winners, K²-bounded pair table,
       // three unrolled MM iterations with per-pair contributions

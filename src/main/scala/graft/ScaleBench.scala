@@ -489,10 +489,7 @@ object ScaleBench {
     "dedup_substring_runs", "curate_doremi_weights",
     // BT-MM: one order-bounded duel join + a K² aggregate; the MM
     // loop runs on K² driver rows
-    "eval_bradley_terry",
-    // MMR rerank: the standing BM25 plan + 45 memo-served Jaccards;
-    // the greedy loop is O(k²) driver work per page
-    "search_mmr_diversify")
+    "eval_bradley_terry")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -9534,54 +9534,6 @@ object SparkEntry {
         .orderBy("shard")
     }),
 
-    "search_mmr_diversify" -> ((s, dir) => {
-      // Maximal Marginal Relevance reranking (Carbonell & Goldstein,
-      // SIGIR'98) — the classic diversification pass between scoring
-      // and serving: greedily pick argmax λ·rel_norm − (1−λ)·max-sim-
-      // to-selected (λ = 0.7) over the BM25 top-10, so near-duplicate
-      // hits stop crowding the page. Relevance = the 4dp BM25 score
-      // normalized by the page max (quotient of pinned values —
-      // deterministic); redundancy = exact hashed-3-shingle Jaccard
-      // between candidates, 6dp-pinned, off the shared shingle memo;
-      // the greedy loop runs on the 10 collected candidates (S4 —
-      // reranking a page is driver-sized by definition, 45 pairs).
-      // Every emitted double is fixed-shape arithmetic over pinned
-      // inputs, so the oracle's 10 unrolled greedy steps match
-      // bit-for-bit. Scale: candidate generation is the standing
-      // BM25 plan; the rerank is O(k²) per page at any corpus size.
-      import s.implicits._
-      val top = bm25Top10(s, dir).collect()
-      val rel = top.map(r => r.getLong(0) -> r.getDouble(1))
-      val relMap = rel.toMap
-      val relMax = rel.map(_._2).max
-      val ids = rel.map(_._1)
-      val pairsDf = (for { a <- ids; b <- ids if a < b } yield (a, b))
-        .toSeq.toDF("doc_a", "doc_b")
-      val sims = Dedup.jaccardForPairs(docs(s, dir), pairsDf, 3,
-          preShingleRows = Some(sharedShingled(s, dir)))
-        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("j"))
-        .collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-      def simOf(a: Long, b: Long): Double =
-        sims.getOrElse(if (a < b) (a, b) else (b, a), 0.0)
-      var selected = Vector.empty[(Long, Long, Double, Double)]
-      var remaining = ids.sorted.toVector
-      for (rank <- 1 to ids.length) {
-        val scored = remaining.map { d =>
-          val ms =
-            if (selected.isEmpty) 0.0
-            else selected.map(x => simOf(d, x._2)).max
-          (d, ms, 0.7 * (relMap(d) / relMax) - 0.3 * ms)
-        }
-        val (d, ms, m) = scored.minBy { case (dd, _, mm) => (-mm, dd) }
-        selected :+= ((rank.toLong, d, ms, m))
-        remaining = remaining.filterNot(_ == d)
-      }
-      selected.map { case (rank, d, ms, m) => (rank, d, relMap(d), ms, m) }
-        .toDF("rank", "doc_id", "score", "max_sim", "mmr")
-        .orderBy("rank")
-    }),
-
     "eval_bradley_terry" -> ((s, dir) => {
       // Bradley–Terry preference strengths via Hunter's MM iteration
       // (Hunter, "MM algorithms for generalized Bradley-Terry

@@ -25,21 +25,16 @@ class PreferenceEvalSpec extends SparkSpec {
     assert(strengths.toSeq == strengths.toSeq.sorted.reverse)
   }
 
-  test("search_mmr_diversify: emitted mmr is exactly the 0.7/0.3 objective") {
-    val rows = SparkEntry.queries("search_mmr_diversify")(spark, dir).collect()
+  test("search_mmr_rerank: rank-1 is the pure-relevance argmax at mmr 0.7") {
+    val rows = SparkEntry.queries("search_mmr_rerank")(spark, dir).collect()
     assert(rows.length > 0 && rows.length <= 10)
-    val maxScore = rows.map(_.getDouble(2)).max
-    rows.foreach { r =>
-      val (score, maxSim, mmr) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
-      assert(maxSim >= 0.0 && maxSim <= 1.0)
-      // every emitted mmr must be reconstructible from the emitted
-      // score and max_sim with the exact published arithmetic
-      assert(mmr == 0.7 * (score / maxScore) - 0.3 * maxSim,
-        s"mmr mismatch at doc ${r.getLong(1)}")
-    }
-    // rank 1 is the pure-relevance argmax: max_sim is 0 there
-    assert(rows.head.getLong(0) == 1L && rows.head.getDouble(3) == 0.0)
-    // ranks are 1..k in order
+    // first pick has empty selected set: mmr = 0.7·(max/max) − 0.3·0
+    assert(rows.head.getLong(0) == 1L && rows.head.getDouble(2) == 0.7)
+    // ranks are 1..k in order; every objective value is in (−0.3, 0.7]
     assert(rows.map(_.getLong(0)).toSeq == (1 to rows.length).map(_.toLong))
+    rows.foreach { r =>
+      val m = r.getDouble(2)
+      assert(m > -0.3 && m <= 0.7, s"mmr $m out of range at rank ${r.getLong(0)}")
+    }
   }
 }
