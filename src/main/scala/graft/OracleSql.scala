@@ -3544,6 +3544,73 @@ FROM qb, qr, spl, wt"""
         |FROM (${(1 to 128).map(k => s"SELECT * FROM bt$k").mkString(" UNION ALL ")})
         |ORDER BY rank""".stripMargin,
 
+    "tok_unigram_viterbi" -> {
+      // Kudo (ACL 2018) unigram-LM mirror: substring candidates ≤ 4
+      // chars at distinct-word grain, top-64-by-(freq, piece) vocab ∪
+      // all single chars, p = freq/Σfreq, and the SAME Viterbi
+      // recurrence unrolled to a fixed L = 12 ≥ the corpus max word
+      // length as DuckDB lateral-alias columns: dense per-word lp list
+      // (missing pieces = the engine's −1e18 coalesce), dp/backpointer
+      // chain with smallest-last-piece tie-break, then the backwalk.
+      // Every dp value is the same additions in the same order on both
+      // engines — bitwise equal before the one 6dp round.
+      val L = 12
+      def key(i: Int, j: Int) = (i - j) * 4 + (j - 1) + 1 // 1-indexed list
+      // one MATERIALIZED CTE per DP level and per walk step — the
+      // verify-skill CTE lesson: un-materialized lateral chains inline
+      // ~5^k times (this oracle sat for minutes as a single SELECT)
+      val dpSteps = (1 to L).map { i =>
+        val terms = (1 to math.min(4, i)).map(j => s"(dp${i - j} + m[${key(i, j)}])")
+        val best =
+          if (terms.size == 1) terms.head
+          else s"greatest(${terms.mkString(", ")})"
+        val bp = (1 to math.min(4, i))
+          .map(j => s"WHEN (dp${i - j} + m[${key(i, j)}]) = dp$i THEN $j")
+          .mkString(" ")
+        val prev = if (i == 1) "p0" else s"q${i - 1}"
+        s"p$i AS MATERIALIZED (SELECT *, CASE WHEN lng >= $i THEN $best END AS dp$i FROM $prev),\n" +
+          s"q$i AS MATERIALIZED (SELECT *, CASE WHEN lng >= $i THEN (CASE $bp END) END AS bp$i FROM p$i)"
+      }.mkString(",\n")
+      val walkSteps = (1 to L).map { k =>
+        val prev = if (k == 1) "x0" else s"y${k - 1}"
+        s"x$k AS MATERIALIZED (SELECT *, CASE WHEN cur${k - 1} > 0 THEN bps[cur${k - 1}] END AS j$k FROM $prev),\n" +
+          s"y$k AS MATERIALIZED (SELECT *, " +
+          s"CASE WHEN cur${k - 1} > 0 THEN substring(word, cur${k - 1} - j$k + 1, j$k) END AS pc$k, " +
+          s"CASE WHEN cur${k - 1} > 0 THEN cur${k - 1} - j$k ELSE 0 END AS cur$k FROM x$k)"
+      }.mkString(",\n")
+      val npieces = (1 to L)
+        .map(k => s"(CASE WHEN pc$k IS NOT NULL THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val piecesCat = (L to 1 by -1).map(k => s"pc$k").mkString(", ")
+      s"""WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |t AS (SELECT unnest(tk) AS word FROM d),
+        |w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM t GROUP BY word),
+        |st1 AS (SELECT word, wc, unnest(range(1, len(word) + 1)) AS st FROM w),
+        |st2 AS (SELECT word, wc, st, unnest(range(1, least(4, len(word) - st + 1) + 1)) AS ln FROM st1),
+        |sub AS (SELECT word, wc, st, ln, substring(word, st, ln) AS piece FROM st2),
+        |fr AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS freq FROM sub GROUP BY piece),
+        |tp AS (SELECT piece, freq FROM fr ORDER BY freq DESC, piece LIMIT 64),
+        |vv AS (SELECT DISTINCT * FROM (SELECT * FROM tp UNION ALL SELECT piece, freq FROM fr WHERE len(piece) = 1)),
+        |tt AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM vv),
+        |vl AS (SELECT piece, log10(CAST(freq AS DOUBLE) / CAST(tot AS DOUBLE)) AS lp FROM vv, tt),
+        |wp AS (SELECT sub.word, (st - 1) * 4 + (ln - 1) AS k, vl.lp FROM sub JOIN vl USING (piece)),
+        |grid AS (SELECT w.word, g.k FROM w CROSS JOIN (SELECT unnest(range(0, ${L * 4})) AS k) g),
+        |mk AS (SELECT grid.word, grid.k, COALESCE(wp.lp, -1e18) AS lp
+        |       FROM grid LEFT JOIN wp ON wp.word = grid.word AND wp.k = grid.k),
+        |mm AS (SELECT word, list(lp ORDER BY k) AS m FROM mk GROUP BY word),
+        |base AS (SELECT w.word, w.wc, len(w.word) AS lng, mm.m FROM w JOIN mm USING (word)),
+        |p0 AS MATERIALIZED (SELECT word, wc, lng, m, CAST(0 AS DOUBLE) AS dp0 FROM base),
+        |$dpSteps,
+        |x0 AS MATERIALIZED (SELECT *, ${(1 to L).map(i => s"bp$i").mkString("list_value(", ", ", ")")} AS bps,
+        |          ${(1 to L).map(i => s"dp$i").mkString("list_value(", ", ", ")")} AS dps,
+        |          lng AS cur0 FROM q$L),
+        |$walkSteps
+        |SELECT word, wc, CAST($npieces AS BIGINT) AS n_pieces,
+        |       concat_ws('|', $piecesCat) AS pieces,
+        |       round(dps[lng], 6) AS lp_total
+        |FROM y$L ORDER BY word""".stripMargin
+    },
+
     "tok_fertility_curve" ->
       // fertility at ladder depths {0,8,16,32,64}: each depth's encode
       // is the nested replace chain over the DISTINCT vocab (one row
@@ -4771,6 +4838,29 @@ FROM qb, qr, spl, wt"""
         |SELECT * FROM i1 UNION ALL SELECT * FROM i2 UNION ALL SELECT * FROM i3
         |ORDER BY iter""".stripMargin,
 
+    "curate_prototype_prune" ->
+      // Sorscher-style cluster pruning mirror: converged assignment =
+      // (s3, a3) of the 3-iteration Lloyd chain, difficulty = 1 − cos
+      // against the OWN centroid, keep the ceil(n/2) hardest per
+      // cluster ((dist DESC, vec_id) row_number — dist is the same
+      // integers-in doubles-out arithmetic on both engines), and the
+      // cluster-grain conditional aggregates (avg of a CASE with no
+      // ELSE ignores the other half, as Spark's when-without-otherwise
+      // does)
+      s"""WITH ${ivfLloydChainCtes(3)},
+        |dd AS (SELECT a3.vec_id, a3.cluster, 1.0 - s3.cos AS dist
+        |       FROM a3 JOIN s3 ON s3.vec_id = a3.vec_id AND s3.cent_id = a3.cluster),
+        |r AS (SELECT vec_id, cluster, dist,
+        |             row_number() OVER (PARTITION BY cluster ORDER BY dist DESC, vec_id) AS rn,
+        |             count(*) OVER (PARTITION BY cluster) AS nc
+        |      FROM dd)
+        |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(CASE WHEN rn * 2 <= nc + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |       round(avg(CASE WHEN rn * 2 <= nc + 1 THEN dist END), 6) AS mean_dist_kept,
+        |       round(avg(CASE WHEN rn * 2 > nc + 1 THEN dist END), 6) AS mean_dist_pruned,
+        |       round(min(CASE WHEN rn * 2 <= nc + 1 THEN dist END), 6) AS cut_dist
+        |FROM r GROUP BY cluster ORDER BY cluster""".stripMargin,
+
     "agg_kmv_jaccard" ->
       // mirrors the KMV union-trick estimate: bottom-128 of each
       // release's distinct 60-bit fingerprint hashes, bottom-128 of
@@ -5753,6 +5843,23 @@ FROM qb, qr, spl, wt"""
          |       CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_grams AS overlap_frac,
          |       CAST(CASE WHEN CAST(COALESCE(n_overlap, 0) AS DOUBLE) / n_grams > 0.2e0 THEN 1 ELSE 0 END AS BIGINT) AS contaminated
          |FROM tot t LEFT JOIN hit USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "decon_min_k_prob" ->
+      // Min-K% mirror: the shared lm chain's per-bigram logprobs
+      // (integers-in doubles-out, bitwise equal both engines), bottom
+      // ceil(n/5) per doc by (lp, rank) — tied lp values are
+      // value-identical so subset choice cannot move the average —
+      // and the one 6dp-rounded float mean
+      s"""WITH $lmCtes,
+        |r AS (SELECT doc_id, lp,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY lp) AS rn,
+        |             count(*) OVER (PARTITION BY doc_id) AS nb
+        |      FROM s)
+        |SELECT doc_id, CAST(max(nb) AS BIGINT) AS n_bigrams,
+        |       CAST(count(*) AS BIGINT) AS k_lowest,
+        |       round(avg(lp), 6) AS min_k_score
+        |FROM r WHERE rn * 5 <= nb + 4
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "decon_report" ->
       // decon_ngram's chain rolled up to the source grain: per-doc

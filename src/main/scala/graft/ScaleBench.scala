@@ -489,7 +489,17 @@ object ScaleBench {
     "dedup_substring_runs", "curate_doremi_weights",
     // BT-MM: one order-bounded duel join + a K² aggregate; the MM
     // loop runs on K² driver rows
-    "eval_bradley_terry")
+    "eval_bradley_terry",
+    // r17 second wave: prototype pruning (one broadcast-centroid
+    // assignment pass ∝ N + an 8-partition window — the Lloyd train
+    // set is sample-capped, so refinement cost is CONSTANT); Min-K%
+    // (the lm chain + one doc-partitioned rank window ∝ tokens — the
+    // text_ccnet_buckets bar); unigram Viterbi (everything past the
+    // flat-words agg is VOCAB grain — the suffixed synth grows the
+    // vocabulary ∝ factor, so the DP/piece stages may scale ∝ factor
+    // while staying corpus-sublinear; the ratio tests that no stage
+    // silently rides corpus rows)
+    "curate_prototype_prune", "decon_min_k_prob", "tok_unigram_viterbi")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

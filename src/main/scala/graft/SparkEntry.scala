@@ -4616,6 +4616,43 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    "decon_min_k_prob" -> ((s, dir) => {
+      // Min-K% Prob membership scoring (Shi et al., ICLR 2024 —
+      // "Detecting Pretraining Data from Large Language Models"): a
+      // document's score is the mean log-probability of its 20% LEAST
+      // likely tokens under a reference LM — here the corpus's own
+      // add-one bigram model, the exact lmScores chain. Member /
+      // memorized text lacks low-probability outlier tokens, so a HIGH
+      // min-k score flags likely training-set membership; the decon_*
+      // n-gram overlap catches verbatim contamination, this catches the
+      // paraphrased kind. One extra partitioned window over the
+      // per-bigram logprobs ranks each doc's bottom ceil(n/5); ties in
+      // lp are value-identical so the averaged subset is rank-invariant.
+      // Scale: the LM counts are hash aggregates on compact keys; the
+      // window partitions by doc_id (bounded by doc length).
+      val toks = docs(s, dir).select(col("doc_id"),
+        posexplode(TextAnalysis.rawTokens(col("text"))).as(Seq("pos", "w")))
+      val wnd = Window.partitionBy("doc_id").orderBy("pos")
+      val big = graft.Caches.persist(
+        toks.withColumn("w2", lead("w", 1).over(wnd))
+          .filter(col("w2").isNotNull)
+          .withColumn("bg", concat(col("w"), lit(" "), col("w2"))))
+      val c2 = big.groupBy("bg").agg(count(lit(1)).as("c2"))
+      val c1 = big.groupBy("w").agg(count(lit(1)).as("c1"))
+      val vocab = toks.select("w").distinct().count()
+      val lp = big.join(c2, Seq("bg")).join(c1, Seq("w"))
+        .withColumn("lp",
+          log10((col("c2") + 1).cast("double") / (col("c1") + vocab)))
+      val rw = Window.partitionBy("doc_id").orderBy(col("lp").asc, col("pos").asc)
+      lp.withColumn("rn", row_number().over(rw))
+        .withColumn("nb", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(col("rn") * 5 <= col("nb") + 4)
+        .groupBy("doc_id")
+        .agg(max("nb").as("n_bigrams"), count(lit(1)).as("k_lowest"),
+          round(avg("lp"), 6).as("min_k_score"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_substring_runs" -> ((s, dir) => {
       // MAXIMAL exact duplicated substrings (Lee et al., ACL 2022 —
       // the ExactSubstr deliverable beside the fixed-grid
@@ -5854,6 +5891,44 @@ object SparkEntry {
           sum("n").over(Window.partitionBy("cluster")), 6))
         .select(col("cluster"), col("label"), col("n"), col("frac"))
         .orderBy("cluster", "label")
+    }),
+
+    "curate_prototype_prune" -> ((s, dir) => {
+      // cluster-based data pruning (Sorscher et al., NeurIPS 2022
+      // "Beyond neural scaling laws"): self-supervised prototypes = the
+      // converged spherical k-means centroids (the ml_kmeans chain —
+      // C=8, 3 Lloyd iterations), an example's difficulty = cosine
+      // distance to its prototype, and in the abundant-data regime the
+      // paper prescribes keeping the HARDEST examples — here the
+      // ceil(n/2) most distant per cluster. Emitted at CLUSTER grain
+      // (n, n_keep, kept/pruned mean distances, the boundary distance)
+      // — the telemetry a pruning job logs; the keep rule itself is the
+      // row_number filter, reusable unchanged at row grain. Scale: the
+      // centroid table is C·dim broadcast; assignment is one narrow
+      // pass; the only shuffle is the per-cluster window (≤ N/C rows
+      // per partition) + an 8-row aggregate.
+      val emb = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val cents = Similarity.ivfCentroids(emb, nCentroids = 8, lloydIters = 3)
+      val scored = emb.crossJoin(broadcast(cents))
+        .withColumn("cos", Similarity.cosine(col("embedding"), col("cent")))
+        .groupBy("vec_id")
+        .agg(max_by(struct(col("cos"), col("cent_id")),
+          struct(col("cos"), (-col("cent_id")).as("nid"))).as("best"))
+        .select(col("vec_id"), col("best.cent_id").as("cluster"),
+          (lit(1.0) - col("best.cos")).as("dist"))
+      val rw = Window.partitionBy("cluster")
+        .orderBy(col("dist").desc, col("vec_id").asc)
+      scored
+        .withColumn("rn", row_number().over(rw))
+        .withColumn("nc", count(lit(1)).over(Window.partitionBy("cluster")))
+        .withColumn("keep", col("rn") * 2 <= col("nc") + 1)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          round(avg(when(col("keep"), col("dist"))), 6).as("mean_dist_kept"),
+          round(avg(when(!col("keep"), col("dist"))), 6).as("mean_dist_pruned"),
+          round(min(when(col("keep"), col("dist"))), 6).as("cut_dist"))
+        .orderBy("cluster")
     }),
 
     "agg_kmv_jaccard" -> ((s, dir) => {
@@ -7168,6 +7243,94 @@ object SparkEntry {
           m.raw.charAt(1).toLong, 255L + m.rank, m.n))
         .toDF("rank", "pair", "left_id", "right_id", "new_id", "n")
         .orderBy("rank")
+    }),
+
+    "tok_unigram_viterbi" -> ((s, dir) => {
+      // unigram-LM subword tokenization (Kudo, ACL 2018 — the
+      // SentencePiece algorithm, the published alternative the
+      // tok_bpe_* family doesn't cover): candidate pieces = every
+      // substring of length ≤ 4 of the corpus words
+      // (occurrence-weighted), vocabulary = the top 64 by (freq DESC,
+      // piece) plus ALL single characters (the coverage guarantee),
+      // p(piece) = freq / Σ freq over the selected set, and each
+      // DISTINCT word is segmented by exact Viterbi DP maximizing
+      // Σ log10 p(piece) — the max-over-last-piece recurrence
+      // unrolled to the corpus's measured max word length as pure
+      // Column arithmetic (dp/backpointer columns + an element_at
+      // lookup map), so the whole lattice stays inside codegen: no
+      // UDF, no HOF fold, no per-position join. Backpointers pick the
+      // SMALLEST last-piece length among ties. Scale: everything
+      // after the one flat-words aggregate is VOCAB grain (distinct
+      // words — sublinear in corpus), the piece table is ≤ 4·len
+      // rows per distinct word, and the DP is narrow per-row work.
+      val words = graft.Caches.persist(
+        docs(s, dir)
+          .select(explode(TextAnalysis.rawTokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("wc")))
+      // max word length — one bounded S4 scalar steering the unroll
+      val maxLen = words.agg(max(length(col("word")))).head().getInt(0)
+      val subs = words
+        .select(col("word"), col("wc"),
+          explode(sequence(lit(1), length(col("word")))).as("st"))
+        .select(col("word"), col("wc"), col("st"),
+          explode(sequence(lit(1),
+            least(lit(4), length(col("word")) - col("st") + 1))).as("ln"))
+        .withColumn("piece", expr("substring(word, st, ln)"))
+      val freq = subs.groupBy("piece").agg(sum(col("wc")).as("freq"))
+      val top = freq.orderBy(col("freq").desc, col("piece").asc).limit(64)
+      val vocabDf = graft.Caches.persist(
+        top.unionByName(freq.filter(length(col("piece")) === 1)).distinct())
+      val tot = vocabDf.agg(sum("freq")).head().getLong(0)
+      val vlp = vocabDf.select(col("piece"),
+        log10(col("freq").cast("double") / lit(tot.toDouble)).as("lp"))
+      // per-word sparse lookup: key (st-1)*4 + (ln-1) → piece logprob
+      val wp = subs.join(vlp, Seq("piece"))
+        .select(col("word"),
+          ((col("st") - 1) * 4 + (col("ln") - 1)).as("k"), col("lp"))
+      val wmap = wp.groupBy("word")
+        .agg(map_from_entries(collect_list(struct(col("k"), col("lp")))).as("m"))
+      var out = words.join(wmap, Seq("word"))
+        .withColumn("len", length(col("word")))
+        .withColumn("dp0", lit(0.0))
+      val L = maxLen
+      for (i <- 1 to L) {
+        val terms = (1 to math.min(4, i)).map { j =>
+          (j, col(s"dp${i - j}") +
+            coalesce(element_at(col("m"), lit((i - j) * 4 + (j - 1))),
+              lit(-1e18)))
+        }
+        val best =
+          if (terms.size == 1) terms.head._2
+          else greatest(terms.map(_._2): _*)
+        out = out.withColumn(s"dp$i", when(col("len") >= i, best))
+        val bp = terms.tail.foldLeft(
+          when(terms.head._2 === col(s"dp$i"), terms.head._1)) {
+          case (acc, (j, t)) => acc.when(t === col(s"dp$i"), j)
+        }
+        out = out.withColumn(s"bp$i", when(col("len") >= i, bp))
+      }
+      out = out
+        .withColumn("bps", array((1 to L).map(i => col(s"bp$i")): _*))
+        .withColumn("dps", array((1 to L).map(i => col(s"dp$i")): _*))
+        .withColumn("score", element_at(col("dps"), col("len")))
+        .withColumn("cur0", col("len"))
+      for (k <- 1 to L) {
+        out = out
+          .withColumn(s"j$k", when(col(s"cur${k - 1}") > 0,
+            element_at(col("bps"), col(s"cur${k - 1}"))))
+          .withColumn(s"pc$k", when(col(s"cur${k - 1}") > 0,
+            expr(s"substring(word, cur${k - 1} - j$k + 1, j$k)")))
+          .withColumn(s"cur$k", when(col(s"cur${k - 1}") > 0,
+            col(s"cur${k - 1}") - col(s"j$k")).otherwise(0))
+      }
+      // walking backwards from the word end, pc1 is the LAST piece —
+      // emit left-to-right by listing pcL..pc1 (concat_ws skips nulls)
+      out.select(col("word"), col("wc"),
+        (1 to L).map(k => when(col(s"pc$k").isNotNull, 1).otherwise(0))
+          .reduce(_ + _).cast("long").as("n_pieces"),
+        concat_ws("|", (L to 1 by -1).map(k => col(s"pc$k")): _*).as("pieces"),
+        round(col("score"), 6).as("lp_total"))
+        .orderBy("word")
     }),
 
     "tok_fertility_curve" -> ((s, dir) => {
