@@ -640,6 +640,97 @@ FROM qb, qr, spl, wt"""
       |s AS (SELECT bw.doc_id, log10(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + v.vocab)) AS lp
       |      FROM bw JOIN c2 USING (bg) JOIN c1 USING (w) CROSS JOIN v)""".stripMargin
 
+  /** The ml_logreg_gd unrolled-GD chain generalized to K iterations
+    * over a CTE `d (x1, x2, y)` — mirrors [[graft.ext.LogReg.fit]]:
+    * rational link, 6dp-pinned gradient averages and weight updates.
+    * Ends in `w$K (w1, w2, b)`. Shared by events_psm_stratified.
+    */
+  private def psmGdChainCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      val margin =
+        if (i == 1) "(0.0 + x1 * 0.0 + x2 * 0.0)"
+        else "(w.b + x1 * w.w1 + x2 * w.w2)"
+      val from = if (i == 1) "FROM d" else s"FROM d, w${i - 1} w"
+      val upd =
+        if (i == 1)
+          "SELECT round(0.0 - g1, 6) AS w1, round(0.0 - g2, 6) AS w2, round(0.0 - gb, 6) AS b FROM p1"
+        else
+          s"SELECT round(w.w1 - p.g1, 6) AS w1, round(w.w2 - p.g2, 6) AS w2, round(w.b - p.gb, 6) AS b FROM w${i - 1} w, p$i p"
+      s"""p$i AS (SELECT round(avg(e * x1), 6) AS g1, round(avg(e * x2), 6) AS g2, round(avg(e), 6) AS gb
+         |       FROM (SELECT x1, x2, y, $margin AS t,
+         |                    0.5 + 0.5 * t / (1.0 + abs(t)) - y AS e $from)),
+         |w$i AS ($upd)""".stripMargin
+    }.mkString(",\n")
+
+  /** Unigram-tokenizer shared head: distinct words with counts, all
+    * ≤ 4-char substring candidates, and the Kudo seed vocabulary
+    * (top-64 ∪ single chars, p = freq/Σfreq) ending in `vl (piece,
+    * lp)`. Shared by the tok_unigram_* mirrors.
+    */
+  private val unigramCommonCtes: String =
+    """d AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+      |t AS (SELECT unnest(tk) AS word FROM d),
+      |w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM t GROUP BY word),
+      |st1 AS (SELECT word, wc, unnest(range(1, len(word) + 1)) AS st FROM w),
+      |st2 AS (SELECT word, wc, st, unnest(range(1, least(4, len(word) - st + 1) + 1)) AS ln FROM st1),
+      |sub AS MATERIALIZED (SELECT word, wc, st, ln, substring(word, st, ln) AS piece FROM st2),
+      |fr AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS freq FROM sub GROUP BY piece),
+      |tp AS (SELECT piece, freq FROM fr ORDER BY freq DESC, piece LIMIT 64),
+      |vv AS (SELECT DISTINCT * FROM (SELECT * FROM tp UNION ALL SELECT piece, freq FROM fr WHERE len(piece) = 1)),
+      |tt AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM vv),
+      |vl AS (SELECT piece, log10(CAST(freq AS DOUBLE) / CAST(tot AS DOUBLE)) AS lp FROM vv, tt)""".stripMargin
+
+  /** The unigram Viterbi DP chain under vocab-lp CTE `$vlCte`
+    * (piece, lp), every CTE name prefixed `$p`, unrolled to L = 12 ≥
+    * the corpus max word length, ending in `${p}seg (word, wc,
+    * n_pieces, pieces, score)` with `score` the UNROUNDED dp total.
+    * One MATERIALIZED CTE per DP level and per walk step — the
+    * verify-skill CTE lesson: un-materialized lateral chains inline
+    * ~5^k times (the first draft sat for minutes as a single SELECT).
+    */
+  private def unigramViterbiCtes(p: String, vlCte: String,
+      L: Int = 12): String = {
+    def key(i: Int, j: Int) = (i - j) * 4 + (j - 1) + 1 // 1-indexed list
+    val dpSteps = (1 to L).map { i =>
+      val terms = (1 to math.min(4, i)).map(j => s"(dp${i - j} + m[${key(i, j)}])")
+      val best =
+        if (terms.size == 1) terms.head
+        else s"greatest(${terms.mkString(", ")})"
+      val bp = (1 to math.min(4, i))
+        .map(j => s"WHEN (dp${i - j} + m[${key(i, j)}]) = dp$i THEN $j")
+        .mkString(" ")
+      val prev = if (i == 1) s"${p}p0" else s"${p}q${i - 1}"
+      s"${p}p$i AS MATERIALIZED (SELECT *, CASE WHEN lng >= $i THEN $best END AS dp$i FROM $prev),\n" +
+        s"${p}q$i AS MATERIALIZED (SELECT *, CASE WHEN lng >= $i THEN (CASE $bp END) END AS bp$i FROM ${p}p$i)"
+    }.mkString(",\n")
+    val walkSteps = (1 to L).map { k =>
+      val prev = if (k == 1) s"${p}x0" else s"${p}y${k - 1}"
+      s"${p}x$k AS MATERIALIZED (SELECT *, CASE WHEN cur${k - 1} > 0 THEN bps[cur${k - 1}] END AS j$k FROM $prev),\n" +
+        s"${p}y$k AS MATERIALIZED (SELECT *, " +
+        s"CASE WHEN cur${k - 1} > 0 THEN substring(word, cur${k - 1} - j$k + 1, j$k) END AS pc$k, " +
+        s"CASE WHEN cur${k - 1} > 0 THEN cur${k - 1} - j$k ELSE 0 END AS cur$k FROM ${p}x$k)"
+    }.mkString(",\n")
+    val npieces = (1 to L)
+      .map(k => s"(CASE WHEN pc$k IS NOT NULL THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val piecesCat = (L to 1 by -1).map(k => s"pc$k").mkString(", ")
+    s"""${p}wp AS (SELECT sub.word, (st - 1) * 4 + (ln - 1) AS k, $vlCte.lp FROM sub JOIN $vlCte USING (piece)),
+      |${p}grid AS (SELECT w.word, g.k FROM w CROSS JOIN (SELECT unnest(range(0, ${L * 4})) AS k) g),
+      |${p}mk AS (SELECT ${p}grid.word, ${p}grid.k, COALESCE(${p}wp.lp, -1e18) AS lp
+      |       FROM ${p}grid LEFT JOIN ${p}wp ON ${p}wp.word = ${p}grid.word AND ${p}wp.k = ${p}grid.k),
+      |${p}mm AS (SELECT word, list(lp ORDER BY k) AS m FROM ${p}mk GROUP BY word),
+      |${p}base AS (SELECT w.word, w.wc, len(w.word) AS lng, ${p}mm.m FROM w JOIN ${p}mm USING (word)),
+      |${p}p0 AS MATERIALIZED (SELECT word, wc, lng, m, CAST(0 AS DOUBLE) AS dp0 FROM ${p}base),
+      |$dpSteps,
+      |${p}x0 AS MATERIALIZED (SELECT *, ${(1 to L).map(i => s"bp$i").mkString("list_value(", ", ", ")")} AS bps,
+      |          ${(1 to L).map(i => s"dp$i").mkString("list_value(", ", ", ")")} AS dps,
+      |          lng AS cur0 FROM ${p}q$L),
+      |$walkSteps,
+      |${p}seg AS MATERIALIZED (SELECT word, wc, CAST($npieces AS BIGINT) AS n_pieces,
+      |          concat_ws('|', $piecesCat) AS pieces, dps[lng] AS score
+      |       FROM ${p}y$L)""".stripMargin
+  }
+
   /** Daily order revenue as EXACT integer cents keyed by the epoch-µs
     * UTC day — mirror of `SparkEntry.dailyOrderCents`, shared by the
     * ts_stl_decompose / ts_cusum_changepoint oracles.
@@ -3544,72 +3635,54 @@ FROM qb, qr, spl, wt"""
         |FROM (${(1 to 128).map(k => s"SELECT * FROM bt$k").mkString(" UNION ALL ")})
         |ORDER BY rank""".stripMargin,
 
-    "tok_unigram_viterbi" -> {
+    "tok_unigram_viterbi" ->
       // Kudo (ACL 2018) unigram-LM mirror: substring candidates ≤ 4
       // chars at distinct-word grain, top-64-by-(freq, piece) vocab ∪
       // all single chars, p = freq/Σfreq, and the SAME Viterbi
       // recurrence unrolled to a fixed L = 12 ≥ the corpus max word
-      // length as DuckDB lateral-alias columns: dense per-word lp list
+      // length ([[unigramViterbiCtes]]): dense per-word lp list
       // (missing pieces = the engine's −1e18 coalesce), dp/backpointer
       // chain with smallest-last-piece tie-break, then the backwalk.
       // Every dp value is the same additions in the same order on both
       // engines — bitwise equal before the one 6dp round.
-      val L = 12
-      def key(i: Int, j: Int) = (i - j) * 4 + (j - 1) + 1 // 1-indexed list
-      // one MATERIALIZED CTE per DP level and per walk step — the
-      // verify-skill CTE lesson: un-materialized lateral chains inline
-      // ~5^k times (this oracle sat for minutes as a single SELECT)
-      val dpSteps = (1 to L).map { i =>
-        val terms = (1 to math.min(4, i)).map(j => s"(dp${i - j} + m[${key(i, j)}])")
-        val best =
-          if (terms.size == 1) terms.head
-          else s"greatest(${terms.mkString(", ")})"
-        val bp = (1 to math.min(4, i))
-          .map(j => s"WHEN (dp${i - j} + m[${key(i, j)}]) = dp$i THEN $j")
-          .mkString(" ")
-        val prev = if (i == 1) "p0" else s"q${i - 1}"
-        s"p$i AS MATERIALIZED (SELECT *, CASE WHEN lng >= $i THEN $best END AS dp$i FROM $prev),\n" +
-          s"q$i AS MATERIALIZED (SELECT *, CASE WHEN lng >= $i THEN (CASE $bp END) END AS bp$i FROM p$i)"
-      }.mkString(",\n")
-      val walkSteps = (1 to L).map { k =>
-        val prev = if (k == 1) "x0" else s"y${k - 1}"
-        s"x$k AS MATERIALIZED (SELECT *, CASE WHEN cur${k - 1} > 0 THEN bps[cur${k - 1}] END AS j$k FROM $prev),\n" +
-          s"y$k AS MATERIALIZED (SELECT *, " +
-          s"CASE WHEN cur${k - 1} > 0 THEN substring(word, cur${k - 1} - j$k + 1, j$k) END AS pc$k, " +
-          s"CASE WHEN cur${k - 1} > 0 THEN cur${k - 1} - j$k ELSE 0 END AS cur$k FROM x$k)"
-      }.mkString(",\n")
-      val npieces = (1 to L)
-        .map(k => s"(CASE WHEN pc$k IS NOT NULL THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      val piecesCat = (L to 1 by -1).map(k => s"pc$k").mkString(", ")
-      s"""WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0) AS tk FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
-        |t AS (SELECT unnest(tk) AS word FROM d),
-        |w AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM t GROUP BY word),
-        |st1 AS (SELECT word, wc, unnest(range(1, len(word) + 1)) AS st FROM w),
-        |st2 AS (SELECT word, wc, st, unnest(range(1, least(4, len(word) - st + 1) + 1)) AS ln FROM st1),
-        |sub AS (SELECT word, wc, st, ln, substring(word, st, ln) AS piece FROM st2),
-        |fr AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS freq FROM sub GROUP BY piece),
-        |tp AS (SELECT piece, freq FROM fr ORDER BY freq DESC, piece LIMIT 64),
-        |vv AS (SELECT DISTINCT * FROM (SELECT * FROM tp UNION ALL SELECT piece, freq FROM fr WHERE len(piece) = 1)),
-        |tt AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM vv),
-        |vl AS (SELECT piece, log10(CAST(freq AS DOUBLE) / CAST(tot AS DOUBLE)) AS lp FROM vv, tt),
-        |wp AS (SELECT sub.word, (st - 1) * 4 + (ln - 1) AS k, vl.lp FROM sub JOIN vl USING (piece)),
-        |grid AS (SELECT w.word, g.k FROM w CROSS JOIN (SELECT unnest(range(0, ${L * 4})) AS k) g),
-        |mk AS (SELECT grid.word, grid.k, COALESCE(wp.lp, -1e18) AS lp
-        |       FROM grid LEFT JOIN wp ON wp.word = grid.word AND wp.k = grid.k),
-        |mm AS (SELECT word, list(lp ORDER BY k) AS m FROM mk GROUP BY word),
-        |base AS (SELECT w.word, w.wc, len(w.word) AS lng, mm.m FROM w JOIN mm USING (word)),
-        |p0 AS MATERIALIZED (SELECT word, wc, lng, m, CAST(0 AS DOUBLE) AS dp0 FROM base),
-        |$dpSteps,
-        |x0 AS MATERIALIZED (SELECT *, ${(1 to L).map(i => s"bp$i").mkString("list_value(", ", ", ")")} AS bps,
-        |          ${(1 to L).map(i => s"dp$i").mkString("list_value(", ", ", ")")} AS dps,
-        |          lng AS cur0 FROM q$L),
-        |$walkSteps
-        |SELECT word, wc, CAST($npieces AS BIGINT) AS n_pieces,
-        |       concat_ws('|', $piecesCat) AS pieces,
-        |       round(dps[lng], 6) AS lp_total
-        |FROM y$L ORDER BY word""".stripMargin
-    },
+      s"""WITH $unigramCommonCtes,
+        |${unigramViterbiCtes("a_", "vl")}
+        |SELECT word, wc, n_pieces, pieces, round(score, 6) AS lp_total
+        |FROM a_seg ORDER BY word""".stripMargin,
+
+    "tok_unigram_em" ->
+      // the hard-EM trainer iteration mirrored end-to-end: Viterbi
+      // chain under the seed vocab (a_), usage counts from the
+      // '|'-split segmentations, the renormalized surviving vocab
+      // (vl1), a SECOND full Viterbi chain under it (b_), and the
+      // 2-row ledger — words/pieces/likelihood as exact BIGINTs
+      // (per-word q6 score pins BEFORE the order-free sums),
+      // fertility as the unrounded exact-integer quotient
+      s"""WITH $unigramCommonCtes,
+        |${unigramViterbiCtes("a_", "vl")},
+        |us AS MATERIALIZED (SELECT wc, unnest(string_split(pieces, '|')) AS piece FROM a_seg),
+        |u1 AS MATERIALIZED (SELECT piece, CAST(sum(wc) AS BIGINT) AS freq FROM us GROUP BY piece),
+        |t1 AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM u1),
+        |vl1 AS MATERIALIZED (SELECT piece, log10(CAST(freq AS DOUBLE) / CAST(tot AS DOUBLE)) AS lp FROM u1, t1),
+        |${unigramViterbiCtes("b_", "vl1")},
+        |ub AS (SELECT wc, unnest(string_split(pieces, '|')) AS piece FROM b_seg),
+        |r0 AS (SELECT CAST(0 AS BIGINT) AS iter,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM vl) AS n_vocab,
+        |         (SELECT CAST(count(DISTINCT piece) AS BIGINT) FROM us) AS n_used,
+        |         CAST(sum(wc) AS BIGINT) AS n_words,
+        |         CAST(sum(wc * n_pieces) AS BIGINT) AS n_pieces_total,
+        |         CAST(sum(wc * n_pieces) AS DOUBLE) / CAST(sum(wc) AS DOUBLE) AS fertility,
+        |         CAST(sum(wc * CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_lp6
+        |       FROM a_seg),
+        |r1 AS (SELECT CAST(1 AS BIGINT) AS iter,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM vl1) AS n_vocab,
+        |         (SELECT CAST(count(DISTINCT piece) AS BIGINT) FROM ub) AS n_used,
+        |         CAST(sum(wc) AS BIGINT) AS n_words,
+        |         CAST(sum(wc * n_pieces) AS BIGINT) AS n_pieces_total,
+        |         CAST(sum(wc * n_pieces) AS DOUBLE) / CAST(sum(wc) AS DOUBLE) AS fertility,
+        |         CAST(sum(wc * CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_lp6
+        |       FROM b_seg)
+        |SELECT * FROM r0 UNION ALL SELECT * FROM r1 ORDER BY iter""".stripMargin,
 
     "tok_fertility_curve" ->
       // fertility at ladder depths {0,8,16,32,64}: each depth's encode
@@ -3739,6 +3812,50 @@ FROM qb, qr, spl, wt"""
         |       mm.q6 - lq.q6 AS q6_gain
         |FROM mm JOIN sq lq ON lq.doc_id = mm.component
         |WHERE mm.rn = 1 ORDER BY mm.component""".stripMargin,
+
+    "quality_label_propagation" ->
+      // Zhu-Ghahramani mirror: exact-Jaccard ≥ 0.8 pairs over the
+      // hashed shingle sets (the quality_dedup_impact pair CTE),
+      // symmetrized with q6 BIGINT weights, classifier-verdict seeds
+      // on doc_id % 5 = 0, two unrolled Jacobi steps — numerators and
+      // denominators are exact integer sums (order-free), one re-pinned
+      // division per node per step. f0/f1/e MATERIALIZED (each is
+      // referenced 2+ times; the CTE-inlining lesson)
+      s"""WITH $hashedShingleCtes,
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS j
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+        |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst, CAST(floor(j * 1000000.0 + 0.5) AS BIGINT) AS w6 FROM p
+        |     UNION ALL SELECT doc_b, doc_a, CAST(floor(j * 1000000.0 + 0.5) AS BIGINT) FROM p),
+        |f AS (SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS word
+        |      FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |sw AS (SELECT doc_id, (((${md5Hash60Sql("word")} % 64) * 2654435761) % 1001) / 500.0 - 1.0 AS w FROM f),
+        |sq AS (SELECT doc_id, round(avg(w), 6) AS score FROM sw GROUP BY doc_id),
+        |n AS (SELECT DISTINCT src AS doc_id FROM e),
+        |f0 AS MATERIALIZED (SELECT n.doc_id,
+        |       CAST(CASE WHEN n.doc_id % 5 = 0 THEN 1 ELSE 0 END AS INTEGER) AS is_seed,
+        |       CASE WHEN n.doc_id % 5 = 0 THEN (CASE WHEN sq.score > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)
+        |            ELSE CAST(0.5 AS DOUBLE) END AS fv
+        |     FROM n JOIN sq USING (doc_id)),
+        |a1 AS (SELECT e.dst AS doc_id,
+        |              CAST(sum(e.w6 * CAST(floor(f0.fv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS num,
+        |              CAST(sum(e.w6) AS BIGINT) AS den
+        |       FROM e JOIN f0 ON f0.doc_id = e.src GROUP BY e.dst),
+        |f1 AS MATERIALIZED (SELECT f0.doc_id, f0.is_seed,
+        |       CASE WHEN f0.is_seed = 1 THEN f0.fv
+        |            ELSE COALESCE(round(CAST(a1.num AS DOUBLE) / (CAST(a1.den AS DOUBLE) * 1000000.0), 6), f0.fv) END AS fv
+        |     FROM f0 LEFT JOIN a1 USING (doc_id)),
+        |a2 AS (SELECT e.dst AS doc_id,
+        |              CAST(sum(e.w6 * CAST(floor(f1.fv * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS num,
+        |              CAST(sum(e.w6) AS BIGINT) AS den
+        |       FROM e JOIN f1 ON f1.doc_id = e.src GROUP BY e.dst),
+        |f2 AS (SELECT f1.doc_id, f1.is_seed,
+        |       CASE WHEN f1.is_seed = 1 THEN f1.fv
+        |            ELSE COALESCE(round(CAST(a2.num AS DOUBLE) / (CAST(a2.den AS DOUBLE) * 1000000.0), 6), f1.fv) END AS fv
+        |     FROM f1 LEFT JOIN a2 USING (doc_id))
+        |SELECT f0.doc_id, f0.is_seed, f0.fv AS f_init, f2.fv AS f_prop
+        |FROM f0 JOIN f2 USING (doc_id) ORDER BY f0.doc_id""".stripMargin,
 
     "quality_dedup_impact" ->
       // the near-dup CC loser chain (curate_dedup_rate_by_source's
@@ -8116,6 +8233,47 @@ FROM qb, qr, spl, wt"""
         |       round(CAST(sum(CASE WHEN abs(diff) >= abs(obs_diff) THEN 1 ELSE 0 END) + 1 AS DOUBLE)
         |             / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
         |FROM dd, ob GROUP BY ob.n_users, ob.obs_diff""".stripMargin,
+
+    "events_psm_stratified" ->
+      // Rosenbaum-Rubin subclassification mirror: exact-integer
+      // user-grain covariates/outcome, the logregW3 chain shape on
+      // the events features (rational link, 6dp pins per iteration —
+      // identical fixed-shape double arithmetic), q6-pinned
+      // propensity, the zipf-style global rank (lower-count + per-p6
+      // row_number), quintile ids from an exact small-integer floor,
+      // and per-subclass conditional BIGINT sums with exact-int
+      // quotient means emitted UNROUNDED
+      s"""WITH u AS (SELECT user_id,
+        |       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 ELSE 0 END) AS BIGINT) AS pre_n,
+        |       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS pre_cents,
+        |       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS pre_clicks,
+        |       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND event_type = 'purchase' THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_cents
+        |     FROM events GROUP BY user_id),
+        |d AS MATERIALIZED (SELECT user_id, y_cents,
+        |       (CAST(pre_n AS DOUBLE) - 31.0) / 15.0 AS x1,
+        |       (CAST(pre_cents AS DOUBLE) - 154000.0) / 60000.0 AS x2,
+        |       CASE WHEN pre_clicks >= 8 THEN 1.0 ELSE 0.0 END AS y FROM u),
+        |${psmGdChainCtes(10)},
+        |sc AS MATERIALIZED (SELECT user_id, CAST(y AS BIGINT) AS treated, y_cents,
+        |       CAST(floor((0.5 + 0.5 * t / (1.0 + abs(t))) * 1000000.0 + 0.5) AS BIGINT) AS p6
+        |     FROM (SELECT d.*, (w.b + x1 * w.w1 + x2 * w.w2) AS t FROM d, w10 w)),
+        |pcnt AS (SELECT p6, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY p6),
+        |lowr AS (SELECT a.p6, CAST(COALESCE((SELECT sum(b.cnt) FROM pcnt b WHERE b.p6 < a.p6), 0) AS BIGINT) AS n_lower FROM pcnt a),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+        |rk AS (SELECT sc.user_id, sc.treated, sc.y_cents, sc.p6,
+        |              lowr.n_lower + row_number() OVER (PARTITION BY sc.p6 ORDER BY sc.user_id) AS rnk
+        |       FROM sc JOIN lowr USING (p6)),
+        |sb AS (SELECT rk.*, CAST(floor(CAST((rnk - 1) * 5 AS DOUBLE) / nn.n) + 1 AS BIGINT) AS subclass FROM rk, nn)
+        |SELECT subclass, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(treated) AS BIGINT) AS n_treated,
+        |       CAST(sum(1 - treated) AS BIGINT) AS n_control,
+        |       CAST(sum(CASE WHEN treated = 1 THEN y_cents END) AS DOUBLE) / CAST(sum(treated) AS DOUBLE) AS mean_y_treated,
+        |       CAST(sum(CASE WHEN treated = 0 THEN y_cents END) AS DOUBLE) / CAST(sum(1 - treated) AS DOUBLE) AS mean_y_control,
+        |       CAST(sum(CASE WHEN treated = 1 THEN y_cents END) AS DOUBLE) / CAST(sum(treated) AS DOUBLE) -
+        |         CAST(sum(CASE WHEN treated = 0 THEN y_cents END) AS DOUBLE) / CAST(sum(1 - treated) AS DOUBLE) AS att_diff_cents,
+        |       CAST(sum(CASE WHEN treated = 1 THEN p6 END) AS DOUBLE) / (CAST(sum(treated) AS DOUBLE) * 1000000.0) AS mean_p_treated,
+        |       CAST(sum(CASE WHEN treated = 0 THEN p6 END) AS DOUBLE) / (CAST(sum(1 - treated) AS DOUBLE) * 1000000.0) AS mean_p_control
+        |FROM sb GROUP BY subclass ORDER BY subclass""".stripMargin,
 
     "events_ab_cuped" ->
       // mirrors the exact-decimal CUPED closed forms: per-user micro-

@@ -499,7 +499,17 @@ object ScaleBench {
     // vocabulary ∝ factor, so the DP/piece stages may scale ∝ factor
     // while staying corpus-sublinear; the ratio tests that no stage
     // silently rides corpus rows)
-    "curate_prototype_prune", "decon_min_k_prob", "tok_unigram_viterbi")
+    "curate_prototype_prune", "decon_min_k_prob", "tok_unigram_viterbi",
+    // label propagation: rides the shared minhash-pair memo (per-rep
+    // reset ⇒ carries the pair build); each Jacobi step is one
+    // pair-sized join + node-grain agg — near-dup-sparse by nature
+    "quality_label_propagation",
+    // unigram EM: two vocab-grain Viterbi passes + one usage agg —
+    // the same sublinear-vs-corpus claim as tok_unigram_viterbi, ×2
+    "tok_unigram_em",
+    // PSM: one user-grain agg + 11 map-side-combined gradient scans +
+    // a p6-grain (bounded-domain) self-join + a p6-partitioned window
+    "events_psm_stratified")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -967,6 +967,102 @@ object SparkEntry {
           .as("lm_score"))
   }
 
+  /** Distinct corpus words with occurrence counts — the vocabulary
+    * grain the unigram tokenizer family works at (persisted; consumers
+    * run inside one query, the harness unpersists after).
+    */
+  private def unigramWords(s: SparkSession, dir: String): DataFrame =
+    graft.Caches.persist(
+      docs(s, dir)
+        .select(explode(TextAnalysis.rawTokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("wc")))
+
+  /** Every (start, len ≤ 4) substring of each distinct word:
+    * (word, wc, st, ln, piece).
+    */
+  private def unigramSubs(words: DataFrame): DataFrame =
+    words
+      .select(col("word"), col("wc"),
+        explode(sequence(lit(1), length(col("word")))).as("st"))
+      .select(col("word"), col("wc"), col("st"),
+        explode(sequence(lit(1),
+          least(lit(4), length(col("word")) - col("st") + 1))).as("ln"))
+      .withColumn("piece", expr("substring(word, st, ln)"))
+
+  /** Kudo seed vocabulary: top 64 candidates by (freq DESC, piece) ∪
+    * ALL single characters (coverage guarantee), p = freq / Σ freq
+    * over the selected set → (piece, lp = log10 p).
+    */
+  private def unigramSeedVocab(subs: DataFrame): DataFrame = {
+    val freq = subs.groupBy("piece").agg(sum(col("wc")).as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("piece").asc).limit(64)
+    val vocabDf = graft.Caches.persist(
+      top.unionByName(freq.filter(length(col("piece")) === 1)).distinct())
+    val tot = vocabDf.agg(sum("freq")).head().getLong(0)
+    vocabDf.select(col("piece"),
+      log10(col("freq").cast("double") / lit(tot.toDouble)).as("lp"))
+  }
+
+  /** Exact Viterbi segmentation of each distinct word under piece
+    * log-probabilities `vlp` (piece, lp): the max-over-last-piece DP
+    * unrolled to `L` ≥ the max word length as pure Column arithmetic —
+    * a per-word (key → lp) map via element_at, dp/backpointer columns
+    * (backpointers pick the SMALLEST last-piece length among ties),
+    * then an unrolled backwalk rebuilding the pieces left-to-right.
+    * No UDF, no HOF fold, no per-position join — the whole lattice
+    * stays inside WholeStageCodegen. Output: (word, wc, n_pieces,
+    * pieces '|'-joined, score = unrounded Σ lp).
+    */
+  private def unigramViterbi(words: DataFrame, subs: DataFrame,
+      vlp: DataFrame, L: Int): DataFrame = {
+    // per-word sparse lookup: key (st-1)*4 + (ln-1) → piece logprob
+    val wp = subs.join(vlp, Seq("piece"))
+      .select(col("word"),
+        ((col("st") - 1) * 4 + (col("ln") - 1)).as("k"), col("lp"))
+    val wmap = wp.groupBy("word")
+      .agg(map_from_entries(collect_list(struct(col("k"), col("lp")))).as("m"))
+    var out = words.join(wmap, Seq("word"))
+      .withColumn("len", length(col("word")))
+      .withColumn("dp0", lit(0.0))
+    for (i <- 1 to L) {
+      val terms = (1 to math.min(4, i)).map { j =>
+        (j, col(s"dp${i - j}") +
+          coalesce(element_at(col("m"), lit((i - j) * 4 + (j - 1))),
+            lit(-1e18)))
+      }
+      val best =
+        if (terms.size == 1) terms.head._2
+        else greatest(terms.map(_._2): _*)
+      out = out.withColumn(s"dp$i", when(col("len") >= i, best))
+      val bp = terms.tail.foldLeft(
+        when(terms.head._2 === col(s"dp$i"), terms.head._1)) {
+        case (acc, (j, t)) => acc.when(t === col(s"dp$i"), j)
+      }
+      out = out.withColumn(s"bp$i", when(col("len") >= i, bp))
+    }
+    out = out
+      .withColumn("bps", array((1 to L).map(i => col(s"bp$i")): _*))
+      .withColumn("dps", array((1 to L).map(i => col(s"dp$i")): _*))
+      .withColumn("score", element_at(col("dps"), col("len")))
+      .withColumn("cur0", col("len"))
+    for (k <- 1 to L) {
+      out = out
+        .withColumn(s"j$k", when(col(s"cur${k - 1}") > 0,
+          element_at(col("bps"), col(s"cur${k - 1}"))))
+        .withColumn(s"pc$k", when(col(s"cur${k - 1}") > 0,
+          expr(s"substring(word, cur${k - 1} - j$k + 1, j$k)")))
+        .withColumn(s"cur$k", when(col(s"cur${k - 1}") > 0,
+          col(s"cur${k - 1}") - col(s"j$k")).otherwise(0))
+    }
+    // walking backwards from the word end, pc1 is the LAST piece —
+    // emit left-to-right by listing pcL..pc1 (concat_ws skips nulls)
+    out.select(col("word"), col("wc"),
+      (1 to L).map(k => when(col(s"pc$k").isNotNull, 1).otherwise(0))
+        .reduce(_ + _).cast("long").as("n_pieces"),
+      concat_ws("|", (L to 1 by -1).map(k => col(s"pc$k")): _*).as("pieces"),
+      col("score"))
+  }
+
   /** Spark-side BM25 top-10 with post-rounding deterministic order. */
   private def bm25Top10(s: SparkSession, dir: String): DataFrame = {
     val t = builtIndex(s, dir, stem = false)
@@ -7256,81 +7352,74 @@ object SparkEntry {
       // DISTINCT word is segmented by exact Viterbi DP maximizing
       // Σ log10 p(piece) — the max-over-last-piece recurrence
       // unrolled to the corpus's measured max word length as pure
-      // Column arithmetic (dp/backpointer columns + an element_at
-      // lookup map), so the whole lattice stays inside codegen: no
-      // UDF, no HOF fold, no per-position join. Backpointers pick the
-      // SMALLEST last-piece length among ties. Scale: everything
-      // after the one flat-words aggregate is VOCAB grain (distinct
-      // words — sublinear in corpus), the piece table is ≤ 4·len
-      // rows per distinct word, and the DP is narrow per-row work.
-      val words = graft.Caches.persist(
-        docs(s, dir)
-          .select(explode(TextAnalysis.rawTokens(col("text"))).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("wc")))
-      // max word length — one bounded S4 scalar steering the unroll
+      // Column arithmetic ([[unigramViterbi]]: dp/backpointer columns
+      // + an element_at lookup map), so the whole lattice stays inside
+      // codegen: no UDF, no HOF fold, no per-position join. Scale:
+      // everything after the one flat-words aggregate is VOCAB grain
+      // (distinct words — sublinear in corpus), the piece table is
+      // ≤ 4·len rows per distinct word, the DP is narrow per-row work.
+      val words = unigramWords(s, dir)
       val maxLen = words.agg(max(length(col("word")))).head().getInt(0)
-      val subs = words
-        .select(col("word"), col("wc"),
-          explode(sequence(lit(1), length(col("word")))).as("st"))
-        .select(col("word"), col("wc"), col("st"),
-          explode(sequence(lit(1),
-            least(lit(4), length(col("word")) - col("st") + 1))).as("ln"))
-        .withColumn("piece", expr("substring(word, st, ln)"))
-      val freq = subs.groupBy("piece").agg(sum(col("wc")).as("freq"))
-      val top = freq.orderBy(col("freq").desc, col("piece").asc).limit(64)
-      val vocabDf = graft.Caches.persist(
-        top.unionByName(freq.filter(length(col("piece")) === 1)).distinct())
-      val tot = vocabDf.agg(sum("freq")).head().getLong(0)
-      val vlp = vocabDf.select(col("piece"),
-        log10(col("freq").cast("double") / lit(tot.toDouble)).as("lp"))
-      // per-word sparse lookup: key (st-1)*4 + (ln-1) → piece logprob
-      val wp = subs.join(vlp, Seq("piece"))
-        .select(col("word"),
-          ((col("st") - 1) * 4 + (col("ln") - 1)).as("k"), col("lp"))
-      val wmap = wp.groupBy("word")
-        .agg(map_from_entries(collect_list(struct(col("k"), col("lp")))).as("m"))
-      var out = words.join(wmap, Seq("word"))
-        .withColumn("len", length(col("word")))
-        .withColumn("dp0", lit(0.0))
-      val L = maxLen
-      for (i <- 1 to L) {
-        val terms = (1 to math.min(4, i)).map { j =>
-          (j, col(s"dp${i - j}") +
-            coalesce(element_at(col("m"), lit((i - j) * 4 + (j - 1))),
-              lit(-1e18)))
-        }
-        val best =
-          if (terms.size == 1) terms.head._2
-          else greatest(terms.map(_._2): _*)
-        out = out.withColumn(s"dp$i", when(col("len") >= i, best))
-        val bp = terms.tail.foldLeft(
-          when(terms.head._2 === col(s"dp$i"), terms.head._1)) {
-          case (acc, (j, t)) => acc.when(t === col(s"dp$i"), j)
-        }
-        out = out.withColumn(s"bp$i", when(col("len") >= i, bp))
-      }
-      out = out
-        .withColumn("bps", array((1 to L).map(i => col(s"bp$i")): _*))
-        .withColumn("dps", array((1 to L).map(i => col(s"dp$i")): _*))
-        .withColumn("score", element_at(col("dps"), col("len")))
-        .withColumn("cur0", col("len"))
-      for (k <- 1 to L) {
-        out = out
-          .withColumn(s"j$k", when(col(s"cur${k - 1}") > 0,
-            element_at(col("bps"), col(s"cur${k - 1}"))))
-          .withColumn(s"pc$k", when(col(s"cur${k - 1}") > 0,
-            expr(s"substring(word, cur${k - 1} - j$k + 1, j$k)")))
-          .withColumn(s"cur$k", when(col(s"cur${k - 1}") > 0,
-            col(s"cur${k - 1}") - col(s"j$k")).otherwise(0))
-      }
-      // walking backwards from the word end, pc1 is the LAST piece —
-      // emit left-to-right by listing pcL..pc1 (concat_ws skips nulls)
-      out.select(col("word"), col("wc"),
-        (1 to L).map(k => when(col(s"pc$k").isNotNull, 1).otherwise(0))
-          .reduce(_ + _).cast("long").as("n_pieces"),
-        concat_ws("|", (L to 1 by -1).map(k => col(s"pc$k")): _*).as("pieces"),
-        round(col("score"), 6).as("lp_total"))
+      val subs = unigramSubs(words)
+      val vlp = unigramSeedVocab(subs)
+      unigramViterbi(words, subs, vlp, maxLen)
+        .select(col("word"), col("wc"), col("n_pieces"), col("pieces"),
+          round(col("score"), 6).as("lp_total"))
         .orderBy("word")
+    }),
+
+    "tok_unigram_em" -> ((s, dir) => {
+      // the unigram trainer's EM iteration (Kudo, ACL 2018 §3.2, the
+      // hard-EM/Viterbi variant SentencePiece uses for pruning): the
+      // E-step counts how often each piece is USED in the current
+      // Viterbi segmentation (occurrence-weighted), the M-step
+      // renormalizes p over the surviving pieces — unused candidates
+      // drop out (the vocabulary-pruning face) — and the corpus is
+      // re-segmented under the new model. Emitted as the 2-row
+      // training ledger (iter 0/1): vocab size, pieces in use,
+      // token-weighted fertility (exact-integer quotient, UNROUNDED),
+      // and the corpus log-likelihood as an exact q6 BIGINT (per-word
+      // scores pinned to integers BEFORE the order-free sum — the r14
+      // discipline). The likelihood must not decrease and fertility
+      // must not rise: `CurationOpsSpec` pins both. Scale: both
+      // segmentation passes and the usage aggregate are VOCAB grain.
+      val words = unigramWords(s, dir)
+      val maxLen = words.agg(max(length(col("word")))).head().getInt(0)
+      val subs = graft.Caches.persist(unigramSubs(words))
+      val vlp0 = graft.Caches.persist(unigramSeedVocab(subs))
+      val seg0 = graft.Caches.persist(
+        unigramViterbi(words, subs, vlp0, maxLen))
+      // E-step: occurrence-weighted usage of each piece in seg0
+      val usage = graft.Caches.persist(
+        seg0.select(col("wc"),
+          explode(split(col("pieces"), "[|]")).as("piece"))
+          .groupBy("piece").agg(sum(col("wc")).as("freq")))
+      // M-step: renormalize over the SURVIVING pieces only
+      val tot1 = usage.agg(sum("freq")).head().getLong(0)
+      val vlp1 = usage.select(col("piece"),
+        log10(col("freq").cast("double") / lit(tot1.toDouble)).as("lp"))
+      val seg1 = unigramViterbi(words, subs, vlp1, maxLen)
+      def ledger(iter: Int, vl: DataFrame, seg: DataFrame) = {
+        val nv = vl.select("piece")
+        val used = seg.select(col("wc"),
+          explode(split(col("pieces"), "[|]")).as("piece"))
+        seg.agg(
+          sum(col("wc")).as("n_words"),
+          sum(col("wc") * col("n_pieces")).as("n_pieces_total"),
+          sum(col("wc") *
+            floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long"))
+            .as("total_lp6"))
+          .crossJoin(broadcast(nv.agg(count(lit(1)).as("n_vocab"))))
+          .crossJoin(broadcast(
+            used.select("piece").distinct().agg(count(lit(1)).as("n_used"))))
+          .select(lit(iter.toLong).as("iter"), col("n_vocab"), col("n_used"),
+            col("n_words"), col("n_pieces_total"),
+            (col("n_pieces_total").cast("double") /
+              col("n_words").cast("double")).as("fertility"),
+            col("total_lp6"))
+      }
+      ledger(0, vlp0, seg0).unionByName(ledger(1, vlp1, seg1))
+        .orderBy("iter")
     }),
 
     "tok_fertility_curve" -> ((s, dir) => {
@@ -7476,6 +7565,70 @@ object SparkEntry {
         .withColumn("flagged_share",
           col("n_flagged").cast("double") / col("n_docs"))
         .orderBy("source")
+    }),
+
+    "quality_label_propagation" -> ((s, dir) => {
+      // semi-supervised label propagation (Zhu & Ghahramani, CMU
+      // CALD-02-107): quality verdicts known for a deterministic
+      // 1-in-5 seed subset spread through the near-dup similarity
+      // graph — the transductive trick that lets one expensive
+      // labeling pass (human or model) cover every duplicate cluster
+      // member. Edges = the shared verified minhash pairs weighted by
+      // exact Jaccard; seeds clamp to the quality_classifier verdict;
+      // two Jacobi iterations f(v) ← Σ w·f(u) / Σ w. The r14
+      // exact-integer discipline makes each iteration order-free:
+      // weights and the 6dp-pinned f become q6 BIGINTs, the neighbor
+      // sums are exact integer aggregates, and the one division per
+      // node re-pins. Scale: the pair set is near-dup-sparse, each
+      // iteration is one edges⋈f join + one node-grain agg.
+      val pairs = sharedMinhashPairs(s, dir).select("doc_a", "doc_b", "jaccard")
+      val edges = graft.Caches.persist(
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"), col("jaccard"))
+          .unionByName(pairs.select(col("doc_b").as("src"),
+            col("doc_a").as("dst"), col("jaccard")))
+          .withColumn("w6",
+            floor(col("jaccard") * lit(1000000.0) + lit(0.5)).cast("long")))
+      val nodes = edges.select(col("src").as("doc_id")).distinct()
+      // the quality_classifier score chain (hashed-feature linear
+      // scorer) — run over GRAPH NODES only (left-semi before the
+      // explode): scores are read solely for nodes, and the near-dup
+      // node set is pair-sparse, so the token pass must not scan the
+      // corpus (the first 10× receipt measured exactly that waste)
+      val bkt = pmod(graft.ext.Dedup.md5Hash60(col("word")), lit(64L))
+      val wgt = pmod(bkt * lit(2654435761L), lit(1001L)) / lit(500.0) - lit(1.0)
+      val scores = docs(s, dir)
+        .join(nodes, Seq("doc_id"), "left_semi") // AQE broadcasts while small
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .select(col("doc_id"), wgt.as("w"))
+        .groupBy("doc_id")
+        .agg(round(avg("w"), 6).as("score"))
+      val f0 = graft.Caches.persist(nodes.join(scores, Seq("doc_id"))
+        .withColumn("is_seed", (col("doc_id") % 5 === 0).cast("int"))
+        .withColumn("f", when(col("is_seed") === 1,
+          when(col("score") > 0, lit(1.0)).otherwise(lit(0.0)))
+          .otherwise(lit(0.5)))
+        .select("doc_id", "is_seed", "f"))
+      var f = f0
+      for (_ <- 1 to 2) {
+        val agg = edges
+          .join(f.select(col("doc_id").as("src"), col("f").as("fu")), Seq("src"))
+          .withColumn("f6", floor(col("fu") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .groupBy(col("dst"))
+          .agg(sum(col("w6") * col("f6")).as("num"), sum(col("w6")).as("den"))
+          .select(col("dst").as("doc_id"),
+            round(col("num").cast("double") /
+              (col("den").cast("double") * lit(1000000.0)), 6).as("fnew"))
+        f = graft.Caches.persist(
+          f.join(agg, Seq("doc_id"), "left")
+            .withColumn("f", when(col("is_seed") === 1, col("f"))
+              .otherwise(coalesce(col("fnew"), col("f"))))
+            .select("doc_id", "is_seed", "f"))
+      }
+      f0.select(col("doc_id"), col("is_seed"), col("f").as("f_init"))
+        .join(f.select(col("doc_id"), col("f").as("f_prop")), Seq("doc_id"))
+        .orderBy("doc_id")
     }),
 
     "quality_dedup_impact" -> ((s, dir) => {
@@ -10822,6 +10975,88 @@ object SparkEntry {
           col("n_extreme"),
           round((col("n_extreme") + lit(1L)).cast("double") /
             (col("k_reps") + lit(1L)).cast("double"), 6).as("p_value"))
+    }),
+
+    "events_psm_stratified" -> ((s, dir) => {
+      // propensity-score subclassification (Rosenbaum & Rubin 1984;
+      // quintiles per Cochran 1968 — ~90% confounder-bias removal):
+      // the OBSERVATIONAL complement of the events_ab_* family, for
+      // when treatment was never randomized. Treatment = heavy
+      // pre-period clickers (≥ 8), outcome = post-period purchase
+      // cents, confounders = pre-period activity/spend. Propensity
+      // fitted with the repo's deterministic logistic GD (rational
+      // link, 6dp weight pins — [[graft.ext.LogReg]]), users ranked
+      // into quintiles WITHOUT a global window (the zipf_fit
+      // lower-count + per-score row_number trick), and the per-
+      // subclass treated/control outcome gap reported with exact
+      // integer sums — means and gaps are exact-int quotients,
+      // emitted UNROUNDED. Scale: one user-grain aggregate, iters+1
+      // gradient scans (each one map-side-combined pass), a
+      // p6-grain self-join (≤ 10⁶+1 distinct pinned scores — bounded
+      // domain), and a p6-partitioned window.
+      val pre = col("ts") < to_timestamp(lit("2024-01-15"))
+      val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+      val u = graft.Caches.persist(events(s, dir).groupBy("user_id").agg(
+        sum(when(pre, 1L).otherwise(0L)).as("pre_n"),
+        sum(when(pre, cents).otherwise(0L)).as("pre_cents"),
+        sum(when(pre && col("event_type") === "click", 1L).otherwise(0L))
+          .as("pre_clicks"),
+        sum(when(!pre && col("event_type") === "purchase", cents)
+          .otherwise(0L)).as("y_cents"))
+        .withColumn("treated", (col("pre_clicks") >= 8L).cast("int")))
+      // covariates CENTERED at fixed constants (≈ corpus means) —
+      // uncentered, both features sit near 0.6-0.8 for every user and
+      // act as second bias terms, so GD spends all its steps paying
+      // down the 27%-treated class imbalance and the 3- or even
+      // 10-step score ranked ANTI-activity (observed: treated share
+      // FELL across quintiles). Centered, the differential signal is
+      // learnable immediately: 10 steps give positive weights and a
+      // 1→18 treated gradient across quintiles.
+      val x1 = (col("pre_n").cast("double") - lit(31.0)) / lit(15.0)
+      val x2 = (col("pre_cents").cast("double") - lit(154000.0)) / lit(60000.0)
+      val last = graft.ext.LogReg.fit(u, Seq(x1, x2),
+        col("treated").cast("double"), lr = 1.0, iters = 10).last
+      val t = lit(last.bias) + x1 * lit(last.weights(0)) +
+        x2 * lit(last.weights(1))
+      val scored = graft.Caches.persist(u.select(col("user_id"),
+        col("treated").cast("long").as("treated"), col("y_cents"),
+        floor(graft.ext.LogReg.fastSigmoid(t) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("p6")))
+      val n = scored.count() // S4 scalar: the quintile denominator
+      val g = scored.groupBy("p6").agg(count(lit(1)).as("cnt"))
+      val lower = g.as("a")
+        .join(g.as("b"), col("b.p6") < col("a.p6"), "left")
+        .groupBy(col("a.p6"))
+        .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("n_lower"))
+      val wr = Window.partitionBy("p6").orderBy("user_id")
+      scored.join(lower, Seq("p6"))
+        .withColumn("rank", col("n_lower") + row_number().over(wr))
+        .withColumn("subclass",
+          (floor((col("rank") - 1).cast("double") * lit(5.0) /
+            lit(n.toDouble)) + 1).cast("long"))
+        .groupBy("subclass")
+        .agg(count(lit(1)).as("n"),
+          sum(col("treated")).as("n_treated"),
+          sum(lit(1L) - col("treated")).as("n_control"),
+          sum(when(col("treated") === 1L, col("y_cents"))).as("yt"),
+          sum(when(col("treated") === 0L, col("y_cents"))).as("yc"),
+          sum(when(col("treated") === 1L, col("p6"))).as("pt"),
+          sum(when(col("treated") === 0L, col("p6"))).as("pc"))
+        .select(col("subclass"), col("n"), col("n_treated"), col("n_control"),
+          (col("yt").cast("double") / col("n_treated").cast("double"))
+            .as("mean_y_treated"),
+          (col("yc").cast("double") / col("n_control").cast("double"))
+            .as("mean_y_control"),
+          (col("yt").cast("double") / col("n_treated").cast("double") -
+            col("yc").cast("double") / col("n_control").cast("double"))
+            .as("att_diff_cents"),
+          (col("pt").cast("double") /
+            (col("n_treated").cast("double") * lit(1000000.0)))
+            .as("mean_p_treated"),
+          (col("pc").cast("double") /
+            (col("n_control").cast("double") * lit(1000000.0)))
+            .as("mean_p_control"))
+        .orderBy("subclass")
     }),
 
     "events_ab_cuped" -> ((s, dir) => {

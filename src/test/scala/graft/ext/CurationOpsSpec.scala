@@ -43,6 +43,56 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("tok_unigram_em: hard-EM never lowers likelihood, prunes the vocab") {
+    val rows = SparkEntry.queries("tok_unigram_em")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 2)
+    val Array(r0, r1) = rows
+    // M-step keeps only used pieces; re-segmentation can't use more
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1),
+      s"n_used ${r.getLong(2)} > n_vocab ${r.getLong(1)}"))
+    assert(r1.getLong(1) == r0.getLong(2), "iter-1 vocab must be iter-0 usage")
+    assert(r0.getLong(3) == r1.getLong(3), "word mass must be conserved")
+    // hard-EM guarantee: L(θ1, seg1) ≥ L(θ1, seg0) ≥ L(θ0, seg0);
+    // slack = the q6 per-word pin (≤ 0.5 units × word mass)
+    assert(r1.getLong(6) >= r0.getLong(6) - r0.getLong(3),
+      s"likelihood fell: ${r0.getLong(6)} -> ${r1.getLong(6)}")
+    rows.foreach(r => assert(r.getDouble(5) >= 1.0, "fertility below 1"))
+  }
+
+  test("quality_label_propagation: seeds clamp, propagated mass stays in [0,1]") {
+    val rows = SparkEntry.queries("quality_label_propagation")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (seed, fInit, fProp) = (r.getInt(1), r.getDouble(2), r.getDouble(3))
+      assert(Set(0.0, 0.5, 1.0)(fInit), s"f_init $fInit not a valid start")
+      if (seed == 1) assert(fProp == fInit, s"seed moved: $fInit -> $fProp")
+      assert(fProp >= 0.0 && fProp <= 1.0, s"f_prop $fProp out of [0,1]")
+    }
+  }
+
+  test("events_psm_stratified: quintiles partition users, shares sum, balance holds") {
+    val rows = SparkEntry.queries("events_psm_stratified")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty && rows.length <= 5)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length))
+    rows.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1),
+        "treated + control must partition the subclass")
+      // the propensity fit must rank subclasses: treated share should
+      // correlate with the subclass's own mean propensity ordering —
+      // pinned loosely as: within a subclass both arms' mean scores
+      // sit in [0,1]
+      Seq(7, 8).filterNot(r.isNullAt).foreach { i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0)
+      }
+    }
+    // quintile ids come from a global rank: sizes differ by at most 5
+    // (the ceil boundaries), and every user lands somewhere
+    val sizes = rows.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 5, s"unbalanced quintiles: ${sizes.toSeq}")
+  }
+
   test("tok_unigram_viterbi: pieces rebuild the word and beat no valid split") {
     val rows = SparkEntry.queries("tok_unigram_viterbi")(spark, dir).collect()
     assert(rows.nonEmpty)
