@@ -3891,6 +3891,71 @@ FROM qb, qr, spl, wt"""
         |                       / (CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS DOUBLE) * 1000000.0) END AS mean_q_dropped
         |FROM j GROUP BY source ORDER BY source""".stripMargin,
 
+    "quality_dawid_skene" ->
+      // Dawid-Skene mirror: the three rater chains (gopher ga,
+      // classifier cb, lm-above-mean) composed at doc grain, q6
+      // majority-vote init, and TWO unrolled EM rounds — every M-step
+      // statistic is an exact BIGINT sum (order-free), parameters are
+      // 6dp-pinned exact-int quotients, and the E-step posterior is
+      // the identical fixed-shape CASE-product arithmetic
+      s"""WITH $lmCtes,
+        |lsc AS (SELECT doc_id, round(avg(lp), 6) AS lm_score FROM s GROUP BY doc_id),
+        |cut AS (SELECT round(avg(lm_score), 6) AS c FROM lsc),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |              round(avg(len(w)), 6) AS mean_word_len,
+        |              CAST(sum(CASE WHEN w IN ('the','be','to','of','and','that','have','with') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        |       FROM t GROUP BY doc_id),
+        |sy AS (SELECT doc_id, CAST(len(regexp_replace(text, '[a-z ]', '', 'g')) AS DOUBLE) AS n_sym FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |ga AS (SELECT st.doc_id,
+        |              (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+        |                AND (round(n_sym / n_words, 6) <= 0.1) AND (stop_hits >= 2) AS ga
+        |       FROM st JOIN sy USING (doc_id)),
+        |scw AS (SELECT doc_id, (((${md5Hash60Sql("w")} % 64) * 2654435761) % 1001) / 500.0 - 1.0 AS wv FROM t),
+        |cb AS (SELECT doc_id, round(avg(wv), 6) > 0 AS cb FROM scw GROUP BY doc_id),
+        |lab AS MATERIALIZED (SELECT ga.doc_id,
+        |       CAST(CASE WHEN ga.ga THEN 1 ELSE 0 END AS BIGINT) AS y1,
+        |       CAST(CASE WHEN cb.cb THEN 1 ELSE 0 END AS BIGINT) AS y2,
+        |       CAST(CASE WHEN lsc.lm_score >= (SELECT c FROM cut) THEN 1 ELSE 0 END AS BIGINT) AS y3
+        |     FROM ga JOIN cb USING (doc_id) JOIN lsc USING (doc_id)),
+        |m0 AS MATERIALIZED (SELECT lab.*,
+        |       CAST(floor(round(CAST(y1 + y2 + y3 AS DOUBLE) / 3.0, 6) * 1000000.0 + 0.5) AS BIGINT) AS mu6 FROM lab),
+        |par1 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(mu6) AS BIGINT) AS md,
+        |                CAST(sum(1000000 - mu6) AS BIGINT) AS bd,
+        |                CAST(sum(mu6 * y1) AS BIGINT) AS a1n, CAST(sum(mu6 * y2) AS BIGINT) AS a2n, CAST(sum(mu6 * y3) AS BIGINT) AS a3n,
+        |                CAST(sum((1000000 - mu6) * (1 - y1)) AS BIGINT) AS b1n, CAST(sum((1000000 - mu6) * (1 - y2)) AS BIGINT) AS b2n, CAST(sum((1000000 - mu6) * (1 - y3)) AS BIGINT) AS b3n
+        |         FROM m0),
+        |pp1 AS MATERIALIZED (SELECT round(CAST(a1n AS DOUBLE) / CAST(md AS DOUBLE), 6) AS a1,
+        |                round(CAST(a2n AS DOUBLE) / CAST(md AS DOUBLE), 6) AS a2,
+        |                round(CAST(a3n AS DOUBLE) / CAST(md AS DOUBLE), 6) AS a3,
+        |                round(CAST(b1n AS DOUBLE) / CAST(bd AS DOUBLE), 6) AS b1,
+        |                round(CAST(b2n AS DOUBLE) / CAST(bd AS DOUBLE), 6) AS b2,
+        |                round(CAST(b3n AS DOUBLE) / CAST(bd AS DOUBLE), 6) AS b3,
+        |                round(CAST(md AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS pi FROM par1),
+        |e1 AS MATERIALIZED (SELECT m0.doc_id, y1, y2, y3,
+        |       CAST(floor((p.pi * ((CASE WHEN y1 = 1 THEN p.a1 ELSE 1.0 - p.a1 END) * (CASE WHEN y2 = 1 THEN p.a2 ELSE 1.0 - p.a2 END) * (CASE WHEN y3 = 1 THEN p.a3 ELSE 1.0 - p.a3 END)) /
+        |            (p.pi * ((CASE WHEN y1 = 1 THEN p.a1 ELSE 1.0 - p.a1 END) * (CASE WHEN y2 = 1 THEN p.a2 ELSE 1.0 - p.a2 END) * (CASE WHEN y3 = 1 THEN p.a3 ELSE 1.0 - p.a3 END)) +
+        |             (1.0 - p.pi) * ((CASE WHEN y1 = 1 THEN 1.0 - p.b1 ELSE p.b1 END) * (CASE WHEN y2 = 1 THEN 1.0 - p.b2 ELSE p.b2 END) * (CASE WHEN y3 = 1 THEN 1.0 - p.b3 ELSE p.b3 END)))) * 1000000.0 + 0.5) AS BIGINT) AS mu6
+        |     FROM m0, pp1 p),
+        |par2 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(mu6) AS BIGINT) AS md,
+        |                CAST(sum(1000000 - mu6) AS BIGINT) AS bd,
+        |                CAST(sum(mu6 * y1) AS BIGINT) AS a1n, CAST(sum(mu6 * y2) AS BIGINT) AS a2n, CAST(sum(mu6 * y3) AS BIGINT) AS a3n,
+        |                CAST(sum((1000000 - mu6) * (1 - y1)) AS BIGINT) AS b1n, CAST(sum((1000000 - mu6) * (1 - y2)) AS BIGINT) AS b2n, CAST(sum((1000000 - mu6) * (1 - y3)) AS BIGINT) AS b3n
+        |         FROM e1),
+        |pp2 AS MATERIALIZED (SELECT round(CAST(a1n AS DOUBLE) / CAST(md AS DOUBLE), 6) AS a1,
+        |                round(CAST(a2n AS DOUBLE) / CAST(md AS DOUBLE), 6) AS a2,
+        |                round(CAST(a3n AS DOUBLE) / CAST(md AS DOUBLE), 6) AS a3,
+        |                round(CAST(b1n AS DOUBLE) / CAST(bd AS DOUBLE), 6) AS b1,
+        |                round(CAST(b2n AS DOUBLE) / CAST(bd AS DOUBLE), 6) AS b2,
+        |                round(CAST(b3n AS DOUBLE) / CAST(bd AS DOUBLE), 6) AS b3,
+        |                round(CAST(md AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6) AS pi FROM par2)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS rater, p1.a1 AS alpha1, p1.b1 AS beta1, p2.a1 AS alpha2, p2.b1 AS beta2, p1.pi AS pi1, p2.pi AS pi2 FROM pp1 p1, pp2 p2
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), p1.a2, p1.b2, p2.a2, p2.b2, p1.pi, p2.pi FROM pp1 p1, pp2 p2
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), p1.a3, p1.b3, p2.a3, p2.b3, p1.pi, p2.pi FROM pp1 p1, pp2 p2)
+        |ORDER BY rater""".stripMargin,
+
     "quality_label_agreement" ->
       // the two gates' keep flags composed into one contingency:
       // gopher CTEs + classifier CTEs, exact integer cells, κ from
@@ -3990,6 +4055,39 @@ FROM qb, qr, spl, wt"""
         |SELECT t AS n_triangles, w AS n_wedges,
         |       round(3.0 * t / w, 6) AS clustering
         |FROM tri CROSS JOIN w""".stripMargin,
+
+    "graph_ktruss" -> {
+      // 3-truss peeling mirror: the repeat graph, four unrolled
+      // rounds of the id-ordered triangle join + 3-way edge credit +
+      // support filter; every e_r MATERIALIZED (each is referenced by
+      // its triangle join 3×, the next round, and two count scalars)
+      val rounds = (1 to 4).map { r =>
+        s"""t$r AS (SELECT x.a AS ta, x.b AS tb, y.b AS tc
+           |       FROM e${r - 1} x JOIN e${r - 1} y ON y.a = x.b
+           |       JOIN e${r - 1} z ON z.a = x.a AND z.b = y.b),
+           |s$r AS (SELECT a, b, CAST(count(*) AS BIGINT) AS sup FROM (
+           |       SELECT ta AS a, tb AS b FROM t$r
+           |       UNION ALL SELECT tb, tc FROM t$r
+           |       UNION ALL SELECT ta, tc FROM t$r) GROUP BY a, b),
+           |e$r AS MATERIALIZED (SELECT e${r - 1}.a, e${r - 1}.b FROM e${r - 1}
+           |       LEFT JOIN s$r USING (a, b) WHERE COALESCE(s$r.sup, 0) >= 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      val ledger = (1 to 4).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM e${r - 1}) AS n_edges_before,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM e${r - 1}) - (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_removed,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM e$r) AS n_remaining,
+           |       (SELECT count(*) FROM e${r - 1}) = (SELECT count(*) FROM e$r) AS converged"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.pk AS a, b.pk AS b
+        |      FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |$rounds
+        |SELECT * FROM ($ledger) ORDER BY round""".stripMargin
+    },
 
     "graph_link_prediction" ->
       // repeat co-purchase edges (pair count ≥ 2), candidates only via
@@ -4622,6 +4720,41 @@ FROM qb, qr, spl, wt"""
         |SELECT CAST(floor(p * 200) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
         |       round(avg(p), 6) AS mean_pred, round(avg(y), 6) AS frac_pos
         |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "ml_conformal_split" ->
+      // split-conformal mirror: the linreg moment chain restricted to
+      // the train bucket (9dp pins, exact 2×2 solve, 6dp coefficient
+      // pins), q6 nonconformity scores, q̂ as the capped-rank order
+      // statistic via row_number (the engine's CDF read picks the
+      // identical value), and the coverage ratio as an exact-int
+      // quotient emitted unrounded
+      s"""WITH li AS (SELECT l_extendedprice / 100000.0 AS x,
+        |                   l_extendedprice * (1.0 - l_discount) / 100000.0 AS y,
+        |                   ${md5Hash60Sql("concat_ws('|', l_orderkey, l_linenumber)")} % 10 AS bucket
+        |            FROM lineitem),
+        |m AS (SELECT round(avg(x), 9) AS sx, round(avg(y), 9) AS sy,
+        |             round(avg(x * x), 9) AS sxx,
+        |             round(avg(x * y), 9) AS sxy, CAST(count(*) AS BIGINT) AS n
+        |      FROM li WHERE bucket < 8),
+        |c AS (SELECT (sxy - sx * sy) / (sxx - sx * sx) AS slope,
+        |             sy - (sxy - sx * sy) / (sxx - sx * sx) * sx AS icept, n
+        |      FROM m),
+        |w AS (SELECT round(slope, 6) AS sl, round(icept, 6) AS ic, n FROM c),
+        |cal AS MATERIALIZED (SELECT CAST(floor(abs(y - (w.sl * x + w.ic)) * 1000000.0 + 0.5) AS BIGINT) AS v
+        |       FROM li, w WHERE bucket = 8),
+        |ncal AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cal),
+        |rk AS (SELECT least((9 * (nc + 1) + 9) // 10, nc) AS r, nc FROM ncal),
+        |q AS (SELECT v AS qhat6 FROM
+        |        (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM cal), rk
+        |      WHERE rn = rk.r),
+        |ts AS (SELECT CAST(floor(abs(y - (w.sl * x + w.ic)) * 1000000.0 + 0.5) AS BIGINT) AS v
+        |       FROM li, w WHERE bucket = 9)
+        |SELECT (SELECT n FROM w) AS n_train, (SELECT nc FROM ncal) AS n_cal,
+        |       CAST(count(*) AS BIGINT) AS n_test,
+        |       CAST((SELECT qhat6 FROM q) AS DOUBLE) / 1000000.0 AS qhat,
+        |       CAST(sum(CASE WHEN v <= (SELECT qhat6 FROM q) THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |       CAST(sum(CASE WHEN v <= (SELECT qhat6 FROM q) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS coverage
+        |FROM ts""".stripMargin,
 
     "ml_linreg_ols" ->
       // moment means pinned to 9 dp, then the exact-arithmetic 2×2
@@ -5941,6 +6074,39 @@ FROM qb, qr, spl, wt"""
          |c AS (SELECT lang, word, CAST(count(*) AS BIGINT) AS est_count FROM fl GROUP BY lang, word),
          |r AS (SELECT lang, word, est_count, CAST(row_number() OVER (PARTITION BY lang ORDER BY est_count DESC, word) AS INTEGER) AS rank FROM c)
          |SELECT lang, rank, word, est_count FROM r WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "sample_split_leakfree" ->
+      // group-aware split mirror: exact-Jaccard pairs + recursive
+      // min-label CC (the quality_dedup_impact chain), group key =
+      // component label (singletons = own doc_id), md5 buckets on doc
+      // vs group, and the one-row audit — grouped cross-split pairs
+      // are zero by construction
+      s"""WITH RECURSIVE $hashedShingleCtes,
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |      WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) >= 0.8),
+        |e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p),
+        |nd AS (SELECT DISTINCT src AS node FROM e),
+        |reach(node, r) AS (
+        |  SELECT node, node FROM nd
+        |  UNION
+        |  SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r),
+        |comp AS (SELECT node AS doc_id, min(r) AS label FROM reach GROUP BY node),
+        |sp AS MATERIALIZED (SELECT dd.doc_id,
+        |       COALESCE(comp.label, dd.doc_id) AS grp,
+        |       ${md5Hash60Sql("CAST(dd.doc_id AS VARCHAR)")} % 10 < 8 AS naive_train,
+        |       ${md5Hash60Sql("CAST(COALESCE(comp.label, dd.doc_id) AS VARCHAR)")} % 10 < 8 AS grp_train
+        |     FROM read_parquet('/root/testdata/sf0.01/documents.parquet') dd LEFT JOIN comp USING (doc_id)),
+        |lk AS (SELECT CAST(count(*) AS BIGINT) AS n_near_dup_pairs,
+        |              CAST(sum(CASE WHEN a.naive_train <> b.naive_train THEN 1 ELSE 0 END) AS BIGINT) AS leaked_pairs_naive,
+        |              CAST(sum(CASE WHEN a.grp_train <> b.grp_train THEN 1 ELSE 0 END) AS BIGINT) AS leaked_pairs_grouped
+        |       FROM p JOIN sp a ON a.doc_id = p.doc_a JOIN sp b ON b.doc_id = p.doc_b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN grp_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |       CAST(sum(CASE WHEN NOT grp_train THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+        |       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+        |       lk.n_near_dup_pairs, lk.leaked_pairs_naive, lk.leaked_pairs_grouped
+        |FROM sp, lk GROUP BY lk.n_near_dup_pairs, lk.leaked_pairs_naive, lk.leaked_pairs_grouped""".stripMargin,
 
     "decon_ngram" ->
       // same split as sample_split (md5 buckets; 8-9 = benchmark side);

@@ -509,7 +509,20 @@ object ScaleBench {
     "tok_unigram_em",
     // PSM: one user-grain agg + 11 map-side-combined gradient scans +
     // a p6-grain (bounded-domain) self-join + a p6-partitioned window
-    "events_psm_stratified")
+    "events_psm_stratified",
+    // Dawid-Skene: three rater token passes (the lm chain dominates)
+    // + 2 EM rounds of one BIGINT aggregate and one narrow pass each
+    "quality_dawid_skene",
+    // leak-free split: the CC memo (per-rep reset carries the pair +
+    // CC build) + two narrow bucket passes + one pair-sized audit join
+    "sample_split_leakfree",
+    // 3-truss: four bounded triangle joins over the REPEAT graph —
+    // the disjoint-replica synth grows edges ∝ factor at constant
+    // per-node degree, so triangle fan-out must stay ∝ E
+    "graph_ktruss",
+    // conformal: one scan per split + the bounded PrefixSum CDF —
+    // the boring-linear bar
+    "ml_conformal_split")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

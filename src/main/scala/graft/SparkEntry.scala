@@ -4658,6 +4658,45 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "split")),
 
+    "sample_split_leakfree" -> ((s, dir) => {
+      // GROUP-AWARE (leakage-free) train/test splitting — the split
+      // hygiene every dedup-aware pipeline needs (Lee et al. ACL 2022
+      // §6 measure near-dup train/eval leakage; the fix is to split by
+      // DUPLICATE GROUP, not by document): each doc's group = its
+      // near-dup connected component (the shared CC memo; singletons =
+      // themselves), the md5 bucket is taken on the GROUP key, and the
+      // audit proves the property — cross-split near-dup pairs under
+      // the naive per-doc split vs ZERO under the grouped split. One
+      // summary row. Scale: the CC memo + two narrow bucket passes +
+      // one pair-sized join; the audit is near-dup-sparse.
+      val comp = nearDupComponents(s, dir)
+        .select(col("node").as("doc_id"), col("component"))
+      val d = docs(s, dir).select(col("doc_id"))
+        .join(comp, Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("component"), col("doc_id")))
+      def bucket(c: Column) =
+        pmod(Dedup.md5Hash60(c.cast("string")), lit(10L))
+      val split = graft.Caches.persist(d
+        .withColumn("naive_train", bucket(col("doc_id")) < 8)
+        .withColumn("grp_train", bucket(col("grp")) < 8))
+      val pairs = sharedMinhashPairs(s, dir).select("doc_a", "doc_b")
+      val a = split.select(col("doc_id").as("doc_a"),
+        col("naive_train").as("na"), col("grp_train").as("gna"))
+      val b = split.select(col("doc_id").as("doc_b"),
+        col("naive_train").as("nb"), col("grp_train").as("gnb"))
+      val leak = pairs.join(a, Seq("doc_a")).join(b, Seq("doc_b"))
+        .agg(count(lit(1)).as("n_near_dup_pairs"),
+          sum(when(col("na") =!= col("nb"), 1L).otherwise(0L))
+            .as("leaked_pairs_naive"),
+          sum(when(col("gna") =!= col("gnb"), 1L).otherwise(0L))
+            .as("leaked_pairs_grouped"))
+      split.agg(count(lit(1)).as("n_docs"),
+        sum(when(col("grp_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(!col("grp_train"), 1L).otherwise(0L)).as("n_test"),
+        countDistinct("grp").as("n_groups"))
+        .crossJoin(broadcast(leak))
+    }),
+
     "decon_ngram" -> ((s, dir) => {
       // benchmark decontamination (the GPT-3 appendix-C / PaLM §6.1
       // hygiene pass): the held-out buckets of sample_split's md5 split
@@ -5722,6 +5761,49 @@ object SparkEntry {
           st.accuracy))
         .toDF("iter", "w1", "w2", "bias", "train_acc")
         .orderBy("iter")
+    }),
+
+    "ml_conformal_split" -> ((s, dir) => {
+      // split conformal prediction (Vovk's inductive conformal;
+      // Angelopoulos & Bates 2021 tutorial) — DISTRIBUTION-FREE 90%
+      // prediction intervals around the ml_linreg_ols model, the
+      // uncertainty-quantification face the ml_* family lacked:
+      // train/calibration/test = md5 buckets <8 / 8 / 9 of lineitem,
+      // nonconformity = |y − ŷ| under the train-only OLS fit (pinned
+      // 6dp coefficients), q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest
+      // calibration score — an EXACT order statistic read off the
+      // domain-bounded PrefixSum CDF (scores live as q6 BIGINTs;
+      // never a global sort) — and the test-split coverage audit,
+      // whose guarantee (≥ 90% marginal coverage) CurationOpsSpec
+      // pins. Scale: one scan per split + the CDF's bounded ledger;
+      // every driver value is a bounded S4 scalar.
+      val d = graft.Caches.persist(tbl(s, dir, "lineitem").select(
+        (col("l_extendedprice") / lit(100000.0)).as("x"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount")) /
+          lit(100000.0)).as("y"),
+        pmod(Dedup.md5Hash60(
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"))),
+          lit(10L)).as("bucket")))
+      val f = graft.ext.LinReg.fit(d.filter(col("bucket") < 8),
+        col("x"), col("y"))
+      val sl = round6(f.slope); val ic = round6(f.intercept)
+      val s6 = floor(abs(col("y") - (lit(sl) * col("x") + lit(ic))) *
+        lit(1000000.0) + lit(0.5)).cast("long")
+      val cal = graft.Caches.persist(
+        d.filter(col("bucket") === 8).select(s6.as("v")))
+      val nCal = cal.count()
+      val rank = math.min((9L * (nCal + 1) + 9) / 10, nCal) // ceil, capped
+      val per = cal.groupBy("v").agg(count(lit(1)).as("c"))
+      val qhat6 = graft.ext.PrefixSum.scan(per, "v", Seq("c"), 131072L)
+        .filter(col("cum_c") >= lit(rank)).agg(min("v")).head().getLong(0)
+      val tr = d.filter(col("bucket") === 9)
+        .agg(count(lit(1)).as("n"),
+          sum(when(s6 <= lit(qhat6), 1L).otherwise(0L)).as("cov")).head()
+      val (nTest, nCov) = (tr.getLong(0), tr.getLong(1))
+      import s.implicits._
+      Seq((f.n, nCal, nTest, qhat6.toDouble / 1000000.0, nCov,
+        nCov.toDouble / nTest.toDouble))
+        .toDF("n_train", "n_cal", "n_test", "qhat", "n_covered", "coverage")
     }),
 
     "ml_linreg_ols" -> ((s, dir) => {
@@ -7741,6 +7823,79 @@ object SparkEntry {
           .otherwise(round((po - pe) / (lit(1.0) - pe), 6)).as("kappa"))
     }),
 
+    "quality_dawid_skene" -> ((s, dir) => {
+      // Dawid & Skene (1979) annotator aggregation — the label-model
+      // EM behind every multi-rater labeling pipeline (crowdsourcing,
+      // RLHF preference raters, Snorkel-style weak supervision): the
+      // engine's three independent quality raters (gopher rules,
+      // hashed-feature classifier, LM-score-above-mean) are fused
+      // into per-rater sensitivity α = P(keep|true keep) and
+      // specificity β = P(drop|true drop) plus the class prior π,
+      // by TWO EM rounds. Posteriors initialize at the majority-vote
+      // fraction. The r14 exact-integer discipline makes the whole
+      // fit order-free: posteriors live as q6 BIGINTs, every M-step
+      // numerator/denominator is an exact integer sum, and the
+      // rater parameters are 6dp-pinned exact-int quotients (S4
+      // scalars — 7 doubles per round) re-entering the E-step as
+      // literals. Scale: two doc-grain label joins + one aggregate
+      // and one narrow pass per round.
+      val ga = queries("text_gopher_rules")(s, dir)
+        .select(col("doc_id"), col("keep").cast("long").as("y1"))
+      val cb = queries("quality_classifier")(s, dir)
+        .select(col("doc_id"), col("keep").cast("long").as("y2"))
+      val cut = lmCut(s, dir)
+      val lm = lmScoresMemo(s, dir).select(col("doc_id"),
+        (col("lm_score") >= cut).cast("long").as("y3"))
+      val lab = graft.Caches.persist(
+        ga.join(cb, Seq("doc_id")).join(lm, Seq("doc_id"))
+          .withColumn("mu6",
+            floor(round((col("y1") + col("y2") + col("y3")).cast("double") /
+              lit(3.0), 6) * lit(1000000.0) + lit(0.5)).cast("long")))
+      // one M-step: exact-BIGINT sufficient statistics → 7 pinned
+      // scalars (α_k, β_k for the 3 raters via shared denominators, π)
+      def mstep(df: org.apache.spark.sql.DataFrame)
+          : (Seq[Double], Seq[Double], Double) = {
+        val ys = Seq("y1", "y2", "y3")
+        val aggs =
+          Seq(count(lit(1)).as("n"), sum(col("mu6")).as("md"),
+            sum(lit(1000000L) - col("mu6")).as("bd")) ++
+            ys.map(y => sum(col("mu6") * col(y)).as(s"a_$y")) ++
+            ys.map(y =>
+              sum((lit(1000000L) - col("mu6")) * (lit(1L) - col(y)))
+                .as(s"b_$y"))
+        val r = df.agg(aggs.head, aggs.tail: _*).head()
+        val n = r.getLong(0); val md = r.getLong(1); val bd = r.getLong(2)
+        val alphas = (0 until 3).map(i =>
+          round6(r.getLong(3 + i).toDouble / md.toDouble))
+        val betas = (0 until 3).map(i =>
+          round6(r.getLong(6 + i).toDouble / bd.toDouble))
+        val pi = round6(md.toDouble / (n.toDouble * 1000000.0))
+        (alphas, betas, pi)
+      }
+      // one E-step: posterior from the pinned parameters as literals —
+      // CASE products in fixed left-to-right order, identical both
+      // engines; re-pinned to q6
+      def estep(df: org.apache.spark.sql.DataFrame, al: Seq[Double],
+          be: Seq[Double], pi: Double): org.apache.spark.sql.DataFrame = {
+        val ys = Seq("y1", "y2", "y3")
+        val a = ys.zip(al).map { case (y, ak) =>
+          when(col(y) === 1L, lit(ak)).otherwise(lit(1.0 - ak)): Column
+        }.reduce(_ * _)
+        val b = ys.zip(be).map { case (y, bk) =>
+          when(col(y) === 1L, lit(1.0 - bk)).otherwise(lit(bk)): Column
+        }.reduce(_ * _)
+        val mu = lit(pi) * a / (lit(pi) * a + lit(1.0 - pi) * b)
+        df.withColumn("mu6",
+          floor(mu * lit(1000000.0) + lit(0.5)).cast("long"))
+      }
+      val (a1, b1, pi1) = mstep(lab)
+      val (a2, b2, pi2) = mstep(estep(lab, a1, b1, pi1))
+      import s.implicits._
+      (0 until 3).map(k => (k + 1L, a1(k), b1(k), a2(k), b2(k), pi1, pi2))
+        .toDF("rater", "alpha1", "beta1", "alpha2", "beta2", "pi1", "pi2")
+        .orderBy("rater")
+    }),
+
     "orders_copurchase_lift" -> ((s, dir) => {
       // association-rule mining (the market-basket face): brand pairs
       // co-occurring in an order, with support and LIFT =
@@ -7803,6 +7958,61 @@ object SparkEntry {
       // mirror in the trivially-reviewable id-ordered form. Edges come
       // from the shared co-purchase memo (one build serves all graph_*).
       Graph.triangleCensus(copurchaseEdgesMemo(s, dir))
+    }),
+
+    "graph_ktruss" -> ((s, dir) => {
+      // k-truss decomposition (Cohen 2008) — the edge-grain cohesion
+      // face beside graph_kcore's node grain: every edge of the
+      // 3-truss sits in ≥ 1 triangle of the subgraph, found by
+      // support-peeling (k=3 is the live decomposition on this graph:
+      // 3445 → 181 edges converging in two rounds at sf0.01; the
+      // 4-truss is empty). FIXED 4 peeling rounds (both engines run the
+      // same unroll — no data-driven early stop to drift on) over the
+      // REPEAT co-purchase graph (w ≥ 2, the link_prediction signal
+      // graph; the unthresholded graph is near-complete and trussing
+      // it is all noise). Per round: one id-ordered triangle join
+      // (x=(a,b) ⋈ y=(b,c) ⋈ z=(a,c) — the graph_triangles oracle's
+      // own form), each triangle crediting its 3 edges into one hash
+      // aggregate, one anti-ish left join to drop low-support edges.
+      // Emits the peeling ledger (edges before/removed/remaining,
+      // converged flag) — driver sees only per-round counts (S4).
+      val k = 3
+      var e = graft.Caches.persist(
+        copurchaseEdgesMemo(s, dir).filter(col("w") >= 2)
+          .select(col("src").as("a"), col("dst").as("b")))
+      val ledger =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Boolean)]
+      for (r <- 1 to 4) {
+        val tri = e.as("x")
+          .join(e.as("y"), col("y.a") === col("x.b"))
+          .join(e.as("z"),
+            col("z.a") === col("x.a") && col("z.b") === col("y.b"))
+          .select(col("x.a").as("ta"), col("x.b").as("tb"),
+            col("y.b").as("tc"))
+        // 3-way edge credit in ONE pass over the triangle join via a
+        // 3-role explode — a union of three projections re-runs the
+        // join per branch (3× the work, first receipt), and persisting
+        // the triangle LIST instead OOMed the 10× run (it is the
+        // biggest intermediate of the op; never materialize it)
+        val sup = tri.select(explode(array(
+          struct(col("ta").as("a"), col("tb").as("b")),
+          struct(col("tb").as("a"), col("tc").as("b")),
+          struct(col("ta").as("a"), col("tc").as("b")))).as("ed"))
+          .select(col("ed.a").as("a"), col("ed.b").as("b"))
+          .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+        val kept = graft.Caches.persist(
+          e.join(sup, Seq("a", "b"), "left")
+            .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
+            .select("a", "b"))
+        val nb = e.count(); val nk = kept.count()
+        ledger += ((r.toLong, nb, nb - nk, nk, nb == nk))
+        e = kept
+      }
+      import s.implicits._
+      ledger.toSeq
+        .toDF("round", "n_edges_before", "n_removed", "n_remaining",
+          "converged")
+        .orderBy("round")
     }),
 
     "graph_link_prediction" -> ((s, dir) => {

@@ -71,6 +71,64 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("ml_conformal_split: marginal coverage meets the 90% guarantee") {
+    val r = SparkEntry.queries("ml_conformal_split")(spark, dir).head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getLong(2) > 0)
+    assert(r.getDouble(3) >= 0.0, "q-hat is a nonconformity radius")
+    assert(r.getLong(4) <= r.getLong(2))
+    // the conformal guarantee is P(cover) ≥ 1−α over the joint draw;
+    // on one finite split allow binomial slack ~3σ below the target
+    val n = r.getLong(2).toDouble
+    val slack = 3.0 * math.sqrt(0.9 * 0.1 / n)
+    assert(r.getDouble(5) >= 0.9 - slack,
+      s"coverage ${r.getDouble(5)} below 0.9 - $slack")
+  }
+
+  test("graph_ktruss: peeling is monotone and convergence is absorbing") {
+    val rows = SparkEntry.queries("graph_ktruss")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) == r.getLong(3),
+        "before - removed must equal remaining")
+      assert(r.getBoolean(4) == (r.getLong(2) == 0L))
+    }
+    rows.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getLong(1) == p.getLong(3),
+        "next round must start from the previous survivors")
+      // once a fixpoint is hit, peeling can never remove again
+      if (p.getBoolean(4)) assert(n.getBoolean(4))
+    }
+  }
+
+  test("sample_split_leakfree: grouped split leaks zero near-dup pairs") {
+    val r = SparkEntry.queries("sample_split_leakfree")(spark, dir).head()
+    assert(r.getLong(1) + r.getLong(2) == r.getLong(0),
+      "train + test must partition the corpus")
+    assert(r.getLong(3) <= r.getLong(0), "groups cannot outnumber docs")
+    // THE property: splitting by duplicate group leaves no near-dup
+    // pair straddling the boundary
+    assert(r.getLong(6) == 0L,
+      s"grouped split leaked ${r.getLong(6)} pairs")
+    assert(r.getLong(5) >= r.getLong(6),
+      "naive split cannot leak less than the grouped split")
+  }
+
+  test("quality_dawid_skene: three raters, probabilities in range, shared prior") {
+    val rows = SparkEntry.queries("quality_dawid_skene")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { r =>
+      (1 to 6).foreach { i =>
+        assert(r.getDouble(i) >= 0.0 && r.getDouble(i) <= 1.0,
+          s"param $i out of [0,1]: ${r.getDouble(i)}")
+      }
+    }
+    // the class prior is corpus-level — identical on every rater row
+    assert(rows.map(_.getDouble(5)).distinct.length == 1)
+    assert(rows.map(_.getDouble(6)).distinct.length == 1)
+  }
+
   test("events_psm_stratified: quintiles partition users, shares sum, balance holds") {
     val rows = SparkEntry.queries("events_psm_stratified")(spark, dir).collect()
       .sortBy(_.getLong(0))
