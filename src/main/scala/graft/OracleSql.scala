@@ -4721,6 +4721,33 @@ FROM qb, qr, spl, wt"""
         |       round(avg(p), 6) AS mean_pred, round(avg(y), 6) AS frac_pos
         |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin,
 
+    "ml_isotonic_calibration" ->
+      // PAVA mirror via the max-min closed form: the same logreg-w3
+      // scoring + 0.005 bins, inclusive prefix sums over the bounded
+      // bin table, segment means as exact-int quotients, suffix-min
+      // per start-bin j, max per bin; iso and frac_pos emitted
+      // unrounded (exact-quotient rule)
+      s"""WITH $logregW3Ctes,
+        |sc AS (SELECT y, 0.5 + 0.5 * t / (1.0 + abs(t)) AS p
+        |       FROM (SELECT y, (w.b + x1 * w.w1 + x2 * w.w2) AS t FROM d, w3 w)),
+        |bn AS (SELECT CAST(floor(p * 200) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS sy, round(avg(p), 6) AS mean_pred
+        |       FROM sc GROUP BY 1),
+        |cm AS MATERIALIZED (SELECT bin, n, sy, mean_pred,
+        |              CAST(sum(n) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |              CAST(sum(sy) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_sy
+        |       FROM bn),
+        |seg AS (SELECT j.bin AS j, k.bin AS k,
+        |               CAST(k.cum_sy - (j.cum_sy - j.sy) AS DOUBLE) / CAST(k.cum_n - (j.cum_n - j.n) AS DOUBLE) AS m
+        |        FROM cm j JOIN cm k ON k.bin >= j.bin),
+        |mn AS (SELECT j, k AS bin,
+        |              min(m) OVER (PARTITION BY j ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn
+        |       FROM seg),
+        |iso AS (SELECT bin, max(mn) AS iso FROM mn GROUP BY bin)
+        |SELECT cm.bin, cm.n, cm.mean_pred,
+        |       CAST(cm.sy AS DOUBLE) / CAST(cm.n AS DOUBLE) AS frac_pos, iso.iso
+        |FROM cm JOIN iso USING (bin) ORDER BY cm.bin""".stripMargin,
+
     "ml_conformal_split" ->
       // split-conformal mirror: the linreg moment chain restricted to
       // the train bucket (9dp pins, exact 2×2 solve, 6dp coefficient
@@ -5055,6 +5082,42 @@ FROM qb, qr, spl, wt"""
         |       round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY label) AS DOUBLE), 6) AS share
         |FROM cm ORDER BY label, pred_label""".stripMargin,
 
+    "ml_knn_shapley" ->
+      // KNN-Shapley mirror (Jia et al. Theorem 1): same md5 split as
+      // ml_knn_classify (64-row bounded test side), per-query rank by
+      // (cos DESC, vec_id), the telescoping increment per rank pinned
+      // to q15 BIGINT, suffix sum as an exact-integer window, mean
+      // over test points as one BIGINT agg; value = unrounded
+      // exact-int quotient; top-20 by (v15 DESC, vec_id)
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |b AS (SELECT vec_id, ve, label, ${md5Hash60Sql("CAST(vec_id AS VARCHAR)")} AS h FROM v),
+        |te AS (SELECT vec_id AS query_id, ve AS qe, label AS qlab FROM (
+        |         SELECT vec_id, ve, label, row_number() OVER (ORDER BY h, vec_id) AS hrk
+        |         FROM b WHERE h % 10 = 0) WHERE hrk <= 64),
+        |tr AS MATERIALIZED (SELECT vec_id, ve, label FROM b WHERE h % 10 <> 0),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS ntr FROM tr),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nte FROM te),
+        |sc AS (SELECT te.query_id, tr.vec_id,
+        |              CASE WHEN tr.label = te.qlab THEN 1 ELSE 0 END AS ind,
+        |              list_dot_product(te.qe, tr.ve) / (sqrt(list_dot_product(te.qe, te.qe)) * sqrt(list_dot_product(tr.ve, tr.ve))) AS cos
+        |       FROM te CROSS JOIN tr),
+        |rk AS MATERIALIZED (SELECT query_id, vec_id, ind,
+        |              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rn FROM sc),
+        |dd AS (SELECT query_id, vec_id, rn,
+        |              CASE WHEN lead(ind) OVER (PARTITION BY query_id ORDER BY rn) IS NULL
+        |                   THEN CAST(ind AS DOUBLE) / CAST(nn.ntr AS DOUBLE)
+        |                   ELSE CAST(ind - lead(ind) OVER (PARTITION BY query_id ORDER BY rn) AS DOUBLE) / CAST(greatest(5, rn) AS DOUBLE) END AS d
+        |       FROM rk, nn),
+        |sf AS (SELECT query_id, vec_id,
+        |              CAST(sum(CAST(floor(d * 1.0e15 + 0.5) AS BIGINT)) OVER (PARTITION BY query_id ORDER BY rn DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s15
+        |       FROM dd),
+        |ag AS (SELECT vec_id, CAST(sum(s15) AS BIGINT) AS v15 FROM sf GROUP BY vec_id),
+        |top AS (SELECT ag.vec_id, tr.label,
+        |               CAST(ag.v15 AS DOUBLE) / (CAST(nt.nte AS DOUBLE) * 1.0e15) AS shap_value,
+        |               row_number() OVER (ORDER BY ag.v15 DESC, ag.vec_id) AS rk2
+        |        FROM ag JOIN tr ON tr.vec_id = ag.vec_id, nt)
+        |SELECT vec_id, label, shap_value FROM top WHERE rk2 <= 20 ORDER BY vec_id""".stripMargin,
+
     "ml_kmeans_elbow" -> {
       // the K-selection curve: iteration-2 inertia (assignment a1
       // against the once-refined c1 — the (s1, a1) read) for
@@ -5087,6 +5150,41 @@ FROM qb, qr, spl, wt"""
         |       FROM a2 a JOIN s2 s ON s.vec_id = a.vec_id AND s.cent_id = a.cluster)
         |SELECT * FROM i1 UNION ALL SELECT * FROM i2 UNION ALL SELECT * FROM i3
         |ORDER BY iter""".stripMargin,
+
+    "curate_kcenter_coreset" -> {
+      // farthest-point traversal mirror: seed = lowest vec_id, then 7
+      // unrolled steps of (argmax of q6 min-distance, vec_id
+      // tie-break) + a least() update; every m_t MATERIALIZED (each
+      // feeds the next pick, the next update, and two ledger scalars);
+      // radius/mean as exact-int quotients emitted unrounded
+      def cosSql(a: String, b: String) =
+        s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))"
+      val steps = (2 to 8).map { t =>
+        s"""p$t AS MATERIALIZED (SELECT vec_id, label, ve, d6 FROM m${t - 1} ORDER BY d6 DESC, vec_id LIMIT 1),
+           |m$t AS MATERIALIZED (SELECT m.vec_id, m.label, m.ve,
+           |       least(m.d6, CAST(floor((1.0 - ${cosSql("m.ve", "p.ve")}) * 1000000.0 + 0.5) AS BIGINT)) AS d6
+           |       FROM m${t - 1} m, p$t p)""".stripMargin
+      }.mkString(",\n")
+      val ledger = (Seq(
+        s"""SELECT CAST(1 AS BIGINT) AS step, sd.vec_id AS picked_vec_id, sd.label AS picked_label,
+           |       CAST(NULL AS DOUBLE) AS dist_at_pick,
+           |       (SELECT CAST(max(d6) AS DOUBLE) / 1000000.0 FROM m1) AS radius_after,
+           |       (SELECT CAST(sum(d6) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) FROM m1) AS mean_dist_after
+           |FROM sd""".stripMargin) ++ (2 to 8).map { t =>
+        s"""SELECT CAST($t AS BIGINT), p$t.vec_id, p$t.label,
+           |       CAST(p$t.d6 AS DOUBLE) / 1000000.0,
+           |       (SELECT CAST(max(d6) AS DOUBLE) / 1000000.0 FROM m$t),
+           |       (SELECT CAST(sum(d6) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1000000.0) FROM m$t)
+           |FROM p$t""".stripMargin
+      }).mkString("\nUNION ALL\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve, label FROM read_parquet('/root/testdata/sf0.01/embeddings.parquet')),
+        |sd AS MATERIALIZED (SELECT vec_id, label, ve FROM v ORDER BY vec_id LIMIT 1),
+        |m1 AS MATERIALIZED (SELECT v.vec_id, v.label, v.ve,
+        |       CAST(floor((1.0 - ${cosSql("v.ve", "sd.ve")}) * 1000000.0 + 0.5) AS BIGINT) AS d6
+        |       FROM v, sd),
+        |$steps
+        |SELECT * FROM ($ledger) ORDER BY step""".stripMargin
+    },
 
     "curate_prototype_prune" ->
       // Sorscher-style cluster pruning mirror: converged assignment =
@@ -5647,6 +5745,28 @@ FROM qb, qr, spl, wt"""
         |       END AS avg_sentence_len
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
         |ORDER BY doc_id""".stripMargin,
+
+    "text_readability" ->
+      // readability mirror: letters via one global regexp strip, the
+      // gate tokenizer's word count, text_sentences' sentence rule;
+      // per-doc ARI/CLI pinned to q6 BIGINTs (float literals suffixed
+      // e0 — bare decimals are DECIMAL in DuckDB), per-source means as
+      // exact-int quotients emitted unrounded
+      """WITH b AS (SELECT source,
+        |       CAST(len(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT) AS l,
+        |       CAST(len(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0)) AS BIGINT) AS w,
+        |       CAST(len(list_filter(regexp_split_to_array(lower(text), '[.!?]+'), x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS sn
+        |       FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |p AS (SELECT source,
+        |       CASE WHEN w > 0 AND sn > 0 THEN 1 ELSE 0 END AS scored,
+        |       CASE WHEN w > 0 AND sn > 0 THEN CAST(floor((4.71e0 * (CAST(l AS DOUBLE) / CAST(w AS DOUBLE)) + 0.5e0 * (CAST(w AS DOUBLE) / CAST(sn AS DOUBLE)) - 21.43e0) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS ari6,
+        |       CASE WHEN w > 0 AND sn > 0 THEN CAST(floor((5.88e0 * (CAST(l AS DOUBLE) / CAST(w AS DOUBLE)) - 29.6e0 * (CAST(sn AS DOUBLE) / CAST(w AS DOUBLE)) - 15.8e0) * 1000000.0 + 0.5) AS BIGINT) ELSE 0 END AS cli6
+        |       FROM b)
+        |SELECT source, CAST(sum(scored) AS BIGINT) AS n_docs,
+        |       CAST(count(*) - sum(scored) AS BIGINT) AS n_unscored,
+        |       CASE WHEN sum(scored) > 0 THEN CAST(sum(ari6) AS DOUBLE) / CAST(sum(scored) * 1000000 AS DOUBLE) END AS mean_ari,
+        |       CASE WHEN sum(scored) > 0 THEN CAST(sum(cli6) AS DOUBLE) / CAST(sum(scored) * 1000000 AS DOUBLE) END AS mean_cli
+        |FROM p GROUP BY source ORDER BY source""".stripMargin,
 
     "feat_hashing_vectors" -> {
       val sums = (0 until 16).map(i =>

@@ -522,7 +522,17 @@ object ScaleBench {
     "graph_ktruss",
     // conformal: one scan per split + the bounded PrefixSum CDF —
     // the boring-linear bar
-    "ml_conformal_split")
+    "ml_conformal_split",
+    // KNN-Shapley: O(N·64) scoring + 64-partition rank/suffix windows
+    // — the ml_knn_classify shape with two extra narrow windows
+    "ml_knn_shapley",
+    // k-center: 8 × (narrow pass + TakeOrdered + agg) over the
+    // persisted frontier; scan-parallel fixed-cost shape
+    "curate_kcenter_coreset",
+    // isotonic: one scoring scan; everything after is bin-bounded
+    "ml_isotonic_calibration",
+    // readability: one narrow scan → source-grain agg
+    "text_readability")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

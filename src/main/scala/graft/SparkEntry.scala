@@ -853,6 +853,25 @@ object SparkEntry {
   private def lmCut(s: SparkSession, dir: String): Double =
     round6(lmScoresMemo(s, dir).agg(avg("lm_score")).head().getDouble(0))
 
+  /** The calibration-family scoring chain: lineitem featurized, the
+    * 3-step logreg fit (final pinned weights — S4 scalars), and the
+    * rational-link probability per row. Shared by `ml_calibration`
+    * (reliability diagram) and `ml_isotonic_calibration` (PAVA fit) so
+    * the two read the SAME model; mirrors the oracle's logregW3 CTEs.
+    */
+  private def calibScores(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "lineitem").select(
+      (col("l_quantity") / lit(50.0)).as("x1"),
+      (col("l_discount") * lit(10.0)).as("x2"),
+      when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
+    val w = graft.ext.LogReg.fit(
+      d, Seq(col("x1"), col("x2")), col("y"), lr = 1.0, iters = 3).last
+    val t = lit(w.bias) + col("x1") * lit(w.weights(0)) +
+      col("x2") * lit(w.weights(1))
+    val p = lit(0.5) + lit(0.5) * t / (lit(1.0) + abs(t))
+    d.select(col("y"), p.as("p"))
+  }
+
   /** SemDeDup drop set (embedding-space near-dup losers), built ONCE per
     * (session, sfDir) — the same serve-once economics as [[ccMemo]]: the
     * cluster → τ-pair → connected-components chain is deterministic for
@@ -6015,6 +6034,65 @@ object SparkEntry {
         .orderBy("label", "pred_label")
     }),
 
+    "ml_knn_shapley" -> ((s, dir) => {
+      // KNN-Shapley data valuation (Jia et al., PVLDB 2019 "Efficient
+      // task-specific data valuation for nearest neighbor algorithms",
+      // Theorem 1): the EXACT Shapley value of every training vector
+      // for the K-NN utility — the data-market / data-cleaning signal
+      // ("which examples actually help?") that is provably O(N log N)
+      // for KNN while being exponential for general models. Same split
+      // as ml_knn_classify (md5 bucket 0, size-bounded to the 64
+      // lowest-(hash, vec_id) rows as the test set; the rest train).
+      // Per test point: rank train by (cos DESC, vec_id), then the
+      // paper's telescoping recurrence s_j = s_{j+1} +
+      // (1[y_j=y] - 1[y_{j+1}=y]) / max(K, j) becomes a SUFFIX SUM of
+      // per-rank increments — each increment is an exact rational
+      // pinned to q15 BIGINT, so the running window sum is exact
+      // integer addition (order-free; |s| ~ ln N keeps q15 sums far
+      // from BIGINT range at any realistic N). Per-point value = mean
+      // over test points = one BIGINT hash-agg; top-20 via
+      // TakeOrderedAndProject. Scale: O(N·64) scoring + a 64-partition
+      // rank window — the ml_knn_classify shape.
+      val emb = tbl(s, dir, "embeddings")
+      val hv = Dedup.md5Hash60(col("vec_id").cast("string"))
+      val split = pmod(hv, lit(10L))
+      val test = emb.filter(split === 0)
+        .orderBy(hv.asc, col("vec_id").asc).limit(64)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"), col("label").as("qlab"))
+      val train = Caches.persist(
+        emb.filter(split =!= 0).select("vec_id", "embedding", "label"))
+      val nTrain = train.count()
+      val nTest = test.count()
+      val sc = train.crossJoin(broadcast(test))
+        .select(col("query_id"), col("vec_id"),
+          when(col("label") === col("qlab"), 1L).otherwise(0L).as("ind"),
+          Similarity.cosine(col("q_emb"), col("embedding")).as("cos"))
+      val wR = Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      val rk = sc.withColumn("rn", row_number().over(wR))
+      val wL = Window.partitionBy("query_id").orderBy("rn")
+      val ld = lead(col("ind"), 1).over(wL)
+      val d = when(ld.isNull,
+          col("ind").cast("double") / lit(nTrain.toDouble))
+        .otherwise((col("ind") - ld).cast("double") /
+          greatest(lit(5L), col("rn")).cast("double"))
+      val wS = Window.partitionBy("query_id").orderBy(col("rn").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val s15 = rk
+        .withColumn("t15",
+          floor(d * lit(1.0e15) + lit(0.5)).cast("long"))
+        .withColumn("s15", sum("t15").over(wS))
+      s15.groupBy("vec_id").agg(sum("s15").as("v15"))
+        .join(train.select("vec_id", "label"), Seq("vec_id"))
+        .select(col("vec_id"), col("label"),
+          (col("v15").cast("double") / lit(nTest.toDouble * 1.0e15))
+            .as("shap_value"))
+        .orderBy(col("shap_value").desc, col("vec_id").asc).limit(20)
+        // emit in key order — the driver compares rows positionally
+        .orderBy("vec_id")
+    }),
+
     "ml_kmeans_elbow" -> ((s, dir) => {
       // the K-SELECTION telemetry beside ml_kmeans' per-iteration
       // trace: converged (iteration-2) inertia for K ∈ {4, 8, 16} —
@@ -6107,6 +6185,65 @@ object SparkEntry {
           round(avg(when(!col("keep"), col("dist"))), 6).as("mean_dist_pruned"),
           round(min(when(col("keep"), col("dist"))), 6).as("cut_dist"))
         .orderBy("cluster")
+    }),
+
+    "curate_kcenter_coreset" -> ((s, dir) => {
+      // greedy k-center coreset selection (Gonzalez 1985 farthest-point
+      // traversal, the 2-approximation; Sener & Savarese ICLR 2018 use
+      // exactly this greedy as the coreset rule for data selection) —
+      // the DIVERSITY-maximizing complement of curate_prototype_prune's
+      // difficulty rule: pick the point farthest from everything picked
+      // so far, eight times. Seed = lowest vec_id; distances are
+      // 1 − cosine pinned to q6 BIGINTs so the running min, the argmax
+      // (TakeOrderedAndProject with vec_id tie-break), and the ledger
+      // aggregates are all exact-integer — the whole trajectory is
+      // order-free. Emits the selection ledger: per step the picked
+      // vector, its min-distance at pick time, and the coverage
+      // radius / mean min-distance AFTER the update — both exact-int
+      // quotients emitted unrounded. Scale: per step ONE narrow pass
+      // (broadcast 1-row centroid) + one TakeOrdered + one aggregate
+      // over the persisted frontier; K=8 bounds the loop, driver sees
+      // only S4 scalars.
+      val emb = tbl(s, dir, "embeddings")
+        .select("vec_id", "embedding", "label")
+      def q6d(c: Column) = floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+      val seed = emb.orderBy(col("vec_id").asc).limit(1)
+      val seedRow = seed.select("vec_id", "label").head()
+      var cur = Caches.persist(
+        emb.crossJoin(broadcast(seed.select(col("embedding").as("ce"))))
+          .select(col("vec_id"), col("label"), col("embedding"),
+            q6d(lit(1.0) - Similarity.cosine(col("embedding"), col("ce")))
+              .as("d6")))
+      val ledger =
+        scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Int, Option[Double], Double, Double)]
+      def audit(df: DataFrame): (Double, Double) = {
+        val r = df.agg(sum("d6").as("s"), count(lit(1)).as("n"),
+          max("d6").as("m")).head()
+        (r.getLong(2).toDouble / 1000000.0,
+          r.getLong(0).toDouble / (r.getLong(1).toDouble * 1000000.0))
+      }
+      val (r1, m1) = audit(cur)
+      ledger += ((1L, seedRow.getLong(0), seedRow.getInt(1), None, r1, m1))
+      for (step <- 2 to 8) {
+        val pickDf = cur.orderBy(col("d6").desc, col("vec_id").asc).limit(1)
+        val pr = pickDf.select("vec_id", "label", "d6").head()
+        cur = Caches.persist(
+          cur.crossJoin(broadcast(pickDf.select(col("embedding").as("ce"))))
+            .select(col("vec_id"), col("label"), col("embedding"),
+              least(col("d6"),
+                q6d(lit(1.0) -
+                  Similarity.cosine(col("embedding"), col("ce"))))
+                .as("d6")))
+        val (rad, mean) = audit(cur)
+        ledger += ((step.toLong, pr.getLong(0), pr.getInt(1),
+          Some(pr.getLong(2).toDouble / 1000000.0), rad, mean))
+      }
+      import s.implicits._
+      ledger.toSeq
+        .toDF("step", "picked_vec_id", "picked_label", "dist_at_pick",
+          "radius_after", "mean_dist_after")
+        .orderBy("step")
     }),
 
     "agg_kmv_jaccard" -> ((s, dir) => {
@@ -6644,19 +6781,52 @@ object SparkEntry {
       // one row), mean prediction vs empirical
       // positive rate per bin. The rational link keeps scoring
       // libm-free on both engines.
-      val d = tbl(s, dir, "lineitem").select(
-        (col("l_quantity") / lit(50.0)).as("x1"),
-        (col("l_discount") * lit(10.0)).as("x2"),
-        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"))
-      val w = graft.ext.LogReg.fit(
-        d, Seq(col("x1"), col("x2")), col("y"), lr = 1.0, iters = 3).last
-      val t = lit(w.bias) + col("x1") * lit(w.weights(0)) +
-        col("x2") * lit(w.weights(1))
-      val p = lit(0.5) + lit(0.5) * t / (lit(1.0) + abs(t))
-      d.select(col("y"), p.as("p"))
+      calibScores(s, dir)
         .groupBy(floor(col("p") * 200).cast("long").as("bin"))
         .agg(count(lit(1)).as("n"), round(avg("p"), 6).as("mean_pred"),
           round(avg("y"), 6).as("frac_pos"))
+        .orderBy("bin")
+    }),
+
+    "ml_isotonic_calibration" -> ((s, dir) => {
+      // isotonic calibration (PAVA — Barlow et al. 1972; Zadrozny &
+      // Elkan KDD'02 for classifier scores): the monotone-nondecreasing
+      // fit closest in weighted L2 to ml_calibration's empirical bin
+      // rates — the shape-constrained calibrator a serving pipeline
+      // trains when the reliability diagram wiggles. Computed via the
+      // closed-form max-min representation of the PAVA solution,
+      // iso_i = max_{j<=i} min_{k>=i} mean(y over bins j..k), which on
+      // the <=201-bin table is ONE bounded self-join + a suffix-min
+      // window partitioned by j + one max hash-agg — everything past
+      // the one scoring scan is bin-bounded, and the corpus-sized CDF
+      // rides PrefixSum (no unpartitioned window). Segment means are
+      // quotients of EXACT integer sums, so min/max compare identical
+      // doubles on both engines and iso is emitted unrounded (r15
+      // exact-quotient rule); only mean_pred (a float accumulation)
+      // is rounded.
+      val bins = calibScores(s, dir)
+        .groupBy(floor(col("p") * 200).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("y").cast("long")).as("sy"),
+          round(avg("p"), 6).as("mean_pred"))
+      val cm = graft.Caches.persist(
+        graft.ext.PrefixSum.scan(bins, "bin", Seq("n", "sy"), 64L))
+      val segJ = cm.select(col("bin").as("j"),
+        (col("cum_n") - col("n")).as("cnx"),
+        (col("cum_sy") - col("sy")).as("csyx"))
+      val segK = cm.select(col("bin").as("k"),
+        col("cum_n").as("cnk"), col("cum_sy").as("csyk"))
+      val seg = segJ.join(segK, col("k") >= col("j"))
+        .select(col("j"), col("k"),
+          ((col("csyk") - col("csyx")).cast("double") /
+            (col("cnk") - col("cnx")).cast("double")).as("m"))
+      val sufW = Window.partitionBy("j").orderBy(col("k").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val iso = seg.withColumn("mn", min("m").over(sufW))
+        .groupBy(col("k").as("bin")).agg(max("mn").as("iso"))
+      cm.select(col("bin"), col("n"), col("mean_pred"),
+          (col("sy").cast("double") / col("n").cast("double"))
+            .as("frac_pos"))
+        .join(iso, Seq("bin"))
         .orderBy("bin")
     }),
 
@@ -6879,6 +7049,45 @@ object SparkEntry {
             round(col("n_words").cast("double") /
               col("n_sentences").cast("double"), 6)).as("avg_sentence_len"))
         .orderBy("doc_id")),
+
+    "text_readability" -> ((s, dir) => {
+      // readability scoring per source — the grade-level telemetry a
+      // curation pipeline reads beside text_quality (ARI, Senter &
+      // Smith 1967; Coleman-Liau 1975 — both chosen because they need
+      // only LETTER/WORD/SENTENCE counts, no syllable heuristic, so
+      // the statistic is an exact function of counts on both engines).
+      // Letters via one regexp strip, words = the gate tokenizer's
+      // count, sentences = text_sentences' rule. Per-doc indices are
+      // doubles from exact ints pinned to q6 BIGINTs, so the per-source
+      // means are exact-int quotients (emitted unrounded, r15 rule).
+      // Docs with zero words or sentences are excluded and counted.
+      // Scale: ONE narrow scan → one hash agg at source grain.
+      val base = docs(s, dir).select(col("source"),
+        length(regexp_replace(lower(col("text")), "[^a-z]", ""))
+          .cast("long").as("l"),
+        size(TextAnalysis.rawTokens(col("text"))).cast("long").as("w"),
+        expr("size(filter(split(lower(text), '[.!?]+'), x -> x rlike '[a-z]'))")
+          .cast("long").as("sn"))
+      val ok = col("w") > 0 && col("sn") > 0
+      val lw = col("l").cast("double") / col("w").cast("double")
+      val ws = col("w").cast("double") / col("sn").cast("double")
+      val sw = col("sn").cast("double") / col("w").cast("double")
+      val ari = lit(4.71) * lw + lit(0.5) * ws - lit(21.43)
+      val cli = lit(5.88) * lw - lit(29.6) * sw - lit(15.8)
+      def q6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+      base.select(col("source"),
+          when(ok, lit(1L)).otherwise(0L).as("scored"),
+          when(ok, q6(ari)).otherwise(0L).as("ari6"),
+          when(ok, q6(cli)).otherwise(0L).as("cli6"))
+        .groupBy("source")
+        .agg(sum("scored").as("n_docs"),
+          (count(lit(1)) - sum("scored")).as("n_unscored"),
+          when(sum("scored") > 0, sum("ari6").cast("double") /
+            (sum("scored") * lit(1000000L)).cast("double")).as("mean_ari"),
+          when(sum("scored") > 0, sum("cli6").cast("double") /
+            (sum("scored") * lit(1000000L)).cast("double")).as("mean_cli"))
+        .orderBy("source")
+    }),
 
     "feat_hashing_vectors" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. ICML'09): fixed 16-dim

