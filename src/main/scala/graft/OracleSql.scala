@@ -4056,6 +4056,54 @@ FROM qb, qr, spl, wt"""
         |       round(3.0 * t / w, 6) AS clustering
         |FROM tri CROSS JOIN w""".stripMargin,
 
+    "graph_spectral_fiedler" -> {
+      // deflated power-iteration mirror: q6 node/edge pins, exact
+      // BIGINT dots/matvecs/norm-squares, per-iteration scalar
+      // subqueries for c and the norm; every per-iteration table
+      // MATERIALIZED (each feeds 2-3 downstream reads)
+      val iters = (1 to 4).map { t =>
+        s"""c$t AS (SELECT CAST(sum(nd.v16 * x.x6) AS BIGINT) AS c12
+           |       FROM nd JOIN x${t - 1} x ON x.node = nd.node),
+           |xd$t AS MATERIALIZED (SELECT nd.node,
+           |       x.x6 - CAST(floor((SELECT CAST(c12 AS DOUBLE) / 1.0e12 FROM c$t) * CAST(nd.v16 AS DOUBLE) + 0.5) AS BIGINT) AS x6
+           |       FROM nd JOIN x${t - 1} x ON x.node = nd.node),
+           |y6$t AS MATERIALIZED (SELECT node, CAST(floor(CAST(y12 AS DOUBLE) / 1000000.0 + 0.5) AS BIGINT) AS y6 FROM
+           |       (SELECT e.src AS node, CAST(sum(x.x6 * e.w6) AS BIGINT) AS y12
+           |        FROM ed e JOIN xd$t x ON x.node = e.dst GROUP BY e.src)),
+           |r$t AS MATERIALIZED (SELECT CAST(sum(x.x6 * y.y6) AS BIGINT) AS num,
+           |       CAST(sum(x.x6 * x.x6) AS BIGINT) AS den,
+           |       CAST(sum(y.y6 * y.y6) AS BIGINT) AS nsq
+           |       FROM xd$t x JOIN y6$t y ON y.node = x.node),
+           |x$t AS MATERIALIZED (SELECT node,
+           |       CAST(floor(CAST(y6 AS DOUBLE) / (SELECT sqrt(CAST(nsq AS DOUBLE)) / 1.0e6 FROM r$t) + 0.5) AS BIGINT) AS x6
+           |       FROM y6$t)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 4).map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS iter,
+           |       (SELECT CAST(c12 AS DOUBLE) / 1.0e12 FROM c$t) AS deflate_c,
+           |       (SELECT CAST(num AS DOUBLE) / CAST(den AS DOUBLE) FROM r$t) AS rayleigh_lambda2,
+           |       (SELECT CAST(sum(CASE WHEN x6 > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM x$t) AS n_pos,
+           |       (SELECT CAST(sum(CASE WHEN x6 <= 0 THEN 1 ELSE 0 END) AS BIGINT) FROM x$t) AS n_neg""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.pk AS a, b.pk AS b
+        |      FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        |deg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+        |m2 AS (SELECT CAST(sum(d) AS BIGINT) AS m FROM deg),
+        |ed AS MATERIALIZED (SELECT u.src, u.dst,
+        |      CAST(floor(1000000.0 / sqrt(CAST(ds.d * dd.d AS DOUBLE)) + 0.5) AS BIGINT) AS w6
+        |      FROM und u JOIN deg ds ON ds.src = u.src JOIN deg dd ON dd.src = u.dst),
+        |nd AS MATERIALIZED (SELECT deg.src AS node,
+        |      CAST(floor(sqrt(CAST(d AS DOUBLE)) / (SELECT sqrt(CAST(m AS DOUBLE)) FROM m2) * 1000000.0 + 0.5) AS BIGINT) AS v16,
+        |      CAST(CASE WHEN (${md5Hash60Sql("CAST(deg.src AS VARCHAR)")} & 1) = 1 THEN 1000000 ELSE -1000000 END AS BIGINT) AS x6
+        |      FROM deg),
+        |x0 AS MATERIALIZED (SELECT node, x6 FROM nd),
+        |$iters
+        |SELECT * FROM ($rows) ORDER BY iter""".stripMargin
+    },
+
     "graph_ktruss" -> {
       // 3-truss peeling mirror: the repeat graph, four unrolled
       // rounds of the id-ordered triangle join + 3-way edge credit +
@@ -8354,6 +8402,38 @@ FROM qb, qr, spl, wt"""
         |SELECT * FROM th UNION ALL SELECT * FROM ta
         |ORDER BY kind, score DESC, node""".stripMargin,
 
+    "stats_theil_sen" ->
+      // Theil-Sen mirror: same 256-row (hash, key) bound, integer-cent
+      // slope pins, exact-integer residuals, both medians as the
+      // rank-⌈n/2⌉ order statistic ((n+1)//2 = the engine's
+      // ceil-rank), OLS contrast from the identical moment shape
+      s"""WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS k,
+        |                   CAST(l_quantity AS BIGINT) AS x,
+        |                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+        |                   ${md5Hash60Sql("concat_ws('|', l_orderkey, l_linenumber)")} AS h
+        |            FROM lineitem),
+        |pts AS MATERIALIZED (SELECT k, x, y FROM li ORDER BY h, k LIMIT 256),
+        |pr AS MATERIALIZED (SELECT CAST(floor(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) + 0.5) AS BIGINT) AS sl
+        |      FROM pts a JOIN pts b ON a.k < b.k AND a.x <> b.x),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pr),
+        |md AS (SELECT sl AS slope FROM
+        |         (SELECT sl, row_number() OVER (ORDER BY sl) AS rn FROM pr), np
+        |       WHERE rn = (np.n_pairs + 1) // 2),
+        |npt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+        |rs AS (SELECT y - (SELECT slope FROM md) * x AS r FROM pts),
+        |ic AS (SELECT r AS icept FROM
+        |         (SELECT r, row_number() OVER (ORDER BY r) AS rn FROM rs), npt
+        |       WHERE rn = (npt.n + 1) // 2),
+        |mo AS (SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |              CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        |       FROM pts)
+        |SELECT npt.n AS n_points, np.n_pairs,
+        |       CAST((SELECT slope FROM md) AS DOUBLE) AS ts_slope_cents,
+        |       CAST((SELECT icept FROM ic) AS DOUBLE) AS ts_intercept_cents,
+        |       round((CAST(npt.n AS DOUBLE) * CAST(mo.sxy AS DOUBLE) - CAST(mo.sx AS DOUBLE) * CAST(mo.sy AS DOUBLE))
+        |             / (CAST(npt.n AS DOUBLE) * CAST(mo.sxx AS DOUBLE) - CAST(mo.sx AS DOUBLE) * CAST(mo.sx AS DOUBLE)), 6) AS ols_slope_cents
+        |FROM npt, np, mo""".stripMargin,
+
     "stats_mannwhitney" ->
       // mirrors Stats.mannWhitneyU: distinct-cents counts, cumulative
       // control counts (the single-node window stands in for the
@@ -8519,6 +8599,39 @@ FROM qb, qr, spl, wt"""
         |       round(CAST(sum(CASE WHEN abs(diff) >= abs(obs_diff) THEN 1 ELSE 0 END) + 1 AS DOUBLE)
         |             / CAST(count(*) + 1 AS DOUBLE), 6) AS p_value
         |FROM dd, ob GROUP BY ob.n_users, ob.obs_diff""".stripMargin,
+
+    "events_did" ->
+      // two-way DiD mirror: the PSM treatment rule, per-user period
+      // cents, one conditional aggregate, exact-int quotient means and
+      // fixed-shape double differences (all unrounded)
+      """WITH u AS (SELECT user_id,
+        |       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' AND event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS pre_clicks,
+        |       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15' AND event_type = 'purchase' THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_pre,
+        |       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15' AND event_type = 'purchase' THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_post,
+        |       CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-08' AND event_type = 'purchase' THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_pre1,
+        |       CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15' AND event_type = 'purchase' THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_pre2
+        |     FROM events GROUP BY user_id),
+        |a AS (SELECT CAST(sum(CASE WHEN pre_clicks >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+        |             CAST(sum(CASE WHEN pre_clicks >= 8 THEN 0 ELSE 1 END) AS BIGINT) AS nc,
+        |             CAST(sum(CASE WHEN pre_clicks >= 8 THEN y_pre ELSE 0 END) AS BIGINT) AS tp,
+        |             CAST(sum(CASE WHEN pre_clicks >= 8 THEN y_post ELSE 0 END) AS BIGINT) AS tq,
+        |             CAST(sum(CASE WHEN pre_clicks >= 8 THEN 0 ELSE y_pre END) AS BIGINT) AS cp,
+        |             CAST(sum(CASE WHEN pre_clicks >= 8 THEN 0 ELSE y_post END) AS BIGINT) AS cq,
+        |             CAST(sum(CASE WHEN pre_clicks >= 8 THEN y_pre1 ELSE 0 END) AS BIGINT) AS tp1,
+        |             CAST(sum(CASE WHEN pre_clicks >= 8 THEN y_pre2 ELSE 0 END) AS BIGINT) AS tp2,
+        |             CAST(sum(CASE WHEN pre_clicks >= 8 THEN 0 ELSE y_pre1 END) AS BIGINT) AS cp1,
+        |             CAST(sum(CASE WHEN pre_clicks >= 8 THEN 0 ELSE y_pre2 END) AS BIGINT) AS cp2
+        |      FROM u)
+        |SELECT nt AS n_treated, nc AS n_control,
+        |       CAST(tp AS DOUBLE) / CAST(nt AS DOUBLE) AS treated_pre_cents,
+        |       CAST(tq AS DOUBLE) / CAST(nt AS DOUBLE) AS treated_post_cents,
+        |       CAST(cp AS DOUBLE) / CAST(nc AS DOUBLE) AS control_pre_cents,
+        |       CAST(cq AS DOUBLE) / CAST(nc AS DOUBLE) AS control_post_cents,
+        |       (CAST(tq AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(tp AS DOUBLE) / CAST(nt AS DOUBLE))
+        |         - (CAST(cq AS DOUBLE) / CAST(nc AS DOUBLE) - CAST(cp AS DOUBLE) / CAST(nc AS DOUBLE)) AS did_cents,
+        |       (CAST(tp2 AS DOUBLE) / CAST(nt AS DOUBLE) - CAST(tp1 AS DOUBLE) / CAST(nt AS DOUBLE))
+        |         - (CAST(cp2 AS DOUBLE) / CAST(nc AS DOUBLE) - CAST(cp1 AS DOUBLE) / CAST(nc AS DOUBLE)) AS placebo_did_cents
+        |FROM a""".stripMargin,
 
     "events_psm_stratified" ->
       // Rosenbaum-Rubin subclassification mirror: exact-integer

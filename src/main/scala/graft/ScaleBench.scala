@@ -532,7 +532,14 @@ object ScaleBench {
     // isotonic: one scoring scan; everything after is bin-bounded
     "ml_isotonic_calibration",
     // readability: one narrow scan → source-grain agg
-    "text_readability")
+    "text_readability",
+    // DiD: two map-side-combined hash aggs — the flat bar
+    "events_did",
+    // Theil-Sen: one TakeOrdered scan; pair/median work is 256-bounded
+    "stats_theil_sen",
+    // Fiedler: 4 × (edge-sized join-agg + node-sized narrow passes)
+    // over the repeat graph — must ride ∝ E like ktruss
+    "graph_spectral_fiedler")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -8224,6 +8224,86 @@ object SparkEntry {
         .orderBy("round")
     }),
 
+    "graph_spectral_fiedler" -> ((s, dir) => {
+      // spectral bisection via the Fiedler direction (Fiedler 1973;
+      // Shi & Malik PAMI 2000 for the normalized cut connection) —
+      // the EIGENVECTOR face beside Louvain's greedy modularity: four
+      // power iterations of the normalized adjacency
+      // P = D^-1/2 A D^-1/2 on the repeat co-purchase graph, deflated
+      // each step against P's known top eigenvector v1 ∝ sqrt(d) (so
+      // the iteration converges to the SECOND eigenvector, whose sign
+      // pattern is the spectral bisection). The r14 exact-integer
+      // discipline makes the whole trajectory order-free: x and v1
+      // live as q6 BIGINTs, every dot product / matvec / norm-square
+      // is an exact BIGINT sum (edge weights 1/sqrt(d_i d_j) pinned
+      // q6), and the per-iteration Rayleigh quotient is an exact-int
+      // quotient emitted unrounded. Ledger: deflation coefficient,
+      // Rayleigh estimate of lambda_2, sign-partition sizes per
+      // iteration. Scale: per iteration ONE edge-sized join-agg + two
+      // node-sized narrow passes; driver sees 2 scalars per iteration
+      // (S4). No global window anywhere.
+      val eRaw = copurchaseEdgesMemo(s, dir).filter(col("w") >= 2)
+        .select("src", "dst")
+      val und = eRaw.union(
+        eRaw.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = und.groupBy("src").agg(count(lit(1)).as("d"))
+      val m2 = deg.agg(sum("d")).head().getLong(0) // = 2m, exact
+      val sqrt2m = math.sqrt(m2.toDouble)
+      val edges = Caches.persist(und
+        .join(deg.select(col("src"), col("d").as("ds")), Seq("src"))
+        .join(deg.select(col("src").as("dst"), col("d").as("dd")),
+          Seq("dst"))
+        .select(col("src"), col("dst"),
+          floor(lit(1000000.0) /
+            sqrt((col("ds") * col("dd")).cast("double")) + lit(0.5))
+            .cast("long").as("w6")))
+      val nodes = Caches.persist(deg.select(col("src").as("node"),
+        floor(sqrt(col("d").cast("double")) / lit(sqrt2m) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("v16"),
+        when(Dedup.md5Hash60(col("src").cast("string"))
+          .bitwiseAND(lit(1L)) === 1L, 1000000L).otherwise(-1000000L)
+          .as("x6")))
+      var x = nodes.select("node", "x6")
+      val ledger = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Double, Double, Long, Long)]
+      for (t <- 1 to 4) {
+        val c12 = nodes.select("node", "v16")
+          .join(x, Seq("node"))
+          .agg(sum(col("v16") * col("x6"))).head().getLong(0)
+        val c = c12.toDouble / 1.0e12
+        val xd = Caches.persist(nodes.select("node", "v16")
+          .join(x, Seq("node"))
+          .select(col("node"),
+            (col("x6") - floor(lit(c) * col("v16").cast("double") +
+              lit(0.5)).cast("long")).as("x6")))
+        val y = edges
+          .join(xd.select(col("node").as("dst"), col("x6").as("xj")),
+            Seq("dst"))
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("xj") * col("w6")).as("y12"))
+        val y6t = Caches.persist(y.select(col("node"),
+          floor(col("y12").cast("double") / lit(1000000.0) + lit(0.5))
+            .cast("long").as("y6")))
+        val r = xd.join(y6t, Seq("node"))
+          .agg(sum(col("x6") * col("y6")).as("num"),
+            sum(col("x6") * col("x6")).as("den"),
+            sum(col("y6") * col("y6")).as("nsq")).head()
+        val rayleigh = r.getLong(0).toDouble / r.getLong(1).toDouble
+        val nrm = math.sqrt(r.getLong(2).toDouble) / 1.0e6
+        x = Caches.persist(y6t.select(col("node"),
+          floor(col("y6").cast("double") / lit(nrm) + lit(0.5))
+            .cast("long").as("x6")))
+        val p = x.agg(
+          sum(when(col("x6") > 0, 1L).otherwise(0L)).as("np"),
+          sum(when(col("x6") <= 0, 1L).otherwise(0L)).as("nn")).head()
+        ledger += ((t.toLong, c, rayleigh, p.getLong(0), p.getLong(1)))
+      }
+      import s.implicits._
+      ledger.toSeq
+        .toDF("iter", "deflate_c", "rayleigh_lambda2", "n_pos", "n_neg")
+        .orderBy("iter")
+    }),
+
     "graph_link_prediction" -> ((s, dir) => {
       // neighbor-Jaccard link prediction (ext/Graph.linkPrediction)
       // over the REPEAT co-purchase graph (memo pairs with w ≥ 2 —
@@ -11300,6 +11380,66 @@ object SparkEntry {
         .orderBy(col("kind"), col("score").desc, col("node"))
     }),
 
+    "stats_theil_sen" -> ((s, dir) => {
+      // Theil-Sen robust regression (Theil 1950; Sen JASA 1968): the
+      // median of pairwise slopes — a 29.3%-breakdown estimator the
+      // stats family lacked (ml_linreg_ols is L2 and one gross outlier
+      // moves it arbitrarily). Classic Theil-Sen is O(n²) pairs, so
+      // the estimator runs on the SIZE-BOUNDED 256 lowest-(hash, key)
+      // rows (TakeOrderedAndProject — the ml_knn_classify bound; a
+      // fraction-sampled n/250 would re-grow with the corpus, the r12
+      // scale smell), giving ≤32 640 pairs at ANY corpus size. Slopes
+      // are pinned to integer cents (half-up), residuals y − s·x are
+      // then EXACT integers, and both medians are exact order
+      // statistics read off the PrefixSum CDF at rank ⌈n/2⌉ — never a
+      // global sort. The OLS slope on the same sample rides along as
+      // the robustness contrast. Scale: one TakeOrdered scan; all
+      // pair/median work is constant-bounded.
+      val h = Dedup.md5Hash60(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+      val pts = Caches.persist(tbl(s, dir, "lineitem")
+        .select((col("l_orderkey") * lit(10L) + col("l_linenumber"))
+            .as("k"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long").as("y"), h.as("h"))
+        .orderBy(col("h").asc, col("k").asc).limit(256)
+        .select("k", "x", "y"))
+      val nPts = pts.count()
+      val a = pts.select(col("k").as("ka"), col("x").as("xa"),
+        col("y").as("ya"))
+      val b = pts.select(col("k").as("kb"), col("x").as("xb"),
+        col("y").as("yb"))
+      val slOff = 33554432L // 2^25 shifts integer-cent slopes nonneg
+      val sl = floor((col("yb") - col("ya")).cast("double") /
+        (col("xb") - col("xa")).cast("double") + lit(0.5)).cast("long")
+      val per = Caches.persist(
+        a.join(b, col("ka") < col("kb") && col("xa") =!= col("xb"))
+          .select((sl + lit(slOff)).as("v"))
+          .groupBy("v").agg(count(lit(1)).as("c")))
+      val nPairs = per.agg(sum("c")).head().getLong(0)
+      val slope = graft.ext.Stats.exactQuantilesFromCounts(per,
+        Seq(("p50", 1L, 2L)), 131072L).head().getLong(2) - slOff
+      val rOff = 1073741824L // 2^30 shifts exact-integer residuals
+      val res = pts
+        .select((col("y") - lit(slope) * col("x") + lit(rOff)).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("c"))
+      val icept = graft.ext.Stats.exactQuantilesFromCounts(res,
+        Seq(("p50", 1L, 2L)), 4194304L).head().getLong(2) - rOff
+      val mo = pts.agg(sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy")).head()
+      val nD = nPts.toDouble
+      val ols = (nD * mo.getLong(3).toDouble -
+        mo.getLong(0).toDouble * mo.getLong(1).toDouble) /
+        (nD * mo.getLong(2).toDouble -
+          mo.getLong(0).toDouble * mo.getLong(0).toDouble)
+      import s.implicits._
+      Seq((nPts, nPairs, slope.toDouble, icept.toDouble, round6(ols)))
+        .toDF("n_points", "n_pairs", "ts_slope_cents",
+          "ts_intercept_cents", "ols_slope_cents")
+    }),
+
     "stats_mannwhitney" -> ((s, dir) => {
       // the nonparametric twin of events_ab_ztest: Mann-Whitney U over
       // the same seeded-hash variant assignment, computed sort-free
@@ -11476,6 +11616,60 @@ object SparkEntry {
             (col("n_control").cast("double") * lit(1000000.0)))
             .as("mean_p_control"))
         .orderBy("subclass")
+    }),
+
+    "events_did" -> ((s, dir) => {
+      // difference-in-differences (Card & Krueger AER 1994 is the
+      // canonical design; Angrist & Pischke ch. 5 for the two-way
+      // form): the SECOND observational-causal estimator beside
+      // events_psm_stratified, sharing its exact treatment rule
+      // (pre-period clicks ≥ 8, cut at 2024-01-15) so the two
+      // estimates are directly comparable. DiD removes time-invariant
+      // selection bias by differencing each group against its own
+      // pre-period: (T,post − T,pre) − (C,post − C,pre) over per-user
+      // purchase cents. The parallel-trends assumption gets its
+      // standard audit IN the output row: the same contrast on the
+      // split pre-period (placebo cut 2024-01-08) — honest-zero if
+      // trends were parallel before treatment. ONE user-grain
+      // aggregate + ONE global aggregate; every mean is an exact-int
+      // quotient emitted unrounded, and the estimates are fixed-shape
+      // differences of those quotients. Scale: two map-side-combined
+      // hash aggs, nothing else.
+      val cut = col("ts") < to_timestamp(lit("2024-01-15"))
+      val mid = col("ts") < to_timestamp(lit("2024-01-08"))
+      val cents = floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+      val buy = col("event_type") === "purchase"
+      val u = events(s, dir).groupBy("user_id").agg(
+        sum(when(cut && col("event_type") === "click", 1L).otherwise(0L))
+          .as("pre_clicks"),
+        sum(when(cut && buy, cents).otherwise(0L)).as("y_pre"),
+        sum(when(!cut && buy, cents).otherwise(0L)).as("y_post"),
+        sum(when(mid && buy, cents).otherwise(0L)).as("y_pre1"),
+        sum(when(!mid && cut && buy, cents).otherwise(0L)).as("y_pre2"))
+        .withColumn("treated", col("pre_clicks") >= 8L)
+      val t = col("treated")
+      val a = u.agg(
+        sum(when(t, 1L).otherwise(0L)).as("nt"),
+        sum(when(!t, 1L).otherwise(0L)).as("nc"),
+        sum(when(t, col("y_pre")).otherwise(0L)).as("tp"),
+        sum(when(t, col("y_post")).otherwise(0L)).as("tq"),
+        sum(when(!t, col("y_pre")).otherwise(0L)).as("cp"),
+        sum(when(!t, col("y_post")).otherwise(0L)).as("cq"),
+        sum(when(t, col("y_pre1")).otherwise(0L)).as("tp1"),
+        sum(when(t, col("y_pre2")).otherwise(0L)).as("tp2"),
+        sum(when(!t, col("y_pre1")).otherwise(0L)).as("cp1"),
+        sum(when(!t, col("y_pre2")).otherwise(0L)).as("cp2"))
+      def m(sc: String, n: String): Column =
+        col(sc).cast("double") / col(n).cast("double")
+      a.select(col("nt").as("n_treated"), col("nc").as("n_control"),
+        m("tp", "nt").as("treated_pre_cents"),
+        m("tq", "nt").as("treated_post_cents"),
+        m("cp", "nc").as("control_pre_cents"),
+        m("cq", "nc").as("control_post_cents"),
+        ((m("tq", "nt") - m("tp", "nt")) - (m("cq", "nc") - m("cp", "nc")))
+          .as("did_cents"),
+        ((m("tp2", "nt") - m("tp1", "nt")) -
+          (m("cp2", "nc") - m("cp1", "nc"))).as("placebo_did_cents"))
     }),
 
     "events_ab_cuped" -> ((s, dir) => {

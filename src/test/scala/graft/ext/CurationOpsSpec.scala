@@ -71,6 +71,29 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("events_did: estimate is the exact double-difference of cell means") {
+    val r = SparkEntry.queries("events_did")(spark, dir).head()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    // the DiD estimate must be EXACTLY the double-difference of the
+    // emitted cell means (same doubles, fixed op order)
+    val did = (r.getDouble(3) - r.getDouble(2)) -
+      (r.getDouble(5) - r.getDouble(4))
+    assert(r.getDouble(6) == did, s"did ${r.getDouble(6)} != $did")
+    assert(!r.getDouble(7).isNaN, "placebo must be defined")
+  }
+
+  test("stats_theil_sen: bounded sample, integer-cent pins, sane pairs") {
+    val r = SparkEntry.queries("stats_theil_sen")(spark, dir).head()
+    val n = r.getLong(0)
+    assert(n > 0 && n <= 256)
+    assert(r.getLong(1) <= n * (n - 1) / 2, "pairs exceed C(n,2)")
+    // the integer-cent pin: both medians are whole numbers by
+    // construction — a drifted pin shows up as a fraction here
+    assert(r.getDouble(2) == math.rint(r.getDouble(2)))
+    assert(r.getDouble(3) == math.rint(r.getDouble(3)))
+    assert(!r.getDouble(4).isNaN && !r.getDouble(4).isInfinite)
+  }
+
   test("curate_kcenter_coreset: greedy trajectory contracts, picks are the radius") {
     val rows = SparkEntry.queries("curate_kcenter_coreset")(spark, dir)
       .collect().sortBy(_.getLong(0))
@@ -160,6 +183,24 @@ class CurationOpsSpec extends SparkSpec {
     val slack = 3.0 * math.sqrt(0.9 * 0.1 / n)
     assert(r.getDouble(5) >= 0.9 - slack,
       s"coverage ${r.getDouble(5)} below 0.9 - $slack")
+  }
+
+  test("graph_spectral_fiedler: deflation absorbs, spectrum bounds hold") {
+    val rows = SparkEntry.queries("graph_spectral_fiedler")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 4)
+    // the node count is invariant across iterations
+    val ns = rows.map(r => r.getLong(3) + r.getLong(4)).distinct
+    assert(ns.length == 1 && ns.head > 0)
+    // after the first deflation removed the v1 component, later
+    // deflation coefficients are numerical residue only
+    rows.tail.foreach(r => assert(math.abs(r.getDouble(1)) < 1e-4,
+      s"iter ${r.getLong(0)}: deflation ${r.getDouble(1)} not absorbed"))
+    // Rayleigh quotients of the normalized adjacency live in [-1, 1]
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    // both sides of the bisection are nonempty (a sign-collapsed
+    // vector would mean the iteration degenerated)
+    rows.foreach(r => assert(r.getLong(3) > 0 && r.getLong(4) > 0))
   }
 
   test("graph_ktruss: peeling is monotone and convergence is absorbing") {
