@@ -3539,6 +3539,43 @@ FROM qb, qr, spl, wt"""
         |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
         |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
+    "tok_wordpiece_train" -> {
+      // WordPiece mirror: per round weighted UNIT counts + pair
+      // counts over the (word, c) vocabulary, winner by
+      // count(ab)/(count(a)·count(b)) (exact-int quotient — identical
+      // doubles both engines) with lexicographic tie-break, digit
+      // placeholder rewrite with collision re-sum; scores unrounded
+      val rounds = (1 to 6).map { k =>
+        s"""wu$k AS MATERIALIZED (SELECT sym, CAST(sum(c) AS BIGINT) AS n FROM
+           |         (SELECT unnest(list_transform(range(1, len(word) + 1), i -> substr(word, i, 1))) AS sym, c
+           |          FROM wv${k - 1})
+           |       GROUP BY sym),
+           |wp$k AS MATERIALIZED (SELECT pr, CAST(sum(c) AS BIGINT) AS n FROM
+           |         (SELECT unnest(list_transform(range(1, len(word)), i -> substr(word, i, 2))) AS pr, c
+           |          FROM wv${k - 1} WHERE len(word) >= 2)
+           |       GROUP BY pr),
+           |wt$k AS MATERIALIZED (SELECT pr, p.n AS n,
+           |         CAST(p.n AS DOUBLE) / (CAST(ul.n AS DOUBLE) * CAST(ur.n AS DOUBLE)) AS score
+           |       FROM wp$k p JOIN wu$k ul ON ul.sym = substr(p.pr, 1, 1)
+           |                   JOIN wu$k ur ON ur.sym = substr(p.pr, 2, 1)
+           |       ORDER BY score DESC, pr LIMIT 1),
+           |wv$k AS MATERIALIZED (SELECT replace(word, (SELECT pr FROM wt$k), chr(${47 + k})) AS word,
+           |         CAST(sum(c) AS BIGINT) AS c
+           |       FROM wv${k - 1} GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      def spell(e: String): String =
+        (0 until 6).reverse.foldLeft(e)((s, j) =>
+          s"replace($s, chr(${48 + j}), (SELECT pr FROM wt${j + 1}))")
+      val rows = (1 to 6).map { k =>
+        s"SELECT CAST($k AS BIGINT) AS rank, ${spell(s"(SELECT pr FROM wt$k)")} AS pair, (SELECT n FROM wt$k) AS n, (SELECT score FROM wt$k) AS score"
+      }.mkString(" UNION ALL ")
+      s"""WITH wvl AS MATERIALIZED (SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS word
+        |             FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |wv0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS c FROM wvl GROUP BY 1),
+        |$rounds
+        |SELECT * FROM ($rows) ORDER BY rank""".stripMargin
+    },
+
     "tok_bpe_train" -> {
       // BpeTrainer.train unrolled: 6 rounds of (pair count over w_k,
       // top-1 by (n desc, pair asc), rewrite with digit placeholder
@@ -5961,6 +5998,33 @@ FROM qb, qr, spl, wt"""
         |SELECT source, n_docs, loss_uni, loss_bi, excess, nat_share,
         |       0.99e0 * (CAST(mq9 AS DOUBLE) / (SELECT smq FROM sm)) + 0.01e0 / (SELECT k FROM tot) AS doremi_weight
         |FROM mq ORDER BY source""".stripMargin,
+
+    "eval_pass_at_k" -> {
+      // pass@k mirror: the same stable product form per k with the
+      // identical left-associated factor chain, q6 per-task pins,
+      // exact-int quotient means unrounded
+      def prod(k: Int): String = (0 until k).map(j =>
+        s"((CAST(nmc AS DOUBLE) - $j.0) / (CAST(n AS DOUBLE) - $j.0))")
+        .mkString(" * ")
+      def p6(k: Int): String =
+        s"CAST(floor((CASE WHEN nmc < $k THEN 1.0 ELSE 1.0 - (${prod(k)}) END) * 1000000.0 + 0.5) AS BIGINT)"
+      s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |           FROM events GROUP BY user_id),
+        |t AS (SELECT n, n - c AS nmc FROM u WHERE n >= 10),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+        |             CAST(sum(${p6(1)}) AS BIGINT) AS s1,
+        |             CAST(sum(${p6(5)}) AS BIGINT) AS s5,
+        |             CAST(sum(${p6(10)}) AS BIGINT) AS s10
+        |      FROM t)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS k, nt AS n_tasks, CAST(s1 AS DOUBLE) / (CAST(nt AS DOUBLE) * 1000000.0) AS mean_pass FROM a
+        |  UNION ALL
+        |  SELECT CAST(5 AS BIGINT), nt, CAST(s5 AS DOUBLE) / (CAST(nt AS DOUBLE) * 1000000.0) FROM a
+        |  UNION ALL
+        |  SELECT CAST(10 AS BIGINT), nt, CAST(s10 AS DOUBLE) / (CAST(nt AS DOUBLE) * 1000000.0) FROM a)
+        |ORDER BY k""".stripMargin
+    },
 
     "eval_bradley_terry" -> {
       // BT-MM mirror: cents-exact duel winners, K²-bounded pair table,

@@ -539,7 +539,12 @@ object ScaleBench {
     "stats_theil_sen",
     // Fiedler: 4 × (edge-sized join-agg + node-sized narrow passes)
     // over the repeat graph — must ride ∝ E like ktruss
-    "graph_spectral_fiedler")
+    "graph_spectral_fiedler",
+    // WordPiece: one corpus (word,c) agg + the vocab-bounded loop —
+    // the BPE-trainer shape
+    "tok_wordpiece_train",
+    // pass@k: one user-grain agg + one narrow pass + one global agg
+    "eval_pass_at_k")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

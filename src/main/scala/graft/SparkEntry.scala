@@ -7516,6 +7516,28 @@ object SparkEntry {
           explode(split(lower(col("text")), "[^a-z]+")).as("word")),
         numMerges = 6).orderBy("rank")),
 
+    "tok_wordpiece_train" -> ((s, dir) => {
+      // WordPiece training (Schuster & Nakajima ICASSP 2012; the BERT
+      // tokenizer) — the LIKELIHOOD-RATIO merge objective beside
+      // tok_bpe_train's raw-count rule: per round the winner maximizes
+      // count(ab)/(count(a)·count(b)), so "th" (two very common units)
+      // must co-occur far above chance to beat a rarer but tighter
+      // pair — the two trainers genuinely diverge on this corpus.
+      // Same vocabulary-grain economics as the r16 BPE re-route: ONE
+      // corpus-sized (word, count) aggregate, then a vocab-bounded
+      // driver loop ([[graft.ext.BpeTrainer.trainWordPieceVocab]]);
+      // scores are quotients of exact integers (products < 2^53),
+      // emitted unrounded.
+      val vocab = docs(s, dir)
+        .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      val ms = graft.ext.BpeTrainer.trainWordPieceVocab(vocab, 6)
+      import s.implicits._
+      ms.map(m => (m.rank.toLong, m.spelled, m.n, m.score))
+        .toDF("rank", "pair", "n", "score").orderBy("rank")
+    }),
+
     "tok_bpe_encode" -> ((s, dir) => {
       // ENCODE with the full learned ladder (r14 VERDICT #6 —
       // tok_bpe_apply applies only the top merge; a tokenizer applies
@@ -10347,6 +10369,42 @@ object SparkEntry {
           col("n_postings").cast("double") / col("tot"))
         .drop("tot")
         .orderBy("shard")
+    }),
+
+    "eval_pass_at_k" -> ((s, dir) => {
+      // the unbiased pass@k estimator (Chen et al. 2021, "Evaluating
+      // LLMs trained on code" §2.1 — THE metric of sampled code/LLM
+      // evals): pass@k = E[1 − C(n−c,k)/C(n,k)], computed per task in
+      // the numerically-stable product form
+      // 1 − Π_{j<k} (n−c−j)/(n−j) (their recommended implementation —
+      // binomials overflow). Tasks = users with n ≥ 10 logged
+      // attempts, "correct" = purchase events — the estimator is the
+      // operator under test; n/c are exact integers, each product is
+      // fixed-shape double arithmetic, per-task values pinned q6 so
+      // the means are exact-int quotients (unrounded). Scale: one
+      // user-grain hash agg + one narrow pass + one global agg.
+      val u = events(s, dir).groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("c"))
+        .filter(col("n") >= 10)
+        .select(col("n"), (col("n") - col("c")).as("nmc"))
+      def pass(k: Int): Column = {
+        val prod = (0 until k).map(j =>
+          (col("nmc").cast("double") - lit(j.toDouble)) /
+            (col("n").cast("double") - lit(j.toDouble))).reduce(_ * _)
+        when(col("nmc") < k, lit(1.0)).otherwise(lit(1.0) - prod)
+      }
+      def q6(c: Column) = floor(c * lit(1000000.0) + lit(0.5)).cast("long")
+      val a = u.agg(count(lit(1)).as("nt"),
+        sum(q6(pass(1))).as("s1"), sum(q6(pass(5))).as("s5"),
+        sum(q6(pass(10))).as("s10")).head()
+      val nt = a.getLong(0)
+      def mean(s: Long) = s.toDouble / (nt.toDouble * 1000000.0)
+      import s.implicits._
+      Seq((1L, nt, mean(a.getLong(1))), (5L, nt, mean(a.getLong(2))),
+        (10L, nt, mean(a.getLong(3))))
+        .toDF("k", "n_tasks", "mean_pass").orderBy("k")
     }),
 
     "eval_bradley_terry" -> ((s, dir) => {

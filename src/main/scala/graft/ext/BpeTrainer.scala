@@ -222,6 +222,83 @@ object BpeTrainer {
     lm.map(m => Merge(m.rank, m.raw, spell(m.raw), m.n))
   }
 
+  /** One learned WordPiece merge: rank, the raw pair, the pair
+    * spelled to a-z, its weighted count, and the likelihood-ratio
+    * score that won its round (an exact-integer quotient).
+    */
+  final case class WpMerge(rank: Int, raw: String, spelled: String,
+    n: Long, score: Double)
+
+  /** WordPiece training (Schuster & Nakajima, ICASSP 2012 — the BERT
+    * tokenizer's objective): per round, merge the pair maximizing the
+    * LIKELIHOOD GAIN count(ab) / (count(a)·count(b)) — BPE's raw
+    * count objective divided by the unit frequencies, so a pair of
+    * two already-common symbols must co-occur disproportionately to
+    * win. Same vocabulary-bounded driver loop as [[trainVocabOf]]
+    * (one corpus aggregate upstream, ≤ maxVocab rows collected), same
+    * digit placeholders and leftmost-non-overlapping rewrite as
+    * [[trainLadderVocab]]; the score is a quotient of exact integer
+    * counts (products < 2^53 — both engines compare identical
+    * doubles), ties broken lexicographically so the argmax is
+    * iteration-order-free.
+    */
+  def trainWordPieceVocab(vocab: DataFrame, numMerges: Int,
+      maxVocab: Int = 1 << 22): Seq[WpMerge] = {
+    require(numMerges >= 1 && numMerges <= 10,
+      "numMerges in [1,10] — one digit placeholder per merge")
+    val rows = vocab.select(col("word"), col("c").cast("long")).collect()
+    require(rows.length <= maxVocab,
+      s"vocabulary ${rows.length} exceeds maxVocab $maxVocab")
+    var vb = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach(r => vb.update(r.getString(0), r.getLong(1)))
+    val merges = Seq.newBuilder[(Int, String, Long, Double)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      val uc = scala.collection.mutable.HashMap.empty[Char, Long]
+      val pc = scala.collection.mutable.HashMap.empty[String, Long]
+      vb.foreach { case (w, c) =>
+        var i = 0
+        while (i < w.length) {
+          uc.update(w(i), uc.getOrElse(w(i), 0L) + c)
+          if (i + 1 < w.length) {
+            val p = w.substring(i, i + 2)
+            pc.update(p, pc.getOrElse(p, 0L) + c)
+          }
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        var bestP: String = null
+        var bestS = -1.0
+        var bestN = -1L
+        pc.foreach { case (p, n) =>
+          val sc = n.toDouble / (uc(p(0)).toDouble * uc(p(1)).toDouble)
+          if (sc > bestS ||
+            (sc == bestS && (bestP == null || p.compareTo(bestP) < 0))) {
+            bestP = p; bestS = sc; bestN = n
+          }
+        }
+        merges += ((k + 1, bestP, bestN, bestS))
+        val sym = ('0' + k).toChar.toString
+        val next = scala.collection.mutable.HashMap.empty[String, Long]
+        vb.foreach { case (w, c) =>
+          val r = w.replace(bestP, sym)
+          next.update(r, next.getOrElse(r, 0L) + c)
+        }
+        vb = next
+        k += 1
+      }
+    }
+    val ms = merges.result()
+    val raws = ms.map(_._2).toVector
+    def spell(p: String): String =
+      raws.indices.reverse.foldLeft(p)((s, j) =>
+        s.replace(('0' + j).toChar.toString, raws(j)))
+    ms.map { case (r, raw, n, sc) => WpMerge(r, raw, spell(raw), n, sc) }
+  }
+
   /** Spell a large-ladder symbol stream back to a–z: expand merge
     * symbols in DESCENDING rank order (a rank-k raw contains only
     * symbols of rank < k). Inverse of the encode — round-trip is the

@@ -71,6 +71,37 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("eval_pass_at_k: monotone in k, bounded, shared task count") {
+    val rows = SparkEntry.queries("eval_pass_at_k")(spark, dir).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 5L, 10L))
+    assert(rows.map(_.getLong(1)).distinct.length == 1)
+    rows.foreach(r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    // pass@k is nondecreasing in k for EVERY task, hence in the mean
+    rows.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getDouble(2) >= p.getDouble(2) - 1e-9,
+        s"pass@${n.getLong(0)} < pass@${p.getLong(0)}")
+    }
+  }
+
+  test("tok_wordpiece_train: ranked merges, spelled pairs, valid scores") {
+    val rows = SparkEntry.queries("tok_wordpiece_train")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length).toSeq)
+    rows.foreach { r =>
+      assert(r.getString(1).nonEmpty &&
+        r.getString(1).forall(c => c >= 'a' && c <= 'z'),
+        s"pair ${r.getString(1)} not spelled to a-z")
+      assert(r.getLong(2) > 0)
+      // score = count(ab)/(count(a)count(b)) <= 1 since the pair
+      // count can't exceed either unit count
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    // later merges build on earlier ones: spelled pairs are distinct
+    assert(rows.map(_.getString(1)).distinct.length == rows.length)
+  }
+
   test("events_did: estimate is the exact double-difference of cell means") {
     val r = SparkEntry.queries("events_did")(spark, dir).head()
     assert(r.getLong(0) > 0 && r.getLong(1) > 0)
