@@ -4093,6 +4093,42 @@ FROM qb, qr, spl, wt"""
         |       round(3.0 * t / w, 6) AS clustering
         |FROM tri CROSS JOIN w""".stripMargin,
 
+    "graph_mis_luby" -> {
+      // Luby MIS mirror: hashed node priorities precomputed once, per
+      // round a NOT-EXISTS on the dominating-active-neighbor edge
+      // predicate, neighbor retirement, five unrolled rounds with
+      // MATERIALIZED actives (each read ~4x)
+      val rounds = (1 to 5).map { r =>
+        s"""c$r AS MATERIALIZED (SELECT node FROM a${r - 1} a WHERE NOT EXISTS (
+           |       SELECT 1 FROM ed e WHERE e.src = a.node
+           |         AND e.dst IN (SELECT node FROM a${r - 1})
+           |         AND (e.hd < e.hs OR (e.hd = e.hs AND e.dst < e.src)))),
+           |n$r AS (SELECT DISTINCT e.dst AS node FROM ed e JOIN c$r c ON c.node = e.src),
+           |a$r AS MATERIALIZED (SELECT node FROM a${r - 1}
+           |       WHERE node NOT IN (SELECT node FROM c$r)
+           |         AND node NOT IN (SELECT node FROM n$r))""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 5).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM a${r - 1}) AS n_active_before,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM c$r) AS n_mis_added,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM a${r - 1}) - (SELECT CAST(count(*) AS BIGINT) FROM a$r) - (SELECT CAST(count(*) AS BIGINT) FROM c$r) AS n_neighbors_removed,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM a$r) AS n_active_after,
+           |       (SELECT count(*) FROM a$r) = 0 AS converged""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |e0 AS MATERIALIZED (SELECT a.pk AS a, b.pk AS b
+        |      FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING count(*) >= 2),
+        |und AS (SELECT a AS src, b AS dst FROM e0 UNION ALL SELECT b, a FROM e0),
+        |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM und),
+        |hn AS MATERIALIZED (SELECT node, ${md5Hash60Sql("CAST(node AS VARCHAR)")} AS h FROM a0),
+        |ed AS MATERIALIZED (SELECT u.src, u.dst, hs.h AS hs, hd.h AS hd
+        |      FROM und u JOIN hn hs ON hs.node = u.src JOIN hn hd ON hd.node = u.dst),
+        |$rounds
+        |SELECT * FROM ($rows) ORDER BY round""".stripMargin
+    },
+
     "graph_spectral_fiedler" -> {
       // deflated power-iteration mirror: q6 node/edge pins, exact
       // BIGINT dots/matvecs/norm-squares, per-iteration scalar

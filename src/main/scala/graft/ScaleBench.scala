@@ -544,7 +544,10 @@ object ScaleBench {
     // the BPE-trainer shape
     "tok_wordpiece_train",
     // pass@k: one user-grain agg + one narrow pass + one global agg
-    "eval_pass_at_k")
+    "eval_pass_at_k",
+    // Luby MIS: 5 rounds of edge-sized joins over a shrinking active
+    // set; localCheckpoint per round keeps plans flat
+    "graph_mis_luby")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

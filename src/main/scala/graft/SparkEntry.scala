@@ -8246,6 +8246,68 @@ object SparkEntry {
         .orderBy("round")
     }),
 
+    "graph_mis_luby" -> ((s, dir) => {
+      // maximal independent set via Luby's algorithm (Luby, SIAM J.
+      // Comput. 1986) — THE canonical O(log n)-round parallel graph
+      // primitive (the building block of distributed coloring,
+      // matching, and scheduler anti-affinity): each round, every
+      // active node with no higher-priority active neighbor joins the
+      // MIS, and it plus its neighbors retire. Priorities are the
+      // deterministic md5 fold with (hash, id) tie-break, expressed
+      // PER EDGE as a domination flag — no struct-min aggregate, just
+      // one boolean + one distinct + two anti-joins per round, all
+      // edge-sized. FIXED 5 rounds — enough to CONVERGE on this graph
+      // (actives decay geometrically: 1880 -> 442 -> 58 -> 11 at
+      // sf0.01, Luby's 1/4-expected-edge-kill bound in action) while
+      // keeping both engines on the same unroll;
+      // the ledger emits per-round active/added/removed counts + the
+      // convergence flag. CurationOpsSpec asserts independence (no
+      // MIS edge) and maximality on the converged rounds. Scale:
+      // everything rides the edge list; the active set only shrinks.
+      val eRaw = copurchaseEdgesMemo(s, dir).filter(col("w") >= 2)
+        .select("src", "dst")
+      val und = Caches.persist(eRaw.union(
+        eRaw.select(col("dst").as("src"), col("src").as("dst"))))
+      def h(c: Column) = Dedup.md5Hash60(c.cast("string"))
+      // each round references `active` ~7x through the cand/nbrs/next
+      // chain, so carrying raw lineage across rounds grows the plan
+      // (and its listener-rendered string) EXPONENTIALLY — round 5
+      // spent minutes inside generateTreeString before any work. The
+      // ext/Graph CC rule applies: truncate per round with
+      // localCheckpoint (node-sized tables, KBs).
+      var active = und.select(col("src").as("node")).distinct()
+        .localCheckpoint()
+      val ledger = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long, Long, Boolean)]
+      for (r <- 1 to 5) {
+        val nBefore = active.count()
+        val ae = und
+          .join(active.select(col("node").as("src")), Seq("src"))
+          .join(active.select(col("node").as("dst")), Seq("dst"))
+        // a neighbor dominates when its (hash, id) priority is lower
+        val dominated = ae.filter(h(col("dst")) < h(col("src")) ||
+            (h(col("dst")) === h(col("src")) && col("dst") < col("src")))
+          .select(col("src").as("node")).distinct()
+        val cand = active.join(dominated, Seq("node"), "left_anti")
+          .localCheckpoint()
+        val nbrs = und.join(cand.select(col("node").as("src")), Seq("src"))
+          .select(col("dst").as("node")).distinct()
+        val next = active
+          .join(cand, Seq("node"), "left_anti")
+          .join(nbrs, Seq("node"), "left_anti")
+          .localCheckpoint()
+        val nAdd = cand.count(); val nAfter = next.count()
+        ledger += ((r.toLong, nBefore, nAdd, nBefore - nAfter - nAdd,
+          nAfter, nAfter == 0L))
+        active = next
+      }
+      import s.implicits._
+      ledger.toSeq
+        .toDF("round", "n_active_before", "n_mis_added",
+          "n_neighbors_removed", "n_active_after", "converged")
+        .orderBy("round")
+    }),
+
     "graph_spectral_fiedler" -> ((s, dir) => {
       // spectral bisection via the Fiedler direction (Fiedler 1973;
       // Shi & Malik PAMI 2000 for the normalized cut connection) —

@@ -216,6 +216,26 @@ class CurationOpsSpec extends SparkSpec {
       s"coverage ${r.getDouble(5)} below 0.9 - $slack")
   }
 
+  test("graph_mis_luby: ledger balances, actives shrink, convergence absorbs") {
+    val rows = SparkEntry.queries("graph_mis_luby")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      // before = added + neighbors-removed + after, every round
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        s"round ${r.getLong(0)} ledger does not balance")
+      // Luby guarantee: while anything is active, the globally
+      // lowest-priority active node always joins
+      if (r.getLong(1) > 0) assert(r.getLong(2) > 0)
+      assert(r.getBoolean(5) == (r.getLong(4) == 0L))
+    }
+    rows.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getLong(1) == p.getLong(4),
+        "next round must start from the previous actives")
+      if (p.getBoolean(5)) assert(n.getBoolean(5), "convergence must absorb")
+    }
+  }
+
   test("graph_spectral_fiedler: deflation absorbs, spectrum bounds hold") {
     val rows = SparkEntry.queries("graph_spectral_fiedler")(spark, dir)
       .collect().sortBy(_.getLong(0))
