@@ -4093,6 +4093,55 @@ FROM qb, qr, spl, wt"""
         |       round(3.0 * t / w, 6) AS clustering
         |FROM tri CROSS JOIN w""".stripMargin,
 
+    "graph_mst_boruvka" -> {
+      // Borůvka mirror: per round the (cost6, src, dst)-ordered
+      // per-component argmin via row_number, contraction via a
+      // recursive min-label closure over the chosen pseudo-forest ON
+      // COMPONENT LABELS, label map carried MATERIALIZED between
+      // rounds; ledger counts and cost sums all exact integers
+      val rounds = (1 to 3).map { r =>
+        s"""rel$r AS (SELECT e.cost6, e.src, e.dst, a.comp AS ca, b.comp AS cb
+           |       FROM ew e JOIN cp${r - 1} a ON a.node = e.src JOIN cp${r - 1} b ON b.node = e.dst
+           |       WHERE a.comp <> b.comp),
+           |ch$r AS MATERIALIZED (SELECT DISTINCT src, dst, cost6 FROM (
+           |       SELECT src, dst, cost6, row_number() OVER (PARTITION BY c ORDER BY cost6, src, dst) AS rn FROM (
+           |         SELECT ca AS c, cost6, src, dst FROM rel$r
+           |         UNION ALL SELECT cb, cost6, src, dst FROM rel$r))
+           |       WHERE rn = 1),
+           |se$r AS MATERIALIZED (SELECT a.comp AS s, b.comp AS d
+           |       FROM ch$r ch JOIN cp${r - 1} a ON a.node = ch.src JOIN cp${r - 1} b ON b.node = ch.dst
+           |       UNION
+           |       SELECT b.comp, a.comp
+           |       FROM ch$r ch JOIN cp${r - 1} a ON a.node = ch.src JOIN cp${r - 1} b ON b.node = ch.dst),
+           |rc$r(n, m) AS (
+           |       SELECT s, s FROM se$r
+           |       UNION
+           |       SELECT rc$r.n, se$r.d FROM rc$r JOIN se$r ON se$r.s = rc$r.m),
+           |cc$r AS MATERIALIZED (SELECT n AS oldc, min(m) AS newc FROM rc$r GROUP BY n),
+           |cp$r AS MATERIALIZED (SELECT cp.node, COALESCE(cc.newc, cp.comp) AS comp
+           |       FROM cp${r - 1} cp LEFT JOIN cc$r cc ON cc.oldc = cp.comp)""".stripMargin
+      }.mkString(",\n")
+      val rows = (1 to 3).map { r =>
+        s"""SELECT CAST($r AS BIGINT) AS round,
+           |       (SELECT CAST(count(DISTINCT comp) AS BIGINT) FROM cp${r - 1}) AS n_components_before,
+           |       (SELECT CAST(count(*) AS BIGINT) FROM ch$r) AS n_edges_added,
+           |       (SELECT CAST(COALESCE(sum(cost6), 0) AS BIGINT) FROM ch$r) AS cost6_added,
+           |       (SELECT CAST(count(DISTINCT comp) AS BIGINT) FROM cp$r) AS n_components_after,
+           |       (SELECT count(DISTINCT comp) FROM cp${r - 1}) = (SELECT count(DISTINCT comp) FROM cp$r) AS converged""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH RECURSIVE op AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+        |ew AS MATERIALIZED (SELECT a, b, src, dst, cost6 FROM (
+        |      SELECT a.pk AS a, b.pk AS b, a.pk AS src, b.pk AS dst,
+        |             CAST(floor(1000000.0 / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS cost6,
+        |             count(*) AS w
+        |      FROM op a JOIN op b ON a.okey = b.okey AND a.pk < b.pk
+        |      GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2)),
+        |cp0 AS MATERIALIZED (SELECT node, node AS comp FROM (
+        |      SELECT src AS node FROM ew UNION SELECT dst FROM ew)),
+        |$rounds
+        |SELECT * FROM ($rows) ORDER BY round""".stripMargin
+    },
+
     "graph_mis_luby" -> {
       // Luby MIS mirror: hashed node priorities precomputed once, per
       // round a NOT-EXISTS on the dominating-active-neighbor edge

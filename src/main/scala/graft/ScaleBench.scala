@@ -547,7 +547,10 @@ object ScaleBench {
     "eval_pass_at_k",
     // Luby MIS: 5 rounds of edge-sized joins over a shrinking active
     // set; localCheckpoint per round keeps plans flat
-    "graph_mis_luby")
+    "graph_mis_luby",
+    // Boruvka: 3 x (edge relabel join + argmin agg + CC on the
+    // SHRINKING component graph) — the Louvain-class cost band
+    "graph_mst_boruvka")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

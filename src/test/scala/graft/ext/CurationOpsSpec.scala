@@ -216,6 +216,24 @@ class CurationOpsSpec extends SparkSpec {
       s"coverage ${r.getDouble(5)} below 0.9 - $slack")
   }
 
+  test("graph_mst_boruvka: forest identity holds every round") {
+    val rows = SparkEntry.queries("graph_mst_boruvka")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      // THE forest/acyclicity identity: each distinct chosen edge
+      // merges exactly two trees, so components drop one per edge
+      assert(r.getLong(4) == r.getLong(1) - r.getLong(2),
+        s"round ${r.getLong(0)}: after ${r.getLong(4)} != before - added")
+      if (r.getLong(2) > 0) assert(r.getLong(3) > 0, "edges must cost")
+      assert(r.getBoolean(5) == (r.getLong(1) == r.getLong(4)))
+    }
+    rows.sliding(2).foreach { case Array(p, n) =>
+      assert(n.getLong(1) == p.getLong(4),
+        "next round must start from the previous components")
+    }
+  }
+
   test("graph_mis_luby: ledger balances, actives shrink, convergence absorbs") {
     val rows = SparkEntry.queries("graph_mis_luby")(spark, dir)
       .collect().sortBy(_.getLong(0))
