@@ -6815,7 +6815,7 @@ object SparkEntry {
         (col("cum_sy") - col("sy")).as("csyx"))
       val segK = cm.select(col("bin").as("k"),
         col("cum_n").as("cnk"), col("cum_sy").as("csyk"))
-      val seg = segJ.join(segK, col("k") >= col("j"))
+      val seg = segJ.join(broadcast(segK), col("k") >= col("j"))
         .select(col("j"), col("k"),
           ((col("csyk") - col("csyx")).cast("double") /
             (col("cnk") - col("cnx")).cast("double")).as("m"))
