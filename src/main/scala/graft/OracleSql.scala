@@ -8551,6 +8551,33 @@ FROM qb, qr, spl, wt"""
         |SELECT * FROM th UNION ALL SELECT * FROM ta
         |ORDER BY kind, score DESC, node""".stripMargin,
 
+    "stats_kendall_tau" ->
+      // tau-b mirror: same 256-row bound, pair classification as
+      // exact integer conditional sums, the one fixed-shape tau
+      // expression over them (unrounded; sqrt is IEEE-exact)
+      s"""WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS k,
+        |                   CAST(l_quantity AS BIGINT) AS x,
+        |                   CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y,
+        |                   ${md5Hash60Sql("concat_ws('|', l_orderkey, l_linenumber)")} AS h
+        |            FROM lineitem),
+        |pts AS MATERIALIZED (SELECT k, x, y FROM li ORDER BY h, k LIMIT 256),
+        |np AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pts),
+        |g AS MATERIALIZED (SELECT k, x, y, CAST(count(*) AS BIGINT) AS m FROM pts GROUP BY 1, 2, 3),
+        |cl AS (SELECT
+        |         CAST(sum(CASE WHEN b.x - a.x <> 0 AND b.y - a.y <> 0 AND ((b.x - a.x > 0) = (b.y - a.y > 0)) THEN a.m * b.m ELSE 0 END) AS BIGINT) AS c,
+        |         CAST(sum(CASE WHEN b.x - a.x <> 0 AND b.y - a.y <> 0 AND ((b.x - a.x > 0) <> (b.y - a.y > 0)) THEN a.m * b.m ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(sum(CASE WHEN b.x - a.x = 0 AND b.y - a.y <> 0 THEN a.m * b.m ELSE 0 END) AS BIGINT) AS tx,
+        |         CAST(sum(CASE WHEN b.x - a.x <> 0 AND b.y - a.y = 0 THEN a.m * b.m ELSE 0 END) AS BIGINT) AS ty,
+        |         CAST(sum(CASE WHEN b.x - a.x = 0 AND b.y - a.y = 0 THEN a.m * b.m ELSE 0 END) AS BIGINT) AS txy
+        |       FROM g a JOIN g b ON (a.k < b.k OR (a.k = b.k AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))))),
+        |wi AS (SELECT CAST(COALESCE(sum(m * (m - 1)), 0) // 2 AS BIGINT) AS w FROM g)
+        |SELECT np.n AS n_points, np.n * (np.n - 1) // 2 AS n_pairs,
+        |       cl.c AS concordant, cl.d AS discordant,
+        |       cl.tx AS ties_x, cl.ty AS ties_y, cl.txy + wi.w AS ties_both,
+        |       CAST(cl.c - cl.d AS DOUBLE) /
+        |         sqrt(CAST(np.n * (np.n - 1) // 2 - (cl.tx + cl.txy + wi.w) AS DOUBLE) * CAST(np.n * (np.n - 1) // 2 - (cl.ty + cl.txy + wi.w) AS DOUBLE)) AS tau_b
+        |FROM np, cl, wi""".stripMargin,
+
     "stats_theil_sen" ->
       // Theil-Sen mirror: same 256-row (hash, key) bound, integer-cent
       // slope pins, exact-integer residuals, both medians as the
@@ -8563,7 +8590,8 @@ FROM qb, qr, spl, wt"""
         |            FROM lineitem),
         |pts AS MATERIALIZED (SELECT k, x, y FROM li ORDER BY h, k LIMIT 256),
         |pr AS MATERIALIZED (SELECT CAST(floor(CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) + 0.5) AS BIGINT) AS sl
-        |      FROM pts a JOIN pts b ON a.k < b.k AND a.x <> b.x),
+        |      FROM pts a JOIN pts b
+        |      ON (a.k < b.k OR (a.k = b.k AND (a.x < b.x OR (a.x = b.x AND a.y < b.y)))) AND a.x <> b.x),
         |np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pr),
         |md AS (SELECT sl AS slope FROM
         |         (SELECT sl, row_number() OVER (ORDER BY sl) AS rn FROM pr), np

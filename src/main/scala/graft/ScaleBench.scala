@@ -550,7 +550,9 @@ object ScaleBench {
     "graph_mis_luby",
     // Boruvka: 3 x (edge relabel join + argmin agg + CC on the
     // SHRINKING component graph) — the Louvain-class cost band
-    "graph_mst_boruvka")
+    "graph_mst_boruvka",
+    // Kendall: one TakeOrdered scan; grouped pair work is 256-bounded
+    "stats_kendall_tau")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

@@ -11605,8 +11605,15 @@ object SparkEntry {
       val slOff = 33554432L // 2^25 shifts integer-cent slopes nonneg
       val sl = floor((col("yb") - col("ya")).cast("double") /
         (col("xb") - col("xa")).cast("double") + lit(0.5)).cast("long")
+      // pair on the LEXICOGRAPHIC (k, x, y) value order, not the key
+      // alone: the generated data has duplicate (orderkey, linenumber)
+      // keys, and a bare ka < kb silently drops same-key cross pairs
+      // (the stats_kendall_tau partition audit caught this)
+      val lex = col("ka") < col("kb") ||
+        (col("ka") === col("kb") && (col("xa") < col("xb") ||
+          (col("xa") === col("xb") && col("ya") < col("yb"))))
       val per = Caches.persist(
-        a.join(b, col("ka") < col("kb") && col("xa") =!= col("xb"))
+        a.join(broadcast(b), lex && col("xa") =!= col("xb"))
           .select((sl + lit(slOff)).as("v"))
           .groupBy("v").agg(count(lit(1)).as("c")))
       val nPairs = per.agg(sum("c")).head().getLong(0)
@@ -11630,6 +11637,68 @@ object SparkEntry {
       Seq((nPts, nPairs, slope.toDouble, icept.toDouble, round6(ols)))
         .toDF("n_points", "n_pairs", "ts_slope_cents",
           "ts_intercept_cents", "ols_slope_cents")
+    }),
+
+    "stats_kendall_tau" -> ((s, dir) => {
+      // Kendall's tau-b rank correlation (Kendall, Biometrika 1938;
+      // tau-b = the tie-corrected form) — the RANK companion to
+      // agg_corr's Pearson: invariant to any monotone transform and
+      // robust to outliers, the agreement statistic used to compare
+      // two rankers. O(n²) pairs, so it runs on stats_theil_sen's
+      // 256-row (hash, key)-bounded sample; every pair classification
+      // (concordant / discordant / x-tie / y-tie / both-tie) is an
+      // exact integer count, and tau_b = (C−D)/sqrt((n0−n1)(n0−n2))
+      // is one fixed-shape double expression over them (emitted
+      // unrounded — sqrt of exact ints is correctly rounded IEEE on
+      // both engines). Scale: one TakeOrdered scan; pair work is
+      // 256-bounded at any corpus size.
+      val h = Dedup.md5Hash60(
+        concat_ws("|", col("l_orderkey"), col("l_linenumber")))
+      val pts = Caches.persist(tbl(s, dir, "lineitem")
+        .select((col("l_orderkey") * lit(10L) + col("l_linenumber"))
+            .as("k"),
+          col("l_quantity").cast("long").as("x"),
+          floor(col("l_extendedprice") * lit(100.0) + lit(0.5))
+            .cast("long").as("y"), h.as("h"))
+        .orderBy(col("h").asc, col("k").asc).limit(256)
+        .select("k", "x", "y"))
+      val nPts = pts.count()
+      // the generated data has duplicate (orderkey, linenumber) keys
+      // (1161 groups at sf0.001 — measured), so the pair universe is
+      // defined on the sample MULTISET: group identical (k, x, y)
+      // tuples, pair distinct tuples under the lexicographic order
+      // with multiplicity ma·mb, and add C(m,2) within-group pairs
+      // (all both-ties) — exactly C(n,2) pairs total, always.
+      val g = pts.groupBy("k", "x", "y").agg(count(lit(1)).as("m"))
+      val a = g.select(col("k").as("ka"), col("x").as("xa"),
+        col("y").as("ya"), col("m").as("ma"))
+      val b = g.select(col("k").as("kb"), col("x").as("xb"),
+        col("y").as("yb"), col("m").as("mb"))
+      val lex = col("ka") < col("kb") ||
+        (col("ka") === col("kb") && (col("xa") < col("xb") ||
+          (col("xa") === col("xb") && col("ya") < col("yb"))))
+      val dx = col("xb") - col("xa"); val dy = col("yb") - col("ya")
+      val w = col("ma") * col("mb")
+      val r = a.join(broadcast(b), lex).agg(
+        sum(when(dx =!= 0 && dy =!= 0 &&
+          (dx > 0) === (dy > 0), w).otherwise(0L)).as("c"),
+        sum(when(dx =!= 0 && dy =!= 0 &&
+          (dx > 0) =!= (dy > 0), w).otherwise(0L)).as("d"),
+        sum(when(dx === 0 && dy =!= 0, w).otherwise(0L)).as("tx"),
+        sum(when(dx =!= 0 && dy === 0, w).otherwise(0L)).as("ty"),
+        sum(when(dx === 0 && dy === 0, w).otherwise(0L)).as("txy"))
+        .head()
+      val within = g.agg(sum(col("m") * (col("m") - 1)))
+        .head().getLong(0) / 2
+      val (cc, dd, tx, ty, txy) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4) + within)
+      val n0 = nPts * (nPts - 1) / 2
+      val tau = (cc - dd).toDouble /
+        math.sqrt((n0 - (tx + txy)).toDouble * (n0 - (ty + txy)).toDouble)
+      import s.implicits._
+      Seq((nPts, n0, cc, dd, tx, ty, txy, tau))
+        .toDF("n_points", "n_pairs", "concordant", "discordant",
+          "ties_x", "ties_y", "ties_both", "tau_b")
     }),
 
     "stats_mannwhitney" -> ((s, dir) => {

@@ -113,6 +113,18 @@ class CurationOpsSpec extends SparkSpec {
     assert(!r.getDouble(7).isNaN, "placebo must be defined")
   }
 
+  test("stats_kendall_tau: pair classes partition C(n,2), tau in range") {
+    val r = SparkEntry.queries("stats_kendall_tau")(spark, dir).head()
+    val n = r.getLong(0)
+    assert(r.getLong(1) == n * (n - 1) / 2)
+    // concordant + discordant + all tie classes = every pair, exactly
+    assert(r.getLong(2) + r.getLong(3) + r.getLong(4) + r.getLong(5) +
+      r.getLong(6) == r.getLong(1), "pair classes must partition pairs")
+    assert(math.abs(r.getDouble(7)) <= 1.0)
+    // price rises with quantity on lineitem — the association is real
+    assert(r.getDouble(7) > 0.0, "tau sign flipped")
+  }
+
   test("stats_theil_sen: bounded sample, integer-cent pins, sane pairs") {
     val r = SparkEntry.queries("stats_theil_sen")(spark, dir).head()
     val n = r.getLong(0)
