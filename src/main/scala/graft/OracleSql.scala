@@ -5916,6 +5916,25 @@ FROM qb, qr, spl, wt"""
         |FROM read_parquet('/root/testdata/sf0.01/documents.parquet')
         |ORDER BY doc_id""".stripMargin,
 
+    "text_good_turing" ->
+      // Good-Turing mirror over bigram doc-frequencies (the
+      // text_bigram_counts shingle semantics): frequency-of-
+      // frequencies head (r <= 10, next-rank left join), r* and P0
+      // as unrounded exact-int quotients
+      s"""WITH toks AS (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> len(w) > 0 AND w NOT IN $stopSql) AS t FROM read_parquet('/root/testdata/sf0.01/documents.parquet')),
+        |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS w
+        |       FROM toks WHERE len(t) >= 2),
+        |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY w),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM wc),
+        |ff AS MATERIALIZED (SELECT c, CAST(count(*) AS BIGINT) AS n_r FROM wc WHERE c <= 11 GROUP BY c),
+        |u AS (SELECT CAST(COALESCE((SELECT n_r FROM ff WHERE c = 1), 0) AS BIGINT) AS n1)
+        |SELECT f.c AS r, f.n_r,
+        |       CAST(f.c + 1 AS DOUBLE) * CAST(g.n_r AS DOUBLE) / CAST(f.n_r AS DOUBLE) AS r_star,
+        |       tot.n AS total_tokens, tot.v AS vocab,
+        |       CAST(u.n1 AS DOUBLE) / CAST(tot.n AS DOUBLE) AS p0_unseen
+        |FROM ff f LEFT JOIN ff g ON g.c = f.c + 1, tot, u
+        |WHERE f.c <= 10 ORDER BY r""".stripMargin,
+
     "text_readability" ->
       // readability mirror: letters via one global regexp strip, the
       // gate tokenizer's word count, text_sentences' sentence rule;

@@ -552,7 +552,9 @@ object ScaleBench {
     // SHRINKING component graph) — the Louvain-class cost band
     "graph_mst_boruvka",
     // Kendall: one TakeOrdered scan; grouped pair work is 256-bounded
-    "stats_kendall_tau")
+    "stats_kendall_tau",
+    // Good-Turing: one shingle scan -> bigram counts -> an 11-row agg
+    "text_good_turing")
 
   /** Scale-measurement override for `j9_interval_overlap`. The gate
     * query carries a `user_id < 300` demo bound (it keeps the ORACLE

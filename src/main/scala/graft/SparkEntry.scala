@@ -7050,6 +7050,43 @@ object SparkEntry {
               col("n_sentences").cast("double"), 6)).as("avg_sentence_len"))
         .orderBy("doc_id")),
 
+    "text_good_turing" -> ((s, dir) => {
+      // Good-Turing frequency estimation (Good 1953; Gale & Sampson
+      // 1995 "simple Good-Turing") — the unseen-mass statistic a
+      // vocabulary-coverage / OOV planner reads that Kneser-Ney keeps
+      // implicit: the frequency-of-frequencies table N_r, the Turing
+      // re-estimates r* = (r+1)·N_{r+1}/N_r for the small-r head
+      // (r ≤ 10 — beyond that N_r is noise, per Gale-Sampson), and
+      // the leave-one-out unseen probability mass P_0 = N_1/N. Runs
+      // on the BIGRAM document-frequency distribution (the shingle
+      // machinery, k=2): classic unigram-token GT is DEGENERATE on
+      // this corpus — the minimum unigram count exceeds 11, so every
+      // N_r in the head is zero (measured; the small-vocab synthetic
+      // corpus has no rare words) — while bigram doc-frequencies have
+      // a fat singleton head, which is exactly the regime GT was
+      // built for (and the grain Katz backoff applies it to). All
+      // counts exact integers; r* and P_0 are exact-int quotients
+      // emitted unrounded. Scale: one shingle scan → bigram counts →
+      // an ≤11-row frequency-of-frequencies aggregate.
+      val wc = Dedup.shingleRows(docs(s, dir), k = 2)
+        .groupBy(col("shingle").as("w")).agg(count(lit(1)).as("c"))
+      val tot = wc.agg(sum("c").as("n"), count(lit(1)).as("v")).head()
+      val (nTok, vocab) = (tot.getLong(0), tot.getLong(1))
+      val ff = Caches.persist(wc.groupBy("c")
+        .agg(count(lit(1)).as("n_r")).filter(col("c") <= 11))
+      val n1 = ff.filter(col("c") === 1).collect()
+        .headOption.map(_.getLong(1)).getOrElse(0L)
+      val nxt = ff.select((col("c") - 1).as("r"), col("n_r").as("nr1"))
+      ff.filter(col("c") <= 10).select(col("c").as("r"), col("n_r"))
+        .join(nxt, Seq("r"), "left")
+        .select(col("r"), col("n_r"),
+          ((col("r") + 1).cast("double") * col("nr1").cast("double") /
+            col("n_r").cast("double")).as("r_star"),
+          lit(nTok).as("total_tokens"), lit(vocab).as("vocab"),
+          lit(n1.toDouble / nTok.toDouble).as("p0_unseen"))
+        .orderBy("r")
+    }),
+
     "text_readability" -> ((s, dir) => {
       // readability scoring per source — the grade-level telemetry a
       // curation pipeline reads beside text_quality (ARI, Senter &

@@ -113,6 +113,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(!r.getDouble(7).isNaN, "placebo must be defined")
   }
 
+  test("text_good_turing: head identities and unseen mass") {
+    val rows = SparkEntry.queries("text_good_turing")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    val byR = rows.map(r => r.getLong(0) -> r).toMap
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 1 && r.getLong(0) <= 10)
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0)
+    }
+    // frequency-of-frequencies cannot exceed the vocabulary
+    assert(rows.map(_.getLong(1)).sum <= rows.head.getLong(4))
+    // P0 = N_1 / N exactly (when the singleton row exists)
+    byR.get(1L).foreach { r1 =>
+      assert(r1.getDouble(5) ==
+        r1.getLong(1).toDouble / r1.getLong(3).toDouble)
+    }
+    // r* = (r+1) N_{r+1} / N_r wherever both ranks exist
+    rows.foreach { r =>
+      byR.get(r.getLong(0) + 1) match {
+        case Some(nx) if !r.isNullAt(2) =>
+          val expect = (r.getLong(0) + 1).toDouble *
+            nx.getLong(1).toDouble / r.getLong(1).toDouble
+          assert(r.getDouble(2) == expect)
+        case _ => ()
+      }
+    }
+  }
+
   test("stats_kendall_tau: pair classes partition C(n,2), tau in range") {
     val r = SparkEntry.queries("stats_kendall_tau")(spark, dir).head()
     val n = r.getLong(0)
