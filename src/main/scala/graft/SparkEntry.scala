@@ -531,9 +531,11 @@ object SparkEntry {
     * blocks.
     */
   private val copurchaseEdgesMemo = new DirMemo((s, dir) => {
+    // no pre-distinct: collect_set already deduplicates per order with
+    // map-side partial aggregation, so the former distinct() was a full
+    // extra Exchange of the (okey, pk) pairs for the identical set table
     val op = tbl(s, dir, "lineitem")
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-      .distinct()
     val sets = op.groupBy("okey").agg(sort_array(collect_set("pk")).as("ps"))
     val e1 = sets.select(col("ps"), posexplode(col("ps")).as(Seq("i", "src")))
     e1.select(col("src"), col("i"), posexplode(col("ps")).as(Seq("j", "dst")))
@@ -944,6 +946,32 @@ object SparkEntry {
     }
     val (bin, bn, cprev) = found.get
     lo + (bin * w).toDouble / B + (t - cprev).toDouble * (w.toDouble / B) / bn
+  }
+
+  /** Run independent driver-side jobs CONCURRENTLY (optimization-guide
+    * §2.6 "overlap independent jobs"): Spark's scheduler happily runs
+    * several jobs at once inside one application — sweeps that launch
+    * k independent action chains (elbow curves, threshold bands,
+    * artifact writes) are sequential only because the driver calls them
+    * sequentially, leaving most of local[N] idle during each small
+    * job's tail. Results come back in input order, so output is
+    * deterministic regardless of completion order; each task body is an
+    * independent Spark action chain (Caches / DirMemo registries are
+    * synchronized). Pool is sized to the task count (callers pass ≤ 8)
+    * and torn down before returning; failures propagate like the
+    * sequential form (first exception rethrown).
+    */
+  private def parActions[A, B](xs: Seq[A])(f: A => B): Seq[B] = {
+    if (xs.size <= 1) return xs.map(f)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(xs.size)
+    try {
+      val futs = xs.map(x => pool.submit(new java.util.concurrent.Callable[B] {
+        override def call(): B = f(x)
+      }))
+      futs.map(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
   }
 
   /** Driver-side mirror of Spark's `round(col, 6)` (HALF_UP over
@@ -4213,8 +4241,11 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 8)
       val exact = Caches.persist(Similarity.bruteForceTopK(e, q, k = 5)
         .select("query_id", "vec_id"))
+      exact.count() // eager: the concurrent probes below all read the cache
       val nq = q.count()
-      Seq(1, 2, 3, 4).map { p =>
+      // the four probe settings are independent reads over the persisted
+      // ground truth — run them concurrently (§2.6); fixed assembly order
+      parActions(Seq(1, 2, 3, 4)) { p =>
         val approx = Similarity
           .ivfTopK(e, q, k = 5, nCentroids = 8, nprobe = p)
           .select("query_id", "vec_id")
@@ -6107,7 +6138,10 @@ object SparkEntry {
         tbl(s, dir, "embeddings").select("vec_id", "embedding"))
       emb.count() // eager: all three curves' assignments read the cache
       import s.implicits._
-      Seq(4, 8, 16).map { k =>
+      // the three K curves are independent action chains over the same
+      // eager cache — run them concurrently (§2.6); results assemble in
+      // fixed K order, so the output is unchanged
+      parActions(Seq(4, 8, 16)) { k =>
         val curve = Similarity.kmeansInertiaCurve(emb, nCentroids = k,
           iters = 2).orderBy("iter").collect()
         (k.toLong, curve.last.getDouble(1))
@@ -6209,7 +6243,18 @@ object SparkEntry {
       def q6d(c: Column) = floor(c * lit(1000000.0) + lit(0.5)).cast("long")
       val seed = emb.orderBy(col("vec_id").asc).limit(1)
       val seedRow = seed.select("vec_id", "label").head()
-      var cur = Caches.persist(
+      // iteration state is PINNED (eager localCheckpoint + lineage-free
+      // wrapper), not lazily persisted: cur_t chains on cur_{t−1}, so
+      // with 2 actions per step Catalyst re-analyzed a plan growing
+      // with t — the graph_spectral_fiedler failure mode (this query
+      // was 10.1 s in the r17 baseline bench with near-zero data).
+      // Superseded checkpoints are freed per step; values unchanged.
+      val shim = org.apache.spark.sql.graftshim.ColumnShim
+      def pin(df: DataFrame): DataFrame = {
+        val cp = df.localCheckpoint()
+        cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+      }
+      var cur = pin(
         emb.crossJoin(broadcast(seed.select(col("embedding").as("ce"))))
           .select(col("vec_id"), col("label"), col("embedding"),
             q6d(lit(1.0) - Similarity.cosine(col("embedding"), col("ce")))
@@ -6228,17 +6273,20 @@ object SparkEntry {
       for (step <- 2 to 8) {
         val pickDf = cur.orderBy(col("d6").desc, col("vec_id").asc).limit(1)
         val pr = pickDf.select("vec_id", "label", "d6").head()
-        cur = Caches.persist(
+        val curPrev = cur
+        cur = pin(
           cur.crossJoin(broadcast(pickDf.select(col("embedding").as("ce"))))
             .select(col("vec_id"), col("label"), col("embedding"),
               least(col("d6"),
                 q6d(lit(1.0) -
                   Similarity.cosine(col("embedding"), col("ce"))))
                 .as("d6")))
+        shim.unpersistCheckpoint(curPrev)
         val (rad, mean) = audit(cur)
         ledger += ((step.toLong, pr.getLong(0), pr.getInt(1),
           Some(pr.getLong(2).toDouble / 1000000.0), rad, mean))
       }
+      shim.unpersistCheckpoint(cur)
       import s.implicits._
       ledger.toSeq
         .toDF("step", "picked_vec_id", "picked_label", "dist_at_pick",
@@ -8248,6 +8296,10 @@ object SparkEntry {
       var e = graft.Caches.persist(
         copurchaseEdgesMemo(s, dir).filter(col("w") >= 2)
           .select(col("src").as("a"), col("dst").as("b")))
+      // thread the edge count through the loop: round r's "before" count
+      // IS round r−1's "after" count, so each round pays ONE count
+      // action, not two (values identical by construction)
+      var nb = e.count()
       val ledger =
         scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Boolean)]
       for (r <- 1 to 4) {
@@ -8272,9 +8324,10 @@ object SparkEntry {
           e.join(sup, Seq("a", "b"), "left")
             .filter(coalesce(col("sup"), lit(0L)) >= k - 2)
             .select("a", "b"))
-        val nb = e.count(); val nk = kept.count()
+        val nk = kept.count()
         ledger += ((r.toLong, nb, nb - nk, nk, nb == nk))
         e = kept
+        nb = nk
       }
       import s.implicits._
       ledger.toSeq
@@ -8386,10 +8439,13 @@ object SparkEntry {
       // localCheckpoint (node-sized tables, KBs).
       var active = und.select(col("src").as("node")).distinct()
         .localCheckpoint()
+      // thread the active count: round r's "before" IS round r−1's
+      // "after" (one count action per round instead of two; identical
+      // values by construction)
+      var nBefore = active.count()
       val ledger = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Long, Long, Boolean)]
       for (r <- 1 to 5) {
-        val nBefore = active.count()
         val ae = und
           .join(active.select(col("node").as("src")), Seq("src"))
           .join(active.select(col("node").as("dst")), Seq("dst"))
@@ -8409,6 +8465,7 @@ object SparkEntry {
         ledger += ((r.toLong, nBefore, nAdd, nBefore - nAfter - nAdd,
           nAfter, nAfter == 0L))
         active = next
+        nBefore = nAfter
       }
       import s.implicits._
       ledger.toSeq
@@ -8456,7 +8513,24 @@ object SparkEntry {
         when(Dedup.md5Hash60(col("src").cast("string"))
           .bitwiseAND(lit(1L)) === 1L, 1000000L).otherwise(-1000000L)
           .as("x6")))
+      // Iteration state is PINNED (eager localCheckpoint + lineage-free
+      // wrapper — the louvainFullRun pin), not lazily persisted: a
+      // persisted frame still carries its whole logical lineage, so
+      // with 3 actions per iteration Catalyst re-analyzed a plan that
+      // grew superlinearly with t — measured 17.6-53.8 s/rep at sf0.1
+      // with 18 fresh Janino compiles per sweep (the r17 baseline
+      // bench; the Graph.connectedComponents scaladoc documents the
+      // same failure mode). Pinning keeps every action's plan at
+      // constant depth; superseded checkpoints are freed in-loop (the
+      // CC hygiene). Values are unchanged: same joins, same pinned
+      // arithmetic, same driver scalars.
+      val shim = org.apache.spark.sql.graftshim.ColumnShim
+      def pin(df: DataFrame): DataFrame = {
+        val cp = df.localCheckpoint()
+        cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+      }
       var x = nodes.select("node", "x6")
+      var xPrev: DataFrame = null // pinned predecessor, freed per round
       val ledger = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Double, Double, Long, Long)]
       for (t <- 1 to 4) {
@@ -8464,7 +8538,7 @@ object SparkEntry {
           .join(x, Seq("node"))
           .agg(sum(col("v16") * col("x6"))).head().getLong(0)
         val c = c12.toDouble / 1.0e12
-        val xd = Caches.persist(nodes.select("node", "v16")
+        val xd = pin(nodes.select("node", "v16")
           .join(x, Seq("node"))
           .select(col("node"),
             (col("x6") - floor(lit(c) * col("v16").cast("double") +
@@ -8474,7 +8548,7 @@ object SparkEntry {
             Seq("dst"))
           .groupBy(col("src").as("node"))
           .agg(sum(col("xj") * col("w6")).as("y12"))
-        val y6t = Caches.persist(y.select(col("node"),
+        val y6t = pin(y.select(col("node"),
           floor(col("y12").cast("double") / lit(1000000.0) + lit(0.5))
             .cast("long").as("y6")))
         val r = xd.join(y6t, Seq("node"))
@@ -8483,14 +8557,22 @@ object SparkEntry {
             sum(col("y6") * col("y6")).as("nsq")).head()
         val rayleigh = r.getLong(0).toDouble / r.getLong(1).toDouble
         val nrm = math.sqrt(r.getLong(2).toDouble) / 1.0e6
-        x = Caches.persist(y6t.select(col("node"),
+        val xNew = pin(y6t.select(col("node"),
           floor(col("y6").cast("double") / lit(nrm) + lit(0.5))
             .cast("long").as("x6")))
-        val p = x.agg(
+        val p = xNew.agg(
           sum(when(col("x6") > 0, 1L).otherwise(0L)).as("np"),
           sum(when(col("x6") <= 0, 1L).otherwise(0L)).as("nn")).head()
+        // xd / y6t / the superseded x are dead once xNew and the scalars
+        // exist — free their checkpoint blocks now, not at session end
+        shim.unpersistCheckpoint(xd)
+        shim.unpersistCheckpoint(y6t)
+        if (xPrev != null) shim.unpersistCheckpoint(xPrev)
+        xPrev = xNew
+        x = xNew
         ledger += ((t.toLong, c, rayleigh, p.getLong(0), p.getLong(1)))
       }
+      if (xPrev != null) shim.unpersistCheckpoint(xPrev)
       import s.implicits._
       ledger.toSeq
         .toDF("iter", "deflate_c", "rayleigh_lambda2", "n_pos", "n_neg")
@@ -8889,18 +8971,33 @@ object SparkEntry {
         .join(labels.select(col("node").as("dst"), col("community").as("cd")),
           Seq("dst"))
       val wtot = e.agg(sum("w")).head().getLong(0)
-      // (n_communities, intra weight, Σ S_c² exact) under a labeling
+      // (n_communities, intra weight, Σ S_c² exact) under a labeling —
+      // ONE aggregate job per labeling (was three driver actions:
+      // distinct-count, intra sum, ssq sum; the louvainFullRun telemetry
+      // merge). Bit-identical by construction: the cs/cd union already
+      // fed ssq, intra rows (cs = cd) contribute w twice there so
+      // intra = Σ selfw / 2 exactly, and every community has a member
+      // node on some edge, so the group count equals the labels'
+      // distinct community count.
       def tele(labels: DataFrame): (Long, Long, java.math.BigDecimal) = {
-        val el = Caches.persist(labeled(labels).select("w", "cs", "cd"))
-        val nc = labels.select("community").distinct().count()
-        val intra = el.filter(col("cs") === col("cd"))
-          .agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
-        val ssq = el.select(col("cs").as("community"), col("w"))
-          .unionAll(el.select(col("cd").as("community"), col("w")))
-          .groupBy("community").agg(sum("w").as("st"))
-          .agg(sum(col("st").cast("decimal(19,0)") *
-            col("st").cast("decimal(19,0)"))).head().getDecimal(0)
-        (nc, intra, ssq)
+        val el = labeled(labels).select("w", "cs", "cd")
+        val self = col("cs") === col("cd")
+        // explode, not unionAll: both community-endpoint rows come out
+        // of ONE pass over the two label joins (a union re-executes
+        // the join subtree per branch)
+        val r = el.select(explode(array(
+            struct(col("cs").as("community"), col("w").as("w"), self.as("self")),
+            struct(col("cd").as("community"), col("w").as("w"), self.as("self"))))
+            .as("ep"))
+          .select(col("ep.community").as("community"), col("ep.w").as("w"),
+            col("ep.self").as("self"))
+          .groupBy("community").agg(sum("w").as("st"),
+            sum(when(col("self"), col("w")).otherwise(lit(0L))).as("selfw"))
+          .agg(count(lit(1)),
+            coalesce(sum("selfw"), lit(0L)),
+            sum(col("st").cast("decimal(19,0)") * col("st").cast("decimal(19,0)")))
+          .head()
+        (r.getLong(0), r.getLong(1) / 2L, r.getDecimal(2))
       }
       def q6(intra: Long, ssq: java.math.BigDecimal): Double =
         java.math.BigDecimal.valueOf(
@@ -8974,7 +9071,8 @@ object SparkEntry {
       val seeds = tbl(s, dir, "part")
         .filter(col("p_brand") === "Brand#21")
         .select(col("p_partkey").as("node"))
-      Graph.bfsHopsFrontier(copurchaseEdgesMemo(s, dir), seeds, rounds = 3)
+      Graph.bfsHopsFrontier(copurchaseEdgesMemo(s, dir), seeds, rounds = 3,
+        canonicalEdges = true)
         .groupBy("hops").agg(count(lit(1)).as("n_parts"))
         .orderBy("hops")
     }),
@@ -8987,7 +9085,8 @@ object SparkEntry {
       // other survivors. All-integer (degrees and ids), so the DuckDB
       // mirror is the same unrolled peel, exactly equal. Edges come
       // from the shared co-purchase memo (one build serves all graph_*).
-      Graph.kCore(copurchaseEdgesMemo(s, dir), k = 3, rounds = 4)
+      Graph.kCore(copurchaseEdgesMemo(s, dir), k = 3, rounds = 4,
+        canonicalEdges = true)
         .select(col("node").as("part"), col("deg"))
         .orderBy(col("deg").desc, col("part"))
         .limit(25)
@@ -12381,7 +12480,7 @@ object SparkEntry {
         .filter(col("p_partkey") <= 4)
         .select(col("p_partkey").as("node"))
       graft.ext.Graph.betweennessSeeds(
-        copurchaseEdgesMemo(s, dir), seeds, depth = 3)
+        copurchaseEdgesMemo(s, dir), seeds, depth = 3, canonicalEdges = true)
     }),
 
     "graph_closeness_seeds" -> ((s, dir) => {
@@ -12395,7 +12494,7 @@ object SparkEntry {
         .filter(col("p_partkey") <= 4)
         .select(col("p_partkey").as("node"))
       graft.ext.Graph.closenessSeeds(
-        copurchaseEdgesMemo(s, dir), seeds, depth = 3)
+        copurchaseEdgesMemo(s, dir), seeds, depth = 3, canonicalEdges = true)
     }),
 
     "emb_training_pairs" -> ((s, dir) => {

@@ -64,18 +64,22 @@ object Graph {
       // round, so convergence is O(log diameter) (Kiveris et al.).
       val lbl2 = labels
         .select(col("node").as("label"), col("label").as("jump"))
+      // `prev` rides the checkpoint (it is computed from `labels` in the
+      // same select — zero extra work), so the convergence check below is
+      // a filter-count over the just-materialized blocks instead of a
+      // shuffle join back to the old labels (guide §2.4: one exchange per
+      // round removed; same count by construction — `next` has exactly
+      // one row per labels row)
       val next = labels
         .join(lbl2, Seq("label"), "left")
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"),
             coalesce(col("jump"), col("label")),
-            coalesce(col("nbr_min"), col("label"))).as("label"))
+            coalesce(col("nbr_min"), col("label"))).as("label"),
+          col("label").as("prev"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("node"), col("label").as("prev")), Seq("node"))
-        .filter(col("label") =!= col("prev"))
-        .count()
+      changed = next.filter(col("label") =!= col("prev")).count()
       // prev state is dead once `next` (already eagerly materialized) and
       // the change count no longer read it — free its checkpoint blocks
       org.apache.spark.sql.graftshim.ColumnShim.unpersistCheckpoint(labels)
@@ -145,10 +149,17 @@ object Graph {
         .filter(col("u") =!= col("v"))
         .distinct()
         .localCheckpoint(true)
-      // exact fixed-point check: symmetric difference must be empty
-      val grew = next.join(e, Seq("u", "v"), "left_anti").count()
-      val shrank = e.join(next, Seq("u", "v"), "left_anti").count()
-      stable = grew == 0 && shrank == 0
+      // exact fixed-point check: symmetric difference must be empty.
+      // ONE full-outer join + aggregate gives both directions in a
+      // single action (was two anti-join counts = two jobs + two
+      // exchanges per round; both inputs are checkpointed so the
+      // join reads cached blocks)
+      val diff = next.withColumn("in_next", lit(true))
+        .join(e.withColumn("in_e", lit(true)), Seq("u", "v"), "full_outer")
+        .agg(coalesce(sum(when(col("in_e").isNull, 1L).otherwise(0L)), lit(0L)),
+          coalesce(sum(when(col("in_next").isNull, 1L).otherwise(0L)), lit(0L)))
+        .head()
+      stable = diff.getLong(0) == 0L && diff.getLong(1) == 0L
       shim.unpersistCheckpoint(e)
       e = next
       iter += 1
@@ -587,21 +598,32 @@ object Graph {
     }
     val wtot = edges.agg(sum("w")).head().getLong(0)
     require(wtot > 0L, "louvainFull needs a non-empty weighted edge set")
-    // (n_communities, intra_w, Σ S_c² as exact decimal) of a super-graph
+    // (n_communities, intra_w, Σ S_c² as exact decimal) of a super-graph —
+    // ONE aggregate job (was three driver actions per level: distinct-
+    // count, intra sum, ssq sum). Values are bit-identical by
+    // construction: unioning BOTH endpoints of every edge gives each
+    // non-self edge w per side and each self-loop w twice = 2w (exactly
+    // the old nonself/self union), so st matches; Σ selfw counts every
+    // self-loop twice, so intra = Σ selfw / 2 exactly (even integer);
+    // the group count IS the distinct node count. All integer sums —
+    // no float reordering anywhere.
     def telemetry(e: DataFrame): (Long, Long, java.math.BigDecimal) = {
-      val nComm = e.select(col("src").as("node"))
-        .unionAll(e.select(col("dst").as("node"))).distinct().count()
-      val intra = e.filter(col("src") === col("dst"))
-        .agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
-      val nonself = e.filter(col("src") =!= col("dst"))
-      val st = nonself.select(col("src").as("node"), col("w"))
-        .unionAll(nonself.select(col("dst").as("node"), col("w")))
-        .unionAll(e.filter(col("src") === col("dst"))
-          .select(col("src").as("node"), (lit(2L) * col("w")).as("w")))
-        .groupBy("node").agg(sum("w").as("st"))
-      val ssq = st.agg(sum(col("st").cast("decimal(19,0)") *
-        col("st").cast("decimal(19,0)")).as("ssq")).head().getDecimal(0)
-      (nComm, intra, ssq)
+      val self = col("src") === col("dst")
+      // explode, not unionAll: both endpoint rows come out of ONE scan
+      // of e (a union would execute the upstream subtree once per branch)
+      val per = e.select(explode(array(
+          struct(col("src").as("node"), col("w").as("w"), self.as("self")),
+          struct(col("dst").as("node"), col("w").as("w"), self.as("self"))))
+          .as("ep"))
+        .select(col("ep.node").as("node"), col("ep.w").as("w"),
+          col("ep.self").as("self"))
+        .groupBy("node").agg(sum("w").as("st"),
+          sum(when(col("self"), col("w")).otherwise(lit(0L))).as("selfw"))
+      val r = per.agg(count(lit(1)),
+        coalesce(sum("selfw"), lit(0L)),
+        sum(col("st").cast("decimal(19,0)") * col("st").cast("decimal(19,0)")))
+        .head()
+      (r.getLong(0), r.getLong(1) / 2L, r.getDecimal(2))
     }
     def q6(intra: Long, ssq: java.math.BigDecimal): Double =
       java.math.BigDecimal.valueOf(
@@ -645,12 +667,23 @@ object Graph {
       best)
   }
 
-  private def symmetrized(edges: DataFrame): DataFrame = {
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
+  /** Both directions of an undirected edge list. `canonical = true`
+    * asserts the input already holds each undirected pair ONCE in
+    * id-ordered (src < dst) form — the co-purchase memo's contract —
+    * and skips the least/greatest + distinct canonicalization, which
+    * is a full extra shuffle of E rows (measured ~30 s of task time
+    * per consumer query at sf0.1 in the r17 StageProfile of
+    * graph_kcore). With canonical = false the behavior is unchanged.
+    */
+  private def symmetrized(edges: DataFrame,
+      canonical: Boolean = false): DataFrame = {
+    val und =
+      if (canonical) edges.select(col("src").as("a"), col("dst").as("b"))
+      else edges
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
     graft.Caches.persist(
       und.select(col("a").as("src"), col("b").as("dst"))
         .union(und.select(col("b").as("src"), col("a").as("dst"))))
@@ -677,9 +710,10 @@ object Graph {
     *              still reported at distance 0
     * @return (node, hops) for every node within `rounds` hops of a seed
     */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 3): DataFrame = {
+  def bfsHops(edges: DataFrame, seeds: DataFrame, rounds: Int = 3,
+      canonicalEdges: Boolean = false): DataFrame = {
     require(rounds >= 1, "bfsHops needs at least one round")
-    val sym = symmetrized(edges)
+    val sym = symmetrized(edges, canonicalEdges)
     var dist = graft.Caches.persist(
       seeds.select(col("node")).distinct().withColumn("hops", lit(0L)))
     (1 to rounds).foreach { _ =>
@@ -704,9 +738,9 @@ object Graph {
     * most twice across the entire run).
     */
   def bfsHopsFrontier(edges: DataFrame, seeds: DataFrame,
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3, canonicalEdges: Boolean = false): DataFrame = {
     require(rounds >= 1, "bfsHopsFrontier needs at least one round")
-    val sym = symmetrized(edges)
+    val sym = symmetrized(edges, canonicalEdges)
     var dist = graft.Caches.persist(
       seeds.select(col("node")).distinct().withColumn("hops", lit(0L)))
     var frontier = dist
@@ -791,10 +825,11 @@ object Graph {
     *         absent (they cannot be k-core members; one more round
     *         would drop them), and the mirror drops them identically.
     */
-  def kCore(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 4,
+      canonicalEdges: Boolean = false): DataFrame = {
     require(k >= 1, "kCore needs k >= 1")
     require(rounds >= 1, "kCore needs at least one peel round")
-    val sym = symmetrized(edges)
+    val sym = symmetrized(edges, canonicalEdges)
     def inducedDeg(alive: DataFrame): DataFrame = sym
       .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
@@ -1033,7 +1068,11 @@ object Graph {
     val e = graft.Caches.persist(
       edges.select(col("src"), col("dst")).distinct())
     // materialize-and-fetch-max in ONE action; guard the empty graph
-    // (max over zero rows is null — divisor never used then)
+    // (max over zero rows is null — divisor never used then).
+    // (A lazy broadcast-scalar normalize was tried in r17 and measured
+    // 0.5 s SLOWER at sf0.1 — the 1-row BroadcastNestedLoopJoin per
+    // half-step costs more than the driver round-trips it saves; the
+    // maxOf action doubles as the persist materialization.)
     def maxOf(df: DataFrame, c: String): Double = {
       val r = df.agg(max(col(c))).head()
       if (r.isNullAt(0)) 1.0 else r.getDouble(0)
@@ -1085,9 +1124,9 @@ object Graph {
     * non-seed-layer nodes with positive accumulated dependency.
     */
   def betweennessSeeds(edges: DataFrame, seeds: DataFrame,
-      depth: Int = 3): DataFrame = {
+      depth: Int = 3, canonicalEdges: Boolean = false): DataFrame = {
     require(depth >= 2, s"betweennessSeeds needs depth >= 2, got $depth")
-    val sym = symmetrized(edges).select("src", "dst")
+    val sym = symmetrized(edges, canonicalEdges).select("src", "dst")
     val l0 = graft.Caches.persist(seeds.select(col("node")).distinct()
       .select(col("node").as("s"), col("node"), lit(1L).as("sigma")))
     var layers = List(l0)
@@ -1178,9 +1217,9 @@ object Graph {
     * Output: (node, n_reached, total_dist, closeness, harmonic).
     */
   def closenessSeeds(edges: DataFrame, seeds: DataFrame,
-      depth: Int = 3): DataFrame = {
+      depth: Int = 3, canonicalEdges: Boolean = false): DataFrame = {
     require(depth >= 1, s"closenessSeeds needs depth >= 1, got $depth")
-    val sym = symmetrized(edges).select("src", "dst")
+    val sym = symmetrized(edges, canonicalEdges).select("src", "dst")
     var frontier = graft.Caches.persist(seeds.select(col("node")).distinct()
       .select(col("node").as("s"), col("node"), lit(0L).as("d")))
     var disc = frontier
@@ -1226,19 +1265,26 @@ object Graph {
       .join(labels.select(col("node").as("dst"), col("community").as("cd")),
         Seq("dst"))
       .select("w", "cs", "cd"))
-    val w2 = 2L * ej.agg(coalesce(sum("w"), lit(0L))).head().getLong(0)
-    val vol = ej.select(col("cs").as("community"), col("w"))
-      .unionAll(ej.select(col("cd").as("community"), col("w")))
-      .groupBy("community").agg(sum("w").as("vol"))
-    val xc = ej.filter(col("cs") =!= col("cd"))
-    val cut = xc.select(col("cs").as("community"), col("w"))
-      .unionAll(xc.select(col("cd").as("community"), col("w")))
-      .groupBy("community").agg(sum("w").as("cut"))
+    // vol and cut in ONE union-scan + ONE aggregate (was two scans, two
+    // shuffles, and an extra join: cut is just the cross-community slice
+    // of the same per-community weight sum — a conditional sum computes
+    // both; a community with no boundary gets cut = 0 exactly as the old
+    // left-join + coalesce did). w2 rides a broadcast scalar subplan
+    // instead of a driver action, so the whole operator is one lazy plan.
+    val w2 = broadcast(ej.agg(
+      (lit(2L) * coalesce(sum("w"), lit(0L))).as("w2")))
+    val x = col("cs") =!= col("cd")
+    val per = ej.select(explode(array(
+        struct(col("cs").as("community"), col("w").as("w"), x.as("x")),
+        struct(col("cd").as("community"), col("w").as("w"), x.as("x")))).as("ep"))
+      .select(col("ep.community").as("community"), col("ep.w").as("w"),
+        col("ep.x").as("x"))
+      .groupBy("community").agg(sum("w").as("vol"),
+        sum(when(col("x"), col("w")).otherwise(lit(0L))).as("cut"))
     val nn = labels.groupBy("community").agg(count(lit(1)).as("n_nodes"))
-    val den = least(col("vol"), lit(w2) - col("vol"))
-    vol.join(nn, Seq("community"))
-      .join(cut, Seq("community"), "left")
-      .withColumn("cut", coalesce(col("cut"), lit(0L)))
+    val den = least(col("vol"), col("w2") - col("vol"))
+    per.join(nn, Seq("community"))
+      .crossJoin(w2)
       .withColumn("conductance",
         when(den === 0L, lit(null).cast("double"))
           .otherwise(col("cut").cast("double") / den))

@@ -106,8 +106,11 @@ object Indexer {
   def build(docs: DataFrame, stem: Boolean = true): IndexTables = {
     val flat = flatWords(docs, stem).persist(StorageLevel.MEMORY_AND_DISK)
     val dl = docLengths(flat)
-    val n = dl.count()
-    val sumDl = dl.agg(sum("doc_length")).head().getLong(0)
+    // N and Σ doc_length in ONE action (was a count + a separate sum —
+    // two sequential jobs over the same aggregate)
+    val nr = dl.agg(count(lit(1)), coalesce(sum("doc_length"), lit(0L))).head()
+    val n = nr.getLong(0)
+    val sumDl = nr.getLong(1)
     val avgdl = sumDl.toDouble / n
     IndexTables(
       flatWords = flat,
@@ -127,8 +130,9 @@ object Indexer {
   def buildFromFlat(flat: DataFrame): IndexTables = {
     val f = graft.Caches.persist(flat)
     val dl = docLengths(f)
-    val n = dl.count()
-    val sumDl = dl.agg(sum("doc_length")).head().getLong(0)
+    val nr = dl.agg(count(lit(1)), coalesce(sum("doc_length"), lit(0L))).head()
+    val n = nr.getLong(0)
+    val sumDl = nr.getLong(1)
     IndexTables(
       flatWords = f,
       docLengths = dl,
@@ -156,15 +160,29 @@ object Indexer {
       preprocessedDocs: Option[DataFrame] = None): Unit = {
     def w(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-    w(t.flatWords, "flat_words")
-    w(t.docLengths, "doc_lengths")
-    w(t.termFrequencies, "term_frequencies")
-    w(t.idfValues, "idf_values")
-    w(t.invertedIndex, "inverted_index")
     import spark.implicits._
-    w(Seq(t.avgdl).toDF("avgdl"), "scoring_params")
-    opinionText.foreach(w(_, "opinion_text"))
-    preprocessedDocs.foreach(w(_, "preprocessed_docs"))
+    // the eight writes are independent jobs over the persisted flat-words
+    // lineage and distinct output paths — run them concurrently
+    // (optimization-guide §2.6): sequential write jobs each leave the
+    // cluster idle through their commit tail. Written bytes are identical
+    // (same frames, same paths); only the wall clock changes.
+    val writes: Seq[() => Unit] = Seq(
+      () => w(t.flatWords, "flat_words"),
+      () => w(t.docLengths, "doc_lengths"),
+      () => w(t.termFrequencies, "term_frequencies"),
+      () => w(t.idfValues, "idf_values"),
+      () => w(t.invertedIndex, "inverted_index"),
+      () => w(Seq(t.avgdl).toDF("avgdl"), "scoring_params")) ++
+      opinionText.map(df => () => w(df, "opinion_text")).toSeq ++
+      preprocessedDocs.map(df => () => w(df, "preprocessed_docs")).toSeq
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      writes.map(task => pool.submit(new java.util.concurrent.Callable[Unit] {
+        override def call(): Unit = task()
+      })).foreach(_.get())
+    } catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    } finally pool.shutdown()
   }
 
   /** The reference's `preprocessed_docs` table: every input column plus
