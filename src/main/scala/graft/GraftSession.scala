@@ -48,6 +48,13 @@ object GraftSession {
     "spark.sql.codegen.cache.maxEntries" -> "20000",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    // NOT set: spark.sql.join.preferSortMergeJoin=false (guide §3.1/§9)
+    // was TRIED in r17 and reverted — a 12-query A/B at sf0.1 plus a
+    // StageProfile of the heaviest join chain (graph_triangles' wedge
+    // join, ~150 MiB of neighbor arrays through one exchange) showed
+    // identical shuffle bytes and no wall-clock change: the planner's
+    // SHJ size conditions never fire on these plans, so the flag only
+    // added OOM risk for zero measured benefit (measure-first, §1).
     "spark.ui.enabled" -> "false")
 
   /** A `local[cores]` session with the engine's canonical settings —

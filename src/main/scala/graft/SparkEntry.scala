@@ -553,7 +553,8 @@ object SparkEntry {
     * economics).
     */
   private val lpaLabelsMemo = new DirMemo((s, dir) =>
-    Graph.labelPropagation(copurchaseEdgesMemo(s, dir), iterations = 4)
+    Graph.labelPropagation(copurchaseEdgesMemo(s, dir), iterations = 4,
+        canonicalEdges = true)
       .localCheckpoint())
 
   /** WEIGHTED 4-round LPA labels, same economics as [[lpaLabelsMemo]] —
@@ -563,7 +564,7 @@ object SparkEntry {
     */
   private val lpaWeightedLabelsMemo = new DirMemo((s, dir) =>
     Graph.labelPropagation(copurchaseEdgesMemo(s, dir), iterations = 4,
-        weighted = true)
+        weighted = true, canonicalEdges = true)
       .localCheckpoint())
 
   /** One synchronous Louvain move round's labels (r13) — shared by
@@ -8259,7 +8260,8 @@ object SparkEntry {
       // iteration (both engines iterate on identical operands), 6dp on
       // output; top-50 under a total (rank desc, part) order. Edges come
       // from the shared co-purchase memo (one build serves all graph_*).
-      Graph.pageRank(copurchaseEdgesMemo(s, dir), iterations = 4)
+      Graph.pageRank(copurchaseEdgesMemo(s, dir), iterations = 4,
+        canonicalEdges = true)
         .select(col("node").as("part"), round(col("rank"), 6).as("rank"))
         .orderBy(col("rank").desc, col("part"))
         .limit(50)
@@ -8970,51 +8972,57 @@ object SparkEntry {
           Seq("src"))
         .join(labels.select(col("node").as("dst"), col("community").as("cd")),
           Seq("dst"))
-      val wtot = e.agg(sum("w")).head().getLong(0)
-      // (n_communities, intra weight, Σ S_c² exact) under a labeling —
-      // ONE aggregate job per labeling (was three driver actions:
-      // distinct-count, intra sum, ssq sum; the louvainFullRun telemetry
-      // merge). Bit-identical by construction: the cs/cd union already
-      // fed ssq, intra rows (cs = cd) contribute w twice there so
-      // intra = Σ selfw / 2 exactly, and every community has a member
-      // node on some edge, so the group count equals the labels'
-      // distinct community count.
-      def tele(labels: DataFrame): (Long, Long, java.math.BigDecimal) = {
-        val el = labeled(labels).select("w", "cs", "cd")
-        val self = col("cs") === col("cd")
-        // explode, not unionAll: both community-endpoint rows come out
-        // of ONE pass over the two label joins (a union re-executes
-        // the join subtree per branch)
-        val r = el.select(explode(array(
-            struct(col("cs").as("community"), col("w").as("w"), self.as("self")),
-            struct(col("cd").as("community"), col("w").as("w"), self.as("self"))))
-            .as("ep"))
-          .select(col("ep.community").as("community"), col("ep.w").as("w"),
-            col("ep.self").as("self"))
-          .groupBy("community").agg(sum("w").as("st"),
-            sum(when(col("self"), col("w")).otherwise(lit(0L))).as("selfw"))
-          .agg(count(lit(1)),
-            coalesce(sum("selfw"), lit(0L)),
-            sum(col("st").cast("decimal(19,0)") * col("st").cast("decimal(19,0)")))
-          .head()
-        (r.getLong(0), r.getLong(1) / 2L, r.getDecimal(2))
-      }
+      val cc = Graph.connectedComponents(
+        labeled(part).filter(col("cs") === col("cd")).select("src", "dst"))
+      // BOTH labelings as one node-grain table (community = before,
+      // comp2 = after) — the split census and the single dual-grain
+      // telemetry pass below read it
+      val lab2 = Caches.persist(part.join(cc, Seq("node"), "left")
+        .select(col("node"), col("community"),
+          coalesce(col("component"), col("node")).as("comp2")))
+      val nSplit = lab2
+        .groupBy("community").agg(countDistinct("comp2").as("k"))
+        .filter(col("k") > 1).count()
+      // BOTH telemetries (and W) in ONE edge pass + ONE action (was a
+      // wtot action + three actions per labeling × two labelings): join
+      // e to the dual-label table once, explode each edge into its four
+      // (grain, community) endpoint rows, aggregate per (grain,
+      // community), then one 2-row aggregate. Exact equality by the
+      // louvainFullRun telemetry-merge argument per grain; additionally
+      // Σ st over a grain's communities counts every edge twice, so
+      // W = Σst/2 exactly — the separate wtot action folds in for free.
+      val el2 = e
+        .join(lab2.select(col("node").as("src"), col("community").as("cs"),
+          col("comp2").as("cs2")), Seq("src"))
+        .join(lab2.select(col("node").as("dst"), col("community").as("cd"),
+          col("comp2").as("cd2")), Seq("dst"))
+      val selfB = col("cs") === col("cd")
+      val selfA = col("cs2") === col("cd2")
+      def ep(g: String, c: Column, self: Column) =
+        struct(lit(g).as("g"), c.as("community"), col("w").as("w"),
+          self.as("self"))
+      val teles = el2.select(explode(array(
+          ep("b", col("cs"), selfB), ep("b", col("cd"), selfB),
+          ep("a", col("cs2"), selfA), ep("a", col("cd2"), selfA))).as("ep"))
+        .select(col("ep.g").as("g"), col("ep.community").as("community"),
+          col("ep.w").as("w"), col("ep.self").as("self"))
+        .groupBy("g", "community").agg(sum("w").as("st"),
+          sum(when(col("self"), col("w")).otherwise(lit(0L))).as("selfw"))
+        .groupBy("g").agg(count(lit(1)).as("nc"),
+          coalesce(sum("selfw"), lit(0L)).as("intra2"),
+          sum(col("st").cast("decimal(19,0)") * col("st").cast("decimal(19,0)"))
+            .as("ssq"),
+          sum("st").as("st_total"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2) / 2L, r.getDecimal(3), r.getLong(4) / 2L)))
+        .toMap
+      val (ncB, intraB, ssqB, wtot) = teles("b")
+      val (ncA, intraA, ssqA, _) = teles("a")
       def q6(intra: Long, ssq: java.math.BigDecimal): Double =
         java.math.BigDecimal.valueOf(
             intra.toDouble / wtot.toDouble -
               ssq.doubleValue / (4.0 * wtot.toDouble * wtot.toDouble))
           .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue() + 0.0
-      val cc = Graph.connectedComponents(
-        labeled(part).filter(col("cs") === col("cd")).select("src", "dst"))
-      val refined = Caches.persist(part.join(cc, Seq("node"), "left")
-        .select(col("node"),
-          coalesce(col("component"), col("node")).as("community")))
-      val nSplit = part.join(refined.withColumnRenamed("community", "comp2"),
-          Seq("node"))
-        .groupBy("community").agg(countDistinct("comp2").as("k"))
-        .filter(col("k") > 1).count()
-      val (ncB, intraB, ssqB) = tele(part)
-      val (ncA, intraA, ssqA) = tele(refined)
       Seq((ncB, ncA, nSplit, q6(intraB, ssqB), q6(intraA, ssqA)))
         .toDF("n_communities_before", "n_communities_after", "n_split",
           "q_before", "q_after")

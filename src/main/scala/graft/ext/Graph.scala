@@ -205,11 +205,16 @@ object Graph {
     * @return (node, rank) — ranks sum to ~1 over the graph's nodes
     */
   def pageRank(edges: DataFrame, iterations: Int = 4,
-      damping: Double = 0.85): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+      damping: Double = 0.85, canonicalEdges: Boolean = false): DataFrame = {
+    // canonicalEdges: input already holds each undirected pair once,
+    // id-ordered with src < dst (the co-purchase memo contract) — the
+    // union of it with its reversal is then distinct and self-loop-free
+    // by construction, so the distinct Exchange is skipped (guide §2.4)
+    val symRaw = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
+    val sym =
+      if (canonicalEdges) symRaw
+      else symRaw.filter(col("src") =!= col("dst")).distinct()
     val adj = graft.Caches.persist(sym.groupBy("src")
       .agg(sort_array(collect_list("dst")).as("nbrs"),
         count(lit(1)).as("deg")))
@@ -340,17 +345,22 @@ object Graph {
     * @return (node, community) — community = the node's final label
     */
   def labelPropagation(edges: DataFrame, iterations: Int = 4,
-      weighted: Boolean = false): DataFrame = {
+      weighted: Boolean = false, canonicalEdges: Boolean = false): DataFrame = {
     require(iterations >= 1, "labelPropagation needs at least one round")
     val w = if (weighted) col("w") else lit(1L)
     // normalize to one id-ordered row per undirected pair (max(w) keeps
     // duplicate / reversed-duplicate inputs harmless in both modes —
-    // for w ≡ 1 it degenerates to distinct)
-    val und = edges.select(
-        least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"), w.as("w"))
-      .filter(col("a") =!= col("b"))
-      .groupBy("a", "b").agg(max("w").as("w"))
+    // for w ≡ 1 it degenerates to distinct). canonicalEdges asserts the
+    // input is already in exactly that form (the co-purchase memo
+    // contract) and skips the normalization Exchange (guide §2.4).
+    val und =
+      if (canonicalEdges)
+        edges.select(col("src").as("a"), col("dst").as("b"), w.as("w"))
+      else edges.select(
+          least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"), w.as("w"))
+        .filter(col("a") =!= col("b"))
+        .groupBy("a", "b").agg(max("w").as("w"))
     val sym = und.select(col("a").as("src"), col("b").as("dst"), col("w"))
       .union(und.select(col("b").as("src"), col("a").as("dst"), col("w")))
     // struct sort is by (dst, w); dst is unique per src, so the list
