@@ -40,12 +40,22 @@ object Graph {
     * returning partially-propagated labels.
     *
     * @param edges (src, dst) pairs; direction ignored, self-loops fine
+    * @param canonicalEdges the input already holds each undirected pair
+    *   ONCE in id-ordered (src < dst) form — the co-purchase-memo /
+    *   minhash-pair contract — so the post-union `distinct()` would
+    *   deduplicate nothing and is skipped (one full Exchange of 2E rows
+    *   saved before the first round; r18, the [[symmetrized]] argument).
+    *   With the default `false` the behavior is unchanged. Correctness
+    *   never depends on it: min-label propagation is idempotent under
+    *   duplicate edges, so the flag trades only the dedup Exchange
+    *   against re-scanning any duplicates each round.
     * @return (node, component) where component = min node id reachable
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25,
+      canonicalEdges: Boolean = false): DataFrame = {
+    val symRaw = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
+    val sym = (if (canonicalEdges) symRaw else symRaw.distinct())
       .localCheckpoint(true)
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
@@ -694,9 +704,24 @@ object Graph {
           greatest(col("src"), col("dst")).as("b"))
         .filter(col("a") =!= col("b"))
         .distinct()
+    val both = und.select(col("a").as("src"), col("b").as("dst"))
+      .union(und.select(col("b").as("src"), col("a").as("dst")))
+    // CANONICAL path only: hash-repartition by src to the session's
+    // shuffle parallelism (scale-adaptive — not a local core constant).
+    // The union of two memo-checkpoint projections inherits the
+    // checkpoint's AQE-coalesced partition count (2×10 at sf0.1),
+    // which left every per-layer probe stage of the frontier
+    // algorithms running below the configured parallelism and with
+    // hub-skewed tasks (r18, guide §2.2; graph_kcore 1.99 → 1.30 s).
+    // The non-canonical path already passes through the distinct()
+    // Exchange at full parallelism — an extra repartition there only
+    // added cost (graph_hits 2.94 → 3.48 s, reverted).
     graft.Caches.persist(
-      und.select(col("a").as("src"), col("b").as("dst"))
-        .union(und.select(col("b").as("src"), col("a").as("dst"))))
+      if (canonical) {
+        val n = edges.sparkSession.conf
+          .get("spark.sql.shuffle.partitions").toInt
+        both.repartition(n, col("src"))
+      } else both)
   }
 
   /** Bounded multi-source BFS: minimum hop distance from a seed set,
@@ -1137,18 +1162,50 @@ object Graph {
       depth: Int = 3, canonicalEdges: Boolean = false): DataFrame = {
     require(depth >= 2, s"betweennessSeeds needs depth >= 2, got $depth")
     val sym = symmetrized(edges, canonicalEdges).select("src", "dst")
-    val l0 = graft.Caches.persist(seeds.select(col("node")).distinct()
+    // Deliberate join strategy for the node-grain layer frames (guide
+    // §3.1): the r17 plan left the membership anti-join and both
+    // backward attachments as SortMergeJoins over the edge×seed stream
+    // (~5.6M rows exchanged AND sorted per layer at sf0.1 — the 13 s
+    // task-time stages in the r18 StageProfile), because the persisted
+    // layer frames carry no usable size estimate. Layer sizes are now
+    // COUNTED (one tiny job per layer over blocks the final action
+    // would materialize anyway) and the attachment side is broadcast
+    // while it provably fits (≤1M rows ≈ tens of MB, far under the
+    // 8 GB broadcast cap), falling back to a sort-free shuffled-hash
+    // join beyond that — scale-adaptive, never a hardcoded local-mode
+    // choice. Values are untouched: strategy hints only.
+    def attach(df: DataFrame, rows: Long): DataFrame =
+      if (rows <= 1000000L) broadcast(df) else df.hint("shuffle_hash")
+    // layer state is PINNED (eager localCheckpoint + lineage-free
+    // wrapper via the registry-tracked Caches.pinned), not lazily
+    // persisted: the size counts below are per-layer driver actions,
+    // and over a lazily-persisted chain each one would re-analyze the
+    // whole growing lineage (the spectral-fiedler failure mode, guide
+    // §7.3 — measured as a ~6 s driver gap when this rewrite was first
+    // tried with Caches.persist). Pinned layers keep every count and
+    // the final action at constant plan depth.
+    val l0 = graft.Caches.pinned(seeds.select(col("node")).distinct()
       .select(col("node").as("s"), col("node"), lit(1L).as("sigma")))
-    var layers = List(l0)
-    var discovered = graft.Caches.persist(l0.select("s", "node"))
+    var layers = List((l0, l0.count()))
+    var discovered = l0.select("s", "node")
+    var discN = layers.head._2
     for (_ <- 1 to depth) {
-      val next = graft.Caches.persist(sym
-        .join(layers.head.withColumnRenamed("node", "src"), Seq("src"))
+      // aggregate BEFORE the membership anti-join (guide §2.3
+      // "aggregate before you shuffle"): σ sums commute with the
+      // (s, node)-keyed anti filter, so the exchange carries the
+      // partially-aggregated node grain instead of the raw edge×seed
+      // stream, and the anti-join runs node-grain × node-grain.
+      val next = graft.Caches.pinned(sym
+        .join(attach(layers.head._1.withColumnRenamed("node", "src"),
+          layers.head._2), Seq("src"))
         .select(col("s"), col("dst").as("node"), col("sigma"))
-        .join(discovered, Seq("s", "node"), "left_anti")
-        .groupBy("s", "node").agg(sum("sigma").as("sigma")))
-      discovered = graft.Caches.persist(discovered.union(next.select("s", "node")))
-      layers = next :: layers
+        .groupBy("s", "node").agg(sum("sigma").as("sigma"))
+        .join(attach(discovered, discN), Seq("s", "node"), "left_anti"))
+      val n = next.count()
+      // pinned-union: reads the layers' cached blocks, plan stays flat
+      discovered = discovered.union(next.select("s", "node"))
+      discN += n
+      layers = (next, n) :: layers
     }
     // layers.head = deepest; δ there is 0 by construction.
     //
@@ -1173,15 +1230,22 @@ object Graph {
     // sum lands negative — the in-plan guard below raises on d9 < 0,
     // making Spark fail loudly exactly where DuckDB's HUGEINT→BIGINT
     // cast would error instead of silently diverging.
-    var upper = layers.head
-      .withColumn("delta", lit(0.0)).withColumn("d6", lit(0L))
+    var upper = (layers.head._1
+      .withColumn("delta", lit(0.0)).withColumn("d6", lit(0L)),
+      layers.head._2)
     val deps = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    layers.tail.foreach { lower =>
+    layers.tail.foreach { case (lower, lowerN) =>
+      // both attachments are size-adaptive small-side joins, so the
+      // edge×seed stream flows broadcast-probe → broadcast-probe →
+      // partial aggregate inside ONE stage; the only exchange left per
+      // layer carries the (s, node)-aggregated d9 grain. The t9 addend
+      // is bit-identical to the r13 form — strategy hints only.
       val contrib = sym
-        .join(lower.withColumnRenamed("node", "src"), Seq("src"))
-        .join(upper.select(col("s"), col("node").as("dst"),
+        .join(attach(lower.withColumnRenamed("node", "src"), lowerN),
+          Seq("src"))
+        .join(attach(upper._1.select(col("s"), col("node").as("dst"),
           col("sigma").as("sigma_w"), col("delta").as("delta_w")),
-          Seq("s", "dst"))
+          upper._2), Seq("s", "dst"))
         .select(col("s"), col("src").as("node"),
           floor((col("sigma").cast("double") / col("sigma_w").cast("double")) *
             (lit(1.0) + col("delta_w")) * lit(1000000000.0) + lit(0.5))
@@ -1191,13 +1255,13 @@ object Graph {
           raise_error(concat(lit("betweenness d9 overflow (2^63 wrap) at node "),
             col("node").cast("string")))).otherwise(col("d9")))
         .withColumn("d6", expr("(d9 + 500) div 1000"))
-      upper = graft.Caches.persist(lower
+      upper = (graft.Caches.pinned(lower
         .join(contrib, Seq("s", "node"), "left")
         .select(col("s"), col("node"), col("sigma"),
           coalesce(col("d6").cast("double") / lit(1000000.0), lit(0.0))
             .as("delta"),
-          coalesce(col("d6"), lit(0L)).as("d6")))
-      deps += upper
+          coalesce(col("d6"), lit(0L)).as("d6"))), lowerN)
+      deps += upper._1
     }
     deps.reduce(_ unionByName _)
       .filter(col("node") =!= col("s"))
