@@ -8447,8 +8447,11 @@ object SparkEntry {
         .withColumn("comp", col("node")).localCheckpoint()
       val ledger = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Long, Long, Long, Long, Boolean)]
+      // round r's "before" census IS round r−1's "after" census — one
+      // distinct-count action per round, not two (the graph_ktruss
+      // count-threading pattern; values identical by construction)
+      var nBefore = comp.select("comp").distinct().count()
       for (r <- 1 to 3) {
-        val nBefore = comp.select("comp").distinct().count()
         val rel = edges
           .join(comp.select(col("node").as("src"), col("comp").as("ca")),
             Seq("src"))
@@ -8481,6 +8484,7 @@ object SparkEntry {
         val nAfter = comp.select("comp").distinct().count()
         ledger += ((r.toLong, nBefore, st.getLong(0), st.getLong(1),
           nAfter, nBefore == nAfter))
+        nBefore = nAfter
       }
       import s.implicits._
       ledger.toSeq
@@ -8612,12 +8616,23 @@ object SparkEntry {
       }
       var x = nodes.select("node", "x6")
       var xPrev: DataFrame = null // pinned predecessor, freed per round
+      // deflation dot-product AND sign census in ONE nodes⋈x aggregate
+      // (r18, guide §1.2): the census of iteration t and the deflation
+      // of iteration t+1 both scan the same pinned x — they were two
+      // driver actions per iteration, now one (the last census rides
+      // the loop-exit call; values are the same independent sums)
+      def xStats(xdf: DataFrame): (Long, Long, Long) = {
+        val r = nodes.select("node", "v16")
+          .join(xdf, Seq("node"))
+          .agg(sum(col("v16") * col("x6")).as("c12"),
+            sum(when(col("x6") > 0, 1L).otherwise(0L)).as("np"),
+            sum(when(col("x6") <= 0, 1L).otherwise(0L)).as("nn")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      }
+      var c12 = xStats(x)._1
       val ledger = scala.collection.mutable.ArrayBuffer
         .empty[(Long, Double, Double, Long, Long)]
       for (t <- 1 to 4) {
-        val c12 = nodes.select("node", "v16")
-          .join(x, Seq("node"))
-          .agg(sum(col("v16") * col("x6"))).head().getLong(0)
         val c = c12.toDouble / 1.0e12
         val xd = pin(nodes.select("node", "v16")
           .join(x, Seq("node"))
@@ -8641,9 +8656,8 @@ object SparkEntry {
         val xNew = pin(y6t.select(col("node"),
           floor(col("y6").cast("double") / lit(nrm) + lit(0.5))
             .cast("long").as("x6")))
-        val p = xNew.agg(
-          sum(when(col("x6") > 0, 1L).otherwise(0L)).as("np"),
-          sum(when(col("x6") <= 0, 1L).otherwise(0L)).as("nn")).head()
+        val (c12next, np, nn) = xStats(xNew)
+        c12 = c12next
         // xd / y6t / the superseded x are dead once xNew and the scalars
         // exist — free their checkpoint blocks now, not at session end
         shim.unpersistCheckpoint(xd)
@@ -8651,7 +8665,7 @@ object SparkEntry {
         if (xPrev != null) shim.unpersistCheckpoint(xPrev)
         xPrev = xNew
         x = xNew
-        ledger += ((t.toLong, c, rayleigh, p.getLong(0), p.getLong(1)))
+        ledger += ((t.toLong, c, rayleigh, np, nn))
       }
       if (xPrev != null) shim.unpersistCheckpoint(xPrev)
       import s.implicits._
@@ -12309,11 +12323,17 @@ object SparkEntry {
       // the p1<p2<p3 canonical ordering counts each triple once with
       // no dedup pass. All-confidence (Omiecinski TKDE'03) = support /
       // max item support rides along as the interestingness audit.
+      // pair supports donated by the shared co-purchase memo — it
+      // counts exactly these (p1 < p2, #orders) pairs; the basket set
+      // build dedups internally, so the former .distinct() exchange is
+      // gone too (r18)
       graft.ext.Mining.frequentTriples(
         tbl(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct(),
-        minsup = 2L)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        minsup = 2L,
+        prePairSup = Some(copurchaseEdgesMemo(s, dir)
+          .select(col("src").as("p1"), col("dst").as("p2"),
+            col("w").as("sup2"))))
     }),
 
     "events_prefixspan" -> ((s, dir) => {
@@ -12552,11 +12572,15 @@ object SparkEntry {
       // (pinned 6dp) and lift off the pinned confidence. Counting is
       // the same candidate-driven shape as the itemset query; rule
       // expansion is arithmetic over the bounded frequent tables.
+      // pair supports donated by the shared co-purchase memo (r18,
+      // the orders_itemsets3 argument)
       graft.ext.Mining.associationRules(
         tbl(s, dir, "lineitem")
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct(),
-        minsupPair = 3L, minsupTriple = 2L)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")),
+        minsupPair = 3L, minsupTriple = 2L,
+        prePairSup = Some(copurchaseEdgesMemo(s, dir)
+          .select(col("src").as("p1"), col("dst").as("p2"),
+            col("w").as("sup2"))))
     }),
 
     "graph_betweenness" -> ((s, dir) => {

@@ -55,10 +55,22 @@ object Graph {
       canonicalEdges: Boolean = false): DataFrame = {
     val symRaw = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-    val sym = (if (canonicalEdges) symRaw else symRaw.distinct())
+    val sym0 = (if (canonicalEdges) symRaw else symRaw.distinct())
       .localCheckpoint(true)
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // measured single-task mode (r18, guide §2.2): most CC consumers
+    // feed component-bounded graphs (dedup clusters, Borůvka
+    // contraction graphs, phash pairs) where every superstep's joins
+    // and aggregates fanned KB-scale frames over the full shuffle
+    // parallelism — fixed per-task cost × 32 × rounds dominated the
+    // runtime. At ≤256k symmetric edges the round state is coalesced
+    // to one partition (SinglePartition satisfies every clustered
+    // distribution, so rounds run exchange-free); bigger graphs keep
+    // the distributed shape. The count reads just-checkpointed blocks.
+    val one = sym0.count() <= 262144L
+    val sym = if (one) sym0.coalesce(1) else sym0
+    def narrow(df: DataFrame): DataFrame = if (one) df.coalesce(1) else df
+    var labels = narrow(sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
       .localCheckpoint(true)
     var changed = 1L
     var iter = 0
@@ -80,14 +92,14 @@ object Graph {
       // shuffle join back to the old labels (guide §2.4: one exchange per
       // round removed; same count by construction — `next` has exactly
       // one row per labels row)
-      val next = labels
+      val next = narrow(labels
         .join(lbl2, Seq("label"), "left")
         .join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"),
             coalesce(col("jump"), col("label")),
             coalesce(col("nbr_min"), col("label"))).as("label"),
-          col("label").as("prev"))
+          col("label").as("prev")))
         .localCheckpoint(true)
       changed = next.filter(col("label") =!= col("prev")).count()
       // prev state is dead once `next` (already eagerly materialized) and
@@ -133,12 +145,18 @@ object Graph {
       .localCheckpoint(true)
     // start from larger→smaller directed pairs; self-loops drop (they
     // carry no connectivity) and re-enter via the node seed at the end
-    var e = edges
+    val e0 = edges
       .select(greatest(col("src"), col("dst")).as("u"),
         least(col("src"), col("dst")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // measured single-task mode — the [[connectedComponents]] argument:
+    // star rounds over KB-scale pair graphs paid 32 tasks of fixed cost
+    // per join/aggregate for no parallelism gain
+    val one = e0.count() <= 262144L
+    def narrow(df: DataFrame): DataFrame = if (one) df.coalesce(1) else df
+    var e = if (one) e0.coalesce(1) else e0
     var stable = false
     var iter = 0
     while (!stable && iter < maxIter) {
@@ -153,11 +171,11 @@ object Graph {
       // small-star over the (now all larger→smaller) edges
       val ssMin = ls.groupBy("u").agg(min("v").as("m"))
       val joined = ls.join(ssMin, Seq("u"))
-      val next = joined.filter(col("v") =!= col("m"))
+      val next = narrow(joined.filter(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v"))
         .union(ssMin.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
-        .distinct()
+        .distinct())
         .localCheckpoint(true)
       // exact fixed-point check: symmetric difference must be empty.
       // ONE full-outer join + aggregate gives both directions in a

@@ -22,26 +22,43 @@ import org.apache.spark.sql.functions._
 object Mining {
 
   /** Frequent 3-itemsets with all-confidence (Omiecinski, TKDE'03).
-    * Input `baskets`: (o: basket id, p: item id), DISTINCT rows.
-    * Output: (p1 < p2 < p3, support, all_conf = support / max item
-    * support, 6dp) — each triple counted once via the canonical
-    * ordering, no dedup pass.
+    * Input `baskets`: (o: basket id, p: item id) — duplicates fine
+    * (the set build dedups). Output: (p1 < p2 < p3, support,
+    * all_conf = support / max item support, 6dp) — each triple counted
+    * once via the canonical ordering, no dedup pass.
+    *
+    * r18 shape: baskets collapse to ONE sorted-set row per basket
+    * (the copurchaseEdgesMemo build), and pairs/triples come from
+    * bounded posexplode chains over that set (i < j < k) instead of
+    * basket self-joins — the r17 form exchanged the basket table twice
+    * and re-ran the pair self-join per consumer branch (the 15.7 s
+    * task-time stage in the r18 StageProfile of orders_basket_rules).
+    * `prePairSup` lets a caller donate an already-built (p1, p2, sup2)
+    * table — the shared co-purchase memo counts exactly these pairs.
+    * Identical rows by construction: a sorted set's (i < j) positions
+    * enumerate exactly the a.p < c.p distinct pairs.
     */
-  def frequentTriples(baskets: DataFrame, minsup: Long): DataFrame = {
-    val b = graft.Caches.persist(baskets.select("o", "p"))
-    val itemSup = b.groupBy(col("p")).agg(count(lit(1)).as("isup"))
-    val pairs = b.as("a")
-      .join(b.as("c"), col("a.o") === col("c.o") && col("a.p") < col("c.p"))
-      .select(col("a.o").as("o"), col("a.p").as("p1"), col("c.p").as("p2"))
-    val freqPairs = graft.Caches.persist(pairs
-      .groupBy("p1", "p2").agg(count(lit(1)).as("sup2"))
+  def frequentTriples(baskets: DataFrame, minsup: Long,
+      prePairSup: Option[DataFrame] = None): DataFrame = {
+    val sets = graft.Caches.persist(baskets.select("o", "p")
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps")))
+    val itemSup = graft.Caches.persist(sets
+      .select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("isup")))
+    val e2 = sets.select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
+      .select(col("ps"), col("p1"), col("i"),
+        posexplode(col("ps")).as(Seq("j", "p2")))
+      .filter(col("j") > col("i"))
+    val pairSup = prePairSup.getOrElse(e2.select("p1", "p2")
+      .groupBy("p1", "p2").agg(count(lit(1)).as("sup2")))
+    val freqPairs = graft.Caches.persist(pairSup
       .filter(col("sup2") >= minsup)
       .select("p1", "p2"))
-    val prunedPairs = pairs
+    val triples = e2
       .join(broadcast(freqPairs), Seq("p1", "p2"), "left_semi")
-    val triples = prunedPairs.as("pp")
-      .join(b.as("d"), col("pp.o") === col("d.o") && col("pp.p2") < col("d.p"))
-      .select(col("pp.o").as("o"), col("p1"), col("p2"), col("d.p").as("p3"))
+      .select(col("p1"), col("p2"), col("j"),
+        posexplode(col("ps")).as(Seq("k", "p3")))
+      .filter(col("k") > col("j"))
       .join(broadcast(freqPairs.select(col("p1").as("p2"), col("p2").as("p3"))),
         Seq("p2", "p3"), "left_semi")
       .join(broadcast(freqPairs.select(col("p1"), col("p2").as("p3"))),
@@ -73,24 +90,32 @@ object Mining {
     * confidence, lift), ordered (antecedent, consequent).
     */
   def associationRules(baskets: DataFrame, minsupPair: Long,
-      minsupTriple: Long): DataFrame = {
-    val b = graft.Caches.persist(baskets.select("o", "p"))
-    val nb = broadcast(b.select(col("o")).distinct()
-      .agg(count(lit(1)).as("nb")))
-    val itemSup = graft.Caches.persist(
-      b.groupBy(col("p")).agg(count(lit(1)).as("isup")))
-    val pairs = b.as("a")
-      .join(b.as("c"), col("a.o") === col("c.o") && col("a.p") < col("c.p"))
-      .select(col("a.o").as("o"), col("a.p").as("p1"), col("c.p").as("p2"))
-    val pairSup = graft.Caches.persist(pairs
-      .groupBy("p1", "p2").agg(count(lit(1)).as("sup2")))
+      minsupTriple: Long, prePairSup: Option[DataFrame] = None): DataFrame = {
+    // same r18 set-build + posexplode shape as [[frequentTriples]];
+    // `prePairSup` donates the pair-support table (the co-purchase
+    // memo counts exactly these pairs)
+    val sets = graft.Caches.persist(baskets.select("o", "p")
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps")))
+    val nb = broadcast(sets.agg(count(lit(1)).as("nb")))
+    val itemSup = graft.Caches.persist(sets
+      .select(explode(col("ps")).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("isup")))
+    val e2 = sets.select(col("ps"), posexplode(col("ps")).as(Seq("i", "p1")))
+      .select(col("ps"), col("p1"), col("i"),
+        posexplode(col("ps")).as(Seq("j", "p2")))
+      .filter(col("j") > col("i"))
+    val pairSup = graft.Caches.persist(prePairSup.getOrElse(
+      e2.select("p1", "p2").groupBy("p1", "p2")
+        .agg(count(lit(1)).as("sup2"))))
     val freqPairs = graft.Caches.persist(
       pairSup.filter(col("sup2") >= minsupPair))
-    val triples = pairs.as("pp")
+    val triples = e2
       .join(broadcast(pairSup.filter(col("sup2") >= minsupTriple)
         .select("p1", "p2")), Seq("p1", "p2"), "left_semi")
-      .join(b.as("d"), col("pp.o") === col("d.o") && col("pp.p2") < col("d.p"))
-      .select(col("p1"), col("p2"), col("d.p").as("p3"))
+      .select(col("p1"), col("p2"), col("j"),
+        posexplode(col("ps")).as(Seq("k", "p3")))
+      .filter(col("k") > col("j"))
+      .select(col("p1"), col("p2"), col("p3"))
       .groupBy("p1", "p2", "p3").agg(count(lit(1)).as("sup3"))
       .filter(col("sup3") >= minsupTriple)
     // pair rules, both directions

@@ -63,8 +63,17 @@ object Stats {
     // expensive upstream pipeline before the cache fills (measured 4×
     // on the bootstrap feed). One tiny count() job materializes the
     // DOMAIN-bounded table once; everything below reads the cache.
-    val per = graft.Caches.persist(per0)
-    per.count()
+    val perP = graft.Caches.persist(per0)
+    // the eager count doubles as a MEASURED parallelism decision (r18,
+    // guide §2.2): the count table is DOMAIN-bounded and usually tiny,
+    // and fanning its scan/window/ledger stages over the full shuffle
+    // parallelism paid ~150 ms of fixed per-task cost × 32 tasks × ~10
+    // stages for KB-scale work (the agg_mad_exact StageProfile). At or
+    // under 256k domain rows the whole quantile pipeline runs
+    // single-task on the cached blocks; larger domains keep full
+    // fan-out. Exact integer arithmetic — values unchanged either way.
+    val n = perP.count()
+    val per = if (n <= 262144L) perP.coalesce(1) else perP
     val cum = PrefixSum.scan(per, "v", Seq("c"), bucketSize)
     val tot = per.agg(sum("c").as("n"))
     val qs = quantiles.toDF("p", "num", "den")
@@ -98,9 +107,11 @@ object Stats {
     import spark.implicits._
     // same eager cut as exactQuantilesFromCounts: four branches read
     // the bounded count table
-    val per = graft.Caches.persist(
+    val perP = graft.Caches.persist(
       values.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c")))
-    per.count()
+    // measured single-task decision — see exactQuantilesFromCounts
+    val n = perP.count()
+    val per = if (n <= 262144L) perP.coalesce(1) else perP
     val cum = PrefixSum.scanBy(per, Seq("g"), "v", Seq("c"), bucketSize)
     val tot = per.groupBy("g").agg(sum("c").as("n"))
     val qs = quantiles.toDF("p", "num", "den")
@@ -122,11 +133,13 @@ object Stats {
   def ksTest(values: DataFrame, bucketSize: Long = 4096): DataFrame = {
     // eager cut (see exactQuantilesFromCounts): the N-sized aggregate
     // feeds the scan, its ledger, and the totals
-    val per = graft.Caches.persist(values
+    val perP = graft.Caches.persist(values
       .groupBy(col("v"))
       .agg(sum(when(col("grp"), 1L).otherwise(0L)).as("ca"),
         sum(when(col("grp"), 0L).otherwise(1L)).as("cb")))
-    per.count()
+    // measured single-task decision — see exactQuantilesFromCounts
+    val nk = perP.count()
+    val per = if (nk <= 262144L) perP.coalesce(1) else perP
     val cum = PrefixSum.scan(per, "v", Seq("ca", "cb"), bucketSize)
     val tot = per.agg(sum("ca").as("na"), sum("cb").as("nb"))
     // |F_a(v) − F_b(v)| from exact integer ratios — deterministic
@@ -168,11 +181,13 @@ object Stats {
     * significant at α=0.05 two-sided).
     */
   def mannWhitneyU(values: DataFrame, bucketSize: Long = 4096): DataFrame = {
-    val per = graft.Caches.persist(values
+    val perP = graft.Caches.persist(values
       .groupBy(col("v"))
       .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1")))
-    per.count()
+    // measured single-task decision — see exactQuantilesFromCounts
+    val nk = perP.count()
+    val per = if (nk <= 262144L) perP.coalesce(1) else perP
     val cum = PrefixSum.scan(per, "v", Seq("c0"), bucketSize)
     // cum_c0 is inclusive; strictly-below control count = cum_c0 − c0;
     // 2·U₁ = Σ_v c1·(2·below + c0) keeps the tie half-credit integral
