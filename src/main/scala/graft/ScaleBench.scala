@@ -198,6 +198,17 @@ object ScaleBench {
     // verbatim by the synth, so the seed set grows ∝ factor with the
     // disjoint replicas, exactly the scale axis the query claims)
     "graph_kcore", "graph_bfs_hops",
+    // r18 additions (VERDICT #9): the streaming state-store scale story
+    // — stream-stream join state is watermark+range-bounded and the
+    // semantic-dedup stream's "state" is the frozen corpus index, so
+    // both should ride the corpus factor linearly; instrumented state
+    // receipts (engine progress metrics) append beside the wall times
+    "stream_stream_join", "stream_semantic_dedup",
+    // r18 additions: re-receipt slots for this round's reworked
+    // operators (measured single-task decisions must FALL BACK to the
+    // distributed shape at 10× where the measured size crosses the
+    // threshold — the ratio tests exactly that)
+    "tok_unigram_em", "agg_mad_exact", "orders_basket_rules",
     // r11 addition (third session): occurrence-level dup-rate — the
     // suffixed replicas grow shingle OCCURRENCES ∝ factor while the
     // count-back join's build side (distinct shingles) also grows
@@ -687,6 +698,66 @@ object ScaleBench {
       json + "\n",
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.APPEND)
+
+    def appendRow(row: String): Unit = {
+      println(row)
+      try java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"${SparkEntry.ReceiptsDir}/scale_curve.jsonl"),
+        row + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case e: Throwable =>
+        System.err.println(s"scale_curve.jsonl append failed: $e")
+      }
+    }
+    val dirs = Seq((1, s"$scratch/x1"), (factor, s"$scratch/x$factor"))
+
+    // r18 VERDICT #5 receipt: the dedup_components @10× ratio is
+    // claimed to follow the CANDIDATE-PAIR growth, not E×factor —
+    // measure the input pair table at both scales so the bar is a
+    // number, not prose. Same construction as sharedMinhashPairs
+    // (k=3, 32 hashes, 16 bands, τ=0.8).
+    if (selected.contains("dedup_components")) {
+      val counts = dirs.map { case (f, dir) =>
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val n = graft.ext.Dedup.minhashPairs(docs, k = 3, numHashes = 32,
+          bands = 16, threshold = 0.8).count()
+        Caches.clearPersisted()
+        SparkEntry.resetSharedCaches()
+        (f, n)
+      }
+      appendRow(s"""{"metric":"input_growth_row","query":"dedup_components","input":"minhash_pairs","n_x1":${counts.head._2},"n_x$factor":${counts.last._2},"growth":${counts.last._2.toDouble / math.max(1L, counts.head._2)}}""")
+    }
+
+    // r18 VERDICT #9 receipt: stream-stream join state-store metrics
+    // from the engine's own StreamingQueryProgress at both scales —
+    // the 100 TB story needs evidence the join state stays bounded by
+    // watermark + range, not by the stream length.
+    if (selected.contains("stream_stream_join")) {
+      import graft.streaming.EventStream
+      dirs.foreach { case (f, dir) =>
+        val ev = EventStream.readEvents(spark, dir, "events.parquet")
+        val joined = EventStream.viewToPurchase(
+          ev.filter(col("event_type") === "view"),
+          EventStream.readEvents(spark, dir, "events.parquet")
+            .filter(col("event_type") === "purchase"))
+        val t0 = System.nanoTime()
+        val so = EventStream.withStatePartitions(spark, 8) {
+          val q = joined.writeStream.format("memory")
+            .queryName(s"scale_ssj_state_x$f")
+            .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+          q.recentProgress.toSeq.flatMap(_.stateOperators)
+        }
+        val wall = (System.nanoTime() - t0) / 1e9
+        val rowsMax = if (so.isEmpty) 0L else so.map(_.numRowsTotal).max
+        val memMax = if (so.isEmpty) 0L else so.map(_.memoryUsedBytes).max
+        appendRow(s"""{"metric":"stream_state_row","query":"stream_stream_join","factor":$f,"wall_sec":$wall,"state_rows_max":$rowsMax,"state_mem_bytes_max":$memMax,"progress_entries":${so.size}}""")
+        Caches.clearPersisted()
+      }
+    }
     spark.stop()
   }
 }

@@ -714,7 +714,7 @@ object Graph {
     * graph_kcore). With canonical = false the behavior is unchanged.
     */
   private def symmetrized(edges: DataFrame,
-      canonical: Boolean = false): DataFrame = {
+      canonical: Boolean = false, balance: Boolean = false): DataFrame = {
     val und =
       if (canonical) edges.select(col("src").as("a"), col("dst").as("b"))
       else edges
@@ -724,18 +724,23 @@ object Graph {
         .distinct()
     val both = und.select(col("a").as("src"), col("b").as("dst"))
       .union(und.select(col("b").as("src"), col("a").as("dst")))
-    // CANONICAL path only: hash-repartition by src to the session's
-    // shuffle parallelism (scale-adaptive — not a local core constant).
-    // The union of two memo-checkpoint projections inherits the
-    // checkpoint's AQE-coalesced partition count (2×10 at sf0.1),
-    // which left every per-layer probe stage of the frontier
+    // `balance` (canonical path only): hash-repartition by src to the
+    // session's shuffle parallelism (scale-adaptive — not a local core
+    // constant). The union of two memo-checkpoint projections inherits
+    // the checkpoint's AQE-coalesced partition count (2×10 at sf0.1),
+    // which left every per-layer probe stage of the HEAVY frontier
     // algorithms running below the configured parallelism and with
     // hub-skewed tasks (r18, guide §2.2; graph_kcore 1.99 → 1.30 s).
-    // The non-canonical path already passes through the distinct()
-    // Exchange at full parallelism — an extra repartition there only
-    // added cost (graph_hits 2.94 → 3.48 s, reverted).
+    // Only callers that rescan sym many times opt in (kCore's peeling
+    // rounds, betweenness's 6 layer probes) — for the light 2-3-probe
+    // consumers the up-front 2E-row exchange cost more than it saved
+    // (graph_bfs_hops 1.03 → 1.83 s, graph_closeness_seeds 1.88 →
+    // 2.65 s in the mid-round sweep; both reverted to balance=false),
+    // and the non-canonical path already exchanges through its
+    // distinct() at full parallelism (graph_hits 2.94 → 3.48 s with
+    // it, reverted in the first r18 wave).
     graft.Caches.persist(
-      if (canonical) {
+      if (canonical && balance) {
         val n = edges.sparkSession.conf
           .get("spark.sql.shuffle.partitions").toInt
         both.repartition(n, col("src"))
@@ -882,7 +887,7 @@ object Graph {
       canonicalEdges: Boolean = false): DataFrame = {
     require(k >= 1, "kCore needs k >= 1")
     require(rounds >= 1, "kCore needs at least one peel round")
-    val sym = symmetrized(edges, canonicalEdges)
+    val sym = symmetrized(edges, canonicalEdges, balance = true)
     def inducedDeg(alive: DataFrame): DataFrame = sym
       .join(alive.select(col("node").as("src")), Seq("src"), "left_semi")
       .join(alive.select(col("node").as("dst")), Seq("dst"), "left_semi")
@@ -1007,8 +1012,10 @@ object Graph {
     // out-neighbor lists: one row per node, array bounded by O(√m)
     val outN = oriented.groupBy("u").agg(collect_list("v").as("nbrs"))
     val tri = Option(oriented
-      .join(outN.select(col("u"), col("nbrs").as("nu")), Seq("u"))
-      .join(outN.select(col("u").as("v"), col("nbrs").as("nv")), Seq("v"))
+      .join(outN.select(col("u"), col("nbrs").as("nu")).hint("shuffle_hash"),
+        Seq("u"))
+      .join(outN.select(col("u").as("v"), col("nbrs").as("nv"))
+        .hint("shuffle_hash"), Seq("v"))
       .select(size(array_intersect(col("nu"), col("nv"))).cast("long").as("c"))
       .agg(sum("c")).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
@@ -1179,7 +1186,7 @@ object Graph {
   def betweennessSeeds(edges: DataFrame, seeds: DataFrame,
       depth: Int = 3, canonicalEdges: Boolean = false): DataFrame = {
     require(depth >= 2, s"betweennessSeeds needs depth >= 2, got $depth")
-    val sym = symmetrized(edges, canonicalEdges).select("src", "dst")
+    val sym = symmetrized(edges, canonicalEdges, balance = true).select("src", "dst")
     // Deliberate join strategy for the node-grain layer frames (guide
     // §3.1): the r17 plan left the membership anti-join and both
     // backward attachments as SortMergeJoins over the edge×seed stream
